@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join: enrich each spine row with the most recent
+  * fact whose timestamp is `<=` the spine row's timestamp, per key.
+  *
+  * Semantics from the reference's per-row loop
+  * (/root/reference/src/serving/feature_server.py:355-408 spine iteration;
+  * :531-583 entity filter + time filter + per-feature argmax; output columns
+  * `{name}` and `{name}__timestamp` at :397-398). The reference is
+  * O(|spine| x |facts|) nested scans; both formulations here are fully
+  * distributed.
+  *
+  * Two physical formulations:
+  *
+  *  - [[locf]] (default, scale path): union spine + facts, one hash shuffle
+  *    on the key, one sort per partition, carry the last fact forward
+  *    ("last observation carried forward"). Cost is O((S+F) log(S+F)) per
+  *    key with NO intermediate row explosion — a theta-join `f.ts <= s.ts`
+  *    materializes O(S*F) pairs per key before the argmax prunes them, which
+  *    dies at 100 TB on hot keys; LOCF never does.
+  *
+  *  - [[thetaWindow]] (small/verification path): the naive inequality join +
+  *    row_number, kept for differential testing against [[locf]].
+  *
+  * Tie rules (pinned by AsOfJoinSpec): a fact at exactly the spine timestamp
+  * IS visible (inclusive `<=`); among facts with equal timestamps the one
+  * with the greatest `tieCol` wins; a spine row with no eligible fact gets
+  * nulls (reference: feature_registry.py:486-487).
+  */
+object AsOfJoin {
+
+  /** LOCF formulation.
+    *
+    * @param spine       left side; ALL its columns pass through to the output
+    * @param facts       right side (the fact/value log)
+    * @param keyCols     equi-join key column names (present in both sides)
+    * @param spineTs     timestamp column name in `spine`
+    * @param factTs      timestamp column name in `facts`
+    * @param payloadCols fact columns to carry onto matching spine rows
+    * @param tieCol      fact column breaking equal-timestamp ties (max wins)
+    * @param outSuffix   appended to emitted payload/timestamp column names
+    */
+  def locf(
+      spine: DataFrame,
+      facts: DataFrame,
+      keyCols: Seq[String],
+      spineTs: String,
+      factTs: String,
+      payloadCols: Seq[String],
+      tieCol: String,
+      outSuffix: String = ""
+  ): DataFrame = {
+    val spineCols = spine.columns.toSeq
+
+    val f = facts.select(
+      keyCols.map(col) ++ Seq(
+        col(factTs).cast("timestamp").as("__ts"),
+        col(tieCol).cast("long").as("__tie"),
+        struct((payloadCols.map(col) :+ col(factTs).cast("timestamp").as("__fact_ts")): _*).as("__pay"),
+        lit(0).as("__is_spine")
+      ): _*
+    )
+    val s = spine.select(
+      keyCols.map(col) ++ Seq(
+        col(spineTs).cast("timestamp").as("__ts"),
+        lit(Long.MaxValue).as("__tie"),
+        struct(spineCols.map(col): _*).as("__spine"),
+        lit(1).as("__is_spine")
+      ): _*
+    )
+
+    // One shuffle on keyCols; within each key, facts sort before the spine
+    // row at equal __ts (__is_spine asc) so `<=` is inclusive, and greater
+    // __tie sorts later so last() picks the max-tie fact.
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").asc, col("__is_spine").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = f
+      .unionByName(s, allowMissingColumns = true)
+      .withColumn("__last", last(col("__pay"), ignoreNulls = true).over(w))
+      .where(col("__is_spine") === 1)
+
+    filled.select(
+      spineCols.map(c => col("__spine").getField(c).as(c)) ++
+        payloadCols.map(c => col("__last").getField(c).as(c + outSuffix)) :+
+        col("__last").getField("__fact_ts").as(factTs + outSuffix + "__timestamp"): _*
+    )
+  }
+
+  /** Naive theta-join + per-spine-row argmax. O(S*F) per key before pruning —
+    * verification/small-data only; use [[locf]] at scale.
+    */
+  def thetaWindow(
+      spine: DataFrame,
+      facts: DataFrame,
+      keyCols: Seq[String],
+      spineTs: String,
+      factTs: String,
+      payloadCols: Seq[String],
+      tieCol: String,
+      outSuffix: String = ""
+  ): DataFrame = {
+    val spineCols = spine.columns.toSeq
+    val s = spine.withColumn("__sid", monotonically_increasing_id())
+    val f = facts.select(
+      keyCols.map(c => col(c).as(s"__k_$c")) ++
+        payloadCols.map(c => col(c).as(s"__p_$c")) ++
+        Seq(col(factTs).cast("timestamp").as("__fts"), col(tieCol).cast("long").as("__ftie")): _*
+    )
+    val joinCond = keyCols
+      .map(c => s(c) === f(s"__k_$c"))
+      .reduce(_ && _) && f("__fts") <= s(spineTs).cast("timestamp")
+    val w = Window.partitionBy(col("__sid")).orderBy(col("__fts").desc, col("__ftie").desc)
+    s.join(f, joinCond, "left")
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(
+        spineCols.map(col) ++
+          payloadCols.map(c => col(s"__p_$c").as(c + outSuffix)) :+
+          col("__fts").as(factTs + outSuffix + "__timestamp"): _*
+      )
+  }
+}

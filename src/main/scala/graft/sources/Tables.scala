@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-generated parquet test tables (see TESTDATA.md).
+  *
+  * All tables are plain parquet; schemas are fixed by the generator, so we
+  * read without inference tricks and let the vectorized parquet reader +
+  * Catalyst handle pushdown/pruning. At production scale these would be
+  * date-partitioned lakehouse tables; the query code only depends on the
+  * logical schema, so swapping `parquet(dir)` for a partitioned table is a
+  * one-line change here.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 won't map to
+    * TimestampType directly; read it as epoch-nanos long and integer-divide
+    * to micros (floor division — matches DuckDB's ns->us truncation, and
+    * avoids the double-precision loss a `/` cast would cause at 1.7e18).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  def region(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}
