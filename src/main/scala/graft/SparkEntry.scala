@@ -233,6 +233,155 @@ object SparkEntry {
       .orderBy("l_returnflag", "l_linestatus")
 
   // ======================================================================
+  // B3 — audit-log sink projection
+  // ======================================================================
+
+  /** B3 — audit append: every read becomes a structured audit record;
+    * PHI-denied reads (error events, see d2) log access_denied.
+    */
+  private def b3AuditAppend(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("ts").as("timestamp"),
+        when(col("event_type") === "error", "access_denied").otherwise("access").as("action"),
+        col("event_type").as("feature_id"),
+        col("user_id").cast("string").as("entity_id"),
+        lit("svc_reader").as("accessed_by"))
+      .orderBy("timestamp", "feature_id")
+
+  // ======================================================================
+  // D1 — role semi-join (+ E5 group cardinality)
+  // ======================================================================
+
+  private def d1RbacRoles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(
+        size(collect_set(col("lang"))).cast("long").as("n_langs"),
+        arrays_overlap(collect_set(col("lang")), array(lit("en"), lit("de"))).as("allowed"))
+      .orderBy("source")
+
+  // ======================================================================
+  // G1 — deduplication
+  // ======================================================================
+
+  private def g1DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactStats(Tables.documents(s, dir), "text")
+
+  /** G1 — exact n-gram Jaccard near-dup pairs, blocked by (lang, length
+    * bucket). Blocking is part of the declared semantics (oracle replicates
+    * it); the unblocked scale path is g1_minhash_pairs.
+    */
+  private def g1JaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .jaccardPairs(
+        Tables.documents(s, dir).withColumn("len_bucket", expr("n_chars div 100")),
+        idCol = "doc_id", textCol = "text",
+        blockCols = Seq("lang", "len_bucket"), shingleN = 3, threshold = 0.3)
+      .orderBy("id_a", "id_b")
+
+  /** G1 — MinHash-LSH candidates, exact-verified (rows-only check: banding
+    * recall at s=0.3 with b=24,r=2 is ~0.90, so no exact SQL oracle).
+    */
+  private def g1MinhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, bands = 24, rowsPerBand = 2, threshold = 0.3)
+      .orderBy("id_a", "id_b")
+
+  /** G1 — 64-bit SimHash per document (rows-only: xxhash64 is
+    * Spark-specific).
+    */
+  private def g1Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  // ======================================================================
+  // G2 — embedding similarity
+  // ======================================================================
+
+  private def g2CosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs  = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Similarity
+      .cosineTopK(emb, qs, "vec_id", "embedding", "query_id", "qvec", k = 3)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
+  private def g2CosineThreshold(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs  = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Similarity
+      .thresholdCount(emb, qs, "vec_id", "embedding", "query_id", "qvec", threshold = 0.25)
+      .orderBy("query_id")
+  }
+
+  /** G2 — hyperplane-LSH approximate top-k (rows-only: approximate recall). */
+  private def g2LshTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs  = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Similarity
+      .lshTopK(emb, qs, "vec_id", "embedding", "query_id", "qvec", k = 3)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
+  // ======================================================================
+  // G3 — text analysis
+  // ======================================================================
+
+  private def g3TextStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(length(col("text"))), 2).as("avg_chars"),
+        round(avg(size(split(trim(col("text")), "\\s+"))), 2).as("avg_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+
+  private def g3Quality(s: SparkSession, dir: String): DataFrame = {
+    val st = TextAnalysis.withStats(Tables.documents(s, dir), "text")
+    st.select(
+        col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        TextAnalysis.qualityScore(col("n_tokens"), col("n_stopwords"), col("avg_token_len")).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** G3 — language-ID heuristic (rows-only: dictionaries engine-internal). */
+  private def g3LangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** G3 — rolling-hash fingerprint (rows-only: xxhash64 Spark-specific). */
+  private def g3Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  // ======================================================================
+  // headline join aggregate (bench anchor #2)
+  // ======================================================================
+
+  /** Q3-style multi-join revenue rollup (broadcast dim + shuffled fact join). */
+  private def q3JoinAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .where(col("o_orderdate") >= ts("1996-01-01 00:00:00"))
+      .groupBy("n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+
+  // ======================================================================
   // contract maps
   // ======================================================================
 
@@ -252,7 +401,21 @@ object SparkEntry {
     "e4_counters"        -> (e4Counters _),
     "e6_pivot_vector"    -> (e6PivotVector _),
     "f2_idgen"           -> (f2IdGen _),
-    "q1_lineitem_agg"    -> (q1LineitemAgg _)
+    "q1_lineitem_agg"    -> (q1LineitemAgg _),
+    "b3_audit_append"    -> (b3AuditAppend _),
+    "d1_rbac_roles"      -> (d1RbacRoles _),
+    "g1_dedup_exact"     -> (g1DedupExact _),
+    "g1_jaccard_pairs"   -> (g1JaccardPairs _),
+    "g1_minhash_pairs"   -> (g1MinhashPairs _),
+    "g1_simhash"         -> (g1Simhash _),
+    "g2_cosine_topk"     -> (g2CosineTopk _),
+    "g2_cosine_threshold" -> (g2CosineThreshold _),
+    "g2_lsh_topk"        -> (g2LshTopk _),
+    "g3_text_stats"      -> (g3TextStats _),
+    "g3_quality"         -> (g3Quality _),
+    "g3_langid"          -> (g3LangId _),
+    "g3_fingerprint"     -> (g3Fingerprint _),
+    "q3_join_agg"        -> (q3JoinAgg _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -352,6 +515,88 @@ object SparkEntry {
         |       round(avg(l_discount), 6) AS avg_disc,
         |       count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "b3_audit_append" ->
+      """SELECT ts AS timestamp,
+        |       CASE WHEN event_type = 'error' THEN 'access_denied' ELSE 'access' END AS action,
+        |       event_type AS feature_id, CAST(user_id AS VARCHAR) AS entity_id,
+        |       'svc_reader' AS accessed_by
+        |FROM events ORDER BY timestamp, feature_id""".stripMargin,
+    "d1_rbac_roles" ->
+      """SELECT source, count(DISTINCT lang) AS n_langs,
+        |       bool_or(lang IN ('en', 'de')) AS allowed
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "g1_dedup_exact" ->
+      """WITH g AS (SELECT sha256(text) AS h, count(*) AS n FROM documents GROUP BY 1)
+        |SELECT sum(n)::BIGINT AS n_docs, count(*) AS n_distinct_texts,
+        |       count(*) FILTER (n > 1) AS n_dup_groups,
+        |       sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS n_dup_docs
+        |FROM g""".stripMargin,
+    "g1_jaccard_pairs" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+        |         list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+        |                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, lang, n_chars, string_split_regex(trim(text), '\s+') AS w FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |             len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 4) AS jaccard
+        |FROM s a JOIN s b
+        |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "g2_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |             i -> e.embedding[i]::DOUBLE * q.qvec[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(q.qvec, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id, sim,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+        |      FROM p)
+        |SELECT query_id, rank, vec_id, round(sim, 4) AS cosine
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "g2_cosine_threshold" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.query_id,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |             i -> e.embedding[i]::DOUBLE * q.qvec[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(q.qvec, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, count(*) FILTER (sim >= 0.25) AS n_matches
+        |FROM p GROUP BY query_id ORDER BY query_id""".stripMargin,
+    "g3_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       round(avg(length(text)), 2) AS avg_chars,
+        |       round(avg(len(string_split_regex(trim(text), '\s+'))), 2) AS avg_tokens,
+        |       count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "g3_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |         length(text) AS n_chars,
+        |         len(list_filter(string_split_regex(trim(text), '\s+'),
+        |             w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], w))) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+        |       round(least(1.0, n_tokens / 50.0) * 0.4 +
+        |             least(1.0, (CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0 END) * 5.0) * 0.3 +
+        |             least(1.0, (CASE WHEN n_tokens > 0 THEN n_chars::DOUBLE / n_tokens ELSE 0 END) / 8.0) * 0.3, 4) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN orders ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
   )
 }

@@ -82,6 +82,9 @@ object Latest {
       payloadCols: Seq[String]
   ): DataFrame = {
     val cols = (keys ++ payloadCols :+ tsCol :+ tieCol).distinct.map(col)
-    latestAgg(base.select(cols: _*).unionByName(updates.select(cols: _*)), keys, tsCol, tieCol, payloadCols)
+    // keep tieCol in the snapshot so a further upsert over the result is
+    // well-formed (idempotence property: upsert(upsert(b,u),u) == upsert(b,u))
+    val pay = (payloadCols :+ tieCol).distinct
+    latestAgg(base.select(cols: _*).unionByName(updates.select(cols: _*)), keys, tsCol, tieCol, pay)
   }
 }

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns
+
+/** Embedding similarity search (SURVEY.md §2 G2; reference EMBEDDING type,
+  * /root/reference/src/registry/feature_registry.py:42).
+  *
+  * Brute-force is the correctness baseline: broadcast the (small) query set
+  * against the candidate corpus — the corpus is never shuffled, each
+  * partition computes its local sims, and only |Q| x k rows cross the wire
+  * for the final per-query top-k. The scale path is [[lshTopK]]: random
+  * hyperplane signatures bucket candidates so each query only scores its
+  * bucket (approximate; recall grows with numTables).
+  *
+  * All dot products fold left-to-right in double precision (Fns.dot), so
+  * scores are bit-stable across partitionings.
+  */
+object Similarity {
+
+  private def withNorm(df: DataFrame, vecCol: String, out: String): DataFrame =
+    df.withColumn(out, Fns.l2Norm(col(vecCol)))
+
+  /** Exact top-k neighbors per query by cosine (desc), id asc tie-break.
+    * Queries must be small enough to broadcast (the usual serving shape).
+    */
+  def cosineTopK(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val cand = withNorm(candidates.select(col(idCol), col(vecCol)), vecCol, "__cn")
+    val qs   = withNorm(queries.select(col(qidCol), col(qvecCol)), qvecCol, "__qn")
+    val joined = cand
+      .crossJoin(broadcast(qs))
+      .where(if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
+      .withColumn("__sim", Fns.dot(col(vecCol), col(qvecCol)) / (col("__cn") * col("__qn")))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col(idCol).asc)
+    joined
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+      .select(col(qidCol), col("__rank").as("rank"), col(idCol), round(col("__sim"), 4).as("cosine"))
+  }
+
+  /** Count of candidates above a cosine threshold, per query. */
+  def thresholdCount(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qidCol: String,
+      qvecCol: String,
+      threshold: Double,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val cand = withNorm(candidates.select(col(idCol), col(vecCol)), vecCol, "__cn")
+    val qs   = withNorm(queries.select(col(qidCol), col(qvecCol)), qvecCol, "__qn")
+    cand
+      .crossJoin(broadcast(qs))
+      .where(if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
+      .withColumn("__sim", Fns.dot(col(vecCol), col(qvecCol)) / (col("__cn") * col("__qn")))
+      .groupBy(col(qidCol))
+      .agg(count_if(col("__sim") >= threshold).as("n_matches"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component (t, p, i) derived
+    * from a splitmix64-style mix of the indices — no RNG state, fully
+    * reproducible (same plan on every executor).
+    */
+  private def hyperplane(table: Int, plane: Int, dim: Int): Array[Double] = {
+    def mix(z0: Long): Double = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      // map to (-1, 1)
+      (z.toDouble / Long.MaxValue.toDouble)
+    }
+    Array.tabulate(dim)(i => mix(table.toLong * 1000003L + plane.toLong * 10007L + i.toLong))
+  }
+
+  /** Random-hyperplane LSH signature: per table, a bit per plane = sign of
+    * the dot with that plane.
+    */
+  private def lshBucket(vec: Column, table: Int, planes: Int, dim: Int): Column =
+    (0 until planes)
+      .map { p =>
+        val plane = hyperplane(table, p, dim)
+        val planeCol = array(plane.map(lit): _*)
+        when(Fns.dot(vec, planeCol) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }
+      .reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate top-k: candidates and queries are bucketed by numTables
+    * hyperplane signatures; a candidate is scored only if it shares a
+    * bucket with the query in some table. Recall rises with numTables;
+    * cost per query drops from |corpus| to the matched buckets' size.
+    */
+  def lshTopK(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      numTables: Int = 8,
+      planes: Int = 12,
+      dim: Int = 64
+  ): DataFrame = {
+    val candBuckets = array((0 until numTables).map(t =>
+      struct(lit(t).as("t"), lshBucket(col(vecCol), t, planes, dim).as("b"))): _*)
+    val qBuckets = array((0 until numTables).map(t =>
+      struct(lit(t).as("t"), lshBucket(col(qvecCol), t, planes, dim).as("b"))): _*)
+
+    val cand = withNorm(candidates.select(col(idCol), col(vecCol)), vecCol, "__cn")
+      .select(col(idCol), col(vecCol), col("__cn"), explode(candBuckets).as("__tb"))
+    val qs = withNorm(queries.select(col(qidCol), col(qvecCol)), qvecCol, "__qn")
+      .select(col(qidCol), col(qvecCol), col("__qn"), explode(qBuckets).as("__tb"))
+
+    val matched = cand
+      .join(broadcast(qs), Seq("__tb"))
+      .where(col(idCol) =!= col(qidCol))
+      .dropDuplicates(idCol, qidCol)
+      .withColumn("__sim", Fns.dot(col(vecCol), col(qvecCol)) / (col("__cn") * col("__qn")))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col(idCol).asc)
+    matched
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+      .select(col(qidCol), col("__rank").as("rank"), col(idCol), round(col("__sim"), 4).as("cosine"))
+  }
+}

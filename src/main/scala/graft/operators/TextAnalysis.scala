@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns
+
+/** Text analysis for training-data pipelines (SURVEY.md §2 G3): per-doc
+  * stats, quality scoring, language-ID heuristic, fingerprinting. All
+  * built-in codegen'd expressions — no UDFs — so the whole stage fuses into
+  * the scan.
+  */
+object TextAnalysis {
+
+  private val StopwordsEn =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Per-doc descriptive stats. */
+  def withStats(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    docs
+      .withColumn("n_chars_calc", length(t))
+      .withColumn("n_tokens", Fns.tokenCount(t))
+      .withColumn("n_stopwords",
+        size(filter(toks, w => array_contains(array(StopwordsEn.map(lit): _*), w))))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") > 0, length(t).cast("double") / col("n_tokens")).otherwise(lit(0.0)))
+  }
+
+  /** Quality score in [0,1]: rewards reasonable length, a healthy stopword
+    * rate, and moderate token length. Pure arithmetic over the stats so the
+    * same formula is expressible in ANSI SQL for the oracle.
+    */
+  def qualityScore(nTokens: Column, nStopwords: Column, avgTokenLen: Column): Column = {
+    val lengthScore = least(lit(1.0), nTokens.cast("double") / lit(50.0))
+    val stopRatio   = when(nTokens > 0, nStopwords.cast("double") / nTokens).otherwise(lit(0.0))
+    val stopScore   = least(lit(1.0), stopRatio * lit(5.0))
+    val lenScore    = least(lit(1.0), avgTokenLen / lit(8.0))
+    round(lengthScore * lit(0.4) + stopScore * lit(0.3) + lenScore * lit(0.3), 4)
+  }
+
+  /** n-gram/stopword language-ID heuristic: score each language's stopword
+    * dictionary by hit count over the tokens; argmax wins, 'und' when no
+    * dictionary hits. (Rows-only check — dictionaries are engine-internal.)
+    */
+  def langId(text: Column): Column = {
+    val dicts: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "with", "for"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"),
+      "es" -> Seq("el", "la", "los", "y", "es", "en", "que", "por", "una", "con")
+    )
+    val toks = tokens(lower(text))
+    val scored = dicts.map { case (lang, words) =>
+      struct(size(filter(toks, w => array_contains(array(words.map(lit): _*), w))).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Rolling document fingerprint over normalized tokens:
+    * fp = fold(tokens, h -> xxhash64(h, token)) — order-sensitive (unlike a
+    * bag hash), one pass, and overflow-free under ANSI mode (a polynomial
+    * h*31+x fold would throw ARITHMETIC_OVERFLOW on Spark 4 defaults).
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      tokens(lower(trim(text))),
+      lit(0L),
+      (acc, t) => xxhash64(acc, t)
+    )
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+/** Pins the reference's as-of semantics (SURVEY.md §5.3 edge cases):
+  * empty match -> null (feature_registry.py:486-487), exclusion of facts
+  * after as_of (:483), inclusive <=, and the (ts, tie) desc tie-break.
+  */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def facts = Seq(
+    // key, ts, tie, value
+    ("u1", ts("2024-01-01 00:00:00"), 1L, 10.0),
+    ("u1", ts("2024-01-05 00:00:00"), 2L, 20.0),
+    ("u1", ts("2024-01-05 00:00:00"), 3L, 30.0), // equal-ts tie: higher tie wins
+    ("u1", ts("2024-01-09 00:00:00"), 4L, 40.0), // after spine ts: excluded
+    ("u2", ts("2024-01-08 00:00:00"), 5L, 50.0)
+  ).toDF("k", "fts", "tie", "v")
+
+  private def spine = Seq(
+    ("u1", ts("2024-01-05 00:00:00"), "s1"), // exactly at fact ts: inclusive
+    ("u1", ts("2024-01-02 00:00:00"), "s2"),
+    ("u2", ts("2024-01-01 00:00:00"), "s3"), // before all u2 facts: null
+    ("u3", ts("2024-01-05 00:00:00"), "s4")  // key with no facts: null
+  ).toDF("k", "sts", "tag")
+
+  private def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Seq[String], String, String, Seq[String], String, String) => org.apache.spark.sql.DataFrame) =
+    f(spine, facts, Seq("k"), "sts", "fts", Seq("v"), "tie", "")
+      .select("tag", "v")
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1)))
+      .toMap
+
+  test("locf: inclusive <=, tie-break max tie, null when empty") {
+    val m = run(AsOfJoin.locf)
+    assert(m("s1") == 30.0) // equal-ts fact visible; tie 3 beats tie 2
+    assert(m("s2") == 10.0)
+    assert(m("s3") == null) // no fact <= as_of
+    assert(m("s4") == null) // unknown key
+  }
+
+  test("thetaWindow agrees with locf on the edge cases") {
+    assert(run(AsOfJoin.thetaWindow) == run(AsOfJoin.locf))
+  }
+
+  test("locf and thetaWindow agree on generated data") {
+    val f = (1 to 500).map { i =>
+      (s"u${i % 7}", ts(f"2024-01-${i % 28 + 1}%02d ${i % 24}%02d:00:00"), i.toLong, i.toDouble)
+    }.toDF("k", "fts", "tie", "v")
+    val s = (1 to 200).map { i =>
+      (s"u${i % 9}", ts(f"2024-01-${(i * 3) % 28 + 1}%02d ${(i * 7) % 24}%02d:30:00"), s"s$i")
+    }.toDF("k", "sts", "tag")
+    val a = AsOfJoin.locf(s, f, Seq("k"), "sts", "fts", Seq("v"), "tie")
+      .orderBy("tag").collect().map(_.toString).toSeq
+    val b = AsOfJoin.thetaWindow(s, f, Seq("k"), "sts", "fts", Seq("v"), "tie")
+      .orderBy("tag").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("spine passthrough columns and timestamp column survive") {
+    val out = AsOfJoin.locf(spine, facts, Seq("k"), "sts", "fts", Seq("v"), "tie")
+    assert(out.columns.toSeq == Seq("k", "sts", "tag", "v", "fts__timestamp"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 1
+    (4L, "completely different words about spark engines and columnar execution plans here"),
+    (5L, "another unrelated document mentioning databases queries optimizers and storage formats")
+  ).toDF("doc_id", "text")
+
+  test("exactStats counts duplicate groups") {
+    val r = Dedup.exactStats(docs, "text").collect().head
+    assert(r.getLong(0) == 5) // n_docs
+    assert(r.getLong(1) == 4) // n_distinct_texts
+    assert(r.getLong(2) == 1) // n_dup_groups
+    assert(r.getLong(3) == 2) // n_dup_docs
+  }
+
+  test("jaccardPairs finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup
+      .jaccardPairs(docs.withColumn("blk", lit(1)), "doc_id", "text", Seq("blk"), 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0.5)
+    assert(!pairs.keys.exists { case (a, b) => Set(a, b).contains(4L) || Set(a, b).contains(5L) })
+  }
+
+  test("minhashPairs recovers the same dup clusters (exact-verified)") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", shingleN = 3, bands = 24, rowsPerBand = 2, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("simhash: exact dups identical, near dups close, unrelated far") {
+    val m = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(m(1L) == m(2L))
+    assert(hamming(m(1L), m(3L)) < hamming(m(1L), m(4L)))
+  }
+
+  test("simhashPairs buckets catch the dup cluster") {
+    val sims = Dedup.simhash(docs, "doc_id", "text")
+    val pairs = Dedup.simhashPairs(sims, "doc_id", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("rollingFingerprint is order-sensitive; tokenCount handles blanks") {
+    val df = Seq(("a b c"), ("c b a"), ("a b c")).toDF("text")
+      .select(TextAnalysis.rollingFingerprint($"text").as("fp")).as[Long].collect()
+    assert(df(0) == df(2) && df(0) != df(1))
+    val tc = Seq(("  "), ("a b"), ("")).toDF("t")
+      .select(graft.functions.Fns.tokenCount($"t")).as[Int].collect().toSeq
+    assert(tc == Seq(0, 2, 0))
+  }
+
+  test("cosineTopK ranks the planted nearest neighbor first") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val qs = emb.where($"vec_id" === 1L)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val top = Similarity.cosineTopK(emb, qs, "vec_id", "embedding", "query_id", "qvec", 2)
+      .orderBy("rank").collect()
+    assert(top(0).getLong(2) == 2L) // nearest
+    assert(top.length == 2)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.functions.Fns
+
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PivotVector: explicit-null contract + round trip") {
+    val eav = Seq(
+      ("u1", "f1", 1.0, ts("2024-01-01 00:00:00"), 1L),
+      ("u1", "f1", 2.0, ts("2024-01-02 00:00:00"), 2L),
+      ("u2", "f2", 3.0, ts("2024-01-01 00:00:00"), 3L)
+    ).toDF("e", "name", "v", "t", "id")
+    val wide = PivotVector.toVector(eav, "e", "name", "v", "t", "id", Seq("f1", "f2", "f3"))
+    assert(wide.columns.toSeq == Seq("e", "f1", "f2", "f3"))
+    val m = wide.collect().map(r => r.getString(0) -> (r.get(1), r.get(2), r.get(3))).toMap
+    assert(m("u1") == ((2.0, null, null))) // latest f1; f2/f3 explicit null
+    assert(m("u2") == ((null, 3.0, null)))
+
+    val long = PivotVector.toEav(wide, "e", Seq("f1", "f2", "f3"))
+    assert(long.where($"value".isNotNull).count() == 2)
+  }
+
+  test("Freshness thresholds incl. boundaries and null -> expired") {
+    val now = lit("2024-01-02 00:00:00").cast("timestamp")
+    val df = Seq(
+      ("boundary_fresh", ts("2024-01-01 23:00:00")), // exactly 3600s
+      ("fresh", ts("2024-01-01 23:30:00")),
+      ("stale", ts("2024-01-01 10:00:00")),
+      ("boundary_stale", ts("2024-01-01 00:00:00")), // exactly 86400s
+      ("expired", ts("2023-12-25 00:00:00"))
+    ).toDF("tag", "t")
+      .union(Seq(("missing", null.asInstanceOf[java.sql.Timestamp])).toDF("tag", "t"))
+    val m = df.withColumn("f", Freshness.freshness($"t", now))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(m("boundary_fresh") == "fresh")
+    assert(m("fresh") == "fresh")
+    assert(m("stale") == "stale")
+    assert(m("boundary_stale") == "stale")
+    assert(m("expired") == "expired")
+    assert(m("missing") == "expired")
+  }
+
+  test("Rbac: deny -> null, overlap -> visible, non-PHI always visible") {
+    val df = Seq(
+      ("open", "none", Seq.empty[String], 1.0),
+      ("phi_ok", "direct", Seq("doctor", "admin"), 2.0),
+      ("phi_denied", "direct", Seq("billing"), 3.0)
+    ).toDF("tag", "phi", "roles", "v")
+    val m = df.withColumn("masked", Rbac.mask($"v", $"phi", $"roles", Seq("doctor")))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(4)) null else r.getDouble(4))).toMap
+    assert(m("open") == 1.0)
+    assert(m("phi_ok") == 2.0)
+    assert(m("phi_denied") == null)
+  }
+
+  test("Rbac registration constraint: PHI requires roles") {
+    val df = Seq(
+      ("ok_none", "none", Seq.empty[String]),
+      ("ok_phi", "direct", Seq("doctor")),
+      ("bad_phi", "indirect", Seq.empty[String]),
+      ("bad_level", "secret", Seq("doctor"))
+    ).toDF("tag", "phi", "roles")
+    val ok = df.where(Rbac.registrationValid($"phi", $"roles")).select("tag").as[String].collect().toSet
+    assert(ok == Set("ok_none", "ok_phi"))
+  }
+
+  test("Validation routes invalid rows with reasons") {
+    val df = Seq(
+      ("e1", "click", Some(1.0)),
+      ("e2", "unknown", Some(2.0)),
+      ("e3", "click", None)
+    ).toDF("id", "typ", "v")
+    val m = Validation.withValidation(df, "typ", "v", Seq("click", "view"))
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(m("e1") == null)
+    assert(m("e2") == "feature_not_active")
+    assert(m("e3") == "null_value")
+  }
+
+  test("Fns.featureId matches the reference scheme shape") {
+    val r = Seq(("hr", "1.0.0", "patient")).toDF("n", "ver", "et")
+      .select(Fns.featureId($"n", $"ver", $"et").as("id")).as[String].head()
+    assert(r.startsWith("feat_") && r.length == 21) // feat_ + 16 hex
+    assert(r.drop(5).forall(c => "0123456789abcdef".contains(c)))
+  }
+
+  test("cosine: identical vectors -> 1.0, orthogonal -> 0.0") {
+    val df = Seq(
+      ("same", Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)),
+      ("orth", Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("tag", "a", "b")
+    val m = df.select($"tag", Fns.cosine($"a", $"b").as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(m("same") - 1.0) < 1e-12)
+    assert(math.abs(m("orth")) < 1e-12)
+  }
+}
