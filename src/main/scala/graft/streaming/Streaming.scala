@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY.md §2 G4 + the streaming halves of
+  * B1/B2: the reference declares source_type=stream + refresh=realtime,
+  * /root/reference/src/registry/feature_registry.py:101,105, and a
+  * ServingMode.STREAMING it never implements,
+  * /root/reference/src/serving/feature_server.py:33-38 — this module is that
+  * missing implementation, Spark-native).
+  *
+  * Everything is expressed over an unbounded DataFrame with event-time
+  * watermarks; the same transformations compose on a batch frame (Spark's
+  * unified model), which is how the batch oracle cross-checks them.
+  */
+object Streaming {
+
+  /** One ingested feature observation (EAV row, §1.1 FeatureValue). */
+  case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+
+  /** Online-store state: latest value per (entity, feature) —
+    * feature_server.py:428-438's dict, as managed stream state. */
+  case class LatestState(user_id: Long, event_type: String, value: Double, ts: java.sql.Timestamp, version: Int)
+
+  /** B1 streaming — validated append: same predicate as the batch path
+    * (graft.operators.Validation), applied to an unbounded stream. Late data
+    * beyond the watermark is dropped (the reference has no late-data policy;
+    * bitemporal created_timestamp is its only nod — SURVEY.md §1.2).
+    */
+  def validatedIngest(stream: DataFrame, activeTypes: Seq[String], watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .where(col("event_type").isin(activeTypes: _*) && col("value").isNotNull)
+
+  /** G4 — watermarked tumbling-window aggregate per feature. */
+  def windowedCounts(stream: DataFrame, windowLen: String = "1 hour", watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** G4 — exactly-once-ish ingest dedup: drop duplicate event_ids arriving
+    * within the watermark horizon. */
+  def dedupedStream(stream: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
+  /** B2 streaming — last-write-wins online snapshot via keyed state: the
+    * streaming equivalent of Latest.lwwUpsert. Emits an update whenever a
+    * key's latest value changes; `version` counts writes
+    * (feature_server.py:437). State is per (user_id, event_type) — at scale
+    * this is hash-partitioned stream state, the exact shape RocksDB state
+    * stores shard.
+    */
+  def latestStateStream(stream: Dataset[EventRow]): Dataset[LatestState] = {
+    import stream.sparkSession.implicits._
+    stream
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[LatestState, LatestState](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case ((uid, etype), events, state: GroupState[LatestState]) =>
+          val incoming = events.toSeq
+          if (incoming.isEmpty) Iterator.empty
+          else {
+            // max (ts, event_id) among state + batch — same tie rule as batch
+            val candidates = state.getOption.toSeq.map(s => (s.ts.getTime, Long.MaxValue, s)) ++
+              incoming.map(e => (e.ts.getTime, e.event_id, LatestState(uid, etype, e.value, e.ts, 0)))
+            val (_, _, winner) = candidates.maxBy(c => (c._1, c._2))
+            val prev = state.getOption
+            if (prev.exists(p => p.ts == winner.ts && p.value == winner.value)) Iterator.empty
+            else {
+              val next = winner.copy(version = prev.map(_.version).getOrElse(0) + 1)
+              state.update(next)
+              Iterator.single(next)
+            }
+          }
+      }
+  }
+
+  /** Run a finite micro-batch of a streaming DataFrame into an in-memory
+    * table and return it (test/verification helper — production sinks are
+    * writeStream.toTable / foreachBatch MERGE).
+    */
+  def runToMemory(spark: SparkSession, out: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = out.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

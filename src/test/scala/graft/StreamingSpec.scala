@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.EventRow
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkStream(rows: Seq[EventRow]): MemoryStream[EventRow] = {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[EventRow]
+    ms.addData(rows)
+    ms
+  }
+
+  private val batch = Seq(
+    EventRow(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+    EventRow(2L, ts("2024-01-01 10:30:00"), 1L, "click", 2.0),
+    EventRow(3L, ts("2024-01-01 11:15:00"), 2L, "view", 3.0),
+    EventRow(2L, ts("2024-01-01 10:30:00"), 1L, "click", 2.0), // dup event_id
+    EventRow(4L, ts("2024-01-01 10:45:00"), 1L, "bogus", 4.0)  // inactive type
+  )
+
+  test("validatedIngest filters inactive types on a stream") {
+    val ms = mkStream(batch)
+    val out = Streaming.runToMemory(
+      spark,
+      Streaming.validatedIngest(ms.toDF(), Seq("click", "view")),
+      "t_valid", OutputMode.Append())
+    assert(out.count() == 4) // bogus dropped, dup retained (validation only)
+    assert(out.where($"event_type" === "bogus").isEmpty)
+  }
+
+  test("windowedCounts aggregates per tumbling window in update mode") {
+    val ms = mkStream(batch.take(3))
+    val out = Streaming.runToMemory(
+      spark,
+      Streaming.windowedCounts(ms.toDF(), "1 hour"),
+      "t_win", OutputMode.Update())
+    val m = out.collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m((ts("2024-01-01 10:00:00"), "click")) == 2L)
+    assert(m((ts("2024-01-01 11:00:00"), "view")) == 1L)
+  }
+
+  test("dedupedStream drops duplicate event ids within the watermark") {
+    val ms = mkStream(batch)
+    val out = Streaming.runToMemory(
+      spark, Streaming.dedupedStream(ms.toDF()), "t_dedup", OutputMode.Append())
+    assert(out.count() == 4) // 5 rows - 1 dup
+    assert(out.where($"event_id" === 2L).count() == 1)
+  }
+
+  test("latestStateStream keeps last-write-wins state per key across batches") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[EventRow]
+    val q = Streaming
+      .latestStateStream(ms.toDS())
+      .writeStream.format("memory").queryName("t_state").outputMode("update").start()
+
+    ms.addData(EventRow(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0))
+    q.processAllAvailable()
+    ms.addData(EventRow(2L, ts("2024-01-01 11:00:00"), 1L, "click", 9.0)) // newer -> update
+    ms.addData(EventRow(3L, ts("2024-01-01 09:00:00"), 1L, "click", 0.5)) // older -> ignored
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("t_state").orderBy("version").collect()
+    assert(rows.length == 2)
+    assert(rows.last.getAs[Double]("value") == 9.0)
+    assert(rows.last.getAs[Int]("version") == 2)
+    // LWW state equals the batch recompute over the same rows
+    val all = Seq(
+      EventRow(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      EventRow(2L, ts("2024-01-01 11:00:00"), 1L, "click", 9.0),
+      EventRow(3L, ts("2024-01-01 09:00:00"), 1L, "click", 0.5)).toDF()
+    val batchLatest = graft.operators.Latest
+      .latestAgg(all, Seq("user_id", "event_type"), "ts", "event_id", Seq("value"))
+      .collect().head.getAs[Double]("value")
+    assert(batchLatest == 9.0)
+  }
+}
