@@ -365,6 +365,35 @@ object SparkEntry {
       .orderBy("doc_id")
 
   // ======================================================================
+  // G5 — multimodal columns (binary payload + typed metadata)
+  // ======================================================================
+
+  private def g5Media(s: SparkSession, dir: String): DataFrame =
+    Multimodal.syntheticMedia(Tables.documents(s, dir), "doc_id", "text")
+
+  private def g5MediaStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaStats(g5Media(s, dir)).orderBy("media_type")
+
+  private def g5FrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .sampleFrames(g5Media(s, dir))
+      .select(
+        col("media_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        col("offset_ms").cast("long").as("offset_ms"),
+        length(col("frame_bytes")).cast("long").as("frame_len"))
+      .orderBy("media_id", "frame_idx")
+
+  /** G5 — stubbed decode + feature extraction (rows-only: fake codec). */
+  private def g5MediaFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .extractFeatures(g5Media(s, dir))
+      .toDF()
+      .select(col("media_id"), col("n_bytes"), round(col("byte_mean"), 4).as("byte_mean"),
+        round(col("byte_entropy"), 4).as("byte_entropy"))
+      .orderBy("media_id")
+
+  // ======================================================================
   // headline join aggregate (bench anchor #2)
   // ======================================================================
 
@@ -415,6 +444,9 @@ object SparkEntry {
     "g3_quality"         -> (g3Quality _),
     "g3_langid"          -> (g3LangId _),
     "g3_fingerprint"     -> (g3Fingerprint _),
+    "g5_media_stats"     -> (g5MediaStats _),
+    "g5_frame_sample"    -> (g5FrameSample _),
+    "g5_media_features"  -> (g5MediaFeatures _),
     "q3_join_agg"        -> (q3JoinAgg _)
   )
 
@@ -590,6 +622,26 @@ object SparkEntry {
         |             least(1.0, (CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0 END) * 5.0) * 0.3 +
         |             least(1.0, (CASE WHEN n_tokens > 0 THEN n_chars::DOUBLE / n_tokens ELSE 0 END) / 8.0) * 0.3, 4) AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
+    "g5_media_stats" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    (doc_id % 8) * 160 + 320 AS width, (doc_id % 8) * 90 + 180 AS height,
+        |    (doc_id % 100) * 1000 AS duration_ms
+        |  FROM documents)
+        |SELECT media_type, count(*) AS n_media, sum(strlen(text))::BIGINT AS total_bytes,
+        |       round(avg(width * height), 2) AS avg_pixels,
+        |       round(avg(duration_ms), 2) AS avg_duration_ms
+        |FROM m GROUP BY media_type ORDER BY media_type""".stripMargin,
+    "g5_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, text, (doc_id % 100) * 1000 AS duration_ms FROM documents),
+        |f AS (SELECT media_id, text,
+        |             unnest(generate_series(0, least(greatest(duration_ms // 10000, 1), 8) - 1)) AS frame_idx
+        |      FROM m)
+        |SELECT media_id, frame_idx, frame_idx * 10000 AS offset_ms,
+        |       least(8, greatest(0, strlen(text) - frame_idx * 8))::BIGINT AS frame_len
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
     "q3_join_agg" ->
       """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
         |       count(*) AS n_items
