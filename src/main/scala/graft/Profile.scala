@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: per-query cold/warm timing + optional plan dump.
+  * Usage: runMain graft.Profile <sfDir> [explain] [query ...]
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val rest = args.drop(1)
+    val explain = rest.contains("explain")
+    val names = rest.filterNot(_ == "explain")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val qs = if (names.nonEmpty) SparkEntry.queries.filter(kv => names.contains(kv._1))
+             else SparkEntry.queries
+    qs.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      def time(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = time()
+      val warm = time()
+      val warm2 = time()
+      println(f"[profile] $name%-22s cold=$cold%7.2fs warm=$warm%7.2fs warm2=$warm2%7.2fs")
+      if (explain) fn(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
