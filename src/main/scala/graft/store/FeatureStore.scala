@@ -1,0 +1,290 @@
+package graft.store
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{AsOfJoin, Latest, PivotVector, Rbac}
+
+/** The API-parity facade: every public operation of the reference
+  * (/root/reference/src/registry/feature_registry.py FeatureRegistry +
+  * /root/reference/src/serving/feature_server.py FeatureServer) re-expressed
+  * over two tables — a small typed `registry` catalog (Dataset[Feature]) and
+  * the EAV `feature_values` fact log (DataFrame) — so a reference user can
+  * switch and keep their call shapes.
+  *
+  * Design split (SURVEY.md §7): the *catalog* is tiny and invariant-heavy —
+  * it lives driver-side as an immutable map (exactly the reference's dict,
+  * feature_registry.py:248) and broadcasts into queries; the *fact log* is
+  * the scale axis and is only ever touched through distributed operators
+  * (Latest / AsOfJoin / PivotVector). `now` is always an explicit parameter
+  * (determinism — SURVEY.md §5.4; the reference's utcnow() calls are the
+  * non-reproducible thing we deliberately fix).
+  *
+  * Thread-safety/caching (LRU/TTL) are serving-tier concerns and out of
+  * scope (SURVEY.md §2 non-relational) — this class is the engine.
+  */
+class FeatureStore(val spark: SparkSession) {
+
+  // ---- state: catalog driver-side; facts/audit as DataFrames ------------
+
+  private var features: Map[String, Feature] = Map.empty
+  private var groups: Map[String, FeatureGroup] = Map.empty
+  private var auditLog: Vector[AuditRecord] = Vector.empty
+
+  /** EAV fact schema — FIXTURES.md A2 (typed value columns, choice (a) of
+    * SURVEY.md §1.3). */
+  val valuesSchema: StructType = StructType(Seq(
+    StructField("feature_id", StringType),
+    StructField("entity_id", StringType),
+    StructField("entity_type", StringType),
+    StructField("feature_name", StringType),
+    StructField("value_type", StringType),
+    StructField("value_double", DoubleType),
+    StructField("value_string", StringType),
+    StructField("event_timestamp", TimestampType),
+    StructField("created_timestamp", TimestampType)))
+
+  private var values: DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], valuesSchema)
+
+  def registryFeatures: Seq[Feature] = features.values.toSeq
+  def valuesDF: DataFrame = values
+  def audit: Seq[AuditRecord] = auditLog
+
+  // ---- registry CRUD (B4) ----------------------------------------------
+
+  /** register_feature — feature_registry.py:253-330. Validates vocab + PHI
+    * constraint (:286-291), generates the deterministic id (:617-625),
+    * starts in draft. */
+  def registerFeature(
+      name: String,
+      version: String,
+      schema: FeatureSchemaMeta,
+      source: FeatureSourceMeta,
+      owner: String,
+      now: Timestamp,
+      phiLevel: String = "none",
+      accessRoles: Seq[String] = Seq.empty,
+      tags: Map[String, String] = Map.empty): Either[String, Feature] = {
+    if (!Vocab.ValueTypes.contains(schema.value_type))
+      return Left(s"invalid value_type: ${schema.value_type}")
+    if (!Vocab.SourceTypes.contains(source.source_type))
+      return Left(s"invalid source_type: ${source.source_type}")
+    if (!Vocab.PhiLevels.contains(phiLevel))
+      return Left(s"invalid phi_level: $phiLevel") // feature_registry.py:286-287
+    if (phiLevel != "none" && accessRoles.isEmpty)
+      return Left("PHI features require access_roles") // :290-291
+    val id = featureId(name, version, schema.entity_type)
+    if (features.contains(id)) return Left(s"feature already registered: $id")
+    val f = Feature(id, name, version, schema, source, "draft", owner, now, now,
+      tags, Seq.empty, phiLevel, accessRoles)
+    features += id -> f
+    Right(f)
+  }
+
+  /** "feat_" + 16 hex of sha256(name:version:entityType) — computed with the
+    * same expression the distributed path uses (graft.functions.Fns). */
+  def featureId(name: String, version: String, entityType: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$name:$version:$entityType".getBytes("UTF-8"))
+    "feat_" + d.map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** activate_feature — feature_registry.py:332-342 (draft -> active). */
+  def activateFeature(id: String, now: Timestamp): Either[String, Feature] =
+    transition(id, now, from = Set("draft"), to = "active")
+
+  /** deprecate_feature — feature_registry.py:344-355. */
+  def deprecateFeature(id: String, now: Timestamp): Either[String, Feature] =
+    transition(id, now, from = Set("active", "draft"), to = "deprecated")
+
+  private def transition(id: String, now: Timestamp, from: Set[String], to: String): Either[String, Feature] =
+    features.get(id) match {
+      case None => Left(s"unknown feature: $id")
+      case Some(f) if !from.contains(f.status) => Left(s"illegal transition ${f.status} -> $to")
+      case Some(f) =>
+        val nf = f.copy(status = to, updated_at = now)
+        features += id -> nf
+        Right(nf)
+    }
+
+  /** create_feature_group — feature_registry.py:357-398: members must exist
+    * and share the group's entity_type (:367-375). */
+  def createFeatureGroup(
+      name: String,
+      entityType: String,
+      memberIds: Seq[String],
+      description: String,
+      owner: String,
+      now: Timestamp): Either[String, FeatureGroup] = {
+    val missing = memberIds.filterNot(features.contains)
+    if (missing.nonEmpty) return Left(s"unknown features: ${missing.mkString(",")}")
+    val wrongType = memberIds.filter(id => features(id).schema.entity_type != entityType)
+    if (wrongType.nonEmpty) return Left(s"entity_type mismatch: ${wrongType.mkString(",")}")
+    val gid = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"$name:$entityType".getBytes("UTF-8"))
+      "grp_" + d.map("%02x".format(_)).mkString.take(12)
+    }
+    if (groups.contains(gid)) return Left(s"group already exists: $gid")
+    val g = FeatureGroup(gid, name, entityType, memberIds, description, owner, now)
+    groups += gid -> g
+    Right(g)
+  }
+
+  /** list_features — feature_registry.py:537-556 (conjunctive metadata
+    * filter, C1). */
+  def listFeatures(
+      category: Option[String] = None,
+      entityType: Option[String] = None,
+      status: Option[String] = None,
+      phiLevel: Option[String] = None): Seq[Feature] =
+    features.values.filter { f =>
+      category.forall(_ == f.schema.category) &&
+        entityType.forall(_ == f.schema.entity_type) &&
+        status.forall(_ == f.status) &&
+        phiLevel.forall(_ == f.phi_level)
+    }.toSeq
+
+  // ---- ingest (B1) ------------------------------------------------------
+
+  /** ingest_feature_value — feature_registry.py:400-441: reject unless the
+    * feature is ACTIVE (:423-424) and the value matches the declared type
+    * (:427-428); stamp created_timestamp (:435, explicit for determinism).
+    * Returns the number of accepted rows; rejected rows are dropped (the
+    * distributed analogue of raising per row — poison rows route, not
+    * throw).
+    *
+    * Input df columns: entity_id, feature_name, value_double|value_string,
+    * event_timestamp.
+    */
+  def ingestValues(df: DataFrame, featureIdForName: Map[String, String], createdTs: Timestamp): Long = {
+    val active = features.filter(_._2.status == "active")
+    val nameToId = featureIdForName.filter { case (_, id) => active.contains(id) }
+    if (nameToId.isEmpty) return 0L
+    val idMap = typedLit(nameToId)
+    val meta = active.map { case (id, f) => id -> (f.schema.entity_type, f.schema.value_type) }
+    val typeMap = typedLit(meta.map { case (id, (_, vt)) => id -> vt })
+    val etMap = typedLit(meta.map { case (id, (et, _)) => id -> et })
+
+    val withMeta = df
+      .withColumn("feature_id", idMap(col("feature_name")))
+      .where(col("feature_id").isNotNull) // not registered+active -> reject
+      .withColumn("value_type", typeMap(col("feature_id")))
+      .withColumn("entity_type", etMap(col("feature_id")))
+      // duck-typed value check (feature_registry.py:558-577): the numeric
+      // column must be set for numeric types, string column for string
+      .where(
+        (col("value_type").isin("float64", "float32", "int32", "int64") && col("value_double").isNotNull) ||
+          (col("value_type") === "string" && col("value_string").isNotNull))
+      .withColumn("created_timestamp", lit(createdTs))
+      .select(valuesSchema.fieldNames.map {
+        case c @ ("value_double" | "value_string") => coalesce(col(c), lit(null)).as(c)
+        case c => col(c)
+      }.toSeq: _*)
+
+    val before = values.count()
+    values = values.unionByName(withMeta.select(valuesSchema.fieldNames.map(col).toSeq: _*))
+    values.count() - before
+  }
+
+  // ---- reads (A1/A2/A3, C3, D1/D2, E6, B3) ------------------------------
+
+  private def rbacCheck(f: Feature, userRoles: Seq[String]): Boolean =
+    f.phi_level == "none" || f.access_roles.exists(userRoles.contains) // feature_registry.py:469-475
+
+  private def logAccess(action: String, featureId: String, entityId: String, user: String,
+      asOf: Option[Timestamp], now: Timestamp): Unit =
+    auditLog :+= AuditRecord(now, action, featureId, entityId, user, asOf)
+
+  /** get_feature_value — feature_registry.py:443-496: RBAC gate (deny ->
+    * audit + None here, not an exception — the engine masks, D2), as-of
+    * filter + argmax (A1), audit on success.
+    */
+  def getFeatureValue(
+      entityId: String,
+      featureId: String,
+      asOf: Timestamp,
+      userId: String,
+      userRoles: Seq[String],
+      now: Timestamp): Option[Double] = {
+    val f = features.getOrElse(featureId, return None)
+    if (!rbacCheck(f, userRoles)) {
+      logAccess("access_denied", featureId, entityId, userId, Some(asOf), now)
+      return None
+    }
+    logAccess("access", featureId, entityId, userId, Some(asOf), now)
+    Latest
+      .latestAgg(
+        values.where(col("feature_id") === featureId && col("entity_id") === entityId),
+        keys = Seq("feature_id"), tsCol = "event_timestamp", tieCol = "created_timestamp",
+        payloadCols = Seq("value_double"), asOf = Some(lit(asOf)))
+      .select("value_double")
+      .collect().headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+  }
+
+  /** get_feature_vector — feature_registry.py:498-535 (EP3): as-of pivot to
+    * a wide vector with deny->null masking (D2) per feature. Distributed:
+    * one filter + one pivot aggregation, however many features.
+    */
+  def getFeatureVector(
+      entityIds: Seq[String],
+      featureIds: Seq[String],
+      asOf: Timestamp,
+      userId: String,
+      userRoles: Seq[String],
+      now: Timestamp): DataFrame = {
+    val known = featureIds.filter(features.contains)
+    val (allowed, denied) = known.partition(id => rbacCheck(features(id), userRoles))
+    denied.foreach(id => logAccess("access_denied", id, entityIds.mkString("|"), userId, Some(asOf), now))
+    allowed.foreach(id => logAccess("access", id, entityIds.mkString("|"), userId, Some(asOf), now))
+
+    val base = values
+      .where(col("entity_id").isin(entityIds: _*) && col("event_timestamp") <= lit(asOf))
+    val vec = PivotVector.toVector(
+      base.where(col("feature_id").isin(allowed: _*)),
+      entityCol = "entity_id", nameCol = "feature_id", valueCol = "value_double",
+      tsCol = "event_timestamp", tieCol = "created_timestamp", names = allowed)
+    // denied/unknown features still appear as explicit null columns
+    // (explicit-null contract, feature_server.py:521-527 + deny->null :526-528)
+    (denied ++ featureIds.filterNot(known.contains))
+      .foldLeft(vec)((df, id) => df.withColumn(id, lit(null).cast("double")))
+      .select((col("entity_id") +: featureIds.map(col)).toSeq: _*)
+  }
+
+  /** get_point_in_time_features — feature_server.py:355-408 (EP2, the
+    * flagship A3): left-enrich a spine with `{name}` and `{name}__timestamp`
+    * per requested feature, leakage-free. One LOCF as-of join per feature —
+    * no per-row loops anywhere.
+    */
+  def getPointInTimeFeatures(spine: DataFrame, featureNames: Seq[String]): DataFrame = {
+    val nameForId = features.values.map(f => f.name -> f.feature_id).toMap
+    featureNames.foldLeft(spine) { (acc, fname) =>
+      val fid = nameForId.getOrElse(fname, "")
+      val facts = values
+        .where(col("feature_id") === fid)
+        .select(
+          col("entity_id"),
+          col("event_timestamp"),
+          col("created_timestamp"),
+          col("value_double").as(fname))
+      AsOfJoin
+        .locf(acc, facts, Seq("entity_id"), "event_timestamp", "event_timestamp",
+          Seq(fname), "created_timestamp")
+        .withColumnRenamed("event_timestamp__timestamp", s"${fname}__timestamp")
+    }
+  }
+
+  /** Online snapshot — the A2/B2 latest-per-(entity,feature) table that a
+    * serving tier would MERGE-maintain (feature_server.py:428-438). */
+  def onlineSnapshot(asOf: Timestamp): DataFrame =
+    Latest.latestAgg(
+      values,
+      keys = Seq("entity_id", "feature_id"),
+      tsCol = "event_timestamp", tieCol = "created_timestamp",
+      payloadCols = Seq("feature_name", "value_double", "value_string"),
+      asOf = Some(lit(asOf)))
+}

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.store._
+
+/** Behavioral parity with the reference's entry points (SURVEY.md §3):
+  * registration lifecycle, PHI constraints, group validation, validated
+  * ingest, RBAC'd reads with audit, explicit-null vectors, point-in-time
+  * enrichment.
+  */
+class FeatureStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val now = ts("2024-02-01 00:00:00")
+
+  private def newStore(): (FeatureStore, String, String) = {
+    val fs = new FeatureStore(spark)
+    val Right(hr) = fs.registerFeature(
+      "heart_rate", "1.0.0",
+      FeatureSchemaMeta("heart_rate", "float64", entity_type = "patient"),
+      FeatureSourceMeta("batch"), "ops", now)
+    val Right(dx) = fs.registerFeature(
+      "diagnosis_risk", "1.0.0",
+      FeatureSchemaMeta("diagnosis_risk", "float64", entity_type = "patient"),
+      FeatureSourceMeta("batch"), "ops", now,
+      phiLevel = "direct", accessRoles = Seq("doctor"))
+    fs.activateFeature(hr.feature_id, now)
+    fs.activateFeature(dx.feature_id, now)
+    (fs, hr.feature_id, dx.feature_id)
+  }
+
+  private def ingestSample(fs: FeatureStore, hrId: String, dxId: String): Long = {
+    val df = Seq(
+      ("p1", "heart_rate", Some(70.0), ts("2024-01-01 00:00:00")),
+      ("p1", "heart_rate", Some(80.0), ts("2024-01-10 00:00:00")),
+      ("p1", "diagnosis_risk", Some(0.9), ts("2024-01-05 00:00:00")),
+      ("p2", "heart_rate", Some(60.0), ts("2024-01-03 00:00:00")),
+      ("p1", "unregistered", Some(1.0), ts("2024-01-01 00:00:00")), // rejected
+      ("p2", "heart_rate", None, ts("2024-01-04 00:00:00"))          // null -> rejected
+    ).toDF("entity_id", "feature_name", "value_double", "event_timestamp")
+      .withColumn("value_string", lit(null).cast("string"))
+    fs.ingestValues(df, Map("heart_rate" -> hrId, "diagnosis_risk" -> dxId), now)
+  }
+
+  test("registration: vocab + PHI constraints + lifecycle") {
+    val fs = new FeatureStore(spark)
+    assert(fs.registerFeature("x", "1", FeatureSchemaMeta("x", "bogus"),
+      FeatureSourceMeta("batch"), "o", now).isLeft)
+    assert(fs.registerFeature("x", "1", FeatureSchemaMeta("x", "float64"),
+      FeatureSourceMeta("batch"), "o", now, phiLevel = "direct").isLeft) // PHI needs roles
+    val Right(f) = fs.registerFeature("x", "1", FeatureSchemaMeta("x", "float64"),
+      FeatureSourceMeta("batch"), "o", now)
+    assert(f.status == "draft")
+    assert(f.feature_id.startsWith("feat_") && f.feature_id.length == 21)
+    assert(fs.deprecateFeature(f.feature_id, now).isRight)
+    assert(fs.activateFeature(f.feature_id, now).isLeft) // deprecated -/-> active
+  }
+
+  test("group creation validates membership and entity_type") {
+    val (fs, hrId, dxId) = newStore()
+    assert(fs.createFeatureGroup("g", "patient", Seq(hrId, "nope"), "", "o", now).isLeft)
+    val Right(g) = fs.createFeatureGroup("g", "patient", Seq(hrId, dxId), "", "o", now)
+    assert(g.group_id.startsWith("grp_") && g.features.size == 2)
+  }
+
+  test("ingest accepts only active+typed rows") {
+    val (fs, hrId, dxId) = newStore()
+    assert(ingestSample(fs, hrId, dxId) == 4L) // 6 rows - unregistered - null
+  }
+
+  test("getFeatureValue: as-of argmax + RBAC deny -> None + audit trail") {
+    val (fs, hrId, dxId) = newStore()
+    ingestSample(fs, hrId, dxId)
+    // as-of Jan 5: only the Jan 1 heart_rate row is visible
+    assert(fs.getFeatureValue("p1", hrId, ts("2024-01-05 00:00:00"), "u", Seq(), now).contains(70.0))
+    assert(fs.getFeatureValue("p1", hrId, ts("2024-01-31 00:00:00"), "u", Seq(), now).contains(80.0))
+    // PHI denied for roleless user; allowed for doctor
+    assert(fs.getFeatureValue("p1", dxId, now, "u", Seq("analyst"), now).isEmpty)
+    assert(fs.getFeatureValue("p1", dxId, now, "u", Seq("doctor"), now).contains(0.9))
+    val actions = fs.audit.map(_.action)
+    assert(actions.count(_ == "access_denied") == 1)
+    assert(actions.count(_ == "access") == 3)
+  }
+
+  test("getFeatureVector: wide row, deny->null, unknown->null column") {
+    val (fs, hrId, dxId) = newStore()
+    ingestSample(fs, hrId, dxId)
+    val vec = fs.getFeatureVector(Seq("p1", "p2"), Seq(hrId, dxId, "feat_unknown"),
+      ts("2024-01-31 00:00:00"), "u", Seq("analyst"), now)
+    assert(vec.columns.toSeq == Seq("entity_id", hrId, dxId, "feat_unknown"))
+    val m = vec.collect().map(r => r.getString(0) -> (r.get(1), r.get(2), r.get(3))).toMap
+    assert(m("p1") == ((80.0, null, null))) // dx masked (PHI), unknown null
+    assert(m("p2") == ((60.0, null, null)))
+  }
+
+  test("getPointInTimeFeatures: leakage-free enrichment with __timestamp cols") {
+    val (fs, hrId, dxId) = newStore()
+    ingestSample(fs, hrId, dxId)
+    val spine = Seq(
+      ("p1", ts("2024-01-05 00:00:00")),
+      ("p1", ts("2024-01-15 00:00:00")),
+      ("p2", ts("2024-01-01 00:00:00"))
+    ).toDF("entity_id", "event_timestamp")
+    val out = fs.getPointInTimeFeatures(spine, Seq("heart_rate"))
+    assert(out.columns.toSeq == Seq("entity_id", "event_timestamp", "heart_rate", "heart_rate__timestamp"))
+    val rows = out.orderBy("entity_id", "event_timestamp").collect()
+    assert(rows(0).getAs[Double]("heart_rate") == 70.0) // p1 @ Jan5 -> Jan1 value
+    assert(rows(1).getAs[Double]("heart_rate") == 80.0) // p1 @ Jan15 -> Jan10 value
+    assert(rows(2).isNullAt(2)) // p2 @ Jan1: no prior observation
+  }
+
+  test("onlineSnapshot is latest-per-key") {
+    val (fs, hrId, dxId) = newStore()
+    ingestSample(fs, hrId, dxId)
+    val snap = fs.onlineSnapshot(ts("2024-01-31 00:00:00"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("value_double")).toMap
+    assert(snap(("p1", hrId)) == 80.0)
+    assert(snap(("p2", hrId)) == 60.0)
+  }
+}
