@@ -48,7 +48,9 @@ object Fns {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Zero-norm -> null (nullif keeps ANSI mode from throwing DIVIDE_BY_ZERO). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(l2Norm(a) * l2Norm(b), lit(0.0))
 
   // ---- text (G3) ----------------------------------------------------------
 

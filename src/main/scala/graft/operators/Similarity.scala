@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Fns
+import graft.functions.{Fns, VectorExpressions}
 
 /** Embedding similarity search (SURVEY.md §2 G2; reference EMBEDDING type,
   * /root/reference/src/registry/feature_registry.py:42).
@@ -21,8 +21,10 @@ import graft.functions.Fns
   */
 object Similarity {
 
+  // sqrt(vec_dot(a,a)) — the native single-pass expression; same
+  // accumulation order as the HOF fold, so scores stay bit-identical
   private def withNorm(df: DataFrame, vecCol: String, out: String): DataFrame =
-    df.withColumn(out, Fns.l2Norm(col(vecCol)))
+    df.withColumn(out, sqrt(VectorExpressions.vecDot(col(vecCol), col(vecCol))))
 
   /** Exact top-k neighbors per query by cosine (desc), id asc tie-break.
     * Queries must be small enough to broadcast (the usual serving shape).
@@ -42,7 +44,8 @@ object Similarity {
     val joined = cand
       .crossJoin(broadcast(qs))
       .where(if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
-      .withColumn("__sim", Fns.dot(col(vecCol), col(qvecCol)) / (col("__cn") * col("__qn")))
+      .withColumn("__sim",
+        VectorExpressions.vecDot(col(vecCol), col(qvecCol)) / (col("__cn") * col("__qn")))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col(idCol).asc)
     joined
       .withColumn("__rank", row_number().over(w))
@@ -66,7 +69,8 @@ object Similarity {
     cand
       .crossJoin(broadcast(qs))
       .where(if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
-      .withColumn("__sim", Fns.dot(col(vecCol), col(qvecCol)) / (col("__cn") * col("__qn")))
+      .withColumn("__sim",
+        VectorExpressions.vecDot(col(vecCol), col(qvecCol)) / (col("__cn") * col("__qn")))
       .groupBy(col(qidCol))
       .agg(count_if(col("__sim") >= threshold).as("n_matches"))
   }
@@ -88,14 +92,13 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH signature: per table, a bit per plane = sign of
-    * the dot with that plane.
+    * the dot with that plane (native vec_dot against a float-literal plane).
     */
   private def lshBucket(vec: Column, table: Int, planes: Int, dim: Int): Column =
     (0 until planes)
       .map { p =>
-        val plane = hyperplane(table, p, dim)
-        val planeCol = array(plane.map(lit): _*)
-        when(Fns.dot(vec, planeCol) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+        val planeCol = typedLit(hyperplane(table, p, dim).map(_.toFloat))
+        when(VectorExpressions.vecDot(vec, planeCol) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
       }
       .reduce((a, b) => a.bitwiseOR(b))
 

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> catalyst Expression bridge. ExpressionUtils is private[sql]
+  * in Spark 4 (the Column API decoupling), so the library's custom native
+  * expressions reach the public Column API through this one sub-package
+  * shim — the same extension-point pattern community libraries use.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
