@@ -183,6 +183,20 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** E2 — sliding last-N window average (the reference's last-1000-requests
+    * latency window, feature_server.py:485-487, expressed as a window frame).
+    */
+  private def e2SlidingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-2, 0)
+    Tables.events(s, dir)
+      .withColumn("sliding_avg", round(avg(col("value")).over(w), 4))
+      .select("event_id", "user_id", "sliding_avg")
+      .orderBy("event_id")
+  }
+
   /** E4 — counters + conditional counts + ratio (hit-rate pattern). */
   private def e4Counters(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -426,6 +440,7 @@ object SparkEntry {
     "c1_filter_project"  -> (c1FilterProject _),
     "c3_explicit_nulls"  -> (c3ExplicitNulls _),
     "d2_mask_phi"        -> (d2MaskPhi _),
+    "e2_sliding_avg"     -> (e2SlidingAvg _),
     "e23_quantiles"      -> (e23Quantiles _),
     "e4_counters"        -> (e4Counters _),
     "e6_pivot_vector"    -> (e6PivotVector _),
@@ -515,6 +530,11 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |       count(CASE WHEN event_type = 'error' THEN NULL ELSE value END) AS n_visible
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e2_sliding_avg" ->
+      """SELECT event_id, user_id,
+        |       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS sliding_avg
+        |FROM events ORDER BY event_id""".stripMargin,
     "e23_quantiles" ->
       """SELECT l_returnflag, round(avg(l_extendedprice), 2) AS avg_price,
         |       round(quantile_cont(l_extendedprice, 0.99), 2) AS p99_price,
