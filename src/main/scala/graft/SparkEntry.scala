@@ -332,6 +332,24 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** G1/G2 — embedding-cosine near-dup pairs over a bounded id range. */
+  private def g1EmbeddingDups(s: SparkSession, dir: String): DataFrame =
+    Similarity
+      .cosineDupPairs(
+        Tables.embeddings(s, dir).where(col("vec_id") < 500), "vec_id", "embedding", threshold = 0.3)
+      .orderBy("id_a", "id_b")
+
+  /** G2 — IVF approximate top-k (rows-only: recall depends on nProbe). */
+  private def g2IvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs  = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Similarity
+      .ivfTopK(emb, qs, "vec_id", "embedding", "query_id", "qvec", k = 3)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
   /** G2 — hyperplane-LSH approximate top-k (rows-only: approximate recall). */
   private def g2LshTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -365,6 +383,15 @@ object SparkEntry {
         TextAnalysis.qualityScore(col("n_tokens"), col("n_stopwords"), col("avg_token_len")).as("quality"))
       .orderBy("doc_id")
   }
+
+  /** G3 — token counting: whitespace tokens + BPE-ish subword proxy. */
+  private def g3TokenCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        Fns.tokenCount(col("text")).cast("long").as("n_tokens"),
+        Fns.roughBpeCount(col("text")).cast("long").as("n_subwords"))
+      .orderBy("doc_id")
 
   /** G3 — language-ID heuristic (rows-only: dictionaries engine-internal). */
   private def g3LangId(s: SparkSession, dir: String): DataFrame =
@@ -452,9 +479,12 @@ object SparkEntry {
     "g1_jaccard_pairs"   -> (g1JaccardPairs _),
     "g1_minhash_pairs"   -> (g1MinhashPairs _),
     "g1_simhash"         -> (g1Simhash _),
+    "g1_embedding_dups"  -> (g1EmbeddingDups _),
     "g2_cosine_topk"     -> (g2CosineTopk _),
     "g2_cosine_threshold" -> (g2CosineThreshold _),
     "g2_lsh_topk"        -> (g2LshTopk _),
+    "g2_ivf_topk"        -> (g2IvfTopk _),
+    "g3_token_counts"    -> (g3TokenCounts _),
     "g3_text_stats"      -> (g3TextStats _),
     "g3_quality"         -> (g3Quality _),
     "g3_langid"          -> (g3LangId _),
@@ -623,6 +653,22 @@ object SparkEntry {
         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
         |SELECT query_id, count(*) FILTER (sim >= 0.25) AS n_matches
         |FROM p GROUP BY query_id ORDER BY query_id""".stripMargin,
+    "g1_embedding_dups" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(sim, 4) AS cosine FROM p
+        |WHERE sim >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    "g3_token_counts" ->
+      """SELECT doc_id,
+        |       len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+        |       len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "g3_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |       round(avg(length(text)), 2) AS avg_chars,

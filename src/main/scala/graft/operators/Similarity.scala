@@ -75,6 +75,80 @@ object Similarity {
       .agg(count_if(col("__sim") >= threshold).as("n_matches"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (G1's embedding variant): all
+    * pairs with cosine >= threshold. Brute force over a bounded id range —
+    * the scale path reuses [[lshTopK]]'s bucketing for candidates.
+    */
+  def cosineDupPairs(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val v = withNorm(vectors.select(col(idCol), col(vecCol)), vecCol, "__n")
+    val a = v.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = v.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__n").as("__nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("__sim", VectorExpressions.vecDot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .where(col("__sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__sim"), 4).as("cosine"))
+  }
+
+  /** IVF (inverted-file) approximate top-k: a deterministic coarse
+    * quantizer (nCentroids vectors picked by id-hash order) partitions the
+    * corpus into cells; each query scores only the nProbe nearest cells.
+    * Cost per query drops from |corpus| to ~ nProbe/nCentroids of it;
+    * recall depends on nProbe. Centroids are collected to the driver (tiny)
+    * and baked into the plan as literals — no shuffle to assign.
+    */
+  def ivfTopK(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    import org.apache.spark.sql.Row
+    val cents: Array[Array[Float]] = candidates
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)))
+      .limit(nCentroids)
+      .collect()
+      .map(r => r.getSeq[Float](1).toArray)
+
+    def nearestCell(vec: Column): Column = {
+      val scored = cents.zipWithIndex.map { case (c, i) =>
+        struct(VectorExpressions.cosineSim(vec, typedLit(c)).as("s"), lit(i).as("c"))
+      }
+      greatest(scored: _*).getField("c")
+    }
+    def probeCells(vec: Column): Column = {
+      val scored = array(cents.zipWithIndex.map { case (c, i) =>
+        struct(VectorExpressions.cosineSim(vec, typedLit(c)).as("s"), lit(i).as("c"))
+      }: _*)
+      transform(slice(reverse(array_sort(scored)), 1, nProbe), s => s.getField("c"))
+    }
+
+    val cand = withNorm(candidates.select(col(idCol), col(vecCol)), vecCol, "__cn")
+      .withColumn("__cell", nearestCell(col(vecCol)))
+    val qs = withNorm(queries.select(col(qidCol), col(qvecCol)), qvecCol, "__qn")
+      .withColumn("__cell", explode(probeCells(col(qvecCol))))
+
+    val matched = cand
+      .join(broadcast(qs), Seq("__cell"))
+      .where(col(idCol) =!= col(qidCol))
+      .withColumn("__sim", VectorExpressions.vecDot(col(vecCol), col(qvecCol)) / (col("__cn") * col("__qn")))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col(idCol).asc)
+    matched
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+      .select(col(qidCol), col("__rank").as("rank"), col(idCol), round(col("__sim"), 4).as("cosine"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component (t, p, i) derived
     * from a splitmix64-style mix of the indices — no RNG state, fully
     * reproducible (same plan on every executor).

@@ -63,6 +63,30 @@ class DedupSpec extends SparkSpec {
     assert(tc == Seq(0, 2, 0))
   }
 
+  test("ivfTopK finds the planted neighbor when probing enough cells") {
+    val emb = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(8)(d => (math.sin(i * 31 + d) * 0.1).toFloat))
+    }.toDF("vec_id", "embedding")
+    // plant a near-identical pair
+    val planted = Seq((100L, Seq.tabulate(8)(d => (math.sin(7 * 31 + d) * 0.1001).toFloat)))
+      .toDF("vec_id", "embedding")
+    val all = emb.union(planted)
+    val qs = all.where($"vec_id" === 100L)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val top = Similarity.ivfTopK(all, qs, "vec_id", "embedding", "query_id", "qvec",
+      k = 1, nCentroids = 4, nProbe = 4) // probe all cells -> exact
+    assert(top.collect().head.getLong(2) == 7L)
+  }
+
+  test("cosineDupPairs finds only above-threshold pairs") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.99f, 0.1f)), (3L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineDupPairs(emb, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("cosineTopK ranks the planted nearest neighbor first") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
