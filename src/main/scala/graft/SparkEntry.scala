@@ -66,6 +66,27 @@ object SparkEntry {
       .orderBy("purchase_id")
   }
 
+  /** A3 via the custom merge-scan physical operator (AsOfJoinExec) — same
+    * semantics and oracle as a3_pit_join, different physical plan.
+    */
+  private def a3PitJoinNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val spine = ev
+      .where(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    val facts = ev
+      .where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value").as("click_value"))
+    AsOfJoin
+      .native(spine, facts, Seq("user_id"), "purchase_ts", "ts", Seq("click_value"), "event_id")
+      .withColumnRenamed("ts__timestamp", "click_ts")
+      .orderBy("purchase_id")
+  }
+
   /** A4 — freshness classification histogram at a frozen `now`. */
   private def a4Freshness(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -459,6 +480,7 @@ object SparkEntry {
     "a1_asof_lookup"     -> (a1AsOfLookup _),
     "a2_latest_per_key"  -> (a2LatestPerKey _),
     "a3_pit_join"        -> (a3PitJoin _),
+    "a3_pit_join_native" -> (a3PitJoinNative _),
     "a4_freshness"       -> (a4Freshness _),
     "a5_snapshot_filter" -> (a5SnapshotFilter _),
     "b1_validated_ingest" -> (b1ValidatedIngest _),
@@ -505,6 +527,19 @@ object SparkEntry {
         |FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
     "a3_pit_join" ->
+      """WITH spine AS (
+        |  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |facts AS (
+        |  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT s.user_id, s.purchase_id, s.purchase_ts, s.purchase_value,
+        |         f.value AS click_value, f.ts AS click_ts,
+        |         row_number() OVER (PARTITION BY s.purchase_id ORDER BY f.ts DESC, f.event_id DESC) AS rn
+        |  FROM spine s LEFT JOIN facts f ON f.user_id = s.user_id AND f.ts <= s.purchase_ts)
+        |SELECT user_id, purchase_id, purchase_ts, purchase_value, click_value, click_ts
+        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+    "a3_pit_join_native" ->
       """WITH spine AS (
         |  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value AS purchase_value
         |  FROM events WHERE event_type = 'purchase'),

@@ -93,6 +93,58 @@ object AsOfJoin {
     )
   }
 
+  /** Native merge-scan formulation: plans the custom
+    * [[org.apache.spark.sql.graft.asof.AsOfJoinExec]] physical operator —
+    * both sides hash-clustered + sorted (EnsureRequirements inserts the
+    * exchanges, same as SortMergeJoin), then one O(S+F) forward merge per
+    * partition. Same semantics as [[locf]] (differentially tested); cheaper
+    * at scale because the spine and facts are sorted separately (two smaller
+    * sorts) and no window carry-state materializes.
+    */
+  def native(
+      spine: DataFrame,
+      facts: DataFrame,
+      keyCols: Seq[String],
+      spineTs: String,
+      factTs: String,
+      payloadCols: Seq[String],
+      tieCol: String,
+      outSuffix: String = ""
+  ): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.graft.asof.{AsOfJoinNode, NativeAsOfStrategy}
+
+    val spark = spine.sparkSession
+    if (!spark.experimental.extraStrategies.contains(NativeAsOfStrategy)) {
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ NativeAsOfStrategy
+    }
+
+    val spineCols = spine.columns.toSeq
+    // every expression the node references must be a plain attribute of a
+    // projected child (the analyzer does not resolve lazy Column nodes
+    // inside a foreign LogicalPlan), so casts happen in these selects
+    val sp = spine.withColumn("__sts", col(spineTs).cast("timestamp"))
+    val f = facts.select(
+      keyCols.map(c => col(c).as(s"__k_$c")) ++ Seq(
+        col(factTs).cast("timestamp").as("__fts"),
+        col(tieCol).cast("long").as("__ftie")) ++
+        payloadCols.map(c => col(c).as(s"__p_$c")): _*)
+
+    val node = AsOfJoinNode(
+      Bridge.analyzed(sp),
+      Bridge.analyzed(f),
+      leftKeys = keyCols.map(c => Bridge.expression(sp(c))),
+      rightKeys = keyCols.map(c => Bridge.expression(f(s"__k_$c"))),
+      leftTs = Bridge.expression(sp("__sts")),
+      rightTs = Bridge.expression(f("__fts")),
+      rightTie = Bridge.expression(f("__ftie")))
+
+    Bridge.ofRows(spark, node).select(
+      spineCols.map(col) ++
+        payloadCols.map(c => col(s"__p_$c").as(c + outSuffix)) :+
+        col("__fts").as(factTs + outSuffix + "__timestamp"): _*)
+  }
+
   /** Naive theta-join + per-spine-row argmax. O(S*F) per key before pruning —
     * verification/small-data only; use [[locf]] at scale.
     */

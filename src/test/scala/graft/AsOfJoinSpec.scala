@@ -45,6 +45,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(run(AsOfJoin.thetaWindow) == run(AsOfJoin.locf))
   }
 
+  test("native merge-scan exec agrees with locf on the edge cases") {
+    assert(run(AsOfJoin.native) == run(AsOfJoin.locf))
+  }
+
+  test("native merge-scan exec agrees with locf on generated data") {
+    val f = (1 to 500).map { i =>
+      (s"u${i % 7}", ts(f"2024-01-${i % 28 + 1}%02d ${i % 24}%02d:00:00"), i.toLong, i.toDouble)
+    }.toDF("k", "fts", "tie", "v")
+    val s = (1 to 200).map { i =>
+      (s"u${i % 9}", ts(f"2024-01-${(i * 3) % 28 + 1}%02d ${(i * 7) % 24}%02d:30:00"), s"s$i")
+    }.toDF("k", "sts", "tag")
+    val a = AsOfJoin.native(s, f, Seq("k"), "sts", "fts", Seq("v"), "tie")
+      .orderBy("tag").collect().map(_.toString).toSeq
+    val b = AsOfJoin.locf(s, f, Seq("k"), "sts", "fts", Seq("v"), "tie")
+      .orderBy("tag").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("locf and thetaWindow agree on generated data") {
     val f = (1 to 500).map { i =>
       (s"u${i % 7}", ts(f"2024-01-${i % 28 + 1}%02d ${i % 24}%02d:00:00"), i.toLong, i.toDouble)
