@@ -103,6 +103,23 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .orderBy("event_type")
 
+  /** A6 — bitemporal read (SURVEY.md §1.2): latest value per key as of
+    * business time Jan-15, restricted to what the store had INGESTED by
+    * knowledge time Jan-20 (created_timestamp — synthesized here as a
+    * deterministic ingest lag of (event_id % 48) hours).
+    */
+  private def a6Bitemporal(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("created_timestamp",
+        col("ts") + expr("make_interval(0, 0, 0, 0, cast(event_id % 48 as int), 0, 0)"))
+    Latest
+      .latestAgg(
+        ev.where(col("created_timestamp") <= ts("2024-01-20 00:00:00")),
+        keys = Seq("user_id", "event_type"), tsCol = "ts", tieCol = "event_id",
+        payloadCols = Seq("value"), asOf = Some(ts(AsOf15)))
+      .orderBy("user_id", "event_type")
+  }
+
   // ======================================================================
   // B. writes / ingest / upsert
   // ======================================================================
@@ -482,6 +499,7 @@ object SparkEntry {
     "a3_pit_join"        -> (a3PitJoin _),
     "a3_pit_join_native" -> (a3PitJoinNative _),
     "a4_freshness"       -> (a4Freshness _),
+    "a6_bitemporal"      -> (a6Bitemporal _),
     "a5_snapshot_filter" -> (a5SnapshotFilter _),
     "b1_validated_ingest" -> (b1ValidatedIngest _),
     "b2_upsert_snapshot" -> (b2UpsertSnapshot _),
@@ -559,6 +577,13 @@ object SparkEntry {
         |       ELSE 'expired' END AS freshness,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a6_bitemporal" ->
+      """WITH ev AS (SELECT *, ts + (event_id % 48) * INTERVAL 1 HOUR AS created_timestamp FROM events)
+        |SELECT user_id, event_type, arg_max(value, ts) AS value, max(ts) AS ts
+        |FROM ev
+        |WHERE created_timestamp <= TIMESTAMP '2024-01-20 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
     "a5_snapshot_filter" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'

@@ -112,11 +112,15 @@ object AsOfJoin {
       outSuffix: String = ""
   ): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
-    import org.apache.spark.sql.graft.asof.{AsOfJoinNode, NativeAsOfStrategy}
+    import org.apache.spark.sql.graft.asof.{AsOfJoinNode, AsOfJoinPredicatePushdown, NativeAsOfStrategy}
 
     val spark = spine.sparkSession
     if (!spark.experimental.extraStrategies.contains(NativeAsOfStrategy)) {
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ NativeAsOfStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(AsOfJoinPredicatePushdown)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfJoinPredicatePushdown
     }
 
     val spineCols = spine.columns.toSeq

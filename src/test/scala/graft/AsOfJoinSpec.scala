@@ -77,6 +77,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("optimizer rule pushes spine-only filters below the native as-of node") {
+    val out = AsOfJoin.native(spine, facts, Seq("k"), "sts", "fts", Seq("v"), "tie")
+      .where(col("tag") === "s1")
+    // semantics: filter applies, result unchanged vs filtering after collect
+    val viaFilter = out.collect().map(r => r.getString(2)).toSeq
+    assert(viaFilter == Seq("s1"))
+    // plan: the Filter moved below AsOfJoinExec (no Filter above it)
+    val plan = out.queryExecution.optimizedPlan
+    val topIsFilterOverAsOf = plan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.child.isInstanceOf[org.apache.spark.sql.graft.asof.AsOfJoinNode] => f
+    }
+    assert(topIsFilterOverAsOf.isEmpty, s"filter not pushed:\n$plan")
+  }
+
   test("spine passthrough columns and timestamp column survive") {
     val out = AsOfJoin.locf(spine, facts, Seq("k"), "sts", "fts", Seq("v"), "tie")
     assert(out.columns.toSeq == Seq("k", "sts", "tag", "v", "fts__timestamp"))
