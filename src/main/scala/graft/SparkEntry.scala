@@ -473,6 +473,38 @@ object SparkEntry {
       .orderBy("media_id")
 
   // ======================================================================
+  // H — inherited SQL surface (grouping sets, set operations)
+  // ======================================================================
+
+  /** H — rollup via GROUPING SETS through the spark.sql text surface. */
+  private def h1GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem_v
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** H — set operations: users in both click and error cohorts; users with
+    * clicks but no purchases. */
+  private def h2SetOps(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def cohort(t: String) = ev.where(col("event_type") === t).select("user_id").distinct()
+    cohort("click").intersect(cohort("error")).withColumn("cohort", lit("click_and_error"))
+      .unionByName(cohort("click").except(cohort("purchase")).withColumn("cohort", lit("click_no_purchase")))
+      .orderBy("cohort", "user_id")
+  }
+
+  /** E3 scale path — approximate quantiles (rows-only: sketch is
+    * Spark-specific; the exact form is oracle-checked in e23_quantiles). */
+  private def e3QuantilesApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(round(expr("approx_percentile(l_extendedprice, 0.99)"), 2).as("p99_approx"))
+      .orderBy("l_returnflag")
+
+  // ======================================================================
   // headline join aggregate (bench anchor #2)
   // ======================================================================
 
@@ -532,7 +564,10 @@ object SparkEntry {
     "g5_media_stats"     -> (g5MediaStats _),
     "g5_frame_sample"    -> (g5FrameSample _),
     "g5_media_features"  -> (g5MediaFeatures _),
-    "q3_join_agg"        -> (q3JoinAgg _)
+    "q3_join_agg"        -> (q3JoinAgg _),
+    "h1_grouping_sets"   -> (h1GroupingSets _),
+    "h2_setops"          -> (h2SetOps _),
+    "e3_quantiles_approx" -> (e3QuantilesApprox _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -768,6 +803,22 @@ object SparkEntry {
         |SELECT media_id, frame_idx, frame_idx * 10000 AS offset_ms,
         |       least(8, greatest(0, strlen(text) - frame_idx * 8))::BIGINT AS frame_len
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    "h1_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "h2_setops" ->
+      """SELECT user_id, 'click_and_error' AS cohort FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        |UNION ALL
+        |SELECT user_id, 'click_no_purchase' AS cohort FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |ORDER BY cohort, user_id""".stripMargin,
     "q3_join_agg" ->
       """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
         |       count(*) AS n_items

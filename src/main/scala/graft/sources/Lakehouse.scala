@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Date-partitioned fact-table layout (SURVEY.md §4: "we must *choose* to
+  * partition the fact table by date" — this is that choice, as code).
+  *
+  * At 100 TB the EAV log is a lakehouse table partitioned by `event_date`;
+  * every as-of filter (`event_timestamp <= T`) implies
+  * `event_date <= date(T)`, which prunes partitions BEFORE any file is
+  * opened. [[readAsOf]] adds that implied predicate explicitly so static
+  * partition pruning applies (shown in the plan as PartitionFilters).
+  */
+object Lakehouse {
+
+  /** Write a fact log partitioned by the derived event_date. */
+  def writeDatePartitioned(df: DataFrame, path: String, tsCol: String): Unit =
+    df.withColumn("event_date", to_date(col(tsCol)))
+      .write
+      .partitionBy("event_date")
+      .mode("overwrite")
+      .parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** As-of read with the partition predicate made explicit: row filter on
+    * the timestamp + partition filter on event_date. */
+  def readAsOf(spark: SparkSession, path: String, tsCol: String, asOf: String): DataFrame =
+    read(spark, path)
+      .where(col("event_date") <= to_date(lit(asOf)) && col(tsCol) <= lit(asOf).cast("timestamp"))
+}

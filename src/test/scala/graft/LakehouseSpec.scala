@@ -1,0 +1,31 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Lakehouse, Tables}
+
+class LakehouseSpec extends SparkSpec {
+
+  test("date-partitioned write + as-of read prunes partitions before the scan") {
+    val dir = Files.createTempDirectory("graft_lakehouse").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    Lakehouse.writeDatePartitioned(ev, dir, "ts")
+
+    // events span 2024-01-01..2024-01-30 -> ~30 date partitions on disk
+    val partDirs = new java.io.File(dir).listFiles().count(_.getName.startsWith("event_date="))
+    assert(partDirs >= 28, s"expected ~30 partitions, got $partDirs")
+
+    val asOf = Lakehouse.readAsOf(spark, dir, "ts", "2024-01-05 00:00:00")
+    // correctness: only rows <= as-of survive
+    val maxTs = asOf.agg(max("ts")).collect().head.getTimestamp(0)
+    assert(!maxTs.after(ts("2024-01-05 00:00:00")))
+
+    // plan: partition filter present, and far fewer files read than total
+    val scan = asOf.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("event_date"), scan)
+    val pruned = asOf.select(input_file_name()).distinct().count()
+    val total  = Lakehouse.read(spark, dir).select(input_file_name()).distinct().count()
+    assert(pruned <= 5 && total >= 28, s"pruned=$pruned total=$total")
+  }
+}
