@@ -118,6 +118,90 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryVectorEx
     copy(left = newLeft, right = newRight)
 }
 
+/** All random-hyperplane LSH signatures in ONE fused pass: output[t] is the
+  * planesPerTable-bit signature of table t (bit p = sign of the dot with
+  * plane (t,p)). Replaces numTables*planesPerTable separate dot-expression
+  * trees — the unfused form spent more time in codegen/compile than in
+  * compute. `planes` is the flattened [tables x planesPerTable x dim]
+  * matrix, baked into the generated code as a reference object.
+  */
+case class HyperplaneBuckets(
+    child: Expression,
+    planes: Array[Float],
+    numTables: Int,
+    planesPerTable: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private val dim: Int = planes.length / (numTables * planesPerTable)
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    val out = new Array[Long](numTables)
+    var idx = 0
+    var t = 0
+    while (t < numTables) {
+      var sig = 0L
+      var p = 0
+      while (p < planesPerTable) {
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += arr.getFloat(i).toDouble * planes(idx + i); i += 1 }
+        if (dot >= 0) sig |= (1L << p)
+        idx += dim
+        p += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "float[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val idx = ctx.freshName("idx")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |long[] $out = new long[$numTables];
+         |int $idx = 0;
+         |for (int $t = 0; $t < $numTables; $t++) {
+         |  long $sig = 0L;
+         |  for (int $p = 0; $p < $planesPerTable; $p++) {
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $dot += ((double) $v.getFloat($i)) * $planesRef[$idx + $i];
+         |    }
+         |    if ($dot >= 0) $sig |= (1L << $p);
+         |    $idx += $dim;
+         |  }
+         |  $out[$t] = $sig;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API over the native expressions. */
   def vecDot(a: Column, b: Column): Column =

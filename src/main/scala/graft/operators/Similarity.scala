@@ -165,16 +165,17 @@ object Similarity {
     Array.tabulate(dim)(i => mix(table.toLong * 1000003L + plane.toLong * 10007L + i.toLong))
   }
 
-  /** Random-hyperplane LSH signature: per table, a bit per plane = sign of
-    * the dot with that plane (native vec_dot against a float-literal plane).
-    */
-  private def lshBucket(vec: Column, table: Int, planes: Int, dim: Int): Column =
-    (0 until planes)
-      .map { p =>
-        val planeCol = typedLit(hyperplane(table, p, dim).map(_.toFloat))
-        when(VectorExpressions.vecDot(vec, planeCol) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-      }
-      .reduce((a, b) => a.bitwiseOR(b))
+  /** All tables' random-hyperplane signatures fused into one native
+    * expression evaluation (array indexed by table). */
+  private def lshBuckets(vec: Column, numTables: Int, planes: Int, dim: Int): Column = {
+    val flat = Array.tabulate(numTables * planes * dim) { j =>
+      val t = j / (planes * dim); val p = (j / dim) % planes; val i = j % dim
+      hyperplane(t, p, dim)(i).toFloat
+    }
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.HyperplaneBuckets(
+        org.apache.spark.sql.graft.Bridge.expression(vec), flat, numTables, planes))
+  }
 
   /** Approximate top-k: candidates and queries are bucketed by numTables
     * hyperplane signatures; a candidate is scored only if it shares a
@@ -193,18 +194,15 @@ object Similarity {
       planes: Int = 12,
       dim: Int = 64
   ): DataFrame = {
-    val candBuckets = array((0 until numTables).map(t =>
-      struct(lit(t).as("t"), lshBucket(col(vecCol), t, planes, dim).as("b"))): _*)
-    val qBuckets = array((0 until numTables).map(t =>
-      struct(lit(t).as("t"), lshBucket(col(qvecCol), t, planes, dim).as("b"))): _*)
-
     val cand = withNorm(candidates.select(col(idCol), col(vecCol)), vecCol, "__cn")
-      .select(col(idCol), col(vecCol), col("__cn"), explode(candBuckets).as("__tb"))
+      .select(col(idCol), col(vecCol), col("__cn"),
+        posexplode(lshBuckets(col(vecCol), numTables, planes, dim)).as(Seq("__t", "__b")))
     val qs = withNorm(queries.select(col(qidCol), col(qvecCol)), qvecCol, "__qn")
-      .select(col(qidCol), col(qvecCol), col("__qn"), explode(qBuckets).as("__tb"))
+      .select(col(qidCol), col(qvecCol), col("__qn"),
+        posexplode(lshBuckets(col(qvecCol), numTables, planes, dim)).as(Seq("__t", "__b")))
 
     val matched = cand
-      .join(broadcast(qs), Seq("__tb"))
+      .join(broadcast(qs), Seq("__t", "__b"))
       .where(col(idCol) =!= col(qidCol))
       .dropDuplicates(idCol, qidCol)
       .withColumn("__sim", Fns.dot(col(vecCol), col(qvecCol)) / (col("__cn") * col("__qn")))
