@@ -781,7 +781,7 @@ object SparkEntry {
         |SELECT doc_id, n_tokens::BIGINT AS n_tokens,
         |       round(least(1.0, n_tokens / 50.0) * 0.4 +
         |             least(1.0, (CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0 END) * 5.0) * 0.3 +
-        |             least(1.0, (CASE WHEN n_tokens > 0 THEN n_chars::DOUBLE / n_tokens ELSE 0 END) / 8.0) * 0.3, 4) AS quality
+        |             least(1.0, (CASE WHEN n_tokens > 0 THEN n_chars::DOUBLE / n_tokens ELSE 0 END) / 8.0) * 0.3 + 1e-9, 4) AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
     "g5_media_stats" ->
       """WITH m AS (

@@ -39,7 +39,11 @@ object TextAnalysis {
     val stopRatio   = when(nTokens > 0, nStopwords.cast("double") / nTokens).otherwise(lit(0.0))
     val stopScore   = least(lit(1.0), stopRatio * lit(5.0))
     val lenScore    = least(lit(1.0), avgTokenLen / lit(8.0))
-    round(lengthScore * lit(0.4) + stopScore * lit(0.3) + lenScore * lit(0.3), 4)
+    // +1e-9 before rounding: the weighted sum can land exactly on a .00005
+    // boundary, where Spark (BigDecimal-exact HALF_UP) and DuckDB
+    // (std::round of the scaled double) disagree; the epsilon pushes both
+    // engines to the same side (oracle SQL applies the same epsilon)
+    round(lengthScore * lit(0.4) + stopScore * lit(0.3) + lenScore * lit(0.3) + lit(1e-9), 4)
   }
 
   /** n-gram/stopword language-ID heuristic: score each language's stopword
