@@ -472,6 +472,30 @@ object SparkEntry {
         round(col("byte_entropy"), 4).as("byte_entropy"))
       .orderBy("media_id")
 
+  /** G4 (batch form) — gap-based sessionization + session rollup. */
+  private def g4Sessionize(s: SparkSession, dir: String): DataFrame =
+    Sessionize
+      .stats(Tables.events(s, dir), "user_id", "ts", "event_id", "value", gapSec = 14400L)
+      .orderBy("user_id", "session_idx")
+
+  /** G3 — document length histogram (50-char integer-division buckets). */
+  private def g3LengthHist(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(expr("n_chars div 50 + 1").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** H — lag window function: per-user consecutive value delta. */
+  private def h4LagDelta(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(
+        col("event_id"), col("user_id"),
+        round(col("value") - lag(col("value"), 1).over(w), 2).as("delta"))
+      .orderBy("event_id")
+  }
+
   // ======================================================================
   // H — inherited SQL surface (grouping sets, set operations)
   // ======================================================================
@@ -567,7 +591,10 @@ object SparkEntry {
     "q3_join_agg"        -> (q3JoinAgg _),
     "h1_grouping_sets"   -> (h1GroupingSets _),
     "h2_setops"          -> (h2SetOps _),
-    "e3_quantiles_approx" -> (e3QuantilesApprox _)
+    "e3_quantiles_approx" -> (e3QuantilesApprox _),
+    "g4_sessionize"      -> (g4Sessionize _),
+    "g3_length_hist"     -> (g3LengthHist _),
+    "h4_lag_delta"       -> (h4LagDelta _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -803,6 +830,28 @@ object SparkEntry {
         |SELECT media_id, frame_idx, frame_idx * 10000 AS offset_ms,
         |       least(8, greatest(0, strlen(text) - frame_idx * 8))::BIGINT AS frame_len
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    "g4_sessionize" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR date_diff('second', lag(ts) OVER w, ts) > 14400 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (
+        |  SELECT user_id, ts, value,
+        |         (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+        |  FROM s)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       round(sum(value), 2) AS sum_value
+        |FROM s2 GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    "g3_length_hist" ->
+      """SELECT n_chars // 50 + 1 AS bucket, count(*) AS n
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "h4_lag_delta" ->
+      """SELECT event_id, user_id,
+        |       round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
+        |FROM events ORDER BY event_id""".stripMargin,
     "h1_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem

@@ -54,6 +54,37 @@ class StreamingSpec extends SparkSpec {
     assert(out.where($"event_id" === 2L).count() == 1)
   }
 
+  test("dual write: foreachBatch streaming upsert equals batch recompute") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Latest
+    val ms = MemoryStream[EventRow]
+    // online side: snapshot maintained incrementally per micro-batch (the
+    // foreachBatch MERGE pattern); offline side: append log
+    var snapshot = Seq.empty[(Long, String, Double, java.sql.Timestamp, Long)]
+      .toDF("user_id", "event_type", "value", "ts", "event_id")
+    var offline = snapshot
+    val q = ms.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.select("user_id", "event_type", "value", "ts", "event_id")
+        offline = offline.unionByName(b)
+        snapshot = Latest.lwwUpsert(snapshot, b, Seq("user_id", "event_type"), "ts", "event_id", Seq("value"))
+          .select("user_id", "event_type", "value", "ts", "event_id")
+        ()
+      }
+      .outputMode("append").start()
+    ms.addData(batch.take(2))
+    q.processAllAvailable()
+    ms.addData(batch.drop(2))
+    q.processAllAvailable()
+    q.stop()
+    // online/offline consistency: incremental snapshot == recompute from log
+    val recomputed = Latest.latestAgg(offline, Seq("user_id", "event_type"), "ts", "event_id", Seq("value"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "event_type", "value").orderBy("user_id", "event_type").collect().toSeq
+    assert(canon(snapshot) == canon(recomputed))
+    assert(offline.count() == 5) // append log keeps every row incl. dups
+  }
+
   test("latestStateStream keeps last-write-wins state per key across batches") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[EventRow]
