@@ -388,6 +388,17 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** G2 — exact top-k via the custom bounded-heap aggregate (same oracle as
+    * g2_cosine_topk; proves TopKStructs against DuckDB). */
+  private def g2CosineTopkAgg(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs  = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Similarity
+      .cosineTopKAgg(emb, qs, "vec_id", "embedding", "query_id", "qvec", k = 3)
+      .orderBy("query_id", "rank")
+  }
+
   /** G2 — hyperplane-LSH approximate top-k (rows-only: approximate recall). */
   private def g2LshTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -577,6 +588,7 @@ object SparkEntry {
     "g1_simhash"         -> (g1Simhash _),
     "g1_embedding_dups"  -> (g1EmbeddingDups _),
     "g2_cosine_topk"     -> (g2CosineTopk _),
+    "g2_cosine_topk_agg" -> (g2CosineTopkAgg _),
     "g2_cosine_threshold" -> (g2CosineThreshold _),
     "g2_lsh_topk"        -> (g2LshTopk _),
     "g2_ivf_topk"        -> (g2IvfTopk _),
@@ -751,6 +763,20 @@ object SparkEntry {
         |      len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
     "g2_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |             i -> e.embedding[i]::DOUBLE * q.qvec[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(q.qvec, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id, sim,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+        |      FROM p)
+        |SELECT query_id, rank, vec_id, round(sim, 4) AS cosine
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "g2_cosine_topk_agg" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
         |p AS (
         |  SELECT q.query_id, e.vec_id,

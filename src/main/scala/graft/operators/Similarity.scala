@@ -53,6 +53,43 @@ object Similarity {
       .select(col(qidCol), col("__rank").as("rank"), col(idCol), round(col("__sim"), 4).as("cosine"))
   }
 
+  /** Exact top-k via the custom bounded-heap aggregate
+    * (org.apache.spark.sql.graft.TopKStructs): identical results to
+    * [[cosineTopK]], but only k rows per (query, map-partition) cross the
+    * shuffle instead of the full candidate set — the formulation that holds
+    * when the corpus side is the scale axis. Ordering encoded in the struct
+    * prefix (sim, -id) = (sim desc, id asc) after reversal.
+    */
+  def cosineTopKAgg(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    import org.apache.spark.sql.graft.TopKStructs
+    val cand = withNorm(candidates.select(col(idCol), col(vecCol)), vecCol, "__cn")
+    val qs   = withNorm(queries.select(col(qidCol), col(qvecCol)), qvecCol, "__qn")
+    cand
+      .crossJoin(broadcast(qs))
+      .where(if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
+      .withColumn("__sim",
+        VectorExpressions.vecDot(col(vecCol), col(qvecCol)) / (col("__cn") * col("__qn")))
+      .select(col(qidCol),
+        struct(col("__sim").as("sim"), (-col(idCol)).cast("long").as("negid"), col(idCol).as("id")).as("__s"))
+      .groupBy(col(qidCol))
+      .agg(TopKStructs.topK(col("__s"), k).as("__top"))
+      .select(col(qidCol), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(
+        col(qidCol),
+        (col("__r") + 1).cast("long").as("rank"),
+        col("__t").getField("id").as(idCol),
+        round(col("__t").getField("sim"), 4).as("cosine"))
+  }
+
   /** Count of candidates above a cosine threshold, per query. */
   def thresholdCount(
       candidates: DataFrame,
