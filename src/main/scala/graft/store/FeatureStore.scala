@@ -54,6 +54,9 @@ class FeatureStore(val spark: SparkSession) {
   def valuesDF: DataFrame = values
   def audit: Seq[AuditRecord] = auditLog
 
+  private[store] def restoreFeature(f: Feature): Unit = features += f.feature_id -> f
+  private[store] def restoreValues(df: DataFrame): Unit = values = df
+
   // ---- registry CRUD (B4) ----------------------------------------------
 
   /** register_feature — feature_registry.py:253-330. Validates vocab + PHI
@@ -287,4 +290,38 @@ class FeatureStore(val spark: SparkSession) {
       tsCol = "event_timestamp", tieCol = "created_timestamp",
       payloadCols = Seq("feature_name", "value_double", "value_string"),
       asOf = Some(lit(asOf)))
+
+  /** The catalog as a typed, queryable Dataset — C1 metadata filters then
+    * run distributed and broadcast-join against the fact log. */
+  def registryDS: Dataset[Feature] = {
+    import spark.implicits._
+    spark.createDataset(features.values.toSeq)
+  }
+
+  // ---- persistence (lakehouse layout) -----------------------------------
+
+  /** Persist catalog + fact log + audit as parquet tables under `path`
+    * (facts date-partitioned via Lakehouse — SURVEY.md §4 partition choice).
+    */
+  def save(path: String): Unit = {
+    import spark.implicits._
+    registryDS.write.mode("overwrite").parquet(s"$path/registry")
+    graft.sources.Lakehouse.writeDatePartitioned(values, s"$path/feature_values", "event_timestamp")
+    spark.createDataset(auditLog).write.mode("overwrite").parquet(s"$path/audit_log")
+  }
+}
+
+object FeatureStore {
+  /** Reload a persisted store: catalog back to the driver map (it is small
+    * by construction), facts stay a lazy distributed read. */
+  def load(spark: SparkSession, path: String): FeatureStore = {
+    import spark.implicits._
+    val fs = new FeatureStore(spark)
+    spark.read.parquet(s"$path/registry").as[Feature].collect()
+      .foreach(f => fs.restoreFeature(f))
+    fs.restoreValues(
+      spark.read.parquet(s"$path/feature_values")
+        .select(fs.valuesSchema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*))
+    fs
+  }
 }

@@ -109,6 +109,28 @@ class FeatureStoreSpec extends SparkSpec {
     assert(rows(2).isNullAt(2)) // p2 @ Jan1: no prior observation
   }
 
+  test("save/load round-trip preserves catalog and values (lakehouse layout)") {
+    val (fs, hrId, dxId) = newStore()
+    ingestSample(fs, hrId, dxId)
+    val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
+    fs.save(dir)
+    val re = FeatureStore.load(spark, dir)
+    assert(re.registryFeatures.map(_.feature_id).toSet == fs.registryFeatures.map(_.feature_id).toSet)
+    assert(re.valuesDF.count() == fs.valuesDF.count())
+    // reloaded store answers the same as-of query
+    assert(re.getFeatureValue("p1", hrId, ts("2024-01-31 00:00:00"), "u", Seq(), now).contains(80.0))
+    // and the reloaded facts are date-partitioned on disk
+    assert(new java.io.File(s"$dir/feature_values").listFiles()
+      .exists(_.getName.startsWith("event_date=")))
+  }
+
+  test("registryDS supports distributed metadata filters (C1)") {
+    val (fs, _, dxId) = newStore()
+    val phi = fs.registryDS.where(org.apache.spark.sql.functions.col("phi_level") === "direct")
+      .collect().map(_.feature_id).toSeq
+    assert(phi == Seq(dxId))
+  }
+
   test("onlineSnapshot is latest-per-key") {
     val (fs, hrId, dxId) = newStore()
     ingestSample(fs, hrId, dxId)
