@@ -93,6 +93,35 @@ object AsOfJoin {
     )
   }
 
+  /** Skew-mitigated LOCF: a hot entity puts its whole history into ONE
+    * window task in [[locf]] (and one merge task in [[native]]). Salting
+    * restores parallelism: spine rows scatter across `saltBuckets`
+    * sub-partitions of their key (deterministic hash of the spine
+    * timestamp), while facts replicate to every bucket — each bucket then
+    * runs a full, correct LOCF over all of the key's facts. Cost: facts
+    * shuffled saltBuckets times; use only for keys known to be hot (route
+    * hot keys here, the long tail through [[locf]] — AQE can't split a
+    * window partition for you).
+    */
+  def locfSalted(
+      spine: DataFrame,
+      facts: DataFrame,
+      keyCols: Seq[String],
+      spineTs: String,
+      factTs: String,
+      payloadCols: Seq[String],
+      tieCol: String,
+      saltBuckets: Int,
+      outSuffix: String = ""
+  ): DataFrame = {
+    val saltedSpine = spine.withColumn(
+      "__salt", pmod(xxhash64(col(spineTs)), lit(saltBuckets.toLong)).cast("int"))
+    val saltedFacts = facts.withColumn(
+      "__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+    locf(saltedSpine, saltedFacts, keyCols :+ "__salt", spineTs, factTs, payloadCols, tieCol, outSuffix)
+      .drop("__salt")
+  }
+
   /** Native merge-scan formulation: plans the custom
     * [[org.apache.spark.sql.graft.asof.AsOfJoinExec]] physical operator —
     * both sides hash-clustered + sorted (EnsureRequirements inserts the

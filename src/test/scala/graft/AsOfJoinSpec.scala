@@ -92,6 +92,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(topIsFilterOverAsOf.isEmpty, s"filter not pushed:\n$plan")
   }
 
+  test("locfSalted agrees with locf (edge cases and generated data)") {
+    def runSalted(sp: org.apache.spark.sql.DataFrame, f: org.apache.spark.sql.DataFrame) =
+      AsOfJoin.locfSalted(sp, f, Seq("k"), "sts", "fts", Seq("v"), "tie", saltBuckets = 4)
+    val edge = runSalted(spine, facts).select("tag", "v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(edge == run(AsOfJoin.locf))
+
+    val f = (1 to 400).map { i =>
+      (s"u${i % 5}", ts(f"2024-01-${i % 28 + 1}%02d ${i % 24}%02d:00:00"), i.toLong, i.toDouble)
+    }.toDF("k", "fts", "tie", "v")
+    val s = (1 to 150).map { i =>
+      (s"u${i % 6}", ts(f"2024-01-${(i * 5) % 28 + 1}%02d ${(i * 11) % 24}%02d:30:00"), s"s$i")
+    }.toDF("k", "sts", "tag")
+    val a = runSalted(s, f).orderBy("tag").collect().map(_.toString).toSeq
+    val b = AsOfJoin.locf(s, f, Seq("k"), "sts", "fts", Seq("v"), "tie")
+      .orderBy("tag").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("spine passthrough columns and timestamp column survive") {
     val out = AsOfJoin.locf(spine, facts, Seq("k"), "sts", "fts", Seq("v"), "tie")
     assert(out.columns.toSeq == Seq("k", "sts", "tag", "v", "fts__timestamp"))
