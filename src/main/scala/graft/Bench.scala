@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed JVM/codegen warm-up: JIT + whole-stage-codegen compiler setup
+    // otherwise lands on whichever query happens to run first (~5 s skew)
+    spark.range(1000000L).selectExpr("sum(id * 2)").collect()
+    spark.range(1000L).selectExpr("id", "id % 7 as k")
+      .groupBy("k").count().orderBy("k").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

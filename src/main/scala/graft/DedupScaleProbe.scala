@@ -38,7 +38,7 @@ object DedupScaleProbe {
     val docs = spark.range(nDocs).select(col("id").as("doc_id"), concat_ws(" ", words).as("text"))
 
     val t0 = System.nanoTime()
-    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", shingleN = 3, bands = 24, rowsPerBand = 2, threshold = 0.3)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", shingleN = 3, bands = 16, rowsPerBand = 3, threshold = 0.3)
     val n = pairs.count()
     val secs = (System.nanoTime() - t0) / 1e9
     // expected intra-cluster pairs: nDocs/clusterSize clusters x C(clusterSize,2)

@@ -338,7 +338,7 @@ object SparkEntry {
   private def g1MinhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup
       .minhashPairs(Tables.documents(s, dir), "doc_id", "text",
-        shingleN = 3, bands = 24, rowsPerBand = 2, threshold = 0.3)
+        shingleN = 3, bands = 16, rowsPerBand = 3, threshold = 0.3)
       .orderBy("id_a", "id_b")
 
   /** G1 — 64-bit SimHash per document (rows-only: xxhash64 is

@@ -126,8 +126,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
-      bands: Int = 24,
-      rowsPerBand: Int = 2,
+      bands: Int = 16,
+      rowsPerBand: Int = 3,
       threshold: Double = 0.3
   ): DataFrame = {
     val numHashes = bands * rowsPerBand
@@ -136,12 +136,15 @@ object Dedup {
       .select(col("__id"), explode(wordShinglesFromWords(col("__w"), shingleN)).as("__s"))
       .withColumn("__h", xxhash64(col("__s")))
 
-    // k min-hashes + the distinct-shingle count, one aggregation pass
-    val minAggs = (0 until numHashes).map(i => min(xxhash64(col("__h"), lit(i))).as(s"__m$i"))
-    val sig = ex.groupBy(col("__id")).agg(minAggs.head, (minAggs.tail :+ count(lit(1)).as("__n")): _*)
+    // all k min-hashes in ONE custom aggregate buffer (MinHashSig) + the
+    // distinct-shingle count — one aggregation pass, one update per row
+    val sig = ex.groupBy(col("__id")).agg(
+      org.apache.spark.sql.graft.MinHashSig.minhashSig(col("__h"), numHashes).as("__sig"),
+      count(lit(1)).as("__n"))
 
     val buckets = array((0 until bands).map { bIdx =>
-      xxhash64(lit(bIdx) +: (0 until rowsPerBand).map(r => col(s"__m${bIdx * rowsPerBand + r}")): _*)
+      xxhash64(lit(bIdx) +: (0 until rowsPerBand).map(r =>
+        element_at(col("__sig"), bIdx * rowsPerBand + r + 1)): _*)
     }: _*)
     val exploded = sig.select(col("__id"), col("__n"), explode(buckets).as("__bucket"))
 

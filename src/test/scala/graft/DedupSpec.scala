@@ -32,7 +32,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhashPairs recovers the same dup clusters (exact-verified)") {
-    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", shingleN = 3, bands = 24, rowsPerBand = 2, threshold = 0.3)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", shingleN = 3, bands = 16, rowsPerBand = 3, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
     assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
