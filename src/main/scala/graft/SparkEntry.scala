@@ -531,6 +531,15 @@ object SparkEntry {
       .orderBy("cohort", "user_id")
   }
 
+  /** H — deterministic 10% sample via multiplicative hashing (pure modular
+    * arithmetic, so the oracle replays it exactly; the reference has no
+    * sampling at all — SURVEY.md §2 H). */
+  private def h3HashSample(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .where(pmod(col("event_id") * lit(2654435761L), lit(100L)) < 10)
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+
   /** E3 scale path — approximate quantiles (rows-only: sketch is
     * Spark-specific; the exact form is oracle-checked in e23_quantiles). */
   private def e3QuantilesApprox(s: SparkSession, dir: String): DataFrame =
@@ -603,6 +612,7 @@ object SparkEntry {
     "q3_join_agg"        -> (q3JoinAgg _),
     "h1_grouping_sets"   -> (h1GroupingSets _),
     "h2_setops"          -> (h2SetOps _),
+    "h3_hash_sample"     -> (h3HashSample _),
     "e3_quantiles_approx" -> (e3QuantilesApprox _),
     "g4_sessionize"      -> (g4Sessionize _),
     "g3_length_hist"     -> (g3LengthHist _),
@@ -856,6 +866,10 @@ object SparkEntry {
         |SELECT media_id, frame_idx, frame_idx * 10000 AS offset_ms,
         |       least(8, greatest(0, strlen(text) - frame_idx * 8))::BIGINT AS frame_len
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    "h3_hash_sample" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE (event_id * 2654435761) % 100 < 10
+        |ORDER BY event_id""".stripMargin,
     "g4_sessionize" ->
       """WITH s AS (
         |  SELECT user_id, ts, value, event_id,

@@ -54,6 +54,25 @@ class StreamingSpec extends SparkSpec {
     assert(out.where($"event_id" === 2L).count() == 1)
   }
 
+  test("session_window streaming aggregation groups by activity gaps") {
+    val ms = mkStream(Seq(
+      EventRow(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      EventRow(2L, ts("2024-01-01 10:10:00"), 1L, "click", 2.0), // same session (<30m gap)
+      EventRow(3L, ts("2024-01-01 12:00:00"), 1L, "click", 3.0), // new session
+      EventRow(4L, ts("2024-01-02 00:00:00"), 9L, "click", 0.0)  // advances watermark
+    ))
+    // session windows finalize only in append mode once the watermark passes
+    val out = Streaming.runToMemory(
+      spark,
+      ms.toDF()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n")),
+      "t_sess", OutputMode.Append())
+    val counts = out.where($"user_id" === 1L).select("n").as[Long].collect().sorted.toSeq
+    assert(counts == Seq(1L, 2L))
+  }
+
   test("dual write: foreachBatch streaming upsert equals batch recompute") {
     implicit val sq = spark.sqlContext
     import graft.operators.Latest
