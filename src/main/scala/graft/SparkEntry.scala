@@ -120,6 +120,21 @@ object SparkEntry {
       .orderBy("user_id", "event_type")
   }
 
+  /** A7 — interval (range) join: events falling inside a per-row time
+    * window. Equi key (orderkey) carries the join; the range predicates
+    * filter inside each key group, so no range-join explosion.
+    */
+  private def a7IntervalJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(
+        Tables.lineitem(s, dir),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_shipped_90d"), round(sum("l_quantity"), 2).as("qty_90d"))
+      .orderBy("o_orderkey")
+
   // ======================================================================
   // B. writes / ingest / upsert
   // ======================================================================
@@ -576,6 +591,7 @@ object SparkEntry {
     "a3_pit_join_native" -> (a3PitJoinNative _),
     "a4_freshness"       -> (a4Freshness _),
     "a6_bitemporal"      -> (a6Bitemporal _),
+    "a7_interval_join"   -> (a7IntervalJoin _),
     "a5_snapshot_filter" -> (a5SnapshotFilter _),
     "b1_validated_ingest" -> (b1ValidatedIngest _),
     "b2_upsert_snapshot" -> (b2UpsertSnapshot _),
@@ -661,6 +677,13 @@ object SparkEntry {
         |       ELSE 'expired' END AS freshness,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a7_interval_join" ->
+      """SELECT o_orderkey, count(*) AS n_shipped_90d, round(sum(l_quantity), 2) AS qty_90d
+        |FROM orders JOIN lineitem
+        |  ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     "a6_bitemporal" ->
       """WITH ev AS (SELECT *, ts + (event_id % 48) * INTERVAL 1 HOUR AS created_timestamp FROM events)
         |SELECT user_id, event_type, arg_max(value, ts) AS value, max(ts) AS ts
