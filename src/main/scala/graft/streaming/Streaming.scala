@@ -34,6 +34,29 @@ object Streaming {
       .withWatermark("ts", watermark)
       .where(col("event_type").isin(activeTypes: _*) && col("value").isNotNull)
 
+  /** B1 streaming with reject routing: returns (valid, rejected) branches.
+    * At scale a poison row must land in a reject sink with its reason, not
+    * kill the stream — both branches are writeStream-able independently.
+    */
+  def validatedIngestRouted(
+      stream: DataFrame,
+      activeTypes: Seq[String],
+      watermark: String = "10 minutes"): (DataFrame, DataFrame) = {
+    val tagged = graft.operators.Validation
+      .withValidation(stream.withWatermark("ts", watermark), "event_type", "value", activeTypes)
+    (tagged.where(col("is_valid")).drop("is_valid", "reject_reason"),
+      tagged.where(!col("is_valid")).drop("is_valid"))
+  }
+
+  /** EP1 streaming — online enrichment: a stream of entity requests joined
+    * against the (static) online snapshot table. Stream-static joins need
+    * no state; the snapshot is re-read per micro-batch, which is exactly
+    * the freshness model of a serving tier backed by a MERGE-maintained
+    * lakehouse table (feature_server.py:206-288's read path, distributed).
+    */
+  def enrichOnline(requests: DataFrame, snapshot: DataFrame, keyCols: Seq[String]): DataFrame =
+    requests.join(snapshot, keyCols, "left")
+
   /** G4 — watermarked tumbling-window aggregate per feature. */
   def windowedCounts(stream: DataFrame, windowLen: String = "1 hour", watermark: String = "10 minutes"): DataFrame =
     stream

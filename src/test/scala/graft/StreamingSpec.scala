@@ -104,6 +104,34 @@ class StreamingSpec extends SparkSpec {
     assert(offline.count() == 5) // append log keeps every row incl. dups
   }
 
+  test("validatedIngestRouted sends bad rows to the reject branch with reasons") {
+    val ms = mkStream(batch)
+    val (valid, rejected) = Streaming.validatedIngestRouted(ms.toDF(), Seq("click", "view"))
+    val v = Streaming.runToMemory(spark, valid, "t_route_ok", OutputMode.Append())
+    val ms2 = mkStream(batch)
+    val (_, rej2) = Streaming.validatedIngestRouted(ms2.toDF(), Seq("click", "view"))
+    val r = Streaming.runToMemory(spark, rej2, "t_route_bad", OutputMode.Append())
+    assert(v.count() == 4)
+    val bad = r.collect()
+    assert(bad.length == 1 && bad.head.getAs[String]("reject_reason") == "feature_not_active")
+  }
+
+  test("enrichOnline: stream-static join against the snapshot table") {
+    val snapshot = Seq((1L, "click", 42.0), (2L, "view", 7.0))
+      .toDF("user_id", "event_type", "latest_value")
+    val ms = mkStream(Seq(
+      EventRow(10L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0),
+      EventRow(11L, ts("2024-01-01 10:01:00"), 3L, "click", 0.0))) // no snapshot row
+    val out = Streaming.runToMemory(
+      spark,
+      Streaming.enrichOnline(ms.toDF(), snapshot, Seq("user_id", "event_type")),
+      "t_enrich", OutputMode.Append())
+    val m = out.collect().map(r => r.getAs[Long]("event_id") ->
+      (if (r.isNullAt(r.fieldIndex("latest_value"))) null else r.getAs[Double]("latest_value"))).toMap
+    assert(m(10L) == 42.0)
+    assert(m(11L) == null) // explicit-null contract survives streaming
+  }
+
   test("latestStateStream keeps last-write-wins state per key across batches") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[EventRow]
