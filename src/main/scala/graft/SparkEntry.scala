@@ -457,6 +457,16 @@ object SparkEntry {
         Fns.roughBpeCount(col("text")).cast("long").as("n_subwords"))
       .orderBy("doc_id")
 
+  /** G3 — corpus word count, top-20 (explode + groupBy + deterministic
+    * order + limit). */
+  private def g3Wordcount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(20)
+
   /** G3 — language-ID heuristic (rows-only: dictionaries engine-internal). */
   private def g3LangId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -618,6 +628,7 @@ object SparkEntry {
     "g2_lsh_topk"        -> (g2LshTopk _),
     "g2_ivf_topk"        -> (g2IvfTopk _),
     "g3_token_counts"    -> (g3TokenCounts _),
+    "g3_wordcount"       -> (g3Wordcount _),
     "g3_text_stats"      -> (g3TextStats _),
     "g3_quality"         -> (g3Quality _),
     "g3_langid"          -> (g3LangId _),
@@ -850,6 +861,10 @@ object SparkEntry {
         |       len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
         |       len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "g3_wordcount" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+        |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin,
     "g3_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |       round(avg(length(text)), 2) AS avg_chars,
