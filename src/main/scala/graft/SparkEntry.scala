@@ -347,6 +347,17 @@ object SparkEntry {
         blockCols = Seq("lang", "len_bucket"), shingleN = 3, threshold = 0.3)
       .orderBy("id_a", "id_b")
 
+  /** G1 — near-dup pairs resolved to canonical clusters (connected
+    * components over the oracle-checkable jaccard pairs). */
+  private def g1DedupResolve(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .connectedComponents(
+        Dedup.jaccardPairs(
+          Tables.documents(s, dir).withColumn("len_bucket", expr("n_chars div 100")),
+          idCol = "doc_id", textCol = "text",
+          blockCols = Seq("lang", "len_bucket"), shingleN = 3, threshold = 0.3))
+      .orderBy("doc_id")
+
   /** G1 — MinHash-LSH candidates, exact-verified (rows-only check: banding
     * recall at s=0.3 with b=24,r=2 is ~0.90, so no exact SQL oracle).
     */
@@ -619,6 +630,7 @@ object SparkEntry {
     "d1_rbac_roles"      -> (d1RbacRoles _),
     "g1_dedup_exact"     -> (g1DedupExact _),
     "g1_jaccard_pairs"   -> (g1JaccardPairs _),
+    "g1_dedup_resolve"   -> (g1DedupResolve _),
     "g1_minhash_pairs"   -> (g1MinhashPairs _),
     "g1_simhash"         -> (g1Simhash _),
     "g1_embedding_dups"  -> (g1EmbeddingDups _),
@@ -792,6 +804,25 @@ object SparkEntry {
         |       count(*) FILTER (n > 1) AS n_dup_groups,
         |       sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS n_dup_docs
         |FROM g""".stripMargin,
+    "g1_dedup_resolve" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+        |         list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+        |                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, lang, n_chars, string_split_regex(trim(text), '\s+') AS w FROM documents)),
+        |jp AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b
+        |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.3),
+        |e AS (SELECT id_a AS a, id_b AS b FROM jp UNION SELECT id_b, id_a FROM jp),
+        |reach AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "g1_jaccard_pairs" ->
       """WITH s AS (
         |  SELECT doc_id, lang, n_chars // 100 AS len_bucket,

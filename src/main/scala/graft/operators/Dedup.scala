@@ -176,6 +176,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Connected components over near-dup pairs -> canonical id per doc (the
+    * step that turns pairwise matches into a deduplicated corpus: keep one
+    * doc per component). Alternating min-label propagation — each iteration
+    * is two hash joins + a min aggregate, converging in O(log(diameter))
+    * rounds; this is how industrial-scale CC runs on Spark (no driver-side
+    * graph). Iteration happens on the driver only as a loop of lazy plans
+    * with a convergence check.
+    *
+    * @param pairs columns (id_a, id_b); undirected
+    * @return (doc_id, canonical_id) for every doc appearing in a pair
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node adopts the min label in its neighborhood (incl. its own)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "blabel"), "b")
+        .groupBy(col("a").as("id"))
+        .agg(min(col("blabel")).as("nlabel"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).limit(1).count() > 0
+      labels = next.cache()
+      converged = !changed
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+  }
+
   /** 64-bit SimHash per document: bit j of the hash is the sign of the sum
     * over tokens of ±1 according to bit j of xxhash64(token). Computed as a
     * single groupBy with 64 partial-aggregable sums (one pass, map-side
