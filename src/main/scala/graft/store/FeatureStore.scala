@@ -291,6 +291,78 @@ class FeatureStore(val spark: SparkSession) {
       payloadCols = Seq("feature_name", "value_double", "value_string"),
       asOf = Some(lit(asOf)))
 
+  // ---- derived features (B5 source_type=derived — declared by the
+  // reference at feature_registry.py:101 + transformation_logic :103,
+  // never implemented there) ---------------------------------------------
+
+  /** Register a feature computed from parent features by a SQL expression
+    * over columns named like the parents. */
+  def registerDerivedFeature(
+      name: String,
+      version: String,
+      schema: FeatureSchemaMeta,
+      parentIds: Seq[String],
+      sqlExpr: String,
+      owner: String,
+      now: Timestamp): Either[String, Feature] = {
+    val missing = parentIds.filterNot(features.contains)
+    if (missing.nonEmpty) return Left(s"unknown parents: ${missing.mkString(",")}")
+    registerFeature(name, version, schema,
+      FeatureSourceMeta("derived", transformation_logic = sqlExpr), owner, now)
+      .map { f =>
+        val nf = f.copy(dependencies = parentIds)
+        features += nf.feature_id -> nf
+        nf
+      }
+  }
+
+  /** Materialize a derived feature as-of `asOf`: latest parent values per
+    * entity are pivoted to columns named by parent feature name, the
+    * registered expression computes the value, and the results append to
+    * the fact log as ordinary EAV rows (event_timestamp = greatest parent
+    * observation time — when the derived fact became true). Entities
+    * missing any parent are skipped (no partial computation). Returns rows
+    * appended.
+    */
+  def materializeDerived(derivedId: String, asOf: Timestamp, now: Timestamp): Long = {
+    val f = features.getOrElse(derivedId, return 0L)
+    if (f.source.source_type != "derived" || f.dependencies.isEmpty) return 0L
+    val parentNames = f.dependencies.map(id => features(id).name)
+    val idToName = typedLit(f.dependencies.zip(parentNames).toMap)
+
+    val latest = Latest.latestAgg(
+      values.where(col("feature_id").isin(f.dependencies: _*)),
+      keys = Seq("entity_id", "entity_type", "feature_id"),
+      tsCol = "event_timestamp", tieCol = "created_timestamp",
+      payloadCols = Seq("value_double"),
+      asOf = Some(lit(asOf)))
+      .withColumn("parent_name", idToName(col("feature_id")))
+
+    val wide = latest
+      .groupBy("entity_id", "entity_type")
+      .pivot("parent_name", parentNames)
+      .agg(first(col("value_double")))
+      .join(
+        latest.groupBy("entity_id").agg(max(col("event_timestamp")).as("event_timestamp")),
+        "entity_id")
+      .where(parentNames.map(col(_).isNotNull).reduce(_ && _))
+
+    val rows = wide.select(
+      lit(f.feature_id).as("feature_id"),
+      col("entity_id"),
+      col("entity_type"),
+      lit(f.name).as("feature_name"),
+      lit("float64").as("value_type"),
+      expr(f.source.transformation_logic).cast("double").as("value_double"),
+      lit(null).cast("string").as("value_string"),
+      col("event_timestamp"),
+      lit(now).as("created_timestamp"))
+
+    val n = rows.count()
+    values = values.unionByName(rows.select(valuesSchema.fieldNames.map(col).toSeq: _*))
+    n
+  }
+
   /** The catalog as a typed, queryable Dataset — C1 metadata filters then
     * run distributed and broadcast-join against the fact log. */
   def registryDS: Dataset[Feature] = {

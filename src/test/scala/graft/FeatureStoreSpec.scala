@@ -109,6 +109,27 @@ class FeatureStoreSpec extends SparkSpec {
     assert(rows(2).isNullAt(2)) // p2 @ Jan1: no prior observation
   }
 
+  test("derived feature: register with parents, materialize, read back") {
+    val (fs, hrId, dxId) = newStore()
+    ingestSample(fs, hrId, dxId)
+    val Right(risk) = fs.registerDerivedFeature(
+      "risk_score", "1.0.0",
+      FeatureSchemaMeta("risk_score", "float64", entity_type = "patient"),
+      parentIds = Seq(hrId, dxId),
+      sqlExpr = "heart_rate * 0.01 + diagnosis_risk",
+      owner = "ops", now = now)
+    fs.activateFeature(risk.feature_id, now)
+    assert(risk.dependencies == Seq(hrId, dxId))
+    assert(risk.source.source_type == "derived")
+
+    val n = fs.materializeDerived(risk.feature_id, ts("2024-01-31 00:00:00"), now)
+    assert(n == 1L) // only p1 has both parents
+    val v = fs.getFeatureValue("p1", risk.feature_id, now, "u", Seq(), now)
+    assert(v.contains(80.0 * 0.01 + 0.9)) // latest hr=80, dx=0.9
+    // p2 lacks diagnosis_risk -> no derived row
+    assert(fs.getFeatureValue("p2", risk.feature_id, now, "u", Seq(), now).isEmpty)
+  }
+
   test("save/load round-trip preserves catalog and values (lakehouse layout)") {
     val (fs, hrId, dxId) = newStore()
     ingestSample(fs, hrId, dxId)
