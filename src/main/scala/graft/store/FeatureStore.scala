@@ -71,7 +71,8 @@ class FeatureStore(val spark: SparkSession) {
       now: Timestamp,
       phiLevel: String = "none",
       accessRoles: Seq[String] = Seq.empty,
-      tags: Map[String, String] = Map.empty): Either[String, Feature] = {
+      tags: Map[String, String] = Map.empty,
+      retentionDays: Int = 2555): Either[String, Feature] = {
     if (!Vocab.ValueTypes.contains(schema.value_type))
       return Left(s"invalid value_type: ${schema.value_type}")
     if (!Vocab.SourceTypes.contains(source.source_type))
@@ -83,7 +84,7 @@ class FeatureStore(val spark: SparkSession) {
     val id = featureId(name, version, schema.entity_type)
     if (features.contains(id)) return Left(s"feature already registered: $id")
     val f = Feature(id, name, version, schema, source, "draft", owner, now, now,
-      tags, Seq.empty, phiLevel, accessRoles)
+      tags, Seq.empty, phiLevel, accessRoles, retentionDays)
     features += id -> f
     Right(f)
   }
@@ -290,6 +291,24 @@ class FeatureStore(val spark: SparkSession) {
       tsCol = "event_timestamp", tieCol = "created_timestamp",
       payloadCols = Seq("feature_name", "value_double", "value_string"),
       asOf = Some(lit(asOf)))
+
+  /** Retention enforcement (Feature.retention_days, 7y HIPAA default —
+    * feature_registry.py:136, declared but never enforced by the
+    * reference): drop fact rows older than their feature's retention
+    * horizon at `now`. On a date-partitioned lakehouse table this becomes
+    * partition DROPs, not row deletes. Returns rows removed.
+    */
+  def enforceRetention(now: Timestamp): Long = {
+    if (features.isEmpty) return 0L
+    val retention = typedLit(features.map { case (id, f) => id -> f.retention_days })
+    val before = values.count()
+    values = values.where(
+      col("event_timestamp") >=
+        lit(now) - retention(col("feature_id")).cast("int") * expr("INTERVAL 1 DAY") ||
+        retention(col("feature_id")).isNull) // unknown features retained
+    val after = values.count()
+    before - after
+  }
 
   // ---- derived features (B5 source_type=derived — declared by the
   // reference at feature_registry.py:101 + transformation_logic :103,

@@ -109,6 +109,23 @@ class FeatureStoreSpec extends SparkSpec {
     assert(rows(2).isNullAt(2)) // p2 @ Jan1: no prior observation
   }
 
+  test("enforceRetention drops only rows past the per-feature horizon") {
+    val fs = new FeatureStore(spark)
+    val Right(shortF) = fs.registerFeature("short_lived", "1.0.0",
+      FeatureSchemaMeta("short_lived", "float64"), FeatureSourceMeta("batch"), "o", now,
+      retentionDays = 10)
+    fs.activateFeature(shortF.feature_id, now)
+    val df = Seq(
+      ("p1", "short_lived", Some(1.0), ts("2024-01-30 00:00:00")), // 2d old: kept
+      ("p1", "short_lived", Some(2.0), ts("2023-12-01 00:00:00"))  // 62d old: dropped
+    ).toDF("entity_id", "feature_name", "value_double", "event_timestamp")
+      .withColumn("value_string", lit(null).cast("string"))
+    fs.ingestValues(df, Map("short_lived" -> shortF.feature_id), now)
+    val removed = fs.enforceRetention(now)
+    assert(removed == 1L)
+    assert(fs.valuesDF.count() == 1L)
+  }
+
   test("derived feature: register with parents, materialize, read back") {
     val (fs, hrId, dxId) = newStore()
     ingestSample(fs, hrId, dxId)
