@@ -100,7 +100,7 @@ object SparkEntry {
     Tables.events(s, dir)
       .where(col("ts") <= ts(AsOf15))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Fns.epsRound(sum("value"), 2).as("sum_value"))
       .orderBy("event_type")
 
   /** A6 — bitemporal read (SURVEY.md §1.2): latest value per key as of
@@ -132,7 +132,7 @@ object SparkEntry {
           col("l_shipdate") >= col("o_orderdate") &&
           col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
       .groupBy("o_orderkey")
-      .agg(count(lit(1)).as("n_shipped_90d"), round(sum("l_quantity"), 2).as("qty_90d"))
+      .agg(count(lit(1)).as("n_shipped_90d"), Fns.epsRound(sum("l_quantity"), 2).as("qty_90d"))
       .orderBy("o_orderkey")
 
   // ======================================================================
@@ -231,8 +231,8 @@ object SparkEntry {
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(
-        round(avg("l_extendedprice"), 2).as("avg_price"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99_price"),
+        Fns.epsRound(avg("l_extendedprice"), 2).as("avg_price"),
+        Fns.epsRound(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99_price"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
@@ -245,7 +245,7 @@ object SparkEntry {
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(-2, 0)
     Tables.events(s, dir)
-      .withColumn("sliding_avg", round(avg(col("value")).over(w), 4))
+      .withColumn("sliding_avg", Fns.epsRound(avg(col("value")).over(w), 4))
       .select("event_id", "user_id", "sliding_avg")
       .orderBy("event_id")
   }
@@ -257,7 +257,7 @@ object SparkEntry {
       .agg(
         count(lit(1)).as("n_events"),
         count_if(col("event_type") === "error").as("n_errors"),
-        round(count_if(col("event_type") === "error") / count(lit(1)).cast("double"), 4).as("error_rate"))
+        Fns.epsRound(count_if(col("event_type") === "error") / count(lit(1)).cast("double"), 4).as("error_rate"))
       .orderBy("user_id")
 
   /** E6 — EAV -> wide feature-vector pivot (bounded by explicit names). */
@@ -292,10 +292,10 @@ object SparkEntry {
       .where(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg("l_discount"), 6).as("avg_disc"),
+        Fns.epsRound(sum("l_quantity"), 2).as("sum_qty"),
+        Fns.epsRound(sum("l_extendedprice"), 2).as("sum_base_price"),
+        Fns.epsRound(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        Fns.epsRound(avg("l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -445,8 +445,8 @@ object SparkEntry {
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg(length(col("text"))), 2).as("avg_chars"),
-        round(avg(size(split(trim(col("text")), "\\s+"))), 2).as("avg_tokens"),
+        Fns.epsRound(avg(length(col("text"))), 2).as("avg_chars"),
+        Fns.epsRound(avg(size(split(trim(col("text")), "\\s+"))), 2).as("avg_tokens"),
         countDistinct(col("source")).as("n_sources"))
       .orderBy("lang")
 
@@ -515,8 +515,8 @@ object SparkEntry {
     Multimodal
       .extractFeatures(g5Media(s, dir))
       .toDF()
-      .select(col("media_id"), col("n_bytes"), round(col("byte_mean"), 4).as("byte_mean"),
-        round(col("byte_entropy"), 4).as("byte_entropy"))
+      .select(col("media_id"), col("n_bytes"), Fns.epsRound(col("byte_mean"), 4).as("byte_mean"),
+        Fns.epsRound(col("byte_entropy"), 4).as("byte_entropy"))
       .orderBy("media_id")
 
   /** G4 (batch form) — gap-based sessionization + session rollup. */
@@ -539,7 +539,7 @@ object SparkEntry {
     Tables.events(s, dir)
       .select(
         col("event_id"), col("user_id"),
-        round(col("value") - lag(col("value"), 1).over(w), 2).as("delta"))
+        Fns.epsRound(col("value") - lag(col("value"), 1).over(w), 2).as("delta"))
       .orderBy("event_id")
   }
 
@@ -551,7 +551,7 @@ object SparkEntry {
   private def h1GroupingSets(s: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
     s.sql(
-      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity) + 1e-9, 2) AS sum_qty
         |FROM lineitem_v
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
@@ -581,7 +581,7 @@ object SparkEntry {
   private def e3QuantilesApprox(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
-      .agg(round(expr("approx_percentile(l_extendedprice, 0.99)"), 2).as("p99_approx"))
+      .agg(Fns.epsRound(expr("approx_percentile(l_extendedprice, 0.99)"), 2).as("p99_approx"))
       .orderBy("l_returnflag")
 
   // ======================================================================
@@ -597,7 +597,7 @@ object SparkEntry {
       .where(col("o_orderdate") >= ts("1996-01-01 00:00:00"))
       .groupBy("n_name")
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        Fns.epsRound(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("n_name")
 
@@ -701,7 +701,7 @@ object SparkEntry {
         |  count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "a7_interval_join" ->
-      """SELECT o_orderkey, count(*) AS n_shipped_90d, round(sum(l_quantity), 2) AS qty_90d
+      """SELECT o_orderkey, count(*) AS n_shipped_90d, round(sum(l_quantity) + 1e-9, 2) AS qty_90d
         |FROM orders JOIN lineitem
         |  ON l_orderkey = o_orderkey
         | AND l_shipdate >= o_orderdate
@@ -715,7 +715,7 @@ object SparkEntry {
         |  AND ts <= TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
     "a5_snapshot_filter" ->
-      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      """SELECT event_type, count(*) AS n, round(sum(value) + 1e-9, 2) AS sum_value
         |FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "b1_validated_ingest" ->
@@ -753,17 +753,17 @@ object SparkEntry {
     "e2_sliding_avg" ->
       """SELECT event_id, user_id,
         |       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS sliding_avg
+        |                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS sliding_avg
         |FROM events ORDER BY event_id""".stripMargin,
     "e23_quantiles" ->
-      """SELECT l_returnflag, round(avg(l_extendedprice), 2) AS avg_price,
-        |       round(quantile_cont(l_extendedprice, 0.99), 2) AS p99_price,
+      """SELECT l_returnflag, round(avg(l_extendedprice) + 1e-9, 2) AS avg_price,
+        |       round(quantile_cont(l_extendedprice, 0.99) + 1e-9, 2) AS p99_price,
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "e4_counters" ->
       """SELECT user_id, count(*) AS n_events,
         |       count(*) FILTER (event_type = 'error') AS n_errors,
-        |       round(count(*) FILTER (event_type = 'error') / count(*)::DOUBLE, 4) AS error_rate
+        |       round(count(*) FILTER (event_type = 'error') / count(*)::DOUBLE + 1e-9, 4) AS error_rate
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "e6_pivot_vector" ->
       """WITH latest AS (SELECT user_id, event_type, arg_max(value, ts) AS value
@@ -781,10 +781,10 @@ object SparkEntry {
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |       round(avg(l_discount), 6) AS avg_disc,
+        |       round(sum(l_quantity) + 1e-9, 2) AS sum_qty,
+        |       round(sum(l_extendedprice) + 1e-9, 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)) + 1e-9, 2) AS sum_disc_price,
+        |       round(avg(l_discount) + 1e-9, 6) AS avg_disc,
         |       count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -831,7 +831,7 @@ object SparkEntry {
         |  FROM (SELECT doc_id, lang, n_chars, string_split_regex(trim(text), '\s+') AS w FROM documents))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |             len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 4) AS jaccard
+        |             len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE + 1e-9, 4) AS jaccard
         |FROM s a JOIN s b
         |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
@@ -849,7 +849,7 @@ object SparkEntry {
         |r AS (SELECT query_id, vec_id, sim,
         |             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
         |      FROM p)
-        |SELECT query_id, rank, vec_id, round(sim, 4) AS cosine
+        |SELECT query_id, rank, vec_id, round(sim + 1e-9, 4) AS cosine
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "g2_cosine_topk_agg" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
@@ -863,7 +863,7 @@ object SparkEntry {
         |r AS (SELECT query_id, vec_id, sim,
         |             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
         |      FROM p)
-        |SELECT query_id, rank, vec_id, round(sim, 4) AS cosine
+        |SELECT query_id, rank, vec_id, round(sim + 1e-9, 4) AS cosine
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "g2_cosine_threshold" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
@@ -885,7 +885,7 @@ object SparkEntry {
         |    (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
         |     sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS sim
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, round(sim, 4) AS cosine FROM p
+        |SELECT id_a, id_b, round(sim + 1e-9, 4) AS cosine FROM p
         |WHERE sim >= 0.3 ORDER BY id_a, id_b""".stripMargin,
     "g3_token_counts" ->
       """SELECT doc_id,
@@ -898,8 +898,8 @@ object SparkEntry {
         |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin,
     "g3_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
-        |       round(avg(length(text)), 2) AS avg_chars,
-        |       round(avg(len(string_split_regex(trim(text), '\s+'))), 2) AS avg_tokens,
+        |       round(avg(length(text)) + 1e-9, 2) AS avg_chars,
+        |       round(avg(len(string_split_regex(trim(text), '\s+'))) + 1e-9, 2) AS avg_tokens,
         |       count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "g3_quality" ->
@@ -924,8 +924,8 @@ object SparkEntry {
         |    (doc_id % 100) * 1000 AS duration_ms
         |  FROM documents)
         |SELECT media_type, count(*) AS n_media, sum(strlen(text))::BIGINT AS total_bytes,
-        |       round(avg(width * height), 2) AS avg_pixels,
-        |       round(avg(duration_ms), 2) AS avg_duration_ms
+        |       round(avg(width * height) + 1e-9, 2) AS avg_pixels,
+        |       round(avg(duration_ms) + 1e-9, 2) AS avg_duration_ms
         |FROM m GROUP BY media_type ORDER BY media_type""".stripMargin,
     "g5_frame_sample" ->
       """WITH m AS (SELECT doc_id AS media_id, text, (doc_id % 100) * 1000 AS duration_ms FROM documents),
@@ -952,17 +952,17 @@ object SparkEntry {
         |  FROM s)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |       min(ts) AS session_start, max(ts) AS session_end,
-        |       round(sum(value), 2) AS sum_value
+        |       round(sum(value) + 1e-9, 2) AS sum_value
         |FROM s2 GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
     "g3_length_hist" ->
       """SELECT n_chars // 50 + 1 AS bucket, count(*) AS n
         |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
     "h4_lag_delta" ->
       """SELECT event_id, user_id,
-        |       round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
+        |       round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) + 1e-9, 2) AS delta
         |FROM events ORDER BY event_id""".stripMargin,
     "h1_grouping_sets" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity) + 1e-9, 2) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
@@ -978,7 +978,7 @@ object SparkEntry {
         |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
         |ORDER BY cohort, user_id""".stripMargin,
     "q3_join_agg" ->
-      """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)) + 1e-9, 2) AS revenue,
         |       count(*) AS n_items
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |  JOIN orders ON o_custkey = c_custkey

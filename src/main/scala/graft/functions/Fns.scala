@@ -34,6 +34,17 @@ object Fns {
   def storeKey(entityType: Column, entityId: Column): Column =
     concat_ws(":", entityType, entityId)
 
+  /** round() with a +1e-9 nudge, mirrored verbatim in every oracle SQL that
+    * rounds the same value. Spark rounds the exact binary expansion of the
+    * double (BigDecimal HALF_UP); DuckDB rounds the scaled double — so the
+    * SAME double sitting on a .xx5 decimal boundary can legally round apart.
+    * Nudging both engines off the boundary keeps the comparison stable for
+    * any input data (the boundary case is measure-zero but real — it bit
+    * g3_quality). Only for computed doubles (ratios, averages, products);
+    * plain sums of 2-dp inputs don't need it but tolerate it.
+    */
+  def epsRound(c: Column, scale: Int): Column = round(c + lit(1e-9), scale)
+
   // ---- embedding math (G2) ------------------------------------------------
   // Computed in double with a strict left-to-right fold (higher-order
   // functions), so results are bit-reproducible across runs and engines

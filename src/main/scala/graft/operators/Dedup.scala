@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Fns.epsRound
+
 /** Document deduplication operators (SURVEY.md §2 G1 — capability-mandated
   * extension; the reference's EMBEDDING value type at
   * /root/reference/src/registry/feature_registry.py:42 is its only hook).
@@ -106,7 +108,7 @@ object Dedup {
         "jaccard",
         col("__common").cast("double") / (col("__na") + col("__nb") - col("__common")).cast("double"))
       .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), epsRound(col("jaccard"), 4).as("jaccard"))
   }
 
   /** MinHash-LSH near-dup pairs, exact-verified.
@@ -173,7 +175,7 @@ object Dedup {
         "jaccard",
         col("__common").cast("double") / (col("__na") + col("__nb") - col("__common")).cast("double"))
       .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("id_a"), col("id_b"), epsRound(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Connected components over near-dup pairs -> canonical id per doc (the
@@ -194,24 +196,33 @@ object Dedup {
       .cache()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
+      .cache()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       // each node adopts the min label in its neighborhood (incl. its own)
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "blabel"), "b")
+        .join(labels.select(col("id").as("b"), col("label").as("blabel")), "b")
         .groupBy(col("a").as("id"))
         .agg(min(col("blabel")).as("nlabel"))
+      // carry the previous label alongside the new one in ONE cached frame:
+      // the convergence check is then a scan of that cache, and the next
+      // iteration reads the same cache — each round costs exactly one job
+      // (two hash joins + a min agg), instead of recomputing the frame for
+      // the check and again on cache materialization
       val next = labels
         .join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .where(col("label") =!= col("old")).limit(1).count() > 0
-      labels = next.cache()
-      converged = !changed
+        .select(col("id"), col("label").as("__prev"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      converged = next.where(col("label") =!= col("__prev")).isEmpty
+      labels.unpersist()
+      labels = next
       iter += 1
     }
     edges.unpersist()
+    // labels stays cached deliberately: the caller's action reads it, and the
+    // alternative is recomputing the whole iterative lineage
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
   }
 

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.Fns.epsRound
+
 /** Multimodal columns (SURVEY.md §2 G — capability-mandated extension):
   * image/audio/video payloads as opaque `binary` columns with typed
   * metadata, plus decode / feature-extract / frame-sample operators.
@@ -120,6 +122,6 @@ object Multimodal {
       .agg(
         count(lit(1)).as("n_media"),
         sum(length(col("content"))).cast("long").as("total_bytes"),
-        round(avg(col("meta.width") * col("meta.height")), 2).as("avg_pixels"),
-        round(avg(col("meta.duration_ms")), 2).as("avg_duration_ms"))
+        epsRound(avg(col("meta.width") * col("meta.height")), 2).as("avg_pixels"),
+        epsRound(avg(col("meta.duration_ms")), 2).as("avg_duration_ms"))
 }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Fns.epsRound
+
 /** Gap-based sessionization — the canonical event-log feature-engineering
   * op (a new session starts when the gap to the previous event exceeds
   * `gapSec`). Two windows over one shuffle partition set: lag() to flag
@@ -34,5 +36,5 @@ object Sessionize {
         count(lit(1)).as("n_events"),
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
-        round(sum(col(valueCol)), 2).as("sum_value"))
+        epsRound(sum(col(valueCol)), 2).as("sum_value"))
 }

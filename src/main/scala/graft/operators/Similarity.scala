@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Fns, VectorExpressions}
+import graft.functions.Fns.epsRound
 
 /** Embedding similarity search (SURVEY.md §2 G2; reference EMBEDDING type,
   * /root/reference/src/registry/feature_registry.py:42).
@@ -50,7 +51,7 @@ object Similarity {
     joined
       .withColumn("__rank", row_number().over(w))
       .where(col("__rank") <= k)
-      .select(col(qidCol), col("__rank").as("rank"), col(idCol), round(col("__sim"), 4).as("cosine"))
+      .select(col(qidCol), col("__rank").as("rank"), col(idCol), epsRound(col("__sim"), 4).as("cosine"))
   }
 
   /** Exact top-k via the custom bounded-heap aggregate
@@ -87,7 +88,7 @@ object Similarity {
         col(qidCol),
         (col("__r") + 1).cast("long").as("rank"),
         col("__t").getField("id").as(idCol),
-        round(col("__t").getField("sim"), 4).as("cosine"))
+        epsRound(col("__t").getField("sim"), 4).as("cosine"))
   }
 
   /** Count of candidates above a cosine threshold, per query. */
@@ -128,7 +129,7 @@ object Similarity {
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("__sim", VectorExpressions.vecDot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .where(col("__sim") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("__sim"), 4).as("cosine"))
+      .select(col("id_a"), col("id_b"), epsRound(col("__sim"), 4).as("cosine"))
   }
 
   /** IVF (inverted-file) approximate top-k: a deterministic coarse
@@ -183,7 +184,7 @@ object Similarity {
     matched
       .withColumn("__rank", row_number().over(w))
       .where(col("__rank") <= k)
-      .select(col(qidCol), col("__rank").as("rank"), col(idCol), round(col("__sim"), 4).as("cosine"))
+      .select(col(qidCol), col("__rank").as("rank"), col(idCol), epsRound(col("__sim"), 4).as("cosine"))
   }
 
   /** Deterministic pseudo-random hyperplanes: component (t, p, i) derived
@@ -247,6 +248,6 @@ object Similarity {
     matched
       .withColumn("__rank", row_number().over(w))
       .where(col("__rank") <= k)
-      .select(col(qidCol), col("__rank").as("rank"), col(idCol), round(col("__sim"), 4).as("cosine"))
+      .select(col(qidCol), col("__rank").as("rank"), col(idCol), epsRound(col("__sim"), 4).as("cosine"))
   }
 }
