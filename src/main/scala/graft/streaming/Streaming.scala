@@ -104,6 +104,76 @@ object Streaming {
       }
   }
 
+  /** Online-store entry with lifecycle flag: `expired = true` marks a
+    * TTL-evicted key (tombstone for the downstream sink to delete). */
+  case class OnlineEntry(
+      user_id: Long, event_type: String, value: Double,
+      ts: java.sql.Timestamp, version: Int, expired: Boolean)
+
+  /** B2 streaming with state TTL — the reference's stale→expired lifecycle
+    * (ServingConfig.stale_threshold_seconds = 86400,
+    * feature_server.py:108: entries past the threshold leave the online
+    * store) as an event-time timeout on keyed state. When no new
+    * observation arrives for `ttl` past a key's latest event time, the
+    * state is dropped and a tombstone (`expired = true`) is emitted so the
+    * sink can delete the row. Without this, online-store state grows
+    * monotonically with key cardinality — at 100 TB scale TTL eviction is
+    * what keeps the state store bounded.
+    */
+  def latestStateStreamTtl(
+      stream: Dataset[EventRow],
+      ttl: java.time.Duration,
+      watermark: String = "10 minutes"): Dataset[OnlineEntry] = {
+    import stream.sparkSession.implicits._
+    val ttlMs = ttl.toMillis
+    stream
+      .withWatermark("ts", watermark)
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[LatestState, OnlineEntry](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((uid, etype), events, state: GroupState[LatestState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(OnlineEntry(uid, etype, s.value, s.ts, s.version, expired = true))
+          } else {
+            val incoming = events.toSeq
+            if (incoming.isEmpty) Iterator.empty
+            else {
+              val candidates = state.getOption.toSeq.map(s => (s.ts.getTime, Long.MaxValue, s)) ++
+                incoming.map(e => (e.ts.getTime, e.event_id, LatestState(uid, etype, e.value, e.ts, 0)))
+              val (_, _, winner) = candidates.maxBy(c => (c._1, c._2))
+              val prev = state.getOption
+              val out =
+                if (prev.exists(p => p.ts == winner.ts && p.value == winner.value)) Iterator.empty
+                else {
+                  val next = winner.copy(version = prev.map(_.version).getOrElse(0) + 1)
+                  state.update(next)
+                  Iterator.single(OnlineEntry(uid, etype, next.value, next.ts, next.version, expired = false))
+                }
+              // re-arm the TTL clock off the stored latest observation; the
+              // timeout timestamp must sit beyond the current watermark or
+              // Spark rejects it, hence the clamp
+              val base = state.getOption.map(_.ts.getTime).getOrElse(winner.ts.getTime)
+              state.setTimeoutTimestamp(math.max(base + ttlMs, state.getCurrentWatermarkMs() + 1))
+              out
+            }
+          }
+      }
+  }
+
+  /** State-store settings for production-size keyed state: RocksDB keeps
+    * state off-heap + on local disk (the default HDFS-backed provider holds
+    * every versioned map in executor memory), and changelog checkpointing
+    * ships per-batch deltas instead of full SST snapshots. Apply via
+    * `configs.foreach { case (k, v) => spark.conf.set(k, v) }` before
+    * starting stateful queries.
+    */
+  val rocksDbStateConf: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+
   /** Run a finite micro-batch of a streaming DataFrame into an in-memory
     * table and return it (test/verification helper — production sinks are
     * writeStream.toTable / foreachBatch MERGE).

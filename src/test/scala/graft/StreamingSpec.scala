@@ -132,6 +132,42 @@ class StreamingSpec extends SparkSpec {
     assert(m(11L) == null) // explicit-null contract survives streaming
   }
 
+  test("latestStateStreamTtl evicts idle keys past the TTL and emits tombstones (RocksDB state store)") {
+    implicit val sq = spark.sqlContext
+    // exercise the production state-store provider, not just the in-memory one
+    Streaming.rocksDbStateConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val ms = MemoryStream[EventRow]
+      val q = Streaming
+        .latestStateStreamTtl(ms.toDS(), java.time.Duration.ofHours(1), watermark = "0 seconds")
+        .writeStream.format("memory").queryName("t_ttl").outputMode("update").start()
+
+      ms.addData(EventRow(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0))
+      q.processAllAvailable() // watermark -> 10:00, TTL armed for 11:00
+      ms.addData(EventRow(2L, ts("2024-01-01 12:00:00"), 9L, "view", 2.0))
+      q.processAllAvailable() // watermark -> 12:00 after this batch
+      ms.addData(EventRow(3L, ts("2024-01-01 12:30:00"), 9L, "view", 3.0))
+      q.processAllAvailable() // timeout for (1, click) fires: 12:00 > 11:00
+      // key returns after eviction: version restarts at 1 (state was dropped)
+      ms.addData(EventRow(4L, ts("2024-01-01 13:00:00"), 1L, "click", 5.0))
+      q.processAllAvailable()
+      q.stop()
+
+      val rows = spark.table("t_ttl").collect()
+      val tombstones = rows.filter(_.getAs[Boolean]("expired"))
+      assert(tombstones.length == 1)
+      assert(tombstones.head.getAs[Long]("user_id") == 1L)
+      assert(tombstones.head.getAs[Double]("value") == 1.0)
+      val rearrival = rows.filter(r => r.getAs[Long]("user_id") == 1L && !r.getAs[Boolean]("expired"))
+        .maxBy(_.getAs[java.sql.Timestamp]("ts").getTime)
+      assert(rearrival.getAs[Double]("value") == 5.0)
+      assert(rearrival.getAs[Int]("version") == 1) // fresh state, not version 2
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
+  }
+
   test("latestStateStream keeps last-write-wins state per key across batches") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[EventRow]
