@@ -409,7 +409,7 @@ object SparkEntry {
     val qs  = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     Similarity
-      .ivfTopK(emb, qs, "vec_id", "embedding", "query_id", "qvec", k = 3)
+      .ivfTopK(emb, qs, "vec_id", "embedding", "query_id", "qvec", k = 3, refineIters = 2)
       .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "rank")
   }

@@ -202,10 +202,83 @@ case class HyperplaneBuckets(
     copy(child = newChild)
 }
 
+/** All-centroid dot scores in one fused loop: score[c] = dot(vec, cents[c])
+  * over a flat row-major centroid matrix carried as a plan reference.
+  * Replaces nCentroids parallel DotProduct trees — at 16×64 literals those
+  * cost seconds of codegen per (re)planned Lloyd iteration; this compiles
+  * to one short nested loop whatever the centroid count.
+  */
+case class CentroidScores(child: Expression, cents: Array[Float], nCentroids: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private val dim: Int = cents.length / nCentroids
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "centroid_scores"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    val out = new Array[Double](nCentroids)
+    var c = 0
+    while (c < nCentroids) {
+      var dot = 0.0
+      val base = c * dim
+      var i = 0
+      while (i < n) { dot += arr.getFloat(i).toDouble * cents(base + i); i += 1 }
+      out(c) = dot
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "float[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val base = ctx.freshName("base")
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |double[] $out = new double[$nCentroids];
+         |for (int $c = 0; $c < $nCentroids; $c++) {
+         |  double $dot = 0.0;
+         |  int $base = $c * $dim;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ((double) $v.getFloat($i)) * $centsRef[$base + $i];
+         |  }
+         |  $out[$c] = $dot;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API over the native expressions. */
   def vecDot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  def centroidScores(v: Column, cents: Array[Array[Float]]): Column = {
+    val n = cents.length
+    val flat = new Array[Float](cents.map(_.length).sum)
+    var off = 0
+    cents.foreach { c => System.arraycopy(c, 0, flat, off, c.length); off += c.length }
+    Bridge.column(CentroidScores(Bridge.expression(v), flat, n))
+  }
 
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))

@@ -139,6 +139,82 @@ object Similarity {
     * recall depends on nProbe. Centroids are collected to the driver (tiny)
     * and baked into the plan as literals — no shuffle to assign.
     */
+  /** L2-normalized copies of the centroids (zero vectors left as-is).
+    * Cell ranking by cosine(vec, c) equals ranking by dot(vec, c/|c|):
+    * |vec| is constant across the argmax — so scoring needs ONE dot per
+    * centroid, no norms at all (~3x fewer flops per row). */
+  private def normalized(cents: Array[Array[Float]]): Array[Array[Float]] =
+    cents.map { c =>
+      val n = math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x)).toFloat
+      if (n == 0f) c else c.map(_ / n)
+    }
+
+  /** Per-centroid dot scores as ONE transform over a single literal matrix
+    * (rides the serialized plan to every executor, no shuffle). One small
+    * expression instead of nCentroids parallel vecDot trees — the wide
+    * `greatest(struct(...))` formulation measured seconds of codegen per
+    * plan at 16×64 literals. */
+  private def cellScores(normCents: Array[Array[Float]])(vec: Column): Column =
+    VectorExpressions.centroidScores(vec, normCents)
+
+  /** Nearest-centroid cell id (first cell wins score ties — deterministic).
+    * Expects pre-[[normalized]] centroids. */
+  private def nearestCell(normCents: Array[Array[Float]])(vec: Column): Column = {
+    val scores = cellScores(normCents)(vec)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  /** Spherical k-means (Lloyd) refinement of IVF centroids. Each iteration
+    * is ONE distributed job: assign every vector to its nearest centroid
+    * (plan-inlined literals, no shuffle), then the per-cell elementwise mean
+    * via posexplode + groupBy(cell, component) — partial-aggregated
+    * map-side, so the shuffle carries at most nCentroids × dim rows per
+    * partition regardless of corpus size. Only the nCentroids × dim means
+    * are collected to the driver. Empty cells keep their previous centroid.
+    * Deterministic end-to-end (hash-ordered seeding, no RNG).
+    */
+  /** @param sampleMod refine on a deterministic ~1/sampleMod hash-sample of
+    *   the corpus (1 = use everything). Lloyd on a representative sample is
+    *   the scale path: centroid quality needs thousands of points per cell,
+    *   not the full 100 TB corpus, and the sample is cached across
+    *   iterations so each round re-reads nothing.
+    */
+  def kmeansCentroids(
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      iters: Int,
+      sampleMod: Int = 1
+  ): Array[Array[Float]] = {
+    var cents: Array[Array[Float]] = candidates
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)))
+      .limit(nCentroids)
+      .collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    if (iters == 0) return cents
+    val sample = candidates.select(col(idCol).as("__sid"), col(vecCol).as("__sv"))
+      .where(if (sampleMod > 1) pmod(xxhash64(col("__sid")), lit(sampleMod)) === 0 else lit(true))
+      .cache()
+    for (_ <- 0 until iters) {
+      val byComponent = sample
+        .select(nearestCell(normalized(cents))(col("__sv")).as("__cell"),
+          posexplode(col("__sv")).as(Seq("__i", "__x")))
+        .groupBy("__cell", "__i")
+        .agg(sum(col("__x").cast("double")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val next = cents.map(_.clone())
+      byComponent.foreach { r =>
+        val cell = r.getInt(0); val i = r.getInt(1)
+        next(cell)(i) = (r.getDouble(2) / r.getLong(3)).toFloat
+      }
+      cents = next
+    }
+    sample.unpersist()
+    cents
+  }
+
   def ivfTopK(
       candidates: DataFrame,
       queries: DataFrame,
@@ -148,31 +224,23 @@ object Similarity {
       qvecCol: String,
       k: Int,
       nCentroids: Int = 16,
-      nProbe: Int = 4
+      nProbe: Int = 4,
+      refineIters: Int = 0,
+      sampleMod: Int = 1
   ): DataFrame = {
-    import org.apache.spark.sql.Row
-    val cents: Array[Array[Float]] = candidates
-      .select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(col(idCol)))
-      .limit(nCentroids)
-      .collect()
-      .map(r => r.getSeq[Float](1).toArray)
+    val cents: Array[Array[Float]] = normalized(
+      kmeansCentroids(candidates, idCol, vecCol, nCentroids, refineIters, sampleMod))
 
-    def nearestCell(vec: Column): Column = {
-      val scored = cents.zipWithIndex.map { case (c, i) =>
-        struct(VectorExpressions.cosineSim(vec, typedLit(c)).as("s"), lit(i).as("c"))
-      }
-      greatest(scored: _*).getField("c")
-    }
     def probeCells(vec: Column): Column = {
-      val scored = array(cents.zipWithIndex.map { case (c, i) =>
-        struct(VectorExpressions.cosineSim(vec, typedLit(c)).as("s"), lit(i).as("c"))
-      }: _*)
+      val scored = zip_with(
+        cellScores(cents)(vec),
+        sequence(lit(0), lit(cents.length - 1)),
+        (s, i) => struct(s.as("s"), i.as("c")))
       transform(slice(reverse(array_sort(scored)), 1, nProbe), s => s.getField("c"))
     }
 
     val cand = withNorm(candidates.select(col(idCol), col(vecCol)), vecCol, "__cn")
-      .withColumn("__cell", nearestCell(col(vecCol)))
+      .withColumn("__cell", nearestCell(cents)(col(vecCol)))
     val qs = withNorm(queries.select(col(qidCol), col(qvecCol)), qvecCol, "__qn")
       .withColumn("__cell", explode(probeCells(col(qvecCol))))
 

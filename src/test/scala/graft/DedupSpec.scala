@@ -86,6 +86,36 @@ class DedupSpec extends SparkSpec {
     assert(top.collect().head.getLong(2) == 7L)
   }
 
+  test("kmeansCentroids converges to the planted cluster directions") {
+    // 3 well-separated direction clusters of 10 vectors each (orthogonal
+    // axes + small deterministic jitter on the other components)
+    val vecs = (0 until 30).map { i =>
+      val axis = i % 3
+      val v = Array.tabulate(6)(d =>
+        if (d == axis) 1.0f else (math.sin(i * 13 + d) * 0.05).toFloat)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", nCentroids = 3, iters = 4)
+    // every refined centroid must point dominantly along exactly one axis,
+    // and all three axes must be covered (clusters separated, none merged)
+    val dominantAxes = cents.map { c =>
+      val maxIdx = c.indices.maxBy(i => math.abs(c(i)))
+      assert(math.abs(c(maxIdx)) > 5 * c.indices.filter(_ != maxIdx).map(i => math.abs(c(i))).max)
+      maxIdx
+    }
+    assert(dominantAxes.toSet == Set(0, 1, 2))
+    // refined index at nProbe=1 achieves exact recall on this clustered set:
+    // each query's true neighbors share its cell
+    val qs = vecs.where($"vec_id" < 3).select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val top = Similarity.ivfTopK(vecs, qs, "vec_id", "embedding", "query_id", "qvec",
+      k = 9, nCentroids = 3, nProbe = 1, refineIters = 4)
+    val byQuery = top.collect().groupBy(_.getLong(0))
+    (0L until 3L).foreach { q =>
+      val ids = byQuery(q).map(_.getLong(2)).toSet
+      assert(ids == (0L until 30L).filter(i => i % 3 == q && i != q).toSet)
+    }
+  }
+
   test("cosineDupPairs finds only above-threshold pairs") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.99f, 0.1f)), (3L, Seq(0.0f, 1.0f))
