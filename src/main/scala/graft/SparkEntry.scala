@@ -484,6 +484,38 @@ object SparkEntry {
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
+  /** G3 — PHI/PII scrub: structured-identifier patterns + a term denylist,
+    * redacted in-band (the reference's phi_level masks whole columns; free
+    * text needs this before it can feed a corpus). Map-only at any scale.
+    */
+  private def g3PhiScrub(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.scrub(col("text"), denylist = Seq("customer", "key")).as("text_clean"))
+      .orderBy("doc_id")
+
+  /** H — deterministic train/val/test split assignment, counted per
+    * language (pure multiplicative-hash arithmetic: stable under
+    * repartitioning and incremental appends).
+    */
+  private def h5SplitCounts(s: SparkSession, dir: String): DataFrame =
+    Sampling.withSplit(Tables.documents(s, dir), "doc_id")
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "split")
+
+  /** G3 — stratified corpus assembly: top-3 documents per language by
+    * quality score (one shuffle on the stratum key).
+    */
+  private def g3StratifiedTopk(s: SparkSession, dir: String): DataFrame = {
+    val st = TextAnalysis.withStats(Tables.documents(s, dir), "text")
+    val scored = st.select(col("doc_id"), col("lang"),
+      TextAnalysis.qualityScore(col("n_tokens"), col("n_stopwords"), col("avg_token_len")).as("quality"))
+    Sampling.stratifiedTopK(scored, "lang", "quality", "doc_id", 3)
+      .select("lang", "rank", "doc_id", "quality")
+      .orderBy("lang", "rank")
+  }
+
   /** G3 — rolling-hash fingerprint (rows-only: xxhash64 Spark-specific). */
   private def g3Fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -655,7 +687,10 @@ object SparkEntry {
     "e3_quantiles_approx" -> (e3QuantilesApprox _),
     "g4_sessionize"      -> (g4Sessionize _),
     "g3_length_hist"     -> (g3LengthHist _),
-    "h4_lag_delta"       -> (h4LagDelta _)
+    "h4_lag_delta"       -> (h4LagDelta _),
+    "g3_phi_scrub"       -> (g3PhiScrub _),
+    "h5_split"           -> (h5SplitCounts _),
+    "g3_stratified_topk" -> (g3StratifiedTopk _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -984,6 +1019,43 @@ object SparkEntry {
         |  JOIN orders ON o_custkey = c_custkey
         |  JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |GROUP BY n_name ORDER BY n_name""".stripMargin
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "g3_phi_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    text,
+        |    '\b\d{3}-\d{2}-\d{4}\b', '[REDACTED]', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[REDACTED]', 'g'),
+        |    '\bMRN[-: ]?\d{6,10}\b', '[REDACTED]', 'g'),
+        |    '\b(customer|key)\b', '[REDACTED]', 'g') AS text_clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "h5_split" ->
+      """SELECT lang,
+        |  CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM documents GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "g3_stratified_topk" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |         length(text) AS n_chars,
+        |         len(list_filter(string_split_regex(trim(text), '\s+'),
+        |             w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], w))) AS n_stop
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang,
+        |         round(least(1.0, n_tokens / 50.0) * 0.4 +
+        |               least(1.0, (CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0 END) * 5.0) * 0.3 +
+        |               least(1.0, (CASE WHEN n_tokens > 0 THEN n_chars::DOUBLE / n_tokens ELSE 0 END) / 8.0) * 0.3 + 1e-9, 4) AS quality
+        |  FROM t),
+        |r AS (
+        |  SELECT lang, doc_id, quality,
+        |         row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS rank
+        |  FROM q)
+        |SELECT lang, rank, doc_id, quality FROM r WHERE rank <= 3
+        |ORDER BY lang, rank""".stripMargin
   )
 }

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly sampling for training pipelines (SURVEY.md §2 H gap —
+  * the reference has no sampling surface at all; these are the two shapes a
+  * corpus build actually needs).
+  *
+  * Both are deterministic pure arithmetic — reproducible across runs,
+  * engines, and partitionings (no rand()), and replayable by the SQL
+  * oracle. Both are map-only or one-window: no operation here shuffles more
+  * than once, so they hold at any corpus size.
+  */
+object Sampling {
+
+  /** Deterministic train/val/test assignment via multiplicative hashing of
+    * a numeric id (Knuth's 2654435761 multiplier — same family as
+    * h3_hash_sample). Map-only: each row's split is a pure function of its
+    * id, so the assignment is stable under re-partitioning, incremental
+    * appends, and engine changes — the property that makes the split safe
+    * to recompute instead of materialize.
+    */
+  def withSplit(df: DataFrame, idCol: String, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = pmod(col(idCol).cast("long") * lit(2654435761L), lit(100L))
+    df.withColumn("split",
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** Stratified top-k: the k best rows per stratum by a score column
+    * (quality-filtered corpus assembly: "keep the best N documents per
+    * language"). One shuffle on the stratum key; the window's rank is
+    * computed within each partition after a single sort.
+    */
+  def stratifiedTopK(
+      df: DataFrame,
+      stratumCol: String,
+      scoreCol: String,
+      tieCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col(scoreCol).desc, col(tieCol).asc)
+    df.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= k)
+  }
+}

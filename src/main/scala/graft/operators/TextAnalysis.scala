@@ -76,4 +76,41 @@ object TextAnalysis {
       lit(0L),
       (acc, t) => xxhash64(acc, t)
     )
+
+  // ---- PHI/PII scrubbing (D2 taken to the text level: the reference masks
+  // whole columns by phi_level, feature_registry.py:139; free-text features
+  // need in-band redaction before they can feed a training corpus) ---------
+
+  /** Structured-identifier patterns, most-specific first (SSN before the
+    * generic phone shape so 123-45-6789 isn't half-eaten by the phone rule).
+    * Kept to syntax shared by Java regex and RE2 (\b, \d, alternation) so
+    * the DuckDB oracle replays them verbatim.
+    */
+  val PhiPatterns: Seq[String] = Seq(
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b",                         // SSN
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",    // email
+    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b",                   // US phone
+    "\\bMRN[-: ]?\\d{6,10}\\b"                            // medical record number
+  )
+
+  /** Redact structured identifiers and denylisted terms from a text column.
+    * A chain of regexp_replace stays inside whole-stage codegen (each link
+    * is a compiled-once Java Pattern per task) and scales per-row with no
+    * shuffle — scrubbing 100 TB is a map-only pass.
+    *
+    * @param denylist terms redacted on word boundaries (dictionary
+    *   redaction: facility names, project codenames, known identifiers).
+    *   Terms must be plain words — they're spliced into an alternation, NOT
+    *   regex-escaped (Pattern.quote's \Q..\E would break the RE2 oracle).
+    */
+  def scrub(
+      text: Column,
+      replacement: String = "[REDACTED]",
+      patterns: Seq[String] = PhiPatterns,
+      denylist: Seq[String] = Seq.empty): Column = {
+    val withDeny =
+      if (denylist.isEmpty) patterns
+      else patterns :+ denylist.mkString("\\b(", "|", ")\\b")
+    withDeny.foldLeft(text)((c, p) => regexp_replace(c, p, replacement))
+  }
 }

@@ -87,6 +87,46 @@ class OperatorSpec extends SparkSpec {
     assert(r.drop(5).forall(c => "0123456789abcdef".contains(c)))
   }
 
+  test("scrub redacts planted PHI identifiers and denylist terms, leaves clean text alone") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "patient SSN 123-45-6789 called from 555-123-4567"),
+      (2L, "contact jane.doe+x@example-hospital.org re chart MRN-12345678"),
+      (3L, "the quick brown fox"), // nothing to redact
+      (4L, "Project Nightingale customer record") // denylist term only
+    ).toDF("id", "text")
+    val out = df.select($"id", TextAnalysis.scrub($"text", denylist = Seq("Nightingale", "customer")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "patient SSN [REDACTED] called from [REDACTED]")
+    assert(out(2L) == "contact [REDACTED] re chart [REDACTED]")
+    assert(out(3L) == "the quick brown fox")
+    assert(out(4L) == "Project [REDACTED] [REDACTED] record")
+  }
+
+  test("withSplit is deterministic, exhaustive, and stable under repartitioning") {
+    import graft.operators.Sampling
+    val df = spark.range(0, 1000).toDF("id")
+    val a = Sampling.withSplit(df, "id").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a.values.sum == 1000L)
+    assert(a("train") > 700 && a("val") > 50 && a("test") > 50) // ~80/10/10
+    val b = Sampling.withSplit(df.repartition(7), "id").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("stratifiedTopK keeps exactly k best rows per stratum with deterministic ties") {
+    import graft.operators.Sampling
+    val df = Seq(
+      ("en", 1L, 0.9), ("en", 2L, 0.9), ("en", 3L, 0.5), ("en", 4L, 0.1),
+      ("de", 5L, 0.7), ("de", 6L, 0.3)
+    ).toDF("lang", "doc_id", "q")
+    val out = Sampling.stratifiedTopK(df, "lang", "q", "doc_id", 2)
+      .select("lang", "rank", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("en", 1L, 1L), ("en", 2L, 2L), ("de", 1L, 5L), ("de", 2L, 6L)))
+  }
+
   test("cosine: identical vectors -> 1.0, orthogonal -> 0.0") {
     val df = Seq(
       ("same", Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)),
