@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // let AQE re-coalesce shuffle partitions even under .cache() —
+      // iterative ops (connected components, Lloyd) cache tiny frames whose
+      // fixed 32-way partitioning otherwise costs ~100 empty tasks/iteration
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -15,6 +15,10 @@ object Profile {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // let AQE re-coalesce shuffle partitions even under .cache() —
+      // iterative ops (connected components, Lloyd) cache tiny frames whose
+      // fixed 32-way partitioning otherwise costs ~100 empty tasks/iteration
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
