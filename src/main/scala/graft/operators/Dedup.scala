@@ -189,7 +189,18 @@ object Dedup {
     * @param pairs columns (id_a, id_b); undirected
     * @return (doc_id, canonical_id) for every doc appearing in a pair
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  /** @param jumpAfter engage pointer-jumping (path halving) from this
+    *   round on. Plain min-label propagation converges in O(diameter)
+    *   rounds — right for near-dup clusters (diameter 2-5) and ~half the
+    *   per-round cost; the jump compresses label paths geometrically
+    *   (~O(log diameter) rounds), which is what saves a pathological
+    *   long-chain graph. Starting plain and escalating only if still
+    *   unconverged gets both (CcScaleProbe, 1M nodes, local[4]: chains of
+    *   5 in 15s; chains of 33 in 23s — the latter OOM'd the driver on plan
+    *   trees before rounds were localCheckpoint'ed, and would need 32
+    *   propagation-only rounds).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20, jumpAfter: Int = 4): DataFrame = {
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .distinct()
@@ -205,17 +216,34 @@ object Dedup {
         .join(labels.select(col("id").as("b"), col("label").as("blabel")), "b")
         .groupBy(col("a").as("id"))
         .agg(min(col("blabel")).as("nlabel"))
-      // carry the previous label alongside the new one in ONE cached frame:
-      // the convergence check is then a scan of that cache, and the next
-      // iteration reads the same cache — each round costs exactly one job
-      // (two hash joins + a min agg), instead of recomputing the frame for
-      // the check and again on cache materialization
-      val next = labels
+      val propagated = labels
+        .select(col("id"), col("label").as("__prev"))
         .join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("__prev"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
+        .select(col("id"), col("__prev"),
+          least(col("__prev"), coalesce(col("nlabel"), col("__prev"))).as("__plabel"))
+      // ONE cached frame per round carries (new label, previous label): the
+      // convergence check is a scan of that cache and the next round reads
+      // the same cache — nothing is computed twice
+      var jumpCache: DataFrame = null
+      // localCheckpoint, not cache: each round's plan references the
+      // previous round's (twice, in jump rounds — the self-join) — without
+      // lineage truncation the logical plan doubles per round and the
+      // DRIVER OOMs on plan trees around round ~12. Checkpointing pins the
+      // round's rows and restarts the plan from them. (On a cluster with a
+      // checkpoint dir, `checkpoint()` adds fault-tolerance back.)
+      val next = (
+        if (iter < jumpAfter) {
+          propagated.select(col("id"), col("__prev"), col("__plabel").as("label"))
+        } else {
+          jumpCache = propagated.cache() // feeds both sides of the jump join
+          jumpCache.join(
+              jumpCache.select(col("id").as("__plabel"), col("__plabel").as("__jlabel")),
+              Seq("__plabel"), "left")
+            .select(col("id"), col("__prev"),
+              least(col("__plabel"), coalesce(col("__jlabel"), col("__plabel"))).as("label"))
+        }).localCheckpoint()
       converged = next.where(col("label") =!= col("__prev")).isEmpty
+      if (jumpCache != null) jumpCache.unpersist()
       labels.unpersist()
       labels = next
       iter += 1

@@ -30,4 +30,30 @@ object Lakehouse {
   def readAsOf(spark: SparkSession, path: String, tsCol: String, asOf: String): DataFrame =
     read(spark, path)
       .where(col("event_date") <= to_date(lit(asOf)) && col(tsCol) <= lit(asOf).cast("timestamp"))
+
+  /** Entity-bucketed catalog table: rows are hash-clustered into `nBuckets`
+    * files per partition on `bucketCol` and sorted within each bucket.
+    * Every recurring entity-keyed operation — as-of enrichment joins,
+    * latest-per-key aggregation, orphan anti-joins — then reads
+    * pre-clustered data: Catalyst drops the Exchange (and with sortBy, the
+    * Sort) on the bucketed side entirely. At 100 TB that is THE difference
+    * between re-shuffling the fact log on every query and shuffling it
+    * once at write time. Bucket count should be sized so one bucket ≈ one
+    * executor-core task (e.g. 4096 for a ~100 TB log).
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      nBuckets: Int,
+      sortCols: Seq[String] = Seq.empty): Unit = {
+    val w = df.write
+      .bucketBy(nBuckets, bucketCol)
+      .mode("overwrite")
+      .format("parquet")
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
+  def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }

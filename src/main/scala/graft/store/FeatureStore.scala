@@ -400,6 +400,27 @@ class FeatureStore(val spark: SparkSession) {
     graft.sources.Lakehouse.writeDatePartitioned(values, s"$path/feature_values", "event_timestamp")
     spark.createDataset(auditLog).write.mode("overwrite").parquet(s"$path/audit_log")
   }
+
+  /** Catalog-table persistence with the full 100 TB layout: date partitions
+    * (as-of pruning) + entity_id buckets sorted by (entity_id, ts). Every
+    * downstream latest-per-key aggregate, as-of enrichment join, or orphan
+    * anti-join on entity_id then reads pre-clustered data and plans WITHOUT
+    * an Exchange — the fact log is shuffled once at write time instead of
+    * on every query. Read back with `spark.table(s"${prefix}_values")`.
+    */
+  def saveBucketed(tablePrefix: String, nBuckets: Int): Unit = {
+    import spark.implicits._
+    registryDS.write.mode("overwrite").saveAsTable(s"${tablePrefix}_registry")
+    values
+      .withColumn("event_date", to_date(col("event_timestamp")))
+      .write
+      .partitionBy("event_date")
+      .bucketBy(nBuckets, "entity_id")
+      .sortBy("entity_id", "event_timestamp")
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(s"${tablePrefix}_values")
+  }
 }
 
 object FeatureStore {

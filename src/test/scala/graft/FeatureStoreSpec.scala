@@ -42,6 +42,29 @@ class FeatureStoreSpec extends SparkSpec {
     fs.ingestValues(df, Map("heart_rate" -> hrId, "diagnosis_risk" -> dxId), now)
   }
 
+  test("saveBucketed: latest-per-key over the bucketed fact table plans without an Exchange") {
+    val (fs, hrId, dxId) = newStore()
+    ingestSample(fs, hrId, dxId)
+    fs.saveBucketed("fsb", 4)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val facts = spark.table("fsb_values")
+      val latest = graft.operators.Latest.latestAgg(
+        facts, Seq("entity_id", "feature_id"), "event_timestamp", "feature_name", Seq("value_double"))
+      // HashPartitioning(entity_id) from the buckets satisfies the
+      // ClusteredDistribution(entity_id, feature_id) the aggregate needs —
+      // the write-time shuffle replaces every query-time one
+      val plan = latest.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed latest-agg must be exchange-free:\n$plan")
+      assert(latest.count() == 3L) // (p1,hr) (p1,dx) (p2,hr)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS fsb_values")
+      spark.sql("DROP TABLE IF EXISTS fsb_registry")
+    }
+  }
+
   test("registration: vocab + PHI constraints + lifecycle") {
     val fs = new FeatureStore(spark)
     assert(fs.registerFeature("x", "1", FeatureSchemaMeta("x", "bogus"),

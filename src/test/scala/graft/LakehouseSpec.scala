@@ -28,4 +28,28 @@ class LakehouseSpec extends SparkSpec {
     val total  = Lakehouse.read(spark, dir).select(input_file_name()).distinct().count()
     assert(pruned <= 5 && total >= 28, s"pruned=$pruned total=$total")
   }
+
+  test("bucketed tables join without any exchange; unbucketed join shuffles") {
+    import spark.implicits._
+    val facts = (1L to 200L).map(i => (i % 40, i, i * 1.5)).toDF("user_id", "event_id", "value")
+    val dims  = (0L until 40L).map(i => (i, s"user_$i")).toDF("user_id", "name")
+    Lakehouse.writeBucketed(facts, "t_facts_b", "user_id", 4, sortCols = Seq("user_id"))
+    Lakehouse.writeBucketed(dims, "t_dims_b", "user_id", 4, sortCols = Seq("user_id"))
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ so bucketing is what's tested
+    try {
+      val joined = Lakehouse.readTable(spark, "t_facts_b")
+        .join(Lakehouse.readTable(spark, "t_dims_b"), "user_id")
+      assert(joined.count() == 200L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must be exchange-free:\n$plan")
+      // contrast: the same join over raw (unbucketed) frames must shuffle
+      val shuffled = facts.join(dims, "user_id")
+      assert(shuffled.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS t_facts_b")
+      spark.sql("DROP TABLE IF EXISTS t_dims_b")
+    }
+  }
 }
