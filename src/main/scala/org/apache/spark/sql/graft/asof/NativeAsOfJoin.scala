@@ -3,9 +3,11 @@ package org.apache.spark.sql.graft.asof
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 
 /** Native partitioned merge-scan as-of join (SURVEY.md §4: "if still hot at
   * 100 TB: custom SparkStrategy for a partitioned merge-scan as-of join —
@@ -60,7 +62,7 @@ case class AsOfJoinExec(
     rightTie: Expression,
     left: SparkPlan,
     right: SparkPlan)
-  extends SparkPlan with BinaryExecNode {
+  extends SparkPlan with BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
 
@@ -77,6 +79,130 @@ case class AsOfJoinExec(
 
   override protected def withNewChildrenInternal(newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
     copy(left = newLeft, right = newRight)
+
+  // ---- whole-stage codegen -----------------------------------------------
+  // Same two-iterator shape SortMergeJoinExec uses: this node is the stage's
+  // produce root over BOTH children's row iterators (the sorts below are
+  // pipeline breakers anyway, so nothing is lost by not chaining their
+  // produce), and downstream projects/filters fuse through consume().
+  // If janino rejects the generated code Spark silently falls back to
+  // doExecute() — the interpreted merge below stays the semantic reference.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
+      v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
+      v => s"$v = inputs[1];")
+    val headRow = ctx.addMutableState("InternalRow", "asofHead")
+    val carriedRow = ctx.addMutableState("InternalRow", "asofCarried")
+    val carriedTs = ctx.addMutableState("long", "asofCarriedTs",
+      v => s"$v = Long.MIN_VALUE;")
+
+    val leftRow = ctx.freshName("asofLeftRow")
+    ctx.currentVars = null
+
+    // evaluate `exprs` bound against `attrs` with INPUT_ROW = `row`
+    def evalOn(row: String, exprs: Seq[Expression], attrs: Seq[Attribute]): Seq[ExprCode] = {
+      val saved = ctx.INPUT_ROW
+      ctx.INPUT_ROW = row
+      val codes = exprs.map(BindReferences.bindReference(_, attrs).genCode(ctx))
+      ctx.INPUT_ROW = saved
+      codes
+    }
+    // cascade per-key comparisons (nulls first, null == null) into cmpVar
+    def keyCompare(cmpVar: String, a: Seq[ExprCode], b: Seq[ExprCode]): String =
+      leftKeys.zipWithIndex.map { case (k, i) =>
+        val c = ctx.freshName("c")
+        s"""
+           |if ($cmpVar == 0) {
+           |  int $c;
+           |  if (${a(i).isNull} && ${b(i).isNull}) $c = 0;
+           |  else if (${a(i).isNull}) $c = -1;
+           |  else if (${b(i).isNull}) $c = 1;
+           |  else $c = ${ctx.genComp(k.dataType, a(i).value.toString, b(i).value.toString)};
+           |  $cmpVar = $c;
+           |}
+         """.stripMargin
+      }.mkString("\n")
+
+    val lKeys = evalOn(leftRow, leftKeys, left.output)
+    val lTs = evalOn(leftRow, Seq(leftTs), left.output).head
+    val lts = ctx.freshName("lts")
+
+    val hKeys = evalOn(headRow, rightKeys, right.output)
+    val hTs = evalOn(headRow, Seq(rightTs), right.output).head
+    val hts = ctx.freshName("hts")
+    val cmpAdv = ctx.freshName("cmpAdv")
+
+    val cKeys = evalOn(carriedRow, rightKeys, right.output)
+    val cmpMatch = ctx.freshName("cmpMatch")
+    val matched = ctx.freshName("matched")
+    val rightRowTerm = ctx.freshName("asofRightRow")
+
+    // output: left attrs straight off leftRow; right attrs null-guarded off
+    // the matched carried row
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      val saved = ctx.INPUT_ROW
+      ctx.INPUT_ROW = leftRow
+      val ev = org.apache.spark.sql.catalyst.expressions.BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+      ctx.INPUT_ROW = saved
+      ev
+    }
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("rIsNull")
+      val value = ctx.freshName("rValue")
+      val jt = CodeGenerator.javaType(a.dataType)
+      val src =
+        s"""
+           |boolean $isNull = ($rightRowTerm == null) || $rightRowTerm.isNullAt($i);
+           |$jt $value = $isNull ? ${CodeGenerator.defaultValue(a.dataType)} :
+           |  (${CodeGenerator.getValue(rightRowTerm, a.dataType, i.toString)});
+         """.stripMargin
+      ExprCode(code"$src", JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+    }
+
+    s"""
+       |while ($limitNotReachedCond $leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  ${lKeys.map(_.code.toString).mkString("\n")}
+       |  ${lTs.code}
+       |  long $lts = ${lTs.isNull} ? Long.MIN_VALUE : ${lTs.value};
+       |  while (true) {
+       |    if ($headRow == null) {
+       |      if (!$rightInput.hasNext()) break;
+       |      $headRow = (InternalRow) $rightInput.next();
+       |    }
+       |    ${hKeys.map(_.code.toString).mkString("\n")}
+       |    ${hTs.code}
+       |    long $hts = ${hTs.isNull} ? Long.MIN_VALUE : ${hTs.value};
+       |    int $cmpAdv = 0;
+       |    ${keyCompare(cmpAdv, hKeys, lKeys)}
+       |    if ($cmpAdv < 0 || ($cmpAdv == 0 && $hts <= $lts)) {
+       |      $carriedRow = $headRow.copy();
+       |      $carriedTs = $hts;
+       |      $headRow = null;
+       |    } else {
+       |      break;
+       |    }
+       |  }
+       |  boolean $matched = false;
+       |  if ($carriedRow != null && $carriedTs <= $lts) {
+       |    ${cKeys.map(_.code.toString).mkString("\n")}
+       |    int $cmpMatch = 0;
+       |    ${keyCompare(cmpMatch, cKeys, lKeys)}
+       |    $matched = ($cmpMatch == 0);
+       |  }
+       |  InternalRow $rightRowTerm = $matched ? $carriedRow : null;
+       |  ${consume(ctx, leftVars ++ rightVars)}
+       |  $shouldStopCheckCode
+       |}
+     """.stripMargin
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyTypes = leftKeys.map(_.dataType)

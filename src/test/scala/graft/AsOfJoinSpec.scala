@@ -77,6 +77,31 @@ class AsOfJoinSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("native exec participates in whole-stage codegen; codegen == interpreted output") {
+    val f = (1 to 500).map { i =>
+      (s"u${i % 7}", ts(f"2024-01-${i % 28 + 1}%02d ${i % 24}%02d:00:00"), i.toLong, i.toDouble)
+    }.toDF("k", "fts", "tie", "v")
+    val s = (1 to 200).map { i =>
+      (s"u${i % 9}", ts(f"2024-01-${(i * 3) % 28 + 1}%02d ${(i * 7) % 24}%02d:30:00"), s"s$i")
+    }.toDF("k", "sts", "tag")
+    def result() = AsOfJoin.native(s, f, Seq("k"), "sts", "fts", Seq("v"), "tie")
+      .orderBy("tag").collect().map(_.toString).toSeq
+
+    val withCodegen = result()
+    // the exec must actually be INSIDE a WholeStageCodegen span (marked *(n));
+    // materialize first — under AQE the final plan only exists post-execution
+    val df = AsOfJoin.native(s, f, Seq("k"), "sts", "fts", Seq("v"), "tie")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("AsOfJoin") && l.contains("*")), s"exec not codegen'd:\n$plan")
+
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(result() == withCodegen)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
+
   test("optimizer rule pushes spine-only filters below the native as-of node") {
     val out = AsOfJoin.native(spine, facts, Seq("k"), "sts", "fts", Seq("v"), "tie")
       .where(col("tag") === "s1")
