@@ -5,13 +5,12 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Dedup
 
-/** Dev harness: connected-components at synthetic scale. Generates an edge
-  * set of planted components with controlled diameter — `chainLen`-node
-  * chains (worst case for min-label propagation: convergence needs
-  * ~log2(chainLen) doubling rounds... actually plain propagation needs
-  * chainLen rounds; this probe is exactly the stress that exposes it) plus
-  * dense triangles — then resolves canonical ids and checks every node
-  * landed on its component's minimum.
+/** Dev harness: connected-components at synthetic scale. Generates
+  * `nComponents` disjoint `chainLen`-node path graphs — the worst case for
+  * plain min-label propagation (it needs chainLen-1 rounds; the adaptive
+  * pointer-jumping in Dedup.connectedComponents cuts that to
+  * ~O(log chainLen) after the plain warm-up) — then resolves canonical ids
+  * and checks every node landed on its component's minimum.
   * Usage: runMain graft.CcScaleProbe [nComponents] [chainLen]
   */
 object CcScaleProbe {

@@ -604,7 +604,7 @@ object SparkEntry {
     * sampling at all — SURVEY.md §2 H). */
   private def h3HashSample(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .where(pmod(col("event_id") * lit(2654435761L), lit(100L)) < 10)
+      .where(expr("pmod(pmod(event_id, 2147483648) * 2654435761, 2147483648) div 21474837") < 10)
       .select("event_id", "user_id", "event_type", "value")
       .orderBy("event_id")
 
@@ -972,7 +972,7 @@ object SparkEntry {
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
     "h3_hash_sample" ->
       """SELECT event_id, user_id, event_type, value FROM events
-        |WHERE (event_id * 2654435761) % 100 < 10
+        |WHERE ((event_id % 2147483648) * 2654435761 % 2147483648) // 21474837 < 10
         |ORDER BY event_id""".stripMargin,
     "g4_sessionize" ->
       """WITH s AS (
@@ -1031,12 +1031,16 @@ object SparkEntry {
         |    '\b(customer|key)\b', '[REDACTED]', 'g') AS text_clean
         |FROM documents ORDER BY doc_id""".stripMargin,
     "h5_split" ->
-      """SELECT lang,
-        |  CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-        |       WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+      """WITH b AS (
+        |  SELECT lang,
+        |         ((doc_id % 2147483648) * 2654435761 % 2147483648) // 21474837 AS bucket
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
         |       ELSE 'test' END AS split,
         |  count(*) AS n
-        |FROM documents GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+        |FROM b GROUP BY lang, split ORDER BY lang, split""".stripMargin,
     "g3_stratified_topk" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

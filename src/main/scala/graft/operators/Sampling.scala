@@ -16,14 +16,22 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Deterministic train/val/test assignment via multiplicative hashing of
-    * a numeric id (Knuth's 2654435761 multiplier — same family as
-    * h3_hash_sample). Map-only: each row's split is a pure function of its
-    * id, so the assignment is stable under re-partitioning, incremental
-    * appends, and engine changes — the property that makes the split safe
-    * to recompute instead of materialize.
+    * a numeric id (Knuth's 2654435761 multiplier). Map-only: each row's
+    * split is a pure function of its id, so the assignment is stable under
+    * re-partitioning, incremental appends, and engine changes — the
+    * property that makes the split safe to recompute instead of
+    * materialize.
+    *
+    * The bucket is the HIGH bits of (id * K) mod 2^31, not the product
+    * mod 100: without an intermediate power-of-two wrap, (id*K) mod 100
+    * collapses to a function of id % 100 (any id stride of 100 lands every
+    * row in one split), and low LCG bits are weak anyway. The id is
+    * reduced mod 2^31 first so the product stays below 2^63 — no ANSI-mode
+    * ARITHMETIC_OVERFLOW for 64-bit snowflake-style ids.
     */
   def withSplit(df: DataFrame, idCol: String, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val bucket = pmod(col(idCol).cast("long") * lit(2654435761L), lit(100L))
+    val bucket = expr(
+      s"pmod(pmod(cast($idCol as bigint), 2147483648) * 2654435761, 2147483648) div 21474837")
     df.withColumn("split",
       when(bucket < trainPct, lit("train"))
         .when(bucket < trainPct + valPct, lit("val"))

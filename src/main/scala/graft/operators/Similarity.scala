@@ -232,11 +232,15 @@ object Similarity {
       kmeansCentroids(candidates, idCol, vecCol, nCentroids, refineIters, sampleMod))
 
     def probeCells(vec: Column): Column = {
+      // sort by (-score, cell) ascending: descending score with LOWEST cell
+      // id first on ties — the same tie rule as nearestCell's
+      // array_position (first max), so a tied candidate's assigned cell is
+      // always among the probed ones
       val scored = zip_with(
         cellScores(cents)(vec),
         sequence(lit(0), lit(cents.length - 1)),
-        (s, i) => struct(s.as("s"), i.as("c")))
-      transform(slice(reverse(array_sort(scored)), 1, nProbe), s => s.getField("c"))
+        (s, i) => struct((-s).as("ns"), i.as("c")))
+      transform(slice(array_sort(scored), 1, nProbe), s => s.getField("c"))
     }
 
     val cand = withNorm(candidates.select(col(idCol), col(vecCol)), vecCol, "__cn")

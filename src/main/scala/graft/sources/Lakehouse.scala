@@ -46,13 +46,15 @@ object Lakehouse {
       table: String,
       bucketCol: String,
       nBuckets: Int,
-      sortCols: Seq[String] = Seq.empty): Unit = {
-    val w = df.write
+      sortCols: Seq[String] = Seq.empty,
+      partitionCols: Seq[String] = Seq.empty): Unit = {
+    var w = df.write
       .bucketBy(nBuckets, bucketCol)
       .mode("overwrite")
       .format("parquet")
-    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
-      .saveAsTable(table)
+    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
   }
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)

@@ -305,7 +305,8 @@ class FeatureStore(val spark: SparkSession) {
     values = values.where(
       col("event_timestamp") >=
         lit(now) - retention(col("feature_id")).cast("int") * expr("INTERVAL 1 DAY") ||
-        retention(col("feature_id")).isNull) // unknown features retained
+        retention(col("feature_id")).isNull ||   // unknown features retained
+        col("event_timestamp").isNull)           // unknown-age rows retained, not silently destroyed
     val after = values.count()
     before - after
   }
@@ -411,15 +412,12 @@ class FeatureStore(val spark: SparkSession) {
   def saveBucketed(tablePrefix: String, nBuckets: Int): Unit = {
     import spark.implicits._
     registryDS.write.mode("overwrite").saveAsTable(s"${tablePrefix}_registry")
-    values
-      .withColumn("event_date", to_date(col("event_timestamp")))
-      .write
-      .partitionBy("event_date")
-      .bucketBy(nBuckets, "entity_id")
-      .sortBy("entity_id", "event_timestamp")
-      .mode("overwrite")
-      .format("parquet")
-      .saveAsTable(s"${tablePrefix}_values")
+    graft.sources.Lakehouse.writeBucketed(
+      values.withColumn("event_date", to_date(col("event_timestamp"))),
+      s"${tablePrefix}_values",
+      bucketCol = "entity_id", nBuckets = nBuckets,
+      sortCols = Seq("entity_id", "event_timestamp"),
+      partitionCols = Seq("event_date"))
   }
 }
 

@@ -79,6 +79,32 @@ object Streaming {
     * this is hash-partitioned stream state, the exact shape RocksDB state
     * stores shard.
     */
+  /** Shared LWW state transition: pick the max-(ts, event_id) observation
+    * among current state + batch (the exact batch-side tie rule), update
+    * state, and return the new entry iff the key's latest actually changed.
+    * Both keyed-state streams wrap this so the tie/dedupe/version logic
+    * can't drift between them.
+    */
+  private def lwwAdvance(
+      uid: Long, etype: String,
+      events: Iterator[EventRow],
+      state: GroupState[LatestState]): Option[LatestState] = {
+    val incoming = events.toSeq
+    if (incoming.isEmpty) None
+    else {
+      val candidates = state.getOption.toSeq.map(s => (s.ts.getTime, Long.MaxValue, s)) ++
+        incoming.map(e => (e.ts.getTime, e.event_id, LatestState(uid, etype, e.value, e.ts, 0)))
+      val (_, _, winner) = candidates.maxBy(c => (c._1, c._2))
+      val prev = state.getOption
+      if (prev.exists(p => p.ts == winner.ts && p.value == winner.value)) None
+      else {
+        val next = winner.copy(version = prev.map(_.version).getOrElse(0) + 1)
+        state.update(next)
+        Some(next)
+      }
+    }
+  }
+
   def latestStateStream(stream: Dataset[EventRow]): Dataset[LatestState] = {
     import stream.sparkSession.implicits._
     stream
@@ -86,21 +112,7 @@ object Streaming {
       .flatMapGroupsWithState[LatestState, LatestState](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         case ((uid, etype), events, state: GroupState[LatestState]) =>
-          val incoming = events.toSeq
-          if (incoming.isEmpty) Iterator.empty
-          else {
-            // max (ts, event_id) among state + batch — same tie rule as batch
-            val candidates = state.getOption.toSeq.map(s => (s.ts.getTime, Long.MaxValue, s)) ++
-              incoming.map(e => (e.ts.getTime, e.event_id, LatestState(uid, etype, e.value, e.ts, 0)))
-            val (_, _, winner) = candidates.maxBy(c => (c._1, c._2))
-            val prev = state.getOption
-            if (prev.exists(p => p.ts == winner.ts && p.value == winner.value)) Iterator.empty
-            else {
-              val next = winner.copy(version = prev.map(_.version).getOrElse(0) + 1)
-              state.update(next)
-              Iterator.single(next)
-            }
-          }
+          lwwAdvance(uid, etype, events, state).iterator
       }
   }
 
@@ -137,27 +149,18 @@ object Streaming {
             state.remove()
             Iterator.single(OnlineEntry(uid, etype, s.value, s.ts, s.version, expired = true))
           } else {
-            val incoming = events.toSeq
-            if (incoming.isEmpty) Iterator.empty
-            else {
-              val candidates = state.getOption.toSeq.map(s => (s.ts.getTime, Long.MaxValue, s)) ++
-                incoming.map(e => (e.ts.getTime, e.event_id, LatestState(uid, etype, e.value, e.ts, 0)))
-              val (_, _, winner) = candidates.maxBy(c => (c._1, c._2))
-              val prev = state.getOption
-              val out =
-                if (prev.exists(p => p.ts == winner.ts && p.value == winner.value)) Iterator.empty
-                else {
-                  val next = winner.copy(version = prev.map(_.version).getOrElse(0) + 1)
-                  state.update(next)
-                  Iterator.single(OnlineEntry(uid, etype, next.value, next.ts, next.version, expired = false))
-                }
-              // re-arm the TTL clock off the stored latest observation; the
-              // timeout timestamp must sit beyond the current watermark or
-              // Spark rejects it, hence the clamp
-              val base = state.getOption.map(_.ts.getTime).getOrElse(winner.ts.getTime)
-              state.setTimeoutTimestamp(math.max(base + ttlMs, state.getCurrentWatermarkMs() + 1))
-              out
+            val out = lwwAdvance(uid, etype, events, state)
+              .map(n => OnlineEntry(uid, etype, n.value, n.ts, n.version, expired = false))
+            // re-arm the TTL clock off the stored latest observation; the
+            // timeout timestamp must sit beyond the current watermark or
+            // Spark rejects it, hence the clamp
+            state.getOption match {
+              case Some(latest) =>
+                state.setTimeoutTimestamp(
+                  math.max(latest.ts.getTime + ttlMs, state.getCurrentWatermarkMs() + 1))
+              case None => // empty batch for this key and no prior state: nothing to arm
             }
+            out.iterator
           }
       }
   }

@@ -113,6 +113,15 @@ class OperatorSpec extends SparkSpec {
     val b = Sampling.withSplit(df.repartition(7), "id").groupBy("split").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a == b)
+    // ids at stride 100 (shard*100 allocation patterns) must still spread
+    // ~80/10/10 — a (id*K) % 100 bucket collapses them into ONE split
+    val strided = spark.range(0, 100000, 100).toDF("id")
+    val c = Sampling.withSplit(strided, "id").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c.size == 3 && c("train") > 700 && c("val") > 50 && c("test") > 50, c.toString)
+    // and 64-bit ids must not overflow under ANSI mode
+    val big = Seq(Long.MaxValue, 3474701544L, 9999999999L).toDF("id")
+    assert(Sampling.withSplit(big, "id").count() == 3L)
   }
 
   test("stratifiedTopK keeps exactly k best rows per stratum with deterministic ties") {
