@@ -165,6 +165,33 @@ object Streaming {
       }
   }
 
+  /** G4 — stream-stream interval join (online attribution): each purchase
+    * event joined to the same user's click events that happened within
+    * `attributionWindow` before it. Both sides carry watermarks and the
+    * join condition bounds event time in BOTH directions, so Spark can
+    * size the join state and evict rows as the watermark advances —
+    * without the time bounds, stream-stream join state grows forever.
+    * This is the online form of the batch interval join (a7).
+    */
+  def attributionJoin(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      attributionWindow: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark).select(
+      col("user_id"), col("ts").as("click_ts"),
+      col("event_id").as("click_id"), col("value").as("click_value"))
+    val p = purchases.withWatermark("ts", watermark).select(
+      col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+      col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    c.join(
+      p,
+      col("user_id") === col("p_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $attributionWindow"))
+      .drop("p_user_id")
+  }
+
   /** State-store settings for production-size keyed state: RocksDB keeps
     * state off-heap + on local disk (the default HDFS-backed provider holds
     * every versioned map in executor memory), and changelog checkpointing

@@ -132,6 +132,24 @@ class StreamingSpec extends SparkSpec {
     assert(m(11L) == null) // explicit-null contract survives streaming
   }
 
+  test("attributionJoin: stream-stream interval join attributes clicks inside the window") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[EventRow]
+    val purchases = MemoryStream[EventRow]
+    val out = Streaming.attributionJoin(clicks.toDF(), purchases.toDF())
+    val q = out.writeStream.format("memory").queryName("t_attr").outputMode("append").start()
+    clicks.addData(
+      EventRow(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),  // 30 min before: attributed
+      EventRow(2L, ts("2024-01-01 08:00:00"), 1L, "click", 2.0),  // 2.5 h before: outside window
+      EventRow(3L, ts("2024-01-01 10:20:00"), 2L, "click", 3.0))  // other user
+    purchases.addData(EventRow(10L, ts("2024-01-01 10:30:00"), 1L, "purchase", 99.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_attr").collect()
+    assert(rows.map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"))).toSet ==
+      Set((1L, 10L)))
+  }
+
   test("latestStateStreamTtl evicts idle keys past the TTL and emits tombstones (RocksDB state store)") {
     implicit val sq = spark.sqlContext
     // exercise the production state-store provider, not just the in-memory one
