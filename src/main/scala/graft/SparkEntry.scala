@@ -516,6 +516,27 @@ object SparkEntry {
       .orderBy("lang", "rank")
   }
 
+  /** G3 — corpus vocabulary size per language, exact distinct
+    * (oracle-checked; the sketch-based scale path is g3_vocab_approx).
+    */
+  private def g3Vocab(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy("lang")
+      .agg(countDistinct(col("word")).as("n_words"))
+      .orderBy("lang")
+
+  /** G3 — approximate vocabulary (HLL++ sketch; rows-only: sketch estimate
+    * is engine-specific). At 100 TB this replaces the exact
+    * distinct's full shuffle with a constant-size mergeable sketch.
+    */
+  private def g3VocabApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy("lang")
+      .agg(approx_count_distinct(col("word"), 0.02).as("n_words_approx"))
+      .orderBy("lang")
+
   /** G3 — rolling-hash fingerprint (rows-only: xxhash64 Spark-specific). */
   private def g3Fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -690,7 +711,9 @@ object SparkEntry {
     "h4_lag_delta"       -> (h4LagDelta _),
     "g3_phi_scrub"       -> (g3PhiScrub _),
     "h5_split"           -> (h5SplitCounts _),
-    "g3_stratified_topk" -> (g3StratifiedTopk _)
+    "g3_stratified_topk" -> (g3StratifiedTopk _),
+    "g3_vocab"           -> (g3Vocab _),
+    "g3_vocab_approx"    -> (g3VocabApprox _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1060,6 +1083,10 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC) AS rank
         |  FROM q)
         |SELECT lang, rank, doc_id, quality FROM r WHERE rank <= 3
-        |ORDER BY lang, rank""".stripMargin
+        |ORDER BY lang, rank""".stripMargin,
+    "g3_vocab" ->
+      """SELECT lang, count(DISTINCT word) AS n_words
+        |FROM (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

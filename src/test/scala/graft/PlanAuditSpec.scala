@@ -20,4 +20,18 @@ class PlanAuditSpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle without query: ${(o -- q).mkString(", ")}")
   }
+
+  test("filters and projections reach the parquet scan (pushdown + pruning)") {
+    val dir = "/root/testdata/sf0.001"
+    // c1: equality + range filters must appear as PushedFilters on the
+    // customer scan, and the scan must NOT read every customer column
+    val df = SparkEntry.queries("c1_filter_project")(spark, dir)
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val custScan = scans.find(_.contains("customer")).getOrElse(fail(s"no customer scan:\n$scans"))
+    assert(custScan.contains("PushedFilters") && custScan.contains("c_mktsegment"),
+      s"filter not pushed to scan:\n$custScan")
+    assert(!custScan.contains("c_comment"),
+      s"column pruning lost — scan reads unused columns:\n$custScan")
+  }
 }
