@@ -72,6 +72,34 @@ object Streaming {
   def dedupedStream(stream: DataFrame, watermark: String = "10 minutes"): DataFrame =
     stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
 
+  /** Shared LWW state transition: pick the max-(ts, event_id) observation
+    * among current state + batch (the exact batch-side tie rule), update
+    * state, and return the new entry iff the key's latest actually changed.
+    * Both keyed-state streams wrap this so the tie/dedupe/version logic
+    * can't drift between them.
+    */
+  private[streaming] def lwwWinner(
+      uid: Long, etype: String,
+      prev: Option[LatestState],
+      incoming: Seq[EventRow]): Option[LatestState] =
+    if (incoming.isEmpty) None
+    else {
+      val candidates = prev.toSeq.map(s => (s.ts.getTime, Long.MaxValue, s)) ++
+        incoming.map(e => (e.ts.getTime, e.event_id, LatestState(uid, etype, e.value, e.ts, 0)))
+      val (_, _, winner) = candidates.maxBy(c => (c._1, c._2))
+      if (prev.exists(p => p.ts == winner.ts && p.value == winner.value)) None
+      else Some(winner.copy(version = prev.map(_.version).getOrElse(0) + 1))
+    }
+
+  private def lwwAdvance(
+      uid: Long, etype: String,
+      events: Iterator[EventRow],
+      state: GroupState[LatestState]): Option[LatestState] = {
+    val next = lwwWinner(uid, etype, state.getOption, events.toSeq)
+    next.foreach(state.update)
+    next
+  }
+
   /** B2 streaming — last-write-wins online snapshot via keyed state: the
     * streaming equivalent of Latest.lwwUpsert. Emits an update whenever a
     * key's latest value changes; `version` counts writes
@@ -79,32 +107,6 @@ object Streaming {
     * this is hash-partitioned stream state, the exact shape RocksDB state
     * stores shard.
     */
-  /** Shared LWW state transition: pick the max-(ts, event_id) observation
-    * among current state + batch (the exact batch-side tie rule), update
-    * state, and return the new entry iff the key's latest actually changed.
-    * Both keyed-state streams wrap this so the tie/dedupe/version logic
-    * can't drift between them.
-    */
-  private def lwwAdvance(
-      uid: Long, etype: String,
-      events: Iterator[EventRow],
-      state: GroupState[LatestState]): Option[LatestState] = {
-    val incoming = events.toSeq
-    if (incoming.isEmpty) None
-    else {
-      val candidates = state.getOption.toSeq.map(s => (s.ts.getTime, Long.MaxValue, s)) ++
-        incoming.map(e => (e.ts.getTime, e.event_id, LatestState(uid, etype, e.value, e.ts, 0)))
-      val (_, _, winner) = candidates.maxBy(c => (c._1, c._2))
-      val prev = state.getOption
-      if (prev.exists(p => p.ts == winner.ts && p.value == winner.value)) None
-      else {
-        val next = winner.copy(version = prev.map(_.version).getOrElse(0) + 1)
-        state.update(next)
-        Some(next)
-      }
-    }
-  }
-
   def latestStateStream(stream: Dataset[EventRow]): Dataset[LatestState] = {
     import stream.sparkSession.implicits._
     stream
@@ -163,6 +165,51 @@ object Streaming {
             out.iterator
           }
       }
+  }
+
+  /** B2 streaming on the transformWithState API (Spark 4's arbitrary-state
+    * v2): same LWW semantics as [[latestStateStream]] via the same
+    * [[lwwWinner]] core, but state is a typed ValueState with a DECLARATIVE
+    * processing-time TTL — Spark evicts expired entries inside the state
+    * store itself (no timer bookkeeping, no tombstone pass). Requires the
+    * RocksDB state-store provider ([[rocksDbStateConf]]).
+    */
+  class LatestProcessor(ttl: java.time.Duration)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[(Long, String), EventRow, LatestState] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, TimerValues, ValueState}
+    @transient private var state: ValueState[LatestState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[LatestState](
+        "latest",
+        org.apache.spark.sql.Encoders.product[LatestState],
+        if (ttl == null) TTLConfig.NONE else TTLConfig(ttl))
+
+    override def handleInputRows(
+        key: (Long, String),
+        rows: Iterator[EventRow],
+        timerValues: TimerValues): Iterator[LatestState] = {
+      val prev = if (state.exists()) Some(state.get()) else None
+      val next = lwwWinner(key._1, key._2, prev, rows.toSeq)
+      next.foreach(state.update)
+      next.iterator
+    }
+  }
+
+  def latestStateTws(
+      stream: Dataset[EventRow],
+      ttl: java.time.Duration = null): Dataset[LatestState] = {
+    import stream.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    stream
+      .groupByKey(e => (e.user_id, e.event_type))
+      .transformWithState(
+        new LatestProcessor(ttl),
+        // ProcessingTime (required by TTL) keeps the micro-batch engine
+        // ticking even with no input — only opt into that when a TTL
+        // actually needs the clock
+        if (ttl == null) TimeMode.None() else TimeMode.ProcessingTime(),
+        OutputMode.Update())
   }
 
   /** G4 — stream-stream interval join (online attribution): each purchase

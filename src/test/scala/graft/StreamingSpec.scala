@@ -132,6 +132,30 @@ class StreamingSpec extends SparkSpec {
     assert(m(11L) == null) // explicit-null contract survives streaming
   }
 
+  test("latestStateTws (transformWithState) matches the flatMapGroupsWithState LWW semantics") {
+    implicit val sq = spark.sqlContext
+    Streaming.rocksDbStateConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val ms = MemoryStream[EventRow]
+      val q = Streaming.latestStateTws(ms.toDS())
+        .writeStream.format("memory").queryName("t_tws").outputMode("update").start()
+      ms.addData(EventRow(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(
+        EventRow(2L, ts("2024-01-01 11:00:00"), 1L, "click", 9.0), // newer -> update
+        EventRow(3L, ts("2024-01-01 09:00:00"), 1L, "click", 0.5)) // older -> ignored
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("t_tws").orderBy("version").collect()
+      assert(rows.length == 2)
+      assert(rows.last.getAs[Double]("value") == 9.0)
+      assert(rows.last.getAs[Int]("version") == 2)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
+  }
+
   test("attributionJoin: stream-stream interval join attributes clicks inside the window") {
     implicit val sq = spark.sqlContext
     val clicks = MemoryStream[EventRow]
