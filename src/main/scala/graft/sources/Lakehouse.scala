@@ -58,4 +58,46 @@ object Lakehouse {
   }
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Small-file compaction for a date-partitioned fact table (the
+    * OPTIMIZE-style maintenance pass). Streaming/micro-batch appends leave
+    * each date partition littered with tiny files; every later scan then
+    * pays one task + one footer read per file. This rewrites each partition
+    * into `filesPerPartition` files (clustered so one task writes one
+    * file), into a staging dir, then atomically swaps directories — readers
+    * never see a half-compacted table. Returns (filesBefore, filesAfter).
+    *
+    * Parquet-level rewrite only — on a real deployment table formats (Delta
+    * OPTIMIZE / Iceberg rewrite_data_files) do this with snapshot
+    * isolation; this is the dependency-free equivalent for the plain
+    * parquet lakehouse used here.
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      filesPerPartition: Int = 1): (Long, Long) = {
+    def countFiles(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      walk(new java.io.File(p))
+    }
+    val before = countFiles(path)
+    val staging = path + "__compacting"
+    spark.read.parquet(path)
+      .repartition(col("event_date"),
+        pmod(xxhash64(monotonically_increasing_id()), lit(filesPerPartition)))
+      .write
+      .partitionBy("event_date")
+      .mode("overwrite")
+      .parquet(staging)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val trash = new org.apache.hadoop.fs.Path(path + "__old")
+    fs.rename(target, trash)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), target)
+    fs.delete(trash, true)
+    (before, countFiles(path))
+  }
 }

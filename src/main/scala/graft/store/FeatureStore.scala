@@ -54,7 +54,7 @@ class FeatureStore(val spark: SparkSession) {
   def valuesDF: DataFrame = values
   def audit: Seq[AuditRecord] = auditLog
 
-  private[store] def restoreFeature(f: Feature): Unit = features += f.feature_id -> f
+  private[graft] def restoreFeature(f: Feature): Unit = features += f.feature_id -> f
   private[store] def restoreValues(df: DataFrame): Unit = values = df
 
   // ---- registry CRUD (B4) ----------------------------------------------
@@ -395,6 +395,34 @@ class FeatureStore(val spark: SparkSession) {
   /** Persist catalog + fact log + audit as parquet tables under `path`
     * (facts date-partitioned via Lakehouse — SURVEY.md §4 partition choice).
     */
+  /** Materialize EVERY derived feature in topological (dependency) order,
+    * so derived-of-derived chains see their parents' freshly-appended
+    * values within the same pass. Kahn's algorithm over derived→derived
+    * edges; base (non-derived) parents are always "ready". Returns
+    * feature_id → rows appended, or the cycle members on a cyclic DAG.
+    */
+  def materializeAllDerived(asOf: Timestamp, now: Timestamp): Either[String, Map[String, Long]] = {
+    val derivedIds = features.collect {
+      case (id, f) if f.source.source_type == "derived" => id
+    }.toSet
+    var remaining = features.values.filter(f => derivedIds.contains(f.feature_id)).toSeq
+    val done = scala.collection.mutable.Set.empty[String]
+    val order = scala.collection.mutable.ArrayBuffer.empty[Feature]
+    var progressed = true
+    while (remaining.nonEmpty && progressed) {
+      val (ready, blocked) = remaining.partition(
+        _.dependencies.forall(d => !derivedIds.contains(d) || done.contains(d)))
+      progressed = ready.nonEmpty
+      order ++= ready
+      ready.foreach(f => done += f.feature_id)
+      remaining = blocked
+    }
+    if (remaining.nonEmpty)
+      Left(s"dependency cycle among: ${remaining.map(_.name).mkString(",")}")
+    else
+      Right(order.map(f => f.feature_id -> materializeDerived(f.feature_id, asOf, now)).toMap)
+  }
+
   def save(path: String): Unit = {
     import spark.implicits._
     registryDS.write.mode("overwrite").parquet(s"$path/registry")

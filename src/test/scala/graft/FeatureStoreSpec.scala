@@ -170,6 +170,39 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs.getFeatureValue("p2", risk.feature_id, now, "u", Seq(), now).isEmpty)
   }
 
+  test("materializeAllDerived resolves a two-level DAG in dependency order and rejects cycles") {
+    val (fs, hrId, dxId) = newStore()
+    ingestSample(fs, hrId, dxId)
+    val Right(risk) = fs.registerDerivedFeature(
+      "risk_score", "1.0.0",
+      FeatureSchemaMeta("risk_score", "float64", entity_type = "patient"),
+      parentIds = Seq(hrId, dxId),
+      sqlExpr = "heart_rate * 0.01 + diagnosis_risk",
+      owner = "ops", now = now)
+    // level 2: derived of derived
+    val Right(flag) = fs.registerDerivedFeature(
+      "risk_flag", "1.0.0",
+      FeatureSchemaMeta("risk_flag", "float64", entity_type = "patient"),
+      parentIds = Seq(risk.feature_id),
+      sqlExpr = "CASE WHEN risk_score > 1.0 THEN 1.0 ELSE 0.0 END",
+      owner = "ops", now = now)
+    fs.activateFeature(risk.feature_id, now)
+    fs.activateFeature(flag.feature_id, now)
+
+    val Right(counts) = fs.materializeAllDerived(ts("2024-01-31 00:00:00"), now)
+    assert(counts(risk.feature_id) == 1L)
+    assert(counts(flag.feature_id) == 1L) // saw risk_score's row from THIS pass
+    // hr=80, dx=0.9 -> risk 1.7 -> flag 1.0
+    assert(fs.getFeatureValue("p1", flag.feature_id, now, "u", Seq(), now).contains(1.0))
+
+    // cycle detection: self-referential derived feature
+    val Right(selfy) = fs.registerDerivedFeature(
+      "selfy", "1.0.0", FeatureSchemaMeta("selfy", "float64", entity_type = "patient"),
+      parentIds = Seq(risk.feature_id), sqlExpr = "risk_score", owner = "ops", now = now)
+    fs.restoreFeature(selfy.copy(dependencies = Seq(selfy.feature_id)))
+    assert(fs.materializeAllDerived(ts("2024-01-31 00:00:00"), now).isLeft)
+  }
+
   test("save/load round-trip preserves catalog and values (lakehouse layout)") {
     val (fs, hrId, dxId) = newStore()
     ingestSample(fs, hrId, dxId)

@@ -29,6 +29,23 @@ class LakehouseSpec extends SparkSpec {
     assert(pruned <= 5 && total >= 28, s"pruned=$pruned total=$total")
   }
 
+  test("compact rewrites a fragmented date-partitioned table with identical content") {
+    val dir = Files.createTempDirectory("graft_compact").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    // fragment: many tasks per date partition -> many small files
+    Lakehouse.writeDatePartitioned(ev.repartition(8), dir, "ts")
+    val checksumBefore = Lakehouse.read(spark, dir)
+      .agg(expr("bit_xor(xxhash64(event_id, ts, value))")).collect().head.getLong(0)
+    val (before, after) = Lakehouse.compact(spark, dir)
+    assert(before > after, s"before=$before after=$after")
+    val re = Lakehouse.read(spark, dir)
+    val checksumAfter = re
+      .agg(expr("bit_xor(xxhash64(event_id, ts, value))")).collect().head.getLong(0)
+    assert(checksumAfter == checksumBefore)
+    // still partitioned (as-of reads keep pruning)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("event_date=")))
+  }
+
   test("bucketed tables join without any exchange; unbucketed join shuffles") {
     import spark.implicits._
     val facts = (1L to 200L).map(i => (i % 40, i, i * 1.5)).toDF("user_id", "event_id", "value")
