@@ -425,6 +425,20 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** G2 ANN — product-quantized approximate top-k (rows-only: ADC scores
+    * are approximations). Codes are 8 ints per 64-dim vector; candidates
+    * are scored by table lookup without touching the original embeddings.
+    */
+  private def g2PqTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cb = Pq.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 4)
+    val enc = Pq.encode(emb, "vec_id", "embedding", cb)
+    val qs = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Pq.topK(enc, qs, "vec_id", "query_id", "qvec", k = 3, cb)
+      .orderBy("query_id", "rank")
+  }
+
   /** G2 — hyperplane-LSH approximate top-k (rows-only: approximate recall). */
   private def g2LshTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -713,7 +727,8 @@ object SparkEntry {
     "h5_split"           -> (h5SplitCounts _),
     "g3_stratified_topk" -> (g3StratifiedTopk _),
     "g3_vocab"           -> (g3Vocab _),
-    "g3_vocab_approx"    -> (g3VocabApprox _)
+    "g3_vocab_approx"    -> (g3VocabApprox _),
+    "g2_pq_topk"         -> (g2PqTopk _)
   )
 
   def oracleSql: Map[String, String] = Map(

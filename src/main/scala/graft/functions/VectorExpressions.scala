@@ -267,6 +267,194 @@ case class CentroidScores(child: Expression, cents: Array[Float], nCentroids: In
     copy(child = newChild)
 }
 
+/** PQ encode: for each of `m` subspaces, the index of the Euclidean-nearest
+  * codeword in that subspace's codebook. cents is flat row-major:
+  * cents(((s*k)+c)*dsub + i). One fused loop, array<int> out.
+  */
+case class PqEncode(child: Expression, cents: Array[Float], m: Int, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private val dsub: Int = cents.length / (m * k)
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        var d = 0.0
+        val base = (s * k + c) * dsub
+        var i = 0
+        while (i < dsub) {
+          val idx = s * dsub + i
+          val x = if (idx < arr.numElements()) arr.getFloat(idx).toDouble else 0.0
+          val diff = x - cents(base + i)
+          d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "float[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out"); val s = ctx.freshName("s"); val c = ctx.freshName("c")
+      val i = ctx.freshName("i"); val d = ctx.freshName("d"); val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD"); val base = ctx.freshName("base")
+      val idx = ctx.freshName("idx"); val x = ctx.freshName("x"); val diff = ctx.freshName("diff")
+      s"""
+         |int[] $out = new int[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $best = 0; double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    double $d = 0.0;
+         |    int $base = ($s * $k + $c) * $dsub;
+         |    for (int $i = 0; $i < $dsub; $i++) {
+         |      int $idx = $s * $dsub + $i;
+         |      double $x = $idx < $v.numElements() ? (double) $v.getFloat($idx) : 0.0;
+         |      double $diff = $x - $centsRef[$base + $i];
+         |      $d += $diff * $diff;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  }
+         |  $out[$s] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** PQ query lookup table: lut(s*k + c) = dot(query_subvector_s, codeword_sc).
+  * Built once per query row; ADC then scores any candidate with m lookups.
+  */
+case class PqLut(child: Expression, cents: Array[Float], m: Int, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private val dsub: Int = cents.length / (m * k)
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_lut"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>, got $t")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val out = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < k) {
+        var dot = 0.0
+        val base = (s * k + c) * dsub
+        var i = 0
+        while (i < dsub) {
+          val idx = s * dsub + i
+          val x = if (idx < arr.numElements()) arr.getFloat(idx).toDouble else 0.0
+          dot += x * cents(base + i); i += 1
+        }
+        out(s * k + c) = dot
+        c += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "float[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out"); val s = ctx.freshName("s"); val c = ctx.freshName("c")
+      val i = ctx.freshName("i"); val dot = ctx.freshName("dot"); val base = ctx.freshName("base")
+      val idx = ctx.freshName("idx"); val x = ctx.freshName("x")
+      s"""
+         |double[] $out = new double[${m * k}];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    double $dot = 0.0;
+         |    int $base = ($s * $k + $c) * $dsub;
+         |    for (int $i = 0; $i < $dsub; $i++) {
+         |      int $idx = $s * $dsub + $i;
+         |      double $x = $idx < $v.numElements() ? (double) $v.getFloat($idx) : 0.0;
+         |      $dot += $x * $centsRef[$base + $i];
+         |    }
+         |    $out[$s * $k + $c] = $dot;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADC score: sum over subspaces of lut(s*k + codes(s)) — the approximate
+  * dot(query, candidate) in m array lookups. */
+case class PqAdc(codes: Expression, lut: Expression, k: Int) extends BinaryExpression {
+  override def left: Expression = codes
+  override def right: Expression = lut
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc"
+
+  override def checkInputDataTypes(): TypeCheckResult = (codes.dataType, lut.dataType) match {
+    case (ArrayType(org.apache.spark.sql.types.IntegerType, _), ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (a, b) => TypeCheckResult.TypeCheckFailure(s"$prettyName requires (array<int>, array<double>), got $a / $b")
+  }
+
+  override def nullSafeEval(c: Any, l: Any): Any = {
+    val cArr = c.asInstanceOf[ArrayData]
+    val lArr = l.asInstanceOf[ArrayData]
+    var sum = 0.0
+    var s = 0
+    val n = cArr.numElements()
+    while (s < n) { sum += lArr.getDouble(s * k + cArr.getInt(s)); s += 1 }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) => {
+      val sum = ctx.freshName("sum"); val s = ctx.freshName("s"); val n = ctx.freshName("n")
+      s"""
+         |double $sum = 0.0;
+         |int $n = $c.numElements();
+         |for (int $s = 0; $s < $n; $s++) {
+         |  $sum += $l.getDouble($s * $k + $c.getInt($s));
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(codes = newLeft, lut = newRight)
+}
+
 object VectorExpressions {
   /** Column API over the native expressions. */
   def vecDot(a: Column, b: Column): Column =

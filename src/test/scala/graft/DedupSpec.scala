@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Pq, Similarity, TextAnalysis}
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -113,6 +113,27 @@ class DedupSpec extends SparkSpec {
     (0L until 3L).foreach { q =>
       val ids = byQuery(q).map(_.getLong(2)).toSet
       assert(ids == (0L until 30L).filter(i => i % 3 == q && i != q).toSet)
+    }
+  }
+
+  test("PQ: 8-byte codes + ADC recover cluster neighbors exactly on separated clusters") {
+    val vecs = (0 until 30).map { i =>
+      val axis = i % 3
+      val v = Array.tabulate(6)(d =>
+        if (d == axis) 1.0f else (math.sin(i * 13 + d) * 0.05).toFloat)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val cb = Pq.train(vecs, "vec_id", "embedding", m = 3, k = 4, iters = 4, maxSample = 30)
+    assert(cb.dsub == 2 && cb.cents.length == 3 * 4 * 2)
+    val enc = Pq.encode(vecs, "vec_id", "embedding", cb)
+    assert(enc.select(size($"codes")).distinct().as[Int].collect().toSeq == Seq(3)) // m codes/vector
+    val qs = vecs.where($"vec_id" < 3).select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val top = Pq.topK(enc, qs, "vec_id", "query_id", "qvec", k = 9, cb)
+    val byQuery = top.collect().groupBy(_.getLong(0))
+    (0L until 3L).foreach { q =>
+      val ids = byQuery(q).map(_.getLong(2)).toSet
+      assert(ids == (0L until 30L).filter(i => i % 3 == q && i != q).toSet,
+        s"query $q got $ids")
     }
   }
 
