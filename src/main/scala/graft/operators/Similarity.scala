@@ -259,6 +259,60 @@ object Similarity {
       .select(col(qidCol), col("__rank").as("rank"), col(idCol), epsRound(col("__sim"), 4).as("cosine"))
   }
 
+  /** IVF + PQ (the standard large-scale ANN composition): the coarse
+    * quantizer restricts each query to `nProbe` cells' candidates, and PQ
+    * ADC scores those without reading the original vectors — per candidate
+    * the scan touches m ints instead of dim floats. At 100 TB the encoded
+    * index is ~1/32 the corpus and the per-query work is
+    * |probed cells| × m lookups.
+    */
+  def ivfPqTopK(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      cb: Pq.Codebooks,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      refineIters: Int = 2
+  ): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import graft.functions.{PqAdc, PqLut}
+    val cents = normalized(kmeansCentroids(candidates, idCol, vecCol, nCentroids, refineIters))
+
+    val enc = Pq.encode(candidates, idCol, vecCol, cb)
+      .join(candidates.select(col(idCol), nearestCell(cents)(col(vecCol)).as("__cell")), idCol)
+
+    def probeCells(vec: Column): Column = {
+      val scored = zip_with(
+        cellScores(cents)(vec),
+        sequence(lit(0), lit(cents.length - 1)),
+        (s, i) => struct((-s).as("ns"), i.as("c")))
+      transform(slice(array_sort(scored), 1, nProbe), s => s.getField("c"))
+    }
+    val qs = queries.select(
+      col(qidCol),
+      Bridge.column(PqLut(Bridge.expression(col(qvecCol)), cb.cents, cb.m, cb.k)).as("__lut"),
+      Fns.l2Norm(col(qvecCol)).as("__qn"),
+      explode(probeCells(col(qvecCol))).as("__cell"))
+
+    val scored = enc
+      .join(broadcast(qs), Seq("__cell"))
+      .where(col(idCol) =!= col(qidCol))
+      .withColumn("__sim",
+        Bridge.column(PqAdc(
+          Bridge.expression(col("codes")), Bridge.expression(col("__lut")), cb.k)) /
+          nullif(col("norm") * col("__qn"), lit(0.0)))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col("rank"), col(idCol), round(col("__sim"), 4).as("cosine_approx"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component (t, p, i) derived
     * from a splitmix64-style mix of the indices — no RNG state, fully
     * reproducible (same plan on every executor).

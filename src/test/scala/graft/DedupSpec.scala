@@ -137,6 +137,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("IVF+PQ composition recovers cluster neighbors with nProbe=1") {
+    val vecs = (0 until 30).map { i =>
+      val axis = i % 3
+      val v = Array.tabulate(6)(d =>
+        if (d == axis) 1.0f else (math.sin(i * 13 + d) * 0.05).toFloat)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val cb = Pq.train(vecs, "vec_id", "embedding", m = 3, k = 4, iters = 4, maxSample = 30)
+    val qs = vecs.where($"vec_id" < 3).select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val top = Similarity.ivfPqTopK(vecs, qs, "vec_id", "embedding", "query_id", "qvec",
+      k = 9, cb, nCentroids = 3, nProbe = 1, refineIters = 4)
+    val byQuery = top.collect().groupBy(_.getLong(0))
+    (0L until 3L).foreach { q =>
+      val ids = byQuery(q).map(_.getLong(2)).toSet
+      assert(ids == (0L until 30L).filter(i => i % 3 == q && i != q).toSet, s"query $q got $ids")
+    }
+  }
+
   test("cosineDupPairs finds only above-threshold pairs") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.99f, 0.1f)), (3L, Seq(0.0f, 1.0f))
