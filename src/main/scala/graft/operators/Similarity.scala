@@ -132,13 +132,6 @@ object Similarity {
       .select(col("id_a"), col("id_b"), epsRound(col("__sim"), 4).as("cosine"))
   }
 
-  /** IVF (inverted-file) approximate top-k: a deterministic coarse
-    * quantizer (nCentroids vectors picked by id-hash order) partitions the
-    * corpus into cells; each query scores only the nProbe nearest cells.
-    * Cost per query drops from |corpus| to ~ nProbe/nCentroids of it;
-    * recall depends on nProbe. Centroids are collected to the driver (tiny)
-    * and baked into the plan as literals — no shuffle to assign.
-    */
   /** L2-normalized copies of the centroids (zero vectors left as-is).
     * Cell ranking by cosine(vec, c) equals ranking by dot(vec, c/|c|):
     * |vec| is constant across the argmax — so scoring needs ONE dot per
@@ -162,6 +155,19 @@ object Similarity {
   private def nearestCell(normCents: Array[Array[Float]])(vec: Column): Column = {
     val scores = cellScores(normCents)(vec)
     (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  /** The query's nProbe nearest cells, best first. Sorted by (-score, cell)
+    * ascending: descending score with the LOWEST cell id first on ties —
+    * the same tie rule as [[nearestCell]]'s array_position (first max), so
+    * a tied candidate's assigned cell is always among the probed ones.
+    * Expects pre-[[normalized]] centroids. */
+  private def probeCells(normCents: Array[Array[Float]], nProbe: Int)(vec: Column): Column = {
+    val scored = zip_with(
+      cellScores(normCents)(vec),
+      sequence(lit(0), lit(normCents.length - 1)),
+      (s, i) => struct((-s).as("ns"), i.as("c")))
+    transform(slice(array_sort(scored), 1, nProbe), s => s.getField("c"))
   }
 
   /** Spherical k-means (Lloyd) refinement of IVF centroids. Each iteration
@@ -215,6 +221,14 @@ object Similarity {
     cents
   }
 
+  /** IVF (inverted-file) approximate top-k: a deterministic coarse
+    * quantizer (nCentroids vectors picked by id-hash order, optionally
+    * Lloyd-refined) partitions the corpus into cells; each query scores
+    * only the nProbe nearest cells. Cost per query drops from |corpus| to
+    * ~ nProbe/nCentroids of it; recall depends on nProbe. Centroids are
+    * collected to the driver (tiny) and baked into the plan as literals —
+    * no shuffle to assign.
+    */
   def ivfTopK(
       candidates: DataFrame,
       queries: DataFrame,
@@ -231,22 +245,10 @@ object Similarity {
     val cents: Array[Array[Float]] = normalized(
       kmeansCentroids(candidates, idCol, vecCol, nCentroids, refineIters, sampleMod))
 
-    def probeCells(vec: Column): Column = {
-      // sort by (-score, cell) ascending: descending score with LOWEST cell
-      // id first on ties — the same tie rule as nearestCell's
-      // array_position (first max), so a tied candidate's assigned cell is
-      // always among the probed ones
-      val scored = zip_with(
-        cellScores(cents)(vec),
-        sequence(lit(0), lit(cents.length - 1)),
-        (s, i) => struct((-s).as("ns"), i.as("c")))
-      transform(slice(array_sort(scored), 1, nProbe), s => s.getField("c"))
-    }
-
     val cand = withNorm(candidates.select(col(idCol), col(vecCol)), vecCol, "__cn")
       .withColumn("__cell", nearestCell(cents)(col(vecCol)))
     val qs = withNorm(queries.select(col(qidCol), col(qvecCol)), qvecCol, "__qn")
-      .withColumn("__cell", explode(probeCells(col(qvecCol))))
+      .withColumn("__cell", explode(probeCells(cents, nProbe)(col(qvecCol))))
 
     val matched = cand
       .join(broadcast(qs), Seq("__cell"))
@@ -283,21 +285,20 @@ object Similarity {
     import graft.functions.{PqAdc, PqLut}
     val cents = normalized(kmeansCentroids(candidates, idCol, vecCol, nCentroids, refineIters))
 
-    val enc = Pq.encode(candidates, idCol, vecCol, cb)
-      .join(candidates.select(col(idCol), nearestCell(cents)(col(vecCol)).as("__cell")), idCol)
+    // ONE map-only select computes codes, norm, and cell together — no
+    // self-join, no shuffle on the corpus
+    val enc = candidates.select(
+      col(idCol),
+      Bridge.column(graft.functions.PqEncode(
+        Bridge.expression(col(vecCol)), cb.cents, cb.m, cb.k)).as("codes"),
+      Fns.l2Norm(col(vecCol)).as("norm"),
+      nearestCell(cents)(col(vecCol)).as("__cell"))
 
-    def probeCells(vec: Column): Column = {
-      val scored = zip_with(
-        cellScores(cents)(vec),
-        sequence(lit(0), lit(cents.length - 1)),
-        (s, i) => struct((-s).as("ns"), i.as("c")))
-      transform(slice(array_sort(scored), 1, nProbe), s => s.getField("c"))
-    }
     val qs = queries.select(
       col(qidCol),
       Bridge.column(PqLut(Bridge.expression(col(qvecCol)), cb.cents, cb.m, cb.k)).as("__lut"),
       Fns.l2Norm(col(qvecCol)).as("__qn"),
-      explode(probeCells(col(qvecCol))).as("__cell"))
+      explode(probeCells(cents, nProbe)(col(qvecCol))).as("__cell"))
 
     val scored = enc
       .join(broadcast(qs), Seq("__cell"))

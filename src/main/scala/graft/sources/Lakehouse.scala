@@ -64,13 +64,18 @@ object Lakehouse {
     * each date partition littered with tiny files; every later scan then
     * pays one task + one footer read per file. This rewrites each partition
     * into `filesPerPartition` files (clustered so one task writes one
-    * file), into a staging dir, then atomically swaps directories — readers
-    * never see a half-compacted table. Returns (filesBefore, filesAfter).
+    * file), into a staging dir, then swaps directories. The swap is two
+    * renames, NOT atomic: a reader racing the swap can see a missing
+    * table for an instant, and a crash between the renames leaves the
+    * data under `path__old` (never deleted until both renames succeed —
+    * every rename is checked, so no failure path deletes the only copy).
+    * Returns (filesBefore, filesAfter).
     *
-    * Parquet-level rewrite only — on a real deployment table formats (Delta
-    * OPTIMIZE / Iceberg rewrite_data_files) do this with snapshot
-    * isolation; this is the dependency-free equivalent for the plain
-    * parquet lakehouse used here.
+    * Parquet-level rewrite only — on a real deployment table formats
+    * (Delta OPTIMIZE / Iceberg rewrite_data_files) give the same result
+    * with snapshot isolation; this is the dependency-free equivalent for
+    * the plain parquet lakehouse used here, to be run when the table is
+    * not being read.
     */
   def compact(
       spark: SparkSession,
@@ -84,19 +89,28 @@ object Lakehouse {
     }
     val before = countFiles(path)
     val staging = path + "__compacting"
-    spark.read.parquet(path)
-      .repartition(col("event_date"),
-        pmod(xxhash64(monotonically_increasing_id()), lit(filesPerPartition)))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val trash = new org.apache.hadoop.fs.Path(path + "__old")
+    require(!fs.exists(trash),
+      s"$trash exists — a previous compact crashed mid-swap; recover it before compacting")
+    // deterministic spread key (hash of data columns, not
+    // monotonically_increasing_id: a nondeterministic key re-routes rows on
+    // partial stage recomputation — the SPARK-23207 corruption class)
+    val df = spark.read.parquet(path)
+    val spread = pmod(xxhash64(struct(df.columns.map(col).toSeq: _*)), lit(filesPerPartition))
+    df.repartition(col("event_date"), spread)
       .write
       .partitionBy("event_date")
       .mode("overwrite")
       .parquet(staging)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(path)
-    val trash = new org.apache.hadoop.fs.Path(path + "__old")
-    fs.rename(target, trash)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), target)
+    if (!fs.rename(target, trash))
+      throw new java.io.IOException(s"compact: rename $target -> $trash failed; table untouched")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), target)) {
+      fs.rename(trash, target) // roll back so the table is still present
+      throw new java.io.IOException(s"compact: rename $staging -> $target failed; original restored")
+    }
     fs.delete(trash, true)
     (before, countFiles(path))
   }

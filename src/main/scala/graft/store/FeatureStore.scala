@@ -390,16 +390,16 @@ class FeatureStore(val spark: SparkSession) {
     spark.createDataset(features.values.toSeq)
   }
 
-  // ---- persistence (lakehouse layout) -----------------------------------
-
-  /** Persist catalog + fact log + audit as parquet tables under `path`
-    * (facts date-partitioned via Lakehouse — SURVEY.md §4 partition choice).
-    */
-  /** Materialize EVERY derived feature in topological (dependency) order,
-    * so derived-of-derived chains see their parents' freshly-appended
-    * values within the same pass. Kahn's algorithm over derived→derived
-    * edges; base (non-derived) parents are always "ready". Returns
-    * feature_id → rows appended, or the cycle members on a cyclic DAG.
+  /** Materialize every ACTIVE derived feature in topological (dependency)
+    * order, so derived-of-derived chains see their parents' freshly-
+    * appended values within the same pass. Only active features write to
+    * the fact log — the same gate ingestValues enforces (draft/deprecated
+    * derived features are skipped, and count as resolved parents for
+    * ordering purposes without producing rows). Kahn's algorithm over
+    * derived→derived edges; base (non-derived) parents are always
+    * "ready". Returns feature_id → rows appended; on an unresolvable
+    * graph, Left names the stalled features (cycle members plus anything
+    * downstream of them) and nothing is materialized.
     */
   def materializeAllDerived(asOf: Timestamp, now: Timestamp): Either[String, Map[String, Long]] = {
     val derivedIds = features.collect {
@@ -418,11 +418,18 @@ class FeatureStore(val spark: SparkSession) {
       remaining = blocked
     }
     if (remaining.nonEmpty)
-      Left(s"dependency cycle among: ${remaining.map(_.name).mkString(",")}")
+      Left("unresolvable dependency graph (cycle, or downstream of one): " +
+        remaining.map(_.name).sorted.mkString(","))
     else
-      Right(order.map(f => f.feature_id -> materializeDerived(f.feature_id, asOf, now)).toMap)
+      Right(order.filter(_.status == "active")
+        .map(f => f.feature_id -> materializeDerived(f.feature_id, asOf, now)).toMap)
   }
 
+  // ---- persistence (lakehouse layout) -----------------------------------
+
+  /** Persist catalog + fact log + audit as parquet tables under `path`
+    * (facts date-partitioned via Lakehouse — SURVEY.md §4 partition choice).
+    */
   def save(path: String): Unit = {
     import spark.implicits._
     registryDS.write.mode("overwrite").parquet(s"$path/registry")

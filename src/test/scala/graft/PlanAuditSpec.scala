@@ -27,11 +27,18 @@ class PlanAuditSpec extends SparkSpec {
     // customer scan, and the scan must NOT read every customer column
     val df = SparkEntry.queries("c1_filter_project")(spark, dir)
     df.collect()
-    val scans = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
-    val custScan = scans.find(_.contains("customer")).getOrElse(fail(s"no customer scan:\n$scans"))
-    assert(custScan.contains("PushedFilters") && custScan.contains("c_mktsegment"),
-      s"filter not pushed to scan:\n$custScan")
-    assert(!custScan.contains("c_comment"),
-      s"column pruning lost — scan reads unused columns:\n$custScan")
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+    val custScan = leaves.find(_.toString.contains("customer"))
+      .getOrElse(fail(s"no customer scan:\n${leaves.map(_.toString)}"))
+    // the predicate must be INSIDE the PushedFilters bracket — a bare
+    // substring check passes vacuously on "PushedFilters: []"
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(custScan.toString).map(_.group(1)).getOrElse("")
+    assert(pushed.contains("c_mktsegment"), s"filter not pushed; PushedFilters=[$pushed]")
+    // pruning: check the scan's actual output attributes, not the plan
+    // string (toString truncates ReadSchema at maxMetadataStringLength)
+    val outCols = custScan.output.map(_.name).toSet
+    assert(!outCols.contains("c_comment") && outCols.contains("c_custkey"),
+      s"column pruning lost — scan outputs $outCols")
   }
 }
