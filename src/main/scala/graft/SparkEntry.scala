@@ -149,6 +149,60 @@ object SparkEntry {
         createdTs = ts("2024-02-01 00:00:00"))
       .orderBy("event_id")
 
+  /** B1 — typed EAV ingest through the FeatureStore facade: six features
+    * covering every storage class of the widened fact schema (float64,
+    * int64, bool, timestamp, array_string, embedding — FeatureValueType,
+    * reference feature_registry.py:29-42). Each event fans out to one typed
+    * observation per feature; per-type validation rejects rows whose
+    * declared storage column is null (events with null value lose their
+    * float64/int64/bool/embedding rows but keep timestamp/array ones). The
+    * result is a per-feature rollup exercising each typed column, so the
+    * oracle can replay the whole pipeline from `events`.
+    */
+  private def b1TypedIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.store.{FeatureStore, FeatureSchemaMeta, FeatureSourceMeta}
+    val now = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val fs = new FeatureStore(s)
+    val specs = Seq(
+      "f_score" -> "float64", "f_count" -> "int64", "f_flag" -> "bool",
+      "f_seen" -> "timestamp", "f_tags" -> "array_string", "f_vec" -> "embedding")
+    val ids = specs.map { case (n, vt) =>
+      val f = fs.registerFeature(n, "v1",
+        FeatureSchemaMeta(n, vt, entity_type = "user"),
+        FeatureSourceMeta("batch"), "owner", now).toOption.get
+      fs.activateFeature(f.feature_id, now)
+      n -> f.feature_id
+    }.toMap
+
+    val base = Tables.events(s, dir).select(
+      col("user_id").cast("string").as("entity_id"),
+      col("ts").as("event_timestamp"), col("value"), col("event_type"))
+    def typed(name: String, valueCol: String, v: Column): DataFrame =
+      base.select(col("entity_id"), lit(name).as("feature_name"),
+        v.as(valueCol), col("event_timestamp"))
+    val batch = typed("f_score", "value_double", col("value"))
+      .unionByName(typed("f_count", "value_double", floor(col("value")).cast("double")), allowMissingColumns = true)
+      .unionByName(typed("f_flag", "value_bool", col("value") > 50), allowMissingColumns = true)
+      .unionByName(typed("f_seen", "value_timestamp", col("event_timestamp")), allowMissingColumns = true)
+      .unionByName(typed("f_tags", "value_array_string", array(col("event_type"), lit("evt"))), allowMissingColumns = true)
+      .unionByName(
+        typed("f_vec", "value_array_double",
+          when(col("value").isNotNull, array(col("value"), col("value") * 2))),
+        allowMissingColumns = true)
+    fs.ingestValues(batch, ids, now)
+
+    fs.valuesDF
+      .groupBy("feature_name", "value_type")
+      .agg(
+        count(lit(1)).as("n"),
+        Fns.epsRound(sum("value_double"), 2).as("sum_double"),
+        count_if(col("value_bool")).as("n_true"),
+        max("value_timestamp").as("max_ts"),
+        sum(size(col("value_array_string"))).cast("long").as("n_tags"),
+        Fns.epsRound(sum(element_at(col("value_array_double"), 1)), 2).as("sum_arr0"))
+      .orderBy("feature_name")
+  }
+
   /** B2 — last-write-wins upsert: snapshot(<=Jan15) + updates(Jan15..] must
     * equal a full recompute of latest-per-key (idempotence oracle).
     */
@@ -336,26 +390,33 @@ object SparkEntry {
     Dedup.exactStats(Tables.documents(s, dir), "text")
 
   /** G1 — exact n-gram Jaccard near-dup pairs, blocked by (lang, length
-    * bucket). Blocking is part of the declared semantics (oracle replicates
-    * it); the unblocked scale path is g1_minhash_pairs.
+    * bucket), stop-shingles (block df > 50) removed. Blocking and the df
+    * cap are part of the declared semantics (oracle replicates both); the
+    * unblocked scale path is g1_minhash_pairs.
     */
   private def g1JaccardPairs(s: SparkSession, dir: String): DataFrame =
     Dedup
       .jaccardPairs(
         Tables.documents(s, dir).withColumn("len_bucket", expr("n_chars div 100")),
         idCol = "doc_id", textCol = "text",
-        blockCols = Seq("lang", "len_bucket"), shingleN = 3, threshold = 0.3)
+        blockCols = Seq("lang", "len_bucket"), shingleN = 3, threshold = 0.3,
+        maxShingleDf = 50)
       .orderBy("id_a", "id_b")
 
   /** G1 — near-dup pairs resolved to canonical clusters (connected
-    * components over the oracle-checkable jaccard pairs). */
+    * components over the oracle-checkable jaccard pairs). The pairs frame
+    * is localCheckpoint'ed first: CC iterates over it, and without
+    * materialization every round would recompute the whole dedup pipeline
+    * (the round-1 bench paid 23 s here on a 12-edge graph).
+    */
   private def g1DedupResolve(s: SparkSession, dir: String): DataFrame =
     Dedup
       .connectedComponents(
         Dedup.jaccardPairs(
           Tables.documents(s, dir).withColumn("len_bucket", expr("n_chars div 100")),
           idCol = "doc_id", textCol = "text",
-          blockCols = Seq("lang", "len_bucket"), shingleN = 3, threshold = 0.3))
+          blockCols = Seq("lang", "len_bucket"), shingleN = 3, threshold = 0.3,
+          maxShingleDf = 50).localCheckpoint())
       .orderBy("doc_id")
 
   /** G1 — MinHash-LSH candidates, exact-verified (rows-only check: banding
@@ -396,11 +457,18 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
-  /** G1/G2 — embedding-cosine near-dup pairs over a bounded id range. */
+  /** G1/G2 — exact embedding-cosine near-dup pairs over the FULL corpus
+    * (block-matrix chunked equi-join; no broadcast nested loop). */
   private def g1EmbeddingDups(s: SparkSession, dir: String): DataFrame =
     Similarity
-      .cosineDupPairs(
-        Tables.embeddings(s, dir).where(col("vec_id") < 500), "vec_id", "embedding", threshold = 0.3)
+      .cosineDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.3)
+      .orderBy("id_a", "id_b")
+
+  /** G1/G2 — LSH-bucketed near-dup candidates, exact-verified (rows-only:
+    * candidate recall at threshold 0.3 is approximate; precision 1.0). */
+  private def g1EmbeddingDupsLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity
+      .cosineDupPairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.3)
       .orderBy("id_a", "id_b")
 
   /** G2 — IVF approximate top-k (rows-only: recall depends on nProbe). */
@@ -682,6 +750,7 @@ object SparkEntry {
     "a7_interval_join"   -> (a7IntervalJoin _),
     "a5_snapshot_filter" -> (a5SnapshotFilter _),
     "b1_validated_ingest" -> (b1ValidatedIngest _),
+    "b1_typed_ingest"    -> (b1TypedIngest _),
     "b2_upsert_snapshot" -> (b2UpsertSnapshot _),
     "b4_orphan_check"    -> (b4OrphanCheck _),
     "c1_filter_project"  -> (c1FilterProject _),
@@ -701,6 +770,7 @@ object SparkEntry {
     "g1_minhash_pairs"   -> (g1MinhashPairs _),
     "g1_simhash"         -> (g1Simhash _),
     "g1_embedding_dups"  -> (g1EmbeddingDups _),
+    "g1_embedding_dups_lsh" -> (g1EmbeddingDupsLsh _),
     "g2_cosine_topk"     -> (g2CosineTopk _),
     "g2_cosine_topk_agg" -> (g2CosineTopkAgg _),
     "g2_cosine_threshold" -> (g2CosineThreshold _),
@@ -797,6 +867,37 @@ object SparkEntry {
         |FROM events
         |WHERE event_type IN ('click', 'view', 'purchase') AND value IS NOT NULL
         |ORDER BY event_id""".stripMargin,
+    "b1_typed_ingest" ->
+      """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS entity_id, ts, value, event_type FROM events)
+        |SELECT * FROM (
+        |  SELECT 'f_count' AS feature_name, 'int64' AS value_type, count(*) AS n,
+        |         round(sum(floor(value)) + 1e-9, 2) AS sum_double,
+        |         0::BIGINT AS n_true, CAST(NULL AS TIMESTAMP) AS max_ts,
+        |         CAST(NULL AS BIGINT) AS n_tags, CAST(NULL AS DOUBLE) AS sum_arr0
+        |  FROM e WHERE value IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'f_flag', 'bool', count(*), CAST(NULL AS DOUBLE),
+        |         count(*) FILTER (value > 50), CAST(NULL AS TIMESTAMP),
+        |         CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+        |  FROM e WHERE value IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'f_score', 'float64', count(*), round(sum(value) + 1e-9, 2),
+        |         0::BIGINT, CAST(NULL AS TIMESTAMP), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+        |  FROM e WHERE value IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'f_seen', 'timestamp', count(*), CAST(NULL AS DOUBLE),
+        |         0::BIGINT, max(ts), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+        |  FROM e
+        |  UNION ALL
+        |  SELECT 'f_tags', 'array_string', count(*), CAST(NULL AS DOUBLE),
+        |         0::BIGINT, CAST(NULL AS TIMESTAMP), 2 * count(*), CAST(NULL AS DOUBLE)
+        |  FROM e
+        |  UNION ALL
+        |  SELECT 'f_vec', 'embedding', count(*), CAST(NULL AS DOUBLE),
+        |         0::BIGINT, CAST(NULL AS TIMESTAMP), CAST(NULL AS BIGINT),
+        |         round(sum(value) + 1e-9, 2)
+        |  FROM e WHERE value IS NOT NULL
+        |) ORDER BY feature_name""".stripMargin,
     "b2_upsert_snapshot" ->
       """SELECT user_id, event_type, arg_max(value, ts) AS value,
         |       arg_max(event_id, ts) AS event_id, max(ts) AS ts
@@ -878,16 +979,22 @@ object SparkEntry {
         |       sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS n_dup_docs
         |FROM g""".stripMargin,
     "g1_dedup_resolve" ->
-      """WITH RECURSIVE s AS (
+      """WITH RECURSIVE s0 AS (
         |  SELECT doc_id, lang, n_chars // 100 AS len_bucket,
         |         list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
         |                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
         |  FROM (SELECT doc_id, lang, n_chars, string_split_regex(trim(text), '\s+') AS w FROM documents)),
+        |ex AS (SELECT doc_id, lang, len_bucket, unnest(sh) AS s FROM s0),
+        |keep AS (SELECT lang, len_bucket, s FROM ex GROUP BY lang, len_bucket, s HAVING count(*) <= 50),
+        |s AS (SELECT doc_id, lang, len_bucket, list(s) AS sh
+        |      FROM ex JOIN keep USING (lang, len_bucket, s)
+        |      GROUP BY doc_id, lang, len_bucket),
         |jp AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM s a JOIN s b
         |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |  WHERE len(list_intersect(a.sh, b.sh)) > 0
+        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
         |        len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.3),
         |e AS (SELECT id_a AS a, id_b AS b FROM jp UNION SELECT id_b, id_a FROM jp),
         |reach AS (
@@ -897,17 +1004,23 @@ object SparkEntry {
         |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "g1_jaccard_pairs" ->
-      """WITH s AS (
+      """WITH s0 AS (
         |  SELECT doc_id, lang, n_chars // 100 AS len_bucket,
         |         list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
         |                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-        |  FROM (SELECT doc_id, lang, n_chars, string_split_regex(trim(text), '\s+') AS w FROM documents))
+        |  FROM (SELECT doc_id, lang, n_chars, string_split_regex(trim(text), '\s+') AS w FROM documents)),
+        |ex AS (SELECT doc_id, lang, len_bucket, unnest(sh) AS s FROM s0),
+        |keep AS (SELECT lang, len_bucket, s FROM ex GROUP BY lang, len_bucket, s HAVING count(*) <= 50),
+        |s AS (SELECT doc_id, lang, len_bucket, list(s) AS sh
+        |      FROM ex JOIN keep USING (lang, len_bucket, s)
+        |      GROUP BY doc_id, lang, len_bucket)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
         |             len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE + 1e-9, 4) AS jaccard
         |FROM s a JOIN s b
         |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |WHERE len(list_intersect(a.sh, b.sh)) > 0
+        |  AND len(list_intersect(a.sh, b.sh))::DOUBLE /
         |      len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
     "g2_cosine_topk" ->
@@ -950,7 +1063,7 @@ object SparkEntry {
         |SELECT query_id, count(*) FILTER (sim >= 0.25) AS n_matches
         |FROM p GROUP BY query_id ORDER BY query_id""".stripMargin,
     "g1_embedding_dups" ->
-      """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings),
         |p AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    list_sum(list_transform(range(1, len(a.embedding) + 1),

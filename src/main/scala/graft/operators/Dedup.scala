@@ -70,9 +70,22 @@ object Dedup {
     * (block, shingle) to count shared shingles per pair, then
     * |A ∩ B| / (|A| + |B| - |A ∩ B|). No pairwise array ops ever
     * materialize — cost is proportional to the number of *shared-shingle
-    * occurrences*, not block², which is what survives scale (a pairwise
-    * array_intersect formulation measured 38 s at sf0.1; this one ~2 s).
+    * occurrences* (sum over shingles of df²), not block².
     * Integer-count division in double is bit-identical across engines.
+    *
+    * CAUTION (measured): the two join sides MUST be genuinely re-aliased
+    * frames — joining two projections of the same lineage makes Spark
+    * classify the shingle equality as a trivially-true self-comparison and
+    * drop it from the equi-join keys, silently turning this into a
+    * block-level cross product with a post-filter (35.8 s at sf0.1 vs ~1 s
+    * aliased; the round-1 bench tail was exactly this).
+    *
+    * @param maxShingleDf stop-shingle removal: shingles whose document
+    *   frequency within a block exceeds this are dropped from BOTH docs'
+    *   shingle sets before jaccard (standard near-dup practice — an
+    *   ultra-common shingle carries no dup signal but joins with df² cost;
+    *   unbounded df is the one thing that breaks this operator at 100 TB).
+    *   The declared-query oracle mirrors the cap. Int.MaxValue = off.
     */
   def jaccardPairs(
       docs: DataFrame,
@@ -80,25 +93,38 @@ object Dedup {
       textCol: String,
       blockCols: Seq[String],
       shingleN: Int,
-      threshold: Double
+      threshold: Double,
+      maxShingleDf: Int = Int.MaxValue
   ): DataFrame = {
-    val ex = docs
+    val exAll = docs
       .select(
         (col(idCol).as("__id") +: blockCols.map(col)) :+
           split(trim(col(textCol)), "\\s+").as("__w"): _*)
       .select(
         (col("__id") +: blockCols.map(col)) :+
           explode(wordShinglesFromWords(col("__w"), shingleN)).as("__s"): _*)
+    val ex =
+      if (maxShingleDf == Int.MaxValue) exAll
+      else {
+        // block-level shingle document frequency; keep only sub-cap shingles.
+        // The semi-join keeps ex's own columns (no dup column names).
+        val rare = exAll
+          .groupBy(blockCols.map(col) :+ col("__s"): _*)
+          .agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= maxShingleDf)
+          .drop("__df")
+        exAll.join(rare, blockCols :+ "__s", "left_semi")
+      }
     val counts = ex.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
 
-    val a = ex.select(col("__id").as("id_a") +: col("__s") +: blockCols.map(c => col(c).as(s"__ba_$c")): _*)
-    val b = ex.select(col("__id").as("id_b") +: col("__s") +: blockCols.map(c => col(c).as(s"__bb_$c")): _*)
+    val a = ex.alias("A")
+    val b = ex.alias("B")
     val joinCond = blockCols
-      .map(c => col(s"__ba_$c") === col(s"__bb_$c"))
-      .foldLeft(col("id_a") < col("id_b"))(_ && _)
+      .map(c => col(s"A.$c") === col(s"B.$c"))
+      .foldLeft(col("A.__id") < col("B.__id") && col("A.__s") === col("B.__s"))(_ && _)
     val common = a
-      .join(b, a("__s") === b("__s") && joinCond)
-      .groupBy(col("id_a"), col("id_b"))
+      .join(b, joinCond)
+      .groupBy(col("A.__id").as("id_a"), col("B.__id").as("id_b"))
       .agg(count(lit(1)).as("__common"))
 
     common
@@ -200,11 +226,56 @@ object Dedup {
     *   trees before rounds were localCheckpoint'ed, and would need 32
     *   propagation-only rounds).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20, jumpAfter: Int = 4): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      jumpAfter: Int = 4,
+      smallGraphEdges: Long = 2000000L): DataFrame = {
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
       .distinct()
       .cache()
+
+    // Adaptive fast path: a near-dup graph is usually TINY relative to the
+    // corpus (edges only exist between near-dups), while the distributed
+    // loop pays ~10 rounds of fixed job overhead regardless of size —
+    // 23 s on a 12-row graph in the round-1 bench. Below the threshold,
+    // run exact union-find in ONE task (a few MB of longs); the
+    // distributed pointer-jumping loop remains the >threshold path.
+    // Union-by-min-root gives the same canonical (min id per component)
+    // as min-label propagation, so both paths are bit-identical.
+    // (long ids only, so the fast path's output schema matches the loop's)
+    val idIsLong = edges.schema.fields.head.dataType == org.apache.spark.sql.types.LongType
+    if (idIsLong && edges.count() <= smallGraphEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val out = edges
+        .select(col("a").cast("long"), col("b").cast("long"))
+        .where(col("a") < col("b")) // one direction is enough for union-find
+        .as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent(r) != r) r = parent(r)
+            var c = x
+            while (parent(c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+            r
+          }
+          it.foreach { case (x, y) =>
+            if (!parent.contains(x)) parent(x) = x
+            if (!parent.contains(y)) parent(y) = y
+            val rx = find(x); val ry = find(y)
+            if (rx != ry) { if (rx < ry) parent(ry) = rx else parent(rx) = ry }
+          }
+          parent.keys.toArray.iterator.map(x => (x, find(x)))
+        }
+        .toDF("doc_id", "canonical_id")
+      edges.unpersist()
+      return out
+    }
+
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .cache()
@@ -275,12 +346,26 @@ object Dedup {
   /** SimHash near-dup pairs with hamming distance <= maxHamming, using
     * 4x16-bit chunk pigeonhole bucketing (any pair within hamming 3 shares
     * at least one exact chunk; larger maxHamming trades recall).
+    *
+    * @param maxBucketSize frequency cap on a (chunk, value) bucket: a
+    *   degenerate hot chunk (e.g. thousands of near-empty docs hashing the
+    *   same 16 bits) would otherwise join quadratically. Capped buckets are
+    *   dropped from candidate generation — pairs inside them can still be
+    *   found via their other three chunks; only pairs ALL of whose shared
+    *   chunks are hot lose recall (documented approximation, like banding).
     */
-  def simhashPairs(sims: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+  def simhashPairs(
+      sims: DataFrame,
+      idCol: String,
+      maxHamming: Int,
+      maxBucketSize: Int = 10000): DataFrame = {
     val chunks = array((0 until 4).map { c =>
       struct(lit(c).as("chunk"), shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("v"))
     }: _*)
-    val ex = sims.select(col(idCol).as("__id"), col("simhash"), explode(chunks).as("__c"))
+    val exAll = sims.select(col(idCol).as("__id"), col("simhash"), explode(chunks).as("__c"))
+    val smallBuckets = exAll.groupBy(col("__c")).agg(count(lit(1)).as("__bn"))
+      .where(col("__bn") <= maxBucketSize).drop("__bn")
+    val ex = exAll.join(smallBuckets, Seq("__c"), "left_semi")
     val l = ex.select(col("__c"), col("__id").as("id_a"), col("simhash").as("sh_a"))
     val r = ex.select(col("__c"), col("__id").as("id_b"), col("simhash").as("sh_b"))
     l.join(r, Seq("__c"))

@@ -113,20 +113,83 @@ object Similarity {
       .agg(count_if(col("__sim") >= threshold).as("n_matches"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (G1's embedding variant): all
-    * pairs with cosine >= threshold. Brute force over a bounded id range —
-    * the scale path reuses [[lshTopK]]'s bucketing for candidates.
+  /** Embedding-cosine near-duplicate pairs (G1's embedding variant): ALL
+    * pairs with cosine >= threshold, EXACT.
+    *
+    * An exact threshold join is inherently Θ(n²) dot products on
+    * unstructured data — what an engine controls is the join SHAPE. The
+    * round-1 formulation was a non-equi self-join (`id_a < id_b`), which
+    * Spark plans as a BroadcastNestedLoopJoin: one side fully broadcast,
+    * dead at corpus scale. This one is the block-matrix shape: hash each
+    * vector into one of ~n/chunkRows chunks, replicate the left side to
+    * every chunk pair (ca <= cb) via an `explode(sequence(...))` — an
+    * EQUI-join on the chunk id, so each task scores one bounded
+    * chunk-pair block and nothing is ever broadcast or nested-looped.
+    * Every unordered pair is scored exactly once: cross-chunk pairs when
+    * the left row's chunk <= the right row's chunk (ids emitted
+    * least/greatest), same-chunk pairs gated by id order.
+    *
+    * The sublinear *approximate* path is [[cosineDupPairsLsh]]; at 100 TB
+    * run that (or dedup at a higher threshold on IVF cells) — exact
+    * τ=0.3 over random vectors is a correctness anchor, not a scale claim.
     */
   def cosineDupPairs(
       vectors: DataFrame,
       idCol: String,
       vecCol: String,
-      threshold: Double
+      threshold: Double,
+      chunkRows: Int = 1024
   ): DataFrame = {
     val v = withNorm(vectors.select(col(idCol), col(vecCol)), vecCol, "__n")
-    val a = v.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("__n").as("__na"))
-    val b = v.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__n").as("__nb"))
-    a.join(b, col("id_a") < col("id_b"))
+    val n = v.count()
+    val nChunks = math.max(1L, (n + chunkRows - 1) / chunkRows).toInt
+    val chunked = v.withColumn("__chunk", pmod(xxhash64(col(idCol)), lit(nChunks)).cast("int"))
+    val a = chunked
+      .select(col(idCol).as("__ida"), col(vecCol).as("__va"), col("__n").as("__na"),
+        col("__chunk").as("__ca"),
+        explode(sequence(col("__chunk"), lit(nChunks - 1))).as("__cb"))
+    val b = chunked
+      .select(col(idCol).as("__idb"), col(vecCol).as("__vb"), col("__n").as("__nb"),
+        col("__chunk").as("__cb"))
+    a.join(b, Seq("__cb"))
+      .where(col("__ca") < col("__cb") || col("__ida") < col("__idb"))
+      .withColumn("__sim", VectorExpressions.vecDot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .where(col("__sim") >= threshold)
+      .select(
+        least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"),
+        epsRound(col("__sim"), 4).as("cosine"))
+  }
+
+  /** Approximate near-dup pairs via hyperplane-LSH candidate generation +
+    * exact cosine verification: candidates = pairs sharing a bucket in any
+    * table (equi-join), each verified with the true dot product, so
+    * precision is 1.0 and cost is linear-ish in corpus size. Recall at a
+    * LOW threshold is the honest caveat: P(bucket collision) for a pair at
+    * cosine 0.3 with 12 planes is ~0.2%/table — hyperplane LSH separates
+    * well only near cosine 1, so use this for true near-dup thresholds
+    * (>= ~0.8) or crank numTables. This is the 100 TB path;
+    * [[cosineDupPairs]] is the exact anchor.
+    */
+  def cosineDupPairsLsh(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numTables: Int = 8,
+      planes: Int = 12,
+      dim: Int = 64
+  ): DataFrame = {
+    val v = withNorm(vectors.select(col(idCol), col(vecCol)), vecCol, "__n")
+      .select(col(idCol), col(vecCol), col("__n"),
+        posexplode(lshBuckets(col(vecCol), numTables, planes, dim)).as(Seq("__t", "__b")))
+    val a = v.select(col("__t"), col("__b"),
+      col(idCol).as("id_a"), col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = v.select(col("__t"), col("__b"),
+      col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__n").as("__nb"))
+    a.join(b, Seq("__t", "__b"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
       .withColumn("__sim", VectorExpressions.vecDot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .where(col("__sim") >= threshold)
       .select(col("id_a"), col("id_b"), epsRound(col("__sim"), 4).as("cosine"))

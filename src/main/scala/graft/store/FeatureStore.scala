@@ -35,7 +35,17 @@ class FeatureStore(val spark: SparkSession) {
   private var auditLog: Vector[AuditRecord] = Vector.empty
 
   /** EAV fact schema — FIXTURES.md A2 (typed value columns, choice (a) of
-    * SURVEY.md §1.3). */
+    * SURVEY.md §1.3), covering all 11 reference value types
+    * (FeatureValueType, feature_registry.py:29-42):
+    *   int32/int64/float32/float64 -> value_double
+    *   string                      -> value_string
+    *   bool                        -> value_bool
+    *   timestamp                   -> value_timestamp
+    *   array_int/array_float/embedding -> value_array_double
+    *   array_string                -> value_array_string
+    * One column per storage class (not per type) keeps the fact log narrow;
+    * `value_type` is the tag that picks the live column.
+    */
   val valuesSchema: StructType = StructType(Seq(
     StructField("feature_id", StringType),
     StructField("entity_id", StringType),
@@ -44,8 +54,23 @@ class FeatureStore(val spark: SparkSession) {
     StructField("value_type", StringType),
     StructField("value_double", DoubleType),
     StructField("value_string", StringType),
+    StructField("value_bool", BooleanType),
+    StructField("value_timestamp", TimestampType),
+    StructField("value_array_double", ArrayType(DoubleType)),
+    StructField("value_array_string", ArrayType(StringType)),
     StructField("event_timestamp", TimestampType),
     StructField("created_timestamp", TimestampType)))
+
+  /** value_type -> the storage column that must be non-null for it. */
+  val storageColFor: Map[String, String] = Map(
+    "int32" -> "value_double", "int64" -> "value_double",
+    "float32" -> "value_double", "float64" -> "value_double",
+    "string" -> "value_string",
+    "bool" -> "value_bool",
+    "timestamp" -> "value_timestamp",
+    "array_int" -> "value_array_double", "array_float" -> "value_array_double",
+    "embedding" -> "value_array_double",
+    "array_string" -> "value_array_string")
 
   private var values: DataFrame = spark.createDataFrame(
     spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], valuesSchema)
@@ -162,8 +187,18 @@ class FeatureStore(val spark: SparkSession) {
     * distributed analogue of raising per row — poison rows route, not
     * throw).
     *
-    * Input df columns: entity_id, feature_name, value_double|value_string,
-    * event_timestamp.
+    * Per-type validation mirrors _validate_value (feature_registry.py:
+    * 558-577) with ONE pinned strictening: the reference skips validation
+    * for TIMESTAMP and ARRAY_STRING entirely (absent from its type_checks
+    * dict) and accepts None for every type; here every value_type requires
+    * its declared storage column ([[storageColFor]]) to be non-null, and a
+    * row carrying a value in the WRONG storage column is rejected, not
+    * coerced.
+    *
+    * Input df columns: entity_id, feature_name, event_timestamp, and
+    * whichever of value_double / value_string / value_bool /
+    * value_timestamp / value_array_double / value_array_string the batch
+    * carries (missing storage columns are treated as all-null).
     */
   def ingestValues(df: DataFrame, featureIdForName: Map[String, String], createdTs: Timestamp): Long = {
     val active = features.filter(_._2.status == "active")
@@ -174,25 +209,52 @@ class FeatureStore(val spark: SparkSession) {
     val typeMap = typedLit(meta.map { case (id, (_, vt)) => id -> vt })
     val etMap = typedLit(meta.map { case (id, (et, _)) => id -> et })
 
-    val withMeta = df
+    val storageCols = valuesSchema.fields.filter(_.name.startsWith("value_")).filterNot(_.name == "value_type")
+    val withAllCols = storageCols.foldLeft(df) { (acc, f) =>
+      if (acc.columns.contains(f.name)) acc
+      else acc.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    // declared type's storage column non-null, every other storage column null
+    val typeOk = storageColFor
+      .groupBy(_._2).map { case (storeCol, types) =>
+        col("value_type").isin(types.keys.toSeq: _*) &&
+          col(storeCol).isNotNull &&
+          storageCols.map(_.name).filterNot(_ == storeCol).map(col(_).isNull).reduce(_ && _)
+      }
+      .reduce(_ || _)
+
+    val withMeta = withAllCols
       .withColumn("feature_id", idMap(col("feature_name")))
       .where(col("feature_id").isNotNull) // not registered+active -> reject
       .withColumn("value_type", typeMap(col("feature_id")))
       .withColumn("entity_type", etMap(col("feature_id")))
-      // duck-typed value check (feature_registry.py:558-577): the numeric
-      // column must be set for numeric types, string column for string
-      .where(
-        (col("value_type").isin("float64", "float32", "int32", "int64") && col("value_double").isNotNull) ||
-          (col("value_type") === "string" && col("value_string").isNotNull))
+      .where(typeOk)
       .withColumn("created_timestamp", lit(createdTs))
-      .select(valuesSchema.fieldNames.map {
-        case c @ ("value_double" | "value_string") => coalesce(col(c), lit(null)).as(c)
-        case c => col(c)
-      }.toSeq: _*)
+      .select(valuesSchema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
 
-    val before = values.count()
-    values = values.unionByName(withMeta.select(valuesSchema.fieldNames.map(col).toSeq: _*))
-    values.count() - before
+    // count the BATCH, not the whole log: before/after counts recompute the
+    // ever-growing union lineage on every ingest (O(n²) across ingests)
+    val accepted = withMeta.count()
+    values = values.unionByName(withMeta)
+    noteMutation()
+    accepted
+  }
+
+  /** Every `lineageCheckpointEvery` mutations, pin `values` with a
+    * localCheckpoint: the fact log is otherwise a lazy unionByName chain
+    * whose plan grows per ingest and gets recomputed from scratch by every
+    * read. (On a cluster with a checkpoint dir, checkpoint() adds
+    * fault-tolerance; the lakehouse-backed store makes this moot by
+    * persisting between batches.)
+    */
+  private var mutationsSinceCheckpoint = 0
+  private val lineageCheckpointEvery = 8
+  private def noteMutation(): Unit = {
+    mutationsSinceCheckpoint += 1
+    if (mutationsSinceCheckpoint >= lineageCheckpointEvery) {
+      values = values.localCheckpoint()
+      mutationsSinceCheckpoint = 0
+    }
   }
 
   // ---- reads (A1/A2/A3, C3, D1/D2, E6, B3) ------------------------------
@@ -207,6 +269,11 @@ class FeatureStore(val spark: SparkSession) {
   /** get_feature_value — feature_registry.py:443-496: RBAC gate (deny ->
     * audit + None here, not an exception — the engine masks, D2), as-of
     * filter + argmax (A1), audit on success.
+    *
+    * CONTRACT: this is a single-scalar POINT READ mirroring the reference
+    * API — the collect() is one row by construction. Never compose it into
+    * a batch path (a loop over entities = a full scan per call); batch
+    * reads go through [[getFeatureVector]] / [[getPointInTimeFeatures]].
     */
   def getFeatureValue(
       entityId: String,
@@ -252,10 +319,17 @@ class FeatureStore(val spark: SparkSession) {
       base.where(col("feature_id").isin(allowed: _*)),
       entityCol = "entity_id", nameCol = "feature_id", valueCol = "value_double",
       tsCol = "event_timestamp", tieCol = "created_timestamp", names = allowed)
+    // the reference returns one vector per REQUESTED entity
+    // (get_feature_vector, feature_registry.py:498-535) — an entity with no
+    // qualifying facts (or with every feature denied) still yields a row of
+    // nulls, so anchor the pivot on the requested ids with a left join
+    import spark.implicits._
+    val requested = entityIds.toDF("entity_id")
+    val anchored = requested.join(vec, Seq("entity_id"), "left")
     // denied/unknown features still appear as explicit null columns
     // (explicit-null contract, feature_server.py:521-527 + deny->null :526-528)
     (denied ++ featureIds.filterNot(known.contains))
-      .foldLeft(vec)((df, id) => df.withColumn(id, lit(null).cast("double")))
+      .foldLeft(anchored)((df, id) => df.withColumn(id, lit(null).cast("double")))
       .select((col("entity_id") +: featureIds.map(col)).toSeq: _*)
   }
 
@@ -289,7 +363,8 @@ class FeatureStore(val spark: SparkSession) {
       values,
       keys = Seq("entity_id", "feature_id"),
       tsCol = "event_timestamp", tieCol = "created_timestamp",
-      payloadCols = Seq("feature_name", "value_double", "value_string"),
+      payloadCols = Seq("feature_name", "value_double", "value_string",
+        "value_bool", "value_timestamp", "value_array_double", "value_array_string"),
       asOf = Some(lit(asOf)))
 
   /** Retention enforcement (Feature.retention_days, 7y HIPAA default —
@@ -301,14 +376,16 @@ class FeatureStore(val spark: SparkSession) {
   def enforceRetention(now: Timestamp): Long = {
     if (features.isEmpty) return 0L
     val retention = typedLit(features.map { case (id, f) => id -> f.retention_days })
-    val before = values.count()
-    values = values.where(
+    val keep =
       col("event_timestamp") >=
         lit(now) - retention(col("feature_id")).cast("int") * expr("INTERVAL 1 DAY") ||
         retention(col("feature_id")).isNull ||   // unknown features retained
-        col("event_timestamp").isNull)           // unknown-age rows retained, not silently destroyed
-    val after = values.count()
-    before - after
+        col("event_timestamp").isNull            // unknown-age rows retained, not silently destroyed
+    // count only the REMOVED rows (one scan), not before/after full counts
+    val removed = values.where(!keep).count()
+    values = values.where(keep)
+    noteMutation()
+    removed
   }
 
   // ---- derived features (B5 source_type=derived — declared by the
@@ -375,11 +452,16 @@ class FeatureStore(val spark: SparkSession) {
       lit("float64").as("value_type"),
       expr(f.source.transformation_logic).cast("double").as("value_double"),
       lit(null).cast("string").as("value_string"),
+      lit(null).cast("boolean").as("value_bool"),
+      lit(null).cast("timestamp").as("value_timestamp"),
+      lit(null).cast("array<double>").as("value_array_double"),
+      lit(null).cast("array<string>").as("value_array_string"),
       col("event_timestamp"),
       lit(now).as("created_timestamp"))
 
     val n = rows.count()
     values = values.unionByName(rows.select(valuesSchema.fieldNames.map(col).toSeq: _*))
+    noteMutation()
     n
   }
 

@@ -21,8 +21,12 @@ object Streaming {
   case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
 
   /** Online-store state: latest value per (entity, feature) —
-    * feature_server.py:428-438's dict, as managed stream state. */
-  case class LatestState(user_id: Long, event_type: String, value: Double, ts: java.sql.Timestamp, version: Int)
+    * feature_server.py:428-438's dict, as managed stream state. Retains the
+    * winning event_id so equal-timestamp ties replay the exact batch-side
+    * rule (max event_id wins) across micro-batch boundaries. */
+  case class LatestState(
+      user_id: Long, event_type: String, value: Double,
+      ts: java.sql.Timestamp, event_id: Long, version: Int)
 
   /** B1 streaming — validated append: same predicate as the batch path
     * (graft.operators.Validation), applied to an unbounded stream. Late data
@@ -84,10 +88,14 @@ object Streaming {
       incoming: Seq[EventRow]): Option[LatestState] =
     if (incoming.isEmpty) None
     else {
-      val candidates = prev.toSeq.map(s => (s.ts.getTime, Long.MaxValue, s)) ++
-        incoming.map(e => (e.ts.getTime, e.event_id, LatestState(uid, etype, e.value, e.ts, 0)))
+      // prev competes with its OWN stored event_id (not a sentinel): an
+      // equal-timestamp event with a higher event_id arriving in a later
+      // micro-batch must still win, exactly as a batch recompute with
+      // tieCol=event_id would decide it
+      val candidates = prev.toSeq.map(s => (s.ts.getTime, s.event_id, s)) ++
+        incoming.map(e => (e.ts.getTime, e.event_id, LatestState(uid, etype, e.value, e.ts, e.event_id, 0)))
       val (_, _, winner) = candidates.maxBy(c => (c._1, c._2))
-      if (prev.exists(p => p.ts == winner.ts && p.value == winner.value)) None
+      if (prev.exists(p => p.ts == winner.ts && p.event_id == winner.event_id)) None
       else Some(winner.copy(version = prev.map(_.version).getOrElse(0) + 1))
     }
 

@@ -225,6 +225,96 @@ class FeatureStoreSpec extends SparkSpec {
     assert(phi == Seq(dxId))
   }
 
+  test("typed ingest round-trips every reference value type through its storage column") {
+    val fs = new FeatureStore(spark)
+    val types = Seq(
+      "int32", "int64", "float32", "float64", "string", "bool", "timestamp",
+      "array_int", "array_float", "array_string", "embedding")
+    val ids = types.map { vt =>
+      val Right(f) = fs.registerFeature(s"f_$vt", "1", FeatureSchemaMeta(s"f_$vt", vt),
+        FeatureSourceMeta("batch"), "o", now)
+      fs.activateFeature(f.feature_id, now)
+      s"f_$vt" -> f.feature_id
+    }.toMap
+
+    val t0 = ts("2024-01-10 00:00:00")
+    def row(vt: String) = {
+      import org.apache.spark.sql.Row
+      val nulls = Seq[Any](null, null, null, null, null, null)
+      val idx = Map("value_double" -> 0, "value_string" -> 1, "value_bool" -> 2,
+        "value_timestamp" -> 3, "value_array_double" -> 4, "value_array_string" -> 5)
+      val v: Any = vt match {
+        case "int32" | "int64" | "float32" | "float64" => 7.5
+        case "string" => "hello"
+        case "bool" => true
+        case "timestamp" => ts("2024-01-09 00:00:00")
+        case "array_int" | "array_float" | "embedding" => Seq(1.0, 2.0)
+        case "array_string" => Seq("a", "b")
+      }
+      val sc = fs.storageColFor(vt)
+      Row.fromSeq(Seq[Any](s"e_$vt", s"f_$vt") ++ nulls.updated(idx(sc), v) :+ t0)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("entity_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("feature_name", org.apache.spark.sql.types.StringType)) ++
+      fs.valuesSchema.fields.filter(f => f.name.startsWith("value_") && f.name != "value_type") :+
+      org.apache.spark.sql.types.StructField("event_timestamp", org.apache.spark.sql.types.TimestampType))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(types.map(row)), schema)
+    assert(fs.ingestValues(df, ids, now) == types.size.toLong)
+
+    val snap = fs.onlineSnapshot(now).collect()
+      .map(r => r.getAs[String]("feature_id") -> r).toMap
+    assert(snap(ids("f_float64")).getAs[Double]("value_double") == 7.5)
+    assert(snap(ids("f_int64")).getAs[Double]("value_double") == 7.5)
+    assert(snap(ids("f_string")).getAs[String]("value_string") == "hello")
+    assert(snap(ids("f_bool")).getAs[Boolean]("value_bool"))
+    assert(snap(ids("f_timestamp")).getAs[java.sql.Timestamp]("value_timestamp") == ts("2024-01-09 00:00:00"))
+    assert(snap(ids("f_embedding")).getAs[scala.collection.Seq[Double]]("value_array_double").toSeq == Seq(1.0, 2.0))
+    assert(snap(ids("f_array_string")).getAs[scala.collection.Seq[String]]("value_array_string").toSeq == Seq("a", "b"))
+  }
+
+  test("typed ingest rejects wrong-column and null-typed rows (pinned stricter than reference)") {
+    val fs = new FeatureStore(spark)
+    val Right(fb) = fs.registerFeature("flag", "1", FeatureSchemaMeta("flag", "bool"),
+      FeatureSourceMeta("batch"), "o", now)
+    val Right(ft) = fs.registerFeature("seen", "1", FeatureSchemaMeta("seen", "timestamp"),
+      FeatureSourceMeta("batch"), "o", now)
+    fs.activateFeature(fb.feature_id, now); fs.activateFeature(ft.feature_id, now)
+    val ids = Map("flag" -> fb.feature_id, "seen" -> ft.feature_id)
+    // bool value arriving in value_double: rejected, not coerced
+    val wrongCol = Seq(("e1", "flag", Some(1.0), ts("2024-01-01 00:00:00")))
+      .toDF("entity_id", "feature_name", "value_double", "event_timestamp")
+    assert(fs.ingestValues(wrongCol, ids, now) == 0L)
+    // the reference skips TIMESTAMP validation entirely (its _validate_value
+    // has no TIMESTAMP check) and accepts None for every type; we pin the
+    // stricter rule — a timestamp feature row with a null value_timestamp
+    // is rejected
+    val nullTs = Seq(("e1", "seen", Option.empty[java.sql.Timestamp], ts("2024-01-01 00:00:00")))
+      .toDF("entity_id", "feature_name", "value_timestamp", "event_timestamp")
+    assert(fs.ingestValues(nullTs, ids, now) == 0L)
+    // and the happy row lands
+    val ok = Seq(("e1", "flag", Some(true), ts("2024-01-01 00:00:00")))
+      .toDF("entity_id", "feature_name", "value_bool", "event_timestamp")
+    assert(fs.ingestValues(ok, ids, now) == 1L)
+  }
+
+  test("getFeatureVector anchors on requested entities: no-fact and all-denied entities get null rows") {
+    val (fs, hrId, dxId) = newStore()
+    ingestSample(fs, hrId, dxId)
+    // p_ghost has no facts at all -> present with nulls
+    val vec = fs.getFeatureVector(Seq("p1", "p_ghost"), Seq(hrId),
+      ts("2024-01-31 00:00:00"), "u", Seq("analyst"), now)
+    val m = vec.collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(m.keySet == Set("p1", "p_ghost"))
+    assert(m("p1") == 80.0 && m("p_ghost") == null)
+    // every feature denied -> still one row per requested entity, all null
+    val denied = fs.getFeatureVector(Seq("p1", "p2"), Seq(dxId),
+      ts("2024-01-31 00:00:00"), "u", Seq("analyst"), now)
+    val dm = denied.collect().map(r => r.getString(0) -> r.get(1)).toMap
+    assert(dm == Map("p1" -> null, "p2" -> null))
+  }
+
   test("onlineSnapshot is latest-per-key") {
     val (fs, hrId, dxId) = newStore()
     ingestSample(fs, hrId, dxId)

@@ -15,6 +15,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
+  test("g1_embedding_dups plans no BroadcastNestedLoopJoin (all-pairs ban)") {
+    // the exact dup-pair join must be the chunked equi-join shape — a BNLJ
+    // here means the non-equi self-join regressed (round-1 scale-killer)
+    val plan = SparkEntry.queries("g1_embedding_dups")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in g1_embedding_dups:\n$plan")
+  }
+
+  test("g1_jaccard_pairs joins shingles as equi-join keys (no block cross product)") {
+    // the round-1 trivially-true '__s == __s' bug planned the inverted-index
+    // join with only the block columns as keys; assert the shingle column is
+    // part of the join keys by checking no build side explodes block-wide
+    val df = SparkEntry.queries("g1_jaccard_pairs")(spark, "/root/testdata/sf0.001")
+    val exec = df.queryExecution.executedPlan
+    val planStr = exec.toString
+    assert(!planStr.contains("BroadcastNestedLoopJoin") && !planStr.contains("CartesianProduct"),
+      s"non-equi join in g1_jaccard_pairs:\n$planStr")
+    // the shingle equality must survive as an equi-join KEY on some hash/
+    // sort-merge join (not a post-join filter over a block cross product).
+    // String-matched on the key list because TreeNode.collect does not
+    // descend into AdaptiveSparkPlanExec's captured input plan.
+    val keyedOnShingle =
+      """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[[^\]]*__s#[^\]]*\]""".r
+        .findFirstIn(planStr).isDefined
+    assert(keyedOnShingle, s"__s not an equi-join key in any join:\n$planStr")
+  }
+
   test("every query with an oracle is actually declared (and vice versa)") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
