@@ -219,6 +219,31 @@ object SparkEntry {
       .orderBy("user_id", "event_type")
   }
 
+  /** B2 over the transactional table (graft.sources.TxTable): the snapshot
+    * is committed as version 0, the post-Jan15 tail MERGEs in as version 1
+    * (copy-on-write, file-pruned), and the read is the resulting snapshot —
+    * same oracle as b2_upsert_snapshot, so the DuckDB recompute certifies
+    * the whole commit-log write path (atomic commits + LWW merge + snapshot
+    * read) end-to-end.
+    */
+  private def b2UpsertTx(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxTable
+    val ev = Tables.events(s, dir).select("user_id", "event_type", "value", "event_id", "ts")
+    val base = Latest.latestAgg(
+      ev.where(col("ts") <= ts(AsOf15)),
+      keys = Seq("user_id", "event_type"), tsCol = "ts", tieCol = "event_id",
+      payloadCols = Seq("value", "event_id"))
+    val t = TxTable(s, java.nio.file.Files.createTempDirectory("graft_tx_b2").toString)
+    t.append(base, tsMillis = 1000L)
+    t.merge(
+      ev.where(col("ts") > ts(AsOf15)).select(base.columns.map(col).toIndexedSeq: _*),
+      keys = Seq("user_id", "event_type"), tsCol = "ts", tieCol = "event_id",
+      tsMillis = 2000L)
+    t.read()
+      .select("user_id", "event_type", "value", "event_id", "ts")
+      .orderBy("user_id", "event_type")
+  }
+
   /** B4 — referential-integrity anti-join: customers with no events. */
   private def b4OrphanCheck(s: SparkSession, dir: String): DataFrame =
     Validation
@@ -274,6 +299,47 @@ object SparkEntry {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), count(col("masked")).as("n_visible"))
       .orderBy("event_type")
+  }
+
+  /** EP3 — the reference's flagship read path (get_feature_vector,
+    * feature_registry.py:498-535) as ONE declared composition: events
+    * ingest into the FeatureStore as five features (error = PHI-direct,
+    * readable only by phi_reader), and the query is the as-of feature
+    * vector for EVERY user with roles [analyst, ml_engineer] — so the
+    * pivot (E6), the deny->null mask (D2), the explicit-null contract (C3)
+    * and the requested-entity anchoring all run in the same plan. The
+    * audit side-output is exercised too (denied error reads log
+    * access_denied; asserted in FeatureStoreSpec — DuckDB sees the frame).
+    */
+  private def ep3FeatureVector(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.store.{FeatureStore, FeatureSchemaMeta, FeatureSourceMeta}
+    val now = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val fs = new FeatureStore(s)
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val ids = types.map { t =>
+      val phi = t == "error"
+      val f = fs.registerFeature(t, "v1",
+        FeatureSchemaMeta(t, "float64", entity_type = "user"),
+        FeatureSourceMeta("batch"), "owner", now,
+        phiLevel = if (phi) "direct" else "none",
+        accessRoles = if (phi) Seq("phi_reader") else Seq.empty).toOption.get
+      fs.activateFeature(f.feature_id, now)
+      t -> f.feature_id
+    }
+    fs.ingestValues(
+      Tables.events(s, dir).select(
+        col("user_id").cast("string").as("entity_id"),
+        col("event_type").as("feature_name"),
+        col("value").as("value_double"),
+        col("ts").as("event_timestamp")),
+      ids.toMap, now)
+    val entities = Tables.events(s, dir)
+      .select(col("user_id").cast("string")).distinct().as[String].collect().toSeq.sorted
+    fs.getFeatureVector(entities, ids.map(_._2),
+        java.sql.Timestamp.valueOf(AsOf15), "svc", Seq("analyst", "ml_engineer"), now)
+      .select(col("entity_id") +: ids.map { case (t, id) => col(id).as(t) }: _*)
+      .orderBy("entity_id")
   }
 
   // ======================================================================
@@ -645,6 +711,24 @@ object SparkEntry {
         length(col("frame_bytes")).cast("long").as("frame_len"))
       .orderBy("media_id", "frame_idx")
 
+  /** G5 — REAL binary-file ingestion: a deterministic fixture materializes
+    * every 10th document as a .bin file on disk, `binaryFile` reads them
+    * back distributed (path/content columns), ids parse from paths, and the
+    * content round-trips byte-exactly (sha256 + octet length against the
+    * documents table in DuckDB).
+    */
+  private def g5BinaryIngest(s: SparkSession, dir: String): DataFrame = {
+    val mediaDir = Multimodal.writeMediaFixture(
+      Tables.documents(s, dir), "doc_id", "text", fixtureKey = dir)
+    s.read.format("binaryFile").load(mediaDir)
+      .where(col("path").endsWith(".bin"))
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+        length(col("content")).cast("long").as("n_bytes"),
+        sha2(col("content"), 256).as("content_sha"))
+      .orderBy("doc_id")
+  }
+
   /** G5 — stubbed decode + feature extraction (rows-only: fake codec). */
   private def g5MediaFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal
@@ -653,6 +737,42 @@ object SparkEntry {
       .select(col("media_id"), col("n_bytes"), Fns.epsRound(col("byte_mean"), 4).as("byte_mean"),
         Fns.epsRound(col("byte_entropy"), 4).as("byte_entropy"))
       .orderBy("media_id")
+
+  /** G4 streaming with a REAL oracle: the whole events table is replayed
+    * through Structured Streaming in two micro-batches (split by event_id
+    * parity, so almost every key's state must survive a batch boundary),
+    * the LWW keyed-state operator (Streaming.latestStateStream) maintains
+    * the online snapshot, and the declared result is the post-stream state.
+    * The oracle is the same batch arg_max recompute as b2 — certifying the
+    * streaming state path against DuckDB, which can't run a stream itself.
+    */
+  private def g4LwwStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streaming
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = Tables.events(s, dir)
+      .where(col("value").isNotNull) // EventRow.value is a primitive Double
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Streaming.EventRow].collect()
+    val (evenBatch, oddBatch) = rows.partition(_.event_id % 2 == 0)
+    val ms = MemoryStream[Streaming.EventRow]
+    s.catalog.dropTempView("g4_lww_stream_state")
+    val q = Streaming.latestStateStream(ms.toDS())
+      .writeStream.format("memory").queryName("g4_lww_stream_state")
+      .outputMode("update").start()
+    ms.addData(evenBatch.toSeq); q.processAllAvailable()
+    ms.addData(oddBatch.toSeq);  q.processAllAvailable()
+    q.stop()
+    // updates per key are monotone in (ts, event_id), so latest update ==
+    // final state
+    Latest.latestAgg(
+      s.table("g4_lww_stream_state"),
+      keys = Seq("user_id", "event_type"), tsCol = "ts", tieCol = "event_id",
+      payloadCols = Seq("value", "event_id"))
+      .select("user_id", "event_type", "value", "event_id", "ts")
+      .orderBy("user_id", "event_type")
+  }
 
   /** G4 (batch form) — gap-based sessionization + session rollup. */
   private def g4Sessionize(s: SparkSession, dir: String): DataFrame =
@@ -752,10 +872,12 @@ object SparkEntry {
     "b1_validated_ingest" -> (b1ValidatedIngest _),
     "b1_typed_ingest"    -> (b1TypedIngest _),
     "b2_upsert_snapshot" -> (b2UpsertSnapshot _),
+    "b2_upsert_tx"       -> (b2UpsertTx _),
     "b4_orphan_check"    -> (b4OrphanCheck _),
     "c1_filter_project"  -> (c1FilterProject _),
     "c3_explicit_nulls"  -> (c3ExplicitNulls _),
     "d2_mask_phi"        -> (d2MaskPhi _),
+    "ep3_feature_vector" -> (ep3FeatureVector _),
     "e2_sliding_avg"     -> (e2SlidingAvg _),
     "e23_quantiles"      -> (e23Quantiles _),
     "e4_counters"        -> (e4Counters _),
@@ -785,12 +907,14 @@ object SparkEntry {
     "g5_media_stats"     -> (g5MediaStats _),
     "g5_frame_sample"    -> (g5FrameSample _),
     "g5_media_features"  -> (g5MediaFeatures _),
+    "g5_binary_ingest"   -> (g5BinaryIngest _),
     "q3_join_agg"        -> (q3JoinAgg _),
     "h1_grouping_sets"   -> (h1GroupingSets _),
     "h2_setops"          -> (h2SetOps _),
     "h3_hash_sample"     -> (h3HashSample _),
     "e3_quantiles_approx" -> (e3QuantilesApprox _),
     "g4_sessionize"      -> (g4Sessionize _),
+    "g4_lww_stream"      -> (g4LwwStream _),
     "g3_length_hist"     -> (g3LengthHist _),
     "h4_lag_delta"       -> (h4LagDelta _),
     "g3_phi_scrub"       -> (g3PhiScrub _),
@@ -902,6 +1026,10 @@ object SparkEntry {
       """SELECT user_id, event_type, arg_max(value, ts) AS value,
         |       arg_max(event_id, ts) AS event_id, max(ts) AS ts
         |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "b2_upsert_tx" ->
+      """SELECT user_id, event_type, arg_max(value, ts) AS value,
+        |       arg_max(event_id, ts) AS event_id, max(ts) AS ts
+        |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
     "b4_orphan_check" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
@@ -924,6 +1052,23 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |       count(CASE WHEN event_type = 'error' THEN NULL ELSE value END) AS n_visible
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ep3_feature_vector" ->
+      """WITH users AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS entity_id FROM events),
+        |latest AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS entity_id, event_type, arg_max(value, ts) AS value
+        |  FROM events
+        |  WHERE value IS NOT NULL AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+        |  GROUP BY 1, 2),
+        |p AS (SELECT entity_id,
+        |        max(CASE WHEN event_type = 'click' THEN value END) AS click,
+        |        max(CASE WHEN event_type = 'view' THEN value END) AS "view",
+        |        max(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+        |        max(CASE WHEN event_type = 'signup' THEN value END) AS signup
+        |      FROM latest GROUP BY entity_id)
+        |SELECT u.entity_id, p.click, p."view", p.purchase, p.signup,
+        |       CAST(NULL AS DOUBLE) AS error
+        |FROM users u LEFT JOIN p ON p.entity_id = u.entity_id
+        |ORDER BY u.entity_id""".stripMargin,
     "e2_sliding_avg" ->
       """SELECT event_id, user_id,
         |       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1121,10 +1266,18 @@ object SparkEntry {
         |SELECT media_id, frame_idx, frame_idx * 10000 AS offset_ms,
         |       least(8, greatest(0, strlen(text) - frame_idx * 8))::BIGINT AS frame_len
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    "g5_binary_ingest" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, sha256(text) AS content_sha
+        |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
     "h3_hash_sample" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE ((event_id % 2147483648) * 2654435761 % 2147483648) // 21474837 < 10
         |ORDER BY event_id""".stripMargin,
+    "g4_lww_stream" ->
+      """SELECT user_id, event_type, arg_max(value, ts) AS value,
+        |       arg_max(event_id, ts) AS event_id, max(ts) AS ts
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
     "g4_sessionize" ->
       """WITH s AS (
         |  SELECT user_id, ts, value, event_id,

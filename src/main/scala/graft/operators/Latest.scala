@@ -83,8 +83,10 @@ object Latest {
   ): DataFrame = {
     val cols = (keys ++ payloadCols :+ tsCol :+ tieCol).distinct.map(col)
     // keep tieCol in the snapshot so a further upsert over the result is
-    // well-formed (idempotence property: upsert(upsert(b,u),u) == upsert(b,u))
-    val pay = (payloadCols :+ tieCol).distinct
+    // well-formed (idempotence property: upsert(upsert(b,u),u) == upsert(b,u));
+    // tsCol is excluded because latestAgg re-emits the winning row's tsCol —
+    // without the exclusion, tieCol == tsCol would duplicate the column
+    val pay = (payloadCols :+ tieCol).distinct.filterNot(_ == tsCol)
     latestAgg(base.select(cols: _*).unionByName(updates.select(cols: _*)), keys, tsCol, tieCol, pay)
   }
 }

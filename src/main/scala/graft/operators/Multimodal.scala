@@ -61,6 +61,36 @@ object Multimodal {
       ).as("meta")
     )
 
+  /** Write a deterministic on-disk media fixture (one `doc_<id>.bin` per
+    * sampled document, bytes = UTF-8 text) and return its directory — the
+    * ingest side of a real `spark.read.format("binaryFile")` pipeline.
+    * Idempotent via a _SUCCESS marker, keyed by the source dir, so verify
+    * and bench runs reuse the files. The codec stays [[FakeCodec]]; what
+    * this makes real is the SOURCE: files on disk, read distributed by the
+    * binaryFile reader with (path, content, length) columns, ids recovered
+    * from paths — the exact shape of a 100 TB object-store media crawl,
+    * where each task reads its own shard of files.
+    */
+  def writeMediaFixture(docs: DataFrame, idCol: String, textCol: String, fixtureKey: String,
+      modulo: Int = 10): String = {
+    import java.nio.file.{Files, Paths}
+    val out = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_media_${java.lang.Integer.toHexString(fixtureKey.hashCode)}")
+    val marker = out.resolve("_SUCCESS")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(out)
+      docs.select(col(idCol).cast("long"), col(textCol))
+        .where(col(idCol) % modulo === 0)
+        .collect()
+        .foreach { r =>
+          Files.write(out.resolve(s"doc_${r.getLong(0)}.bin"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      Files.write(marker, Array.empty[Byte])
+    }
+    out.toString
+  }
+
   /** STUB codec — deterministic pseudo-decode. A real implementation would
     * call an image/audio library here (???); everything around it is the
     * production shape: per-partition batching, no driver collect, typed

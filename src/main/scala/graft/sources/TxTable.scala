@@ -1,0 +1,257 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Transactional parquet table with an append-only commit log — the
+  * engine-level analogue of the reference's mutable dict stores
+  * (feature_registry.py:248, feature_server.py:428-438) with the ACID
+  * properties SURVEY.md §1.1/§1.2 map to "Delta/parquet": snapshot
+  * isolation, optimistic concurrent writers, MERGE-style upsert, and time
+  * travel. The design follows the published Delta Lake log protocol (Delta
+  * Lake paper, VLDB 2020: ordered commit files replaying add/remove file
+  * actions); the implementation here is original and dependency-free
+  * (no Delta jars ship with this environment).
+  *
+  * Layout:
+  * {{{
+  *   <root>/_txlog/00000000000000000000.txt   // version-numbered commits
+  *   <root>/_txlog/00000000000000000001.txt
+  *   <root>/data/<uuid>.parquet               // immutable data files
+  * }}}
+  *
+  * A commit file is line-oriented `key=value` pairs: `ts=` (commit wall
+  * clock, millis), `op=`, `schema=` (DDL, version 0 only), and any number
+  * of `add=`/`remove=` file actions (paths relative to data/).
+  *
+  * ATOMICITY: a commit is prepared in a temp file and published with
+  * `Files.createLink(target, tmp)` — on POSIX filesystems link creation is
+  * atomic and fails if the target exists, which is exactly the
+  * "put-if-absent" primitive a commit log needs (the same contract Delta's
+  * LogStore requires of an object store). A writer that loses the race
+  * re-reads the log and retries; readers only ever see fully-written
+  * commit files. Data files are written BEFORE the commit that references
+  * them, so a crash between the two leaves only unreferenced garbage
+  * (cleaned opportunistically), never a torn table.
+  *
+  * SNAPSHOT ISOLATION: a read lists the log once, replays add/remove up to
+  * the chosen version, and reads exactly that file set — concurrent
+  * commits after the list are invisible. Time travel = replay to an older
+  * version (or the greatest commit ts <= a timestamp): the §1.2 "as the
+  * store knew it at T" read, at table granularity.
+  *
+  * At 100 TB the data files are the scale axis (plain parquet, partition-
+  * prunable); the log is O(commits) driver-side metadata, checkpointable
+  * the same way Delta checkpoints it. Local-FS `java.nio` calls stand in
+  * for the object-store LogStore implementation a cluster deployment
+  * would plug in.
+  */
+class TxTable(val spark: SparkSession, val root: String) {
+
+  private val logDir = Paths.get(root, "_txlog")
+  private val dataDir = Paths.get(root, "data")
+
+  private case class Commit(version: Long, ts: Long, op: String,
+      schemaDdl: Option[String], add: Seq[String], remove: Seq[String])
+
+  private def commitPath(v: Long): Path = logDir.resolve(f"$v%020d.txt")
+
+  private def parseCommit(p: Path): Commit = {
+    val kvs = Files.readAllLines(p).asScala.toSeq
+      .filter(_.contains("=")).map { l => val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1)) }
+    Commit(
+      version = p.getFileName.toString.stripSuffix(".txt").toLong,
+      ts = kvs.collectFirst { case ("ts", v) => v.toLong }.getOrElse(0L),
+      op = kvs.collectFirst { case ("op", v) => v }.getOrElse(""),
+      schemaDdl = kvs.collectFirst { case ("schema", v) => v },
+      add = kvs.collect { case ("add", v) => v },
+      remove = kvs.collect { case ("remove", v) => v })
+  }
+
+  private def commits(): Seq[Commit] =
+    if (!Files.isDirectory(logDir)) Seq.empty
+    else Files.list(logDir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".txt"))
+      .sortBy(_.getFileName.toString)
+      .map(parseCommit)
+
+  /** Latest committed version, or -1 for a nonexistent table. */
+  def version(): Long = commits().lastOption.map(_.version).getOrElse(-1L)
+
+  private def snapshotFiles(upTo: Seq[Commit]): (Seq[String], Option[String]) = {
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    upTo.foreach { c => live ++= c.add; live --= c.remove }
+    (live.toSeq, upTo.flatMap(_.schemaDdl).headOption)
+  }
+
+  private def readSnapshot(upTo: Seq[Commit]): DataFrame = {
+    val (files, ddl) = snapshotFiles(upTo)
+    val schema = ddl.map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(throw new IllegalStateException(s"no such TxTable: $root"))
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).parquet(files.map(f => dataDir.resolve(f).toString): _*)
+  }
+
+  /** Current snapshot (latest committed version at call time). */
+  def read(): DataFrame = readSnapshot(commits())
+
+  /** Time travel to an exact version. */
+  def readVersion(v: Long): DataFrame = {
+    val cs = commits().filter(_.version <= v)
+    require(cs.nonEmpty, s"version $v predates table $root")
+    readSnapshot(cs)
+  }
+
+  /** Time travel to the last version committed at-or-before `tsMillis` —
+    * the table-granularity "knowledge at time T" read (SURVEY.md §1.2). */
+  def readAsOfTimestamp(tsMillis: Long): DataFrame = {
+    val cs = commits().takeWhile(_.ts <= tsMillis)
+    require(cs.nonEmpty, s"timestamp $tsMillis predates table $root")
+    readSnapshot(cs)
+  }
+
+  // ---- writes -----------------------------------------------------------
+
+  /** Stage `df` as immutable parquet files under data/, return their
+    * relative names. Files are invisible until a commit references them. */
+  private def stageDataFiles(df: DataFrame): Seq[String] = {
+    Files.createDirectories(dataDir)
+    val staging = Files.createTempDirectory(Paths.get(root), ".staging")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val parts = Files.list(staging).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    val names = parts.map { p =>
+      val name = s"${UUID.randomUUID()}.parquet"
+      Files.move(p, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      name
+    }
+    Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    names
+  }
+
+  /** Atomic put-if-absent publish of version `v`; true iff this writer won. */
+  private def tryCommit(v: Long, op: String, schemaDdl: Option[String],
+      add: Seq[String], remove: Seq[String], tsMillis: Long): Boolean = {
+    Files.createDirectories(logDir)
+    val lines = Seq(s"ts=$tsMillis", s"op=$op") ++
+      schemaDdl.map(d => s"schema=$d") ++ add.map(a => s"add=$a") ++ remove.map(r => s"remove=$r")
+    val tmp = Files.createTempFile(logDir, ".tmp", ".commit")
+    Files.write(tmp, lines.asJava)
+    try { Files.createLink(commitPath(v), tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  /** Optimistic-concurrency commit loop: stage once, then race for the next
+    * version number; `validate` re-checks against the winner's log before a
+    * retry (append needs none; merge/compact must confirm their read set
+    * still exists). */
+  private def commitLoop(op: String, add: Seq[String], remove: Seq[String],
+      tsMillis: Long, schemaDdl: Option[String] = None,
+      validate: Seq[Commit] => Boolean = _ => true): Long = {
+    var attempts = 0
+    while (attempts < 100) {
+      val cs = commits()
+      if (!validate(cs))
+        throw new java.util.ConcurrentModificationException(
+          s"conflicting commit on $root: read set changed")
+      val v = cs.lastOption.map(_.version + 1).getOrElse(0L)
+      val ddl = if (v == 0L) schemaDdl else None
+      if (tryCommit(v, op, ddl, add, remove, tsMillis)) return v
+      attempts += 1
+    }
+    throw new IllegalStateException(s"commit contention on $root after $attempts attempts")
+  }
+
+  /** Blind append: safe under any concurrency (no read set). */
+  def append(df: DataFrame, tsMillis: Long = System.currentTimeMillis()): Long = {
+    val files = stageDataFiles(df)
+    commitLoop("append", files, Seq.empty, tsMillis, Some(df.schema.toDDL))
+  }
+
+  /** MERGE-style last-write-wins upsert (the reference's online-store write,
+    * feature_server.py:410-455, as copy-on-write): only data files that
+    * contain a matched key are rewritten; unmatched update rows append.
+    * Equivalent of
+    * `MERGE INTO t USING u ON keys WHEN MATCHED AND u wins THEN UPDATE
+    *  WHEN NOT MATCHED THEN INSERT`, with (tsCol, tieCol) deciding "wins".
+    * Conflict rule: if a concurrent commit removed one of the files this
+    * merge read, the commit aborts (ConcurrentModificationException) —
+    * same spirit as Delta's conflict detection.
+    */
+  def merge(updates: DataFrame, keys: Seq[String], tsCol: String, tieCol: String,
+      tsMillis: Long = System.currentTimeMillis()): Long = {
+    val cs = commits()
+    val (liveFiles, _) = snapshotFiles(cs)
+    val snap = readSnapshot(cs).withColumn("__file", input_file_name())
+    val u = updates.cache()
+
+    // file-granularity pruning: only files holding a matched key rewrite
+    val affected = snap
+      .join(broadcast(u.select(keys.map(col): _*).distinct()), keys, "left_semi")
+      .select(col("__file")).distinct()
+      .collect().map(_.getString(0))
+      .map(f => Paths.get(new java.net.URI(f)).getFileName.toString).toSeq
+
+    val base = if (affected.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        readSnapshot(cs).schema)
+    else
+      spark.read.schema(readSnapshot(cs).schema)
+        .parquet(affected.map(f => dataDir.resolve(f).toString): _*)
+
+    val payload = base.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
+    val merged = graft.operators.Latest.lwwUpsert(
+      base, updates.select(base.columns.map(col).toIndexedSeq: _*), keys, tsCol, tieCol, payload)
+
+    val newFiles = stageDataFiles(merged)
+    u.unpersist()
+    commitLoop("merge", newFiles, affected, tsMillis,
+      validate = latest => {
+        val (nowLive, _) = snapshotFiles(latest)
+        affected.forall(nowLive.contains)
+      })
+  }
+
+  /** Compaction: coalesce the current files into `target` larger ones.
+    * Concurrent APPENDS are safe: the commit only removes the files this
+    * compaction read; if a competing commit removed any of them first, the
+    * validate hook aborts instead of resurrecting deleted rows. */
+  def compact(target: Int = 1, tsMillis: Long = System.currentTimeMillis()): Long = {
+    val cs = commits()
+    val (files, _) = snapshotFiles(cs)
+    if (files.isEmpty) return cs.lastOption.map(_.version).getOrElse(-1L)
+    val compacted = stageDataFiles(readSnapshot(cs).coalesce(target))
+    commitLoop("compact", compacted, files, tsMillis,
+      validate = latest => {
+        val (nowLive, _) = snapshotFiles(latest)
+        files.forall(nowLive.contains)
+      })
+  }
+
+  /** Remove data files not visible from any of the last `retainVersions`
+    * snapshots (crash-leftover staged files and compacted/merged-away files
+    * past the time-travel horizon). Time travel to retained versions keeps
+    * working; older versions lose their files, as in Delta's VACUUM. */
+  def vacuum(retainVersions: Int = Int.MaxValue): Unit = {
+    val cs = commits()
+    if (!Files.isDirectory(dataDir)) return
+    val keepFrom = math.max(0, cs.size - math.max(1, retainVersions))
+    val referenced = (keepFrom until cs.size)
+      .flatMap(i => snapshotFiles(cs.take(i + 1))._1).toSet
+    Files.list(dataDir).iterator().asScala.toSeq
+      .filter(p => !referenced.contains(p.getFileName.toString))
+      .foreach(Files.deleteIfExists(_))
+  }
+}
+
+object TxTable {
+  def apply(spark: SparkSession, root: String): TxTable = new TxTable(spark, root)
+}

@@ -27,8 +27,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan
   * tested): inclusive `ts <=`, equal-ts ties resolved to the greatest
   * tie column (right side is additionally sorted by the tie expression),
   * unmatched spine rows null-extended. Null keys behave like the LOCF
-  * window form (null is a key value), and null fact timestamps sort first,
-  * matching `<=` never.
+  * window form (null is a key value), and null fact timestamps map to
+  * Long.MinValue, so they sort first and DO match every spine timestamp —
+  * a null-ts fact is carried until a real observation overrides it, exactly
+  * as the LOCF window form carries its non-null payload struct.
   */
 case class AsOfJoinNode(
     left: LogicalPlan,

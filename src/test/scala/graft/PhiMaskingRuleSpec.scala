@@ -45,4 +45,43 @@ class PhiMaskingRuleSpec extends SparkSpec {
     val twice = rule(once)
     assert(once == twice)
   }
+
+  test("GraftExtensions injects masking BEFORE scan pushdown; predicates on denied columns leak nothing") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.graft.{ConfPhiMaskingRule, GraftExtensions}
+    // second session on the same SparkContext, built WITH extensions (the
+    // shared spec session has none); restore the shared one afterwards
+    val dir = java.nio.file.Files.createTempDirectory("graft_phi").toString
+    patients.write.mode("overwrite").parquet(dir)
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+    try {
+      assert(s2 ne spark)
+      // ordering proof: the conf rule lives in an Operator Optimization
+      // batch, which runs before "Early Filter and Projection Push-Down"
+      // (V2ScanRelationPushDown) — the round-1 experimental wiring ran after
+      val batches = s2.sessionState.optimizer.batches
+      val maskIdx = batches.indexWhere(_.rules.exists(_.isInstanceOf[ConfPhiMaskingRule]))
+      val pushIdx = batches.indexWhere(_.name.contains("Early Filter and Projection Push-Down"))
+      assert(maskIdx >= 0, "ConfPhiMaskingRule not injected")
+      assert(pushIdx > maskIdx, s"masking batch $maskIdx must precede pushdown batch $pushIdx")
+
+      s2.conf.set("spark.graft.phi.protected", "blood_type:doctor")
+      s2.conf.set("spark.graft.phi.userRoles", "analyst")
+      // a predicate on the denied column sees the masked null, so row
+      // membership reveals nothing about the protected values
+      assert(s2.read.parquet(dir).where(col("blood_type") === "AB+").count() == 0)
+      assert(s2.read.parquet(dir).select("blood_type").collect().forall(_.isNullAt(0)))
+      // authorized role reads through
+      s2.conf.set("spark.graft.phi.userRoles", "doctor")
+      assert(s2.read.parquet(dir).where(col("blood_type") === "AB+").count() == 1)
+      // unset -> no masking at all
+      s2.conf.set("spark.graft.phi.protected", "")
+      s2.conf.set("spark.graft.phi.userRoles", "")
+      assert(s2.read.parquet(dir).where(col("blood_type") === "O-").count() == 1)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
 }
