@@ -8,7 +8,6 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
-import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native Catalyst expressions for embedding math (SURVEY.md §4: "cosine /
   * MinHash ... perf may want custom Expression" — this is that
@@ -481,10 +480,6 @@ object VectorExpressions {
   )
 }
 
-/** SQL-surface registration: `--conf spark.sql.extensions=graft.functions.GraftExtensions`
-  * makes vec_dot / cosine_sim available to spark.sql users.
-  */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
-    VectorExpressions.functions.foreach(ext.injectFunction)
-}
+// The session-extension entry point that registers these functions (plus
+// the masking rule and the native as-of strategy) is
+// org.apache.spark.sql.graft.GraftExtensions.

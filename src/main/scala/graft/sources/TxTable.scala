@@ -176,6 +176,21 @@ class TxTable(val spark: SparkSession, val root: String) {
     commitLoop("append", files, Seq.empty, tsMillis, Some(df.schema.toDDL))
   }
 
+  /** Atomic full replace: one commit removes every live file and adds the
+    * new snapshot. Readers see either the old or the new table, never a
+    * mix; prior versions stay time-travelable until vacuum. Aborts if a
+    * concurrent commit touched the table (same read-set rule as merge). */
+  def overwrite(df: DataFrame, tsMillis: Long = System.currentTimeMillis()): Long = {
+    val cs = commits()
+    val (files, _) = snapshotFiles(cs)
+    val newFiles = stageDataFiles(df)
+    commitLoop("overwrite", newFiles, files, tsMillis, Some(df.schema.toDDL),
+      validate = latest => {
+        val (nowLive, _) = snapshotFiles(latest)
+        files.forall(nowLive.contains)
+      })
+  }
+
   /** MERGE-style last-write-wins upsert (the reference's online-store write,
     * feature_server.py:410-455, as copy-on-write): only data files that
     * contain a matched key are rewritten; unmatched update rows append.

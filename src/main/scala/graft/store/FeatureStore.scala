@@ -519,6 +519,23 @@ class FeatureStore(val spark: SparkSession) {
     spark.createDataset(auditLog).write.mode("overwrite").parquet(s"$path/audit_log")
   }
 
+  /** Persistence on the transactional commit-log format
+    * (graft.sources.TxTable): registry, fact log and audit each become an
+    * ACID table — every save is one atomic commit per table, concurrent
+    * writers are detected, and old versions stay readable. This is the
+    * engine-level §1.2 bitemporality the hand-rolled parquet layout lacks:
+    * [[FeatureStore.loadTxAsOf]] reconstructs the store exactly as it was
+    * KNOWN at a past save, independent of the row-level created_timestamp
+    * dimension.
+    */
+  def saveTx(path: String, tsMillis: Long): Unit = {
+    import spark.implicits._
+    import graft.sources.TxTable
+    TxTable(spark, s"$path/registry").overwrite(registryDS.toDF(), tsMillis)
+    TxTable(spark, s"$path/feature_values").overwrite(values, tsMillis)
+    TxTable(spark, s"$path/audit_log").overwrite(spark.createDataset(auditLog).toDF(), tsMillis)
+  }
+
   /** Catalog-table persistence with the full 100 TB layout: date partitions
     * (as-of pruning) + entity_id buckets sorted by (entity_id, ts). Every
     * downstream latest-per-key aggregate, as-of enrichment join, or orphan
@@ -539,6 +556,31 @@ class FeatureStore(val spark: SparkSession) {
 }
 
 object FeatureStore {
+
+  /** Reload from the transactional layout at its latest version. */
+  def loadTx(spark: SparkSession, path: String): FeatureStore =
+    loadTxSnapshots(spark, path, None)
+
+  /** Reload the store exactly as it was KNOWN at wall-clock `tsMillis` —
+    * table-level time travel over all three TxTables (SURVEY.md §1.2's
+    * "as the store knew it at T", now at engine granularity). */
+  def loadTxAsOf(spark: SparkSession, path: String, tsMillis: Long): FeatureStore =
+    loadTxSnapshots(spark, path, Some(tsMillis))
+
+  private def loadTxSnapshots(spark: SparkSession, path: String, asOf: Option[Long]): FeatureStore = {
+    import spark.implicits._
+    import graft.sources.TxTable
+    def snap(name: String) = {
+      val t = TxTable(spark, s"$path/$name")
+      asOf.map(t.readAsOfTimestamp).getOrElse(t.read())
+    }
+    val fs = new FeatureStore(spark)
+    snap("registry").as[Feature].collect().foreach(fs.restoreFeature)
+    fs.restoreValues(snap("feature_values")
+      .select(fs.valuesSchema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*))
+    fs
+  }
+
   /** Reload a persisted store: catalog back to the driver map (it is small
     * by construction), facts stay a lazy distributed read. */
   def load(spark: SparkSession, path: String): FeatureStore = {

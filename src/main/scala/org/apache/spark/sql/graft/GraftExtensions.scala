@@ -21,7 +21,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    `experimental.extraOptimizations` ran AFTER pushdown, where a DSv2
   *    scan would have already evaluated filters against real PHI.
   *  - the native as-of join strategy + its pushdown rule, so
-  *    `AsOfJoin.native` works without per-call self-installation.
+  *    `AsOfJoin.native` works without per-call self-installation;
+  *  - the SQL function surface (vec_dot / cosine_sim) for spark.sql users.
   *
   * Masking is configured per session (it is session-state, like the
   * reference's per-request user roles) through runtime confs:
@@ -33,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(session => ConfPhiMaskingRule(session))
     ext.injectOptimizerRule(_ => asof.AsOfJoinPredicatePushdown)
     ext.injectPlannerStrategy(_ => asof.NativeAsOfStrategy)
+    graft.functions.VectorExpressions.functions.foreach(ext.injectFunction)
   }
 }
 

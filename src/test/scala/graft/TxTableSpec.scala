@@ -102,6 +102,36 @@ class TxTableSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("FeatureStore saveTx/loadTxAsOf: the store reloads exactly as known at a past save") {
+    import graft.store._
+    val now = ts("2024-02-01 00:00:00")
+    val fs = new FeatureStore(spark)
+    val Right(hr) = fs.registerFeature("heart_rate", "1.0.0",
+      FeatureSchemaMeta("heart_rate", "float64"), FeatureSourceMeta("batch"), "ops", now)
+    fs.activateFeature(hr.feature_id, now)
+    def ingest(v: Double, t: String): Unit = fs.ingestValues(
+      Seq(("p1", "heart_rate", Some(v), ts(t)))
+        .toDF("entity_id", "feature_name", "value_double", "event_timestamp"),
+      Map("heart_rate" -> hr.feature_id), now)
+
+    val dir = Files.createTempDirectory("graft_store_tx").toString
+    ingest(70.0, "2024-01-01 00:00:00")
+    fs.saveTx(dir, tsMillis = 1000L)
+    ingest(80.0, "2024-01-10 00:00:00")
+    fs.saveTx(dir, tsMillis = 2000L)
+
+    // latest: both facts, LWW value 80
+    val latest = FeatureStore.loadTx(spark, dir)
+    assert(latest.valuesDF.count() == 2L)
+    assert(latest.getFeatureValue("p1", hr.feature_id, now, "u", Seq(), now).contains(80.0))
+    // as known at the first save: only the first fact existed
+    val known = FeatureStore.loadTxAsOf(spark, dir, 1500L)
+    assert(known.valuesDF.count() == 1L)
+    assert(known.getFeatureValue("p1", hr.feature_id, now, "u", Seq(), now).contains(70.0))
+    // overwrite is atomic versioned history, not a destructive rewrite
+    intercept[IllegalArgumentException](FeatureStore.loadTxAsOf(spark, dir, 500L))
+  }
+
   test("vacuum removes unreachable files but keeps the live snapshot intact") {
     val t = newTable()
     t.append(kv((1L, "a", 1.0, 10L)), tsMillis = 100L)
