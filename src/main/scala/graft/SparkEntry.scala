@@ -537,6 +537,19 @@ object SparkEntry {
       .cosineDupPairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.3)
       .orderBy("id_a", "id_b")
 
+  /** G1/G2 — semantic dedup end-to-end: exact cosine near-dup pairs over
+    * the full embedding corpus resolved to canonical clusters (connected
+    * components) — the embedding-space analogue of g1_dedup_resolve, and
+    * the composition a training pipeline actually runs (pairs alone don't
+    * dedup a corpus; the transitive closure does).
+    */
+  private def g1EmbeddingResolve(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .connectedComponents(
+        Similarity.cosineDupPairs(
+          Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.3).localCheckpoint())
+      .orderBy("doc_id")
+
   /** G2 — IVF approximate top-k (rows-only: recall depends on nProbe). */
   private def g2IvfTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -893,6 +906,7 @@ object SparkEntry {
     "g1_simhash"         -> (g1Simhash _),
     "g1_embedding_dups"  -> (g1EmbeddingDups _),
     "g1_embedding_dups_lsh" -> (g1EmbeddingDupsLsh _),
+    "g1_embedding_resolve" -> (g1EmbeddingResolve _),
     "g2_cosine_topk"     -> (g2CosineTopk _),
     "g2_cosine_topk_agg" -> (g2CosineTopkAgg _),
     "g2_cosine_threshold" -> (g2CosineThreshold _),
@@ -1218,6 +1232,21 @@ object SparkEntry {
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(sim + 1e-9, 4) AS cosine FROM p
         |WHERE sim >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    "g1_embedding_resolve" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |                 i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+        |        (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |         sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) >= 0.3),
+        |e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |reach AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "g3_token_counts" ->
       """SELECT doc_id,
         |       len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,

@@ -103,18 +103,25 @@ object Dedup {
       .select(
         (col("__id") +: blockCols.map(col)) :+
           explode(wordShinglesFromWords(col("__w"), shingleN)).as("__s"): _*)
-    val ex =
-      if (maxShingleDf == Int.MaxValue) exAll
-      else {
-        // block-level shingle document frequency; keep only sub-cap shingles.
-        // The semi-join keeps ex's own columns (no dup column names).
-        val rare = exAll
-          .groupBy(blockCols.map(col) :+ col("__s"): _*)
-          .agg(count(lit(1)).as("__df"))
-          .where(col("__df") <= maxShingleDf)
-          .drop("__df")
-        exAll.join(rare, blockCols :+ "__s", "left_semi")
-      }
+    // materialize the exploded shingle index ONCE: it feeds the df cap, the
+    // per-doc counts and BOTH sides of the pair join — left lazy, Spark
+    // re-runs the regex split + shingle transform up to 5x (measured ~4 s
+    // of the query's ~5.5 s at sf0.1). localCheckpoint also truncates the
+    // lineage the self-join would otherwise double.
+    val exm =
+      (if (maxShingleDf == Int.MaxValue) exAll
+       else {
+         // block-level shingle document frequency; keep only sub-cap
+         // shingles. The semi-join keeps ex's own columns.
+         val exA = exAll.localCheckpoint()
+         val rare = exA
+           .groupBy(blockCols.map(col) :+ col("__s"): _*)
+           .agg(count(lit(1)).as("__df"))
+           .where(col("__df") <= maxShingleDf)
+           .drop("__df")
+         exA.join(rare, blockCols :+ "__s", "left_semi")
+       }).localCheckpoint()
+    val ex = exm
     val counts = ex.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
 
     val a = ex.alias("A")
@@ -159,10 +166,13 @@ object Dedup {
       threshold: Double = 0.3
   ): DataFrame = {
     val numHashes = bands * rowsPerBand
+    // materialized once: feeds the signature aggregate AND the exact
+    // verification join (same multi-consumer recompute as jaccardPairs)
     val ex = docs
       .select(col(idCol).as("__id"), split(trim(col(textCol)), "\\s+").as("__w"))
       .select(col("__id"), explode(wordShinglesFromWords(col("__w"), shingleN)).as("__s"))
       .withColumn("__h", xxhash64(col("__s")))
+      .localCheckpoint()
 
     // all k min-hashes in ONE custom aggregate buffer (MinHashSig) + the
     // distinct-shingle count — one aggregation pass, one update per row
