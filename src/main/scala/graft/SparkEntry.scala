@@ -787,6 +787,40 @@ object SparkEntry {
       .orderBy("user_id", "event_type")
   }
 
+  /** G4 streaming #2 — watermarked tumbling-window aggregate with a real
+    * oracle: events replayed in EVENT-TIME order across two micro-batches
+    * (an ordered split keeps every row inside the watermark — the second
+    * batch's minimum ts is at least the first batch's maximum, so nothing
+    * is late), and the final update per (window, feature) must equal the
+    * batch GROUP BY. Exercises watermark advancement + windowed state
+    * across a batch boundary, oracle-checked.
+    */
+  private def g4WindowStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streaming
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = Tables.events(s, dir)
+      .where(col("value").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Streaming.EventRow].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val ms = MemoryStream[Streaming.EventRow]
+    s.catalog.dropTempView("g4_window_stream_state")
+    val q = Streaming.windowedCounts(ms.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("g4_window_stream_state")
+      .outputMode("update").start()
+    ms.addData(first.toSeq);  q.processAllAvailable()
+    ms.addData(second.toSeq); q.processAllAvailable()
+    q.stop()
+    // per key, n strictly grows across updates: the max-n update is final
+    s.table("g4_window_stream_state")
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(max(col("n")).as("n"), max_by(col("sum_value"), col("n")).as("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
   /** G4 (batch form) — gap-based sessionization + session rollup. */
   private def g4Sessionize(s: SparkSession, dir: String): DataFrame =
     Sessionize
@@ -929,6 +963,7 @@ object SparkEntry {
     "e3_quantiles_approx" -> (e3QuantilesApprox _),
     "g4_sessionize"      -> (g4Sessionize _),
     "g4_lww_stream"      -> (g4LwwStream _),
+    "g4_window_stream"   -> (g4WindowStream _),
     "g3_length_hist"     -> (g3LengthHist _),
     "h4_lag_delta"       -> (h4LagDelta _),
     "g3_phi_scrub"       -> (g3PhiScrub _),
@@ -1307,6 +1342,11 @@ object SparkEntry {
         |       arg_max(event_id, ts) AS event_id, max(ts) AS ts
         |FROM events WHERE value IS NOT NULL
         |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "g4_window_stream" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       count(*) AS n, round(sum(value) + 1e-9, 2) AS sum_value
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "g4_sessionize" ->
       """WITH s AS (
         |  SELECT user_id, ts, value, event_id,

@@ -73,12 +73,76 @@ class TxTable(val spark: SparkSession, val root: String) {
       remove = kvs.collect { case ("remove", v) => v })
   }
 
-  private def commits(): Seq[Commit] =
+  private def commitFiles(): Seq[Path] =
     if (!Files.isDirectory(logDir)) Seq.empty
     else Files.list(logDir).iterator().asScala.toSeq
       .filter(_.getFileName.toString.endsWith(".txt"))
       .sortBy(_.getFileName.toString)
-      .map(parseCommit)
+
+  private def commits(): Seq[Commit] = commitFiles().map(parseCommit)
+
+  // ---- log checkpoints --------------------------------------------------
+  // Replaying every commit file makes snapshot resolution O(commits) — the
+  // axis a long-lived table grows on. Every `checkpointEvery` commits the
+  // winning writer also publishes `<v>.ckpt` holding the LIVE file set at
+  // v; readers then parse one checkpoint plus the commit tail. Same role
+  // as Delta's parquet checkpoints. Checkpoints are an optimization only:
+  // corrupt/absent ones fall back to full replay, and publishing uses the
+  // same atomic put-if-absent link as commits.
+
+  private val checkpointEvery = 10
+
+  private def ckptPath(v: Long): Path = logDir.resolve(f"$v%020d.ckpt")
+
+  private def writeCheckpoint(v: Long): Unit = {
+    val upTo = commitFiles()
+      .filter(_.getFileName.toString.stripSuffix(".txt").toLong <= v).map(parseCommit)
+    val (files, ddl) = snapshotFiles(upTo)
+    val lines = Seq(s"ts=${upTo.last.ts}") ++
+      ddl.map(d => s"schema=$d") ++ files.map(f => s"file=$f")
+    val tmp = Files.createTempFile(logDir, ".tmp", ".ckpt")
+    Files.write(tmp, lines.asJava)
+    try Files.createLink(ckptPath(v), tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  /** (version, schema, live files) of the newest checkpoint at or below
+    * `bound`, if one parses cleanly. */
+  private def latestCheckpoint(bound: Long): Option[(Long, Option[String], Seq[String])] =
+    (if (!Files.isDirectory(logDir)) Seq.empty[Path]
+     else Files.list(logDir).iterator().asScala.toSeq
+       .filter(_.getFileName.toString.endsWith(".ckpt"))
+       .filter(_.getFileName.toString.stripSuffix(".ckpt").toLong <= bound)
+       .sortBy(_.getFileName.toString))
+      .lastOption.flatMap { p =>
+        scala.util.Try {
+          val kvs = Files.readAllLines(p).asScala.toSeq
+            .filter(_.contains("=")).map { l => val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1)) }
+          (p.getFileName.toString.stripSuffix(".ckpt").toLong,
+            kvs.collectFirst { case ("schema", s) => s },
+            kvs.collect { case ("file", f) => f })
+        }.toOption
+      }
+
+  /** Live file set + schema at `bound`, starting from the newest usable
+    * checkpoint and replaying only the commit tail. */
+  private def stateForVersion(bound: Long): (Seq[String], Option[String]) =
+    latestCheckpoint(bound) match {
+      case Some((cv, ddl, files)) =>
+        val tail = commitFiles()
+          .filter { p =>
+            val v = p.getFileName.toString.stripSuffix(".txt").toLong
+            v > cv && v <= bound
+          }.map(parseCommit)
+        val live = scala.collection.mutable.LinkedHashSet.empty[String]
+        live ++= files
+        tail.foreach { c => live ++= c.add; live --= c.remove }
+        (live.toSeq, ddl.orElse(tail.flatMap(_.schemaDdl).headOption))
+      case None =>
+        snapshotFiles(commitFiles()
+          .filter(_.getFileName.toString.stripSuffix(".txt").toLong <= bound).map(parseCommit))
+    }
 
   /** Latest committed version, or -1 for a nonexistent table. */
   def version(): Long = commits().lastOption.map(_.version).getOrElse(-1L)
@@ -99,14 +163,29 @@ class TxTable(val spark: SparkSession, val root: String) {
       spark.read.schema(schema).parquet(files.map(f => dataDir.resolve(f).toString): _*)
   }
 
-  /** Current snapshot (latest committed version at call time). */
-  def read(): DataFrame = readSnapshot(commits())
+  private def readState(state: (Seq[String], Option[String])): DataFrame = {
+    val (files, ddl) = state
+    val schema = ddl.map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(throw new IllegalStateException(s"no such TxTable: $root"))
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).parquet(files.map(f => dataDir.resolve(f).toString): _*)
+  }
+
+  /** Current snapshot (latest committed version at call time); resolves
+    * via the newest log checkpoint + commit tail. */
+  def read(): DataFrame = {
+    require(commitFiles().nonEmpty, s"no such TxTable: $root")
+    readState(stateForVersion(Long.MaxValue))
+  }
 
   /** Time travel to an exact version. */
   def readVersion(v: Long): DataFrame = {
-    val cs = commits().filter(_.version <= v)
-    require(cs.nonEmpty, s"version $v predates table $root")
-    readSnapshot(cs)
+    require(
+      commitFiles().exists(_.getFileName.toString.stripSuffix(".txt").toLong <= v),
+      s"version $v predates table $root")
+    readState(stateForVersion(v))
   }
 
   /** Time travel to the last version committed at-or-before `tsMillis` —
@@ -164,7 +243,10 @@ class TxTable(val spark: SparkSession, val root: String) {
           s"conflicting commit on $root: read set changed")
       val v = cs.lastOption.map(_.version + 1).getOrElse(0L)
       val ddl = if (v == 0L) schemaDdl else None
-      if (tryCommit(v, op, ddl, add, remove, tsMillis)) return v
+      if (tryCommit(v, op, ddl, add, remove, tsMillis)) {
+        if (v > 0 && v % checkpointEvery == 0) writeCheckpoint(v)
+        return v
+      }
       attempts += 1
     }
     throw new IllegalStateException(s"commit contention on $root after $attempts attempts")

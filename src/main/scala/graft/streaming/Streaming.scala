@@ -61,12 +61,14 @@ object Streaming {
   def enrichOnline(requests: DataFrame, snapshot: DataFrame, keyCols: Seq[String]): DataFrame =
     requests.join(snapshot, keyCols, "left")
 
-  /** G4 — watermarked tumbling-window aggregate per feature. */
+  /** G4 — watermarked tumbling-window aggregate per feature. Sum rounding
+    * uses the epsilon-before-round convention (graft.functions.Fns) so the
+    * post-state can hash-match a batch-engine recompute. */
   def windowedCounts(stream: DataFrame, windowLen: String = "1 hour", watermark: String = "10 minutes"): DataFrame =
     stream
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), graft.functions.Fns.epsRound(sum("value"), 2).as("sum_value"))
       .select(
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))

@@ -102,6 +102,19 @@ class TxTableSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("log checkpoints: published every 10th commit, reads resolve through them and around them") {
+    val t = newTable()
+    (0 to 11).foreach(i => t.append(kv((i.toLong, "c", i.toDouble, i.toLong)), tsMillis = i.toLong))
+    val ckpt = java.nio.file.Paths.get(t.root, "_txlog", f"${10L}%020d.ckpt")
+    assert(Files.exists(ckpt), "checkpoint at version 10 must exist")
+    assert(t.read().count() == 12L)            // ckpt(10) + tail replay
+    assert(t.readVersion(11).count() == 12L)   // through the checkpoint
+    assert(t.readVersion(5).count() == 6L)     // below it: full-replay path
+    // checkpoints are an optimization, not a correctness dependency
+    Files.delete(ckpt)
+    assert(t.read().count() == 12L)
+  }
+
   test("FeatureStore saveTx/loadTxAsOf: the store reloads exactly as known at a past save") {
     import graft.store._
     val now = ts("2024-02-01 00:00:00")
