@@ -244,6 +244,34 @@ object SparkEntry {
       .orderBy("user_id", "event_type")
   }
 
+  /** B5 — JSON-lines source: the corpus round-trips through JSONL (the
+    * training-data interchange format) — written once as a deterministic
+    * fixture, read back through the distributed json reader with an
+    * explicit schema (no inference job), and aggregated per language. The
+    * oracle recomputes from the parquet table, so any escaping/parsing
+    * drift in the JSONL path would break the hash.
+    */
+  private def b5JsonlIngest(s: SparkSession, dir: String): DataFrame = {
+    val fixture = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_jsonl_${java.lang.Integer.toHexString(dir.hashCode)}")
+    if (!java.nio.file.Files.exists(fixture.resolve("_SUCCESS")))
+      Tables.documents(s, dir)
+        .select("doc_id", "text", "lang", "source")
+        .coalesce(2)
+        .write.mode("overwrite").json(fixture.toString)
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING")
+      .json(fixture.toString)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("sum_chars"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+  }
+
   /** B4 — referential-integrity anti-join: customers with no events. */
   private def b4OrphanCheck(s: SparkSession, dir: String): DataFrame =
     Validation
@@ -920,6 +948,7 @@ object SparkEntry {
     "b1_typed_ingest"    -> (b1TypedIngest _),
     "b2_upsert_snapshot" -> (b2UpsertSnapshot _),
     "b2_upsert_tx"       -> (b2UpsertTx _),
+    "b5_jsonl_ingest"    -> (b5JsonlIngest _),
     "b4_orphan_check"    -> (b4OrphanCheck _),
     "c1_filter_project"  -> (c1FilterProject _),
     "c3_explicit_nulls"  -> (c3ExplicitNulls _),
@@ -1079,6 +1108,12 @@ object SparkEntry {
       """SELECT user_id, event_type, arg_max(value, ts) AS value,
         |       arg_max(event_id, ts) AS event_id, max(ts) AS ts
         |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "b5_jsonl_ingest" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       sum(length(text))::BIGINT AS sum_chars,
+        |       count(DISTINCT text) AS n_distinct_texts,
+        |       count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "b4_orphan_check" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)

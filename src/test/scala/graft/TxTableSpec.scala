@@ -145,6 +145,42 @@ class TxTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](FeatureStore.loadTxAsOf(spark, dir, 500L))
   }
 
+  test("streaming micro-batches MERGE into a TxTable (foreachBatch lakehouse sink)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streaming.EventRow
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = newTable()
+    val cols = Seq("user_id", "event_type", "value", "event_id", "ts")
+    // seed an empty versioned table so micro-batches have a schema to merge into
+    t.append(
+      Seq.empty[EventRow].toDF().select(cols.map(org.apache.spark.sql.functions.col): _*),
+      tsMillis = 0L)
+
+    val ms = MemoryStream[EventRow]
+    val q = ms.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventRow], id: Long) =>
+        t.merge(batch.toDF().select(cols.map(org.apache.spark.sql.functions.col): _*),
+          keys = Seq("user_id", "event_type"), tsCol = "ts", tieCol = "event_id",
+          tsMillis = 1000L + id)
+        ()
+      }
+      .start()
+    ms.addData(Seq(
+      EventRow(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      EventRow(2L, ts("2024-01-01 11:00:00"), 2L, "view", 2.0)))
+    q.processAllAvailable()
+    ms.addData(Seq(
+      EventRow(3L, ts("2024-01-01 12:00:00"), 1L, "click", 9.0), // newer: wins
+      EventRow(4L, ts("2024-01-01 09:00:00"), 2L, "view", 0.0))) // older: loses
+    q.processAllAvailable()
+    q.stop()
+
+    val got = t.read().orderBy("user_id", "event_type")
+      .select("user_id", "event_type", "value").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "click", 9.0), (2L, "view", 2.0)))
+    assert(t.version() == 2L) // seed + two micro-batch merges
+  }
+
   test("vacuum removes unreachable files but keeps the live snapshot intact") {
     val t = newTable()
     t.append(kv((1L, "a", 1.0, 10L)), tsMillis = 100L)
