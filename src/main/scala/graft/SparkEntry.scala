@@ -252,9 +252,14 @@ object SparkEntry {
     * drift in the JSONL path would break the hash.
     */
   private def b5JsonlIngest(s: SparkSession, dir: String): DataFrame = {
+    // content-keyed fixture (see Multimodal.writeMediaFixture): stale bytes
+    // from a regenerated corpus at the same path must not survive
+    val sig = Tables.documents(s, dir)
+      .agg(bit_xor(xxhash64(col("doc_id"), col("text"), col("lang"), col("source"))), count(lit(1)))
+      .collect().head.toSeq.mkString("_")
     val fixture = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      s"graft_jsonl_${java.lang.Integer.toHexString(dir.hashCode)}")
+      s"graft_jsonl_${java.lang.Integer.toHexString((dir + sig).hashCode)}")
     if (!java.nio.file.Files.exists(fixture.resolve("_SUCCESS")))
       Tables.documents(s, dir)
         .select("doc_id", "text", "lang", "source")

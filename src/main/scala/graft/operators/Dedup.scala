@@ -282,6 +282,9 @@ object Dedup {
           parent.keys.toArray.iterator.map(x => (x, find(x)))
         }
         .toDF("doc_id", "canonical_id")
+        // materialize BEFORE dropping the edges cache: the caller's action
+        // would otherwise recompute the whole pairs pipeline from scratch
+        .localCheckpoint()
       edges.unpersist()
       return out
     }

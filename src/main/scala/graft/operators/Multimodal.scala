@@ -74,8 +74,14 @@ object Multimodal {
   def writeMediaFixture(docs: DataFrame, idCol: String, textCol: String, fixtureKey: String,
       modulo: Int = 10): String = {
     import java.nio.file.{Files, Paths}
+    // key the fixture by CONTENT (order-independent xor of row hashes), not
+    // just the source path — regenerated source data must not serve stale
+    // fixture bytes from a previous corpus at the same location
+    val sig = docs
+      .agg(bit_xor(xxhash64(col(idCol), col(textCol))), count(lit(1)))
+      .collect().head.toSeq.mkString("_")
     val out = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_media_${java.lang.Integer.toHexString(fixtureKey.hashCode)}")
+      s"graft_media_${java.lang.Integer.toHexString((fixtureKey + sig).hashCode)}")
     val marker = out.resolve("_SUCCESS")
     if (!Files.exists(marker)) {
       Files.createDirectories(out)

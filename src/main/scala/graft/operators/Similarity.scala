@@ -140,10 +140,14 @@ object Similarity {
       threshold: Double,
       chunkRows: Int = 1024
   ): DataFrame = {
-    val v = withNorm(vectors.select(col(idCol), col(vecCol)), vecCol, "__n")
-    val n = v.count()
+    // size the chunk grid from the RAW id column (no norm work in the count
+    // job), and materialize the normed+chunked frame once — it feeds BOTH
+    // join sides, so left lazy the scan + norm would run twice more
+    val n = vectors.select(col(idCol)).count()
     val nChunks = math.max(1L, (n + chunkRows - 1) / chunkRows).toInt
-    val chunked = v.withColumn("__chunk", pmod(xxhash64(col(idCol)), lit(nChunks)).cast("int"))
+    val chunked = withNorm(vectors.select(col(idCol), col(vecCol)), vecCol, "__n")
+      .withColumn("__chunk", pmod(xxhash64(col(idCol)), lit(nChunks)).cast("int"))
+      .localCheckpoint()
     val a = chunked
       .select(col(idCol).as("__ida"), col(vecCol).as("__va"), col("__n").as("__na"),
         col("__chunk").as("__ca"),

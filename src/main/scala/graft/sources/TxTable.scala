@@ -73,10 +73,23 @@ class TxTable(val spark: SparkSession, val root: String) {
       remove = kvs.collect { case ("remove", v) => v })
   }
 
+  /** Directory listing with the stream CLOSED (Files.list leaks a
+    * descriptor per call otherwise — reads hit the log constantly). */
+  private def listDir(dir: Path): Seq[Path] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+
+  // strict names only: temp files (.tmpXXXX.commit / .tmpXXXX.ckpt) from
+  // in-flight or crashed publications must never parse as log entries
+  private val CommitName = """(\d{20})\.txt""".r
+  private val CkptName   = """(\d{20})\.ckpt""".r
+
   private def commitFiles(): Seq[Path] =
-    if (!Files.isDirectory(logDir)) Seq.empty
-    else Files.list(logDir).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.endsWith(".txt"))
+    listDir(logDir)
+      .filter(p => CommitName.matches(p.getFileName.toString))
       .sortBy(_.getFileName.toString)
 
   private def commits(): Seq[Commit] = commitFiles().map(parseCommit)
@@ -110,11 +123,10 @@ class TxTable(val spark: SparkSession, val root: String) {
   /** (version, schema, live files) of the newest checkpoint at or below
     * `bound`, if one parses cleanly. */
   private def latestCheckpoint(bound: Long): Option[(Long, Option[String], Seq[String])] =
-    (if (!Files.isDirectory(logDir)) Seq.empty[Path]
-     else Files.list(logDir).iterator().asScala.toSeq
-       .filter(_.getFileName.toString.endsWith(".ckpt"))
-       .filter(_.getFileName.toString.stripSuffix(".ckpt").toLong <= bound)
-       .sortBy(_.getFileName.toString))
+    listDir(logDir)
+      .filter(p => CkptName.matches(p.getFileName.toString))
+      .filter(_.getFileName.toString.stripSuffix(".ckpt").toLong <= bound)
+      .sortBy(_.getFileName.toString)
       .lastOption.flatMap { p =>
         scala.util.Try {
           val kvs = Files.readAllLines(p).asScala.toSeq
@@ -138,7 +150,8 @@ class TxTable(val spark: SparkSession, val root: String) {
         val live = scala.collection.mutable.LinkedHashSet.empty[String]
         live ++= files
         tail.foreach { c => live ++= c.add; live --= c.remove }
-        (live.toSeq, ddl.orElse(tail.flatMap(_.schemaDdl).headOption))
+        // a post-checkpoint overwrite may carry an evolved schema: tail wins
+        (live.toSeq, tail.flatMap(_.schemaDdl).lastOption.orElse(ddl))
       case None =>
         snapshotFiles(commitFiles()
           .filter(_.getFileName.toString.stripSuffix(".txt").toLong <= bound).map(parseCommit))
@@ -150,18 +163,12 @@ class TxTable(val spark: SparkSession, val root: String) {
   private def snapshotFiles(upTo: Seq[Commit]): (Seq[String], Option[String]) = {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     upTo.foreach { c => live ++= c.add; live --= c.remove }
-    (live.toSeq, upTo.flatMap(_.schemaDdl).headOption)
+    // LAST schema wins: overwrite commits may evolve it (version 0 sets it)
+    (live.toSeq, upTo.flatMap(_.schemaDdl).lastOption)
   }
 
-  private def readSnapshot(upTo: Seq[Commit]): DataFrame = {
-    val (files, ddl) = snapshotFiles(upTo)
-    val schema = ddl.map(org.apache.spark.sql.types.StructType.fromDDL)
-      .getOrElse(throw new IllegalStateException(s"no such TxTable: $root"))
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.schema(schema).parquet(files.map(f => dataDir.resolve(f).toString): _*)
-  }
+  private def readSnapshot(upTo: Seq[Commit]): DataFrame =
+    readState(snapshotFiles(upTo))
 
   private def readState(state: (Seq[String], Option[String])): DataFrame = {
     val (files, ddl) = state
@@ -180,20 +187,27 @@ class TxTable(val spark: SparkSession, val root: String) {
     readState(stateForVersion(Long.MaxValue))
   }
 
-  /** Time travel to an exact version. */
+  /** Time travel to an exact version (must exist — asking for a version
+    * beyond the latest is an error, not a silent read of the latest). */
   def readVersion(v: Long): DataFrame = {
-    require(
-      commitFiles().exists(_.getFileName.toString.stripSuffix(".txt").toLong <= v),
-      s"version $v predates table $root")
+    val versions = commitFiles().map(_.getFileName.toString.stripSuffix(".txt").toLong)
+    require(versions.exists(_ <= v), s"version $v predates table $root")
+    require(versions.exists(_ >= v), s"version $v does not exist yet in table $root")
     readState(stateForVersion(v))
   }
 
   /** Time travel to the last version committed at-or-before `tsMillis` —
-    * the table-granularity "knowledge at time T" read (SURVEY.md §1.2). */
+    * the table-granularity "knowledge at time T" read (SURVEY.md §1.2).
+    * Commit timestamps come from racing writers' clocks and need not be
+    * monotone in version order, so the bound is the LAST version whose ts
+    * qualifies (not a takeWhile prefix, which would hide later qualifying
+    * commits behind one early commit with a fast clock), and the replay is
+    * the full causal prefix up to that version. */
   def readAsOfTimestamp(tsMillis: Long): DataFrame = {
-    val cs = commits().takeWhile(_.ts <= tsMillis)
-    require(cs.nonEmpty, s"timestamp $tsMillis predates table $root")
-    readSnapshot(cs)
+    val cs = commits()
+    val idx = cs.lastIndexWhere(_.ts <= tsMillis)
+    require(idx >= 0, s"timestamp $tsMillis predates table $root")
+    readSnapshot(cs.take(idx + 1))
   }
 
   // ---- writes -----------------------------------------------------------
@@ -204,14 +218,16 @@ class TxTable(val spark: SparkSession, val root: String) {
     Files.createDirectories(dataDir)
     val staging = Files.createTempDirectory(Paths.get(root), ".staging")
     df.write.mode("overwrite").parquet(staging.toString)
-    val parts = Files.list(staging).iterator().asScala.toSeq
+    val names = listDir(staging)
       .filter(_.getFileName.toString.endsWith(".parquet"))
-    val names = parts.map { p =>
-      val name = s"${UUID.randomUUID()}.parquet"
-      Files.move(p, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-      name
-    }
-    Files.walk(staging).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      .map { p =>
+        val name = s"${UUID.randomUUID()}.parquet"
+        Files.move(p, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+        name
+      }
+    val w = Files.walk(staging)
+    try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally w.close()
     names
   }
 
@@ -234,6 +250,7 @@ class TxTable(val spark: SparkSession, val root: String) {
     * still exists). */
   private def commitLoop(op: String, add: Seq[String], remove: Seq[String],
       tsMillis: Long, schemaDdl: Option[String] = None,
+      schemaEveryCommit: Boolean = false,
       validate: Seq[Commit] => Boolean = _ => true): Long = {
     var attempts = 0
     while (attempts < 100) {
@@ -242,7 +259,7 @@ class TxTable(val spark: SparkSession, val root: String) {
         throw new java.util.ConcurrentModificationException(
           s"conflicting commit on $root: read set changed")
       val v = cs.lastOption.map(_.version + 1).getOrElse(0L)
-      val ddl = if (v == 0L) schemaDdl else None
+      val ddl = if (v == 0L || schemaEveryCommit) schemaDdl else None
       if (tryCommit(v, op, ddl, add, remove, tsMillis)) {
         if (v > 0 && v % checkpointEvery == 0) writeCheckpoint(v)
         return v
@@ -267,6 +284,7 @@ class TxTable(val spark: SparkSession, val root: String) {
     val (files, _) = snapshotFiles(cs)
     val newFiles = stageDataFiles(df)
     commitLoop("overwrite", newFiles, files, tsMillis, Some(df.schema.toDDL),
+      schemaEveryCommit = true, // overwrite may evolve the table schema
       validate = latest => {
         val (nowLive, _) = snapshotFiles(latest)
         files.forall(nowLive.contains)
@@ -279,9 +297,14 @@ class TxTable(val spark: SparkSession, val root: String) {
     * Equivalent of
     * `MERGE INTO t USING u ON keys WHEN MATCHED AND u wins THEN UPDATE
     *  WHEN NOT MATCHED THEN INSERT`, with (tsCol, tieCol) deciding "wins".
-    * Conflict rule: if a concurrent commit removed one of the files this
-    * merge read, the commit aborts (ConcurrentModificationException) —
-    * same spirit as Delta's conflict detection.
+    * Conflict rule: the merge aborts (ConcurrentModificationException) if
+    * ANY commit landed between its snapshot read and its own commit. A
+    * file-existence check alone is not enough — a concurrent APPEND could
+    * add new rows for the same keys without touching the merge's read
+    * files, and letting the merge commit would leave two live rows per key
+    * (Delta raises ConcurrentAppendException for MERGE for the same
+    * reason; proving key-disjointness would need per-file key statistics
+    * this log does not keep). Callers retry by recomputing the merge.
     */
   def merge(updates: DataFrame, keys: Seq[String], tsCol: String, tieCol: String,
       tsMillis: Long = System.currentTimeMillis()): Long = {
@@ -310,11 +333,9 @@ class TxTable(val spark: SparkSession, val root: String) {
 
     val newFiles = stageDataFiles(merged)
     u.unpersist()
+    val baseVersion = cs.lastOption.map(_.version)
     commitLoop("merge", newFiles, affected, tsMillis,
-      validate = latest => {
-        val (nowLive, _) = snapshotFiles(latest)
-        affected.forall(nowLive.contains)
-      })
+      validate = latest => latest.lastOption.map(_.version) == baseVersion)
   }
 
   /** Compaction: coalesce the current files into `target` larger ones.
@@ -336,15 +357,24 @@ class TxTable(val spark: SparkSession, val root: String) {
   /** Remove data files not visible from any of the last `retainVersions`
     * snapshots (crash-leftover staged files and compacted/merged-away files
     * past the time-travel horizon). Time travel to retained versions keeps
-    * working; older versions lose their files, as in Delta's VACUUM. */
-  def vacuum(retainVersions: Int = Int.MaxValue): Unit = {
+    * working; older versions lose their files, as in Delta's VACUUM.
+    *
+    * `minAgeMillis` is the concurrent-writer guard (Delta's retention
+    * threshold): a writer stages data files BEFORE its commit references
+    * them, so an unreferenced-but-recent file may belong to an in-flight
+    * transaction — deleting it would corrupt that writer's commit. Only
+    * files older than the threshold are eligible. Tests may pass 0, real
+    * deployments should keep it well above the longest write. */
+  def vacuum(retainVersions: Int = Int.MaxValue, minAgeMillis: Long = 3600000L): Unit = {
     val cs = commits()
     if (!Files.isDirectory(dataDir)) return
     val keepFrom = math.max(0, cs.size - math.max(1, retainVersions))
     val referenced = (keepFrom until cs.size)
       .flatMap(i => snapshotFiles(cs.take(i + 1))._1).toSet
-    Files.list(dataDir).iterator().asScala.toSeq
+    val cutoff = System.currentTimeMillis() - minAgeMillis
+    listDir(dataDir)
       .filter(p => !referenced.contains(p.getFileName.toString))
+      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
       .foreach(Files.deleteIfExists(_))
   }
 }

@@ -186,7 +186,8 @@ class TxTableSpec extends SparkSpec {
     t.append(kv((1L, "a", 1.0, 10L)), tsMillis = 100L)
     t.append(kv((2L, "a", 2.0, 20L)), tsMillis = 200L)
     t.compact(target = 1, tsMillis = 300L)
-    t.vacuum(retainVersions = 1)
+    // minAgeMillis = 0: test-only — production keeps the in-flight-writer guard
+    t.vacuum(retainVersions = 1, minAgeMillis = 0L)
     assert(t.read().count() == 2L)                       // live snapshot intact
     intercept[Exception](t.readVersion(0).count())        // pre-compact files gone
   }
