@@ -56,8 +56,13 @@ class TxTable(val spark: SparkSession, val root: String) {
   private val logDir = Paths.get(root, "_txlog")
   private val dataDir = Paths.get(root, "data")
 
+  /** Per-file column statistics for data skipping: values normalized to
+    * double via Spark's `cast("double")` (timestamps become epoch seconds). */
+  case class FileStats(colName: String, min: Double, max: Double)
+
   private case class Commit(version: Long, ts: Long, op: String,
-      schemaDdl: Option[String], add: Seq[String], remove: Seq[String])
+      schemaDdl: Option[String], add: Seq[String], remove: Seq[String],
+      stats: Map[String, FileStats])
 
   private def commitPath(v: Long): Path = logDir.resolve(f"$v%020d.txt")
 
@@ -70,7 +75,10 @@ class TxTable(val spark: SparkSession, val root: String) {
       op = kvs.collectFirst { case ("op", v) => v }.getOrElse(""),
       schemaDdl = kvs.collectFirst { case ("schema", v) => v },
       add = kvs.collect { case ("add", v) => v },
-      remove = kvs.collect { case ("remove", v) => v })
+      remove = kvs.collect { case ("remove", v) => v },
+      stats = kvs.collect { case ("stats", v) => v.split(";") }
+        .collect { case Array(f, c, mn, mx) => f -> FileStats(c, mn.toDouble, mx.toDouble) }
+        .toMap)
   }
 
   /** Directory listing with the stream CLOSED (Files.list leaks a
@@ -233,10 +241,12 @@ class TxTable(val spark: SparkSession, val root: String) {
 
   /** Atomic put-if-absent publish of version `v`; true iff this writer won. */
   private def tryCommit(v: Long, op: String, schemaDdl: Option[String],
-      add: Seq[String], remove: Seq[String], tsMillis: Long): Boolean = {
+      add: Seq[String], remove: Seq[String], tsMillis: Long,
+      stats: Map[String, FileStats] = Map.empty): Boolean = {
     Files.createDirectories(logDir)
     val lines = Seq(s"ts=$tsMillis", s"op=$op") ++
-      schemaDdl.map(d => s"schema=$d") ++ add.map(a => s"add=$a") ++ remove.map(r => s"remove=$r")
+      schemaDdl.map(d => s"schema=$d") ++ add.map(a => s"add=$a") ++ remove.map(r => s"remove=$r") ++
+      stats.map { case (f, st) => s"stats=$f;${st.colName};${st.min};${st.max}" }
     val tmp = Files.createTempFile(logDir, ".tmp", ".commit")
     Files.write(tmp, lines.asJava)
     try { Files.createLink(commitPath(v), tmp); true }
@@ -251,6 +261,7 @@ class TxTable(val spark: SparkSession, val root: String) {
   private def commitLoop(op: String, add: Seq[String], remove: Seq[String],
       tsMillis: Long, schemaDdl: Option[String] = None,
       schemaEveryCommit: Boolean = false,
+      stats: Map[String, FileStats] = Map.empty,
       validate: Seq[Commit] => Boolean = _ => true): Long = {
     var attempts = 0
     while (attempts < 100) {
@@ -260,7 +271,7 @@ class TxTable(val spark: SparkSession, val root: String) {
           s"conflicting commit on $root: read set changed")
       val v = cs.lastOption.map(_.version + 1).getOrElse(0L)
       val ddl = if (v == 0L || schemaEveryCommit) schemaDdl else None
-      if (tryCommit(v, op, ddl, add, remove, tsMillis)) {
+      if (tryCommit(v, op, ddl, add, remove, tsMillis, stats)) {
         if (v > 0 && v % checkpointEvery == 0) writeCheckpoint(v)
         return v
       }
@@ -269,10 +280,50 @@ class TxTable(val spark: SparkSession, val root: String) {
     throw new IllegalStateException(s"commit contention on $root after $attempts attempts")
   }
 
-  /** Blind append: safe under any concurrency (no read set). */
-  def append(df: DataFrame, tsMillis: Long = System.currentTimeMillis()): Long = {
+  /** Blind append: safe under any concurrency (no read set).
+    *
+    * @param statsCol record per-file min/max of this column in the commit
+    *   (one scan of the freshly staged files) — the data-skipping index
+    *   [[readWhere]] prunes by. Values normalize through `cast("double")`
+    *   (timestamps = epoch seconds). Delta's per-file stats, at log
+    *   granularity.
+    */
+  def append(df: DataFrame, tsMillis: Long = System.currentTimeMillis(),
+      statsCol: Option[String] = None): Long = {
     val files = stageDataFiles(df)
-    commitLoop("append", files, Seq.empty, tsMillis, Some(df.schema.toDDL))
+    commitLoop("append", files, Seq.empty, tsMillis, Some(df.schema.toDDL),
+      stats = statsCol.map(computeStats(files, _)).getOrElse(Map.empty))
+  }
+
+  private def computeStats(files: Seq[String], c: String): Map[String, FileStats] =
+    if (files.isEmpty) Map.empty
+    else spark.read.parquet(files.map(f => dataDir.resolve(f).toString): _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(min(col(c).cast("double")).as("__mn"), max(col(c).cast("double")).as("__mx"))
+      .collect()
+      .flatMap { r =>
+        if (r.isNullAt(1)) None
+        else Some(Paths.get(new java.net.URI(r.getString(0))).getFileName.toString ->
+          FileStats(c, r.getDouble(1), r.getDouble(2)))
+      }.toMap
+
+  /** Data-skipping snapshot read: scan only live files whose recorded
+    * [min, max] range for `colName` intersects [lo, hi]; files without
+    * stats (or with stats on another column) are conservatively included.
+    * The caller still applies the exact row filter — this prunes I/O, not
+    * semantics, exactly like partition pruning one level finer. */
+  def readWhere(colName: String, lo: Double, hi: Double): DataFrame = {
+    val cs = commits()
+    require(cs.nonEmpty, s"no such TxTable: $root")
+    val (files, ddl) = snapshotFiles(cs)
+    val stats = cs.flatMap(_.stats).toMap // later commits win
+    val kept = files.filter { f =>
+      stats.get(f) match {
+        case Some(FileStats(c, mn, mx)) if c == colName => mx >= lo && mn <= hi
+        case _ => true
+      }
+    }
+    readState((kept, ddl))
   }
 
   /** Atomic full replace: one commit removes every live file and adds the
@@ -336,6 +387,24 @@ class TxTable(val spark: SparkSession, val root: String) {
     val baseVersion = cs.lastOption.map(_.version)
     commitLoop("merge", newFiles, affected, tsMillis,
       validate = latest => latest.lastOption.map(_.version) == baseVersion)
+  }
+
+  /** Retrying merge: recomputes and retries when a concurrent commit
+    * aborted the merge — the copy-on-write output is stale the moment
+    * another commit lands, so the whole merge (snapshot read included)
+    * re-runs, never just the commit. */
+  def mergeRetrying(updates: DataFrame, keys: Seq[String], tsCol: String, tieCol: String,
+      maxRetries: Int = 5, tsMillis: Long = System.currentTimeMillis()): Long = {
+    var attempt = 0
+    while (true) {
+      try return merge(updates, keys, tsCol, tieCol, tsMillis)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
   }
 
   /** Compaction: coalesce the current files into `target` larger ones.

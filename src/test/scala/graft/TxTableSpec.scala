@@ -145,6 +145,41 @@ class TxTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](FeatureStore.loadTxAsOf(spark, dir, 500L))
   }
 
+  test("data skipping: readWhere scans only files whose recorded stats intersect the range") {
+    val t = newTable()
+    t.append(kv((1L, "a", 1.0, 10L), (2L, "a", 2.0, 15L)), tsMillis = 100L, statsCol = Some("ts"))
+    t.append(kv((3L, "a", 3.0, 110L), (4L, "a", 4.0, 115L)), tsMillis = 200L, statsCol = Some("ts"))
+    t.append(kv((5L, "a", 5.0, 210L), (6L, "a", 6.0, 215L)), tsMillis = 300L, statsCol = Some("ts"))
+    // only the middle append's files overlap [100, 150]
+    val pruned = t.readWhere("ts", 100.0, 150.0)
+    val ks = pruned.select("k").as[Long].collect().toSet
+    assert(ks == Set(3L, 4L), s"expected only the middle batch's files, got keys $ks")
+    // semantics preserved: pruned + exact filter == full read + exact filter
+    assert(pruned.where($"ts".between(100L, 150L)).count() ==
+      t.read().where($"ts".between(100L, 150L)).count())
+    // a column without stats never prunes
+    assert(t.readWhere("value", -1e9, 1e9).count() == 6L)
+  }
+
+  test("concurrent merges with retry converge to the correct LWW state") {
+    val t = newTable()
+    t.append(kv((1L, "a", 1.0, 10L), (2L, "a", 2.0, 10L)), tsMillis = 100L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val f1 = pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = t.mergeRetrying(
+          kv((1L, "a", 10.0, 20L)), Seq("k", "f"), "ts", "ts", tsMillis = 200L)
+      })
+      val f2 = pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = t.mergeRetrying(
+          kv((3L, "a", 30.0, 20L)), Seq("k", "f"), "ts", "ts", tsMillis = 201L)
+      })
+      f1.get(); f2.get()
+      val got = t.read().orderBy("k").select("k", "value").as[(Long, Double)].collect().toSeq
+      assert(got == Seq((1L, 10.0), (2L, 2.0), (3L, 30.0)))
+    } finally pool.shutdown()
+  }
+
   test("streaming micro-batches MERGE into a TxTable (foreachBatch lakehouse sink)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.Streaming.EventRow
