@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale evidence for the commit-log table: many-file table, MERGE that
+  * rewrites only the files its keys touch, data-skipping reads, checkpointed
+  * log resolution. Run: `runMain graft.TxScaleProbe [nRows] [nAppends]`.
+  */
+object TxScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val nRows = args.headOption.map(_.toLong).getOrElse(2000000L)
+    val nAppends = args.drop(1).headOption.map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("graft_tx_probe").toString
+    val t = graft.sources.TxTable(spark, root)
+    val perAppend = nRows / nAppends
+
+    // nAppends disjoint key ranges -> each append's files carry a distinct
+    // key span; stats recorded on k for data skipping
+    var t0 = System.nanoTime()
+    (0 until nAppends).foreach { i =>
+      val lo = i * perAppend
+      val df = spark.range(lo, lo + perAppend)
+        .select(col("id").as("k"), (col("id") % 97).cast("double").as("value"),
+          col("id").as("ts"))
+      t.append(df, tsMillis = 1000L + i, statsCol = Some("k"))
+    }
+    val appendSec = (System.nanoTime() - t0) / 1e9
+    val nFiles0 = t.read().select(input_file_name()).distinct().count()
+
+    // merge touching only the FIRST append's key range: copy-on-write must
+    // rewrite that range's files, not the table
+    val updates = spark.range(0L, perAppend / 20)
+      .select(col("id").as("k"), lit(999.0).as("value"), (col("id") + nRows).as("ts"))
+    t0 = System.nanoTime()
+    t.merge(updates, keys = Seq("k"), tsCol = "ts", tieCol = "ts", tsMillis = 5000L)
+    val mergeSec = (System.nanoTime() - t0) / 1e9
+    val logDir = java.nio.file.Paths.get(root, "_txlog")
+    val mergeCommit = java.nio.file.Files.readAllLines(
+      logDir.resolve(f"${nAppends.toLong}%020d.txt"))
+    val removed = mergeCommit.toArray.map(_.toString).count(_.startsWith("remove="))
+
+    // data-skipping read of one key span vs full scan
+    t0 = System.nanoTime()
+    val prunedFiles = t.readWhere("k", (5 * perAppend).toDouble, (6 * perAppend - 1).toDouble)
+      .select(input_file_name()).distinct().count()
+    val skipSec = (System.nanoTime() - t0) / 1e9
+
+    val total = t.read().count()
+    val merged999 = t.read().where(col("value") === 999.0).count()
+    println(f"[tx-probe] rows=$total%d files=$nFiles0%d appends=$nAppends%d " +
+      f"appendTotal=$appendSec%.1fs merge=$mergeSec%.1fs filesRewritten=$removed%d " +
+      f"prunedReadFiles=$prunedFiles%d skipRead=$skipSec%.1fs mergedRows=$merged999%d " +
+      f"version=${t.version()}%d")
+    assert(merged999 == perAppend / 20, "merge must have applied")
+    spark.stop()
+  }
+}
