@@ -121,12 +121,21 @@ class TxTable(val spark: SparkSession, val root: String) {
 
   private def ckptPath(v: Long): Path = logDir.resolve(f"$v%020d.ckpt")
 
+  /** Resolved table state: live files (commit order), current schema DDL,
+    * and the per-file skipping stats of the LIVE files. */
+  private case class Snapshot(files: Seq[String], ddl: Option[String],
+      stats: Map[String, FileStats])
+
+  private def statsLine(f: String, st: FileStats): String =
+    s"stats=$f;${st.colName};${st.min};${st.max}"
+
   private def writeCheckpoint(v: Long): Unit = {
     val upTo = commitFiles()
       .filter(_.getFileName.toString.stripSuffix(".txt").toLong <= v).map(parseCommit)
-    val (files, ddl) = snapshotFiles(upTo)
+    val snap = snapshotFiles(upTo)
     val lines = Seq(s"ts=${upTo.last.ts}") ++
-      ddl.map(d => s"schema=$d") ++ files.map(f => s"file=$f")
+      snap.ddl.map(d => s"schema=$d") ++ snap.files.map(f => s"file=$f") ++
+      snap.files.flatMap(f => snap.stats.get(f).map(statsLine(f, _)))
     val tmp = Files.createTempFile(logDir, ".tmp", ".ckpt")
     Files.write(tmp, lines.asJava)
     try Files.createLink(ckptPath(v), tmp)
@@ -134,9 +143,9 @@ class TxTable(val spark: SparkSession, val root: String) {
     finally Files.deleteIfExists(tmp)
   }
 
-  /** (version, schema, live files) of the newest checkpoint at or below
-    * `bound`, if one parses cleanly. */
-  private def latestCheckpoint(bound: Long): Option[(Long, Option[String], Seq[String])] =
+  /** (version, snapshot) of the newest checkpoint at or below `bound`, if
+    * one parses cleanly. */
+  private def latestCheckpoint(bound: Long): Option[(Long, Snapshot)] =
     listDir(logDir)
       .filter(p => CkptName.matches(p.getFileName.toString))
       .filter(_.getFileName.toString.stripSuffix(".ckpt").toLong <= bound)
@@ -146,26 +155,33 @@ class TxTable(val spark: SparkSession, val root: String) {
           val kvs = Files.readAllLines(p).asScala.toSeq
             .filter(_.contains("=")).map { l => val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1)) }
           (p.getFileName.toString.stripSuffix(".ckpt").toLong,
-            kvs.collectFirst { case ("schema", s) => s },
-            kvs.collect { case ("file", f) => f })
+            Snapshot(
+              kvs.collect { case ("file", f) => f },
+              kvs.collectFirst { case ("schema", s) => s },
+              kvs.collect { case ("stats", v) => v.split(";") }
+                .collect { case Array(f, c, mn, mx) => f -> FileStats(c, mn.toDouble, mx.toDouble) }
+                .toMap))
         }.toOption
       }
 
-  /** Live file set + schema at `bound`, starting from the newest usable
-    * checkpoint and replaying only the commit tail. */
-  private def stateForVersion(bound: Long): (Seq[String], Option[String]) =
+  /** Table state at `bound`, starting from the newest usable checkpoint and
+    * replaying only the commit tail. */
+  private def stateForVersion(bound: Long): Snapshot =
     latestCheckpoint(bound) match {
-      case Some((cv, ddl, files)) =>
+      case Some((cv, ckpt)) =>
         val tail = commitFiles()
           .filter { p =>
             val v = p.getFileName.toString.stripSuffix(".txt").toLong
             v > cv && v <= bound
           }.map(parseCommit)
         val live = scala.collection.mutable.LinkedHashSet.empty[String]
-        live ++= files
+        live ++= ckpt.files
         tail.foreach { c => live ++= c.add; live --= c.remove }
-        // a post-checkpoint overwrite may carry an evolved schema: tail wins
-        (live.toSeq, tail.flatMap(_.schemaDdl).lastOption.orElse(ddl))
+        Snapshot(
+          live.toSeq,
+          // a post-checkpoint overwrite may carry an evolved schema: tail wins
+          tail.flatMap(_.schemaDdl).lastOption.orElse(ckpt.ddl),
+          (ckpt.stats ++ tail.flatMap(_.stats)).filter { case (f, _) => live.contains(f) })
       case None =>
         snapshotFiles(commitFiles()
           .filter(_.getFileName.toString.stripSuffix(".txt").toLong <= bound).map(parseCommit))
@@ -174,25 +190,31 @@ class TxTable(val spark: SparkSession, val root: String) {
   /** Latest committed version, or -1 for a nonexistent table. */
   def version(): Long = commits().lastOption.map(_.version).getOrElse(-1L)
 
-  private def snapshotFiles(upTo: Seq[Commit]): (Seq[String], Option[String]) = {
+  private def snapshotFiles(upTo: Seq[Commit]): Snapshot = {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     upTo.foreach { c => live ++= c.add; live --= c.remove }
-    // LAST schema wins: overwrite commits may evolve it (version 0 sets it)
-    (live.toSeq, upTo.flatMap(_.schemaDdl).lastOption)
+    Snapshot(
+      live.toSeq,
+      // LAST schema wins: overwrite commits may evolve it (version 0 sets it)
+      upTo.flatMap(_.schemaDdl).lastOption,
+      upTo.flatMap(_.stats).toMap.filter { case (f, _) => live.contains(f) })
   }
 
   private def readSnapshot(upTo: Seq[Commit]): DataFrame =
     readState(snapshotFiles(upTo))
 
-  private def readState(state: (Seq[String], Option[String])): DataFrame = {
-    val (files, ddl) = state
-    val schema = ddl.map(org.apache.spark.sql.types.StructType.fromDDL)
+  private def readState(state: Snapshot): DataFrame = {
+    val schema = state.ddl.map(org.apache.spark.sql.types.StructType.fromDDL)
       .getOrElse(throw new IllegalStateException(s"no such TxTable: $root"))
-    if (files.isEmpty)
+    if (state.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
-      spark.read.schema(schema).parquet(files.map(f => dataDir.resolve(f).toString): _*)
+      spark.read.schema(schema).parquet(state.files.map(f => dataDir.resolve(f).toString): _*)
   }
+
+  /** input_file_name()-style URI -> the log's relative data-file name. */
+  private def fileNameOf(uri: String): String =
+    Paths.get(new java.net.URI(uri)).getFileName.toString
 
   /** Current snapshot (latest committed version at call time); resolves
     * via the newest log checkpoint + commit tail. */
@@ -308,44 +330,52 @@ class TxTable(val spark: SparkSession, val root: String) {
       .agg(min(col(c).cast("double")).as("__mn"), max(col(c).cast("double")).as("__mx"))
       .collect()
       .flatMap { r =>
-        if (r.isNullAt(1)) None
-        else Some(Paths.get(new java.net.URI(r.getString(0))).getFileName.toString ->
-          FileStats(c, r.getDouble(1), r.getDouble(2)))
+        // a NaN bound would make every range comparison false and wrongly
+        // SKIP the file (Spark's max orders NaN above all doubles) — record
+        // no stats instead, so the file is conservatively always scanned
+        if (r.isNullAt(1) || r.getDouble(1).isNaN || r.getDouble(2).isNaN) None
+        else Some(fileNameOf(r.getString(0)) -> FileStats(c, r.getDouble(1), r.getDouble(2)))
       }.toMap
+
+  /** The column the table's existing skipping stats are recorded on (the
+    * most recent commit's choice wins) — maintenance rewrites re-record
+    * stats for it so compaction/merge don't erase the skipping index. */
+  private def activeStatsCol(cs: Seq[Commit]): Option[String] =
+    cs.flatMap(_.stats.values.map(_.colName)).lastOption
 
   /** Data-skipping snapshot read: scan only live files whose recorded
     * [min, max] range for `colName` intersects [lo, hi]; files without
     * stats (or with stats on another column) are conservatively included.
     * The caller still applies the exact row filter — this prunes I/O, not
-    * semantics, exactly like partition pruning one level finer. */
+    * semantics, exactly like partition pruning one level finer. Resolves
+    * through the checkpointed log like read().
+    */
   def readWhere(colName: String, lo: Double, hi: Double): DataFrame = {
-    val cs = commits()
-    require(cs.nonEmpty, s"no such TxTable: $root")
-    val (files, ddl) = snapshotFiles(cs)
-    val stats = cs.flatMap(_.stats).toMap // later commits win
-    val kept = files.filter { f =>
-      stats.get(f) match {
+    require(commitFiles().nonEmpty, s"no such TxTable: $root")
+    val snap = stateForVersion(Long.MaxValue)
+    val kept = snap.files.filter { f =>
+      snap.stats.get(f) match {
         case Some(FileStats(c, mn, mx)) if c == colName => mx >= lo && mn <= hi
         case _ => true
       }
     }
-    readState((kept, ddl))
+    readState(snap.copy(files = kept))
   }
 
   /** Atomic full replace: one commit removes every live file and adds the
     * new snapshot. Readers see either the old or the new table, never a
     * mix; prior versions stay time-travelable until vacuum. Aborts if a
     * concurrent commit touched the table (same read-set rule as merge). */
-  def overwrite(df: DataFrame, tsMillis: Long = System.currentTimeMillis()): Long = {
+  def overwrite(df: DataFrame, tsMillis: Long = System.currentTimeMillis(),
+      statsCol: Option[String] = None): Long = {
     val cs = commits()
-    val (files, _) = snapshotFiles(cs)
+    val files = snapshotFiles(cs).files
     val newFiles = stageDataFiles(df)
     commitLoop("overwrite", newFiles, files, tsMillis, Some(df.schema.toDDL),
       schemaEveryCommit = true, // overwrite may evolve the table schema
-      validate = latest => {
-        val (nowLive, _) = snapshotFiles(latest)
-        files.forall(nowLive.contains)
-      })
+      stats = statsCol.orElse(activeStatsCol(cs))
+        .map(computeStats(newFiles, _)).getOrElse(Map.empty),
+      validate = latest => files.forall(snapshotFiles(latest).files.contains))
   }
 
   /** MERGE-style last-write-wins upsert (the reference's online-store write,
@@ -366,7 +396,6 @@ class TxTable(val spark: SparkSession, val root: String) {
   def merge(updates: DataFrame, keys: Seq[String], tsCol: String, tieCol: String,
       tsMillis: Long = System.currentTimeMillis()): Long = {
     val cs = commits()
-    val (liveFiles, _) = snapshotFiles(cs)
     val snap = readSnapshot(cs).withColumn("__file", input_file_name())
     val u = updates.cache()
 
@@ -374,8 +403,7 @@ class TxTable(val spark: SparkSession, val root: String) {
     val affected = snap
       .join(broadcast(u.select(keys.map(col): _*).distinct()), keys, "left_semi")
       .select(col("__file")).distinct()
-      .collect().map(_.getString(0))
-      .map(f => Paths.get(new java.net.URI(f)).getFileName.toString).toSeq
+      .collect().map(r => fileNameOf(r.getString(0))).toSeq
 
     val base = if (affected.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -392,6 +420,9 @@ class TxTable(val spark: SparkSession, val root: String) {
     u.unpersist()
     val baseVersion = cs.lastOption.map(_.version)
     commitLoop("merge", newFiles, affected, tsMillis,
+      // rewritten files re-record stats on the table's active stats column,
+      // so a merge doesn't punch stats-less holes in the skipping index
+      stats = activeStatsCol(cs).map(computeStats(newFiles, _)).getOrElse(Map.empty),
       validate = latest => latest.lastOption.map(_.version) == baseVersion)
   }
 
@@ -419,14 +450,13 @@ class TxTable(val spark: SparkSession, val root: String) {
     * validate hook aborts instead of resurrecting deleted rows. */
   def compact(target: Int = 1, tsMillis: Long = System.currentTimeMillis()): Long = {
     val cs = commits()
-    val (files, _) = snapshotFiles(cs)
+    val files = snapshotFiles(cs).files
     if (files.isEmpty) return cs.lastOption.map(_.version).getOrElse(-1L)
     val compacted = stageDataFiles(readSnapshot(cs).coalesce(target))
     commitLoop("compact", compacted, files, tsMillis,
-      validate = latest => {
-        val (nowLive, _) = snapshotFiles(latest)
-        files.forall(nowLive.contains)
-      })
+      // same stats preservation as merge: compaction must not erase skipping
+      stats = activeStatsCol(cs).map(computeStats(compacted, _)).getOrElse(Map.empty),
+      validate = latest => files.forall(snapshotFiles(latest).files.contains))
   }
 
   /** Remove data files not visible from any of the last `retainVersions`
@@ -445,7 +475,7 @@ class TxTable(val spark: SparkSession, val root: String) {
     if (!Files.isDirectory(dataDir)) return
     val keepFrom = math.max(0, cs.size - math.max(1, retainVersions))
     val referenced = (keepFrom until cs.size)
-      .flatMap(i => snapshotFiles(cs.take(i + 1))._1).toSet
+      .flatMap(i => snapshotFiles(cs.take(i + 1)).files).toSet
     val cutoff = System.currentTimeMillis() - minAgeMillis
     listDir(dataDir)
       .filter(p => !referenced.contains(p.getFileName.toString))

@@ -161,6 +161,18 @@ class TxTableSpec extends SparkSpec {
     assert(t.readWhere("value", -1e9, 1e9).count() == 6L)
   }
 
+  test("maintenance rewrites keep the skipping index: compact re-records stats") {
+    val t = newTable()
+    t.append(kv((1L, "a", 1.0, 10L)), tsMillis = 100L, statsCol = Some("ts"))
+    t.append(kv((2L, "a", 2.0, 20L)), tsMillis = 200L, statsCol = Some("ts"))
+    t.compact(target = 1, tsMillis = 300L)
+    // an out-of-range readWhere returns ZERO rows only if the compacted
+    // file carries stats — a stats-less file is conservatively scanned in
+    // full (readWhere prunes I/O, it does not filter rows)
+    assert(t.readWhere("ts", 1e6, 2e6).count() == 0L)
+    assert(t.readWhere("ts", 0.0, 100.0).count() == 2L)
+  }
+
   test("concurrent merges with retry converge to the correct LWW state") {
     val t = newTable()
     t.append(kv((1L, "a", 1.0, 10L), (2L, "a", 2.0, 10L)), tsMillis = 100L)
