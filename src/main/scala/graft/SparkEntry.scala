@@ -87,6 +87,30 @@ object SparkEntry {
       .orderBy("purchase_id")
   }
 
+  /** A3 via the skew-salted LOCF formulation — same semantics and oracle as
+    * a3_pit_join, different physical shape: spine rows scatter over 4 salt
+    * buckets, facts replicate per bucket, so one hot user can't serialize
+    * the window into a single task. Oracle-matching proves salting changes
+    * the plan, not the answer. */
+  private def a3PitJoinSalted(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val spine = ev
+      .where(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    val facts = ev
+      .where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value").as("click_value"))
+    AsOfJoin
+      .locfSalted(spine, facts, Seq("user_id"), "purchase_ts", "ts", Seq("click_value"), "event_id",
+        saltBuckets = 4)
+      .withColumnRenamed("ts__timestamp", "click_ts")
+      .orderBy("purchase_id")
+  }
+
   /** A4 — freshness classification histogram at a frozen `now`. */
   private def a4Freshness(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -619,6 +643,20 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** G2 ANN — the IVF+PQ composition (IVFADC): coarse cells bound each
+    * query's candidate set, PQ ADC table lookups score candidates without
+    * reading original vectors (rows-only: doubly approximate). The genuine
+    * 100 TB ANN shape — 8-byte codes scanned instead of 256-byte vectors. */
+  private def g2IvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cb = Pq.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 4)
+    val qs = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Similarity
+      .ivfPqTopK(emb, qs, "vec_id", "embedding", "query_id", "qvec", k = 3, cb)
+      .orderBy("query_id", "rank")
+  }
+
   /** G2 — hyperplane-LSH approximate top-k (rows-only: approximate recall). */
   private def g2LshTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -945,6 +983,7 @@ object SparkEntry {
     "a2_latest_per_key"  -> (a2LatestPerKey _),
     "a3_pit_join"        -> (a3PitJoin _),
     "a3_pit_join_native" -> (a3PitJoinNative _),
+    "a3_pit_join_salted" -> (a3PitJoinSalted _),
     "a4_freshness"       -> (a4Freshness _),
     "a6_bitemporal"      -> (a6Bitemporal _),
     "a7_interval_join"   -> (a7IntervalJoin _),
@@ -1005,7 +1044,8 @@ object SparkEntry {
     "g3_stratified_topk" -> (g3StratifiedTopk _),
     "g3_vocab"           -> (g3Vocab _),
     "g3_vocab_approx"    -> (g3VocabApprox _),
-    "g2_pq_topk"         -> (g2PqTopk _)
+    "g2_pq_topk"         -> (g2PqTopk _),
+    "g2_ivfpq_topk"      -> (g2IvfPqTopk _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1031,6 +1071,19 @@ object SparkEntry {
         |SELECT user_id, purchase_id, purchase_ts, purchase_value, click_value, click_ts
         |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
     "a3_pit_join_native" ->
+      """WITH spine AS (
+        |  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |facts AS (
+        |  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT s.user_id, s.purchase_id, s.purchase_ts, s.purchase_value,
+        |         f.value AS click_value, f.ts AS click_ts,
+        |         row_number() OVER (PARTITION BY s.purchase_id ORDER BY f.ts DESC, f.event_id DESC) AS rn
+        |  FROM spine s LEFT JOIN facts f ON f.user_id = s.user_id AND f.ts <= s.purchase_ts)
+        |SELECT user_id, purchase_id, purchase_ts, purchase_value, click_value, click_ts
+        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+    "a3_pit_join_salted" ->
       """WITH spine AS (
         |  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value AS purchase_value
         |  FROM events WHERE event_type = 'purchase'),
