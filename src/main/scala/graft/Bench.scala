@@ -24,16 +24,22 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // round per-query seconds to ms precision: the metric line must stay
+    // SHORT — round 2's driver tail-capture truncated a long line mid-object
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) r3(results.values.sum) else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // stdout (unprefixed — see build.sbt outputStrategy) AND a file sink, so
-    // the driver can pick up the metric either way
-    println(json)
+    // file sink first (this worked in round 2), then the metric as the
+    // absolute LAST stdout line: spark.stop() runs BEFORE the println so no
+    // shutdown logging can push the metric line out of a tail capture or
+    // interleave with it mid-object
     java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
       json.getBytes("UTF-8"))
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

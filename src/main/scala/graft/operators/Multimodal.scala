@@ -61,36 +61,72 @@ object Multimodal {
       ).as("meta")
     )
 
+  /** Content-signature-keyed fixture directory + idempotency marker.
+    * Keyed by CONTENT (order-independent xor of row hashes), not just the
+    * source path — regenerated source data must not serve stale fixture
+    * bytes from a previous corpus at the same location. */
+  private def fixtureDir(docs: DataFrame, idCol: String, textCol: String,
+      prefix: String, fixtureKey: String): java.nio.file.Path = {
+    val sig = docs
+      .agg(bit_xor(xxhash64(col(idCol), col(textCol))), count(lit(1)))
+      .collect().head.toSeq.mkString("_")
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"${prefix}_${java.lang.Integer.toHexString((fixtureKey + sig).hashCode)}")
+  }
+
   /** Write a deterministic on-disk media fixture (one `doc_<id>.bin` per
     * sampled document, bytes = UTF-8 text) and return its directory — the
     * ingest side of a real `spark.read.format("binaryFile")` pipeline.
-    * Idempotent via a _SUCCESS marker, keyed by the source dir, so verify
-    * and bench runs reuse the files. The codec stays [[FakeCodec]]; what
-    * this makes real is the SOURCE: files on disk, read distributed by the
-    * binaryFile reader with (path, content, length) columns, ids recovered
-    * from paths — the exact shape of a 100 TB object-store media crawl,
-    * where each task reads its own shard of files.
+    * Idempotent via a _SUCCESS marker. Files are written by the EXECUTORS
+    * (foreachPartition — each task writes its own shard, the driver only
+    * publishes the marker), which is the actual shape of materializing a
+    * media corpus at scale; on a cluster the target would be shared
+    * storage rather than a local tmpdir.
     */
   def writeMediaFixture(docs: DataFrame, idCol: String, textCol: String, fixtureKey: String,
       modulo: Int = 10): String = {
     import java.nio.file.{Files, Paths}
-    // key the fixture by CONTENT (order-independent xor of row hashes), not
-    // just the source path — regenerated source data must not serve stale
-    // fixture bytes from a previous corpus at the same location
-    val sig = docs
-      .agg(bit_xor(xxhash64(col(idCol), col(textCol))), count(lit(1)))
-      .collect().head.toSeq.mkString("_")
-    val out = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_media_${java.lang.Integer.toHexString((fixtureKey + sig).hashCode)}")
+    val out = fixtureDir(docs, idCol, textCol, "graft_media", fixtureKey)
     val marker = out.resolve("_SUCCESS")
     if (!Files.exists(marker)) {
       Files.createDirectories(out)
+      val outStr = out.toString
       docs.select(col(idCol).cast("long"), col(textCol))
         .where(col(idCol) % modulo === 0)
-        .collect()
-        .foreach { r =>
-          Files.write(out.resolve(s"doc_${r.getLong(0)}.bin"),
-            r.getString(1).getBytes("UTF-8"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            Files.write(Paths.get(outStr, s"doc_${r.getLong(0)}.bin"),
+              r.getString(1).getBytes("UTF-8"))
+          }
+        }
+      Files.write(marker, Array.empty[Byte])
+    }
+    out.toString
+  }
+
+  /** Write a deterministic WAV fixture — REAL RIFF/WAVE PCM containers
+    * ([[WavCodec.wavBytes]]), one `doc_<id>.wav` per sampled document, with
+    * format parameters derived from the id and payload from the text bytes
+    * so every header field is independently recomputable by the DuckDB
+    * oracle. Executor-side writes, driver-side marker, like
+    * [[writeMediaFixture]].
+    */
+  def writeWavFixture(docs: DataFrame, idCol: String, textCol: String, fixtureKey: String,
+      modulo: Int = 10): String = {
+    import java.nio.file.{Files, Paths}
+    val out = fixtureDir(docs, idCol, textCol, "graft_wav", fixtureKey)
+    val marker = out.resolve("_SUCCESS")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(out)
+      val outStr = out.toString
+      docs.select(col(idCol).cast("long"), col(textCol))
+        .where(col(idCol) % modulo === 0)
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            val id = r.getLong(0)
+            Files.write(Paths.get(outStr, s"doc_${id}.wav"),
+              WavCodec.wavBytes(id, r.getString(1).getBytes("UTF-8")))
+          }
         }
       Files.write(marker, Array.empty[Byte])
     }
@@ -120,6 +156,99 @@ object Multimodal {
       }
       MediaFeatures(id, n.toLong, mean, entropy, emb)
     }
+  }
+
+  /** REAL codec for one public container format: RIFF/WAVE PCM
+    * (the canonical 44-byte header layout documented in the public
+    * RIFF/WAVE spec — multimedia programming interface, IBM/Microsoft
+    * 1991). Dependency-free: the writer emits byte-exact headers, the
+    * parser walks RIFF chunks (not fixed offsets, so extra chunks parse
+    * fine). This replaces the FakeCodec path for the declared
+    * media-features query — every parsed field is real data decoded from
+    * real file bytes.
+    *
+    * Fixture parameter derivation (so a SQL oracle can recompute every
+    * field from (doc_id, text) alone):
+    *   channels     = 1 + doc_id % 2
+    *   sample_rate  = 8000 * (1 + doc_id % 3)
+    *   bits         = 16 (block align = channels * 2)
+    *   data bytes   = octet_length(text) rounded DOWN to block align
+    *   n_frames     = data_bytes / block_align
+    *   duration_ms  = n_frames * 1000 / sample_rate (integer division)
+    */
+  object WavCodec {
+    case class WavMeta(
+        sample_rate: Int, channels: Int, bits_per_sample: Int,
+        data_bytes: Long, n_frames: Long, duration_ms: Long)
+    case class WavRow(media_id: Long, sample_rate: Long, channels: Long,
+        n_frames: Long, duration_ms: Long, n_bytes: Long)
+
+    private def le16(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+    /** A complete PCM WAV file for the fixture: deterministic format from
+      * the id, samples = the text bytes truncated to whole frames. */
+    def wavBytes(id: Long, payload: Array[Byte]): Array[Byte] = {
+      val channels = 1 + (id % 2).toInt
+      val rate = 8000 * (1 + (id % 3).toInt)
+      val bits = 16
+      val blockAlign = channels * bits / 8
+      val dataLen = (payload.length / blockAlign) * blockAlign
+      val bos = new java.io.ByteArrayOutputStream(44 + dataLen)
+      bos.write("RIFF".getBytes("US-ASCII")); bos.write(le32(36 + dataLen))
+      bos.write("WAVE".getBytes("US-ASCII"))
+      bos.write("fmt ".getBytes("US-ASCII")); bos.write(le32(16))
+      bos.write(le16(1)) // PCM
+      bos.write(le16(channels)); bos.write(le32(rate))
+      bos.write(le32(rate * blockAlign)) // byte rate
+      bos.write(le16(blockAlign)); bos.write(le16(bits))
+      bos.write("data".getBytes("US-ASCII")); bos.write(le32(dataLen))
+      bos.write(payload, 0, dataLen)
+      bos.toByteArray
+    }
+
+    /** Chunk-walking header parse; throws on non-WAV bytes. */
+    def parse(bytes: Array[Byte]): WavMeta = {
+      def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+      def u32(o: Int): Long =
+        (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+          ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+      def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+      require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE", "not a RIFF/WAVE file")
+      var off = 12
+      var rate = 0; var channels = 0; var bits = 0; var dataLen = -1L
+      while (off + 8 <= bytes.length && (rate == 0 || dataLen < 0)) {
+        val id = tag(off); val len = u32(off + 4)
+        id match {
+          case "fmt " =>
+            channels = u16(off + 10); rate = u32(off + 12).toInt; bits = u16(off + 22)
+          case "data" => dataLen = len
+          case _ => ()
+        }
+        off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+      }
+      require(rate > 0 && dataLen >= 0, "missing fmt/data chunk")
+      val blockAlign = channels * bits / 8
+      val frames = if (blockAlign == 0) 0L else dataLen / blockAlign
+      WavMeta(rate, channels, bits, dataLen, frames, frames * 1000L / rate)
+    }
+  }
+
+  /** Distributed WAV decode: binaryFile rows -> parsed audio metadata, the
+    * codec running per-partition where the bytes live (the same boundary a
+    * JNI decoder would occupy; this one is REAL — fields come from the
+    * file's RIFF header, no stub). Expects (media_id, content). */
+  def decodeWav(media: DataFrame): Dataset[WavCodec.WavRow] = {
+    implicit val enc = Encoders.product[WavCodec.WavRow]
+    media.select("media_id", "content").as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val m = WavCodec.parse(bytes)
+          WavCodec.WavRow(id, m.sample_rate.toLong, m.channels.toLong,
+            m.n_frames, m.duration_ms, bytes.length.toLong)
+        }
+      }
   }
 
   /** Decode + feature-extract over partition-sized batches. The binary

@@ -92,6 +92,18 @@ object Pq {
       Bridge.column(PqEncode(Bridge.expression(col(vecCol)), cb.cents, cb.m, cb.k)).as("codes"),
       Fns.l2Norm(col(vecCol)).as("norm"))
 
+  /** [[encode]] plus the IVF coarse-cell assignment, still ONE map-only
+    * pass — the index-build scan (AnnIndex persists its output). `rawCents`
+    * are un-normalized coarse centroids in cell order. */
+  def encodeWithCell(
+      df: DataFrame, idCol: String, vecCol: String,
+      cb: Codebooks, rawCents: Array[Array[Float]]): DataFrame =
+    df.select(
+      col(idCol),
+      Bridge.column(PqEncode(Bridge.expression(col(vecCol)), cb.cents, cb.m, cb.k)).as("codes"),
+      Fns.l2Norm(col(vecCol)).as("norm"),
+      Similarity.nearestCell(Similarity.normalized(rawCents))(col(vecCol)).as("__cell"))
+
   /** Approximate cosine top-k over PQ codes: queries broadcast against the
     * code table; each candidate costs m table lookups. Output matches the
     * exact cosineTopK shape (query_id, rank, id, cosine) with cosine being

@@ -203,7 +203,7 @@ object Similarity {
     * Cell ranking by cosine(vec, c) equals ranking by dot(vec, c/|c|):
     * |vec| is constant across the argmax — so scoring needs ONE dot per
     * centroid, no norms at all (~3x fewer flops per row). */
-  private def normalized(cents: Array[Array[Float]]): Array[Array[Float]] =
+  private[operators] def normalized(cents: Array[Array[Float]]): Array[Array[Float]] =
     cents.map { c =>
       val n = math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x)).toFloat
       if (n == 0f) c else c.map(_ / n)
@@ -219,7 +219,7 @@ object Similarity {
 
   /** Nearest-centroid cell id (first cell wins score ties — deterministic).
     * Expects pre-[[normalized]] centroids. */
-  private def nearestCell(normCents: Array[Array[Float]])(vec: Column): Column = {
+  private[operators] def nearestCell(normCents: Array[Array[Float]])(vec: Column): Column = {
     val scores = cellScores(normCents)(vec)
     (array_position(scores, array_max(scores)) - 1).cast("int")
   }
@@ -308,10 +308,25 @@ object Similarity {
       nProbe: Int = 4,
       refineIters: Int = 0,
       sampleMod: Int = 1
-  ): DataFrame = {
-    val cents: Array[Array[Float]] = normalized(
-      kmeansCentroids(candidates, idCol, vecCol, nCentroids, refineIters, sampleMod))
+  ): DataFrame =
+    ivfTopKWith(candidates, queries, idCol, vecCol, qidCol, qvecCol, k,
+      kmeansCentroids(candidates, idCol, vecCol, nCentroids, refineIters, sampleMod), nProbe)
 
+  /** [[ivfTopK]] against a PREBUILT coarse quantizer (AnnIndex.loadCentroids)
+    * — the production read path: no training job, the tiny centroid matrix
+    * rides the plan as literals and the corpus is scanned map-only. */
+  def ivfTopKWith(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      rawCents: Array[Array[Float]],
+      nProbe: Int = 4
+  ): DataFrame = {
+    val cents = normalized(rawCents)
     val cand = withNorm(candidates.select(col(idCol), col(vecCol)), vecCol, "__cn")
       .withColumn("__cell", nearestCell(cents)(col(vecCol)))
     val qs = withNorm(queries.select(col(qidCol), col(qvecCol)), qvecCol, "__qn")
@@ -348,18 +363,32 @@ object Similarity {
       nProbe: Int = 4,
       refineIters: Int = 2
   ): DataFrame = {
-    import org.apache.spark.sql.graft.Bridge
-    import graft.functions.{PqAdc, PqLut}
-    val cents = normalized(kmeansCentroids(candidates, idCol, vecCol, nCentroids, refineIters))
-
+    val rawCents = kmeansCentroids(candidates, idCol, vecCol, nCentroids, refineIters)
     // ONE map-only select computes codes, norm, and cell together — no
     // self-join, no shuffle on the corpus
-    val enc = candidates.select(
-      col(idCol),
-      Bridge.column(graft.functions.PqEncode(
-        Bridge.expression(col(vecCol)), cb.cents, cb.m, cb.k)).as("codes"),
-      Fns.l2Norm(col(vecCol)).as("norm"),
-      nearestCell(cents)(col(vecCol)).as("__cell"))
+    ivfPqTopKWith(
+      Pq.encodeWithCell(candidates, idCol, vecCol, cb, rawCents),
+      queries, idCol, qidCol, qvecCol, k, cb, rawCents, nProbe)
+  }
+
+  /** IVFADC against a PREBUILT index (AnnIndex): `enc` is the persisted
+    * encoded corpus (id, codes, norm, __cell) and `rawCents` the persisted
+    * coarse centroids — the query never touches the original embeddings at
+    * all, which is the entire 100 TB point. */
+  def ivfPqTopKWith(
+      enc: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      cb: Pq.Codebooks,
+      rawCents: Array[Array[Float]],
+      nProbe: Int = 4
+  ): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import graft.functions.{PqAdc, PqLut}
+    val cents = normalized(rawCents)
 
     val qs = queries.select(
       col(qidCol),
@@ -413,6 +442,20 @@ object Similarity {
     * hyperplane signatures; a candidate is scored only if it shares a
     * bucket with the query in some table. Recall rises with numTables;
     * cost per query drops from |corpus| to the matched buckets' size.
+    *
+    * Shape (the round-2 regression was here): candidate generation runs on
+    * NARROW (table, bucket, id) rows — vectors join in only after the
+    * (id, query) pair set is deduplicated, so the numTables-way explosion
+    * and its dedup shuffle never carry a 64-float payload, and the corpus
+    * itself never shuffles (pairs and queries broadcast back against it).
+    * Scoring uses the fused native dot (same bit-stable fold as the exact
+    * paths), not a HOF lambda.
+    *
+    * @param maxBucketWidth corpus-side frequency cap per (table, bucket):
+    *   a degenerate hot bucket (mass-duplicate corpus) would explode
+    *   candidates quadratically; buckets wider than this are dropped from
+    *   candidate generation — pairs inside them usually still meet in a
+    *   less-crowded table (documented approximation, as in SimHash).
     */
   def lshTopK(
       candidates: DataFrame,
@@ -424,20 +467,36 @@ object Similarity {
       k: Int,
       numTables: Int = 8,
       planes: Int = 12,
-      dim: Int = 64
+      dim: Int = 64,
+      maxBucketWidth: Int = 100000
   ): DataFrame = {
-    val cand = withNorm(candidates.select(col(idCol), col(vecCol)), vecCol, "__cn")
-      .select(col(idCol), col(vecCol), col("__cn"),
-        posexplode(lshBuckets(col(vecCol), numTables, planes, dim)).as(Seq("__t", "__b")))
-    val qs = withNorm(queries.select(col(qidCol), col(qvecCol)), qvecCol, "__qn")
-      .select(col(qidCol), col(qvecCol), col("__qn"),
-        posexplode(lshBuckets(col(qvecCol), numTables, planes, dim)).as(Seq("__t", "__b")))
-
-    val matched = cand
-      .join(broadcast(qs), Seq("__t", "__b"))
+    // narrow bucket membership: (table, bucket, id) — no vectors, no norms
+    val candBuckets = candidates
+      .select(col(idCol), posexplode(lshBuckets(col(vecCol), numTables, planes, dim)).as(Seq("__t", "__b")))
+    val qsBuckets = queries
+      .select(col(qidCol), posexplode(lshBuckets(col(qvecCol), numTables, planes, dim)).as(Seq("__t", "__b")))
+    val narrow =
+      if (maxBucketWidth == Int.MaxValue) candBuckets
+      else {
+        val keep = candBuckets.groupBy(col("__t"), col("__b"))
+          .agg(count(lit(1)).as("__w")).where(col("__w") <= maxBucketWidth).drop("__w")
+        candBuckets.join(keep, Seq("__t", "__b"), "left_semi")
+      }
+    // candidate (id, query) pairs, deduplicated while still narrow
+    val pairs = narrow
+      .join(broadcast(qsBuckets), Seq("__t", "__b"))
       .where(col(idCol) =!= col(qidCol))
+      .select(col(idCol), col(qidCol))
       .dropDuplicates(idCol, qidCol)
-      .withColumn("__sim", Fns.dot(col(vecCol), col(qvecCol)) / (col("__cn") * col("__qn")))
+
+    // score: corpus scan + broadcast joins (pairs and queries are both
+    // bounded by |Q| x matched-bucket width — small by construction)
+    val qs = withNorm(queries.select(col(qidCol), col(qvecCol)), qvecCol, "__qn")
+    val matched = withNorm(candidates.select(col(idCol), col(vecCol)), vecCol, "__cn")
+      .join(broadcast(pairs), Seq(idCol))
+      .join(broadcast(qs), Seq(qidCol))
+      .withColumn("__sim",
+        VectorExpressions.vecDot(col(vecCol), col(qvecCol)) / (col("__cn") * col("__qn")))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col(idCol).asc)
     matched
       .withColumn("__rank", row_number().over(w))

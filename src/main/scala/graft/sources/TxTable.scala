@@ -68,7 +68,7 @@ class TxTable(val spark: SparkSession, val root: String) {
 
   private case class Commit(version: Long, ts: Long, op: String,
       schemaDdl: Option[String], add: Seq[String], remove: Seq[String],
-      stats: Map[String, FileStats])
+      stats: Map[String, FileStats], partCols: Option[Seq[String]])
 
   private def commitPath(v: Long): Path = logDir.resolve(f"$v%020d.txt")
 
@@ -84,7 +84,11 @@ class TxTable(val spark: SparkSession, val root: String) {
       remove = kvs.collect { case ("remove", v) => v },
       stats = kvs.collect { case ("stats", v) => v.split(";") }
         .collect { case Array(f, c, mn, mx) => f -> FileStats(c, mn.toDouble, mx.toDouble) }
-        .toMap)
+        .toMap,
+      // partcols= (possibly empty list) declares the staged files' layout;
+      // absent on commits that predate partitioning support
+      partCols = kvs.collectFirst { case ("partcols", v) =>
+        v.split(',').toSeq.filter(_.nonEmpty) })
   }
 
   /** Directory listing with the stream CLOSED (Files.list leaks a
@@ -122,9 +126,10 @@ class TxTable(val spark: SparkSession, val root: String) {
   private def ckptPath(v: Long): Path = logDir.resolve(f"$v%020d.ckpt")
 
   /** Resolved table state: live files (commit order), current schema DDL,
-    * and the per-file skipping stats of the LIVE files. */
+    * the per-file skipping stats of the LIVE files, and the table's
+    * partition columns (empty = flat layout). */
   private case class Snapshot(files: Seq[String], ddl: Option[String],
-      stats: Map[String, FileStats])
+      stats: Map[String, FileStats], partCols: Seq[String])
 
   private def statsLine(f: String, st: FileStats): String =
     s"stats=$f;${st.colName};${st.min};${st.max}"
@@ -133,8 +138,9 @@ class TxTable(val spark: SparkSession, val root: String) {
     val upTo = commitFiles()
       .filter(_.getFileName.toString.stripSuffix(".txt").toLong <= v).map(parseCommit)
     val snap = snapshotFiles(upTo)
-    val lines = Seq(s"ts=${upTo.last.ts}") ++
-      snap.ddl.map(d => s"schema=$d") ++ snap.files.map(f => s"file=$f") ++
+    val lines = Seq(s"ts=${upTo.last.ts}", s"partcols=${snap.partCols.mkString(",")}") ++
+      snap.ddl.map(d => s"schema=$d") ++
+      snap.files.map(f => s"file=$f") ++
       snap.files.flatMap(f => snap.stats.get(f).map(statsLine(f, _)))
     val tmp = Files.createTempFile(logDir, ".tmp", ".ckpt")
     Files.write(tmp, lines.asJava)
@@ -160,7 +166,9 @@ class TxTable(val spark: SparkSession, val root: String) {
               kvs.collectFirst { case ("schema", s) => s },
               kvs.collect { case ("stats", v) => v.split(";") }
                 .collect { case Array(f, c, mn, mx) => f -> FileStats(c, mn.toDouble, mx.toDouble) }
-                .toMap))
+                .toMap,
+              kvs.collectFirst { case ("partcols", v) => v.split(',').toSeq.filter(_.nonEmpty) }
+                .getOrElse(Seq.empty)))
         }.toOption
       }
 
@@ -181,7 +189,8 @@ class TxTable(val spark: SparkSession, val root: String) {
           live.toSeq,
           // a post-checkpoint overwrite may carry an evolved schema: tail wins
           tail.flatMap(_.schemaDdl).lastOption.orElse(ckpt.ddl),
-          (ckpt.stats ++ tail.flatMap(_.stats)).filter { case (f, _) => live.contains(f) })
+          (ckpt.stats ++ tail.flatMap(_.stats)).filter { case (f, _) => live.contains(f) },
+          tail.flatMap(_.partCols).lastOption.getOrElse(ckpt.partCols))
       case None =>
         snapshotFiles(commitFiles()
           .filter(_.getFileName.toString.stripSuffix(".txt").toLong <= bound).map(parseCommit))
@@ -197,7 +206,10 @@ class TxTable(val spark: SparkSession, val root: String) {
       live.toSeq,
       // LAST schema wins: overwrite commits may evolve it (version 0 sets it)
       upTo.flatMap(_.schemaDdl).lastOption,
-      upTo.flatMap(_.stats).toMap.filter { case (f, _) => live.contains(f) })
+      upTo.flatMap(_.stats).toMap.filter { case (f, _) => live.contains(f) },
+      // partition layout: the last commit that DECLARED a layout wins
+      // (version 0 sets it; an overwrite may re-partition or flatten)
+      upTo.flatMap(_.partCols).lastOption.getOrElse(Seq.empty))
   }
 
   private def readSnapshot(upTo: Seq[Commit]): DataFrame =
@@ -209,12 +221,17 @@ class TxTable(val spark: SparkSession, val root: String) {
     if (state.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
-      spark.read.schema(schema).parquet(state.files.map(f => dataDir.resolve(f).toString): _*)
+      // basePath lets partition-directory values (data/<col>=<v>/...)
+      // resolve into their columns; harmless for the flat layout
+      spark.read.schema(schema).option("basePath", dataDir.toString)
+        .parquet(state.files.map(f => dataDir.resolve(f).toString): _*)
   }
 
-  /** input_file_name()-style URI -> the log's relative data-file name. */
+  /** input_file_name()-style URI -> the log's data-file name RELATIVE to
+    * data/ (partition subdirectories included). */
   private def fileNameOf(uri: String): String =
-    Paths.get(new java.net.URI(uri)).getFileName.toString
+    dataDir.toAbsolutePath.normalize
+      .relativize(Paths.get(new java.net.URI(uri)).toAbsolutePath.normalize).toString
 
   /** Current snapshot (latest committed version at call time); resolves
     * via the newest log checkpoint + commit tail. */
@@ -249,18 +266,28 @@ class TxTable(val spark: SparkSession, val root: String) {
   // ---- writes -----------------------------------------------------------
 
   /** Stage `df` as immutable parquet files under data/, return their
-    * relative names. Files are invisible until a commit references them. */
-  private def stageDataFiles(df: DataFrame): Seq[String] = {
+    * relative names. Files are invisible until a commit references them.
+    * With `partitionCols`, files land under Hive-style partition
+    * directories (`data/<col>=<v>/...`) and the returned relative names
+    * carry the subpath — the log tracks files, the directory layout is the
+    * pruning index. */
+  private def stageDataFiles(df: DataFrame, partitionCols: Seq[String] = Seq.empty): Seq[String] = {
     Files.createDirectories(dataDir)
     val staging = Files.createTempDirectory(Paths.get(root), ".staging")
-    df.write.mode("overwrite").parquet(staging.toString)
-    val names = listDir(staging)
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
-        val name = s"${UUID.randomUUID()}.parquet"
-        Files.move(p, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-        name
-      }
+    val writer = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(staging.toString)
+    val w0 = Files.walk(staging)
+    val staged = try w0.iterator().asScala.toSeq.filter(_.getFileName.toString.endsWith(".parquet"))
+                 finally w0.close()
+    val names = staged.map { p =>
+      val sub = staging.relativize(p.getParent).toString // "" or col=v[/col2=v2]
+      val name = s"${UUID.randomUUID()}.parquet"
+      val rel = if (sub.isEmpty) name else s"$sub/$name"
+      Files.createDirectories(dataDir.resolve(rel).getParent)
+      Files.move(p, dataDir.resolve(rel), StandardCopyOption.ATOMIC_MOVE)
+      rel
+    }
     val w = Files.walk(staging)
     try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     finally w.close()
@@ -270,10 +297,12 @@ class TxTable(val spark: SparkSession, val root: String) {
   /** Atomic put-if-absent publish of version `v`; true iff this writer won. */
   private def tryCommit(v: Long, op: String, schemaDdl: Option[String],
       add: Seq[String], remove: Seq[String], tsMillis: Long,
-      stats: Map[String, FileStats] = Map.empty): Boolean = {
+      stats: Map[String, FileStats] = Map.empty,
+      partCols: Seq[String] = Seq.empty): Boolean = {
     Files.createDirectories(logDir)
-    val lines = Seq(s"ts=$tsMillis", s"op=$op") ++
-      schemaDdl.map(d => s"schema=$d") ++ add.map(a => s"add=$a") ++ remove.map(r => s"remove=$r") ++
+    val lines = Seq(s"ts=$tsMillis", s"op=$op", s"partcols=${partCols.mkString(",")}") ++
+      schemaDdl.map(d => s"schema=$d") ++
+      add.map(a => s"add=$a") ++ remove.map(r => s"remove=$r") ++
       stats.map { case (f, st) => s"stats=$f;${st.colName};${st.min};${st.max}" }
     val tmp = Files.createTempFile(logDir, ".tmp", ".commit")
     Files.write(tmp, lines.asJava)
@@ -290,6 +319,7 @@ class TxTable(val spark: SparkSession, val root: String) {
       tsMillis: Long, schemaDdl: Option[String] = None,
       schemaEveryCommit: Boolean = false,
       stats: Map[String, FileStats] = Map.empty,
+      partCols: Seq[String] = Seq.empty,
       validate: Seq[Commit] => Boolean = _ => true): Long = {
     var attempts = 0
     while (attempts < 100) {
@@ -299,7 +329,7 @@ class TxTable(val spark: SparkSession, val root: String) {
           s"conflicting commit on $root: read set changed")
       val v = cs.lastOption.map(_.version + 1).getOrElse(0L)
       val ddl = if (v == 0L || schemaEveryCommit) schemaDdl else None
-      if (tryCommit(v, op, ddl, add, remove, tsMillis, stats)) {
+      if (tryCommit(v, op, ddl, add, remove, tsMillis, stats, partCols)) {
         if (v > 0 && v % checkpointEvery == 0) writeCheckpoint(v)
         return v
       }
@@ -316,16 +346,31 @@ class TxTable(val spark: SparkSession, val root: String) {
     *   (timestamps = epoch seconds). Delta's per-file stats, at log
     *   granularity.
     */
+  /** @param partitionBy Hive-style partition columns for the staged files
+    *   (SURVEY.md §4 "partition the fact table by date" meeting the
+    *   transactional path — round-2 verdict #6). Version 0 fixes the
+    *   table's layout; later appends inherit it automatically (passing a
+    *   different layout is an error). Partition-directory pruning then
+    *   happens in [[readWhere]]/[[readWherePartition]] BEFORE per-file
+    *   stats, exactly like Delta/Hive partition pruning one level above
+    *   data skipping.
+    */
   def append(df: DataFrame, tsMillis: Long = System.currentTimeMillis(),
-      statsCol: Option[String] = None): Long = {
-    val files = stageDataFiles(df)
+      statsCol: Option[String] = None, partitionBy: Seq[String] = Seq.empty): Long = {
+    val declared = snapshotFiles(commits()).partCols
+    require(declared.isEmpty || partitionBy.isEmpty || declared == partitionBy,
+      s"table $root is partitioned by ${declared.mkString(",")}; cannot append with ${partitionBy.mkString(",")}")
+    val layout = if (declared.nonEmpty) declared else partitionBy
+    val files = stageDataFiles(df, layout)
     commitLoop("append", files, Seq.empty, tsMillis, Some(df.schema.toDDL),
-      stats = statsCol.map(computeStats(files, _)).getOrElse(Map.empty))
+      stats = statsCol.map(computeStats(files, _)).getOrElse(Map.empty),
+      partCols = layout)
   }
 
   private def computeStats(files: Seq[String], c: String): Map[String, FileStats] =
     if (files.isEmpty) Map.empty
-    else spark.read.parquet(files.map(f => dataDir.resolve(f).toString): _*)
+    else spark.read.option("basePath", dataDir.toString)
+      .parquet(files.map(f => dataDir.resolve(f).toString): _*)
       .groupBy(input_file_name().as("__f"))
       .agg(min(col(c).cast("double")).as("__mn"), max(col(c).cast("double")).as("__mx"))
       .collect()
@@ -350,32 +395,71 @@ class TxTable(val spark: SparkSession, val root: String) {
     * semantics, exactly like partition pruning one level finer. Resolves
     * through the checkpointed log like read().
     */
+  /** The `colName=` partition value of a relative file path, if the file
+    * sits under such a directory. */
+  private def partValueOf(relFile: String, colName: String): Option[String] =
+    relFile.split('/').iterator
+      .filter(_.contains("="))
+      .map { seg => val i = seg.indexOf('='); (seg.substring(0, i), seg.substring(i + 1)) }
+      .collectFirst { case (c, v) if c == colName => v }
+
   def readWhere(colName: String, lo: Double, hi: Double): DataFrame = {
     require(commitFiles().nonEmpty, s"no such TxTable: $root")
     val snap = stateForVersion(Long.MaxValue)
     val kept = snap.files.filter { f =>
-      snap.stats.get(f) match {
+      // 1) partition-DIRECTORY pruning (coarsest, free — no stats needed):
+      //    numeric partition values outside [lo, hi] skip the whole file
+      val partOk = partValueOf(f, colName) match {
+        case Some(v) => v.toDoubleOption.forall(d => d >= lo && d <= hi)
+        case None => true
+      }
+      // 2) per-file min/max data skipping (finer), as before
+      partOk && (snap.stats.get(f) match {
         case Some(FileStats(c, mn, mx)) if c == colName => mx >= lo && mn <= hi
         case _ => true
-      }
+      })
     }
+    readState(snap.copy(files = kept))
+  }
+
+  /** Partition pruning by EXACT value(s) — the date-partition read shape
+    * (`WHERE event_date IN (...)`): scans only files under the matching
+    * partition directories. Files not under a `colName=` directory are
+    * conservatively included; the caller still applies the row filter. */
+  def readWherePartition(colName: String, values: Seq[String]): DataFrame = {
+    require(commitFiles().nonEmpty, s"no such TxTable: $root")
+    val snap = stateForVersion(Long.MaxValue)
+    val want = values.toSet
+    val kept = snap.files.filter(f => partValueOf(f, colName).forall(want.contains))
     readState(snap.copy(files = kept))
   }
 
   /** Atomic full replace: one commit removes every live file and adds the
     * new snapshot. Readers see either the old or the new table, never a
-    * mix; prior versions stay time-travelable until vacuum. Aborts if a
-    * concurrent commit touched the table (same read-set rule as merge). */
+    * mix; prior versions stay time-travelable until vacuum. Aborts if ANY
+    * commit landed between the snapshot read and this commit (same
+    * any-commit rule as merge, and for the same reason: a concurrent
+    * append's files are not in this overwrite's remove set, so letting it
+    * commit would leave the "full replace" sharing the table with rows it
+    * never saw — Delta's WriteSerializable would allow that; this table
+    * promises Serializable for overwrite). */
   def overwrite(df: DataFrame, tsMillis: Long = System.currentTimeMillis(),
-      statsCol: Option[String] = None): Long = {
+      statsCol: Option[String] = None, partitionBy: Seq[String] = Seq.empty): Long = {
     val cs = commits()
-    val files = snapshotFiles(cs).files
-    val newFiles = stageDataFiles(df)
-    commitLoop("overwrite", newFiles, files, tsMillis, Some(df.schema.toDDL),
+    val snap = snapshotFiles(cs)
+    // default: keep the table's layout (while its columns survive the
+    // schema evolution); an explicit partitionBy re-partitions or flattens
+    val layout =
+      if (partitionBy.nonEmpty) partitionBy
+      else snap.partCols.filter(df.columns.contains)
+    val newFiles = stageDataFiles(df, layout)
+    val baseVersion = cs.lastOption.map(_.version)
+    commitLoop("overwrite", newFiles, snap.files, tsMillis, Some(df.schema.toDDL),
       schemaEveryCommit = true, // overwrite may evolve the table schema
       stats = statsCol.orElse(activeStatsCol(cs))
         .map(computeStats(newFiles, _)).getOrElse(Map.empty),
-      validate = latest => files.forall(snapshotFiles(latest).files.contains))
+      partCols = layout,
+      validate = latest => latest.lastOption.map(_.version) == baseVersion)
   }
 
   /** MERGE-style last-write-wins upsert (the reference's online-store write,
@@ -410,19 +494,23 @@ class TxTable(val spark: SparkSession, val root: String) {
         readSnapshot(cs).schema)
     else
       spark.read.schema(readSnapshot(cs).schema)
+        .option("basePath", dataDir.toString) // partition dirs -> columns
         .parquet(affected.map(f => dataDir.resolve(f).toString): _*)
 
     val payload = base.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
     val merged = graft.operators.Latest.lwwUpsert(
       base, updates.select(base.columns.map(col).toIndexedSeq: _*), keys, tsCol, tieCol, payload)
 
-    val newFiles = stageDataFiles(merged)
+    // rewrites keep the table's partition layout (as they keep its stats)
+    val layout = snapshotFiles(cs).partCols
+    val newFiles = stageDataFiles(merged, layout)
     u.unpersist()
     val baseVersion = cs.lastOption.map(_.version)
     commitLoop("merge", newFiles, affected, tsMillis,
       // rewritten files re-record stats on the table's active stats column,
       // so a merge doesn't punch stats-less holes in the skipping index
       stats = activeStatsCol(cs).map(computeStats(newFiles, _)).getOrElse(Map.empty),
+      partCols = layout,
       validate = latest => latest.lastOption.map(_.version) == baseVersion)
   }
 
@@ -452,10 +540,14 @@ class TxTable(val spark: SparkSession, val root: String) {
     val cs = commits()
     val files = snapshotFiles(cs).files
     if (files.isEmpty) return cs.lastOption.map(_.version).getOrElse(-1L)
-    val compacted = stageDataFiles(readSnapshot(cs).coalesce(target))
+    // partitioned tables compact WITHIN partitions (partitionBy re-splits
+    // the coalesced frame by directory, so `target` is per-partition)
+    val layout = snapshotFiles(cs).partCols
+    val compacted = stageDataFiles(readSnapshot(cs).coalesce(target), layout)
     commitLoop("compact", compacted, files, tsMillis,
       // same stats preservation as merge: compaction must not erase skipping
       stats = activeStatsCol(cs).map(computeStats(compacted, _)).getOrElse(Map.empty),
+      partCols = layout,
       validate = latest => files.forall(snapshotFiles(latest).files.contains))
   }
 
@@ -477,8 +569,11 @@ class TxTable(val spark: SparkSession, val root: String) {
     val referenced = (keepFrom until cs.size)
       .flatMap(i => snapshotFiles(cs.take(i + 1)).files).toSet
     val cutoff = System.currentTimeMillis() - minAgeMillis
-    listDir(dataDir)
-      .filter(p => !referenced.contains(p.getFileName.toString))
+    // walk recursively: partitioned layouts nest files under data/<col>=<v>/
+    val w = Files.walk(dataDir)
+    val all = try w.iterator().asScala.toSeq.filter(Files.isRegularFile(_)) finally w.close()
+    all
+      .filter(p => !referenced.contains(dataDir.relativize(p).toString))
       .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
       .foreach(Files.deleteIfExists(_))
   }

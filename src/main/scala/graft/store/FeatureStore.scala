@@ -32,7 +32,6 @@ class FeatureStore(val spark: SparkSession) {
 
   private var features: Map[String, Feature] = Map.empty
   private var groups: Map[String, FeatureGroup] = Map.empty
-  private var auditLog: Vector[AuditRecord] = Vector.empty
 
   /** EAV fact schema — FIXTURES.md A2 (typed value columns, choice (a) of
     * SURVEY.md §1.3), covering all 11 reference value types
@@ -77,10 +76,49 @@ class FeatureStore(val spark: SparkSession) {
 
   def registryFeatures: Seq[Feature] = features.values.toSeq
   def valuesDF: DataFrame = values
-  def audit: Seq[AuditRecord] = auditLog
+
+  // ---- audit as an append-only TABLE ------------------------------------
+  // The reference accumulates audit records in a Python list
+  // (feature_registry.py:587-594); the engine-level analogue (SURVEY.md
+  // §1.1) is an append-only audit table: records buffer briefly on the
+  // driver (a read API call logs O(features) records, not O(rows)) and
+  // flush into a distributed DataFrame, so a long-lived store never holds
+  // an unbounded driver Seq and the audit trail persists/travels with the
+  // other two tables through saveTx/loadTx.
+
+  private var pendingAudit: Vector[AuditRecord] = Vector.empty
+  private var auditTable: DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[AuditRecord].toDF()
+  }
+  private var auditFlushes = 0
+
+  private def flushAudit(): Unit = if (pendingAudit.nonEmpty) {
+    import spark.implicits._
+    auditTable = auditTable.unionByName(spark.createDataset(pendingAudit).toDF())
+    pendingAudit = Vector.empty
+    auditFlushes += 1
+    // same lineage discipline as `values`: the union chain grows per flush
+    if (auditFlushes % lineageCheckpointEvery == 0) auditTable = auditTable.localCheckpoint()
+  }
+
+  /** The audit trail as a distributed DataFrame (schema = AuditRecord). */
+  def auditDF: DataFrame = { flushAudit(); auditTable }
+
+  /** Reference-parity inspection API (collects — audit trails are small
+    * relative to the fact log; batch analytics should use [[auditDF]]). */
+  def audit: Seq[AuditRecord] = {
+    import spark.implicits._
+    auditDF.as[AuditRecord].collect().toSeq
+  }
 
   private[graft] def restoreFeature(f: Feature): Unit = features += f.feature_id -> f
   private[store] def restoreValues(df: DataFrame): Unit = values = df
+  private[store] def restoreAudit(df: DataFrame): Unit = {
+    import spark.implicits._
+    auditTable = df.as[AuditRecord].toDF()
+    pendingAudit = Vector.empty
+  }
 
   // ---- registry CRUD (B4) ----------------------------------------------
 
@@ -264,7 +302,7 @@ class FeatureStore(val spark: SparkSession) {
 
   private def logAccess(action: String, featureId: String, entityId: String, user: String,
       asOf: Option[Timestamp], now: Timestamp): Unit =
-    auditLog :+= AuditRecord(now, action, featureId, entityId, user, asOf)
+    pendingAudit :+= AuditRecord(now, action, featureId, entityId, user, asOf)
 
   /** get_feature_value — feature_registry.py:443-496: RBAC gate (deny ->
     * audit + None here, not an exception — the engine masks, D2), as-of
@@ -298,11 +336,21 @@ class FeatureStore(val spark: SparkSession) {
   }
 
   /** get_feature_vector — feature_registry.py:498-535 (EP3): as-of pivot to
-    * a wide vector with deny->null masking (D2) per feature. Distributed:
-    * one filter + one pivot aggregation, however many features.
+    * a wide vector with deny->null masking (D2) per feature, over a
+    * DISTRIBUTED spine of entity ids. This is the flagship read path and is
+    * collect-free by construction: the requested entities never visit the
+    * driver — they semi-join the fact log (so only requested entities'
+    * facts are aggregated) and left-anchor the pivot (so an entity with no
+    * qualifying facts, or with every feature denied, still yields a row of
+    * explicit nulls). At scale the spine is millions of ids; an `isin`
+    * IN-list or a collected LocalRelation would bottleneck the driver and
+    * bloat the plan, so neither appears here (asserted by PlanAuditSpec).
+    *
+    * @param entities one-column DataFrame of entity ids (first column is
+    *   taken as the id regardless of name)
     */
   def getFeatureVector(
-      entityIds: Seq[String],
+      entities: DataFrame,
       featureIds: Seq[String],
       asOf: Timestamp,
       userId: String,
@@ -310,27 +358,44 @@ class FeatureStore(val spark: SparkSession) {
       now: Timestamp): DataFrame = {
     val known = featureIds.filter(features.contains)
     val (allowed, denied) = known.partition(id => rbacCheck(features(id), userRoles))
-    denied.foreach(id => logAccess("access_denied", id, entityIds.mkString("|"), userId, Some(asOf), now))
-    allowed.foreach(id => logAccess("access", id, entityIds.mkString("|"), userId, Some(asOf), now))
+    // audit carries one record per feature; the entity set stays
+    // distributed, so the record points at the spine rather than
+    // enumerating ids (enumerating would force a collect)
+    denied.foreach(id => logAccess("access_denied", id, "<spine>", userId, Some(asOf), now))
+    allowed.foreach(id => logAccess("access", id, "<spine>", userId, Some(asOf), now))
 
+    val requested = entities.select(entities.columns.headOption.toSeq.map(col): _*)
+      .toDF("entity_id")
     val base = values
-      .where(col("entity_id").isin(entityIds: _*) && col("event_timestamp") <= lit(asOf))
+      .join(requested, Seq("entity_id"), "left_semi")
+      .where(col("event_timestamp") <= lit(asOf))
     val vec = PivotVector.toVector(
       base.where(col("feature_id").isin(allowed: _*)),
       entityCol = "entity_id", nameCol = "feature_id", valueCol = "value_double",
       tsCol = "event_timestamp", tieCol = "created_timestamp", names = allowed)
     // the reference returns one vector per REQUESTED entity
-    // (get_feature_vector, feature_registry.py:498-535) — an entity with no
-    // qualifying facts (or with every feature denied) still yields a row of
-    // nulls, so anchor the pivot on the requested ids with a left join
-    import spark.implicits._
-    val requested = entityIds.toDF("entity_id")
+    // (get_feature_vector, feature_registry.py:498-535)
     val anchored = requested.join(vec, Seq("entity_id"), "left")
     // denied/unknown features still appear as explicit null columns
     // (explicit-null contract, feature_server.py:521-527 + deny->null :526-528)
     (denied ++ featureIds.filterNot(known.contains))
       .foldLeft(anchored)((df, id) => df.withColumn(id, lit(null).cast("double")))
       .select((col("entity_id") +: featureIds.map(col)).toSeq: _*)
+  }
+
+  /** Seq-of-ids convenience form (the reference's exact call shape,
+    * feature_registry.py:498): delegates to the DataFrame-spine overload —
+    * the id list becomes a tiny local frame that broadcast-joins, so both
+    * forms share one plan shape and one audit/masking rule. */
+  def getFeatureVector(
+      entityIds: Seq[String],
+      featureIds: Seq[String],
+      asOf: Timestamp,
+      userId: String,
+      userRoles: Seq[String],
+      now: Timestamp): DataFrame = {
+    import spark.implicits._
+    getFeatureVector(entityIds.toDF("entity_id"), featureIds, asOf, userId, userRoles, now)
   }
 
   /** get_point_in_time_features — feature_server.py:355-408 (EP2, the
@@ -513,10 +578,9 @@ class FeatureStore(val spark: SparkSession) {
     * (facts date-partitioned via Lakehouse — SURVEY.md §4 partition choice).
     */
   def save(path: String): Unit = {
-    import spark.implicits._
     registryDS.write.mode("overwrite").parquet(s"$path/registry")
     graft.sources.Lakehouse.writeDatePartitioned(values, s"$path/feature_values", "event_timestamp")
-    spark.createDataset(auditLog).write.mode("overwrite").parquet(s"$path/audit_log")
+    auditDF.write.mode("overwrite").parquet(s"$path/audit_log")
   }
 
   /** Persistence on the transactional commit-log format
@@ -529,11 +593,10 @@ class FeatureStore(val spark: SparkSession) {
     * dimension.
     */
   def saveTx(path: String, tsMillis: Long): Unit = {
-    import spark.implicits._
     import graft.sources.TxTable
     TxTable(spark, s"$path/registry").overwrite(registryDS.toDF(), tsMillis)
     TxTable(spark, s"$path/feature_values").overwrite(values, tsMillis)
-    TxTable(spark, s"$path/audit_log").overwrite(spark.createDataset(auditLog).toDF(), tsMillis)
+    TxTable(spark, s"$path/audit_log").overwrite(auditDF, tsMillis)
   }
 
   /** Catalog-table persistence with the full 100 TB layout: date partitions
@@ -578,6 +641,7 @@ object FeatureStore {
     snap("registry").as[Feature].collect().foreach(fs.restoreFeature)
     fs.restoreValues(snap("feature_values")
       .select(fs.valuesSchema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*))
+    fs.restoreAudit(snap("audit_log")) // the audit trail travels with the store
     fs
   }
 

@@ -45,4 +45,47 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(st == Map("image" -> 1L, "audio" -> 1L, "video" -> 1L))
   }
+
+  test("WavCodec: writer/parser round-trip matches the derivation formulas") {
+    import Multimodal.WavCodec
+    for (id <- 0L to 7L; textLen <- Seq(0, 1, 2, 3, 63, 200)) {
+      val payload = Array.tabulate(textLen)(i => ((i * 31 + id) & 0xFF).toByte)
+      val bytes = WavCodec.wavBytes(id, payload)
+      val m = WavCodec.parse(bytes)
+      val channels = 1 + (id % 2).toInt
+      val rate = 8000 * (1 + (id % 3).toInt)
+      val blockAlign = channels * 2
+      val dataLen = (textLen / blockAlign) * blockAlign
+      assert(m.channels == channels && m.sample_rate == rate && m.bits_per_sample == 16)
+      assert(m.data_bytes == dataLen.toLong)
+      assert(m.n_frames == dataLen / blockAlign)
+      assert(m.duration_ms == m.n_frames * 1000L / rate)
+      assert(bytes.length == 44 + dataLen)
+    }
+  }
+
+  test("WavCodec.parse walks chunks (extra chunk before data) and rejects non-WAV") {
+    import Multimodal.WavCodec
+    val base = WavCodec.wavBytes(1L, Array.tabulate(64)(_.toByte))
+    // splice a LIST chunk of 6 bytes (word-aligned content) between fmt and data
+    val insertAt = 36 // end of canonical fmt chunk
+    val extra = "LIST".getBytes("US-ASCII") ++ Array[Byte](6, 0, 0, 0) ++ Array.fill[Byte](6)(7)
+    val spliced = base.take(insertAt) ++ extra ++ base.drop(insertAt)
+    val m = WavCodec.parse(spliced)
+    assert(m.sample_rate == 16000 && m.channels == 2 && m.n_frames == 16L)
+    intercept[IllegalArgumentException](WavCodec.parse("not a wav at all".getBytes))
+  }
+
+  test("writeWavFixture: executor-written files, binaryFile read-back, distributed decode") {
+    val wavDir = Multimodal.writeWavFixture(docs, "doc_id", "text", fixtureKey = "spec", modulo = 5)
+    val media = spark.read.format("binaryFile").load(wavDir)
+      .where($"path".endsWith(".wav"))
+      .select(regexp_extract($"path", "doc_(\\d+)\\.wav", 1).cast("long").as("media_id"), $"content")
+    val rows = Multimodal.decodeWav(media).collect().sortBy(_.media_id)
+    // modulo 5 keeps doc_id 0 and 5
+    assert(rows.map(_.media_id).toSeq == Seq(0L, 5L))
+    val d0 = rows.head // id 0: 1 channel, 8000 Hz, text is 35 bytes -> 34 data bytes
+    assert(d0.channels == 1L && d0.sample_rate == 8000L && d0.n_frames == 17L)
+    assert(d0.n_bytes == 44L + 34L)
+  }
 }

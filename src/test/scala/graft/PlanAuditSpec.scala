@@ -42,6 +42,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(keyedOnShingle, s"__s not an equi-join key in any join:\n$planStr")
   }
 
+  test("ep3_feature_vector is collect-free: entity spine anchors via join, not IN-list") {
+    // the flagship read (EP3) must not collect entity ids to the driver:
+    // no IN-list over entity ids in any filter, and the spine must come
+    // from a real scan (a LocalTableScan/LocalRelation of entity ids would
+    // mean a collect happened upstream)
+    val df = SparkEntry.queries("ep3_feature_vector")(spark, "/root/testdata/sf0.001")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("entity_id IN ("),
+      s"IN-list over entities in ep3 plan:\n$optimized")
+    assert(!optimized.contains("LocalRelation [entity_id"),
+      s"collected entity spine (LocalRelation) in ep3 plan:\n$optimized")
+  }
+
   test("every query with an oracle is actually declared (and vice versa)") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet

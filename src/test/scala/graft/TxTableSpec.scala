@@ -238,4 +238,41 @@ class TxTableSpec extends SparkSpec {
     assert(t.read().count() == 2L)                       // live snapshot intact
     intercept[Exception](t.readVersion(0).count())        // pre-compact files gone
   }
+
+  test("date-partitioned layout: partition dirs, directory pruning before stats, merge keeps layout") {
+    val t = newTable()
+    def rows(day: Long, ks: Long*) =
+      ks.map(k => (k, "a", k.toDouble, day * 100 + k, day)).toDF("k", "f", "value", "ts", "day")
+    // version 0 declares the layout; later appends inherit it
+    t.append(rows(1L, 1L, 2L), tsMillis = 100L, partitionBy = Seq("day"))
+    t.append(rows(2L, 3L, 4L), tsMillis = 200L)
+    t.append(rows(3L, 5L, 6L), tsMillis = 300L)
+    assert(t.read().count() == 6L)
+    assert(t.read().inputFiles.nonEmpty && t.read().inputFiles.forall(_.contains("/day=")))
+
+    // exact-value partition pruning: only day=2's files are even LISTED
+    val pruned = t.readWherePartition("day", Seq("2"))
+    assert(pruned.inputFiles.nonEmpty && pruned.inputFiles.forall(_.contains("/day=2/")),
+      s"unpruned files: ${pruned.inputFiles.mkString(",")}")
+    assert(pruned.select("k").as[Long].collect().toSet == Set(3L, 4L))
+
+    // numeric range pruning through readWhere hits the partition dirs too
+    // (no per-file stats were recorded — the directory alone prunes)
+    val ranged = t.readWhere("day", 2.0, 3.0)
+    assert(ranged.inputFiles.forall(f => f.contains("/day=2/") || f.contains("/day=3/")))
+    assert(ranged.count() == 4L)
+
+    // copy-on-write merge rewrites stay inside the layout and win LWW
+    t.merge(Seq((3L, "a", 30.0, 1000L, 2L)).toDF("k", "f", "value", "ts", "day"),
+      keys = Seq("k", "f"), tsCol = "ts", tieCol = "ts", tsMillis = 400L)
+    assert(t.read().inputFiles.forall(_.contains("/day=")))
+    assert(t.read().where($"k" === 3L).select("value").as[Double].head() == 30.0)
+    assert(t.read().count() == 6L)
+    // partition values survive the rewrite (read back from the directory)
+    assert(t.read().where($"k" === 3L).select("day").as[Long].head() == 2L)
+
+    // a conflicting layout on append is an error, not silent corruption
+    intercept[IllegalArgumentException](
+      t.append(rows(4L, 9L), tsMillis = 500L, partitionBy = Seq("f")))
+  }
 }
