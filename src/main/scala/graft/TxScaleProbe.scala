@@ -62,6 +62,33 @@ object TxScaleProbe {
       f"prunedReadFiles=$prunedFiles%d skipRead=$skipSec%.1fs mergedRows=$merged999%d " +
       f"version=${t.version()}%d")
     assert(merged999 == perAppend / 20, "merge must have applied")
+
+    // ---- date-partitioned layout: directory pruning BEFORE file stats ----
+    // same row count, partitioned by a derived "day" column; a one-day read
+    // must list only that day's files (no stats needed at all)
+    val proot = java.nio.file.Files.createTempDirectory("graft_tx_probe_part").toString
+    val pt = graft.sources.TxTable(spark, proot)
+    val nDays = 16
+    t0 = System.nanoTime()
+    (0 until nAppends).foreach { i =>
+      val lo = i * perAppend
+      val df = spark.range(lo, lo + perAppend)
+        .select(col("id").as("k"), (col("id") % 97).cast("double").as("value"),
+          col("id").as("ts"), (col("id") % nDays).as("day"))
+      pt.append(df, tsMillis = 1000L + i, partitionBy = Seq("day"))
+    }
+    val partAppendSec = (System.nanoTime() - t0) / 1e9
+    val allFiles = pt.read().select(input_file_name()).distinct().count()
+    t0 = System.nanoTime()
+    val oneDay = pt.readWherePartition("day", Seq("3"))
+    val oneDayFiles = oneDay.select(input_file_name()).distinct().count()
+    val partReadSec = (System.nanoTime() - t0) / 1e9
+    val oneDayRows = oneDay.count()
+    println(f"[tx-probe] partitioned: files=$allFiles%d oneDayFiles=$oneDayFiles%d " +
+      f"(${100.0 * oneDayFiles / allFiles}%.0f%% listed) appendTotal=$partAppendSec%.1fs " +
+      f"oneDayRead=$partReadSec%.1fs oneDayRows=$oneDayRows%d")
+    assert(oneDayRows == nRows / nDays, "partition read must return exactly one day")
+    assert(oneDayFiles * nDays <= allFiles * 2, "pruning must list ~1/nDays of the files")
     spark.stop()
   }
 }
