@@ -250,7 +250,10 @@ object SparkEntry {
     * the whole commit-log write path (atomic commits + LWW merge + snapshot
     * read) end-to-end.
     */
-  private def b2UpsertTx(s: SparkSession, dir: String): DataFrame = {
+  private def b2UpsertTx(s: SparkSession, dir: String): DataFrame = withShufflePartitions(s, 8) {
+    // 8 shuffle partitions = 8 data files per commit at fixture scale —
+    // write-time file sizing (a production table targets ~128 MB files);
+    // 32 near-empty files per commit just taxes the merge's re-read
     import graft.sources.TxTable
     val ev = Tables.events(s, dir).select("user_id", "event_type", "value", "event_id", "ts")
     val base = Latest.latestAgg(
@@ -266,6 +269,32 @@ object SparkEntry {
     t.read()
       .select("user_id", "event_type", "value", "event_id", "ts")
       .orderBy("user_id", "event_type")
+  }
+
+  /** B5/§4 — the date-partitioned transactional fact table through the
+    * declared surface (SURVEY §4: "partition the fact table by date", now
+    * meeting the ACID path): events land in a day-partitioned TxTable (two
+    * appends; the second inherits the layout), a one-day read prunes to the
+    * day's partition DIRECTORY before any file stats, and the rows are
+    * oracle-checked against a plain range filter on the parquet source.
+    * The file-list assert makes a silent full scan fail loudly rather than
+    * pass as a correct-but-unpruned read.
+    */
+  private def b5TxPartitioned(s: SparkSession, dir: String): DataFrame = withShufflePartitions(s, 8) {
+    import graft.sources.TxTable
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    val t = TxTable(s, java.nio.file.Files.createTempDirectory("graft_tx_part").toString)
+    t.append(ev.where(col("event_id") % 2 === 0), tsMillis = 1000L, partitionBy = Seq("day"))
+    t.append(ev.where(col("event_id") % 2 === 1), tsMillis = 2000L)
+    val day = "2024-01-10"
+    val got = t.readWherePartition("day", Seq(day))
+    require(got.inputFiles.nonEmpty && got.inputFiles.forall(_.contains(s"day=$day")),
+      "partition pruning must restrict the listed files to the requested day")
+    got.where(col("day") === day) // exact row filter on top of the pruning
+      .select("event_id", "user_id", "event_type", "value", "ts")
+      .orderBy("event_id")
   }
 
   /** B5 — JSON-lines source: the corpus round-trips through JSONL (the
@@ -522,7 +551,7 @@ object SparkEntry {
     fs.getFeatureVector(Seq("e1"), ids.map(_._2), asOf, "svc_a", Seq("analyst"), now)
     fs.getFeatureVector(Seq("e1"), ids.map(_._2), asOf, "svc_b", Seq("phi_reader"), now)
     val path = java.nio.file.Files.createTempDirectory("graft_tx_audit").toString
-    fs.saveTx(path, tsMillis = 1000L)
+    withShufflePartitions(s, 8) { fs.saveTx(path, tsMillis = 1000L) }
     val loaded = FeatureStore.loadTx(s, path)
     loaded.auditDF
       .join(loaded.registryDS.toDF().select(col("feature_id"), col("name")), Seq("feature_id"))
@@ -1129,6 +1158,7 @@ object SparkEntry {
     "b2_upsert_snapshot" -> (b2UpsertSnapshot _),
     "b2_upsert_tx"       -> (b2UpsertTx _),
     "b5_jsonl_ingest"    -> (b5JsonlIngest _),
+    "b5_tx_partitioned"  -> (b5TxPartitioned _),
     "b4_orphan_check"    -> (b4OrphanCheck _),
     "c1_filter_project"  -> (c1FilterProject _),
     "c3_explicit_nulls"  -> (c3ExplicitNulls _),
@@ -1310,6 +1340,11 @@ object SparkEntry {
         |       count(DISTINCT text) AS n_distinct_texts,
         |       count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "b5_tx_partitioned" ->
+      """SELECT event_id, user_id, event_type, value, ts FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-11 00:00:00'
+        |ORDER BY event_id""".stripMargin,
     "b4_orphan_check" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)

@@ -116,14 +116,16 @@ object Dedup {
          // array_distinct makes each doc contribute a given shingle at most
          // ONE row, so occurrences == distinct docs (no countDistinct
          // needed; a doc repeating a shingle cannot inflate the count).
-         // Keep only sub-cap shingles; the semi-join keeps ex's own columns.
-         val exA = exAll.localCheckpoint()
-         val rare = exA
-           .groupBy(blockCols.map(col) :+ col("__s"): _*)
-           .agg(count(lit(1)).as("__df"))
+         // A count window over (block, shingle) tags each index row with its
+         // df in the SAME shuffle that groups it — one pass, one
+         // materialization, where the groupBy + semi-join formulation
+         // materialized the index twice and paid a second join.
+         val w = org.apache.spark.sql.expressions.Window
+           .partitionBy(blockCols.map(col) :+ col("__s"): _*)
+         exAll
+           .withColumn("__df", count(lit(1)).over(w))
            .where(col("__df") <= maxShingleDf)
            .drop("__df")
-         exA.join(rare, blockCols :+ "__s", "left_semi")
        }).localCheckpoint()
     val ex = exm
     val counts = ex.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
