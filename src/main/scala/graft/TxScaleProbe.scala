@@ -87,7 +87,11 @@ object TxScaleProbe {
     println(f"[tx-probe] partitioned: files=$allFiles%d oneDayFiles=$oneDayFiles%d " +
       f"(${100.0 * oneDayFiles / allFiles}%.0f%% listed) appendTotal=$partAppendSec%.1fs " +
       f"oneDayRead=$partReadSec%.1fs oneDayRows=$oneDayRows%d")
-    assert(oneDayRows == nRows / nDays, "partition read must return exactly one day")
+    // staged ids are [0, nAppends*perAppend) — floor math, NOT nRows, so
+    // arg combos where nAppends doesn't divide nRows still assert correctly
+    val staged = nAppends.toLong * perAppend
+    val expectedDay3 = staged / nDays + (if (staged % nDays > 3) 1L else 0L)
+    assert(oneDayRows == expectedDay3, "partition read must return exactly one day")
     assert(oneDayFiles * nDays <= allFiles * 2, "pruning must list ~1/nDays of the files")
     spark.stop()
   }

@@ -226,7 +226,12 @@ object Multimodal {
           case "data" => dataLen = len
           case _ => ()
         }
-        off += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+        val advance = 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+        // a corrupt u32 length can make the advance zero or negative
+        // (len.toInt wraps) — that would spin this executor task forever;
+        // malformed input must throw, never hang
+        require(advance > 0 && len <= bytes.length, s"malformed chunk length $len at offset $off")
+        off += advance
       }
       require(rate > 0 && dataLen >= 0, "missing fmt/data chunk")
       val blockAlign = channels * bits / 8

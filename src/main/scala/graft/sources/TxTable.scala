@@ -357,10 +357,15 @@ class TxTable(val spark: SparkSession, val root: String) {
     */
   def append(df: DataFrame, tsMillis: Long = System.currentTimeMillis(),
       statsCol: Option[String] = None, partitionBy: Seq[String] = Seq.empty): Long = {
-    val declared = snapshotFiles(commits()).partCols
-    require(declared.isEmpty || partitionBy.isEmpty || declared == partitionBy,
-      s"table $root is partitioned by ${declared.mkString(",")}; cannot append with ${partitionBy.mkString(",")}")
-    val layout = if (declared.nonEmpty) declared else partitionBy
+    // checkpoint-aware layout lookup (no full log replay), and the layout
+    // is BINDING once any commit exists — a FLAT table must reject a
+    // partitioned append, or the mixed-depth file set would make every
+    // later read fail partition discovery after the commit already landed
+    val hasCommits = commitFiles().nonEmpty
+    val declared = if (hasCommits) stateForVersion(Long.MaxValue).partCols else Seq.empty
+    require(!hasCommits || partitionBy.isEmpty || declared == partitionBy,
+      s"table $root has layout [${declared.mkString(",")}]; cannot append with [${partitionBy.mkString(",")}]")
+    val layout = if (hasCommits) declared else partitionBy
     val files = stageDataFiles(df, layout)
     commitLoop("append", files, Seq.empty, tsMillis, Some(df.schema.toDDL),
       stats = statsCol.map(computeStats(files, _)).getOrElse(Map.empty),

@@ -655,6 +655,9 @@ object FeatureStore {
     fs.restoreValues(
       spark.read.parquet(s"$path/feature_values")
         .select(fs.valuesSchema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*))
+    // same rule as loadTx: the audit trail travels with the store — without
+    // this, a load-then-save cycle would overwrite audit_log with nothing
+    fs.restoreAudit(spark.read.parquet(s"$path/audit_log"))
     fs
   }
 }

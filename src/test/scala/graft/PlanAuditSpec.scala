@@ -48,9 +48,21 @@ class PlanAuditSpec extends SparkSpec {
     // from a real scan (a LocalTableScan/LocalRelation of entity ids would
     // mean a collect happened upstream)
     val df = SparkEntry.queries("ep3_feature_vector")(spark, "/root/testdata/sf0.001")
-    val optimized = df.queryExecution.optimizedPlan.toString
-    assert(!optimized.contains("entity_id IN ("),
-      s"IN-list over entities in ep3 plan:\n$optimized")
+    val plan = df.queryExecution.optimizedPlan
+    val optimized = plan.toString
+    // attributes render with expression ids ("entity_id#12 IN ..."), so a
+    // plain substring can never match — walk the tree for In/InSet over an
+    // entity_id attribute instead (feature_id IN-lists are fine: bounded
+    // by the registry, not by the data)
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, In, InSet}
+    def onEntity(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      e.references.exists(_.name == "entity_id")
+    val inLists = plan.flatMap(_.expressions.flatMap(_.collect {
+      case i: In if onEntity(i.value) => i
+      case i: InSet if onEntity(i.child) => i
+    }))
+    assert(inLists.isEmpty,
+      s"IN-list over entities in ep3 plan: ${inLists.mkString("; ")}\n$optimized")
     assert(!optimized.contains("LocalRelation [entity_id"),
       s"collected entity spine (LocalRelation) in ep3 plan:\n$optimized")
   }

@@ -274,5 +274,14 @@ class TxTableSpec extends SparkSpec {
     // a conflicting layout on append is an error, not silent corruption
     intercept[IllegalArgumentException](
       t.append(rows(4L, 9L), tsMillis = 500L, partitionBy = Seq("f")))
+
+    // and so is a partitioned append onto an existing FLAT table — the
+    // mixed-depth file set would break partition discovery on every later
+    // read, AFTER the commit already landed (layout is binding from v0)
+    val flat = newTable()
+    flat.append(rows(1L, 1L).drop("day"), tsMillis = 100L)
+    intercept[IllegalArgumentException](
+      flat.append(rows(2L, 2L), tsMillis = 200L, partitionBy = Seq("day")))
+    assert(flat.read().count() == 1L) // table still readable, nothing landed
   }
 }
