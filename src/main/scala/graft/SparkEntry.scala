@@ -609,6 +609,30 @@ object SparkEntry {
           maxShingleDf = 50).localCheckpoint())
       .orderBy("doc_id")
 
+  /** G1 — benchmark decontamination: docs sharing a verbatim 8-gram with
+    * the held-out benchmark slice (doc_id % 50 == 0 plays the eval set),
+    * with overlap strength. The benchmark gram set broadcasts; the corpus
+    * side is a map-only gram scan — the containment check costs zero
+    * corpus shuffles (the per-doc count aggregates only MATCHED rows).
+    */
+  private def g1Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Contamination
+      .contaminationReport(
+        docs.where(col("doc_id") % 50 =!= 0), docs.where(col("doc_id") % 50 === 0),
+        idCol = "doc_id", textCol = "text", n = 8)
+      .orderBy("doc_id")
+  }
+
+  /** G3 — within-doc repetition (Gopher-style quality rule): per doc, the
+    * fraction of 3-gram positions repeating an earlier gram in the same
+    * doc. Full per-doc oracle — every row of the corpus is checked.
+    */
+  private def g3Repetition(s: SparkSession, dir: String): DataFrame =
+    Contamination
+      .repetitionReport(Tables.documents(s, dir), idCol = "doc_id", textCol = "text", n = 3)
+      .orderBy("doc_id")
+
   /** G1 — MinHash-LSH candidates, exact-verified (rows-only check: banding
     * recall at s=0.3 with b=24,r=2 is ~0.90, so no exact SQL oracle).
     */
@@ -1184,6 +1208,8 @@ object SparkEntry {
     "d1_rbac_roles"      -> (d1RbacRoles _),
     "g1_dedup_exact"     -> (g1DedupExact _),
     "g1_jaccard_pairs"   -> (g1JaccardPairs _),
+    "g1_decontaminate"   -> (g1Decontaminate _),
+    "g3_repetition"      -> (g3Repetition _),
     "g1_dedup_resolve"   -> (g1DedupResolve _),
     "g1_minhash_pairs"   -> (g1MinhashPairs _),
     "g1_simhash"         -> (g1Simhash _),
@@ -1491,6 +1517,26 @@ object SparkEntry {
         |  AND len(list_intersect(a.sh, b.sh))::DOUBLE /
         |      len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+    "g1_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+        |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+        |SELECT doc_id, count(DISTINCT g) AS n_shared
+        |FROM grams JOIN bench USING (g)
+        |WHERE doc_id % 50 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "g3_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3)
+        |SELECT doc_id, count(*) AS n_grams, count(DISTINCT g) AS n_distinct,
+        |       round(1.0 - count(DISTINCT g)::DOUBLE / count(*) + 1e-9, 6) AS rep_ratio
+        |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "g2_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
         |p AS (

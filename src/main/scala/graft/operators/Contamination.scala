@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training corpora (SURVEY.md §2 G1/G3
+  * family): flag or drop corpus documents sharing a verbatim word n-gram
+  * with an evaluation/benchmark set — the standard leakage guard an LLM
+  * data pipeline runs before training (GPT-3 used 13-grams, PaLM 8-grams;
+  * the mechanism is identical, only `n` differs).
+  *
+  * 100 TB shape: the corpus side is map-only n-gram generation fused into
+  * the scan (split → transform/slice, all codegen'd builtins, no UDF); the
+  * benchmark side is tiny by nature (eval sets are thousands of docs, not
+  * billions), so its distinct gram set BROADCASTS and the containment
+  * check is a broadcast hash join — the corpus never shuffles to discover
+  * contamination. The only corpus-keyed shuffle is the final per-doc
+  * aggregate over MATCHED rows (post-filter, usually a vanishing fraction
+  * of the corpus). Flagging 100 TB costs one scan.
+  */
+object Contamination {
+
+  /** Word n-grams per row: one (id, gram) row per position. Tokenization
+    * is the engine-wide whitespace convention (TextAnalysis.tokens); the
+    * token array is hoisted into a projected column BEFORE the lambda so
+    * Catalyst doesn't re-split per position (no cross-lambda CSE).
+    * Rows with fewer than `n` tokens produce no grams (and `sequence` is
+    * never called with a descending range, which would silently generate
+    * backwards).
+    */
+  def ngrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be positive, got $n")
+    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__t"))
+      .where(size(col("__t")) >= n)
+      .select(col(idCol),
+        explode(expr(
+          s"transform(sequence(1, size(__t) - ${n - 1}), i -> array_join(slice(__t, i, $n), ' '))"
+        )).as("gram"))
+  }
+
+  /** Contaminated corpus docs with their overlap strength: (idCol,
+    * n_shared) where n_shared counts DISTINCT benchmark n-grams the doc
+    * contains. Join-then-distinct: the broadcast join filters to matched
+    * grams BEFORE the per-doc aggregate, so the shuffle only ever carries
+    * contaminated rows.
+    */
+  def contaminationReport(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val benchGrams = ngrams(bench, idCol, textCol, n).select(col("gram")).distinct()
+    ngrams(corpus, idCol, textCol, n)
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gram")).as("n_shared"))
+  }
+
+  /** The decontaminated corpus: input rows minus any doc sharing at least
+    * one n-gram with the benchmark (anti-join on the flagged id set). */
+  def decontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame =
+    corpus.join(
+      contaminationReport(corpus, bench, idCol, textCol, n).select(col(idCol)),
+      Seq(idCol), "left_anti")
+
+  /** Within-doc repetition (the Gopher-style quality rule): per doc, the
+    * fraction of word n-gram POSITIONS whose gram already occurred in the
+    * same doc — boilerplate and looping generations score high. Map-only
+    * gram generation + one groupBy(doc) shuffle; rep_ratio rounds at 6 dp
+    * (+1e-9 for cross-engine tie stability, the repo-wide convention).
+    * Docs with fewer than `n` tokens emit no row (no grams to measure).
+    */
+  def repetitionReport(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    ngrams(docs, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), countDistinct(col("gram")).as("n_distinct"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams") + lit(1e-9), 6))
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Contamination
+
+class ContaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // benchmark doc 100's opening 8 tokens appear verbatim inside corpus doc 1
+  private val bench = Seq(
+    (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (101L, "one two three four five six seven eight nine ten")
+  ).toDF("doc_id", "text")
+
+  private val corpus = Seq(
+    (1L, "prefix words then alpha beta gamma delta epsilon zeta eta theta and a tail"),
+    (2L, "entirely clean document with no benchmark overlap at all in any window"),
+    (3L, "short doc") // fewer than 8 tokens: produces no grams, never flagged
+  ).toDF("doc_id", "text")
+
+  test("ngrams emits size-n windows in order, none below n tokens") {
+    val g = Contamination.ngrams(Seq((1L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .select("gram").as[String].collect()
+    assert(g.toSeq == Seq("a b c", "b c d"))
+    assert(Contamination.ngrams(Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text", 3).isEmpty)
+  }
+
+  test("contaminationReport flags exactly the doc containing a verbatim benchmark 8-gram") {
+    val r = Contamination.contaminationReport(corpus, bench, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r.keySet == Set(1L)) // doc 1 contaminated; 2 clean, 3 too short
+    assert(r(1L) == 1L) // exactly one distinct shared 8-gram
+  }
+
+  test("decontaminate drops flagged docs and keeps the rest intact") {
+    val kept = Contamination.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("repetitionReport: distinct-gram doc scores 0, repeated text scores high") {
+    val docs = Seq(
+      (1L, "a b c d e f"),                   // all 3-grams distinct -> 0.0
+      (2L, "x y z x y z x y z x y z")        // heavy repetition
+    ).toDF("doc_id", "text")
+    val r = Contamination.repetitionReport(docs, "doc_id", "text", n = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L)._3 == 0.0)
+    val (n2, d2, ratio2) = r(2L)
+    assert(n2 == 10 && d2 == 3) // 12 tokens -> 10 positions, 3 distinct grams
+    assert(ratio2 == 0.7)
+  }
+
+  test("contamination check never shuffles the corpus grams: bench side broadcasts") {
+    val plan = Contamination.contaminationReport(corpus, bench, "doc_id", "text", 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast containment join:\n$plan")
+  }
+}
