@@ -860,6 +860,18 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "split")
 
+  /** H — domain-mixture assembly: keep a target percentage of each source
+    * ("80% src0, 50% src1, 25% src2, 10% src3, drop the rest"), decided by
+    * the same deterministic multiplicative id hash as h5_split — map-only,
+    * no shuffle, replayable by the oracle. The way a training corpus's
+    * domain weights are actually applied at 100 TB.
+    */
+  private def h6DomainMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.domainMix(Tables.documents(s, dir), sourceCol = "source", idCol = "doc_id",
+        pctBySource = Map("src0" -> 80, "src1" -> 50, "src2" -> 25, "src3" -> 10))
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
   /** G3 — stratified corpus assembly: top-3 documents per language by
     * quality score (one shuffle on the stratum key).
     */
@@ -1243,6 +1255,7 @@ object SparkEntry {
     "h4_lag_delta"       -> (h4LagDelta _),
     "g3_phi_scrub"       -> (g3PhiScrub _),
     "h5_split"           -> (h5SplitCounts _),
+    "h6_domain_mix"      -> (h6DomainMix _),
     "g3_stratified_topk" -> (g3StratifiedTopk _),
     "g3_vocab"           -> (g3Vocab _),
     "g3_vocab_approx"    -> (g3VocabApprox _),
@@ -1764,6 +1777,12 @@ object SparkEntry {
         |       ELSE 'test' END AS split,
         |  count(*) AS n
         |FROM b GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "h6_domain_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ((doc_id % 2147483648) * 2654435761 % 2147483648) // 21474837 <
+        |      CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50
+        |                  WHEN 'src2' THEN 25 WHEN 'src3' THEN 10 ELSE -1 END
+        |ORDER BY doc_id""".stripMargin,
     "g3_stratified_topk" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

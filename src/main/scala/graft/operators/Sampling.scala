@@ -38,6 +38,32 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** Domain-mixture sampling: assemble a training mix by keeping a target
+    * PERCENTAGE of each domain/source ("60% web, 30% code, 10% books"),
+    * decided per row by the same multiplicative id hash as [[withSplit]] —
+    * deterministic, partition-stable, replayable by the SQL oracle, and
+    * composable with it (the split hash uses the identical bucket, so a
+    * row's split assignment survives the mixture pass; use a different
+    * hash seed column if independence matters).
+    *
+    * Map-only at any scale: the weights broadcast as a literal CASE (a
+    * mixture spec is a handful of domains, never data-sized), each row is
+    * kept or dropped where it lives, and no shuffle occurs. Sources absent
+    * from `pctBySource` are dropped — the mixture is the explicit contract
+    * of what the corpus contains.
+    */
+  def domainMix(df: DataFrame, sourceCol: String, idCol: String,
+      pctBySource: Map[String, Int]): DataFrame = {
+    require(pctBySource.values.forall(p => p >= 0 && p <= 100),
+      s"per-source percentages must be 0..100: $pctBySource")
+    val bucket = expr(
+      s"pmod(pmod(cast($idCol as bigint), 2147483648) * 2654435761, 2147483648) div 21474837")
+    val pct = pctBySource.foldLeft(lit(-1)) { case (acc, (src, p)) =>
+      when(col(sourceCol) === src, lit(p)).otherwise(acc)
+    }
+    df.where(bucket < pct)
+  }
+
   /** Stratified top-k: the k best rows per stratum by a score column
     * (quality-filtered corpus assembly: "keep the best N documents per
     * language"). One shuffle on the stratum key; the window's rank is

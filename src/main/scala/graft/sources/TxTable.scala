@@ -274,7 +274,15 @@ class TxTable(val spark: SparkSession, val root: String) {
   private def stageDataFiles(df: DataFrame, partitionCols: Seq[String] = Seq.empty): Seq[String] = {
     Files.createDirectories(dataDir)
     val staging = Files.createTempDirectory(Paths.get(root), ".staging")
-    val writer = df.write.mode("overwrite")
+    // cluster rows by partition value before a partitioned write: without
+    // this every shuffle task writes a sliver into EVERY partition dir
+    // (tasks × partitions tiny files — the classic small-files trap);
+    // with it each partition value lands in exactly one task → one
+    // well-sized file per partition per commit. (A single hot partition
+    // bigger than one task should add a salt column to the layout.)
+    val clustered =
+      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*) else df
+    val writer = clustered.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(staging.toString)
     val w0 = Files.walk(staging)

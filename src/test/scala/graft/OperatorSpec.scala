@@ -124,6 +124,24 @@ class OperatorSpec extends SparkSpec {
     assert(Sampling.withSplit(big, "id").count() == 3L)
   }
 
+  test("domainMix keeps ~target percent per source, drops unlisted sources, stays split-consistent") {
+    import graft.operators.Sampling
+    val df = spark.range(0, 4000)
+      .selectExpr("id", "concat('s', id % 4) AS source") // 1000 ids per source
+    val mixed = Sampling.domainMix(df, "source", "id", Map("s0" -> 80, "s1" -> 25, "s2" -> 0))
+    val n = mixed.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!n.contains("s3") && !n.contains("s2")) // unlisted and 0% both empty
+    assert(n("s0") > 700 && n("s0") < 900, n.toString) // ~80% of 1000
+    assert(n("s1") > 180 && n("s1") < 320, n.toString) // ~25% of 1000
+    // mixture uses the SAME hash as the split: every surviving s0 row with
+    // bucket < 80 is exactly the train+val+test prefix withSplit carves up,
+    // so applying the mix never skews a later split's proportions
+    val survivors = Sampling.withSplit(mixed.where($"source" === "s0"), "id")
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(survivors.getOrElse("train", 0L) == n("s0")) // bucket<80 == train
+  }
+
   test("stratifiedTopK keeps exactly k best rows per stratum with deterministic ties") {
     import graft.operators.Sampling
     val df = Seq(
