@@ -110,6 +110,15 @@ class TxTable(val spark: SparkSession, val root: String) {
       .filter(p => CommitName.matches(p.getFileName.toString))
       .sortBy(_.getFileName.toString)
 
+  /** A commit's version IS its file name — reading it never needs a parse.
+    * Everything on the commit hot path (next version, conflict checks)
+    * resolves from names + the newest checkpoint, so a 10,000-commit table
+    * pays for its tail, not its history. */
+  private def nameVersion(p: Path): Long =
+    p.getFileName.toString.stripSuffix(".txt").toLong
+
+  private def latestVersion(): Option[Long] = commitFiles().lastOption.map(nameVersion)
+
   private def commits(): Seq[Commit] = commitFiles().map(parseCommit)
 
   // ---- log checkpoints --------------------------------------------------
@@ -135,10 +144,12 @@ class TxTable(val spark: SparkSession, val root: String) {
     s"stats=$f;${st.colName};${st.min};${st.max}"
 
   private def writeCheckpoint(v: Long): Unit = {
-    val upTo = commitFiles()
-      .filter(_.getFileName.toString.stripSuffix(".txt").toLong <= v).map(parseCommit)
-    val snap = snapshotFiles(upTo)
-    val lines = Seq(s"ts=${upTo.last.ts}", s"partcols=${snap.partCols.mkString(",")}") ++
+    // resolve through the PREVIOUS checkpoint + tail, not a full replay —
+    // checkpoint publication must not itself be the O(commits) operation
+    // checkpoints exist to remove
+    val snap = stateForVersion(v)
+    val ts = parseCommit(commitPath(v)).ts
+    val lines = Seq(s"ts=$ts", s"partcols=${snap.partCols.mkString(",")}") ++
       snap.ddl.map(d => s"schema=$d") ++
       snap.files.map(f => s"file=$f") ++
       snap.files.flatMap(f => snap.stats.get(f).map(statsLine(f, _)))
@@ -197,7 +208,7 @@ class TxTable(val spark: SparkSession, val root: String) {
     }
 
   /** Latest committed version, or -1 for a nonexistent table. */
-  def version(): Long = commits().lastOption.map(_.version).getOrElse(-1L)
+  def version(): Long = latestVersion().getOrElse(-1L)
 
   private def snapshotFiles(upTo: Seq[Commit]): Snapshot = {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -328,14 +339,17 @@ class TxTable(val spark: SparkSession, val root: String) {
       schemaEveryCommit: Boolean = false,
       stats: Map[String, FileStats] = Map.empty,
       partCols: Seq[String] = Seq.empty,
-      validate: Seq[Commit] => Boolean = _ => true): Long = {
+      validate: () => Boolean = () => true): Long = {
     var attempts = 0
     while (attempts < 100) {
-      val cs = commits()
-      if (!validate(cs))
+      // validate is a closure re-checking the CURRENT log (filenames or
+      // checkpoint-resolved state — never a full replay); a commit racing
+      // in between validate and tryCommit loses the link race and re-runs
+      // validation on the next attempt, so the check stays sound
+      if (!validate())
         throw new java.util.ConcurrentModificationException(
           s"conflicting commit on $root: read set changed")
-      val v = cs.lastOption.map(_.version + 1).getOrElse(0L)
+      val v = latestVersion().map(_ + 1).getOrElse(0L)
       val ddl = if (v == 0L || schemaEveryCommit) schemaDdl else None
       if (tryCommit(v, op, ddl, add, remove, tsMillis, stats, partCols)) {
         if (v > 0 && v % checkpointEvery == 0) writeCheckpoint(v)
@@ -395,11 +409,14 @@ class TxTable(val spark: SparkSession, val root: String) {
         else Some(fileNameOf(r.getString(0)) -> FileStats(c, r.getDouble(1), r.getDouble(2)))
       }.toMap
 
-  /** The column the table's existing skipping stats are recorded on (the
-    * most recent commit's choice wins) — maintenance rewrites re-record
-    * stats for it so compaction/merge don't erase the skipping index. */
-  private def activeStatsCol(cs: Seq[Commit]): Option[String] =
-    cs.flatMap(_.stats.values.map(_.colName)).lastOption
+  /** The column the table's existing skipping stats are recorded on —
+    * maintenance rewrites re-record stats for it so compaction/merge don't
+    * erase the skipping index. Resolved from the snapshot's live-file
+    * stats (checkpoint-aware, no log replay); tables record stats on one
+    * column by construction, and a mixed history picks the lexicographic
+    * minimum for determinism. */
+  private def activeStatsCol(snap: Snapshot): Option[String] =
+    snap.stats.values.map(_.colName).toSeq.distinct.sorted.headOption
 
   /** Data-skipping snapshot read: scan only live files whose recorded
     * [min, max] range for `colName` intersects [lo, hi]; files without
@@ -458,21 +475,20 @@ class TxTable(val spark: SparkSession, val root: String) {
     * promises Serializable for overwrite). */
   def overwrite(df: DataFrame, tsMillis: Long = System.currentTimeMillis(),
       statsCol: Option[String] = None, partitionBy: Seq[String] = Seq.empty): Long = {
-    val cs = commits()
-    val snap = snapshotFiles(cs)
+    val baseVersion = latestVersion()
+    val snap = stateForVersion(Long.MaxValue)
     // default: keep the table's layout (while its columns survive the
     // schema evolution); an explicit partitionBy re-partitions or flattens
     val layout =
       if (partitionBy.nonEmpty) partitionBy
       else snap.partCols.filter(df.columns.contains)
     val newFiles = stageDataFiles(df, layout)
-    val baseVersion = cs.lastOption.map(_.version)
     commitLoop("overwrite", newFiles, snap.files, tsMillis, Some(df.schema.toDDL),
       schemaEveryCommit = true, // overwrite may evolve the table schema
-      stats = statsCol.orElse(activeStatsCol(cs))
+      stats = statsCol.orElse(activeStatsCol(snap))
         .map(computeStats(newFiles, _)).getOrElse(Map.empty),
       partCols = layout,
-      validate = latest => latest.lastOption.map(_.version) == baseVersion)
+      validate = () => latestVersion() == baseVersion)
   }
 
   /** MERGE-style last-write-wins upsert (the reference's online-store write,
@@ -492,8 +508,10 @@ class TxTable(val spark: SparkSession, val root: String) {
     */
   def merge(updates: DataFrame, keys: Seq[String], tsCol: String, tieCol: String,
       tsMillis: Long = System.currentTimeMillis()): Long = {
-    val cs = commits()
-    val snap = readSnapshot(cs).withColumn("__file", input_file_name())
+    val baseVersion = latestVersion() // read BEFORE the state: a commit in
+    // between makes validate fail (spurious abort), never a silent anomaly
+    val state = stateForVersion(Long.MaxValue)
+    val snap = readState(state).withColumn("__file", input_file_name())
     val u = updates.cache()
 
     // file-granularity pruning: only files holding a matched key rewrite
@@ -504,9 +522,9 @@ class TxTable(val spark: SparkSession, val root: String) {
 
     val base = if (affected.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        readSnapshot(cs).schema)
+        readState(state).schema)
     else
-      spark.read.schema(readSnapshot(cs).schema)
+      spark.read.schema(readState(state).schema)
         .option("basePath", dataDir.toString) // partition dirs -> columns
         .parquet(affected.map(f => dataDir.resolve(f).toString): _*)
 
@@ -515,16 +533,15 @@ class TxTable(val spark: SparkSession, val root: String) {
       base, updates.select(base.columns.map(col).toIndexedSeq: _*), keys, tsCol, tieCol, payload)
 
     // rewrites keep the table's partition layout (as they keep its stats)
-    val layout = snapshotFiles(cs).partCols
+    val layout = state.partCols
     val newFiles = stageDataFiles(merged, layout)
     u.unpersist()
-    val baseVersion = cs.lastOption.map(_.version)
     commitLoop("merge", newFiles, affected, tsMillis,
       // rewritten files re-record stats on the table's active stats column,
       // so a merge doesn't punch stats-less holes in the skipping index
-      stats = activeStatsCol(cs).map(computeStats(newFiles, _)).getOrElse(Map.empty),
+      stats = activeStatsCol(state).map(computeStats(newFiles, _)).getOrElse(Map.empty),
       partCols = layout,
-      validate = latest => latest.lastOption.map(_.version) == baseVersion)
+      validate = () => latestVersion() == baseVersion)
   }
 
   /** Retrying merge: recomputes and retries when a concurrent commit
@@ -550,18 +567,22 @@ class TxTable(val spark: SparkSession, val root: String) {
     * compaction read; if a competing commit removed any of them first, the
     * validate hook aborts instead of resurrecting deleted rows. */
   def compact(target: Int = 1, tsMillis: Long = System.currentTimeMillis()): Long = {
-    val cs = commits()
-    val files = snapshotFiles(cs).files
-    if (files.isEmpty) return cs.lastOption.map(_.version).getOrElse(-1L)
+    val state = stateForVersion(Long.MaxValue)
+    val files = state.files
+    if (files.isEmpty) return version()
     // partitioned tables compact WITHIN partitions (partitionBy re-splits
     // the coalesced frame by directory, so `target` is per-partition)
-    val layout = snapshotFiles(cs).partCols
-    val compacted = stageDataFiles(readSnapshot(cs).coalesce(target), layout)
+    val layout = state.partCols
+    val compacted = stageDataFiles(readState(state).coalesce(target), layout)
     commitLoop("compact", compacted, files, tsMillis,
       // same stats preservation as merge: compaction must not erase skipping
-      stats = activeStatsCol(cs).map(computeStats(compacted, _)).getOrElse(Map.empty),
+      stats = activeStatsCol(state).map(computeStats(compacted, _)).getOrElse(Map.empty),
       partCols = layout,
-      validate = latest => files.forall(snapshotFiles(latest).files.contains))
+      // re-resolved per attempt: every read file must still be live
+      validate = () => {
+        val live = stateForVersion(Long.MaxValue).files.toSet
+        files.forall(live.contains)
+      })
   }
 
   /** Remove data files not visible from any of the last `retainVersions`
