@@ -93,6 +93,25 @@ object TxScaleProbe {
     val expectedDay3 = staged / nDays + (if (staged % nDays > 3) 1L else 0L)
     assert(oneDayRows == expectedDay3, "partition read must return exactly one day")
     assert(oneDayFiles * nDays <= allFiles * 2, "pruning must list ~1/nDays of the files")
+
+    // ---- commit cost vs table age: the hot path must stay FLAT ----
+    // 60 tiny appends; with filename-derived versions + checkpoint-resolved
+    // state a late commit parses at most checkpointEvery tail commits, so
+    // the last-10 average must not grow with the log (a full-replay commit
+    // path degrades linearly — this is the regression this probe pins)
+    val aroot = java.nio.file.Files.createTempDirectory("graft_tx_probe_age").toString
+    val at = graft.sources.TxTable(spark, aroot)
+    val tiny = spark.range(0L, 100L).select(col("id").as("k"), col("id").cast("double").as("value"))
+    val times = (0 until 60).map { i =>
+      val s0 = System.nanoTime()
+      at.append(tiny, tsMillis = 1000L + i)
+      (System.nanoTime() - s0) / 1e9
+    }
+    val first10 = times.take(10).sum / 10
+    val last10 = times.takeRight(10).sum / 10
+    println(f"[tx-probe] commit-age: first10=$first10%.3fs/commit last10=$last10%.3fs/commit " +
+      f"(x${last10 / first10}%.2f at 60 commits)")
+    assert(last10 < first10 * 3 + 0.2, "append cost must stay flat as the log grows")
     spark.stop()
   }
 }
