@@ -708,11 +708,20 @@ object SparkEntry {
   // build parameters are part of the index identity: change one and the
   // key changes, so exists() can never serve an index built with old params
   private val annParams = (16, 2, 8, 16, 4) // nCentroids, refineIters, m, k, pqIters
-  // one signature scan per (session, dir) — three ANN queries per bench run
-  // must not each re-aggregate the corpus just to find the same directory
+  // one signature scan per (session, fixture state) — three ANN queries per
+  // bench run must not each re-aggregate the corpus just to find the same
+  // directory. The cache key carries a file-metadata freshness token
+  // (mtimes + sizes, no data scan), so a fixture regenerated mid-JVM under
+  // the same path misses the cache and re-derives the content signature —
+  // the staleness guard the on-disk key exists for stays effective.
   private val annDirCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def fixtureToken(dir: String): String = {
+    val f = new java.io.File(s"$dir/embeddings.parquet")
+    val leaves = if (f.isDirectory) f.listFiles().toSeq else Seq(f)
+    leaves.map(x => s"${x.getName}:${x.lastModified}:${x.length}").sorted.mkString("|")
+  }
   private def annIndexDir(s: SparkSession, dir: String): String =
-    annDirCache.computeIfAbsent(dir, _ => {
+    annDirCache.computeIfAbsent(s"$dir@${fixtureToken(dir)}", _ => {
       val emb = Tables.embeddings(s, dir)
       val sig = emb
         .agg(bit_xor(xxhash64(col("vec_id"), col("embedding"))), count(lit(1)))

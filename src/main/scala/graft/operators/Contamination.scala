@@ -30,7 +30,7 @@ object Contamination {
     */
   def ngrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n-gram size must be positive, got $n")
-    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__t"))
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
       .where(size(col("__t")) >= n)
       .select(col(idCol),
         explode(expr(

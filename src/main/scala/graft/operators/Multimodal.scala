@@ -228,9 +228,12 @@ object Multimodal {
         }
         val advance = 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
         // a corrupt u32 length can make the advance zero or negative
-        // (len.toInt wraps) — that would spin this executor task forever;
-        // malformed input must throw, never hang
-        require(advance > 0 && len <= bytes.length, s"malformed chunk length $len at offset $off")
+        // (len.toInt wraps) — that would spin this executor task forever —
+        // and a truncated file can declare a chunk longer than the bytes
+        // that remain, silently inflating data_bytes/frames/duration.
+        // Malformed input must throw, never hang or misreport.
+        require(advance > 0 && off + 8 + len <= bytes.length,
+          s"malformed chunk length $len at offset $off (${bytes.length} bytes)")
         off += advance
       }
       require(rate > 0 && dataLen >= 0, "missing fmt/data chunk")

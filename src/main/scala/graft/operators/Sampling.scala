@@ -29,9 +29,13 @@ object Sampling {
     * reduced mod 2^31 first so the product stays below 2^63 — no ANSI-mode
     * ARITHMETIC_OVERFLOW for 64-bit snowflake-style ids.
     */
+  /** The shared 0..99 bucket both [[withSplit]] and [[domainMix]] key on —
+    * one definition makes their documented consistency structural. */
+  private def hashBucket(idCol: String) = expr(
+    s"pmod(pmod(cast($idCol as bigint), 2147483648) * 2654435761, 2147483648) div 21474837")
+
   def withSplit(df: DataFrame, idCol: String, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val bucket = expr(
-      s"pmod(pmod(cast($idCol as bigint), 2147483648) * 2654435761, 2147483648) div 21474837")
+    val bucket = hashBucket(idCol)
     df.withColumn("split",
       when(bucket < trainPct, lit("train"))
         .when(bucket < trainPct + valPct, lit("val"))
@@ -56,12 +60,10 @@ object Sampling {
       pctBySource: Map[String, Int]): DataFrame = {
     require(pctBySource.values.forall(p => p >= 0 && p <= 100),
       s"per-source percentages must be 0..100: $pctBySource")
-    val bucket = expr(
-      s"pmod(pmod(cast($idCol as bigint), 2147483648) * 2654435761, 2147483648) div 21474837")
     val pct = pctBySource.foldLeft(lit(-1)) { case (acc, (src, p)) =>
       when(col(sourceCol) === src, lit(p)).otherwise(acc)
     }
-    df.where(bucket < pct)
+    df.where(hashBucket(idCol) < pct)
   }
 
   /** Stratified top-k: the k best rows per stratum by a score column

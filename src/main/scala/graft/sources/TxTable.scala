@@ -135,10 +135,13 @@ class TxTable(val spark: SparkSession, val root: String) {
   private def ckptPath(v: Long): Path = logDir.resolve(f"$v%020d.ckpt")
 
   /** Resolved table state: live files (commit order), current schema DDL,
-    * the per-file skipping stats of the LIVE files, and the table's
-    * partition columns (empty = flat layout). */
+    * the per-file skipping stats of the LIVE files, the table's partition
+    * columns (empty = flat layout), and the skipping-stats column — "last
+    * commit that recorded stats wins", carried through checkpoints so the
+    * choice survives stats-less rewrites without a history replay. */
   private case class Snapshot(files: Seq[String], ddl: Option[String],
-      stats: Map[String, FileStats], partCols: Seq[String])
+      stats: Map[String, FileStats], partCols: Seq[String],
+      statsCol: Option[String] = None)
 
   private def statsLine(f: String, st: FileStats): String =
     s"stats=$f;${st.colName};${st.min};${st.max}"
@@ -150,6 +153,7 @@ class TxTable(val spark: SparkSession, val root: String) {
     val snap = stateForVersion(v)
     val ts = parseCommit(commitPath(v)).ts
     val lines = Seq(s"ts=$ts", s"partcols=${snap.partCols.mkString(",")}") ++
+      snap.statsCol.map(c => s"statscol=$c") ++
       snap.ddl.map(d => s"schema=$d") ++
       snap.files.map(f => s"file=$f") ++
       snap.files.flatMap(f => snap.stats.get(f).map(statsLine(f, _)))
@@ -179,7 +183,8 @@ class TxTable(val spark: SparkSession, val root: String) {
                 .collect { case Array(f, c, mn, mx) => f -> FileStats(c, mn.toDouble, mx.toDouble) }
                 .toMap,
               kvs.collectFirst { case ("partcols", v) => v.split(',').toSeq.filter(_.nonEmpty) }
-                .getOrElse(Seq.empty)))
+                .getOrElse(Seq.empty),
+              kvs.collectFirst { case ("statscol", c) => c }))
         }.toOption
       }
 
@@ -201,7 +206,8 @@ class TxTable(val spark: SparkSession, val root: String) {
           // a post-checkpoint overwrite may carry an evolved schema: tail wins
           tail.flatMap(_.schemaDdl).lastOption.orElse(ckpt.ddl),
           (ckpt.stats ++ tail.flatMap(_.stats)).filter { case (f, _) => live.contains(f) },
-          tail.flatMap(_.partCols).lastOption.getOrElse(ckpt.partCols))
+          tail.flatMap(_.partCols).lastOption.getOrElse(ckpt.partCols),
+          tail.flatMap(_.stats.values.map(_.colName)).lastOption.orElse(ckpt.statsCol))
       case None =>
         snapshotFiles(commitFiles()
           .filter(_.getFileName.toString.stripSuffix(".txt").toLong <= bound).map(parseCommit))
@@ -220,7 +226,9 @@ class TxTable(val spark: SparkSession, val root: String) {
       upTo.flatMap(_.stats).toMap.filter { case (f, _) => live.contains(f) },
       // partition layout: the last commit that DECLARED a layout wins
       // (version 0 sets it; an overwrite may re-partition or flatten)
-      upTo.flatMap(_.partCols).lastOption.getOrElse(Seq.empty))
+      upTo.flatMap(_.partCols).lastOption.getOrElse(Seq.empty),
+      // skipping column: last commit that recorded stats wins
+      upTo.flatMap(_.stats.values.map(_.colName)).lastOption)
   }
 
   private def readSnapshot(upTo: Seq[Commit]): DataFrame =
@@ -342,14 +350,17 @@ class TxTable(val spark: SparkSession, val root: String) {
       validate: () => Boolean = () => true): Long = {
     var attempts = 0
     while (attempts < 100) {
-      // validate is a closure re-checking the CURRENT log (filenames or
-      // checkpoint-resolved state — never a full replay); a commit racing
-      // in between validate and tryCommit loses the link race and re-runs
-      // validation on the next attempt, so the check stays sound
+      // ORDER IS LOAD-BEARING: the version listing happens BEFORE validate.
+      // tryCommit(v) succeeding proves no commit landed after the listing
+      // that produced v; validate() re-lists afterwards, so its view is at
+      // least as new — any commit racing in between either fails validate
+      // here or collides in tryCommit and fails validate on the retry.
+      // (Version-after-validate would let a commit land in the gap and
+      // still win tryCommit at the bumped number — a lost update.)
+      val v = latestVersion().map(_ + 1).getOrElse(0L)
       if (!validate())
         throw new java.util.ConcurrentModificationException(
           s"conflicting commit on $root: read set changed")
-      val v = latestVersion().map(_ + 1).getOrElse(0L)
       val ddl = if (v == 0L || schemaEveryCommit) schemaDdl else None
       if (tryCommit(v, op, ddl, add, remove, tsMillis, stats, partCols)) {
         if (v > 0 && v % checkpointEvery == 0) writeCheckpoint(v)
@@ -360,7 +371,11 @@ class TxTable(val spark: SparkSession, val root: String) {
     throw new IllegalStateException(s"commit contention on $root after $attempts attempts")
   }
 
-  /** Blind append: safe under any concurrency (no read set).
+  /** Blind append: safe under row-level concurrency (no read set); the one
+    * thing it does validate per commit attempt is the partition LAYOUT —
+    * a racing writer changing it aborts this append with
+    * ConcurrentModificationException rather than committing mixed-depth
+    * files.
     *
     * @param statsCol record per-file min/max of this column in the commit
     *   (one scan of the freshly staged files) — the data-skipping index
@@ -391,7 +406,16 @@ class TxTable(val spark: SparkSession, val root: String) {
     val files = stageDataFiles(df, layout)
     commitLoop("append", files, Seq.empty, tsMillis, Some(df.schema.toDDL),
       stats = statsCol.map(computeStats(files, _)).getOrElse(Map.empty),
-      partCols = layout)
+      partCols = layout,
+      // the layout guard re-asserts per attempt: a racing writer changing
+      // the table's layout (first-append race, concurrent re-partitioning
+      // overwrite) must abort this append — its files are already staged
+      // in the OLD shape and would corrupt partition discovery if committed
+      validate = () => {
+        val cur =
+          if (commitFiles().nonEmpty) stateForVersion(Long.MaxValue).partCols else layout
+        cur == layout
+      })
   }
 
   private def computeStats(files: Seq[String], c: String): Map[String, FileStats] =
@@ -409,14 +433,12 @@ class TxTable(val spark: SparkSession, val root: String) {
         else Some(fileNameOf(r.getString(0)) -> FileStats(c, r.getDouble(1), r.getDouble(2)))
       }.toMap
 
-  /** The column the table's existing skipping stats are recorded on —
+  /** The column the table's existing skipping stats are recorded on (the
+    * most recent commit's choice wins, carried through checkpoints) —
     * maintenance rewrites re-record stats for it so compaction/merge don't
-    * erase the skipping index. Resolved from the snapshot's live-file
-    * stats (checkpoint-aware, no log replay); tables record stats on one
-    * column by construction, and a mixed history picks the lexicographic
-    * minimum for determinism. */
-  private def activeStatsCol(snap: Snapshot): Option[String] =
-    snap.stats.values.map(_.colName).toSeq.distinct.sorted.headOption
+    * erase the skipping index, and the choice survives even a rewrite
+    * whose own stats were dropped (the NaN guard). */
+  private def activeStatsCol(snap: Snapshot): Option[String] = snap.statsCol
 
   /** Data-skipping snapshot read: scan only live files whose recorded
     * [min, max] range for `colName` intersects [lo, hi]; files without
