@@ -633,6 +633,15 @@ object SparkEntry {
       .repetitionReport(Tables.documents(s, dir), idCol = "doc_id", textCol = "text", n = 3)
       .orderBy("doc_id")
 
+  /** G3 — cross-corpus boilerplate: 5-grams shared by >= 3 distinct docs
+    * (C4-style header/footer/license detection), with document frequency.
+    */
+  private def g3Boilerplate(s: SparkSession, dir: String): DataFrame =
+    Contamination
+      .boilerplate(Tables.documents(s, dir), idCol = "doc_id", textCol = "text",
+        n = 5, minDocs = 3L)
+      .orderBy(col("n_docs").desc, col("gram"))
+
   /** G1 — MinHash-LSH candidates, exact-verified (rows-only check: banding
     * recall at s=0.3 with b=24,r=2 is ~0.90, so no exact SQL oracle).
     */
@@ -1231,6 +1240,7 @@ object SparkEntry {
     "g1_jaccard_pairs"   -> (g1JaccardPairs _),
     "g1_decontaminate"   -> (g1Decontaminate _),
     "g3_repetition"      -> (g3Repetition _),
+    "g3_boilerplate"     -> (g3Boilerplate _),
     "g1_dedup_resolve"   -> (g1DedupResolve _),
     "g1_minhash_pairs"   -> (g1MinhashPairs _),
     "g1_simhash"         -> (g1Simhash _),
@@ -1550,6 +1560,15 @@ object SparkEntry {
         |FROM grams JOIN bench USING (g)
         |WHERE doc_id % 50 <> 0
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "g3_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+        |  FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)
+        |  WHERE len(t) >= 5)
+        |SELECT g AS gram, count(DISTINCT doc_id) AS n_docs
+        |FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 3
+        |ORDER BY n_docs DESC, gram""".stripMargin,
     "g3_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
         |grams AS (

@@ -61,6 +61,21 @@ object Contamination {
       contaminationReport(corpus, bench, idCol, textCol, n).select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Cross-corpus boilerplate (the C4-style rule): word n-grams occurring
+    * in at least `minDocs` DISTINCT documents — headers, footers, license
+    * blocks, navigation chrome. One shuffle on the gram key (the same
+    * inverted-index shape as near-dup blocking, with map-side partial
+    * aggregation); the caller typically anti-joins the result against the
+    * corpus grams to scrub, or feeds it to the stop-shingle cap.
+    */
+  def boilerplate(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Long): DataFrame =
+    ngrams(docs, idCol, textCol, n)
+      .distinct() // one vote per (doc, gram): occurrences within a doc don't inflate df
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+
   /** Within-doc repetition (the Gopher-style quality rule): per doc, the
     * fraction of word n-gram POSITIONS whose gram already occurred in the
     * same doc — boilerplate and looping generations score high. Map-only

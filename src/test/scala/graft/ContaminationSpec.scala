@@ -38,6 +38,20 @@ class ContaminationSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  test("boilerplate finds grams shared across docs, one vote per doc, below-threshold excluded") {
+    val docs = Seq(
+      (1L, "copyright two thousand inc all rights reserved body one"),
+      (2L, "copyright two thousand inc all rights reserved body two"),
+      (3L, "copyright two thousand inc all rights reserved body three"),
+      (4L, "copyright two thousand inc all rights reserved copyright two thousand inc all rights reserved"), // repeats within doc: still ONE vote
+      (5L, "unique words only in this document nothing shared here")
+    ).toDF("doc_id", "text")
+    val r = Contamination.boilerplate(docs, "doc_id", "text", n = 7, minDocs = 4L)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("copyright two thousand inc all rights reserved") == 4L)
+    assert(r.values.forall(_ >= 4L)) // nothing below the threshold leaks through
+  }
+
   test("repetitionReport: distinct-gram doc scores 0, repeated text scores high") {
     val docs = Seq(
       (1L, "a b c d e f"),                   // all 3-grams distinct -> 0.0
