@@ -58,4 +58,52 @@ class IntegrationSpec extends SparkSpec {
     assert(row.isNullAt(2))  // purchase PHI-masked
     assert(fs.audit.exists(_.action == "access_denied"))
   }
+
+  test("training-corpus assembly pipeline end-to-end on sf0.001 documents") {
+    import graft.operators.{Contamination, Dedup, Sampling, TextAnalysis}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val n0 = docs.count()
+
+    // 1) quality gate (Gopher-style): drop heavily self-repeating docs
+    val rep = Contamination.repetitionReport(docs, "doc_id", "text", n = 3)
+    val clean = docs.join(
+      rep.where(col("rep_ratio") > 0.5).select("doc_id"), Seq("doc_id"), "left_anti")
+
+    // 2) benchmark decontamination: the held-out slice plays the eval set
+    val bench = clean.where(col("doc_id") % 50 === 0)
+    val corpus = clean.where(col("doc_id") % 50 =!= 0)
+    val decon = Contamination.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+
+    // 3) near-dup resolution: keep only cluster canonicals
+    val pairs = Dedup.jaccardPairs(
+      decon.withColumn("blk", lit(1)), "doc_id", "text", Seq("blk"), 3, 0.5).localCheckpoint()
+    val canon = Dedup.connectedComponents(pairs)
+    val deduped = decon.join(
+      canon.where(col("doc_id") =!= col("canonical_id")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
+    // 4) domain mixture + 5) split — both deterministic, so the pipeline
+    // is replayable end-to-end
+    val sources = deduped.select("source").distinct().as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().sorted.toSeq
+    val mix = Sampling.domainMix(deduped, "source", "doc_id",
+      sources.zipWithIndex.map { case (s, i) => s -> (if (i % 2 == 0) 100 else 50) }.toMap)
+    val out = Sampling.withSplit(mix, "doc_id")
+
+    val nOut = out.count()
+    assert(nOut > 0 && nOut < n0, s"pipeline must filter something: $nOut of $n0")
+    // every stage's contract holds on the survivors
+    assert(out.where(col("doc_id") % 50 === 0).isEmpty)        // no benchmark docs
+    assert(out.select("split").distinct().count() <= 3)        // valid splits only
+    // survivors share no 8-gram with the benchmark (the decontamination contract)
+    val leaked = Contamination.contaminationReport(out, bench, "doc_id", "text", 8)
+    assert(leaked.isEmpty, "decontaminated corpus must not share benchmark grams")
+    // determinism: the whole pipeline replays to the identical id set
+    val replay = Sampling.withSplit(
+      Sampling.domainMix(deduped, "source", "doc_id",
+        sources.zipWithIndex.map { case (s, i) => s -> (if (i % 2 == 0) 100 else 50) }.toMap),
+      "doc_id")
+    assert(replay.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
 }

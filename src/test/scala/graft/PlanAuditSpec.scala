@@ -67,6 +67,16 @@ class PlanAuditSpec extends SparkSpec {
       s"collected entity spine (LocalRelation) in ep3 plan:\n$optimized")
   }
 
+  test("domainMix is map-only: no Exchange anywhere in the physical plan") {
+    // the mixture decision is a pure per-row hash against a literal CASE —
+    // any Exchange here means the weights stopped broadcasting as literals
+    val plan = graft.operators.Sampling.domainMix(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"),
+      "source", "doc_id", Map("src0" -> 50, "src1" -> 25))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shuffle in domainMix:\n$plan")
+  }
+
   test("every query with an oracle is actually declared (and vice versa)") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
