@@ -28,15 +28,20 @@ object Contamination {
     * never called with a descending range, which would silently generate
     * backwards).
     */
-  def ngrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  /** The per-row gram array over the projected token column `__t` (one
+    * gram per position, in order). */
+  private def gramArray(n: Int) = expr(
+    s"transform(sequence(1, size(__t) - ${n - 1}), i -> array_join(slice(__t, i, $n), ' '))")
+
+  private def tokenized(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n-gram size must be positive, got $n")
     df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
       .where(size(col("__t")) >= n)
-      .select(col(idCol),
-        explode(expr(
-          s"transform(sequence(1, size(__t) - ${n - 1}), i -> array_join(slice(__t, i, $n), ' '))"
-        )).as("gram"))
   }
+
+  def ngrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    tokenized(df, idCol, textCol, n)
+      .select(col(idCol), explode(gramArray(n)).as("gram"))
 
   /** Contaminated corpus docs with their overlap strength: (idCol,
     * n_shared) where n_shared counts DISTINCT benchmark n-grams the doc
@@ -70,8 +75,12 @@ object Contamination {
     */
   def boilerplate(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minDocs: Long): DataFrame =
-    ngrams(docs, idCol, textCol, n)
-      .distinct() // one vote per (doc, gram): occurrences within a doc don't inflate df
+    tokenized(docs, idCol, textCol, n)
+      // one vote per doc MAP-SIDE: array_distinct before the explode, so
+      // within-doc repeats never inflate df AND never reach the shuffle —
+      // rows then count as documents directly (the same device as the
+      // shingle df-cap), keeping this at exactly one gram-keyed exchange
+      .select(explode(array_distinct(gramArray(n))).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= minDocs)

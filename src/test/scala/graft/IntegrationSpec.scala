@@ -60,7 +60,7 @@ class IntegrationSpec extends SparkSpec {
   }
 
   test("training-corpus assembly pipeline end-to-end on sf0.001 documents") {
-    import graft.operators.{Contamination, Dedup, Sampling, TextAnalysis}
+    import graft.operators.{Contamination, Dedup, Sampling}
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val n0 = docs.count()
 
