@@ -633,6 +633,16 @@ object SparkEntry {
       .repetitionReport(Tables.documents(s, dir), idCol = "doc_id", textCol = "text", n = 3)
       .orderBy("doc_id")
 
+  /** G3 — context-window chunking (sequence packing): 32-token windows
+    * every 24 tokens, ragged tail kept with its true length. Map-only —
+    * the corpus-to-training-examples step costs zero shuffles.
+    */
+  private def g3Chunk(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .chunkWindows(Tables.documents(s, dir), idCol = "doc_id", textCol = "text",
+        size = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx")
+
   /** G3 — cross-corpus boilerplate: 5-grams shared by >= 3 distinct docs
     * (C4-style header/footer/license detection), with document frequency.
     */
@@ -1241,6 +1251,7 @@ object SparkEntry {
     "g1_decontaminate"   -> (g1Decontaminate _),
     "g3_repetition"      -> (g3Repetition _),
     "g3_boilerplate"     -> (g3Boilerplate _),
+    "g3_chunk"           -> (g3Chunk _),
     "g1_dedup_resolve"   -> (g1DedupResolve _),
     "g1_minhash_pairs"   -> (g1MinhashPairs _),
     "g1_simhash"         -> (g1Simhash _),
@@ -1569,6 +1580,15 @@ object SparkEntry {
         |SELECT g AS gram, count(DISTINCT doc_id) AS n_docs
         |FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 3
         |ORDER BY n_docs DESC, gram""".stripMargin,
+    "g3_chunk" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |w AS (SELECT doc_id, t, (greatest(len(t) - 32, 0) + 23) // 24 AS nmax
+        |      FROM toks WHERE len(t) >= 1)
+        |SELECT doc_id, i AS chunk_idx,
+        |       len(t[1 + i*24 : i*24 + 32]) AS n_tokens,
+        |       array_to_string(t[1 + i*24 : i*24 + 32], ' ') AS chunk
+        |FROM w, unnest(generate_series(0, nmax)) AS u(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "g3_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
         |grams AS (

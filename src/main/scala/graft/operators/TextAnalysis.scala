@@ -113,4 +113,31 @@ object TextAnalysis {
       else patterns :+ denylist.mkString("\\b(", "|", ")\\b")
     withDeny.foldLeft(text)((c, p) => regexp_replace(c, p, replacement))
   }
+
+  /** Context-window chunking (sequence packing): split each document into
+    * `size`-token windows starting every `stride` tokens — the step that
+    * turns a cleaned corpus into training examples. Map-only (pure per-row
+    * arithmetic + posexplode, no shuffle, no UDF), deterministic, and the
+    * ragged tail window is KEPT with its true `n_tokens` so the caller
+    * chooses pad-vs-drop. `stride < size` gives overlapping windows;
+    * `stride == size` packs disjointly. Windows per doc =
+    * `1 + ceil(max(len - size, 0) / stride)` — a doc shorter than `size`
+    * yields exactly its one (short) window.
+    */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size >= 1 && stride >= 1, s"size/stride must be positive: $size/$stride")
+    docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .where(org.apache.spark.sql.functions.size(col("__t")) >= 1)
+      .select(col(idCol), posexplode(expr(
+        // sequence stop = ceil(max(len-size,0)/stride) via (x+stride-1) div stride;
+        // always >= 0, so the sequence is never descending
+        s"""transform(
+           |  sequence(0, (greatest(size(__t) - $size, 0) + ${stride - 1}) div $stride),
+           |  i -> slice(__t, 1 + i * $stride, $size))""".stripMargin)))
+      .select(col(idCol),
+        col("pos").cast("long").as("chunk_idx"),
+        org.apache.spark.sql.functions.size(col("col")).cast("long").as("n_tokens"),
+        array_join(col("col"), " ").as("chunk"))
+  }
 }

@@ -65,6 +65,25 @@ class ContaminationSpec extends SparkSpec {
     assert(ratio2 == 0.7)
   }
 
+  test("chunkWindows: stride windows, ragged tail kept, short doc = one window, map-only plan") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, (1 to 9).map(i => s"t$i").mkString(" ")), // 9 tokens
+      (2L, "a b c")                                  // shorter than size
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.chunkWindows(docs, "doc_id", "text", size = 4, stride = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2), x.getString(3))).toMap
+    // doc 1: ceil((9-4)/3)=2 -> starts 1,4,7; the last window is ragged (3)
+    assert(r((1L, 0L)) == (4L, "t1 t2 t3 t4"))
+    assert(r((1L, 1L)) == (4L, "t4 t5 t6 t7"))
+    assert(r((1L, 2L)) == (3L, "t7 t8 t9"))
+    assert(!r.contains((1L, 3L)))
+    assert(r((2L, 0L)) == (3L, "a b c") && !r.contains((2L, 1L)))
+    val plan = TextAnalysis.chunkWindows(docs, "doc_id", "text", 4, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
   test("contamination check never shuffles the corpus grams: bench side broadcasts") {
     val plan = Contamination.contaminationReport(corpus, bench, "doc_id", "text", 8)
       .queryExecution.executedPlan.toString
