@@ -33,6 +33,16 @@ object Bench {
       n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .withColumn("rn", row_number().over(w))
         .groupBy("r_name").agg(count(lit(1))).collect()
+      // ObjectHashAggregate + TypedImperativeAggregate warm-up: the
+      // MinHashSig update loop runs ~100M iterations at sf0.1; without
+      // this, the first measured query that uses it pays the whole
+      // interpreted-before-C2 penalty (profiled 10.2 s cold vs 2.1 s warm
+      // for identical work)
+      spark.range(50000L)
+        .selectExpr("id % 64 as k", "xxhash64(cast(id as string)) as h")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.graft.MinHashSig.minhashSig(col("h"), 48).as("sig"))
+        .selectExpr("bit_xor(sig[0])").collect() // bit_xor: ANSI-safe on huge longs
     }
     // deterministic name order: per-query numbers stay comparable across
     // rounds instead of depending on hash-map iteration order

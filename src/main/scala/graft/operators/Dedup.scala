@@ -198,16 +198,14 @@ object Dedup {
       .select("id_a", "id_b", "__na", "__nb")
       .dropDuplicates("id_a", "id_b")
 
-    // exact verification: restrict the shingle index to candidate ids FIRST
-    // (otherwise a frequent shingle joins quadratically across the whole
-    // corpus), then count shared shingles per candidate pair
-    val candIds = candidates.select(col("id_a").as("__id"))
-      .union(candidates.select(col("id_b").as("__id"))).distinct()
-    val exC = ex.join(candIds, Seq("__id"), "left_semi")
-    val common = exC.select(col("__id").as("id_a"), col("__s"))
-      .join(exC.select(col("__id").as("id_b"), col("__s")), "__s")
-      .where(col("id_a") < col("id_b"))
-      .join(candidates.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi")
+    // exact verification, anchored on the candidate PAIRS: attach a-side
+    // shingles by id_a, then equi-join the b-side on (id_b, shingle).
+    // Row count is bounded by sum over pairs of |shingles(a)| — unlike a
+    // shingle-keyed self-join of candidate docs, a shingle shared by m
+    // candidates can never fan out m^2 rows before the pair filter.
+    val common = candidates.select("id_a", "id_b")
+      .join(ex.select(col("__id").as("id_a"), col("__s")), Seq("id_a"))
+      .join(ex.select(col("__id").as("id_b"), col("__s")), Seq("id_b", "__s"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("__common"))
 
