@@ -1129,6 +1129,39 @@ object SparkEntry {
     t.read().select(cols.map(col): _*).orderBy("user_id", "event_type")
   }
 
+  /** G4 streaming #4 — on-ingest benchmark decontamination: the corpus
+    * half of `documents` replayed through MemoryStream in two micro-
+    * batches, flagged against the STATIC benchmark half by a stream-static
+    * broadcast left join + update-mode per-doc count (each doc's rows live
+    * in one micro-batch, so each doc emits exactly one update). Oracle:
+    * the same per-doc distinct 8-gram overlap recomputed in batch SQL.
+    * This is the production decontamination shape: flag documents as they
+    * arrive, not in a nightly sweep.
+    */
+  private def g4DecontamStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs  = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val bench = docs.where(col("doc_id") % 50 === 0)
+    val corpusRows = docs.where(col("doc_id") % 50 =!= 0)
+      .as[(Long, String)].collect()
+    val (evenBatch, oddBatch) = corpusRows.partition(_._1 % 2 == 0)
+    val ms = MemoryStream[(Long, String)]
+    s.catalog.dropTempView("g4_decontam_stream_out")
+    withShufflePartitions(s, 8) {
+      val q = operators.Contamination
+        .contaminationFlags(ms.toDF().toDF("doc_id", "text"), bench,
+          idCol = "doc_id", textCol = "text", n = 8)
+        .writeStream.format("memory").queryName("g4_decontam_stream_out")
+        .outputMode("update").start()
+      ms.addData(evenBatch.toSeq); q.processAllAvailable()
+      ms.addData(oddBatch.toSeq);  q.processAllAvailable()
+      q.stop()
+    }
+    s.table("g4_decontam_stream_out").orderBy("doc_id")
+  }
+
   /** G4 (batch form) — gap-based sessionization + session rollup. */
   private def g4Sessionize(s: SparkSession, dir: String): DataFrame =
     Sessionize
@@ -1245,6 +1278,7 @@ object SparkEntry {
     "b3_audit_append"    -> (b3AuditAppend _),
     "b3_audit_table"     -> (b3AuditTable _),
     "g4_tx_sink"         -> (g4TxSink _),
+    "g4_decontam_stream" -> (g4DecontamStream _),
     "d1_rbac_roles"      -> (d1RbacRoles _),
     "g1_dedup_exact"     -> (g1DedupExact _),
     "g1_jaccard_pairs"   -> (g1JaccardPairs _),
@@ -1571,6 +1605,22 @@ object SparkEntry {
         |FROM grams JOIN bench USING (g)
         |WHERE doc_id % 50 <> 0
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "g4_decontam_stream" ->
+      """WITH corpus AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+        |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+        |hits AS (
+        |  SELECT doc_id, count(DISTINCT g) AS n_shared
+        |  FROM grams JOIN bench USING (g)
+        |  WHERE doc_id % 50 <> 0 GROUP BY doc_id)
+        |SELECT c.doc_id, coalesce(h.n_shared, 0) AS n_shared,
+        |       CAST(h.n_shared IS NOT NULL AS INTEGER) AS contaminated
+        |FROM corpus c LEFT JOIN hits h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "g3_boilerplate" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
         |grams AS (

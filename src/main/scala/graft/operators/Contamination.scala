@@ -58,6 +58,38 @@ object Contamination {
       .agg(countDistinct(col("gram")).as("n_shared"))
   }
 
+  /** Contamination flags for EVERY corpus doc — the STREAMING-SAFE shape
+    * of [[contaminationReport]]: distinct grams per doc map-side
+    * (`array_distinct` before the explode, so rows already count distinct
+    * grams), a sentinel `explode_outer` row so docs shorter than `n`
+    * tokens — or with zero benchmark overlap — are KEPT with n_shared=0
+    * (a filter must pass clean docs through, not drop them), then a
+    * broadcast LEFT hash join against the benchmark gram set (the hash
+    * table builds ONCE per executor, each gram probes O(1) — never an
+    * array scan per row) and one count per doc. Applied to a `readStream`
+    * corpus this is a supported stream-static left join + update-mode
+    * aggregate whose state is one counter per doc in the batch — the
+    * on-ingest decontamination shape. Output: (idCol, n_shared,
+    * contaminated). A doc's rows must arrive within one micro-batch
+    * (documents are atomic rows upstream, so they do).
+    */
+  def contaminationFlags(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be positive, got $n")
+    val benchGrams = ngrams(bench, idCol, textCol, n)
+      .select(col("gram")).distinct().withColumn("__hit", lit(1))
+    corpus
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), explode_outer(
+        when(size(col("__t")) >= n, array_distinct(gramArray(n)))
+          .otherwise(expr("cast(array() as array<string>)"))).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__hit")).as("n_shared"))
+      .select(col(idCol), col("n_shared"),
+        (col("n_shared") > 0).cast("int").as("contaminated"))
+  }
+
   /** The decontaminated corpus: input rows minus any doc sharing at least
     * one n-gram with the benchmark (anti-join on the flagged id set). */
   def decontaminate(corpus: DataFrame, bench: DataFrame,

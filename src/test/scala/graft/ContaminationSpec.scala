@@ -84,6 +84,28 @@ class ContaminationSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
 
+  test("contaminationFlags: keeps clean and short docs at 0, matches report counts, streams") {
+    val batch = Contamination.contaminationFlags(corpus, bench, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(batch(1L) == (1L, 1)) // same count as contaminationReport
+    assert(batch(2L) == (0L, 0)) // clean doc KEPT (report drops it)
+    assert(batch(3L) == (0L, 0)) // short doc KEPT with zero grams
+    // the same operator applied to a stream produces the same rows
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = Contamination
+      .contaminationFlags(ms.toDF().toDF("doc_id", "text"), bench, "doc_id", "text", n = 8)
+      .writeStream.format("memory").queryName("flags_stream_spec")
+      .outputMode("update").start()
+    ms.addData(1L -> "prefix words then alpha beta gamma delta epsilon zeta eta theta and a tail")
+    ms.addData(3L -> "short doc")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("flags_stream_spec")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(streamed == Map(1L -> (1L, 1), 3L -> (0L, 0)))
+  }
+
   test("contamination check never shuffles the corpus grams: bench side broadcasts") {
     val plan = Contamination.contaminationReport(corpus, bench, "doc_id", "text", 8)
       .queryExecution.executedPlan.toString
