@@ -643,6 +643,17 @@ object SparkEntry {
         size = 32, stride = 24)
       .orderBy("doc_id", "chunk_idx")
 
+  /** G3 — concatenate-and-pack into 512-token training sequences (GPT-style
+    * packing: docs laid end-to-end in id order, split at window
+    * boundaries). Distributed prefix sum — one range shuffle + a
+    * partition-count-sized driver map, never a one-partition global window.
+    */
+  private def g3Pack(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .packSequences(Tables.documents(s, dir), idCol = "doc_id", textCol = "text",
+        capacity = 512)
+      .orderBy("chunk_id", "doc_id")
+
   /** G3 — cross-corpus boilerplate: 5-grams shared by >= 3 distinct docs
     * (C4-style header/footer/license detection), with document frequency.
     */
@@ -1286,6 +1297,7 @@ object SparkEntry {
     "g3_repetition"      -> (g3Repetition _),
     "g3_boilerplate"     -> (g3Boilerplate _),
     "g3_chunk"           -> (g3Chunk _),
+    "g3_pack"            -> (g3Pack _),
     "g1_dedup_resolve"   -> (g1DedupResolve _),
     "g1_minhash_pairs"   -> (g1MinhashPairs _),
     "g1_simhash"         -> (g1Simhash _),
@@ -1639,6 +1651,20 @@ object SparkEntry {
         |       array_to_string(t[1 + i*24 : i*24 + 32], ' ') AS chunk
         |FROM w, unnest(generate_series(0, nmax)) AS u(i)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "g3_pack" ->
+      """WITH toks AS (SELECT doc_id,
+        |         len(string_split_regex(trim(text), '\s+'))::BIGINT AS n
+        |       FROM documents),
+        |sp AS (SELECT doc_id, n,
+        |         coalesce(sum(n) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS strt
+        |       FROM toks WHERE n >= 1)
+        |SELECT c AS chunk_id, doc_id,
+        |       greatest(c * 512 - strt, 0)::BIGINT AS begin_tok,
+        |       least((c + 1) * 512 - strt, n)::BIGINT AS end_tok,
+        |       (least((c + 1) * 512 - strt, n) - greatest(c * 512 - strt, 0))::BIGINT AS n_tokens
+        |FROM sp, unnest(generate_series(strt // 512, (strt + n - 1) // 512)) AS u(c)
+        |ORDER BY chunk_id, doc_id""".stripMargin,
     "g3_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
         |grams AS (

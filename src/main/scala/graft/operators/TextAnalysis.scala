@@ -140,4 +140,84 @@ object TextAnalysis {
         org.apache.spark.sql.functions.size(col("col")).cast("long").as("n_tokens"),
         array_join(col("col"), " ").as("chunk"))
   }
+
+  /** Concatenate-and-pack: the pretraining step that turns a deduped corpus
+    * into fixed-`capacity` training sequences. Documents are laid end-to-end
+    * in `idCol` order into one global token stream, which is cut into
+    * consecutive windows of `capacity` tokens; a document belongs to every
+    * window its tokens fall into (documents crossing a boundary are split,
+    * GPT-style — contrast [[chunkWindows]], which windows each doc
+    * independently and leaves ragged tails). Output: one row per
+    * (window, doc) overlap — `(chunk_id, doc_id, begin_tok, end_tok,
+    * n_tokens)`, begin/end doc-relative (`[begin_tok, end_tok)` within the
+    * doc's own tokens), so `sum(n_tokens)` grouped by doc returns each
+    * doc's full length and every chunk except the global tail holds exactly
+    * `capacity` tokens.
+    *
+    * Scale shape — a DISTRIBUTED PREFIX SUM, not a one-partition window:
+    * one range shuffle puts docs in id order; per-partition token subtotals
+    * (one row per partition) come to the driver and return as a broadcast
+    * literal map of partition offsets; each doc's global start is its
+    * partition offset plus an intra-partition running sum (window keyed by
+    * the partition id, so every partition scans independently). No global
+    * single-task sort, no data rows on the driver — the two-pass scan a
+    * 1000-executor cumsum uses. The chunk fan-out after that is map-only
+    * arithmetic (`sequence` + `explode`).
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      capacity: Int, numPartitions: Int = 0): DataFrame = {
+    require(capacity >= 1, s"capacity must be positive, got $capacity")
+    val spark = docs.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val cap = lit(capacity.toLong)
+
+    // (id, token count) only — the packing never shuffles or pins the text
+    val counted = docs
+      .select(col(idCol), org.apache.spark.sql.functions.size(tokens(col(textCol)))
+        .cast("long").as("__n"))
+      .where(col("__n") >= 1)
+      .repartitionByRange(parts, col(idCol))
+      .sortWithinPartitions(idCol)
+      .withColumn("__pid", spark_partition_id())
+      // pin the partition assignment: the subtotal pass below and the
+      // window pass must see the SAME __pid per row (range partitioning
+      // samples bounds, so a recompute is not guaranteed identical)
+      .localCheckpoint()
+
+    // pass 1: per-partition subtotals -> exclusive offsets (driver holds
+    // `parts` longs, never data rows)
+    val subtotals = counted.groupBy("__pid").agg(sum("__n").as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      subtotals.keys.toSeq.sorted.map { pid =>
+        val off = acc; acc += subtotals(pid); pid -> off
+      }.toMap
+    }
+
+    // pass 2: global start = partition offset + intra-partition running sum
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(idCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val withStart = counted.withColumn("__start",
+      coalesce(sum(col("__n")).over(w), lit(0L)) +
+        element_at(typedlit(offsets), col("__pid")))
+
+    // map-only fan-out: every chunk index this doc's token span touches
+    withStart
+      .select(col(idCol), col("__n"), col("__start"),
+        // integer `div`, not floor(a/b): double division would round above
+        // 2^53 tokens, and the token stream is exactly where that matters
+        explode(sequence(
+          expr(s"__start div ${capacity}L"),
+          expr(s"(__start + __n - 1) div ${capacity}L"))).as("chunk_id"))
+      .select(
+        col("chunk_id"),
+        col(idCol),
+        greatest(col("chunk_id") * cap - col("__start"), lit(0L)).as("begin_tok"),
+        least((col("chunk_id") + lit(1L)) * cap - col("__start"), col("__n")).as("end_tok"))
+      .withColumn("n_tokens", col("end_tok") - col("begin_tok"))
+  }
 }

@@ -106,6 +106,41 @@ class ContaminationSpec extends SparkSpec {
     assert(streamed == Map(1L -> (1L, 1), 3L -> (0L, 0)))
   }
 
+  test("packSequences: boundary-splitting pack, exact spans, invariant under partitioning") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "a b c"),              // 3 tokens -> stream [0,3)
+      (2L, "d e f g"),            // 4 -> [3,7)
+      (3L, "h i j k l m n"),      // 7 -> [7,14)
+      (4L, "o")                   // 1 -> [14,15)
+    ).toDF("doc_id", "text")
+    val expected = Set(
+      (0L, 1L, 0L, 3L), (0L, 2L, 0L, 2L),   // chunk 0 = [0,5)
+      (1L, 2L, 2L, 4L), (1L, 3L, 0L, 3L),   // chunk 1 = [5,10)
+      (2L, 3L, 3L, 7L), (2L, 4L, 0L, 1L))   // chunk 2 = [10,15)
+    for (parts <- Seq(1, 3)) { // the distributed prefix sum must not depend on partition count
+      val r = TextAnalysis.packSequences(docs, "doc_id", "text", capacity = 5,
+        numPartitions = parts)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSet
+      assert(r == expected, s"parts=$parts")
+    }
+    // invariants at fixture scale: per-doc spans reassemble the doc; every
+    // chunk except the global tail is exactly `capacity` tokens
+    val corpus = (1L to 40L).map(i => (i, (1L to i).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = TextAnalysis.packSequences(corpus, "doc_id", "text", capacity = 64,
+      numPartitions = 4).cache()
+    val perDoc = packed.groupBy("doc_id").agg(sum("n_tokens").as("tot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 40L).forall(i => perDoc(i) == i))
+    val perChunk = packed.groupBy("chunk_id").agg(sum("n_tokens").as("tot"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val last = perChunk.keys.max
+    assert(perChunk.filterNot(_._1 == last).values.forall(_ == 64L))
+    assert(perChunk(last) <= 64L)
+    packed.unpersist()
+  }
+
   test("contamination check never shuffles the corpus grams: bench side broadcasts") {
     val plan = Contamination.contaminationReport(corpus, bench, "doc_id", "text", 8)
       .queryExecution.executedPlan.toString
