@@ -678,6 +678,55 @@ object SparkEntry {
   private def g1Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  /** Build-once persisted dedup index over the "already-ingested" corpus
+    * half (doc_id % 3 != 0), fixture-keyed like the ANN index: incremental
+    * queries probe it instead of re-bucketing the corpus per call.
+    */
+  private val dedupDirCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dedupIndexDir(s: SparkSession, dir: String): String =
+    dedupDirCache.computeIfAbsent(s"$dir@${fixtureToken(dir)}", _ => {
+      val corpus = Tables.documents(s, dir).where(col("doc_id") % 3 =!= 0)
+      val sig = corpus.agg(bit_xor(xxhash64(col("doc_id"), col("text"))), count(lit(1)))
+        .collect().head.toSeq.mkString("_")
+      val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_dedup_${java.lang.Integer.toHexString((dir + sig).hashCode)}").toString
+      if (!Dedup.dedupIndexExists(out))
+        Dedup.saveDedupIndex(corpus, "doc_id", "text", out,
+          shingleN = 3, bands = 16, rowsPerBand = 3)
+      out
+    })
+
+  /** G1 — incremental exact-Jaccard dedup: the incoming batch
+    * (doc_id % 3 == 0) against the already-ingested corpus, bipartite
+    * inverted-index join, df-capped. Correctness anchor for the
+    * index-probing minhash path; full DuckDB oracle.
+    */
+  private def g1IncrJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup
+      .incrementalJaccardPairs(
+        docs.where(col("doc_id") % 3 === 0), docs.where(col("doc_id") % 3 =!= 0),
+        idCol = "doc_id", textCol = "text",
+        shingleN = 3, threshold = 0.3, maxShingleDf = 50)
+      .orderBy("new_id", "corpus_id")
+  }
+
+  /** G1 — incremental MinHash dedup against the PERSISTED index: the
+    * incoming batch probes the saved bucket table; corpus text is touched
+    * only for candidate verification (semi-join prune). Rows-only:
+    * banding recall < 1 by design; IncrementalDedupSpec pins precision 1
+    * vs [[g1IncrJaccard]] and measures recall.
+    */
+  private def g1IncrMinhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup
+      .incrementalMinhashPairs(
+        docs.where(col("doc_id") % 3 === 0), docs.where(col("doc_id") % 3 =!= 0),
+        dedupIndexDir(s, dir), idCol = "doc_id", textCol = "text",
+        shingleN = 3, bands = 16, rowsPerBand = 3, threshold = 0.3)
+      .orderBy("new_id", "corpus_id")
+  }
+
   // ======================================================================
   // G2 — embedding similarity
   // ======================================================================
@@ -1301,6 +1350,8 @@ object SparkEntry {
     "g1_dedup_resolve"   -> (g1DedupResolve _),
     "g1_minhash_pairs"   -> (g1MinhashPairs _),
     "g1_simhash"         -> (g1Simhash _),
+    "g1_incr_jaccard"    -> (g1IncrJaccard _),
+    "g1_incr_minhash"    -> (g1IncrMinhash _),
     "g1_embedding_dups"  -> (g1EmbeddingDups _),
     "g1_embedding_dups_lsh" -> (g1EmbeddingDupsLsh _),
     "g1_embedding_resolve" -> (g1EmbeddingResolve _),
@@ -1586,6 +1637,28 @@ object SparkEntry {
         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
         |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "g1_incr_jaccard" ->
+      """WITH s0 AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+        |                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM s0),
+        |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
+        |cx AS (SELECT doc_id, s FROM ex JOIN keep USING (s)),
+        |n AS (SELECT doc_id, count(*) AS n FROM cx GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS c
+        |  FROM cx a JOIN cx b USING (s)
+        |  WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+        |  GROUP BY 1, 2)
+        |SELECT new_id, corpus_id,
+        |       round(c::DOUBLE / (na.n + nb.n - c)::DOUBLE + 1e-9, 4) AS jaccard
+        |FROM common
+        |JOIN n na ON na.doc_id = new_id
+        |JOIN n nb ON nb.doc_id = corpus_id
+        |WHERE c::DOUBLE / (na.n + nb.n - c)::DOUBLE >= 0.3
+        |ORDER BY new_id, corpus_id""".stripMargin,
     "g1_jaccard_pairs" ->
       """WITH s0 AS (
         |  SELECT doc_id, lang, n_chars // 100 AS len_bucket,

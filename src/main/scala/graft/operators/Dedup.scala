@@ -396,6 +396,157 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  // ---- incremental dedup: a new batch vs the already-ingested corpus -----
+  // The daily-crawl shape: a training corpus is deduped ONCE, then every
+  // incoming batch is checked against it. Cost must be O(batch + candidates),
+  // never O(corpus) — the corpus side lives in a persisted index
+  // ([[saveDedupIndex]]) and its text is only touched for verification,
+  // semi-join-pruned to candidate ids (point lookups at 100 TB).
+
+  /** Exploded distinct word-shingles: (__id, __s, __h). */
+  private def explodedShingles(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame =
+    docs.select(col(idCol).as("__id"), split(trim(col(textCol)), "\\s+").as("__w"))
+      .select(col("__id"), explode(wordShinglesFromWords(col("__w"), shingleN)).as("__s"))
+      .withColumn("__h", xxhash64(col("__s")))
+
+  /** MinHash signatures -> exploded LSH band buckets: (__id, __n, __bucket).
+    * Same one-pass signature aggregate + banding as [[minhashPairs]]. */
+  private def bandBuckets(ex: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = ex.groupBy(col("__id")).agg(
+      org.apache.spark.sql.graft.MinHashSig.minhashSig(col("__h"), bands * rowsPerBand).as("__sig"),
+      count(lit(1)).as("__n"))
+    val buckets = array((0 until bands).map { bIdx =>
+      xxhash64(lit(bIdx) +: (0 until rowsPerBand).map(r =>
+        element_at(col("__sig"), bIdx * rowsPerBand + r + 1)): _*)
+    }: _*)
+    sig.select(col("__id"), col("__n"), explode(buckets).as("__bucket"))
+  }
+
+  private def jaccardOf(common: Column, na: Column, nb: Column): Column =
+    common.cast("double") / (na + nb - common).cast("double")
+
+  /** Exact bipartite n-gram Jaccard: every (new doc, corpus doc) pair with
+    * jaccard >= threshold, via the same inverted-index count as
+    * [[jaccardPairs]] but across two frames — cost is the number of
+    * shared-shingle occurrences BETWEEN the sides (sum over shingles of
+    * df_new x df_corpus), never |new| x |corpus|. The correctness anchor
+    * for [[incrementalMinhashPairs]]; oracle-checkable.
+    *
+    * @param maxShingleDf stop-shingle cap on document frequency counted
+    *   over BOTH sides together (an ultra-common shingle carries no dup
+    *   signal but dominates the bipartite join fan-out).
+    */
+  def incrementalJaccardPairs(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.3,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    // localCheckpoint: each side feeds the df cap, its own count, and the
+    // bipartite join — same multi-consumer recompute guard as jaccardPairs
+    val exN = explodedShingles(newDocs, idCol, textCol, shingleN).localCheckpoint()
+    val exC = explodedShingles(corpus, idCol, textCol, shingleN).localCheckpoint()
+    val (cN, cC) =
+      if (maxShingleDf == Int.MaxValue) (exN, exC)
+      else {
+        // per-doc shingles are already distinct, so count(*) == df
+        val keep = exN.select("__s").unionAll(exC.select("__s"))
+          .groupBy("__s").agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= maxShingleDf).select("__s")
+        (exN.join(keep, "__s"), exC.join(keep, "__s"))
+      }
+    val nN = cN.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val nC = cC.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val common = cN.as("A").join(cC.as("B"), col("A.__s") === col("B.__s"))
+      .groupBy(col("A.__id").as("new_id"), col("B.__id").as("corpus_id"))
+      .agg(count(lit(1)).as("__common"))
+    common
+      .join(nN.select(col("__id").as("new_id"), col("__n").as("__na")), "new_id")
+      .join(nC.select(col("__id").as("corpus_id"), col("__n").as("__nb")), "corpus_id")
+      .withColumn("jaccard", jaccardOf(col("__common"), col("__na"), col("__nb")))
+      .where(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), epsRound(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Persist the corpus-side dedup index (one corpus scan, committed with a
+    * `_SUCCESS` marker):
+    *  - `buckets/` — (bucket, id, n_shingles): MinHash-LSH band buckets.
+    *    The incoming batch probes this with an equi-join; the corpus text
+    *    is NEVER rescanned for candidate generation.
+    *  - `exact/`   — (text_hash, canonical_id, n_docs): content-hash
+    *    groups for exact-dup rejection of incoming docs.
+    */
+  def saveDedupIndex(corpus: DataFrame, idCol: String, textCol: String, path: String,
+      shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 3): Unit = {
+    import java.nio.file.{Files, Paths}
+    bandBuckets(explodedShingles(corpus, idCol, textCol, shingleN), bands, rowsPerBand)
+      .select(col("__id").as("id"), col("__n").as("n_shingles"), col("__bucket").as("bucket"))
+      .write.mode("overwrite").parquet(s"$path/buckets")
+    exactGroups(corpus, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$path/exact")
+    Files.write(Paths.get(path, "_SUCCESS"), Array.empty[Byte])
+  }
+
+  def dedupIndexExists(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+
+  /** Incoming docs that exact-duplicate an already-ingested doc:
+    * (new_id, dup_of) via the persisted content-hash index — one
+    * hash-equi-join, no corpus scan. */
+  def incrementalExactDups(newDocs: DataFrame, idCol: String, textCol: String,
+      indexPath: String): DataFrame =
+    newDocs.select(col(idCol).as("new_id"), sha2(col(textCol), 256).as("text_hash"))
+      .join(newDocs.sparkSession.read.parquet(s"$indexPath/exact")
+        .select(col("text_hash"), col("canonical_id").as("dup_of")), "text_hash")
+      .select(col("new_id"), col("dup_of"))
+
+  /** Incremental MinHash-LSH near-dups: the incoming batch's band buckets
+    * probe the PERSISTED corpus bucket table (equi-join on the band hash);
+    * candidates are exact-verified against only the corpus docs they name
+    * (left-semi prune on candidate ids before the corpus text explodes).
+    * Returns (new_id, corpus_id, jaccard >= threshold) — precision 1.0,
+    * recall the banding curve, corpus scan cost zero.
+    */
+  def incrementalMinhashPairs(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      indexPath: String,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 3,
+      threshold: Double = 0.3): DataFrame = {
+    val spark = newDocs.sparkSession
+    val exN = explodedShingles(newDocs, idCol, textCol, shingleN).localCheckpoint()
+    val idx = spark.read.parquet(s"$indexPath/buckets")
+    val candidates = bandBuckets(exN, bands, rowsPerBand)
+      .select(col("__bucket").as("bucket"), col("__id").as("new_id"), col("__n").as("__na"))
+      .join(idx.select(col("bucket"), col("id").as("corpus_id"), col("n_shingles").as("__nb")),
+        Seq("bucket"))
+      .select("new_id", "corpus_id", "__na", "__nb")
+      .dropDuplicates("new_id", "corpus_id")
+      .localCheckpoint() // feeds the id prune AND the verify join
+    // verification touches only named corpus docs — at 100 TB this is a
+    // point-lookup fetch, not a scan (candidate ids << corpus)
+    val candIds = candidates.select(col("corpus_id").as(idCol)).distinct()
+    val exC = explodedShingles(corpus.join(candIds, Seq(idCol), "left_semi"),
+      idCol, textCol, shingleN)
+    val common = candidates.select("new_id", "corpus_id")
+      .join(exN.select(col("__id").as("new_id"), col("__s")), Seq("new_id"))
+      .join(exC.select(col("__id").as("corpus_id"), col("__s")), Seq("corpus_id", "__s"))
+      .groupBy("new_id", "corpus_id")
+      .agg(count(lit(1)).as("__common"))
+    candidates
+      .join(common, Seq("new_id", "corpus_id"))
+      .withColumn("jaccard", jaccardOf(col("__common"), col("__na"), col("__nb")))
+      .where(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), epsRound(col("jaccard"), 4).as("jaccard"))
+  }
 }
 
 /** Primitive open-addressing long->long hash map (linear probing, power-of-2

@@ -39,6 +39,36 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(4L) })
   }
 
+  test("incremental dedup: batch vs persisted index matches the exact bipartite anchor") {
+    val corpus = docs.where(col("doc_id") =!= 2L && col("doc_id") =!= 3L) // 1, 4, 5 ingested
+    val batch  = docs.where(col("doc_id") === 2L || col("doc_id") === 3L) // 2, 3 arrive
+    // exact bipartite anchor: 2 exact-dups 1, 3 near-dups 1; nothing hits 4/5
+    val exact = Dedup.incrementalJaccardPairs(batch, corpus, "doc_id", "text",
+      shingleN = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact((2L, 1L)) == 1.0)
+    assert(exact.contains((3L, 1L)) && exact((3L, 1L)) > 0.5)
+    assert(exact.keySet.map(_._2) == Set(1L))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-idx").toString
+    Dedup.saveDedupIndex(corpus, "doc_id", "text", dir)
+    assert(Dedup.dedupIndexExists(dir))
+
+    // exact-dup probe: only the verbatim copy, pointing at the canonical id
+    val ex = Dedup.incrementalExactDups(batch, "doc_id", "text", dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ex == Set((2L, 1L)))
+
+    // index-probing minhash path: precision 1 vs the anchor (subset with
+    // identical jaccard), and here the banding catches both true pairs
+    val mh = Dedup.incrementalMinhashPairs(batch, corpus, dir, "doc_id", "text",
+      shingleN = 3, bands = 16, rowsPerBand = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(mh.keySet.subsetOf(exact.keySet))
+    mh.foreach { case (k, j) => assert(j == exact(k)) }
+    assert(mh.contains((2L, 1L)) && mh.contains((3L, 1L)))
+  }
+
   test("connectedComponents resolves chains and keeps min canonical") {
     // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,6}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L)).toDF("id_a", "id_b")
