@@ -750,6 +750,16 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** G2 — per-vector L2 distance to its own label centroid: embedding
+    * outlier scoring. Centroids aggregate map-side (labels x dims rows per
+    * task), broadcast back; the distance pass is map-only.
+    */
+  private def g2CentroidDist(s: SparkSession, dir: String): DataFrame =
+    Similarity
+      .centroidDistances(Tables.embeddings(s, dir), idCol = "vec_id",
+        vecCol = "embedding", groupCol = "label")
+      .orderBy("vec_id")
+
   /** G1/G2 — exact embedding-cosine near-dup pairs over the FULL corpus
     * (block-matrix chunked equi-join; no broadcast nested loop). */
   private def g1EmbeddingDups(s: SparkSession, dir: String): DataFrame =
@@ -1304,6 +1314,45 @@ object SparkEntry {
         count(lit(1)).as("n_items"))
       .orderBy("n_name")
 
+  /** Headline q5 shape — regional revenue across a 6-table star join.
+    * Dims (region, nation, supplier) broadcast; the only shuffles are the
+    * two fact joins and the final tiny agg. The region filter prunes
+    * BEFORE the broadcast, and the date range pushes to the orders scan.
+    */
+  private def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val asia = Tables.region(s, dir).where(col("r_name") === "ASIA")
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      .where(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1999-01-01 00:00:00"))
+      .groupBy("n_name")
+      .agg(Fns.epsRound(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Headline q18 shape — large-volume orders: a HAVING over the fact agg,
+    * then enrichment joins. The quantity aggregate is map-side-combined on
+    * l_orderkey; only the ~0.3% surviving orders join customer/orders.
+    */
+  private def q18TopOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(Fns.epsRound(sum(col("l_quantity")), 2).as("total_qty"))
+      .where(col("total_qty") > 250.0)
+    big
+      .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   // ======================================================================
   // contract maps
   // ======================================================================
@@ -1358,6 +1407,7 @@ object SparkEntry {
     "g2_cosine_topk"     -> (g2CosineTopk _),
     "g2_cosine_topk_agg" -> (g2CosineTopkAgg _),
     "g2_cosine_threshold" -> (g2CosineThreshold _),
+    "g2_centroid_dist"   -> (g2CentroidDist _),
     "g2_lsh_topk"        -> (g2LshTopk _),
     "g2_ivf_topk"        -> (g2IvfTopk _),
     "g3_token_counts"    -> (g3TokenCounts _),
@@ -1371,6 +1421,8 @@ object SparkEntry {
     "g5_media_features"  -> (g5MediaFeatures _),
     "g5_binary_ingest"   -> (g5BinaryIngest _),
     "q3_join_agg"        -> (q3JoinAgg _),
+    "q5_region_revenue"  -> (q5RegionRevenue _),
+    "q18_top_orders"     -> (q18TopOrders _),
     "h1_grouping_sets"   -> (h1GroupingSets _),
     "h2_setops"          -> (h2SetOps _),
     "h3_hash_sample"     -> (h3HashSample _),
@@ -1775,6 +1827,17 @@ object SparkEntry {
         |      FROM p)
         |SELECT query_id, rank, vec_id, round(sim + 1e-9, 4) AS cosine
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "g2_centroid_dist" ->
+      """WITH c AS (
+        |  SELECT label, i, avg(embedding[i]::DOUBLE) AS m
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+        |  GROUP BY label, i)
+        |SELECT e.vec_id, e.label,
+        |       round(sqrt(sum((e.embedding[c.i]::DOUBLE - c.m) *
+        |                      (e.embedding[c.i]::DOUBLE - c.m))) + 1e-9, 4) AS dist
+        |FROM embeddings e JOIN c ON e.label = c.label
+        |GROUP BY e.vec_id, e.label
+        |ORDER BY e.vec_id""".stripMargin,
     "g2_cosine_threshold" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
         |p AS (
@@ -1953,6 +2016,24 @@ object SparkEntry {
         |  JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)) + 1e-9, 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q18_top_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity) + 1e-9, 2) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity) + 1e-9, 2) > 250.0)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
     "g3_phi_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(

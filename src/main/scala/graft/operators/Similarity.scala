@@ -503,4 +503,37 @@ object Similarity {
       .where(col("__rank") <= k)
       .select(col(qidCol), col("__rank").as("rank"), col(idCol), epsRound(col("__sim"), 4).as("cosine"))
   }
+
+  /** Per-group embedding centroids (elementwise mean), long format:
+    * (groupCol, dim, centroid). The shuffle carries at most
+    * n_groups x dim rows per map task (posexplode with map-side partial
+    * aggregation), never the corpus — the same scan shape Lloyd uses.
+    */
+  def groupCentroids(df: DataFrame, vecCol: String, groupCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(avg(col("__x").cast("double")).as("centroid"))
+
+  /** Per-vector L2 distance to its OWN group centroid — embedding-space
+    * outlier scoring / cluster-quality audit (a training pipeline runs
+    * this to find mislabeled or off-distribution items per source).
+    * Centroids aggregate distributed (see [[groupCentroids]]), re-assemble
+    * to arrays (n_groups rows), broadcast-join back, and the distance is a
+    * map-only fold over the corpus scan. Output: (idCol, groupCol, dist).
+    */
+  def centroidDistances(df: DataFrame, idCol: String, vecCol: String,
+      groupCol: String): DataFrame = {
+    val cents = groupCentroids(df, vecCol, groupCol)
+      .groupBy(col(groupCol))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
+        s => s.getField("centroid")).as("__cent"))
+    df.select(col(idCol), col(groupCol), col(vecCol))
+      .join(broadcast(cents), Seq(groupCol))
+      .select(col(idCol), col(groupCol),
+        epsRound(sqrt(aggregate(
+          zip_with(col(vecCol), col("__cent"), (x, c) => {
+            val d = x.cast("double") - c; d * d
+          }),
+          lit(0.0), (acc, v) => acc + v)), 4).as("dist"))
+  }
 }

@@ -185,6 +185,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("centroidDistances: zero for a degenerate cluster, flags the planted outlier") {
+    val vecs = Seq(
+      (1L, Seq(0f, 1f), 1),   // label 1: two identical members -> dist 0
+      (2L, Seq(0f, 1f), 1),
+      (3L, Seq(1f, 0f), 0),   // label 0: tight pair + one far outlier
+      (4L, Seq(0.9f, 0f), 0),
+      (5L, Seq(-1f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val d = Similarity.centroidDistances(vecs, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(d(1L) == 0.0 && d(2L) == 0.0)
+    // label-0 centroid = (0.3, 0): outlier 5 is farthest, 3 and 4 close
+    assert(d(5L) > d(3L) && d(5L) > d(4L))
+    assert(math.abs(d(3L) - 0.7) < 1e-6 && math.abs(d(5L) - 1.3) < 1e-6)
+  }
+
   test("cosineDupPairs finds only above-threshold pairs") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.99f, 0.1f)), (3L, Seq(0.0f, 1.0f))
