@@ -468,6 +468,19 @@ object SparkEntry {
         Fns.epsRound(count_if(col("event_type") === "error") / count(lit(1)).cast("double"), 4).as("error_rate"))
       .orderBy("user_id")
 
+  /** E7 — per-group correlation analytics: Pearson corr between fact
+    * measures (drift/QA checks over feature distributions). Algebraic
+    * aggregates — one shuffle with map-side partial moments.
+    */
+  private def e7Corr(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        Fns.epsRound(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+        Fns.epsRound(corr(col("l_discount"), col("l_extendedprice")), 4).as("disc_price_corr"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** E6 — EAV -> wide feature-vector pivot (bounded by explicit names). */
   private def e6PivotVector(s: SparkSession, dir: String): DataFrame =
     PivotVector
@@ -662,6 +675,30 @@ object SparkEntry {
       .boilerplate(Tables.documents(s, dir), idCol = "doc_id", textCol = "text",
         n = 5, minDocs = 3L)
       .orderBy(col("n_docs").desc, col("gram"))
+
+  /** G3 — top-3 TF-IDF terms per document: the classic term-weighting pass
+    * (vocabulary-keyed shuffle join for df — never broadcast; the vocab
+    * scales with the corpus).
+    */
+  private def g3Tfidf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), idCol = "doc_id",
+      textCol = "text", k = 3)
+      .orderBy("doc_id", "rank")
+
+  /** G3 — BM25 ranked retrieval over the corpus for a fixed query bag;
+    * postings filtered before the tf shuffle, top-k via TakeOrdered.
+    */
+  private def g3Bm25(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25(Tables.documents(s, dir), idCol = "doc_id",
+      textCol = "text", queryTerms = Seq("table", "join", "merge"), k = 20)
+
+  /** G3 — unigram LM mean token log-prob per doc (the cheap perplexity
+    * proxy for corpus quality filtering).
+    */
+  private def g3UnigramLm(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogProb(Tables.documents(s, dir), idCol = "doc_id",
+      textCol = "text")
+      .orderBy("doc_id")
 
   /** G1 — MinHash-LSH candidates, exact-verified (rows-only check: banding
     * recall at s=0.3 with b=24,r=2 is ~0.90, so no exact SQL oracle).
@@ -969,6 +1006,26 @@ object SparkEntry {
         pctBySource = Map("src0" -> 80, "src1" -> 50, "src2" -> 25, "src3" -> 10))
       .select("doc_id", "source")
       .orderBy("doc_id")
+
+  /** H — equi-depth decile histogram of a fact measure via the DISTRIBUTED
+    * global rank (range repartition + prefix-sum offsets), never Spark's
+    * one-task `ntile().over(Window.orderBy(...))`. Bucket boundaries follow
+    * the ANSI NTILE rule exactly, so DuckDB's `ntile(10)` is the oracle.
+    * Tie-free total order: (price, orderkey, linenumber).
+    */
+  private def h7Ntile(s: SparkSession, dir: String): DataFrame =
+    Rank
+      .withNtile(
+        Tables.lineitem(s, dir).select("l_extendedprice", "l_orderkey", "l_linenumber"),
+        Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+        k = 10, outCol = "decile")
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min("l_extendedprice"), 2).as("lo"),
+        round(max("l_extendedprice"), 2).as("hi"),
+        Fns.epsRound(avg("l_extendedprice"), 2).as("avg_price"))
+      .orderBy("decile")
 
   /** G3 — stratified corpus assembly: top-3 documents per language by
     * quality score (one shuffle on the stratum key).
@@ -1381,6 +1438,7 @@ object SparkEntry {
     "e2_sliding_avg"     -> (e2SlidingAvg _),
     "e23_quantiles"      -> (e23Quantiles _),
     "e4_counters"        -> (e4Counters _),
+    "e7_corr"            -> (e7Corr _),
     "e6_pivot_vector"    -> (e6PivotVector _),
     "f2_idgen"           -> (f2IdGen _),
     "q1_lineitem_agg"    -> (q1LineitemAgg _),
@@ -1396,6 +1454,9 @@ object SparkEntry {
     "g3_boilerplate"     -> (g3Boilerplate _),
     "g3_chunk"           -> (g3Chunk _),
     "g3_pack"            -> (g3Pack _),
+    "g3_tfidf"           -> (g3Tfidf _),
+    "g3_bm25"            -> (g3Bm25 _),
+    "g3_unigram_lm"      -> (g3UnigramLm _),
     "g1_dedup_resolve"   -> (g1DedupResolve _),
     "g1_minhash_pairs"   -> (g1MinhashPairs _),
     "g1_simhash"         -> (g1Simhash _),
@@ -1435,6 +1496,7 @@ object SparkEntry {
     "g3_phi_scrub"       -> (g3PhiScrub _),
     "h5_split"           -> (h5SplitCounts _),
     "h6_domain_mix"      -> (h6DomainMix _),
+    "h7_ntile"           -> (h7Ntile _),
     "g3_stratified_topk" -> (g3StratifiedTopk _),
     "g3_vocab"           -> (g3Vocab _),
     "g3_vocab_approx"    -> (g3VocabApprox _),
@@ -1790,6 +1852,44 @@ object SparkEntry {
         |       (least((c + 1) * 512 - strt, n) - greatest(c * 512 - strt, 0))::BIGINT AS n_tokens
         |FROM sp, unnest(generate_series(strt // 512, (strt + n - 1) // 512)) AS u(c)
         |ORDER BY chunk_id, doc_id""".stripMargin,
+    "g3_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*)::DOUBLE AS tf
+        |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |         round(tf.tf * ln(n.n / df.df) + 1e-9, 4) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, rank, term, tf::BIGINT AS tf, tfidf
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, term) AS rank FROM scored)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "g3_bm25" ->
+      """WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |d AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM base),
+        |stats AS (SELECT avg(dl) AS avgdl, count(*)::DOUBLE AS n FROM d),
+        |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+        |       FROM (SELECT doc_id, unnest(t) AS term FROM base)
+        |       WHERE term IN ('table', 'join', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id,
+        |       round(sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * (1.2 + 1.0) /
+        |                 (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * d.dl / stats.avgdl))) + 1e-9, 4) AS bm25,
+        |       count(*) AS n_terms_hit
+        |FROM tf JOIN df USING (term) JOIN d USING (doc_id) CROSS JOIN stats
+        |GROUP BY tf.doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "g3_unigram_lm" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |total AS (SELECT count(*)::DOUBLE AS total FROM toks),
+        |counts AS (SELECT term, count(*)::DOUBLE AS cnt FROM toks GROUP BY 1)
+        |SELECT doc_id, round(avg(ln(cnt / total)) + 1e-9, 4) AS mean_logprob,
+        |       count(*) AS n_tokens
+        |FROM toks JOIN counts USING (term) CROSS JOIN total
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "g3_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
         |grams AS (
@@ -2061,6 +2161,22 @@ object SparkEntry {
         |      CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50
         |                  WHEN 'src2' THEN 25 WHEN 'src3' THEN 10 ELSE -1 END
         |ORDER BY doc_id""".stripMargin,
+    "h7_ntile" ->
+      """WITH d AS (
+        |  SELECT l_extendedprice,
+        |         ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS decile
+        |  FROM lineitem)
+        |SELECT decile::BIGINT AS decile, count(*) AS n,
+        |       round(min(l_extendedprice), 2) AS lo,
+        |       round(max(l_extendedprice), 2) AS hi,
+        |       round(avg(l_extendedprice) + 1e-9, 2) AS avg_price
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+    "e7_corr" ->
+      """SELECT l_returnflag,
+        |       round(corr(l_quantity, l_extendedprice) + 1e-9, 4) AS qty_price_corr,
+        |       round(corr(l_discount, l_extendedprice) + 1e-9, 4) AS disc_price_corr,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "g3_stratified_topk" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

@@ -141,6 +141,97 @@ object TextAnalysis {
         array_join(col("col"), " ").as("chunk"))
   }
 
+  // ---- corpus-statistics ranking (TF-IDF / BM25 / unigram LM) ------------
+  // The reference has no search or LM surface; these are the standard
+  // corpus-statistics operators a training-data pipeline runs over the
+  // `documents` table (term weighting for filtering, retrieval for
+  // inspection, unigram log-prob as the cheap perplexity proxy). All three
+  // share the same scale shape: explode -> partial-agg shuffle on the term
+  // key, tiny stats frames broadcast back, per-doc re-agg. Nothing is
+  // all-pairs and nothing holds the vocabulary on the driver.
+
+  /** Top-`k` TF-IDF terms per document. tf = in-doc term count, idf =
+    * ln(N / df) over distinct-doc frequency, score rounded to 4 decimals
+    * (epsilon-nudged, see [[qualityScore]]) with ties broken by term so the
+    * ranking is engine-stable. Three shuffles, all with map-side partial
+    * aggregation: (doc,term) tf, term df, per-doc window rank — the
+    * vocabulary-sized df frame streams through a shuffle join (NOT a
+    * broadcast: at 100 TB the vocabulary is itself large).
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).cast("double").as("tf"))
+    val dfTbl = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val scored = tf
+      .join(dfTbl, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", Fns.epsRound(col("tf") * log(col("__n") / col("df")), 4))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("long").as("rank"), col("term"),
+        col("tf").cast("long").as("tf"), col("tfidf"))
+  }
+
+  /** BM25 ranked retrieval: score every document against a fixed bag of
+    * query terms, return the top `k`. Okapi formulation with the Lucene
+    * idf (`ln(1 + (N - df + 0.5)/(df + 0.5))`, always positive). The
+    * exploded corpus is filtered to the query terms BEFORE the tf shuffle,
+    * so the shuffled volume is |matching postings|, not the corpus; df and
+    * avgdl are 1-row/|q|-row frames broadcast back; the final top-k is a
+    * TakeOrdered, never a global sort.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), col("__t"),
+        org.apache.spark.sql.functions.size(col("__t")).cast("double").as("__dl"))
+    val stats = base.agg(avg("__dl").as("__avgdl"), count(lit(1)).cast("double").as("__n"))
+    val tf = base
+      .select(col(idCol), col("__dl"), explode(col("__t")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("__dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfTbl = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfTbl), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf", log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("__c",
+        col("__idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col(idCol))
+      .agg(Fns.epsRound(sum("__c"), 4).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Unigram language-model scoring — the cheap perplexity proxy used for
+    * corpus quality filtering: each doc's mean token log-probability under
+    * the corpus's own unigram distribution (MLE, no smoothing needed —
+    * every scored token was counted). More negative = rarer vocabulary.
+    * Token->count joins through a vocabulary-keyed shuffle (partial-agg'd,
+    * broadcast-free: the vocab scales with the corpus); the per-doc mean is
+    * one more partial-agg shuffle.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val total  = toks.agg(count(lit(1)).cast("double").as("__total"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).cast("double").as("__cnt"))
+    toks
+      .join(counts, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(Fns.epsRound(avg(log(col("__cnt") / col("__total"))), 4).as("mean_logprob"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Concatenate-and-pack: the pretraining step that turns a deduped corpus
     * into fixed-`capacity` training sequences. Documents are laid end-to-end
     * in `idCol` order into one global token stream, which is cut into

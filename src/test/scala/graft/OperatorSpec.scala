@@ -164,4 +164,74 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(m("same") - 1.0) < 1e-12)
     assert(math.abs(m("orth")) < 1e-12)
   }
+
+  test("Rank: distributed ntile matches Spark's single-task NTILE window; rank is dense 1..n") {
+    val df = (1 to 23).map(i => (i.toLong, (i * 7 % 23).toLong)).toDF("id", "v")
+    val sortCols = Seq(col("v"), col("id"))
+    val ours = Rank.withNtile(df.repartition(6), sortCols, 4, "b")
+      .select("id", "b").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = df.withColumn("b",
+        ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy(sortCols: _*)))
+      .select("id", "b").collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(ours == ref) // 23 rows / 4 buckets: first 3 buckets get 6, last gets 5
+
+    val ranks = Rank.withGlobalRank(df.repartition(5), sortCols, "r")
+      .select("r").collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq == (1L to 23L))
+
+    // n < k: every row lands in its own bucket, no division-by-zero
+    val tiny = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "v")
+    val tb = Rank.withNtile(tiny, Seq(col("v")), 10, "b")
+      .select("v", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tb == Set((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("tfidfTopTerms: distinctive terms outrank ubiquitous ones; ubiquitous idf is 0") {
+    val docs = Seq(
+      (1L, "shared shared zebra zebra zebra"),
+      (2L, "shared quark"),
+      (3L, "shared shared shared")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getString(2), r.getDouble(4))).toMap
+    // 'shared' appears in all 3 docs -> idf = ln(3/3) = 0, so it can never
+    // outrank a distinctive term with positive idf
+    assert(out((1L, 1L))._1 == "zebra")
+    assert(out((2L, 1L))._1 == "quark")
+    assert(out((1L, 1L))._2 > 0.0)
+    // doc 3 has only the zero-idf term: its top entry scores exactly 0
+    assert(out((3L, 1L)) == ("shared", 0.0))
+  }
+
+  test("bm25: more query-term mass ranks higher; docs without query terms absent; tf saturates") {
+    val docs = Seq(
+      (1L, "table join merge table"), // all three terms, extra tf
+      (2L, "table filler filler filler filler filler filler filler"), // one term, long doc
+      (3L, "table"),                  // one term, short doc -> beats 2 on length norm
+      (4L, "nothing relevant here")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.bm25(docs, "doc_id", "text",
+      queryTerms = Seq("table", "join", "merge"), k = 10).collect()
+    val ids = rows.map(_.getLong(0)).toSeq
+    assert(!ids.contains(4L), "doc without any query term must not score")
+    assert(ids.head == 1L, "doc hitting all query terms ranks first")
+    val score = rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(score(3L) > score(2L), "shorter doc with same tf wins on length normalization")
+    val hits = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(hits(1L) == 3L && hits(2L) == 1L)
+  }
+
+  test("unigramLogProb: rare-vocabulary docs score more negative; uniform corpus scores ln(1/V)") {
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common rareword")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(m(1L)._2 == 4L && m(2L)._2 == 2L)
+    assert(m(2L)._1 < m(1L)._1, "doc containing the rare token must score lower")
+    // doc 1: all tokens p = 5/6 -> mean ln(5/6); doc 2: mean of ln(5/6), ln(1/6)
+    assert(math.abs(m(1L)._1 - math.log(5.0 / 6.0)) < 1e-3)
+    assert(math.abs(m(2L)._1 - (math.log(5.0 / 6.0) + math.log(1.0 / 6.0)) / 2.0) < 1e-3)
+  }
 }
