@@ -297,6 +297,32 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** B5 — Z-ORDER clustered TxTable (multi-dimensional data skipping):
+    * events land flat, a `zorder(user_id, value)` rewrite clusters them on
+    * the interleaved-bit curve and records per-file min/max on BOTH
+    * columns, and a two-dimensional [[TxTable.readWhereAll]] then scans a
+    * strict subset of files (asserted). The declared result applies the
+    * exact row filter on top, so the oracle certifies pruning never drops
+    * a row — the (entity, measure) read shape a 100 TB fact table is
+    * laid out for.
+    */
+  private def b5TxZorder(s: SparkSession, dir: String): DataFrame = withShufflePartitions(s, 8) {
+    import graft.sources.TxTable
+    val ev = Tables.events(s, dir)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    val t = TxTable(s, java.nio.file.Files.createTempDirectory("graft_tx_z").toString)
+    t.append(ev, tsMillis = 1000L)
+    t.zorder(Seq("user_id", "value"), target = 16)
+    val total = t.read().inputFiles.length
+    val pruned = t.readWhereAll(Seq(("user_id", 100.0, 160.0), ("value", 10.0, 40.0)))
+    require(pruned.inputFiles.length < total,
+      s"z-order pruning must scan fewer files (${pruned.inputFiles.length}/$total)")
+    pruned
+      .where(col("user_id").between(100, 160) && col("value").between(10.0, 40.0))
+      .select("event_id", "user_id", "event_type", "value", "ts")
+      .orderBy("event_id")
+  }
+
   /** B5 — JSON-lines source: the corpus round-trips through JSONL (the
     * training-data interchange format) — written once as a deterministic
     * fixture, read back through the distributed json reader with an
@@ -1430,6 +1456,7 @@ object SparkEntry {
     "b2_upsert_tx"       -> (b2UpsertTx _),
     "b5_jsonl_ingest"    -> (b5JsonlIngest _),
     "b5_tx_partitioned"  -> (b5TxPartitioned _),
+    "b5_tx_zorder"       -> (b5TxZorder _),
     "b4_orphan_check"    -> (b4OrphanCheck _),
     "c1_filter_project"  -> (c1FilterProject _),
     "c3_explicit_nulls"  -> (c3ExplicitNulls _),
@@ -1632,6 +1659,10 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value, ts FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts <  TIMESTAMP '2024-01-11 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "b5_tx_zorder" ->
+      """SELECT event_id, user_id, event_type, value, ts FROM events
+        |WHERE user_id BETWEEN 100 AND 160 AND value BETWEEN 10.0 AND 40.0
         |ORDER BY event_id""".stripMargin,
     "b4_orphan_check" ->
       """SELECT c_custkey, c_name FROM customer c

@@ -94,6 +94,43 @@ object TxScaleProbe {
     assert(oneDayRows == expectedDay3, "partition read must return exactly one day")
     assert(oneDayFiles * nDays <= allFiles * 2, "pruning must list ~1/nDays of the files")
 
+    // ---- z-order vs linear clustering: two-dimensional pruning ----
+    // same rows, two INDEPENDENT dimensions (k, and a decorrelated v2).
+    // The append order clusters k, so k-ranges prune but v2-ranges cannot
+    // (every file spans all of v2). After zorder(k, v2) a box predicate
+    // narrow in BOTH dimensions scans a small corner of the files.
+    val zroot = java.nio.file.Files.createTempDirectory("graft_tx_probe_z").toString
+    val zt = graft.sources.TxTable(spark, zroot)
+    val zdf = spark.range(0L, nRows).select(
+      col("id").as("k"),
+      ((col("id") * 2654435761L) % nRows).as("v2"), // decorrelated second dim
+      (col("id") % 97).cast("double").as("value"))
+    // linear baseline: 32 files range-clustered on k (the natural
+    // "sorted by primary key" layout), stats on both columns
+    zt.append(zdf.repartitionByRange(32, col("k")), tsMillis = 1000L,
+      statsCols = Seq("k", "v2"))
+    val v2Only = Seq(("v2", 0.0, nRows / 8.0))
+    val box    = Seq(("k", 0.0, nRows / 8.0), ("v2", 0.0, nRows / 8.0))
+    val linTotal  = zt.read().inputFiles.length
+    val linV2     = zt.readWhereAll(v2Only).inputFiles.length // k-layout can't prune v2
+    t0 = System.nanoTime()
+    zt.zorder(Seq("k", "v2"), target = 32, tsMillis = 3000L)
+    val zorderSec = (System.nanoTime() - t0) / 1e9
+    val zTotal = zt.read().inputFiles.length
+    val zV2    = zt.readWhereAll(v2Only).inputFiles.length
+    val zBox   = zt.readWhereAll(box).inputFiles.length
+    val boxRows = zt.readWhereAll(box)
+      .where(col("k") <= nRows / 8 && col("v2") <= nRows / 8).count()
+    println(f"[tx-probe] zorder: files=$linTotal%d->$zTotal%d " +
+      f"v2Read=$linV2%d->$zV2%d files, 2dBoxRead=$zBox%d files " +
+      f"rewrite=$zorderSec%.1fs boxRows=$boxRows%d")
+    assert(linV2 == linTotal, "a k-clustered layout cannot prune the second dimension")
+    assert(zV2 < zTotal, "z-order must prune the second dimension alone")
+    assert(zBox <= zV2, "the 2-dim box prunes at least as hard as one dimension")
+    val boxRowsFull = zt.read()
+      .where(col("k") <= nRows / 8 && col("v2") <= nRows / 8).count()
+    assert(boxRows == boxRowsFull, "pruning must not drop rows")
+
     // ---- commit cost vs table age: the hot path must stay FLAT ----
     // 60 tiny appends; with filename-derived versions + checkpoint-resolved
     // state a late commit parses at most checkpointEvery tail commits, so

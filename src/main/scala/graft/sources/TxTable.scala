@@ -5,7 +5,7 @@ import java.util.UUID
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Transactional parquet table with an append-only commit log — the
@@ -68,7 +68,10 @@ class TxTable(val spark: SparkSession, val root: String) {
 
   private case class Commit(version: Long, ts: Long, op: String,
       schemaDdl: Option[String], add: Seq[String], remove: Seq[String],
-      stats: Map[String, FileStats], partCols: Option[Seq[String]])
+      stats: Map[String, Seq[FileStats]], partCols: Option[Seq[String]]) {
+    def statsColNames: Seq[String] =
+      stats.values.flatten.map(_.colName).toSeq.distinct.sorted
+  }
 
   private def commitPath(v: Long): Path = logDir.resolve(f"$v%020d.txt")
 
@@ -84,7 +87,7 @@ class TxTable(val spark: SparkSession, val root: String) {
       remove = kvs.collect { case ("remove", v) => v },
       stats = kvs.collect { case ("stats", v) => v.split(";") }
         .collect { case Array(f, c, mn, mx) => f -> FileStats(c, mn.toDouble, mx.toDouble) }
-        .toMap,
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap,
       // partcols= (possibly empty list) declares the staged files' layout;
       // absent on commits that predate partitioning support
       partCols = kvs.collectFirst { case ("partcols", v) =>
@@ -135,13 +138,15 @@ class TxTable(val spark: SparkSession, val root: String) {
   private def ckptPath(v: Long): Path = logDir.resolve(f"$v%020d.ckpt")
 
   /** Resolved table state: live files (commit order), current schema DDL,
-    * the per-file skipping stats of the LIVE files, the table's partition
-    * columns (empty = flat layout), and the skipping-stats column — "last
-    * commit that recorded stats wins", carried through checkpoints so the
-    * choice survives stats-less rewrites without a history replay. */
+    * the per-file skipping stats of the LIVE files (one entry per indexed
+    * column — multi-column after a [[zorder]] rewrite), the table's
+    * partition columns (empty = flat layout), and the skipping-stats
+    * columns — "last commit that recorded stats wins", carried through
+    * checkpoints so the choice survives stats-less rewrites without a
+    * history replay. */
   private case class Snapshot(files: Seq[String], ddl: Option[String],
-      stats: Map[String, FileStats], partCols: Seq[String],
-      statsCol: Option[String] = None)
+      stats: Map[String, Seq[FileStats]], partCols: Seq[String],
+      statsCols: Seq[String] = Seq.empty)
 
   private def statsLine(f: String, st: FileStats): String =
     s"stats=$f;${st.colName};${st.min};${st.max}"
@@ -153,10 +158,11 @@ class TxTable(val spark: SparkSession, val root: String) {
     val snap = stateForVersion(v)
     val ts = parseCommit(commitPath(v)).ts
     val lines = Seq(s"ts=$ts", s"partcols=${snap.partCols.mkString(",")}") ++
-      snap.statsCol.map(c => s"statscol=$c") ++
+      (if (snap.statsCols.nonEmpty) Seq(s"statscol=${snap.statsCols.mkString(",")}")
+       else Seq.empty) ++
       snap.ddl.map(d => s"schema=$d") ++
       snap.files.map(f => s"file=$f") ++
-      snap.files.flatMap(f => snap.stats.get(f).map(statsLine(f, _)))
+      snap.files.flatMap(f => snap.stats.getOrElse(f, Seq.empty).map(statsLine(f, _)))
     val tmp = Files.createTempFile(logDir, ".tmp", ".ckpt")
     Files.write(tmp, lines.asJava)
     try Files.createLink(ckptPath(v), tmp)
@@ -181,10 +187,13 @@ class TxTable(val spark: SparkSession, val root: String) {
               kvs.collectFirst { case ("schema", s) => s },
               kvs.collect { case ("stats", v) => v.split(";") }
                 .collect { case Array(f, c, mn, mx) => f -> FileStats(c, mn.toDouble, mx.toDouble) }
-                .toMap,
+                .groupBy(_._1).view.mapValues(_.map(_._2)).toMap,
               kvs.collectFirst { case ("partcols", v) => v.split(',').toSeq.filter(_.nonEmpty) }
                 .getOrElse(Seq.empty),
-              kvs.collectFirst { case ("statscol", c) => c }))
+              // comma-joined since multi-column stats; older checkpoints
+              // hold a single name, which parses identically
+              kvs.collectFirst { case ("statscol", c) => c.split(',').toSeq.filter(_.nonEmpty) }
+                .getOrElse(Seq.empty)))
         }.toOption
       }
 
@@ -207,7 +216,8 @@ class TxTable(val spark: SparkSession, val root: String) {
           tail.flatMap(_.schemaDdl).lastOption.orElse(ckpt.ddl),
           (ckpt.stats ++ tail.flatMap(_.stats)).filter { case (f, _) => live.contains(f) },
           tail.flatMap(_.partCols).lastOption.getOrElse(ckpt.partCols),
-          tail.flatMap(_.stats.values.map(_.colName)).lastOption.orElse(ckpt.statsCol))
+          tail.filter(_.stats.nonEmpty).lastOption.map(_.statsColNames)
+            .getOrElse(ckpt.statsCols))
       case None =>
         snapshotFiles(commitFiles()
           .filter(_.getFileName.toString.stripSuffix(".txt").toLong <= bound).map(parseCommit))
@@ -227,8 +237,8 @@ class TxTable(val spark: SparkSession, val root: String) {
       // partition layout: the last commit that DECLARED a layout wins
       // (version 0 sets it; an overwrite may re-partition or flatten)
       upTo.flatMap(_.partCols).lastOption.getOrElse(Seq.empty),
-      // skipping column: last commit that recorded stats wins
-      upTo.flatMap(_.stats.values.map(_.colName)).lastOption)
+      // skipping columns: last commit that recorded stats wins
+      upTo.filter(_.stats.nonEmpty).lastOption.map(_.statsColNames).getOrElse(Seq.empty))
   }
 
   private def readSnapshot(upTo: Seq[Commit]): DataFrame =
@@ -324,13 +334,13 @@ class TxTable(val spark: SparkSession, val root: String) {
   /** Atomic put-if-absent publish of version `v`; true iff this writer won. */
   private def tryCommit(v: Long, op: String, schemaDdl: Option[String],
       add: Seq[String], remove: Seq[String], tsMillis: Long,
-      stats: Map[String, FileStats] = Map.empty,
+      stats: Map[String, Seq[FileStats]] = Map.empty,
       partCols: Seq[String] = Seq.empty): Boolean = {
     Files.createDirectories(logDir)
     val lines = Seq(s"ts=$tsMillis", s"op=$op", s"partcols=${partCols.mkString(",")}") ++
       schemaDdl.map(d => s"schema=$d") ++
       add.map(a => s"add=$a") ++ remove.map(r => s"remove=$r") ++
-      stats.map { case (f, st) => s"stats=$f;${st.colName};${st.min};${st.max}" }
+      stats.flatMap { case (f, sts) => sts.map(statsLine(f, _)) }
     val tmp = Files.createTempFile(logDir, ".tmp", ".commit")
     Files.write(tmp, lines.asJava)
     try { Files.createLink(commitPath(v), tmp); true }
@@ -345,7 +355,7 @@ class TxTable(val spark: SparkSession, val root: String) {
   private def commitLoop(op: String, add: Seq[String], remove: Seq[String],
       tsMillis: Long, schemaDdl: Option[String] = None,
       schemaEveryCommit: Boolean = false,
-      stats: Map[String, FileStats] = Map.empty,
+      stats: Map[String, Seq[FileStats]] = Map.empty,
       partCols: Seq[String] = Seq.empty,
       validate: () => Boolean = () => true): Long = {
     var attempts = 0
@@ -393,7 +403,8 @@ class TxTable(val spark: SparkSession, val root: String) {
     *   data skipping.
     */
   def append(df: DataFrame, tsMillis: Long = System.currentTimeMillis(),
-      statsCol: Option[String] = None, partitionBy: Seq[String] = Seq.empty): Long = {
+      statsCol: Option[String] = None, partitionBy: Seq[String] = Seq.empty,
+      statsCols: Seq[String] = Seq.empty): Long = {
     // checkpoint-aware layout lookup (no full log replay), and the layout
     // is BINDING once any commit exists — a FLAT table must reject a
     // partitioned append, or the mixed-depth file set would make every
@@ -405,7 +416,7 @@ class TxTable(val spark: SparkSession, val root: String) {
     val layout = if (hasCommits) declared else partitionBy
     val files = stageDataFiles(df, layout)
     commitLoop("append", files, Seq.empty, tsMillis, Some(df.schema.toDDL),
-      stats = statsCol.map(computeStats(files, _)).getOrElse(Map.empty),
+      stats = computeStats(files, (statsCol.toSeq ++ statsCols).distinct),
       partCols = layout,
       // the layout guard re-asserts per attempt: a racing writer changing
       // the table's layout (first-append race, concurrent re-partitioning
@@ -418,27 +429,36 @@ class TxTable(val spark: SparkSession, val root: String) {
       })
   }
 
-  private def computeStats(files: Seq[String], c: String): Map[String, FileStats] =
-    if (files.isEmpty) Map.empty
-    else spark.read.option("basePath", dataDir.toString)
-      .parquet(files.map(f => dataDir.resolve(f).toString): _*)
-      .groupBy(input_file_name().as("__f"))
-      .agg(min(col(c).cast("double")).as("__mn"), max(col(c).cast("double")).as("__mx"))
-      .collect()
-      .flatMap { r =>
-        // a NaN bound would make every range comparison false and wrongly
-        // SKIP the file (Spark's max orders NaN above all doubles) — record
-        // no stats instead, so the file is conservatively always scanned
-        if (r.isNullAt(1) || r.getDouble(1).isNaN || r.getDouble(2).isNaN) None
-        else Some(fileNameOf(r.getString(0)) -> FileStats(c, r.getDouble(1), r.getDouble(2)))
-      }.toMap
+  private def computeStats(files: Seq[String], cols: Seq[String]): Map[String, Seq[FileStats]] =
+    if (files.isEmpty || cols.isEmpty) Map.empty
+    else {
+      val aggs = cols.flatMap(c => Seq(
+        min(col(c).cast("double")), max(col(c).cast("double"))))
+      spark.read.option("basePath", dataDir.toString)
+        .parquet(files.map(f => dataDir.resolve(f).toString): _*)
+        .groupBy(input_file_name().as("__f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val sts = cols.zipWithIndex.flatMap { case (c, i) =>
+            val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
+            // a NaN bound would make every range comparison false and
+            // wrongly SKIP the file (Spark's max orders NaN above all
+            // doubles) — record no stats for that column instead, so the
+            // file is conservatively always scanned
+            if (r.isNullAt(mnI) || r.getDouble(mnI).isNaN || r.getDouble(mxI).isNaN) None
+            else Some(FileStats(c, r.getDouble(mnI), r.getDouble(mxI)))
+          }
+          fileNameOf(r.getString(0)) -> sts
+        }.filter(_._2.nonEmpty).toMap
+    }
 
-  /** The column the table's existing skipping stats are recorded on (the
+  /** The columns the table's existing skipping stats are recorded on (the
     * most recent commit's choice wins, carried through checkpoints) —
-    * maintenance rewrites re-record stats for it so compaction/merge don't
-    * erase the skipping index, and the choice survives even a rewrite
-    * whose own stats were dropped (the NaN guard). */
-  private def activeStatsCol(snap: Snapshot): Option[String] = snap.statsCol
+    * maintenance rewrites re-record stats for them so compaction/merge
+    * don't erase the skipping index, and the choice survives even a
+    * rewrite whose own stats were dropped (the NaN guard). */
+  private def activeStatsCols(snap: Snapshot): Seq[String] = snap.statsCols
 
   /** Data-skipping snapshot read: scan only live files whose recorded
     * [min, max] range for `colName` intersects [lo, hi]; files without
@@ -455,21 +475,35 @@ class TxTable(val spark: SparkSession, val root: String) {
       .map { seg => val i = seg.indexOf('='); (seg.substring(0, i), seg.substring(i + 1)) }
       .collectFirst { case (c, v) if c == colName => v }
 
-  def readWhere(colName: String, lo: Double, hi: Double): DataFrame = {
+  def readWhere(colName: String, lo: Double, hi: Double): DataFrame =
+    readWhereAll(Seq((colName, lo, hi)))
+
+  /** Multi-dimension data-skipping read: scan only files whose pruning
+    * evidence intersects EVERY given `(column, lo, hi)` range — the read
+    * shape a [[zorder]]-clustered table exists for (a linearly-clustered
+    * table prunes on one dimension; z-ordering bounds every interleaved
+    * dimension per file). Per column, the same two levels as the
+    * single-range read: partition-directory values first, then per-file
+    * min/max stats; columns without evidence are conservatively scanned.
+    * The caller still applies the exact row filter — this prunes I/O, not
+    * semantics. */
+  def readWhereAll(preds: Seq[(String, Double, Double)]): DataFrame = {
     require(commitFiles().nonEmpty, s"no such TxTable: $root")
     val snap = stateForVersion(Long.MaxValue)
     val kept = snap.files.filter { f =>
-      // 1) partition-DIRECTORY pruning (coarsest, free — no stats needed):
-      //    numeric partition values outside [lo, hi] skip the whole file
-      val partOk = partValueOf(f, colName) match {
-        case Some(v) => v.toDoubleOption.forall(d => d >= lo && d <= hi)
-        case None => true
+      preds.forall { case (colName, lo, hi) =>
+        // 1) partition-DIRECTORY pruning (coarsest, free — no stats needed):
+        //    numeric partition values outside [lo, hi] skip the whole file
+        val partOk = partValueOf(f, colName) match {
+          case Some(v) => v.toDoubleOption.forall(d => d >= lo && d <= hi)
+          case None => true
+        }
+        // 2) per-file min/max data skipping (finer), as before
+        partOk && (snap.stats.getOrElse(f, Seq.empty).find(_.colName == colName) match {
+          case Some(FileStats(_, mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        })
       }
-      // 2) per-file min/max data skipping (finer), as before
-      partOk && (snap.stats.get(f) match {
-        case Some(FileStats(c, mn, mx)) if c == colName => mx >= lo && mn <= hi
-        case _ => true
-      })
     }
     readState(snap.copy(files = kept))
   }
@@ -496,7 +530,8 @@ class TxTable(val spark: SparkSession, val root: String) {
     * never saw — Delta's WriteSerializable would allow that; this table
     * promises Serializable for overwrite). */
   def overwrite(df: DataFrame, tsMillis: Long = System.currentTimeMillis(),
-      statsCol: Option[String] = None, partitionBy: Seq[String] = Seq.empty): Long = {
+      statsCol: Option[String] = None, partitionBy: Seq[String] = Seq.empty,
+      statsCols: Seq[String] = Seq.empty): Long = {
     val baseVersion = latestVersion()
     val snap = stateForVersion(Long.MaxValue)
     // default: keep the table's layout (while its columns survive the
@@ -507,8 +542,10 @@ class TxTable(val spark: SparkSession, val root: String) {
     val newFiles = stageDataFiles(df, layout)
     commitLoop("overwrite", newFiles, snap.files, tsMillis, Some(df.schema.toDDL),
       schemaEveryCommit = true, // overwrite may evolve the table schema
-      stats = statsCol.orElse(activeStatsCol(snap))
-        .map(computeStats(newFiles, _)).getOrElse(Map.empty),
+      stats = computeStats(newFiles, {
+        val chosen = (statsCol.toSeq ++ statsCols).distinct
+        if (chosen.nonEmpty) chosen else activeStatsCols(snap)
+      }),
       partCols = layout,
       validate = () => latestVersion() == baseVersion)
   }
@@ -559,9 +596,9 @@ class TxTable(val spark: SparkSession, val root: String) {
     val newFiles = stageDataFiles(merged, layout)
     u.unpersist()
     commitLoop("merge", newFiles, affected, tsMillis,
-      // rewritten files re-record stats on the table's active stats column,
-      // so a merge doesn't punch stats-less holes in the skipping index
-      stats = activeStatsCol(state).map(computeStats(newFiles, _)).getOrElse(Map.empty),
+      // rewritten files re-record stats on the table's active stats
+      // columns, so a merge doesn't punch stats-less holes in the index
+      stats = computeStats(newFiles, activeStatsCols(state)),
       partCols = layout,
       validate = () => latestVersion() == baseVersion)
   }
@@ -598,9 +635,77 @@ class TxTable(val spark: SparkSession, val root: String) {
     val compacted = stageDataFiles(readState(state).coalesce(target), layout)
     commitLoop("compact", compacted, files, tsMillis,
       // same stats preservation as merge: compaction must not erase skipping
-      stats = activeStatsCol(state).map(computeStats(compacted, _)).getOrElse(Map.empty),
+      stats = computeStats(compacted, activeStatsCols(state)),
       partCols = layout,
       // re-resolved per attempt: every read file must still be live
+      validate = () => {
+        val live = stateForVersion(Long.MaxValue).files.toSet
+        files.forall(live.contains)
+      })
+  }
+
+  /** Z-ORDER clustering rewrite (Delta's `OPTIMIZE ... ZORDER BY`, the
+    * published space-filling-curve layout technique): rewrite the table's
+    * files clustered by the interleaved-bit z-value of `cols`, recording
+    * per-file min/max stats on EVERY z-ordered column, so
+    * [[readWhereAll]] prunes files on any combination of those dimensions.
+    * A sort on one column bounds only that column per file; the z-curve
+    * bounds all of them — the layout a 100 TB fact table needs when reads
+    * filter on (entity, time), not just time.
+    *
+    * Mechanics: each column maps linearly from its [min, max] onto
+    * `bits`-bit buckets (scalar agg to the driver — two doubles per
+    * column; rank-free, so a heavily skewed column degrades clustering,
+    * never correctness), bucket bits interleave into one long, and the
+    * frame range-repartitions + sorts on it — `target` output files, each
+    * covering a contiguous z-range, i.e. a bounded hyper-rectangle.
+    * Same concurrency contract as [[compact]]: commits only against its
+    * read set; concurrent appends abort it, never the reverse.
+    *
+    * Flat tables only: a partitioned table already prunes its partition
+    * column at directory level — z-order the residual dimensions after
+    * flattening, or compact per partition.
+    */
+  def zorder(cols: Seq[String], target: Int = 8, bits: Int = 16,
+      tsMillis: Long = System.currentTimeMillis()): Long = {
+    require(cols.size >= 2, s"zorder needs >= 2 columns, got $cols (one column is a plain sort: compact + statsCol)")
+    require(bits >= 1 && bits * cols.size <= 62, s"bits*cols must fit a long: $bits*${cols.size}")
+    val state = stateForVersion(Long.MaxValue)
+    require(state.partCols.isEmpty,
+      s"zorder supports flat layouts; table $root is partitioned by ${state.partCols.mkString(",")}")
+    val files = state.files
+    if (files.isEmpty) return version()
+    val df = readState(state)
+
+    val aggs = cols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val maxB = (1L << bits) - 1
+    val bucketCols: Seq[Column] = cols.zipWithIndex.map { case (c, i) =>
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) lit(0L)
+      else {
+        val (mn, mx) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+        if (mx <= mn) lit(0L)
+        else least(lit(maxB), greatest(lit(0L),
+          ((coalesce(col(c).cast("double"), lit(mn)) - lit(mn)) /
+            lit(mx - mn) * lit(maxB.toDouble)).cast("long")))
+      }
+    }
+    // interleave: bit i of bucket j lands at position i*n + j (LSB-first),
+    // a flat sum of shift/mask terms that stays in whole-stage codegen
+    val n = cols.size
+    val zv = (0 until bits).flatMap { i =>
+      bucketCols.zipWithIndex.map { case (b, j) =>
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * n + j)
+      }
+    }.reduce(_ + _)
+
+    val clustered = df.withColumn("__zv", zv)
+      .repartitionByRange(math.max(target, 1), col("__zv"))
+      .sortWithinPartitions("__zv")
+      .drop("__zv")
+    val staged = stageDataFiles(clustered)
+    commitLoop("zorder", staged, files, tsMillis,
+      stats = computeStats(staged, cols),
       validate = () => {
         val live = stateForVersion(Long.MaxValue).files.toSet
         files.forall(live.contains)

@@ -284,4 +284,56 @@ class TxTableSpec extends SparkSpec {
       flat.append(rows(2L, 2L), tsMillis = 200L, partitionBy = Seq("day")))
     assert(flat.read().count() == 1L) // table still readable, nothing landed
   }
+
+  test("zorder: content preserved bit-exact; both dimensions prune; stats survive compact") {
+    val t = newTable()
+    // 32x32 grid: k and ts are independent dimensions
+    val grid = (0 until 1024).map(i => ((i % 32).toLong, "a", (i / 32).toDouble, (i / 32).toLong))
+    t.append(kv(grid: _*), tsMillis = 100L)
+    val before = t.read().agg(bit_xor(xxhash64($"k", $"f", $"value", $"ts"))).as[Long].head()
+
+    t.zorder(Seq("k", "ts"), target = 16, tsMillis = 200L)
+    assert(t.read().agg(bit_xor(xxhash64($"k", $"f", $"value", $"ts"))).as[Long].head() == before,
+      "zorder is a pure layout rewrite")
+    val total = t.read().inputFiles.length
+    assert(total == 16)
+
+    // one-dimensional reads prune on EITHER column (multi-column stats)
+    val byK  = t.readWhere("k", 0.0, 3.0).inputFiles.length
+    val byTs = t.readWhere("ts", 0.0, 3.0).inputFiles.length
+    assert(byK < total, s"k-range read must prune ($byK/$total)")
+    assert(byTs < total, s"ts-range read must prune ($byTs/$total)")
+    // the two-dimensional read prunes at least as hard as either alone
+    val both = t.readWhereAll(Seq(("k", 0.0, 3.0), ("ts", 0.0, 3.0)))
+    assert(both.inputFiles.length <= math.min(byK, byTs))
+    // and never drops rows: exact filter over pruned == over full
+    assert(both.where($"k" <= 3L && $"ts" <= 3L).count() ==
+      t.read().where($"k" <= 3L && $"ts" <= 3L).count())
+
+    // maintenance keeps the TWO-column index: compact re-records both
+    t.compact(target = 4, tsMillis = 300L)
+    assert(t.readWhere("k", -10.0, -5.0).count() == 0L)
+    assert(t.readWhere("ts", 1e6, 2e6).count() == 0L)
+    assert(t.read().count() == 1024L)
+
+    // time travel still sees the pre-zorder snapshot
+    assert(t.readVersion(0).count() == 1024L)
+  }
+
+  test("zorder guards: needs two columns, flat layout only; checkpoint carries multi-col stats") {
+    val t = newTable()
+    t.append(kv((1L, "a", 1.0, 10L)), tsMillis = 100L)
+    intercept[IllegalArgumentException](t.zorder(Seq("k")))
+
+    // checkpoints fire every 10 commits; stats on (k, ts) must survive one
+    val t2 = newTable()
+    for (i <- 0 until 9)
+      t2.append(kv((i.toLong, "a", i.toDouble, i.toLong * 100)), tsMillis = 100L + i,
+        statsCols = Seq("k", "ts"))
+    t2.compact(target = 1, tsMillis = 500L) // 10th commit -> checkpoint
+    assert(t2.version() == 9L)
+    assert(t2.readWhere("k", 100.0, 200.0).count() == 0L, "k stats live past the checkpoint")
+    assert(t2.readWhere("ts", 1e7, 2e7).count() == 0L, "ts stats live past the checkpoint")
+    assert(t2.read().count() == 9L)
+  }
 }
