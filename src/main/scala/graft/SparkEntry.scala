@@ -850,6 +850,23 @@ object SparkEntry {
           Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.3).localCheckpoint())
       .orderBy("doc_id")
 
+  /** G1 — SemDeDup: semantic dedup bounded by the PERSISTED quantizer's
+    * cells (cluster-then-dedup-within-clusters): within-cell exact pairs →
+    * connected components → canonical clusters. Rows-only: the cell
+    * assignment is engine-internal; SemDedupSpec pins precision 1.0 and
+    * recall vs the exact pairs.
+    */
+  private def g1Semdedup(s: SparkSession, dir: String): DataFrame = {
+    val idx = annIndexDir(s, dir)
+    Dedup
+      .connectedComponents(
+        Similarity.semanticDedupPairs(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          AnnIndex.loadEncoded(s, idx).select(col("vec_id"), col("__cell")),
+          "__cell", threshold = 0.3).localCheckpoint())
+      .orderBy("doc_id")
+  }
+
   /** Build-once persisted ANN index for the embeddings corpus (AnnIndex),
     * keyed by a content signature so regenerated test data can never serve
     * a stale index — the one map-only signature scan is the price of that
@@ -1492,6 +1509,7 @@ object SparkEntry {
     "g1_embedding_dups"  -> (g1EmbeddingDups _),
     "g1_embedding_dups_lsh" -> (g1EmbeddingDupsLsh _),
     "g1_embedding_resolve" -> (g1EmbeddingResolve _),
+    "g1_semdedup"        -> (g1Semdedup _),
     "g2_cosine_topk"     -> (g2CosineTopk _),
     "g2_cosine_topk_agg" -> (g2CosineTopkAgg _),
     "g2_cosine_threshold" -> (g2CosineThreshold _),

@@ -165,6 +165,43 @@ object Similarity {
         epsRound(col("__sim"), 4).as("cosine"))
   }
 
+  /** SemDeDup-style cluster-bounded near-dup pairs: candidates are pairs
+    * sharing an IVF coarse cell (from the persisted index's encoded table),
+    * each verified with the exact cosine — the published SemDeDup recipe
+    * (k-means cluster the embeddings, then dedup WITHIN clusters). The
+    * within-cell self-join is an equi-join on the cell id, so the cost is
+    * Σ|cell|² ≈ n²/nCells dot products in bounded per-cell blocks, not the
+    * corpus-wide Θ(n²) of [[cosineDupPairs]] — at 100 TB, nCells scales
+    * with the corpus and this stays tractable. Precision 1.0 (every
+    * emitted pair is exact-verified); recall misses only cross-cell pairs,
+    * pinned by the spec against the exact anchor.
+    *
+    * @param cells `(id, cell)` assignment, e.g.
+    *   `AnnIndex.loadEncoded(...).select(idCol, "__cell")` — reusing the
+    *   quantizer the ANN queries already persist.
+    */
+  def semanticDedupPairs(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cells: DataFrame,
+      cellCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val v = withNorm(vectors.select(col(idCol), col(vecCol)), vecCol, "__n")
+      .join(cells.select(col(idCol), col(cellCol).as("__cell")), Seq(idCol))
+    val a = v.select(col("__cell"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = v.select(col("__cell"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"), col("__n").as("__nb"))
+    a.join(b, Seq("__cell"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("__sim",
+        VectorExpressions.vecDot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .where(col("__sim") >= threshold)
+      .select(col("id_a"), col("id_b"), epsRound(col("__sim"), 4).as("cosine"))
+  }
+
   /** Approximate near-dup pairs via hyperplane-LSH candidate generation +
     * exact cosine verification: candidates = pairs sharing a bucket in any
     * table (equi-join), each verified with the true dot product, so

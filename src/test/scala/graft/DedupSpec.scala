@@ -210,6 +210,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("semanticDedupPairs: within-cell pairs are exact (precision 1), cross-cell pairs are the only misses") {
+    // two tight clusters + one orphan; cells assign cluster A to cell 0,
+    // cluster B to cell 1 — except member 22, mis-assigned to cell 0 to
+    // model quantizer error (its pair with 21 becomes a cross-cell miss)
+    val emb = Seq(
+      (11L, Seq(1.0f, 0.0f)), (12L, Seq(0.99f, 0.05f)),
+      (21L, Seq(0.0f, 1.0f)), (22L, Seq(0.05f, 0.99f)),
+      (99L, Seq(0.7f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val cells = Seq((11L, 0), (12L, 0), (21L, 1), (22L, 0), (99L, 2))
+      .toDF("vec_id", "__cell")
+    val got = Similarity.semanticDedupPairs(emb, "vec_id", "embedding", cells, "__cell", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.cosineDupPairs(emb, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), "every emitted pair must be exact-verified (precision 1)")
+    assert(got == Set((11L, 12L)), "within-cell pair found")
+    assert((exact -- got) == Set((21L, 22L)), "only the mis-binned cross-cell pair is missed")
+  }
+
   test("cosineTopK ranks the planted nearest neighbor first") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
