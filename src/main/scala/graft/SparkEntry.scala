@@ -356,6 +356,36 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** B5 — CSV source: the corpus round-trips through CSV (header row,
+    * explicit read schema so there is no inference job) and aggregates per
+    * source. The oracle recomputes from the parquet table — any
+    * quoting/escaping/parsing drift in the CSV path breaks the hash.
+    */
+  private def b5CsvIngest(s: SparkSession, dir: String): DataFrame = {
+    val sig = Tables.documents(s, dir)
+      .agg(bit_xor(xxhash64(col("doc_id"), col("text"), col("lang"), col("source"))), count(lit(1)))
+      .collect().head.toSeq.mkString("_")
+    val fixture = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_csv_${java.lang.Integer.toHexString((dir + sig).hashCode)}")
+    if (!java.nio.file.Files.exists(fixture.resolve("_SUCCESS")))
+      Tables.documents(s, dir)
+        .select("doc_id", "text", "lang", "source")
+        .coalesce(2)
+        .write.mode("overwrite").option("header", "true").csv(fixture.toString)
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING")
+      .option("header", "true")
+      .csv(fixture.toString)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(Fns.tokenCount(col("text"))).cast("long").as("sum_tokens"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy("source")
+  }
+
   /** B4 — referential-integrity anti-join: customers with no events. */
   private def b4OrphanCheck(s: SparkSession, dir: String): DataFrame =
     Validation
@@ -1457,6 +1487,19 @@ object SparkEntry {
   // contract maps
   // ======================================================================
 
+  /** Build the persisted indexes (ANN quantizer/codebooks/encoded corpus,
+    * dedup bucket table) for a fixture directory if absent. The declared
+    * queries load these; a deployment builds them ONCE offline — callers
+    * that measure query latency (Bench) invoke this in untimed warm-up so
+    * the one-time build cost isn't billed to whichever query runs first.
+    * Idempotent and cheap when the index already exists (cache + _SUCCESS
+    * check).
+    */
+  def prepareIndexes(s: SparkSession, dir: String): Unit = {
+    annIndexDir(s, dir)
+    dedupIndexDir(s, dir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_asof_lookup"     -> (a1AsOfLookup _),
     "a2_latest_per_key"  -> (a2LatestPerKey _),
@@ -1474,6 +1517,7 @@ object SparkEntry {
     "b5_jsonl_ingest"    -> (b5JsonlIngest _),
     "b5_tx_partitioned"  -> (b5TxPartitioned _),
     "b5_tx_zorder"       -> (b5TxZorder _),
+    "b5_csv_ingest"      -> (b5CsvIngest _),
     "b4_orphan_check"    -> (b4OrphanCheck _),
     "c1_filter_project"  -> (c1FilterProject _),
     "c3_explicit_nulls"  -> (c3ExplicitNulls _),
@@ -1682,6 +1726,11 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value, ts FROM events
         |WHERE user_id BETWEEN 100 AND 160 AND value BETWEEN 10.0 AND 40.0
         |ORDER BY event_id""".stripMargin,
+    "b5_csv_ingest" ->
+      """SELECT source, count(*) AS n_docs,
+        |       sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS sum_tokens,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "b4_orphan_check" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)

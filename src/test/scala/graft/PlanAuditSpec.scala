@@ -77,6 +77,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"shuffle in domainMix:\n$plan")
   }
 
+  test("no declared query plans an UNPARTITIONED window (one-task global sort)") {
+    // ntile/rank over Window.orderBy with no partitionBy collapses the
+    // whole table into one task — h7_ntile exists to do this right
+    // (prefix-sum global rank); this guard keeps every query honest
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      val bad = fn(spark, dir).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unpartitioned windows in: ${offenders.mkString(", ")}")
+  }
+
+  test("g3_bm25 top-k is a TakeOrdered, not a global sort; df/stats join by broadcast") {
+    val plan = SparkEntry.queries("g3_bm25")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"limit+orderBy not TakeOrdered:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"tiny df/stats frames must broadcast:\n$plan")
+  }
+
   test("every query with an oracle is actually declared (and vice versa)") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
