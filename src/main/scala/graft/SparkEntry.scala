@@ -66,6 +66,29 @@ object SparkEntry {
       .orderBy("purchase_id")
   }
 
+  /** A3 — tolerance-bounded PIT join: a click older than one hour before
+    * the purchase is no match (payload nulls). Max-staleness semantics at
+    * join time; same one-shuffle LOCF plan.
+    */
+  private def a3PitJoinTol(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val spine = ev
+      .where(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    val facts = ev
+      .where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value").as("click_value"))
+    AsOfJoin
+      .locfBounded(spine, facts, Seq("user_id"), "purchase_ts", "ts", Seq("click_value"),
+        "event_id", toleranceSec = 3600L)
+      .withColumnRenamed("ts__timestamp", "click_ts")
+      .orderBy("purchase_id")
+  }
+
   /** A3 via the custom merge-scan physical operator (AsOfJoinExec) — same
     * semantics and oracle as a3_pit_join, different physical plan.
     */
@@ -536,6 +559,20 @@ object SparkEntry {
         Fns.epsRound(corr(col("l_discount"), col("l_extendedprice")), 4).as("disc_price_corr"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
+
+  /** E8 — feature scaling: per-event-type z-score + min-max normalization
+    * (stats = one group-keyed partial-agg shuffle broadcast back; the
+    * transform is map-only).
+    */
+  private def e8Standardize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("event_id", "event_type", "value")
+    Scaling.minMax(
+        Scaling.standardize(ev, "value", Seq("event_type"), "z"),
+        "value", Seq("event_type"), "mm")
+      .select(col("event_id"), col("event_type"), col("value"),
+        Scaling.rounded("z"), Scaling.rounded("mm"))
+      .orderBy("event_id")
+  }
 
   /** E6 — EAV -> wide feature-vector pivot (bounded by explicit names). */
   private def e6PivotVector(s: SparkSession, dir: String): DataFrame =
@@ -1329,6 +1366,52 @@ object SparkEntry {
     t.read().select(cols.map(col): _*).orderBy("user_id", "event_type")
   }
 
+  /** G4 streaming #5 — on-arrival point-in-time enrichment: purchase spine
+    * rows arrive as a stream (two micro-batches); each batch runs the same
+    * one-shuffle LOCF as `a3_pit_join` against the STATIC click history and
+    * appends to a TxTable. Batching cannot change the answer — every spine
+    * row enriches independently against static facts — so the batch as-of
+    * join is an exact oracle, certifying stream-side PIT enrichment (EP2's
+    * online form) end-to-end through the lakehouse write path.
+    */
+  private def g4AsofStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streaming
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = Tables.events(s, dir)
+    val facts = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value").as("click_value"))
+    val spineRows = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Streaming.EventRow].collect()
+    val (evenBatch, oddBatch) = spineRows.partition(_.event_id % 2 == 0)
+    val outCols = Seq("user_id", "purchase_id", "purchase_ts", "purchase_value",
+      "click_value", "click_ts")
+    val t = graft.sources.TxTable(
+      s, java.nio.file.Files.createTempDirectory("graft_tx_g4asof").toString)
+    val ms = MemoryStream[Streaming.EventRow]
+    withShufflePartitions(s, 8) {
+      val q = ms.toDS().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streaming.EventRow], id: Long) =>
+          val spine = batch.toDF()
+            .select(col("user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+          val enriched = AsOfJoin
+            .locf(spine, facts, Seq("user_id"), "purchase_ts", "ts",
+              Seq("click_value"), "event_id")
+            .withColumnRenamed("ts__timestamp", "click_ts")
+          t.append(enriched.select(outCols.map(col): _*), tsMillis = 1000L + id)
+          ()
+        }
+        .start()
+      ms.addData(evenBatch.toSeq); q.processAllAvailable()
+      ms.addData(oddBatch.toSeq);  q.processAllAvailable()
+      q.stop()
+    }
+    t.read().select(outCols.map(col): _*).orderBy("purchase_id")
+  }
+
   /** G4 streaming #4 — on-ingest benchmark decontamination: the corpus
     * half of `documents` replayed through MemoryStream in two micro-
     * batches, flagged against the STATIC benchmark half by a stream-static
@@ -1506,6 +1589,7 @@ object SparkEntry {
     "a3_pit_join"        -> (a3PitJoin _),
     "a3_pit_join_native" -> (a3PitJoinNative _),
     "a3_pit_join_salted" -> (a3PitJoinSalted _),
+    "a3_pit_join_tol"    -> (a3PitJoinTol _),
     "a4_freshness"       -> (a4Freshness _),
     "a6_bitemporal"      -> (a6Bitemporal _),
     "a7_interval_join"   -> (a7IntervalJoin _),
@@ -1527,6 +1611,7 @@ object SparkEntry {
     "e23_quantiles"      -> (e23Quantiles _),
     "e4_counters"        -> (e4Counters _),
     "e7_corr"            -> (e7Corr _),
+    "e8_standardize"     -> (e8Standardize _),
     "e6_pivot_vector"    -> (e6PivotVector _),
     "f2_idgen"           -> (f2IdGen _),
     "q1_lineitem_agg"    -> (q1LineitemAgg _),
@@ -1534,6 +1619,7 @@ object SparkEntry {
     "b3_audit_table"     -> (b3AuditTable _),
     "g4_tx_sink"         -> (g4TxSink _),
     "g4_decontam_stream" -> (g4DecontamStream _),
+    "g4_asof_stream"     -> (g4AsofStream _),
     "d1_rbac_roles"      -> (d1RbacRoles _),
     "g1_dedup_exact"     -> (g1DedupExact _),
     "g1_jaccard_pairs"   -> (g1JaccardPairs _),
@@ -1613,6 +1699,34 @@ object SparkEntry {
         |         f.value AS click_value, f.ts AS click_ts,
         |         row_number() OVER (PARTITION BY s.purchase_id ORDER BY f.ts DESC, f.event_id DESC) AS rn
         |  FROM spine s LEFT JOIN facts f ON f.user_id = s.user_id AND f.ts <= s.purchase_ts)
+        |SELECT user_id, purchase_id, purchase_ts, purchase_value, click_value, click_ts
+        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+    "g4_asof_stream" ->
+      """WITH spine AS (
+        |  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |facts AS (
+        |  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT s.user_id, s.purchase_id, s.purchase_ts, s.purchase_value,
+        |         f.value AS click_value, f.ts AS click_ts,
+        |         row_number() OVER (PARTITION BY s.purchase_id ORDER BY f.ts DESC, f.event_id DESC) AS rn
+        |  FROM spine s LEFT JOIN facts f ON f.user_id = s.user_id AND f.ts <= s.purchase_ts)
+        |SELECT user_id, purchase_id, purchase_ts, purchase_value, click_value, click_ts
+        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+    "a3_pit_join_tol" ->
+      """WITH spine AS (
+        |  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |facts AS (
+        |  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT s.user_id, s.purchase_id, s.purchase_ts, s.purchase_value,
+        |         f.value AS click_value, f.ts AS click_ts,
+        |         row_number() OVER (PARTITION BY s.purchase_id ORDER BY f.ts DESC, f.event_id DESC) AS rn
+        |  FROM spine s LEFT JOIN facts f
+        |    ON f.user_id = s.user_id AND f.ts <= s.purchase_ts
+        |   AND f.ts >= s.purchase_ts - INTERVAL 1 HOUR)
         |SELECT user_id, purchase_id, purchase_ts, purchase_value, click_value, click_ts
         |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
     "a3_pit_join_native" ->
@@ -2269,6 +2383,18 @@ object SparkEntry {
         |       round(max(l_extendedprice), 2) AS hi,
         |       round(avg(l_extendedprice) + 1e-9, 2) AS avg_price
         |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+    "e8_standardize" ->
+      """WITH st AS (
+        |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd,
+        |         min(value) AS mn, max(value) AS mx
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       round(CASE WHEN sd > 0 THEN (e.value - mu) / sd
+        |                  WHEN e.value IS NOT NULL THEN 0.0 END + 1e-9, 4) AS z,
+        |       round(CASE WHEN mx > mn THEN (e.value - mn) / (mx - mn)
+        |                  WHEN e.value IS NOT NULL THEN 0.0 END + 1e-9, 4) AS mm
+        |FROM events e JOIN st USING (event_type)
+        |ORDER BY event_id""".stripMargin,
     "e7_corr" ->
       """SELECT l_returnflag,
         |       round(corr(l_quantity, l_extendedprice) + 1e-9, 4) AS qty_price_corr,

@@ -93,6 +93,41 @@ object AsOfJoin {
     )
   }
 
+  /** Tolerance-bounded point-in-time join (pandas `merge_asof(tolerance=)`,
+    * kdb+ `wj`'s window lower bound): like [[locf]], but a matched fact
+    * OLDER than `toleranceSec` before the spine timestamp counts as no
+    * match — the payload (and match timestamp) come back null. This is the
+    * feature store's max-staleness read: serving a week-old vital sign is
+    * worse than serving none (the reference's freshness tiers, A4, applied
+    * at join time instead of after).
+    *
+    * Masking after the one-shuffle LOCF is exactly equivalent to bounding
+    * the join window: the as-of match is the LATEST fact ≤ ts, so if it
+    * falls outside the tolerance every earlier fact does too. Zero extra
+    * shuffles over [[locf]].
+    */
+  def locfBounded(
+      spine: DataFrame,
+      facts: DataFrame,
+      keyCols: Seq[String],
+      spineTs: String,
+      factTs: String,
+      payloadCols: Seq[String],
+      tieCol: String,
+      toleranceSec: Long,
+      outSuffix: String = ""
+  ): DataFrame = {
+    require(toleranceSec >= 0, s"tolerance must be non-negative, got $toleranceSec")
+    val joined = locf(spine, facts, keyCols, spineTs, factTs, payloadCols, tieCol, outSuffix)
+    val matchTs = factTs + outSuffix + "__timestamp"
+    val inWindow = col(matchTs).isNotNull &&
+      col(matchTs) >= col(spineTs).cast("timestamp") - expr(s"INTERVAL $toleranceSec SECOND")
+    val masked = (payloadCols.map(_ + outSuffix) :+ matchTs).foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(inWindow, col(c)))
+    }
+    masked
+  }
+
   /** Skew-mitigated LOCF: a hot entity puts its whole history into ONE
     * window task in [[locf]] (and one merge task in [[native]]). Salting
     * restores parallelism: spine rows scatter across `saltBuckets`

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns
+
+/** Feature scaling for training pipelines: per-group z-score
+  * standardization and min-max normalization — the last transform before
+  * features feed a model. Scale shape: the stats frame is ONE partial-agg
+  * shuffle over the group keys (rows ∝ groups, not data), broadcast back,
+  * and the transform itself is map-only — 100 TB standardizes in a single
+  * pass.
+  */
+object Scaling {
+
+  /** Append `{outCol}` = (value − μ_group) / σ_group (sample stddev).
+    * A constant group (σ = 0) scales to 0, not NaN; null values stay null.
+    */
+  def standardize(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      outCol: String = "z"): DataFrame = {
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(avg(col(valueCol)).as("__mu"), stddev_samp(col(valueCol)).as("__sd"))
+    df.join(broadcast(stats), groupCols)
+      .withColumn(outCol,
+        when(col("__sd") > 0, (col(valueCol) - col("__mu")) / col("__sd"))
+          .otherwise(when(col(valueCol).isNotNull, lit(0.0))))
+      .drop("__mu", "__sd")
+  }
+
+  /** Append `{outCol}` = (value − min_group) / (max_group − min_group) in
+    * [0, 1]; a constant group maps to 0, nulls stay null.
+    */
+  def minMax(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      outCol: String = "mm"): DataFrame = {
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
+    df.join(broadcast(stats), groupCols)
+      .withColumn(outCol,
+        when(col("__mx") > col("__mn"), (col(valueCol) - col("__mn")) / (col("__mx") - col("__mn")))
+          .otherwise(when(col(valueCol).isNotNull, lit(0.0))))
+      .drop("__mn", "__mx")
+  }
+
+  /** Oracle-friendly rounded projection helper. */
+  def rounded(c: String, scale: Int = 4) = Fns.epsRound(col(c), scale).as(c)
+}

@@ -136,6 +136,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("locfBounded: stale matches null out, in-window matches identical to locf") {
+    // tolerance 4 days: s1 matches the 01-05 fact (0s old, kept); s2's
+    // match is the 01-01 fact (1 day old, kept); with tolerance 0 only
+    // exact-timestamp matches survive
+    val wide = AsOfJoin.locfBounded(spine, facts, Seq("k"), "sts", "fts", Seq("v"), "tie",
+      toleranceSec = 4L * 86400)
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(wide("s1").contains(30.0) && wide("s2").contains(10.0))
+    assert(wide("s3").isEmpty && wide("s4").isEmpty)
+
+    val tight = AsOfJoin.locfBounded(spine, facts, Seq("k"), "sts", "fts", Seq("v"), "tie",
+      toleranceSec = 0L)
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(tight("s1").contains(30.0), "an exactly-at-ts match is age 0, inside any tolerance")
+    assert(tight("s2").isEmpty, "a 1-day-old match must null out under tolerance 0")
+
+    // equivalence: bounded with a huge tolerance == plain locf
+    val loose = AsOfJoin.locfBounded(spine, facts, Seq("k"), "sts", "fts", Seq("v"), "tie",
+      toleranceSec = 365L * 86400)
+      .select("tag", "v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(loose == run(AsOfJoin.locf))
+  }
+
   test("spine passthrough columns and timestamp column survive") {
     val out = AsOfJoin.locf(spine, facts, Seq("k"), "sts", "fts", Seq("v"), "tie")
     assert(out.columns.toSeq == Seq("k", "sts", "tag", "v", "fts__timestamp"))

@@ -165,6 +165,21 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(m("orth")) < 1e-12)
   }
 
+  test("Scaling: z-score and min-max per group; constant group -> 0, nulls stay null") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)), ("a", None),
+      ("c", Some(7.0)), ("c", Some(7.0)) // constant group
+    ).toDF("g", "v")
+    val out = Scaling.minMax(Scaling.standardize(df, "v", Seq("g"), "z"), "v", Seq("g"), "mm")
+      .collect().map(r => (r.getString(0), Option(r.get(1))) ->
+        (Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out(("a", Some(2.0))) == ((Some(0.0), Some(0.5)))) // mean of 1,2,3; mid of range
+    assert(out(("a", None)) == ((None, None)), "null value scales to null")
+    assert(out(("c", Some(7.0))) == ((Some(0.0), Some(0.0))), "constant group -> 0, not NaN")
+    val za = out(("a", Some(3.0)))._1.get.asInstanceOf[Double]
+    assert(math.abs(za - 1.0) < 1e-12) // (3-2)/stddev_samp(1,2,3)=1.0
+  }
+
   test("Rank: distributed ntile matches Spark's single-task NTILE window; rank is dense 1..n") {
     val df = (1 to 23).map(i => (i.toLong, (i * 7 % 23).toLong)).toDF("id", "v")
     val sortCols = Seq(col("v"), col("id"))
