@@ -547,6 +547,24 @@ object SparkEntry {
         Fns.epsRound(count_if(col("event_type") === "error") / count(lit(1)).cast("double"), 4).as("error_rate"))
       .orderBy("user_id")
 
+  /** E9 — event-TIME sliding window (RANGE frame): per user, the trailing
+    * one-hour mean/count at each event — the time-decayed feature shape
+    * (contrast e2's ROWS frame: a range frame weights by wall-clock, not
+    * row count). One shuffle on the user key; the frame sort is
+    * partition-local.
+    */
+  private def e9TimeWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("ts").cast("long"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(s, dir)
+      .withColumn("avg_1h", Fns.epsRound(avg(col("value")).over(w), 4))
+      .withColumn("n_1h", count(col("value")).over(w))
+      .select("event_id", "user_id", "avg_1h", "n_1h")
+      .orderBy("event_id")
+  }
+
   /** E7 — per-group correlation analytics: Pearson corr between fact
     * measures (drift/QA checks over feature distributions). Algebraic
     * aggregates — one shuffle with map-side partial moments.
@@ -792,6 +810,23 @@ object SparkEntry {
     TextAnalysis.unigramLogProb(Tables.documents(s, dir), idCol = "doc_id",
       textCol = "text")
       .orderBy("doc_id")
+
+  /** G3 — corpus bigram statistics: top-20 adjacent token pairs (the LM
+    * next-token table's first column). Map-only pair generation fused into
+    * the scan; one gram-keyed partial-agg shuffle; top-k via TakeOrdered.
+    */
+  private def g3Bigrams(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(TextAnalysis.tokens(col("text")).as("__t"))
+      .select(explode(expr(
+        // pair token i with token i+1 (element_at is 1-based; transform's
+        // i is 0-based over the first n-1 tokens)
+        """transform(slice(__t, 1, greatest(size(__t) - 1, 0)),
+          |  (w, i) -> struct(w as w1, element_at(__t, i + 2) as w2))""".stripMargin)).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(20)
 
   /** G1 — MinHash-LSH candidates, exact-verified (rows-only check: banding
     * recall at s=0.3 with b=24,r=2 is ~0.90, so no exact SQL oracle).
@@ -1116,6 +1151,20 @@ object SparkEntry {
         pctBySource = Map("src0" -> 80, "src1" -> 50, "src2" -> 25, "src3" -> 10))
       .select("doc_id", "source")
       .orderBy("doc_id")
+
+  /** H — temperature-scaled language rebalancing (T=2): the multilingual
+    * mixing rule, realized by downsampling with the smallest language kept
+    * whole. Counted per (lang, split) to show composability with h5_split.
+    */
+  private def h8TemperatureMix(s: SparkSession, dir: String): DataFrame =
+    Sampling
+      .withSplit(
+        Sampling.temperatureMix(Tables.documents(s, dir), groupCol = "lang",
+          idCol = "doc_id", temperature = 2.0),
+        "doc_id")
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "split")
 
   /** H — equi-depth decile histogram of a fact measure via the DISTRIBUTED
     * global rank (range repartition + prefix-sum offsets), never Spark's
@@ -1672,6 +1721,9 @@ object SparkEntry {
     "h5_split"           -> (h5SplitCounts _),
     "h6_domain_mix"      -> (h6DomainMix _),
     "h7_ntile"           -> (h7Ntile _),
+    "h8_temperature_mix" -> (h8TemperatureMix _),
+    "e9_time_window"     -> (e9TimeWindow _),
+    "g3_bigrams"         -> (g3Bigrams _),
     "g3_stratified_topk" -> (g3StratifiedTopk _),
     "g3_vocab"           -> (g3Vocab _),
     "g3_vocab_approx"    -> (g3VocabApprox _),
@@ -2373,6 +2425,37 @@ object SparkEntry {
         |      CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50
         |                  WHEN 'src2' THEN 25 WHEN 'src3' THEN 10 ELSE -1 END
         |ORDER BY doc_id""".stripMargin,
+    "h8_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+        |m AS (SELECT min(n) AS nmin FROM c),
+        |r AS (SELECT lang,
+        |        CAST(floor(100.0 * pow(n / nmin, 1.0 / 2.0 - 1.0) + 0.5 + 1e-9) AS BIGINT) AS pct
+        |      FROM c, m),
+        |kept AS (
+        |  SELECT d.doc_id, d.lang,
+        |         ((d.doc_id % 2147483648) * 2654435761 % 2147483648) // 21474837 AS bucket
+        |  FROM documents d JOIN r USING (lang)
+        |  WHERE ((d.doc_id % 2147483648) * 2654435761 % 2147483648) // 21474837 < r.pct)
+        |SELECT lang,
+        |       CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS n
+        |FROM kept GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+    "e9_time_window" ->
+      """SELECT event_id, user_id,
+        |       round(avg(value) OVER w + 1e-9, 4) AS avg_1h,
+        |       count(value) OVER w AS n_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "g3_bigrams" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |bg AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i))
+        |SELECT w1, w2, count(*) AS n
+        |FROM bg GROUP BY w1, w2
+        |ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin,
     "h7_ntile" ->
       """WITH d AS (
         |  SELECT l_extendedprice,

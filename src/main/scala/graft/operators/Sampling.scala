@@ -66,6 +66,32 @@ object Sampling {
     df.where(hashBucket(idCol) < pct)
   }
 
+  /** Temperature-scaled group rebalancing (the multilingual-corpus mixing
+    * rule of mBERT/XLM-R: sample languages ∝ p^(1/T)): downsample each
+    * group so the kept distribution approaches p^(1/T) renormalized, with
+    * the SMALLEST group kept at 100% (pure downsampling, no duplication).
+    * keep(g) = (n_g / n_min)^(1/T − 1) — T=1 keeps everything (natural
+    * proportions need no rebalancing), larger T flattens toward uniform.
+    *
+    * Group counts are one tiny agg (rows ∝ groups) collected to the driver
+    * and folded into [[domainMix]]'s literal-CASE integer percents (floor
+    * x+0.5 with an epsilon, so the SQL oracle reproduces the thresholds
+    * digit-for-digit); the row filter is the same map-only deterministic
+    * id hash. Two passes over the data, zero shuffles of it.
+    */
+  def temperatureMix(df: DataFrame, groupCol: String, idCol: String,
+      temperature: Double): DataFrame = {
+    require(temperature >= 1.0, s"temperature must be >= 1 (downsampling-only), got $temperature")
+    val counts = df.groupBy(groupCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureMix on an empty frame")
+    val nMin = counts.values.min.toDouble
+    val pctByGroup = counts.map { case (g, n) =>
+      g -> math.floor(100.0 * math.pow(n / nMin, 1.0 / temperature - 1.0) + 0.5 + 1e-9).toInt
+    }
+    domainMix(df, groupCol, idCol, pctByGroup)
+  }
+
   /** Stratified top-k: the k best rows per stratum by a score column
     * (quality-filtered corpus assembly: "keep the best N documents per
     * language"). One shuffle on the stratum key; the window's rank is

@@ -165,6 +165,19 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(m("orth")) < 1e-12)
   }
 
+  test("temperatureMix: smallest group kept whole; larger groups keep (n/nmin)^(1/T-1)") {
+    val df = ((0 until 100).map(i => (i.toLong, "rare")) ++
+      (100 until 500).map(i => (i.toLong, "big"))).toDF("doc_id", "lang")
+    val kept = Sampling.temperatureMix(df, "lang", "doc_id", temperature = 2.0)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("rare") == 100L, "smallest group is never downsampled")
+    // big keeps (400/100)^(1/2-1) = 50%: exactly the rows domainMix@50 keeps
+    val expected = Sampling.domainMix(df.where($"lang" === "big"), "lang", "doc_id",
+      Map("big" -> 50)).count()
+    assert(kept("big") == expected)
+    assert(kept("big") < 300L, "T=2 must cut the 4x group to ~half")
+  }
+
   test("Scaling: z-score and min-max per group; constant group -> 0, nulls stay null") {
     val df = Seq(
       ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)), ("a", None),
