@@ -320,6 +320,27 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** B2 — copy-on-write DELETE on the transactional table: purge specific
+    * users' rows (the right-to-be-forgotten request) plus a predicate
+    * class, in one atomic commit that rewrites only the files containing
+    * matches. Declared result = the post-delete snapshot; oracle = the
+    * complement filter, certifying the delete removed exactly the matching
+    * rows and nothing else.
+    */
+  private def b2DeleteTx(s: SparkSession, dir: String): DataFrame = withShufflePartitions(s, 8) {
+    import graft.sources.TxTable
+    val ev = Tables.events(s, dir)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    val t = TxTable(s, java.nio.file.Files.createTempDirectory("graft_tx_del").toString)
+    // two appends -> multiple files, so the rewrite-only-affected path runs
+    t.append(ev.where(col("event_id") % 2 === 0), tsMillis = 1000L)
+    t.append(ev.where(col("event_id") % 2 === 1), tsMillis = 2000L)
+    t.delete(col("user_id") < 10 || col("event_type") === "error", tsMillis = 3000L)
+    t.read()
+      .select("event_id", "user_id", "event_type", "value", "ts")
+      .orderBy("event_id")
+  }
+
   /** B5 — Z-ORDER clustered TxTable (multi-dimensional data skipping):
     * events land flat, a `zorder(user_id, value)` rewrite clusters them on
     * the interleaved-bit curve and records per-file min/max on BOTH
@@ -406,6 +427,34 @@ object SparkEntry {
         sum(Fns.tokenCount(col("text"))).cast("long").as("sum_tokens"),
         min(col("doc_id")).as("min_id"),
         max(col("doc_id")).as("max_id"))
+      .orderBy("source")
+  }
+
+  /** B5 — ORC source: same round-trip contract as CSV/JSONL through the
+    * other columnar format Spark ships natively (predicate pushdown and
+    * column pruning work the same as parquet). Oracle recomputes from
+    * parquet; different aggregate so the three source queries don't alias.
+    */
+  private def b5OrcIngest(s: SparkSession, dir: String): DataFrame = {
+    val sig = Tables.documents(s, dir)
+      .agg(bit_xor(xxhash64(col("doc_id"), col("text"), col("lang"), col("source"))), count(lit(1)))
+      .collect().head.toSeq.mkString("_")
+    val fixture = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_orc_${java.lang.Integer.toHexString((dir + sig).hashCode)}")
+    if (!java.nio.file.Files.exists(fixture.resolve("_SUCCESS")))
+      Tables.documents(s, dir)
+        .select("doc_id", "text", "lang", "source")
+        .coalesce(2)
+        .write.mode("overwrite").orc(fixture.toString)
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING")
+      .orc(fixture.toString)
+      .where(col("lang") === "en") // pushdown-eligible predicate on the ORC scan
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("sum_chars"),
+        countDistinct(col("doc_id")).as("n_ids"))
       .orderBy("source")
   }
 
@@ -1650,7 +1699,9 @@ object SparkEntry {
     "b5_jsonl_ingest"    -> (b5JsonlIngest _),
     "b5_tx_partitioned"  -> (b5TxPartitioned _),
     "b5_tx_zorder"       -> (b5TxZorder _),
+    "b2_delete_tx"       -> (b2DeleteTx _),
     "b5_csv_ingest"      -> (b5CsvIngest _),
+    "b5_orc_ingest"      -> (b5OrcIngest _),
     "b4_orphan_check"    -> (b4OrphanCheck _),
     "c1_filter_project"  -> (c1FilterProject _),
     "c3_explicit_nulls"  -> (c3ExplicitNulls _),
@@ -1892,6 +1943,16 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value, ts FROM events
         |WHERE user_id BETWEEN 100 AND 160 AND value BETWEEN 10.0 AND 40.0
         |ORDER BY event_id""".stripMargin,
+    "b2_delete_tx" ->
+      """SELECT event_id, user_id, event_type, value, ts FROM events
+        |WHERE NOT (user_id < 10 OR event_type = 'error')
+        |ORDER BY event_id""".stripMargin,
+    "b5_orc_ingest" ->
+      """SELECT source, count(*) AS n_docs,
+        |       sum(length(text))::BIGINT AS sum_chars,
+        |       count(DISTINCT doc_id) AS n_ids
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
     "b5_csv_ingest" ->
       """SELECT source, count(*) AS n_docs,
         |       sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS sum_tokens,

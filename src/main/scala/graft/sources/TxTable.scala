@@ -603,6 +603,42 @@ class TxTable(val spark: SparkSession, val root: String) {
       validate = () => latestVersion() == baseVersion)
   }
 
+  /** Copy-on-write DELETE (Delta's `DELETE WHERE`; the right-to-be-
+    * forgotten path a PHI-bearing store must have, per-row where retention
+    * enforcement is per-feature): only files that actually CONTAIN a
+    * matching row are rewritten — without the matching rows — in one
+    * atomic commit; untouched files stay untouched, and prior versions
+    * remain time-travelable until vacuum (point-in-time history is the
+    * bitemporal contract; physical erasure completes at vacuum, exactly
+    * like Delta).
+    *
+    * SQL null semantics: rows where the predicate is NULL are KEPT (DELETE
+    * removes only where the predicate is true). Same conflict rule as
+    * [[merge]]: ANY concurrent commit aborts — a racing append could land
+    * matching rows this delete never saw.
+    */
+  def delete(predicate: Column, tsMillis: Long = System.currentTimeMillis()): Long = {
+    val baseVersion = latestVersion()
+    val state = stateForVersion(Long.MaxValue)
+    val snap = readState(state).withColumn("__file", input_file_name())
+    val affected = snap.where(predicate)
+      .select(col("__file")).distinct()
+      .collect().map(r => fileNameOf(r.getString(0))).toSeq
+    if (affected.isEmpty) return version() // nothing matches: no-op, no commit
+
+    val survivors = spark.read.schema(readState(state).schema)
+      .option("basePath", dataDir.toString)
+      .parquet(affected.map(f => dataDir.resolve(f).toString): _*)
+      .where(!coalesce(predicate, lit(false)))
+
+    val layout = state.partCols
+    val newFiles = stageDataFiles(survivors, layout)
+    commitLoop("delete", newFiles, affected, tsMillis,
+      stats = computeStats(newFiles, activeStatsCols(state)),
+      partCols = layout,
+      validate = () => latestVersion() == baseVersion)
+  }
+
   /** Retrying merge: recomputes and retries when a concurrent commit
     * aborted the merge — the copy-on-write output is stale the moment
     * another commit lands, so the whole merge (snapshot read included)

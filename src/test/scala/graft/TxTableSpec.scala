@@ -285,6 +285,30 @@ class TxTableSpec extends SparkSpec {
     assert(flat.read().count() == 1L) // table still readable, nothing landed
   }
 
+  test("delete: removes exactly the matching rows, rewrites only affected files, keeps history") {
+    val t = newTable()
+    t.append(kv((1L, "a", 1.0, 10L), (2L, "a", 2.0, 20L)), tsMillis = 100L)
+    t.append(kv((3L, "b", 3.0, 30L), (4L, "b", 4.0, 40L)), tsMillis = 200L)
+    val v = t.delete($"k" === 1L, tsMillis = 300L)
+    assert(t.read().select("k").as[Long].collect().toSet == Set(2L, 3L, 4L))
+    // only the file(s) containing k=1 rewrote: the delete commit's remove
+    // set must be disjoint from the second append's add set
+    def actions(ver: Long, key: String): Set[String] =
+      Files.readAllLines(java.nio.file.Paths.get(t.root, "_txlog", f"$ver%020d.txt"))
+        .toArray.map(_.toString).filter(_.startsWith(s"$key=")).map(_.drop(key.length + 1)).toSet
+    assert(actions(v, "remove").intersect(actions(1L, "add")).isEmpty,
+      "delete rewrote a file with no matching rows")
+    // history: the pre-delete snapshot still shows the purged row
+    assert(t.readVersion(1).where($"k" === 1L).count() == 1L)
+    // null predicate rows are KEPT (SQL DELETE semantics)
+    t.append(kv((5L, null.asInstanceOf[String], 5.0, 50L)), tsMillis = 400L)
+    t.delete($"f" === "zzz", tsMillis = 500L) // null for k=5 row -> kept; matches nothing
+    assert(t.read().count() == 4L)
+    // deleting everything leaves a readable empty table
+    t.delete(lit(true), tsMillis = 600L)
+    assert(t.read().count() == 0L)
+  }
+
   test("zorder: content preserved bit-exact; both dimensions prune; stats survive compact") {
     val t = newTable()
     // 32x32 grid: k and ts are independent dimensions
