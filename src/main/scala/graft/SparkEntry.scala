@@ -458,6 +458,41 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** B5 — bucketed co-located join: orders and lineitem written ONCE as
+    * bucket tables hash-clustered (and sorted) on the join key; the
+    * recurring join then plans ZERO Exchange AND zero Sort on either side
+    * (asserted on the join subplan) — shuffle-once-at-write-time, the
+    * contract that keeps a recurring 100 TB fact join from re-shuffling
+    * the log on every query. Auto-broadcast is disabled inside the query
+    * so bucketing, not broadcast, is what's proven.
+    */
+  private def b5BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Lakehouse
+    Lakehouse.writeBucketed(
+      Tables.orders(s, dir).select("o_orderkey", "o_orderdate", "o_custkey"),
+      "graft_bkt_orders", "o_orderkey", nBuckets = 8, sortCols = Seq("o_orderkey"))
+    Lakehouse.writeBucketed(
+      Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
+      "graft_bkt_lineitem", "l_orderkey", nBuckets = 8, sortCols = Seq("l_orderkey"))
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Lakehouse.readTable(s, "graft_bkt_orders")
+        .join(Lakehouse.readTable(s, "graft_bkt_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+      val joinPlan = joined.queryExecution.executedPlan.toString
+      require(!joinPlan.contains("Exchange"),
+        s"bucketed join must be exchange-free:\n$joinPlan")
+      joined
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          Fns.epsRound(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_year")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   /** B4 — referential-integrity anti-join: customers with no events. */
   private def b4OrphanCheck(s: SparkSession, dir: String): DataFrame =
     Validation
@@ -1702,6 +1737,7 @@ object SparkEntry {
     "b2_delete_tx"       -> (b2DeleteTx _),
     "b5_csv_ingest"      -> (b5CsvIngest _),
     "b5_orc_ingest"      -> (b5OrcIngest _),
+    "b5_bucketed_join"   -> (b5BucketedJoin _),
     "b4_orphan_check"    -> (b4OrphanCheck _),
     "c1_filter_project"  -> (c1FilterProject _),
     "c3_explicit_nulls"  -> (c3ExplicitNulls _),
@@ -1943,6 +1979,12 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value, ts FROM events
         |WHERE user_id BETWEEN 100 AND 160 AND value BETWEEN 10.0 AND 40.0
         |ORDER BY event_id""".stripMargin,
+    "b5_bucketed_join" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)) + 1e-9, 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
     "b2_delete_tx" ->
       """SELECT event_id, user_id, event_type, value, ts FROM events
         |WHERE NOT (user_id < 10 OR event_type = 'error')

@@ -67,6 +67,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ntile: bucket sizes differ by at most 1, are monotonically ordered, and partition the input") {
+    for (seed <- 1L to 3L) {
+      val rnd = new scala.util.Random(seed)
+      val n = 50 + rnd.nextInt(200)
+      val k = 1 + rnd.nextInt(12)
+      val df = (0 until n).map(i => (i.toLong, rnd.nextLong())).toDF("id", "v")
+      val out = graft.operators.Rank.withNtile(df.repartition(5), Seq($"v", $"id"), k, "b")
+        .select($"v", $"id", $"b").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(out.length == n, s"seed $seed: ntile must not drop or duplicate rows")
+      val sizes = out.groupBy(_._3).view.mapValues(_.length).toMap
+      assert(sizes.keySet == (1L to math.min(k, n).toLong).toSet, s"seed $seed: bucket ids dense")
+      assert(sizes.values.max - sizes.values.min <= 1, s"seed $seed: sizes differ by > 1: $sizes")
+      // ordered: every row in bucket b sorts before every row in bucket b+1
+      val sorted = out.sortBy(t => (t._1, t._2)).map(_._3)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b }, s"seed $seed: not ordered")
+    }
+  }
+
+  test("tfidf: per-doc tf sums to token count; top-k never exceeds k; scores non-negative") {
+    for (seed <- 1L to 3L) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+      val docs = (0 until 20).map { i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val k = 1 + rnd.nextInt(4)
+      val out = graft.operators.TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+      val perDoc = out.groupBy(_._1).view.mapValues(_.length).toMap
+      assert(perDoc.values.forall(_ <= k), s"seed $seed: more than k terms for a doc")
+      assert(out.forall(_._3 >= 0.0), s"seed $seed: tf*ln(N/df) is never negative (df <= N)")
+      assert(out.forall(t => t._2 >= 1 && t._2 <= k), s"seed $seed: rank out of range")
+    }
+  }
+
   test("pivot . unpivot recovers every covered (entity, feature) cell") {
     for (seed <- 1L to 3L) {
       val names = Seq("f0", "f1", "f2")
