@@ -466,8 +466,26 @@ object SparkEntry {
     * the log on every query. Auto-broadcast is disabled inside the query
     * so bucketing, not broadcast, is what's proven.
     */
+  // saveAsTable(overwrite) only replaces a table the CURRENT session's
+  // catalog knows; a warehouse directory left by a previous JVM raises
+  // LOCATION_ALREADY_EXISTS — drop the catalog entry AND clear the stale
+  // location so the declared query is re-runnable from any session
+  private def resetBucketTable(s: SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+    val dir = java.nio.file.Paths.get(wh, name)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(dir)
+      try w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally w.close()
+    }
+  }
+
   private def b5BucketedJoin(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.Lakehouse
+    resetBucketTable(s, "graft_bkt_orders")
+    resetBucketTable(s, "graft_bkt_lineitem")
     Lakehouse.writeBucketed(
       Tables.orders(s, dir).select("o_orderkey", "o_orderdate", "o_custkey"),
       "graft_bkt_orders", "o_orderkey", nBuckets = 8, sortCols = Seq("o_orderkey"))
@@ -1369,6 +1387,24 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** G5 — image decode: real 24-bit BMP containers written by executors,
+    * ingested through binaryFile, header-decoded per partition — every
+    * field recomputed by the oracle from (doc_id, octet_length(text)).
+    */
+  private def g5ImageFeatures(s: SparkSession, dir: String): DataFrame = {
+    val bmpDir = Multimodal.writeBmpFixture(
+      Tables.documents(s, dir), "doc_id", "text", fixtureKey = dir)
+    val media = s.read.format("binaryFile").load(bmpDir)
+      .where(col("path").endsWith(".bmp"))
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bmp", 1).cast("long").as("media_id"),
+        col("content"))
+    Multimodal.decodeBmp(media).toDF()
+      .select(col("media_id").as("doc_id"), col("width"), col("height"),
+        col("n_pixels"), col("img_bytes"), col("file_bytes"))
+      .orderBy("doc_id")
+  }
+
   /** G4 streaming with a REAL oracle: the whole events table is replayed
     * through Structured Streaming in two micro-batches (split by event_id
     * parity, so almost every key's state must survive a batch boundary),
@@ -1791,6 +1827,7 @@ object SparkEntry {
     "g5_media_stats"     -> (g5MediaStats _),
     "g5_frame_sample"    -> (g5FrameSample _),
     "g5_media_features"  -> (g5MediaFeatures _),
+    "g5_image_features"  -> (g5ImageFeatures _),
     "g5_binary_ingest"   -> (g5BinaryIngest _),
     "q3_join_agg"        -> (q3JoinAgg _),
     "q5_region_revenue"  -> (q5RegionRevenue _),
@@ -2390,6 +2427,23 @@ object SparkEntry {
         |SELECT media_id, frame_idx, frame_idx * 10000 AS offset_ms,
         |       least(8, greatest(0, strlen(text) - frame_idx * 8))::BIGINT AS frame_len
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    "g5_image_features" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         4 + doc_id % 13 AS width,
+        |         (((4 + doc_id % 13) * 3 + 3) // 4) * 4 AS row_stride,
+        |         octet_length(encode(text)) AS olen
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |d AS (SELECT doc_id, width, row_stride,
+        |             greatest(1, least(olen // row_stride, 8)) AS height
+        |      FROM b)
+        |SELECT doc_id,
+        |       width::BIGINT AS width,
+        |       height::BIGINT AS height,
+        |       (width * height)::BIGINT AS n_pixels,
+        |       (row_stride * height)::BIGINT AS img_bytes,
+        |       (54 + row_stride * height)::BIGINT AS file_bytes
+        |FROM d ORDER BY doc_id""".stripMargin,
     "g5_media_features" ->
       """WITH w AS (
         |  SELECT doc_id,

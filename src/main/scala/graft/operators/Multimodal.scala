@@ -243,6 +243,115 @@ object Multimodal {
     }
   }
 
+  /** REAL codec for a second public container: Windows BMP with the
+    * 40-byte BITMAPINFOHEADER (public BMP file format, documented since
+    * Windows 3.0) — 24-bit uncompressed pixels, rows padded to 4-byte
+    * boundaries. Same contract as [[WavCodec]]: byte-exact writer,
+    * header-walking parser, dependency-free, every parsed field
+    * recomputable by the SQL oracle from (doc_id, text) alone.
+    *
+    * Fixture parameter derivation:
+    *   width      = 4 + doc_id % 13            (pixels)
+    *   row_stride = ((width*3 + 3) div 4) * 4  (bytes, padded)
+    *   height     = max(1, min(octet_length(text) div row_stride, 8))
+    *   img_bytes  = row_stride * height
+    *   file_bytes = 54 + img_bytes
+    * Pixels = text bytes truncated to img_bytes (zero-padded when short).
+    */
+  object BmpCodec {
+    case class BmpMeta(width: Int, height: Int, bits_per_pixel: Int,
+        img_bytes: Long, file_bytes: Long)
+    case class BmpRow(media_id: Long, width: Long, height: Long,
+        n_pixels: Long, img_bytes: Long, file_bytes: Long)
+
+    private def le16(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+    def dims(id: Long, payloadLen: Int): (Int, Int, Int) = {
+      val width = 4 + (id % 13).toInt
+      val stride = ((width * 3 + 3) / 4) * 4
+      val height = math.max(1, math.min(payloadLen / stride, 8))
+      (width, height, stride)
+    }
+
+    def bmpBytes(id: Long, payload: Array[Byte]): Array[Byte] = {
+      val (width, height, stride) = dims(id, payload.length)
+      val imgLen = stride * height
+      val fileLen = 54 + imgLen
+      val bos = new java.io.ByteArrayOutputStream(fileLen)
+      bos.write('B'); bos.write('M')
+      bos.write(le32(fileLen)); bos.write(le32(0)); bos.write(le32(54)) // pixel offset
+      bos.write(le32(40)) // BITMAPINFOHEADER
+      bos.write(le32(width)); bos.write(le32(height))
+      bos.write(le16(1)); bos.write(le16(24)) // planes, bpp
+      bos.write(le32(0)); bos.write(le32(imgLen)) // BI_RGB, image size
+      bos.write(le32(2835)); bos.write(le32(2835)); bos.write(le32(0)); bos.write(le32(0))
+      val px = java.util.Arrays.copyOf(payload, imgLen) // truncate/zero-pad
+      bos.write(px, 0, imgLen)
+      bos.toByteArray
+    }
+
+    /** Header parse; throws on non-BMP bytes or size lies (a declared
+      * image size past the end of the file must error, not misreport). */
+    def parse(bytes: Array[Byte]): BmpMeta = {
+      def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+      def u32(o: Int): Long =
+        (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+          ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+      require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP file")
+      val fileLen = u32(2)
+      val hdrSize = u32(14)
+      require(hdrSize == 40, s"unsupported DIB header size $hdrSize")
+      val width = u32(18).toInt; val height = u32(22).toInt
+      val bpp = u16(28); val compression = u32(30); val imgLen = u32(34)
+      require(compression == 0, s"unsupported compression $compression")
+      require(width > 0 && height > 0, s"non-positive dimensions ${width}x$height")
+      require(54 + imgLen <= bytes.length && fileLen <= bytes.length,
+        s"declared sizes exceed the file (${bytes.length} bytes)")
+      BmpMeta(width, height, bpp, imgLen, fileLen)
+    }
+  }
+
+  /** Write a deterministic BMP fixture — real 24-bit BITMAPINFOHEADER
+    * containers, one `doc_<id>.bmp` per sampled document; executor-side
+    * writes, driver-side marker, like [[writeWavFixture]]. */
+  def writeBmpFixture(docs: DataFrame, idCol: String, textCol: String, fixtureKey: String,
+      modulo: Int = 10): String = {
+    import java.nio.file.{Files, Paths}
+    val out = fixtureDir(docs, idCol, textCol, "graft_bmp", fixtureKey)
+    val marker = out.resolve("_SUCCESS")
+    if (!Files.exists(marker)) {
+      Files.createDirectories(out)
+      val outStr = out.toString
+      docs.select(col(idCol).cast("long"), col(textCol))
+        .where(col(idCol) % modulo === 0)
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            val id = r.getLong(0)
+            Files.write(Paths.get(outStr, s"doc_${id}.bmp"),
+              BmpCodec.bmpBytes(id, r.getString(1).getBytes("UTF-8")))
+          }
+        }
+      Files.write(marker, Array.empty[Byte])
+    }
+    out.toString
+  }
+
+  /** Distributed BMP decode — the image analogue of [[decodeWav]]; fields
+    * come from the file's real headers, per-partition, shuffle-free. */
+  def decodeBmp(media: DataFrame): Dataset[BmpCodec.BmpRow] = {
+    implicit val enc = Encoders.product[BmpCodec.BmpRow]
+    media.select("media_id", "content").as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val m = BmpCodec.parse(bytes)
+          BmpCodec.BmpRow(id, m.width.toLong, m.height.toLong,
+            m.width.toLong * m.height, m.img_bytes, m.file_bytes)
+        }
+      }
+  }
+
   /** Distributed WAV decode: binaryFile rows -> parsed audio metadata, the
     * codec running per-partition where the bytes live (the same boundary a
     * JNI decoder would occupy; this one is REAL — fields come from the

@@ -88,4 +88,34 @@ class MultimodalSpec extends SparkSpec {
     assert(d0.channels == 1L && d0.sample_rate == 8000L && d0.n_frames == 17L)
     assert(d0.n_bytes == 44L + 34L)
   }
+
+  test("BmpCodec: writer/parser round-trip matches the derivation; guards reject lies") {
+    import Multimodal.BmpCodec
+    for (id <- Seq(0L, 3L, 12L, 25L); payloadLen <- Seq(0, 10, 100, 500)) {
+      val payload = Array.tabulate(payloadLen)(i => ((i * 7) % 251).toByte)
+      val bytes = BmpCodec.bmpBytes(id, payload)
+      val m = BmpCodec.parse(bytes)
+      val (w, h, stride) = BmpCodec.dims(id, payloadLen)
+      assert(m.width == w && m.height == h && m.bits_per_pixel == 24)
+      assert(m.img_bytes == stride.toLong * h)
+      assert(m.file_bytes == 54L + m.img_bytes && bytes.length.toLong == m.file_bytes)
+    }
+    intercept[IllegalArgumentException](BmpCodec.parse("definitely not a bitmap".getBytes))
+    // a header that declares more pixel bytes than the file holds must throw
+    val ok = BmpCodec.bmpBytes(1L, Array.fill[Byte](200)(1))
+    val truncated = ok.take(ok.length - 10)
+    intercept[IllegalArgumentException](BmpCodec.parse(truncated))
+  }
+
+  test("writeBmpFixture: binaryFile read-back and distributed image decode") {
+    val bmpDir = Multimodal.writeBmpFixture(docs, "doc_id", "text", fixtureKey = "spec", modulo = 5)
+    val media = spark.read.format("binaryFile").load(bmpDir)
+      .where($"path".endsWith(".bmp"))
+      .select(regexp_extract($"path", "doc_(\\d+)\\.bmp", 1).cast("long").as("media_id"), $"content")
+    val rows = Multimodal.decodeBmp(media).collect().sortBy(_.media_id)
+    assert(rows.map(_.media_id).toSeq == Seq(0L, 5L))
+    val d0 = rows.head // id 0: width 4, stride 12, text 35 bytes -> height 2
+    assert(d0.width == 4L && d0.height == 2L && d0.n_pixels == 8L)
+    assert(d0.img_bytes == 24L && d0.file_bytes == 54L + 24L)
+  }
 }
