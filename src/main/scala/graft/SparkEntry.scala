@@ -1581,6 +1581,45 @@ object SparkEntry {
     t.read().select(outCols.map(col): _*).orderBy("purchase_id")
   }
 
+  /** G4 streaming #6 — exactly-once ingest dedup: every event is delivered
+    * TWICE (redelivery within a batch and across the batch boundary — the
+    * at-least-once upstream a real ingest faces) through streaming
+    * `dropDuplicates(event_id)`; the post-stream aggregate must equal the
+    * batch aggregate over the original events, proving each duplicate was
+    * dropped exactly once. (The watermark-bounded state variant is the
+    * production path — `Streaming.dedupedStream`, pinned by spec; this
+    * declared form uses unbounded dedup state so the oracle is EXACT.)
+    */
+  private def g4DedupStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streaming
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = Tables.events(s, dir)
+      .where(col("value").isNotNull) // EventRow.value is a primitive Double
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Streaming.EventRow].collect()
+    val (even, odd) = rows.partition(_.event_id % 2 == 0)
+    // batch 1: evens twice (in-batch dup) + odds once
+    // batch 2: odds again (cross-batch dup) + some evens a third time
+    val batch1 = even ++ even ++ odd
+    val batch2 = odd ++ even.take(even.length / 2)
+    val ms = MemoryStream[Streaming.EventRow]
+    s.catalog.dropTempView("g4_dedup_stream_out")
+    withShufflePartitions(s, 8) {
+      val q = ms.toDS().toDF().dropDuplicates("event_id")
+        .writeStream.format("memory").queryName("g4_dedup_stream_out")
+        .outputMode("append").start()
+      ms.addData(batch1.toSeq); q.processAllAvailable()
+      ms.addData(batch2.toSeq); q.processAllAvailable()
+      q.stop()
+    }
+    s.table("g4_dedup_stream_out")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Fns.epsRound(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** G4 streaming #4 — on-ingest benchmark decontamination: the corpus
     * half of `documents` replayed through MemoryStream in two micro-
     * batches, flagged against the STATIC benchmark half by a stream-static
@@ -1792,6 +1831,7 @@ object SparkEntry {
     "g4_tx_sink"         -> (g4TxSink _),
     "g4_decontam_stream" -> (g4DecontamStream _),
     "g4_asof_stream"     -> (g4AsofStream _),
+    "g4_dedup_stream"    -> (g4DedupStream _),
     "d1_rbac_roles"      -> (d1RbacRoles _),
     "g1_dedup_exact"     -> (g1DedupExact _),
     "g1_jaccard_pairs"   -> (g1JaccardPairs _),
@@ -1877,6 +1917,10 @@ object SparkEntry {
         |  FROM spine s LEFT JOIN facts f ON f.user_id = s.user_id AND f.ts <= s.purchase_ts)
         |SELECT user_id, purchase_id, purchase_ts, purchase_value, click_value, click_ts
         |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+    "g4_dedup_stream" ->
+      """SELECT event_type, count(*) AS n, round(sum(value) + 1e-9, 2) AS sum_value
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "g4_asof_stream" ->
       """WITH spine AS (
         |  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value AS purchase_value
