@@ -45,6 +45,29 @@ object SparkEntry {
         payloadCols = Seq("value"), asOf = Some(ts(AsOf15)))
       .orderBy("user_id", "event_type")
 
+  /** EP1 — the online read as ONE declarative plan: latest snapshot per
+    * (user, feature) as-of (A2), anchored on the full user × requested-
+    * names grid (C3's explicit-null contract — absent features produce
+    * null rows, feature_server.py:521-527), with serving freshness derived
+    * per row (A4; missing → expired, feature_server.py:575-581). The
+    * reference's get_online_features minus the out-of-scope LRU tier.
+    */
+  private def ep1OnlineRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val names = Seq("click", "error", "purchase", "signup", "view")
+    val latest = Latest.latestAgg(
+      ev.where(col("value").isNotNull),
+      keys = Seq("user_id", "event_type"), tsCol = "ts", tieCol = "event_id",
+      payloadCols = Seq("value"), asOf = Some(ts(AsOf15)))
+    val spine = ev.select("user_id").distinct()
+      .crossJoin(broadcast(names.toDF("event_type")))
+    spine.join(latest, Seq("user_id", "event_type"), "left")
+      .withColumn("freshness", Freshness.freshness(col("ts"), ts(AsOf15)))
+      .select("user_id", "event_type", "value", "ts", "freshness")
+      .orderBy("user_id", "event_type")
+  }
+
   /** A3 — the flagship point-in-time (as-of) join: each purchase enriched
     * with the user's latest click strictly at-or-before the purchase time.
     */
@@ -1874,6 +1897,7 @@ object SparkEntry {
     "c3_explicit_nulls"  -> (c3ExplicitNulls _),
     "d2_mask_phi"        -> (d2MaskPhi _),
     "ep3_feature_vector" -> (ep3FeatureVector _),
+    "ep1_online_read"    -> (ep1OnlineRead _),
     "e2_sliding_avg"     -> (e2SlidingAvg _),
     "e23_quantiles"      -> (e23Quantiles _),
     "e4_counters"        -> (e4Counters _),
@@ -2031,6 +2055,21 @@ object SparkEntry {
         |  FROM spine s LEFT JOIN facts f ON f.user_id = s.user_id AND f.ts <= s.purchase_ts)
         |SELECT user_id, purchase_id, purchase_ts, purchase_value, click_value, click_ts
         |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+    "ep1_online_read" ->
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+        |names AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type),
+        |latest AS (
+        |  SELECT user_id, event_type, arg_max(value, ts) AS value, max(ts) AS ts
+        |  FROM events WHERE value IS NOT NULL AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+        |  GROUP BY 1, 2)
+        |SELECT u.user_id, n.event_type, l.value, l.ts,
+        |  CASE WHEN l.ts IS NULL THEN 'expired'
+        |       WHEN date_diff('second', l.ts, TIMESTAMP '2024-01-15 00:00:00') <= 3600 THEN 'fresh'
+        |       WHEN date_diff('second', l.ts, TIMESTAMP '2024-01-15 00:00:00') <= 86400 THEN 'stale'
+        |       ELSE 'expired' END AS freshness
+        |FROM users u CROSS JOIN names n
+        |LEFT JOIN latest l ON l.user_id = u.user_id AND l.event_type = n.event_type
+        |ORDER BY u.user_id, n.event_type""".stripMargin,
     "a4_freshness" ->
       """SELECT event_type,
         |  CASE WHEN date_diff('second', ts, TIMESTAMP '2024-01-31 00:00:00') <= 3600 THEN 'fresh'
