@@ -2389,7 +2389,8 @@ object SparkEntry {
         |FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 3
         |ORDER BY n_docs DESC, gram""".stripMargin,
     "g3_chunk" ->
-      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |              FROM documents WHERE length(trim(text)) > 0),
         |w AS (SELECT doc_id, t, (greatest(len(t) - 32, 0) + 23) // 24 AS nmax
         |      FROM toks WHERE len(t) >= 1)
         |SELECT doc_id, i AS chunk_idx,
@@ -2400,7 +2401,7 @@ object SparkEntry {
     "g3_pack" ->
       """WITH toks AS (SELECT doc_id,
         |         len(string_split_regex(trim(text), '\s+'))::BIGINT AS n
-        |       FROM documents),
+        |       FROM documents WHERE length(trim(text)) > 0),
         |sp AS (SELECT doc_id, n,
         |         coalesce(sum(n) OVER (ORDER BY doc_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS strt

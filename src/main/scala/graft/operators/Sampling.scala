@@ -82,7 +82,12 @@ object Sampling {
   def temperatureMix(df: DataFrame, groupCol: String, idCol: String,
       temperature: Double): DataFrame = {
     require(temperature >= 1.0, s"temperature must be >= 1 (downsampling-only), got $temperature")
+    require(df.schema(groupCol).dataType == org.apache.spark.sql.types.StringType,
+      s"groupCol '$groupCol' must be a string column (the literal-CASE match is string-typed)")
+    // null group keys are DROPPED, same contract as domainMix's unlisted
+    // sources — the mixture spec enumerates what the corpus contains
     val counts = df.groupBy(groupCol).count().collect()
+      .filterNot(_.isNullAt(0))
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "temperatureMix on an empty frame")
     val nMin = counts.values.min.toDouble

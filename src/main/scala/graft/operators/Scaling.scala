@@ -14,14 +14,23 @@ import graft.functions.Fns
   */
 object Scaling {
 
+  // stats join on NULL-SAFE equality: a null group key is a real group
+  // (groupBy emits its stats row), and a plain equi-join would silently
+  // DROP every row of it — data loss, not just a null score
+  private def joinStats(df: DataFrame, stats: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val cond = groupCols.map(c => df(c) <=> stats(c)).reduce(_ && _)
+    groupCols.foldLeft(df.join(broadcast(stats), cond))((acc, c) => acc.drop(stats(c)))
+  }
+
   /** Append `{outCol}` = (value − μ_group) / σ_group (sample stddev).
-    * A constant group (σ = 0) scales to 0, not NaN; null values stay null.
+    * A constant group (σ = 0) scales to 0, not NaN; null values stay null;
+    * null group keys form their own group (never dropped).
     */
   def standardize(df: DataFrame, valueCol: String, groupCols: Seq[String],
       outCol: String = "z"): DataFrame = {
     val stats = df.groupBy(groupCols.map(col): _*)
       .agg(avg(col(valueCol)).as("__mu"), stddev_samp(col(valueCol)).as("__sd"))
-    df.join(broadcast(stats), groupCols)
+    joinStats(df, stats, groupCols)
       .withColumn(outCol,
         when(col("__sd") > 0, (col(valueCol) - col("__mu")) / col("__sd"))
           .otherwise(when(col(valueCol).isNotNull, lit(0.0))))
@@ -29,13 +38,14 @@ object Scaling {
   }
 
   /** Append `{outCol}` = (value − min_group) / (max_group − min_group) in
-    * [0, 1]; a constant group maps to 0, nulls stay null.
+    * [0, 1]; a constant group maps to 0, nulls stay null, null group keys
+    * form their own group.
     */
   def minMax(df: DataFrame, valueCol: String, groupCols: Seq[String],
       outCol: String = "mm"): DataFrame = {
     val stats = df.groupBy(groupCols.map(col): _*)
       .agg(min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
-    df.join(broadcast(stats), groupCols)
+    joinStats(df, stats, groupCols)
       .withColumn(outCol,
         when(col("__mx") > col("__mn"), (col(valueCol) - col("__mn")) / (col("__mx") - col("__mn")))
           .otherwise(when(col(valueCol).isNotNull, lit(0.0))))

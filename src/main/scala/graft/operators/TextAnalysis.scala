@@ -127,8 +127,11 @@ object TextAnalysis {
   def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
       size: Int, stride: Int): DataFrame = {
     require(size >= 1 && stride >= 1, s"size/stride must be positive: $size/$stride")
-    docs.select(col(idCol), tokens(col(textCol)).as("__t"))
-      .where(org.apache.spark.sql.functions.size(col("__t")) >= 1)
+    docs
+      // blank-doc guard: split("") yields [""], a phantom 1-token doc that
+      // would emit a bogus empty chunk — drop truly token-less docs first
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
       .select(col(idCol), posexplode(expr(
         // sequence stop = ceil(max(len-size,0)/stride) via (x+stride-1) div stride;
         // always >= 0, so the sequence is never descending
@@ -264,8 +267,12 @@ object TextAnalysis {
       else spark.sessionState.conf.numShufflePartitions
     val cap = lit(capacity.toLong)
 
-    // (id, token count) only — the packing never shuffles or pins the text
+    // (id, token count) only — the packing never shuffles or pins the text.
+    // Blank docs are dropped BEFORE counting: split("") yields [""], a
+    // phantom token that would silently shift every downstream chunk
+    // boundary in the global stream
     val counted = docs
+      .where(length(trim(col(textCol))) > 0)
       .select(col(idCol), org.apache.spark.sql.functions.size(tokens(col(textCol)))
         .cast("long").as("__n"))
       .where(col("__n") >= 1)

@@ -75,9 +75,20 @@ class TxTable(val spark: SparkSession, val root: String) {
 
   private def commitPath(v: Long): Path = logDir.resolve(f"$v%020d.txt")
 
-  private def parseCommit(p: Path): Commit = {
-    val kvs = Files.readAllLines(p).asScala.toSeq
+  // ONE key=value / stats-line decoder shared by commit and checkpoint
+  // parsing — a format change applied to a single copy cannot silently
+  // desynchronize the two readers
+  private def parseKvs(p: Path): Seq[(String, String)] =
+    Files.readAllLines(p).asScala.toSeq
       .filter(_.contains("=")).map { l => val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1)) }
+
+  private def parseStats(kvs: Seq[(String, String)]): Map[String, Seq[FileStats]] =
+    kvs.collect { case ("stats", v) => v.split(";") }
+      .collect { case Array(f, c, mn, mx) => f -> FileStats(c, mn.toDouble, mx.toDouble) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+  private def parseCommit(p: Path): Commit = {
+    val kvs = parseKvs(p)
     Commit(
       version = p.getFileName.toString.stripSuffix(".txt").toLong,
       ts = kvs.collectFirst { case ("ts", v) => v.toLong }.getOrElse(0L),
@@ -85,9 +96,7 @@ class TxTable(val spark: SparkSession, val root: String) {
       schemaDdl = kvs.collectFirst { case ("schema", v) => v },
       add = kvs.collect { case ("add", v) => v },
       remove = kvs.collect { case ("remove", v) => v },
-      stats = kvs.collect { case ("stats", v) => v.split(";") }
-        .collect { case Array(f, c, mn, mx) => f -> FileStats(c, mn.toDouble, mx.toDouble) }
-        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap,
+      stats = parseStats(kvs),
       // partcols= (possibly empty list) declares the staged files' layout;
       // absent on commits that predate partitioning support
       partCols = kvs.collectFirst { case ("partcols", v) =>
@@ -179,15 +188,12 @@ class TxTable(val spark: SparkSession, val root: String) {
       .sortBy(_.getFileName.toString)
       .lastOption.flatMap { p =>
         scala.util.Try {
-          val kvs = Files.readAllLines(p).asScala.toSeq
-            .filter(_.contains("=")).map { l => val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1)) }
+          val kvs = parseKvs(p)
           (p.getFileName.toString.stripSuffix(".ckpt").toLong,
             Snapshot(
               kvs.collect { case ("file", f) => f },
               kvs.collectFirst { case ("schema", s) => s },
-              kvs.collect { case ("stats", v) => v.split(";") }
-                .collect { case Array(f, c, mn, mx) => f -> FileStats(c, mn.toDouble, mx.toDouble) }
-                .groupBy(_._1).view.mapValues(_.map(_._2)).toMap,
+              parseStats(kvs),
               kvs.collectFirst { case ("partcols", v) => v.split(',').toSeq.filter(_.nonEmpty) }
                 .getOrElse(Seq.empty),
               // comma-joined since multi-column stats; older checkpoints
@@ -300,17 +306,22 @@ class TxTable(val spark: SparkSession, val root: String) {
     * directories (`data/<col>=<v>/...`) and the returned relative names
     * carry the subpath — the log tracks files, the directory layout is the
     * pruning index. */
-  private def stageDataFiles(df: DataFrame, partitionCols: Seq[String] = Seq.empty): Seq[String] = {
+  private def stageDataFiles(df: DataFrame, partitionCols: Seq[String] = Seq.empty,
+      filesPerPartition: Int = 1): Seq[String] = {
     Files.createDirectories(dataDir)
     val staging = Files.createTempDirectory(Paths.get(root), ".staging")
     // cluster rows by partition value before a partitioned write: without
     // this every shuffle task writes a sliver into EVERY partition dir
     // (tasks × partitions tiny files — the classic small-files trap);
     // with it each partition value lands in exactly one task → one
-    // well-sized file per partition per commit. (A single hot partition
-    // bigger than one task should add a salt column to the layout.)
+    // well-sized file per partition per commit. `filesPerPartition > 1`
+    // adds a hash salt to the clustering so a hot partition can split
+    // across that many tasks/files (compact's per-partition target).
     val clustered =
-      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*) else df
+      if (partitionCols.isEmpty) df
+      else if (filesPerPartition <= 1) df.repartition(partitionCols.map(col): _*)
+      else df.repartition(partitionCols.map(col) :+
+        pmod(xxhash64(monotonically_increasing_id()), lit(filesPerPartition.toLong)): _*)
     val writer = clustered.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(staging.toString)
@@ -373,7 +384,12 @@ class TxTable(val spark: SparkSession, val root: String) {
           s"conflicting commit on $root: read set changed")
       val ddl = if (v == 0L || schemaEveryCommit) schemaDdl else None
       if (tryCommit(v, op, ddl, add, remove, tsMillis, stats, partCols)) {
-        if (v > 0 && v % checkpointEvery == 0) writeCheckpoint(v)
+        // best-effort ONLY: the commit is already durable; a checkpoint
+        // IO failure must not make the caller believe the write failed
+        // (a retry would commit the same rows twice). Readers fall back
+        // to full replay when a checkpoint is absent.
+        if (v > 0 && v % checkpointEvery == 0)
+          try writeCheckpoint(v) catch { case _: java.io.IOException => () }
         return v
       }
       attempts += 1
@@ -544,7 +560,11 @@ class TxTable(val spark: SparkSession, val root: String) {
       schemaEveryCommit = true, // overwrite may evolve the table schema
       stats = computeStats(newFiles, {
         val chosen = (statsCol.toSeq ++ statsCols).distinct
-        if (chosen.nonEmpty) chosen else activeStatsCols(snap)
+        // inherited stats columns must survive the schema evolution (same
+        // guard as partCols above) — an overwrite that drops an indexed
+        // column should drop its stats, not fail after staging
+        if (chosen.nonEmpty) chosen
+        else activeStatsCols(snap).filter(df.columns.contains)
       }),
       partCols = layout,
       validate = () => latestVersion() == baseVersion)
@@ -665,10 +685,14 @@ class TxTable(val spark: SparkSession, val root: String) {
     val state = stateForVersion(Long.MaxValue)
     val files = state.files
     if (files.isEmpty) return version()
-    // partitioned tables compact WITHIN partitions (partitionBy re-splits
-    // the coalesced frame by directory, so `target` is per-partition)
+    // partitioned tables compact WITHIN partitions: `target` becomes the
+    // per-partition file count (a salt in the clustering key splits hot
+    // partitions across that many tasks — a flat coalesce would be
+    // silently overridden by the partition-value clustering)
     val layout = state.partCols
-    val compacted = stageDataFiles(readState(state).coalesce(target), layout)
+    val compacted =
+      if (layout.isEmpty) stageDataFiles(readState(state).coalesce(target))
+      else stageDataFiles(readState(state), layout, filesPerPartition = target)
     commitLoop("compact", compacted, files, tsMillis,
       // same stats preservation as merge: compaction must not erase skipping
       stats = computeStats(compacted, activeStatsCols(state)),
@@ -717,12 +741,17 @@ class TxTable(val spark: SparkSession, val root: String) {
     val row = df.agg(aggs.head, aggs.tail: _*).collect().head
     val maxB = (1L << bits) - 1
     val bucketCols: Seq[Column] = cols.zipWithIndex.map { case (c, i) =>
-      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1)) lit(0L)
+      // NaN guard (same class as computeStats'): NaN bounds poison every
+      // comparison, and casting a NaN bucket value to long THROWS under
+      // ANSI mode — degrade the column to bucket 0 / clamp NaN rows
+      // instead of failing the whole rewrite
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1) ||
+          row.getDouble(2 * i).isNaN || row.getDouble(2 * i + 1).isNaN) lit(0L)
       else {
         val (mn, mx) = (row.getDouble(2 * i), row.getDouble(2 * i + 1))
         if (mx <= mn) lit(0L)
         else least(lit(maxB), greatest(lit(0L),
-          ((coalesce(col(c).cast("double"), lit(mn)) - lit(mn)) /
+          ((nanvl(coalesce(col(c).cast("double"), lit(mn)), lit(mn)) - lit(mn)) /
             lit(mx - mn) * lit(maxB.toDouble)).cast("long")))
       }
     }

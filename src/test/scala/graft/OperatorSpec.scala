@@ -183,7 +183,12 @@ class OperatorSpec extends SparkSpec {
       ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)), ("a", None),
       ("c", Some(7.0)), ("c", Some(7.0)) // constant group
     ).toDF("g", "v")
-    val out = Scaling.minMax(Scaling.standardize(df, "v", Seq("g"), "z"), "v", Seq("g"), "mm")
+      .union(Seq((null.asInstanceOf[String], Some(5.0))).toDF("g", "v")) // null group key
+    val scaled = Scaling.minMax(Scaling.standardize(df, "v", Seq("g"), "z"), "v", Seq("g"), "mm")
+    assert(scaled.count() == 7L, "a null group key must never drop rows")
+    assert(scaled.where($"g".isNull).select("z").collect().head.getDouble(0) == 0.0,
+      "singleton null group: sd undefined -> 0")
+    val out = scaled.where($"g".isNotNull).select("g", "v", "z", "mm")
       .collect().map(r => (r.getString(0), Option(r.get(1))) ->
         (Option(r.get(2)), Option(r.get(3)))).toMap
     assert(out(("a", Some(2.0))) == ((Some(0.0), Some(0.5)))) // mean of 1,2,3; mid of range
