@@ -285,6 +285,30 @@ class TxTableSpec extends SparkSpec {
     assert(flat.read().count() == 1L) // table still readable, nothing landed
   }
 
+  test("compact on a partitioned table honors the per-partition file target") {
+    val t = newTable()
+    def rows(day: Long, ks: Range) =
+      ks.map(k => (k.toLong, "a", k.toDouble, day * 1000 + k, day)).toDF("k", "f", "value", "ts", "day")
+    // several appends -> many files per partition
+    (0 until 4).foreach(i => t.append(rows(1L, (i * 50) until (i * 50 + 50)), tsMillis = 100L + i,
+      partitionBy = Seq("day")))
+    (0 until 4).foreach(i => t.append(rows(2L, (i * 50) until (i * 50 + 50)), tsMillis = 200L + i))
+    def filesPerDay: Map[String, Int] = t.read().inputFiles.toSeq
+      .groupBy(f => if (f.contains("/day=1/")) "1" else "2").view.mapValues(_.size).toMap
+    assert(filesPerDay.values.forall(_ >= 4))
+
+    t.compact(target = 2, tsMillis = 500L)
+    val after = filesPerDay
+    assert(after.values.forall(n => n >= 1 && n <= 2),
+      s"target=2 must cap files per partition: $after")
+    assert(t.read().count() == 400L)
+
+    // target=1 collapses each partition to a single file
+    t.compact(target = 1, tsMillis = 600L)
+    assert(filesPerDay.values.forall(_ == 1), s"target=1: $filesPerDay")
+    assert(t.read().count() == 400L)
+  }
+
   test("delete: removes exactly the matching rows, rewrites only affected files, keeps history") {
     val t = newTable()
     t.append(kv((1L, "a", 1.0, 10L), (2L, "a", 2.0, 20L)), tsMillis = 100L)
