@@ -364,6 +364,25 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** B2 — time-travel DIFF across the table's history: after an append and
+    * a purge, diff(v0, v2) must report exactly the surviving appended rows
+    * as inserts and the purged original rows as deletes — the change audit
+    * recomputed from snapshots, oracle-checked against the closed-form
+    * change sets.
+    */
+  private def b2TxDiff(s: SparkSession, dir: String): DataFrame = withShufflePartitions(s, 8) {
+    import graft.sources.TxTable
+    val ev = Tables.events(s, dir)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    val t = TxTable(s, java.nio.file.Files.createTempDirectory("graft_tx_diff").toString)
+    t.append(ev.where(col("event_id") % 2 === 0), tsMillis = 1000L) // v0
+    t.append(ev.where(col("event_id") % 2 === 1), tsMillis = 2000L) // v1
+    t.delete(col("user_id") < 10, tsMillis = 3000L)                 // v2
+    t.diff(0L, 2L)
+      .select("change_type", "event_id", "user_id", "event_type", "value", "ts")
+      .orderBy("change_type", "event_id")
+  }
+
   /** B5 — Z-ORDER clustered TxTable (multi-dimensional data skipping):
     * events land flat, a `zorder(user_id, value)` rewrite clusters them on
     * the interleaved-bit curve and records per-file min/max on BOTH
@@ -1888,6 +1907,7 @@ object SparkEntry {
     "b5_tx_partitioned"  -> (b5TxPartitioned _),
     "b5_tx_zorder"       -> (b5TxZorder _),
     "b2_delete_tx"       -> (b2DeleteTx _),
+    "b2_tx_diff"         -> (b2TxDiff _),
     "b5_csv_ingest"      -> (b5CsvIngest _),
     "b5_orc_ingest"      -> (b5OrcIngest _),
     "b5_bucketed_join"   -> (b5BucketedJoin _),
@@ -2165,6 +2185,13 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value, ts FROM events
         |WHERE NOT (user_id < 10 OR event_type = 'error')
         |ORDER BY event_id""".stripMargin,
+    "b2_tx_diff" ->
+      """SELECT 'insert' AS change_type, event_id, user_id, event_type, value, ts
+        |FROM events WHERE event_id % 2 = 1 AND user_id >= 10
+        |UNION ALL
+        |SELECT 'delete', event_id, user_id, event_type, value, ts
+        |FROM events WHERE event_id % 2 = 0 AND user_id < 10
+        |ORDER BY change_type, event_id""".stripMargin,
     "b5_orc_ingest" ->
       """SELECT source, count(*) AS n_docs,
         |       sum(length(text))::BIGINT AS sum_chars,

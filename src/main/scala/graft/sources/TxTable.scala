@@ -623,6 +623,21 @@ class TxTable(val spark: SparkSession, val root: String) {
       validate = () => latestVersion() == baseVersion)
   }
 
+  /** Time-travel DIFF: the rows inserted and removed between two committed
+    * versions, tagged with a `change_type` column — the "what did commit N
+    * change?" audit a versioned table owes its operators (the read-side
+    * complement of Delta's change data feed, computed from snapshots, so
+    * it needs no extra write-path bookkeeping). Multiset semantics
+    * (`exceptAll`): a row appearing twice at `toV` but once at `fromV`
+    * diffs as one insert.
+    */
+  def diff(fromV: Long, toV: Long): DataFrame = {
+    val before = readVersion(fromV)
+    val after  = readVersion(toV)
+    after.exceptAll(before).withColumn("change_type", lit("insert"))
+      .unionByName(before.exceptAll(after).withColumn("change_type", lit("delete")))
+  }
+
   /** Copy-on-write DELETE (Delta's `DELETE WHERE`; the right-to-be-
     * forgotten path a PHI-bearing store must have, per-row where retention
     * enforcement is per-feature): only files that actually CONTAIN a
