@@ -158,6 +158,33 @@ object SparkEntry {
   }
 
   /** A4 — freshness classification histogram at a frozen `now`. */
+  /** A8 — regular-grid resampling with LOCF fill (pandas asfreq + ffill at
+    * engine scale): one row per (user, day) over a fixed span, carrying
+    * the user's latest event value as of that day's end — the step that
+    * turns an irregular event log into the daily feature matrix a model
+    * trains on. Grid = users × explode(sequence(dates)) (map-only), fill =
+    * the same one-shuffle LOCF as a3; days before a user's first event
+    * stay null.
+    */
+  private def a8Resample(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val grid = ev.select(col("user_id")).distinct()
+      .crossJoin(s.range(1).select(explode(expr(
+        "sequence(DATE'2024-01-10', DATE'2024-01-20', interval 1 day)")).as("day")))
+      .withColumn("as_of", (col("day") + expr("interval 1 day")).cast("timestamp"))
+    val facts = ev.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    AsOfJoin
+      .locf(grid, facts, Seq("user_id"), "as_of", "ts", Seq("value"), "event_id")
+      .select(col("user_id"),
+        // day as yyyy-MM-dd STRING: DuckDB DATE arrives in pandas as
+        // datetime64 while Spark's parquet DATE stays datetime.date — the
+        // driver's exact-value compare sees those as different objects
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("value"),
+        col("ts__timestamp").as("last_ts"))
+      .orderBy("user_id", "day")
+  }
+
   private def a4Freshness(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .withColumn("freshness", Freshness.freshness(col("ts"), ts(Now31)))
@@ -1896,6 +1923,7 @@ object SparkEntry {
     "a3_pit_join_salted" -> (a3PitJoinSalted _),
     "a3_pit_join_tol"    -> (a3PitJoinTol _),
     "a4_freshness"       -> (a4Freshness _),
+    "a8_resample"        -> (a8Resample _),
     "a6_bitemporal"      -> (a6Bitemporal _),
     "a7_interval_join"   -> (a7IntervalJoin _),
     "a5_snapshot_filter" -> (a5SnapshotFilter _),
@@ -2090,6 +2118,19 @@ object SparkEntry {
         |FROM users u CROSS JOIN names n
         |LEFT JOIN latest l ON l.user_id = u.user_id AND l.event_type = n.event_type
         |ORDER BY u.user_id, n.event_type""".stripMargin,
+    "a8_resample" ->
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+        |days AS (SELECT unnest(generate_series(DATE '2024-01-10', DATE '2024-01-20',
+        |                                       INTERVAL 1 day))::DATE AS day),
+        |grid AS (SELECT user_id, day, (day + INTERVAL 1 day)::TIMESTAMP AS as_of
+        |         FROM users CROSS JOIN days),
+        |j AS (SELECT g.user_id, g.day, f.value, f.ts,
+        |             row_number() OVER (PARTITION BY g.user_id, g.day
+        |                                ORDER BY f.ts DESC, f.event_id DESC) AS rn
+        |      FROM grid g LEFT JOIN events f
+        |        ON f.user_id = g.user_id AND f.ts <= g.as_of)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, value, ts AS last_ts
+        |FROM j WHERE rn = 1 ORDER BY user_id, day""".stripMargin,
     "a4_freshness" ->
       """SELECT event_type,
         |  CASE WHEN date_diff('second', ts, TIMESTAMP '2024-01-31 00:00:00') <= 3600 THEN 'fresh'

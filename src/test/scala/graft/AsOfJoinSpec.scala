@@ -164,4 +164,29 @@ class AsOfJoinSpec extends SparkSpec {
     val out = AsOfJoin.locf(spine, facts, Seq("k"), "sts", "fts", Seq("v"), "tie")
     assert(out.columns.toSeq == Seq("k", "sts", "tag", "v", "fts__timestamp"))
   }
+
+  test("a8_resample: dense daily grid, LOCF fill, nulls before first event") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("a8_resample")(spark, dir).cache()
+    val ev = graft.sources.Tables.events(spark, dir)
+
+    // dense grid: every user × every day in the span, exactly once
+    val users = ev.select("user_id").distinct().count()
+    assert(out.count() == users * 11) // 2024-01-10 .. 2024-01-20 inclusive
+    assert(out.groupBy("user_id", "day").count().where(col("count") =!= 1).isEmpty)
+
+    // LOCF correctness per cell: carried last_ts is the max event ts <= day end
+    val expected = ev.select(col("user_id"), col("ts"))
+      .join(out.select("user_id", "day"), Seq("user_id"))
+      .where(col("ts") < (to_date(col("day")) + expr("interval 1 day")).cast("timestamp"))
+      .groupBy("user_id", "day").agg(max("ts").as("exp_ts"))
+    val joined = out.join(expected, Seq("user_id", "day"), "left")
+    assert(joined.where(
+      (col("last_ts").isNull && col("exp_ts").isNotNull) ||
+      (col("last_ts").isNotNull && col("last_ts") =!= col("exp_ts"))).isEmpty)
+
+    // a day strictly before a user's first event carries null value AND null ts
+    assert(out.where(col("last_ts").isNull && col("value").isNotNull).isEmpty)
+    out.unpersist()
+  }
 }
