@@ -185,6 +185,20 @@ object SparkEntry {
       .orderBy("user_id", "day")
   }
 
+  /** A9 — time-weighted average (Behavior.timeWeightedAvg): each observed
+    * value holds until the next observation, weighted by holding duration
+    * over the January window — the unbiased scalar feature for an
+    * irregularly-sampled signal (a plain avg over-weights dense episodes).
+    * One shuffle on the entity key.
+    */
+  private def a9Twavg(s: SparkSession, dir: String): DataFrame =
+    Behavior.timeWeightedAvg(
+        Tables.events(s, dir).where(col("value").isNotNull),
+        "user_id", "ts", "value",
+        ts("2024-01-01 00:00:00"), ts("2024-02-01 00:00:00"))
+      .select(col("user_id"), Fns.epsRound(col("twavg"), 4).as("twavg"), col("n_obs"))
+      .orderBy("user_id")
+
   private def a4Freshness(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .withColumn("freshness", Freshness.freshness(col("ts"), ts(Now31)))
@@ -1391,6 +1405,37 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "split")
 
+  /** H9 — sequential funnel (view → click → purchase): entities counted at
+    * stage k only if a stage-k event occurs at-or-after their stage-(k-1)
+    * anchor, transitively from the first view (Behavior.funnelDepth). One
+    * conditional-min aggregation per stage, all shuffles on the entity key.
+    */
+  private def h9Funnel(s: SparkSession, dir: String): DataFrame =
+    Behavior.funnel(Tables.events(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("stage_idx")
+
+  /** H10 — weekly cohort retention: bucket entities by the week of their
+    * first event, count distinct entities active at each week offset. Both
+    * shuffles key on entities/cohorts, never raw event volume.
+    */
+  private def h10Cohort(s: SparkSession, dir: String): DataFrame =
+    Behavior.cohortRetention(Tables.events(s, dir), "user_id", "ts",
+        t => floor(datediff(to_date(t), lit("2024-01-01").cast("date")) / 7))
+      .orderBy("cohort", "offset")
+
+  /** G6 — fuzzy (edit-distance) linkage over the part-name vocabulary:
+    * blocked levenshtein self-join (FuzzyJoin) — token + length-bucket
+    * blocking keeps the candidate set ~linear; the oracle replays the
+    * identical blocking, and FuzzyJoinSpec quantifies blocked-vs-brute
+    * recall separately.
+    */
+  private def g6FuzzyPairs(s: SparkSession, dir: String): DataFrame =
+    FuzzyJoin.selfPairs(
+        Tables.part(s, dir).groupBy(col("p_name").as("name")).agg(min("p_partkey").as("id")),
+        "id", "name", maxDist = 2)
+      .orderBy("id_a", "id_b")
+
   /** H — equi-depth decile histogram of a fact measure via the DISTRIBUTED
     * global rank (range repartition + prefix-sum offsets), never Spark's
     * one-task `ntile().over(Window.orderBy(...))`. Bucket boundaries follow
@@ -2020,10 +2065,74 @@ object SparkEntry {
     "g3_vocab"           -> (g3Vocab _),
     "g3_vocab_approx"    -> (g3VocabApprox _),
     "g2_pq_topk"         -> (g2PqTopk _),
-    "g2_ivfpq_topk"      -> (g2IvfPqTopk _)
+    "g2_ivfpq_topk"      -> (g2IvfPqTopk _),
+    "a9_twavg"           -> (a9Twavg _),
+    "h9_funnel"          -> (h9Funnel _),
+    "h10_cohort"         -> (h10Cohort _),
+    "g6_fuzzy_pairs"     -> (g6FuzzyPairs _)
   )
 
   def oracleSql: Map[String, String] = Map(
+    "a9_twavg" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |         coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+        |                  TIMESTAMP '2024-02-01 00:00:00') AS nxt
+        |  FROM events
+        |  WHERE value IS NOT NULL
+        |    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |    AND ts <  TIMESTAMP '2024-02-01 00:00:00')
+        |SELECT user_id,
+        |       round(sum(value * (epoch(nxt) - epoch(ts)))
+        |             / sum(epoch(nxt) - epoch(ts)) + 1e-9, 4) AS twavg,
+        |       count(*) AS n_obs
+        |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "h9_funnel" ->
+      """WITH s0 AS (SELECT user_id, min(ts) AS f0 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT s0.user_id, any_value(s0.f0) AS f0,
+        |              min(CASE WHEN e.ts >= s0.f0 THEN e.ts END) AS f1
+        |       FROM s0 LEFT JOIN events e
+        |         ON e.user_id = s0.user_id AND e.event_type = 'click'
+        |       GROUP BY s0.user_id),
+        |s2 AS (SELECT s1.user_id, any_value(s1.f0) AS f0, any_value(s1.f1) AS f1,
+        |              min(CASE WHEN e.ts >= s1.f1 THEN e.ts END) AS f2
+        |       FROM s1 LEFT JOIN events e
+        |         ON e.user_id = s1.user_id AND e.event_type = 'purchase'
+        |       GROUP BY s1.user_id),
+        |c AS (SELECT count(*) FILTER (f0 IS NOT NULL) AS c0,
+        |             count(*) FILTER (f1 IS NOT NULL) AS c1,
+        |             count(*) FILTER (f2 IS NOT NULL) AS c2 FROM s2)
+        |SELECT stage_idx, stage, n_entities,
+        |       round(n_entities::DOUBLE / c0 + 1e-9, 4) AS pct_of_first
+        |FROM (SELECT 1 AS stage_idx, 'view' AS stage, c0 AS n_entities, c0 FROM c
+        |      UNION ALL SELECT 2, 'click', c1, c0 FROM c
+        |      UNION ALL SELECT 3, 'purchase', c2, c0 FROM c)
+        |ORDER BY stage_idx""".stripMargin,
+    "h10_cohort" ->
+      """WITH p AS (SELECT user_id,
+        |                  date_diff('day', DATE '2024-01-01', ts) // 7 AS per
+        |           FROM events),
+        |f AS (SELECT user_id, min(per) AS cohort FROM p GROUP BY 1)
+        |SELECT f.cohort, p.per - f.cohort AS offset,
+        |       count(DISTINCT p.user_id) AS n_active
+        |FROM p JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "g6_fuzzy_pairs" ->
+      """WITH names AS (SELECT p_name AS name, min(p_partkey) AS id FROM part GROUP BY 1),
+        |t AS (SELECT id, name,
+        |             unnest(string_split_regex(trim(name), '\s+')) AS tok,
+        |             length(name) // 3 AS lb
+        |      FROM names),
+        |l AS (SELECT id, name, tok, unnest([lb, lb + 1]) AS probe FROM t),
+        |r AS (SELECT id, name, tok, lb AS probe FROM t),
+        |pairs AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+        |                          l.name AS name_a, r.name AS name_b
+        |          FROM l JOIN r ON l.tok = r.tok AND l.probe = r.probe
+        |          WHERE l.id < r.id AND levenshtein(l.name, r.name) <= 2)
+        |SELECT id_a, id_b, name_a, name_b,
+        |       levenshtein(name_a, name_b) AS dist
+        |FROM pairs ORDER BY id_a, id_b""".stripMargin,
     "a1_asof_lookup" ->
       """SELECT event_type, arg_max(value, ts) AS value, max(ts) AS ts
         |FROM events WHERE user_id = 7 AND ts <= TIMESTAMP '2024-01-15 00:00:00'

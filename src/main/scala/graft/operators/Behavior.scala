@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the append-only event log — the behavioral
+  * read side of a feature platform (the reference's event-shaped fact rows,
+  * feature_registry.py:181-198, are exactly this log; these operators are
+  * the queries a growth/DS team runs on it and the aggregate features a
+  * training pipeline derives from it).
+  *
+  * Scale shape: every operator here is groupBy(entity) + window-within-
+  * partition — ONE shuffle on the entity key, no self-joins, no driver
+  * round-trips. At 100 TB the event log is date-partitioned and bucketed by
+  * entity (sources/Lakehouse), so even that shuffle collapses to a local
+  * sort when reading the bucketed layout.
+  */
+object Behavior {
+
+  /** Ordered-funnel progression: for each entity, the anchor time of each
+    * stage prefix it completed IN ORDER — `first_0 = min(ts of stage-0
+    * events)`, `first_k = min(ts of stage-k events at-or-after
+    * first_{k-1})` (ties at the same timestamp count as progression). This
+    * is the standard sequential funnel: an entity that clicked only BEFORE
+    * ever viewing did not convert view→click, even though both event types
+    * exist.
+    *
+    * Shape: one conditional-min aggregation per stage, each a groupBy on
+    * the entity key. After the first aggregation the frame is one row per
+    * entity; the k-1 follow-up joins are entity-key equi-joins against the
+    * (filtered) event log, so every shuffle is on the same key and AQE
+    * reuses the partitioning. No window, no explode, no driver round-trip.
+    * Returns one row per stage-0 entity with `first_<i>` anchor timestamps
+    * (null once the entity falls out) and `depth` = stages completed.
+    */
+  def funnelDepth(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val ev = events.select(col(entityCol).as("__e"), col(tsCol).as("__ts"), col(typeCol).as("__t"))
+    val base = ev.where(col("__t") === stages.head)
+      .groupBy("__e").agg(min(col("__ts")).as("first_0"))
+    val full = stages.zipWithIndex.drop(1).foldLeft(base) { case (acc, (stage, i)) =>
+      val prev = s"first_${i - 1}"
+      val carried = acc.columns.filterNot(_ == "__e").map(c => first(col(c)).as(c))
+      acc.join(ev.where(col("__t") === stage), Seq("__e"), "left")
+        .groupBy("__e")
+        .agg(
+          carried.head, (carried.tail :+
+            min(when(col("__ts") >= col(prev), col("__ts"))).as(s"first_$i")): _*)
+    }
+    val depth = stages.indices.drop(1).foldLeft(
+      when(col("first_0").isNotNull, lit(1)).otherwise(lit(0))) { (acc, i) =>
+      when(acc === i && col(s"first_$i").isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    full.withColumnRenamed("__e", entityCol).withColumn("depth", depth)
+  }
+
+  /** Funnel conversion table: entities at each depth (1-based stage index,
+    * depth 0 = entered no stage) with the conversion ratio vs stage 1. */
+  def funnel(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    val d = funnelDepth(events, entityCol, tsCol, typeCol, stages)
+    // entities at depth >= k, for each k — all k counts land in ONE agg
+    // row, so the conversion ratio is a plain per-row expression (no
+    // global window, which the plan audit rightly bans)
+    val counts = stages.indices.map(i =>
+      sum(when(col("depth") >= i + 1, 1L).otherwise(0L)).as(s"__c$i"))
+    val agg = d.agg(counts.head, counts.tail: _*)
+    agg.select(
+      explode(array(stages.zipWithIndex.map { case (s0, i) =>
+        struct(
+          lit(i + 1).as("stage_idx"),
+          lit(s0).as("stage"),
+          col(s"__c$i").as("n_entities"),
+          graft.functions.Fns.epsRound(
+            col(s"__c$i").cast("double") / col("__c0"), 4).as("pct_of_first"))
+      }: _*)).as("r"))
+      .select("r.*")
+  }
+
+  /** Cohort retention: bucket each entity by the period of its FIRST event
+    * (the cohort), then count distinct entities active at each period
+    * offset. `periodExpr` maps a timestamp column to a period index (e.g.
+    * days or weeks since epoch). Two shuffles total: first-event argmin per
+    * entity, then the (cohort, offset) count — both on keys that grow with
+    * entities, never with raw events.
+    */
+  def cohortRetention(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      periodExpr: Column => Column): DataFrame = {
+    val withPeriod = events.select(
+      col(entityCol).as("__e"), periodExpr(col(tsCol)).as("__p"))
+    val firstPeriod = withPeriod.groupBy("__e").agg(min("__p").as("__cohort"))
+    withPeriod
+      .join(firstPeriod, "__e") // co-partitioned on __e: AQE keeps this local after the agg
+      .groupBy(col("__cohort").as("cohort"), (col("__p") - col("__cohort")).as("offset"))
+      .agg(countDistinct(col("__e")).as("n_active"))
+  }
+
+  /** Time-weighted average of a measure per entity over an observation
+    * window [start, end): each observed value holds (LOCF) until the next
+    * observation, and the average weights each value by its holding
+    * duration. The standard way to turn an irregularly-sampled signal
+    * (vitals, prices, telemetry) into one unbiased scalar feature — a plain
+    * avg() over-weights densely-sampled episodes.
+    *
+    * Window-function shape: lead(ts) within entity gives each row its
+    * holding interval, clamped to `end`; rows before an entity's first
+    * observation contribute nothing (there is no value to hold). One
+    * shuffle on the entity key.
+    */
+  def timeWeightedAvg(
+      obs: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      valueCol: String,
+      startTs: Column,
+      endTs: Column): DataFrame = {
+    val w = Window.partitionBy(entityCol).orderBy(tsCol)
+    obs
+      .where(col(tsCol) >= startTs && col(tsCol) < endTs)
+      .withColumn("__next", coalesce(lead(col(tsCol), 1).over(w), endTs))
+      .withColumn("__dur",
+        col("__next").cast("double") - col(tsCol).cast("double"))
+      .groupBy(entityCol)
+      .agg(
+        (sum(col(valueCol) * col("__dur")) / sum(col("__dur"))).as("twavg"),
+        count(lit(1)).as("n_obs"))
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Behavior
+
+/** Pins the event-sequence analytics semantics: sequential funnel anchoring
+  * (a stage only counts at-or-after the previous stage's anchor), cohort
+  * bucketing by first-event period, and duration-weighted averaging.
+  */
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (String, String, String)*) =
+    rows.map { case (u, t, typ) => (u, ts(t), typ) }.toDF("u", "t", "typ")
+
+  test("funnelDepth: in-order progression only; ties count; pre-anchor events don't") {
+    val events = ev(
+      // a: full view -> click -> purchase, in order
+      ("a", "2024-01-01 00:00:00", "view"),
+      ("a", "2024-01-02 00:00:00", "click"),
+      ("a", "2024-01-03 00:00:00", "purchase"),
+      // b: clicked only BEFORE ever viewing -> stuck at depth 1
+      ("b", "2024-01-02 00:00:00", "view"),
+      ("b", "2024-01-01 00:00:00", "click"),
+      ("b", "2024-01-03 00:00:00", "purchase"), // purchase needs a click anchor
+      // c: view and purchase but no click -> depth 1 (sequential, not set)
+      ("c", "2024-01-01 00:00:00", "view"),
+      ("c", "2024-01-02 00:00:00", "purchase"),
+      // d: never viewed -> not a funnel entity at all
+      ("d", "2024-01-01 00:00:00", "click"),
+      ("d", "2024-01-02 00:00:00", "purchase"),
+      // e: click at the SAME instant as view -> tie counts as progression
+      ("e", "2024-01-01 00:00:00", "view"),
+      ("e", "2024-01-01 00:00:00", "click"),
+      // f: clicked before AND after viewing -> the post-view click anchors
+      ("f", "2024-01-02 00:00:00", "view"),
+      ("f", "2024-01-01 00:00:00", "click"),
+      ("f", "2024-01-05 00:00:00", "click"),
+      ("f", "2024-01-06 00:00:00", "purchase"))
+    val d = Behavior.funnelDepth(events, "u", "t", "typ", Seq("view", "click", "purchase"))
+      .select("u", "depth").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(d == Map("a" -> 3, "b" -> 1, "c" -> 1, "e" -> 2, "f" -> 3))
+    assert(!d.contains("d"))
+
+    // f's click anchor must be the POST-view click, not the earlier one
+    val f = Behavior.funnelDepth(events, "u", "t", "typ", Seq("view", "click", "purchase"))
+      .where(col("u") === "f").select("first_1").collect().head.getTimestamp(0)
+    assert(f == ts("2024-01-05 00:00:00"))
+  }
+
+  test("funnel: counts per stage and conversion ratio vs stage 1") {
+    val events = ev(
+      ("a", "2024-01-01 00:00:00", "view"), ("a", "2024-01-02 00:00:00", "click"),
+      ("b", "2024-01-01 00:00:00", "view"), ("b", "2024-01-02 00:00:00", "click"),
+      ("c", "2024-01-01 00:00:00", "view"),
+      ("d", "2024-01-01 00:00:00", "view"))
+    val out = Behavior.funnel(events, "u", "t", "typ", Seq("view", "click"))
+      .orderBy("stage_idx").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(4L, 2L))
+    assert(out.map(_.getDouble(3)).toSeq == Seq(1.0, 0.5))
+  }
+
+  test("cohortRetention: first-period cohort, distinct entities per offset") {
+    val events = ev(
+      // u1 first active period 0, returns period 1 and 2 (twice — distinct!)
+      ("u1", "2024-01-01 00:00:00", "x"),
+      ("u1", "2024-01-02 00:00:00", "x"),
+      ("u1", "2024-01-03 00:00:00", "x"),
+      ("u1", "2024-01-03 06:00:00", "x"),
+      // u2 first active period 0 only
+      ("u2", "2024-01-01 12:00:00", "x"),
+      // u3 first active period 2
+      ("u3", "2024-01-03 00:00:00", "x"))
+    val out = Behavior.cohortRetention(events, "u", "t",
+        t => datediff(to_date(t), lit("2024-01-01").cast("date")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (0L, 0L) -> 2L, // u1, u2 in day-0 cohort at offset 0
+      (0L, 1L) -> 1L, // u1 returned next day
+      (0L, 2L) -> 1L, // u1 on day 2 — counted once despite two events
+      (2L, 0L) -> 1L)) // u3's own cohort
+  }
+
+  test("timeWeightedAvg: duration weighting, window clamp, out-of-window drop") {
+    // window [00:00, 01:00): value 10 holds 15 min, then 30 holds 45 min
+    // -> twavg = (10*900 + 30*2700) / 3600 = 25.0
+    val obs = Seq(
+      ("u", ts("2024-01-01 00:00:00"), 10.0),
+      ("u", ts("2024-01-01 00:15:00"), 30.0),
+      ("u", ts("2023-12-31 23:00:00"), 999.0), // before window: dropped
+      ("u", ts("2024-01-01 01:00:00"), 999.0), // at end (exclusive): dropped
+      ("v", ts("2024-01-01 00:30:00"), 8.0)    // single obs holds to end
+    ).toDF("u", "t", "v")
+    val out = Behavior.timeWeightedAvg(obs, "u", "t", "v",
+        lit("2024-01-01 00:00:00").cast("timestamp"),
+        lit("2024-01-01 01:00:00").cast("timestamp"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out("u") == (25.0, 2L))
+    assert(out("v") == (8.0, 1L))
+  }
+}
