@@ -199,6 +199,27 @@ object SparkEntry {
       .select(col("user_id"), Fns.epsRound(col("twavg"), 4).as("twavg"), col("n_obs"))
       .orderBy("user_id")
 
+  /** A10 — exponentially-decayed feature read at a frozen `now`: per
+    * (user, event_type), `sum(value * exp(-age/τ))` and its normalized mean
+    * with τ = 7 days — the standard online-feature recency weighting
+    * ("decayed counters"), computed batch-side as one map + one shuffle.
+    * Unlike a sliding window, every observation contributes, discounted
+    * continuously; unlike a plain mean, last week dominates.
+    */
+  private def a10Decayed(s: SparkSession, dir: String): DataFrame = {
+    val tauSec = 7.0 * 86400
+    val age = lit(Now31).cast("timestamp").cast("double") - col("ts").cast("double")
+    val w = exp(-age / tauSec)
+    Tables.events(s, dir)
+      .where(col("value").isNotNull && col("ts") <= lit(Now31).cast("timestamp"))
+      .groupBy("user_id", "event_type")
+      .agg(
+        Fns.epsRound(sum(col("value") * w), 4).as("decayed_sum"),
+        Fns.epsRound(sum(col("value") * w) / sum(w), 4).as("decayed_mean"),
+        count(lit(1)).as("n_obs"))
+      .orderBy("user_id", "event_type")
+  }
+
   private def a4Freshness(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .withColumn("freshness", Freshness.freshness(col("ts"), ts(Now31)))
@@ -1353,6 +1374,42 @@ object SparkEntry {
       .orderBy(col("n").desc, col("word").asc)
       .limit(20)
 
+  /** G3 — heavy-hitter words via the Misra-Gries frequency sketch, then an
+    * exact recount restricted to the sketch's candidate set (tiny broadcast
+    * semi-join) — the verify-the-sketch shape LSH uses, applied to
+    * frequency. The sketch pass is one bounded-memory aggregate (64
+    * counters/partition, map-side combined); any word with true frequency
+    * > n/65 is guaranteed a candidate, so the exact top-10 is oracle-safe
+    * whenever the 10th count clears that bar (it does at every fixture SF:
+    * the corpus vocabulary is smaller than the counter budget; the sketch's
+    * eviction behavior under vocab >> counters is pinned by MisraGriesSpec
+    * on skewed constructed data).
+    */
+  private def g3HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.MisraGries
+    val words = Tables.documents(s, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+    val cands = words
+      .agg(MisraGries.heavyHitters(col("word"), 64).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h").getField("item").as("word"))
+    words.join(broadcast(cands), Seq("word"), "left_semi")
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(10)
+  }
+
+  /** C5 — column-level profiling of the customer table (null rate and
+    * exact cardinality per column in ONE aggregation pass) — the data-
+    * quality audit that gates an ingest at scale (Profiling.profile).
+    */
+  private def c5Profile(s: SparkSession, dir: String): DataFrame =
+    Profiling.profile(
+        s.read.parquet(s"$dir/customer.parquet"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+      .orderBy("column")
+
   /** G3 — language-ID heuristic (rows-only: dictionaries engine-internal). */
   private def g3LangId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -2067,6 +2124,9 @@ object SparkEntry {
     "g2_pq_topk"         -> (g2PqTopk _),
     "g2_ivfpq_topk"      -> (g2IvfPqTopk _),
     "a9_twavg"           -> (a9Twavg _),
+    "a10_decayed"        -> (a10Decayed _),
+    "c5_profile"         -> (c5Profile _),
+    "g3_heavy_hitters"   -> (g3HeavyHitters _),
     "h9_funnel"          -> (h9Funnel _),
     "h10_cohort"         -> (h10Cohort _),
     "g6_fuzzy_pairs"     -> (g6FuzzyPairs _)
@@ -2087,6 +2147,32 @@ object SparkEntry {
         |             / sum(epoch(nxt) - epoch(ts)) + 1e-9, 4) AS twavg,
         |       count(*) AS n_obs
         |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a10_decayed" ->
+      """SELECT user_id, event_type,
+        |  round(sum(value * exp(-(epoch(TIMESTAMP '2024-01-31 00:00:00') - epoch(ts)) / 604800.0))
+        |        + 1e-9, 4) AS decayed_sum,
+        |  round(sum(value * exp(-(epoch(TIMESTAMP '2024-01-31 00:00:00') - epoch(ts)) / 604800.0))
+        |        / sum(exp(-(epoch(TIMESTAMP '2024-01-31 00:00:00') - epoch(ts)) / 604800.0))
+        |        + 1e-9, 4) AS decayed_mean,
+        |  count(*) AS n_obs
+        |FROM events
+        |WHERE value IS NOT NULL AND ts <= TIMESTAMP '2024-01-31 00:00:00'
+        |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "c5_profile" ->
+      """WITH s AS (SELECT
+        |  count(*) AS n_rows,
+        |  count(*) - count(c_custkey) AS nn_custkey, count(DISTINCT c_custkey) AS nd_custkey,
+        |  count(*) - count(c_name) AS nn_name, count(DISTINCT c_name) AS nd_name,
+        |  count(*) - count(c_nationkey) AS nn_nationkey, count(DISTINCT c_nationkey) AS nd_nationkey,
+        |  count(*) - count(c_acctbal) AS nn_acctbal, count(DISTINCT c_acctbal) AS nd_acctbal,
+        |  count(*) - count(c_mktsegment) AS nn_mktsegment, count(DISTINCT c_mktsegment) AS nd_mktsegment
+        |  FROM customer)
+        |SELECT 'c_acctbal' AS column, n_rows, nn_acctbal AS n_nulls, nd_acctbal AS n_distinct FROM s
+        |UNION ALL SELECT 'c_custkey', n_rows, nn_custkey, nd_custkey FROM s
+        |UNION ALL SELECT 'c_mktsegment', n_rows, nn_mktsegment, nd_mktsegment FROM s
+        |UNION ALL SELECT 'c_name', n_rows, nn_name, nd_name FROM s
+        |UNION ALL SELECT 'c_nationkey', n_rows, nn_nationkey, nd_nationkey FROM s
+        |ORDER BY "column"""".stripMargin,
     "h9_funnel" ->
       """WITH s0 AS (SELECT user_id, min(ts) AS f0 FROM events
         |            WHERE event_type = 'view' GROUP BY 1),
@@ -2721,6 +2807,10 @@ object SparkEntry {
       """SELECT word, count(*) AS n
         |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
         |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin,
+    "g3_heavy_hitters" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+        |GROUP BY word ORDER BY n DESC, word ASC LIMIT 10""".stripMargin,
     "g3_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |       round(avg(length(text)) + 1e-9, 2) AS avg_chars,
