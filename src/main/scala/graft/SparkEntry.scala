@@ -405,6 +405,37 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** B5 — Bloom-filter equality skipping on the transactional table: events
+    * land in a TxTable with a per-file bloom on the event key (two appends;
+    * the second inherits the active bloom column), and a point lookup scans
+    * only the files whose bloom might hold the key — the I/O shape of an
+    * online entity read against a 100 TB fact table, where min/max stats
+    * cannot prune a high-cardinality key. The file-list assert makes a
+    * silent full scan fail loudly; the oracle checks the rows.
+    */
+  private def b5TxBloom(s: SparkSession, dir: String): DataFrame = withShufflePartitions(s, 8) {
+    import graft.sources.TxTable
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+      .withColumn("ekey", concat(lit("e"), col("event_id")))
+    val t = TxTable(s, java.nio.file.Files.createTempDirectory("graft_tx_bloom").toString)
+    // repartition on the key so each commit stages several files and a key
+    // lives in exactly one of them — the many-file layout a real fact
+    // table has (a filter-only frame would stage as ONE file at fixture
+    // scale, leaving the bloom nothing to prune)
+    t.append(ev.where(col("event_id") % 2 === 0).repartition(8, col("ekey")),
+      tsMillis = 1000L, bloomCols = Seq("ekey"))
+    t.append(ev.where(col("event_id") % 2 === 1).repartition(8, col("ekey")),
+      tsMillis = 2000L)
+    val keys = Seq("e41", "e4242", "e7777", "e9001")
+    val got = t.readWhereIn("ekey", keys)
+    require(got.inputFiles.length < t.read().inputFiles.length,
+      "bloom skipping must prune files for a point lookup")
+    got.where(col("ekey").isin(keys: _*)) // exact row filter on top of pruning
+      .select("event_id", "user_id", "event_type", "value", "ts")
+      .orderBy("event_id")
+  }
+
   /** B2 — copy-on-write DELETE on the transactional table: purge specific
     * users' rows (the right-to-be-forgotten request) plus a predicate
     * class, in one atomic commit that rewrites only the files containing
@@ -2035,6 +2066,7 @@ object SparkEntry {
     "b2_upsert_tx"       -> (b2UpsertTx _),
     "b5_jsonl_ingest"    -> (b5JsonlIngest _),
     "b5_tx_partitioned"  -> (b5TxPartitioned _),
+    "b5_tx_bloom"        -> (b5TxBloom _),
     "b5_tx_zorder"       -> (b5TxZorder _),
     "b2_delete_tx"       -> (b2DeleteTx _),
     "b2_tx_diff"         -> (b2TxDiff _),
@@ -2406,6 +2438,10 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value, ts FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts <  TIMESTAMP '2024-01-11 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "b5_tx_bloom" ->
+      """SELECT event_id, user_id, event_type, value, ts FROM events
+        |WHERE event_id IN (41, 4242, 7777, 9001)
         |ORDER BY event_id""".stripMargin,
     "b5_tx_zorder" ->
       """SELECT event_id, user_id, event_type, value, ts FROM events

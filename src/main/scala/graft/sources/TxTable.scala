@@ -66,11 +66,25 @@ class TxTable(val spark: SparkSession, val root: String) {
     * double via Spark's `cast("double")` (timestamps become epoch seconds). */
   case class FileStats(colName: String, min: Double, max: Double)
 
+  /** Per-file Bloom filter for EQUALITY data skipping on one column — the
+    * point-lookup complement of min/max range stats (which cannot prune a
+    * high-cardinality key: every file's [min, max] spans the space). Built
+    * over `xxhash64(cast(col as string))` of the file's values; no false
+    * negatives, so pruning is safe; false positives only cost I/O. */
+  case class FileBloom(colName: String, m: Int, k: Int, bits: Array[Long]) {
+    def mightContain(h: Long): Boolean =
+      TxTable.bloomPositions(h, m, k)
+        .forall(p => (bits(p >> 6) & (1L << (p & 63))) != 0L)
+  }
+
   private case class Commit(version: Long, ts: Long, op: String,
       schemaDdl: Option[String], add: Seq[String], remove: Seq[String],
-      stats: Map[String, Seq[FileStats]], partCols: Option[Seq[String]]) {
+      stats: Map[String, Seq[FileStats]], partCols: Option[Seq[String]],
+      blooms: Map[String, Seq[FileBloom]] = Map.empty) {
     def statsColNames: Seq[String] =
       stats.values.flatten.map(_.colName).toSeq.distinct.sorted
+    def bloomColNames: Seq[String] =
+      blooms.values.flatten.map(_.colName).toSeq.distinct.sorted
   }
 
   private def commitPath(v: Long): Path = logDir.resolve(f"$v%020d.txt")
@@ -87,6 +101,21 @@ class TxTable(val spark: SparkSession, val root: String) {
       .collect { case Array(f, c, mn, mx) => f -> FileStats(c, mn.toDouble, mx.toDouble) }
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
 
+  private def parseBlooms(kvs: Seq[(String, String)]): Map[String, Seq[FileBloom]] =
+    kvs.collect { case ("bloom", v) => v.split(";") }
+      .collect { case Array(f, c, m, k, b64) =>
+        val bytes = java.util.Base64.getDecoder.decode(b64)
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        f -> FileBloom(c, m.toInt, k.toInt, Array.fill(bytes.length / 8)(bb.getLong))
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+  private def bloomLine(f: String, b: FileBloom): String = {
+    val bb = java.nio.ByteBuffer.allocate(8 * b.bits.length)
+    b.bits.foreach(bb.putLong)
+    s"bloom=$f;${b.colName};${b.m};${b.k};${java.util.Base64.getEncoder.encodeToString(bb.array())}"
+  }
+
   private def parseCommit(p: Path): Commit = {
     val kvs = parseKvs(p)
     Commit(
@@ -100,7 +129,8 @@ class TxTable(val spark: SparkSession, val root: String) {
       // partcols= (possibly empty list) declares the staged files' layout;
       // absent on commits that predate partitioning support
       partCols = kvs.collectFirst { case ("partcols", v) =>
-        v.split(',').toSeq.filter(_.nonEmpty) })
+        v.split(',').toSeq.filter(_.nonEmpty) },
+      blooms = parseBlooms(kvs))
   }
 
   /** Directory listing with the stream CLOSED (Files.list leaks a
@@ -155,7 +185,9 @@ class TxTable(val spark: SparkSession, val root: String) {
     * history replay. */
   private case class Snapshot(files: Seq[String], ddl: Option[String],
       stats: Map[String, Seq[FileStats]], partCols: Seq[String],
-      statsCols: Seq[String] = Seq.empty)
+      statsCols: Seq[String] = Seq.empty,
+      blooms: Map[String, Seq[FileBloom]] = Map.empty,
+      bloomCols: Seq[String] = Seq.empty)
 
   private def statsLine(f: String, st: FileStats): String =
     s"stats=$f;${st.colName};${st.min};${st.max}"
@@ -169,9 +201,12 @@ class TxTable(val spark: SparkSession, val root: String) {
     val lines = Seq(s"ts=$ts", s"partcols=${snap.partCols.mkString(",")}") ++
       (if (snap.statsCols.nonEmpty) Seq(s"statscol=${snap.statsCols.mkString(",")}")
        else Seq.empty) ++
+      (if (snap.bloomCols.nonEmpty) Seq(s"bloomcol=${snap.bloomCols.mkString(",")}")
+       else Seq.empty) ++
       snap.ddl.map(d => s"schema=$d") ++
       snap.files.map(f => s"file=$f") ++
-      snap.files.flatMap(f => snap.stats.getOrElse(f, Seq.empty).map(statsLine(f, _)))
+      snap.files.flatMap(f => snap.stats.getOrElse(f, Seq.empty).map(statsLine(f, _))) ++
+      snap.files.flatMap(f => snap.blooms.getOrElse(f, Seq.empty).map(bloomLine(f, _)))
     val tmp = Files.createTempFile(logDir, ".tmp", ".ckpt")
     Files.write(tmp, lines.asJava)
     try Files.createLink(ckptPath(v), tmp)
@@ -199,6 +234,9 @@ class TxTable(val spark: SparkSession, val root: String) {
               // comma-joined since multi-column stats; older checkpoints
               // hold a single name, which parses identically
               kvs.collectFirst { case ("statscol", c) => c.split(',').toSeq.filter(_.nonEmpty) }
+                .getOrElse(Seq.empty),
+              parseBlooms(kvs),
+              kvs.collectFirst { case ("bloomcol", c) => c.split(',').toSeq.filter(_.nonEmpty) }
                 .getOrElse(Seq.empty)))
         }.toOption
       }
@@ -223,7 +261,10 @@ class TxTable(val spark: SparkSession, val root: String) {
           (ckpt.stats ++ tail.flatMap(_.stats)).filter { case (f, _) => live.contains(f) },
           tail.flatMap(_.partCols).lastOption.getOrElse(ckpt.partCols),
           tail.filter(_.stats.nonEmpty).lastOption.map(_.statsColNames)
-            .getOrElse(ckpt.statsCols))
+            .getOrElse(ckpt.statsCols),
+          (ckpt.blooms ++ tail.flatMap(_.blooms)).filter { case (f, _) => live.contains(f) },
+          tail.filter(_.blooms.nonEmpty).lastOption.map(_.bloomColNames)
+            .getOrElse(ckpt.bloomCols))
       case None =>
         snapshotFiles(commitFiles()
           .filter(_.getFileName.toString.stripSuffix(".txt").toLong <= bound).map(parseCommit))
@@ -244,7 +285,9 @@ class TxTable(val spark: SparkSession, val root: String) {
       // (version 0 sets it; an overwrite may re-partition or flatten)
       upTo.flatMap(_.partCols).lastOption.getOrElse(Seq.empty),
       // skipping columns: last commit that recorded stats wins
-      upTo.filter(_.stats.nonEmpty).lastOption.map(_.statsColNames).getOrElse(Seq.empty))
+      upTo.filter(_.stats.nonEmpty).lastOption.map(_.statsColNames).getOrElse(Seq.empty),
+      upTo.flatMap(_.blooms).toMap.filter { case (f, _) => live.contains(f) },
+      upTo.filter(_.blooms.nonEmpty).lastOption.map(_.bloomColNames).getOrElse(Seq.empty))
   }
 
   private def readSnapshot(upTo: Seq[Commit]): DataFrame =
@@ -346,12 +389,14 @@ class TxTable(val spark: SparkSession, val root: String) {
   private def tryCommit(v: Long, op: String, schemaDdl: Option[String],
       add: Seq[String], remove: Seq[String], tsMillis: Long,
       stats: Map[String, Seq[FileStats]] = Map.empty,
-      partCols: Seq[String] = Seq.empty): Boolean = {
+      partCols: Seq[String] = Seq.empty,
+      blooms: Map[String, Seq[FileBloom]] = Map.empty): Boolean = {
     Files.createDirectories(logDir)
     val lines = Seq(s"ts=$tsMillis", s"op=$op", s"partcols=${partCols.mkString(",")}") ++
       schemaDdl.map(d => s"schema=$d") ++
       add.map(a => s"add=$a") ++ remove.map(r => s"remove=$r") ++
-      stats.flatMap { case (f, sts) => sts.map(statsLine(f, _)) }
+      stats.flatMap { case (f, sts) => sts.map(statsLine(f, _)) } ++
+      blooms.flatMap { case (f, bs) => bs.map(bloomLine(f, _)) }
     val tmp = Files.createTempFile(logDir, ".tmp", ".commit")
     Files.write(tmp, lines.asJava)
     try { Files.createLink(commitPath(v), tmp); true }
@@ -368,6 +413,7 @@ class TxTable(val spark: SparkSession, val root: String) {
       schemaEveryCommit: Boolean = false,
       stats: Map[String, Seq[FileStats]] = Map.empty,
       partCols: Seq[String] = Seq.empty,
+      blooms: Map[String, Seq[FileBloom]] = Map.empty,
       validate: () => Boolean = () => true): Long = {
     var attempts = 0
     while (attempts < 100) {
@@ -383,7 +429,7 @@ class TxTable(val spark: SparkSession, val root: String) {
         throw new java.util.ConcurrentModificationException(
           s"conflicting commit on $root: read set changed")
       val ddl = if (v == 0L || schemaEveryCommit) schemaDdl else None
-      if (tryCommit(v, op, ddl, add, remove, tsMillis, stats, partCols)) {
+      if (tryCommit(v, op, ddl, add, remove, tsMillis, stats, partCols, blooms)) {
         // best-effort ONLY: the commit is already durable; a checkpoint
         // IO failure must not make the caller believe the write failed
         // (a retry would commit the same rows twice). Readers fall back
@@ -418,9 +464,14 @@ class TxTable(val spark: SparkSession, val root: String) {
     *   stats, exactly like Delta/Hive partition pruning one level above
     *   data skipping.
     */
+  /** @param bloomCols record a per-file Bloom filter of these columns in
+    *   the commit — the equality-skipping index [[readWhereIn]] prunes by
+    *   (min/max stats cannot prune a point lookup on a high-cardinality
+    *   key). Carried like statsCols: maintenance rewrites re-record blooms
+    *   for the table's active bloom columns. */
   def append(df: DataFrame, tsMillis: Long = System.currentTimeMillis(),
       statsCol: Option[String] = None, partitionBy: Seq[String] = Seq.empty,
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty, bloomCols: Seq[String] = Seq.empty): Long = {
     // checkpoint-aware layout lookup (no full log replay), and the layout
     // is BINDING once any commit exists — a FLAT table must reject a
     // partitioned append, or the mixed-depth file set would make every
@@ -434,6 +485,12 @@ class TxTable(val spark: SparkSession, val root: String) {
     commitLoop("append", files, Seq.empty, tsMillis, Some(df.schema.toDDL),
       stats = computeStats(files, (statsCol.toSeq ++ statsCols).distinct),
       partCols = layout,
+      blooms = computeBlooms(files, {
+        // inherit the table's active bloom columns so later appends keep
+        // the index dense without re-declaring it (same rule as layout)
+        val declared = if (hasCommits) activeBloomCols(stateForVersion(Long.MaxValue)) else Seq.empty
+        (bloomCols ++ declared).distinct.filter(df.columns.contains)
+      }),
       // the layout guard re-asserts per attempt: a racing writer changing
       // the table's layout (first-append race, concurrent re-partitioning
       // overwrite) must abort this append — its files are already staged
@@ -475,6 +532,66 @@ class TxTable(val spark: SparkSession, val root: String) {
     * don't erase the skipping index, and the choice survives even a
     * rewrite whose own stats were dropped (the NaN guard). */
   private def activeStatsCols(snap: Snapshot): Seq[String] = snap.statsCols
+
+  /** Same carrying rule for the equality-skipping bloom columns. */
+  private def activeBloomCols(snap: Snapshot): Seq[String] = snap.bloomCols
+
+  // 16384 bits (2 KiB) / 6 hashes: ~1% false positives at ~1.7k distinct
+  // values per file, degrading gracefully (more I/O, never wrong rows)
+  // beyond that. Per-file-sized, so log growth is O(files), like stats.
+  private val bloomBits = 1 << 14
+  private val bloomHashes = 6
+
+  /** Per-file Bloom filters over `xxhash64(cast(col as string))`, built
+    * DISTRIBUTED with bounded driver traffic: rows expand to their k bit
+    * positions, distinct() caps the per-file transfer at m positions (never
+    * row count), and only the positions reach the driver to pack into
+    * bitsets — the same build would run unchanged over a 100 TB commit. */
+  private def computeBlooms(files: Seq[String], cols: Seq[String]): Map[String, Seq[FileBloom]] =
+    if (files.isEmpty || cols.isEmpty) Map.empty
+    else {
+      import spark.implicits._
+      val (m, k) = (bloomBits, bloomHashes)
+      cols.flatMap { c =>
+        spark.read.option("basePath", dataDir.toString)
+          .parquet(files.map(f => dataDir.resolve(f).toString): _*)
+          .select(input_file_name().as("f"), xxhash64(col(c).cast("string")).as("h"))
+          .as[(String, Long)]
+          .flatMap { case (f, h) => TxTable.bloomPositions(h, m, k).map(p => (f, p)) }
+          .distinct()
+          .collect()
+          .groupBy(_._1)
+          .map { case (furi, arr) =>
+            val bits = new Array[Long](m >> 6)
+            arr.foreach { case (_, p) => bits(p >> 6) |= 1L << (p & 63) }
+            fileNameOf(furi) -> FileBloom(c, m, k, bits)
+          }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    }
+
+  /** Equality/IN data-skipping read: scan only live files that might hold
+    * at least one of `values` in `colName` — partition-directory values
+    * prune first (exact match), then per-file Bloom filters (no false
+    * negatives, so pruning is safe); files without a bloom for the column
+    * are conservatively included. Values compare through the build's
+    * normalization (`cast(col as string)`), so pass the string form of the
+    * sought keys. The caller still applies the exact row filter — this
+    * prunes I/O, not semantics: the point-lookup complement of
+    * [[readWhere]]'s range skipping.
+    */
+  def readWhereIn(colName: String, values: Seq[String]): DataFrame = {
+    require(commitFiles().nonEmpty, s"no such TxTable: $root")
+    val snap = stateForVersion(Long.MaxValue)
+    val hashes = values.map(TxTable.queryHash)
+    val kept = snap.files.filter { f =>
+      val partOk = partValueOf(f, colName).forall(values.contains)
+      partOk && (snap.blooms.getOrElse(f, Seq.empty).find(_.colName == colName) match {
+        case Some(b) => hashes.exists(b.mightContain)
+        case None => true
+      })
+    }
+    readState(snap.copy(files = kept))
+  }
 
   /** Data-skipping snapshot read: scan only live files whose recorded
     * [min, max] range for `colName` intersects [lo, hi]; files without
@@ -547,7 +664,7 @@ class TxTable(val spark: SparkSession, val root: String) {
     * promises Serializable for overwrite). */
   def overwrite(df: DataFrame, tsMillis: Long = System.currentTimeMillis(),
       statsCol: Option[String] = None, partitionBy: Seq[String] = Seq.empty,
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty, bloomCols: Seq[String] = Seq.empty): Long = {
     val baseVersion = latestVersion()
     val snap = stateForVersion(Long.MaxValue)
     // default: keep the table's layout (while its columns survive the
@@ -567,6 +684,11 @@ class TxTable(val spark: SparkSession, val root: String) {
         else activeStatsCols(snap).filter(df.columns.contains)
       }),
       partCols = layout,
+      blooms = computeBlooms(newFiles, {
+        val chosen = bloomCols.distinct
+        if (chosen.nonEmpty) chosen
+        else activeBloomCols(snap).filter(df.columns.contains)
+      }),
       validate = () => latestVersion() == baseVersion)
   }
 
@@ -620,6 +742,7 @@ class TxTable(val spark: SparkSession, val root: String) {
       // columns, so a merge doesn't punch stats-less holes in the index
       stats = computeStats(newFiles, activeStatsCols(state)),
       partCols = layout,
+      blooms = computeBlooms(newFiles, activeBloomCols(state)),
       validate = () => latestVersion() == baseVersion)
   }
 
@@ -671,6 +794,7 @@ class TxTable(val spark: SparkSession, val root: String) {
     commitLoop("delete", newFiles, affected, tsMillis,
       stats = computeStats(newFiles, activeStatsCols(state)),
       partCols = layout,
+      blooms = computeBlooms(newFiles, activeBloomCols(state)),
       validate = () => latestVersion() == baseVersion)
   }
 
@@ -712,6 +836,7 @@ class TxTable(val spark: SparkSession, val root: String) {
       // same stats preservation as merge: compaction must not erase skipping
       stats = computeStats(compacted, activeStatsCols(state)),
       partCols = layout,
+      blooms = computeBlooms(compacted, activeBloomCols(state)),
       // re-resolved per attempt: every read file must still be live
       validate = () => {
         val live = stateForVersion(Long.MaxValue).files.toSet
@@ -786,6 +911,7 @@ class TxTable(val spark: SparkSession, val root: String) {
     val staged = stageDataFiles(clustered)
     commitLoop("zorder", staged, files, tsMillis,
       stats = computeStats(staged, cols),
+      blooms = computeBlooms(staged, activeBloomCols(state)),
       validate = () => {
         val live = stateForVersion(Long.MaxValue).files.toSet
         files.forall(live.contains)
@@ -822,4 +948,28 @@ class TxTable(val spark: SparkSession, val root: String) {
 
 object TxTable {
   def apply(spark: SparkSession, root: String): TxTable = new TxTable(spark, root)
+
+  /** Kirsch–Mitzenmacher double hashing: k bit positions in [0, m) derived
+    * from one 64-bit hash (h2 from a splitmix64 finalizer, forced odd so
+    * the stride cycles the whole table). Lives on the companion so the
+    * bloom BUILD (executor-side flatMap) and the bloom PROBE (driver-side
+    * pruning) provably share one definition — the class captures a
+    * SparkSession and must not leak into task closures. */
+  private[sources] def bloomPositions(h: Long, m: Int, k: Int): Array[Int] = {
+    var z = h + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    val h2 = (z ^ (z >>> 31)) | 1L
+    Array.tabulate(k)(i => (((h + i * h2) % m + m) % m).toInt)
+  }
+
+  /** Driver-side twin of the build-side hash `xxhash64(cast(col as
+    * string))`: same Catalyst expression, same default seed, evaluated on
+    * a literal — bit-identical by construction, no reimplementation to
+    * drift. */
+  private[sources] def queryHash(v: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    new XxHash64(Seq(Literal.create(v, org.apache.spark.sql.types.StringType)))
+      .eval(null).asInstanceOf[Long]
+  }
 }

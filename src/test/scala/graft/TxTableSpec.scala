@@ -368,6 +368,51 @@ class TxTableSpec extends SparkSpec {
     assert(t.readVersion(0).count() == 1024L)
   }
 
+  test("bloom skipping: readWhereIn prunes files, never loses a present key") {
+    val t = newTable()
+    // distinct key ranges per append -> each key lives in exactly one
+    // commit's files; blooms should prune the other commit entirely
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"key_$i", i.toDouble, 10L)).toDF("k", "f", "value", "ts")
+    t.append(batch(0, 400), tsMillis = 100L, bloomCols = Seq("f"))
+    t.append(batch(400, 800), tsMillis = 200L) // inherits the active bloom column
+    val all = t.read().inputFiles.length
+
+    val hit = t.readWhereIn("f", Seq("key_7"))
+    assert(hit.inputFiles.length < all, "bloom must prune at least one file")
+    assert(hit.where($"f" === "key_7").count() == 1L)
+
+    // NO false negatives: every key present in the table must survive its
+    // own point lookup (the safety property pruning rests on)
+    val sample = (0 until 800 by 97).map(i => s"key_$i")
+    sample.foreach { key =>
+      assert(t.readWhereIn("f", Seq(key)).where($"f" === key).count() == 1L,
+        s"bloom pruning lost $key")
+    }
+
+    // an absent key may scan files (false positives) but returns no rows
+    assert(t.readWhereIn("f", Seq("nope")).where($"f" === "nope").isEmpty)
+    // a column with no blooms falls back to the full file set
+    assert(t.readWhereIn("value", Seq("7.0")).inputFiles.length == all)
+  }
+
+  test("blooms survive maintenance rewrites and checkpoints") {
+    val t = newTable()
+    def batch(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"key_$i", i.toDouble, 10L)).toDF("k", "f", "value", "ts")
+    t.append(batch(0, 200), tsMillis = 100L, bloomCols = Seq("f"))
+    // push past a checkpoint boundary (every 10 commits) with inheriting appends
+    (1 to 10).foreach(i => t.append(batch(200L * i, 200L * (i + 1)), tsMillis = 100L + i))
+    t.compact(target = 4, tsMillis = 5000L)
+
+    // post-compact: the rewritten files re-recorded blooms (active-column
+    // carry), so a point lookup still prunes AND still finds its row
+    val all = t.read().inputFiles.length
+    val hit = t.readWhereIn("f", Seq("key_1777"))
+    assert(hit.where($"f" === "key_1777").count() == 1L)
+    assert(hit.inputFiles.length < all, "compact dropped the bloom index")
+  }
+
   test("zorder guards: needs two columns, flat layout only; checkpoint carries multi-col stats") {
     val t = newTable()
     t.append(kv((1L, "a", 1.0, 10L)), tsMillis = 100L)
