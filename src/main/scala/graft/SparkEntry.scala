@@ -220,6 +220,24 @@ object SparkEntry {
       .orderBy("user_id", "event_type")
   }
 
+  /** A11 — SCD2 (slowly-changing-dimension) materialization: the EAV event
+    * log becomes validity INTERVALS — each observation holds
+    * [valid_from, valid_to) until the entity's next observation of the same
+    * feature; the open current row carries null valid_to. The warehouse
+    * form of §1.2 bitemporality: an as-of read becomes a plain BETWEEN.
+    * One window per (entity, feature), one shuffle.
+    */
+  private def a11Scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"), col("ts"))
+      .withColumn("valid_from", col("ts"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select("user_id", "event_type", "event_id", "value", "valid_from", "valid_to")
+      .orderBy("user_id", "event_type", "valid_from", "event_id")
+  }
+
   private def a4Freshness(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .withColumn("freshness", Freshness.freshness(col("ts"), ts(Now31)))
@@ -434,6 +452,42 @@ object SparkEntry {
     got.where(col("ekey").isin(keys: _*)) // exact row filter on top of pruning
       .select("event_id", "user_id", "event_type", "value", "ts")
       .orderBy("event_id")
+  }
+
+  /** B2 — incremental aggregate maintenance through the ACID path: a
+    * per-(entity, feature) counter table (count + sum) is committed from
+    * the pre-Jan15 events, then the post-Jan15 batch lands as an ADDITIVE
+    * merge — new totals are computed ONLY for the keys the delta touches
+    * (snapshot ⟗ delta-aggregate), and the LWW merge rewrites only the
+    * files holding those keys. The incremental-view-maintenance shape: at
+    * 100 TB the delta is hours of data, never the history. Oracle = the
+    * full recompute over all events.
+    */
+  private def b2CounterUpsert(s: SparkSession, dir: String): DataFrame = withShufflePartitions(s, 8) {
+    import graft.sources.TxTable
+    val ev = Tables.events(s, dir).where(col("value").isNotNull)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+    def agg(df: DataFrame) = df.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+    val t = TxTable(s, java.nio.file.Files.createTempDirectory("graft_tx_ctr").toString)
+    t.append(agg(ev.where(col("ts") <= ts(AsOf15))).withColumn("batch", lit(1L)),
+      tsMillis = 1000L)
+    // delta totals for touched keys only: old + new, null-safe on inserts
+    val delta = agg(ev.where(col("ts") > ts(AsOf15)))
+      .select(col("user_id"), col("event_type"),
+        col("n").as("d_n"), col("sum_value").as("d_sum"))
+    val touched = delta
+      .join(t.read(), Seq("user_id", "event_type"), "left")
+      .select(col("user_id"), col("event_type"),
+        (coalesce(col("n"), lit(0L)) + col("d_n")).as("n"),
+        (coalesce(col("sum_value"), lit(0.0)) + col("d_sum")).as("sum_value"),
+        lit(2L).as("batch"))
+    t.merge(touched, keys = Seq("user_id", "event_type"), tsCol = "batch", tieCol = "batch",
+      tsMillis = 2000L)
+    t.read()
+      .select(col("user_id"), col("event_type"), col("n"),
+        Fns.epsRound(col("sum_value"), 4).as("sum_value"))
+      .orderBy("user_id", "event_type")
   }
 
   /** B2 — copy-on-write DELETE on the transactional table: purge specific
@@ -1441,6 +1495,23 @@ object SparkEntry {
         Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
       .orderBy("column")
 
+  /** H11 — z-score outlier detection per group: events whose value deviates
+    * more than 3σ from their event_type's mean — the data-quality gate an
+    * ingest pipeline applies before training. Group moments broadcast back
+    * as a tiny join (5 groups); the scan stays one pass + one broadcast.
+    */
+  private def h11Outliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).where(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val moments = ev.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_samp(col("value")).as("sigma"))
+    ev.join(broadcast(moments), "event_type")
+      .withColumn("z", Fns.epsRound(abs(col("value") - col("mu")) / col("sigma"), 3))
+      .where(col("z") > 3.0)
+      .select("event_id", "event_type", "value", "z")
+      .orderBy("event_id")
+  }
+
   /** G3 — language-ID heuristic (rows-only: dictionaries engine-internal). */
   private def g3LangId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -2157,6 +2228,9 @@ object SparkEntry {
     "g2_ivfpq_topk"      -> (g2IvfPqTopk _),
     "a9_twavg"           -> (a9Twavg _),
     "a10_decayed"        -> (a10Decayed _),
+    "a11_scd2"           -> (a11Scd2 _),
+    "b2_counter_upsert"  -> (b2CounterUpsert _),
+    "h11_outliers"       -> (h11Outliers _),
     "c5_profile"         -> (c5Profile _),
     "g3_heavy_hitters"   -> (g3HeavyHitters _),
     "h9_funnel"          -> (h9Funnel _),
@@ -2205,6 +2279,26 @@ object SparkEntry {
         |UNION ALL SELECT 'c_name', n_rows, nn_name, nd_name FROM s
         |UNION ALL SELECT 'c_nationkey', n_rows, nn_nationkey, nd_nationkey FROM s
         |ORDER BY "column"""".stripMargin,
+    "a11_scd2" ->
+      """SELECT user_id, event_type, event_id, value, ts AS valid_from,
+        |       lead(ts) OVER (PARTITION BY user_id, event_type
+        |                      ORDER BY ts, event_id) AS valid_to
+        |FROM events
+        |ORDER BY user_id, event_type, valid_from, event_id""".stripMargin,
+    "b2_counter_upsert" ->
+      """SELECT user_id, event_type, count(*) AS n,
+        |       round(sum(value) + 1e-9, 4) AS sum_value
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "h11_outliers" ->
+      """WITH m AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+        |           FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       round(abs(e.value - m.mu) / m.sigma + 1e-9, 3) AS z
+        |FROM events e JOIN m USING (event_type)
+        |WHERE e.value IS NOT NULL
+        |  AND round(abs(e.value - m.mu) / m.sigma + 1e-9, 3) > 3.0
+        |ORDER BY e.event_id""".stripMargin,
     "h9_funnel" ->
       """WITH s0 AS (SELECT user_id, min(ts) AS f0 FROM events
         |            WHERE event_type = 'view' GROUP BY 1),
