@@ -691,6 +691,53 @@ object SparkEntry {
         "graft_bkt_lineitem", "l_orderkey", nBuckets = 8, sortCols = Seq("l_orderkey"))
     }
 
+  /** Purchases/clicks as bucket tables, both hash-clustered on the entity
+    * key and sorted by (key, ts) — the write-time layout that makes the
+    * FLAGSHIP as-of join exchange-free (a3_pit_join_bucketed). */
+  private def ensureEventBucketTables(s: SparkSession, dir: String): Unit =
+    if (bucketTablesBuilt.add(s"ev:${System.identityHashCode(s)}@$dir")) {
+      import graft.sources.Lakehouse
+      resetBucketTable(s, "graft_bkt_purchases")
+      resetBucketTable(s, "graft_bkt_clicks")
+      val ev = Tables.events(s, dir)
+      Lakehouse.writeBucketed(
+        ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts"), col("value").as("purchase_value")),
+        "graft_bkt_purchases", "user_id", nBuckets = 8,
+        sortCols = Seq("user_id", "purchase_ts"))
+      Lakehouse.writeBucketed(
+        ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("value").as("click_value")),
+        "graft_bkt_clicks", "user_id", nBuckets = 8,
+        sortCols = Seq("user_id", "ts"))
+    }
+
+  /** A3 over BUCKETED event tables: the flagship point-in-time join with
+    * the shuffle paid at WRITE time — both sides read pre-clustered on the
+    * entity key (and pre-sorted by (key, ts)), the custom merge-scan exec's
+    * ClusteredDistribution requirement is already satisfied, and the plan
+    * carries ZERO Exchange (asserted in-query, before the output ORDER BY).
+    * This is the 100 TB shape of the training-set build: the fact log is
+    * bucketed once, then every as-of enrichment over it is shuffle-free.
+    * Same semantics and oracle as a3_pit_join.
+    */
+  private def a3PitJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Lakehouse
+    ensureEventBucketTables(s, dir)
+    val out = AsOfJoin
+      .native(
+        Lakehouse.readTable(s, "graft_bkt_purchases"),
+        Lakehouse.readTable(s, "graft_bkt_clicks"),
+        Seq("user_id"), "purchase_ts", "ts", Seq("click_value"), "event_id")
+      .withColumnRenamed("ts__timestamp", "click_ts")
+    val plan = out.queryExecution.executedPlan.toString
+    require(!plan.contains("Exchange"),
+      s"bucketed as-of join must be exchange-free:\n$plan")
+    out.orderBy("purchase_id")
+  }
+
   private def b5BucketedJoin(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.Lakehouse
     ensureBucketTables(s, dir)
@@ -2117,6 +2164,7 @@ object SparkEntry {
     annIndexDir(s, dir)
     dedupIndexDir(s, dir)
     ensureBucketTables(s, dir)
+    ensureEventBucketTables(s, dir)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2126,6 +2174,7 @@ object SparkEntry {
     "a3_pit_join_native" -> (a3PitJoinNative _),
     "a3_pit_join_salted" -> (a3PitJoinSalted _),
     "a3_pit_join_tol"    -> (a3PitJoinTol _),
+    "a3_pit_join_bucketed" -> (a3PitJoinBucketed _),
     "a4_freshness"       -> (a4Freshness _),
     "a8_resample"        -> (a8Resample _),
     "a6_bitemporal"      -> (a6Bitemporal _),
@@ -2354,6 +2403,19 @@ object SparkEntry {
         |FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
     "a3_pit_join" ->
+      """WITH spine AS (
+        |  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |facts AS (
+        |  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT s.user_id, s.purchase_id, s.purchase_ts, s.purchase_value,
+        |         f.value AS click_value, f.ts AS click_ts,
+        |         row_number() OVER (PARTITION BY s.purchase_id ORDER BY f.ts DESC, f.event_id DESC) AS rn
+        |  FROM spine s LEFT JOIN facts f ON f.user_id = s.user_id AND f.ts <= s.purchase_ts)
+        |SELECT user_id, purchase_id, purchase_ts, purchase_value, click_value, click_ts
+        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+    "a3_pit_join_bucketed" ->
       """WITH spine AS (
         |  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value AS purchase_value
         |  FROM events WHERE event_type = 'purchase'),
