@@ -511,6 +511,28 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** B2 — RESTORE (rollback) on the transactional table: a bad batch lands
+    * (post-Jan15 garbage), restore(v0) rolls the table back in ONE commit
+    * of log pointers (no data copied; the bad version stays
+    * time-travelable). Declared result = the post-restore snapshot; oracle
+    * = the pre-Jan15 recompute, certifying the rollback restored exactly
+    * the v0 rows.
+    */
+  private def b2TxRestore(s: SparkSession, dir: String): DataFrame = withShufflePartitions(s, 8) {
+    import graft.sources.TxTable
+    val ev = Tables.events(s, dir)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    val t = TxTable(s, java.nio.file.Files.createTempDirectory("graft_tx_restore").toString)
+    t.append(ev.where(col("ts") <= ts(AsOf15)), tsMillis = 1000L)
+    // the bad batch: rows that must be gone after the rollback
+    t.append(ev.where(col("ts") > ts(AsOf15)).withColumn("value", lit(-1.0)),
+      tsMillis = 2000L)
+    t.restoreVersion(0L, tsMillis = 3000L)
+    t.read()
+      .select("event_id", "user_id", "event_type", "value", "ts")
+      .orderBy("event_id")
+  }
+
   /** B2 — time-travel DIFF across the table's history: after an append and
     * a purge, diff(v0, v2) must report exactly the surviving appended rows
     * as inserts and the purged original rows as deletes — the change audit
@@ -1542,6 +1564,40 @@ object SparkEntry {
         Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
       .orderBy("column")
 
+  /** C6 — time-series completeness check: (user, day) cells in the span
+    * with NO event — the data-gap audit that catches silently-dead
+    * upstream feeds before a training job consumes the table. Dense grid
+    * minus observed days (left anti-join on co-partitioned keys).
+    */
+  private def c6Gaps(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val grid = ev.select(col("user_id")).distinct()
+      .crossJoin(s.range(1).select(explode(expr(
+        "sequence(DATE'2024-01-10', DATE'2024-01-20', interval 1 day)")).as("d")))
+    val observed = ev
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    grid.join(observed, Seq("user_id", "d"), "left_anti")
+      .select(col("user_id"), date_format(col("d"), "yyyy-MM-dd").as("day"))
+      .orderBy("user_id", "day")
+  }
+
+  /** E10 — winsorization: clip a measure at its group's [p05, p95] — the
+    * outlier-robust feature transform (h11 detects outliers; this bounds
+    * them). Exact interpolated percentiles per group broadcast back.
+    */
+  private def e10Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).where(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val bounds = ev.groupBy("event_type").agg(
+      expr("percentile(value, 0.05)").as("lo"),
+      expr("percentile(value, 0.95)").as("hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .select(col("event_id"), col("event_type"),
+        Fns.epsRound(greatest(col("lo"), least(col("hi"), col("value"))), 4)
+          .as("value_w"))
+      .orderBy("event_id")
+  }
+
   /** H11 — z-score outlier detection per group: events whose value deviates
     * more than 3σ from their event_type's mean — the data-quality gate an
     * ingest pipeline applies before training. Group moments broadcast back
@@ -2279,6 +2335,9 @@ object SparkEntry {
     "a10_decayed"        -> (a10Decayed _),
     "a11_scd2"           -> (a11Scd2 _),
     "b2_counter_upsert"  -> (b2CounterUpsert _),
+    "b2_tx_restore"      -> (b2TxRestore _),
+    "c6_gaps"            -> (c6Gaps _),
+    "e10_winsorize"      -> (e10Winsorize _),
     "h11_outliers"       -> (h11Outliers _),
     "c5_profile"         -> (c5Profile _),
     "g3_heavy_hitters"   -> (g3HeavyHitters _),
@@ -2339,6 +2398,30 @@ object SparkEntry {
         |       round(sum(value) + 1e-9, 4) AS sum_value
         |FROM events WHERE value IS NOT NULL
         |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "b2_tx_restore" ->
+      """SELECT event_id, user_id, event_type, value, ts FROM events
+        |WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "c6_gaps" ->
+      """WITH users AS (SELECT DISTINCT user_id FROM events),
+        |days AS (SELECT unnest(generate_series(DATE '2024-01-10', DATE '2024-01-20',
+        |                                       INTERVAL 1 day))::DATE AS d),
+        |grid AS (SELECT user_id, d FROM users CROSS JOIN days),
+        |obs AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events)
+        |SELECT g.user_id, strftime(g.d, '%Y-%m-%d') AS day
+        |FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.d = g.d
+        |WHERE o.user_id IS NULL
+        |ORDER BY g.user_id, day""".stripMargin,
+    "e10_winsorize" ->
+      """WITH b AS (SELECT event_type,
+        |                  quantile_cont(value, 0.05) AS lo,
+        |                  quantile_cont(value, 0.95) AS hi
+        |           FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT e.event_id, e.event_type,
+        |       round(greatest(b.lo, least(b.hi, e.value)) + 1e-9, 4) AS value_w
+        |FROM events e JOIN b USING (event_type)
+        |WHERE e.value IS NOT NULL
+        |ORDER BY e.event_id""".stripMargin,
     "h11_outliers" ->
       """WITH m AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
         |           FROM events WHERE value IS NOT NULL GROUP BY 1)

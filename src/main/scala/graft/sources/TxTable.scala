@@ -918,6 +918,39 @@ class TxTable(val spark: SparkSession, val root: String) {
       })
   }
 
+  /** RESTORE to a committed version (Delta's `RESTORE TABLE ... VERSION AS
+    * OF`): ONE new commit whose file actions re-add the target snapshot's
+    * files and remove the current ones — the rollback is itself history
+    * (time travel still sees the bad versions; vacuum erases them later),
+    * and no data file is copied, only log pointers move. Restores the
+    * target version's stats/blooms/layout with it. Same conflict rule as
+    * overwrite: ANY commit landing between the snapshot reads and this
+    * commit aborts.
+    */
+  def restoreVersion(v: Long, tsMillis: Long = System.currentTimeMillis()): Long = {
+    val baseVersion = latestVersion()
+    require(baseVersion.exists(_ >= v), s"version $v does not exist yet in table $root")
+    val target = stateForVersion(v)
+    // restoring re-references old files — they must still exist (vacuum
+    // past the target version makes the restore impossible, as in Delta)
+    require(target.files.forall(f => Files.exists(dataDir.resolve(f))),
+      s"version $v's data files were vacuumed; cannot restore")
+    val current = stateForVersion(Long.MaxValue)
+    // remove only what the target does not keep: a file live in BOTH
+    // snapshots must not appear in remove (add+remove in one commit would
+    // net it out of the live set)
+    val keep = target.files.toSet
+    commitLoop("restore",
+      add = target.files.filterNot(current.files.contains),
+      remove = current.files.filterNot(keep.contains),
+      tsMillis = tsMillis,
+      schemaDdl = target.ddl, schemaEveryCommit = true, // schema rolls back too
+      stats = target.stats,
+      partCols = target.partCols,
+      blooms = target.blooms,
+      validate = () => latestVersion() == baseVersion)
+  }
+
   /** Remove data files not visible from any of the last `retainVersions`
     * snapshots (crash-leftover staged files and compacted/merged-away files
     * past the time-travel horizon). Time travel to retained versions keeps

@@ -368,6 +368,22 @@ class TxTableSpec extends SparkSpec {
     assert(t.readVersion(0).count() == 1024L)
   }
 
+  test("restoreVersion: one-commit rollback, history intact after restore") {
+    val t = newTable()
+    t.append(kv((1L, "a", 1.0, 10L)), tsMillis = 100L)
+    t.append(kv((2L, "a", 2.0, 20L)), tsMillis = 200L)
+    t.delete($"k" === 1L, tsMillis = 300L) // v2 drops key 1
+    val rv = t.restoreVersion(1L, tsMillis = 400L)
+    assert(rv == 3L) // the rollback is itself a commit
+    assert(t.read().orderBy("k").select("k").as[Long].collect().toSeq == Seq(1L, 2L))
+    // the rolled-back-over version stays time-travelable until vacuum
+    assert(t.readVersion(2).select("k").as[Long].collect().toSeq == Seq(2L))
+    // restoring v0 from the post-restore state also works (restore-of-restore)
+    t.restoreVersion(0L, tsMillis = 500L)
+    assert(t.read().select("k").as[Long].collect().toSeq == Seq(1L))
+    intercept[IllegalArgumentException](t.restoreVersion(99L))
+  }
+
   test("bloom skipping: readWhereIn prunes files, never loses a present key") {
     val t = newTable()
     // distinct key ranges per append -> each key lives in exactly one
