@@ -1884,6 +1884,46 @@ object SparkEntry {
       .orderBy("user_id", "event_type")
   }
 
+  /** G4 — the frequency sketch through STREAMING state: the corpus's words
+    * replay in two micro-batches through a complete-mode global aggregate
+    * of the Misra-Gries TypedImperativeAggregate (its buffer lives in the
+    * state store across batches), the final candidate set is recounted
+    * exactly batch-side, and the top-10 must equal the batch oracle — the
+    * sketch's merge rule is what makes its state legal to persist and
+    * resume incrementally. Collecting the words to feed MemoryStream is
+    * the oracle harness's shape, not the operator's.
+    */
+  private def g4HeavyStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+      .as[(Long, String)].collect()
+    val (evenDocs, oddDocs) = words.partition(_._1 % 2 == 0)
+    val ms = MemoryStream[(Long, String)]
+    s.catalog.dropTempView("g4_heavy_stream_state")
+    withShufflePartitions(s, 8) {
+      val q = ms.toDF().toDF("doc_id", "word")
+        .agg(org.apache.spark.sql.graft.MisraGries.heavyHitters(col("word"), 64).as("hh"))
+        .writeStream.format("memory").queryName("g4_heavy_stream_state")
+        .outputMode("complete").start()
+      ms.addData(evenDocs.toSeq); q.processAllAvailable()
+      ms.addData(oddDocs.toSeq);  q.processAllAvailable()
+      q.stop()
+    }
+    val cands = s.table("g4_heavy_stream_state")
+      .select(explode(col("hh")).as("h"))
+      .select(col("h").getField("item").as("word")).distinct()
+    Tables.documents(s, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .join(broadcast(cands), Seq("word"), "left_semi")
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(10)
+  }
+
   /** G4 streaming #2 — watermarked tumbling-window aggregate with a real
     * oracle: events replayed in EVENT-TIME order across two micro-batches
     * (an ordered split keeps every row inside the watermark — the second
@@ -2341,6 +2381,7 @@ object SparkEntry {
     "h11_outliers"       -> (h11Outliers _),
     "c5_profile"         -> (c5Profile _),
     "g3_heavy_hitters"   -> (g3HeavyHitters _),
+    "g4_heavy_stream"    -> (g4HeavyStream _),
     "h9_funnel"          -> (h9Funnel _),
     "h10_cohort"         -> (h10Cohort _),
     "g6_fuzzy_pairs"     -> (g6FuzzyPairs _)
@@ -3083,6 +3124,10 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
         |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin,
     "g3_heavy_hitters" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+        |GROUP BY word ORDER BY n DESC, word ASC LIMIT 10""".stripMargin,
+    "g4_heavy_stream" ->
       """SELECT word, count(*) AS n
         |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
         |GROUP BY word ORDER BY n DESC, word ASC LIMIT 10""".stripMargin,
