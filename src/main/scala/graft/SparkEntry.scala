@@ -285,6 +285,29 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_shipped_90d"), Fns.epsRound(sum("l_quantity"), 2).as("qty_90d"))
       .orderBy("o_orderkey")
 
+  /** A12 — PURE non-equi range join via bucketization (RangeJoin): classify
+    * every lineitem price into overlapping price bands with NO equality
+    * key. Naive Catalyst plans a BroadcastNestedLoopJoin here (points ×
+    * ranges work); the bucketized form is a hash equi-join on the bucket
+    * id + residual filter — asserted in-query. Bands deliberately overlap
+    * so the join is genuinely many-to-many.
+    */
+  private def a12RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("price"))
+    // 40 bands of width 2500 starting every 1500 — adjacent bands overlap
+    val bands = s.range(40).select(
+      col("id").as("band_id"),
+      (col("id") * 1500.0).as("lo"),
+      (col("id") * 1500.0 + 2500.0).as("hi"))
+    val joined = RangeJoin.pointInRange(li, "price", bands, "lo", "hi", bucketWidth = 2500.0)
+    val plan = joined.queryExecution.executedPlan.toString
+    require(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"bucketized range join must plan as an equi-join:\n$plan")
+    joined.groupBy("band_id")
+      .agg(count(lit(1)).as("n"), Fns.epsRound(sum("price"), 2).as("sum_price"))
+      .orderBy("band_id")
+  }
+
   // ======================================================================
   // B. writes / ingest / upsert
   // ======================================================================
@@ -2271,6 +2294,7 @@ object SparkEntry {
     "a3_pit_join_salted" -> (a3PitJoinSalted _),
     "a3_pit_join_tol"    -> (a3PitJoinTol _),
     "a3_pit_join_bucketed" -> (a3PitJoinBucketed _),
+    "a12_range_join"     -> (a12RangeJoin _),
     "a4_freshness"       -> (a4Freshness _),
     "a8_resample"        -> (a8Resample _),
     "a6_bitemporal"      -> (a6Bitemporal _),
@@ -2428,6 +2452,15 @@ object SparkEntry {
         |UNION ALL SELECT 'c_name', n_rows, nn_name, nd_name FROM s
         |UNION ALL SELECT 'c_nationkey', n_rows, nn_nationkey, nd_nationkey FROM s
         |ORDER BY "column"""".stripMargin,
+    "a12_range_join" ->
+      """WITH bands AS (
+        |  SELECT i AS band_id, i * 1500.0 AS lo, i * 1500.0 + 2500.0 AS hi
+        |  FROM (SELECT unnest(generate_series(0, 39)) AS i))
+        |SELECT b.band_id, count(*) AS n,
+        |       round(sum(l.l_extendedprice) + 1e-9, 2) AS sum_price
+        |FROM lineitem l JOIN bands b
+        |  ON l.l_extendedprice >= b.lo AND l.l_extendedprice <= b.hi
+        |GROUP BY b.band_id ORDER BY b.band_id""".stripMargin,
     "a11_scd2" ->
       """SELECT user_id, event_type, event_id, value, ts AS valid_from,
         |       lead(ts) OVER (PARTITION BY user_id, event_type
