@@ -1840,6 +1840,28 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** G5 — audio SAMPLE decode: peak amplitude and RMS from the fixture
+    * WAVs' actual 16-bit PCM data (not just headers). The corpus is pure
+    * ASCII, so the oracle reconstructs every sample from the text's
+    * character codes and recomputes both statistics exactly (sums of
+    * squares are integer-exact in doubles). Empty payloads carry no
+    * samples and are excluded on both sides.
+    */
+  private def g5AudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    val wavDir = Multimodal.writeWavFixture(
+      Tables.documents(s, dir), "doc_id", "text", fixtureKey = dir)
+    val media = s.read.format("binaryFile").load(wavDir)
+      .where(col("path").endsWith(".wav"))
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.wav", 1).cast("long").as("media_id"),
+        col("content"))
+    Multimodal.decodeWavStats(media).toDF()
+      .where(col("n_samples") > 0)
+      .select(col("media_id").as("doc_id"), col("n_samples"), col("peak"),
+        Fns.epsRound(col("rms"), 3).as("rms"))
+      .orderBy("doc_id")
+  }
+
   /** G5 — image decode: real 24-bit BMP containers written by executors,
     * ingested through binaryFile, header-decoded per partition — every
     * field recomputed by the oracle from (doc_id, octet_length(text)).
@@ -2369,6 +2391,7 @@ object SparkEntry {
     "g5_media_stats"     -> (g5MediaStats _),
     "g5_frame_sample"    -> (g5FrameSample _),
     "g5_media_features"  -> (g5MediaFeatures _),
+    "g5_audio_features"  -> (g5AudioFeatures _),
     "g5_image_features"  -> (g5ImageFeatures _),
     "g5_binary_ingest"   -> (g5BinaryIngest _),
     "q3_join_agg"        -> (q3JoinAgg _),
@@ -3235,6 +3258,26 @@ object SparkEntry {
         |       ((olen // block_align) * 1000 // sample_rate)::BIGINT AS duration_ms,
         |       (44 + (olen // block_align) * block_align)::BIGINT AS n_bytes
         |FROM w ORDER BY doc_id""".stripMargin,
+    "g5_audio_features" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |         (1 + doc_id % 2) * 2 AS block_align,
+        |         octet_length(encode(text)) AS olen
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |s AS (SELECT doc_id, text,
+        |             (olen // block_align) * block_align // 2 AS n_samples
+        |      FROM w WHERE (olen // block_align) * block_align // 2 > 0),
+        |samp AS (SELECT doc_id, n_samples,
+        |                unnest(generate_series(1, n_samples)) AS i, text
+        |         FROM s),
+        |v AS (SELECT doc_id, n_samples,
+        |             ord(substr(text, (2 * i - 1)::INT, 1))
+        |               + 256 * ord(substr(text, (2 * i)::INT, 1)) AS val
+        |      FROM samp)
+        |SELECT doc_id, n_samples::BIGINT AS n_samples,
+        |       max(abs(val))::BIGINT AS peak,
+        |       round(sqrt(sum(val::DOUBLE * val) / n_samples) + 1e-9, 3) AS rms
+        |FROM v GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin,
     "g5_binary_ingest" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, sha256(text) AS content_sha
         |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin,

@@ -89,6 +89,41 @@ class MultimodalSpec extends SparkSpec {
     assert(d0.n_bytes == 44L + 34L)
   }
 
+  test("WavCodec.samples: signed 16-bit LE decode, stats match hand computation") {
+    import graft.operators.Multimodal.WavCodec
+    // id 0 -> mono, block align 2: every byte pair is one sample
+    val payload = Array[Byte](0x01, 0x00, 0x00, 0x01, 0xFF.toByte, 0xFF.toByte, 0x00, 0x80.toByte)
+    val got = WavCodec.samples(WavCodec.wavBytes(0L, payload)).toSeq
+    assert(got == Seq(1, 256, -1, -32768)) // LE pairs, hi byte sign-extends
+    // truncation to whole frames: an odd trailing byte never becomes a sample
+    assert(WavCodec.samples(WavCodec.wavBytes(0L, Array[Byte](9, 0, 7))).toSeq == Seq(9))
+    // a data chunk length beyond the file must throw, not misdecode
+    val ok = WavCodec.wavBytes(0L, payload)
+    intercept[IllegalArgumentException](WavCodec.samples(ok.take(ok.length - 3)))
+  }
+
+  test("decodeWavStats: peak/rms from real samples through binaryFile read-back") {
+    val wavDir = Multimodal.writeWavFixture(docs, "doc_id", "text", fixtureKey = "specaudio", modulo = 5)
+    val media = spark.read.format("binaryFile").load(wavDir)
+      .where($"path".endsWith(".wav"))
+      .select(regexp_extract($"path", "doc_(\\d+)\\.wav", 1).cast("long").as("media_id"), $"content")
+    val stats = Multimodal.decodeWavStats(media).collect().map(r => r.media_id -> r).toMap
+    val texts = docs.where($"doc_id" % 5 === 0)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val blockAlign = (1 + id % 2).toInt * 2
+      val n = (bytes.length / blockAlign) * blockAlign / 2
+      val vals = (0 until n).map(i => (bytes(2 * i) & 0xFF) | (bytes(2 * i + 1).toInt << 8))
+      val s = stats(id)
+      assert(s.n_samples == n.toLong)
+      if (n > 0) {
+        assert(s.peak == vals.map(v => math.abs(v.toLong)).max)
+        assert(math.abs(s.rms - math.sqrt(vals.map(v => v.toDouble * v).sum / n)) < 1e-9)
+      }
+    }
+  }
+
   test("BmpCodec: writer/parser round-trip matches the derivation; guards reject lies") {
     import Multimodal.BmpCodec
     for (id <- Seq(0L, 3L, 12L, 25L); payloadLen <- Seq(0, 10, 100, 500)) {
