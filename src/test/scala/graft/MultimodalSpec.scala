@@ -25,7 +25,13 @@ class MultimodalSpec extends SparkSpec {
     val f1 = Multimodal.extractFeatures(m).collect().sortBy(_.media_id)
     val f2 = Multimodal.extractFeatures(m).collect().sortBy(_.media_id)
     assert(f1.map(_.byte_entropy).toSeq == f2.map(_.byte_entropy).toSeq)
-    assert(f1.head.pseudo_embedding.length == 16)
+    assert(f1.head.energy_profile.length == 16)
+    // the profile is a real statistic: a constant payload's windows all
+    // carry the same normalized RMS
+    val const = Multimodal.extractFeatures(
+      Multimodal.syntheticMedia(Seq((7L, "aaaaaaaaaaaaaaaa")).toDF("doc_id", "text"),
+        "doc_id", "text")).collect().head
+    assert(const.energy_profile.forall(v => math.abs(v - 97.0 / 255.0) < 1e-6))
     assert(f1.forall(_.n_bytes > 0))
   }
 
