@@ -26,6 +26,27 @@ class FuzzyJoinSpec extends SparkSpec {
       (1L, 2L, 2), (1L, 3L, 0), (1L, 4L, 1), (2L, 3L, 2), (3L, 4L, 1), (5L, 6L, 1)))
   }
 
+  test("maxBlockDf: hot tokens stop blocking; rare shared tokens still match") {
+    // 30 names all share the hot token "item"; two pairs also share a rare
+    // distinctive token. With the cap below 30, only the rare-token pairs
+    // can block — the hot-token-only pairs are the documented recall trade.
+    val names = ((1L to 30L).map(i => (i, s"item variant$i")) ++ Seq(
+      (31L, "item zebra"), (32L, "item zebrb"),   // dist 1, but their ONLY shared token is the hot "item"
+      (33L, "quokka item"), (34L, "quokka itex")  // dist 1, share the rare "quokka"
+    )).toDF("id", "name")
+    val capped = FuzzyJoin.selfPairs(names, "id", "name", maxDist = 2, maxBlockDf = 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (33, 34) blocks on "quokka" (df 2) and is within dist 2
+    assert(capped.contains((33L, 34L)))
+    // (31, 32) share ONLY tokens "item" (hot, df 34 > 10) and differing
+    // zebra/zebrb tokens — no common block survives the cap: missed
+    assert(!capped.contains((31L, 32L)))
+    // without the cap, both pairs match
+    val uncapped = FuzzyJoin.selfPairs(names, "id", "name", maxDist = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((31L, 32L)) && uncapped.contains((33L, 34L)))
+  }
+
   test("every emitted pair is truly within maxDist (precision is exact)") {
     val names = graft.sources.Tables.part(spark, "/root/testdata/sf0.001")
       .groupBy(col("p_name").as("name")).agg(min("p_partkey").as("id"))
