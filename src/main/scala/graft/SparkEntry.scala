@@ -1248,6 +1248,18 @@ object SparkEntry {
       textCol = "text")
       .orderBy("doc_id")
 
+  /** G3 — DSIR importance weights: every doc scored by how much more
+    * likely its tokens are under the English subset's unigram LM than
+    * under the whole corpus's (add-0.5 smoothing over the shared vocab) —
+    * the published domain-targeted selection recipe, oracle-checked per
+    * doc. */
+  private def g3Dsir(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.importanceWeights(docs, "doc_id", "text",
+        target = docs.where(col("lang") === "en"), targetTextCol = "text")
+      .orderBy("doc_id")
+  }
+
   /** G3 — corpus bigram statistics: top-20 adjacent token pairs (the LM
     * next-token table's first column). Map-only pair generation fused into
     * the scan; one gram-keyed partial-agg shuffle; top-k via TakeOrdered.
@@ -1467,6 +1479,16 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** G2 — exact kNN SELF-join: every corpus vector gets its 5 nearest
+    * neighbors (kNN-graph construction). Block-matrix chunked equi-join +
+    * bounded-heap top-k; the full 250k-pair grid at sf0.01 is oracle-checked
+    * pair for pair. */
+  private def g2KnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.knnJoin(emb, "vec_id", "embedding", k = 5, chunkRows = 256)
+      .orderBy("vec_id", "rank")
+  }
+
   /** G2 ANN — product-quantized approximate top-k (rows-only: ADC scores
     * are approximations). Codes are 8 ints per 64-dim vector; candidates
     * are scored by table lookup without touching the original embeddings.
@@ -1676,6 +1698,19 @@ object SparkEntry {
       .select("doc_id", "source")
       .orderBy("doc_id")
 
+  /** H — token-budget selection: ~800 tokens per source, docs taken in
+    * deterministic hash order until each source's budget fills (the step
+    * that turns a mixture spec into the token-count contract a training
+    * run consumes). Partitioned window; selection replayed by the oracle
+    * digit-for-digit. */
+  private def h12TokenBudget(s: SparkSession, dir: String): DataFrame =
+    Sampling.tokenBudget(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), Fns.tokenCount(col("text")).cast("long").as("n_tokens")),
+        sourceCol = "source", idCol = "doc_id", nTokensCol = "n_tokens", budget = 800L)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+
   /** H — temperature-scaled language rebalancing (T=2): the multilingual
     * mixing rule, realized by downsampling with the smallest language kept
     * whole. Counted per (lang, split) to show composability with h5_split.
@@ -1779,6 +1814,14 @@ object SparkEntry {
     Tables.documents(s, dir)
       .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
+
+  /** G3 — winnowing fingerprints (the MOSS copy-detection scheme): every
+    * 4-window of word 3-grams selects its rightmost-minimal gram; the
+    * full (doc, pos, gram) fingerprint table is oracle-checked row for
+    * row. Map-only HOFs — zero shuffles corpus → fingerprints. */
+  private def g3Winnow(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnow(Tables.documents(s, dir), "doc_id", "text", k = 3, w = 4)
+      .orderBy("doc_id", "pos", "gram")
 
   // ======================================================================
   // G5 — multimodal columns (binary payload + typed metadata)
@@ -2367,6 +2410,7 @@ object SparkEntry {
     "g3_tfidf"           -> (g3Tfidf _),
     "g3_bm25"            -> (g3Bm25 _),
     "g3_unigram_lm"      -> (g3UnigramLm _),
+    "g3_dsir"            -> (g3Dsir _),
     "g1_dedup_resolve"   -> (g1DedupResolve _),
     "g1_minhash_pairs"   -> (g1MinhashPairs _),
     "g1_simhash"         -> (g1Simhash _),
@@ -2380,6 +2424,7 @@ object SparkEntry {
     "g2_cosine_topk_agg" -> (g2CosineTopkAgg _),
     "g2_cosine_threshold" -> (g2CosineThreshold _),
     "g2_centroid_dist"   -> (g2CentroidDist _),
+    "g2_knn_join"        -> (g2KnnJoin _),
     "g2_lsh_topk"        -> (g2LshTopk _),
     "g2_ivf_topk"        -> (g2IvfTopk _),
     "g3_token_counts"    -> (g3TokenCounts _),
@@ -2388,6 +2433,7 @@ object SparkEntry {
     "g3_quality"         -> (g3Quality _),
     "g3_langid"          -> (g3LangId _),
     "g3_fingerprint"     -> (g3Fingerprint _),
+    "g3_winnow"          -> (g3Winnow _),
     "g5_media_stats"     -> (g5MediaStats _),
     "g5_frame_sample"    -> (g5FrameSample _),
     "g5_media_features"  -> (g5MediaFeatures _),
@@ -2409,6 +2455,7 @@ object SparkEntry {
     "g3_phi_scrub"       -> (g3PhiScrub _),
     "h5_split"           -> (h5SplitCounts _),
     "h6_domain_mix"      -> (h6DomainMix _),
+    "h12_token_budget"   -> (h12TokenBudget _),
     "h7_ntile"           -> (h7Ntile _),
     "h8_temperature_mix" -> (h8TemperatureMix _),
     "e9_time_window"     -> (e9TimeWindow _),
@@ -3085,6 +3132,21 @@ object SparkEntry {
         |       count(*) AS n_tokens
         |FROM toks JOIN counts USING (term) CROSS JOIN total
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "g3_dsir" ->
+      """WITH rawt AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+        |tgtt AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents WHERE lang = 'en'),
+        |cr AS (SELECT term, count(*)::DOUBLE AS c FROM rawt GROUP BY term),
+        |ct AS (SELECT term, count(*)::DOUBLE AS c FROM tgtt GROUP BY term),
+        |v AS (SELECT coalesce(cr.term, ct.term) AS term,
+        |             coalesce(cr.c, 0) AS crc, coalesce(ct.c, 0) AS ctc
+        |      FROM cr FULL OUTER JOIN ct ON cr.term = ct.term),
+        |tot AS (SELECT count(*)::DOUBLE AS vsz, sum(crc) AS nraw, sum(ctc) AS ntgt FROM v),
+        |wt AS (SELECT term,
+        |         ln((ctc + 0.5) / (ntgt + 0.5 * vsz)) - ln((crc + 0.5) / (nraw + 0.5 * vsz)) AS lw
+        |       FROM v CROSS JOIN tot)
+        |SELECT r.doc_id, count(*) AS n_tokens, round(sum(lw) + 1e-9, 4) AS log_weight
+        |FROM rawt r JOIN wt USING (term)
+        |GROUP BY r.doc_id ORDER BY r.doc_id""".stripMargin,
     "g3_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
         |grams AS (
@@ -3133,6 +3195,19 @@ object SparkEntry {
         |FROM embeddings e JOIN c ON e.label = c.label
         |GROUP BY e.vec_id, e.label
         |ORDER BY e.vec_id""".stripMargin,
+    "g2_knn_join" ->
+      """WITH p AS (
+        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, neighbor_id, sim,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |      FROM p)
+        |SELECT vec_id, rank, neighbor_id, round(sim + 1e-9, 4) AS cosine
+        |FROM r WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
     "g2_cosine_threshold" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
         |p AS (
@@ -3170,6 +3245,23 @@ object SparkEntry {
         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
         |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "g3_winnow" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tok FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |        tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] AS gram,
+        |        len(tok) - 2 AS m
+        |      FROM t, unnest(generate_series(1, len(tok) - 2)) AS u(i)
+        |      WHERE len(tok) >= 6),
+        |wmin AS (SELECT a.doc_id, a.pos AS ws, min(b.gram) AS mg
+        |         FROM g a JOIN g b ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos AND a.pos + 3
+        |         WHERE a.pos + 3 <= a.m
+        |         GROUP BY a.doc_id, a.pos),
+        |sel AS (SELECT w.doc_id, max(b.pos) AS pos, w.mg AS gram
+        |        FROM wmin w JOIN g b ON b.doc_id = w.doc_id
+        |          AND b.pos BETWEEN w.ws AND w.ws + 3 AND b.gram = w.mg
+        |        GROUP BY w.doc_id, w.ws, w.mg)
+        |SELECT DISTINCT doc_id, pos::BIGINT AS pos, gram
+        |FROM sel ORDER BY doc_id, pos, gram""".stripMargin,
     "g3_token_counts" ->
       """SELECT doc_id,
         |       len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
@@ -3401,6 +3493,19 @@ object SparkEntry {
         |      CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50
         |                  WHEN 'src2' THEN 25 WHEN 'src3' THEN 10 ELSE -1 END
         |ORDER BY doc_id""".stripMargin,
+    "h12_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+        |         ((doc_id % 2147483648) * 2654435761 % 2147483648) // 21474837 AS bucket
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY bucket, doc_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, cum_before + n_tokens AS cum_tokens
+        |FROM c WHERE cum_before < 800 ORDER BY doc_id""".stripMargin,
     "h8_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
         |m AS (SELECT min(n) AS nmin FROM c),

@@ -97,6 +97,38 @@ object Sampling {
     domainMix(df, groupCol, idCol, pctByGroup)
   }
 
+  /** Token-budget corpus selection: keep documents, in deterministic hash
+    * order, until each source's cumulative token count reaches the budget —
+    * the "sample ~N tokens per domain" step that turns a mixture SPEC
+    * (fractions from [[domainMix]]/[[temperatureMix]]) into a token-count
+    * CONTRACT, which is what a training run actually consumes.
+    *
+    * Order within a source is the shared multiplicative id hash (bucket,
+    * then id) — a deterministic pre-shuffle, so the selection is
+    * reproducible across runs/engines/partitionings and biased by nothing
+    * (hash order is independent of document length or position). A doc is
+    * kept iff the cumulative tokens of docs BEFORE it (hash order) are
+    * < budget: "take until you have enough" — the doc that crosses the
+    * line is kept, overshoot is at most one document.
+    *
+    * One window per source, PARTITIONED on the source key (never a global
+    * sort): each source's running sum sorts only its own rows, so the
+    * operator holds when sources are numerous and individually bounded.
+    * Output adds `cum_tokens` (including the current doc) — the audit
+    * column a corpus manifest records.
+    */
+  def tokenBudget(df: DataFrame, sourceCol: String, idCol: String,
+      nTokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(hashBucket(idCol).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__before", coalesce(sum(col(nTokensCol)).over(w), lit(0L)))
+      .where(col("__before") < budget)
+      .withColumn("cum_tokens", col("__before") + col(nTokensCol))
+      .drop("__before")
+  }
+
   /** Stratified top-k: the k best rows per stratum by a score column
     * (quality-filtered corpus assembly: "keep the best N documents per
     * language"). One shuffle on the stratum key; the window's rank is

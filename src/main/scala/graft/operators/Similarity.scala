@@ -541,6 +541,97 @@ object Similarity {
       .select(col(qidCol), col("__rank").as("rank"), col(idCol), epsRound(col("__sim"), 4).as("cosine"))
   }
 
+  /** Exact k-nearest-neighbor SELF-join: every vector in the corpus gets
+    * its k nearest neighbors by cosine (desc, neighbor id asc tie-break) —
+    * the kNN-graph construction primitive behind semantic clustering,
+    * diversity sampling, and graph-based dedup audits. Unlike
+    * [[cosineTopK]] (small broadcast query set), BOTH sides are the
+    * corpus, so the join uses the [[cosineDupPairs]] block-matrix shape:
+    * vectors hash into ~n/chunkRows chunks, the query side replicates to
+    * every chunk via `explode(sequence(...))`, and the join is an
+    * EQUI-join on the chunk id — bounded per-task blocks, nothing
+    * broadcast or nested-looped. Candidates then reduce through the
+    * bounded-heap TopKStructs aggregate, so only k rows per (vector,
+    * map partition) cross the shuffle, never the n_per_chunk candidates.
+    *
+    * Exact kNN-join is Θ(n²) dot products by definition — this is the
+    * correctness anchor. The scale path is [[knnJoinCells]]: restrict
+    * candidates to the persisted quantizer's coarse cells.
+    */
+  def knnJoin(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      chunkRows: Int = 1024
+  ): DataFrame = {
+    import org.apache.spark.sql.graft.TopKStructs
+    val n = vectors.select(col(idCol)).count()
+    val nChunks = math.max(1L, (n + chunkRows - 1) / chunkRows).toInt
+    val chunked = withNorm(vectors.select(col(idCol), col(vecCol)), vecCol, "__n")
+      .withColumn("__chunk", pmod(xxhash64(col(idCol)), lit(nChunks)).cast("int"))
+      .localCheckpoint()
+    val a = chunked
+      .select(col(idCol).as("__ida"), col(vecCol).as("__va"), col("__n").as("__na"),
+        explode(sequence(lit(0), lit(nChunks - 1))).as("__cb"))
+    val b = chunked
+      .select(col(idCol).as("__idb"), col(vecCol).as("__vb"), col("__n").as("__nb"),
+        col("__chunk").as("__cb"))
+    a.join(b, Seq("__cb"))
+      .where(col("__ida") =!= col("__idb"))
+      .withColumn("__sim",
+        VectorExpressions.vecDot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .select(col("__ida"),
+        struct(col("__sim").as("sim"), (-col("__idb")).cast("long").as("negid"),
+          col("__idb").as("id")).as("__s"))
+      .groupBy(col("__ida"))
+      .agg(TopKStructs.topK(col("__s"), k).as("__top"))
+      .select(col("__ida").as(idCol), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col(idCol), (col("__r") + 1).cast("long").as("rank"),
+        col("__t").getField("id").as("neighbor_id"),
+        epsRound(col("__t").getField("sim"), 4).as("cosine"))
+  }
+
+  /** Approximate kNN self-join bounded by the persisted coarse quantizer's
+    * cells (same candidate source as [[semanticDedupPairs]]): neighbors are
+    * searched only within each vector's cell, an equi-join on the cell id —
+    * Σ|cell|² ≈ n²/nCells dot products, the shape that stays tractable when
+    * nCells scales with the corpus. Results are exact-scored (precision 1
+    * on the emitted neighbors); recall misses only cross-cell neighbors,
+    * pinned by the spec against [[knnJoin]].
+    *
+    * @param cells `(id, cell)` from `AnnIndex.loadEncoded(...)`.
+    */
+  def knnJoinCells(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cells: DataFrame,
+      cellCol: String,
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.graft.TopKStructs
+    val v = withNorm(vectors.select(col(idCol), col(vecCol)), vecCol, "__n")
+      .join(cells.select(col(idCol), col(cellCol).as("__cell")), Seq(idCol))
+    val a = v.select(col("__cell"), col(idCol).as("__ida"),
+      col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = v.select(col("__cell"), col(idCol).as("__idb"),
+      col(vecCol).as("__vb"), col("__n").as("__nb"))
+    a.join(b, Seq("__cell"))
+      .where(col("__ida") =!= col("__idb"))
+      .withColumn("__sim",
+        VectorExpressions.vecDot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .select(col("__ida"),
+        struct(col("__sim").as("sim"), (-col("__idb")).cast("long").as("negid"),
+          col("__idb").as("id")).as("__s"))
+      .groupBy(col("__ida"))
+      .agg(TopKStructs.topK(col("__s"), k).as("__top"))
+      .select(col("__ida").as(idCol), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col(idCol), (col("__r") + 1).cast("long").as("rank"),
+        col("__t").getField("id").as("neighbor_id"),
+        epsRound(col("__t").getField("sim"), 4).as("cosine"))
+  }
+
   /** Per-group embedding centroids (elementwise mean), long format:
     * (groupCol, dim, centroid). The shuffle carries at most
     * n_groups x dim rows per map task (posexplode with map-side partial

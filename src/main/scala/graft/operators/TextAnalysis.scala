@@ -77,6 +77,45 @@ object TextAnalysis {
       (acc, t) => xxhash64(acc, t)
     )
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    * 2003 — the MOSS algorithm): from each document's word k-grams, every
+    * window of `w` consecutive grams selects its minimal gram (rightmost
+    * occurrence on ties — the "robust winnowing" rule that keeps selections
+    * stable under local edits). The selected (position, gram) set is the
+    * fingerprint: any shared substring of length ≥ k + w - 1 words between
+    * two documents is GUARANTEED to share at least one fingerprint — the
+    * detection floor that makes this the standard copy-detection /
+    * near-dup primitive.
+    *
+    * The selection key is the gram itself (lexicographic min) rather than
+    * a hash: same total order, same guarantee, and the SQL oracle replays
+    * it exactly. Entirely per-document higher-order functions — map-only,
+    * whole-stage codegen, zero shuffles at any corpus size; fingerprints
+    * then join/group like any other token table (e.g. groupBy(gram) for
+    * cross-doc matches, the [[graft.operators.Dedup]] inverted-index shape).
+    *
+    * Documents shorter than k + w - 1 tokens have no full window and are
+    * dropped — they carry no fingerprint under the scheme's guarantee.
+    * Output: (idCol, pos, gram), pos = 1-based gram position.
+    */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k/w must be positive: $k/$w")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= k + w - 1)
+      .withColumn("__g", expr(
+        s"transform(sequence(1, size(__t) - ${k - 1}), i -> concat_ws(' ', slice(__t, i, $k)))"))
+      .withColumn("__sel", array_distinct(expr(
+        s"""transform(sequence(0, size(__g) - $w), s ->
+           |  named_struct(
+           |    'pos', s + array_max(filter(sequence(1, $w),
+           |             j -> element_at(__g, s + j) = array_min(slice(__g, s + 1, $w)))),
+           |    'gram', array_min(slice(__g, s + 1, $w))))""".stripMargin)))
+      .select(col(idCol), explode(col("__sel")).as("__f"))
+      .select(col(idCol), col("__f.pos").cast("long").as("pos"), col("__f.gram").as("gram"))
+  }
+
   // ---- PHI/PII scrubbing (D2 taken to the text level: the reference masks
   // whole columns by phi_level, feature_registry.py:139; free-text features
   // need in-band redaction before they can feed a training corpus) ---------
@@ -233,6 +272,56 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(Fns.epsRound(avg(log(col("__cnt") / col("__total"))), 4).as("mean_logprob"),
         count(lit(1)).as("n_tokens"))
+  }
+
+  /** DSIR-style importance weighting (Xie et al., NeurIPS 2023 — "Data
+    * Selection for Language Models via Importance Resampling", unigram
+    * form): each document scores sum over tokens of
+    * log p_target(t) − log p_raw(t), where `target` is an exemplar corpus
+    * of the distribution to select FOR (a quality subset, a domain, a
+    * language) and raw is the corpus being scored. High weight = reads
+    * like the target; downstream, sample ∝ weight or keep the top slice —
+    * the published recipe for domain-targeted pretraining selection.
+    *
+    * Both LMs are add-α smoothed over the SHARED vocabulary (union of raw
+    * and target vocab), so target-absent tokens contribute a finite
+    * penalty instead of −∞. Counts flow through vocabulary-keyed shuffles
+    * with map-side partial aggregation (the vocab scales with the corpus —
+    * never broadcast); the three scalar totals (vocab size, token counts)
+    * broadcast back as a single row. Per-doc scoring is one more
+    * vocab-keyed join + doc-keyed sum: nothing in the plan holds more
+    * than a partition of any side.
+    *
+    * Output: (idCol, n_tokens, log_weight).
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, s"alpha must be positive (smoothing), got $alpha")
+    val rawToks = docs
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tgtToks = target
+      .where(length(trim(col(targetTextCol))) > 0)
+      .select(explode(tokens(col(targetTextCol))).as("term"))
+    val cr = rawToks.groupBy("term").agg(count(lit(1)).cast("double").as("__cr"))
+    val ct = tgtToks.groupBy("term").agg(count(lit(1)).cast("double").as("__ct"))
+    val vocab = cr.join(ct, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("__cr"), lit(0.0)).as("__cr"),
+        coalesce(col("__ct"), lit(0.0)).as("__ct"))
+    val totals = vocab.agg(
+      count(lit(1)).cast("double").as("__v"),
+      sum("__cr").as("__nraw"),
+      sum("__ct").as("__ntgt"))
+    val weights = vocab.crossJoin(broadcast(totals))
+      .select(col("term"),
+        (log((col("__ct") + alpha) / (col("__ntgt") + lit(alpha) * col("__v"))) -
+         log((col("__cr") + alpha) / (col("__nraw") + lit(alpha) * col("__v")))).as("__lw"))
+    rawToks
+      .join(weights, "term")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        Fns.epsRound(sum(col("__lw")), 4).as("log_weight"))
   }
 
   /** Concatenate-and-pack: the pretraining step that turns a deduped corpus

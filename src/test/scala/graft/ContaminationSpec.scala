@@ -65,6 +65,36 @@ class ContaminationSpec extends SparkSpec {
     assert(ratio2 == 0.7)
   }
 
+  test("winnow: closed forms on sorted and constant docs, window coverage, partition-stable") {
+    import graft.operators.TextAnalysis
+    // strictly increasing tokens: every window's min is its FIRST gram, so
+    // selections are positions 1..m-w+1 with the gram at that position
+    val inc = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text") // 10 toks, m=8 grams
+    val gotInc = TextAnalysis.winnow(inc, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getString(2))).toSet
+    assert(gotInc == Set(1L -> "a b c", 2L -> "b c d", 3L -> "c d e", 4L -> "d e f", 5L -> "e f g"))
+    // constant tokens: all grams tie, rightmost-min rule selects each
+    // window's LAST position -> positions w..m
+    val const = Seq((2L, "z z z z z z z z z z")).toDF("doc_id", "text")
+    val gotConst = TextAnalysis.winnow(const, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getString(2))).toSet
+    assert(gotConst == (4L to 8L).map(_ -> "z z z").toSet)
+    // guarantee: every window of 4 consecutive gram positions contains a
+    // selected position (the winnowing coverage property), any input
+    val doc = Seq((3L, (1 to 40).map(i => s"w${(i * 7919) % 13}").mkString(" "))).toDF("doc_id", "text")
+    val sel = TextAnalysis.winnow(doc, "doc_id", "text").collect().map(_.getLong(1)).toSet
+    val m = 40 - 2
+    (0 to m - 4).foreach { s =>
+      assert((1 to 4).exists(j => sel.contains(s + j.toLong)), s"window at $s has no fingerprint")
+    }
+    // short docs (< k+w-1 tokens) carry no full window and are dropped
+    assert(TextAnalysis.winnow(Seq((4L, "a b c d e")).toDF("doc_id", "text"), "doc_id", "text").isEmpty)
+    // deterministic under repartitioning
+    val again = TextAnalysis.winnow(doc.repartition(5), "doc_id", "text")
+      .collect().map(_.getLong(1)).toSet
+    assert(again == sel)
+  }
+
   test("chunkWindows: stride windows, ragged tail kept, short doc = one window, map-only plan") {
     import graft.operators.TextAnalysis
     val docs = Seq(

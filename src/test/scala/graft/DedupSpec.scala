@@ -230,6 +230,46 @@ class DedupSpec extends SparkSpec {
     assert((exact -- got) == Set((21L, 22L)), "only the mis-binned cross-cell pair is missed")
   }
 
+  test("knnJoin: planted nearest neighbors at rank 1, chunk grid does not change the answer") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.1f, 0.9f, 0.0f)),
+      (5L, Seq(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val multi = Similarity.knnJoin(emb, "vec_id", "embedding", k = 2, chunkRows = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val single = Similarity.knnJoin(emb, "vec_id", "embedding", k = 2, chunkRows = 1024)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(multi == single, "chunk grid must not change the answer")
+    val rank1 = single.filter(_._2 == 1L).map(t => (t._1, t._3)).toMap
+    // 1<->2 and 3<->4 are planted mutual nearest; 5 is orthogonal to all
+    // (cosine 0 everywhere) so its rank-1 tie-breaks to the lowest id
+    assert(rank1 == Map(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L, 5L -> 1L))
+    assert(single.groupBy(_._1).forall(_._2.size == 2), "k rows per vector")
+  }
+
+  test("knnJoinCells: neighbors restricted to the cell, scores exact on emitted rows") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.1f, 0.9f, 0.0f)),
+      (5L, Seq(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cells = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 1), (5L, 0)).toDF("vec_id", "__cell")
+    val got = Similarity.knnJoinCells(emb, "vec_id", "embedding", cells, "__cell", k = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    // rank-1 within each cell: 1->2, 2->1, 3->4, 4->3, 5->1 (cosine-0 tie)
+    assert(got.keySet == Set((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L), (5L, 1L)))
+    val exact = Similarity.knnJoin(emb, "vec_id", "embedding", k = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    got.foreach { case (pair, sim) =>
+      assert(exact(pair) == sim, s"cell-bounded score for $pair must equal the exact score")
+    }
+  }
+
   test("cosineTopK ranks the planted nearest neighbor first") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),

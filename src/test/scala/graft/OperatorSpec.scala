@@ -142,6 +142,28 @@ class OperatorSpec extends SparkSpec {
     assert(survivors.getOrElse("train", 0L) == n("s0")) // bucket<80 == train
   }
 
+  test("tokenBudget takes docs in hash order until each source's budget fills") {
+    import graft.operators.Sampling
+    val df = spark.range(0, 400)
+      .selectExpr("id", "concat('s', id % 2) AS source", "10 + id % 5 AS n_tokens")
+    val kept = Sampling.tokenBudget(df, "source", "id", "n_tokens", budget = 300L).cache()
+    val bySource = kept.groupBy("source")
+      .agg(sum("n_tokens").as("tot"), max("cum_tokens").as("maxcum"), count("*").as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    bySource.foreach { case (src, (tot, maxcum, n)) =>
+      assert(tot == maxcum, s"$src: cum_tokens must equal the selected running sum")
+      assert(tot >= 300L, s"$src: budget must be reached ($tot)")
+      assert(tot - 300L < 15L, s"$src: overshoot is bounded by one doc ($tot)")
+      assert(n < 200L, s"$src: selection must be a strict subset")
+    }
+    // deterministic under repartitioning
+    val again = Sampling.tokenBudget(df.repartition(7), "source", "id", "n_tokens", 300L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.select("id").collect().map(_.getLong(0)).toSet)
+    // a budget beyond the corpus keeps everything
+    assert(Sampling.tokenBudget(df, "source", "id", "n_tokens", 1000000L).count() == 400L)
+  }
+
   test("stratifiedTopK keeps exactly k best rows per stratum with deterministic ties") {
     import graft.operators.Sampling
     val df = Seq(
@@ -266,5 +288,31 @@ class OperatorSpec extends SparkSpec {
     // doc 1: all tokens p = 5/6 -> mean ln(5/6); doc 2: mean of ln(5/6), ln(1/6)
     assert(math.abs(m(1L)._1 - math.log(5.0 / 6.0)) < 1e-3)
     assert(math.abs(m(2L)._1 - (math.log(5.0 / 6.0) + math.log(1.0 / 6.0)) / 2.0) < 1e-3)
+  }
+
+  test("importanceWeights: target-like docs score higher; closed form on a 2-term vocab") {
+    val docs = Seq(
+      (1L, "alpha alpha alpha alpha"), // pure target-style
+      (2L, "beta beta beta beta"),     // pure off-target
+      (3L, "alpha beta alpha beta")    // mixed
+    ).toDF("doc_id", "text")
+    val target = Seq(Tuple1("alpha alpha alpha alpha")).toDF("text")
+    val m = TextAnalysis.importanceWeights(docs, "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m.keySet == Set(1L, 2L, 3L))
+    assert(m(1L)._1 == 4L && m(3L)._1 == 4L)
+    assert(m(1L)._2 > m(3L)._2 && m(3L)._2 > m(2L)._2,
+      s"weights must order by target affinity: $m")
+    // closed form: vocab {alpha, beta}, raw counts (6, 6) of 12; target (4, 0) of 4
+    val v = 2.0; val a = 0.5
+    def lw(ct: Double, cr: Double) =
+      math.log((ct + a) / (4.0 + a * v)) - math.log((cr + a) / (12.0 + a * v))
+    assert(math.abs(m(1L)._2 - 4 * lw(4, 6)) < 1e-3)
+    assert(math.abs(m(2L)._2 - 4 * lw(0, 6)) < 1e-3)
+    assert(math.abs(m(3L)._2 - 2 * (lw(4, 6) + lw(0, 6))) < 1e-3)
+    // weights are a pure function of content — stable under repartitioning
+    val again = TextAnalysis.importanceWeights(docs.repartition(5), "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again == m.map { case (k, (_, w)) => k -> w })
   }
 }
