@@ -575,6 +575,24 @@ object SparkEntry {
       .orderBy("change_type", "event_id")
   }
 
+  /** B2 — change data feed over a 3-commit history: per-commit
+    * insert/delete rows with `_commit_version`, the incremental-consumer
+    * read (contrast b2_tx_diff, which is endpoint-to-endpoint). Oracle is
+    * the closed form of the fixture's operations. */
+  private def b2TxCdc(s: SparkSession, dir: String): DataFrame = withShufflePartitions(s, 8) {
+    import graft.sources.TxTable
+    val ev = Tables.events(s, dir)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    val t = TxTable(s, java.nio.file.Files.createTempDirectory("graft_tx_cdc").toString)
+    t.append(ev.where(col("event_id") % 3 === 0), tsMillis = 1000L) // v0
+    t.append(ev.where(col("event_id") % 3 === 1), tsMillis = 2000L) // v1
+    t.delete(col("user_id") < 10, tsMillis = 3000L)                 // v2
+    t.changeFeed(0L, 2L)
+      .select(col("_commit_version"), col("change_type"),
+        col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
+      .orderBy("_commit_version", "change_type", "event_id")
+  }
+
   /** B5 — Z-ORDER clustered TxTable (multi-dimensional data skipping):
     * events land flat, a `zorder(user_id, value)` rewrite clusters them on
     * the interleaved-bit curve and records per-file min/max on BOTH
@@ -1170,6 +1188,25 @@ object SparkEntry {
           maxShingleDf = 50).localCheckpoint())
       .orderBy("doc_id")
 
+  /** G1 — retention over resolved clusters: keep the LONGEST member of
+    * each near-dup cluster (ties to the lowest id) — the policy step a
+    * corpus build ends dedup with, instead of "keep the lowest id". Same
+    * pair/CC pipeline as g1_dedup_resolve + one argmax on the cluster
+    * key. */
+  private def g1DedupBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup
+      .keepBest(
+        Dedup.connectedComponents(
+          Dedup.jaccardPairs(
+            docs.withColumn("len_bucket", expr("n_chars div 100")),
+            idCol = "doc_id", textCol = "text",
+            blockCols = Seq("lang", "len_bucket"), shingleN = 3, threshold = 0.3,
+            maxShingleDf = 50).localCheckpoint()),
+        docs, idCol = "doc_id", scoreCol = "n_chars")
+      .orderBy("canonical_id")
+  }
+
   /** G1 — benchmark decontamination: docs sharing a verbatim 8-gram with
     * the held-out benchmark slice (doc_id % 50 == 0 plays the eval set),
     * with overlap strength. The benchmark gram set broadcasts; the corpus
@@ -1489,6 +1526,28 @@ object SparkEntry {
       .orderBy("vec_id", "rank")
   }
 
+  /** G2 — SQ8 scalar quantization reconstruction report: per-dim [min,max]
+    * train, 8-bit encode, decode, and the per-vector code stats + RMSE —
+    * all integer code arithmetic replayed by the oracle digit-for-digit
+    * (the epsilon-pinned floor makes the codes exact, not approximate). */
+  private def g2Sq8(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val ranges = Similarity.sq8Train(emb, "embedding")
+    val enc = Similarity.sq8Encode(emb, "vec_id", "embedding", ranges)
+    emb.join(enc, "vec_id").crossJoin(broadcast(ranges))
+      .select(col("vec_id"),
+        expr("aggregate(codes, 0L, (a, c) -> a + c)").as("sum_codes"),
+        expr("array_min(codes)").as("min_code"),
+        expr("array_max(codes)").as("max_code"),
+        Fns.epsRound(sqrt(expr(
+          """aggregate(sequence(1, size(codes), 1), 0.0D, (acc, d) ->
+            |  acc + pow(cast(element_at(embedding, d) as double) -
+            |    (element_at(__mins, d) + cast(element_at(codes, d) as double) / 255.0D *
+            |     (element_at(__maxs, d) - element_at(__mins, d))), 2))""".stripMargin)
+          / size(col("codes"))), 6).as("rmse"))
+      .orderBy("vec_id")
+  }
+
   /** G2 ANN — product-quantized approximate top-k (rows-only: ADC scores
     * are approximations). Codes are 8 ints per 64-dim vector; candidates
     * are scored by table lookup without touching the original embeddings.
@@ -1710,6 +1769,15 @@ object SparkEntry {
         sourceCol = "source", idCol = "doc_id", nTokensCol = "n_tokens", budget = 800L)
       .select("doc_id", "source", "n_tokens", "cum_tokens")
       .orderBy("doc_id")
+
+  /** H — uniform 20-per-language sample: bottom-k by the full 31-bit
+    * multiplicative id hash (KMV-style sampling without replacement) —
+    * deterministic, append-monotone, replayed by the oracle. */
+  private def h13UniformSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.uniformSample(Tables.documents(s, dir), groupCol = "lang",
+        idCol = "doc_id", k = 20)
+      .select("lang", "sample_rank", "doc_id")
+      .orderBy("lang", "sample_rank")
 
   /** H — temperature-scaled language rebalancing (T=2): the multilingual
     * mixing rule, realized by downsampling with the smallest language kept
@@ -2375,6 +2443,7 @@ object SparkEntry {
     "b5_tx_zorder"       -> (b5TxZorder _),
     "b2_delete_tx"       -> (b2DeleteTx _),
     "b2_tx_diff"         -> (b2TxDiff _),
+    "b2_tx_cdc"          -> (b2TxCdc _),
     "b5_csv_ingest"      -> (b5CsvIngest _),
     "b5_orc_ingest"      -> (b5OrcIngest _),
     "b5_bucketed_join"   -> (b5BucketedJoin _),
@@ -2412,6 +2481,7 @@ object SparkEntry {
     "g3_unigram_lm"      -> (g3UnigramLm _),
     "g3_dsir"            -> (g3Dsir _),
     "g1_dedup_resolve"   -> (g1DedupResolve _),
+    "g1_dedup_best"      -> (g1DedupBest _),
     "g1_minhash_pairs"   -> (g1MinhashPairs _),
     "g1_simhash"         -> (g1Simhash _),
     "g1_incr_jaccard"    -> (g1IncrJaccard _),
@@ -2425,6 +2495,7 @@ object SparkEntry {
     "g2_cosine_threshold" -> (g2CosineThreshold _),
     "g2_centroid_dist"   -> (g2CentroidDist _),
     "g2_knn_join"        -> (g2KnnJoin _),
+    "g2_sq8"             -> (g2Sq8 _),
     "g2_lsh_topk"        -> (g2LshTopk _),
     "g2_ivf_topk"        -> (g2IvfTopk _),
     "g3_token_counts"    -> (g3TokenCounts _),
@@ -2456,6 +2527,7 @@ object SparkEntry {
     "h5_split"           -> (h5SplitCounts _),
     "h6_domain_mix"      -> (h6DomainMix _),
     "h12_token_budget"   -> (h12TokenBudget _),
+    "h13_uniform_sample" -> (h13UniformSample _),
     "h7_ntile"           -> (h7Ntile _),
     "h8_temperature_mix" -> (h8TemperatureMix _),
     "e9_time_window"     -> (e9TimeWindow _),
@@ -2847,6 +2919,14 @@ object SparkEntry {
         |SELECT 'delete', event_id, user_id, event_type, value, ts
         |FROM events WHERE event_id % 2 = 0 AND user_id < 10
         |ORDER BY change_type, event_id""".stripMargin,
+    "b2_tx_cdc" ->
+      """SELECT 1::BIGINT AS _commit_version, 'insert' AS change_type,
+        |       event_id, user_id, event_type, value, ts
+        |FROM events WHERE event_id % 3 = 1
+        |UNION ALL
+        |SELECT 2::BIGINT, 'delete', event_id, user_id, event_type, value, ts
+        |FROM events WHERE event_id % 3 IN (0, 1) AND user_id < 10
+        |ORDER BY _commit_version, change_type, event_id""".stripMargin,
     "b5_orc_ingest" ->
       """SELECT source, count(*) AS n_docs,
         |       sum(length(text))::BIGINT AS sum_chars,
@@ -2992,6 +3072,40 @@ object SparkEntry {
         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
         |SELECT a AS doc_id, least(a, min(b)) AS canonical_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "g1_dedup_best" ->
+      """WITH RECURSIVE s0 AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+        |         list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+        |                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, lang, n_chars, string_split_regex(trim(text), '\s+') AS w FROM documents)),
+        |ex AS (SELECT doc_id, lang, len_bucket, unnest(sh) AS s FROM s0),
+        |keep AS (SELECT lang, len_bucket, s FROM ex GROUP BY lang, len_bucket, s HAVING count(*) <= 50),
+        |s AS (SELECT doc_id, lang, len_bucket, list(s) AS sh
+        |      FROM ex JOIN keep USING (lang, len_bucket, s)
+        |      GROUP BY doc_id, lang, len_bucket),
+        |jp AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b
+        |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) > 0
+        |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |        len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.3),
+        |e AS (SELECT id_a AS a, id_b AS b FROM jp UNION SELECT id_b, id_a FROM jp),
+        |reach AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |resolve AS (SELECT a AS doc_id, least(a, min(b)) AS canonical_id
+        |            FROM reach GROUP BY a),
+        |f AS (
+        |  SELECT r.canonical_id, r.doc_id, d.n_chars,
+        |         row_number() OVER (PARTITION BY r.canonical_id
+        |                            ORDER BY d.n_chars DESC, r.doc_id ASC) AS rn,
+        |         count(*) OVER (PARTITION BY r.canonical_id) AS n_members,
+        |         max(d.n_chars) OVER (PARTITION BY r.canonical_id) AS best_score
+        |  FROM resolve r JOIN documents d USING (doc_id))
+        |SELECT canonical_id, doc_id AS keep_id, n_members, best_score
+        |FROM f WHERE rn = 1 ORDER BY canonical_id""".stripMargin,
     "g1_incr_jaccard" ->
       """WITH s0 AS (
         |  SELECT doc_id,
@@ -3195,6 +3309,22 @@ object SparkEntry {
         |FROM embeddings e JOIN c ON e.label = c.label
         |GROUP BY e.vec_id, e.label
         |ORDER BY e.vec_id""".stripMargin,
+    "g2_sq8" ->
+      """WITH d AS (
+        |  SELECT i, min(embedding[i]::DOUBLE) AS mn, max(embedding[i]::DOUBLE) AS mx
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+        |  GROUP BY i),
+        |c AS (
+        |  SELECT e.vec_id,
+        |    CASE WHEN d.mx = d.mn THEN 0
+        |         ELSE floor((e.embedding[d.i]::DOUBLE - d.mn) / (d.mx - d.mn) * 255.0 + 0.5 + 1e-9)::INT
+        |    END AS code,
+        |    e.embedding[d.i]::DOUBLE AS x, d.mn, d.mx
+        |  FROM embeddings e JOIN d ON d.i <= len(e.embedding))
+        |SELECT vec_id, sum(code)::BIGINT AS sum_codes,
+        |       min(code) AS min_code, max(code) AS max_code,
+        |       round(sqrt(avg(pow(x - (mn + code / 255.0 * (mx - mn)), 2))) + 1e-9, 6) AS rmse
+        |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "g2_knn_join" ->
       """WITH p AS (
         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
@@ -3506,6 +3636,16 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, source, n_tokens, cum_before + n_tokens AS cum_tokens
         |FROM c WHERE cum_before < 800 ORDER BY doc_id""".stripMargin,
+    "h13_uniform_sample" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id,
+        |         (doc_id % 2147483648) * 2654435761 % 2147483648 AS hv
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |             row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS sample_rank
+        |      FROM h)
+        |SELECT lang, sample_rank::BIGINT AS sample_rank, doc_id
+        |FROM r WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
     "h8_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
         |m AS (SELECT min(n) AS nmin FROM c),

@@ -547,6 +547,29 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("new_id"), col("corpus_id"), epsRound(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** Retention policy over resolved duplicate clusters: per cluster, KEEP
+    * the best member by a score column (ties to the lowest id) — the step
+    * after [[connectedComponents]] that a production dedup actually ends
+    * with. "Keep the canonical (lowest-id)" is an arbitrary choice; "keep
+    * the longest / highest-quality member" is what corpus builds do
+    * (longest-member retention is the common near-dup rule). One argmax
+    * aggregation on the cluster key — map-side partial, the same E1 shape
+    * as [[graft.operators.Latest.latestAgg]].
+    *
+    * @param clusters `(idCol, canonical_id)` from [[connectedComponents]]
+    * @param members  score source, joined on `idCol`
+    * @return (canonical_id, keep_id, n_members, best_score)
+    */
+  def keepBest(clusters: DataFrame, members: DataFrame, idCol: String,
+      scoreCol: String): DataFrame =
+    clusters
+      .join(members.select(col(idCol), col(scoreCol).as("__score")), Seq(idCol))
+      .groupBy(col("canonical_id"))
+      .agg(
+        max_by(col(idCol), struct(col("__score"), (-col(idCol)).cast("long"))).as("keep_id"),
+        count(lit(1)).as("n_members"),
+        max(col("__score")).as("best_score"))
 }
 
 /** Primitive open-addressing long->long hash map (linear probing, power-of-2

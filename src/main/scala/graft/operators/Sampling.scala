@@ -129,6 +129,26 @@ object Sampling {
       .drop("__before")
   }
 
+  /** Uniform k-per-group sample WITHOUT replacement: the k members with
+    * the smallest multiplicative id hash (full 31-bit value — not the
+    * coarse 0..99 bucket — with id tie-break). The bottom-k-by-hash
+    * sketch (the KMV idea applied to sampling): deterministic and
+    * partition-stable like everything in this object, and
+    * append-monotone — a new row displaces at most the largest-hash
+    * survivor of its group, never reshuffles the rest, so periodic
+    * re-runs over a growing corpus produce stable samples. One
+    * group-keyed window; at 100 TB this is [[stratifiedTopK]]'s shape
+    * with the hash as the score.
+    */
+  def uniformSample(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val h = expr(
+      s"pmod(pmod(cast($idCol as bigint), 2147483648) * 2654435761, 2147483648)")
+    val w = Window.partitionBy(col(groupCol)).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= k)
+  }
+
   /** Stratified top-k: the k best rows per stratum by a score column
     * (quality-filtered corpus assembly: "keep the best N documents per
     * language"). One shuffle on the stratum key; the window's rank is

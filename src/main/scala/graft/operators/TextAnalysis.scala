@@ -97,6 +97,15 @@ object TextAnalysis {
     * Documents shorter than k + w - 1 tokens have no full window and are
     * dropped — they carry no fingerprint under the scheme's guarantee.
     * Output: (idCol, pos, gram), pos = 1-based gram position.
+    *
+    * Implementation note: the token and gram arrays are LET-BOUND as
+    * lambda variables (the `transform(array(x), v -> ...)[1]` idiom)
+    * rather than referenced as projected columns. Catalyst collapses
+    * projections into HOF lambda bodies and does no subexpression
+    * elimination inside them, so a column reference to the grams array
+    * would re-derive it — including the regex split of the raw text —
+    * once per window element (measured: minutes instead of seconds on a
+    * 5k-doc corpus). A bound variable is evaluated once per binding.
     */
   def winnow(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4): DataFrame = {
@@ -104,14 +113,17 @@ object TextAnalysis {
     docs
       .select(col(idCol), tokens(col(textCol)).as("__t"))
       .where(size(col("__t")) >= k + w - 1)
-      .withColumn("__g", expr(
-        s"transform(sequence(1, size(__t) - ${k - 1}), i -> concat_ws(' ', slice(__t, i, $k)))"))
       .withColumn("__sel", array_distinct(expr(
-        s"""transform(sequence(0, size(__g) - $w), s ->
-           |  named_struct(
-           |    'pos', s + array_max(filter(sequence(1, $w),
-           |             j -> element_at(__g, s + j) = array_min(slice(__g, s + 1, $w)))),
-           |    'gram', array_min(slice(__g, s + 1, $w))))""".stripMargin)))
+        s"""element_at(transform(array(
+           |  element_at(transform(array(__t), t ->
+           |    transform(sequence(1, size(t) - ${k - 1}, 1), i -> concat_ws(' ', slice(t, i, $k)))), 1)
+           |), g ->
+           |  transform(sequence(0, size(g) - $w, 1), s ->
+           |    element_at(transform(array(array_min(slice(g, s + 1, $w))), mn ->
+           |      named_struct(
+           |        'pos', s + array_max(filter(sequence(1, $w, 1), j -> element_at(g, s + j) = mn)),
+           |        'gram', mn)), 1))
+           |), 1)""".stripMargin)))
       .select(col(idCol), explode(col("__sel")).as("__f"))
       .select(col(idCol), col("__f.pos").cast("long").as("pos"), col("__f.gram").as("gram"))
   }

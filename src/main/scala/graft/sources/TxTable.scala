@@ -761,6 +761,23 @@ class TxTable(val spark: SparkSession, val root: String) {
       .unionByName(before.exceptAll(after).withColumn("change_type", lit("delete")))
   }
 
+  /** Change data feed: every commit's inserted/removed rows in
+    * `(fromV, toV]`, each tagged with the `_commit_version` that produced
+    * it — [[diff]] per commit instead of endpoint-to-endpoint, which is
+    * what an incremental consumer (a downstream materialization, a cache
+    * invalidator, an audit trail) actually replays. Computed from
+    * snapshots like [[diff]] — no extra write-path bookkeeping, at the
+    * cost of reading each version in the range; CDC ranges are short by
+    * nature (a consumer drains from its last-seen version), and each
+    * per-version diff is file-pruned to that version's snapshot.
+    */
+  def changeFeed(fromV: Long, toV: Long): DataFrame = {
+    require(fromV < toV, s"changeFeed needs fromV < toV, got $fromV..$toV")
+    (fromV + 1 to toV)
+      .map(v => diff(v - 1, v).withColumn("_commit_version", lit(v)))
+      .reduce(_ unionByName _)
+  }
+
   /** Copy-on-write DELETE (Delta's `DELETE WHERE`; the right-to-be-
     * forgotten path a PHI-bearing store must have, per-row where retention
     * enforcement is per-feature): only files that actually CONTAIN a

@@ -270,6 +270,43 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("keepBest keeps the highest-scoring member per cluster, ties to the lowest id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "canonical_id")
+    val docs = Seq((1L, 10L), (2L, 99L), (3L, 40L), (7L, 5L), (8L, 5L), (9L, 1000L))
+      .toDF("doc_id", "n_chars") // doc 9 is unclustered: must not appear
+    val got = Dedup.keepBest(clusters, docs, "doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      1L -> (2L, 3L, 99L),  // best score wins
+      7L -> (7L, 2L, 5L)))  // score tie -> lowest id
+  }
+
+  test("sq8: codes bounded 0..255, round-trip error within the grid bound, degenerate dim exact") {
+    val emb = Seq(
+      (1L, Seq(0.0f, -1.0f, 7.0f)),
+      (2L, Seq(10.0f, 1.0f, 7.0f)),
+      (3L, Seq(3.7f, 0.2f, 7.0f)) // dim 3 is constant: max == min
+    ).toDF("vec_id", "embedding")
+    val ranges = Similarity.sq8Train(emb, "embedding")
+    val enc = Similarity.sq8Encode(emb, "vec_id", "embedding", ranges)
+    val codes = enc.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(_.forall(c => c >= 0 && c <= 255)))
+    assert(codes(1L) == Seq(0, 0, 0), "corpus minima encode 0; degenerate dim encodes 0")
+    assert(codes(2L).take(2) == Seq(255, 255), "corpus maxima encode 255")
+    val dec = Similarity.sq8Decode(enc, "vec_id", ranges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val orig = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val spans = Seq(10.0, 2.0, 0.0) // per-dim max - min
+    orig.foreach { case (id, xs) =>
+      xs.zip(dec(id)).zip(spans).foreach { case ((x, xh), span) =>
+        assert(math.abs(x - xh) <= span / 510.0 + 1e-6,
+          s"vec $id: |$x - $xh| exceeds the half-step bound for span $span")
+      }
+    }
+    assert(dec(3L)(2) == 7.0f, "degenerate dim reconstructs exactly")
+  }
+
   test("cosineTopK ranks the planted nearest neighbor first") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),

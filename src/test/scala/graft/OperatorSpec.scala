@@ -164,6 +164,28 @@ class OperatorSpec extends SparkSpec {
     assert(Sampling.tokenBudget(df, "source", "id", "n_tokens", 1000000L).count() == 400L)
   }
 
+  test("uniformSample: k smallest hashes per group, stable under repartition, append-monotone") {
+    import graft.operators.Sampling
+    val df = spark.range(0, 300).selectExpr("id", "concat('g', id % 3) AS g")
+    def hash(id: Long) = ((id % 2147483648L) * 2654435761L) % 2147483648L
+    val got = Sampling.uniformSample(df, "g", "id", 5).cache()
+    val byGroup = got.collect().map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+    assert(byGroup.size == 3 && byGroup.values.forall(_.length == 5))
+    // exactly the 5 smallest hashes per group (Scala-side replay)
+    (0 to 2).foreach { gi =>
+      val expect = (0L until 300L).filter(_ % 3 == gi).sortBy(id => (hash(id), id)).take(5).toSet
+      assert(byGroup(s"g$gi").map(_._2).toSet == expect, s"group g$gi")
+    }
+    val again = Sampling.uniformSample(df.repartition(7), "g", "id", 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == got.select("id").collect().map(_.getLong(0)).toSet)
+    // append-monotone: one new row changes at most one survivor in its group
+    val grown = Sampling.uniformSample(
+      df.unionByName(Seq((1000L, "g1")).toDF("id", "g")), "g", "id", 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert((got.select("id").collect().map(_.getLong(0)).toSet -- grown).size <= 1)
+  }
+
   test("stratifiedTopK keeps exactly k best rows per stratum with deterministic ties") {
     import graft.operators.Sampling
     val df = Seq(

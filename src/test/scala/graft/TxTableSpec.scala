@@ -28,6 +28,23 @@ class TxTableSpec extends SparkSpec {
     assert(t.read().where($"k" === 2L).select("value").as[Double].head() == 2.0)
   }
 
+  test("changeFeed: per-commit inserts/deletes with _commit_version; concatenation of diffs") {
+    val t = newTable()
+    t.append(kv((1L, "a", 1.0, 10L), (2L, "a", 2.0, 20L)), tsMillis = 100L) // v0
+    t.append(kv((3L, "a", 3.0, 30L)), tsMillis = 200L)                      // v1
+    t.delete($"k" === 1L, tsMillis = 300L)                                  // v2
+    val feed = t.changeFeed(0L, 2L)
+      .select("_commit_version", "change_type", "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(feed == Set((1L, "insert", 3L), (2L, "delete", 1L)))
+    // the feed over (from, to] concatenates the per-commit diffs: replaying
+    // it on top of version `from` reconstructs version `to`
+    val replayed = t.readVersion(0).select("k").as[Long].collect().toSet ++
+      Set(3L) -- Set(1L)
+    assert(replayed == t.readVersion(2).select("k").as[Long].collect().toSet)
+    intercept[IllegalArgumentException](t.changeFeed(2L, 2L))
+  }
+
   test("time travel: readVersion and readAsOfTimestamp see historical snapshots") {
     val t = newTable()
     t.append(kv((1L, "a", 1.0, 10L)), tsMillis = 100L)
