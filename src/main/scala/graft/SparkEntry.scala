@@ -593,6 +593,23 @@ object SparkEntry {
       .orderBy("_commit_version", "change_type", "event_id")
   }
 
+  /** B1 — schema evolution on append: the table starts WITHOUT the value
+    * column, a later batch arrives with it and widens the schema
+    * (`evolve = true` — Delta's mergeSchema), and the full read shows old
+    * rows with null in the new column. The oracle is the closed form of
+    * the two batches. */
+  private def b1EvolveAppend(s: SparkSession, dir: String): DataFrame = withShufflePartitions(s, 8) {
+    import graft.sources.TxTable
+    val ev = Tables.events(s, dir)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    val t = TxTable(s, java.nio.file.Files.createTempDirectory("graft_tx_evolve").toString)
+    t.append(ev.where(col("event_id") % 5 === 0).drop("value"), tsMillis = 1000L) // v0: no value col
+    t.append(ev.where(col("event_id") % 5 === 1), tsMillis = 2000L, evolve = true) // v1: widens
+    t.read()
+      .select("event_id", "user_id", "event_type", "value", "ts")
+      .orderBy("event_id")
+  }
+
   /** B5 — Z-ORDER clustered TxTable (multi-dimensional data skipping):
     * events land flat, a `zorder(user_id, value)` rewrite clusters them on
     * the interleaved-bit curve and records per-file min/max on BOTH
@@ -977,6 +994,20 @@ object SparkEntry {
         Fns.epsRound(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99_price"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
+
+  /** E11 — equi-depth quantile binning: per-event-type quartile boundaries
+    * (exact interpolated percentiles) broadcast back, every event assigned
+    * its 1-based bucket, then bucket-level counts and means. Discretized /
+    * bucketized feature prep; the oracle replays the boundary list and the
+    * same counting-comparisons assignment. */
+  private def e11QuantileBins(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).where(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    Scaling.quantileBins(ev, "value", Seq("event_type"), Seq(0.25, 0.5, 0.75))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"), Fns.epsRound(avg("value"), 6).as("avg_value"))
+      .orderBy("event_type", "bin")
+  }
 
   /** E2 — sliding last-N window average (the reference's last-1000-requests
     * latency window, feature_server.py:485-487, expressed as a window frame).
@@ -1779,6 +1810,16 @@ object SparkEntry {
       .select("lang", "sample_rank", "doc_id")
       .orderBy("lang", "sample_rank")
 
+  /** H — weight-proportional 15-per-language sample: priority sampling
+    * (w · 2³¹ div (hash+1), k largest win) with n_chars as the weight —
+    * longer documents are proportionally likelier to be drawn. All-integer
+    * arithmetic; the oracle replays priorities digit-for-digit. */
+  private def h14WeightedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.prioritySample(Tables.documents(s, dir), groupCol = "lang",
+        idCol = "doc_id", weightCol = "n_chars", k = 15)
+      .select("lang", "sample_rank", "doc_id", "priority")
+      .orderBy("lang", "sample_rank")
+
   /** H — temperature-scaled language rebalancing (T=2): the multilingual
     * mixing rule, realized by downsampling with the smallest language kept
     * whole. Counted per (lang, split) to show composability with h5_split.
@@ -1989,6 +2030,47 @@ object SparkEntry {
       .select(col("media_id").as("doc_id"), col("width"), col("height"),
         col("n_pixels"), col("img_bytes"), col("file_bytes"))
       .orderBy("doc_id")
+  }
+
+  /** G5 — image RESIZE: decode each BMP, nearest-neighbor half-size on the
+    * stored pixel grid (out pixel (x,y) samples in pixel (2x,2y); out dims
+    * are ceiling halves), re-encode a valid BMP, and report dimensions +
+    * sampled-byte checksum FROM THE RE-PARSED OUTPUT container — the
+    * decode → transform → re-encode preprocessing tier, every byte of it
+    * replayed by the oracle from (doc_id, text) alone. */
+  private def g5ImageResize(s: SparkSession, dir: String): DataFrame = {
+    val bmpDir = Multimodal.writeBmpFixture(
+      Tables.documents(s, dir), "doc_id", "text", fixtureKey = dir)
+    val media = s.read.format("binaryFile").load(bmpDir)
+      .where(col("path").endsWith(".bmp"))
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bmp", 1).cast("long").as("media_id"),
+        col("content"))
+    val resized = Multimodal.resizeBmpHalf(media)
+    import org.apache.spark.sql.Encoders
+    val sl = Encoders.scalaLong
+    resized.select("media_id", "content")
+      .as(Encoders.tuple(sl, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val m = Multimodal.BmpCodec.parse(bytes)
+          val stride = Multimodal.BmpCodec.strideOf(m.width)
+          var sum = 0L
+          var y = 0
+          while (y < m.height) {
+            var x = 0
+            while (x < m.width) {
+              var c = 0
+              while (c < 3) { sum += bytes(54 + y * stride + x * 3 + c) & 0xFF; c += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          (id, m.width.toLong, m.height.toLong, 3L * m.width * m.height, sum)
+        }
+      }(Encoders.tuple(sl, sl, sl, sl, sl))
+      .toDF("media_id", "width", "height", "px_bytes", "pixel_sum")
+      .orderBy("media_id")
   }
 
   /** G4 streaming with a REAL oracle: the whole events table is replayed
@@ -2444,6 +2526,7 @@ object SparkEntry {
     "b2_delete_tx"       -> (b2DeleteTx _),
     "b2_tx_diff"         -> (b2TxDiff _),
     "b2_tx_cdc"          -> (b2TxCdc _),
+    "b1_evolve_append"   -> (b1EvolveAppend _),
     "b5_csv_ingest"      -> (b5CsvIngest _),
     "b5_orc_ingest"      -> (b5OrcIngest _),
     "b5_bucketed_join"   -> (b5BucketedJoin _),
@@ -2528,6 +2611,9 @@ object SparkEntry {
     "h6_domain_mix"      -> (h6DomainMix _),
     "h12_token_budget"   -> (h12TokenBudget _),
     "h13_uniform_sample" -> (h13UniformSample _),
+    "h14_weighted_sample" -> (h14WeightedSample _),
+    "e11_quantile_bins"  -> (e11QuantileBins _),
+    "g5_image_resize"    -> (g5ImageResize _),
     "h7_ntile"           -> (h7Ntile _),
     "h8_temperature_mix" -> (h8TemperatureMix _),
     "e9_time_window"     -> (e9TimeWindow _),
@@ -2927,6 +3013,13 @@ object SparkEntry {
         |SELECT 2::BIGINT, 'delete', event_id, user_id, event_type, value, ts
         |FROM events WHERE event_id % 3 IN (0, 1) AND user_id < 10
         |ORDER BY _commit_version, change_type, event_id""".stripMargin,
+    "b1_evolve_append" ->
+      """SELECT event_id, user_id, event_type, CAST(NULL AS DOUBLE) AS value, ts
+        |FROM events WHERE event_id % 5 = 0
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, value, ts
+        |FROM events WHERE event_id % 5 = 1
+        |ORDER BY event_id""".stripMargin,
     "b5_orc_ingest" ->
       """SELECT source, count(*) AS n_docs,
         |       sum(length(text))::BIGINT AS sum_chars,
@@ -2998,6 +3091,16 @@ object SparkEntry {
         |       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) + 1e-9, 4) AS sliding_avg
         |FROM events ORDER BY event_id""".stripMargin,
+    "e11_quantile_bins" ->
+      """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |q AS (SELECT event_type, quantile_cont(value, [0.25, 0.5, 0.75]) AS qs
+        |      FROM e GROUP BY event_type),
+        |b AS (SELECT e.event_type, e.value,
+        |             (4 - len(list_filter(q.qs, qq -> e.value <= qq)))::INT AS bin
+        |      FROM e JOIN q USING (event_type))
+        |SELECT event_type, bin, count(*) AS n,
+        |       round(avg(value) + 1e-9, 6) AS avg_value
+        |FROM b GROUP BY event_type, bin ORDER BY event_type, bin""".stripMargin,
     "e23_quantiles" ->
       """SELECT l_returnflag, round(avg(l_extendedprice) + 1e-9, 2) AS avg_price,
         |       round(quantile_cont(l_extendedprice, 0.99) + 1e-9, 2) AS p99_price,
@@ -3448,6 +3551,31 @@ object SparkEntry {
         |SELECT media_id, frame_idx, frame_idx * 10000 AS offset_ms,
         |       least(8, greatest(0, strlen(text) - frame_idx * 8))::BIGINT AS frame_len
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    "g5_image_resize" ->
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |         4 + doc_id % 13 AS w,
+        |         (((4 + doc_id % 13) * 3 + 3) // 4) * 4 AS stride,
+        |         octet_length(encode(text)) AS olen
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |d AS (SELECT doc_id, text, w, stride, olen,
+        |             greatest(1, least(olen // stride, 8)) AS h
+        |      FROM p),
+        |o AS (SELECT doc_id, text, stride, olen,
+        |             (w + 1) // 2 AS ow, (h + 1) // 2 AS oh
+        |      FROM d),
+        |px AS (
+        |  SELECT o.doc_id, o.ow, o.oh,
+        |         CASE WHEN 2 * y.y * o.stride + 6 * x.x + c.c < o.olen
+        |              THEN ord(substr(o.text, 2 * y.y * o.stride + 6 * x.x + c.c + 1, 1))
+        |              ELSE 0 END AS b
+        |  FROM o,
+        |    unnest(generate_series(0, o.oh - 1)) AS y(y),
+        |    unnest(generate_series(0, o.ow - 1)) AS x(x),
+        |    unnest([0, 1, 2]) AS c(c))
+        |SELECT doc_id AS media_id, ow::BIGINT AS width, oh::BIGINT AS height,
+        |       (3 * ow * oh)::BIGINT AS px_bytes, sum(b)::BIGINT AS pixel_sum
+        |FROM px GROUP BY doc_id, ow, oh ORDER BY media_id""".stripMargin,
     "g5_image_features" ->
       """WITH b AS (
         |  SELECT doc_id,
@@ -3646,6 +3774,20 @@ object SparkEntry {
         |      FROM h)
         |SELECT lang, sample_rank::BIGINT AS sample_rank, doc_id
         |FROM r WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
+    "h14_weighted_sample" ->
+      """WITH h AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         (doc_id % 2147483648) * 2654435761 % 2147483648 AS hv
+        |  FROM documents),
+        |p AS (SELECT lang, doc_id,
+        |             n_chars * 2147483648 // (hv + 1) AS priority
+        |      FROM h),
+        |r AS (SELECT lang, doc_id, priority,
+        |             row_number() OVER (PARTITION BY lang
+        |                                ORDER BY priority DESC, doc_id ASC) AS sample_rank
+        |      FROM p)
+        |SELECT lang, sample_rank::BIGINT AS sample_rank, doc_id, priority
+        |FROM r WHERE sample_rank <= 15 ORDER BY lang, sample_rank""".stripMargin,
     "h8_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
         |m AS (SELECT min(n) AS nmin FROM c),

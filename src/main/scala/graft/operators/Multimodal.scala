@@ -314,9 +314,16 @@ object Multimodal {
       (width, height, stride)
     }
 
-    def bmpBytes(id: Long, payload: Array[Byte]): Array[Byte] = {
-      val (width, height, stride) = dims(id, payload.length)
-      val imgLen = stride * height
+    /** Row stride in bytes for a 24-bit image of the given width (rows pad
+      * to 4-byte boundaries per the format). */
+    def strideOf(width: Int): Int = ((width * 3 + 3) / 4) * 4
+
+    /** General writer: wrap already-strided 24-bit pixel data (length must
+      * be `strideOf(width) * height`) in a BITMAPINFOHEADER container. */
+    def encode(width: Int, height: Int, pixelData: Array[Byte]): Array[Byte] = {
+      val imgLen = strideOf(width) * height
+      require(pixelData.length == imgLen,
+        s"pixel data is ${pixelData.length} bytes; ${width}x$height needs $imgLen")
       val fileLen = 54 + imgLen
       val bos = new java.io.ByteArrayOutputStream(fileLen)
       bos.write('B'); bos.write('M')
@@ -326,9 +333,13 @@ object Multimodal {
       bos.write(le16(1)); bos.write(le16(24)) // planes, bpp
       bos.write(le32(0)); bos.write(le32(imgLen)) // BI_RGB, image size
       bos.write(le32(2835)); bos.write(le32(2835)); bos.write(le32(0)); bos.write(le32(0))
-      val px = java.util.Arrays.copyOf(payload, imgLen) // truncate/zero-pad
-      bos.write(px, 0, imgLen)
+      bos.write(pixelData, 0, imgLen)
       bos.toByteArray
+    }
+
+    def bmpBytes(id: Long, payload: Array[Byte]): Array[Byte] = {
+      val (width, height, stride) = dims(id, payload.length)
+      encode(width, height, java.util.Arrays.copyOf(payload, stride * height))
     }
 
     /** Header parse; throws on non-BMP bytes or size lies (a declared
@@ -389,6 +400,44 @@ object Multimodal {
             m.width.toLong * m.height, m.img_bytes, m.file_bytes)
         }
       }
+  }
+
+  /** Nearest-neighbor half-size resize, per partition where the bytes
+    * live: parse the container, sample input pixel (2x, 2y) for every
+    * output pixel (x, y) on the STORED row grid, re-encode a valid BMP
+    * with the new dimensions. `out_dim = (in_dim + 1) div 2` (ceiling
+    * halving), so a 1-pixel axis stays 1 pixel. The decode → transform →
+    * re-encode shape is the whole image-preprocessing tier of a
+    * multimodal pipeline (resize before feature extraction); at 100 TB it
+    * is map-only — no shuffle, bytes never leave the partition that read
+    * them. Expects (media_id, content); returns the same shape with
+    * half-size containers. */
+  def resizeBmpHalf(media: DataFrame): DataFrame = {
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    media.select("media_id", "content").as(enc)
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val m = BmpCodec.parse(bytes)
+          val stride = BmpCodec.strideOf(m.width)
+          val (ow, oh) = ((m.width + 1) / 2, (m.height + 1) / 2)
+          val ostride = BmpCodec.strideOf(ow)
+          val out = new Array[Byte](ostride * oh) // inter-row padding stays 0
+          var y = 0
+          while (y < oh) {
+            var x = 0
+            while (x < ow) {
+              var c = 0
+              while (c < 3) {
+                out(y * ostride + x * 3 + c) = bytes(54 + 2 * y * stride + 2 * x * 3 + c)
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          id -> BmpCodec.encode(ow, oh, out)
+        }
+      }.toDF("media_id", "content")
   }
 
   /** Distributed WAV decode: binaryFile rows -> parsed audio metadata, the

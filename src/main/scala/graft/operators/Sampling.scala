@@ -149,6 +149,31 @@ object Sampling {
       .where(col("sample_rank") <= k)
   }
 
+  /** Weight-proportional k-per-group sample without replacement: priority
+    * sampling (Duffield, Lund & Thorup, JACM 2007) with the deterministic
+    * id hash standing in for the uniform draw. Each row gets priority
+    * `w · 2³¹ div (h + 1)` where `h` is the 31-bit multiplicative id hash
+    * — the integer-arithmetic form of `w / u`, `u ∈ (0, 1]` — and the k
+    * LARGEST priorities per group win (heavier rows need a smaller hash to
+    * lose, so inclusion probability grows with weight). All arithmetic is
+    * exact bigint — no float `pow`/`log` whose last-ulp behavior could
+    * differ across engines — so an oracle replays the selection
+    * digit-for-digit. Same one-window shape as [[uniformSample]]; weights
+    * must be positive integers.
+    */
+  def prioritySample(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val pr = expr(
+      s"""cast($weightCol as bigint) * 2147483648L div
+         |  (pmod(pmod(cast($idCol as bigint), 2147483648) * 2654435761, 2147483648) + 1L)"""
+        .stripMargin)
+    val w = Window.partitionBy(col(groupCol)).orderBy(pr.desc, col(idCol).asc)
+    df.withColumn("priority", pr)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= k)
+  }
+
   /** Stratified top-k: the k best rows per stratum by a score column
     * (quality-filtered corpus assembly: "keep the best N documents per
     * language"). One shuffle on the stratum key; the window's rank is

@@ -52,6 +52,32 @@ object Scaling {
       .drop("__mn", "__mx")
   }
 
+  /** Equi-depth (quantile) binning: append `{outCol}` = which of the
+    * `probs.size + 1` per-group quantile buckets the value falls in
+    * (1-based; bin b means `q_{b-1} < value ≤ q_b` with exact
+    * interpolated boundaries, the discretization step feeding
+    * embedding/bucketized features). Same scale shape as [[standardize]]:
+    * one partial-agg shuffle for the boundary frame, broadcast back,
+    * map-only assignment. The bin is computed by COUNTING boundaries at
+    * or above the value — identical comparison semantics replay in SQL,
+    * and a boundary that differs in its last ulp between engines cannot
+    * flip any row's bin because interpolated boundaries never separate
+    * two equal data values. Null values get a null bin; null group keys
+    * form their own group.
+    */
+  def quantileBins(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      probs: Seq[Double], outCol: String = "bin"): DataFrame = {
+    require(probs.nonEmpty && probs == probs.sorted && probs.forall(p => p > 0 && p < 1),
+      s"probs must be sorted interior probabilities, got $probs")
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"percentile($valueCol, array(${probs.mkString("D,")}D))").as("__qs"))
+    joinStats(df, stats, groupCols)
+      .withColumn(outCol,
+        when(col(valueCol).isNotNull,
+          (lit(probs.size + 1) - expr(s"size(filter(__qs, q -> $valueCol <= q))")).cast("int")))
+      .drop("__qs")
+  }
+
   /** Oracle-friendly rounded projection helper. */
   def rounded(c: String, scale: Int = 4) = Fns.epsRound(col(c), scale).as(c)
 }

@@ -469,9 +469,18 @@ class TxTable(val spark: SparkSession, val root: String) {
     *   (min/max stats cannot prune a point lookup on a high-cardinality
     *   key). Carried like statsCols: maintenance rewrites re-record blooms
     *   for the table's active bloom columns. */
+  /** @param evolve allow the append to ADD columns: the committed schema
+    *   becomes table ∪ df (new fields appended, nullable — rows in older
+    *   files read them as null, the parquet reader fills gaps against the
+    *   explicit schema for free). Without it, an append carrying unknown
+    *   columns is rejected — they would otherwise be silently DROPPED on
+    *   read, which is data loss, not ingestion. A column can never change
+    *   type, evolve or not; an append MISSING table columns is always fine
+    *   (its rows read as null there). Delta's `mergeSchema` rule. */
   def append(df: DataFrame, tsMillis: Long = System.currentTimeMillis(),
       statsCol: Option[String] = None, partitionBy: Seq[String] = Seq.empty,
-      statsCols: Seq[String] = Seq.empty, bloomCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty, bloomCols: Seq[String] = Seq.empty,
+      evolve: Boolean = false): Long = {
     // checkpoint-aware layout lookup (no full log replay), and the layout
     // is BINDING once any commit exists — a FLAT table must reject a
     // partitioned append, or the mixed-depth file set would make every
@@ -481,8 +490,29 @@ class TxTable(val spark: SparkSession, val root: String) {
     require(!hasCommits || partitionBy.isEmpty || declared == partitionBy,
       s"table $root has layout [${declared.mkString(",")}]; cannot append with [${partitionBy.mkString(",")}]")
     val layout = if (hasCommits) declared else partitionBy
+    import org.apache.spark.sql.types.StructType
+    val (commitDdl, evolved) =
+      (if (hasCommits) stateForVersion(Long.MaxValue).ddl else None) match {
+        case None => (df.schema.toDDL, false)
+        case Some(d) =>
+          val cur = StructType.fromDDL(d)
+          val byName = cur.fields.map(f => f.name -> f).toMap
+          val conflicts = df.schema.fields
+            .filter(f => byName.get(f.name).exists(_.dataType != f.dataType))
+          require(conflicts.isEmpty, s"append to $root cannot change column types: " +
+            conflicts.map(f => s"${f.name} ${byName(f.name).dataType.sql}->${f.dataType.sql}")
+              .mkString(", "))
+          val extra = df.schema.fields.filterNot(f => byName.contains(f.name))
+          if (extra.isEmpty) (d, false)
+          else {
+            require(evolve, s"append adds columns [${extra.map(_.name).mkString(",")}] " +
+              s"to table $root; pass evolve=true to widen the schema")
+            (StructType(cur.fields ++ extra.map(_.copy(nullable = true))).toDDL, true)
+          }
+      }
     val files = stageDataFiles(df, layout)
-    commitLoop("append", files, Seq.empty, tsMillis, Some(df.schema.toDDL),
+    commitLoop("append", files, Seq.empty, tsMillis, Some(commitDdl),
+      schemaEveryCommit = evolved,
       stats = computeStats(files, (statsCol.toSeq ++ statsCols).distinct),
       partCols = layout,
       blooms = computeBlooms(files, {

@@ -159,4 +159,30 @@ class MultimodalSpec extends SparkSpec {
     assert(d0.width == 4L && d0.height == 2L && d0.n_pixels == 8L)
     assert(d0.img_bytes == 24L && d0.file_bytes == 54L + 24L)
   }
+
+  test("resizeBmpHalf: output pixel (x,y) is input pixel (2x,2y); dims are ceiling halves") {
+    import Multimodal.BmpCodec
+    // 5x3 image with pixel value = y*16 + x per channel (distinct, position-coded)
+    val (w, h) = (5, 3)
+    val stride = BmpCodec.strideOf(w)
+    val px = new Array[Byte](stride * h)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      px(y * stride + x * 3 + c) = (y * 16 + x + c).toByte
+    val media = Seq((1L, BmpCodec.encode(w, h, px))).toDF("media_id", "content")
+    val out = Multimodal.resizeBmpHalf(media).collect()
+    assert(out.length == 1)
+    val bytes = out.head.getAs[Array[Byte]]("content")
+    val m = BmpCodec.parse(bytes)
+    assert(m.width == 3 && m.height == 2, "ceil(5/2) x ceil(3/2)")
+    val ostride = BmpCodec.strideOf(3)
+    for (y <- 0 until 2; x <- 0 until 3; c <- 0 until 3)
+      assert(bytes(54 + y * ostride + x * 3 + c) == (2 * y * 16 + 2 * x + c).toByte,
+        s"output ($x,$y,$c) must sample input (${2 * x},${2 * y},$c)")
+    // 1x1 stays 1x1 and keeps its pixel
+    val one = BmpCodec.encode(1, 1, Array[Byte](9, 8, 7, 0)) // stride 4: 3 px + 1 pad
+    val r1 = Multimodal.resizeBmpHalf(Seq((2L, one)).toDF("media_id", "content")).collect()
+    val m1 = BmpCodec.parse(r1.head.getAs[Array[Byte]]("content"))
+    assert(m1.width == 1 && m1.height == 1)
+    assert(r1.head.getAs[Array[Byte]]("content").slice(54, 57).toSeq == Seq[Byte](9, 8, 7))
+  }
 }

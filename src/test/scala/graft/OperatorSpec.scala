@@ -186,6 +186,53 @@ class OperatorSpec extends SparkSpec {
     assert((got.select("id").collect().map(_.getLong(0)).toSet -- grown).size <= 1)
   }
 
+  test("prioritySample: k largest integer priorities per group; weight raises inclusion odds") {
+    import graft.operators.Sampling
+    val df = spark.range(0, 200)
+      .selectExpr("id", "concat('g', id % 2) AS g", "1 + cast(id % 7 as bigint) AS wt")
+    def hash(id: Long) = ((id % 2147483648L) * 2654435761L) % 2147483648L
+    def prio(id: Long, w: Long) = w * 2147483648L / (hash(id) + 1)
+    val got = Sampling.prioritySample(df, "g", "id", "wt", 4).cache()
+    val byGroup = got.collect()
+      .map(r => (r.getString(1), (r.getLong(0), r.getAs[Long]("priority")))).groupBy(_._1)
+    assert(byGroup.size == 2 && byGroup.values.forall(_.length == 4))
+    (0 to 1).foreach { gi =>
+      val expect = (0L until 200L).filter(_ % 2 == gi)
+        .sortBy(id => (-prio(id, 1 + id % 7), id)).take(4)
+        .map(id => id -> prio(id, 1 + id % 7)).toSet
+      assert(byGroup(s"g$gi").map(_._2).toSet == expect, s"group g$gi replays in Scala")
+    }
+    // partition-stability
+    val again = Sampling.prioritySample(df.repartition(7), "g", "id", "wt", 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == got.select("id").collect().map(_.getLong(0)).toSet)
+    // weight proportionality: doubling every weight cannot change the ranking,
+    // but concentrating weight on one row must pull it into the sample
+    val heavy = df.withColumn("wt", when(col("id") === 13L, lit(100000L)).otherwise(lit(1L)))
+    val ids = Sampling.prioritySample(heavy, "g", "id", "wt", 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(13L), "a dominant weight must win a slot")
+  }
+
+  test("quantileBins: closed-form quartiles on a small group; bins partition the data") {
+    import graft.operators.Scaling
+    // group a: values 1..8 -> quartile boundaries 2.75, 4.5, 6.25 (type-7)
+    val df = ((1 to 8).map(v => ("a", v.toDouble)) :+ ("b", 5.0))
+      .toDF("g", "v")
+    val got = Scaling.quantileBins(df, "v", Seq("g"), Seq(0.25, 0.5, 0.75))
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Double]("v")) -> r.getAs[Int]("bin")).toMap
+    val expectA = Map(1.0 -> 1, 2.0 -> 1, 3.0 -> 2, 4.0 -> 2, 5.0 -> 3, 6.0 -> 3, 7.0 -> 4, 8.0 -> 4)
+    expectA.foreach { case (v, b) => assert(got(("a", v)) == b, s"value $v") }
+    // a single-row group: its value equals every boundary -> bin 1
+    assert(got(("b", 5.0)) == 1)
+    // null value -> null bin (never bin probs.size+1)
+    val withNull = Scaling.quantileBins(
+      df.unionByName(Seq(("a", Option.empty[Double])).toDF("g", "v")), "v", Seq("g"),
+      Seq(0.25, 0.5, 0.75))
+    assert(withNull.where(col("v").isNull).select("bin").collect().head.isNullAt(0))
+  }
+
   test("stratifiedTopK keeps exactly k best rows per stratum with deterministic ties") {
     import graft.operators.Sampling
     val df = Seq(

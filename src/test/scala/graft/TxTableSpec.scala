@@ -45,6 +45,29 @@ class TxTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.changeFeed(2L, 2L))
   }
 
+  test("schema evolution: evolve=true widens, old rows read null; guards reject silent loss") {
+    val t = newTable()
+    t.append(Seq((1L, "a", 10L)).toDF("k", "f", "ts"), tsMillis = 100L) // v0: no value col
+    // extra column without evolve: rejected (it would be dropped on read)
+    intercept[IllegalArgumentException](
+      t.append(kv((2L, "a", 2.0, 20L)), tsMillis = 200L))
+    assert(t.version() == 0L, "rejected append must not commit")
+    t.append(kv((2L, "a", 2.0, 20L)), tsMillis = 200L, evolve = true) // v1: widens
+    val rows = t.read().select("k", "value").as[(Long, Option[Double])].collect().toMap
+    assert(rows == Map(1L -> None, 2L -> Some(2.0)), "old rows read null in the new column")
+    // time travel: v0 still has the ORIGINAL 3-column schema
+    assert(t.readVersion(0).columns.toSeq == Seq("k", "f", "ts"))
+    // a type change is never allowed, evolve or not
+    intercept[IllegalArgumentException](
+      t.append(Seq((3L, "a", "oops", 30L)).toDF("k", "f", "value", "ts"),
+        tsMillis = 300L, evolve = true))
+    // appends MISSING table columns are fine: their rows read as null there
+    t.append(Seq((4L, "b", 40L)).toDF("k", "f", "ts"), tsMillis = 400L)
+    assert(t.read().where($"k" === 4L).select("value").as[Option[Double]].head().isEmpty)
+    // the widened schema survives a checkpoint-era read (schema recorded per evolve commit)
+    assert(t.read().columns.toSeq == Seq("k", "f", "ts", "value"))
+  }
+
   test("time travel: readVersion and readAsOfTimestamp see historical snapshots") {
     val t = newTable()
     t.append(kv((1L, "a", 1.0, 10L)), tsMillis = 100L)
