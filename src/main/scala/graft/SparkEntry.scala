@@ -2482,6 +2482,148 @@ object SparkEntry {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
   }
 
+  /** D4 — k-anonymity audit over the customer dimension: equivalence
+    * classes of the (nation, market-segment) quasi-identifier pair with
+    * their sizes and the under-k risk flag. One hash-agg shuffle whose
+    * output is classes, not rows (Privacy.kAnonymity).
+    */
+  private def d4KAnonymity(s: SparkSession, dir: String): DataFrame =
+    Privacy.kAnonymity(Tables.customer(s, dir),
+        Seq("c_nationkey", "c_mktsegment"), k = 10L)
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  /** D5 — l-diversity audit: within each quasi-identifier class, how many
+    * DISTINCT values of the sensitive attribute (account-balance band)
+    * are observed — a k-anonymous class with one band still leaks it
+    * (homogeneity attack). Same single-shuffle shape as d4.
+    */
+  private def d5LDiversity(s: SparkSession, dir: String): DataFrame =
+    Privacy.lDiversity(
+        Tables.customer(s, dir)
+          .withColumn("balance_band", floor(col("c_acctbal") / 1000.0).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "balance_band", l = 3L)
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  /** E12 — population stability index of the event value distribution,
+    * per event type, between the first and second half of the month
+    * (reference window = up to Jan 15, current = after). Ref-window decile
+    * edges, Laplace-smoothed shares, Σ(p−q)·ln(p/q) — the pre-training
+    * drift gate. All shuffles are on groups or (group, bin) cells.
+    */
+  private def e12Psi(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).where(col("value").isNotNull)
+      .select("event_type", "value", "ts")
+    Drift.psi(
+        ev.where(col("ts") <= ts(AsOf15)), ev.where(col("ts") > ts(AsOf15)),
+        "value", Seq("event_type"), nBins = 10)
+      .select(col("event_type"), Fns.epsRound(col("psi"), 6).as("psi"))
+      .orderBy("event_type")
+  }
+
+  /** E13 — binned two-sample Kolmogorov–Smirnov drift statistic over the
+    * same split as e12: max CDF gap across the ref-window decile bins.
+    * The cumulative window runs over 10 bins per group, never raw rows.
+    */
+  private def e13KsDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).where(col("value").isNotNull)
+      .select("event_type", "value", "ts")
+    Drift.ksStat(
+        ev.where(col("ts") <= ts(AsOf15)), ev.where(col("ts") > ts(AsOf15)),
+        "value", Seq("event_type"), nBins = 10)
+      .select(col("event_type"), Fns.epsRound(col("ks"), 6).as("ks"))
+      .orderBy("event_type")
+  }
+
+  /** A13 — OHLC bar downsampling: per (event type, day), the
+    * first/high/low/last value plus count and mean — irregular signal →
+    * fixed-cadence features in ONE algebraic hash-agg (min_by/max_by
+    * combine map-side; ties broken on (ts, event_id)). The oracle replays
+    * first/last through row_number windows.
+    */
+  private def a13Ohlc(s: SparkSession, dir: String): DataFrame =
+    Behavior.ohlc(Tables.events(s, dir), "event_type",
+        date_format(col("ts"), "yyyy-MM-dd"), "value", Seq("ts", "event_id"))
+      .select(col("event_type"), col("bucket"), Fns.epsRound(col("open"), 4).as("open"),
+        Fns.epsRound(col("high"), 4).as("high"), Fns.epsRound(col("low"), 4).as("low"),
+        Fns.epsRound(col("close"), 4).as("close"), col("n"),
+        Fns.epsRound(col("mean"), 4).as("mean"))
+      .orderBy("event_type", "bucket")
+
+  /** H15 — first-order event-type transition matrix: (prev → next) step
+    * counts per user stream and the conditional step probability — the
+    * Markov summary behind next-action features. One entity-key shuffle
+    * for the lag, then a types²-sized aggregate.
+    */
+  private def h15Transitions(s: SparkSession, dir: String): DataFrame =
+    Behavior.transitions(Tables.events(s, dir), "user_id", "event_type",
+        Seq("ts", "event_id"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        Fns.epsRound(col("p"), 6).as("p"))
+      .orderBy("prev_type", "next_type")
+
+  /** H16 — shuffle-key skew audit on user_id: per-key count distribution
+    * (max/avg/p50/p99, skew ratio, top-key share) — the number read before
+    * keying a 100 TB join. Percentiles run over per-key counts only.
+    */
+  private def h16SkewAudit(s: SparkSession, dir: String): DataFrame =
+    Profiling.skewAudit(Tables.events(s, dir), Seq("user_id"))
+      .select(col("n_rows"), col("n_keys"), col("max_n"),
+        Fns.epsRound(col("avg_n"), 4).as("avg_n"),
+        Fns.epsRound(col("p50_n"), 4).as("p50_n"),
+        Fns.epsRound(col("p99_n"), 4).as("p99_n"),
+        Fns.epsRound(col("skew_ratio"), 4).as("skew_ratio"),
+        Fns.epsRound(col("top_share"), 6).as("top_share"))
+
+  /** B5 — XML source: the corpus round-trips through Spark 4's built-in
+    * XML datasource (rowTag records, entity escaping) and aggregates per
+    * language. Same contract as the JSONL/CSV/ORC round trips: the oracle
+    * recomputes from parquet, so any escaping or whitespace drift in the
+    * XML path breaks the hash.
+    */
+  private def b5XmlIngest(s: SparkSession, dir: String): DataFrame = {
+    val sig = Tables.documents(s, dir)
+      .agg(bit_xor(xxhash64(col("doc_id"), col("text"), col("lang"), col("source"))), count(lit(1)))
+      .collect().head.toSeq.mkString("_")
+    val fixture = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_xml_${java.lang.Integer.toHexString((dir + sig).hashCode)}")
+    if (!java.nio.file.Files.exists(fixture.resolve("_SUCCESS")))
+      Tables.documents(s, dir)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(2)
+        .write.mode("overwrite").format("xml")
+        .option("rowTag", "doc").save(fixture.toString)
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+      .format("xml")
+      .option("rowTag", "doc")
+      // exact round trip: the reader must not trim text content
+      .option("ignoreSurroundingSpaces", "false")
+      .load(fixture.toString)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("sum_chars"),
+        sum(col("n_chars")).cast("long").as("sum_n_chars"),
+        countDistinct(col("text")).as("n_distinct_texts"))
+      .orderBy("lang")
+  }
+
+  /** Headline q6 shape — the forecast-revenue scan: three selective
+    * predicates and a single global aggregate, no join. The pushdown
+    * showcase: every filter reaches the parquet scan (PlanAuditSpec
+    * asserts PushedFilters), and the agg is one map-side-combined pass.
+    */
+  private def q6RevenueForecast(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24.0)
+      .agg(
+        Fns.epsRound(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n"))
+
   // ======================================================================
   // contract maps
   // ======================================================================
@@ -2636,7 +2778,16 @@ object SparkEntry {
     "g4_heavy_stream"    -> (g4HeavyStream _),
     "h9_funnel"          -> (h9Funnel _),
     "h10_cohort"         -> (h10Cohort _),
-    "g6_fuzzy_pairs"     -> (g6FuzzyPairs _)
+    "g6_fuzzy_pairs"     -> (g6FuzzyPairs _),
+    "d4_k_anonymity"     -> (d4KAnonymity _),
+    "d5_l_diversity"     -> (d5LDiversity _),
+    "e12_psi"            -> (e12Psi _),
+    "e13_ks_drift"       -> (e13KsDrift _),
+    "a13_ohlc"           -> (a13Ohlc _),
+    "h15_transitions"    -> (h15Transitions _),
+    "h16_skew_audit"     -> (h16SkewAudit _),
+    "b5_xml_ingest"      -> (b5XmlIngest _),
+    "q6_revenue_forecast" -> (q6RevenueForecast _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3870,6 +4021,130 @@ object SparkEntry {
     "g3_vocab" ->
       """SELECT lang, count(DISTINCT word) AS n_words
         |FROM (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "d4_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+        |       count(*) < 10 AS at_risk
+        |FROM customer GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "d5_l_diversity" ->
+      """WITH b AS (SELECT c_nationkey, c_mktsegment,
+        |                  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
+        |           FROM customer)
+        |SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+        |       count(DISTINCT band) AS n_sensitive,
+        |       count(DISTINCT band) >= 3 AS diverse
+        |FROM b GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "e12_psi" ->
+      """WITH ev AS (SELECT event_type, value, ts FROM events WHERE value IS NOT NULL),
+        |ref AS (SELECT event_type, value FROM ev WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'),
+        |cur AS (SELECT event_type, value FROM ev WHERE ts >  TIMESTAMP '2024-01-15 00:00:00'),
+        |edges AS (SELECT event_type,
+        |                 quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+        |          FROM ref GROUP BY event_type),
+        |rb AS (SELECT r.event_type,
+        |              (10 - len(list_filter(e.qs, q -> r.value <= q)))::INT AS bin,
+        |              count(*) AS c
+        |       FROM ref r JOIN edges e USING (event_type) GROUP BY 1, 2),
+        |cb AS (SELECT r.event_type,
+        |              (10 - len(list_filter(e.qs, q -> r.value <= q)))::INT AS bin,
+        |              count(*) AS c
+        |       FROM cur r JOIN edges e USING (event_type) GROUP BY 1, 2),
+        |grid AS (SELECT event_type, unnest(range(1, 11))::INT AS bin FROM edges),
+        |cells AS (SELECT g.event_type, g.bin,
+        |                 coalesce(rb.c, 0) AS n_ref, coalesce(cb.c, 0) AS n_cur
+        |          FROM grid g
+        |          LEFT JOIN rb ON g.event_type = rb.event_type AND g.bin = rb.bin
+        |          LEFT JOIN cb ON g.event_type = cb.event_type AND g.bin = cb.bin),
+        |shares AS (SELECT event_type, bin,
+        |                  (n_ref + 0.5) / (sum(n_ref) OVER (PARTITION BY event_type) + 5.0) AS p,
+        |                  (n_cur + 0.5) / (sum(n_cur) OVER (PARTITION BY event_type) + 5.0) AS q
+        |           FROM cells)
+        |SELECT event_type, round(sum((p - q) * ln(p / q)) + 1e-9, 6) AS psi
+        |FROM shares GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e13_ks_drift" ->
+      """WITH ev AS (SELECT event_type, value, ts FROM events WHERE value IS NOT NULL),
+        |ref AS (SELECT event_type, value FROM ev WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'),
+        |cur AS (SELECT event_type, value FROM ev WHERE ts >  TIMESTAMP '2024-01-15 00:00:00'),
+        |edges AS (SELECT event_type,
+        |                 quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+        |          FROM ref GROUP BY event_type),
+        |rb AS (SELECT r.event_type,
+        |              (10 - len(list_filter(e.qs, q -> r.value <= q)))::INT AS bin,
+        |              count(*) AS c
+        |       FROM ref r JOIN edges e USING (event_type) GROUP BY 1, 2),
+        |cb AS (SELECT r.event_type,
+        |              (10 - len(list_filter(e.qs, q -> r.value <= q)))::INT AS bin,
+        |              count(*) AS c
+        |       FROM cur r JOIN edges e USING (event_type) GROUP BY 1, 2),
+        |grid AS (SELECT event_type, unnest(range(1, 11))::INT AS bin FROM edges),
+        |cells AS (SELECT g.event_type, g.bin,
+        |                 coalesce(rb.c, 0) AS n_ref, coalesce(cb.c, 0) AS n_cur
+        |          FROM grid g
+        |          LEFT JOIN rb ON g.event_type = rb.event_type AND g.bin = rb.bin
+        |          LEFT JOIN cb ON g.event_type = cb.event_type AND g.bin = cb.bin),
+        |shares AS (SELECT event_type, bin,
+        |                  (n_ref + 0.5) / (sum(n_ref) OVER (PARTITION BY event_type) + 5.0) AS p,
+        |                  (n_cur + 0.5) / (sum(n_cur) OVER (PARTITION BY event_type) + 5.0) AS q
+        |           FROM cells),
+        |cum AS (SELECT event_type,
+        |               abs(sum(p) OVER (PARTITION BY event_type ORDER BY bin) -
+        |                   sum(q) OVER (PARTITION BY event_type ORDER BY bin)) AS d
+        |        FROM shares)
+        |SELECT event_type, round(max(d) + 1e-9, 6) AS ks
+        |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a13_ohlc" ->
+      """WITH e AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS bucket,
+        |                  value, ts, event_id
+        |           FROM events WHERE value IS NOT NULL),
+        |w AS (SELECT event_type, bucket, value,
+        |             row_number() OVER (PARTITION BY event_type, bucket
+        |                                ORDER BY ts, event_id) AS rn_a,
+        |             row_number() OVER (PARTITION BY event_type, bucket
+        |                                ORDER BY ts DESC, event_id DESC) AS rn_d
+        |      FROM e)
+        |SELECT event_type, bucket,
+        |       round(max(CASE WHEN rn_a = 1 THEN value END) + 1e-9, 4) AS open,
+        |       round(max(value) + 1e-9, 4) AS high,
+        |       round(min(value) + 1e-9, 4) AS low,
+        |       round(max(CASE WHEN rn_d = 1 THEN value END) + 1e-9, 4) AS close,
+        |       count(*) AS n,
+        |       round(avg(value) + 1e-9, 4) AS mean
+        |FROM w GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin,
+    "h15_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |                  lag(event_type) OVER (PARTITION BY user_id
+        |                                        ORDER BY ts, event_id) AS prev_type
+        |           FROM events),
+        |steps AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+        |          FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |       round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type) + 1e-9, 6) AS p
+        |FROM steps ORDER BY prev_type, next_type""".stripMargin,
+    "h16_skew_audit" ->
+      """WITH k AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+        |SELECT sum(n) AS n_rows, count(*) AS n_keys, max(n) AS max_n,
+        |       round(avg(n) + 1e-9, 4) AS avg_n,
+        |       round(quantile_cont(n, 0.5) + 1e-9, 4) AS p50_n,
+        |       round(quantile_cont(n, 0.99) + 1e-9, 4) AS p99_n,
+        |       round(max(n) / avg(n) + 1e-9, 4) AS skew_ratio,
+        |       round(max(n)::DOUBLE / sum(n) + 1e-9, 6) AS top_share
+        |FROM k""".stripMargin,
+    "b5_xml_ingest" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       sum(length(text))::BIGINT AS sum_chars,
+        |       sum(n_chars)::BIGINT AS sum_n_chars,
+        |       count(DISTINCT text) AS n_distinct_texts
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q6_revenue_forecast" ->
+      """SELECT round(sum(l_extendedprice * l_discount) + 1e-9, 2) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24.0
+        |ORDER BY 1""".stripMargin
   )
 }

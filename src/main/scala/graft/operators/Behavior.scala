@@ -120,6 +120,70 @@ object Behavior {
     * observation contribute nothing (there is no value to hold). One
     * shuffle on the entity key.
     */
+  /** OHLC bar downsampling: per (entity, time bucket), the first / max /
+    * min / last observed value plus count and mean — the canonical way an
+    * irregular numeric signal (vitals, prices, sensor readings) is
+    * compressed into fixed-cadence features without losing the extremes a
+    * plain avg() erases. `orderCols` breaks same-timestamp ties so "first"
+    * and "last" are deterministic (min_by/max_by over the lexicographic
+    * struct ordering).
+    *
+    * Single hash-aggregate on (entity, bucket) — min_by/max_by are
+    * algebraic, so the partial agg combines map-side; no window over raw
+    * rows, no self-join. The 100 TB event log downsamples in one shuffle
+    * whose output is bars, not events.
+    */
+  def ohlc(
+      obs: DataFrame,
+      entityCol: String,
+      bucketCol: Column,
+      valueCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "ohlc needs at least one ordering column")
+    val ord = orderCols.mkString("struct(", ", ", ")")
+    obs
+      .where(col(valueCol).isNotNull)
+      .groupBy(col(entityCol), bucketCol.as("bucket"))
+      .agg(
+        expr(s"min_by($valueCol, $ord)").as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        expr(s"max_by($valueCol, $ord)").as("close"),
+        count(lit(1)).as("n"),
+        avg(col(valueCol)).as("mean"))
+  }
+
+  /** First-order transition matrix over the event-type sequence: for each
+    * entity's time-ordered stream, count (previous type → type) steps and
+    * the conditional probability of each step given the previous type —
+    * the Markov-chain summary behind next-action features and
+    * anomalous-session scoring. An entity's first event has no
+    * predecessor and contributes no step.
+    *
+    * One shuffle on the entity key for the lag window (partition-local
+    * sort), then a hash-aggregate on the (prev, next) pair — 25 cells for
+    * a 5-type log regardless of data size. The probability normalizer is
+    * a second tiny aggregate joined back on `prev` (rows ∝ types², so the
+    * join is a broadcast).
+    */
+  def transitions(
+      events: DataFrame,
+      entityCol: String,
+      typeCol: String,
+      orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "transitions needs at least one ordering column")
+    val w = Window.partitionBy(entityCol).orderBy(orderCols.map(col): _*)
+    val steps = events
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .where(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = steps.groupBy("prev_type").agg(sum("n").as("__tot"))
+    steps.join(broadcast(totals), "prev_type")
+      .withColumn("p", col("n").cast("double") / col("__tot"))
+      .drop("__tot")
+  }
+
   def timeWeightedAvg(
       obs: DataFrame,
       entityCol: String,

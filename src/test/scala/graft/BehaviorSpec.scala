@@ -98,4 +98,37 @@ class BehaviorSpec extends SparkSpec {
     assert(out("u") == (25.0, 2L))
     assert(out("v") == (8.0, 1L))
   }
+
+  test("ohlc: first/last by (ts, tie), extremes, null values excluded") {
+    val obs = Seq(
+      // same bucket, same entity; ties at 00:00 broken by the id column
+      ("e", ts("2024-01-01 00:00:00"), 1L, Some(5.0)),
+      ("e", ts("2024-01-01 00:00:00"), 0L, Some(3.0)),  // tie winner: open = 3
+      ("e", ts("2024-01-01 12:00:00"), 2L, Some(9.0)),  // high
+      ("e", ts("2024-01-01 23:00:00"), 3L, Some(1.0)),  // low AND close
+      ("e", ts("2024-01-01 06:00:00"), 4L, None),       // null: excluded entirely
+      ("e", ts("2024-01-02 00:00:00"), 5L, Some(7.0)))  // next bucket
+      .toDF("e", "t", "id", "v")
+    val out = Behavior.ohlc(obs, "e",
+        org.apache.spark.sql.functions.date_format(col("t"), "yyyy-MM-dd"), "v",
+        Seq("t", "id"))
+      .collect().map(r => r.getString(1) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))).toMap
+    assert(out("2024-01-01") == ((3.0, 9.0, 1.0, 1.0, 4L)))
+    assert(out("2024-01-02") == ((7.0, 7.0, 7.0, 7.0, 1L)))
+  }
+
+  test("transitions: per-entity lag steps, first event contributes none, p sums to 1 per prev") {
+    val events = Seq(
+      ("u1", 1L, "view"), ("u1", 2L, "click"), ("u1", 3L, "view"),
+      ("u2", 1L, "view"), ("u2", 2L, "view"),
+      ("u3", 1L, "click")) // single event: no step
+      .toDF("u", "seq", "typ")
+    val out = Behavior.transitions(events, "u", "typ", Seq("seq"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      ("view", "click") -> ((1L, 0.5)),
+      ("view", "view") -> ((1L, 0.5)),
+      ("click", "view") -> ((1L, 1.0))))
+  }
 }

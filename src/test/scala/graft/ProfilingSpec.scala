@@ -19,4 +19,17 @@ class ProfilingSpec extends SparkSpec {
     assert(out("x") == ((4L, 1L, 2L)))
     assert(out("y") == ((4L, 1L, 2L)))
   }
+
+  test("skewAudit: whale key dominates the distribution; null key counts as a key") {
+    // key a: 6 rows, b: 2, c: 1, null: 1 -> 10 rows over 4 keys
+    val df = (Seq.fill(6)(Option("a")) ++ Seq.fill(2)(Option("b")) ++
+      Seq(Option("c"), Option.empty[String])).toDF("k")
+    val r = Profiling.skewAudit(df, Seq("k")).collect().head
+    assert(r.getAs[Long]("n_rows") == 10L)
+    assert(r.getAs[Long]("n_keys") == 4L)
+    assert(r.getAs[Long]("max_n") == 6L)
+    assert(r.getAs[Double]("avg_n") == 2.5)
+    assert(r.getAs[Double]("skew_ratio") == 2.4)
+    assert(r.getAs[Double]("top_share") == 0.6)
+  }
 }
