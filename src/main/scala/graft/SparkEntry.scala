@@ -2624,6 +2624,106 @@ object SparkEntry {
         Fns.epsRound(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
         count(lit(1)).as("n"))
 
+  /** E14 — label-distribution entropy per entity: Shannon entropy (nats)
+    * and Herfindahl concentration of each user's event-type mix — the
+    * class-balance / behavioral-diversity feature. All shuffles on
+    * entity-grain frames (Profiling.entropy).
+    */
+  private def e14Entropy(s: SparkSession, dir: String): DataFrame =
+    Profiling.entropy(Tables.events(s, dir), "event_type", Seq("user_id"))
+      .select(col("user_id"), Fns.epsRound(col("entropy"), 6).as("entropy"),
+        Fns.epsRound(col("herfindahl"), 6).as("herfindahl"), col("n_categories"))
+      .orderBy("user_id")
+
+  /** C7 — higher-moment feature profile: mean/sd/skewness/excess-kurtosis
+    * of the event value per type, from explicit power sums so the oracle
+    * replays the identical formula (engine built-ins disagree on bias
+    * correction). One aggregate pass.
+    */
+  private def c7Moments(s: SparkSession, dir: String): DataFrame =
+    Profiling.moments(Tables.events(s, dir), "value", Seq("event_type"))
+      .select(col("event_type"), col("n"), Fns.epsRound(col("mean"), 4).as("mean"),
+        Fns.epsRound(col("sd"), 4).as("sd"),
+        Fns.epsRound(col("skewness"), 4).as("skewness"),
+        Fns.epsRound(col("kurtosis"), 4).as("kurtosis"))
+      .orderBy("event_type")
+
+  /** H17 — daily + 7-day rolling distinct actives (DAU/WAU): rolling
+    * COUNT DISTINCT via the explode-to-window-ends formulation over the
+    * deduped (entity, day) grain — never a window over the raw log.
+    */
+  private def h17RollingDau(s: SparkSession, dir: String): DataFrame =
+    Behavior.rollingActives(Tables.events(s, dir), "user_id", "ts", windowDays = 7)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_active"), col("n_active_window"))
+      .orderBy("day")
+
+  /** H18 — entity-level temporal split: a user belongs to train if their
+    * FIRST event precedes the cutoff, else test — the group-aware split
+    * that keeps each entity's history intact (a row-level cut would leak
+    * a train user's post-cutoff rows into test). `n_events_post_cutoff`
+    * on the train row quantifies exactly the rows a naive row split would
+    * have moved. Shuffles: first-event argmin per entity, then one
+    * entity-key join back to the log.
+    */
+  private def h18TemporalSplit(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val firstTs = ev.groupBy("user_id").agg(min("ts").as("__first"))
+      .withColumn("split",
+        when(col("__first") < ts("2024-01-01 12:00:00"), lit("train")).otherwise(lit("test")))
+      .select("user_id", "split")
+    ev.join(firstTs, "user_id")
+      .groupBy("split")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        count_if(col("ts") >= ts("2024-01-01 12:00:00")).as("n_events_post_cutoff"))
+      .orderBy("split")
+  }
+
+  /** G7 — event-type co-occurrence: for each unordered type pair, how many
+    * users exhibit both, and the conditional reach p(b | a) — the
+    * feature-interaction / market-basket summary. The self-join runs on
+    * the deduped (user, type) grain keyed by user (≤ types² rows per
+    * user), never on raw events; the reach normalizer is a types-sized
+    * broadcast.
+    */
+  private def g7Cooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(s, dir).select("user_id", "event_type").distinct()
+    val a = d.select(col("user_id"), col("event_type").as("type_a"))
+    val b = d.select(col("user_id"), col("event_type").as("type_b"))
+    val pairs = a.join(b, Seq("user_id"))
+      .where(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_both"))
+    val reach = d.groupBy(col("event_type").as("type_a"))
+      .agg(count(lit(1)).as("__n_a"))
+    pairs.join(broadcast(reach), "type_a")
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        Fns.epsRound(col("n_both").cast("double") / col("__n_a"), 6).as("p_b_given_a"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** G1 — normalized-text dedup accounting (the CCNet-style prep step):
+    * lowercase, strip non-alphanumerics, collapse whitespace, then count
+    * surviving distinct keys — catches dups that differ only in case/
+    * punctuation, which byte-exact dedup (g1_dedup_exact) misses. Emits
+    * the corpus-grain accounting row (same shape as exactStats): raw vs
+    * normalized distinct counts and the extra docs normalization would
+    * collapse. Map-only normalization, one aggregate.
+    */
+  private def g1DedupNormalized(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("text"),
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ")).as("__norm"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_raw"),
+        countDistinct(col("__norm")).as("n_distinct_norm"),
+        (countDistinct(col("text")) - countDistinct(col("__norm")))
+          .as("n_extra_collapsed"))
+
   // ======================================================================
   // contract maps
   // ======================================================================
@@ -2787,7 +2887,13 @@ object SparkEntry {
     "h15_transitions"    -> (h15Transitions _),
     "h16_skew_audit"     -> (h16SkewAudit _),
     "b5_xml_ingest"      -> (b5XmlIngest _),
-    "q6_revenue_forecast" -> (q6RevenueForecast _)
+    "q6_revenue_forecast" -> (q6RevenueForecast _),
+    "e14_entropy"        -> (e14Entropy _),
+    "c7_moments"         -> (c7Moments _),
+    "h17_rolling_dau"    -> (h17RollingDau _),
+    "h18_temporal_split" -> (h18TemporalSplit _),
+    "g7_cooccurrence"    -> (g7Cooccurrence _),
+    "g1_dedup_normalized" -> (g1DedupNormalized _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4145,6 +4251,78 @@ object SparkEntry {
         |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24.0
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+    "e14_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS n
+        |           FROM events GROUP BY user_id, event_type),
+        |t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY user_id),
+        |p AS (SELECT c.user_id, c.n::DOUBLE / t.tot AS p
+        |      FROM c JOIN t USING (user_id))
+        |SELECT user_id,
+        |       round(sum(-(p * ln(p))) + 1e-9, 6) AS entropy,
+        |       round(sum(p * p) + 1e-9, 6) AS herfindahl,
+        |       count(*) AS n_categories
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "c7_moments" ->
+      """WITH s AS (SELECT event_type,
+        |                  count(value)::DOUBLE AS n,
+        |                  sum(value) AS s1, sum(value * value) AS s2,
+        |                  sum(value * value * value) AS s3,
+        |                  sum(value * value * value * value) AS s4
+        |           FROM events WHERE value IS NOT NULL GROUP BY event_type),
+        |m AS (SELECT event_type, n, s1 / n AS mean,
+        |             s2 / n - (s1 / n) * (s1 / n) AS m2,
+        |             s3 / n - 3 * (s1 / n) * s2 / n + 2 * (s1 / n) ** 3 AS m3,
+        |             s4 / n - 4 * (s1 / n) * s3 / n + 6 * (s1 / n) ** 2 * s2 / n
+        |               - 3 * (s1 / n) ** 4 AS m4
+        |      FROM s)
+        |SELECT event_type, n::BIGINT AS n,
+        |       round(mean + 1e-9, 4) AS mean,
+        |       round(sqrt(m2 * n / (n - 1)) + 1e-9, 4) AS sd,
+        |       round(m3 / m2 ** 1.5 + 1e-9, 4) AS skewness,
+        |       round(m4 / (m2 * m2) - 3 + 1e-9, 4) AS kurtosis
+        |FROM m ORDER BY event_type""".stripMargin,
+    "h17_rolling_dau" ->
+      """WITH grain AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events),
+        |daily AS (SELECT d AS day, count(DISTINCT user_id) AS n_active
+        |          FROM grain GROUP BY d),
+        |ends AS (SELECT DISTINCT d FROM grain),
+        |rolling AS (SELECT e.d AS day, count(DISTINCT g.user_id) AS n_active_window
+        |            FROM ends e JOIN grain g ON g.d BETWEEN e.d - 6 AND e.d
+        |            GROUP BY e.d)
+        |SELECT strftime(daily.day, '%Y-%m-%d') AS day, n_active, n_active_window
+        |FROM daily JOIN rolling USING (day) ORDER BY day""".stripMargin,
+    "h18_temporal_split" ->
+      """WITH f AS (SELECT user_id,
+        |                  CASE WHEN min(ts) < TIMESTAMP '2024-01-01 12:00:00'
+        |                       THEN 'train' ELSE 'test' END AS split
+        |           FROM events GROUP BY user_id)
+        |SELECT split, count(DISTINCT e.user_id) AS n_users, count(*) AS n_events,
+        |       count(*) FILTER (e.ts >= TIMESTAMP '2024-01-01 12:00:00')
+        |         AS n_events_post_cutoff
+        |FROM events e JOIN f USING (user_id)
+        |GROUP BY split ORDER BY split""".stripMargin,
+    "g7_cooccurrence" ->
+      """WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |                 count(*) AS n_both
+        |          FROM d a JOIN d b ON a.user_id = b.user_id
+        |                           AND a.event_type < b.event_type
+        |          GROUP BY 1, 2),
+        |reach AS (SELECT event_type AS type_a, count(*) AS n_a FROM d GROUP BY 1)
+        |SELECT type_a, type_b, n_both,
+        |       round(n_both::DOUBLE / n_a + 1e-9, 6) AS p_b_given_a
+        |FROM pairs JOIN reach USING (type_a)
+        |ORDER BY type_a, type_b""".stripMargin,
+    "g1_dedup_normalized" ->
+      """WITH n AS (SELECT text,
+        |                  trim(regexp_replace(regexp_replace(lower(text),
+        |                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |           FROM documents)
+        |SELECT count(*) AS n_docs,
+        |       count(DISTINCT text) AS n_distinct_raw,
+        |       count(DISTINCT norm) AS n_distinct_norm,
+        |       count(DISTINCT text) - count(DISTINCT norm) AS n_extra_collapsed
+        |FROM n ORDER BY 1""".stripMargin
   )
 }

@@ -184,6 +184,38 @@ object Behavior {
       .drop("__tot")
   }
 
+  /** Rolling distinct-actives (the DAU/WAU shape): per calendar day, the
+    * count of distinct entities active that day AND over the trailing
+    * `windowDays`-day window ending that day. Rolling COUNT DISTINCT is
+    * not a windowable aggregate — the scalable formulation dedups to the
+    * (entity, day) grain first, then EXPLODES each active day into the
+    * `windowDays` window-end days it contributes to (map-side ×w fan-out
+    * of a day-grain frame, not the raw log), and re-counts distinct per
+    * window end. Shuffles touch entity×day and day-grain frames only; the
+    * raw event log is scanned once. Days with no activity in the window
+    * produce no row (observable grid = days that had any activity).
+    */
+  def rollingActives(
+      events: DataFrame,
+      entityCol: String,
+      tsCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val grain = events
+      .select(col(entityCol).as("__e"), to_date(col(tsCol)).as("__d"))
+      .distinct()
+    val daily = grain.groupBy(col("__d").as("day"))
+      .agg(countDistinct(col("__e")).as("n_active"))
+    val rolling = grain
+      .select(col("__e"), explode(sequence(col("__d"),
+        date_add(col("__d"), windowDays - 1))).as("day"))
+      .groupBy("day")
+      .agg(countDistinct(col("__e")).as("n_active_window"))
+    // inner join: report only days that themselves saw activity (the
+    // explode also manufactures window-end days past the data's horizon)
+    daily.join(rolling, "day")
+  }
+
   def timeWeightedAvg(
       obs: DataFrame,
       entityCol: String,

@@ -51,6 +51,70 @@ object Profiling {
     * percentiles run over per-key COUNTS, never over the raw table. Null
     * keys count as a key — they hash to one partition too.
     */
+  /** Higher-moment column profile per group: mean, sample stddev, skewness
+    * and EXCESS kurtosis computed from explicit power sums
+    * (Σx, Σx², Σx³, Σx⁴) — the formula is spelled out rather than
+    * delegated to an engine built-in so any SQL engine replays it
+    * bit-comparably (built-in skewness/kurtosis differ between engines on
+    * bias correction). Population moments: m_k = Σ(x−μ)^k / n expanded to
+    * power-sum form. One map-side-combined aggregate pass; four extra
+    * doubles per group over a plain avg.
+    *
+    * Numeric note: power-sum expansion cancels catastrophically when
+    * |μ| ≫ σ — fine for bounded feature values (the profiling target),
+    * not for raw epoch timestamps; shift those first.
+    */
+  def moments(df: DataFrame, valueCol: String, groupCols: Seq[String]): DataFrame = {
+    val x = col(valueCol).cast("double")
+    df.where(x.isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).cast("double").as("__n"),
+        sum(x).as("__s1"), sum(x * x).as("__s2"),
+        sum(x * x * x).as("__s3"), sum(x * x * x * x).as("__s4"))
+      .withColumn("mean", col("__s1") / col("__n"))
+      .withColumn("__m2",
+        col("__s2") / col("__n") - col("mean") * col("mean"))
+      .withColumn("__m3",
+        col("__s3") / col("__n") - lit(3.0) * col("mean") * col("__s2") / col("__n")
+          + lit(2.0) * col("mean") * col("mean") * col("mean"))
+      .withColumn("__m4",
+        col("__s4") / col("__n") - lit(4.0) * col("mean") * col("__s3") / col("__n")
+          + lit(6.0) * col("mean") * col("mean") * col("__s2") / col("__n")
+          - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+      .withColumn("n", col("__n").cast("long"))
+      .withColumn("sd",
+        when(col("__n") > 1, sqrt(col("__m2") * col("__n") / (col("__n") - 1))))
+      .withColumn("skewness",
+        when(col("__m2") > 0, col("__m3") / pow(col("__m2"), 1.5)))
+      .withColumn("kurtosis",
+        when(col("__m2") > 0, col("__m4") / (col("__m2") * col("__m2")) - lit(3.0)))
+      .select((groupCols.map(col) ++ Seq(col("n"), col("mean"), col("sd"),
+        col("skewness"), col("kurtosis"))): _*)
+  }
+
+  /** Categorical-distribution concentration per group: Shannon entropy
+    * (nats) and the Herfindahl concentration index (Σp²) of a category
+    * column's share distribution — the label-balance / class-collapse
+    * check before a training cut. Two aggregates on group-grain frames
+    * (category counts, then the per-group fold); the share normalizer is
+    * a groups-sized broadcast join, never a window over data.
+    */
+  def entropy(df: DataFrame, catCol: String, groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "entropy needs at least one group column")
+    val counts = df.groupBy((groupCols.map(col) :+ col(catCol)): _*)
+      .agg(count(lit(1)).as("__c"))
+    val totals = counts.groupBy(groupCols.map(col): _*).agg(sum("__c").as("__t"))
+    val cond = groupCols.map(c => counts(c) <=> totals(c)).reduce(_ && _)
+    groupCols.foldLeft(counts.join(broadcast(totals), cond))((acc, c) => acc.drop(totals(c)))
+      .withColumn("__p", col("__c").cast("double") / col("__t"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(negate(col("__p") * log(col("__p")))).as("entropy"),
+        sum(col("__p") * col("__p")).as("herfindahl"),
+        count(lit(1)).as("n_categories"))
+  }
+
   def skewAudit(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "skewAudit needs at least one key column")
     df.groupBy(keyCols.map(col): _*)

@@ -118,6 +118,21 @@ class BehaviorSpec extends SparkSpec {
     assert(out("2024-01-02") == ((7.0, 7.0, 7.0, 7.0, 1L)))
   }
 
+  test("rollingActives: window distinct vs daily distinct, per-day dedup, no phantom days") {
+    val obs = Seq(
+      ("a", ts("2024-01-01 09:00:00")), ("a", ts("2024-01-01 17:00:00")), // same day: 1 active
+      ("b", ts("2024-01-01 12:00:00")),
+      ("a", ts("2024-01-03 00:00:00")),
+      ("c", ts("2024-01-09 00:00:00"))) // far gap: day 1/3 fall out of its window
+      .toDF("u", "t")
+    val out = Behavior.rollingActives(obs, "u", "t", windowDays = 3)
+      .collect().map(r => r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      "2024-01-01" -> ((2L, 2L)),  // a,b that day; window [Dec30..Jan1] = {a,b}
+      "2024-01-03" -> ((1L, 2L)),  // a that day; window [Jan1..Jan3] = {a,b}
+      "2024-01-09" -> ((1L, 1L)))) // c only; and no rows for inactive days
+  }
+
   test("transitions: per-entity lag steps, first event contributes none, p sums to 1 per prev") {
     val events = Seq(
       ("u1", 1L, "view"), ("u1", 2L, "click"), ("u1", 3L, "view"),
