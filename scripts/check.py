@@ -20,6 +20,25 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), ignore_index=True, kind="mergesort", na_position="first")
     return df
 
+def canon_type(t):
+    """Driver-hash equivalence classes for duckdb types: pandas widens all
+    int widths <= 64 to int64, so those hash alike — but HUGEINT (int128,
+    what DuckDB widens integer SUMs to) does NOT, and is exactly the
+    round-3 h12 failure mode this check exists to catch before the driver.
+    """
+    t = str(t).upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "INT8", "INT16", "INT32", "INT64"):
+        return "INT"
+    if t == "INT128":
+        return "HUGEINT"
+    if t in ("STRING", "TEXT"):
+        return "VARCHAR"
+    if t in ("TIMESTAMP_NS", "TIMESTAMP_US", "DATETIME"):
+        return "TIMESTAMP"
+    return t
+
+
 def main(out, sfdir):
     con = duckdb.connect()
     for t in TABLES:
@@ -28,7 +47,9 @@ def main(out, sfdir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            exp = con.execute(sql).df()
+            orel = con.sql(sql)
+            otypes = dict(zip(orel.columns, [str(t) for t in orel.types]))
+            exp = orel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
@@ -36,6 +57,17 @@ def main(out, sfdir):
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        # physical type drift (the driver hashes value ENCODINGS, so a
+        # value-equal frame can still hash-fail on e.g. HUGEINT vs BIGINT)
+        srel = con.sql(f"SELECT * FROM '{files[0]}'")
+        stypes = dict(zip(srel.columns, [str(t) for t in srel.types]))
+        drift = [f"{c}: spark={stypes[c]} oracle={otypes[c]}"
+                 for c in stypes if c in otypes
+                 and canon_type(stypes[c]) != canon_type(otypes[c])]
+        if drift:
+            print(f"FAIL {name}: TYPE drift — " + "; ".join(drift))
             n_fail += 1
             continue
         got = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)

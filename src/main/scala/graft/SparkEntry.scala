@@ -322,6 +322,31 @@ object SparkEntry {
         createdTs = ts("2024-02-01 00:00:00"))
       .orderBy("event_id")
 
+  /** B1 — per-feature `validation_rules` enforcement: the registry's
+    * free-form rule strings (reference feature_registry.py:80-82 declares
+    * them; the reference never interprets them) run through the minimal
+    * range/regex/not_null interpreter (Validation.rulePredicate) at ingest.
+    * One codegen'd CASE over the driver-side registry map — rule checks cost
+    * the same as any other scan-stage predicate at 100 TB. The "signup"
+    * rule is deliberately outside the enforced subset to pin the
+    * metadata-only fallback (unknown rules never reject).
+    */
+  private def b1Rules(s: SparkSession, dir: String): DataFrame = {
+    val rules = Map(
+      "click"    -> Seq("range:0-100"),
+      "purchase" -> Seq("range:0.5-"),
+      "view"     -> Seq("range:-250"),
+      "error"    -> Seq("not_null", "range:0-"),
+      "signup"   -> Seq("unit:mmHg")) // unknown rule: carried as metadata only
+    Validation
+      .withRuleValidation(Tables.events(s, dir), "event_type", "value", rules)
+      .groupBy(
+        col("event_type"),
+        coalesce(col("rule_reject_reason"), lit("ok")).as("rule_status"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "rule_status")
+  }
+
   /** B1 — typed EAV ingest through the FeatureStore facade: six features
     * covering every storage class of the widened fact schema (float64,
     * int64, bool, timestamp, array_string, embedding — FeatureValueType,
@@ -2758,6 +2783,7 @@ object SparkEntry {
     "a7_interval_join"   -> (a7IntervalJoin _),
     "a5_snapshot_filter" -> (a5SnapshotFilter _),
     "b1_validated_ingest" -> (b1ValidatedIngest _),
+    "b1_rules"           -> (b1Rules _),
     "b1_typed_ingest"    -> (b1TypedIngest _),
     "b2_upsert_snapshot" -> (b2UpsertSnapshot _),
     "b2_upsert_tx"       -> (b2UpsertTx _),
@@ -3187,6 +3213,20 @@ object SparkEntry {
         |FROM events
         |WHERE event_type IN ('click', 'view', 'purchase') AND value IS NOT NULL
         |ORDER BY event_id""".stripMargin,
+    "b1_rules" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    COALESCE(CASE
+        |      WHEN event_type = 'click'    AND NOT (value >= 0 AND value <= 100) THEN 'rule_violation:range:0-100'
+        |      WHEN event_type = 'error'    AND value IS NULL                     THEN 'rule_violation:not_null'
+        |      WHEN event_type = 'error'    AND NOT (value >= 0)                  THEN 'rule_violation:range:0-'
+        |      WHEN event_type = 'purchase' AND NOT (value >= 0.5)                THEN 'rule_violation:range:0.5-'
+        |      WHEN event_type = 'view'     AND NOT (value <= 250)                THEN 'rule_violation:range:-250'
+        |    END, 'ok') AS rule_status
+        |  FROM events)
+        |SELECT event_type, rule_status, count(*)::BIGINT AS n
+        |FROM r GROUP BY event_type, rule_status
+        |ORDER BY event_type, rule_status""".stripMargin,
     "b1_typed_ingest" ->
       """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS entity_id, ts, value, event_type FROM events)
         |SELECT * FROM (
@@ -4019,7 +4059,8 @@ object SparkEntry {
         |         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY bucket, doc_id
         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
         |  FROM t)
-        |SELECT doc_id, source, n_tokens, cum_before + n_tokens AS cum_tokens
+        |SELECT doc_id, source, n_tokens,
+        |       (cum_before + n_tokens)::BIGINT AS cum_tokens
         |FROM c WHERE cum_before < 800 ORDER BY doc_id""".stripMargin,
     "h13_uniform_sample" ->
       """WITH h AS (
@@ -4230,7 +4271,7 @@ object SparkEntry {
         |FROM steps ORDER BY prev_type, next_type""".stripMargin,
     "h16_skew_audit" ->
       """WITH k AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
-        |SELECT sum(n) AS n_rows, count(*) AS n_keys, max(n) AS max_n,
+        |SELECT sum(n)::BIGINT AS n_rows, count(*) AS n_keys, max(n) AS max_n,
         |       round(avg(n) + 1e-9, 4) AS avg_n,
         |       round(quantile_cont(n, 0.5) + 1e-9, 4) AS p50_n,
         |       round(quantile_cont(n, 0.99) + 1e-9, 4) AS p99_n,

@@ -12,7 +12,15 @@ object Verify {
       case Array(s, o, subset) => (s, o, Some(subset.split(',').toSet))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // fixture/spill I/O on tmpfs when available (same rationale as Bench)
+    locally {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        System.setProperty("java.io.tmpdir",
+          java.nio.file.Files.createTempDirectory(shm, "graft-verify").toString)
+    }
     val spark = SparkSession.builder()
+      .config("spark.local.dir", System.getProperty("java.io.tmpdir"))
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // let AQE re-coalesce shuffle partitions even under .cache() —

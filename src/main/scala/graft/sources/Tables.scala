@@ -16,15 +16,25 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 won't map to
-    * TimestampType directly; read it as epoch-nanos long and integer-divide
-    * to micros (floor division — matches DuckDB's ns->us truncation, and
-    * avoids the double-precision loss a `/` cast would cause at 1.7e18).
+  /** events.ts has shipped in two physical encodings across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark 4 only maps to a long via
+    * `spark.sql.legacy.parquet.nanosAsLong`) and plain TIMESTAMP(MICROS).
+    * Branch on the resolved schema so both generations read identically:
+    * the nanos-long path integer-divides to micros (floor division — matches
+    * DuckDB's ns->us truncation, and avoids the double-precision loss a `/`
+    * cast would cause at 1.7e18); anything else is already a timestamp and
+    * just gets normalized to TimestampType (the micros files resolve as
+    * TIMESTAMP_NTZ, which downstream window/as-of arithmetic expects cast).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   def region(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "region")

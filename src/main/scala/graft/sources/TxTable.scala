@@ -785,8 +785,39 @@ class TxTable(val spark: SparkSession, val root: String) {
     * diffs as one insert.
     */
   def diff(fromV: Long, toV: Long): DataFrame = {
-    val before = readVersion(fromV)
-    val after  = readVersion(toV)
+    // file-pruned: rows in files COMMON to both snapshots cancel exactly in
+    // the multiset difference ((C∪A) − (C∪R) = A − R), so only files added
+    // or removed across the range are read — a 3-file commit against a
+    // million-file table diffs 3 files, not two full snapshots. Falls back
+    // to the full-snapshot compare when the schema evolved across the range
+    // (pruning is only sound when both sides read under one schema).
+    val sFrom = stateForVersion(fromV)
+    val sTo   = stateForVersion(toV)
+    val (before, after) =
+      if (sFrom.ddl == sTo.ddl) {
+        // same version-existence contract as readVersion
+        val versions = commitFiles().map(_.getFileName.toString.stripSuffix(".txt").toLong)
+        Seq(fromV, toV).foreach { v =>
+          require(versions.exists(_ <= v), s"version $v predates table $root")
+          require(versions.exists(_ >= v), s"version $v does not exist yet in table $root")
+        }
+        val fromSet = sFrom.files.toSet
+        val toSet   = sTo.files.toSet
+        (readState(sFrom.copy(files = sFrom.files.filterNot(toSet))),
+          readState(sTo.copy(files = sTo.files.filterNot(fromSet))))
+      } else {
+        // schema evolved across the range: align the FROM side to the TO
+        // schema (evolution only widens — absent columns read null) so the
+        // multiset compare is well-typed; rows differing only in a widened
+        // column correctly diff as delete+insert
+        val afterFull  = readVersion(toV)
+        val beforeRaw  = readVersion(fromV)
+        val beforeCols = beforeRaw.columns.toSet
+        (beforeRaw.select(afterFull.schema.fields.map { f =>
+          if (beforeCols.contains(f.name)) col(f.name).cast(f.dataType)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*), afterFull)
+      }
     after.exceptAll(before).withColumn("change_type", lit("insert"))
       .unionByName(before.exceptAll(after).withColumn("change_type", lit("delete")))
   }

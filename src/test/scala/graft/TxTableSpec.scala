@@ -45,6 +45,32 @@ class TxTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.changeFeed(2L, 2L))
   }
 
+  test("diff: file-pruned result equals the snapshot definition; evolved-schema range falls back") {
+    val t = newTable()
+    t.append(kv((1L, "a", 1.0, 10L), (2L, "a", 2.0, 20L)), tsMillis = 100L) // v0
+    t.append(kv((3L, "a", 3.0, 30L), (3L, "a", 3.0, 30L)), tsMillis = 200L) // v1 (dup row: multiset)
+    t.delete($"k" === 1L, tsMillis = 300L)                                  // v2
+    // pruned diff must equal the definitional full-snapshot exceptAll
+    val got = t.diff(0L, 2L).select("change_type", "k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    val v0 = t.readVersion(0L); val v2 = t.readVersion(2L)
+    val want = (v2.exceptAll(v0).withColumn("change_type", lit("insert"))
+      .unionByName(v0.exceptAll(v2).withColumn("change_type", lit("delete"))))
+      .select("change_type", "k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(got == want)
+    assert(got.count(_._1 == "insert") == 2, "duplicate inserted row diffs twice (multiset)")
+    // a range whose endpoints have different schemas takes the full-compare
+    // fallback and still works (columns follow the TO version)
+    t.append(Seq((9L, "b", 9.0, 90L, "x")).toDF("k", "f", "value", "ts", "tag"),
+      tsMillis = 400L, evolve = true)                                       // v3: widened
+    val evolved = t.diff(2L, 3L).select("change_type", "k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(evolved.contains(("insert", 9L)))
+    // unknown versions still rejected on the pruned path
+    intercept[IllegalArgumentException](t.diff(0L, 99L))
+  }
+
   test("schema evolution: evolve=true widens, old rows read null; guards reject silent loss") {
     val t = newTable()
     t.append(Seq((1L, "a", 10L)).toDF("k", "f", "ts"), tsMillis = 100L) // v0: no value col
