@@ -72,6 +72,36 @@ object Bench {
           .lshTopK(vecs, qs, "id", "vec", "qid", "qvec", k = 5)
           .count()
       }
+      // Structured Streaming machinery warm-up: micro-batch planner, state
+      // store provider, watermark bookkeeping, keyed state, memory sink and
+      // foreachBatch each initialize lazily — without this, every g4 query's
+      // FIRST micro-batch pays the full framework init (~1 s apiece across
+      // 7 streaming queries)
+      locally {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+        import spark.implicits._
+        val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+        val ms1 = MemoryStream[(Long, java.sql.Timestamp, Double)]
+        val q1 = ms1.toDF().toDF("k", "ts", "v")
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("k"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName("graft_warm_stream")
+          .outputMode("update").start()
+        ms1.addData(Seq((1L, t0, 1.0))); q1.processAllAvailable()
+        ms1.addData(Seq((2L, t0, 2.0))); q1.processAllAvailable()
+        q1.stop()
+        spark.catalog.dropTempView("graft_warm_stream")
+        val ms2 = MemoryStream[graft.streaming.Streaming.EventRow]
+        val q2 = graft.streaming.Streaming.latestStateStream(ms2.toDS())
+          .writeStream.foreachBatch {
+            (b: org.apache.spark.sql.Dataset[graft.streaming.Streaming.LatestState], _: Long) =>
+              b.count(); ()
+          }.start()
+        ms2.addData(Seq(graft.streaming.Streaming.EventRow(1L, t0, 1L, "click", 1.0)))
+        q2.processAllAvailable(); q2.stop()
+      }
       // persisted-index builds are offline one-time jobs (build once, query
       // many): run them untimed so the g1_incr_*/g2_*/g1_semdedup queries
       // measure QUERY latency, not whichever query happened to trigger the

@@ -1448,6 +1448,22 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  /** G2 — metadata-FILTERED top-k (the filtered vector search every
+    * serving store ships): each query scores only candidates with ITS
+    * label. The filter is an equi-join — pair count collapses from
+    * |corpus|×|Q| to Σ per-label buckets, so at scale the filter makes
+    * brute-force cheaper, not just more relevant. */
+  private def g2FilteredTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"), col("label"))
+    Similarity
+      .filteredTopK(emb, qs, "vec_id", "embedding", "query_id", "qvec",
+        filterCols = Seq("label"), k = 3)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
   private def g2CosineThreshold(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val qs  = emb.where(col("vec_id") < 10)
@@ -2129,7 +2145,7 @@ object SparkEntry {
     val (evenBatch, oddBatch) = rows.partition(_.event_id % 2 == 0)
     val ms = MemoryStream[Streaming.EventRow]
     s.catalog.dropTempView("g4_lww_stream_state")
-    withShufflePartitions(s, 8) {
+    withShufflePartitions(s, 4) {
       val q = Streaming.latestStateStream(ms.toDS())
         .writeStream.format("memory").queryName("g4_lww_stream_state")
         .outputMode("update").start()
@@ -2166,7 +2182,7 @@ object SparkEntry {
     val (evenDocs, oddDocs) = words.partition(_._1 % 2 == 0)
     val ms = MemoryStream[(Long, String)]
     s.catalog.dropTempView("g4_heavy_stream_state")
-    withShufflePartitions(s, 8) {
+    withShufflePartitions(s, 4) {
       val q = ms.toDF().toDF("doc_id", "word")
         .agg(org.apache.spark.sql.graft.MisraGries.heavyHitters(col("word"), 64).as("hh"))
         .writeStream.format("memory").queryName("g4_heavy_stream_state")
@@ -2208,7 +2224,7 @@ object SparkEntry {
     val (first, second) = rows.splitAt(rows.length / 2)
     val ms = MemoryStream[Streaming.EventRow]
     s.catalog.dropTempView("g4_window_stream_state")
-    withShufflePartitions(s, 8) {
+    withShufflePartitions(s, 4) {
       val q = Streaming.windowedCounts(ms.toDF(), "1 hour")
         .writeStream.format("memory").queryName("g4_window_stream_state")
         .outputMode("update").start()
@@ -2252,7 +2268,7 @@ object SparkEntry {
         .toDF(cols: _*),
       tsMillis = 0L)
     val ms = MemoryStream[Streaming.EventRow]
-    withShufflePartitions(s, 8) {
+    withShufflePartitions(s, 4) {
       val q = ms.toDS().writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streaming.EventRow], id: Long) =>
           t.merge(batch.toDF().select(cols.map(col): _*),
@@ -2293,7 +2309,7 @@ object SparkEntry {
     val t = graft.sources.TxTable(
       s, java.nio.file.Files.createTempDirectory("graft_tx_g4asof").toString)
     val ms = MemoryStream[Streaming.EventRow]
-    withShufflePartitions(s, 8) {
+    withShufflePartitions(s, 4) {
       val q = ms.toDS().writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streaming.EventRow], id: Long) =>
           val spine = batch.toDF()
@@ -2339,7 +2355,7 @@ object SparkEntry {
     val batch2 = odd ++ even.take(even.length / 2)
     val ms = MemoryStream[Streaming.EventRow]
     s.catalog.dropTempView("g4_dedup_stream_out")
-    withShufflePartitions(s, 8) {
+    withShufflePartitions(s, 4) {
       val q = ms.toDS().toDF().dropDuplicates("event_id")
         .writeStream.format("memory").queryName("g4_dedup_stream_out")
         .outputMode("append").start()
@@ -2373,7 +2389,7 @@ object SparkEntry {
     val (evenBatch, oddBatch) = corpusRows.partition(_._1 % 2 == 0)
     val ms = MemoryStream[(Long, String)]
     s.catalog.dropTempView("g4_decontam_stream_out")
-    withShufflePartitions(s, 8) {
+    withShufflePartitions(s, 4) {
       val q = operators.Contamination
         .contaminationFlags(ms.toDF().toDF("doc_id", "text"), bench,
           idCol = "doc_id", textCol = "text", n = 8)
@@ -2384,6 +2400,96 @@ object SparkEntry {
       q.stop()
     }
     s.table("g4_decontam_stream_out").orderBy("doc_id")
+  }
+
+  /** G4 streaming #7 — event-time SESSION windows (`session_window`): the
+    * streaming form of g4_sessionize, but as a first-class stateful
+    * aggregate — Spark keeps one open session per user and closes it when
+    * the watermark passes session end + gap. Events replay in EVENT-TIME
+    * order across two micro-batches (sessions spanning the split boundary
+    * must merge in state), then two far-future sentinel events advance the
+    * watermark so APPEND mode emits every real session exactly once (the
+    * second sentinel batch flushes emissions armed by the first — append
+    * output lags the watermark update by one batch). Oracle: exact
+    * gap-sessionization in batch SQL (break at gap ≥ 4 h, microsecond
+    * precision — `session_window` merges only on STRICT overlap).
+    */
+  private def g4SessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streaming
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = Tables.events(s, dir)
+      // half the entities: the mechanism under test is session merge across
+      // the batch boundary + watermark-driven append emission, not volume —
+      // full-set streaming is already certified by lww/window/dedup
+      .where(col("value").isNotNull && col("user_id") % 2 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Streaming.EventRow].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val maxTs = rows.last.ts.getTime
+    def sentinel(offMs: Long) =
+      Streaming.EventRow(-1L, new java.sql.Timestamp(maxTs + offMs), -1L, "wm", 0.0)
+    val ms = MemoryStream[Streaming.EventRow]
+    s.catalog.dropTempView("g4_session_window_out")
+    withShufflePartitions(s, 4) {
+      val q = Streaming.sessionWindows(ms.toDF(), "4 hours")
+        .writeStream.format("memory").queryName("g4_session_window_out")
+        .outputMode("append").start()
+      ms.addData(first.toSeq);  q.processAllAvailable()
+      ms.addData(second.toSeq); q.processAllAvailable()
+      ms.addData(Seq(sentinel(86400000L)));  q.processAllAvailable()
+      ms.addData(Seq(sentinel(172800000L))); q.processAllAvailable()
+      q.stop()
+    }
+    s.table("g4_session_window_out")
+      .where(col("user_id") =!= -1L)
+      .select("user_id", "session_start", "session_end", "n", "sum_value")
+      .orderBy("user_id", "session_start")
+  }
+
+  /** G4 streaming #8 — LWW online state on the `transformWithState` API
+    * (Spark 4's arbitrary-state v2, RocksDB-backed): same semantics as
+    * g4_lww_stream via the SAME shared lwwWinner core, certifying the
+    * typed-ValueState path against the batch arg_max oracle. Replays a
+    * deterministic third of the entities (the mechanism under test is the
+    * state API, not volume — g4_lww_stream already covers the full set).
+    */
+  private def g4TwsStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streaming
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = Tables.events(s, dir)
+      .where(col("value").isNotNull && col("user_id") % 3 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Streaming.EventRow].collect()
+    val (evenBatch, oddBatch) = rows.partition(_.event_id % 2 == 0)
+    val ms = MemoryStream[Streaming.EventRow]
+    s.catalog.dropTempView("g4_tws_stream_state")
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    Streaming.rocksDbStateConf.foreach { case (k, v) => s.conf.set(k, v) }
+    try withShufflePartitions(s, 4) {
+      val q = Streaming.latestStateTws(ms.toDS())
+        .writeStream.format("memory").queryName("g4_tws_stream_state")
+        .outputMode("update").start()
+      ms.addData(evenBatch.toSeq); q.processAllAvailable()
+      ms.addData(oddBatch.toSeq);  q.processAllAvailable()
+      q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      s.conf.unset("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
+    Latest.latestAgg(
+      s.table("g4_tws_stream_state"),
+      keys = Seq("user_id", "event_type"), tsCol = "ts", tieCol = "event_id",
+      payloadCols = Seq("value", "event_id"))
+      .select("user_id", "event_type", "value", "event_id", "ts")
+      .orderBy("user_id", "event_type")
   }
 
   /** G4 (batch form) — gap-based sessionization + session rollup. */
@@ -2842,6 +2948,7 @@ object SparkEntry {
     "g1_embedding_resolve" -> (g1EmbeddingResolve _),
     "g1_semdedup"        -> (g1Semdedup _),
     "g2_cosine_topk"     -> (g2CosineTopk _),
+    "g2_filtered_topk"   -> (g2FilteredTopk _),
     "g2_cosine_topk_agg" -> (g2CosineTopkAgg _),
     "g2_cosine_threshold" -> (g2CosineThreshold _),
     "g2_centroid_dist"   -> (g2CentroidDist _),
@@ -2870,6 +2977,8 @@ object SparkEntry {
     "h3_hash_sample"     -> (h3HashSample _),
     "e3_quantiles_approx" -> (e3QuantilesApprox _),
     "g4_sessionize"      -> (g4Sessionize _),
+    "g4_session_window"  -> (g4SessionWindow _),
+    "g4_tws_stream"      -> (g4TwsStream _),
     "g4_lww_stream"      -> (g4LwwStream _),
     "g4_window_stream"   -> (g4WindowStream _),
     "g3_length_hist"     -> (g3LengthHist _),
@@ -3684,6 +3793,20 @@ object SparkEntry {
         |      FROM p)
         |SELECT query_id, rank, vec_id, round(sim + 1e-9, 4) AS cosine
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "g2_filtered_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec, label FROM embeddings WHERE vec_id < 10),
+        |p AS (
+        |  SELECT q.query_id, e.vec_id, q.label,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |             i -> e.embedding[i]::DOUBLE * q.qvec[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(q.qvec, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+        |  FROM embeddings e JOIN q ON e.label = q.label WHERE e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id, label, sim,
+        |             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+        |      FROM p)
+        |SELECT query_id, rank, vec_id, label, round(sim + 1e-9, 4) AS cosine
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "g2_cosine_topk_agg" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
         |p AS (
@@ -3957,6 +4080,28 @@ object SparkEntry {
         |       count(*) AS n, round(sum(value) + 1e-9, 2) AS sum_value
         |FROM events WHERE value IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "g4_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR date_diff('microsecond', lag(ts) OVER w, ts) >= 14400000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events WHERE value IS NOT NULL AND user_id % 2 = 0
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 4 HOUR AS session_end,
+        |       count(*) AS n, round(sum(value) + 1e-9, 2) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "g4_tws_stream" ->
+      """SELECT user_id, event_type, arg_max(value, ts) AS value,
+        |       arg_max(event_id, ts) AS event_id, max(ts) AS ts
+        |FROM events WHERE value IS NOT NULL AND user_id % 3 = 0
+        |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
     "g4_sessionize" ->
       """WITH s AS (
         |  SELECT user_id, ts, value, event_id,

@@ -54,6 +54,43 @@ object Similarity {
       .select(col(qidCol), col("__rank").as("rank"), col(idCol), epsRound(col("__sim"), 4).as("cosine"))
   }
 
+  /** Metadata-FILTERED exact top-k: each query only scores candidates that
+    * match it on `filterCols` (the filtered vector search every serving
+    * store ships — "nearest neighbors in the same category/tenant/lang").
+    * The filter is an EQUI-join, not a post-filtered cross join, so the
+    * pair count is Σ_bucket |candidates∩bucket|·|queries∩bucket| and the
+    * plan is a broadcast hash join on the filter key — at 100 TB the
+    * filter makes brute-force CHEAPER, not just more relevant, and a
+    * selective key needs no index at all.
+    */
+  def filteredTopK(
+      candidates: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qidCol: String,
+      qvecCol: String,
+      filterCols: Seq[String],
+      k: Int,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val cand = withNorm(
+      candidates.select((Seq(idCol, vecCol) ++ filterCols).map(col): _*), vecCol, "__cn")
+    val qs = withNorm(
+      queries.select((Seq(qidCol, qvecCol) ++ filterCols).map(col): _*), qvecCol, "__qn")
+    val joined = cand
+      .join(broadcast(qs), filterCols)
+      .where(if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
+      .withColumn("__sim",
+        VectorExpressions.vecDot(col(vecCol), col(qvecCol)) / (col("__cn") * col("__qn")))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col(idCol).asc)
+    joined
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+      .select((Seq(col(qidCol), col("__rank").as("rank"), col(idCol)) ++
+        filterCols.map(col) :+ epsRound(col("__sim"), 4).as("cosine")): _*)
+  }
+
   /** Exact top-k via the custom bounded-heap aggregate
     * (org.apache.spark.sql.graft.TopKStructs): identical results to
     * [[cosineTopK]], but only k rows per (query, map-partition) cross the

@@ -73,6 +73,28 @@ object Streaming {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** G4 — event-time SESSION windows per entity: Spark's `session_window`
+    * merges an event into the open session when it lands within `gap` of
+    * the session's end, else opens a new one — gap-based sessionization as
+    * a first-class streaming aggregate (state = one open session per
+    * entity, evicted when the watermark passes session end + gap). Append
+    * mode emits each session exactly once, when it can no longer grow —
+    * the production shape for "sessions to a downstream table". The batch
+    * gap-sessionize (operators.Sessionize) is its exact oracle.
+    */
+  def sessionWindows(
+      stream: DataFrame,
+      gap: String = "4 hours",
+      watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), graft.functions.Fns.epsRound(sum("value"), 2).as("sum_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n"), col("sum_value"))
+
   /** G4 — exactly-once-ish ingest dedup: drop duplicate event_ids arriving
     * within the watermark horizon. */
   def dedupedStream(stream: DataFrame, watermark: String = "10 minutes"): DataFrame =

@@ -73,6 +73,36 @@ class StreamingSpec extends SparkSpec {
     assert(counts == Seq(1L, 2L))
   }
 
+  test("sessionWindows merges a session across the micro-batch boundary; append emits once") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[EventRow]
+    spark.catalog.dropTempView("t_sess_merge")
+    val q = Streaming.sessionWindows(ms.toDF(), gap = "30 minutes", watermark = "1 minute")
+      .writeStream.format("memory").queryName("t_sess_merge")
+      .outputMode("append").start()
+    // batch 1 opens the session; batch 2 lands INSIDE the gap and must
+    // extend it in state, not open a second session
+    ms.addData(EventRow(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0))
+    q.processAllAvailable()
+    ms.addData(EventRow(2L, ts("2024-01-01 10:20:00"), 1L, "click", 2.0))
+    q.processAllAvailable()
+    // sentinel advances the watermark past session end; second sentinel
+    // batch flushes the armed emission
+    ms.addData(EventRow(8L, ts("2024-01-02 00:00:00"), 9L, "wm", 0.0))
+    q.processAllAvailable()
+    ms.addData(EventRow(9L, ts("2024-01-03 00:00:00"), 9L, "wm", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_sess_merge").where($"user_id" === 1L)
+      .select("session_start", "session_end", "n", "sum_value").collect()
+    assert(rows.length == 1, "one merged session, emitted exactly once")
+    assert(rows.head.getAs[Long]("n") == 2L)
+    assert(rows.head.getAs[Double]("sum_value") == 3.0)
+    assert(rows.head.getAs[java.sql.Timestamp]("session_start") == ts("2024-01-01 10:00:00"))
+    assert(rows.head.getAs[java.sql.Timestamp]("session_end") == ts("2024-01-01 10:50:00"))
+  }
+
   test("dual write: foreachBatch streaming upsert equals batch recompute") {
     implicit val sq = spark.sqlContext
     import graft.operators.Latest
