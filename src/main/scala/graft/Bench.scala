@@ -101,6 +101,20 @@ object Bench {
           }.start()
         ms2.addData(Seq(graft.streaming.Streaming.EventRow(1L, t0, 1L, "click", 1.0)))
         q2.processAllAvailable(); q2.stop()
+        // stream-stream join machinery (four join-state stores per
+        // partition + watermark coordination across two sources) has its
+        // own lazy init — measured ~2.5 s billed to whichever stream-stream
+        // join query runs first
+        val msA = MemoryStream[graft.streaming.Streaming.EventRow]
+        val msB = MemoryStream[graft.streaming.Streaming.EventRow]
+        val q3 = graft.streaming.Streaming
+          .attributionJoin(msA.toDF(), msB.toDF(), "1 hour", "1 minute")
+          .writeStream.format("memory").queryName("graft_warm_ssjoin")
+          .outputMode("append").start()
+        msA.addData(Seq(graft.streaming.Streaming.EventRow(1L, t0, 1L, "click", 1.0)))
+        msB.addData(Seq(graft.streaming.Streaming.EventRow(2L, t0, 1L, "purchase", 2.0)))
+        q3.processAllAvailable(); q3.stop()
+        spark.catalog.dropTempView("graft_warm_ssjoin")
       }
       // persisted-index builds are offline one-time jobs (build once, query
       // many): run them untimed so the g1_incr_*/g2_*/g1_semdedup queries

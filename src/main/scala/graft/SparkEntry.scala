@@ -2492,6 +2492,91 @@ object SparkEntry {
       .orderBy("user_id", "event_type")
   }
 
+  /** G4 streaming #9 — STREAM-STREAM interval join (online attribution):
+    * clicks and purchases arrive as two independent streams; each purchase
+    * joins the same user's clicks within the hour before it
+    * (Streaming.attributionJoin — both sides watermarked, event time
+    * bounded in BOTH directions so Spark can size and evict join state).
+    * Both streams replay in event-time order across two micro-batches, so
+    * nothing is late and the streamed result must EQUAL the batch interval
+    * join — which is the DuckDB oracle. Cross-batch matches (batch-2
+    * clicks joining batch-1 purchases held in state) are exercised by the
+    * ordered split.
+    */
+  private def g4Attribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Streaming
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = Tables.events(s, dir)
+      // a third of the entities: the mechanism under test is cross-batch
+      // stream-stream join state, not volume (full-set streaming is covered
+      // by lww/window/dedup)
+      .where(col("user_id") % 3 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    def ordered(t: String) = ev.where(col("event_type") === t)
+      .as[Streaming.EventRow].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val clicks = ordered("click"); val purchases = ordered("purchase")
+    val (c1, c2) = clicks.splitAt(clicks.length / 2)
+    val (p1, p2) = purchases.splitAt(purchases.length / 2)
+    val msC = MemoryStream[Streaming.EventRow]
+    val msP = MemoryStream[Streaming.EventRow]
+    s.catalog.dropTempView("g4_attribution_out")
+    // 2 shards: a stream-stream join maintains FOUR state stores per shard
+    // (keyToNumValues/keyWithIndexToValue × both sides), so shard count is
+    // 4× the state-store overhead of a keyed aggregate — size accordingly.
+    // No-data micro-batches only EVICT state for an inner join (they emit
+    // nothing), but each costs a full state-commit cycle — skip them here;
+    // harness-only, the production query would keep them for eviction
+    val prevNoData = s.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try withShufflePartitions(s, 2) {
+      val q = Streaming
+        .attributionJoin(msC.toDF(), msP.toDF(), "1 hour", "10 minutes")
+        .writeStream.format("memory").queryName("g4_attribution_out")
+        .outputMode("append").start()
+      msC.addData(c1.toSeq); msP.addData(p1.toSeq); q.processAllAvailable()
+      msC.addData(c2.toSeq); msP.addData(p2.toSeq); q.processAllAvailable()
+      q.stop()
+    } finally prevNoData match {
+      case Some(v) => s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+      case None    => s.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    }
+    s.table("g4_attribution_out")
+      .select("user_id", "purchase_id", "purchase_ts", "purchase_value",
+        "click_id", "click_ts", "click_value")
+      .orderBy("purchase_id", "click_id")
+  }
+
+  /** E — mergeable DISTINCT-COUNT sketch table (Apache DataSketches HLL,
+    * built into Spark as `hll_sketch_agg`/`hll_union_agg`): one sketch per
+    * (event_type, day) — the shape a 100 TB lakehouse persists so "distinct
+    * users over ANY date range" becomes a merge of precomputed sketches
+    * instead of a rescan. The declared result merges the daily sketches per
+    * event_type and reports the estimate next to the EXACT distinct.
+    * Rows-only by design, twice over: DuckDB's approx_count_distinct is a
+    * different sketch, and DataSketches HLL estimates agree across merge
+    * structures only within error bounds (sparse→dense promotion depends on
+    * the insertion split), not bit-for-bit. The ScalaTest spec pins
+    * mergeability and error to those honest tolerances.
+    */
+  private def e15HllUnion(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+    val merged = daily
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_users"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("est_users"), col("exact_users"))
+      .orderBy("event_type")
+  }
+
   /** G4 (batch form) — gap-based sessionization + session rollup. */
   private def g4Sessionize(s: SparkSession, dir: String): DataFrame =
     Sessionize
@@ -2979,6 +3064,8 @@ object SparkEntry {
     "g4_sessionize"      -> (g4Sessionize _),
     "g4_session_window"  -> (g4SessionWindow _),
     "g4_tws_stream"      -> (g4TwsStream _),
+    "g4_attribution"     -> (g4Attribution _),
+    "e15_hll_union"      -> (e15HllUnion _),
     "g4_lww_stream"      -> (g4LwwStream _),
     "g4_window_stream"   -> (g4WindowStream _),
     "g3_length_hist"     -> (g3LengthHist _),
@@ -4102,6 +4189,15 @@ object SparkEntry {
         |       arg_max(event_id, ts) AS event_id, max(ts) AS ts
         |FROM events WHERE value IS NOT NULL AND user_id % 3 = 0
         |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "g4_attribution" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+        |       p.value AS purchase_value, c.event_id AS click_id,
+        |       c.ts AS click_ts, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id % 3 = 0) p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click' AND user_id % 3 = 0) c
+        |  ON c.user_id = p.user_id
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "g4_sessionize" ->
       """WITH s AS (
         |  SELECT user_id, ts, value, event_id,

@@ -71,6 +71,20 @@ class TxTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.diff(0L, 99L))
   }
 
+  test("diff reads only files touched by the range, not the full snapshots") {
+    val t = newTable()
+    // v0: a large untouched base (2 files); v1: small append (1-2 files)
+    t.append(kv((1L, "a", 1.0, 10L), (2L, "a", 2.0, 20L)).repartition(2), tsMillis = 100L)
+    val v0Files = t.read().inputFiles.toSet
+    t.append(kv((3L, "a", 3.0, 30L)), tsMillis = 200L)
+    val d = t.diff(0L, 1L)
+    val scanned = d.inputFiles.toSet
+    assert(scanned.nonEmpty, "pruned diff still scans the added files")
+    assert(scanned.intersect(v0Files).isEmpty,
+      s"diff(0,1) must not read v0's untouched base files; scanned $scanned")
+    assert(d.collect().map(_.getAs[String]("change_type")).toSeq == Seq("insert"))
+  }
+
   test("schema evolution: evolve=true widens, old rows read null; guards reject silent loss") {
     val t = newTable()
     t.append(Seq((1L, "a", 10L)).toDF("k", "f", "ts"), tsMillis = 100L) // v0: no value col
