@@ -13,8 +13,19 @@ import org.apache.spark.sql.functions._
   * one-line change here.
   */
 object Tables {
+  // Memoized per (session, dir, table): every spark.read.parquet call
+  // re-lists the path and re-reads footers to resolve the schema — across
+  // 150+ queries each re-opening its inputs that is thousands of redundant
+  // driver-side file operations. DataFrames are immutable logical plans, so
+  // handing every caller the same one is free; execution still re-scans
+  // data (no result caching), this only dedups plan construction.
+  private val readerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    readerCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}|$dir|$name",
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   /** events.ts has shipped in two physical encodings across testdata
     * generations: TIMESTAMP(NANOS) (which Spark 4 only maps to a long via

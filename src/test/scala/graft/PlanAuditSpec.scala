@@ -42,6 +42,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(keyedOnShingle, s"__s not an equi-join key in any join:\n$planStr")
   }
 
+  test("g2_filtered_topk joins on the metadata filter as an equi-key (no cross join)") {
+    // the point of filtered search is that the filter SHRINKS the pair set:
+    // label must be a hash-join key, not a filter applied after a cross join
+    val planStr = SparkEntry.queries("g2_filtered_topk")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!planStr.contains("CartesianProduct") && !planStr.contains("BroadcastNestedLoopJoin"),
+      s"filtered top-k fell back to an all-pairs join:\n$planStr")
+    val keyedOnLabel =
+      """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[[^\]]*label#[^\]]*\]""".r
+        .findFirstIn(planStr).isDefined
+    assert(keyedOnLabel, s"label not an equi-join key in any join:\n$planStr")
+  }
+
   test("ep3_feature_vector is collect-free: entity spine anchors via join, not IN-list") {
     // the flagship read (EP3) must not collect entity ids to the driver:
     // no IN-list over entity ids in any filter, and the spine must come
