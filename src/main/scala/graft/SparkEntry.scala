@@ -661,6 +661,37 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
+  /** B5 — table MAINTENANCE lifecycle, oracle-certified end to end: three
+    * small appends (the small-file problem), COMPACT rewrites the layout
+    * in one atomic commit, VACUUM physically retires every file no longer
+    * referenced by the retained version — and the data must survive
+    * bit-identically (oracle = the union of the appends, recomputed from
+    * `events`). In-query asserts pin the physical effects the oracle can't
+    * see: fewer files after compaction, and time travel to the
+    * pre-compaction version now FAILS because vacuum deleted its files
+    * (history-vs-erasure is the bitemporal contract: logical history stays
+    * in the log; physical bytes leave at vacuum, exactly like Delta).
+    */
+  private def b5TxMaintenance(s: SparkSession, dir: String): DataFrame = withShufflePartitions(s, 4) {
+    import graft.sources.TxTable
+    val ev = Tables.events(s, dir)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    val t = TxTable(s, java.nio.file.Files.createTempDirectory("graft_tx_maint").toString)
+    t.append(ev.where(col("event_id") % 3 === 0), tsMillis = 1000L) // v0
+    t.append(ev.where(col("event_id") % 3 === 1), tsMillis = 2000L) // v1
+    t.append(ev.where(col("event_id") % 3 === 2), tsMillis = 3000L) // v2
+    val filesBefore = t.read().inputFiles.length
+    t.compact(target = 2, tsMillis = 4000L)                         // v3
+    t.vacuum(retainVersions = 1, minAgeMillis = 0L)
+    val filesAfter = t.read().inputFiles.length
+    require(filesAfter < filesBefore,
+      s"compaction must shrink the file count ($filesBefore -> $filesAfter)")
+    require(scala.util.Try(t.readVersion(0L).count()).isFailure,
+      "vacuum must physically retire the pre-compaction files")
+    t.read().select("event_id", "user_id", "event_type", "value", "ts")
+      .orderBy("event_id")
+  }
+
   /** B5 — JSON-lines source: the corpus round-trips through JSONL (the
     * training-data interchange format) — written once as a deterministic
     * fixture, read back through the distributed json reader with an
@@ -2982,6 +3013,7 @@ object SparkEntry {
     "b5_tx_partitioned"  -> (b5TxPartitioned _),
     "b5_tx_bloom"        -> (b5TxBloom _),
     "b5_tx_zorder"       -> (b5TxZorder _),
+    "b5_tx_maintenance"  -> (b5TxMaintenance _),
     "b2_delete_tx"       -> (b2DeleteTx _),
     "b2_tx_diff"         -> (b2TxDiff _),
     "b2_tx_cdc"          -> (b2TxCdc _),
@@ -3423,6 +3455,9 @@ object SparkEntry {
         |SELECT event_type, rule_status, count(*)::BIGINT AS n
         |FROM r GROUP BY event_type, rule_status
         |ORDER BY event_type, rule_status""".stripMargin,
+    "b5_tx_maintenance" ->
+      """SELECT event_id, user_id, event_type, value, ts
+        |FROM events ORDER BY event_id""".stripMargin,
     "b1_typed_ingest" ->
       """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS entity_id, ts, value, event_type FROM events)
         |SELECT * FROM (
