@@ -10,9 +10,12 @@ object Bench {
     // disk (production tables live on real storage; bench fixtures don't)
     locally {
       val shm = java.nio.file.Paths.get("/dev/shm")
-      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
-        System.setProperty("java.io.tmpdir",
-          java.nio.file.Files.createTempDirectory(shm, "graft-bench").toString)
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) {
+        TmpCleanup.sweepStale(shm, "graft-")
+        val own = java.nio.file.Files.createTempDirectory(shm, "graft-bench")
+        System.setProperty("java.io.tmpdir", own.toString)
+        TmpCleanup.deleteOnExit(own)
+      }
     }
     val spark = SparkSession.builder()
       .config("spark.local.dir", System.getProperty("java.io.tmpdir"))

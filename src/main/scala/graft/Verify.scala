@@ -15,9 +15,12 @@ object Verify {
     // fixture/spill I/O on tmpfs when available (same rationale as Bench)
     locally {
       val shm = java.nio.file.Paths.get("/dev/shm")
-      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
-        System.setProperty("java.io.tmpdir",
-          java.nio.file.Files.createTempDirectory(shm, "graft-verify").toString)
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) {
+        TmpCleanup.sweepStale(shm, "graft-")
+        val own = java.nio.file.Files.createTempDirectory(shm, "graft-verify")
+        System.setProperty("java.io.tmpdir", own.toString)
+        TmpCleanup.deleteOnExit(own)
+      }
     }
     val spark = SparkSession.builder()
       .config("spark.local.dir", System.getProperty("java.io.tmpdir"))
