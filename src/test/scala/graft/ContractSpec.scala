@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract hygiene: the correctness gate is only as strong as the
+  * oracle coverage, so pin it. An oracle key without a query is driver
+  * breakage; a query silently losing its oracle would downgrade to the
+  * weaker rows-only check without anyone noticing.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  test("every oracle key is a declared query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL for undeclared queries: $orphans")
+  }
+
+  test("the rows-only set (queries without an oracle) is exactly the intended one") {
+    // every key here is approximate or Spark-hash-specific BY DESIGN and
+    // carries a behavior/recall ScalaTest spec instead of a DuckDB oracle;
+    // adding a query without an oracle (or dropping an oracle) must be a
+    // conscious edit to this list
+    val intendedRowsOnly = Set(
+      "e3_quantiles_approx", "e15_hll_union",
+      "g1_minhash_pairs", "g1_simhash", "g1_semdedup", "g1_incr_minhash",
+      "g1_embedding_dups_lsh",
+      "g2_lsh_topk", "g2_ivf_topk", "g2_pq_topk", "g2_ivfpq_topk",
+      "g3_langid", "g3_fingerprint", "g3_vocab_approx")
+    val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(actual == intendedRowsOnly,
+      s"rows-only drift — unexpected: ${actual -- intendedRowsOnly}; " +
+        s"missing: ${intendedRowsOnly -- actual}")
+  }
+
+  test("query count matches the documented surface") {
+    assert(SparkEntry.queries.size == 157,
+      s"declared query count ${SparkEntry.queries.size} != documented 157 — " +
+        "update SURVEY.md §2 G-index and README when adding queries")
+  }
+}
