@@ -20,7 +20,7 @@ class ContractSpec extends AnyFunSuite {
     // adding a query without an oracle (or dropping an oracle) must be a
     // conscious edit to this list
     val intendedRowsOnly = Set(
-      "e3_quantiles_approx", "e15_hll_union",
+      "e3_quantiles_approx", "e15_hll_union", "e16_quantile_sketch",
       "g1_minhash_pairs", "g1_simhash", "g1_semdedup", "g1_incr_minhash",
       "g1_embedding_dups_lsh",
       "g2_lsh_topk", "g2_ivf_topk", "g2_pq_topk", "g2_ivfpq_topk",
@@ -32,8 +32,8 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("query count matches the documented surface") {
-    assert(SparkEntry.queries.size == 157,
-      s"declared query count ${SparkEntry.queries.size} != documented 157 — " +
+    assert(SparkEntry.queries.size == 158,
+      s"declared query count ${SparkEntry.queries.size} != documented 158 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }
