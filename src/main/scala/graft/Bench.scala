@@ -61,6 +61,14 @@ object Bench {
         .groupBy("k")
         .agg(org.apache.spark.sql.graft.MinHashSig.minhashSig(col("h"), 48).as("sig"))
         .selectExpr("bit_xor(sig[0])").collect() // bit_xor: ANSI-safe on huge longs
+      // exceptAll/unionByName machinery (diff/CDC queries): the multiset
+      // set-difference plans its own aggregate shape — cold-billed ~2 s on
+      // whichever diff query ran first
+      locally {
+        val a = spark.range(100L).selectExpr("id", "id * 2 as v")
+        val b = spark.range(50L).selectExpr("id", "id * 2 as v")
+        a.exceptAll(b).unionByName(b.exceptAll(a)).count()
+      }
       // hyperplane-LSH warm-up: fresh-JVM bench runs showed 15.5 s vs 1.1 s
       // on g2_lsh_topk from JIT timing alone — run the fused
       // HyperplaneBuckets expression + posexplode + narrow-bucket join shape
