@@ -2024,6 +2024,21 @@ object SparkEntry {
         length(col("frame_bytes")).cast("long").as("frame_len"))
       .orderBy("media_id", "frame_idx")
 
+  /** G5 — scene-cut detection: per media, consecutive sampled frames'
+    * intensities (unsigned byte sums — the decoder seam) are compared and a
+    * jump beyond the threshold flags a shot boundary. The full decode →
+    * per-frame feature → windowed segmentation pipeline, oracle-replayed
+    * byte for byte from the documents table.
+    */
+  private def g5SceneCuts(s: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .sceneCuts(g5Media(s, dir), cutThreshold = 200L)
+      .select(
+        col("media_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        col("intensity"), col("delta"), col("is_cut"))
+      .orderBy("media_id", "frame_idx")
+
   /** G5 — REAL binary-file ingestion: a deterministic fixture materializes
     * every 10th document as a .bin file on disk, `binaryFile` reads them
     * back distributed (path/content columns), ids parse from paths, and the
@@ -3118,6 +3133,7 @@ object SparkEntry {
     "g3_winnow"          -> (g3Winnow _),
     "g5_media_stats"     -> (g5MediaStats _),
     "g5_frame_sample"    -> (g5FrameSample _),
+    "g5_scene_cuts"      -> (g5SceneCuts _),
     "g5_media_features"  -> (g5MediaFeatures _),
     "g5_audio_features"  -> (g5AudioFeatures _),
     "g5_image_features"  -> (g5ImageFeatures _),
@@ -4130,6 +4146,23 @@ object SparkEntry {
         |SELECT media_id, frame_idx, frame_idx * 10000 AS offset_ms,
         |       least(8, greatest(0, strlen(text) - frame_idx * 8))::BIGINT AS frame_len
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    "g5_scene_cuts" ->
+      """WITH m AS (SELECT doc_id AS media_id, text, (doc_id % 100) * 1000 AS duration_ms FROM documents),
+        |f AS (SELECT media_id, text,
+        |             unnest(generate_series(0, least(greatest(duration_ms // 10000, 1), 8) - 1)) AS frame_idx
+        |      FROM m),
+        |i AS (
+        |  SELECT media_id, frame_idx,
+        |         coalesce(sum(CASE WHEN frame_idx * 8 + j.j < strlen(text)
+        |                           THEN ord(substr(text, frame_idx * 8 + j.j + 1, 1)) END), 0)::BIGINT AS intensity
+        |  FROM f, unnest(generate_series(0, 7)) AS j(j)
+        |  GROUP BY media_id, frame_idx),
+        |d AS (SELECT media_id, frame_idx, intensity,
+        |             intensity - lag(intensity) OVER (PARTITION BY media_id ORDER BY frame_idx) AS delta
+        |      FROM i)
+        |SELECT media_id, frame_idx, intensity, delta,
+        |       coalesce(abs(delta) > 200, false) AS is_cut
+        |FROM d ORDER BY media_id, frame_idx""".stripMargin,
     "g5_image_resize" ->
       """WITH p AS (
         |  SELECT doc_id, text,

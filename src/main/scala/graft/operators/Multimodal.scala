@@ -513,6 +513,42 @@ object Multimodal {
         col("content").substr((col("frame_idx") * 8 + 1).cast("int"), lit(8)).as("frame_bytes"))
   }
 
+  /** One sampled frame's scalar feature (unsigned byte sum — a real
+    * decoder swaps in a pixel histogram; the pipeline shape is what's
+    * under test). */
+  case class FrameIntensity(media_id: Long, frame_idx: Int, intensity: Long)
+
+  /** Scene-cut detection over sampled frames: per media, consecutive
+    * frames' intensities are compared and a cut is flagged where the jump
+    * exceeds `cutThreshold` — the decode → per-frame feature → temporal
+    * segmentation pipeline every video corpus build runs (shot boundaries
+    * gate frame dedup and caption alignment). Frame features are computed
+    * where the bytes live (mapPartitions, payload never shuffles); only the
+    * (media, frame, scalar) rows — thousands of times smaller — reach the
+    * window, which partitions by media (no global sort). */
+  def sceneCuts(
+      media: DataFrame,
+      strideMs: Long = 10000L,
+      maxFrames: Int = 8,
+      cutThreshold: Long = 200L): DataFrame = {
+    implicit val enc = Encoders.product[FrameIntensity]
+    val intens = sampleFrames(media, strideMs, maxFrames)
+      .select("media_id", "frame_idx", "frame_bytes")
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt, Encoders.BINARY))
+      .mapPartitions(_.map { case (id, idx, fb) =>
+        val b = if (fb == null) Array.empty[Byte] else fb
+        var s = 0L
+        var i = 0
+        while (i < b.length) { s += b(i) & 0xff; i += 1 }
+        FrameIntensity(id, idx, s)
+      }).toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    intens
+      .withColumn("delta", col("intensity") - lag("intensity", 1).over(w))
+      .withColumn("is_cut", coalesce(abs(col("delta")) > cutThreshold, lit(false)))
+  }
+
   /** Aggregate media stats per media_type — the typical QA rollup before
     * training. */
   def mediaStats(media: DataFrame): DataFrame =

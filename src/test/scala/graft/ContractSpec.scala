@@ -32,8 +32,8 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("query count matches the documented surface") {
-    assert(SparkEntry.queries.size == 158,
-      s"declared query count ${SparkEntry.queries.size} != documented 158 — " +
+    assert(SparkEntry.queries.size == 159,
+      s"declared query count ${SparkEntry.queries.size} != documented 159 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }
