@@ -2642,7 +2642,10 @@ object SparkEntry {
     // sketch is still tiny — size grows as O(1/ε · log(εn))
     val daily = ev
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(QuantileSketch.sketchAgg(col("value"), relativeError = 0.001).as("sk"))
+      .agg(QuantileSketch.sketchAgg(
+        col("value"),
+        // 0.03 / 30 = the same 0.001 as always, now derived not hand-set
+        relativeError = QuantileSketch.budgetFor(targetError = 0.03, fanIn = 30)).as("sk"))
     val merged = daily
       .groupBy(col("event_type"))
       .agg(

@@ -9,6 +9,15 @@ import scala.jdk.CollectionConverters._
   * (b) registers a shutdown hook for its own dir — the pair bounds tmpfs
   * usage at one run's footprint no matter how many times the driver
   * invokes the harness.
+  *
+  * Liveness is decided by the OWNING PID embedded in the dir name
+  * (`<prefix><pid>-<nonce>`), not by mtime: a directory's mtime only
+  * changes when its immediate children churn, and Spark creates its
+  * top-level scratch subdirs early then writes deep inside — so a healthy
+  * run longer than the sweep age would look "silent" by mtime alone and
+  * get its live shuffle dirs deleted mid-run by the next invocation. A
+  * heartbeat touch of the dir itself backs the pid check up for dirs
+  * whose embedded pid was recycled.
   */
 object TmpCleanup {
 
@@ -20,21 +29,85 @@ object TmpCleanup {
     try Files.deleteIfExists(p) catch { case _: Exception => () }
   }
 
+  /** Create this run's own scratch dir under `base` with the owning pid
+    * encoded in the name, WITHOUT going through the java.nio temp-file
+    * API. Ordering matters: `Files.createTempDirectory` class-loads
+    * `TempFileHelper`, which caches `java.io.tmpdir` in a static final at
+    * that moment — so the property must be pointed at the new dir BEFORE
+    * any temp-file API call, or every later `createTempDirectory(prefix)`
+    * in the process silently lands back in /tmp (off the RAM disk and
+    * outside the shutdown-hook cleanup).
+    */
+  def createOwnDir(base: Path, prefix: String): Path = {
+    val own = base.resolve(
+      s"$prefix${ProcessHandle.current().pid()}-${java.lang.Long.toHexString(System.nanoTime())}")
+    Files.createDirectories(own)
+    own
+  }
+
+  /** Point java.io.tmpdir at a fresh pid-stamped dir under /dev/shm when
+    * available (after sweeping dead runs' dirs), register its cleanup, and
+    * start the liveness heartbeat. No-op (returns None) when /dev/shm is
+    * unusable — callers fall back to the default tmpdir.
+    */
+  def useShmTmpdir(prefix: String): Option[Path] = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm)) {
+      sweepStale(shm, "graft-")
+      val own = createOwnDir(shm, prefix)
+      System.setProperty("java.io.tmpdir", own.toString)
+      deleteOnExit(own)
+      startHeartbeat(own)
+      Some(own)
+    } else None
+  }
+
   /** Best-effort removal of prior runs' dirs under `base` whose name starts
-    * with `prefix` and whose mtime is older than an hour (a concurrently
-    * RUNNING harness keeps touching its dir, so an hour of silence means a
-    * dead run).
+    * with `prefix`, whose owning process (pid embedded in the name) is no
+    * longer alive, and whose own mtime (kept fresh by [[startHeartbeat]])
+    * is older than `maxAgeMillis`. Dirs from the CURRENT process are never
+    * swept. Unparseable names fall back to the mtime check alone.
     */
   def sweepStale(base: Path, prefix: String, maxAgeMillis: Long = 3600000L): Unit =
     try {
       val cutoff = System.currentTimeMillis() - maxAgeMillis
+      val selfPid = ProcessHandle.current().pid()
+      def ownerAlive(p: Path): Boolean = {
+        val name = p.getFileName.toString.stripPrefix(prefix)
+        name.takeWhile(_.isDigit) match {
+          case "" => false // legacy name without a pid: mtime decides alone
+          case digits =>
+            val pid = digits.toLong
+            pid == selfPid ||
+              ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+        }
+      }
       val s = Files.list(base)
       try s.iterator().asScala
         .filter(p => p.getFileName.toString.startsWith(prefix))
+        .filter(p => !ownerAlive(p))
         .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
         .foreach(deleteRecursively)
       finally s.close()
     } catch { case _: Exception => () }
+
+  /** Keep `p`'s own mtime fresh from a daemon thread so a pid-recycled or
+    * pid-less dir belonging to a LIVE long run still fails the mtime half
+    * of the sweep test. Touching the directory's mtime directly — child
+    * file churn doesn't propagate to the parent dir's timestamp.
+    */
+  def startHeartbeat(p: Path, periodMillis: Long = 300000L): Unit = {
+    val t = new Thread(() => {
+      while (true) {
+        try Files.setLastModifiedTime(
+          p, java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+        catch { case _: Exception => () }
+        Thread.sleep(periodMillis)
+      }
+    }, "graft-tmp-heartbeat")
+    t.setDaemon(true)
+    t.start()
+  }
 
   def deleteOnExit(p: Path): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p)))

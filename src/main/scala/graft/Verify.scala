@@ -12,16 +12,9 @@ object Verify {
       case Array(s, o, subset) => (s, o, Some(subset.split(',').toSet))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // fixture/spill I/O on tmpfs when available (same rationale as Bench)
-    locally {
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) {
-        TmpCleanup.sweepStale(shm, "graft-")
-        val own = java.nio.file.Files.createTempDirectory(shm, "graft-verify")
-        System.setProperty("java.io.tmpdir", own.toString)
-        TmpCleanup.deleteOnExit(own)
-      }
-    }
+    // fixture/spill I/O on tmpfs when available (same rationale as Bench;
+    // must run before any NIO temp-file API call — see TmpCleanup)
+    TmpCleanup.useShmTmpdir("graft-verify-")
     val spark = SparkSession.builder()
       .config("spark.local.dir", System.getProperty("java.io.tmpdir"))
       .master(s"local[$cpus]")

@@ -19,13 +19,26 @@ object Tables {
   // driver-side file operations. DataFrames are immutable logical plans, so
   // handing every caller the same one is free; execution still re-scans
   // data (no result caching), this only dedups plan construction.
+  // Outer map holds the session WEAKLY (identity semantics — SparkSession
+  // doesn't override equals): a stopped-and-GC'd session drops its whole
+  // entry, so a recreated session can never be handed DataFrames bound to
+  // a dead session (an identityHashCode key could be recycled and collide
+  // that way), and the per-session file-index snapshots don't outlive the
+  // session. Plan "staleness" within a live session is what the memo is
+  // FOR — the test tables are immutable per run.
   private val readerCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.WeakHashMap[
+      SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    readerCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}|$dir|$name",
-      _ => spark.read.parquet(s"$dir/$name.parquet"))
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = readerCache.synchronized {
+      readerCache.computeIfAbsent(
+        spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }
+    perSession.computeIfAbsent(
+      s"$dir|$name", _ => spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   /** events.ts has shipped in two physical encodings across testdata
     * generations: TIMESTAMP(NANOS) (which Spark 4 only maps to a long via

@@ -91,6 +91,10 @@ case class QuantileSketchAgg(
     else buffer.insert(v match {
       case d: Double => d
       case f: Float => f.toDouble
+      // DecimalType passes checkInputDataTypes (NumericType) but evals to
+      // Spark's Decimal, which is NOT a java.lang.Number — without this arm
+      // a decimal column analyzed fine and then MatchError'd at execution
+      case d: Decimal => d.toDouble
       case n: Number => n.doubleValue()
     })
   }
@@ -197,6 +201,23 @@ case class QuantileSketchQuery(left: Expression, right: Expression)
 }
 
 object QuantileSketch {
+  /** The write-time (per-partition) epsilon needed so that merging up to
+    * `fanIn` sketches still answers within `targetError` relative rank
+    * error at read time. GK merge ADDS the operands' error terms (see the
+    * class doc — Spark's merge inflates deltas by 2·ε·count per operand),
+    * so a sketch table built for D-way range merges must write each
+    * partition's sketch ~D× finer than the read-time target. This helper
+    * makes the budgeting explicit at table-build time instead of a trap
+    * discovered when a 30-day merge snaps p99 to the max:
+    * `sketchAgg(col, budgetFor(0.03, fanIn = 30))`.
+    */
+  def budgetFor(targetError: Double, fanIn: Int): Double = {
+    require(targetError > 0 && targetError < 1,
+      s"targetError must be in (0, 1), got $targetError")
+    require(fanIn >= 1, s"fanIn must be >= 1, got $fanIn")
+    targetError / fanIn
+  }
+
   /** Binary GK sketch of a numeric column at the given relative rank error. */
   def sketchAgg(value: Column, relativeError: Double = 0.01): Column =
     Bridge.column(QuantileSketchAgg(Bridge.expression(value), relativeError).toAggregateExpression())

@@ -59,6 +59,56 @@ class QuantileSketchSpec extends SparkSpec {
       s"budgeted 40-way merge p99 estimate $est has rank $rank, target ${0.99 * n}")
   }
 
+  test("budgetFor derives the per-partition epsilon from the merge fan-in") {
+    assert(QuantileSketch.budgetFor(targetError = 0.03, fanIn = 30) === 0.001)
+    assert(QuantileSketch.budgetFor(targetError = 0.01, fanIn = 1) === 0.01)
+    intercept[IllegalArgumentException](QuantileSketch.budgetFor(0.0, 30))
+    intercept[IllegalArgumentException](QuantileSketch.budgetFor(0.01, 0))
+  }
+
+  test("unbudgeted merge degenerates p99 to the max; budgetFor-derived epsilon holds the bound") {
+    // the e16 trap made concrete: a 30-day sketch table read as one 30-way
+    // merge. Writing each day at the READ-TIME target ε (unbudgeted) lets
+    // the merged tail estimate drift outside the target bound; writing at
+    // budgetFor(target, fanIn) holds it. Same data, same query — only the
+    // write-time ε differs.
+    // The trap's concrete failure mode (measured, both on IID and on
+    // disjoint per-day value ranges): writing each day's sketch at the
+    // READ-TIME target ε leaves the merged summary too coarse at the tail,
+    // and the p99 query DEGENERATES TO THE LITERAL MAXIMUM — a useless
+    // answer whose rank error (ε·n) just grazes the bound. Budgeting the
+    // write ε for the fan-in returns a real interior tail value within the
+    // target bound. (Empirically Spark's GK merge holds ~ε·n error — far
+    // better than the additive worst case — so budgetFor's D× rule buys
+    // honest headroom, demonstrated here at its observable break point.)
+    val target = 0.01
+    val fanIn = 30
+    val exactMax = values.agg(max(col("v"))).as[Double].head()
+    val byDay = values.groupBy((col("grp") % fanIn).as("day"))
+    def mergedP99(writeEps: Double): Double =
+      byDay.agg(QuantileSketch.sketchAgg(col("v"), writeEps).as("sk"))
+        .agg(QuantileSketch.mergeAgg(col("sk")).as("sk"))
+        .select(QuantileSketch.query(col("sk"), 0.99)).as[Double].head()
+    val unbudgeted = mergedP99(target)
+    val budgeted = mergedP99(QuantileSketch.budgetFor(target, fanIn))
+    assert(unbudgeted == exactMax,
+      s"unbudgeted merge p99 ($unbudgeted) no longer degenerates to the max " +
+        s"($exactMax) — if GK merge got tighter, budgetFor may be over-conservative")
+    assert(budgeted < exactMax, "budgeted merge p99 must be an interior value, not the max")
+    val rank = rankOf(budgeted)
+    assert(math.abs(rank - 0.99 * n) <= target * n + 1,
+      s"budgeted merge p99 rank $rank must sit within ${target * n} of ${0.99 * n}")
+  }
+
+  test("decimal input aggregates without a runtime MatchError") {
+    val est = values.select(col("v").cast("decimal(12,4)").as("v"))
+      .agg(QuantileSketch.sketchAgg(col("v"), eps).as("sk"))
+      .select(QuantileSketch.query(col("sk"), 0.5)).as[Double].head()
+    val rank = rankOf(est)
+    assert(math.abs(rank - 0.5 * n) <= 2 * eps * n + 1,
+      s"decimal-fed sketch p50 estimate $est has rank $rank")
+  }
+
   test("sketch round-trips through its binary form (persistable column)") {
     val skBytes = values.limit(1000)
       .agg(QuantileSketch.sketchAgg(col("v"), eps).as("sk"))
