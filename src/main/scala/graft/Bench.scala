@@ -101,8 +101,12 @@ object Bench {
         q1.stop()
         spark.catalog.dropTempView("graft_warm_stream")
         val ms2 = MemoryStream[graft.streaming.Streaming.EventRow]
+        // outputMode("update") is REQUIRED: flatMapGroupsWithState(Update)
+        // under the default Append mode is an AnalysisException, and this
+        // warm-up failing used to abort the whole try-block INCLUDING
+        // prepareIndexes (silently un-warming every index/fixture build)
         val q2 = graft.streaming.Streaming.latestStateStream(ms2.toDS())
-          .writeStream.foreachBatch {
+          .writeStream.outputMode("update").foreachBatch {
             (b: org.apache.spark.sql.Dataset[graft.streaming.Streaming.LatestState], _: Long) =>
               b.count(); ()
           }.start()
@@ -123,14 +127,19 @@ object Bench {
         q3.processAllAvailable(); q3.stop()
         spark.catalog.dropTempView("graft_warm_ssjoin")
       }
-      // persisted-index builds are offline one-time jobs (build once, query
-      // many): run them untimed so the g1_incr_*/g2_*/g1_semdedup queries
-      // measure QUERY latency, not whichever query happened to trigger the
-      // build this run
-      SparkEntry.prepareIndexes(spark, sfDir)
     } catch {
       case e: Throwable =>
-        System.err.println(s"[bench] warm-up/prepareIndexes failed (continuing): $e")
+        System.err.println(s"[bench] warm-up failed (continuing): $e")
+    }
+    // persisted-index builds are offline one-time jobs (build once, query
+    // many): run them untimed so the g1_incr_*/g2_*/g1_semdedup queries
+    // measure QUERY latency, not whichever query happened to trigger the
+    // build this run. OWN try block — a warm-up failure above must never
+    // cancel the index/fixture builds (it did exactly that through r4).
+    try SparkEntry.prepareIndexes(spark, sfDir)
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] prepareIndexes failed (continuing): $e")
     }
     // builder-side iteration knobs (driver sets neither): SPARK_GRAFT_ONLY
     // runs a comma-separated subset; SPARK_GRAFT_REPS repeats each query

@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.Streaming
+
+/** Shared, memoized harness fixtures for the declared queries.
+  *
+  * Two cost classes the bench should not re-pay per query:
+  *
+  *  1. The g4 streaming queries each feed a MemoryStream from collected
+  *     event/document rows. Collecting the same sf0.1 table once PER QUERY
+  *     was ~11 redundant driver collects (and ~11× the driver memory);
+  *     the collected arrays are plain JVM data — safe to share.
+  *  2. The TxTable queries each stage immutable base commits (appends the
+  *     timed operation then mutates or reads). The base build is fixture
+  *     construction, not the certified operation — build each ONCE as a
+  *     template table, then hand mutating queries a cheap file-tree clone
+  *     (TxTable logs reference data files RELATIVE to the table root —
+  *     TxTable.scala:30 — so a clone is a fully independent table).
+  *
+  * Everything here is keyed by the testdata dir (fixture data is immutable
+  * per run) and built lazily, so correctness runs are unchanged; Bench
+  * warms the cache untimed via SparkEntry.prepareIndexes.
+  */
+object HarnessFixtures {
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  private def memo[T <: AnyRef](key: String)(build: => T): T =
+    cache.computeIfAbsent(key, _ => build).asInstanceOf[T]
+
+  // ---------------------------------------------------------------- events
+
+  /** The g4 streaming event fixture: every non-null-value event row, one
+    * driver collect per (dir) for the whole harness. Queries that stream a
+    * subset (every second/third entity, one event type) filter this array
+    * in memory — same rows as their previous per-query collects. (The two
+    * queries that historically collected WITHOUT the value filter —
+    * attribution, as-of spine — only stream click/purchase rows, whose
+    * `value` is never null in the generated data; a null there would have
+    * crashed their Dataset[EventRow] decode long before this memo.)
+    */
+  def eventRows(s: SparkSession, dir: String): Array[Streaming.EventRow] =
+    memo(s"events|$dir") {
+      import s.implicits._
+      Tables.events(s, dir)
+        .where(col("value").isNotNull) // EventRow.value is a primitive Double
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Streaming.EventRow].collect()
+    }
+
+  /** Event rows in (event-time, id) order — the replay order the
+    * watermark-driven g4 queries need. */
+  def eventRowsOrdered(s: SparkSession, dir: String): Array[Streaming.EventRow] =
+    memo(s"eventsOrdered|$dir") {
+      eventRows(s, dir).sortBy(e => (e.ts.getTime, e.event_id))
+    }
+
+  // ------------------------------------------------------------- documents
+
+  /** (doc_id, word) pairs of the whole corpus — g4_heavy_stream's feed. */
+  def wordRows(s: SparkSession, dir: String): Array[(Long, String)] =
+    memo(s"words|$dir") {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+        .as[(Long, String)].collect()
+    }
+
+  /** (doc_id, text) of the non-benchmark corpus half (doc_id % 50 != 0) —
+    * g4_decontam_stream's feed. */
+  def corpusDocRows(s: SparkSession, dir: String): Array[(Long, String)] =
+    memo(s"corpusDocs|$dir") {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .where(col("doc_id") % 50 =!= 0)
+        .as[(Long, String)].collect()
+    }
+
+  // -------------------------------------------------------------- TxTable
+
+  /** Build-once template table: `build` stages the immutable base commits
+    * at `path`; callers that mutate must go through [[cloneTxDir]],
+    * read-only callers may use the template directly. */
+  def txTemplate(s: SparkSession, dir: String, name: String)(build: String => Unit): String =
+    memo(s"tx|$dir|$name") {
+      val path = Files.createTempDirectory(s"graft_txtpl_$name").toString
+      build(path)
+      path
+    }
+
+  /** Independent copy of a template table for a mutating operation. A flat
+    * file-tree copy (on the harness tmpfs this is memcpy-speed) — valid
+    * because the commit log addresses data files relative to the root. */
+  def cloneTxDir(template: String): String = {
+    val src = Paths.get(template)
+    val dst = Files.createTempDirectory("graft_txclone")
+    val walk = Files.walk(src)
+    try {
+      walk.forEach { p =>
+        val target = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(target)
+        else Files.copy(p, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+      }
+    } finally walk.close()
+    dst.toString
+  }
+}

