@@ -1442,13 +1442,19 @@ object SparkEntry {
   // G2 — embedding similarity
   // ======================================================================
 
+  /** G2 — exact cosine top-k, declared on the bounded-heap aggregate path
+    * ([[Similarity.cosineTopKAgg]], TopKStructs TypedImperativeAggregate):
+    * only k rows per (query, map-partition) cross the shuffle, so the plan
+    * survives a 100× corpus. The window formulation (identical results,
+    * but all |corpus|×|Q| scored rows shuffle into |Q| reducer partitions)
+    * is kept as the differential spec in DedupSpec, not as the declared
+    * path — round-4 verdict #2. */
   private def g2CosineTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val qs  = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     Similarity
-      .cosineTopK(emb, qs, "vec_id", "embedding", "query_id", "qvec", k = 3)
-      .withColumn("rank", col("rank").cast("long"))
+      .cosineTopKAgg(emb, qs, "vec_id", "embedding", "query_id", "qvec", k = 3)
       .orderBy("query_id", "rank")
   }
 
@@ -1578,17 +1584,6 @@ object SparkEntry {
       .ivfTopKWith(emb, qs, "vec_id", "embedding", "query_id", "qvec", k = 3,
         AnnIndex.loadCentroids(s, annIndexDir(s, dir)))
       .withColumn("rank", col("rank").cast("long"))
-      .orderBy("query_id", "rank")
-  }
-
-  /** G2 — exact top-k via the custom bounded-heap aggregate (same oracle as
-    * g2_cosine_topk; proves TopKStructs against DuckDB). */
-  private def g2CosineTopkAgg(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val qs  = emb.where(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    Similarity
-      .cosineTopKAgg(emb, qs, "vec_id", "embedding", "query_id", "qvec", k = 3)
       .orderBy("query_id", "rank")
   }
 
@@ -3167,7 +3162,6 @@ object SparkEntry {
     "g1_semdedup"        -> (g1Semdedup _),
     "g2_cosine_topk"     -> (g2CosineTopk _),
     "g2_filtered_topk"   -> (g2FilteredTopk _),
-    "g2_cosine_topk_agg" -> (g2CosineTopkAgg _),
     "g2_cosine_threshold" -> (g2CosineThreshold _),
     "g2_centroid_dist"   -> (g2CentroidDist _),
     "g2_knn_join"        -> (g2KnnJoin _),
@@ -4031,20 +4025,6 @@ object SparkEntry {
         |             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
         |      FROM p)
         |SELECT query_id, rank, vec_id, label, round(sim + 1e-9, 4) AS cosine
-        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
-    "g2_cosine_topk_agg" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
-        |p AS (
-        |  SELECT q.query_id, e.vec_id,
-        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |             i -> e.embedding[i]::DOUBLE * q.qvec[i]::DOUBLE)) /
-        |    (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) *
-        |     sqrt(list_sum(list_transform(q.qvec, x -> x::DOUBLE * x::DOUBLE)))) AS sim
-        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
-        |r AS (SELECT query_id, vec_id, sim,
-        |             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
-        |      FROM p)
-        |SELECT query_id, rank, vec_id, round(sim + 1e-9, 4) AS cosine
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "g2_centroid_dist" ->
       """WITH c AS (

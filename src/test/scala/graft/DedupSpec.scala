@@ -321,4 +321,22 @@ class DedupSpec extends SparkSpec {
     assert(top(0).getLong(2) == 2L) // nearest
     assert(top.length == 2)
   }
+
+  test("cosineTopK window form and cosineTopKAgg heap form are row-identical (differential)") {
+    // the DECLARED g2_cosine_topk path is the bounded-heap aggregate (only
+    // k rows per query-partition cross the shuffle); the window form is the
+    // readable reference implementation. This differential is what lets the
+    // agg form carry the oracle alone — same rows, same ranks, same rounded
+    // scores, including tie-break (sim desc, id asc), on real testdata.
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qs = emb.where($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val win = Similarity.cosineTopK(emb, qs, "vec_id", "embedding", "query_id", "qvec", 3)
+      .withColumn("rank", $"rank".cast("long"))
+      .select("query_id", "rank", "vec_id", "cosine")
+    val agg = Similarity.cosineTopKAgg(emb, qs, "vec_id", "embedding", "query_id", "qvec", 3)
+      .select("query_id", "rank", "vec_id", "cosine")
+    assert(win.exceptAll(agg).isEmpty && agg.exceptAll(win).isEmpty,
+      "window and heap top-k forms must return identical multisets")
+  }
 }

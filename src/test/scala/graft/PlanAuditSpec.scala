@@ -113,6 +113,34 @@ class PlanAuditSpec extends SparkSpec {
       s"tiny df/stats frames must broadcast:\n$plan")
   }
 
+  test("no declared query windows the FULL corpus keyed by query id") {
+    // the round-4 scale ceiling: row_number() OVER (PARTITION BY query_id)
+    // above an unbounded corpus×queries join shuffles every scored row into
+    // |Q| reducer partitions — at 100× corpus each partition holds the whole
+    // corpus. The declared brute-force path (g2_cosine_topk) must use the
+    // bounded-heap aggregate instead. Windows keyed by query id are only
+    // legal when the scored pair set is BOUNDED by an equi-join key first
+    // (label bucket / LSH bucket / IVF cell / PQ cell) — those queries are
+    // the explicit allowlist, each with its bounding key named.
+    val boundedByEquiKey = Map(
+      "g2_filtered_topk" -> "label",    // per-label buckets
+      "g2_lsh_topk"      -> "bucket",   // hyperplane buckets
+      "g2_ivf_topk"      -> "cell",     // coarse IVF cells
+      "g2_pq_topk"       -> "cell",
+      "g2_ivfpq_topk"    -> "cell")
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      val qidWindows = fn(spark, dir).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.exists(_.references.exists(a =>
+            a.name == "query_id" || a.name == "qid")) => w
+      }
+      if (qidWindows.nonEmpty && !boundedByEquiKey.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"query-id-keyed window over an unbounded pair set in: ${offenders.mkString(", ")}")
+  }
+
   test("every query with an oracle is actually declared (and vice versa)") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
