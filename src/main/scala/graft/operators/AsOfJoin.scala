@@ -137,6 +137,28 @@ object AsOfJoin {
     * shuffled saltBuckets times; use only for keys known to be hot (route
     * hot keys here, the long tail through [[locf]] — AQE can't split a
     * window partition for you).
+    *
+    * Measured crossover ([[graft.AsOfSkewProbe]], 20M facts / 2M spine /
+    * 100k keys, one key holding the hot share, local[32], salt=16, warm
+    * rep; all four outputs bit-identical):
+    *
+    * {{{
+    *   hot share   locf   salted(all)  salted(routed)  native
+    *   10%        10.1 s    56.6 s          —            5.4 s
+    *   40%        34.7 s    72.8 s        83.8 s        27.2 s
+    * }}}
+    *
+    * Read the table honestly: on a THROUGHPUT-BOUND box (all cores busy —
+    * local[32] here), salting never wins, even routed to only the hot key,
+    * because replicating the hot key's facts saltBuckets× adds more total
+    * work than the skew costs, and [[native]]'s merge-scan is the best
+    * skew answer (no window carry-state, two smaller sorts; 1.3-1.5×
+    * faster than locf at 40% hot). Salting pays on a LATENCY-BOUND
+    * cluster: 1000 executors idling behind one straggler task that owns
+    * the hot key's whole history — there, saltBuckets× more work on one
+    * key to cut the straggler saltBuckets× is the right trade. Default to
+    * [[native]] under skew; reach for salting only when the hot task's
+    * wall-clock, not cluster throughput, is the constraint.
     */
   def locfSalted(
       spine: DataFrame,
