@@ -525,4 +525,110 @@ class TxTableSpec extends SparkSpec {
     assert(t2.readWhere("ts", 1e7, 2e7).count() == 0L, "ts stats live past the checkpoint")
     assert(t2.read().count() == 9L)
   }
+
+  test("8 concurrent writers, mixed append/merge/delete: serializable history, no lost updates") {
+    // round-4 verdict #4: the optimistic commit protocol under real
+    // contention. 8 writers race 14 operations (6 unique-key appends, 6
+    // merges over ONE shared hot key range, 2 deletes) on one table. Every
+    // op stamps a unique tsMillis, so the committed log itself tells us the
+    // serial order the protocol chose; replaying the ops IN THAT ORDER
+    // against an in-memory model must reproduce the final table exactly —
+    // that is serializability + no lost updates in one check. Retries are
+    // counted and must stay within the optimistic protocol's budget.
+    import scala.jdk.CollectionConverters._
+    val t = newTable()
+    // seed: keys 0..59 (merges contend on 0..19, deleters own 20..39/40..59)
+    t.append(kv((0L until 60L).map(k => (k, "a", 0.0, 0L)): _*), tsMillis = 1L)
+
+    sealed trait Op { def tsMillis: Long }
+    case class App(tsMillis: Long, rows: Seq[(Long, String, Double, Long)]) extends Op
+    case class Mrg(tsMillis: Long, rows: Seq[(Long, String, Double, Long)]) extends Op
+    case class Del(tsMillis: Long, lo: Long, hi: Long) extends Op
+
+    val ops: Seq[Op] =
+      // appenders: unique keys, no read set — land without conflict
+      (0 until 3).flatMap { w =>
+        Seq(
+          App(1000L + w, (0 until 5).map(i => (1000L + w * 100 + i, "a", w.toDouble, 1L))),
+          App(2000L + w, (0 until 5).map(i => (2000L + w * 100 + i, "a", w.toDouble, 2L))))
+      } ++
+      // mergers: all 6 ops upsert the SAME hot keys 0..19; LWW by (ts, tie)
+      (3 until 6).flatMap { w =>
+        Seq(
+          Mrg(3000L + w, (0L until 20L).map(k => (k, "a", w * 10.0, 10L + w))),
+          Mrg(4000L + w, (0L until 20L).map(k => (k, "a", w * 100.0, 20L + w))))
+      } ++
+      // deleters: disjoint seeded ranges nobody else touches
+      Seq(Del(5006L, 20L, 39L), Del(5007L, 40L, 59L))
+
+    val retries = new java.util.concurrent.atomic.AtomicInteger(0)
+    def withRetry[T](f: => T): T = {
+      var last: Throwable = null
+      for (_ <- 0 until 50) {
+        try return f
+        catch { case e: java.util.ConcurrentModificationException =>
+          retries.incrementAndGet(); last = e }
+      }
+      throw last
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      ops.map { op =>
+        pool.submit(new Runnable {
+          override def run(): Unit = op match {
+            case App(ts, rows) => t.append(kv(rows: _*), tsMillis = ts)
+            case Mrg(ts, rows) => withRetry(
+              t.merge(kv(rows: _*), keys = Seq("k", "f"), tsCol = "ts", tieCol = "ts", tsMillis = ts))
+            case Del(ts, lo, hi) => withRetry(t.delete($"k".between(lo, hi), tsMillis = ts))
+          }
+        })
+      }.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+
+    // 1. contiguous history: versions 0..14, one per op + seed, none lost
+    val logDir = java.nio.file.Paths.get(t.root, "_txlog")
+    val committed = Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".txt")).toSeq.sorted
+      .map { name =>
+        val v = name.stripSuffix(".txt").toLong
+        val ts = Files.readAllLines(logDir.resolve(name)).asScala
+          .collectFirst { case l if l.startsWith("ts=") => l.drop(3).toLong }.get
+        (v, ts)
+      }
+    assert(committed.map(_._1) == (0L to 14L), s"non-contiguous history: $committed")
+    assert(t.version() == 14L)
+
+    // 2. serializability / no lost updates: replay ops in the COMMIT order
+    // the log recorded (matched back via the unique tsMillis stamps)
+    val byStamp = ops.map(o => o.tsMillis -> o).toMap
+    var model = (0L until 60L).map(k => (k, "a") -> (0.0, 0L)).toMap
+    committed.drop(1).foreach { case (_, stamp) =>
+      byStamp(stamp) match {
+        case App(_, rows) => rows.foreach { case (k, f, v, ts) => model += (k, f) -> (v, ts) }
+        case Mrg(_, rows) => rows.foreach { case (k, f, v, ts) =>
+          model.get((k, f)) match {
+            case Some((_, oldTs)) if oldTs >= ts => () // incumbent wins (tie: max tieCol=ts)
+            case _ => model += (k, f) -> (v, ts)
+          }
+        }
+        case Del(_, lo, hi) => model = model.filterNot { case ((k, _), _) => k >= lo && k <= hi }
+      }
+    }
+    val got = t.read().select("k", "f", "value", "ts")
+      .as[(Long, String, Double, Long)].collect()
+      .map { case (k, f, v, ts) => (k, f) -> (v, ts) }.toMap
+    assert(got.size == t.read().count(), "no duplicate live rows per key")
+    assert(got == model, {
+      val missing = model.keySet -- got.keySet; val extra = got.keySet -- model.keySet
+      val changed = (model.keySet & got.keySet).filter(k => model(k) != got(k))
+      s"lost/phantom updates — missing=$missing extra=$extra changed=${changed.map(k => (k, model(k), got(k)))}"
+    })
+
+    // 3. retry budget: each of the 8 read-set ops (merges/deletes) can in
+    // the worst schedule collide with every other racing commit (~13), so
+    // ~100 is the honest ceiling; beyond that the protocol is livelocking
+    // (observed typical: 20-40)
+    assert(retries.get() <= 100, s"excessive optimistic retries: ${retries.get()}")
+    println(s"[tx-stress] 15 commits, ${retries.get()} optimistic retries")
+  }
 }
