@@ -1377,11 +1377,26 @@ object SparkEntry {
   /** G1 — MinHash-LSH candidates, exact-verified (rows-only check: banding
     * recall at s=0.3 with b=24,r=2 is ~0.90, so no exact SQL oracle).
     */
-  private def g1MinhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup
+  private def g1MinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup
       .minhashPairs(Tables.documents(s, dir), "doc_id", "text",
         shingleN = 3, bands = 16, rowsPerBand = 3, threshold = 0.3)
-      .orderBy("id_a", "id_b")
+      .localCheckpoint() // materialize once: certificate + declared result
+    // in-query certificate (round-4 verdict #6): precision 1.0 against the
+    // exact-verify join — every emitted pair's EXACT jaccard clears the
+    // threshold (banding only generates candidates; the verify join must
+    // have filtered them), each pair unique and canonically ordered
+    val st = pairs.agg(
+      min(col("jaccard")).as("minj"),
+      count(lit(1)).as("n"),
+      countDistinct(col("id_a"), col("id_b")).as("nd"),
+      count_if(col("id_a") >= col("id_b")).as("bad_order")).collect().head
+    require(st.getLong(3) == 0L, "g1_minhash_pairs: pair not canonically ordered")
+    require(st.getLong(1) == st.getLong(2), "g1_minhash_pairs: duplicate pair emitted")
+    require(st.getLong(1) == 0L || st.getDouble(0) >= 0.3,
+      f"g1_minhash_pairs: emitted pair below threshold (min jaccard ${st.getDouble(0)}%.4f)")
+    pairs.orderBy("id_a", "id_b")
+  }
 
   /** G1 — 64-bit SimHash per document (rows-only: xxhash64 is
     * Spark-specific).
@@ -1574,16 +1589,53 @@ object SparkEntry {
       out
     })
 
+  /** True cosine mass of an (query_id, vec_id) result frame — scored from
+    * the ORIGINAL embeddings, independent of whatever approximate scores
+    * the ANN path reported. */
+  private def annTrueScore(res: DataFrame, emb: DataFrame, qs: DataFrame): Double = {
+    import graft.functions.VectorExpressions
+    res.select(col("query_id"), col("vec_id"))
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(qs, "query_id")
+      .select((VectorExpressions.vecDot(col("embedding"), col("qvec")) /
+        (sqrt(VectorExpressions.vecDot(col("embedding"), col("embedding"))) *
+         sqrt(VectorExpressions.vecDot(col("qvec"), col("qvec"))))).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0.0))).collect().head.getDouble(0)
+  }
+
+  /** In-query certificate for the approximate top-k queries (round-4
+    * verdict #6): the SCORE RATIO — true cosine mass of the ANN picks over
+    * the exact top-k's mass, both recomputed from the original embeddings.
+    * Executed when the query is DECLARED, so the driver's rows-only run
+    * still proves the approximation's quality instead of just counting
+    * rows. Score ratio, not id-recall: on this corpus the tail of the
+    * exact top-3 sits in a near-tie band (id-recall penalizes swapping two
+    * vectors whose cosines differ in the 4th decimal), while the ratio
+    * measures what ANN actually promises — similarity mass captured.
+    * Floors carry headroom under measured values (grid over all three SFs:
+    * IVF 0.91-0.95, PQ 0.64-0.70, IVF+PQ 0.63-0.67).
+    */
+  private def certifyAnnScore(name: String, approx: DataFrame,
+      emb: DataFrame, qs: DataFrame, k: Int, floor: Double): DataFrame = {
+    val brute = Similarity.cosineTopKAgg(emb, qs, "vec_id", "embedding", "query_id", "qvec", k)
+    val ratio = annTrueScore(approx, emb, qs) / annTrueScore(brute, emb, qs)
+    require(ratio >= floor,
+      f"$name score ratio $ratio%.3f below declared floor $floor")
+    approx
+  }
+
   /** G2 — IVF approximate top-k against the persisted coarse quantizer
-    * (rows-only: recall depends on nProbe). */
+    * (rows-only: recall depends on nProbe; the in-query certificate pins
+    * the floor). */
   private def g2IvfTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val qs  = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    Similarity
+    val approx = Similarity
       .ivfTopKWith(emb, qs, "vec_id", "embedding", "query_id", "qvec", k = 3,
         AnnIndex.loadCentroids(s, annIndexDir(s, dir)))
       .withColumn("rank", col("rank").cast("long"))
+    certifyAnnScore("g2_ivf_topk", approx, emb, qs, k = 3, floor = 0.8)
       .orderBy("query_id", "rank")
   }
 
@@ -1629,9 +1681,12 @@ object SparkEntry {
     // the query scans the persisted CODE table — the original embeddings
     // are only read for the 10 query vectors
     val enc = AnnIndex.loadEncoded(s, idx).select("vec_id", "codes", "norm")
-    val qs = Tables.embeddings(s, dir).where(col("vec_id") < 10)
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    Pq.topK(enc, qs, "vec_id", "query_id", "qvec", k = 3, cb)
+    certifyAnnScore("g2_pq_topk",
+      Pq.topK(enc, qs, "vec_id", "query_id", "qvec", k = 3, cb),
+      emb, qs, k = 3, floor = 0.5)
       .orderBy("query_id", "rank")
   }
 
@@ -1642,23 +1697,48 @@ object SparkEntry {
   private def g2IvfPqTopk(s: SparkSession, dir: String): DataFrame = {
     val idx = annIndexDir(s, dir)
     val cb = AnnIndex.loadCodebooks(s, idx)
-    val qs = Tables.embeddings(s, dir).where(col("vec_id") < 10)
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    Similarity
-      .ivfPqTopKWith(AnnIndex.loadEncoded(s, idx), qs, "vec_id", "query_id", "qvec",
-        k = 3, cb, AnnIndex.loadCentroids(s, idx))
+    certifyAnnScore("g2_ivfpq_topk",
+      Similarity.ivfPqTopKWith(AnnIndex.loadEncoded(s, idx), qs, "vec_id", "query_id", "qvec",
+        k = 3, cb, AnnIndex.loadCentroids(s, idx)),
+      emb, qs, k = 3, floor = 0.5) // doubly approximate: coarse cells + ADC
       .orderBy("query_id", "rank")
   }
 
-  /** G2 — hyperplane-LSH approximate top-k (rows-only: approximate recall). */
+  /** G2 — hyperplane-LSH approximate top-k (rows-only: approximate
+    * CANDIDATE SET). LSH's contract is different from IVF/PQ's: the
+    * candidate set is approximate (bucket collisions), but every emitted
+    * score is the TRUE cosine of a real pair. The in-query certificate
+    * pins exactly that: reported cosines match an independent recompute
+    * from the original embeddings, and ranks are contiguous from 1 per
+    * query (no holes from dropped candidates). */
   private def g2LshTopk(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExpressions
     val emb = Tables.embeddings(s, dir)
     val qs  = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    Similarity
+    val approx = Similarity
       .lshTopK(emb, qs, "vec_id", "embedding", "query_id", "qvec", k = 3)
       .withColumn("rank", col("rank").cast("long"))
-      .orderBy("query_id", "rank")
+      .localCheckpoint() // materialize once: certificate + declared result
+    val audit = approx
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(qs, "query_id")
+      .agg(
+        max(abs(col("cosine") -
+          VectorExpressions.vecDot(col("embedding"), col("qvec")) /
+          (sqrt(VectorExpressions.vecDot(col("embedding"), col("embedding"))) *
+           sqrt(VectorExpressions.vecDot(col("qvec"), col("qvec")))))).as("err"),
+        max(col("rank")).as("maxr"), count(lit(1)).as("n"),
+        countDistinct(col("query_id")).as("nq"))
+      .collect().head
+    require(audit.getDouble(0) <= 1e-3,
+      f"g2_lsh_topk reported a cosine off by ${audit.getDouble(0)}%.5f from the true score")
+    require(audit.getLong(2) >= audit.getLong(3) && audit.getLong(1) <= 3,
+      "g2_lsh_topk rank structure broken")
+    approx.orderBy("query_id", "rank")
   }
 
   // ======================================================================
@@ -2558,9 +2638,18 @@ object SparkEntry {
         hll_sketch_estimate(hll_union_agg(col("sketch"))).as("est_users"))
     val exact = ev.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("exact_users"))
-    merged.join(exact, Seq("event_type"))
+    val out = merged.join(exact, Seq("event_type"))
       .select(col("event_type"), col("n_days"), col("est_users"), col("exact_users"))
-      .orderBy("event_type")
+    // in-query certificate (round-4 verdict #6): the merged estimate must
+    // sit within the HLL error envelope of the exact count — lgConfigK=12
+    // gives ~1.6% relative standard error; 5% ≈ 3σ. A merge bug (double
+    // counting, dropped daily sketch) lands far outside this.
+    val worst = out
+      .select(max(abs(col("est_users") - col("exact_users")) / col("exact_users")).as("e"))
+      .collect().head.getDouble(0)
+    require(worst <= 0.05,
+      f"e15_hll_union merged estimate drifted $worst%.4f from exact (>5%% envelope)")
+    out.orderBy("event_type")
   }
 
   /** E — mergeable QUANTILE sketch table (GK summaries as a persistable
@@ -2599,6 +2688,22 @@ object SparkEntry {
       .agg(
         expr("percentile(value, 0.5)").as("p50_exact"),
         expr("percentile(value, 0.99)").as("p99_exact"))
+    // in-query certificate (round-4 verdict #6): the merged sketch's
+    // answers must honor the budgeted rank bound — the TRUE rank of each
+    // estimate within target ε=0.03 of q·n per group. This is the
+    // contract budgetFor exists to keep; an unbudgeted write-time ε fails
+    // it (QuantileSketchSpec pins that failure mode).
+    val nonNull = ev.where(col("value").isNotNull)
+    val bad = nonNull.join(broadcast(merged), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count_if(col("value") <= col("p50_est")).as("r50"),
+        count_if(col("value") <= col("p99_est")).as("r99"))
+      .where(abs(col("r50") - col("n") * 0.5) > col("n") * 0.03 + 1 ||
+             abs(col("r99") - col("n") * 0.99) > col("n") * 0.03 + 1)
+      .count()
+    require(bad == 0L,
+      s"e16_quantile_sketch: $bad group(s) outside the budgeted rank bound (eps=0.03)")
     merged.join(exact, Seq("event_type")).orderBy("event_type")
   }
 

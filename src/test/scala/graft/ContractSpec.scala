@@ -32,8 +32,11 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("query count matches the documented surface") {
-    assert(SparkEntry.queries.size == 159,
-      s"declared query count ${SparkEntry.queries.size} != documented 159 — " +
+    // 158 = round-4's 159 minus g2_cosine_topk_agg, folded into the primary
+    // g2_cosine_topk when the bounded-heap aggregate became its declared
+    // path (round-5; the window form lives on as a differential spec)
+    assert(SparkEntry.queries.size == 158,
+      s"declared query count ${SparkEntry.queries.size} != documented 158 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }
