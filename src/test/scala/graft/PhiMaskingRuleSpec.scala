@@ -84,4 +84,42 @@ class PhiMaskingRuleSpec extends SparkSpec {
       SparkSession.setActiveSession(spark)
     }
   }
+
+  test("denied column stays masked through TxTable.readWhere's stats-pruned scan path") {
+    // round-4 verdict #7: the optimizer rule was only spec'd on plain
+    // frames; a lakehouse read goes scan -> file pruning -> masked project,
+    // and the masking must survive that path WITHOUT disabling the pruning
+    import graft.sources.TxTable
+    val rule = PhiMaskingRule(Map("blood_type" -> Seq("doctor")), userRoles = Seq("analyst"))
+    val t = TxTable(spark, java.nio.file.Files.createTempDirectory("graft_tx_phi").toString)
+    def batch(rows: (String, Double, String)*) =
+      rows.toDF("patient_id", "heart_rate", "blood_type").coalesce(1)
+    // two commits with disjoint heart_rate ranges -> min/max stats prune
+    t.append(batch(("p1", 60.0, "AB+"), ("p2", 70.0, "O-")),
+      tsMillis = 100L, statsCols = Seq("heart_rate"))
+    t.append(batch(("p3", 160.0, "B+"), ("p4", 170.0, "A-")),
+      tsMillis = 200L, statsCols = Seq("heart_rate"))
+    withRule(rule) {
+      val pruned = t.readWhere("heart_rate", 150.0, 200.0)
+      assert(pruned.inputFiles.length < t.read().inputFiles.length,
+        "stats pruning must still engage under masking")
+      val rows = pruned.where(col("heart_rate").between(150.0, 200.0))
+        .orderBy("patient_id").collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("p3", "p4"))
+      val btIdx = rows.head.fieldIndex("blood_type")
+      assert(rows.forall(_.isNullAt(btIdx)), "denied column leaked through readWhere")
+      // a predicate ON the denied column sees only the masked null — row
+      // membership reveals nothing about protected values on this path
+      assert(t.readWhere("heart_rate", 0.0, 500.0)
+        .where(col("blood_type") === "B+").count() == 0L)
+      // the bloom-pruned point-lookup path masks identically
+      assert(t.readWhereIn("patient_id", Seq("p3"))
+        .select("blood_type").collect().forall(_.isNullAt(0)))
+    }
+    // authorized role reads the same pruned path unmasked
+    withRule(PhiMaskingRule(Map("blood_type" -> Seq("doctor")), userRoles = Seq("doctor"))) {
+      assert(t.readWhere("heart_rate", 150.0, 200.0)
+        .where(col("blood_type") === "B+").count() == 1L)
+    }
+  }
 }
