@@ -59,18 +59,13 @@ object AsOfSkewProbe {
       sums += variant -> n
     }
 
-    // the documented salting pattern: route ONLY the hot key through the
-    // salted path (facts replicate saltBuckets times, but only the hot
-    // key's facts), the long tail through plain locf — salting the whole
-    // join replicates EVERY fact and loses by construction
-    def routed = {
-      val isHot = col("k") === 0L
-      AsOfJoin
-        .locfSalted(spine.where(isHot), facts.where(isHot),
-          Seq("k"), "sts", "fts", Seq("v"), "tie", salt)
-        .unionByName(AsOfJoin.locf(spine.where(!isHot), facts.where(!isHot),
-          Seq("k"), "sts", "fts", Seq("v"), "tie"))
-    }
+    // the documented salting pattern, now first-class as AsOfJoin.locfRouted:
+    // only the hot key takes the salted path (its facts replicate
+    // saltBuckets times), the long tail runs plain locf — salting the
+    // whole join replicates EVERY fact and loses by construction
+    def routed = AsOfJoin.locfRouted(
+      spine, facts, Seq("k"), "sts", "fts", Seq("v"), "tie",
+      hotKeys = Seq(0L), saltBuckets = salt)
 
     println(s"[skew] facts=$nFacts spine=$nSpine keys=$nKeys hot=$hotPct% salt=$salt cpus=$cpus")
     for (rep <- 1 to 2) {

@@ -179,6 +179,37 @@ object AsOfJoin {
       .drop("__salt")
   }
 
+  /** Hot-key ROUTED LOCF — the way [[locfSalted]] is meant to be used:
+    * only the declared hot keys take the salted path (their facts
+    * replicate saltBuckets×), the long tail runs plain [[locf]], and the
+    * two halves union. Keys are routed by equality on the FIRST key
+    * column (the entity id in every declared query's shape). Identical
+    * results to [[locf]] ([[graft.AsOfSkewProbe]] asserts bit-equality at
+    * 20M facts); see the [[locfSalted]] crossover table before reaching
+    * for this — on a throughput-bound cluster [[native]] is usually the
+    * better skew answer, and routing only pays when one straggler task's
+    * wall-clock is the constraint.
+    */
+  def locfRouted(
+      spine: DataFrame,
+      facts: DataFrame,
+      keyCols: Seq[String],
+      spineTs: String,
+      factTs: String,
+      payloadCols: Seq[String],
+      tieCol: String,
+      hotKeys: Seq[Any],
+      saltBuckets: Int,
+      outSuffix: String = ""
+  ): DataFrame = {
+    require(hotKeys.nonEmpty, "locfRouted needs at least one hot key — use locf otherwise")
+    val isHot = col(keyCols.head).isin(hotKeys: _*)
+    locfSalted(spine.where(isHot), facts.where(isHot),
+      keyCols, spineTs, factTs, payloadCols, tieCol, saltBuckets, outSuffix)
+      .unionByName(locf(spine.where(!isHot), facts.where(!isHot),
+        keyCols, spineTs, factTs, payloadCols, tieCol, outSuffix))
+  }
+
   /** Native merge-scan formulation: plans the custom
     * [[org.apache.spark.sql.graft.asof.AsOfJoinExec]] physical operator —
     * both sides hash-clustered + sorted (EnsureRequirements inserts the

@@ -136,6 +136,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("locfRouted agrees with locf (hot keys salted, tail plain, union complete)") {
+    val f = (1 to 400).map { i =>
+      // u0 is the "hot" key: over half the facts
+      (if (i % 2 == 0) "u0" else s"u${i % 5}",
+        ts(f"2024-01-${i % 28 + 1}%02d ${i % 24}%02d:00:00"), i.toLong, i.toDouble)
+    }.toDF("k", "fts", "tie", "v")
+    val s = (1 to 150).map { i =>
+      (s"u${i % 6}", ts(f"2024-01-${(i * 5) % 28 + 1}%02d ${(i * 11) % 24}%02d:30:00"), s"s$i")
+    }.toDF("k", "sts", "tag")
+    val a = AsOfJoin.locfRouted(s, f, Seq("k"), "sts", "fts", Seq("v"), "tie",
+        hotKeys = Seq("u0"), saltBuckets = 4)
+      .orderBy("tag").collect().map(_.toString).toSeq
+    val b = AsOfJoin.locf(s, f, Seq("k"), "sts", "fts", Seq("v"), "tie")
+      .orderBy("tag").collect().map(_.toString).toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException](
+      AsOfJoin.locfRouted(s, f, Seq("k"), "sts", "fts", Seq("v"), "tie",
+        hotKeys = Seq.empty, saltBuckets = 4))
+  }
+
   test("locfBounded: stale matches null out, in-window matches identical to locf") {
     // tolerance 4 days: s1 matches the 01-05 fact (0s old, kept); s2's
     // match is the 01-01 fact (1 day old, kept); with tolerance 0 only
