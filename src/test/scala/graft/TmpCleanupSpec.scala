@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The RAM-disk hygiene rules the whole bench/verify harness stands on:
+  * wrong sweeping deletes a LIVE run's shuffle dirs mid-flight (the
+  * round-4 advice finding), and a missed sweep leaks tmpfs MEMORY.
+  */
+class TmpCleanupSpec extends AnyFunSuite {
+
+  private def tmpBase() = Files.createTempDirectory("graft-cleanup-spec")
+
+  test("createOwnDir embeds the owning pid in the directory name") {
+    val base = tmpBase()
+    val own = TmpCleanup.createOwnDir(base, "graft-x-")
+    assert(Files.isDirectory(own))
+    assert(own.getFileName.toString
+      .startsWith(s"graft-x-${ProcessHandle.current().pid()}-"))
+  }
+
+  test("sweepStale never deletes a dir whose owning process is alive, however stale its mtime") {
+    val base = tmpBase()
+    val own = TmpCleanup.createOwnDir(base, "graft-x-") // our own (live) pid
+    Files.setLastModifiedTime(own,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 86400000L))
+    TmpCleanup.sweepStale(base, "graft-x-", maxAgeMillis = 1000L)
+    assert(Files.isDirectory(own), "live-pid dir must survive the sweep")
+  }
+
+  test("sweepStale removes a stale dir whose embedded pid is dead; keeps a fresh one") {
+    val base = tmpBase()
+    // pid far above pid_max-by-default: certainly not a live process
+    val deadStale = base.resolve("graft-x-99999999-aa")
+    val deadFresh = base.resolve("graft-x-99999998-bb")
+    Files.createDirectories(deadStale)
+    Files.createDirectories(deadFresh)
+    Files.write(deadStale.resolve("f"), "x".getBytes)
+    Files.setLastModifiedTime(deadStale,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 86400000L))
+    TmpCleanup.sweepStale(base, "graft-x-", maxAgeMillis = 3600000L)
+    assert(!Files.exists(deadStale), "dead + stale must be swept (recursively)")
+    assert(Files.isDirectory(deadFresh), "dead but FRESH must survive (may be mid-handoff)")
+  }
+
+  test("legacy pid-less names fall back to the mtime rule alone") {
+    val base = tmpBase()
+    val legacy = base.resolve("graft-x-legacy")
+    Files.createDirectories(legacy)
+    Files.setLastModifiedTime(legacy,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 86400000L))
+    TmpCleanup.sweepStale(base, "graft-x-", maxAgeMillis = 3600000L)
+    assert(!Files.exists(legacy))
+  }
+
+  test("heartbeat refreshes the dir's own mtime (child churn does not)") {
+    val base = tmpBase()
+    val own = TmpCleanup.createOwnDir(base, "graft-x-")
+    val old = System.currentTimeMillis() - 86400000L
+    Files.setLastModifiedTime(own, java.nio.file.attribute.FileTime.fromMillis(old))
+    // writing DEEP inside does not touch the top dir's mtime — the exact
+    // trap the heartbeat exists for
+    val deep = own.resolve("a/b")
+    Files.createDirectories(deep)
+    Files.setLastModifiedTime(own, java.nio.file.attribute.FileTime.fromMillis(old))
+    Files.write(deep.resolve("f"), "x".getBytes)
+    assert(Files.getLastModifiedTime(own).toMillis == old)
+    TmpCleanup.startHeartbeat(own, periodMillis = 50L)
+    val deadline = System.currentTimeMillis() + 5000L
+    while (Files.getLastModifiedTime(own).toMillis == old &&
+           System.currentTimeMillis() < deadline) Thread.sleep(20L)
+    assert(Files.getLastModifiedTime(own).toMillis > old, "heartbeat must touch the dir itself")
+  }
+}

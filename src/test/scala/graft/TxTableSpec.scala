@@ -526,6 +526,24 @@ class TxTableSpec extends SparkSpec {
     assert(t2.read().count() == 9L)
   }
 
+  test("cloneTxDir yields a fully independent table (mutating the clone leaves the template intact)") {
+    // the round-5 harness leans on this: every mutating declared query runs
+    // on a clone of a shared immutable template — a clone that still
+    // referenced template files would corrupt every later query's fixture
+    val tpl = newTable()
+    tpl.append(kv((1L, "a", 1.0, 10L), (2L, "a", 2.0, 20L)), tsMillis = 100L)
+    tpl.append(kv((3L, "a", 3.0, 30L)), tsMillis = 200L)
+    val clone = TxTable(spark, HarnessFixtures.cloneTxDir(tpl.root))
+    assert(clone.read().count() == 3L)
+    clone.delete($"k" <= 2L, tsMillis = 300L)
+    clone.vacuum(retainVersions = 1, minAgeMillis = 0L) // physically retires clone files
+    assert(clone.read().select("k").as[Long].collect().toSeq == Seq(3L))
+    // the template is untouched: full content AND its history
+    assert(tpl.read().count() == 3L)
+    assert(tpl.readVersion(0L).count() == 2L)
+    assert(tpl.version() == 1L)
+  }
+
   test("8 concurrent writers, mixed append/merge/delete: serializable history, no lost updates") {
     // round-4 verdict #4: the optimistic commit protocol under real
     // contention. 8 writers race 14 operations (6 unique-key appends, 6
