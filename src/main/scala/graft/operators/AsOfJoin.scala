@@ -143,9 +143,9 @@ object AsOfJoin {
     * rep; all four outputs bit-identical):
     *
     * {{{
-    *   hot share   locf   salted(all)  salted(routed)  native
-    *   10%        10.1 s    56.6 s          —            5.4 s
-    *   40%        34.7 s    72.8 s        83.8 s        27.2 s
+    *   hot share   locf   salted(all)  routed([[locfRouted]])  native
+    *   10%        11.9 s    61.7 s          15.5 s              5.0 s
+    *   40%        34.7 s    72.8 s          83.8 s             27.2 s
     * }}}
     *
     * Read the table honestly: on a THROUGHPUT-BOUND box (all cores busy —
