@@ -1282,6 +1282,51 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** P1 — end-to-end corpus-preparation pipeline, the operators composed
+    * the way a training-data build actually runs them: held-out benchmark
+    * split → quality gate (score ≥ 0.5) → exact dedup (keep the canonical
+    * min-id doc per content hash) → benchmark decontamination (verbatim
+    * 8-gram containment) → per-doc manifest. Every stage is individually a
+    * green declared operator (g3_quality, g1_dedup_exact,
+    * g1_decontaminate); this query certifies their COMPOSITION against one
+    * oracle — the property a pipeline user actually relies on, since stage
+    * boundaries (what survives the gate feeds the dedup; what survives the
+    * dedup feeds the decontam) are where composition bugs live.
+    *
+    * Plan shape at 100 TB: quality gate is map-only; dedup is one
+    * content-hash shuffle + a semi-join back on doc_id; decontamination
+    * broadcasts the bench gram set so the corpus side stays map-only with
+    * an id-level aggregate of MATCHED rows only. Two corpus shuffles total.
+    * Mirrors the reference's ingest-validate-then-serve flow
+    * (/root/reference/src/registry/feature_registry.py:420-445) lifted to
+    * corpus scale.
+    */
+  private def p1PrepareCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs   = Tables.documents(s, dir)
+    val corpus = docs.where(col("doc_id") % 50 =!= 0)
+    val bench  = docs.where(col("doc_id") % 50 === 0)
+    val scored = TextAnalysis.withStats(corpus, "text")
+      .withColumn("quality",
+        TextAnalysis.qualityScore(col("n_tokens"), col("n_stopwords"), col("avg_token_len")))
+      .where(col("quality") >= 0.5)
+    val canonical = scored
+      .groupBy(sha2(col("text"), 256).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    // materialize the surviving manifest once: decontaminate() references
+    // its corpus argument twice (gram side + anti-join side), and without a
+    // checkpoint each reference re-runs the gate+dedup stages from the scan
+    // (measured 7.3 s -> ~2 s at sf0.1). A production run persists each
+    // stage boundary to the lakehouse for the same reason — this is that
+    // materialization at bench scale.
+    val deduped = scored.join(canonical, Seq("doc_id"), "left_semi").localCheckpoint()
+    Contamination
+      .decontaminate(deduped, bench, idCol = "doc_id", textCol = "text", n = 8)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens").cast("long").as("n_tokens"), col("quality"))
+      .orderBy("doc_id")
+  }
+
   /** G3 — within-doc repetition (Gopher-style quality rule): per doc, the
     * fraction of 3-gram positions repeating an earlier gram in the same
     * doc. Full per-doc oracle — every row of the corpus is checked.
@@ -3266,6 +3311,7 @@ object SparkEntry {
     "g1_dedup_exact"     -> (g1DedupExact _),
     "g1_jaccard_pairs"   -> (g1JaccardPairs _),
     "g1_decontaminate"   -> (g1Decontaminate _),
+    "p1_prepare_corpus"  -> (p1PrepareCorpus _),
     "g3_repetition"      -> (g3Repetition _),
     "g3_boilerplate"     -> (g3Boilerplate _),
     "g3_chunk"           -> (g3Chunk _),
@@ -4011,6 +4057,33 @@ object SparkEntry {
         |FROM grams JOIN bench USING (g)
         |WHERE doc_id % 50 <> 0
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "p1_prepare_corpus" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, source, text,
+        |         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |         length(text) AS n_chars,
+        |         len(list_filter(string_split_regex(trim(text), '\s+'),
+        |             w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], w))) AS n_stop
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |q AS (
+        |  SELECT doc_id, lang, source, text, n_tokens,
+        |         round(least(1.0, n_tokens / 50.0) * 0.4 +
+        |               least(1.0, (CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0 END) * 5.0) * 0.3 +
+        |               least(1.0, (CASE WHEN n_tokens > 0 THEN n_chars::DOUBLE / n_tokens ELSE 0 END) / 8.0) * 0.3 + 1e-9, 4) AS quality
+        |  FROM t),
+        |qf AS (SELECT * FROM q WHERE quality >= 0.5),
+        |canon AS (SELECT min(doc_id) AS doc_id FROM qf GROUP BY sha256(text)),
+        |dd AS (SELECT qf.* FROM qf JOIN canon USING (doc_id)),
+        |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS g
+        |  FROM toks, unnest(generate_series(1, len(tk) - 7)) AS u(i)
+        |  WHERE len(tk) >= 8),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+        |bad AS (SELECT DISTINCT doc_id FROM grams JOIN bench USING (g) WHERE doc_id % 50 <> 0)
+        |SELECT doc_id, lang, source, n_tokens::BIGINT AS n_tokens, quality
+        |FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
     "g4_decontam_stream" ->
       """WITH corpus AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
         |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),

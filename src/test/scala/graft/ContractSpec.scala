@@ -32,11 +32,12 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("query count matches the documented surface") {
-    // 158 = round-4's 159 minus g2_cosine_topk_agg, folded into the primary
+    // 159 = round-4's 159 minus g2_cosine_topk_agg (folded into the primary
     // g2_cosine_topk when the bounded-heap aggregate became its declared
-    // path (round-5; the window form lives on as a differential spec)
-    assert(SparkEntry.queries.size == 158,
-      s"declared query count ${SparkEntry.queries.size} != documented 158 — " +
+    // path) plus p1_prepare_corpus (the round-5 end-to-end pipeline
+    // composition query)
+    assert(SparkEntry.queries.size == 159,
+      s"declared query count ${SparkEntry.queries.size} != documented 159 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The p1 end-to-end corpus-preparation pipeline: the invariants a
+  * training-data build relies on at each stage BOUNDARY (what the per-stage
+  * oracles can't see — they certify each operator alone; these certify the
+  * hand-offs).
+  */
+class PipelineSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val out =
+    SparkEntry.queries("p1_prepare_corpus")(spark, sfDir).cache()
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("p1: survivors are a subset of the non-benchmark corpus") {
+    assert(out.where(col("doc_id") % 50 === 0).isEmpty)
+    val orphans = out.select("doc_id")
+      .join(docs.select("doc_id"), Seq("doc_id"), "left_anti")
+    assert(orphans.isEmpty)
+  }
+
+  test("p1: no two survivors share a content hash (dedup stage held)") {
+    val hashes = out.select("doc_id")
+      .join(docs, Seq("doc_id"))
+      .groupBy(sha2(col("text"), 256)).count()
+    assert(hashes.where(col("count") > 1).isEmpty)
+  }
+
+  test("p1: every survivor clears the quality floor") {
+    assert(out.where(col("quality") < 0.5).isEmpty)
+  }
+
+  test("p1: no survivor shares an 8-gram with the benchmark slice") {
+    val bench = docs.where(col("doc_id") % 50 === 0)
+    val surviving = docs.join(out.select("doc_id"), Seq("doc_id"), "left_semi")
+    val report = operators.Contamination.contaminationReport(
+      surviving, bench, idCol = "doc_id", textCol = "text", n = 8)
+    assert(report.isEmpty)
+  }
+
+  test("p1: dedup keeps the minimum doc_id of each dropped duplicate group") {
+    // every quality-surviving doc NOT in the output was dropped either as a
+    // non-canonical duplicate (some smaller-id survivor shares its text) or
+    // as contaminated — there is no third reason to lose a doc after the gate
+    val scored = operators.TextAnalysis.withStats(
+        docs.where(col("doc_id") % 50 =!= 0), "text")
+      .withColumn("quality", operators.TextAnalysis.qualityScore(
+        col("n_tokens"), col("n_stopwords"), col("avg_token_len")))
+      .where(col("quality") >= 0.5)
+      .select("doc_id", "text")
+    val dropped = scored.join(out.select("doc_id"), Seq("doc_id"), "left_anti")
+    val bench = docs.where(col("doc_id") % 50 === 0)
+    val contaminatedIds = operators.Contamination.contaminationReport(
+      scored, bench, idCol = "doc_id", textCol = "text", n = 8).select("doc_id")
+    val unexplained = dropped
+      .join(contaminatedIds, Seq("doc_id"), "left_anti")
+      .as("d")
+      .join(scored.as("s"), col("d.text") === col("s.text") &&
+        col("s.doc_id") < col("d.doc_id"), "left_anti")
+    assert(unexplained.isEmpty)
+  }
+}

@@ -42,6 +42,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(keyedOnShingle, s"__s not an equi-join key in any join:\n$planStr")
   }
 
+  test("p1_prepare_corpus: pipeline composition keeps every join hash-keyed") {
+    // four stages compose here; the scale contract is two corpus shuffles
+    // (content-hash agg + the contamination id-agg) and zero non-equi
+    // joins — a BNLJ/cartesian anywhere means a stage boundary regressed
+    val plan = SparkEntry.queries("p1_prepare_corpus")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"non-equi join in p1_prepare_corpus:\n$plan")
+  }
+
   test("g2_filtered_topk joins on the metadata filter as an equi-key (no cross join)") {
     // the point of filtered search is that the filter SHRINKS the pair set:
     // label must be a hash-join key, not a filter applied after a cross join
