@@ -83,6 +83,20 @@ object HarnessFixtures {
         .as[(Long, String)].collect()
     }
 
+  /** (doc_id, text, lang, source) of the non-benchmark corpus half in
+    * doc_id order — p3_prepare_stream's feed (id-ordered replay makes
+    * streaming first-arrival-wins coincide with batch min-id canonical
+    * choice, so the stream's final state has an exact batch oracle). */
+  def corpusManifestRows(s: SparkSession, dir: String): Array[(Long, String, String, String)] =
+    memo(s"corpusManifest|$dir") {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .where(col("doc_id") % 50 =!= 0)
+        .orderBy("doc_id")
+        .as[(Long, String, String, String)].collect()
+    }
+
   // -------------------------------------------------------------- TxTable
 
   /** Build-once template table: `build` stages the immutable base commits

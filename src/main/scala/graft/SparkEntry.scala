@@ -1302,28 +1302,14 @@ object SparkEntry {
     * corpus scale.
     */
   private def p1PrepareCorpus(s: SparkSession, dir: String): DataFrame = {
-    val docs   = Tables.documents(s, dir)
-    val corpus = docs.where(col("doc_id") % 50 =!= 0)
-    val bench  = docs.where(col("doc_id") % 50 === 0)
-    val scored = TextAnalysis.withStats(corpus, "text")
-      .withColumn("quality",
-        TextAnalysis.qualityScore(col("n_tokens"), col("n_stopwords"), col("avg_token_len")))
-      .where(col("quality") >= 0.5)
-    val canonical = scored
-      .groupBy(sha2(col("text"), 256).as("__h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    // materialize the surviving manifest once: decontaminate() references
-    // its corpus argument twice (gram side + anti-join side), and without a
-    // checkpoint each reference re-runs the gate+dedup stages from the scan
-    // (measured 7.3 s -> ~2 s at sf0.1). A production run persists each
-    // stage boundary to the lakehouse for the same reason — this is that
-    // materialization at bench scale.
-    val deduped = scored.join(canonical, Seq("doc_id"), "left_semi").localCheckpoint()
-    Contamination
-      .decontaminate(deduped, bench, idCol = "doc_id", textCol = "text", n = 8)
-      .select(col("doc_id"), col("lang"), col("source"),
-        col("n_tokens").cast("long").as("n_tokens"), col("quality"))
+    val docs = Tables.documents(s, dir)
+    CorpusPrep
+      .prepareBatch(
+        docs.where(col("doc_id") % 50 =!= 0), docs.where(col("doc_id") % 50 === 0),
+        idCol = "doc_id", textCol = "text", carryCols = Seq("lang", "source"),
+        processedHashes = None)
+      .where(col("kept"))
+      .select("doc_id", "lang", "source", "n_tokens", "quality")
       .orderBy("doc_id")
   }
 
@@ -1467,6 +1453,10 @@ object SparkEntry {
       out
     })
 
+  /** Test hook: the fixture-keyed persisted dedup index location. */
+  private[graft] def dedupIndexDirForTest(s: SparkSession, dir: String): String =
+    dedupIndexDir(s, dir)
+
   /** G1 — incremental exact-Jaccard dedup: the incoming batch
     * (doc_id % 3 == 0) against the already-ingested corpus, bipartite
     * inverted-index join, df-capped. Correctness anchor for the
@@ -1496,6 +1486,108 @@ object SparkEntry {
         dedupIndexDir(s, dir), idCol = "doc_id", textCol = "text",
         shingleN = 3, bands = 16, rowsPerBand = 3, threshold = 0.3)
       .orderBy("new_id", "corpus_id")
+  }
+
+  /** P2 — incremental corpus-preparation batch, the daily production
+    * shape: an incoming batch (doc_id % 3 == 0) prepared against the
+    * ALREADY-INGESTED corpus — quality gate → within-batch exact dedup →
+    * reject exact duplicates of corpus docs via the PERSISTED content-hash
+    * index ([[Dedup.incrementalExactDups]] — this puts the saved `exact/`
+    * index on a full-oracle path; g1_incr_minhash only rows-checks the
+    * bucket side) → reject near-duplicates of corpus docs (the exact
+    * bipartite jaccard anchor, same semantics as g1_incr_jaccard) →
+    * per-doc manifest.
+    *
+    * Plan shape at 100 TB: gate map-only; within-batch dedup shuffles the
+    * BATCH only (days are small; the corpus is reached exclusively through
+    * the persisted index equi-join and the df-capped inverted index —
+    * never a full-corpus text shuffle per day).
+    */
+  private def p2PrepareIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs   = Tables.documents(s, dir)
+    val batch  = docs.where(col("doc_id") % 3 === 0)
+    val corpus = docs.where(col("doc_id") % 3 =!= 0)
+    val scored = TextAnalysis.withStats(batch, "text")
+      .withColumn("quality",
+        TextAnalysis.qualityScore(col("n_tokens"), col("n_stopwords"), col("avg_token_len")))
+      .where(col("quality") >= 0.5)
+    val canonical = scored
+      .groupBy(sha2(col("text"), 256).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    // one materialization of the gated manifest: it anchors two anti-joins
+    val gated = scored.join(canonical, Seq("doc_id"), "left_semi").localCheckpoint()
+    val exactDupIds = Dedup
+      .incrementalExactDups(batch, "doc_id", "text", dedupIndexDir(s, dir))
+      .select(col("new_id").as("doc_id")).distinct()
+    // near-dup candidates computed on the RAW batch (the scan's results are
+    // reused by retention/reporting, so production runs it before the gate)
+    val nearDupIds = Dedup
+      .incrementalJaccardPairs(batch, corpus, idCol = "doc_id", textCol = "text",
+        shingleN = 3, threshold = 0.3, maxShingleDf = 50)
+      .select(col("new_id").as("doc_id")).distinct()
+    gated
+      .join(exactDupIds, Seq("doc_id"), "left_anti")
+      .join(nearDupIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens").cast("long").as("n_tokens"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** P3 — STREAMING corpus preparation: the p1 pipeline run on-ingest.
+    * Corpus docs arrive in doc_id order over two micro-batches with
+    * at-least-once redelivery (half of batch 1 re-delivered inside batch
+    * 2); each micro-batch runs quality gate → within-batch exact dedup →
+    * rejection against the ALREADY-COMMITTED manifest's content hashes
+    * (the accumulating TxTable plays the corpus index, so cross-batch
+    * duplicates AND redeliveries die on one equi-join) → benchmark 8-gram
+    * decontamination against the static bench half → transactional append.
+    *
+    * Because replay is id-ordered, streaming first-arrival-wins coincides
+    * with batch min-id canonicalization, so the final table equals
+    * [[p1PrepareCorpus]]'s manifest EXACTLY — same oracle, now certifying
+    * the streaming ingest path end-to-end through the lakehouse sink.
+    * At scale each micro-batch touches only its own docs + one hash-keyed
+    * probe of the manifest table (stats/bloom-prunable); the bench gram
+    * set broadcasts once.
+    */
+  private def p3PrepareStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs  = Tables.documents(s, dir)
+    val bench = docs.where(col("doc_id") % 50 === 0)
+    val rows = HarnessFixtures.corpusManifestRows(s, dir)
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val batch2 = second ++ first.take(first.length / 2) // redelivery overlap
+    val t = graft.sources.TxTable(
+      s, java.nio.file.Files.createTempDirectory("graft_tx_p3").toString)
+    val outCols = Seq("doc_id", "lang", "source", "n_tokens", "quality")
+    val ms = MemoryStream[(Long, String, String, String)]
+    withShufflePartitions(s, 4) {
+      val q = ms.toDF().toDF("doc_id", "text", "lang", "source")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          // processed = every prior hash, kept or TOMBSTONED: a later
+          // batch's duplicate of a contaminated (hence never-kept)
+          // canonical must still die as a duplicate — CorpusPrep's
+          // tombstone contract; TombstoneSpec pins the edge case
+          val processed =
+            if (t.version() >= 0) Some(t.read().select("text_hash")) else None
+          val manifest = CorpusPrep.prepareBatch(
+            batch, bench, idCol = "doc_id", textCol = "text",
+            carryCols = Seq("lang", "source"), processedHashes = processed)
+          t.append(
+            manifest.select((outCols ++ Seq("text_hash", "kept")).map(col): _*),
+            tsMillis = 1000L + id)
+          ()
+        }
+        .start()
+      ms.addData(first.toSeq);  q.processAllAvailable()
+      ms.addData(batch2.toSeq); q.processAllAvailable()
+      q.stop()
+    }
+    t.read().where(col("kept")).select(outCols.map(col): _*).orderBy("doc_id")
   }
 
   // ======================================================================
@@ -3312,6 +3404,8 @@ object SparkEntry {
     "g1_jaccard_pairs"   -> (g1JaccardPairs _),
     "g1_decontaminate"   -> (g1Decontaminate _),
     "p1_prepare_corpus"  -> (p1PrepareCorpus _),
+    "p2_prepare_incremental" -> (p2PrepareIncremental _),
+    "p3_prepare_stream"  -> (p3PrepareStream _),
     "g3_repetition"      -> (g3Repetition _),
     "g3_boilerplate"     -> (g3Boilerplate _),
     "g3_chunk"           -> (g3Chunk _),
@@ -3416,6 +3510,39 @@ object SparkEntry {
     "g7_cooccurrence"    -> (g7Cooccurrence _),
     "g1_dedup_normalized" -> (g1DedupNormalized _)
   )
+
+  /** One oracle for both corpus-preparation forms: p1 (batch) and p3
+    * (streaming with id-ordered replay + tombstoned hashes) compute the
+    * same manifest by construction — sharing the text keeps that claim
+    * honest (any future drift must edit BOTH queries or fail the compare).
+    */
+  private val PrepareCorpusSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, source, text,
+      |         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+      |         length(text) AS n_chars,
+      |         len(list_filter(string_split_regex(trim(text), '\s+'),
+      |             w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], w))) AS n_stop
+      |  FROM documents WHERE doc_id % 50 <> 0),
+      |q AS (
+      |  SELECT doc_id, lang, source, text, n_tokens,
+      |         round(least(1.0, n_tokens / 50.0) * 0.4 +
+      |               least(1.0, (CASE WHEN n_tokens > 0 THEN n_stop::DOUBLE / n_tokens ELSE 0 END) * 5.0) * 0.3 +
+      |               least(1.0, (CASE WHEN n_tokens > 0 THEN n_chars::DOUBLE / n_tokens ELSE 0 END) / 8.0) * 0.3 + 1e-9, 4) AS quality
+      |  FROM t),
+      |qf AS (SELECT * FROM q WHERE quality >= 0.5),
+      |canon AS (SELECT min(doc_id) AS doc_id FROM qf GROUP BY sha256(text)),
+      |dd AS (SELECT qf.* FROM qf JOIN canon USING (doc_id)),
+      |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      |grams AS (
+      |  SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS g
+      |  FROM toks, unnest(generate_series(1, len(tk) - 7)) AS u(i)
+      |  WHERE len(tk) >= 8),
+      |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+      |bad AS (SELECT DISTINCT doc_id FROM grams JOIN bench USING (g) WHERE doc_id % 50 <> 0)
+      |SELECT doc_id, lang, source, n_tokens::BIGINT AS n_tokens, quality
+      |FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+      |ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "a9_twavg" ->
@@ -4057,14 +4184,19 @@ object SparkEntry {
         |FROM grams JOIN bench USING (g)
         |WHERE doc_id % 50 <> 0
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "p1_prepare_corpus" ->
+    "p1_prepare_corpus" -> PrepareCorpusSql,
+    // p3 is the STREAMING form of p1 (id-ordered replay + tombstoned
+    // hashes make first-arrival-wins coincide with batch min-id), so the
+    // two share one oracle by construction
+    "p3_prepare_stream" -> PrepareCorpusSql,
+    "p2_prepare_incremental" ->
       """WITH t AS (
         |  SELECT doc_id, lang, source, text,
         |         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
         |         length(text) AS n_chars,
         |         len(list_filter(string_split_regex(trim(text), '\s+'),
         |             w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], w))) AS n_stop
-        |  FROM documents WHERE doc_id % 50 <> 0),
+        |  FROM documents WHERE doc_id % 3 = 0),
         |q AS (
         |  SELECT doc_id, lang, source, text, n_tokens,
         |         round(least(1.0, n_tokens / 50.0) * 0.4 +
@@ -4073,16 +4205,33 @@ object SparkEntry {
         |  FROM t),
         |qf AS (SELECT * FROM q WHERE quality >= 0.5),
         |canon AS (SELECT min(doc_id) AS doc_id FROM qf GROUP BY sha256(text)),
-        |dd AS (SELECT qf.* FROM qf JOIN canon USING (doc_id)),
-        |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
-        |grams AS (
-        |  SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS g
-        |  FROM toks, unnest(generate_series(1, len(tk) - 7)) AS u(i)
-        |  WHERE len(tk) >= 8),
-        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
-        |bad AS (SELECT DISTINCT doc_id FROM grams JOIN bench USING (g) WHERE doc_id % 50 <> 0)
+        |gated AS (SELECT qf.* FROM qf JOIN canon USING (doc_id)),
+        |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |exdup AS (SELECT DISTINCT g.doc_id FROM gated g JOIN corpus c ON sha256(g.text) = sha256(c.text)),
+        |s0 AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+        |                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM s0),
+        |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
+        |cx AS (SELECT doc_id, s FROM ex JOIN keep USING (s)),
+        |n AS (SELECT doc_id, count(*) AS n FROM cx GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS c
+        |  FROM cx a JOIN cx b USING (s)
+        |  WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+        |  GROUP BY 1, 2),
+        |near AS (
+        |  SELECT DISTINCT new_id AS doc_id
+        |  FROM common
+        |  JOIN n na ON na.doc_id = new_id
+        |  JOIN n nb ON nb.doc_id = corpus_id
+        |  WHERE c::DOUBLE / (na.n + nb.n - c)::DOUBLE >= 0.3)
         |SELECT doc_id, lang, source, n_tokens::BIGINT AS n_tokens, quality
-        |FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |FROM gated
+        |WHERE doc_id NOT IN (SELECT doc_id FROM exdup)
+        |  AND doc_id NOT IN (SELECT doc_id FROM near)
         |ORDER BY doc_id""".stripMargin,
     "g4_decontam_stream" ->
       """WITH corpus AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),

@@ -34,10 +34,10 @@ class ContractSpec extends AnyFunSuite {
   test("query count matches the documented surface") {
     // 159 = round-4's 159 minus g2_cosine_topk_agg (folded into the primary
     // g2_cosine_topk when the bounded-heap aggregate became its declared
-    // path) plus p1_prepare_corpus (the round-5 end-to-end pipeline
-    // composition query)
-    assert(SparkEntry.queries.size == 159,
-      s"declared query count ${SparkEntry.queries.size} != documented 159 — " +
+    // path) plus the round-5 pipeline-composition queries p1_prepare_corpus,
+    // p2_prepare_incremental and p3_prepare_stream
+    assert(SparkEntry.queries.size == 161,
+      s"declared query count ${SparkEntry.queries.size} != documented 161 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

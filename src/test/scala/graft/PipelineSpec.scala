@@ -40,6 +40,38 @@ class PipelineSpec extends SparkSpec {
     assert(report.isEmpty)
   }
 
+  test("p2: no survivor duplicates the ingested corpus, exactly or nearly") {
+    val out2 = SparkEntry.queries("p2_prepare_incremental")(spark, sfDir).cache()
+    val corpus = docs.where(col("doc_id") % 3 =!= 0)
+    // batch membership + within-batch uniqueness
+    assert(out2.where(col("doc_id") % 3 =!= 0).isEmpty)
+    val survivors = docs.join(out2.select("doc_id"), Seq("doc_id"), "left_semi")
+    assert(survivors.groupBy(sha2(col("text"), 256)).count()
+      .where(col("count") > 1).isEmpty)
+    // no survivor's text equals any corpus text
+    assert(survivors.as("s")
+      .join(corpus.as("c"), sha2(col("s.text"), 256) === sha2(col("c.text"), 256))
+      .isEmpty)
+    // no survivor has an exact-jaccard near-dup >= 0.3 in the corpus (same
+    // df-capped semantics the pipeline rejected on)
+    val residual = operators.Dedup.incrementalJaccardPairs(
+      survivors, corpus, idCol = "doc_id", textCol = "text",
+      shingleN = 3, threshold = 0.3, maxShingleDf = 50)
+    assert(residual.isEmpty)
+  }
+
+  test("p2: the persisted exact index rejects the same ids as a direct corpus join") {
+    val batch  = docs.where(col("doc_id") % 3 === 0)
+    val corpus = docs.where(col("doc_id") % 3 =!= 0)
+    val viaIndex = operators.Dedup.incrementalExactDups(
+        batch, "doc_id", "text", SparkEntry.dedupIndexDirForTest(spark, sfDir))
+      .select(col("new_id")).distinct()
+    val direct = batch.as("b")
+      .join(corpus.as("c"), sha2(col("b.text"), 256) === sha2(col("c.text"), 256))
+      .select(col("b.doc_id").as("new_id")).distinct()
+    assert(viaIndex.exceptAll(direct).isEmpty && direct.exceptAll(viaIndex).isEmpty)
+  }
+
   test("p1: dedup keeps the minimum doc_id of each dropped duplicate group") {
     // every quality-surviving doc NOT in the output was dropped either as a
     // non-canonical duplicate (some smaller-id survivor shares its text) or

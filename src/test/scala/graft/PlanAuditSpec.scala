@@ -52,6 +52,16 @@ class PlanAuditSpec extends SparkSpec {
       s"non-equi join in p1_prepare_corpus:\n$plan")
   }
 
+  test("p2_prepare_incremental: index probes and anti-joins stay hash-keyed") {
+    // the daily-batch pipeline must reach the corpus ONLY through equi-joins
+    // (persisted hash index + inverted shingle index); any BNLJ/cartesian
+    // means a rejected-id anti-join degenerated into an all-pairs pass
+    val plan = SparkEntry.queries("p2_prepare_incremental")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"non-equi join in p2_prepare_incremental:\n$plan")
+  }
+
   test("g2_filtered_topk joins on the metadata filter as an equi-key (no cross join)") {
     // the point of filtered search is that the filter SHRINKS the pair set:
     // label must be a hash-join key, not a filter applied after a cross join
