@@ -1432,8 +1432,22 @@ object SparkEntry {
   /** G1 — 64-bit SimHash per document (rows-only: xxhash64 is
     * Spark-specific).
     */
-  private def g1Simhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhash(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+  private def g1Simhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val out = Dedup.simhash(docs, "doc_id", "text").localCheckpoint()
+    // in-query certificate: SimHash is a function of the token bag — every
+    // group of byte-identical texts must collapse to exactly one signature
+    // (a split group means the signature depends on something beyond the
+    // text: the one failure mode that silently breaks downstream bucketing)
+    // xxhash64 as the text-identity key: the certificate only groups rows,
+    // and a 64-bit collision among fixture-scale distinct texts is ~1e-11
+    val split = docs.select(col("doc_id"), xxhash64(col("text")).as("__h"))
+      .join(out, "doc_id")
+      .groupBy("__h").agg(countDistinct(col("simhash")).as("__n"))
+      .where(col("__n") > 1).count()
+    require(split == 0L, s"g1_simhash: $split duplicate-text groups got differing signatures")
+    out.orderBy("doc_id")
+  }
 
   /** Build-once persisted dedup index over the "already-ingested" corpus
     * half (doc_id % 3 != 0), fixture-keyed like the ANN index: incremental
@@ -1480,12 +1494,26 @@ object SparkEntry {
     */
   private def g1IncrMinhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    Dedup
+    val batch = docs.where(col("doc_id") % 3 === 0)
+    val idxDir = dedupIndexDir(s, dir)
+    val out = Dedup
       .incrementalMinhashPairs(
-        docs.where(col("doc_id") % 3 === 0), docs.where(col("doc_id") % 3 =!= 0),
-        dedupIndexDir(s, dir), idCol = "doc_id", textCol = "text",
+        batch, docs.where(col("doc_id") % 3 =!= 0),
+        idxDir, idCol = "doc_id", textCol = "text",
         shingleN = 3, bands = 16, rowsPerBand = 3, threshold = 0.3)
-      .orderBy("new_id", "corpus_id")
+      .localCheckpoint()
+    // in-query certificate (must-catch recall): identical shingle sets hash
+    // to identical signatures in EVERY band, so each exact duplicate of an
+    // ingested doc (one cheap probe of the persisted content-hash index) is
+    // a pair banding cannot miss — require all of them emitted at jaccard 1
+    val exact = Dedup.incrementalExactDups(batch, "doc_id", "text", idxDir)
+      .select(col("new_id"), col("dup_of").as("corpus_id"))
+    val missed = exact
+      .join(out.where(col("jaccard") >= 1.0).select("new_id", "corpus_id"),
+        Seq("new_id", "corpus_id"), "left_anti").count()
+    require(missed == 0L,
+      s"g1_incr_minhash: $missed exact-duplicate pairs missed by the banding pipeline")
+    out.orderBy("new_id", "corpus_id")
   }
 
   /** P2 — incremental corpus-preparation batch, the daily production
@@ -1654,10 +1682,28 @@ object SparkEntry {
 
   /** G1/G2 — LSH-bucketed near-dup candidates, exact-verified (rows-only:
     * candidate recall at threshold 0.3 is approximate; precision 1.0). */
-  private def g1EmbeddingDupsLsh(s: SparkSession, dir: String): DataFrame =
-    Similarity
-      .cosineDupPairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.3)
-      .orderBy("id_a", "id_b")
+  private def g1EmbeddingDupsLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val out = Similarity
+      .cosineDupPairsLsh(emb, "vec_id", "embedding", threshold = 0.3)
+      .localCheckpoint()
+    // in-query certificate (sampled recall): hyperplane collision odds rise
+    // with cosine, so the pairs a dedup must not miss — the near-verbatim
+    // ones — are the easiest buckets. Require the declared output to cover
+    // the STRONG (cos ≥ 0.9) exact pairs inside a bounded id sample, where
+    // the exact reference costs one 300×300 block instead of O(n²).
+    val sample = emb.where(col("vec_id") < 300)
+    val strong = Similarity
+      .cosineDupPairs(sample, "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b")
+    val nStrong = strong.count()
+    if (nStrong > 0) {
+      val covered = strong.join(out.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_semi").count()
+      require(covered.toDouble / nStrong >= 0.7,
+        f"g1_embedding_dups_lsh: strong-pair recall ${covered.toDouble / nStrong}%.3f below 0.7 ($covered/$nStrong)")
+    }
+    out.orderBy("id_a", "id_b")
+  }
 
   /** G1/G2 — semantic dedup end-to-end: exact cosine near-dup pairs over
     * the full embedding corpus resolved to canonical clusters (connected
@@ -1680,13 +1726,40 @@ object SparkEntry {
     */
   private def g1Semdedup(s: SparkSession, dir: String): DataFrame = {
     val idx = annIndexDir(s, dir)
-    Dedup
+    val emb = Tables.embeddings(s, dir)
+    val cc = Dedup
       .connectedComponents(
         Similarity.semanticDedupPairs(
-          Tables.embeddings(s, dir), "vec_id", "embedding",
+          emb, "vec_id", "embedding",
           AnnIndex.loadEncoded(s, idx).select(col("vec_id"), col("__cell")),
           "__cell", threshold = 0.3).localCheckpoint())
-      .orderBy("doc_id")
+      .localCheckpoint()
+    // in-query certificate (precision): every member of a non-singleton
+    // cluster must have ≥1 same-cluster partner at TRUE cosine ≥ threshold,
+    // recomputed from the original embeddings — a member violating this was
+    // merged on a spurious edge. (Recall vs the exact pair set is the
+    // ScalaTest spec; it needs the O(n²) reference.) Restricted to
+    // non-singleton members BEFORE touching embeddings, with the codegen'd
+    // vecDot over pre-divided vectors — the naive full-join formulation of
+    // this check cost 5.7 s at sf0.1; this one ~0.5 s.
+    val sizes = cc.groupBy("canonical_id").agg(count(lit(1)).as("__sz"))
+    val members = cc.join(sizes, "canonical_id").where(col("__sz") > 1)
+      .join(emb, cc("doc_id") === emb("vec_id"))
+      .select(col("canonical_id"), col("doc_id"),
+        expr("transform(embedding, x -> float(double(x) / sqrt(aggregate(embedding, 0.0D, (a, y) -> a + double(y) * double(y)))))")
+          .as("__u"))
+      .localCheckpoint()
+    val spurious = members.select(col("canonical_id"), col("doc_id").as("__ia"), col("__u").as("__ua"))
+      .join(members.select(col("canonical_id"), col("doc_id").as("__ib"), col("__u").as("__ub")),
+        "canonical_id")
+      .where(col("__ia") =!= col("__ib"))
+      .groupBy(col("__ia"))
+      .agg(max(graft.functions.VectorExpressions.vecDot(col("__ua"), col("__ub"))).as("__best"))
+      .where(col("__best") < 0.3 - 1e-4) // float-renorm slack on an exact-0.3 edge
+      .count()
+    require(spurious == 0L,
+      s"g1_semdedup: $spurious cluster members have no true-cosine partner above threshold")
+    cc.orderBy("doc_id")
   }
 
   /** Build-once persisted ANN index for the embeddings corpus (AnnIndex),
@@ -2181,18 +2254,46 @@ object SparkEntry {
     * is engine-specific). At 100 TB this replaces the exact
     * distinct's full shuffle with a constant-size mergeable sketch.
     */
-  private def g3VocabApprox(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  private def g3VocabApprox(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
       .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("word"))
-      .groupBy("lang")
+    val approx = words.groupBy("lang")
       .agg(approx_count_distinct(col("word"), 0.02).as("n_words_approx"))
-      .orderBy("lang")
+    // in-query certificate: the HLL++ estimate at rsd=0.02 must land within
+    // ±10% of the exact per-language distinct count, on the driver's own run
+    val worst = approx
+      .join(words.groupBy("lang").agg(countDistinct(col("word")).as("__exact")), "lang")
+      .agg(max(abs(col("n_words_approx") - col("__exact")) / col("__exact")))
+      .collect().head.getDouble(0)
+    require(worst <= 0.10,
+      f"g3_vocab_approx: relative error $worst%.4f above the 10%% envelope")
+    approx.orderBy("lang")
+  }
 
   /** G3 — rolling-hash fingerprint (rows-only: xxhash64 Spark-specific). */
-  private def g3Fingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  private def g3Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val out = docs
       .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("fingerprint"))
-      .orderBy("doc_id")
+    // in-query certificate: the fingerprint must be exactly as fine as the
+    // text — same text ⇒ same fingerprint (determinism) and, at fixture
+    // scale, distinct texts ⇒ distinct fingerprints (a 64-bit collision
+    // here means the hash fold degenerated, not bad luck). xxhash64 is the
+    // text-identity key — the cert only groups rows, and a 64-bit collision
+    // among fixture-scale distinct texts is ~1e-11.
+    val st = docs
+      .select(xxhash64(col("text")).as("__h"),
+        TextAnalysis.rollingFingerprint(col("text")).as("fingerprint"))
+      .agg(countDistinct(col("__h")).as("nh"),
+        countDistinct(col("fingerprint")).as("nf"),
+        countDistinct(col("__h"), col("fingerprint")).as("nhf"))
+      .collect().head
+    require(st.getLong(2) == st.getLong(0),
+      s"g3_fingerprint: some duplicate-text group got differing fingerprints")
+    require(st.getLong(1) == st.getLong(0),
+      s"g3_fingerprint: fingerprint collision across distinct texts (${st.getLong(0)} texts, ${st.getLong(1)} fingerprints)")
+    out.orderBy("doc_id")
+  }
 
   /** G3 — winnowing fingerprints (the MOSS copy-detection scheme): every
     * 4-window of word 3-grams selects its rightmost-minimal gram; the
@@ -2920,11 +3021,22 @@ object SparkEntry {
 
   /** E3 scale path — approximate quantiles (rows-only: sketch is
     * Spark-specific; the exact form is oracle-checked in e23_quantiles). */
-  private def e3QuantilesApprox(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy("l_returnflag")
+  private def e3QuantilesApprox(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val approx = li.groupBy("l_returnflag")
       .agg(Fns.epsRound(expr("approx_percentile(l_extendedprice, 0.99)"), 2).as("p99_approx"))
-      .orderBy("l_returnflag")
+    // in-query certificate: the sketch promises RANK accuracy — the exact
+    // rank of each returned value must sit inside [0.985, 0.995] (the
+    // ±0.005 slack absorbs value-duplication granularity at small SFs)
+    val ranks = li.join(approx, "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg((count_if(col("l_extendedprice") <= col("p99_approx")).cast("double") /
+        count(lit(1))).as("__r"))
+      .agg(min("__r").as("lo"), max("__r").as("hi")).collect().head
+    require(ranks.getDouble(0) >= 0.985 && ranks.getDouble(1) <= 0.995,
+      f"e3_quantiles_approx: p99 rank [${ranks.getDouble(0)}%.4f, ${ranks.getDouble(1)}%.4f] outside bound")
+    approx.orderBy("l_returnflag")
+  }
 
   // ======================================================================
   // headline join aggregate (bench anchor #2)
