@@ -1535,19 +1535,16 @@ object SparkEntry {
     val docs   = Tables.documents(s, dir)
     val batch  = docs.where(col("doc_id") % 3 === 0)
     val corpus = docs.where(col("doc_id") % 3 =!= 0)
-    val scored = TextAnalysis.withStats(batch, "text")
-      .withColumn("quality",
-        TextAnalysis.qualityScore(col("n_tokens"), col("n_stopwords"), col("avg_token_len")))
-      .where(col("quality") >= 0.5)
-    val canonical = scored
-      .groupBy(sha2(col("text"), 256).as("__h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    // one materialization of the gated manifest: it anchors two anti-joins
-    val gated = scored.join(canonical, Seq("doc_id"), "left_semi").localCheckpoint()
-    val exactDupIds = Dedup
-      .incrementalExactDups(batch, "doc_id", "text", dedupIndexDir(s, dir))
-      .select(col("new_id").as("doc_id")).distinct()
+    // the SHARED per-batch core (same code as p1/p3): quality gate +
+    // within-batch canonical dedup + rejection against processed hashes —
+    // here the persisted index's `exact/` table IS the processed-hash set
+    // of the already-ingested corpus. No benchmark in this form, so the
+    // decontamination stage is the empty set and every emitted row is kept.
+    val emptyBench = docs.where(lit(false)).select("doc_id", "text")
+    val indexHashes = s.read.parquet(s"${dedupIndexDir(s, dir)}/exact").select("text_hash")
+    val gated = CorpusPrep.prepareBatch(batch, emptyBench, idCol = "doc_id",
+      textCol = "text", carryCols = Seq("lang", "source"),
+      processedHashes = Some(indexHashes))
     // near-dup candidates computed on the RAW batch (the scan's results are
     // reused by retention/reporting, so production runs it before the gate)
     val nearDupIds = Dedup
@@ -1555,10 +1552,8 @@ object SparkEntry {
         shingleN = 3, threshold = 0.3, maxShingleDf = 50)
       .select(col("new_id").as("doc_id")).distinct()
     gated
-      .join(exactDupIds, Seq("doc_id"), "left_anti")
       .join(nearDupIds, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang"), col("source"),
-        col("n_tokens").cast("long").as("n_tokens"), col("quality"))
+      .select("doc_id", "lang", "source", "n_tokens", "quality")
       .orderBy("doc_id")
   }
 
@@ -1690,11 +1685,14 @@ object SparkEntry {
     // in-query certificate (sampled recall): hyperplane collision odds rise
     // with cosine, so the pairs a dedup must not miss — the near-verbatim
     // ones — are the easiest buckets. Require the declared output to cover
-    // the STRONG (cos ≥ 0.9) exact pairs inside a bounded id sample, where
-    // the exact reference costs one 300×300 block instead of O(n²).
+    // the STRONG (cos ≥ 0.95) exact pairs inside a bounded id sample, where
+    // the exact reference costs one 300×300 block instead of O(n²). At
+    // cos = 0.95 the per-pair collision probability over 8 tables × 12
+    // planes is ≈ 0.93, so the 0.7 floor holds with real margin; at 0.9
+    // the expectation is ≈ 0.74 and the floor would sit on the mean.
     val sample = emb.where(col("vec_id") < 300)
     val strong = Similarity
-      .cosineDupPairs(sample, "vec_id", "embedding", threshold = 0.9)
+      .cosineDupPairs(sample, "vec_id", "embedding", threshold = 0.95)
       .select("id_a", "id_b")
     val nStrong = strong.count()
     if (nStrong > 0) {
@@ -2259,6 +2257,7 @@ object SparkEntry {
       .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("word"))
     val approx = words.groupBy("lang")
       .agg(approx_count_distinct(col("word"), 0.02).as("n_words_approx"))
+      .localCheckpoint() // few rows; cert + returned frame share one HLL pass
     // in-query certificate: the HLL++ estimate at rsd=0.02 must land within
     // ±10% of the exact per-language distinct count, on the driver's own run
     val worst = approx
@@ -2275,14 +2274,19 @@ object SparkEntry {
     val docs = Tables.documents(s, dir)
     val out = docs
       .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("fingerprint"))
-    // in-query certificate: the fingerprint must be exactly as fine as the
-    // text — same text ⇒ same fingerprint (determinism) and, at fixture
-    // scale, distinct texts ⇒ distinct fingerprints (a 64-bit collision
-    // here means the hash fold degenerated, not bad luck). xxhash64 is the
-    // text-identity key — the cert only groups rows, and a 64-bit collision
-    // among fixture-scale distinct texts is ~1e-11.
+    // in-query certificate: the fingerprint must be exactly as fine as its
+    // own normalization unit — the lowercased token sequence (the operator
+    // folds tokens(lower(trim(text))), so case/whitespace variants SHOULD
+    // collide) — same token sequence ⇒ same fingerprint (determinism) and,
+    // at fixture scale, distinct sequences ⇒ distinct fingerprints (a
+    // 64-bit collision here means the hash fold degenerated, not bad
+    // luck). xxhash64 over the canonical join of the tokens is the
+    // identity key — a collision among fixture-scale distinct texts is
+    // ~1e-11. (Keying on RAW text would assert an invariant the operator
+    // deliberately does not provide.)
     val st = docs
-      .select(xxhash64(col("text")).as("__h"),
+      .select(xxhash64(concat_ws(" ",
+          split(trim(lower(col("text"))), "\\s+"))).as("__h"),
         TextAnalysis.rollingFingerprint(col("text")).as("fingerprint"))
       .agg(countDistinct(col("__h")).as("nh"),
         countDistinct(col("fingerprint")).as("nf"),
@@ -3025,6 +3029,7 @@ object SparkEntry {
     val li = Tables.lineitem(s, dir)
     val approx = li.groupBy("l_returnflag")
       .agg(Fns.epsRound(expr("approx_percentile(l_extendedprice, 0.99)"), 2).as("p99_approx"))
+      .localCheckpoint() // few rows; cert join + returned frame share one sketch pass
     // in-query certificate: the sketch promises RANK accuracy — the exact
     // rank of each returned value must sit inside [0.985, 0.995] (the
     // ±0.005 slack absorbs value-duplication granularity at small SFs)
@@ -3454,6 +3459,7 @@ object SparkEntry {
     HarnessFixtures.eventRowsOrdered(s, dir)
     HarnessFixtures.wordRows(s, dir)
     HarnessFixtures.corpusDocRows(s, dir)
+    HarnessFixtures.corpusManifestRows(s, dir)
     txTemplates(s, dir).values.foreach(_())
     // the ANN certificates' shared brute-force denominator
     bruteTopKScore(s, dir, k = 3)
@@ -4127,7 +4133,8 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
     "e11_quantile_bins" ->
       """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
-        |q AS (SELECT event_type, quantile_cont(value, [0.25, 0.5, 0.75]) AS qs
+        |q AS (SELECT event_type, list_transform(quantile_cont(value, [0.25, 0.5, 0.75]),
+        |                                        qq -> round(qq + 1e-9, 6)) AS qs
         |      FROM e GROUP BY event_type),
         |b AS (SELECT e.event_type, e.value,
         |             (4 - len(list_filter(q.qs, qq -> e.value <= qq)))::INT AS bin
@@ -5022,7 +5029,8 @@ object SparkEntry {
         |ref AS (SELECT event_type, value FROM ev WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'),
         |cur AS (SELECT event_type, value FROM ev WHERE ts >  TIMESTAMP '2024-01-15 00:00:00'),
         |edges AS (SELECT event_type,
-        |                 quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+        |                 list_transform(quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |                                e -> round(e + 1e-9, 6)) AS qs
         |          FROM ref GROUP BY event_type),
         |rb AS (SELECT r.event_type,
         |              (10 - len(list_filter(e.qs, q -> r.value <= q)))::INT AS bin,
@@ -5049,7 +5057,8 @@ object SparkEntry {
         |ref AS (SELECT event_type, value FROM ev WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'),
         |cur AS (SELECT event_type, value FROM ev WHERE ts >  TIMESTAMP '2024-01-15 00:00:00'),
         |edges AS (SELECT event_type,
-        |                 quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+        |                 list_transform(quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+        |                                e -> round(e + 1e-9, 6)) AS qs
         |          FROM ref GROUP BY event_type),
         |rb AS (SELECT r.event_type,
         |              (10 - len(list_filter(e.qs, q -> r.value <= q)))::INT AS bin,

@@ -41,8 +41,17 @@ object Drift {
       groupCols: Seq[String], nBins: Int): DataFrame = {
     require(nBins >= 2, s"need at least 2 bins, got $nBins")
     val probs = (1 until nBins).map(i => i.toDouble / nBins)
+    // edges rounded to a fixed 6-dp grid (with the repo's standard +1e-9
+    // nudge): engines associate the interpolation arithmetic differently
+    // (a + f·(b−a) vs a·(1−f) + f·b), and a last-ulp edge difference CAN
+    // flip a row whose value the interpolation lands exactly on — observed
+    // at sf0.1, one flipped row moved PSI by 1e-4. On the decimal grid the
+    // edge is bit-identical across engines unless the unrounded values
+    // straddle a rounding boundary within ~1e-13 (vanishing, vs certain
+    // over enough data for the raw-ulp case).
     val edges = ref.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile($valueCol, array(${probs.mkString("D,")}D))").as("__qs"))
+      .agg(expr(s"transform(percentile($valueCol, array(${probs.mkString("D,")}D)), " +
+        "e -> round(e + 1e-9, 6))").as("__qs"))
 
     def binned(df: DataFrame): DataFrame = {
       val cond = groupCols.map(c => df(c) <=> edges(c)).reduce(_ && _)

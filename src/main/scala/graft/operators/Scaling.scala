@@ -69,8 +69,13 @@ object Scaling {
       probs: Seq[Double], outCol: String = "bin"): DataFrame = {
     require(probs.nonEmpty && probs == probs.sorted && probs.forall(p => p > 0 && p < 1),
       s"probs must be sorted interior probabilities, got $probs")
+    // edges on a fixed 6-dp grid: engines associate quantile interpolation
+    // differently and a last-ulp edge difference can flip a row that sits
+    // exactly on the interpolated value (see Drift.binnedShares — observed
+    // there at sf0.1); the rounded edge is bit-identical across engines
     val stats = df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile($valueCol, array(${probs.mkString("D,")}D))").as("__qs"))
+      .agg(expr(s"transform(percentile($valueCol, array(${probs.mkString("D,")}D)), " +
+        "e -> round(e + 1e-9, 6))").as("__qs"))
     joinStats(df, stats, groupCols)
       .withColumn(outCol,
         when(col(valueCol).isNotNull,

@@ -32,7 +32,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("query count matches the documented surface") {
-    // 159 = round-4's 159 minus g2_cosine_topk_agg (folded into the primary
+    // 161 = round-4's 159 minus g2_cosine_topk_agg (folded into the primary
     // g2_cosine_topk when the bounded-heap aggregate became its declared
     // path) plus the round-5 pipeline-composition queries p1_prepare_corpus,
     // p2_prepare_incremental and p3_prepare_stream

@@ -52,11 +52,15 @@ class PipelineSpec extends SparkSpec {
     assert(survivors.as("s")
       .join(corpus.as("c"), sha2(col("s.text"), 256) === sha2(col("c.text"), 256))
       .isEmpty)
-    // no survivor has an exact-jaccard near-dup >= 0.3 in the corpus (same
-    // df-capped semantics the pipeline rejected on)
+    // no survivor has an exact-jaccard near-dup >= 0.3 in the corpus under
+    // the pipeline's OWN df-cap basis (cap counted over raw batch ∪ corpus
+    // — capping over survivors ∪ corpus instead would admit shingles the
+    // pipeline had capped out, flagging correct outputs)
+    val batch = docs.where(col("doc_id") % 3 === 0)
     val residual = operators.Dedup.incrementalJaccardPairs(
-      survivors, corpus, idCol = "doc_id", textCol = "text",
-      shingleN = 3, threshold = 0.3, maxShingleDf = 50)
+        batch, corpus, idCol = "doc_id", textCol = "text",
+        shingleN = 3, threshold = 0.3, maxShingleDf = 50)
+      .join(out2.select(col("doc_id").as("new_id")), Seq("new_id"), "left_semi")
     assert(residual.isEmpty)
   }
 
