@@ -1588,23 +1588,12 @@ object SparkEntry {
     val outCols = Seq("doc_id", "lang", "source", "n_tokens", "quality")
     val ms = MemoryStream[(Long, String, String, String)]
     withShufflePartitions(s, 4) {
-      val q = ms.toDF().toDF("doc_id", "text", "lang", "source")
-        .writeStream
-        .foreachBatch { (batch: DataFrame, id: Long) =>
-          // processed = every prior hash, kept or TOMBSTONED: a later
-          // batch's duplicate of a contaminated (hence never-kept)
-          // canonical must still die as a duplicate — CorpusPrep's
-          // tombstone contract; TombstoneSpec pins the edge case
-          val processed =
-            if (t.version() >= 0) Some(t.read().select("text_hash")) else None
-          val manifest = CorpusPrep.prepareBatch(
-            batch, bench, idCol = "doc_id", textCol = "text",
-            carryCols = Seq("lang", "source"), processedHashes = processed)
-          t.append(
-            manifest.select((outCols ++ Seq("text_hash", "kept")).map(col): _*),
-            tsMillis = 1000L + id)
-          ()
-        }
+      // the library attachment (CorpusPrep.prepareCorpusSink) carries the
+      // tombstone contract: every prior hash, kept or NOT, rejects later
+      // duplicates — TombstoneSpec pins the edge case
+      val q = CorpusPrep.prepareCorpusSink(
+          ms.toDF().toDF("doc_id", "text", "lang", "source"), bench, t,
+          idCol = "doc_id", textCol = "text", carryCols = Seq("lang", "source"))
         .start()
       ms.addData(first.toSeq);  q.processAllAvailable()
       ms.addData(batch2.toSeq); q.processAllAvailable()

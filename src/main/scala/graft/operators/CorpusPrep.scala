@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.sources.TxTable
 
 /** The corpus-preparation pipeline's per-batch core, shared by the batch
   * (p1), incremental (p2) and streaming (p3) declared forms: quality gate →
@@ -68,4 +71,35 @@ object CorpusPrep {
       .select((idCol +: carryCols).map(col) ++
         Seq(col("n_tokens"), col("quality"), col("text_hash"), col("kept")): _*)
   }
+
+  /** The STREAMING attachment of the pipeline: run [[prepareBatch]] on each
+    * micro-batch of a document stream and commit the manifest (kept rows +
+    * tombstones) to a TxTable, whose accumulated hashes are the
+    * processed-hash set for every later batch — so cross-batch duplicates
+    * and at-least-once redeliveries die on one equi-join against the table.
+    * Read the corpus back as `table.read().where(col("kept"))`.
+    *
+    * When arrival order is id-ordered (or any order where the preferred
+    * canonical arrives first), the final table equals the batch pipeline's
+    * manifest exactly — the p1≡p3 equivalence the driver's shared oracle
+    * certifies. Caller supplies output mode/trigger/checkpoint and starts
+    * the returned writer.
+    */
+  def prepareCorpusSink(
+      docStream: DataFrame,
+      bench: DataFrame,
+      table: TxTable,
+      idCol: String,
+      textCol: String,
+      carryCols: Seq[String],
+      gramN: Int = 8,
+      minQuality: Double = 0.5): DataStreamWriter[Row] =
+    docStream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val processed =
+        if (table.version() >= 0) Some(table.read().select("text_hash")) else None
+      val manifest = prepareBatch(batch, bench, idCol, textCol, carryCols,
+        processedHashes = processed, gramN = gramN, minQuality = minQuality)
+      table.append(manifest, tsMillis = 1000L + id)
+      ()
+    }
 }
