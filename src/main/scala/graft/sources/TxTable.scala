@@ -353,36 +353,46 @@ class TxTable(val spark: SparkSession, val root: String) {
       filesPerPartition: Int = 1): Seq[String] = {
     Files.createDirectories(dataDir)
     val staging = Files.createTempDirectory(Paths.get(root), ".staging")
-    // cluster rows by partition value before a partitioned write: without
-    // this every shuffle task writes a sliver into EVERY partition dir
-    // (tasks × partitions tiny files — the classic small-files trap);
-    // with it each partition value lands in exactly one task → one
-    // well-sized file per partition per commit. `filesPerPartition > 1`
-    // adds a hash salt to the clustering so a hot partition can split
-    // across that many tasks/files (compact's per-partition target).
-    val clustered =
-      if (partitionCols.isEmpty) df
-      else if (filesPerPartition <= 1) df.repartition(partitionCols.map(col): _*)
-      else df.repartition(partitionCols.map(col) :+
-        pmod(xxhash64(monotonically_increasing_id()), lit(filesPerPartition.toLong)): _*)
-    val writer = clustered.write.mode("overwrite")
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(staging.toString)
-    val w0 = Files.walk(staging)
-    val staged = try w0.iterator().asScala.toSeq.filter(_.getFileName.toString.endsWith(".parquet"))
-                 finally w0.close()
-    val names = staged.map { p =>
-      val sub = staging.relativize(p.getParent).toString // "" or col=v[/col2=v2]
-      val name = s"${UUID.randomUUID()}.parquet"
-      val rel = if (sub.isEmpty) name else s"$sub/$name"
-      Files.createDirectories(dataDir.resolve(rel).getParent)
-      Files.move(p, dataDir.resolve(rel), StandardCopyOption.ATOMIC_MOVE)
-      rel
+    try {
+      // cluster rows by partition value before a partitioned write: without
+      // this every shuffle task writes a sliver into EVERY partition dir
+      // (tasks × partitions tiny files — the classic small-files trap);
+      // with it each partition value lands in exactly one task → one
+      // well-sized file per partition per commit. `filesPerPartition > 1`
+      // adds a hash salt to the clustering so a hot partition can split
+      // across that many tasks/files (compact's per-partition target).
+      // The salt hashes the ROW CONTENT, never monotonically_increasing_id:
+      // a positional id is not stable under partial stage recomputation, so
+      // a task retry could re-route rows to different reducers and silently
+      // duplicate or drop them in the committed files (the SPARK-23207
+      // failure class).
+      val clustered =
+        if (partitionCols.isEmpty) df
+        else if (filesPerPartition <= 1) df.repartition(partitionCols.map(col): _*)
+        else df.repartition(partitionCols.map(col) :+
+          pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(filesPerPartition.toLong)): _*)
+      val writer = clustered.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+        .parquet(staging.toString)
+      val w0 = Files.walk(staging)
+      val staged = try w0.iterator().asScala.toSeq.filter(_.getFileName.toString.endsWith(".parquet"))
+                   finally w0.close()
+      staged.map { p =>
+        val sub = staging.relativize(p.getParent).toString // "" or col=v[/col2=v2]
+        val name = s"${UUID.randomUUID()}.parquet"
+        val rel = if (sub.isEmpty) name else s"$sub/$name"
+        Files.createDirectories(dataDir.resolve(rel).getParent)
+        Files.move(p, dataDir.resolve(rel), StandardCopyOption.ATOMIC_MOVE)
+        rel
+      }
+    } finally {
+      // always sweep the staging tree — a failed write must not strand a
+      // directory of parquet under root forever (vacuum also sweeps stale
+      // crash leftovers, but a live-JVM failure cleans up right here)
+      val w = Files.walk(staging)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
     }
-    val w = Files.walk(staging)
-    try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    finally w.close()
-    names
   }
 
   /** Atomic put-if-absent publish of version `v`; true iff this writer won. */
@@ -430,12 +440,13 @@ class TxTable(val spark: SparkSession, val root: String) {
           s"conflicting commit on $root: read set changed")
       val ddl = if (v == 0L || schemaEveryCommit) schemaDdl else None
       if (tryCommit(v, op, ddl, add, remove, tsMillis, stats, partCols, blooms)) {
-        // best-effort ONLY: the commit is already durable; a checkpoint
-        // IO failure must not make the caller believe the write failed
-        // (a retry would commit the same rows twice). Readers fall back
-        // to full replay when a checkpoint is absent.
+        // best-effort ONLY: the commit is already durable; ANY checkpoint
+        // failure must not make the caller believe the write failed (a
+        // retry would commit the same rows twice) — NonFatal, not just
+        // IOException: a corrupt hand-edited log line surfaces as a parse
+        // error here, and readers fall back to full replay regardless.
         if (v > 0 && v % checkpointEvery == 0)
-          try writeCheckpoint(v) catch { case _: java.io.IOException => () }
+          try writeCheckpoint(v) catch { case scala.util.control.NonFatal(_) => () }
         return v
       }
       attempts += 1
@@ -486,23 +497,32 @@ class TxTable(val spark: SparkSession, val root: String) {
     // partitioned append, or the mixed-depth file set would make every
     // later read fail partition discovery after the commit already landed
     val hasCommits = commitFiles().nonEmpty
-    val declared = if (hasCommits) stateForVersion(Long.MaxValue).partCols else Seq.empty
+    // ONE snapshot resolution for layout + schema + bloom inheritance:
+    // stateForVersion is a directory listing + checkpoint parse + tail
+    // replay — resolving it three times per append was pure wasted I/O
+    val snap0 = if (hasCommits) Some(stateForVersion(Long.MaxValue)) else None
+    val declared = snap0.map(_.partCols).getOrElse(Seq.empty)
     require(!hasCommits || partitionBy.isEmpty || declared == partitionBy,
       s"table $root has layout [${declared.mkString(",")}]; cannot append with [${partitionBy.mkString(",")}]")
     val layout = if (hasCommits) declared else partitionBy
     import org.apache.spark.sql.types.StructType
+    val baseDdl = snap0.flatMap(_.ddl) // the schema basis this append was computed against
     val (commitDdl, evolved) =
-      (if (hasCommits) stateForVersion(Long.MaxValue).ddl else None) match {
+      baseDdl match {
         case None => (df.schema.toDDL, false)
         case Some(d) =>
           val cur = StructType.fromDDL(d)
-          val byName = cur.fields.map(f => f.name -> f).toMap
+          // case-INSENSITIVE matching, like Spark analysis: a `ID DOUBLE`
+          // against table `id INT` is a type conflict, not a new column —
+          // classifying it as new would commit a duplicate-case schema
+          // that bricks every later read under spark.sql.caseSensitive=false
+          val byName = cur.fields.map(f => f.name.toLowerCase -> f).toMap
           val conflicts = df.schema.fields
-            .filter(f => byName.get(f.name).exists(_.dataType != f.dataType))
+            .filter(f => byName.get(f.name.toLowerCase).exists(_.dataType != f.dataType))
           require(conflicts.isEmpty, s"append to $root cannot change column types: " +
-            conflicts.map(f => s"${f.name} ${byName(f.name).dataType.sql}->${f.dataType.sql}")
+            conflicts.map(f => s"${f.name} ${byName(f.name.toLowerCase).dataType.sql}->${f.dataType.sql}")
               .mkString(", "))
-          val extra = df.schema.fields.filterNot(f => byName.contains(f.name))
+          val extra = df.schema.fields.filterNot(f => byName.contains(f.name.toLowerCase))
           if (extra.isEmpty) (d, false)
           else {
             require(evolve, s"append adds columns [${extra.map(_.name).mkString(",")}] " +
@@ -513,22 +533,39 @@ class TxTable(val spark: SparkSession, val root: String) {
     val files = stageDataFiles(df, layout)
     commitLoop("append", files, Seq.empty, tsMillis, Some(commitDdl),
       schemaEveryCommit = evolved,
-      stats = computeStats(files, (statsCol.toSeq ++ statsCols).distinct),
+      stats = computeStats(files, {
+        // inherit the table's active stats columns (same rule as blooms)
+        // so appends omitting statsCol don't punch stats-less holes in an
+        // established skipping index; guard on df.columns like blooms do
+        val inherited = snap0.map(activeStatsCols).getOrElse(Seq.empty)
+        (statsCol.toSeq ++ statsCols ++ inherited).distinct.filter(df.columns.contains)
+      }),
       partCols = layout,
       blooms = computeBlooms(files, {
         // inherit the table's active bloom columns so later appends keep
         // the index dense without re-declaring it (same rule as layout)
-        val declared = if (hasCommits) activeBloomCols(stateForVersion(Long.MaxValue)) else Seq.empty
-        (bloomCols ++ declared).distinct.filter(df.columns.contains)
+        val inherited = snap0.map(activeBloomCols).getOrElse(Seq.empty)
+        (bloomCols ++ inherited).distinct.filter(df.columns.contains)
       }),
-      // the layout guard re-asserts per attempt: a racing writer changing
-      // the table's layout (first-append race, concurrent re-partitioning
-      // overwrite) must abort this append — its files are already staged
-      // in the OLD shape and would corrupt partition discovery if committed
+      // the guards re-assert per attempt: a racing writer changing the
+      // table's layout (first-append race, concurrent re-partitioning
+      // overwrite) or its schema basis must abort this append — its
+      // files/DDL were computed against the OLD state, and committing
+      // them anyway silently drops columns on read (data loss; e.g. two
+      // writers racing DIFFERENT schemas onto an empty table). A changed
+      // DDL is still fine for a non-evolving append whose frame remains a
+      // case-insensitive, type-equal subset of the CURRENT schema — the
+      // common same-schema append race must not spuriously abort.
       validate = () => {
-        val cur =
-          if (commitFiles().nonEmpty) stateForVersion(Long.MaxValue).partCols else layout
-        cur == layout
+        val curState = if (commitFiles().nonEmpty) Some(stateForVersion(Long.MaxValue)) else None
+        val layoutOk = curState.map(_.partCols).getOrElse(layout) == layout
+        val ddlNow = curState.flatMap(_.ddl)
+        val schemaOk = ddlNow == baseDdl || (!evolved && ddlNow.exists { d =>
+          val byName = StructType.fromDDL(d).fields
+            .map(f => f.name.toLowerCase -> f.dataType).toMap
+          df.schema.fields.forall(f => byName.get(f.name.toLowerCase).contains(f.dataType))
+        })
+        layoutOk && schemaOk
       })
   }
 
@@ -630,13 +667,40 @@ class TxTable(val spark: SparkSession, val root: String) {
     * semantics, exactly like partition pruning one level finer. Resolves
     * through the checkpointed log like read().
     */
+  /** Inverse of Spark's Hive-style partition-path escaping (special chars
+    * written as `%XX` hex). Directory names hold the ESCAPED value; pruning
+    * must compare the LOGICAL value or `value = "a:b"` silently prunes the
+    * `k=a%3Ab` directory it should scan — wrong results, because partition
+    * pruning here is trusted as exact. */
+  private def unescapePathName(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length &&
+            Character.digit(s.charAt(i + 1), 16) >= 0 &&
+            Character.digit(s.charAt(i + 2), 16) >= 0) {
+          sb.append(((Character.digit(s.charAt(i + 1), 16) << 4) +
+            Character.digit(s.charAt(i + 2), 16)).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
   /** The `colName=` partition value of a relative file path, if the file
-    * sits under such a directory. */
+    * sits under such a directory — unescaped to the logical value; the
+    * null-partition sentinel yields None (no pruning evidence, so the file
+    * is conservatively scanned). */
   private def partValueOf(relFile: String, colName: String): Option[String] =
     relFile.split('/').iterator
       .filter(_.contains("="))
       .map { seg => val i = seg.indexOf('='); (seg.substring(0, i), seg.substring(i + 1)) }
       .collectFirst { case (c, v) if c == colName => v }
+      .filter(_ != "__HIVE_DEFAULT_PARTITION__")
+      .map(unescapePathName)
 
   def readWhere(colName: String, lo: Double, hi: Double): DataFrame =
     readWhereAll(Seq((colName, lo, hi)))
@@ -742,7 +806,8 @@ class TxTable(val spark: SparkSession, val root: String) {
     val baseVersion = latestVersion() // read BEFORE the state: a commit in
     // between makes validate fail (spurious abort), never a silent anomaly
     val state = stateForVersion(Long.MaxValue)
-    val snap = readState(state).withColumn("__file", input_file_name())
+    val snapDf = readState(state) // one resolution: schema + scan share it
+    val snap = snapDf.withColumn("__file", input_file_name())
     val u = updates.cache()
 
     // file-granularity pruning: only files holding a matched key rewrite
@@ -753,9 +818,9 @@ class TxTable(val spark: SparkSession, val root: String) {
 
     val base = if (affected.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        readState(state).schema)
+        snapDf.schema)
     else
-      spark.read.schema(readState(state).schema)
+      spark.read.schema(snapDf.schema)
         .option("basePath", dataDir.toString) // partition dirs -> columns
         .parquet(affected.map(f => dataDir.resolve(f).toString): _*)
 
@@ -785,6 +850,11 @@ class TxTable(val spark: SparkSession, val root: String) {
     * diffs as one insert.
     */
   def diff(fromV: Long, toV: Long): DataFrame = {
+    // fromV < 0 = "before the table existed": everything at toV is an
+    // insert. This is what lets changeFeed(-1, v) bootstrap an incremental
+    // consumer from table birth instead of special-casing the first load.
+    if (fromV < 0)
+      return readVersion(toV).withColumn("change_type", lit("insert"))
     // file-pruned: rows in files COMMON to both snapshots cancel exactly in
     // the multiset difference ((C∪A) − (C∪R) = A − R), so only files added
     // or removed across the range are read — a 3-file commit against a
@@ -1018,7 +1088,7 @@ class TxTable(val spark: SparkSession, val root: String) {
     // snapshots must not appear in remove (add+remove in one commit would
     // net it out of the live set)
     val keep = target.files.toSet
-    commitLoop("restore",
+    val committed = commitLoop("restore",
       add = target.files.filterNot(current.files.contains),
       remove = current.files.filterNot(keep.contains),
       tsMillis = tsMillis,
@@ -1027,6 +1097,17 @@ class TxTable(val spark: SparkSession, val root: String) {
       partCols = target.partCols,
       blooms = target.blooms,
       validate = () => latestVersion() == baseVersion)
+    // freshen the re-referenced files' mtimes: a racing vacuum's minAge
+    // guard only protects RECENT files, and the whole point of a restore
+    // is to re-reference old ones — without this, a vacuum pass that
+    // listed the log before this commit could still delete the files the
+    // restore just made live (vacuum also re-reads mtimes at delete time)
+    target.files.foreach { f =>
+      try Files.setLastModifiedTime(dataDir.resolve(f),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case _: java.io.IOException => () }
+    }
+    committed
   }
 
   /** Remove data files not visible from any of the last `retainVersions`
@@ -1050,8 +1131,33 @@ class TxTable(val spark: SparkSession, val root: String) {
     // walk recursively: partitioned layouts nest files under data/<col>=<v>/
     val w = Files.walk(dataDir)
     val all = try w.iterator().asScala.toSeq.filter(Files.isRegularFile(_)) finally w.close()
-    all
+    val deletable = all
       .filter(p => !referenced.contains(dataDir.relativize(p).toString))
+      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+    // restore-vs-vacuum guard: a concurrent restoreVersion can re-reference
+    // OLD files (they predate the age cutoff, so minAge never protects
+    // them). Re-check the log after building the delete list — a commit
+    // landing since the initial listing restarts the pass with a fresh
+    // referenced set; restoreVersion additionally bumps re-added files'
+    // mtimes, which the per-file cutoff re-read below honors, closing the
+    // residual window between this check and the deletes.
+    if (commitFiles().size != cs.size) { vacuum(retainVersions, minAgeMillis); return }
+    deletable
+      .filter(p => Files.exists(p) && Files.getLastModifiedTime(p).toMillis <= cutoff)
+      .foreach(Files.deleteIfExists(_))
+    // crash leftovers outside data/: stale staging trees under root and
+    // tmp commit/checkpoint files in the log dir — nothing else sweeps
+    // them, so a long-lived table would otherwise leak disk forever
+    listDir(Paths.get(root))
+      .filter(p => p.getFileName.toString.startsWith(".staging") && Files.isDirectory(p))
+      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+      .foreach { dir =>
+        val ws = Files.walk(dir)
+        try ws.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally ws.close()
+      }
+    listDir(logDir)
+      .filter(p => p.getFileName.toString.startsWith(".tmp") && Files.isRegularFile(p))
       .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
       .foreach(Files.deleteIfExists(_))
   }

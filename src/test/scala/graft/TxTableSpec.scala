@@ -18,6 +18,52 @@ class TxTableSpec extends SparkSpec {
   private def kv(rows: (Long, String, Double, Long)*) =
     rows.toDF("k", "f", "value", "ts")
 
+  test("partition pruning matches values needing Hive path escaping") {
+    val t = newTable()
+    // ':' and '%' are escaped to %XX in the partition directory name; the
+    // prune must compare LOGICAL values or these rows silently vanish
+    val rows = Seq((1L, "a:b", 1.0), (2L, "plain", 2.0), (3L, "x%y", 3.0))
+      .toDF("k", "part", "value")
+    t.append(rows, partitionBy = Seq("part"))
+    assert(t.readWherePartition("part", Seq("a:b")).select("k").as[Long].collect().toSeq == Seq(1L))
+    assert(t.readWherePartition("part", Seq("x%y")).select("k").as[Long].collect().toSeq == Seq(3L))
+    assert(t.readWherePartition("part", Seq("plain", "a:b")).count() == 2L)
+    // bloom-free readWhereIn takes the same partition evidence path
+    assert(t.readWhereIn("part", Seq("a:b")).select("k").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("append with a case-variant column of a different type is a conflict, not evolution") {
+    val t = newTable()
+    t.append(Seq((1L, 1)).toDF("k", "id"))
+    // `ID DOUBLE` vs table `id INT`: committing it as a NEW column would
+    // produce a duplicate-case schema that breaks reads under Spark's
+    // default case-insensitive analysis
+    val bad = Seq((2L, 2.0)).toDF("k", "ID")
+    intercept[IllegalArgumentException](t.append(bad, evolve = true))
+  }
+
+  test("changeFeed bootstraps from table birth with fromV = -1") {
+    val t = newTable()
+    t.append(kv((1L, "a", 1.0, 10L)), tsMillis = 100L) // v0
+    t.append(kv((2L, "a", 2.0, 20L)), tsMillis = 200L) // v1
+    val feed = t.changeFeed(-1L, 1L)
+      .select("_commit_version", "change_type", "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(feed == Set((0L, "insert", 1L), (1L, "insert", 2L)))
+  }
+
+  test("vacuum sweeps stale staging dirs and tmp log files") {
+    val t = newTable()
+    t.append(kv((1L, "a", 1.0, 10L)))
+    val root = java.nio.file.Paths.get(t.root)
+    val stale = Files.createTempDirectory(root, ".staging")
+    Files.write(stale.resolve("junk.parquet"), Array[Byte](1, 2, 3))
+    val tmpLog = Files.createTempFile(root.resolve("_txlog"), ".tmp", ".commit")
+    t.vacuum(minAgeMillis = 0L)
+    assert(!Files.exists(stale) && !Files.exists(tmpLog))
+    assert(t.read().count() == 1L) // live data untouched
+  }
+
   test("append + read round-trip; versions are contiguous") {
     val t = newTable()
     assert(t.version() == -1L)
