@@ -27,6 +27,46 @@ object Similarity {
   private def withNorm(df: DataFrame, vecCol: String, out: String): DataFrame =
     df.withColumn(out, sqrt(VectorExpressions.vecDot(col(vecCol), col(vecCol))))
 
+  // cosine with a zero-norm guard: under Spark 4's default ANSI mode a
+  // plain division throws DIVIDE_BY_ZERO on the first all-zeros vector
+  // (padding / missing-embedding rows are routine at corpus scale). A
+  // zero-norm vector has no direction, so its pairs score null and are
+  // dropped by every threshold / ranking consumer below.
+  private def cosScore(dot: Column, na: Column, nb: Column): Column =
+    dot / nullif(na * nb, lit(0.0))
+
+  // the shared per-query rank-and-take: row_number over (sim desc, id asc)
+  // with null sims (zero-norm pairs) dropped before ranking — one
+  // definition for every exact/IVF/LSH top-k path so the semantics can't
+  // drift between them
+  private def rankTopK(scored: DataFrame, qidCol: String, idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col(idCol).asc)
+    scored.where(col("__sim").isNotNull)
+      .withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+  }
+
+  // the bounded-heap aggregate paths tie-break via numeric id negation in
+  // the struct prefix; a non-numeric id would ANSI-throw (or order
+  // differently than the window form) — fail loudly at plan time instead
+  private def requireNumericId(df: DataFrame, idCol: String, method: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"$method tie-breaks via numeric id negation; '$idCol' is ${dt.simpleString} — " +
+        "use the window formulation for non-numeric ids")
+  }
+
+  // one-row probe: hyperplane hashing silently truncates to `dim`
+  // components, which collapses recall with no error — catch the config
+  // mistake where the data is wider than the declared dim (uniform-dim
+  // corpora, so a single row decides)
+  private def requireDimCovers(vectors: DataFrame, vecCol: String, dim: Int): Unit =
+    vectors.select(size(col(vecCol)).as("d")).limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) <= dim,
+        s"LSH dim=$dim truncates ${r.getInt(0)}-component vectors in '$vecCol' — " +
+          "bucket signatures would silently ignore the tail; pass dim >= vector length")
+    }
+
   /** Exact top-k neighbors per query by cosine (desc), id asc tie-break.
     * Queries must be small enough to broadcast (the usual serving shape).
     */
@@ -46,11 +86,8 @@ object Similarity {
       .crossJoin(broadcast(qs))
       .where(if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
       .withColumn("__sim",
-        VectorExpressions.vecDot(col(vecCol), col(qvecCol)) / (col("__cn") * col("__qn")))
-    val w = Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col(idCol).asc)
-    joined
-      .withColumn("__rank", row_number().over(w))
-      .where(col("__rank") <= k)
+        cosScore(VectorExpressions.vecDot(col(vecCol), col(qvecCol)), col("__cn"), col("__qn")))
+    rankTopK(joined, qidCol, idCol, k)
       .select(col(qidCol), col("__rank").as("rank"), col(idCol), epsRound(col("__sim"), 4).as("cosine"))
   }
 
@@ -82,11 +119,8 @@ object Similarity {
       .join(broadcast(qs), filterCols)
       .where(if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
       .withColumn("__sim",
-        VectorExpressions.vecDot(col(vecCol), col(qvecCol)) / (col("__cn") * col("__qn")))
-    val w = Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col(idCol).asc)
-    joined
-      .withColumn("__rank", row_number().over(w))
-      .where(col("__rank") <= k)
+        cosScore(VectorExpressions.vecDot(col(vecCol), col(qvecCol)), col("__cn"), col("__qn")))
+    rankTopK(joined, qidCol, idCol, k)
       .select((Seq(col(qidCol), col("__rank").as("rank"), col(idCol)) ++
         filterCols.map(col) :+ epsRound(col("__sim"), 4).as("cosine")): _*)
   }
@@ -109,13 +143,15 @@ object Similarity {
       excludeSelf: Boolean = true
   ): DataFrame = {
     import org.apache.spark.sql.graft.TopKStructs
+    requireNumericId(candidates, idCol, "cosineTopKAgg")
     val cand = withNorm(candidates.select(col(idCol), col(vecCol)), vecCol, "__cn")
     val qs   = withNorm(queries.select(col(qidCol), col(qvecCol)), qvecCol, "__qn")
     cand
       .crossJoin(broadcast(qs))
       .where(if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
       .withColumn("__sim",
-        VectorExpressions.vecDot(col(vecCol), col(qvecCol)) / (col("__cn") * col("__qn")))
+        cosScore(VectorExpressions.vecDot(col(vecCol), col(qvecCol)), col("__cn"), col("__qn")))
+      .where(col("__sim").isNotNull)
       .select(col(qidCol),
         struct(col("__sim").as("sim"), (-col(idCol)).cast("long").as("negid"), col(idCol).as("id")).as("__s"))
       .groupBy(col(qidCol))
@@ -145,7 +181,7 @@ object Similarity {
       .crossJoin(broadcast(qs))
       .where(if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
       .withColumn("__sim",
-        VectorExpressions.vecDot(col(vecCol), col(qvecCol)) / (col("__cn") * col("__qn")))
+        cosScore(VectorExpressions.vecDot(col(vecCol), col(qvecCol)), col("__cn"), col("__qn")))
       .groupBy(col(qidCol))
       .agg(count_if(col("__sim") >= threshold).as("n_matches"))
   }
@@ -194,7 +230,8 @@ object Similarity {
         col("__chunk").as("__cb"))
     a.join(b, Seq("__cb"))
       .where(col("__ca") < col("__cb") || col("__ida") < col("__idb"))
-      .withColumn("__sim", VectorExpressions.vecDot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .withColumn("__sim",
+        cosScore(VectorExpressions.vecDot(col("__va"), col("__vb")), col("__na"), col("__nb")))
       .where(col("__sim") >= threshold)
       .select(
         least(col("__ida"), col("__idb")).as("id_a"),
@@ -234,7 +271,7 @@ object Similarity {
     a.join(b, Seq("__cell"))
       .where(col("id_a") < col("id_b"))
       .withColumn("__sim",
-        VectorExpressions.vecDot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+        cosScore(VectorExpressions.vecDot(col("__va"), col("__vb")), col("__na"), col("__nb")))
       .where(col("__sim") >= threshold)
       .select(col("id_a"), col("id_b"), epsRound(col("__sim"), 4).as("cosine"))
   }
@@ -249,6 +286,12 @@ object Similarity {
     * (>= ~0.8) or crank numTables. This is the 100 TB path;
     * [[cosineDupPairs]] is the exact anchor.
     */
+  /** @param maxBucketWidth frequency cap per (table, bucket): a degenerate
+    *   hot bucket — and a mass-duplicate corpus, this operator's very
+    *   input, produces exactly that — would otherwise self-join
+    *   quadratically. Capped buckets drop out of candidate generation;
+    *   pairs inside them usually still meet in a less-crowded table (the
+    *   same documented approximation as [[lshTopK]] and SimHash). */
   def cosineDupPairsLsh(
       vectors: DataFrame,
       idCol: String,
@@ -256,19 +299,36 @@ object Similarity {
       threshold: Double,
       numTables: Int = 8,
       planes: Int = 12,
-      dim: Int = 64
+      dim: Int = 64,
+      maxBucketWidth: Int = 100000
   ): DataFrame = {
-    val v = withNorm(vectors.select(col(idCol), col(vecCol)), vecCol, "__n")
-      .select(col(idCol), col(vecCol), col("__n"),
+    requireDimCovers(vectors, vecCol, dim)
+    // NARROW bucket membership (id only): the numTables-way explosion and
+    // the pair-dedup shuffle never carry a 64-float payload — vectors join
+    // back only after the pair set is deduplicated (the same shape lshTopK
+    // uses; carrying both vectors through the bucket self-join was ~2×dim
+    // floats per candidate row of pure shuffle waste)
+    val buckets = vectors
+      .select(col(idCol),
         posexplode(lshBuckets(col(vecCol), numTables, planes, dim)).as(Seq("__t", "__b")))
-    val a = v.select(col("__t"), col("__b"),
-      col(idCol).as("id_a"), col(vecCol).as("__va"), col("__n").as("__na"))
-    val b = v.select(col("__t"), col("__b"),
-      col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__n").as("__nb"))
-    a.join(b, Seq("__t", "__b"))
+    val narrow =
+      if (maxBucketWidth == Int.MaxValue) buckets
+      else {
+        val keep = buckets.groupBy(col("__t"), col("__b"))
+          .agg(count(lit(1)).as("__w")).where(col("__w") <= maxBucketWidth).drop("__w")
+        buckets.join(keep, Seq("__t", "__b"), "left_semi")
+      }
+    val pairs = narrow.select(col("__t"), col("__b"), col(idCol).as("id_a"))
+      .join(narrow.select(col("__t"), col("__b"), col(idCol).as("id_b")), Seq("__t", "__b"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-      .withColumn("__sim", VectorExpressions.vecDot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+    val v = withNorm(vectors.select(col(idCol), col(vecCol)), vecCol, "__n")
+    pairs
+      .join(v.select(col(idCol).as("id_a"), col(vecCol).as("__va"), col("__n").as("__na")), Seq("id_a"))
+      .join(v.select(col(idCol).as("id_b"), col(vecCol).as("__vb"), col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("__sim",
+        cosScore(VectorExpressions.vecDot(col("__va"), col("__vb")), col("__na"), col("__nb")))
       .where(col("__sim") >= threshold)
       .select(col("id_a"), col("id_b"), epsRound(col("__sim"), 4).as("cosine"))
   }
@@ -398,7 +458,8 @@ object Similarity {
       qvecCol: String,
       k: Int,
       rawCents: Array[Array[Float]],
-      nProbe: Int = 4
+      nProbe: Int = 4,
+      excludeSelf: Boolean = true
   ): DataFrame = {
     val cents = normalized(rawCents)
     val cand = withNorm(candidates.select(col(idCol), col(vecCol)), vecCol, "__cn")
@@ -406,14 +467,15 @@ object Similarity {
     val qs = withNorm(queries.select(col(qidCol), col(qvecCol)), qvecCol, "__qn")
       .withColumn("__cell", explode(probeCells(cents, nProbe)(col(qvecCol))))
 
+    // excludeSelf is a PARAMETER (like the exact paths): when queries are
+    // NOT drawn from the corpus, an id coincidence would otherwise silently
+    // drop a legitimate — possibly the nearest — neighbor
     val matched = cand
       .join(broadcast(qs), Seq("__cell"))
-      .where(col(idCol) =!= col(qidCol))
-      .withColumn("__sim", VectorExpressions.vecDot(col(vecCol), col(qvecCol)) / (col("__cn") * col("__qn")))
-    val w = Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col(idCol).asc)
-    matched
-      .withColumn("__rank", row_number().over(w))
-      .where(col("__rank") <= k)
+      .where(if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
+      .withColumn("__sim",
+        cosScore(VectorExpressions.vecDot(col(vecCol), col(qvecCol)), col("__cn"), col("__qn")))
+    rankTopK(matched, qidCol, idCol, k)
       .select(col(qidCol), col("__rank").as("rank"), col(idCol), epsRound(col("__sim"), 4).as("cosine"))
   }
 
@@ -458,7 +520,8 @@ object Similarity {
       k: Int,
       cb: Pq.Codebooks,
       rawCents: Array[Array[Float]],
-      nProbe: Int = 4
+      nProbe: Int = 4,
+      excludeSelf: Boolean = true
   ): DataFrame = {
     import org.apache.spark.sql.graft.Bridge
     import graft.functions.{PqAdc, PqLut}
@@ -472,16 +535,14 @@ object Similarity {
 
     val scored = enc
       .join(broadcast(qs), Seq("__cell"))
-      .where(col(idCol) =!= col(qidCol))
+      .where(if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
       .withColumn("__sim",
         Bridge.column(PqAdc(
           Bridge.expression(col("codes")), Bridge.expression(col("__lut")), cb.k)) /
           nullif(col("norm") * col("__qn"), lit(0.0)))
-    val w = Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col(idCol).asc)
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .select(col(qidCol), col("rank"), col(idCol), round(col("__sim"), 4).as("cosine_approx"))
+    rankTopK(scored, qidCol, idCol, k)
+      .select(col(qidCol), col("__rank").cast("long").as("rank"), col(idCol),
+        round(col("__sim"), 4).as("cosine_approx"))
   }
 
   /** Deterministic pseudo-random hyperplanes: component (t, p, i) derived
@@ -544,6 +605,7 @@ object Similarity {
       dim: Int = 64,
       maxBucketWidth: Int = 100000
   ): DataFrame = {
+    requireDimCovers(candidates, vecCol, dim)
     // narrow bucket membership: (table, bucket, id) — no vectors, no norms
     val candBuckets = candidates
       .select(col(idCol), posexplode(lshBuckets(col(vecCol), numTables, planes, dim)).as(Seq("__t", "__b")))
@@ -563,18 +625,18 @@ object Similarity {
       .select(col(idCol), col(qidCol))
       .dropDuplicates(idCol, qidCol)
 
-    // score: corpus scan + broadcast joins (pairs and queries are both
-    // bounded by |Q| x matched-bucket width — small by construction)
+    // score: corpus scan + joins back. Queries broadcast (small by
+    // assumption); the PAIR set gets NO broadcast hint — its bound is
+    // |Q| × maxBucketWidth × numTables, which the default cap allows past
+    // any broadcast limit, so let AQE pick broadcast only when it measures
+    // small (a forced broadcast here OOMs the driver on skewed corpora)
     val qs = withNorm(queries.select(col(qidCol), col(qvecCol)), qvecCol, "__qn")
     val matched = withNorm(candidates.select(col(idCol), col(vecCol)), vecCol, "__cn")
-      .join(broadcast(pairs), Seq(idCol))
+      .join(pairs, Seq(idCol))
       .join(broadcast(qs), Seq(qidCol))
       .withColumn("__sim",
-        VectorExpressions.vecDot(col(vecCol), col(qvecCol)) / (col("__cn") * col("__qn")))
-    val w = Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col(idCol).asc)
-    matched
-      .withColumn("__rank", row_number().over(w))
-      .where(col("__rank") <= k)
+        cosScore(VectorExpressions.vecDot(col(vecCol), col(qvecCol)), col("__cn"), col("__qn")))
+    rankTopK(matched, qidCol, idCol, k)
       .select(col(qidCol), col("__rank").as("rank"), col(idCol), epsRound(col("__sim"), 4).as("cosine"))
   }
 
@@ -603,6 +665,7 @@ object Similarity {
       chunkRows: Int = 1024
   ): DataFrame = {
     import org.apache.spark.sql.graft.TopKStructs
+    requireNumericId(vectors, idCol, "knnJoin")
     val n = vectors.select(col(idCol)).count()
     val nChunks = math.max(1L, (n + chunkRows - 1) / chunkRows).toInt
     val chunked = withNorm(vectors.select(col(idCol), col(vecCol)), vecCol, "__n")
@@ -617,7 +680,8 @@ object Similarity {
     a.join(b, Seq("__cb"))
       .where(col("__ida") =!= col("__idb"))
       .withColumn("__sim",
-        VectorExpressions.vecDot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+        cosScore(VectorExpressions.vecDot(col("__va"), col("__vb")), col("__na"), col("__nb")))
+      .where(col("__sim").isNotNull)
       .select(col("__ida"),
         struct(col("__sim").as("sim"), (-col("__idb")).cast("long").as("negid"),
           col("__idb").as("id")).as("__s"))
@@ -648,6 +712,7 @@ object Similarity {
       k: Int
   ): DataFrame = {
     import org.apache.spark.sql.graft.TopKStructs
+    requireNumericId(vectors, idCol, "knnJoinCells")
     val v = withNorm(vectors.select(col(idCol), col(vecCol)), vecCol, "__n")
       .join(cells.select(col(idCol), col(cellCol).as("__cell")), Seq(idCol))
     val a = v.select(col("__cell"), col(idCol).as("__ida"),
@@ -657,7 +722,8 @@ object Similarity {
     a.join(b, Seq("__cell"))
       .where(col("__ida") =!= col("__idb"))
       .withColumn("__sim",
-        VectorExpressions.vecDot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+        cosScore(VectorExpressions.vecDot(col("__va"), col("__vb")), col("__na"), col("__nb")))
+      .where(col("__sim").isNotNull)
       .select(col("__ida"),
         struct(col("__sim").as("sim"), (-col("__idb")).cast("long").as("negid"),
           col("__idb").as("id")).as("__s"))
@@ -694,14 +760,19 @@ object Similarity {
     * (max = min) encode 0. Map-only after the one-row broadcast join.
     */
   def sq8Encode(vectors: DataFrame, idCol: String, vecCol: String,
-      ranges: DataFrame): DataFrame =
+      ranges: DataFrame): DataFrame = {
+    // backquote the interpolated identifier: every other method takes the
+    // column through col(), so names needing quoting (spaces, dots) must
+    // not silently parse as something else inside this one SQL fragment
+    val v = "`" + vecCol.replace("`", "``") + "`"
     vectors.crossJoin(broadcast(ranges))
       .select(col(idCol), expr(
-        s"""transform(sequence(1, size($vecCol), 1), d -> cast(floor(
+        s"""transform(sequence(1, size($v), 1), d -> cast(floor(
            |  CASE WHEN element_at(__maxs, d) = element_at(__mins, d) THEN 0.0D
-           |       ELSE (cast(element_at($vecCol, d) as double) - element_at(__mins, d))
+           |       ELSE (cast(element_at($v, d) as double) - element_at(__mins, d))
            |            / (element_at(__maxs, d) - element_at(__mins, d)) * 255.0D
            |  END + 0.5D + 1e-9D) as int))""".stripMargin).as("codes"))
+  }
 
   /** SQ8 decode: x̂[d] = min[d] + code[d]/255 · (max[d]−min[d]) — each
     * reconstruction is within (max−min)/510 of the original by
