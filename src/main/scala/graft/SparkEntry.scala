@@ -4194,7 +4194,7 @@ object SparkEntry {
         |jp AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM s a JOIN s b
-        |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        |    ON a.lang IS NOT DISTINCT FROM b.lang AND a.len_bucket IS NOT DISTINCT FROM b.len_bucket AND a.doc_id < b.doc_id
         |  WHERE len(list_intersect(a.sh, b.sh)) > 0
         |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
         |        len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.3),
@@ -4219,7 +4219,7 @@ object SparkEntry {
         |jp AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM s a JOIN s b
-        |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        |    ON a.lang IS NOT DISTINCT FROM b.lang AND a.len_bucket IS NOT DISTINCT FROM b.len_bucket AND a.doc_id < b.doc_id
         |  WHERE len(list_intersect(a.sh, b.sh)) > 0
         |    AND len(list_intersect(a.sh, b.sh))::DOUBLE /
         |        len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.3),
@@ -4276,7 +4276,7 @@ object SparkEntry {
         |       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
         |             len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE + 1e-9, 4) AS jaccard
         |FROM s a JOIN s b
-        |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+        |  ON a.lang IS NOT DISTINCT FROM b.lang AND a.len_bucket IS NOT DISTINCT FROM b.len_bucket AND a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.sh, b.sh)) > 0
         |  AND len(list_intersect(a.sh, b.sh))::DOUBLE /
         |      len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.3

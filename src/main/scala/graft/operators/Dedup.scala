@@ -108,7 +108,7 @@ object Dedup {
     // re-runs the regex split + shingle transform up to 5x (measured ~4 s
     // of the query's ~5.5 s at sf0.1). localCheckpoint also truncates the
     // lineage the self-join would otherwise double.
-    val exm =
+    val ex =
       (if (maxShingleDf == Int.MaxValue) exAll
        else {
          // block-level shingle DOCUMENT frequency: count(*) here is exact —
@@ -127,13 +127,17 @@ object Dedup {
            .where(col("__df") <= maxShingleDf)
            .drop("__df")
        }).localCheckpoint()
-    val ex = exm
     val counts = ex.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
 
     val a = ex.alias("A")
     val b = ex.alias("B")
+    // block equality is NULL-SAFE: a NULL block value (missing lang, null
+    // length) is a block like any other — with plain ===, two identical
+    // docs in the NULL block could never pair and would silently survive
+    // dedup (the df-cap grouping above already treats NULL as a value, so
+    // === would also make the two stages disagree)
     val joinCond = blockCols
-      .map(c => col(s"A.$c") === col(s"B.$c"))
+      .map(c => col(s"A.$c") <=> col(s"B.$c"))
       .foldLeft(col("A.__id") < col("B.__id") && col("A.__s") === col("B.__s"))(_ && _)
     val common = a
       .join(b, joinCond)
@@ -162,6 +166,13 @@ object Dedup {
     * [[jaccardPairs]]), so precision is 1.0 and only recall depends on the
     * banding.
     */
+  /** @param maxBucketWidth frequency cap per band bucket (simhashPairs'
+    *   maxBucketSize, jaccardPairs' maxShingleDf — same hardening):
+    *   thousands of near-empty docs produce heavily colliding signatures,
+    *   and one degenerate bucket would self-join quadratically before
+    *   verification can prune anything. Capped buckets drop out of
+    *   candidate generation; their pairs usually still meet in another
+    *   band (documented approximation). */
   def minhashPairs(
       docs: DataFrame,
       idCol: String,
@@ -169,31 +180,26 @@ object Dedup {
       shingleN: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 3,
-      threshold: Double = 0.3
+      threshold: Double = 0.3,
+      maxBucketWidth: Int = 100000
   ): DataFrame = {
-    val numHashes = bands * rowsPerBand
     // materialized once: feeds the signature aggregate AND the exact
-    // verification join (same multi-consumer recompute as jaccardPairs)
-    val ex = docs
-      .select(col(idCol).as("__id"), split(trim(col(textCol)), "\\s+").as("__w"))
-      .select(col("__id"), explode(wordShinglesFromWords(col("__w"), shingleN)).as("__s"))
-      .withColumn("__h", xxhash64(col("__s")))
-      .localCheckpoint()
+    // verification join (same multi-consumer recompute as jaccardPairs).
+    // Shingling/signatures/banding go through the SAME private helpers the
+    // persisted-index path uses — the index format and this in-memory path
+    // must stay bit-identical, so there is exactly one definition of each.
+    val ex = explodedShingles(docs, idCol, textCol, shingleN).localCheckpoint()
+    val exploded = bandBuckets(ex, bands, rowsPerBand)
+    val bounded =
+      if (maxBucketWidth == Int.MaxValue) exploded
+      else {
+        val keep = exploded.groupBy("__bucket").agg(count(lit(1)).as("__w"))
+          .where(col("__w") <= maxBucketWidth).select("__bucket")
+        exploded.join(keep, Seq("__bucket"), "left_semi")
+      }
 
-    // all k min-hashes in ONE custom aggregate buffer (MinHashSig) + the
-    // distinct-shingle count — one aggregation pass, one update per row
-    val sig = ex.groupBy(col("__id")).agg(
-      org.apache.spark.sql.graft.MinHashSig.minhashSig(col("__h"), numHashes).as("__sig"),
-      count(lit(1)).as("__n"))
-
-    val buckets = array((0 until bands).map { bIdx =>
-      xxhash64(lit(bIdx) +: (0 until rowsPerBand).map(r =>
-        element_at(col("__sig"), bIdx * rowsPerBand + r + 1)): _*)
-    }: _*)
-    val exploded = sig.select(col("__id"), col("__n"), explode(buckets).as("__bucket"))
-
-    val candidates = exploded.select(col("__bucket"), col("__id").as("id_a"), col("__n").as("__na"))
-      .join(exploded.select(col("__bucket"), col("__id").as("id_b"), col("__n").as("__nb")), Seq("__bucket"))
+    val candidates = bounded.select(col("__bucket"), col("__id").as("id_a"), col("__n").as("__na"))
+      .join(bounded.select(col("__bucket"), col("__id").as("id_b"), col("__n").as("__nb")), Seq("__bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "__na", "__nb")
       .dropDuplicates("id_a", "id_b")
@@ -211,9 +217,7 @@ object Dedup {
 
     candidates
       .join(common, Seq("id_a", "id_b"))
-      .withColumn(
-        "jaccard",
-        col("__common").cast("double") / (col("__na") + col("__nb") - col("__common")).cast("double"))
+      .withColumn("jaccard", jaccardOf(col("__common"), col("__na"), col("__nb")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), epsRound(col("jaccard"), 4).as("jaccard"))
   }
@@ -264,7 +268,9 @@ object Dedup {
     // mutable.HashMap would be 5-10x that (the round-2 advisor flagged it).
     // (long ids only, so the fast path's output schema matches the loop's)
     val idIsLong = edges.schema.fields.head.dataType == org.apache.spark.sql.types.LongType
-    if (idIsLong && edges.count() <= smallGraphEdges) {
+    // edges holds BOTH directions of every pair — halve before comparing,
+    // or the documented 2M-UNDIRECTED-edge threshold silently gates at 1M
+    if (idIsLong && edges.count() / 2 <= smallGraphEdges) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val out = edges
@@ -457,6 +463,7 @@ object Dedup {
         val keep = exN.select("__s").unionAll(exC.select("__s"))
           .groupBy("__s").agg(count(lit(1)).as("__df"))
           .where(col("__df") <= maxShingleDf).select("__s")
+          .localCheckpoint() // feeds BOTH side joins — one df pass, not two
         (exN.join(keep, "__s"), exC.join(keep, "__s"))
       }
     val nN = cN.groupBy("__id").agg(count(lit(1)).as("__n"))
@@ -472,8 +479,38 @@ object Dedup {
       .select(col("new_id"), col("corpus_id"), epsRound(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Persist the corpus-side dedup index (one corpus scan, committed with a
-    * `_SUCCESS` marker):
+  // marker I/O goes through the HADOOP filesystem of the index path, not
+  // java.nio: the data files are written via Spark's Hadoop layer, and the
+  // two disagree on any non-local path (hdfs://, s3a:// — exactly where
+  // the 100 TB deployment keeps its index)
+  private def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def markerPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+
+  /** The build parameters recorded in the index marker, if present (a
+    * legacy empty marker yields None — nothing to validate against). */
+  private[operators] def readIndexParams(path: String): Option[Map[String, Int]] = {
+    val p = markerPath(path)
+    val fs = p.getFileSystem(hadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
+      if (txt.isEmpty) None
+      else Some(txt.split(',').map { kv =>
+        val Array(k, v) = kv.split('='); k -> v.toInt
+      }.toMap)
+    }
+  }
+
+  /** Persist the corpus-side dedup index (two corpus scans — bucket table +
+    * content-hash groups — committed with a `_SUCCESS` marker that records
+    * the build parameters):
     *  - `buckets/` — (bucket, id, n_shingles): MinHash-LSH band buckets.
     *    The incoming batch probes this with an equi-join; the corpus text
     *    is NEVER rescanned for candidate generation.
@@ -482,17 +519,25 @@ object Dedup {
     */
   def saveDedupIndex(corpus: DataFrame, idCol: String, textCol: String, path: String,
       shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 3): Unit = {
-    import java.nio.file.{Files, Paths}
+    val marker = markerPath(path)
+    val fs = marker.getFileSystem(hadoopConf())
+    // invalidate FIRST: a crash mid-overwrite must not leave the PREVIOUS
+    // build's marker blessing a half-rewritten index as committed
+    fs.delete(marker, false)
     bandBuckets(explodedShingles(corpus, idCol, textCol, shingleN), bands, rowsPerBand)
       .select(col("__id").as("id"), col("__n").as("n_shingles"), col("__bucket").as("bucket"))
       .write.mode("overwrite").parquet(s"$path/buckets")
     exactGroups(corpus, idCol, textCol)
       .write.mode("overwrite").parquet(s"$path/exact")
-    Files.write(Paths.get(path, "_SUCCESS"), Array.empty[Byte])
+    val out = fs.create(marker, true)
+    try out.write(s"shingleN=$shingleN,bands=$bands,rowsPerBand=$rowsPerBand".getBytes("UTF-8"))
+    finally out.close()
   }
 
-  def dedupIndexExists(path: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+  def dedupIndexExists(path: String): Boolean = {
+    val p = markerPath(path)
+    p.getFileSystem(hadoopConf()).exists(p)
+  }
 
   /** Incoming docs that exact-duplicate an already-ingested doc:
     * (new_id, dup_of) via the persisted content-hash index — one
@@ -520,10 +565,32 @@ object Dedup {
       shingleN: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 3,
-      threshold: Double = 0.3): DataFrame = {
+      threshold: Double = 0.3,
+      maxBucketWidth: Int = 100000): DataFrame = {
     val spark = newDocs.sparkSession
+    // parameter drift vs the persisted index is a WRONG-RESULTS bug, not a
+    // crash: different banding hashes simply match nothing (or combine
+    // mismatched shingle counts into garbage jaccard) — validate against
+    // the parameters the marker recorded at build time
+    readIndexParams(indexPath).foreach { p =>
+      val want = Map("shingleN" -> shingleN, "bands" -> bands, "rowsPerBand" -> rowsPerBand)
+      val drift = want.filter { case (k, v) => p.get(k).exists(_ != v) }
+      require(drift.isEmpty,
+        s"dedup index at $indexPath was built with ${p.mkString(",")}; probing with " +
+          drift.map { case (k, v) => s"$k=$v" }.mkString(",") + " would silently match nothing")
+    }
     val exN = explodedShingles(newDocs, idCol, textCol, shingleN).localCheckpoint()
-    val idx = spark.read.parquet(s"$indexPath/buckets")
+    val idxAll = spark.read.parquet(s"$indexPath/buckets")
+    // corpus-side hot-bucket cap, same rule as minhashPairs: the index may
+    // hold a degenerate bucket (boilerplate-heavy corpora) whose probe
+    // would fan out quadratically in candidates
+    val idx =
+      if (maxBucketWidth == Int.MaxValue) idxAll
+      else {
+        val keep = idxAll.groupBy("bucket").agg(count(lit(1)).as("__w"))
+          .where(col("__w") <= maxBucketWidth).select("bucket")
+        idxAll.join(keep, Seq("bucket"), "left_semi")
+      }
     val candidates = bandBuckets(exN, bands, rowsPerBand)
       .select(col("__bucket").as("bucket"), col("__id").as("new_id"), col("__n").as("__na"))
       .join(idx.select(col("bucket"), col("id").as("corpus_id"), col("n_shingles").as("__nb")),
@@ -562,14 +629,22 @@ object Dedup {
     * @return (canonical_id, keep_id, n_members, best_score)
     */
   def keepBest(clusters: DataFrame, members: DataFrame, idCol: String,
-      scoreCol: String): DataFrame =
-    clusters
+      scoreCol: String): DataFrame = {
+    // two-stage argmax (max score, then min id among the achievers) rather
+    // than max_by over struct(score, -id): id negation only works for
+    // numeric ids — a string id would ANSI-throw (or NULL out the
+    // tie-break, making "ties to lowest id" nondeterministic), and Dedup
+    // supports string ids everywhere else
+    val scored = clusters
       .join(members.select(col(idCol), col(scoreCol).as("__score")), Seq(idCol))
-      .groupBy(col("canonical_id"))
-      .agg(
-        max_by(col(idCol), struct(col("__score"), (-col(idCol)).cast("long"))).as("keep_id"),
-        count(lit(1)).as("n_members"),
-        max(col("__score")).as("best_score"))
+    val best = scored.groupBy(col("canonical_id"))
+      .agg(max(col("__score")).as("best_score"), count(lit(1)).as("n_members"))
+    scored.join(best, Seq("canonical_id"))
+      .where(col("__score") === col("best_score"))
+      .groupBy(col("canonical_id"), col("n_members"), col("best_score"))
+      .agg(min(col(idCol)).as("keep_id"))
+      .select(col("canonical_id"), col("keep_id"), col("n_members"), col("best_score"))
+  }
 }
 
 /** Primitive open-addressing long->long hash map (linear probing, power-of-2
