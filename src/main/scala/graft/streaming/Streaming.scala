@@ -28,15 +28,18 @@ object Streaming {
       user_id: Long, event_type: String, value: Double,
       ts: java.sql.Timestamp, event_id: Long, version: Int)
 
-  /** B1 streaming — validated append: same predicate as the batch path
-    * (graft.operators.Validation), applied to an unbounded stream. Late data
-    * beyond the watermark is dropped (the reference has no late-data policy;
-    * bitemporal created_timestamp is its only nod — SURVEY.md §1.2).
+  /** B1 streaming — validated append: the SAME Validation predicate as the
+    * batch path (one definition — a rule added there applies here too),
+    * applied to an unbounded stream. The declared watermark feeds any
+    * DOWNSTREAM stateful operator; this filter itself is stateless, so
+    * arbitrarily late rows still pass through it — Spark only drops late
+    * data at stateful operators. A pipeline needing a hard late-data gate
+    * composes this with a watermarked aggregate or dedup stage.
     */
   def validatedIngest(stream: DataFrame, activeTypes: Seq[String], watermark: String = "10 minutes"): DataFrame =
-    stream
-      .withWatermark("ts", watermark)
-      .where(col("event_type").isin(activeTypes: _*) && col("value").isNotNull)
+    graft.operators.Validation
+      .withValidation(stream.withWatermark("ts", watermark), "event_type", "value", activeTypes)
+      .where(col("is_valid")).drop("is_valid", "reject_reason")
 
   /** B1 streaming with reject routing: returns (valid, rejected) branches.
     * At scale a poison row must land in a reject sink with its reason, not
@@ -79,8 +82,13 @@ object Streaming {
     * a first-class streaming aggregate (state = one open session per
     * entity, evicted when the watermark passes session end + gap). Append
     * mode emits each session exactly once, when it can no longer grow —
-    * the production shape for "sessions to a downstream table". The batch
-    * gap-sessionize (operators.Sessionize) is its exact oracle.
+    * the production shape for "sessions to a downstream table". NOTE on
+    * oracles: the batch gap-sessionize (operators.Sessionize) is a sibling,
+    * NOT an exact oracle — `session_window` reports session_end as
+    * last-event + gap (Sessionize reports max(ts)) and breaks at gap ≥ the
+    * threshold (windows merge only on STRICT overlap; Sessionize breaks at
+    * gap > threshold). The declared-query oracle replays the
+    * `session_window` semantics directly (SparkEntry g4_session_window).
     */
   def sessionWindows(
       stream: DataFrame,
@@ -106,6 +114,18 @@ object Streaming {
     * Both keyed-state streams wrap this so the tie/dedupe/version logic
     * can't drift between them.
     */
+  // full-precision event-time ordering: java.sql.Timestamp carries
+  // sub-millisecond precision in its separate nanos field, and Spark
+  // timestamps are microsecond-resolution — ordering by getTime alone
+  // (milliseconds) truncates, so two events in the same millisecond would
+  // fall through to the event_id tie-break and the stream could keep an
+  // event the batch oracle (full TimestampType ordering) rejects.
+  // (getTime, getNanos) is a valid lexicographic key: within one
+  // millisecond getTime ties and nanos decides; across milliseconds
+  // getTime decides.
+  private def lwwKey(ts: java.sql.Timestamp, eventId: Long): (Long, Int, Long) =
+    (ts.getTime, ts.getNanos, eventId)
+
   private[streaming] def lwwWinner(
       uid: Long, etype: String,
       prev: Option[LatestState],
@@ -116,9 +136,10 @@ object Streaming {
       // equal-timestamp event with a higher event_id arriving in a later
       // micro-batch must still win, exactly as a batch recompute with
       // tieCol=event_id would decide it
-      val candidates = prev.toSeq.map(s => (s.ts.getTime, s.event_id, s)) ++
-        incoming.map(e => (e.ts.getTime, e.event_id, LatestState(uid, etype, e.value, e.ts, e.event_id, 0)))
-      val (_, _, winner) = candidates.maxBy(c => (c._1, c._2))
+      val candidates = prev.toSeq.map(s => (lwwKey(s.ts, s.event_id), s)) ++
+        incoming.map(e =>
+          (lwwKey(e.ts, e.event_id), LatestState(uid, etype, e.value, e.ts, e.event_id, 0)))
+      val winner = candidates.maxBy(_._1)._2
       if (prev.exists(p => p.ts == winner.ts && p.event_id == winner.event_id)) None
       else Some(winner.copy(version = prev.map(_.version).getOrElse(0) + 1))
     }
@@ -127,15 +148,22 @@ object Streaming {
       uid: Long, etype: String,
       events: Iterator[EventRow],
       state: GroupState[LatestState]): Option[LatestState] = {
-    val next = lwwWinner(uid, etype, state.getOption, events.toSeq)
+    // pre-reduce the iterator to its single LWW winner: a hot key's
+    // micro-batch must never materialize in executor memory (events.toSeq
+    // was O(batch) allocations; maxByOption streams at O(1))
+    val best = events.maxByOption(e => lwwKey(e.ts, e.event_id))
+    val next = lwwWinner(uid, etype, state.getOption, best.toSeq)
     next.foreach(state.update)
     next
   }
 
   /** B2 streaming — last-write-wins online snapshot via keyed state: the
     * streaming equivalent of Latest.lwwUpsert. Emits an update whenever a
-    * key's latest value changes; `version` counts writes
-    * (feature_server.py:437). State is per (user_id, event_type) — at scale
+    * key's latest value changes; `version` counts those EMITTED state
+    * transitions — the streaming analogue of the reference's per-write
+    * version (feature_server.py:437), but note it advances once per
+    * state-changing micro-batch, not once per raw event, so its value
+    * depends on delivery batching (losing writes never advance it). State is per (user_id, event_type) — at scale
     * this is hash-partitioned stream state, the exact shape RocksDB state
     * stores shard.
     */
@@ -222,7 +250,9 @@ object Streaming {
         rows: Iterator[EventRow],
         timerValues: TimerValues): Iterator[LatestState] = {
       val prev = if (state.exists()) Some(state.get()) else None
-      val next = lwwWinner(key._1, key._2, prev, rows.toSeq)
+      // same O(1)-memory pre-reduction as lwwAdvance
+      val best = rows.maxByOption(e => lwwKey(e.ts, e.event_id))
+      val next = lwwWinner(key._1, key._2, prev, best.toSeq)
       next.foreach(state.update)
       next.iterator
     }
