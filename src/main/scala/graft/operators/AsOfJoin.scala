@@ -105,6 +105,13 @@ object AsOfJoin {
     * the join window: the as-of match is the LATEST fact ≤ ts, so if it
     * falls outside the tolerance every earlier fact does too. Zero extra
     * shuffles over [[locf]].
+    *
+    * Null timestamps: a null-ts fact is "infinitely old" (it sorts before
+    * everything in [[locf]]'s carry order), so it falls outside ANY finite
+    * tolerance and is masked here even though plain [[locf]] would carry
+    * it — the "huge tolerance ≡ locf" equivalence therefore holds for
+    * non-null fact timestamps (the normal case; a null event time has no
+    * age to bound).
     */
   def locfBounded(
       spine: DataFrame,
@@ -171,6 +178,10 @@ object AsOfJoin {
       saltBuckets: Int,
       outSuffix: String = ""
   ): DataFrame = {
+    // saltBuckets = 0 would NOT error: pmod(x, 0) is NULL (non-ANSI
+    // division), sequence(0, -1) is [0, -1], NULL matches neither — every
+    // payload silently null while the row count looks right
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     val saltedSpine = spine.withColumn(
       "__salt", pmod(xxhash64(col(spineTs)), lit(saltBuckets.toLong)).cast("int"))
     val saltedFacts = facts.withColumn(
@@ -203,7 +214,11 @@ object AsOfJoin {
       outSuffix: String = ""
   ): DataFrame = {
     require(hotKeys.nonEmpty, "locfRouted needs at least one hot key — use locf otherwise")
-    val isHot = col(keyCols.head).isin(hotKeys: _*)
+    // null-safe routing: `isin` is NULL for a null key, and NOT(NULL) is
+    // also NULL, so without the coalesce a null-key spine row matches
+    // NEITHER branch and silently vanishes from the output — while locf
+    // (null is a key value) emits it. Null keys route cold.
+    val isHot = coalesce(col(keyCols.head).isin(hotKeys: _*), lit(false))
     locfSalted(spine.where(isHot), facts.where(isHot),
       keyCols, spineTs, factTs, payloadCols, tieCol, saltBuckets, outSuffix)
       .unionByName(locf(spine.where(!isHot), facts.where(!isHot),
@@ -231,6 +246,17 @@ object AsOfJoin {
     import org.apache.spark.sql.graft.Bridge
     import org.apache.spark.sql.graft.asof.{AsOfJoinNode, AsOfJoinPredicatePushdown, NativeAsOfStrategy}
 
+    // the merge-scan hash-partitions and compares keys AS TYPED: a spine
+    // int key vs a facts long key would hash equal values to DIFFERENT
+    // partitions (Murmur3 of int 5 != long 5) and the merge would silently
+    // null-extend every row — locf coerces through its union, this path
+    // cannot, so mismatched key types are an error, not a wrong answer
+    keyCols.foreach { c =>
+      val (lt, rt) = (spine.schema(c).dataType, facts.schema(c).dataType)
+      require(lt == rt,
+        s"native as-of join requires identical key types; '$c' is ${lt.simpleString} on the " +
+          s"spine and ${rt.simpleString} on the facts — cast one side first")
+    }
     val spark = spine.sparkSession
     if (!spark.experimental.extraStrategies.contains(NativeAsOfStrategy)) {
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ NativeAsOfStrategy
@@ -286,8 +312,12 @@ object AsOfJoin {
         payloadCols.map(c => col(c).as(s"__p_$c")) ++
         Seq(col(factTs).cast("timestamp").as("__fts"), col(tieCol).cast("long").as("__ftie")): _*
     )
+    // null-SAFE key equality: locf and native both treat null as a key
+    // value (window partitioning / RowOrdering group nulls together), and
+    // this formulation exists to differentially test them — plain ===
+    // would no-match null keys and report false disagreements
     val joinCond = keyCols
-      .map(c => s(c) === f(s"__k_$c"))
+      .map(c => s(c) <=> f(s"__k_$c"))
       .reduce(_ && _) && f("__fts") <= s(spineTs).cast("timestamp")
     val w = Window.partitionBy(col("__sid")).orderBy(col("__fts").desc, col("__ftie").desc)
     s.join(f, joinCond, "left")

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft.asof
 
-import org.apache.spark.sql.catalyst.expressions.AttributeSet
+import org.apache.spark.sql.catalyst.expressions.{AttributeSet, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -13,8 +13,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * node onto the spine child. (Right-side conjuncts must NOT move: a fact
   * that fails the output predicate still participates in carry-forward
   * state, so filtering facts early would change which row is "latest".)
+  *
+  * BATCH PLACEMENT MATTERS: injected via GraftExtensions this runs in the
+  * operator-optimization batch, BEFORE scan planning, so the pushed Filter
+  * reaches the data source (file/row-group pruning). The self-installing
+  * fallback in `AsOfJoin.native` uses `experimental.extraOptimizations`,
+  * which Catalyst runs as the LAST batch — there the push still prunes
+  * rows before the shuffle, but the scan itself was already planned, so
+  * source-level pruning needs the extensions path.
   */
-object AsOfJoinPredicatePushdown extends Rule[LogicalPlan] {
+object AsOfJoinPredicatePushdown extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case f @ Filter(cond, j: AsOfJoinNode) =>
       val leftAttrs = AttributeSet(j.left.output)
@@ -27,12 +35,7 @@ object AsOfJoinPredicatePushdown extends Rule[LogicalPlan] {
           .map(Filter(_, pushed)).getOrElse(pushed)
       }
   }
-
-  private def splitConjunctivePredicates(
-      condition: org.apache.spark.sql.catalyst.expressions.Expression
-  ): Seq[org.apache.spark.sql.catalyst.expressions.Expression] = condition match {
-    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-      splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
-    case other => other :: Nil
-  }
+  // splitConjunctivePredicates comes from PredicateHelper — the same trait
+  // every built-in pushdown rule mixes in (a private re-implementation
+  // could drift from Catalyst's)
 }

@@ -156,6 +156,25 @@ class AsOfJoinSpec extends SparkSpec {
         hotKeys = Seq.empty, saltBuckets = 4))
   }
 
+  test("locfRouted and thetaWindow keep null-key rows, matching locf") {
+    // `isin` is NULL for a null key, and NOT(NULL) is NULL too — without
+    // null-safe routing a null-key spine row matched neither branch and
+    // silently vanished; thetaWindow's === likewise no-matched null keys
+    val f = Seq(("u1", ts("2024-01-01 00:00:00"), 1L, 10.0),
+      (null.asInstanceOf[String], ts("2024-01-02 00:00:00"), 2L, 99.0))
+      .toDF("k", "fts", "tie", "v")
+    val s = Seq(("u1", ts("2024-01-05 00:00:00"), "s1"),
+      (null.asInstanceOf[String], ts("2024-01-05 00:00:00"), "s_null"))
+      .toDF("k", "sts", "tag")
+    def out(df: org.apache.spark.sql.DataFrame) = df.select("tag", "v").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val viaLocf = out(AsOfJoin.locf(s, f, Seq("k"), "sts", "fts", Seq("v"), "tie"))
+    assert(viaLocf == Map("s1" -> 10.0, "s_null" -> 99.0)) // null is a key value
+    assert(out(AsOfJoin.locfRouted(s, f, Seq("k"), "sts", "fts", Seq("v"), "tie",
+      hotKeys = Seq("u1"), saltBuckets = 2)) == viaLocf)
+    assert(out(AsOfJoin.thetaWindow(s, f, Seq("k"), "sts", "fts", Seq("v"), "tie")) == viaLocf)
+  }
+
   test("locfBounded: stale matches null out, in-window matches identical to locf") {
     // tolerance 4 days: s1 matches the 01-05 fact (0s old, kept); s2's
     // match is the 01-01 fact (1 day old, kept); with tolerance 0 only
