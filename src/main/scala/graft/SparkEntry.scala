@@ -3628,7 +3628,7 @@ object SparkEntry {
       |  SELECT doc_id, lang, source, text,
       |         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
       |         length(text) AS n_chars,
-      |         len(list_filter(string_split_regex(trim(text), '\s+'),
+      |         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
       |             w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], w))) AS n_stop
       |  FROM documents WHERE doc_id % 50 <> 0),
       |q AS (
@@ -4302,7 +4302,7 @@ object SparkEntry {
         |  SELECT doc_id, lang, source, text,
         |         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
         |         length(text) AS n_chars,
-        |         len(list_filter(string_split_regex(trim(text), '\s+'),
+        |         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
         |             w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], w))) AS n_stop
         |  FROM documents WHERE doc_id % 3 = 0),
         |q AS (
@@ -4602,7 +4602,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
         |         length(text) AS n_chars,
-        |         len(list_filter(string_split_regex(trim(text), '\s+'),
+        |         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
         |             w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], w))) AS n_stop
         |  FROM documents)
         |SELECT doc_id, n_tokens::BIGINT AS n_tokens,
@@ -4980,7 +4980,7 @@ object SparkEntry {
         |  SELECT doc_id, lang,
         |         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
         |         length(text) AS n_chars,
-        |         len(list_filter(string_split_regex(trim(text), '\s+'),
+        |         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
         |             w -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], w))) AS n_stop
         |  FROM documents),
         |q AS (

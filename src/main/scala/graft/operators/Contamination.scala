@@ -35,7 +35,11 @@ object Contamination {
 
   private def tokenized(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n-gram size must be positive, got $n")
-    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+    // blank-doc guard: split("") is [""], which passes size >= 1 and would
+    // make "" a gram at n = 1 — flagging every blank doc as contaminated
+    // by a blank bench row (and "" as boilerplate past minDocs)
+    df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
       .where(size(col("__t")) >= n)
   }
 
@@ -51,7 +55,11 @@ object Contamination {
     */
   def contaminationReport(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
-    val benchGrams = ngrams(bench, idCol, textCol, n).select(col("gram")).distinct()
+    // the bench side only contributes its GRAM SET — don't force it to
+    // carry the corpus's id column (an eval set with a differently-named
+    // id would otherwise fail analysis on a column nothing uses)
+    val benchGrams = ngrams(bench.select(col(textCol), lit(0L).as("__bid")),
+      "__bid", textCol, n).select(col("gram")).distinct()
     ngrams(corpus, idCol, textCol, n)
       .join(broadcast(benchGrams), Seq("gram"))
       .groupBy(col(idCol))
@@ -76,7 +84,9 @@ object Contamination {
   def contaminationFlags(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n-gram size must be positive, got $n")
-    val benchGrams = ngrams(bench, idCol, textCol, n)
+    // gram-set only — no id coupling (same as contaminationReport)
+    val benchGrams = ngrams(bench.select(col(textCol), lit(0L).as("__bid")),
+      "__bid", textCol, n)
       .select(col("gram")).distinct().withColumn("__hit", lit(1))
     corpus
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
@@ -129,5 +139,6 @@ object Contamination {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"), countDistinct(col("gram")).as("n_distinct"))
       .withColumn("rep_ratio",
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams") + lit(1e-9), 6))
+        graft.functions.Fns.epsRound(
+          lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
 }

@@ -20,12 +20,16 @@ object TextAnalysis {
   /** Per-doc descriptive stats. */
   def withStats(docs: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
     docs
       .withColumn("n_chars_calc", length(t))
       .withColumn("n_tokens", Fns.tokenCount(t))
+      // stopword matching is case-INSENSITIVE (the dictionary is lowercase;
+      // langId and rollingFingerprint lowercase too): matching raw tokens
+      // missed every sentence-initial "The"/"In"/..., systematically
+      // depressing the stopword score and silently dropping clean docs at
+      // the quality gate
       .withColumn("n_stopwords",
-        size(filter(toks, w => array_contains(array(StopwordsEn.map(lit): _*), w))))
+        size(filter(tokens(lower(t)), w => array_contains(array(StopwordsEn.map(lit): _*), w))))
       .withColumn("avg_token_len",
         when(col("n_tokens") > 0, length(t).cast("double") / col("n_tokens")).otherwise(lit(0.0)))
   }
@@ -39,11 +43,11 @@ object TextAnalysis {
     val stopRatio   = when(nTokens > 0, nStopwords.cast("double") / nTokens).otherwise(lit(0.0))
     val stopScore   = least(lit(1.0), stopRatio * lit(5.0))
     val lenScore    = least(lit(1.0), avgTokenLen / lit(8.0))
-    // +1e-9 before rounding: the weighted sum can land exactly on a .00005
-    // boundary, where Spark (BigDecimal-exact HALF_UP) and DuckDB
-    // (std::round of the scaled double) disagree; the epsilon pushes both
+    // epsRound: the weighted sum can land exactly on a .00005 boundary,
+    // where Spark (BigDecimal-exact HALF_UP) and DuckDB (std::round of the
+    // scaled double) disagree; the shared epsilon helper pushes both
     // engines to the same side (oracle SQL applies the same epsilon)
-    round(lengthScore * lit(0.4) + stopScore * lit(0.3) + lenScore * lit(0.3) + lit(1e-9), 4)
+    Fns.epsRound(lengthScore * lit(0.4) + stopScore * lit(0.3) + lenScore * lit(0.3), 4)
   }
 
   /** n-gram/stopword language-ID heuristic: score each language's stopword
@@ -71,11 +75,15 @@ object TextAnalysis {
     * h*31+x fold would throw ARITHMETIC_OVERFLOW on Spark 4 defaults).
     */
   def rollingFingerprint(text: Column): Column =
-    aggregate(
-      tokens(lower(trim(text))),
-      lit(0L),
-      (acc, t) => xxhash64(acc, t)
-    )
+    // blank text yields the empty-fold seed 0L, not xxhash64(0, "") — the
+    // fp = fold(tokens, ...) identity for zero tokens (split("") is [""],
+    // which Fns.tokenCount also special-cases to 0 tokens)
+    when(length(trim(text)) === 0, lit(0L)).otherwise(
+      aggregate(
+        tokens(lower(trim(text))),
+        lit(0L),
+        (acc, t) => xxhash64(acc, t)
+      ))
 
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
     * 2003 — the MOSS algorithm): from each document's word k-grams, every
@@ -193,6 +201,10 @@ object TextAnalysis {
         col("pos").cast("long").as("chunk_idx"),
         org.apache.spark.sql.functions.size(col("col")).cast("long").as("n_tokens"),
         array_join(col("col"), " ").as("chunk"))
+      // stride > size can overshoot: the ceil window count then produces a
+      // start past the doc's end, whose slice is the empty array — a bogus
+      // zero-token "training example" the ragged-tail contract forbids
+      .where(col("n_tokens") > 0)
   }
 
   // ---- corpus-statistics ranking (TF-IDF / BM25 / unigram LM) ------------
@@ -214,7 +226,10 @@ object TextAnalysis {
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
+    // blank-doc guard (same as chunkWindows/packSequences): split("") is
+    // [""], a phantom term that would otherwise enter the df table
     val tf = docs
+      .where(length(trim(col(textCol))) > 0)
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).cast("double").as("tf"))
     val dfTbl = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
@@ -240,10 +255,17 @@ object TextAnalysis {
     * avgdl are 1-row/|q|-row frames broadcast back; the final top-k is a
     * TakeOrdered, never a global sort.
     */
+  /** NOTE: `queryTerms` has SET semantics (isin dedups); a term repeated in
+    * the query contributes once, unlike textbook Okapi's bag-of-terms sum —
+    * pre-expand the per-term contributions externally if multiplicity
+    * weighting is needed. Blank docs are excluded (phantom "" token would
+    * deflate avgdl for every real doc). */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val base = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+    val base = docs
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
       .select(col(idCol), col("__t"),
         org.apache.spark.sql.functions.size(col("__t")).cast("double").as("__dl"))
     val stats = base.agg(avg("__dl").as("__avgdl"), count(lit(1)).cast("double").as("__n"))
@@ -275,7 +297,9 @@ object TextAnalysis {
     * one more partial-agg shuffle.
     */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val toks = docs
+      .where(length(trim(col(textCol))) > 0) // phantom "" token guard
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val total  = toks.agg(count(lit(1)).cast("double").as("__total"))
     val counts = toks.groupBy("term").agg(count(lit(1)).cast("double").as("__cnt"))
     toks
@@ -358,6 +382,12 @@ object TextAnalysis {
     * single-task sort, no data rows on the driver — the two-pass scan a
     * 1000-executor cumsum uses. The chunk fan-out after that is map-only
     * arithmetic (`sequence` + `explode`).
+    *
+    * PRECONDITION: `idCol` must be duplicate-free — the prefix-sum's
+    * within-partition window orders by it, and tied keys make the
+    * exclusive offsets (hence the chunk spans) nondeterministic between
+    * executions (the same hazard [[graft.operators.Rank.withGlobalRank]]
+    * documents for the identical construction).
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
       capacity: Int, numPartitions: Int = 0): DataFrame = {
