@@ -4864,7 +4864,7 @@ object SparkEntry {
     "h5_split" ->
       """WITH b AS (
         |  SELECT lang,
-        |         ((doc_id % 2147483648) * 2654435761 % 2147483648) // 21474837 AS bucket
+        |         coalesce(((doc_id % 2147483648) * 2654435761 % 2147483648) // 21474837, 0) AS bucket
         |  FROM documents)
         |SELECT lang,
         |  CASE WHEN bucket < 80 THEN 'train'
@@ -4882,11 +4882,11 @@ object SparkEntry {
       """WITH t AS (
         |  SELECT doc_id, source,
         |         len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
-        |         ((doc_id % 2147483648) * 2654435761 % 2147483648) // 21474837 AS bucket
+        |         ((doc_id % 2147483648) * 2654435761 % 2147483648) AS h
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, source, n_tokens,
-        |         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY bucket, doc_id
+        |         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
         |  FROM t)
         |SELECT doc_id, source, n_tokens,
@@ -4920,7 +4920,7 @@ object SparkEntry {
       """WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
         |m AS (SELECT min(n) AS nmin FROM c),
         |r AS (SELECT lang,
-        |        CAST(floor(100.0 * pow(n / nmin, 1.0 / 2.0 - 1.0) + 0.5 + 1e-9) AS BIGINT) AS pct
+        |        greatest(1, CAST(floor(100.0 * pow(n / nmin, 1.0 / 2.0 - 1.0) + 0.5 + 1e-9) AS BIGINT)) AS pct
         |      FROM c, m),
         |kept AS (
         |  SELECT d.doc_id, d.lang,

@@ -35,7 +35,11 @@ object Sampling {
     s"pmod(pmod(cast($idCol as bigint), 2147483648) * 2654435761, 2147483648) div 21474837")
 
   def withSplit(df: DataFrame, idCol: String, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val bucket = hashBucket(idCol)
+    // null ids hash to NULL, which matches NEITHER when() branch and would
+    // fall through to 'test' — silently concentrating every malformed row
+    // in exactly the split used for evaluation. Route them to 'train'
+    // instead (the split that tolerates noise best), deterministically.
+    val bucket = coalesce(hashBucket(idCol), lit(0))
     df.withColumn("split",
       when(bucket < trainPct, lit("train"))
         .when(bucket < trainPct + valPct, lit("val"))
@@ -91,8 +95,13 @@ object Sampling {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "temperatureMix on an empty frame")
     val nMin = counts.values.min.toDouble
+    // floor at 1%: a keep fraction under 0.5% would round to pct = 0 and
+    // ELIMINATE the group entirely (at T=2 any group >~40000x the smallest
+    // hits this) — temperature mixing downsamples, it never deletes a
+    // group from the corpus
     val pctByGroup = counts.map { case (g, n) =>
-      g -> math.floor(100.0 * math.pow(n / nMin, 1.0 / temperature - 1.0) + 0.5 + 1e-9).toInt
+      g -> math.max(1,
+        math.floor(100.0 * math.pow(n / nMin, 1.0 / temperature - 1.0) + 0.5 + 1e-9).toInt)
     }
     domainMix(df, groupCol, idCol, pctByGroup)
   }
@@ -120,8 +129,14 @@ object Sampling {
   def tokenBudget(df: DataFrame, sourceCol: String, idCol: String,
       nTokensCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    // order by the FULL 31-bit hash (uniformSample's key), not the coarse
+    // 0..99 bucket: with the bucket, the boundary bucket is cut in raw-id
+    // order, and for monotone ids that means "the oldest documents" — a
+    // temporal bias this operator's contract explicitly forbids
     val w = Window.partitionBy(col(sourceCol))
-      .orderBy(hashBucket(idCol).asc, col(idCol).asc)
+      .orderBy(expr(
+        s"pmod(pmod(cast($idCol as bigint), 2147483648) * 2654435761, 2147483648)").asc,
+        col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("__before", coalesce(sum(col(nTokensCol)).over(w), lit(0L)))
       .where(col("__before") < budget)
@@ -164,6 +179,17 @@ object Sampling {
   def prioritySample(df: DataFrame, groupCol: String, idCol: String,
       weightCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
+    // the priority product weight * 2^31 overflows bigint at weight >= 2^32
+    // (ANSI crash, or silently INVERTED ranking without ANSI), and zero/
+    // negative weights make the "highest priority" contract meaningless —
+    // enforce the documented positive bounded-integer domain up front
+    val wc = df.schema(weightCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType).contains(wc),
+      s"weightCol '$weightCol' must be an integral column, got ${wc.simpleString}")
+    val badW = df.where(col(weightCol) <= 0 || col(weightCol) >= lit(4294967296L)).limit(1).count()
+    require(badW == 0L,
+      s"prioritySample weights must be in [1, 2^32): found out-of-range values in '$weightCol'")
     val pr = expr(
       s"""cast($weightCol as bigint) * 2147483648L div
          |  (pmod(pmod(cast($idCol as bigint), 2147483648) * 2654435761, 2147483648) + 1L)"""

@@ -231,7 +231,10 @@ class FeatureStore(val spark: SparkSession) {
     * dict) and accepts None for every type; here every value_type requires
     * its declared storage column ([[storageColFor]]) to be non-null, and a
     * row carrying a value in the WRONG storage column is rejected, not
-    * coerced.
+    * coerced. One documented LOOSENING vs the reference: int32/int64
+    * values arrive through the double storage column, so a fractional
+    * double tagged int passes here where the reference's isinstance(v,
+    * int) would raise — integral-ness is the ingester's contract.
     *
     * Input df columns: entity_id, feature_name, event_timestamp, and
     * whichever of value_double / value_string / value_bool /
@@ -404,7 +407,15 @@ class FeatureStore(val spark: SparkSession) {
     * no per-row loops anywhere.
     */
   def getPointInTimeFeatures(spine: DataFrame, featureNames: Seq[String]): DataFrame = {
-    val nameForId = features.values.map(f => f.name -> f.feature_id).toMap
+    // DETERMINISTIC name resolution: several versions of one name coexist
+    // by design (feature_id hashes name:version:entityType), and a plain
+    // toMap kept whichever id hash iteration yielded last — training
+    // enrichment could silently read a deprecated version's facts on one
+    // store instance and the active version's on another. Prefer active
+    // status, then the highest version string, always the same winner.
+    val nameForId = features.values.toSeq
+      .sortBy(f => (f.status == "active", f.version, f.feature_id))
+      .map(f => f.name -> f.feature_id).toMap
     featureNames.foldLeft(spine) { (acc, fname) =>
       val fid = nameForId.getOrElse(fname, "")
       val facts = values
@@ -469,6 +480,19 @@ class FeatureStore(val spark: SparkSession) {
       now: Timestamp): Either[String, Feature] = {
     val missing = parentIds.filterNot(features.contains)
     if (missing.nonEmpty) return Left(s"unknown parents: ${missing.mkString(",")}")
+    // cross-entity-type parents can never co-pivot: materializeDerived
+    // groups latest values by (entity_id, entity_type), so an entity
+    // splits into per-type rows, each missing the other type's parent,
+    // and the all-parents-present filter drops EVERYTHING — reject the
+    // misconfiguration here where it is visible, not as a silent 0 rows
+    val parentTypes = parentIds.map(id => features(id).schema.entity_type).distinct
+    if (parentTypes.size > 1)
+      return Left(s"derived parents span entity types ${parentTypes.mkString(",")}; " +
+        "a derived feature needs co-typed parents")
+    // derived values are computed as doubles and stored in value_double —
+    // any other declared value_type would disagree with the fact-log tag
+    if (schema.value_type != "float64")
+      return Left(s"derived features are float64-valued; got '${schema.value_type}'")
     registerFeature(name, version, schema,
       FeatureSourceMeta("derived", transformation_logic = sqlExpr), owner, now)
       .map { f =>
@@ -489,6 +513,10 @@ class FeatureStore(val spark: SparkSession) {
   def materializeDerived(derivedId: String, asOf: Timestamp, now: Timestamp): Long = {
     val f = features.getOrElse(derivedId, return 0L)
     if (f.source.source_type != "derived" || f.dependencies.isEmpty) return 0L
+    // the same active-only-writes gate ingestValues and
+    // materializeAllDerived enforce: a draft/deprecated derived feature
+    // must not append servable facts
+    if (f.status != "active") return 0L
     val parentNames = f.dependencies.map(id => features(id).name)
     val idToName = typedLit(f.dependencies.zip(parentNames).toMap)
 
