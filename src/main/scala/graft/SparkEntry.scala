@@ -375,18 +375,29 @@ object SparkEntry {
     val base = Tables.events(s, dir).select(
       col("user_id").cast("string").as("entity_id"),
       col("ts").as("event_timestamp"), col("value"), col("event_type"))
-    def typed(name: String, valueCol: String, v: Column): DataFrame =
-      base.select(col("entity_id"), lit(name).as("feature_name"),
-        v.as(valueCol), col("event_timestamp"))
-    val batch = typed("f_score", "value_double", col("value"))
-      .unionByName(typed("f_count", "value_double", floor(col("value")).cast("double")), allowMissingColumns = true)
-      .unionByName(typed("f_flag", "value_bool", col("value") > 50), allowMissingColumns = true)
-      .unionByName(typed("f_seen", "value_timestamp", col("event_timestamp")), allowMissingColumns = true)
-      .unionByName(typed("f_tags", "value_array_string", array(col("event_type"), lit("evt"))), allowMissingColumns = true)
-      .unionByName(
-        typed("f_vec", "value_array_double",
-          when(col("value").isNotNull, array(col("value"), col("value") * 2))),
-        allowMissingColumns = true)
+    // ONE scan of events: each row emits an array of six typed structs
+    // (one per feature) inlined map-side — the previous formulation union'd
+    // six branches, each re-scanning the fact table (6× the input I/O for
+    // the same rows; at 100 TB that is six full passes instead of one)
+    val nD  = lit(null).cast("double")
+    val nB  = lit(null).cast("boolean")
+    val nT  = lit(null).cast("timestamp")
+    val nAS = lit(null).cast("array<string>")
+    val nAD = lit(null).cast("array<double>")
+    def tRow(name: String, d: Column = nD, b: Column = nB, t: Column = nT,
+        as: Column = nAS, ad: Column = nAD): Column =
+      struct(lit(name).as("feature_name"), d.cast("double").as("value_double"),
+        b.cast("boolean").as("value_bool"), t.cast("timestamp").as("value_timestamp"),
+        as.cast("array<string>").as("value_array_string"),
+        ad.cast("array<double>").as("value_array_double"))
+    val batch = base.select(col("entity_id"), col("event_timestamp"),
+      inline(array(
+        tRow("f_score", d = col("value")),
+        tRow("f_count", d = floor(col("value")).cast("double")),
+        tRow("f_flag", b = col("value") > 50),
+        tRow("f_seen", t = col("event_timestamp")),
+        tRow("f_tags", as = array(col("event_type"), lit("evt"))),
+        tRow("f_vec", ad = when(col("value").isNotNull, array(col("value"), col("value") * 2))))))
     fs.ingestValues(batch, ids, now)
 
     fs.valuesDF
@@ -1434,19 +1445,22 @@ object SparkEntry {
     */
   private def g1Simhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val out = Dedup.simhash(docs, "doc_id", "text").localCheckpoint()
+    // the text-identity hash rides the signature group-by (carryCols), so
+    // certificate + declared result share ONE corpus scan — the r5 version
+    // re-scanned documents and joined back just to attach __h
+    val out = Dedup.simhash(docs.withColumn("__h", xxhash64(col("text"))),
+        "doc_id", "text", carryCols = Seq("__h"))
+      .localCheckpoint()
     // in-query certificate: SimHash is a function of the token bag — every
     // group of byte-identical texts must collapse to exactly one signature
     // (a split group means the signature depends on something beyond the
     // text: the one failure mode that silently breaks downstream bucketing)
     // xxhash64 as the text-identity key: the certificate only groups rows,
     // and a 64-bit collision among fixture-scale distinct texts is ~1e-11
-    val split = docs.select(col("doc_id"), xxhash64(col("text")).as("__h"))
-      .join(out, "doc_id")
-      .groupBy("__h").agg(countDistinct(col("simhash")).as("__n"))
+    val split = out.groupBy("__h").agg(countDistinct(col("simhash")).as("__n"))
       .where(col("__n") > 1).count()
     require(split == 0L, s"g1_simhash: $split duplicate-text groups got differing signatures")
-    out.orderBy("doc_id")
+    out.select("doc_id", "simhash").orderBy("doc_id")
   }
 
   /** Build-once persisted dedup index over the "already-ingested" corpus
@@ -2244,25 +2258,34 @@ object SparkEntry {
   private def g3VocabApprox(s: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(s, dir)
       .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("word"))
-    val approx = words.groupBy("lang")
-      .agg(approx_count_distinct(col("word"), 0.02).as("n_words_approx"))
-      .localCheckpoint() // few rows; cert + returned frame share one HLL pass
+    // sketch + exact reference in ONE aggregation over one corpus scan
+    // (Spark plans the mixed distinct/HLL agg as a single Expand pass);
+    // the r5 version aggregated the exploded words twice
+    val both = words.groupBy("lang")
+      .agg(approx_count_distinct(col("word"), 0.02).as("n_words_approx"),
+        countDistinct(col("word")).as("__exact"))
+      .localCheckpoint() // few rows; cert + returned frame share the pass
     // in-query certificate: the HLL++ estimate at rsd=0.02 must land within
     // ±10% of the exact per-language distinct count, on the driver's own run
-    val worst = approx
-      .join(words.groupBy("lang").agg(countDistinct(col("word")).as("__exact")), "lang")
+    val worst = both
       .agg(max(abs(col("n_words_approx") - col("__exact")) / col("__exact")))
       .collect().head.getDouble(0)
     require(worst <= 0.10,
       f"g3_vocab_approx: relative error $worst%.4f above the 10%% envelope")
-    approx.orderBy("lang")
+    both.select("lang", "n_words_approx").orderBy("lang")
   }
 
   /** G3 — rolling-hash fingerprint (rows-only: xxhash64 Spark-specific). */
   private def g3Fingerprint(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // fingerprint + token-identity key computed in the SAME corpus scan and
+    // pinned with one localCheckpoint; the r5 version re-derived the
+    // fingerprint in a second pass just for the certificate
     val out = docs
-      .select(col("doc_id"), TextAnalysis.rollingFingerprint(col("text")).as("fingerprint"))
+      .select(col("doc_id"),
+        TextAnalysis.rollingFingerprint(col("text")).as("fingerprint"),
+        xxhash64(concat_ws(" ", split(trim(lower(col("text"))), "\\s+"))).as("__h"))
+      .localCheckpoint()
     // in-query certificate: the fingerprint must be exactly as fine as its
     // own normalization unit — the lowercased token sequence (the operator
     // folds tokens(lower(trim(text))), so case/whitespace variants SHOULD
@@ -2273,10 +2296,7 @@ object SparkEntry {
     // identity key — a collision among fixture-scale distinct texts is
     // ~1e-11. (Keying on RAW text would assert an invariant the operator
     // deliberately does not provide.)
-    val st = docs
-      .select(xxhash64(concat_ws(" ",
-          split(trim(lower(col("text"))), "\\s+"))).as("__h"),
-        TextAnalysis.rollingFingerprint(col("text")).as("fingerprint"))
+    val st = out
       .agg(countDistinct(col("__h")).as("nh"),
         countDistinct(col("fingerprint")).as("nf"),
         countDistinct(col("__h"), col("fingerprint")).as("nhf"))
@@ -2285,7 +2305,7 @@ object SparkEntry {
       s"g3_fingerprint: some duplicate-text group got differing fingerprints")
     require(st.getLong(1) == st.getLong(0),
       s"g3_fingerprint: fingerprint collision across distinct texts (${st.getLong(0)} texts, ${st.getLong(1)} fingerprints)")
-    out.orderBy("doc_id")
+    out.select("doc_id", "fingerprint").orderBy("doc_id")
   }
 
   /** G3 — winnowing fingerprints (the MOSS copy-detection scheme): every
@@ -4122,9 +4142,13 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
     "e11_quantile_bins" ->
       """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
-        |q AS (SELECT event_type, list_transform(quantile_cont(value, [0.25, 0.5, 0.75]),
-        |                                        qq -> round(qq + 1e-9, 6)) AS qs
-        |      FROM e GROUP BY event_type),
+        |q0 AS (SELECT event_type, quantile_cont(value, [0.25, 0.5, 0.75]) AS qs0
+        |       FROM e GROUP BY event_type),
+        |q AS (SELECT event_type,
+        |             CASE WHEN list_aggregate(list_transform(qs0, x -> abs(x)), 'max') < 1e-4
+        |                  THEN qs0
+        |                  ELSE list_transform(qs0, qq -> round(qq + 1e-9, 6)) END AS qs
+        |      FROM q0),
         |b AS (SELECT e.event_type, e.value,
         |             (4 - len(list_filter(q.qs, qq -> e.value <= qq)))::INT AS bin
         |      FROM e JOIN q USING (event_type))
@@ -5017,10 +5041,14 @@ object SparkEntry {
       """WITH ev AS (SELECT event_type, value, ts FROM events WHERE value IS NOT NULL),
         |ref AS (SELECT event_type, value FROM ev WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'),
         |cur AS (SELECT event_type, value FROM ev WHERE ts >  TIMESTAMP '2024-01-15 00:00:00'),
+        |edges0 AS (SELECT event_type,
+        |                  quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs0
+        |           FROM ref GROUP BY event_type),
         |edges AS (SELECT event_type,
-        |                 list_transform(quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
-        |                                e -> round(e + 1e-9, 6)) AS qs
-        |          FROM ref GROUP BY event_type),
+        |                 CASE WHEN list_aggregate(list_transform(qs0, x -> abs(x)), 'max') < 1e-4
+        |                      THEN qs0
+        |                      ELSE list_transform(qs0, e -> round(e + 1e-9, 6)) END AS qs
+        |          FROM edges0),
         |rb AS (SELECT r.event_type,
         |              (10 - len(list_filter(e.qs, q -> r.value <= q)))::INT AS bin,
         |              count(*) AS c
@@ -5045,10 +5073,14 @@ object SparkEntry {
       """WITH ev AS (SELECT event_type, value, ts FROM events WHERE value IS NOT NULL),
         |ref AS (SELECT event_type, value FROM ev WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'),
         |cur AS (SELECT event_type, value FROM ev WHERE ts >  TIMESTAMP '2024-01-15 00:00:00'),
+        |edges0 AS (SELECT event_type,
+        |                  quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs0
+        |           FROM ref GROUP BY event_type),
         |edges AS (SELECT event_type,
-        |                 list_transform(quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
-        |                                e -> round(e + 1e-9, 6)) AS qs
-        |          FROM ref GROUP BY event_type),
+        |                 CASE WHEN list_aggregate(list_transform(qs0, x -> abs(x)), 'max') < 1e-4
+        |                      THEN qs0
+        |                      ELSE list_transform(qs0, e -> round(e + 1e-9, 6)) END AS qs
+        |          FROM edges0),
         |rb AS (SELECT r.event_type,
         |              (10 - len(list_filter(e.qs, q -> r.value <= q)))::INT AS bin,
         |              count(*) AS c

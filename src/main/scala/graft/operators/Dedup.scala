@@ -357,17 +357,22 @@ object Dedup {
     * single groupBy with 64 partial-aggregable sums (one pass, map-side
     * combine — scales linearly).
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("__t"))
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    // carryCols ride the per-doc group-by unchanged (they are functionally
+    // dependent on the doc id) — lets a caller keep e.g. a text-identity
+    // hash next to the signature without a second corpus scan
+    val keys = (idCol +: carryCols).map(col)
+    val tok = docs.select(keys :+ explode(split(trim(col(textCol)), "\\s+")).as("__t"): _*)
       .withColumn("__h", xxhash64(col("__t")))
     val sums = (0 until 64).map { j =>
       sum(when(shiftright(col("__h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__s$j")
     }
-    val withSums = tok.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    val withSums = tok.groupBy(keys: _*).agg(sums.head, sums.tail: _*)
     val bitsExpr = (0 until 64)
       .map(j => when(col(s"__s$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
       .reduce((x, y) => x.bitwiseOR(y))
-    withSums.select(col(idCol), bitsExpr.as("simhash"))
+    withSums.select(keys :+ bitsExpr.as("simhash"): _*)
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming, using
@@ -492,8 +497,11 @@ object Dedup {
   private def markerPath(path: String) =
     new org.apache.hadoop.fs.Path(path, "_SUCCESS")
 
-  /** The build parameters recorded in the index marker, if present (a
-    * legacy empty marker yields None — nothing to validate against). */
+  /** The build parameters recorded in the index marker, if present. Parses
+    * tolerantly: a legacy empty marker, a `_SUCCESS` written by another
+    * tool (Spark/Hadoop committers can emit non-empty JSON markers), or a
+    * truncated write all yield None — "nothing to validate against", never
+    * a crash that takes down every probe of an otherwise valid index. */
   private[operators] def readIndexParams(path: String): Option[Map[String, Int]] = {
     val p = markerPath(path)
     val fs = p.getFileSystem(hadoopConf())
@@ -501,10 +509,12 @@ object Dedup {
     else {
       val in = fs.open(p)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
-      if (txt.isEmpty) None
-      else Some(txt.split(',').map { kv =>
-        val Array(k, v) = kv.split('='); k -> v.toInt
-      }.toMap)
+      val kv = "([A-Za-z_][A-Za-z0-9_]*)=(-?\\d+)".r
+      txt.split(',').map(_.trim) match {
+        case parts if parts.nonEmpty && parts.forall(kv.matches) =>
+          Some(parts.map { case kv(k, v) => k -> v.toInt }.toMap)
+        case _ => None // empty, foreign-format, or truncated marker
+      }
     }
   }
 

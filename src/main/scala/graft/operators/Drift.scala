@@ -48,10 +48,17 @@ object Drift {
     // at sf0.1, one flipped row moved PSI by 1e-4. On the decimal grid the
     // edge is bit-identical across engines unless the unrounded values
     // straddle a rounding boundary within ~1e-13 (vanishing, vs certain
-    // over enough data for the raw-ulp case).
+    // over enough data for the raw-ulp case). GUARD: when every edge sits
+    // below 1e-4 in magnitude (normalized rates, tiny ratios) the 6-dp grid
+    // would collapse all edges to one point and PSI would silently report
+    // ~0 drift — those groups keep their exact interpolated edges instead
+    // (per-group decision, so an oracle replays it deterministically).
     val edges = ref.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"transform(percentile($valueCol, array(${probs.mkString("D,")}D)), " +
-        "e -> round(e + 1e-9, 6))").as("__qs"))
+      .agg(expr(s"percentile($valueCol, array(${probs.mkString("D,")}D))").as("__raw"))
+      .withColumn("__qs", expr(
+        "CASE WHEN aggregate(__raw, 0D, (a, x) -> greatest(a, abs(x))) < 1e-4 " +
+          "THEN __raw ELSE transform(__raw, e -> round(e + 1e-9, 6)) END"))
+      .drop("__raw")
 
     def binned(df: DataFrame): DataFrame = {
       val cond = groupCols.map(c => df(c) <=> edges(c)).reduce(_ && _)

@@ -72,10 +72,16 @@ object Scaling {
     // edges on a fixed 6-dp grid: engines associate quantile interpolation
     // differently and a last-ulp edge difference can flip a row that sits
     // exactly on the interpolated value (see Drift.binnedShares — observed
-    // there at sf0.1); the rounded edge is bit-identical across engines
+    // there at sf0.1); the rounded edge is bit-identical across engines.
+    // Tiny-domain guard (same as Drift.binnedShares): groups whose edges
+    // all sit below 1e-4 in magnitude keep exact edges — the 6-dp grid
+    // would otherwise collapse them into a single degenerate bin.
     val stats = df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"transform(percentile($valueCol, array(${probs.mkString("D,")}D)), " +
-        "e -> round(e + 1e-9, 6))").as("__qs"))
+      .agg(expr(s"percentile($valueCol, array(${probs.mkString("D,")}D))").as("__raw"))
+      .withColumn("__qs", expr(
+        "CASE WHEN aggregate(__raw, 0D, (a, x) -> greatest(a, abs(x))) < 1e-4 " +
+          "THEN __raw ELSE transform(__raw, e -> round(e + 1e-9, 6)) END"))
+      .drop("__raw")
     joinStats(df, stats, groupCols)
       .withColumn(outCol,
         when(col(valueCol).isNotNull,

@@ -61,11 +61,13 @@ object Similarity {
   // mistake where the data is wider than the declared dim (uniform-dim
   // corpora, so a single row decides)
   private def requireDimCovers(vectors: DataFrame, vecCol: String, dim: Int): Unit =
-    vectors.select(size(col(vecCol)).as("d")).limit(1).collect().headOption.foreach { r =>
-      require(r.getInt(0) <= dim,
-        s"LSH dim=$dim truncates ${r.getInt(0)}-component vectors in '$vecCol' — " +
-          "bucket signatures would silently ignore the tail; pass dim >= vector length")
-    }
+    vectors.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d")).limit(1).collect().headOption.foreach { r =>
+        require(r.getInt(0) <= dim,
+          s"LSH dim=$dim truncates ${r.getInt(0)}-component vectors in '$vecCol' — " +
+            "bucket signatures would silently ignore the tail; pass dim >= vector " +
+            "length (probe assumes a uniform-dim corpus: one non-null row decides)")
+      }
 
   /** Exact top-k neighbors per query by cosine (desc), id asc tie-break.
     * Queries must be small enough to broadcast (the usual serving shape).

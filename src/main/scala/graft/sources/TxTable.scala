@@ -1088,7 +1088,20 @@ class TxTable(val spark: SparkSession, val root: String) {
     // snapshots must not appear in remove (add+remove in one commit would
     // net it out of the live set)
     val keep = target.files.toSet
-    val committed = commitLoop("restore",
+    // freshen the re-referenced files' mtimes BEFORE the commit: a racing
+    // vacuum's minAge guard only protects RECENT files, and the whole point
+    // of a restore is to re-reference old ones. The bump must precede the
+    // commit — a vacuum that passed its commit-count re-check just before
+    // our commit landed re-reads mtimes at delete time, and a post-commit
+    // bump leaves a window where it still sees the stale timestamps.
+    // Touching files that a failed commit never ends up referencing is
+    // harmless (they stay unreferenced and age out again).
+    target.files.foreach { f =>
+      try Files.setLastModifiedTime(dataDir.resolve(f),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case _: java.io.IOException => () }
+    }
+    commitLoop("restore",
       add = target.files.filterNot(current.files.contains),
       remove = current.files.filterNot(keep.contains),
       tsMillis = tsMillis,
@@ -1097,17 +1110,6 @@ class TxTable(val spark: SparkSession, val root: String) {
       partCols = target.partCols,
       blooms = target.blooms,
       validate = () => latestVersion() == baseVersion)
-    // freshen the re-referenced files' mtimes: a racing vacuum's minAge
-    // guard only protects RECENT files, and the whole point of a restore
-    // is to re-reference old ones — without this, a vacuum pass that
-    // listed the log before this commit could still delete the files the
-    // restore just made live (vacuum also re-reads mtimes at delete time)
-    target.files.foreach { f =>
-      try Files.setLastModifiedTime(dataDir.resolve(f),
-        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-      catch { case _: java.io.IOException => () }
-    }
-    committed
   }
 
   /** Remove data files not visible from any of the last `retainVersions`

@@ -412,9 +412,11 @@ class FeatureStore(val spark: SparkSession) {
     // toMap kept whichever id hash iteration yielded last — training
     // enrichment could silently read a deprecated version's facts on one
     // store instance and the active version's on another. Prefer active
-    // status, then the highest version string, always the same winner.
+    // status, then the highest version (numeric by dot-separated component:
+    // "1.10.0" > "1.9.0", which raw string order gets backwards), always
+    // the same winner.
     val nameForId = features.values.toSeq
-      .sortBy(f => (f.status == "active", f.version, f.feature_id))
+      .sortBy(f => (f.status == "active", FeatureStore.versionSortKey(f.version), f.feature_id))
       .map(f => f.name -> f.feature_id).toMap
     featureNames.foldLeft(spine) { (acc, fname) =>
       val fid = nameForId.getOrElse(fname, "")
@@ -648,6 +650,19 @@ class FeatureStore(val spark: SparkSession) {
 
 object FeatureStore {
 
+  /** Order-preserving key for semver-style version strings: each
+    * dot-separated component that parses as a number is zero-padded to a
+    * fixed width so "1.10.0" sorts above "1.9.0" (raw string order gets
+    * that backwards once any component reaches two digits); non-numeric
+    * components ("2-beta") fall back to their literal text. */
+  private[graft] def versionSortKey(v: String): String =
+    v.split('.').map { p =>
+      p.toLongOption match {
+        case Some(n) if n >= 0 => f"$n%019d"
+        case _                 => p
+      }
+    }.mkString(".")
+
   /** Reload from the transactional layout at its latest version. */
   def loadTx(spark: SparkSession, path: String): FeatureStore =
     loadTxSnapshots(spark, path, None)
@@ -666,7 +681,10 @@ object FeatureStore {
       asOf.map(t.readAsOfTimestamp).getOrElse(t.read())
     }
     val fs = new FeatureStore(spark)
-    snap("registry").as[Feature].collect().foreach(fs.restoreFeature)
+    // toLocalIterator, not collect: the catalog is small by construction,
+    // but streaming it partition-by-partition bounds driver memory by the
+    // largest partition rather than the whole registry
+    snap("registry").as[Feature].toLocalIterator().forEachRemaining(fs.restoreFeature)
     fs.restoreValues(snap("feature_values")
       .select(fs.valuesSchema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*))
     fs.restoreAudit(snap("audit_log")) // the audit trail travels with the store
@@ -678,8 +696,8 @@ object FeatureStore {
   def load(spark: SparkSession, path: String): FeatureStore = {
     import spark.implicits._
     val fs = new FeatureStore(spark)
-    spark.read.parquet(s"$path/registry").as[Feature].collect()
-      .foreach(f => fs.restoreFeature(f))
+    spark.read.parquet(s"$path/registry").as[Feature].toLocalIterator()
+      .forEachRemaining(f => fs.restoreFeature(f))
     fs.restoreValues(
       spark.read.parquet(s"$path/feature_values")
         .select(fs.valuesSchema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*))

@@ -53,6 +53,25 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("tiny value domains keep exact edges: sub-1e-5 span still signals drift") {
+    // all values < 1e-5 apart: the 6-dp rounding grid would collapse every
+    // edge to the same point (one degenerate bin, PSI ~ 0 forever); the
+    // magnitude guard keeps exact interpolated edges for such groups
+    val tinyRef = frame((1 to 100).map(_ * 1e-7), "a")
+    val tinyShift = frame((1 to 100).map(i => (i + 60) * 1e-7), "a")
+    val psiSame = Drift.psi(tinyRef, frame((1 to 100).map(_ * 1e-7), "a"), "v", Seq("g"), 10)
+      .collect().head.getDouble(1)
+    val psiShift = Drift.psi(tinyRef, tinyShift, "v", Seq("g"), 10)
+      .collect().head.getDouble(1)
+    assert(math.abs(psiSame) < 1e-12, s"psi(same tiny) = $psiSame")
+    assert(psiShift > 0.5, s"psi(shifted tiny) = $psiShift must not silently read ~0")
+    // and the shares remain a non-degenerate partition (every bin populated
+    // for the uniform reference, not all mass in one bin)
+    val shares = Drift.binnedShares(tinyRef, tinyShift, "v", Seq("g"), 10).collect()
+    val maxP = shares.map(_.getAs[Double]("p")).max
+    assert(maxP < 0.2, s"max ref share $maxP — edges must not collapse to one bin")
+  }
+
   test("psi is per-group: only the drifted group signals") {
     val ref = frame(base, "a").union(frame(base, "b"))
     val cur = frame(base, "a").union(frame(base.map(_ + 60.0), "b"))

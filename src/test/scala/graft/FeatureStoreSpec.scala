@@ -132,6 +132,31 @@ class FeatureStoreSpec extends SparkSpec {
     assert(rows(2).isNullAt(2)) // p2 @ Jan1: no prior observation
   }
 
+  test("name resolution picks the numerically-highest active version (1.10.0 > 1.9.0)") {
+    val fs = new FeatureStore(spark)
+    def reg(v: String, value: Double, activate: Boolean = true): String = {
+      val Right(f) = fs.registerFeature("hr", v,
+        FeatureSchemaMeta("hr", "float64", entity_type = "patient"),
+        FeatureSourceMeta("batch"), "o", now)
+      if (activate) fs.activateFeature(f.feature_id, now)
+      val df = Seq(("p1", "hr", Some(value), ts("2024-01-01 00:00:00")))
+        .toDF("entity_id", "feature_name", "value_double", "event_timestamp")
+        .withColumn("value_string", lit(null).cast("string"))
+      fs.ingestValues(df, Map("hr" -> f.feature_id), now)
+      f.feature_id
+    }
+    reg("1.9.0", 9.0)
+    reg("1.10.0", 10.0)           // lexicographically BELOW "1.9.0"
+    reg("2.0.0", 99.0, activate = false) // draft — active versions win regardless
+    val spine = Seq(("p1", ts("2024-01-15 00:00:00"))).toDF("entity_id", "event_timestamp")
+    val out = fs.getPointInTimeFeatures(spine, Seq("hr")).collect().head
+    assert(out.getAs[Double]("hr") == 10.0,
+      "must resolve to active 1.10.0, not lexicographic max 1.9.0 or draft 2.0.0")
+    // the key itself: numeric components padded, non-numeric fall back to text
+    assert(FeatureStore.versionSortKey("1.10.0") > FeatureStore.versionSortKey("1.9.0"))
+    assert(FeatureStore.versionSortKey("1.2.0-beta") != FeatureStore.versionSortKey("1.2.0"))
+  }
+
   test("enforceRetention drops only rows past the per-feature horizon") {
     val fs = new FeatureStore(spark)
     val Right(shortF) = fs.registerFeature("short_lived", "1.0.0",
