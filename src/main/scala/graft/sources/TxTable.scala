@@ -1112,6 +1112,19 @@ class TxTable(val spark: SparkSession, val root: String) {
       validate = () => latestVersion() == baseVersion)
   }
 
+  /** Immutable descriptor of the CURRENT snapshot for interop exporters
+    * ([[DeltaInterop.exportDelta]]): live file names relative to data/, the
+    * schema DDL, the partition layout, and the absolute data directory.
+    * Read-only — exposes nothing a reader could not derive from
+    * [[read]].inputFiles + the schema, just without re-listing. */
+  def snapshotInfo(): TxTable.SnapshotInfo = {
+    require(commitFiles().nonEmpty, s"no such TxTable: $root")
+    val st = stateForVersion(Long.MaxValue)
+    TxTable.SnapshotInfo(st.files,
+      st.ddl.getOrElse(throw new IllegalStateException(s"no schema in table $root")),
+      st.partCols, dataDir.toString)
+  }
+
   /** Remove data files not visible from any of the last `retainVersions`
     * snapshots (crash-leftover staged files and compacted/merged-away files
     * past the time-travel horizon). Time travel to retained versions keeps
@@ -1167,6 +1180,10 @@ class TxTable(val spark: SparkSession, val root: String) {
 
 object TxTable {
   def apply(spark: SparkSession, root: String): TxTable = new TxTable(spark, root)
+
+  /** See [[TxTable.snapshotInfo]]. */
+  case class SnapshotInfo(files: Seq[String], schemaDdl: String,
+      partCols: Seq[String], dataDir: String)
 
   /** Kirsch–Mitzenmacher double hashing: k bit positions in [0, m) derived
     * from one 64-bit hash (h2 from a splitmix64 finalizer, forced odd so

@@ -32,12 +32,11 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("query count matches the documented surface") {
-    // 161 = round-4's 159 minus g2_cosine_topk_agg (folded into the primary
-    // g2_cosine_topk when the bounded-heap aggregate became its declared
-    // path) plus the round-5 pipeline-composition queries p1_prepare_corpus,
-    // p2_prepare_incremental and p3_prepare_stream
-    assert(SparkEntry.queries.size == 161,
-      s"declared query count ${SparkEntry.queries.size} != documented 161 — " +
+    // 162 = round-5's 161 plus the round-6 open-format interop query
+    // b5_delta_export (DuckDB reads the exported Delta table — the first
+    // cross-engine oracle over the lakehouse stack)
+    assert(SparkEntry.queries.size == 162,
+      s"declared query count ${SparkEntry.queries.size} != documented 162 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }
