@@ -2655,9 +2655,11 @@ object SparkEntry {
     withShufflePartitions(s, 4) {
       val q = ms.toDS().writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streaming.EventRow], id: Long) =>
+          // txn marker = exactly-once under micro-batch retry (a replayed
+          // batch id re-merges as a no-op; see TxTableSpec's retry test)
           t.merge(batch.toDF().select(cols.map(col): _*),
             keys = Seq("user_id", "event_type"), tsCol = "ts", tieCol = "event_id",
-            tsMillis = 1000L + id)
+            tsMillis = 1000L + id, txn = Some(("g4_tx_sink", id)))
           ()
         }
         .start()

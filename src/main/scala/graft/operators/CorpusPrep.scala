@@ -93,13 +93,20 @@ object CorpusPrep {
       textCol: String,
       carryCols: Seq[String],
       gramN: Int = 8,
-      minQuality: Double = 0.5): DataStreamWriter[Row] =
+      minQuality: Double = 0.5,
+      txnAppId: String = "graft_corpus_prep"): DataStreamWriter[Row] =
     docStream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      // exactly-once under micro-batch RETRY, not just row redelivery:
+      // foreachBatch's contract makes the sink responsible for batchId
+      // dedup (a batch replayed after a partial failure arrives with the
+      // SAME id) — the txn marker makes the re-commit a no-op, while
+      // redelivered ROWS inside a genuinely new batch still die on the
+      // manifest anti-join below
       val processed =
         if (table.version() >= 0) Some(table.read().select("text_hash")) else None
       val manifest = prepareBatch(batch, bench, idCol, textCol, carryCols,
         processedHashes = processed, gramN = gramN, minQuality = minQuality)
-      table.append(manifest, tsMillis = 1000L + id)
+      table.append(manifest, tsMillis = 1000L + id, txn = Some((txnAppId, id)))
       ()
     }
 }

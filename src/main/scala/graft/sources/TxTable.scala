@@ -80,7 +80,8 @@ class TxTable(val spark: SparkSession, val root: String) {
   private case class Commit(version: Long, ts: Long, op: String,
       schemaDdl: Option[String], add: Seq[String], remove: Seq[String],
       stats: Map[String, Seq[FileStats]], partCols: Option[Seq[String]],
-      blooms: Map[String, Seq[FileBloom]] = Map.empty) {
+      blooms: Map[String, Seq[FileBloom]] = Map.empty,
+      txn: Option[(String, Long)] = None) {
     def statsColNames: Seq[String] =
       stats.values.flatten.map(_.colName).toSeq.distinct.sorted
     def bloomColNames: Seq[String] =
@@ -130,7 +131,13 @@ class TxTable(val spark: SparkSession, val root: String) {
       // absent on commits that predate partitioning support
       partCols = kvs.collectFirst { case ("partcols", v) =>
         v.split(',').toSeq.filter(_.nonEmpty) },
-      blooms = parseBlooms(kvs))
+      blooms = parseBlooms(kvs),
+      // txn=appId;batchVersion — the idempotence marker (Delta's
+      // SetTransaction action); appId may not contain ';'
+      txn = kvs.collectFirst { case ("txn", v) => v }.flatMap { v =>
+        val i = v.lastIndexOf(';')
+        if (i <= 0) None else scala.util.Try((v.substring(0, i), v.substring(i + 1).toLong)).toOption
+      })
   }
 
   /** Directory listing with the stream CLOSED (Files.list leaks a
@@ -160,6 +167,17 @@ class TxTable(val spark: SparkSession, val root: String) {
     p.getFileName.toString.stripSuffix(".txt").toLong
 
   private def latestVersion(): Option[Long] = commitFiles().lastOption.map(nameVersion)
+
+  /** Highest batch version committed under `appId` (Delta's
+    * `txnVersion(appId)`): the idempotence watermark a foreachBatch sink
+    * checks before re-applying a possibly-redelivered micro-batch. Commit
+    * files are never deleted (vacuum retires DATA files only), so a full
+    * log scan is always sufficient; a table with a truncating log would
+    * carry the per-app watermark in its checkpoints the way Delta does. */
+  def txnVersion(appId: String): Option[Long] =
+    commitFiles().map(parseCommit).flatMap(_.txn)
+      .collect { case (app, bv) if app == appId => bv }
+      .maxOption
 
   private def commits(): Seq[Commit] = commitFiles().map(parseCommit)
 
@@ -400,9 +418,11 @@ class TxTable(val spark: SparkSession, val root: String) {
       add: Seq[String], remove: Seq[String], tsMillis: Long,
       stats: Map[String, Seq[FileStats]] = Map.empty,
       partCols: Seq[String] = Seq.empty,
-      blooms: Map[String, Seq[FileBloom]] = Map.empty): Boolean = {
+      blooms: Map[String, Seq[FileBloom]] = Map.empty,
+      txn: Option[(String, Long)] = None): Boolean = {
     Files.createDirectories(logDir)
     val lines = Seq(s"ts=$tsMillis", s"op=$op", s"partcols=${partCols.mkString(",")}") ++
+      txn.map { case (app, bv) => s"txn=$app;$bv" } ++
       schemaDdl.map(d => s"schema=$d") ++
       add.map(a => s"add=$a") ++ remove.map(r => s"remove=$r") ++
       stats.flatMap { case (f, sts) => sts.map(statsLine(f, _)) } ++
@@ -424,7 +444,8 @@ class TxTable(val spark: SparkSession, val root: String) {
       stats: Map[String, Seq[FileStats]] = Map.empty,
       partCols: Seq[String] = Seq.empty,
       blooms: Map[String, Seq[FileBloom]] = Map.empty,
-      validate: () => Boolean = () => true): Long = {
+      validate: () => Boolean = () => true,
+      txn: Option[(String, Long)] = None): Long = {
     var attempts = 0
     while (attempts < 100) {
       // ORDER IS LOAD-BEARING: the version listing happens BEFORE validate.
@@ -435,11 +456,23 @@ class TxTable(val spark: SparkSession, val root: String) {
       // (Version-after-validate would let a commit land in the gap and
       // still win tryCommit at the bumped number — a lost update.)
       val v = latestVersion().map(_ + 1).getOrElse(0L)
+      // idempotence gate, INSIDE the loop so it re-reads the log on every
+      // attempt: tryCommit(v) winning proves nothing landed after the
+      // listing that produced v, so a duplicate writer of the same (app,
+      // batch) either is visible to this check or collides at tryCommit
+      // and re-checks on retry — exactly one of the two commits. The adds
+      // of a skipped commit were staged by THIS writer and never
+      // referenced, so deleting them is safe (restore/compact reuse old
+      // files but never pass txn).
+      if (txn.exists { case (app, bv) => txnVersion(app).exists(_ >= bv) }) {
+        add.foreach(f => Files.deleteIfExists(dataDir.resolve(f)))
+        return TxTable.SkippedCommit
+      }
       if (!validate())
         throw new java.util.ConcurrentModificationException(
           s"conflicting commit on $root: read set changed")
       val ddl = if (v == 0L || schemaEveryCommit) schemaDdl else None
-      if (tryCommit(v, op, ddl, add, remove, tsMillis, stats, partCols, blooms)) {
+      if (tryCommit(v, op, ddl, add, remove, tsMillis, stats, partCols, blooms, txn)) {
         // best-effort ONLY: the commit is already durable; ANY checkpoint
         // failure must not make the caller believe the write failed (a
         // retry would commit the same rows twice) — NonFatal, not just
@@ -488,10 +521,21 @@ class TxTable(val spark: SparkSession, val root: String) {
     *   read, which is data loss, not ingestion. A column can never change
     *   type, evolve or not; an append MISSING table columns is always fine
     *   (its rows read as null there). Delta's `mergeSchema` rule. */
+  /** @param txn idempotence marker `(appId, batchVersion)` (Delta's
+    *   txnAppId/txnVersion): if a commit under `appId` with a version >=
+    *   `batchVersion` already exists, the append is SKIPPED and returns
+    *   [[TxTable.SkippedCommit]] — the exactly-once contract foreachBatch
+    *   requires of its sink (a retried micro-batch after a partial failure
+    *   must not commit twice; task retries are routine at cluster scale).
+    *   Race-safe: the check replays inside the optimistic commit loop. */
   def append(df: DataFrame, tsMillis: Long = System.currentTimeMillis(),
       statsCol: Option[String] = None, partitionBy: Seq[String] = Seq.empty,
       statsCols: Seq[String] = Seq.empty, bloomCols: Seq[String] = Seq.empty,
-      evolve: Boolean = false): Long = {
+      evolve: Boolean = false, txn: Option[(String, Long)] = None): Long = {
+    // fast path: a known-duplicate batch skips the staging write entirely
+    // (the in-loop re-check remains the authoritative, race-safe gate)
+    if (txn.exists { case (app, bv) => txnVersion(app).exists(_ >= bv) })
+      return TxTable.SkippedCommit
     // checkpoint-aware layout lookup (no full log replay), and the layout
     // is BINDING once any commit exists — a FLAT table must reject a
     // partitioned append, or the mixed-depth file set would make every
@@ -566,7 +610,8 @@ class TxTable(val spark: SparkSession, val root: String) {
           df.schema.fields.forall(f => byName.get(f.name.toLowerCase).contains(f.dataType))
         })
         layoutOk && schemaOk
-      })
+      },
+      txn = txn)
   }
 
   private def computeStats(files: Seq[String], cols: Seq[String]): Map[String, Seq[FileStats]] =
@@ -802,7 +847,13 @@ class TxTable(val spark: SparkSession, val root: String) {
     * this log does not keep). Callers retry by recomputing the merge.
     */
   def merge(updates: DataFrame, keys: Seq[String], tsCol: String, tieCol: String,
-      tsMillis: Long = System.currentTimeMillis()): Long = {
+      tsMillis: Long = System.currentTimeMillis(),
+      txn: Option[(String, Long)] = None): Long = {
+    // idempotence fast path (see append's txn param): a redelivered batch
+    // skips the whole read-rewrite cycle; the in-loop re-check stays the
+    // race-safe gate
+    if (txn.exists { case (app, bv) => txnVersion(app).exists(_ >= bv) })
+      return TxTable.SkippedCommit
     val baseVersion = latestVersion() // read BEFORE the state: a commit in
     // between makes validate fail (spurious abort), never a silent anomaly
     val state = stateForVersion(Long.MaxValue)
@@ -838,7 +889,8 @@ class TxTable(val spark: SparkSession, val root: String) {
       stats = computeStats(newFiles, activeStatsCols(state)),
       partCols = layout,
       blooms = computeBlooms(newFiles, activeBloomCols(state)),
-      validate = () => latestVersion() == baseVersion)
+      validate = () => latestVersion() == baseVersion,
+      txn = txn)
   }
 
   /** Time-travel DIFF: the rows inserted and removed between two committed
@@ -1180,6 +1232,11 @@ class TxTable(val spark: SparkSession, val root: String) {
 
 object TxTable {
   def apply(spark: SparkSession, root: String): TxTable = new TxTable(spark, root)
+
+  /** Returned by txn-guarded [[TxTable.append]]/[[TxTable.merge]] when the
+    * (appId, batchVersion) was already committed — the write was a
+    * duplicate delivery and changed nothing. */
+  val SkippedCommit: Long = -1L
 
   /** See [[TxTable.snapshotInfo]]. */
   case class SnapshotInfo(files: Seq[String], schemaDdl: String,

@@ -18,6 +18,44 @@ class TxTableSpec extends SparkSpec {
   private def kv(rows: (Long, String, Double, Long)*) =
     rows.toDF("k", "f", "value", "ts")
 
+  test("txn idempotence: a retried micro-batch commits exactly once (append and merge)") {
+    // simulates foreachBatch's retry-after-partial-failure: the sink
+    // committed batch N, the query crashed before advancing its offset log,
+    // and the restarted query re-delivers batch N with the SAME id
+    val t = newTable()
+    assert(t.append(kv((1L, "a", 1.0, 10L)), tsMillis = 1000L,
+      txn = Some(("sink", 0L))) == 0L)
+    assert(t.append(kv((2L, "b", 2.0, 10L)), tsMillis = 1001L,
+      txn = Some(("sink", 1L))) == 1L)
+    val (versions, rows) = (t.version(), t.read().count())
+
+    // retried batch 1 (same id, same data): skipped, nothing changes
+    assert(t.append(kv((2L, "b", 2.0, 10L)), tsMillis = 1002L,
+      txn = Some(("sink", 1L))) == TxTable.SkippedCommit)
+    // late replay of an OLDER batch: also skipped (watermark, not equality)
+    assert(t.append(kv((1L, "a", 1.0, 10L)), tsMillis = 1003L,
+      txn = Some(("sink", 0L))) == TxTable.SkippedCommit)
+    assert(t.version() == versions && t.read().count() == rows,
+      "skipped deliveries must not advance the log or change the data")
+
+    // merge path: same contract
+    assert(t.merge(kv((1L, "a", 9.0, 99L)), Seq("k", "f"), "ts", "ts",
+      tsMillis = 1004L, txn = Some(("sink", 2L))) == 2L)
+    assert(t.merge(kv((1L, "a", 77.0, 100L)), Seq("k", "f"), "ts", "ts",
+      tsMillis = 1005L, txn = Some(("sink", 2L))) == TxTable.SkippedCommit)
+    val a1 = t.read().where(col("k") === 1L).select("value").as[Double].collect()
+    assert(a1.toSeq == Seq(9.0), "the retried merge must not re-apply")
+
+    // watermarks are per-app: a different sink id is not deduped
+    assert(t.txnVersion("sink").contains(2L))
+    assert(t.txnVersion("other").isEmpty)
+    assert(t.append(kv((3L, "c", 3.0, 10L)), tsMillis = 1006L,
+      txn = Some(("other", 0L))) >= 0L)
+    // and a genuinely new batch id commits
+    assert(t.append(kv((4L, "d", 4.0, 10L)), tsMillis = 1007L,
+      txn = Some(("sink", 3L))) >= 0L)
+  }
+
   test("partition pruning matches values needing Hive path escaping") {
     val t = newTable()
     // ':' and '%' are escaped to %XX in the partition directory name; the
