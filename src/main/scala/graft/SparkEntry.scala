@@ -2132,11 +2132,42 @@ object SparkEntry {
       .orderBy("event_id")
   }
 
-  /** G3 — language-ID heuristic (rows-only: dictionaries engine-internal). */
-  private def g3LangId(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  /** G3 — language ID (Cavnar–Trenkle-style function words + char-trigram
+    * profiles; rows-only: dictionaries engine-internal). The fixture's
+    * `lang` labels do not correlate with its generated text, so no
+    * non-circular fixture oracle exists — instead the in-query certificate
+    * CONSTRUCTS its own labeled corpus from the classifier's dictionaries
+    * (words unique to each language, mixed with neutral noise tokens) and
+    * requires exact argmax recovery plus `und` on a no-signal control.
+    * Non-circular because the cert corpus is built from the public
+    * function-word lists, not from the fixture's broken labels, and the
+    * scoring path exercised is the full declared one. */
+  private def g3LangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = Tables.documents(s, dir)
       .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
-      .orderBy("doc_id")
+    // per-language words that appear in NO other language's dictionary —
+    // recovery on these is the unambiguous-signal case the classifier must
+    // never miss, whatever the tie-break or trigram weights do
+    val dicts = TextAnalysis.langDicts
+    val unique: Seq[(String, Seq[String])] = dicts.map { case (lang, words) =>
+      val others = dicts.filter(_._1 != lang).flatMap(_._2).toSet
+      lang -> words.filterNot(others.contains)
+    }
+    val synth: Seq[(String, String)] = unique.flatMap { case (lang, words) =>
+      Seq(
+        lang -> (words.take(8).mkString(" ") + " zzqx vvkk"),        // noise-mixed
+        lang -> words.reverse.mkString(" "),                          // order-free
+        lang -> words.take(5).flatMap(w => Seq(w, w)).mkString(" "))  // repetition
+    } :+ ("und" -> "12345 67890 @@@@ 0000")                           // no signal
+    val cert = synth.toDF("expected", "text")
+      .withColumn("got", TextAnalysis.langId(col("text")))
+    val bad = cert.where(col("got") =!= col("expected")).collect()
+    require(bad.isEmpty,
+      s"g3_langid failed argmax recovery on constructed text: " +
+        bad.map(r => s"${r.getString(0)}->${r.getString(2)}").mkString(", "))
+    out.orderBy("doc_id")
+  }
 
   /** G3 — PHI/PII scrub: structured-identifier patterns + a term denylist,
     * redacted in-band (the reference's phi_level masks whole columns; free

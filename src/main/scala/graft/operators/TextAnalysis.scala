@@ -50,23 +50,73 @@ object TextAnalysis {
     Fns.epsRound(lengthScore * lit(0.4) + stopScore * lit(0.3) + lenScore * lit(0.3), 4)
   }
 
-  /** n-gram/stopword language-ID heuristic: score each language's stopword
-    * dictionary by hit count over the tokens; argmax wins, 'und' when no
-    * dictionary hits. (Rows-only check — dictionaries are engine-internal.)
+  /** Function-word dictionaries for [[langId]] — the ~25 most frequent
+    * function words per language (public knowledge: articles, copulas,
+    * prepositions — the closed-class words every frequency list starts
+    * with). Exposed `private[graft]` so the declared query's certificate
+    * can CONSTRUCT text from them rather than trusting fixture labels. */
+  private[graft] val langDicts: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "with",
+      "for", "was", "on", "are", "as", "this", "by", "from", "be", "have",
+      "not", "they", "which", "you", "what", "were"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein",
+      "zu", "den", "von", "sie", "im", "für", "auf", "des", "sich", "dem",
+      "nach", "bei", "aus", "auch", "wird", "über", "eine"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "que",
+      "une", "des", "du", "il", "au", "ne", "pas", "sur", "se", "plus",
+      "par", "avec", "sont", "mais", "aux", "ce", "été"),
+    "es" -> Seq("el", "la", "los", "y", "es", "en", "que", "por", "una",
+      "con", "las", "del", "se", "no", "para", "su", "al", "lo", "como",
+      "más", "pero", "sus", "ha", "este", "entre"),
+    "it" -> Seq("il", "la", "di", "e", "che", "in", "un", "per", "è",
+      "non", "sono", "con", "si", "da", "come", "le", "dei", "più", "nel",
+      "alla", "questo", "hanno", "della", "gli", "anche"),
+    "pt" -> Seq("o", "a", "de", "e", "que", "do", "da", "em", "um",
+      "para", "é", "com", "não", "uma", "os", "no", "se", "na", "por",
+      "mais", "as", "dos", "como", "mas", "foi"))
+
+  /** Character-trigram profile per language, derived from the dictionary
+    * itself (distinct trigrams of ` word `-padded function words): catches
+    * inflected/compound forms that never match a whole dictionary word —
+    * the standard n-gram-profile half of Cavnar–Trenkle language ID. */
+  private[graft] val langTrigramProfiles: Seq[(String, Seq[String])] =
+    langDicts.map { case (lang, words) =>
+      lang -> words.flatMap(w => s" $w ".sliding(3)).distinct
+    }
+
+  /** Language ID: per-language score = 3 × function-word hits (tokens, so
+    * a hit is a WHOLE word) + distinct character-trigram hits against the
+    * language's profile (space-padded, first 512 chars — language ID
+    * saturates long before that). Argmax wins (lexicographic tie-break),
+    * `und` when nothing scores. Entirely map-only HOF arithmetic — zero
+    * shuffles at any corpus size. Rows-only in the driver check (the
+    * dictionaries are engine-internal); the declared query certifies
+    * argmax recovery on text CONSTRUCTED from the dictionaries in-query,
+    * and LangIdSpec pins real-sentence behavior.
     */
   def langId(text: Column): Column = {
-    val dicts: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "with", "for"),
-      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
-      "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"),
-      "es" -> Seq("el", "la", "los", "y", "es", "en", "que", "por", "una", "con")
-    )
-    val toks = tokens(lower(text))
-    val scored = dicts.map { case (lang, words) =>
-      struct(size(filter(toks, w => array_contains(array(words.map(lit): _*), w))).as("score"), lit(lang).as("lang"))
-    }
-    val best = greatest(scored: _*)
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+    val lowered = lower(substring(trim(text), 1, 512))
+    // let-bind text + tokens + trigram set ONCE via the single-element
+    // transform idiom (the winnow note: Catalyst collapses projections
+    // into HOF lambda bodies and does no subexpression elimination there,
+    // so column references would re-derive the regex split and the
+    // trigram array once per language; a lambda binding evaluates once)
+    val scored = transform(
+      array(struct(concat(lit(" "), lowered, lit(" ")).as("t"), tokens(lowered).as("w"))),
+      row => {
+        val t = row.getField("t")
+        val tg = array_distinct(transform(
+          sequence(lit(1), greatest(length(t) - 2, lit(1))), i => t.substr(i, lit(3))))
+        val entries = langDicts.zip(langTrigramProfiles).map {
+          case ((lang, words), (_, profile)) =>
+            val wordHits = size(filter(row.getField("w"),
+              x => array_contains(array(words.map(lit): _*), x)))
+            val gramHits = size(array_intersect(tg, array(profile.map(lit): _*)))
+            struct((wordHits * lit(3) + gramHits).as("score"), lit(lang).as("lang"))
+        }
+        greatest(entries: _*)
+      })(0)
+    when(scored.getField("score") > 0, scored.getField("lang")).otherwise(lit("und"))
   }
 
   /** Rolling document fingerprint over normalized tokens:
