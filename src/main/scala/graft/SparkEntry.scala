@@ -2035,6 +2035,76 @@ object SparkEntry {
         Fns.roughBpeCount(col("text")).cast("long").as("n_subwords"))
       .orderBy("doc_id")
 
+  /** Fixture-keyed memo of the corpus-trained BPE merge table (256 merges
+    * over the top-20k words by frequency — pair mass concentrates in
+    * frequent words, so the cap changes almost nothing while bounding the
+    * driver-side training input; the frequency table itself is computed
+    * distributed). Built once per testdata dir, like the ANN/dedup
+    * indexes; [[prepareIndexes]] warms it untimed. */
+  private val bpeMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergesCache.computeIfAbsent(s"$dir@${fixtureToken(dir)}", _ => {
+      import s.implicits._
+      val freqs = Tables.documents(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .where(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("word").asc)
+        .limit(20000)
+        .as[(String, Long)].collect().toSeq
+      // merge budget proportional to the vocabulary's symbol mass (half of
+      // Σ(len−1), capped at 256): a real corpus hits the 256 cap, while a
+      // tiny fixture vocabulary stops before every word memorizes into a
+      // single token — the output stays a SUBWORD segmentation, which is
+      // the behavior the query exists to demonstrate
+      val budget = freqs.map(_._1.length - 1).filter(_ > 0).sum / 2
+      graft.functions.Bpe.train(freqs, numMerges = math.max(1, math.min(256, budget)))
+    })
+
+  /** G3 — REAL subword tokenization (round-5 verdict #4): byte-pair
+    * encoding trained on the corpus itself (graft.functions.Bpe —
+    * deterministic greedy merges, public merges.txt wire format), counted
+    * per document. `n_bpe_tokens` is the unit a production corpus budget /
+    * chunker / packer is denominated in; [[Sampling.tokenBudget]] and the
+    * chunk/pack family take it as a drop-in `nTokensCol` (their declared
+    * whitespace forms keep their exact DuckDB oracles).
+    *
+    * Rows-only (ranked-merge application is not expressible in the
+    * oracle's SQL), so the in-query certificate pins the two properties
+    * that DEFINE a BPE segmentation, over every word of the corpus:
+    * LOSSLESS — tokens concatenate back to exactly the source word — and
+    * FIXPOINT — no adjacent token pair is still a known merge (encoding
+    * ran to completion, counts cannot be inflated by unapplied merges).
+    */
+  private def g3BpeTokens(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Bpe
+    val merges = bpeMerges(s, dir)
+    val enc = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        Bpe.encodeDocUdf(merges)(col("text")).as("toks"))
+      .localCheckpoint() // one corpus scan: certificate + declared result
+    val notLossless = enc
+      .withColumn("words", filter(split(trim(col("text")), "\\s+"), w => length(w) > 0))
+      .where(not(transform(col("toks"), a => concat_ws("", a)) === col("words")))
+      .count()
+    require(notLossless == 0L,
+      s"g3_bpe_tokens: $notLossless docs whose tokens do not concatenate back to their words")
+    val mergeKeys = merges.map { case (a, b) => a + " " + b }
+    val unapplied = enc
+      .select(explode(col("toks")).as("a")).where(size(col("a")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("a")) - 2),
+        i => concat(element_at(col("a"), i + 1), lit(" "),
+          element_at(col("a"), i + 2)))).as("p"))
+      .where(col("p").isin(mergeKeys: _*)).count()
+    require(unapplied == 0L,
+      s"g3_bpe_tokens: $unapplied adjacent token pairs are unapplied merges (encoding not at fixpoint)")
+    enc.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        aggregate(col("toks"), lit(0L), (acc, a) => acc + size(a)).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** G3 — corpus word count, top-20 (explode + groupBy + deterministic
     * order + limit). */
   private def g3Wordcount(s: SparkSession, dir: String): DataFrame =
@@ -3541,6 +3611,7 @@ object SparkEntry {
     HarnessFixtures.corpusDocRows(s, dir)
     HarnessFixtures.corpusManifestRows(s, dir)
     txTemplates(s, dir).values.foreach(_())
+    bpeMerges(s, dir) // corpus-trained merge table (fixture construction)
     // the ANN certificates' shared brute-force denominator
     bruteTopKScore(s, dir, k = 3)
   }
@@ -3632,6 +3703,7 @@ object SparkEntry {
     "g2_lsh_topk"        -> (g2LshTopk _),
     "g2_ivf_topk"        -> (g2IvfTopk _),
     "g3_token_counts"    -> (g3TokenCounts _),
+    "g3_bpe_tokens"      -> (g3BpeTokens _),
     "g3_wordcount"       -> (g3Wordcount _),
     "g3_text_stats"      -> (g3TextStats _),
     "g3_quality"         -> (g3Quality _),

@@ -24,7 +24,9 @@ class ContractSpec extends AnyFunSuite {
       "g1_minhash_pairs", "g1_simhash", "g1_semdedup", "g1_incr_minhash",
       "g1_embedding_dups_lsh",
       "g2_lsh_topk", "g2_ivf_topk", "g2_pq_topk", "g2_ivfpq_topk",
-      "g3_langid", "g3_fingerprint", "g3_vocab_approx")
+      "g3_langid", "g3_fingerprint", "g3_vocab_approx",
+      "g3_bpe_tokens") // ranked-merge BPE is not oracle-SQL-expressible;
+                       // certified in-query (lossless + fixpoint) + BpeSpec
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == intendedRowsOnly,
       s"rows-only drift — unexpected: ${actual -- intendedRowsOnly}; " +
@@ -32,11 +34,12 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("query count matches the documented surface") {
-    // 162 = round-5's 161 plus the round-6 open-format interop query
-    // b5_delta_export (DuckDB reads the exported Delta table — the first
-    // cross-engine oracle over the lakehouse stack)
-    assert(SparkEntry.queries.size == 162,
-      s"declared query count ${SparkEntry.queries.size} != documented 162 — " +
+    // 163 = round-5's 161 plus the round-6 additions: b5_delta_export
+    // (DuckDB reads the exported Delta table — the first cross-engine
+    // oracle over the lakehouse stack) and g3_bpe_tokens (real subword
+    // tokenization, certified in-query)
+    assert(SparkEntry.queries.size == 163,
+      s"declared query count ${SparkEntry.queries.size} != documented 163 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }
