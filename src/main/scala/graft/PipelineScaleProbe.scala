@@ -46,19 +46,20 @@ object PipelineScaleProbe {
         .otherwise(concat_ws(" ", words)).as("text"))
     val bench = spark.range(1).select(lit(0L).as("doc_id"), lit(benchGram).as("text"))
 
-    def run(batches: Seq[DataFrame]): (DataFrame, Double) = {
+    def run(batches: Seq[DataFrame],
+        persist: CorpusPrep.StagePersist = CorpusPrep.localCheckpoint): (DataFrame, Double) = {
       val t0 = System.nanoTime()
       var seen: Option[DataFrame] = None
       var acc: Option[DataFrame] = None
       batches.foreach { b =>
-        val m = CorpusPrep.prepareBatch(b, bench, idCol = "doc_id",
-          textCol = "text", carryCols = Seq.empty, processedHashes = seen)
-          .localCheckpoint()
+        val m = persist(CorpusPrep.prepareBatch(b, bench, idCol = "doc_id",
+          textCol = "text", carryCols = Seq.empty, processedHashes = seen,
+          persist = persist))
         acc = Some(acc.map(_.unionByName(m)).getOrElse(m))
         seen = Some(acc.get.select("text_hash"))
       }
       val out = acc.get.where(col("kept")).select("doc_id", "n_tokens", "quality")
-      (out.localCheckpoint(), (System.nanoTime() - t0) / 1e9)
+      (persist(out), (System.nanoTime() - t0) / 1e9)
     }
 
     val (whole, wallWhole) = run(Seq(docs))
@@ -69,6 +70,16 @@ object PipelineScaleProbe {
     val nWhole = whole.count()
     val diff = whole.exceptAll(folded).count() + folded.exceptAll(whole).count()
     require(diff == 0, s"batch vs micro-batch fold disagree on $diff rows")
+
+    // DURABLE stage boundaries (CorpusPrep.parquetStages): same pipeline,
+    // every boundary persisted to storage instead of executor-local blocks
+    // — the cluster-scale shape that survives executor loss. Must be
+    // row-for-row identical to the localCheckpoint run.
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_pipeline_stages").toString
+    val (durable, wallDurable) = run(Seq(docs), CorpusPrep.parquetStages(spark, stageDir))
+    val diffDurable = whole.exceptAll(durable).count() + durable.exceptAll(whole).count()
+    require(diffDurable == 0,
+      s"localCheckpoint vs parquet-persisted boundaries disagree on $diffDurable rows")
     // planted analytics. The gram append makes a contaminated doc's text
     // UNIQUE (it no longer equals its pair partner's), so: every id%97==0
     // doc is tombstoned as contaminated (no two contaminated docs share a
@@ -82,7 +93,8 @@ object PipelineScaleProbe {
     val expected = nDocs - nContam - nDup
     require(nWhole == expected, s"kept=$nWhole expected=$expected")
     println(f"[pipeline-scale] docs=$nDocs kept=$nWhole (dups=$nDup contam=$nContam) " +
-      f"wall_batch=$wallWhole%.1fs wall_4xfold=$wallFolded%.1fs fold==batch: OK")
+      f"wall_batch=$wallWhole%.1fs wall_4xfold=$wallFolded%.1fs " +
+      f"wall_durable=$wallDurable%.1fs fold==batch==durable: OK")
     spark.stop()
   }
 }

@@ -28,10 +28,43 @@ import graft.sources.TxTable
   */
 object CorpusPrep {
 
+  /** Stage-boundary persistence strategy: how an intermediate frame is
+    * pinned before it anchors multiple downstream references.
+    *
+    *  - [[localCheckpoint]] (the bench default): executor-local blocks —
+    *    fastest, but lost on executor death and pinned to
+    *    `spark.local.dir`;
+    *  - [[parquetStages]]: each boundary lands in durable storage and is
+    *    re-read from there — the shape a production run at cluster scale
+    *    needs (a lost executor replays from the persisted boundary
+    *    instead of recomputing the lineage, and the boundary itself is
+    *    inspectable/resumable). Point it at the lakehouse path.
+    *
+    * PipelineScaleProbe runs the pipeline under both and asserts
+    * row-for-row equivalence.
+    */
+  type StagePersist = DataFrame => DataFrame
+
+  /** The bench default: fast, executor-local, non-durable. */
+  val localCheckpoint: StagePersist = _.localCheckpoint()
+
+  /** Durable boundaries: stage k writes `dir/stage-k` as parquet and
+    * reads it back (one instance per pipeline run — the counter names
+    * stages in execution order). */
+  def parquetStages(spark: org.apache.spark.sql.SparkSession, dir: String): StagePersist = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    df => {
+      val path = s"$dir/stage-${n.getAndIncrement()}"
+      df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+  }
+
   /** @param batch           incoming docs: (idCol, textCol, carryCols...)
     * @param bench           held-out benchmark docs (textCol)
     * @param processedHashes prior manifest hashes, kept AND tombstoned —
     *                        None for the first/only batch
+    * @param persist         stage-boundary strategy (see [[StagePersist]])
     * @return one row per newly-processed hash: carryCols + n_tokens,
     *         quality, text_hash, kept
     */
@@ -43,7 +76,8 @@ object CorpusPrep {
       carryCols: Seq[String],
       processedHashes: Option[DataFrame],
       gramN: Int = 8,
-      minQuality: Double = 0.5): DataFrame = {
+      minQuality: Double = 0.5,
+      persist: StagePersist = localCheckpoint): DataFrame = {
     val scored = TextAnalysis.withStats(batch, textCol)
       .withColumn("quality", TextAnalysis.qualityScore(
         col("n_tokens"), col("n_stopwords"), col("avg_token_len")))
@@ -54,13 +88,14 @@ object CorpusPrep {
     val gated = scored.join(canon, Seq(idCol), "left_semi")
     // materialize the surviving manifest once: it anchors BOTH the
     // contamination gram scan and the verdict join below, and without a
-    // checkpoint each reference re-runs the gate+dedup stages from the
-    // scan (measured 7.3 s -> ~2 s at sf0.1). A production run persists
-    // every stage boundary to the lakehouse for the same reason.
-    val fresh = (processedHashes match {
+    // pinned boundary each reference re-runs the gate+dedup stages from
+    // the scan (measured 7.3 s -> ~2 s at sf0.1). The strategy is the
+    // caller's: localCheckpoint for the bench, parquetStages (lakehouse)
+    // for a production run that must survive executor loss.
+    val fresh = persist(processedHashes match {
       case Some(seen) => gated.join(seen.select("text_hash"), Seq("text_hash"), "left_anti")
       case None       => gated
-    }).localCheckpoint()
+    })
     val contaminated = Contamination
       .contaminationReport(fresh, bench, idCol = idCol, textCol = textCol, n = gramN)
       .select(col(idCol), lit(1).as("__c"))

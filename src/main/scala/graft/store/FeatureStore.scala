@@ -667,6 +667,19 @@ object FeatureStore {
   def loadTx(spark: SparkSession, path: String): FeatureStore =
     loadTxSnapshots(spark, path, None)
 
+  /** Export a [[saveTx]]-persisted store as three STANDARD Delta tables
+    * (registry / feature_values / audit_log) any external engine can read
+    * — the handoff path out of the private commit-log format (see
+    * [[graft.sources.DeltaInterop]]; data files hard-link, so the export
+    * moves no data bytes on one filesystem). */
+  def exportDelta(spark: SparkSession, txPath: String, target: String,
+      tsMillis: Long = System.currentTimeMillis()): Unit = {
+    import graft.sources.{DeltaInterop, TxTable}
+    Seq("registry", "feature_values", "audit_log").foreach { name =>
+      DeltaInterop.exportDelta(TxTable(spark, s"$txPath/$name"), s"$target/$name", tsMillis)
+    }
+  }
+
   /** Reload the store exactly as it was KNOWN at wall-clock `tsMillis` —
     * table-level time travel over all three TxTables (SURVEY.md §1.2's
     * "as the store knew it at T", now at engine granularity). */

@@ -196,6 +196,62 @@ class DeltaInteropSpec extends SparkSpec {
     assert(DeltaInterop.readDelta(spark, ok).count() == 0L) // no adds: empty table
   }
 
+  test("versionAsOf time-travels a foreign log; gapless-replay guard fires on cleaned logs") {
+    val root = Paths.get(tmp("delta_tt"))
+    val logDir = root.resolve("_delta_log"); Files.createDirectories(logDir)
+    Seq((1L, "x")).toDF("id", "s").coalesce(1).write.parquet(root.resolve("d0").toString)
+    Seq((2L, "y")).toDF("id", "s").coalesce(1).write.parquet(root.resolve("d1").toString)
+    def firstParquet(dir: String): String = {
+      val s = Files.list(root.resolve(dir))
+      try dir + "/" + s.iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get.getFileName.toString
+      finally s.close()
+    }
+    val schemaJson = Seq((1L, "x")).toDF("id", "s").schema.json.replace("\"", "\\\"")
+    Files.write(logDir.resolve("0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":"${firstParquet("d0")}","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+    ).asJava)
+    Files.write(logDir.resolve("0" * 19 + "1.json"), Seq(
+      s"""{"add":{"path":"${firstParquet("d1")}","partitionValues":{},"size":1,"modificationTime":2,"dataChange":true}}"""
+    ).asJava)
+
+    assert(DeltaInterop.readDelta(spark, root.toString).count() == 2L)
+    assert(DeltaInterop.readDelta(spark, root.toString, versionAsOf = Some(0L))
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(intercept[IllegalArgumentException](
+      DeltaInterop.readDelta(spark, root.toString, versionAsOf = Some(7L)))
+      .getMessage.contains("does not exist"))
+    // simulate log retention cleaning commit 0: replay has a gap -> loud
+    Files.delete(logDir.resolve("0" * 20 + ".json"))
+    assert(intercept[IllegalArgumentException](
+      DeltaInterop.readDelta(spark, root.toString)).getMessage.contains("gaps"))
+  }
+
+  test("FeatureStore.exportDelta hands the whole persisted store to external engines") {
+    import graft.store._
+    val now = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val fs = new FeatureStore(spark)
+    val Right(f) = fs.registerFeature("hr", "1.0.0",
+      FeatureSchemaMeta("hr", "float64", entity_type = "patient"),
+      FeatureSourceMeta("batch"), "o", now)
+    fs.activateFeature(f.feature_id, now)
+    val df = Seq(("p1", "hr", Some(70.0), ts("2024-01-01 00:00:00")))
+      .toDF("entity_id", "feature_name", "value_double", "event_timestamp")
+      .withColumn("value_string", lit(null).cast("string"))
+    fs.ingestValues(df, Map("hr" -> f.feature_id), now)
+    val txPath = tmp("fs_tx")
+    fs.saveTx(txPath, tsMillis = 1000L)
+    val out = tmp("fs_delta")
+    FeatureStore.exportDelta(spark, txPath, out, tsMillis = 5000L)
+    for (t <- Seq("registry", "feature_values", "audit_log")) {
+      assert(Files.isRegularFile(Paths.get(out, t, "_delta_log", "0" * 20 + ".json")), t)
+      assert(DeltaInterop.readDelta(spark, s"$out/$t").count() ==
+        graft.sources.TxTable(spark, s"$txPath/$t").read().count(), t)
+    }
+  }
+
   test("export hard-links data files when source and target share a filesystem") {
     val t = sampleTable()
     val out = tmp("delta_link")
