@@ -17,6 +17,15 @@ import graft.operators.CorpusPrep
   * contaminated docs (id % 97 == 0 carry a bench 8-gram), everything else
   * distinct and clean.
   * Usage: runMain graft.PipelineScaleProbe [nDocs]
+  *
+  * Measured (10M docs / ~400 corpus-shape, local[32], 8g driver, shared
+  * host): batch 302 s (~33k docs/s), 4-batch incremental fold 417 s,
+  * parquet-persisted stage boundaries (CorpusPrep.parquetStages) 261 s —
+  * the DURABLE formulation was the fastest of the three, so cluster-grade
+  * fault tolerance costs nothing here; all three outputs row-identical
+  * (kept=7,938,144 of 10M: 1,958,763 dups + 103,093 contaminated
+  * tombstoned). No driver-side or memory cliff one order above the
+  * round-5 1M probe.
   */
 object PipelineScaleProbe {
   def main(args: Array[String]): Unit = {
