@@ -1645,7 +1645,8 @@ object SparkEntry {
       // duplicates — TombstoneSpec pins the edge case
       val q = CorpusPrep.prepareCorpusSink(
           ms.toDF().toDF("doc_id", "text", "lang", "source"), bench, t,
-          idCol = "doc_id", textCol = "text", carryCols = Seq("lang", "source"))
+          idCol = "doc_id", textCol = "text", carryCols = Seq("lang", "source"),
+          txnAppId = "p3_prepare_stream")
         .start()
       ms.addData(first.toSeq);  q.processAllAvailable()
       ms.addData(batch2.toSeq); q.processAllAvailable()
@@ -2090,11 +2091,11 @@ object SparkEntry {
       .count()
     require(notLossless == 0L,
       s"g3_bpe_tokens: $notLossless docs whose tokens do not concatenate back to their words")
-    val mergeKeys = merges.map { case (a, b) => a + " " + b }
+    val mergeKeys = merges.map { case (a, b) => a + " " + b }
     val unapplied = enc
       .select(explode(col("toks")).as("a")).where(size(col("a")) >= 2)
       .select(explode(transform(sequence(lit(0), size(col("a")) - 2),
-        i => concat(element_at(col("a"), i + 1), lit(" "),
+        i => concat(element_at(col("a"), i + 1), lit(" "),
           element_at(col("a"), i + 2)))).as("p"))
       .where(col("p").isin(mergeKeys: _*)).count()
     require(unapplied == 0L,
@@ -4297,7 +4298,7 @@ object SparkEntry {
         |q0 AS (SELECT event_type, quantile_cont(value, [0.25, 0.5, 0.75]) AS qs0
         |       FROM e GROUP BY event_type),
         |q AS (SELECT event_type,
-        |             CASE WHEN list_aggregate(list_transform(qs0, x -> abs(x)), 'max') < 1e-4
+        |             CASE WHEN round(list_aggregate(list_transform(qs0, x -> abs(x)), 'max') + 1e-9, 6) < 1e-4
         |                  THEN qs0
         |                  ELSE list_transform(qs0, qq -> round(qq + 1e-9, 6)) END AS qs
         |      FROM q0),
@@ -5197,7 +5198,7 @@ object SparkEntry {
         |                  quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs0
         |           FROM ref GROUP BY event_type),
         |edges AS (SELECT event_type,
-        |                 CASE WHEN list_aggregate(list_transform(qs0, x -> abs(x)), 'max') < 1e-4
+        |                 CASE WHEN round(list_aggregate(list_transform(qs0, x -> abs(x)), 'max') + 1e-9, 6) < 1e-4
         |                      THEN qs0
         |                      ELSE list_transform(qs0, e -> round(e + 1e-9, 6)) END AS qs
         |          FROM edges0),
@@ -5229,7 +5230,7 @@ object SparkEntry {
         |                  quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs0
         |           FROM ref GROUP BY event_type),
         |edges AS (SELECT event_type,
-        |                 CASE WHEN list_aggregate(list_transform(qs0, x -> abs(x)), 'max') < 1e-4
+        |                 CASE WHEN round(list_aggregate(list_transform(qs0, x -> abs(x)), 'max') + 1e-9, 6) < 1e-4
         |                      THEN qs0
         |                      ELSE list_transform(qs0, e -> round(e + 1e-9, 6)) END AS qs
         |          FROM edges0),

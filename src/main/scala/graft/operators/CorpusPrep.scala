@@ -129,14 +129,18 @@ object CorpusPrep {
       carryCols: Seq[String],
       gramN: Int = 8,
       minQuality: Double = 0.5,
-      txnAppId: String = "graft_corpus_prep"): DataStreamWriter[Row] =
+      txnAppId: String): DataStreamWriter[Row] =
     docStream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       // exactly-once under micro-batch RETRY, not just row redelivery:
       // foreachBatch's contract makes the sink responsible for batchId
       // dedup (a batch replayed after a partial failure arrives with the
       // SAME id) — the txn marker makes the re-commit a no-op, while
       // redelivered ROWS inside a genuinely new batch still die on the
-      // manifest anti-join below
+      // manifest anti-join below. txnAppId has NO default on purpose: two
+      // independent streams sharing one table AND one app id would treat
+      // each other's batch numbers as their own redeliveries and silently
+      // drop data — the caller must pick an id unique per query (e.g.
+      // derived from the checkpoint location)
       val processed =
         if (table.version() >= 0) Some(table.read().select("text_hash")) else None
       val manifest = prepareBatch(batch, bench, idCol, textCol, carryCols,

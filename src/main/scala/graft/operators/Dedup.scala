@@ -510,11 +510,17 @@ object Dedup {
       val in = fs.open(p)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim finally in.close()
       val kv = "([A-Za-z_][A-Za-z0-9_]*)=(-?\\d+)".r
-      txt.split(',').map(_.trim) match {
-        case parts if parts.nonEmpty && parts.forall(kv.matches) =>
-          Some(parts.map { case kv(k, v) => k -> v.toInt }.toMap)
-        case _ => None // empty, foreign-format, or truncated marker
+      val parts = txt.split(',').map(_.trim).toSeq
+      val parsed = parts.map {
+        // toIntOption, not toInt: a foreign marker's numeric value can
+        // exceed Int range (e.g. an epoch-millis 'ts=1700000000000') and
+        // matching the shape must not reintroduce the crash this parser
+        // exists to avoid
+        case kv(k, v) => v.toIntOption.map(k -> _)
+        case _        => None
       }
+      if (parts.nonEmpty && parsed.forall(_.isDefined)) Some(parsed.flatten.toMap)
+      else None // empty, foreign-format, truncated, or out-of-range marker
     }
   }
 

@@ -52,11 +52,14 @@ object Drift {
     // below 1e-4 in magnitude (normalized rates, tiny ratios) the 6-dp grid
     // would collapse all edges to one point and PSI would silently report
     // ~0 drift — those groups keep their exact interpolated edges instead
-    // (per-group decision, so an oracle replays it deterministically).
+    // (per-group decision, so an oracle replays it deterministically; the
+    // guard value is itself snapped to the 6-dp grid before comparing, so
+    // the BRANCH CHOICE cannot straddle a cross-engine ulp either — same
+    // vanishing-probability class as the edge rounding above).
     val edges = ref.groupBy(groupCols.map(col): _*)
       .agg(expr(s"percentile($valueCol, array(${probs.mkString("D,")}D))").as("__raw"))
       .withColumn("__qs", expr(
-        "CASE WHEN aggregate(__raw, 0D, (a, x) -> greatest(a, abs(x))) < 1e-4 " +
+        "CASE WHEN round(aggregate(__raw, 0D, (a, x) -> greatest(a, abs(x))) + 1e-9, 6) < 1e-4 " +
           "THEN __raw ELSE transform(__raw, e -> round(e + 1e-9, 6)) END"))
       .drop("__raw")
 

@@ -79,7 +79,7 @@ object Scaling {
     val stats = df.groupBy(groupCols.map(col): _*)
       .agg(expr(s"percentile($valueCol, array(${probs.mkString("D,")}D))").as("__raw"))
       .withColumn("__qs", expr(
-        "CASE WHEN aggregate(__raw, 0D, (a, x) -> greatest(a, abs(x))) < 1e-4 " +
+        "CASE WHEN round(aggregate(__raw, 0D, (a, x) -> greatest(a, abs(x))) + 1e-9, 6) < 1e-4 " +
           "THEN __raw ELSE transform(__raw, e -> round(e + 1e-9, 6)) END"))
       .drop("__raw")
     joinStats(df, stats, groupCols)

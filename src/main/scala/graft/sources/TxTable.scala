@@ -168,16 +168,30 @@ class TxTable(val spark: SparkSession, val root: String) {
 
   private def latestVersion(): Option[Long] = commitFiles().lastOption.map(nameVersion)
 
+  // incremental txn-watermark cache: commit files are immutable and the
+  // log is append-only, so each file needs parsing ONCE per table handle —
+  // without this, a streaming sink's per-batch watermark checks (2+ per
+  // append) re-parse the whole log and total log I/O grows quadratically
+  // in the number of micro-batches
+  private var txnScannedThrough: Long = -1L
+  private val txnWatermarks = scala.collection.mutable.HashMap.empty[String, Long]
+
   /** Highest batch version committed under `appId` (Delta's
     * `txnVersion(appId)`): the idempotence watermark a foreachBatch sink
     * checks before re-applying a possibly-redelivered micro-batch. Commit
-    * files are never deleted (vacuum retires DATA files only), so a full
-    * log scan is always sufficient; a table with a truncating log would
-    * carry the per-app watermark in its checkpoints the way Delta does. */
-  def txnVersion(appId: String): Option[Long] =
-    commitFiles().map(parseCommit).flatMap(_.txn)
-      .collect { case (app, bv) if app == appId => bv }
-      .maxOption
+    * files are never deleted (vacuum retires DATA files only), so the
+    * incremental scan over the commit tail is always sufficient; a table
+    * with a truncating log would carry the per-app watermark in its
+    * checkpoints the way Delta does. */
+  def txnVersion(appId: String): Option[Long] = synchronized {
+    commitFiles().filter(p => nameVersion(p) > txnScannedThrough).foreach { p =>
+      parseCommit(p).txn.foreach { case (app, bv) =>
+        txnWatermarks.update(app, math.max(bv, txnWatermarks.getOrElse(app, Long.MinValue)))
+      }
+      txnScannedThrough = math.max(txnScannedThrough, nameVersion(p))
+    }
+    txnWatermarks.get(appId)
+  }
 
   private def commits(): Seq[Commit] = commitFiles().map(parseCommit)
 
@@ -1147,11 +1161,24 @@ class TxTable(val spark: SparkSession, val root: String) {
     // our commit landed re-reads mtimes at delete time, and a post-commit
     // bump leaves a window where it still sees the stale timestamps.
     // Touching files that a failed commit never ends up referencing is
-    // harmless (they stay unreferenced and age out again).
+    // harmless (they stay unreferenced and age out again). A MISSING file
+    // here is fatal, not ignorable: it means a vacuum deleted it between
+    // the existence require above and this touch — committing the restore
+    // anyway would publish a snapshot referencing a deleted file (every
+    // later read fails, with no error at restore time).
     target.files.foreach { f =>
-      try Files.setLastModifiedTime(dataDir.resolve(f),
+      val p = dataDir.resolve(f)
+      try Files.setLastModifiedTime(p,
         java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-      catch { case _: java.io.IOException => () }
+      catch {
+        case e: java.io.IOException =>
+          if (!Files.exists(p))
+            throw new IllegalStateException(
+              s"version $v's data file $f was vacuumed during restore; cannot restore", e)
+        // other I/O failures (e.g. a read-only store) degrade to the old
+        // unbumped-mtime behavior — the minAge guard still protects fresh
+        // files, and the vacuum-side commit re-check covers the rest
+      }
     }
     commitLoop("restore",
       add = target.files.filterNot(current.files.contains),

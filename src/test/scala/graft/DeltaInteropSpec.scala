@@ -91,6 +91,22 @@ class DeltaInteropSpec extends SparkSpec {
     assert(rows.map(_.getAs[Double]("v")).toSeq == Seq(1.0, 2.0, 3.0))
   }
 
+  test("literal '+' in partition values survives the round trip (no form-decoding)") {
+    // Hive dir names leave '+' unescaped and delta-spark leaves it
+    // unencoded in add.path — URLDecoder-style form decoding would turn
+    // it into a space and corrupt both the path and the recorded value
+    val t = TxTable(spark, tmp("delta_plus"))
+    t.append(Seq((1L, "a+b", 1.0), (2L, "c d", 2.0)).toDF("id", "day", "v"),
+      tsMillis = 1000L, partitionBy = Seq("day"))
+    val out = tmp("delta_plus_exp")
+    DeltaInterop.exportDelta(t, out, tsMillis = 5000L)
+    val log = Files.readAllLines(Paths.get(out, "_delta_log", "0" * 20 + ".json")).asScala
+    assert(log.exists(_.contains("\"partitionValues\":{\"day\":\"a+b\"}")),
+      s"'+' must stay literal in partitionValues: ${log.filter(_.contains("add")).mkString("\n")}")
+    val got = DeltaInterop.readDelta(spark, out).orderBy("id").collect()
+    assert(got.map(_.getAs[String]("day")).toSeq == Seq("a+b", "c d"))
+  }
+
   test("foreign log: multi-commit add/remove replay with URI-encoded paths") {
     // hand-written log, as another engine would produce it — no TxTable
     val root = Paths.get(tmp("delta_foreign"))

@@ -28,5 +28,9 @@ class IndexMarkerSpec extends graft.SparkSpec {
     withMarker(Some("""{"state":"SUCCESS","timestamp":1700000000}"""))(p => assert(p.isEmpty))
     withMarker(Some("n_hashes=64,ban"))(p => assert(p.isEmpty))
     withMarker(Some("n_hashes=sixty-four"))(p => assert(p.isEmpty))
+    // matches the k=v shape but exceeds Int range (foreign epoch-millis
+    // marker) — must yield None, not NumberFormatException
+    withMarker(Some("ts=1700000000000"))(p => assert(p.isEmpty))
+    withMarker(Some("n_hashes=64,ts=1700000000000"))(p => assert(p.isEmpty))
   }
 }
