@@ -97,17 +97,29 @@ class TxTable(val spark: SparkSession, val root: String) {
     Files.readAllLines(p).asScala.toSeq
       .filter(_.contains("=")).map { l => val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1)) }
 
+  // stats/bloom lines parse RIGHT-ANCHORED: the trailing fields (column;
+  // min;max, resp. column;m;k;bits) can never contain ';' (column names
+  // are validated at record time), but the leading FILE PATH can — Hive
+  // path escaping leaves ';' alone, so a partition value like "a;b" puts
+  // one into the relative path. A fixed-arity Array(f,c,mn,mx) match
+  // silently dropped such entries and the skipping index went sparse with
+  // no error anywhere.
   private def parseStats(kvs: Seq[(String, String)]): Map[String, Seq[FileStats]] =
     kvs.collect { case ("stats", v) => v.split(";") }
-      .collect { case Array(f, c, mn, mx) => f -> FileStats(c, mn.toDouble, mx.toDouble) }
+      .collect { case parts if parts.length >= 4 =>
+        val Array(c, mn, mx) = parts.takeRight(3)
+        parts.dropRight(3).mkString(";") -> FileStats(c, mn.toDouble, mx.toDouble)
+      }
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
 
   private def parseBlooms(kvs: Seq[(String, String)]): Map[String, Seq[FileBloom]] =
     kvs.collect { case ("bloom", v) => v.split(";") }
-      .collect { case Array(f, c, m, k, b64) =>
+      .collect { case parts if parts.length >= 5 =>
+        val Array(c, m, k, b64) = parts.takeRight(4)
         val bytes = java.util.Base64.getDecoder.decode(b64)
         val bb = java.nio.ByteBuffer.wrap(bytes)
-        f -> FileBloom(c, m.toInt, k.toInt, Array.fill(bytes.length / 8)(bb.getLong))
+        parts.dropRight(4).mkString(";") ->
+          FileBloom(c, m.toInt, k.toInt, Array.fill(bytes.length / 8)(bb.getLong))
       }
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
 
@@ -167,6 +179,15 @@ class TxTable(val spark: SparkSession, val root: String) {
     p.getFileName.toString.stripSuffix(".txt").toLong
 
   private def latestVersion(): Option[Long] = commitFiles().lastOption.map(nameVersion)
+
+  /** The readVersion/diff existence contract, in ONE place: `v` must lie
+    * within the committed version range (a request beyond the latest is
+    * an error, not a silent read of the latest). */
+  private def requireVersionExists(v: Long): Unit = {
+    val versions = commitFiles().map(nameVersion)
+    require(versions.exists(_ <= v), s"version $v predates table $root")
+    require(versions.exists(_ >= v), s"version $v does not exist yet in table $root")
+  }
 
   // incremental txn-watermark cache: commit files are immutable and the
   // log is append-only, so each file needs parsing ONCE per table handle —
@@ -280,7 +301,7 @@ class TxTable(val spark: SparkSession, val root: String) {
       case Some((cv, ckpt)) =>
         val tail = commitFiles()
           .filter { p =>
-            val v = p.getFileName.toString.stripSuffix(".txt").toLong
+            val v = nameVersion(p)
             v > cv && v <= bound
           }.map(parseCommit)
         val live = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -298,8 +319,7 @@ class TxTable(val spark: SparkSession, val root: String) {
           tail.filter(_.blooms.nonEmpty).lastOption.map(_.bloomColNames)
             .getOrElse(ckpt.bloomCols))
       case None =>
-        snapshotFiles(commitFiles()
-          .filter(_.getFileName.toString.stripSuffix(".txt").toLong <= bound).map(parseCommit))
+        snapshotFiles(commitFiles().filter(nameVersion(_) <= bound).map(parseCommit))
     }
 
   /** Latest committed version, or -1 for a nonexistent table. */
@@ -353,9 +373,7 @@ class TxTable(val spark: SparkSession, val root: String) {
   /** Time travel to an exact version (must exist — asking for a version
     * beyond the latest is an error, not a silent read of the latest). */
   def readVersion(v: Long): DataFrame = {
-    val versions = commitFiles().map(_.getFileName.toString.stripSuffix(".txt").toLong)
-    require(versions.exists(_ <= v), s"version $v predates table $root")
-    require(versions.exists(_ >= v), s"version $v does not exist yet in table $root")
+    requireVersionExists(v)
     readState(stateForVersion(v))
   }
 
@@ -460,6 +478,13 @@ class TxTable(val spark: SparkSession, val root: String) {
       blooms: Map[String, Seq[FileBloom]] = Map.empty,
       validate: () => Boolean = () => true,
       txn: Option[(String, Long)] = None): Long = {
+    // the log is line-oriented: an appId carrying a newline would INJECT
+    // arbitrary commit actions (e.g. "app\nremove=<live-file>") — reject
+    // control characters outright rather than trust every config source
+    txn.foreach { case (app, _) =>
+      require(app.nonEmpty && !app.exists(c => c == '\n' || c == '\r'),
+        s"txn appId must be non-empty and newline-free, got ${app.take(80)}")
+    }
     var attempts = 0
     while (attempts < 100) {
       // ORDER IS LOAD-BEARING: the version listing happens BEFORE validate.
@@ -596,14 +621,14 @@ class TxTable(val spark: SparkSession, val root: String) {
         // so appends omitting statsCol don't punch stats-less holes in an
         // established skipping index; guard on df.columns like blooms do
         val inherited = snap0.map(activeStatsCols).getOrElse(Seq.empty)
-        (statsCol.toSeq ++ statsCols ++ inherited).distinct.filter(df.columns.contains)
+        (statsCol.toSeq ++ statsCols ++ inherited).distinct.filter(hasColumn(df, _))
       }),
       partCols = layout,
       blooms = computeBlooms(files, {
         // inherit the table's active bloom columns so later appends keep
         // the index dense without re-declaring it (same rule as layout)
         val inherited = snap0.map(activeBloomCols).getOrElse(Seq.empty)
-        (bloomCols ++ inherited).distinct.filter(df.columns.contains)
+        (bloomCols ++ inherited).distinct.filter(hasColumn(df, _))
       }),
       // the guards re-assert per attempt: a racing writer changing the
       // table's layout (first-append race, concurrent re-partitioning
@@ -628,7 +653,26 @@ class TxTable(val spark: SparkSession, val root: String) {
       txn = txn)
   }
 
-  private def computeStats(files: Seq[String], cols: Seq[String]): Map[String, Seq[FileStats]] =
+  // case-INSENSITIVE column containment, matching append's schema rules:
+  // a frame carrying "id" against a table stats column "ID" is the same
+  // column under spark.sql.caseSensitive=false, and a case-sensitive
+  // filter here silently dropped the inherited stats/bloom/layout columns
+  // (sparse skipping index, flattened layout) with no error
+  private def hasColumn(df: DataFrame, c: String): Boolean = {
+    val lower = df.columns.map(_.toLowerCase)
+    lower.contains(c.toLowerCase)
+  }
+
+  // the right-anchored stats/bloom line parse requires separator-free
+  // column names (the file-path field absorbs any ';' instead)
+  private def requireCleanCols(cols: Seq[String]): Seq[String] = {
+    cols.foreach(c => require(!c.contains(';') && !c.contains('\n') && !c.contains('\r'),
+      s"skipping-index column name '$c' contains a log separator character"))
+    cols
+  }
+
+  private def computeStats(files: Seq[String], cols0: Seq[String]): Map[String, Seq[FileStats]] = {
+    val cols = requireCleanCols(cols0)
     if (files.isEmpty || cols.isEmpty) Map.empty
     else {
       val aggs = cols.flatMap(c => Seq(
@@ -651,6 +695,7 @@ class TxTable(val spark: SparkSession, val root: String) {
           fileNameOf(r.getString(0)) -> sts
         }.filter(_._2.nonEmpty).toMap
     }
+  }
 
   /** The columns the table's existing skipping stats are recorded on (the
     * most recent commit's choice wins, carried through checkpoints) —
@@ -670,30 +715,42 @@ class TxTable(val spark: SparkSession, val root: String) {
 
   /** Per-file Bloom filters over `xxhash64(cast(col as string))`, built
     * DISTRIBUTED with bounded driver traffic: rows expand to their k bit
-    * positions, distinct() caps the per-file transfer at m positions (never
-    * row count), and only the positions reach the driver to pack into
-    * bitsets — the same build would run unchanged over a 100 TB commit. */
-  private def computeBlooms(files: Seq[String], cols: Seq[String]): Map[String, Seq[FileBloom]] =
+    * positions per indexed column, distinct() caps the per-(file, column)
+    * transfer at m positions (never row count), and only the positions
+    * reach the driver to pack into bitsets — the same build would run
+    * unchanged over a 100 TB commit. ONE scan of the staged files covers
+    * ALL bloom columns (a scan per column made the commit cost grow with
+    * the index width; with the stats scan the write path is now exactly
+    * two passes over fresh data regardless of how many columns index). */
+  private def computeBlooms(files: Seq[String], cols0: Seq[String]): Map[String, Seq[FileBloom]] = {
+    val cols = requireCleanCols(cols0)
     if (files.isEmpty || cols.isEmpty) Map.empty
     else {
       import spark.implicits._
       val (m, k) = (bloomBits, bloomHashes)
-      cols.flatMap { c =>
-        spark.read.option("basePath", dataDir.toString)
-          .parquet(files.map(f => dataDir.resolve(f).toString): _*)
-          .select(input_file_name().as("f"), xxhash64(col(c).cast("string")).as("h"))
-          .as[(String, Long)]
-          .flatMap { case (f, h) => TxTable.bloomPositions(h, m, k).map(p => (f, p)) }
-          .distinct()
-          .collect()
-          .groupBy(_._1)
-          .map { case (furi, arr) =>
-            val bits = new Array[Long](m >> 6)
-            arr.foreach { case (_, p) => bits(p >> 6) |= 1L << (p & 63) }
-            fileNameOf(furi) -> FileBloom(c, m, k, bits)
+      val colsIdx = cols.toIndexedSeq
+      spark.read.option("basePath", dataDir.toString)
+        .parquet(files.map(f => dataDir.resolve(f).toString): _*)
+        .select(input_file_name().as("f"),
+          array(colsIdx.map(c => xxhash64(col(c).cast("string"))): _*).as("hs"))
+        .as[(String, Seq[Long])]
+        .flatMap { case (f, hs) =>
+          hs.iterator.zipWithIndex.flatMap { case (h, ci) =>
+            TxTable.bloomPositions(h, m, k).map(p => (f, ci, p))
           }
-      }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+        }
+        .distinct()
+        .collect()
+        .groupBy(t => (t._1, t._2))
+        .toSeq // NOT a Map transform: one file carries one bloom PER column
+        .map { case ((furi, ci), arr) =>
+          val bits = new Array[Long](m >> 6)
+          arr.foreach { case (_, _, p) => bits(p >> 6) |= 1L << (p & 63) }
+          fileNameOf(furi) -> FileBloom(colsIdx(ci), m, k, bits)
+        }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
     }
+  }
 
   /** Equality/IN data-skipping read: scan only live files that might hold
     * at least one of `values` in `colName` — partition-directory values
@@ -824,7 +881,7 @@ class TxTable(val spark: SparkSession, val root: String) {
     // schema evolution); an explicit partitionBy re-partitions or flattens
     val layout =
       if (partitionBy.nonEmpty) partitionBy
-      else snap.partCols.filter(df.columns.contains)
+      else snap.partCols.filter(hasColumn(df, _))
     val newFiles = stageDataFiles(df, layout)
     commitLoop("overwrite", newFiles, snap.files, tsMillis, Some(df.schema.toDDL),
       schemaEveryCommit = true, // overwrite may evolve the table schema
@@ -834,13 +891,13 @@ class TxTable(val spark: SparkSession, val root: String) {
         // guard as partCols above) — an overwrite that drops an indexed
         // column should drop its stats, not fail after staging
         if (chosen.nonEmpty) chosen
-        else activeStatsCols(snap).filter(df.columns.contains)
+        else activeStatsCols(snap).filter(hasColumn(df, _))
       }),
       partCols = layout,
       blooms = computeBlooms(newFiles, {
         val chosen = bloomCols.distinct
         if (chosen.nonEmpty) chosen
-        else activeBloomCols(snap).filter(df.columns.contains)
+        else activeBloomCols(snap).filter(hasColumn(df, _))
       }),
       validate = () => latestVersion() == baseVersion)
   }
@@ -932,11 +989,7 @@ class TxTable(val spark: SparkSession, val root: String) {
     val (before, after) =
       if (sFrom.ddl == sTo.ddl) {
         // same version-existence contract as readVersion
-        val versions = commitFiles().map(_.getFileName.toString.stripSuffix(".txt").toLong)
-        Seq(fromV, toV).foreach { v =>
-          require(versions.exists(_ <= v), s"version $v predates table $root")
-          require(versions.exists(_ >= v), s"version $v does not exist yet in table $root")
-        }
+        Seq(fromV, toV).foreach(requireVersionExists)
         val fromSet = sFrom.files.toSet
         val toSet   = sTo.files.toSet
         (readState(sFrom.copy(files = sFrom.files.filterNot(toSet))),
@@ -1180,7 +1233,7 @@ class TxTable(val spark: SparkSession, val root: String) {
         // files, and the vacuum-side commit re-check covers the rest
       }
     }
-    commitLoop("restore",
+    val committed = commitLoop("restore",
       add = target.files.filterNot(current.files.contains),
       remove = current.files.filterNot(keep.contains),
       tsMillis = tsMillis,
@@ -1189,6 +1242,30 @@ class TxTable(val spark: SparkSession, val root: String) {
       partCols = target.partCols,
       blooms = target.blooms,
       validate = () => latestVersion() == baseVersion)
+    // POST-COMMIT verification closes the last restore-vs-vacuum window: a
+    // vacuum that re-read F's (old) mtime after our existence check but
+    // before our touch can unlink F after our commit passed — no ordering
+    // of pre-commit checks can exclude it. If any re-referenced file is
+    // gone now, ROLL BACK by committing the pre-restore snapshot again
+    // (its files were live and therefore referenced by the racing vacuum's
+    // own retained set, so they survived it) and fail loudly — a transient
+    // window instead of a permanently unreadable table.
+    val lost = target.files.filter(f => !Files.exists(dataDir.resolve(f)))
+    if (lost.nonEmpty) {
+      commitLoop("restore",
+        add = current.files.filterNot(target.files.contains),
+        remove = target.files.filterNot(current.files.toSet.contains),
+        tsMillis = tsMillis,
+        schemaDdl = current.ddl, schemaEveryCommit = true,
+        stats = current.stats,
+        partCols = current.partCols,
+        blooms = current.blooms,
+        validate = () => latestVersion().contains(committed))
+      throw new IllegalStateException(
+        s"restore to version $v lost a race with vacuum (files ${lost.take(3).mkString(",")}" +
+          s"${if (lost.size > 3) ",…" else ""} deleted); table rolled back to its pre-restore state")
+    }
+    committed
   }
 
   /** Immutable descriptor of the CURRENT snapshot for interop exporters
@@ -1219,8 +1296,16 @@ class TxTable(val spark: SparkSession, val root: String) {
     val cs = commits()
     if (!Files.isDirectory(dataDir)) return
     val keepFrom = math.max(0, cs.size - math.max(1, retainVersions))
-    val referenced = (keepFrom until cs.size)
-      .flatMap(i => snapshotFiles(cs.take(i + 1)).files).toSet
+    // union of the retained snapshots in ONE forward replay: a file in any
+    // retained snapshot either is live at the first retained version or is
+    // added by a later commit — re-replaying the whole prefix per retained
+    // version (the old snapshotFiles(cs.take(i+1)) loop) made a vacuum of
+    // an n-commit table O(n²) in log replay work
+    val referenced: Set[String] = {
+      val live = scala.collection.mutable.LinkedHashSet.empty[String]
+      cs.take(keepFrom + 1).foreach { c => live ++= c.add; live --= c.remove }
+      (live ++ cs.drop(keepFrom + 1).flatMap(_.add)).toSet
+    }
     val cutoff = System.currentTimeMillis() - minAgeMillis
     // walk recursively: partitioned layouts nest files under data/<col>=<v>/
     val w = Files.walk(dataDir)
@@ -1236,9 +1321,16 @@ class TxTable(val spark: SparkSession, val root: String) {
     // mtimes, which the per-file cutoff re-read below honors, closing the
     // residual window between this check and the deletes.
     if (commitFiles().size != cs.size) { vacuum(retainVersions, minAgeMillis); return }
-    deletable
-      .filter(p => Files.exists(p) && Files.getLastModifiedTime(p).toMillis <= cutoff)
-      .foreach(Files.deleteIfExists(_))
+    // check-and-delete ADJACENT per file (not filter-then-foreach, whose
+    // materialized list widened the mtime-recheck -> unlink window to the
+    // whole pass); the remaining microsecond window is closed from the
+    // OTHER side — restoreVersion re-verifies its files after committing
+    // and rolls back if a racing vacuum won it
+    deletable.foreach { p =>
+      try {
+        if (Files.getLastModifiedTime(p).toMillis <= cutoff) Files.deleteIfExists(p)
+      } catch { case _: java.io.IOException => () } // vanished concurrently
+    }
     // crash leftovers outside data/: stale staging trees under root and
     // tmp commit/checkpoint files in the log dir — nothing else sweeps
     // them, so a long-lived table would otherwise leak disk forever

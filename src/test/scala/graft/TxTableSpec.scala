@@ -56,6 +56,38 @@ class TxTableSpec extends SparkSpec {
       txn = Some(("sink", 3L))) >= 0L)
   }
 
+  test("txn appId with control characters is rejected (line-oriented log injection)") {
+    val t = newTable()
+    intercept[IllegalArgumentException] {
+      t.append(kv((1L, "a", 1.0, 10L)), tsMillis = 1000L,
+        txn = Some(("app\nremove=evil.parquet", 0L)))
+    }
+    intercept[IllegalArgumentException] {
+      t.append(kv((1L, "a", 1.0, 10L)), tsMillis = 1000L, txn = Some(("", 0L)))
+    }
+  }
+
+  test("skipping stats survive a ';' in the partition value (right-anchored log parse)") {
+    // Hive path escaping leaves ';' alone, so the relative file path
+    // contains the log's field separator — the stats/bloom lines must
+    // still round-trip (the path field absorbs the ';')
+    val t = newTable()
+    t.append(
+      Seq((1L, "a;b", 1.0), (2L, "a;b", 2.0), (3L, "plain", 30.0))
+        .toDF("k", "part", "value"),
+      tsMillis = 1000L, partitionBy = Seq("part"),
+      statsCols = Seq("value"), bloomCols = Seq("k"))
+    // range skipping: the value<=2 file group must exclude the 30.0 file
+    val pruned = t.readWhere("value", 0.0, 5.0)
+    assert(pruned.inputFiles.length < t.read().inputFiles.length,
+      "stats recorded under a ';' path must still prune")
+    assert(pruned.where(col("value") <= 5.0).count() == 2L)
+    // bloom skipping on the same table
+    val hit = t.readWhereIn("k", Seq("1"))
+    assert(hit.inputFiles.length < t.read().inputFiles.length,
+      "blooms recorded under a ';' path must still prune")
+  }
+
   test("partition pruning matches values needing Hive path escaping") {
     val t = newTable()
     // ':' and '%' are escaped to %XX in the partition directory name; the
