@@ -33,12 +33,20 @@ object Bpe {
     * (ties: lexicographic smallest pair); stops early when no pair occurs
     * twice. O(numMerges × total symbols) — the affected-word index keeps
     * re-counting to words that actually contain the merged pair. */
+  /** Initial symbols = Unicode CODE POINTS, not UTF-16 chars: splitting
+    * chars would cut a non-BMP character (emoji, rare CJK) into two lone
+    * surrogates, and a learned merge containing a lone surrogate does not
+    * survive UTF-8 serialization (each becomes U+FFFD in merges.txt), so
+    * the round-tripped table would silently encode differently. */
+  private def symbolsOf(word: String): Array[String] =
+    word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
   def train(wordFreqs: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
     // symbol sequences, deterministic order (training must not depend on
     // the collect order of a distributed groupBy)
     var words: Array[(Array[String], Long)] = wordFreqs.toArray
       .sortBy(_._1)
-      .map { case (w, f) => (w.map(_.toString).toArray, f) }
+      .map { case (w, f) => (symbolsOf(w), f) }
       .filter(_._1.length >= 2)
 
     val merges = Seq.newBuilder[(String, String)]
@@ -88,7 +96,7 @@ object Bpe {
     * concatenation (lossless by construction). */
   def encodeWord(word: String, ranks: Map[(String, String), Int]): Seq[String] = {
     if (word.isEmpty) return Seq.empty
-    var syms: Array[String] = word.map(_.toString).toArray
+    var syms: Array[String] = symbolsOf(word)
     var done = false
     while (!done && syms.length >= 2) {
       var bestRank = Int.MaxValue

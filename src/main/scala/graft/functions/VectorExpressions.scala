@@ -427,24 +427,44 @@ case class PqAdc(codes: Expression, lut: Expression, k: Int) extends BinaryExpre
     case (a, b) => TypeCheckResult.TypeCheckFailure(s"$prettyName requires (array<int>, array<double>), got $a / $b")
   }
 
+  // BOUNDS ARE LOAD-BEARING: UnsafeArrayData.getDouble does NOT bounds-
+  // check, so codes from an index built with a different k (a stale-index
+  // mix) would read arbitrary off-heap memory and rank candidates by
+  // garbage with no error. One comparison per lookup buys a loud failure.
   override def nullSafeEval(c: Any, l: Any): Any = {
     val cArr = c.asInstanceOf[ArrayData]
     val lArr = l.asInstanceOf[ArrayData]
     var sum = 0.0
     var s = 0
     val n = cArr.numElements()
-    while (s < n) { sum += lArr.getDouble(s * k + cArr.getInt(s)); s += 1 }
+    val lutLen = lArr.numElements()
+    while (s < n) {
+      val idx = s * k + cArr.getInt(s)
+      if (idx < 0 || idx >= lutLen)
+        throw new IllegalArgumentException(
+          s"pq_adc: code ${cArr.getInt(s)} at subspace $s indexes past the $lutLen-entry LUT " +
+            s"(k=$k) — codes and codebooks come from different builds")
+      sum += lArr.getDouble(idx)
+      s += 1
+    }
     sum
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (c, l) => {
       val sum = ctx.freshName("sum"); val s = ctx.freshName("s"); val n = ctx.freshName("n")
+      val idx = ctx.freshName("idx"); val lutLen = ctx.freshName("lutLen")
       s"""
          |double $sum = 0.0;
          |int $n = $c.numElements();
+         |int $lutLen = $l.numElements();
          |for (int $s = 0; $s < $n; $s++) {
-         |  $sum += $l.getDouble($s * $k + $c.getInt($s));
+         |  int $idx = $s * $k + $c.getInt($s);
+         |  if ($idx < 0 || $idx >= $lutLen) {
+         |    throw new IllegalArgumentException(
+         |      "pq_adc: code indexes past the LUT (k=$k) — codes and codebooks come from different builds");
+         |  }
+         |  $sum += $l.getDouble($idx);
          |}
          |${ev.value} = $sum;
        """.stripMargin

@@ -42,6 +42,12 @@ object AnnIndex {
     val spark = corpus.sparkSession
     import spark.implicits._
 
+    // UNPUBLISH before rebuilding: a stale marker surviving into the
+    // rebuild window would certify a MIXED index (new centroids/codebooks
+    // + old codes after a crash between artifact writes) — readers must
+    // see "no index" for the whole rebuild, not a half-replaced one
+    Files.deleteIfExists(Paths.get(path, "_SUCCESS"))
+
     val cents = Similarity.kmeansCentroids(corpus, idCol, vecCol, nCentroids, refineIters)
     val cb = Pq.train(corpus, idCol, vecCol, m, k, pqIters)
 

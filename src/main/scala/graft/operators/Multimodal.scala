@@ -62,17 +62,30 @@ object Multimodal {
       ).as("meta")
     )
 
+  /** The decode operators' null contract, made LOUD: the media schema
+    * declares `content` nullable and [[extractFeatures]] treats null as
+    * empty bytes, but a codec cannot decode absent bytes — a null row
+    * reaching a decoder is an upstream filtering bug, reported with the
+    * offending media_id instead of a bare NullPointerException. */
+  private def requireContent(id: Long, bytes: Array[Byte]): Unit =
+    require(bytes != null,
+      s"null content for media_id=$id — filter null rows before decoding " +
+        "(ByteFeatures/extractFeatures accept them; codecs cannot)")
+
   /** Content-signature-keyed fixture directory + idempotency marker.
     * Keyed by CONTENT (order-independent xor of row hashes), not just the
     * source path — regenerated source data must not serve stale fixture
     * bytes from a previous corpus at the same location. */
   private def fixtureDir(docs: DataFrame, idCol: String, textCol: String,
-      prefix: String, fixtureKey: String): java.nio.file.Path = {
+      prefix: String, fixtureKey: String, modulo: Int): java.nio.file.Path = {
     val sig = docs
       .agg(bit_xor(xxhash64(col(idCol), col(textCol))), count(lit(1)))
       .collect().head.toSeq.mkString("_")
+    // modulo is part of the identity: the sampling parameter changes WHICH
+    // files exist, so a fixture written at modulo=10 must never satisfy a
+    // modulo=5 request via the shared _SUCCESS marker
     java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"${prefix}_${java.lang.Integer.toHexString((fixtureKey + sig).hashCode)}")
+      s"${prefix}_${java.lang.Integer.toHexString((fixtureKey + sig + "%" + modulo).hashCode)}")
   }
 
   /** Write a deterministic on-disk media fixture (one `doc_<id>.bin` per
@@ -87,7 +100,7 @@ object Multimodal {
   def writeMediaFixture(docs: DataFrame, idCol: String, textCol: String, fixtureKey: String,
       modulo: Int = 10): String = {
     import java.nio.file.{Files, Paths}
-    val out = fixtureDir(docs, idCol, textCol, "graft_media", fixtureKey)
+    val out = fixtureDir(docs, idCol, textCol, "graft_media", fixtureKey, modulo)
     val marker = out.resolve("_SUCCESS")
     if (!Files.exists(marker)) {
       Files.createDirectories(out)
@@ -115,7 +128,7 @@ object Multimodal {
   def writeWavFixture(docs: DataFrame, idCol: String, textCol: String, fixtureKey: String,
       modulo: Int = 10): String = {
     import java.nio.file.{Files, Paths}
-    val out = fixtureDir(docs, idCol, textCol, "graft_wav", fixtureKey)
+    val out = fixtureDir(docs, idCol, textCol, "graft_wav", fixtureKey, modulo)
     val marker = out.resolve("_SUCCESS")
     if (!Files.exists(marker)) {
       Files.createDirectories(out)
@@ -226,14 +239,27 @@ object Multimodal {
         (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
           ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
       def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+      def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
       require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE", "not a RIFF/WAVE file")
       var off = 12
+      var fmtOk = false
       while (off + 8 <= bytes.length) {
         val id = tag(off); val len = u32(off + 4)
         val advance = 8 + len.toInt + (len.toInt & 1)
         require(advance > 0 && off + 8 + len <= bytes.length,
           s"malformed chunk length $len at offset $off (${bytes.length} bytes)")
+        if (id == "fmt ") {
+          // this decoder pairs bytes as signed 16-bit PCM — an 8- or
+          // 24-bit (or compressed) file would decode to GARBAGE sample
+          // values with no error, so anything but format=1/bits=16 throws
+          require(len >= 16, s"malformed fmt chunk length $len at offset $off")
+          val audioFormat = u16(off + 8); val bits = u16(off + 22)
+          require(audioFormat == 1 && bits == 16,
+            s"unsupported WAV encoding (format=$audioFormat, bits=$bits); only 16-bit PCM decodes")
+          fmtOk = true
+        }
         if (id == "data") {
+          require(fmtOk, "data chunk precedes fmt; cannot validate the sample encoding")
           val start = off + 8
           val n = (len / 2).toInt
           return Array.tabulate(n) { i =>
@@ -261,6 +287,11 @@ object Multimodal {
         val id = tag(off); val len = u32(off + 4)
         id match {
           case "fmt " =>
+            // bounds BEFORE field reads: an undersized fmt chunk (len<16)
+            // would otherwise read the NEXT chunk's header bytes as
+            // channels/rate/bits and misreport with no error
+            require(len >= 16 && off + 8 + 16 <= bytes.length,
+              s"malformed fmt chunk length $len at offset $off")
             channels = u16(off + 10); rate = u32(off + 12).toInt; bits = u16(off + 22)
           case "data" => dataLen = len
           case _ => ()
@@ -351,12 +382,25 @@ object Multimodal {
           ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
       require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP file")
       val fileLen = u32(2)
+      val pixelOffset = u32(10)
       val hdrSize = u32(14)
       require(hdrSize == 40, s"unsupported DIB header size $hdrSize")
       val width = u32(18).toInt; val height = u32(22).toInt
-      val bpp = u16(28); val compression = u32(30); val imgLen = u32(34)
+      val bpp = u16(28); val compression = u32(30); val imgLenDecl = u32(34)
+      // downstream pixel math assumes the 54-byte header layout and 24-bit
+      // rows (resizeBmpHalf indexes bytes(54 + y*stride24 + x*3)); a legal
+      // 8-bpp file or a palette gap would read garbage or out of bounds
+      // with no error — anything but this exact supported shape throws
       require(compression == 0, s"unsupported compression $compression")
+      require(bpp == 24, s"unsupported bits-per-pixel $bpp; only 24-bit decodes")
+      require(pixelOffset == 54, s"unsupported pixel-data offset $pixelOffset (palette/gap?)")
       require(width > 0 && height > 0, s"non-positive dimensions ${width}x$height")
+      // BI_RGB permits a declared image size of 0; anything else must
+      // equal the grid the dimensions imply, or the pixel walk misindexes
+      val expected = strideOf(width).toLong * height
+      val imgLen = if (imgLenDecl == 0L) expected else imgLenDecl
+      require(imgLen == expected,
+        s"declared image size $imgLenDecl != ${width}x$height stride grid $expected")
       require(54 + imgLen <= bytes.length && fileLen <= bytes.length,
         s"declared sizes exceed the file (${bytes.length} bytes)")
       BmpMeta(width, height, bpp, imgLen, fileLen)
@@ -369,7 +413,7 @@ object Multimodal {
   def writeBmpFixture(docs: DataFrame, idCol: String, textCol: String, fixtureKey: String,
       modulo: Int = 10): String = {
     import java.nio.file.{Files, Paths}
-    val out = fixtureDir(docs, idCol, textCol, "graft_bmp", fixtureKey)
+    val out = fixtureDir(docs, idCol, textCol, "graft_bmp", fixtureKey, modulo)
     val marker = out.resolve("_SUCCESS")
     if (!Files.exists(marker)) {
       Files.createDirectories(out)
@@ -395,6 +439,7 @@ object Multimodal {
     media.select("media_id", "content").as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
+          requireContent(id, bytes)
           val m = BmpCodec.parse(bytes)
           BmpCodec.BmpRow(id, m.width.toLong, m.height.toLong,
             m.width.toLong * m.height, m.img_bytes, m.file_bytes)
@@ -417,6 +462,7 @@ object Multimodal {
     media.select("media_id", "content").as(enc)
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
+          requireContent(id, bytes)
           val m = BmpCodec.parse(bytes)
           val stride = BmpCodec.strideOf(m.width)
           val (ow, oh) = ((m.width + 1) / 2, (m.height + 1) / 2)
@@ -449,6 +495,7 @@ object Multimodal {
     media.select("media_id", "content").as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
+          requireContent(id, bytes)
           val m = WavCodec.parse(bytes)
           WavCodec.WavRow(id, m.sample_rate.toLong, m.channels.toLong,
             m.n_frames, m.duration_ms, bytes.length.toLong)
@@ -467,6 +514,7 @@ object Multimodal {
     media.select("media_id", "content").as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
+          requireContent(id, bytes)
           val ss = WavCodec.samples(bytes)
           var peak = 0L
           var sq = 0.0

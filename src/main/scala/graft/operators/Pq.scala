@@ -43,14 +43,20 @@ object Pq {
       k: Int = 16,
       iters: Int = 5,
       maxSample: Int = 10000): Codebooks = {
+    // null vectors never train (a single null in the hash-ordered sample
+    // NPE'd the whole build); dimension uniformity is asserted below —
+    // a short vector among the sample would otherwise misindex in Lloyd
     val sample: Array[Array[Float]] = df
       .select(col(idCol), col(vecCol))
+      .where(col(vecCol).isNotNull)
       .orderBy(xxhash64(col(idCol)))
       .limit(maxSample)
       .collect()
       .map(_.getSeq[Float](1).toArray)
     require(sample.nonEmpty, "empty training sample")
     val dim = sample.head.length
+    require(sample.forall(_.length == dim),
+      s"mixed vector dimensions in the training sample (expected uniform $dim)")
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
 
@@ -105,9 +111,11 @@ object Pq {
       Similarity.nearestCell(Similarity.normalized(rawCents))(col(vecCol)).as("__cell"))
 
   /** Approximate cosine top-k over PQ codes: queries broadcast against the
-    * code table; each candidate costs m table lookups. Output matches the
-    * exact cosineTopK shape (query_id, rank, id, cosine) with cosine being
-    * the PQ approximation.
+    * code table; each candidate costs m table lookups. Output shape is
+    * (qidCol, rank, idCol, cosine_approx) — same structure as the exact
+    * cosineTopK but the score column is named `cosine_approx` to mark the
+    * PQ approximation. ([[Similarity.ivfPqTopKWith]] is this scoring plus
+    * a coarse-cell probe join; the two share the LUT/ADC expressions.)
     */
   def topK(
       encoded: DataFrame,

@@ -59,6 +59,22 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.parseMerges("# version: test\n\ne s\nes t") == Seq(("e", "s"), ("es", "t")))
   }
 
+  test("non-BMP characters stay whole code points (no lone surrogates in merges)") {
+    // an emoji is one symbol, not two UTF-16 surrogates: a merge holding a
+    // lone surrogate would not survive UTF-8 merges.txt serialization
+    val merges = Bpe.train(Seq("😀x" -> 5L, "😀y" -> 5L), 4)
+    assert(merges.forall { case (a, b) =>
+      !a.exists(Character.isSurrogate(_) && a.length == 1) &&
+        Seq(a, b).forall(t => !(t.length == 1 && Character.isSurrogate(t.charAt(0))))
+    }, s"lone surrogate in merges: $merges")
+    val ranks = Bpe.ranksOf(merges)
+    val toks = Bpe.encodeWord("😀x", ranks)
+    assert(toks.mkString("") == "😀x")
+    // round-trip through the wire format preserves the merge behavior
+    val replayed = Bpe.ranksOf(Bpe.parseMerges(Bpe.formatMerges(merges)))
+    assert(Bpe.encodeWord("😀x", replayed) == toks)
+  }
+
   test("degenerate inputs: empty vocab, singleton chars, count-1 pairs stop training") {
     assert(Bpe.train(Seq.empty, 10).isEmpty)
     assert(Bpe.train(Seq("a" -> 100L), 10).isEmpty, "1-char words carry no pairs")
