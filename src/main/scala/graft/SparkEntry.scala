@@ -4968,7 +4968,7 @@ object SparkEntry {
       """WITH s AS (
         |  SELECT user_id, ts, value, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |              OR date_diff('second', lag(ts) OVER w, ts) > 14400 THEN 1 ELSE 0 END AS new_sess
+        |              OR epoch(ts) - epoch(lag(ts) OVER w) > 14400 THEN 1 ELSE 0 END AS new_sess
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s2 AS (
         |  SELECT user_id, ts, value,

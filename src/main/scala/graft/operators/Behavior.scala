@@ -72,8 +72,10 @@ object Behavior {
     // entities at depth >= k, for each k — all k counts land in ONE agg
     // row, so the conversion ratio is a plain per-row expression (no
     // global window, which the plan audit rightly bans)
+    // coalesce: SUM over an EMPTY depth frame (no stage-0 entities at
+    // all) is SQL-null, and a conversion report must read 0, not null
     val counts = stages.indices.map(i =>
-      sum(when(col("depth") >= i + 1, 1L).otherwise(0L)).as(s"__c$i"))
+      coalesce(sum(when(col("depth") >= i + 1, 1L).otherwise(0L)), lit(0L)).as(s"__c$i"))
     val agg = d.agg(counts.head, counts.tail: _*)
     agg.select(
       explode(array(stages.zipWithIndex.map { case (s0, i) =>
@@ -108,18 +110,6 @@ object Behavior {
       .agg(countDistinct(col("__e")).as("n_active"))
   }
 
-  /** Time-weighted average of a measure per entity over an observation
-    * window [start, end): each observed value holds (LOCF) until the next
-    * observation, and the average weights each value by its holding
-    * duration. The standard way to turn an irregularly-sampled signal
-    * (vitals, prices, telemetry) into one unbiased scalar feature — a plain
-    * avg() over-weights densely-sampled episodes.
-    *
-    * Window-function shape: lead(ts) within entity gives each row its
-    * holding interval, clamped to `end`; rows before an entity's first
-    * observation contribute nothing (there is no value to hold). One
-    * shuffle on the entity key.
-    */
   /** OHLC bar downsampling: per (entity, time bucket), the first / max /
     * min / last observed value plus count and mean — the canonical way an
     * irregular numeric signal (vitals, prices, sensor readings) is
@@ -140,15 +130,14 @@ object Behavior {
       valueCol: String,
       orderCols: Seq[String]): DataFrame = {
     require(orderCols.nonEmpty, "ohlc needs at least one ordering column")
-    val ord = orderCols.mkString("struct(", ", ", ")")
     obs
       .where(col(valueCol).isNotNull)
       .groupBy(col(entityCol), bucketCol.as("bucket"))
       .agg(
-        expr(s"min_by($valueCol, $ord)").as("open"),
+        min_by(col(valueCol), struct(orderCols.map(col): _*)).as("open"),
         max(col(valueCol)).as("high"),
         min(col(valueCol)).as("low"),
-        expr(s"max_by($valueCol, $ord)").as("close"),
+        max_by(col(valueCol), struct(orderCols.map(col): _*)).as("close"),
         count(lit(1)).as("n"),
         avg(col(valueCol)).as("mean"))
   }
@@ -216,6 +205,18 @@ object Behavior {
     daily.join(rolling, "day")
   }
 
+  /** Time-weighted average of a measure per entity over an observation
+    * window [start, end): each observed value holds (LOCF) until the next
+    * observation, and the average weights each value by its holding
+    * duration. The standard way to turn an irregularly-sampled signal
+    * (vitals, prices, telemetry) into one unbiased scalar feature — a plain
+    * avg() over-weights densely-sampled episodes.
+    *
+    * Window-function shape: lead(ts) within entity gives each row its
+    * holding interval, clamped to `end`; rows before an entity's first
+    * observation contribute nothing (there is no value to hold). One
+    * shuffle on the entity key.
+    */
   def timeWeightedAvg(
       obs: DataFrame,
       entityCol: String,
@@ -225,6 +226,11 @@ object Behavior {
       endTs: Column): DataFrame = {
     val w = Window.partitionBy(entityCol).orderBy(tsCol)
     obs
+      // null observations carry no value to hold: dropping them BEFORE the
+      // lead() extends the previous value's holding interval across the
+      // null's span (LOCF), instead of adding duration to the denominator
+      // with nothing in the numerator (a silently deflated average)
+      .where(col(valueCol).isNotNull)
       .where(col(tsCol) >= startTs && col(tsCol) < endTs)
       .withColumn("__next", coalesce(lead(col(tsCol), 1).over(w), endTs))
       .withColumn("__dur",

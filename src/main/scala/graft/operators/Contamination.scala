@@ -20,14 +20,6 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
-  /** Word n-grams per row: one (id, gram) row per position. Tokenization
-    * is the engine-wide whitespace convention (TextAnalysis.tokens); the
-    * token array is hoisted into a projected column BEFORE the lambda so
-    * Catalyst doesn't re-split per position (no cross-lambda CSE).
-    * Rows with fewer than `n` tokens produce no grams (and `sequence` is
-    * never called with a descending range, which would silently generate
-    * backwards).
-    */
   /** The per-row gram array over the projected token column `__t` (one
     * gram per position, in order). */
   private def gramArray(n: Int) = expr(
@@ -43,6 +35,14 @@ object Contamination {
       .where(size(col("__t")) >= n)
   }
 
+  /** Word n-grams per row: one (id, gram) row per position. Tokenization
+    * is the engine-wide whitespace convention (TextAnalysis.tokens); the
+    * token array is hoisted into a projected column BEFORE the lambda so
+    * Catalyst doesn't re-split per position (no cross-lambda CSE).
+    * Rows with fewer than `n` tokens produce no grams (and `sequence` is
+    * never called with a descending range, which would silently generate
+    * backwards).
+    */
   def ngrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     tokenized(df, idCol, textCol, n)
       .select(col(idCol), explode(gramArray(n)).as("gram"))

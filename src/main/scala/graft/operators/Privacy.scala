@@ -25,6 +25,9 @@ object Privacy {
     */
   def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty, "k-anonymity needs at least one quasi-identifier column")
+    // a non-positive k marks EVERY class safe — a release gate that always
+    // passes is a config bug, not an audit
+    require(k >= 1, s"k must be >= 1, got $k")
     df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("class_size"))
       .withColumn("at_risk", col("class_size") < k)
@@ -40,6 +43,7 @@ object Privacy {
   def lDiversity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
       l: Long): DataFrame = {
     require(quasiCols.nonEmpty, "l-diversity needs at least one quasi-identifier column")
+    require(l >= 1, s"l must be >= 1, got $l") // l=0 marks every class diverse
     df.groupBy(quasiCols.map(col): _*)
       .agg(
         count(lit(1)).as("class_size"),

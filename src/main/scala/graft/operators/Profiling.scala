@@ -36,21 +36,6 @@ object Profiling {
       .select("r.*")
   }
 
-  /** Key-skew audit: the distribution of per-key row counts for a proposed
-    * shuffle/partition key — the number a platform team reads BEFORE
-    * keying a 100 TB join ("is user_id safe to shuffle on, or does one
-    * whale key own 30% of the table?"). Returns ONE row:
-    * `(n_rows, n_keys, max_n, avg_n, p50_n, p99_n, skew_ratio, top_share)`
-    * where `skew_ratio = max_n / avg_n` (1.0 = perfectly uniform) and
-    * `top_share` = the heaviest key's fraction of all rows — the straggler
-    * predictor: a task holding that key does `skew_ratio ×` the average
-    * task's work.
-    *
-    * Two aggregations, both safe at scale: per-key counts (rows ∝ keys,
-    * map-side combined), then a global fold of that key frame. The exact
-    * percentiles run over per-key COUNTS, never over the raw table. Null
-    * keys count as a key — they hash to one partition too.
-    */
   /** Higher-moment column profile per group: mean, sample stddev, skewness
     * and EXCESS kurtosis computed from explicit power sums
     * (Σx, Σx², Σx³, Σx⁴) — the formula is spelled out rather than
@@ -83,8 +68,13 @@ object Profiling {
           + lit(6.0) * col("mean") * col("mean") * col("__s2") / col("__n")
           - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
       .withColumn("n", col("__n").cast("long"))
+      // greatest(…, 0): power-sum cancellation can land __m2 a hair below
+      // zero for a (near-)constant column, and sqrt(negative) = NaN where
+      // the repo convention (and the skew/kurtosis guards here) pin
+      // degenerate spread to a well-defined value
       .withColumn("sd",
-        when(col("__n") > 1, sqrt(col("__m2") * col("__n") / (col("__n") - 1))))
+        when(col("__n") > 1,
+          sqrt(greatest(col("__m2"), lit(0.0)) * col("__n") / (col("__n") - 1))))
       .withColumn("skewness",
         when(col("__m2") > 0, col("__m3") / pow(col("__m2"), 1.5)))
       .withColumn("kurtosis",
@@ -115,6 +105,21 @@ object Profiling {
         count(lit(1)).as("n_categories"))
   }
 
+  /** Key-skew audit: the distribution of per-key row counts for a proposed
+    * shuffle/partition key — the number a platform team reads BEFORE
+    * keying a 100 TB join ("is user_id safe to shuffle on, or does one
+    * whale key own 30% of the table?"). Returns ONE row:
+    * `(n_rows, n_keys, max_n, avg_n, p50_n, p99_n, skew_ratio, top_share)`
+    * where `skew_ratio = max_n / avg_n` (1.0 = perfectly uniform) and
+    * `top_share` = the heaviest key's fraction of all rows — the straggler
+    * predictor: a task holding that key does `skew_ratio ×` the average
+    * task's work.
+    *
+    * Two aggregations, both safe at scale: per-key counts (rows ∝ keys,
+    * map-side combined), then a global fold of that key frame. The exact
+    * percentiles run over per-key COUNTS, never over the raw table. Null
+    * keys count as a key — they hash to one partition too.
+    */
   def skewAudit(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "skewAudit needs at least one key column")
     df.groupBy(keyCols.map(col): _*)
@@ -124,6 +129,10 @@ object Profiling {
         count(lit(1)).as("n_keys"),
         max("__n").as("max_n"),
         avg("__n").as("avg_n"),
+        // exact percentile is safe here: its buffer holds (value, weight)
+        // pairs over DISTINCT per-key counts — bounded by the count RANGE
+        // (Zipfian: thousands), not the key count, so billions of keys
+        // still aggregate in one small reducer
         expr("percentile(__n, 0.5D)").as("p50_n"),
         expr("percentile(__n, 0.99D)").as("p99_n"))
       .withColumn("skew_ratio", col("max_n") / col("avg_n"))

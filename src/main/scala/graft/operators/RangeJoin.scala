@@ -31,7 +31,12 @@ object RangeJoin {
       bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     def bucketOf(c: Column): Column = floor(c / lit(bucketWidth)).cast("long")
-    val r = ranges.withColumn("__b",
+    // inverted ranges (lo > hi) denote the EMPTY interval and must be
+    // dropped BEFORE the explode: sequence(start, stop) silently generates
+    // a DESCENDING range when start > stop, so one corrupt row would
+    // explode into up to billions of bucket rows that the residual filter
+    // then discards (the straggler/OOM shape, for zero output)
+    val r = ranges.where(col(loCol) <= col(hiCol)).withColumn("__b",
       explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol)))))
     val p = points.withColumn("__b", bucketOf(col(pointCol)))
     p.join(r, Seq("__b"))

@@ -22,8 +22,14 @@ object Sessionize {
     val order = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
     val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prevTs = lag(col(tsCol), 1).over(order)
+    // EXACT gap arithmetic (cast to double seconds, fraction included):
+    // unix_timestamp truncates to whole seconds, so two events 1.999s
+    // apart read as gap=1 and merged while 1.001s apart read as gap=2 and
+    // split — misclassification around every second boundary for
+    // sub-second event times. The oracle replays epoch() - epoch(), the
+    // same exact arithmetic.
     val newSession = when(
-      prevTs.isNull || (unix_timestamp(col(tsCol)) - unix_timestamp(prevTs)) > gapSec, 1
+      prevTs.isNull || (col(tsCol).cast("double") - prevTs.cast("double")) > gapSec, 1
     ).otherwise(0)
     df.withColumn("session_idx", sum(newSession).over(running))
   }
