@@ -10,16 +10,21 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`)
   * wires the engine's Catalyst surface into every query of the session:
   *
-  *  - [[ConfPhiMaskingRule]] via `injectOptimizerRule`, which places it in
-  *    the OPERATOR OPTIMIZATION fixed-point batch. That ordering is the
-  *    security fix: the batch runs BEFORE "Early Filter and Projection
-  *    Push-Down" (V2ScanRelationPushDown), so by the time DSv2 pushdown
-  *    bakes predicates into a scan, any predicate on a denied column has
-  *    already been rewritten against the masking Project's null literal
-  *    (and constant-folds to false) — row membership can no longer act as
-  *    an oracle on protected values. The round-1 wiring through
-  *    `experimental.extraOptimizations` ran AFTER pushdown, where a DSv2
-  *    scan would have already evaluated filters against real PHI.
+  *  - [[ConfPhiMaskingRule]] via `injectPostHocResolutionRule`: masking is
+  *    applied at ANALYSIS time, strictly before every optimizer batch.
+  *    That ordering is the security fix, twice over: (1) it precedes
+  *    "Early Filter and Projection Push-Down" (V2ScanRelationPushDown),
+  *    so by the time DSv2 pushdown bakes predicates into a scan, any
+  *    predicate on a denied column already targets the masking Project's
+  *    null literal — row membership cannot act as an oracle on protected
+  *    values (the round-1 `experimental.extraOptimizations` wiring ran
+  *    AFTER pushdown); and (2) it precedes NullPropagation, which would
+  *    otherwise fold `IS NOT NULL` on a masked-but-declared-non-nullable
+  *    column to true BEFORE an optimizer-batch mask could apply, making
+  *    filters contradict the projected nulls. Masking binds when a query
+  *    is ANALYZED: a Dataset built before a role-conf change keeps the
+  *    masking of its creation time (re-create the frame after changing
+  *    roles, as each new query does).
   *  - the native as-of join strategy + its pushdown rule, so
   *    `AsOfJoin.native` works without per-call self-installation;
   *  - the SQL function surface (vec_dot / cosine_sim) for spark.sql users.
@@ -31,7 +36,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectOptimizerRule(session => ConfPhiMaskingRule(session))
+    ext.injectPostHocResolutionRule(session => ConfPhiMaskingRule(session))
     ext.injectOptimizerRule(_ => asof.AsOfJoinPredicatePushdown)
     ext.injectPlannerStrategy(_ => asof.NativeAsOfStrategy)
     graft.functions.VectorExpressions.functions.foreach(ext.injectFunction)

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.MetadataBuilder
@@ -13,11 +13,31 @@ import org.apache.spark.sql.types.MetadataBuilder
   *
   * `protectedCols` maps a column name to the roles allowed to read it; a
   * session user holding none of them sees nulls. The injected Project
-  * re-uses the original attribute exprIds (Alias with explicit exprId), so
-  * upstream operators resolve unchanged; a metadata marker recorded on the
-  * alias keeps the rewrite idempotent (the rule collects already-masked
-  * exprIds before transforming, so the fixed-point runner converges after
-  * one pass).
+  * gives the masked column a FRESH exprId and rewrites every upstream
+  * reference to it — reusing the original exprId (the earlier design)
+  * made the masking Project exprId-identical to a no-op, and optimizer
+  * rules that compare outputs structurally (RemoveNoopOperators-style)
+  * deleted it, returning real PHI under a filter. A metadata marker
+  * recorded on the alias keeps the rewrite idempotent.
+  *
+  * Column names match through the session RESOLVER (case-insensitive under
+  * the default spark.sql.caseSensitive=false, like Spark's own analysis) —
+  * an exact-string compare would let a case mismatch between the conf and
+  * the physical schema silently disable masking, which is a PHI leak, not
+  * a config nit.
+  *
+  * Termination in the fixed-point batch: a leaf is wrapped only when a
+  * denied attribute is actually CONSUMED (referenced by some operator's
+  * expressions, or delivered in the plan's root output). ColumnPruning in
+  * the same batch removes the masking alias when nothing reads the column;
+  * without the consumption check the rule would re-wrap on the next
+  * iteration and the batch would oscillate to its iteration cap. An
+  * unconsumed denied column needs no mask — nothing reads it.
+  *
+  * Nullability: the mask replaces values with nulls, so every downstream
+  * reference to a masked attribute is rewritten nullable — otherwise
+  * NullPropagation folds `IS NOT NULL` on a masked-but-declared-
+  * non-nullable column to true and filters contradict the projected nulls.
   */
 case class PhiMaskingRule(
     protectedCols: Map[String, Seq[String]],
@@ -26,8 +46,21 @@ case class PhiMaskingRule(
 
   private val MaskedKey = "graft.phi.masked"
 
-  private def denied(a: Attribute): Boolean =
-    protectedCols.contains(a.name) && !protectedCols(a.name).exists(userRoles.contains)
+  // DETERMINISTIC masked exprId: same numeric id as the original attribute,
+  // fixed namespace UUID. Spark 4's hybrid analyzer runs analysis twice
+  // (fixed-point + single-pass resolver) and compares; a freshly-allocated
+  // NamedExpression.newExprId differs between the runs, and the mixed
+  // trees fail at BindReferences with ATTRIBUTE_NOT_FOUND. The (id,
+  // namespace) pair stays globally unique because original ids are.
+  private val MaskNamespace =
+    java.util.UUID.fromString("6d61736b-6772-6166-7400-000000000000")
+
+  private def deniedName(name: String): Boolean =
+    protectedCols.exists { case (c, roles) =>
+      conf.resolver(c, name) && !roles.exists(userRoles.contains)
+    }
+
+  private def denied(a: Attribute): Boolean = deniedName(a.name)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val maskedIds = plan.collect {
@@ -35,18 +68,52 @@ case class PhiMaskingRule(
         projList.collect { case al: Alias if al.metadata.contains(MaskedKey) => al.exprId }
     }.flatten.toSet
 
-    plan.transformUp {
-      case leaf: LeafNode if leaf.output.exists(a => denied(a) && !maskedIds(a.exprId)) =>
+    // an attribute is consumed if any operator ABOVE the leaf references it
+    // or the plan delivers it to the caller (root output). Leaves are
+    // excluded: a leaf's `expressions` include its own output attributes
+    // (constructor fields), which would mark every column self-consumed
+    // and add one fresh wrap per analysis pass forever.
+    val consumed = plan.collect { case n if !n.isInstanceOf[LeafNode] => n.expressions }
+      .flatten.flatMap(_.references.map(_.exprId)).toSet ++
+      plan.output.map(_.exprId)
+
+    // old exprId -> the fresh masked attribute that replaces it upstream
+    val rewrites = scala.collection.mutable.HashMap.empty[
+      org.apache.spark.sql.catalyst.expressions.ExprId, Attribute]
+
+    val masked = plan.transformUp {
+      case leaf: LeafNode if leaf.output.exists(a =>
+          denied(a) && !maskedIds(a.exprId) && consumed(a.exprId)) =>
         val projections = leaf.output.map { a =>
-          if (denied(a) && !maskedIds(a.exprId)) {
+          if (denied(a) && !maskedIds(a.exprId) && consumed(a.exprId)) {
             // the role check is per-session static, so deny->null reduces to
-            // a typed null literal at plan time — zero runtime cost
+            // a typed null literal at plan time — zero runtime cost. FRESH
+            // exprId (see class doc) + nullable output by construction.
             val meta = new MetadataBuilder().withMetadata(a.metadata)
               .putBoolean(MaskedKey, value = true).build()
-            Alias(Literal.create(null, a.dataType), a.name)(exprId = a.exprId, explicitMetadata = Some(meta))
+            val al = Alias(Literal.create(null, a.dataType), a.name)(
+              exprId = org.apache.spark.sql.catalyst.expressions.ExprId(a.exprId.id, MaskNamespace),
+              explicitMetadata = Some(meta))
+            rewrites(a.exprId) = al.toAttribute
+            al
           } else a
         }
         Project(projections, leaf)
+    }
+
+    // re-point every upstream reference at the masked attribute (nullable,
+    // fresh id); the original id now exists only inside the leaf, so a
+    // re-apply sees it unconsumed and the fixed point converges. LEAVES
+    // ARE EXCLUDED: a leaf's output attributes live in its constructor
+    // fields, so transformAllExpressions would rewrite the relation's own
+    // output to the fresh id too — recreating the exprId-identity that
+    // lets the optimizer delete the mask as a no-op
+    if (rewrites.isEmpty) masked
+    else masked.transformUp {
+      case leaf: LeafNode => leaf
+      case node => node.transformExpressions {
+        case ar: AttributeReference if rewrites.contains(ar.exprId) => rewrites(ar.exprId)
+      }
     }
   }
 }

@@ -48,11 +48,19 @@ object QuantileSketchCodec {
   }
 
   def deserialize(bytes: Array[Byte]): QuantileSummaries = {
+    // validate SHAPE before trusting the element count: merge/query accept
+    // any BinaryType column, so corrupt or non-sketch bytes must fail with
+    // a diagnosable message, not BufferUnderflow / NegativeArraySize / a
+    // multi-GB Array.fill from a garbage length word
+    require(bytes != null && bytes.length >= 24,
+      s"not a serialized quantile sketch: ${if (bytes == null) "null" else s"${bytes.length} bytes"}")
     val bb = ByteBuffer.wrap(bytes)
     val threshold = bb.getInt
     val relErr = bb.getDouble
     val count = bb.getLong
     val n = bb.getInt
+    require(n >= 0 && bytes.length == 24 + n.toLong * 24,
+      s"corrupt quantile sketch: declared $n entries but ${bytes.length} bytes")
     val sampled = Array.fill(n)(
       QuantileSummaries.Stats(bb.getDouble, bb.getLong, bb.getLong))
     new QuantileSummaries(threshold, relErr, sampled, count, true)

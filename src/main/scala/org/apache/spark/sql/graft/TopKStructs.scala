@@ -45,6 +45,13 @@ case class TopKStructs(
   override def prettyName: String = "topk_structs"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // orderability gate at ANALYSIS time (like Spark's own order-sensitive
+    // aggregates): a struct holding e.g. a map field would otherwise pass
+    // here and crash in createNaturalAscendingOrdering as an executor task
+    // failure instead of a clean analysis error
+    case s: StructType if !RowOrdering.isOrderable(s) =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an orderable struct; ${s.simpleString} is not")
     case _: StructType if k > 0 => TypeCheckResult.TypeCheckSuccess
     case _: StructType => TypeCheckResult.TypeCheckFailure("k must be positive")
     case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires a struct input, got $t")

@@ -66,6 +66,19 @@ case class AsOfJoinExec(
     right: SparkPlan)
   extends SparkPlan with BinaryExecNode with CodegenSupport {
 
+  // long-backed timestamps ONLY, enforced at PLAN time for both execution
+  // paths alike: the interpreted fallback reads eval() results with
+  // asInstanceOf[Long], while whole-stage codegen would silently WIDEN an
+  // int-backed expression (IntegerType/DateType) via Java conversion —
+  // the same plan must not succeed under codegen and fail (or, worse,
+  // compare date-days against timestamp-micros) under the fallback
+  require(Seq(leftTs, rightTs).forall(e =>
+    e.dataType == org.apache.spark.sql.types.TimestampType ||
+      e.dataType == org.apache.spark.sql.types.TimestampNTZType ||
+      e.dataType == org.apache.spark.sql.types.LongType),
+    s"as-of join timestamps must be timestamp- or long-typed, got " +
+      s"${leftTs.dataType.simpleString} / ${rightTs.dataType.simpleString} — cast first")
+
   override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
 
   // spine rows pass through untouched, in order

@@ -46,6 +46,30 @@ class PhiMaskingRuleSpec extends SparkSpec {
     assert(once == twice)
   }
 
+  test("column matching is case-insensitive, like Spark resolution (PHI leak otherwise)") {
+    // conf says BLOOD_TYPE, physical schema says blood_type: an exact
+    // string compare would silently disable masking
+    val rule = PhiMaskingRule(Map("BLOOD_TYPE" -> Seq("doctor")), userRoles = Seq("analyst"))
+    withRule(rule) {
+      val rows = patients.select($"blood_type").collect()
+      assert(rows.forall(_.isNullAt(0)), "case-variant protected name must still mask")
+    }
+  }
+
+  test("unconsumed denied column: rule does not wrap (no fixed-point oscillation)") {
+    // query never reads blood_type: ColumnPruning in the same batch would
+    // strip the masking alias and a consumption-blind rule would re-wrap
+    // every iteration until the batch's iteration cap
+    val rule = PhiMaskingRule(Map("blood_type" -> Seq("doctor")), userRoles = Seq.empty)
+    val plan0 = patients.select($"patient_id").queryExecution.analyzed
+    assert(rule(plan0) == plan0, "nothing reads the denied column; nothing to mask")
+    // and the query still runs correctly end-to-end
+    withRule(rule) {
+      assert(patients.select($"patient_id").count() == 2L)
+    }
+  }
+
+
   test("GraftExtensions injects masking BEFORE scan pushdown; predicates on denied columns leak nothing") {
     import org.apache.spark.sql.SparkSession
     import org.apache.spark.sql.graft.{ConfPhiMaskingRule, GraftExtensions}
@@ -57,21 +81,30 @@ class PhiMaskingRuleSpec extends SparkSpec {
     val s2 = SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
     try {
       assert(s2 ne spark)
-      // ordering proof: the conf rule lives in an Operator Optimization
-      // batch, which runs before "Early Filter and Projection Push-Down"
-      // (V2ScanRelationPushDown) — the round-1 experimental wiring ran after
-      val batches = s2.sessionState.optimizer.batches
-      val maskIdx = batches.indexWhere(_.rules.exists(_.isInstanceOf[ConfPhiMaskingRule]))
-      val pushIdx = batches.indexWhere(_.name.contains("Early Filter and Projection Push-Down"))
-      assert(maskIdx >= 0, "ConfPhiMaskingRule not injected")
-      assert(pushIdx > maskIdx, s"masking batch $maskIdx must precede pushdown batch $pushIdx")
-
       s2.conf.set("spark.graft.phi.protected", "blood_type:doctor")
       s2.conf.set("spark.graft.phi.userRoles", "analyst")
+      // ordering proof, direct: the mask is present in the ANALYZED plan —
+      // i.e. applied before EVERY optimizer batch, including pushdown
+      // (round-1's experimental wiring ran after pushdown) and
+      // NullPropagation (an optimizer-batch mask could be pre-empted by
+      // the IS NOT NULL fold — see the nullability asserts below)
+      val analyzed = s2.read.parquet(dir).select("blood_type").queryExecution.analyzed
+      val maskedInAnalysis = analyzed.collect {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.exists(_.metadata.contains("graft.phi.masked"))
+      }.exists(identity)
+      assert(maskedInAnalysis, "mask must be applied at analysis time")
+
       // a predicate on the denied column sees the masked null, so row
       // membership reveals nothing about the protected values
       assert(s2.read.parquet(dir).where(col("blood_type") === "AB+").count() == 0)
       assert(s2.read.parquet(dir).select("blood_type").collect().forall(_.isNullAt(0)))
+      // nullability agrees with the projected nulls: IS NOT NULL must not
+      // constant-fold to true off the scan's non-masked nullability
+      assert(s2.read.parquet(dir).where(col("blood_type").isNotNull).count() == 0,
+        "IS NOT NULL must see the masked nulls")
+      assert(s2.read.parquet(dir).where(col("blood_type").isNull).count() == 2,
+        "IS NULL must match every masked row")
       // authorized role reads through
       s2.conf.set("spark.graft.phi.userRoles", "doctor")
       assert(s2.read.parquet(dir).where(col("blood_type") === "AB+").count() == 1)
