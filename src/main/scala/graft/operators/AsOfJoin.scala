@@ -59,7 +59,7 @@ object AsOfJoin {
     val f = facts.select(
       keyCols.map(col) ++ Seq(
         col(factTs).cast("timestamp").as("__ts"),
-        col(tieCol).cast("long").as("__tie"),
+        Latest.tieLong(facts, tieCol).as("__tie"),
         struct((payloadCols.map(col) :+ col(factTs).cast("timestamp").as("__fact_ts")): _*).as("__pay"),
         lit(0).as("__is_spine")
       ): _*
@@ -274,7 +274,7 @@ object AsOfJoin {
     val f = facts.select(
       keyCols.map(c => col(c).as(s"__k_$c")) ++ Seq(
         col(factTs).cast("timestamp").as("__fts"),
-        col(tieCol).cast("long").as("__ftie")) ++
+        Latest.tieLong(facts, tieCol).as("__ftie")) ++
         payloadCols.map(c => col(c).as(s"__p_$c")): _*)
 
     val node = AsOfJoinNode(
@@ -310,7 +310,7 @@ object AsOfJoin {
     val f = facts.select(
       keyCols.map(c => col(c).as(s"__k_$c")) ++
         payloadCols.map(c => col(c).as(s"__p_$c")) ++
-        Seq(col(factTs).cast("timestamp").as("__fts"), col(tieCol).cast("long").as("__ftie")): _*
+        Seq(col(factTs).cast("timestamp").as("__fts"), Latest.tieLong(facts, tieCol).as("__ftie")): _*
     )
     // null-SAFE key equality: locf and native both treat null as a key
     // value (window partitioning / RowOrdering group nulls together), and

@@ -23,6 +23,38 @@ import org.apache.spark.sql.functions._
   */
 object Latest {
 
+  /** Tie key at full precision for the agg/window forms: timestamps
+    * convert to MICROSECONDS (`cast("long")` truncated to whole seconds,
+    * so two writes 200 ms apart tied arbitrarily and last-write-wins
+    * could serve the stale value); every other orderable type (numerics,
+    * strings, dates) orders natively — the old cast turned a string tie
+    * into NULL and silently disabled tie-breaking. */
+  private[operators] def tieKey(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(c).cast("timestamp"))
+      case _ => col(c)
+    }
+
+  /** [[tieKey]] restricted to LONG output — the as-of join's union+window
+    * formulation mixes the fact tie with a `Long.MaxValue` spine sentinel
+    * in ONE column, so the tie must be long-convertible; a type that
+    * cannot be is rejected loudly (the old cast produced NULL and quietly
+    * broke the ordering). */
+  private[operators] def tieLong(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(c).cast("timestamp"))
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.DateType => col(c).cast("long")
+      case t => throw new IllegalArgumentException(
+        s"as-of tie column '$c' has non-long-convertible type ${t.simpleString}; " +
+          "use a timestamp or integral column")
+    }
+
   /** Aggregate (map-side-combine) formulation: per `keys`, the values of
     * `payloadCols` on the row maximizing (tsCol, tieCol). Adds `tsCol` of
     * the winning row. Optional `asOf` pre-filter (partition-prunable).
@@ -36,7 +68,7 @@ object Latest {
       asOf: Option[Column] = None
   ): DataFrame = {
     val base = asOf.map(t => df.where(col(tsCol) <= t)).getOrElse(df)
-    val ord  = struct(col(tsCol), col(tieCol).cast("long"))
+    val ord  = struct(col(tsCol), tieKey(df, tieCol))
     val pay  = struct((payloadCols.map(col) :+ col(tsCol).as("__ts")): _*)
     base
       .groupBy(keys.map(col): _*)
@@ -59,7 +91,7 @@ object Latest {
     val base = asOf.map(t => df.where(col(tsCol) <= t)).getOrElse(df)
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).desc, col(tieCol).cast("long").desc)
+      .orderBy(col(tsCol).desc, tieKey(df, tieCol).desc)
     base
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)

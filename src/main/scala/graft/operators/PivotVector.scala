@@ -30,7 +30,7 @@ object PivotVector {
       tieCol: String,
       names: Seq[String]
   ): DataFrame = {
-    val ord = struct(col(tsCol), col(tieCol).cast("long"))
+    val ord = struct(col(tsCol), Latest.tieKey(values, tieCol))
     values
       .where(col(nameCol).isin(names: _*))
       .groupBy(col(entityCol))

@@ -25,7 +25,10 @@ object Validation {
       activeTypes: Seq[String],
       minValue: Option[Double] = None
   ): DataFrame = {
-    val activeOk = col(typeCol).isin(activeTypes: _*)
+    // coalesce: a NULL type makes isin() NULL, and `when(!NULL)` SKIPS the
+    // branch under three-valued logic — a null-typed row would sail through
+    // as valid even though it belongs to no registered feature
+    val activeOk = coalesce(col(typeCol).isin(activeTypes: _*), lit(false))
     val nonNull  = col(valueCol).isNotNull
     val rangeOk  = minValue.map(m => col(valueCol) >= m).getOrElse(lit(true))
     df.withColumn(
@@ -77,7 +80,11 @@ object Validation {
       val loOk = Option(lo).map(l => value >= l.toDouble).getOrElse(lit(true))
       val hiOk = Option(hi).map(h => value <= h.toDouble).getOrElse(lit(true))
       loOk && hiOk
-    case r if r.startsWith("regex:") => value.cast("string").rlike(r.stripPrefix("regex:"))
+    // ANCHORED: rlike uses find() semantics, so an unanchored pattern
+    // accepts values that merely CONTAIN a match — "must match" means the
+    // whole value does
+    case r if r.startsWith("regex:") =>
+      value.cast("string").rlike("^(?:" + r.stripPrefix("regex:") + ")$")
     case "not_null"                  => value.isNotNull
     case _                           => lit(true) // unknown rule: metadata-only
   }

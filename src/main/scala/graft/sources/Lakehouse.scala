@@ -81,16 +81,19 @@ object Lakehouse {
       spark: SparkSession,
       path: String,
       filesPerPartition: Int = 1): (Long, Long) = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    // count through the SAME Hadoop filesystem the swap uses: java.io.File
+    // silently reports 0 for any non-local path (hdfs://, s3a://) and
+    // NPEs on an unreadable subdirectory (listFiles() returns null)
     def countFiles(p: String): Long = {
-      def walk(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles().map(walk).sum
-        else if (f.getName.endsWith(".parquet")) 1L else 0L
-      walk(new java.io.File(p))
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      var n = 0L
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
     }
     val before = countFiles(path)
     val staging = path + "__compacting"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
     val trash = new org.apache.hadoop.fs.Path(path + "__old")
     require(!fs.exists(trash),

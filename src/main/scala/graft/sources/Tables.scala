@@ -20,21 +20,29 @@ object Tables {
   // handing every caller the same one is free; execution still re-scans
   // data (no result caching), this only dedups plan construction.
   // Outer map holds the session WEAKLY (identity semantics — SparkSession
-  // doesn't override equals): a stopped-and-GC'd session drops its whole
-  // entry, so a recreated session can never be handed DataFrames bound to
-  // a dead session (an identityHashCode key could be recycled and collide
-  // that way), and the per-session file-index snapshots don't outlive the
-  // session. Plan "staleness" within a live session is what the memo is
-  // FOR — the test tables are immutable per run.
+  // doesn't override equals) and the per-session map SOFTLY: every cached
+  // DataFrame strongly references its session (through QueryExecution), so
+  // a strong value would pin the weak key forever (the WeakHashMap javadoc
+  // warning) and stopped sessions would leak their file-index snapshots.
+  // Behind a SoftReference the value chain no longer keeps the key
+  // strongly reachable — under memory pressure the soft ref clears, the
+  // weak key collects, and a recreated session can never be handed
+  // DataFrames bound to a dead one. Plan "staleness" within a live session
+  // is what the memo is FOR — the test tables are immutable per run.
   private val readerCache =
     new java.util.WeakHashMap[
-      SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+      SparkSession,
+      java.lang.ref.SoftReference[java.util.concurrent.ConcurrentHashMap[String, DataFrame]]]()
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = readerCache.synchronized {
-      readerCache.computeIfAbsent(
-        spark,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      Option(readerCache.get(spark)).flatMap(r => Option(r.get())) match {
+        case Some(m) => m
+        case None =>
+          val m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+          readerCache.put(spark, new java.lang.ref.SoftReference(m))
+          m
+      }
     }
     perSession.computeIfAbsent(
       s"$dir|$name", _ => spark.read.parquet(s"$dir/$name.parquet"))
@@ -51,8 +59,21 @@ object Tables {
     * TIMESTAMP_NTZ, which downstream window/as-of arithmetic expects cast).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, dir, "events")
+    // set the nanos conf ONLY when the shipped file actually needs it (the
+    // schema resolve throws on TIMESTAMP(NANOS) without it). The conf is
+    // session-wide and must then STAY set — execution re-reads it when
+    // planning each scan — but a micros-generation session never has its
+    // parquet semantics silently changed for unrelated reads.
+    def mentionsNanos(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(c => Option(c.getMessage).exists(_.contains("TIMESTAMP(NANOS")))
+    val raw =
+      try table(spark, dir, "events")
+      catch {
+        case e: Exception if mentionsNanos(e) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          table(spark, dir, "events")
+      }
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

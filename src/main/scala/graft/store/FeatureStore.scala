@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{AsOfJoin, Latest, PivotVector, Rbac}
+import graft.operators.{AsOfJoin, Latest, PivotVector}
 
 /** The API-parity facade: every public operation of the reference
   * (/root/reference/src/registry/feature_registry.py FeatureRegistry +
@@ -267,6 +267,10 @@ class FeatureStore(val spark: SparkSession) {
     val withMeta = withAllCols
       .withColumn("feature_id", idMap(col("feature_name")))
       .where(col("feature_id").isNotNull) // not registered+active -> reject
+      // a null event_timestamp row would count as accepted yet be invisible
+      // to every as-of read (NULL <= asOf drops it) and immortal under
+      // retention — reject it like any other malformed row
+      .where(col("event_timestamp").isNotNull)
       .withColumn("value_type", typeMap(col("feature_id")))
       .withColumn("entity_type", etMap(col("feature_id")))
       .where(typeOk)
@@ -300,8 +304,11 @@ class FeatureStore(val spark: SparkSession) {
 
   // ---- reads (A1/A2/A3, C3, D1/D2, E6, B3) ------------------------------
 
+  // driver-side twin of graft.operators.Rbac.allowed (the distributed
+  // Column form) — keep the two in LOCKSTEP when the access rule evolves:
+  // allowed iff phi_level == none OR roles overlap (feature_registry.py:469-475)
   private def rbacCheck(f: Feature, userRoles: Seq[String]): Boolean =
-    f.phi_level == "none" || f.access_roles.exists(userRoles.contains) // feature_registry.py:469-475
+    f.phi_level == "none" || f.access_roles.exists(userRoles.contains)
 
   private def logAccess(action: String, featureId: String, entityId: String, user: String,
       asOf: Option[Timestamp], now: Timestamp): Unit =
@@ -553,6 +560,10 @@ class FeatureStore(val spark: SparkSession) {
       lit(null).cast("array<string>").as("value_array_string"),
       col("event_timestamp"),
       lit(now).as("created_timestamp"))
+      // a null-propagating transformation (nullif, CASE) must not append a
+      // float64-tagged row with a NULL storage column — the very shape
+      // ingestValues' typeOk gate rejects; drop and do not count it
+      .where(col("value_double").isNotNull)
 
     val n = rows.count()
     values = values.unionByName(rows.select(valuesSchema.fieldNames.map(col).toSeq: _*))
@@ -639,6 +650,10 @@ class FeatureStore(val spark: SparkSession) {
   def saveBucketed(tablePrefix: String, nBuckets: Int): Unit = {
     import spark.implicits._
     registryDS.write.mode("overwrite").saveAsTable(s"${tablePrefix}_registry")
+    // the audit trail travels with the store on EVERY persistence path
+    // (same contract as save/saveTx) — dropping it here would lose the
+    // access log when a deployment standardizes on the bucketed layout
+    auditDF.write.mode("overwrite").saveAsTable(s"${tablePrefix}_audit")
     graft.sources.Lakehouse.writeBucketed(
       values.withColumn("event_date", to_date(col("event_timestamp"))),
       s"${tablePrefix}_values",
