@@ -1488,13 +1488,17 @@ object SparkEntry {
     // re-scanned documents and joined back just to attach __h
     val out = Dedup.simhash(docs.withColumn("__h", xxhash64(col("text"))),
         "doc_id", "text", carryCols = Seq("__h"))
-      .localCheckpoint()
+      .persist()
     // in-query certificate: SimHash is a function of the token bag — every
     // group of byte-identical texts must collapse to exactly one signature
     // (a split group means the signature depends on something beyond the
     // text: the one failure mode that silently breaks downstream bucketing)
     // xxhash64 as the text-identity key: the certificate only groups rows,
-    // and a 64-bit collision among fixture-scale distinct texts is ~1e-11
+    // and a 64-bit collision among fixture-scale distinct texts is ~1e-11.
+    // Folded (round-6 verdict #1): one in-memory persist that the
+    // certificate aggregation itself materializes — the declared sort then
+    // reads cached per-doc rows. The r6 localCheckpoint version paid a
+    // third job (checkpoint write) before either consumer ran.
     val split = out.groupBy("__h").agg(countDistinct(col("simhash")).as("__n"))
       .where(col("__n") > 1).count()
     require(split == 0L, s"g1_simhash: $split duplicate-text groups got differing signatures")

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, Project, SetOperation, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.MetadataBuilder
 
@@ -73,9 +73,37 @@ case class PhiMaskingRule(
     // excluded: a leaf's `expressions` include its own output attributes
     // (constructor fields), which would mark every column self-consumed
     // and add one fresh wrap per analysis pass forever.
-    val consumed = plan.collect { case n if !n.isInstanceOf[LeafNode] => n.expressions }
-      .flatten.flatMap(_.references.map(_.exprId)).toSet ++
-      plan.output.map(_.exprId)
+    val directlyConsumed =
+      plan.collect { case n if !n.isInstanceOf[LeafNode] => n.expressions }
+        .flatten.flatMap(_.references.map(_.exprId)).toSet ++
+        plan.output.map(_.exprId)
+
+    // Union/Except/Intersect expose only the FIRST (left) child's exprIds in
+    // their output; later children's attributes are consumed POSITIONALLY,
+    // never by exprId reference. Without this propagation,
+    // `TABLE a UNION ALL TABLE b` would mask a's leaf but deliver b's raw
+    // PHI — the consumption gate must not open that hole. Iterate to a fixed
+    // point because set operations nest.
+    val consumed = {
+      var acc = directlyConsumed
+      var changed = true
+      while (changed) {
+        changed = false
+        plan.foreach { node =>
+          val children = node match {
+            case u: Union        => u.children
+            case s: SetOperation => s.children
+            case _               => Nil
+          }
+          children.foreach { child =>
+            node.output.zip(child.output).foreach { case (out, in) =>
+              if (acc(out.exprId) && !acc(in.exprId)) { acc += in.exprId; changed = true }
+            }
+          }
+        }
+      }
+      acc
+    }
 
     // old exprId -> the fresh masked attribute that replaces it upstream
     val rewrites = scala.collection.mutable.HashMap.empty[

@@ -70,6 +70,44 @@ class PhiMaskingRuleSpec extends SparkSpec {
   }
 
 
+  test("union of bare relations: EVERY child masked, not just the first") {
+    // Union.output carries only the first child's exprIds; a bare-relation
+    // second child has no upstream expression referencing it, so a purely
+    // reference-based consumption gate never wraps its leaf and
+    // `TABLE a UNION ALL TABLE b` returns b's raw PHI (round-6 advice, high)
+    val rule = PhiMaskingRule(Map("blood_type" -> Seq("doctor")), userRoles = Seq("analyst"))
+    withRule(rule) {
+      val more = Seq(("p3", 61.0, "B+"), ("p4", 59.0, "A-"))
+        .toDF("patient_id", "heart_rate", "blood_type")
+      patients.createOrReplaceTempView("mt1")
+      more.createOrReplaceTempView("mt2")
+      try {
+        val rows = spark.sql("TABLE mt1 UNION ALL TABLE mt2").collect()
+        assert(rows.length == 4)
+        val bt = rows.head.fieldIndex("blood_type")
+        assert(rows.forall(_.isNullAt(bt)), "non-first union child leaked raw PHI")
+        // EXCEPT/INTERSECT expose the same positional surface: the right
+        // child must also see masked values, or membership tests against
+        // raw PHI leak through the set operation
+        val ex = spark.sql("SELECT blood_type FROM mt1 EXCEPT SELECT blood_type FROM mt2").collect()
+        assert(ex.forall(_.isNullAt(0)), "EXCEPT child leaked raw PHI")
+        // DataFrame-API union (no SQL text) takes the same plan shape
+        val apiRows = patients.union(more).select($"blood_type").collect()
+        assert(apiRows.forall(_.isNullAt(0)), "DataFrame union child leaked raw PHI")
+        // and three-way nesting converges to all children masked
+        val tri = spark.sql("TABLE mt1 UNION ALL TABLE mt2 UNION ALL TABLE mt1").collect()
+        assert(tri.length == 6 && tri.forall(_.isNullAt(bt)))
+      } finally {
+        spark.catalog.dropTempView("mt1"); spark.catalog.dropTempView("mt2")
+      }
+    }
+    // authorized role still reads every child through
+    withRule(PhiMaskingRule(Map("blood_type" -> Seq("doctor")), userRoles = Seq("doctor"))) {
+      val vals = patients.union(patients).select($"blood_type").as[String].collect()
+      assert(vals.sorted.toSeq == Seq("AB+", "AB+", "O-", "O-"))
+    }
+  }
+
   test("GraftExtensions injects masking BEFORE scan pushdown; predicates on denied columns leak nothing") {
     import org.apache.spark.sql.SparkSession
     import org.apache.spark.sql.graft.{ConfPhiMaskingRule, GraftExtensions}
