@@ -714,6 +714,67 @@ object SparkEntry {
     viaDelta.orderBy("user_id", "event_type")
   }
 
+  /** Fixed export target for [[b5DeltaExportIncr]] — oracle SQL globs it. */
+  private val B5DeltaIncrPath = "/root/repo/target/graft_export/b5_delta_incr"
+
+  /** B5 — INCREMENTAL open-format export (round-6 verdict #4): the daily
+    * 100 TB pipeline shape. The b2 LWW snapshot exports once in full
+    * (version 0), a fresh batch lands in the source table, and
+    * [[graft.sources.DeltaInterop.exportDeltaIncremental]] mirrors it with
+    * ONE appended commit carrying only the delta — O(changed files), not
+    * O(table) — plus a classic parquet checkpoint + `_last_checkpoint`
+    * (cadence 1 here, so the declared read REPLAYS THE CHECKPOINT, not the
+    * JSON commits). The declared result is our Delta reader's view of the
+    * two-commit log; the oracle is DuckDB globbing the mirror's parquet —
+    * cross-engine agreement certifies the incremental manifest references
+    * exactly the live bytes. In-query asserts pin the physical shape: the
+    * incremental commit is version 1, its log holds only add actions (the
+    * source only appended), and the checkpoint files exist.
+    */
+  private def b5DeltaExportIncr(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaInterop, TxTable}
+    import java.nio.file.{Files, Paths}
+    val cols = Seq("user_id", "event_type", "value", "event_id", "ts")
+    // the export target is rebuilt per run (two-step v0+v1 determinism);
+    // the SOURCE clone is mutated by the append, so it runs on a clone
+    val t = TxTable(s, HarnessFixtures.cloneTxDir(txTpl(s, dir, "b2_upsert")))
+    val target = Paths.get(B5DeltaIncrPath)
+    if (Files.exists(target)) {
+      import scala.jdk.CollectionConverters._
+      val w = Files.walk(target)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
+    require(DeltaInterop.exportDeltaIncremental(t, B5DeltaIncrPath,
+      tsMillis = 5000L, checkpointInterval = 1) == 0L)
+    // the incremental batch: late events, the same shape as the snapshot
+    t.append(Tables.events(s, dir)
+      .select(cols.map(col).toIndexedSeq: _*)
+      .where(col("ts") > ts(AsOf15) && col("event_id") % 4 === 0),
+      tsMillis = 6000L)
+    val v = DeltaInterop.exportDeltaIncremental(t, B5DeltaIncrPath,
+      tsMillis = 7000L, checkpointInterval = 1)
+    require(v == 1L, s"b5_delta_export_incr: expected incremental commit 1, got $v")
+    val logDir = target.resolve("_delta_log")
+    import scala.jdk.CollectionConverters._
+    val v1 = Files.readAllLines(logDir.resolve("0" * 19 + "1.json")).asScala
+    require(v1.exists(_.contains("\"add\"")) && !v1.exists(_.contains("\"remove\"")),
+      "b5_delta_export_incr: an append-only delta must commit only adds")
+    require(Files.isRegularFile(logDir.resolve("0" * 19 + "1.checkpoint.parquet")) &&
+        Files.isRegularFile(logDir.resolve("_last_checkpoint")),
+      "b5_delta_export_incr: checkpoint cadence 1 must advertise a checkpoint")
+    val viaDelta = DeltaInterop.readDelta(s, B5DeltaIncrPath)
+      .select(cols.map(col).toIndexedSeq: _*)
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val (src, exp) = (sig(t.read().select(cols.map(col).toIndexedSeq: _*)), sig(viaDelta))
+    require(src == exp,
+      s"b5_delta_export_incr: mirror diverges from source (source=$src, export=$exp)")
+    viaDelta.orderBy("user_id", "event_type", "event_id")
+  }
+
   /** B5 — JSON-lines source: the corpus round-trips through JSONL (the
     * training-data interchange format) — written once as a deterministic
     * fixture, read back through the distributed json reader with an
@@ -2083,11 +2144,13 @@ object SparkEntry {
     * ran to completion, counts cannot be inflated by unapplied merges).
     */
   private def g3BpeTokens(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Bpe
+    import graft.functions.BpeExpressions
+    import s.implicits._
     val merges = bpeMerges(s, dir)
+    // native codegen'd encode (round-6 verdict #3) — no UDF boxing
     val enc = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"),
-        Bpe.encodeDocUdf(merges)(col("text")).as("toks"))
+        BpeExpressions.encode(merges)(col("text")).as("toks"))
       .localCheckpoint() // one corpus scan: certificate + declared result
     val notLossless = enc
       .withColumn("words", filter(split(trim(col("text")), "\\s+"), w => length(w) > 0))
@@ -2095,13 +2158,17 @@ object SparkEntry {
       .count()
     require(notLossless == 0L,
       s"g3_bpe_tokens: $notLossless docs whose tokens do not concatenate back to their words")
-    val mergeKeys = merges.map { case (a, b) => a + " " + b }
+    // fixpoint check joins the merge table as a BROADCAST dimension — the
+    // round-6 isin(mergeKeys) literal In-list compiles fine at 256 merges
+    // but a production 50k-merge vocabulary belongs in a join, not a plan
+    // literal (round-6 verdict #3)
+    val mergeDim = broadcast(merges.map { case (a, b) => a + " " + b }.toDF("p"))
     val unapplied = enc
       .select(explode(col("toks")).as("a")).where(size(col("a")) >= 2)
       .select(explode(transform(sequence(lit(0), size(col("a")) - 2),
         i => concat(element_at(col("a"), i + 1), lit(" "),
           element_at(col("a"), i + 2)))).as("p"))
-      .where(col("p").isin(mergeKeys: _*)).count()
+      .join(mergeDim, Seq("p"), "left_semi").count()
     require(unapplied == 0L,
       s"g3_bpe_tokens: $unapplied adjacent token pairs are unapplied merges (encoding not at fixpoint)")
     enc.select(col("doc_id"),
@@ -2288,6 +2355,40 @@ object SparkEntry {
         sourceCol = "source", idCol = "doc_id", nTokensCol = "n_tokens", budget = 800L)
       .select("doc_id", "source", "n_tokens", "cum_tokens")
       .orderBy("doc_id")
+
+  /** Fixed parquet target for [[h12TokenBudgetBpe]]'s per-doc counts — the
+    * oracle SQL reads it (cross-engine: DuckDB recomputes the budget
+    * arithmetic from the published counts). */
+  private val BpeCountsPath = "/root/repo/target/graft_export/bpe_counts"
+
+  /** H — corpus budget denominated in REAL BPE tokens (round-6 verdict #2):
+    * `h12_token_budget` buys documents in whitespace-token units, but a
+    * production corpus contract is written in TOKENIZER tokens — this is
+    * the same per-source budget cut with `n_bpe_tokens` (the corpus-trained
+    * byte-pair counts, native codegen'd expression) as the unit.
+    *
+    * FULL oracle, not rows-only: the per-doc counts are published as a
+    * parquet fixture (their correctness is already certified end-to-end by
+    * g3_bpe_tokens's lossless+fixpoint pass over every corpus word), and
+    * DuckDB INDEPENDENTLY recomputes the hash ordering, the running sum,
+    * and the budget boundary from them — the b5_delta_export pattern: the
+    * bytes cross engines, the arithmetic is recomputed.
+    */
+  private def h12TokenBudgetBpe(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMerges(s, dir)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.BpeExpressions.count(merges)(col("text")).as("n_bpe_tokens"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(BpeCountsPath)
+    // budget ~2.5x the whitespace h12's 800: subword counts run higher than
+    // word counts, so this keeps a comparable multi-doc boundary per source
+    Sampling.tokenBudget(s.read.parquet(BpeCountsPath),
+        sourceCol = "source", idCol = "doc_id", nTokensCol = "n_bpe_tokens",
+        budget = 2000L)
+      .select("doc_id", "source", "n_bpe_tokens", "cum_tokens")
+      .orderBy("doc_id")
+  }
 
   /** H — uniform 20-per-language sample: bottom-k by the full 31-bit
     * multiplicative id hash (KMV-style sampling without replacement) —
@@ -3646,6 +3747,7 @@ object SparkEntry {
     "b5_tx_zorder"       -> (b5TxZorder _),
     "b5_tx_maintenance"  -> (b5TxMaintenance _),
     "b5_delta_export"    -> (b5DeltaExport _),
+    "b5_delta_export_incr" -> (b5DeltaExportIncr _),
     "b2_delete_tx"       -> (b2DeleteTx _),
     "b2_tx_diff"         -> (b2TxDiff _),
     "b2_tx_cdc"          -> (b2TxCdc _),
@@ -3743,6 +3845,7 @@ object SparkEntry {
     "h5_split"           -> (h5SplitCounts _),
     "h6_domain_mix"      -> (h6DomainMix _),
     "h12_token_budget"   -> (h12TokenBudget _),
+    "h12_token_budget_bpe" -> (h12TokenBudgetBpe _),
     "h13_uniform_sample" -> (h13UniformSample _),
     "h14_weighted_sample" -> (h14WeightedSample _),
     "e11_quantile_bins"  -> (e11QuantileBins _),
@@ -4136,6 +4239,13 @@ object SparkEntry {
       """SELECT user_id, event_type, value, event_id, ts
         |FROM parquet_scan('/root/repo/target/graft_export/b5_delta/*.parquet')
         |ORDER BY user_id, event_type""".stripMargin,
+    // same cross-engine shape for the INCREMENTAL mirror: DuckDB globs the
+    // files the two-commit log (v0 full + v1 delta) references — agreement
+    // certifies the incremental manifest tracks exactly the live bytes
+    "b5_delta_export_incr" ->
+      """SELECT user_id, event_type, value, event_id, ts
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_delta_incr/*.parquet')
+        |ORDER BY user_id, event_type, event_id""".stripMargin,
     "b1_typed_ingest" ->
       """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS entity_id, ts, value, event_type FROM events)
         |SELECT * FROM (
@@ -5073,6 +5183,22 @@ object SparkEntry {
         |SELECT doc_id, source, n_tokens,
         |       (cum_before + n_tokens)::BIGINT AS cum_tokens
         |FROM c WHERE cum_before < 800 ORDER BY doc_id""".stripMargin,
+    // cross-engine budget in BPE units: the counts parquet is published by
+    // the query (certified by g3_bpe_tokens); DuckDB independently replays
+    // the hash order, running sum, and boundary cut
+    "h12_token_budget_bpe" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, n_bpe_tokens,
+        |         ((doc_id % 2147483648) * 2654435761 % 2147483648) AS h
+        |  FROM parquet_scan('/root/repo/target/graft_export/bpe_counts/*.parquet')),
+        |c AS (
+        |  SELECT doc_id, source, n_bpe_tokens,
+        |         coalesce(sum(n_bpe_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, source, n_bpe_tokens,
+        |       (cum_before + n_bpe_tokens)::BIGINT AS cum_tokens
+        |FROM c WHERE cum_before < 2000 ORDER BY doc_id""".stripMargin,
     "h13_uniform_sample" ->
       """WITH h AS (
         |  SELECT lang, doc_id,

@@ -1,8 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.UserDefinedFunction
-import org.apache.spark.sql.functions.udf
 
 /** Deterministic byte-pair encoding (Sennrich et al., ACL 2016 — the
   * subword scheme every production tokenizer descends from): greedy
@@ -23,8 +21,9 @@ import org.apache.spark.sql.functions.udf
   * Scale shape: the word-frequency table is computed DISTRIBUTED (one
   * groupBy over the corpus); training runs driver-side over that
   * dimension-scale table (same argument as k-means centroids — the
-  * vocabulary is data-derived metadata, not data). Encoding is a JVM
-  * UDF over the codegen'd scan: per-row work, no shuffle, no Python.
+  * vocabulary is data-derived metadata, not data). Encoding is a native
+  * codegen'd Catalyst expression ([[BpeEncodeWords]]/[[BpeTokenCount]]):
+  * per-row work inside whole-stage codegen, no shuffle, no UDF boxing.
   */
 object Bpe {
 
@@ -126,26 +125,29 @@ object Bpe {
     scala.collection.immutable.ArraySeq.unsafeWrapArray(syms)
   }
 
-  /** UDF: text -> one token array per whitespace word (`array<array
-    * <string>>`), the shape the in-query certificate needs (lossless +
-    * fixpoint checks per word). The merge table broadcasts inside the
-    * closure — dimension-scale, like a dedup index's parameters. */
-  def encodeDocUdf(merges: Seq[(String, String)]): UserDefinedFunction = {
-    val ranks = ranksOf(merges)
-    udf { (text: String) =>
-      if (text == null) Seq.empty[Seq[String]]
-      else text.trim.split("\\s+").toSeq.filter(_.nonEmpty).map(encodeWord(_, ranks))
-    }
+  /** Encode a document straight to Catalyst [[GenericArrayData]] (one
+    * token array per whitespace word) — the eval/codegen core of
+    * [[BpeEncodeWords]]. Public because whole-stage-generated Java calls
+    * it through the static forwarder. */
+  def encodeDocData(text: String, ranks: Map[(String, String), Int])
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    if (text == null) return new GenericArrayData(Array.empty[Any])
+    val words = text.trim.split("\\s+").iterator.filter(_.nonEmpty)
+    val out = words.map { w =>
+      new GenericArrayData(
+        encodeWord(w, ranks).iterator.map(s => UTF8String.fromString(s): Any).toArray)
+    }.map(a => a: Any).toArray
+    new GenericArrayData(out)
   }
 
-  /** Subword count per text — the budget/chunk/pack unit. */
-  def countUdf(merges: Seq[(String, String)]): UserDefinedFunction = {
-    val ranks = ranksOf(merges)
-    udf { (text: String) =>
-      if (text == null) 0L
-      else text.trim.split("\\s+").iterator.filter(_.nonEmpty)
-        .map(encodeWord(_, ranks).size.toLong).sum
-    }
+  /** Total subword count of a document — the eval/codegen core of
+    * [[BpeTokenCount]]. */
+  def countTokens(text: String, ranks: Map[(String, String), Int]): Long = {
+    if (text == null) return 0L
+    text.trim.split("\\s+").iterator.filter(_.nonEmpty)
+      .map(encodeWord(_, ranks).size.toLong).sum
   }
 
   /** The public `merges.txt` wire format: one "a b" line per merge, rank =
@@ -161,7 +163,8 @@ object Bpe {
         (l.substring(0, i), l.substring(i + 1))
       }.toSeq
 
-  /** Convenience for SQL use. */
+  /** Convenience for SQL use — routed through the native codegen'd
+    * expression ([[BpeTokenCount]]), not a UDF. */
   def bpeCount(merges: Seq[(String, String)])(text: Column): Column =
-    countUdf(merges)(text)
+    BpeExpressions.count(merges)(text)
 }

@@ -132,15 +132,237 @@ object DeltaInterop {
       lines += m.writeValueAsString(a)
     }
 
-    // log LAST within the staging dir, then swap the whole table into place
+    // log LAST within the staging dir, then swap the whole table into place.
+    // The previous export is RENAMED ASIDE, not deleted, until the new one
+    // is in place: delete-then-move (the round-6 shape) destroyed the only
+    // complete table the instant before a move that can still fail
+    // (cross-device fallback, permissions) — a failed swap must leave the
+    // prior export intact, restored from the rename.
     val logDir = targetDir.resolve(LogDirName)
     Files.createDirectories(logDir)
     Files.write(logDir.resolve(f"${0L}%020d.json"), lines.result().asJava)
-    deleteRecursively(finalDir)
-    try Files.move(targetDir, finalDir, StandardCopyOption.ATOMIC_MOVE)
-    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
-      Files.move(targetDir, finalDir)
+    val backup = finalDir.resolveSibling(
+      finalDir.getFileName.toString + s".old-${System.nanoTime()}")
+    val hadPrev = Files.exists(finalDir)
+    if (hadPrev) Files.move(finalDir, backup)
+    try {
+      try Files.move(targetDir, finalDir, StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(targetDir, finalDir)
+      }
+    } catch { case e: Throwable =>
+      if (hadPrev && !Files.exists(finalDir)) Files.move(backup, finalDir)
+      throw e
     }
+    if (hadPrev) deleteRecursively(backup)
+  }
+
+  /** Mirror the CURRENT snapshot of `t` into an EXISTING Delta export at
+    * `target` by appending ONE commit (version N+1) with exactly the
+    * add/remove delta between the export's live file set and the source
+    * snapshot — the daily-pipeline shape where a 100 TB table re-exports
+    * in O(changed files), not O(table) ([[exportDelta]] rebuilds the whole
+    * snapshot per call). Falls back to a full version-0 export when no
+    * table exists at `target` yet.
+    *
+    * Semantics: the target is a MIRROR, not an archive — data files the
+    * source no longer references are physically deleted after the commit
+    * lands (so a directory glob over the export always equals the latest
+    * snapshot; time travel into pre-removal versions of the mirror fails
+    * like a vacuumed Delta table). Schema changes ride along as a fresh
+    * `metaData` action; a partition-layout change cannot be expressed as a
+    * delta and fails loudly (re-export from scratch).
+    *
+    * Every `checkpointInterval`-th version also writes a classic
+    * single-file parquet checkpoint plus `_last_checkpoint`
+    * ([[writeDeltaCheckpoint]]) so readers of a long-lived mirror replay
+    * O(interval) JSON commits, not the whole history — exactly Delta's own
+    * checkpointing cadence (PROTOCOL.md; default every 10 commits).
+    *
+    * The commit file is published atomically (staged then renamed with
+    * put-if-absent): a concurrent exporter racing to the same version
+    * fails loudly instead of clobbering the log.
+    *
+    * @return the committed version (0 for a fresh full export; the current
+    *   version unchanged when the mirror is already identical).
+    */
+  def exportDeltaIncremental(t: TxTable, target: String,
+      tsMillis: Long = System.currentTimeMillis(),
+      checkpointInterval: Int = 10): Long = {
+    val finalDir = Paths.get(target).toAbsolutePath
+    val logDir = finalDir.resolve(LogDirName)
+    if (!Files.isDirectory(logDir)) { exportDelta(t, target, tsMillis); return 0L }
+
+    val snap = t.snapshotInfo()
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val (lastV, live, meta) = replayState(t.spark, finalDir, None)
+    val (schemaJson, partCols) = meta.getOrElse(throw new IllegalStateException(
+      s"Delta log at $target carries no metaData action"))
+    require(partCols == snap.partCols,
+      s"partition layout changed (${partCols.mkString(",")} -> " +
+        s"${snap.partCols.mkString(",")}) — a layout change cannot be mirrored " +
+        "incrementally; re-export from scratch")
+    val schemaChanged = DataType.fromJson(schemaJson) != schema
+
+    val liveSet = live.map(_.path).toSet
+    val snapSet = snap.files.toSet
+    val newFiles = snap.files.filterNot(liveSet)
+    val removedFiles = live.map(_.path).filterNot(snapSet)
+    if (newFiles.isEmpty && removedFiles.isEmpty && !schemaChanged) return lastV
+
+    val dataDir = Paths.get(snap.dataDir)
+    val adds = newFiles.map { rel =>
+      val src = dataDir.resolve(rel)
+      val dst = finalDir.resolve(rel)
+      Files.createDirectories(dst.getParent)
+      if (!Files.exists(dst)) {
+        try Files.createLink(dst, src)
+        catch { case _: Exception => Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING) }
+      }
+      (rel, Files.size(dst))
+    }
+
+    val m = mapper
+    def obj() = m.createObjectNode()
+    val lines = Seq.newBuilder[String]
+    val commitInfo = obj()
+    commitInfo.putObject("commitInfo")
+      .put("timestamp", tsMillis)
+      .put("operation", "WRITE")
+      .put("engineInfo", "graft-txtable-export")
+    lines += m.writeValueAsString(commitInfo)
+    if (schemaChanged) {
+      val metaData = obj()
+      val md = metaData.putObject("metaData")
+      md.put("id", java.util.UUID.nameUUIDFromBytes(
+        (target + "|" + snap.files.mkString(",")).getBytes("UTF-8")).toString)
+      val fmt = md.putObject("format")
+      fmt.put("provider", "parquet")
+      fmt.putObject("options")
+      md.put("schemaString", schema.json)
+      val pcArr = md.putArray("partitionColumns")
+      snap.partCols.foreach(pcArr.add)
+      md.putObject("configuration")
+      md.put("createdTime", tsMillis)
+      lines += m.writeValueAsString(metaData)
+    }
+    adds.foreach { case (rel, size) =>
+      val a = obj()
+      val add = a.putObject("add")
+      add.put("path", encodePath(rel))
+      val pv = add.putObject("partitionValues")
+      partitionValuesOf(rel, snap.partCols).foreach {
+        case (k, Some(vv)) => pv.put(k, vv)
+        case (k, None)     => pv.putNull(k)
+      }
+      add.put("size", size)
+      add.put("modificationTime", tsMillis)
+      add.put("dataChange", true)
+      lines += m.writeValueAsString(a)
+    }
+    removedFiles.foreach { rel =>
+      val r = obj()
+      r.putObject("remove")
+        .put("path", encodePath(rel))
+        .put("deletionTimestamp", tsMillis)
+        .put("dataChange", true)
+      lines += m.writeValueAsString(r)
+    }
+
+    // stage + put-if-absent rename: the commit appears atomically, and a
+    // concurrent exporter racing to the same version number fails loudly
+    val v = lastV + 1
+    val staged = Files.createTempFile(logDir, s".commit-$v", ".json.tmp")
+    Files.write(staged, lines.result().asJava)
+    val commitPath = logDir.resolve(f"$v%020d.json")
+    try Files.move(staged, commitPath, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(staged)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent export committed version $v at $target", e)
+    }
+
+    // the mirror owns its data files: physically retire what the source no
+    // longer references (AFTER the commit lands — a crash in between leaves
+    // extra bytes, never a dangling reference)
+    removedFiles.foreach(rel => Files.deleteIfExists(finalDir.resolve(rel)))
+
+    if (checkpointInterval > 0 && v % checkpointInterval == 0)
+      writeDeltaCheckpoint(t.spark, target, v, tsMillis)
+    v
+  }
+
+  /** Write a classic single-file parquet checkpoint of the export's state
+    * at version `v` (protocol + metaData + one add per live file — nullable
+    * struct columns, PROTOCOL.md's classic checkpoint shape) and advertise
+    * it in `_last_checkpoint`, so log replay restarts there instead of at
+    * version 0. The checkpoint parquet is written via Spark and renamed
+    * into its final name; `_last_checkpoint` is updated last (readers that
+    * see the old pointer simply replay more JSON commits). */
+  def writeDeltaCheckpoint(spark: SparkSession, target: String, v: Long,
+      tsMillis: Long = System.currentTimeMillis()): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val root = Paths.get(target).toAbsolutePath
+    val logDir = root.resolve(LogDirName)
+    val (atV, live, meta) = replayState(spark, root, Some(v))
+    val (schemaJson, partCols) = meta.getOrElse(throw new IllegalStateException(
+      s"Delta log at $target carries no metaData action"))
+    require(atV == v, s"cannot checkpoint version $v (log is at $atV)")
+
+    val ckptSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(StructField("provider", StringType)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionTimestamp", LongType))))))
+
+    val protoRow = Row(Row(1, 2), null, null, null)
+    val metaRow = Row(null, Row(
+      java.util.UUID.nameUUIDFromBytes(
+        (target + "|ckpt|" + v).getBytes("UTF-8")).toString,
+      Row("parquet"), schemaJson, partCols, Map.empty[String, String], tsMillis),
+      null, null)
+    val addRows = live.map { a =>
+      val sz = scala.util.Try(Files.size(root.resolve(a.path))).getOrElse(0L)
+      Row(null, null, Row(encodePath(a.path),
+        a.partitionValues.collect { case (k, Some(vv)) => k -> vv },
+        sz, tsMillis, true), null)
+    }
+    val rows = (protoRow +: metaRow +: addRows).asJava
+    val df = spark.createDataFrame(rows, ckptSchema)
+
+    val tmp = Files.createTempDirectory(logDir, s".ckpt-$v-")
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val s = Files.list(tmp)
+        try s.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no parquet part in $tmp"))
+        finally s.close()
+      }
+      Files.move(part, logDir.resolve(f"$v%020d.checkpoint.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    } finally deleteRecursively(tmp)
+    val pointer = mapper.createObjectNode()
+      .put("version", v).put("size", rows.size().toLong)
+    Files.write(logDir.resolve("_last_checkpoint"),
+      Seq(mapper.writeValueAsString(pointer)).asJava)
   }
 
   // --------------------------------------------------------------- READ
@@ -159,7 +381,18 @@ object DeltaInterop {
     */
   def readDelta(spark: SparkSession, path: String,
       versionAsOf: Option[Long] = None): DataFrame = {
-    val root = Paths.get(path)
+    val (_, live, meta) = replayState(spark, Paths.get(path), versionAsOf)
+    val (schemaJson, partCols) = meta.getOrElse(
+      throw new IllegalStateException(s"Delta log at $path carries no metaData action"))
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    assembleRead(spark, Paths.get(path), schema, partCols, live)
+  }
+
+  /** Replay a Delta log to (version, live adds, metaData) — the shared core
+    * of [[readDelta]] and [[exportDeltaIncremental]]'s target-state read. */
+  private def replayState(spark: SparkSession, root: Path,
+      versionAsOf: Option[Long]): (Long, Seq[AddFile], Option[(String, Seq[String])]) = {
+    val path = root.toString
     val logDir = root.resolve(LogDirName)
     require(Files.isDirectory(logDir), s"no Delta table at $path (missing $LogDirName)")
 
@@ -194,9 +427,15 @@ object DeltaInterop {
     var meta: Option[(String, Seq[String])] = ckptState.flatMap(_._3)
 
     val m = mapper
-    commits.foreach { case (_, p) =>
+    commits.foreach { case (cv, p) =>
       Files.readAllLines(p).asScala.filter(_.trim.nonEmpty).foreach { line =>
-        val node = m.readTree(line)
+        // a truncated/corrupt line must name the commit it came from, not
+        // surface as a bare Jackson parse error with no table context
+        val node =
+          try m.readTree(line)
+          catch { case e: Exception => throw new IllegalStateException(
+            s"Delta log at $path: commit $cv holds a malformed action line " +
+              s"(${e.getMessage}); refusing to reconstruct a partial table", e) }
         Option(node.get("protocol")).foreach(checkProtocol(_, path))
         Option(node.get("metaData")).foreach { md =>
           checkNoColumnMapping(md, path)
@@ -220,11 +459,9 @@ object DeltaInterop {
         }
       }
     }
-
-    val (schemaJson, partCols) = meta.getOrElse(
-      throw new IllegalStateException(s"Delta log at $path carries no metaData action"))
-    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    assembleRead(spark, root, schema, partCols, live.values.toSeq)
+    val lastVersion = commits.lastOption.map(_._1)
+      .orElse(ckptState.map(_._1)).getOrElse(0L)
+    (lastVersion, live.values.toSeq, meta)
   }
 
   /** One parquet scan over the live files with the log's partition values
@@ -309,12 +546,42 @@ object DeltaInterop {
     val df = spark.read.parquet(p.toString)
     val cols = df.columns.toSet
 
-    Option.when(cols.contains("protocol"))(
-      df.where(col("protocol").isNotNull).select("protocol.*").collect()).foreach {
-      _.foreach { r =>
-        val mrv = r.getAs[Int]("minReaderVersion")
-        require(mrv <= 1, s"checkpointed table requires reader version $mrv — " +
-          "only basic tables are supported by this reader")
+    // the protocol row is MANDATORY (PROTOCOL.md: every checkpoint contains
+    // exactly one) — a checkpoint missing it is malformed or adversarial,
+    // and skipping the gate (the round-6 shape) would let a column-mapped /
+    // deletion-vector table be silently misread. Same acceptance logic as
+    // the JSON path: mrv<=2, or mrv==3 with only benign reader features —
+    // the old mrv<=1 gate also falsely rejected readable mrv-2 tables.
+    require(cols.contains("protocol"),
+      s"checkpoint $p carries no protocol column — malformed checkpoint")
+    val protoRows = df.where(col("protocol").isNotNull).select("protocol.*").collect()
+    require(protoRows.nonEmpty,
+      s"checkpoint $p carries no protocol row — malformed checkpoint")
+    protoRows.foreach { r =>
+      val mrv = r.getAs[Int]("minReaderVersion")
+      val feats: Set[String] =
+        if (!r.schema.fieldNames.contains("readerFeatures")) Set.empty
+        else Option(r.getAs[scala.collection.Seq[String]]("readerFeatures"))
+          .map(_.toSet).getOrElse(Set.empty)
+      checkProtocolValues(mrv, feats, p.toString)
+    }
+    // column mapping hides in the checkpointed metaData configuration too —
+    // the JSON-path check alone misses a table whose metaData only lives in
+    // the checkpoint (a writer may legitimately omit the configuration
+    // field entirely; only a PRESENT mapping mode can disqualify the table)
+    val mdHasConfig = df.schema.fields.find(_.name == "metaData")
+      .exists(_.dataType match {
+        case st: StructType => st.fieldNames.contains("configuration")
+        case _              => false
+      })
+    if (cols.contains("metaData") && mdHasConfig) {
+      val mdRows = df.where(col("metaData").isNotNull)
+        .select(col("metaData.configuration")).collect()
+      mdRows.foreach { r =>
+        val mode = Option(r.getMap[String, String](0))
+          .flatMap(_.get("delta.columnMapping.mode"))
+        require(mode.forall(_ == "none"),
+          s"checkpoint $p declares column mapping (${mode.get}) — unsupported by this reader")
       }
     }
     val removed: Set[String] =
@@ -341,21 +608,28 @@ object DeltaInterop {
     (v, adds, meta)
   }
 
-  private def checkProtocol(p: JsonNode, path: String): Unit = {
-    val mrv = Option(p.get("minReaderVersion")).map(_.asInt).getOrElse(1)
+  private def checkProtocol(p: JsonNode, path: String): Unit =
+    checkProtocolValues(
+      Option(p.get("minReaderVersion")).map(_.asInt).getOrElse(1),
+      Option(p.get("readerFeatures"))
+        .map(_.elements().asScala.map(_.asText).toSet).getOrElse(Set.empty),
+      path)
+
+  /** One acceptance rule for BOTH protocol sources (JSON commit and parquet
+    * checkpoint — divergent gates were round-6 advice): mrv 1-2 are plain
+    * parquet reads; mrv 3 = table features, where every listed reader
+    * feature must be one this reader genuinely honors (none change plain
+    * parquet reads; anything unknown — deletionVectors, columnMapping, v2
+    * checkpoints — must fail, not silently corrupt). */
+  private def checkProtocolValues(mrv: Int, readerFeatures: Set[String], where: String): Unit = {
     if (mrv >= 3) {
-      // reader version 3 = table features: every listed reader feature must
-      // be one this reader genuinely honors (none change plain parquet
-      // reads; anything unknown — deletionVectors, columnMapping, v2
-      // checkpoints — must fail, not silently corrupt)
       val benign = Set("timestampNtz", "vacuumProtocolCheck")
-      val feats = Option(p.get("readerFeatures"))
-        .map(_.elements().asScala.map(_.asText).toSet).getOrElse(Set.empty)
-      val unsupported = feats.diff(benign)
-      require(unsupported.isEmpty,
-        s"Delta table $path requires reader features $unsupported — unsupported")
+      val unsupported = readerFeatures.diff(benign)
+      require(mrv == 3 && unsupported.isEmpty,
+        s"Delta table $where requires reader version $mrv with reader features " +
+          s"$unsupported — unsupported by this reader")
     } else require(mrv <= 2,
-      s"Delta table $path requires reader version $mrv — unsupported")
+      s"Delta table $where requires reader version $mrv — unsupported")
   }
 
   private def checkNoColumnMapping(md: JsonNode, path: String): Unit = {
@@ -400,7 +674,17 @@ object DeltaInterop {
     new String(out.toByteArray, "UTF-8")
   }
 
-  private def decodePath(p: String): String = percentDecode(p)
+  /** Percent-decode an action path. Scheme-qualified URIs (`s3://…`,
+    * `file:///…` — the protocol allows them for shallow clones) reference
+    * storage this local reader cannot reach; resolving one against the
+    * table root would silently read the WRONG local path, so fail loudly
+    * instead. Plain absolute paths resolve correctly via `Path.resolve`. */
+  private def decodePath(p: String): String = {
+    require(!p.matches("^[a-zA-Z][a-zA-Z0-9+.\\-]*://.*"),
+      s"Delta action references a scheme-qualified URI path ($p) — " +
+        "shallow-clone/external-storage paths are unsupported by this reader")
+    percentDecode(p)
+  }
 
   /** `<col>=<v>` directory segments of a relative file path, in partCols
     * order; Spark/Hive's `__HIVE_DEFAULT_PARTITION__` marker maps to null. */

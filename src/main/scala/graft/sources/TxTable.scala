@@ -1252,15 +1252,52 @@ class TxTable(val spark: SparkSession, val root: String) {
     // window instead of a permanently unreadable table.
     val lost = target.files.filter(f => !Files.exists(dataDir.resolve(f)))
     if (lost.nonEmpty) {
-      commitLoop("restore",
-        add = current.files.filterNot(target.files.contains),
-        remove = target.files.filterNot(current.files.toSet.contains),
-        tsMillis = tsMillis,
-        schemaDdl = current.ddl, schemaEveryCommit = true,
-        stats = current.stats,
-        partCols = current.partCols,
-        blooms = current.blooms,
-        validate = () => latestVersion().contains(committed))
+      // preferred rollback: republish the exact pre-restore snapshot. Valid
+      // only while OUR restore is still the latest commit — a third writer
+      // landing in between must not have its changes silently discarded.
+      val exact = scala.util.Try {
+        commitLoop("restore",
+          add = current.files.filterNot(target.files.contains),
+          remove = target.files.filterNot(current.files.toSet.contains),
+          tsMillis = tsMillis,
+          schemaDdl = current.ddl, schemaEveryCommit = true,
+          stats = current.stats,
+          partCols = current.partCols,
+          blooms = current.blooms,
+          validate = () => latestVersion().contains(committed))
+      }
+      if (exact.isFailure) {
+        // a third writer committed on top of the doomed restore and
+        // inherited its dangling file references. Aborting here (the old
+        // behavior) left the table PERMANENTLY unreadable — the state the
+        // rollback exists to prevent. Rebase instead: excise just the
+        // vacuum-deleted files from whatever the latest snapshot now is,
+        // retrying per interleaved commit. Their rows are already
+        // physically gone; removing the references merely makes the loss
+        // visible in the log instead of failing every future read.
+        val lostSet = lost.toSet
+        var attempts = 0
+        var done = false
+        while (!done && attempts < 100) {
+          val base = latestVersion()
+          val now = stateForVersion(Long.MaxValue)
+          val stillLost = now.files.filter(f =>
+            lostSet.contains(f) && !Files.exists(dataDir.resolve(f)))
+          if (stillLost.isEmpty) done = true // a racer already repaired it
+          else {
+            try {
+              commitLoop("restore", add = Nil, remove = stillLost,
+                tsMillis = tsMillis,
+                schemaDdl = now.ddl, schemaEveryCommit = true,
+                partCols = now.partCols,
+                validate = () => latestVersion() == base)
+              done = true
+            } catch {
+              case _: java.util.ConcurrentModificationException => attempts += 1
+            }
+          }
+        }
+      }
       throw new IllegalStateException(
         s"restore to version $v lost a race with vacuum (files ${lost.take(3).mkString(",")}" +
           s"${if (lost.size > 3) ",…" else ""} deleted); table rolled back to its pre-restore state")
