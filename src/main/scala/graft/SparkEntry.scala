@@ -1704,7 +1704,7 @@ object SparkEntry {
       s, java.nio.file.Files.createTempDirectory("graft_tx_p3").toString)
     val outCols = Seq("doc_id", "lang", "source", "n_tokens", "quality")
     val ms = MemoryStream[(Long, String, String, String)]
-    withShufflePartitions(s, 4) {
+    withShufflePartitions(s, 2) {
       // the library attachment (CorpusPrep.prepareCorpusSink) carries the
       // tombstone contract: every prior hash, kept or NOT, rejects later
       // duplicates — TombstoneSpec pins the edge case
@@ -2356,6 +2356,39 @@ object SparkEntry {
       .select("doc_id", "source", "n_tokens", "cum_tokens")
       .orderBy("doc_id")
 
+  /** Fixed export target for [[b5IcebergExport]] — oracle SQL globs it. */
+  private val B5IcebergPath = "/root/repo/target/graft_export/b5_iceberg"
+
+  /** B5 — ICEBERG export (round-6 verdict #5: the last "Delta/Iceberg"
+    * north-star word). The b2 LWW snapshot exported as a standard
+    * Hadoop-layout Iceberg v1 table ([[graft.sources.IcebergInterop]]:
+    * `metadata/v1.metadata.json` + `version-hint.text` + Avro manifest
+    * list + Avro manifest with spec field-ids, hard-linked parquet). The
+    * declared result is OUR Iceberg reader's view (metadata JSON →
+    * manifest list → manifest → parquet scan), while the oracle is DuckDB
+    * reading the exported data files — the same two-independent-engines
+    * contract as `b5_delta_export`, now over the second open table
+    * format. The in-query certificate pins the export to its SOURCE
+    * (count + unordered content hash vs the TxTable snapshot), proving
+    * the manifest references exactly the live file set.
+    */
+  private def b5IcebergExport(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergInterop, TxTable}
+    val cols = Seq("user_id", "event_type", "value", "event_id", "ts")
+    val t = TxTable(s, txTpl(s, dir, "b2_upsert"))
+    IcebergInterop.exportIceberg(t, B5IcebergPath, tsMillis = 5000L)
+    val viaIceberg = IcebergInterop.readIceberg(s, B5IcebergPath)
+      .select(cols.map(col).toIndexedSeq: _*)
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val (src, exp) = (sig(t.read().select(cols.map(col).toIndexedSeq: _*)), sig(viaIceberg))
+    require(src == exp,
+      s"b5_iceberg_export: exported table diverges from the source snapshot (source=$src, export=$exp)")
+    viaIceberg.orderBy("user_id", "event_type")
+  }
+
   /** Fixed parquet target for [[h12TokenBudgetBpe]]'s per-doc counts — the
     * oracle SQL reads it (cross-engine: DuckDB recomputes the budget
     * arithmetic from the published counts). */
@@ -2729,7 +2762,12 @@ object SparkEntry {
     * micro-batch (32 shards of near-empty state dominated ~9.5s of the
     * round-2 bench); run the oracle harness with fewer shards and restore
     * the session conf after. Production sizes state shards by key
-    * cardinality — this is harness sizing, not an operator change. */
+    * cardinality — this is harness sizing, not an operator change.
+    * Round 7 generalized the session-window 4→2 trim to the whole
+    * streaming family (round-6 verdict #6): every state shard costs a
+    * full commit cycle per micro-batch, and at fixture scale the state
+    * fits one shard with room to spare — 2 keeps the multi-shard code
+    * path exercised while halving the pure-overhead commits. */
   private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -2745,7 +2783,7 @@ object SparkEntry {
     val (evenBatch, oddBatch) = rows.partition(_.event_id % 2 == 0)
     val ms = MemoryStream[Streaming.EventRow]
     s.catalog.dropTempView("g4_lww_stream_state")
-    withShufflePartitions(s, 4) {
+    withShufflePartitions(s, 2) {
       val q = Streaming.latestStateStream(ms.toDS())
         .writeStream.format("memory").queryName("g4_lww_stream_state")
         .outputMode("update").start()
@@ -2780,7 +2818,7 @@ object SparkEntry {
     val (evenDocs, oddDocs) = words.partition(_._1 % 2 == 0)
     val ms = MemoryStream[(Long, String)]
     s.catalog.dropTempView("g4_heavy_stream_state")
-    withShufflePartitions(s, 4) {
+    withShufflePartitions(s, 2) {
       val q = ms.toDF().toDF("doc_id", "word")
         .agg(org.apache.spark.sql.graft.MisraGries.heavyHitters(col("word"), 64).as("hh"))
         .writeStream.format("memory").queryName("g4_heavy_stream_state")
@@ -2818,7 +2856,7 @@ object SparkEntry {
     val (first, second) = rows.splitAt(rows.length / 2)
     val ms = MemoryStream[Streaming.EventRow]
     s.catalog.dropTempView("g4_window_stream_state")
-    withShufflePartitions(s, 4) {
+    withShufflePartitions(s, 2) {
       val q = Streaming.windowedCounts(ms.toDF(), "1 hour")
         .writeStream.format("memory").queryName("g4_window_stream_state")
         .outputMode("update").start()
@@ -2859,7 +2897,7 @@ object SparkEntry {
         .toDF(cols: _*),
       tsMillis = 0L)
     val ms = MemoryStream[Streaming.EventRow]
-    withShufflePartitions(s, 4) {
+    withShufflePartitions(s, 2) {
       val q = ms.toDS().writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streaming.EventRow], id: Long) =>
           // txn marker = exactly-once under micro-batch retry (a replayed
@@ -2900,7 +2938,7 @@ object SparkEntry {
     val t = graft.sources.TxTable(
       s, java.nio.file.Files.createTempDirectory("graft_tx_g4asof").toString)
     val ms = MemoryStream[Streaming.EventRow]
-    withShufflePartitions(s, 4) {
+    withShufflePartitions(s, 2) {
       val q = ms.toDS().writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streaming.EventRow], id: Long) =>
           val spine = batch.toDF()
@@ -2943,7 +2981,7 @@ object SparkEntry {
     val batch2 = odd ++ even.take(even.length / 2)
     val ms = MemoryStream[Streaming.EventRow]
     s.catalog.dropTempView("g4_dedup_stream_out")
-    withShufflePartitions(s, 4) {
+    withShufflePartitions(s, 2) {
       val q = ms.toDS().toDF().dropDuplicates("event_id")
         .writeStream.format("memory").queryName("g4_dedup_stream_out")
         .outputMode("append").start()
@@ -2976,7 +3014,7 @@ object SparkEntry {
     val (evenBatch, oddBatch) = corpusRows.partition(_._1 % 2 == 0)
     val ms = MemoryStream[(Long, String)]
     s.catalog.dropTempView("g4_decontam_stream_out")
-    withShufflePartitions(s, 4) {
+    withShufflePartitions(s, 2) {
       val q = operators.Contamination
         .contaminationFlags(ms.toDF().toDF("doc_id", "text"), bench,
           idCol = "doc_id", textCol = "text", n = 8)
@@ -3054,7 +3092,7 @@ object SparkEntry {
     s.catalog.dropTempView("g4_tws_stream_state")
     val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     Streaming.rocksDbStateConf.foreach { case (k, v) => s.conf.set(k, v) }
-    try withShufflePartitions(s, 4) {
+    try withShufflePartitions(s, 2) {
       val q = Streaming.latestStateTws(ms.toDS())
         .writeStream.format("memory").queryName("g4_tws_stream_state")
         .outputMode("update").start()
@@ -3748,6 +3786,7 @@ object SparkEntry {
     "b5_tx_maintenance"  -> (b5TxMaintenance _),
     "b5_delta_export"    -> (b5DeltaExport _),
     "b5_delta_export_incr" -> (b5DeltaExportIncr _),
+    "b5_iceberg_export"  -> (b5IcebergExport _),
     "b2_delete_tx"       -> (b2DeleteTx _),
     "b2_tx_diff"         -> (b2TxDiff _),
     "b2_tx_cdc"          -> (b2TxCdc _),
@@ -4246,6 +4285,13 @@ object SparkEntry {
       """SELECT user_id, event_type, value, event_id, ts
         |FROM parquet_scan('/root/repo/target/graft_export/b5_delta_incr/*.parquet')
         |ORDER BY user_id, event_type, event_id""".stripMargin,
+    // cross-engine oracle over the SECOND open table format: DuckDB reads
+    // the Iceberg export's data files while Spark replays metadata JSON +
+    // Avro manifests
+    "b5_iceberg_export" ->
+      """SELECT user_id, event_type, value, event_id, ts
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg/data/*.parquet')
+        |ORDER BY user_id, event_type""".stripMargin,
     "b1_typed_ingest" ->
       """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS entity_id, ts, value, event_type FROM events)
         |SELECT * FROM (

@@ -1,0 +1,430 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Open-format interop #2: Apache Iceberg (the other half of the
+  * "Delta/Iceberg" north star; [[DeltaInterop]] is the first). Export a
+  * [[TxTable]] snapshot as a standard HADOOP-LAYOUT Iceberg v1 table any
+  * external engine can read (Spark's Iceberg connector, Trino, DuckDB's
+  * iceberg extension, pyiceberg), and read a standard Iceberg table
+  * written by those engines back into a DataFrame.
+  *
+  * The layout follows the published Iceberg table spec (iceberg.apache.org
+  * /spec; Hadoop-catalog file layout): `metadata/vN.metadata.json`
+  * describes schema + snapshots, `version-hint.text` names the current
+  * version, each snapshot points at an Avro MANIFEST LIST whose entries
+  * point at Avro MANIFESTS listing the parquet data files. Field-ids ride
+  * the schema JSON and the Avro `field-id` props exactly as the spec
+  * requires, so a real Iceberg reader resolves columns by id.
+  *
+  * Implementation is original and dependency-free beyond Spark-bundled
+  * Jackson + Avro (no Iceberg jars ship with this environment). Same
+  * hard-link discipline as the Delta exporter: a 100 TB export moves zero
+  * data bytes. Manifests are driver-side METADATA (O(files), the same
+  * scale class as Iceberg's own planning path).
+  *
+  * Reader scope, enforced loudly (misreading an advanced table is
+  * corruption, not compatibility): format-version 1-2; data content only
+  * (v2 positional/equality DELETE files are rejected); schema resolved
+  * from the current metadata; identity partitioning reads through because
+  * Iceberg data files physically carry all columns. Unknown/fancy types
+  * (uuid, fixed, time) are rejected at schema conversion.
+  */
+object IcebergInterop {
+
+  private def mapper = new ObjectMapper()
+
+  // ------------------------------------------------------------- EXPORT
+
+  /** Write the CURRENT snapshot of `t` at `target` as a single-snapshot
+    * Iceberg v1 table. Rebuilt from scratch per call (snapshot semantics,
+    * like [[DeltaInterop.exportDelta]]) with the same rename-aside swap:
+    * a failed swap leaves the previous export intact. */
+  def exportIceberg(t: TxTable, target: String,
+      tsMillis: Long = System.currentTimeMillis()): Unit = {
+    val snap = t.snapshotInfo()
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val finalDir = Paths.get(target).toAbsolutePath
+    Files.createDirectories(finalDir.getParent)
+    val staging = finalDir.resolveSibling(
+      finalDir.getFileName.toString +
+        s".staging-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    val metaDir = staging.resolve("metadata")
+    val dataDir = staging.resolve("data")
+    Files.createDirectories(metaDir)
+    Files.createDirectories(dataDir)
+
+    val srcData = Paths.get(snap.dataDir)
+    val files = snap.files.map { rel =>
+      val src = srcData.resolve(rel)
+      val dst = dataDir.resolve(rel)
+      Files.createDirectories(dst.getParent)
+      try Files.createLink(dst, src)
+      catch { case _: Exception =>
+        Files.copy(src, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
+      (rel, Files.size(dst), parquetRowCount(t.spark, dst))
+    }
+
+    // snapshot id: content-determined so identical exports are identical
+    val snapshotId = math.abs(java.util.UUID.nameUUIDFromBytes(
+      (target + "|" + snap.files.mkString(",")).getBytes("UTF-8"))
+      .getMostSignificantBits)
+
+    // ---- manifest (one, listing every data file) — Avro container file
+    val manifestName = f"graft-m0-$snapshotId%d.avro"
+    val manifestPath = metaDir.resolve(manifestName)
+    writeManifest(manifestPath, snapshotId,
+      files.map { case (rel, size, rows) =>
+        // file_path is a full URI per spec; the FINAL location, not staging
+        (finalDir.resolve("data").resolve(rel).toUri.toString, size, rows)
+      })
+
+    // ---- manifest list
+    val listName = f"snap-$snapshotId%d.avro"
+    val listPath = metaDir.resolve(listName)
+    writeManifestList(listPath, snapshotId,
+      finalDir.resolve("metadata").resolve(manifestName).toUri.toString,
+      Files.size(manifestPath))
+
+    // ---- vN.metadata.json + version-hint.text
+    val m = mapper
+    val root = m.createObjectNode()
+    root.put("format-version", 1)
+    root.put("table-uuid", java.util.UUID.nameUUIDFromBytes(
+      target.getBytes("UTF-8")).toString)
+    root.put("location", finalDir.toUri.toString.stripSuffix("/"))
+    root.put("last-updated-ms", tsMillis)
+    root.put("last-column-id", schema.fields.length)
+    val schemaNode = icebergSchema(m, schema)
+    root.set[ObjectNode]("schema", schemaNode)
+    val schemas = root.putArray("schemas")
+    schemas.add(icebergSchema(m, schema))
+    root.put("current-schema-id", 0)
+    root.putArray("partition-spec") // v1 legacy field (unpartitioned)
+    val specs = root.putArray("partition-specs")
+    val spec0 = m.createObjectNode()
+    spec0.put("spec-id", 0)
+    spec0.putArray("fields")
+    specs.add(spec0)
+    root.put("default-spec-id", 0)
+    root.put("last-partition-id", 999)
+    root.putObject("properties")
+    root.put("current-snapshot-id", snapshotId)
+    val snaps = root.putArray("snapshots")
+    val s0 = m.createObjectNode()
+    s0.put("snapshot-id", snapshotId)
+    s0.put("timestamp-ms", tsMillis)
+    s0.put("manifest-list",
+      finalDir.resolve("metadata").resolve(listName).toUri.toString)
+    val summary = s0.putObject("summary")
+    summary.put("operation", "append")
+    snaps.add(s0)
+    Files.write(metaDir.resolve("v1.metadata.json"),
+      Seq(m.writerWithDefaultPrettyPrinter().writeValueAsString(root)).asJava)
+    Files.write(metaDir.resolve("version-hint.text"), Seq("1").asJava)
+
+    // swap into place, previous export renamed aside until the new one is in
+    val backup = finalDir.resolveSibling(
+      finalDir.getFileName.toString + s".old-${System.nanoTime()}")
+    val hadPrev = Files.exists(finalDir)
+    if (hadPrev) Files.move(finalDir, backup)
+    try {
+      try Files.move(staging, finalDir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(staging, finalDir)
+      }
+    } catch { case e: Throwable =>
+      if (hadPrev && !Files.exists(finalDir)) Files.move(backup, finalDir)
+      throw e
+    }
+    if (hadPrev) deleteRecursively(backup)
+  }
+
+  /** Spark StructType -> Iceberg schema JSON (top level only needs flat
+    * field-ids for the types [[TxTable]] stores; nested types fail loudly
+    * rather than export something another engine would misread). */
+  private def icebergSchema(m: ObjectMapper, schema: StructType): ObjectNode = {
+    val node = m.createObjectNode()
+    node.put("type", "struct")
+    node.put("schema-id", 0)
+    val fields: ArrayNode = node.putArray("fields")
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val fn = m.createObjectNode()
+      fn.put("id", i + 1)
+      fn.put("name", f.name)
+      fn.put("required", !f.nullable)
+      fn.put("type", icebergType(f.dataType, f.name))
+      fields.add(fn)
+    }
+    node
+  }
+
+  private def icebergType(t: DataType, where: String): String = t match {
+    case BooleanType      => "boolean"
+    case IntegerType      => "int"
+    case LongType         => "long"
+    case FloatType        => "float"
+    case DoubleType       => "double"
+    case StringType       => "string"
+    case DateType         => "date"
+    case TimestampType    => "timestamptz"
+    case TimestampNTZType => "timestamp"
+    case BinaryType       => "binary"
+    case d: DecimalType   => s"decimal(${d.precision}, ${d.scale})"
+    case other => throw new IllegalArgumentException(
+      s"column '$where' has type $other — not exportable to Iceberg by this writer")
+  }
+
+  /** Per-file row count from the parquet footer — metadata-scale driver
+    * reads (Iceberg's own planning reads the same footers). */
+  private def parquetRowCount(spark: SparkSession, p: Path): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val in = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf))
+    try in.getRecordCount
+    finally in.close()
+  }
+
+  // Avro schemas for the v1 manifest list / manifest, field-ids included
+  // as the spec requires (a real reader resolves these columns by id).
+  private val ManifestListSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"added_snapshot_id","type":["null","long"],"default":null,"field-id":503}
+      |]}""".stripMargin)
+
+  private val ManifestSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"file_path","type":"string","field-id":100},
+      |  {"name":"file_format","type":"string","field-id":101},
+      |  {"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
+      |  {"name":"record_count","type":"long","field-id":103},
+      |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |]},"field-id":2}
+      |]}""".stripMargin)
+
+  private def writeManifestList(path: Path, snapshotId: Long,
+      manifestUri: String, manifestLen: Long): Unit = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](ManifestListSchema))
+    w.setMeta("format-version", "1")
+    w.create(ManifestListSchema, path.toFile)
+    try {
+      val r = new GenericData.Record(ManifestListSchema)
+      r.put("manifest_path", manifestUri)
+      r.put("manifest_length", manifestLen)
+      r.put("partition_spec_id", 0)
+      r.put("added_snapshot_id", snapshotId)
+      w.append(r)
+    } finally w.close()
+  }
+
+  private def writeManifest(path: Path, snapshotId: Long,
+      files: Seq[(String, Long, Long)]): Unit = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](ManifestSchema))
+    w.setMeta("format-version", "1")
+    w.setMeta("partition-spec", "[]")
+    w.create(ManifestSchema, path.toFile)
+    try files.foreach { case (uri, size, rows) =>
+      val entry = new GenericData.Record(ManifestSchema)
+      entry.put("status", 1) // ADDED
+      entry.put("snapshot_id", snapshotId)
+      val dfSchema = ManifestSchema.getField("data_file").schema()
+      val df = new GenericData.Record(dfSchema)
+      df.put("file_path", uri)
+      df.put("file_format", "PARQUET")
+      df.put("partition", new GenericData.Record(dfSchema.getField("partition").schema()))
+      df.put("record_count", rows)
+      df.put("file_size_in_bytes", size)
+      entry.put("data_file", df)
+      w.append(entry)
+    } finally w.close()
+  }
+
+  // --------------------------------------------------------------- READ
+
+  /** Read a standard Iceberg table at `path` (Hadoop layout) into a
+    * DataFrame — the current snapshot, or `snapshotAsOf` (time travel over
+    * the snapshot log). Fails loudly on delete files, format-version > 2,
+    * and unconvertible types. */
+  def readIceberg(spark: SparkSession, path: String,
+      snapshotAsOf: Option[Long] = None): DataFrame = {
+    val root = Paths.get(path).toAbsolutePath
+    val metaDir = root.resolve("metadata")
+    require(Files.isDirectory(metaDir), s"no Iceberg table at $path (missing metadata/)")
+
+    val meta = currentMetadata(metaDir, path)
+    val fv = meta.get("format-version").asInt
+    require(fv == 1 || fv == 2,
+      s"Iceberg table $path has format-version $fv — only v1/v2 are supported")
+
+    val schema = currentSparkSchema(meta, path)
+
+    val snapNode = {
+      val snaps = Option(meta.get("snapshots"))
+        .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+      snapshotAsOf match {
+        case Some(id) =>
+          snaps.find(_.get("snapshot-id").asLong == id).getOrElse(
+            throw new IllegalArgumentException(
+              s"snapshot $id does not exist in the Iceberg table at $path"))
+        case None =>
+          val cur = Option(meta.get("current-snapshot-id")).map(_.asLong)
+            .filter(_ != -1L)
+          cur.flatMap(c => snaps.find(_.get("snapshot-id").asLong == c))
+            .getOrElse(return spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+      }
+    }
+
+    val listUri = snapNode.get("manifest-list")
+    require(listUri != null,
+      s"Iceberg table $path uses inline v1 'manifests' lists without a " +
+        "manifest-list file — unsupported by this reader")
+    val listPath = resolveUri(root, listUri.asText)
+    val manifests = readAvro(listPath).map { r =>
+      resolveUri(root, r.get("manifest_path").toString)
+    }
+
+    val dataFiles = manifests.flatMap { mp =>
+      readAvro(mp).flatMap { entry =>
+        val status = entry.get("status").asInstanceOf[Int]
+        val df = entry.get("data_file").asInstanceOf[GenericRecord]
+        // v2 manifests carry data_file.content: 0=data, 1=position deletes,
+        // 2=equality deletes. A table with live delete files CANNOT be read
+        // correctly by scanning data files alone.
+        val content = Option(df.getSchema.getField("content"))
+          .map(f => df.get("content").asInstanceOf[Int]).getOrElse(0)
+        require(content == 0,
+          s"Iceberg table $path carries delete files (content=$content) — " +
+            "row-level deletes are unsupported by this reader")
+        val fmt = df.get("file_format").toString
+        require(fmt.equalsIgnoreCase("PARQUET"),
+          s"Iceberg table $path holds $fmt data files — only parquet is supported")
+        if (status == 2) None // DELETED entry
+        else Some(resolveUri(root, df.get("file_path").toString).toString)
+      }
+    }
+
+    if (dataFiles.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(dataFiles: _*)
+  }
+
+  /** `metadata/vN.metadata.json` named by version-hint.text, else the
+    * highest vN present (the Hadoop-catalog fallback real readers use). */
+  private def currentMetadata(metaDir: Path, path: String): JsonNode = {
+    val hint = metaDir.resolve("version-hint.text")
+    val fromHint =
+      if (!Files.isRegularFile(hint)) None
+      else scala.util.Try {
+        val v = Files.readAllLines(hint).asScala.head.trim.toLong
+        metaDir.resolve(s"v$v.metadata.json")
+      }.toOption.filter(Files.isRegularFile(_))
+    val metaFile = fromHint.orElse {
+      val V = """v(\d+)\.metadata\.json""".r
+      val s = Files.list(metaDir)
+      try s.iterator().asScala.flatMap(p => p.getFileName.toString match {
+        case V(v) => Some((v.toLong, p))
+        case _    => None
+      }).toSeq.sortBy(_._1).lastOption.map(_._2)
+      finally s.close()
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no vN.metadata.json in the Iceberg table at $path"))
+    mapper.readTree(Files.readAllBytes(metaFile))
+  }
+
+  private def currentSparkSchema(meta: JsonNode, path: String): StructType = {
+    val schemaNode = Option(meta.get("schemas")).flatMap { arr =>
+      val want = Option(meta.get("current-schema-id")).map(_.asInt).getOrElse(0)
+      arr.elements().asScala.find(s =>
+        Option(s.get("schema-id")).forall(_.asInt == want))
+    }.orElse(Option(meta.get("schema"))).getOrElse(
+      throw new IllegalArgumentException(s"Iceberg table $path carries no schema"))
+    structOf(schemaNode, path)
+  }
+
+  private def structOf(node: JsonNode, path: String): StructType =
+    StructType(node.get("fields").elements().asScala.map { f =>
+      StructField(f.get("name").asText,
+        sparkType(f.get("type"), path),
+        nullable = !Option(f.get("required")).exists(_.asBoolean))
+    }.toSeq)
+
+  /** Iceberg type JSON -> Spark type; anything not listed fails loudly. */
+  private def sparkType(t: JsonNode, path: String): DataType =
+    if (t.isTextual) t.asText match {
+      case "boolean"     => BooleanType
+      case "int"         => IntegerType
+      case "long"        => LongType
+      case "float"       => FloatType
+      case "double"      => DoubleType
+      case "string"      => StringType
+      case "date"        => DateType
+      case "timestamptz" => TimestampType
+      case "timestamp"   => TimestampNTZType
+      case "binary"      => BinaryType
+      case d if d.startsWith("decimal(") =>
+        val inner = d.stripPrefix("decimal(").stripSuffix(")").split(",")
+        DecimalType(inner(0).trim.toInt, inner(1).trim.toInt)
+      case other => throw new IllegalArgumentException(
+        s"Iceberg table $path uses type '$other' — unsupported by this reader")
+    } else t.get("type").asText match {
+      case "struct" => structOf(t, path)
+      case "list" =>
+        ArrayType(sparkType(t.get("element"), path),
+          containsNull = !Option(t.get("element-required")).exists(_.asBoolean))
+      case "map" =>
+        MapType(sparkType(t.get("key"), path), sparkType(t.get("value"), path),
+          valueContainsNull = !Option(t.get("value-required")).exists(_.asBoolean))
+      case other => throw new IllegalArgumentException(
+        s"Iceberg table $path uses nested type '$other' — unsupported by this reader")
+    }
+
+  /** Manifest URIs are full URIs per spec; tolerate plain/relative paths
+    * from hand-rolled writers by resolving against the table root. Only
+    * `file:` URIs are reachable for this local reader. */
+  private def resolveUri(root: Path, uri: String): Path = {
+    if (uri.startsWith("file:")) Paths.get(java.net.URI.create(uri.replace(" ", "%20")))
+    else {
+      require(!uri.matches("^[a-zA-Z][a-zA-Z0-9+.\\-]*://.*"),
+        s"Iceberg metadata references remote storage ($uri) — unsupported by this local reader")
+      val p = Paths.get(uri)
+      if (p.isAbsolute) p else root.resolve(p)
+    }
+  }
+
+  private def readAvro(p: Path): Seq[GenericRecord] = {
+    require(Files.isRegularFile(p), s"referenced Avro metadata file $p is missing")
+    val reader = new DataFileReader[GenericRecord](
+      p.toFile, new GenericDatumReader[GenericRecord]())
+    try reader.iterator().asScala.toSeq
+    finally reader.close()
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val w = Files.walk(p)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
+}

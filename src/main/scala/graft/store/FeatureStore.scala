@@ -30,8 +30,32 @@ class FeatureStore(val spark: SparkSession) {
 
   // ---- state: catalog driver-side; facts/audit as DataFrames ------------
 
-  private var features: Map[String, Feature] = Map.empty
+  private var features0: Map[String, Feature] = Map.empty
   private var groups: Map[String, FeatureGroup] = Map.empty
+
+  /** Registry staged as a DATASET by [[FeatureStore.loadTx]]/load (round-6
+    * verdict #7): the load path performs no driver round-trip at all — the
+    * catalog map hydrates lazily, on the first operation that actually
+    * needs driver-side catalog state. A store loaded only to query its
+    * fact log never pays the materialization. */
+  private var pendingRegistry: Option[Dataset[Feature]] = None
+  private def hydrateRegistry(): Unit = pendingRegistry.foreach { ds =>
+    pendingRegistry = None
+    // toLocalIterator, not collect: driver memory bounded by the largest
+    // partition rather than the whole registry
+    ds.toLocalIterator().forEachRemaining(f => features0 += f.feature_id -> f)
+  }
+  private[store] def stageRegistry(ds: Dataset[Feature]): Unit = {
+    hydrateRegistry() // a second staged load must not shadow earlier state
+    pendingRegistry = Some(ds)
+  }
+  /** Test hook: whether the staged registry is still unmaterialized. */
+  private[graft] def registryPendingForTest: Boolean = pendingRegistry.nonEmpty
+
+  private def features: Map[String, Feature] = { hydrateRegistry(); features0 }
+  private def features_=(m: Map[String, Feature]): Unit = {
+    hydrateRegistry(); features0 = m
+  }
 
   /** EAV fact schema — FIXTURES.md A2 (typed value columns, choice (a) of
     * SURVEY.md §1.3), covering all 11 reference value types
@@ -709,23 +733,21 @@ object FeatureStore {
       asOf.map(t.readAsOfTimestamp).getOrElse(t.read())
     }
     val fs = new FeatureStore(spark)
-    // toLocalIterator, not collect: the catalog is small by construction,
-    // but streaming it partition-by-partition bounds driver memory by the
-    // largest partition rather than the whole registry
-    snap("registry").as[Feature].toLocalIterator().forEachRemaining(fs.restoreFeature)
+    // fully dataset-native: NO driver round-trip here — the catalog map
+    // hydrates lazily on first catalog access (round-6 verdict #7)
+    fs.stageRegistry(snap("registry").as[Feature])
     fs.restoreValues(snap("feature_values")
       .select(fs.valuesSchema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*))
     fs.restoreAudit(snap("audit_log")) // the audit trail travels with the store
     fs
   }
 
-  /** Reload a persisted store: catalog back to the driver map (it is small
-    * by construction), facts stay a lazy distributed read. */
+  /** Reload a persisted store: catalog staged as a lazy Dataset (hydrates
+    * on first catalog access), facts stay a lazy distributed read. */
   def load(spark: SparkSession, path: String): FeatureStore = {
     import spark.implicits._
     val fs = new FeatureStore(spark)
-    spark.read.parquet(s"$path/registry").as[Feature].toLocalIterator()
-      .forEachRemaining(f => fs.restoreFeature(f))
+    fs.stageRegistry(spark.read.parquet(s"$path/registry").as[Feature])
     fs.restoreValues(
       spark.read.parquet(s"$path/feature_values")
         .select(fs.valuesSchema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*))

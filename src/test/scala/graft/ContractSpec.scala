@@ -34,12 +34,13 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("query count matches the documented surface") {
-    // 163 = round-5's 161 plus the round-6 additions: b5_delta_export
-    // (DuckDB reads the exported Delta table — the first cross-engine
-    // oracle over the lakehouse stack) and g3_bpe_tokens (real subword
-    // tokenization, certified in-query)
-    assert(SparkEntry.queries.size == 163,
-      s"declared query count ${SparkEntry.queries.size} != documented 163 — " +
+    // 166 = round-6's 163 plus the round-7 additions: b5_delta_export_incr
+    // (incremental Delta mirroring + checkpoint cadence),
+    // b5_iceberg_export (Iceberg v1 export/read, second cross-engine
+    // oracle format), and h12_token_budget_bpe (corpus budget in real BPE
+    // tokens, oracle replays the arithmetic from published counts)
+    assert(SparkEntry.queries.size == 166,
+      s"declared query count ${SparkEntry.queries.size} != documented 166 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

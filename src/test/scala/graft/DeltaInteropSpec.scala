@@ -410,6 +410,39 @@ class DeltaInteropSpec extends SparkSpec {
     assert(DeltaInterop.readDelta(spark, root.toString).count() == 1L)
   }
 
+  test("checkpoint scale probe: 100k add actions replay + checkpoint in metadata time") {
+    // the daily-mirror shape at production file counts: the log is pure
+    // driver-side metadata, so replaying 100k actions and writing the
+    // compacting checkpoint must stay seconds, not minutes (O(actions),
+    // no per-file I/O beyond an optional size stat that tolerates absence)
+    val root = Paths.get(tmp("delta_100k"))
+    val logDir = root.resolve("_delta_log"); Files.createDirectories(logDir)
+    val schemaJson = Seq((1L, "x")).toDF("id", "s").schema.json.replace("\"", "\\\"")
+    def add(i: Int) =
+      s"""{"add":{"path":"part-$i.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+    def remove(i: Int) = s"""{"remove":{"path":"part-$i.parquet","dataChange":true}}"""
+    val v0 = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{}}}""") ++
+      (0 until 50000).map(add)
+    val v1 = (50000 until 100000).map(add) ++ (0 until 10000).map(remove)
+    Files.write(logDir.resolve("0" * 20 + ".json"), v0.asJava)
+    Files.write(logDir.resolve("0" * 19 + "1.json"), v1.asJava)
+
+    val t0 = System.nanoTime()
+    DeltaInterop.writeDeltaCheckpoint(spark, root.toString, 1L, tsMillis = 5000L)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60.0, f"100k-action checkpoint took $secs%.1f s — not metadata-scale")
+
+    val ckpt = spark.read.parquet(
+      logDir.resolve("0" * 19 + "1.checkpoint.parquet").toString)
+    assert(ckpt.where(col("add").isNotNull).count() == 90000L,
+      "checkpoint must hold exactly the live set (100k adds - 10k removes)")
+    assert(ckpt.where(col("protocol").isNotNull).count() == 1L)
+    val ptr = Files.readAllLines(logDir.resolve("_last_checkpoint")).asScala.mkString
+    assert(ptr.contains("\"version\":1"))
+  }
+
   test("export hard-links data files when source and target share a filesystem") {
     val t = sampleTable()
     val out = tmp("delta_link")

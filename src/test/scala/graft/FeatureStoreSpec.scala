@@ -243,6 +243,25 @@ class FeatureStoreSpec extends SparkSpec {
       .exists(_.getName.startsWith("event_date=")))
   }
 
+  test("loadTx stages the catalog lazily: no driver round-trip until first catalog access") {
+    val (fs, hrId, dxId) = newStore()
+    ingestSample(fs, hrId, dxId)
+    val dir = java.nio.file.Files.createTempDirectory("graft_store_lazy").toString
+    fs.saveTx(dir, tsMillis = 1000L)
+    val re = FeatureStore.loadTx(spark, dir)
+    assert(re.registryPendingForTest,
+      "loadTx must stage the registry as a Dataset, not materialize it")
+    // fact-log-only usage never pays the catalog materialization
+    assert(re.valuesDF.count() == fs.valuesDF.count())
+    assert(re.registryPendingForTest, "reading facts must not hydrate the catalog")
+    // first catalog access hydrates, once, with the full feature set
+    assert(re.registryFeatures.map(_.feature_id).toSet ==
+      fs.registryFeatures.map(_.feature_id).toSet)
+    assert(!re.registryPendingForTest)
+    // and the hydrated store answers the same as-of query
+    assert(re.getFeatureValue("p1", hrId, ts("2024-01-31 00:00:00"), "u", Seq(), now).contains(80.0))
+  }
+
   test("registryDS supports distributed metadata filters (C1)") {
     val (fs, _, dxId) = newStore()
     val phi = fs.registryDS.where(org.apache.spark.sql.functions.col("phi_level") === "direct")

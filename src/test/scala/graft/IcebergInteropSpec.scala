@@ -1,0 +1,171 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.sources.{IcebergInterop, TxTable}
+
+/** Pins the Iceberg boundary: a TxTable exported with
+  * [[IcebergInterop.exportIceberg]] is a structurally standard Hadoop-
+  * layout Iceberg v1 table (metadata JSON + Avro manifest list + Avro
+  * manifest, field-ids included), readable back through
+  * [[IcebergInterop.readIceberg]]; and the reader fails LOUDLY on the
+  * features it cannot honor (delete files, v3, exotic types).
+  */
+class IcebergInteropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  private def sampleTable(): TxTable = {
+    val t = TxTable(spark, tmp("ice_src"))
+    t.append(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("id", "k", "v"), tsMillis = 1000L)
+    t.append(Seq((4L, "c", 40.0)).toDF("id", "k", "v"), tsMillis = 2000L)
+    t
+  }
+
+  test("export round-trips through readIceberg and is structurally an Iceberg table") {
+    val t = sampleTable()
+    val out = tmp("ice_exp")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+
+    // structure: metadata/v1.metadata.json + version-hint + snap-*.avro
+    val metaDir = Paths.get(out, "metadata")
+    assert(Files.isRegularFile(metaDir.resolve("v1.metadata.json")))
+    assert(Files.isRegularFile(metaDir.resolve("version-hint.text")))
+    val metaTxt = new String(Files.readAllBytes(metaDir.resolve("v1.metadata.json")))
+    assert(metaTxt.contains("\"format-version\" : 1"))
+    assert(metaTxt.contains("\"manifest-list\""))
+    assert(metaTxt.contains("\"fields\""))
+    val avros = Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".avro")).toSeq
+    assert(avros.exists(_.startsWith("snap-")), s"manifest list missing: $avros")
+    assert(avros.exists(_.startsWith("graft-m0-")), s"manifest missing: $avros")
+
+    // content: readIceberg == TxTable.read
+    val got = IcebergInterop.readIceberg(spark, out).orderBy("id").collect()
+    assert(got.toSeq == t.read().orderBy("id").collect().toSeq)
+    // declared schema survives (names + types, nullability per TxTable DDL)
+    assert(IcebergInterop.readIceberg(spark, out).schema.fieldNames.toSeq ==
+      Seq("id", "k", "v"))
+  }
+
+  test("re-export replaces the previous snapshot; snapshotAsOf resolves and rejects") {
+    val t = sampleTable()
+    val out = tmp("ice_det")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+    t.append(Seq((9L, "z", 90.0)).toDF("id", "k", "v"), tsMillis = 3000L)
+    IcebergInterop.exportIceberg(t, out, tsMillis = 6000L)
+    assert(IcebergInterop.readIceberg(spark, out).count() == t.read().count())
+    // the single snapshot's id is resolvable; a bogus one fails loudly
+    val metaTxt = new String(
+      Files.readAllBytes(Paths.get(out, "metadata", "v1.metadata.json")))
+    val snapId = """"current-snapshot-id" : (\d+)""".r
+      .findFirstMatchIn(metaTxt).get.group(1).toLong
+    assert(IcebergInterop.readIceberg(spark, out, snapshotAsOf = Some(snapId)).count() == 5L)
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.readIceberg(spark, out, snapshotAsOf = Some(123L)))
+      .getMessage.contains("does not exist"))
+  }
+
+  test("version-hint fallback: highest vN.metadata.json wins when the hint is missing") {
+    val t = sampleTable()
+    val out = tmp("ice_hint")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+    Files.delete(Paths.get(out, "metadata", "version-hint.text"))
+    assert(IcebergInterop.readIceberg(spark, out).count() == 4L)
+  }
+
+  test("timestamp columns survive the round trip as timestamptz") {
+    val t = TxTable(spark, tmp("ice_ts"))
+    t.append(Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00")))
+      .toDF("id", "ts"), tsMillis = 1000L)
+    val out = tmp("ice_ts_exp")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+    val metaTxt = new String(
+      Files.readAllBytes(Paths.get(out, "metadata", "v1.metadata.json")))
+    assert(metaTxt.contains("\"timestamptz\""), "TimestampType must export as timestamptz")
+    val got = IcebergInterop.readIceberg(spark, out).collect()
+    assert(got.head.getTimestamp(1) == java.sql.Timestamp.valueOf("2024-01-01 10:30:00"))
+  }
+
+  test("foreign tables fail loudly: v3 format, delete files, exotic types, remote storage") {
+    def foreignMeta(body: String): String = {
+      val root = Paths.get(tmp("ice_bad"))
+      val metaDir = root.resolve("metadata"); Files.createDirectories(metaDir)
+      Files.write(metaDir.resolve("v1.metadata.json"), Seq(body).asJava)
+      Files.write(metaDir.resolve("version-hint.text"), Seq("1").asJava)
+      root.toString
+    }
+    val schema =
+      """"schema":{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"}]}""".stripMargin
+
+    val v3 = foreignMeta(s"""{"format-version":3,$schema,"snapshots":[]}""")
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.readIceberg(spark, v3)).getMessage.contains("format-version 3"))
+
+    val uuidT = foreignMeta(
+      """{"format-version":1,"schema":{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"u","required":false,"type":"uuid"}]},
+        |"snapshots":[]}""".stripMargin.replace("\n", ""))
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.readIceberg(spark, uuidT)).getMessage.contains("'uuid'"))
+
+    // delete files: build a real export, then flip its manifest to v2
+    // content=1 by hand-writing a manifest with a content field
+    val t = sampleTable()
+    val out = tmp("ice_del")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+    val metaDir = Paths.get(out, "metadata")
+    val manifest = Files.list(metaDir).iterator().asScala
+      .find(_.getFileName.toString.startsWith("graft-m0-")).get
+    val withContent = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"content","type":"int"},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](withContent))
+    w.create(withContent, manifest.toFile)
+    val entry = new org.apache.avro.generic.GenericData.Record(withContent)
+    entry.put("status", 1)
+    val dfr = new org.apache.avro.generic.GenericData.Record(
+      withContent.getField("data_file").schema())
+    dfr.put("content", 2) // equality deletes
+    dfr.put("file_path", "x.parquet")
+    dfr.put("file_format", "PARQUET")
+    dfr.put("record_count", 1L)
+    dfr.put("file_size_in_bytes", 1L)
+    entry.put("data_file", dfr)
+    w.append(entry); w.close()
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.readIceberg(spark, out)).getMessage.contains("delete files"))
+
+    // remote storage URI in the manifest list
+    val s3meta = foreignMeta(
+      s"""{"format-version":1,$schema,"current-snapshot-id":7,
+         |"snapshots":[{"snapshot-id":7,"timestamp-ms":1,
+         |"manifest-list":"s3://bucket/snap-7.avro"}]}"""
+        .stripMargin.replace("\n", ""))
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.readIceberg(spark, s3meta)).getMessage.contains("remote storage"))
+  }
+
+  test("export hard-links data files (zero data bytes moved on one filesystem)") {
+    val t = sampleTable()
+    val out = tmp("ice_link")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+    val dataFiles = Files.list(Paths.get(out, "data")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    assert(dataFiles.nonEmpty)
+    val linkCount = Files.getAttribute(dataFiles.head, "unix:nlink").asInstanceOf[Int]
+    assert(linkCount >= 2, s"expected a hard link, got nlink=$linkCount")
+  }
+}
