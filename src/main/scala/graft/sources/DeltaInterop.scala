@@ -340,8 +340,11 @@ object DeltaInterop {
       null, null)
     val addRows = live.map { a =>
       val sz = scala.util.Try(Files.size(root.resolve(a.path))).getOrElse(0L)
+      // null partition values stay as null MAP ENTRIES (the protocol's
+      // shape — __HIVE_DEFAULT_PARTITION__ rows keep their key), not
+      // dropped keys: foreign readers expect every partition column present
       Row(null, null, Row(encodePath(a.path),
-        a.partitionValues.collect { case (k, Some(vv)) => k -> vv },
+        a.partitionValues.map { case (k, vv) => k -> vv.orNull },
         sz, tsMillis, true), null)
     }
     val rows = (protoRow +: metaRow +: addRows).asJava

@@ -54,6 +54,17 @@ object IcebergInterop {
   def exportIceberg(t: TxTable, target: String,
       tsMillis: Long = System.currentTimeMillis()): Unit = {
     val snap = t.snapshotInfo()
+    // a Hive-partitioned source drops the partition column FROM the data
+    // files; this writer declares an empty partition spec and relies on
+    // the parquet carrying every column, so exporting such a table would
+    // silently produce an Iceberg table missing a column — refuse instead
+    // (the Delta exporter handles partitioned layouts; use that, or
+    // compact the partition column back into the data first)
+    require(snap.partCols.isEmpty,
+      s"cannot export a partitioned TxTable (${snap.partCols.mkString(",")}) " +
+        "to Iceberg: partition values live in directory names, not the data " +
+        "files, and this writer emits an unpartitioned spec — use the Delta " +
+        "exporter for partitioned layouts")
     val schema = StructType.fromDDL(snap.schemaDdl)
     val finalDir = Paths.get(target).toAbsolutePath
     Files.createDirectories(finalDir.getParent)

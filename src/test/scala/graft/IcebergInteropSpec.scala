@@ -158,6 +158,17 @@ class IcebergInteropSpec extends SparkSpec {
       IcebergInterop.readIceberg(spark, s3meta)).getMessage.contains("remote storage"))
   }
 
+  test("partitioned sources are refused: the data files do not carry the partition column") {
+    // Hive layout drops the partition column from the parquet; an
+    // unpartitioned-spec Iceberg export of it would silently LOSE a column
+    val t = TxTable(spark, tmp("ice_part"))
+    t.append(Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0))
+      .toDF("id", "day", "v"), tsMillis = 1000L, partitionBy = Seq("day"))
+    val e = intercept[IllegalArgumentException](
+      IcebergInterop.exportIceberg(t, tmp("ice_part_exp"), tsMillis = 5000L))
+    assert(e.getMessage.contains("partitioned TxTable"))
+  }
+
   test("export hard-links data files (zero data bytes moved on one filesystem)") {
     val t = sampleTable()
     val out = tmp("ice_link")
