@@ -44,6 +44,14 @@ object DeltaInterop {
   private val LogDirName = "_delta_log"
   private def mapper = new ObjectMapper()
 
+  /** The table's PERMANENT identity (Delta treats metaData.id as stable for
+    * the table's lifetime): derived from the target path alone, so version
+    * 0, every schema-evolution metaData re-declaration, and every
+    * checkpoint carry the SAME id — an id that changed mid-log (the
+    * round-7 review finding) reads as a replaced table to foreign engines. */
+  private def tableId(target: String): String =
+    java.util.UUID.nameUUIDFromBytes(("graft-delta|" + target).getBytes("UTF-8")).toString
+
   // ------------------------------------------------------------- EXPORT
 
   /** Write the CURRENT snapshot of `t` at `target` as a single-commit
@@ -104,9 +112,7 @@ object DeltaInterop {
 
     val metaData = obj()
     val md = metaData.putObject("metaData")
-    // deterministic table id: the export is fully determined by its content
-    md.put("id", java.util.UUID.nameUUIDFromBytes(
-      (target + "|" + snap.files.mkString(",")).getBytes("UTF-8")).toString)
+    md.put("id", tableId(target))
     val fmt = md.putObject("format")
     fmt.put("provider", "parquet")
     fmt.putObject("options")
@@ -234,8 +240,7 @@ object DeltaInterop {
     if (schemaChanged) {
       val metaData = obj()
       val md = metaData.putObject("metaData")
-      md.put("id", java.util.UUID.nameUUIDFromBytes(
-        (target + "|" + snap.files.mkString(",")).getBytes("UTF-8")).toString)
+      md.put("id", tableId(target))
       val fmt = md.putObject("format")
       fmt.put("provider", "parquet")
       fmt.putObject("options")
@@ -269,19 +274,24 @@ object DeltaInterop {
       lines += m.writeValueAsString(r)
     }
 
-    // stage + put-if-absent rename: the commit appears atomically, and a
-    // concurrent exporter racing to the same version number fails loudly
+    // stage + put-if-absent PUBLISH. NOT a rename: POSIX rename(2) silently
+    // REPLACES an existing destination, so ATOMIC_MOVE would let a racing
+    // exporter clobber an already-published commit (log diverges from the
+    // linked bytes, silently). A hard link is the true put-if-absent
+    // primitive — it fails with FileAlreadyExistsException when the commit
+    // number is taken, exactly the loud conflict the log needs (the same
+    // primitive TxTable's own commit loop uses).
     val v = lastV + 1
     val staged = Files.createTempFile(logDir, s".commit-$v", ".json.tmp")
     Files.write(staged, lines.result().asJava)
     val commitPath = logDir.resolve(f"$v%020d.json")
-    try Files.move(staged, commitPath, StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(commitPath, staged)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(staged)
         throw new java.util.ConcurrentModificationException(
           s"concurrent export committed version $v at $target", e)
-    }
+    } finally Files.deleteIfExists(staged)
 
     // the mirror owns its data files: physically retire what the source no
     // longer references (AFTER the commit lands — a crash in between leaves
@@ -333,9 +343,7 @@ object DeltaInterop {
         StructField("deletionTimestamp", LongType))))))
 
     val protoRow = Row(Row(1, 2), null, null, null)
-    val metaRow = Row(null, Row(
-      java.util.UUID.nameUUIDFromBytes(
-        (target + "|ckpt|" + v).getBytes("UTF-8")).toString,
+    val metaRow = Row(null, Row(tableId(target),
       Row("parquet"), schemaJson, partCols, Map.empty[String, String], tsMillis),
       null, null)
     val addRows = live.map { a =>
@@ -429,6 +437,13 @@ object DeltaInterop {
     ckptState.foreach(_._2.foreach(a => live += a.path -> a))
     var meta: Option[(String, Seq[String])] = ckptState.flatMap(_._3)
 
+    // mrv-2-without-configuration tracking: reader version 2 exists FOR
+    // column mapping, so a v2 table whose metaData omits the configuration
+    // object is unverifiable — checked after the whole replay because the
+    // protocol and metaData actions may land in different commits
+    var maxMrv = 1
+    var configlessMeta = false
+
     val m = mapper
     commits.foreach { case (cv, p) =>
       Files.readAllLines(p).asScala.filter(_.trim.nonEmpty).foreach { line =>
@@ -439,9 +454,14 @@ object DeltaInterop {
           catch { case e: Exception => throw new IllegalStateException(
             s"Delta log at $path: commit $cv holds a malformed action line " +
               s"(${e.getMessage}); refusing to reconstruct a partial table", e) }
-        Option(node.get("protocol")).foreach(checkProtocol(_, path))
+        Option(node.get("protocol")).foreach { pr =>
+          checkProtocol(pr, path)
+          maxMrv = math.max(maxMrv,
+            Option(pr.get("minReaderVersion")).map(_.asInt).getOrElse(1))
+        }
         Option(node.get("metaData")).foreach { md =>
           checkNoColumnMapping(md, path)
+          configlessMeta = !md.hasNonNull("configuration")
           meta = Some((md.get("schemaString").asText,
             Option(md.get("partitionColumns")).map(_.elements().asScala.map(_.asText).toSeq)
               .getOrElse(Seq.empty)))
@@ -462,6 +482,10 @@ object DeltaInterop {
         }
       }
     }
+    require(maxMrv != 2 || !configlessMeta,
+      s"Delta table $path declares reader version 2 (the column-mapping " +
+        "version) but its current metaData carries no configuration object " +
+        "— cannot verify the table is not column-mapped")
     val lastVersion = commits.lastOption.map(_._1)
       .orElse(ckptState.map(_._1)).getOrElse(0L)
     (lastVersion, live.values.toSeq, meta)
@@ -568,15 +592,24 @@ object DeltaInterop {
           .map(_.toSet).getOrElse(Set.empty)
       checkProtocolValues(mrv, feats, p.toString)
     }
+    val maxMrv = protoRows.map(_.getAs[Int]("minReaderVersion")).max
     // column mapping hides in the checkpointed metaData configuration too —
     // the JSON-path check alone misses a table whose metaData only lives in
-    // the checkpoint (a writer may legitimately omit the configuration
-    // field entirely; only a PRESENT mapping mode can disqualify the table)
+    // the checkpoint. At mrv<=1 an absent configuration field is benign
+    // (column mapping cannot exist below reader version 2); at EXACTLY
+    // mrv 2 — the version that exists FOR column mapping — an absent
+    // configuration makes the table unverifiable, so refuse rather than
+    // risk reading col-<uuid> physical columns as all-null logical ones.
+    // (mrv 3 signals column mapping via readerFeatures, already gated.)
     val mdHasConfig = df.schema.fields.find(_.name == "metaData")
       .exists(_.dataType match {
         case st: StructType => st.fieldNames.contains("configuration")
         case _              => false
       })
+    require(maxMrv != 2 || mdHasConfig || !cols.contains("metaData"),
+      s"checkpoint $p declares reader version 2 (the column-mapping version) " +
+        "but its metaData carries no configuration field — cannot verify the " +
+        "table is not column-mapped")
     if (cols.contains("metaData") && mdHasConfig) {
       val mdRows = df.where(col("metaData").isNotNull)
         .select(col("metaData.configuration")).collect()

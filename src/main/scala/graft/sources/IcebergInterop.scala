@@ -93,9 +93,10 @@ object IcebergInterop {
       .getMostSignificantBits)
 
     // ---- manifest (one, listing every data file) — Avro container file
+    val icebergSchemaJson = mapper.writeValueAsString(icebergSchema(mapper, schema))
     val manifestName = f"graft-m0-$snapshotId%d.avro"
     val manifestPath = metaDir.resolve(manifestName)
-    writeManifest(manifestPath, snapshotId,
+    writeManifest(manifestPath, snapshotId, icebergSchemaJson,
       files.map { case (rel, size, rows) =>
         // file_path is a full URI per spec; the FINAL location, not staging
         (finalDir.resolve("data").resolve(rel).toUri.toString, size, rows)
@@ -219,6 +220,9 @@ object IcebergInterop {
       |{"name":"added_snapshot_id","type":["null","long"],"default":null,"field-id":503}
       |]}""".stripMargin)
 
+  // block_size_in_bytes (field-id 105) is REQUIRED in the v1 data_file
+  // record: real readers' v1 read schema has no default for it, so a
+  // manifest lacking it fails Avro schema resolution (round-7 review).
   private val ManifestSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int","field-id":0},
@@ -228,7 +232,8 @@ object IcebergInterop {
       |  {"name":"file_format","type":"string","field-id":101},
       |  {"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
       |  {"name":"record_count","type":"long","field-id":103},
-      |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+      |  {"name":"block_size_in_bytes","type":"long","field-id":105}
       |]},"field-id":2}
       |]}""".stripMargin)
 
@@ -248,12 +253,16 @@ object IcebergInterop {
     } finally w.close()
   }
 
-  private def writeManifest(path: Path, snapshotId: Long,
+  private def writeManifest(path: Path, snapshotId: Long, schemaJson: String,
       files: Seq[(String, Long, Long)]): Unit = {
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](ManifestSchema))
+    // the spec'd manifest file metadata: readers resolve projection and
+    // partitioning from these keys, not just the Avro writer schema
     w.setMeta("format-version", "1")
+    w.setMeta("schema", schemaJson)
     w.setMeta("partition-spec", "[]")
+    w.setMeta("partition-spec-id", "0")
     w.create(ManifestSchema, path.toFile)
     try files.foreach { case (uri, size, rows) =>
       val entry = new GenericData.Record(ManifestSchema)
@@ -266,6 +275,7 @@ object IcebergInterop {
       df.put("partition", new GenericData.Record(dfSchema.getField("partition").schema()))
       df.put("record_count", rows)
       df.put("file_size_in_bytes", size)
+      df.put("block_size_in_bytes", 134217728L) // the conventional 128 MiB
       entry.put("data_file", df)
       w.append(entry)
     } finally w.close()

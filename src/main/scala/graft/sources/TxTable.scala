@@ -1266,6 +1266,7 @@ class TxTable(val spark: SparkSession, val root: String) {
           blooms = current.blooms,
           validate = () => latestVersion().contains(committed))
       }
+      var outcome = "table rolled back to its pre-restore state"
       if (exact.isFailure) {
         // a third writer committed on top of the doomed restore and
         // inherited its dangling file references. Aborting here (the old
@@ -1297,10 +1298,17 @@ class TxTable(val spark: SparkSession, val root: String) {
             }
           }
         }
+        // the error is the operator's repair signal — it must describe the
+        // ACTUAL final state, not claim a rollback that never landed
+        outcome =
+          if (done) "table rebased forward past interleaved commits with the " +
+            "lost files excised (concurrent writers' changes preserved)"
+          else "REPAIR FAILED after 100 rebase attempts — the latest snapshot " +
+            "may still reference deleted files; manual restore required"
       }
       throw new IllegalStateException(
         s"restore to version $v lost a race with vacuum (files ${lost.take(3).mkString(",")}" +
-          s"${if (lost.size > 3) ",…" else ""} deleted); table rolled back to its pre-restore state")
+          s"${if (lost.size > 3) ",…" else ""} deleted); $outcome")
     }
     committed
   }

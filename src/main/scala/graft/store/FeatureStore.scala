@@ -39,21 +39,31 @@ class FeatureStore(val spark: SparkSession) {
     * needs driver-side catalog state. A store loaded only to query its
     * fact log never pays the materialization. */
   private var pendingRegistry: Option[Dataset[Feature]] = None
-  private def hydrateRegistry(): Unit = pendingRegistry.foreach { ds =>
-    pendingRegistry = None
-    // toLocalIterator, not collect: driver memory bounded by the largest
-    // partition rather than the whole registry
-    ds.toLocalIterator().forEachRemaining(f => features0 += f.feature_id -> f)
+  // ALL catalog-state access shares this monitor: the serving tier
+  // (store.FeatureServer) reads concurrently by design, and an
+  // unsynchronized lazy hydration would let a reader observe a
+  // half-hydrated catalog — resolving a registered feature as missing and
+  // CACHING that wrong answer for the TTL (round-7 review). Hydration
+  // builds into a local map and publishes with one assignment.
+  private def hydrateRegistry(): Unit = synchronized {
+    pendingRegistry.foreach { ds =>
+      pendingRegistry = None
+      // toLocalIterator, not collect: driver memory bounded by the largest
+      // partition rather than the whole registry
+      val b = scala.collection.mutable.Map.empty[String, Feature]
+      ds.toLocalIterator().forEachRemaining(f => b += f.feature_id -> f)
+      features0 = features0 ++ b
+    }
   }
-  private[store] def stageRegistry(ds: Dataset[Feature]): Unit = {
+  private[store] def stageRegistry(ds: Dataset[Feature]): Unit = synchronized {
     hydrateRegistry() // a second staged load must not shadow earlier state
     pendingRegistry = Some(ds)
   }
   /** Test hook: whether the staged registry is still unmaterialized. */
-  private[graft] def registryPendingForTest: Boolean = pendingRegistry.nonEmpty
+  private[graft] def registryPendingForTest: Boolean = synchronized { pendingRegistry.nonEmpty }
 
-  private def features: Map[String, Feature] = { hydrateRegistry(); features0 }
-  private def features_=(m: Map[String, Feature]): Unit = {
+  private def features: Map[String, Feature] = synchronized { hydrateRegistry(); features0 }
+  private def features_=(m: Map[String, Feature]): Unit = synchronized {
     hydrateRegistry(); features0 = m
   }
 

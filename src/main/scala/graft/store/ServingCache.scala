@@ -52,6 +52,15 @@ class LruTtlCache[V](maxSize: Int = 10000, ttlSeconds: Long = 300,
   }
 
   def invalidate(key: String): Unit = synchronized { map.remove(key); () }
+
+  /** Drop every entry whose key satisfies `p` — the scan-based group
+    * invalidation [[FeatureServer.writeFeatures]] uses (O(cache size),
+    * bounded by maxSize; a reverse index would be O(1) per write but leaks
+    * unboundedly because LRU/TTL evictions cannot clean it). */
+  def invalidateIf(p: String => Boolean): Unit = synchronized {
+    map.keySet().removeIf(k => p(k)); ()
+  }
+
   def clear(): Unit = synchronized { map.clear() }
   def size: Int = synchronized { map.size() }
 }
@@ -111,11 +120,13 @@ class FeatureServer(val store: FeatureStore,
 
   val cache = new LruTtlCache[Map[String, Option[Double]]](cacheMaxSize, cacheTtlSeconds, clock)
   val metrics = new ServingMetrics()
-  // entity -> keys cached for it, so a write invalidates every cached
-  // name-combination of that entity (the reference invalidates per key,
-  // feature_server.py:449 — same effect, kept O(touched keys))
-  private val keysByEntity =
-    scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.Set[String]]
+  // write-epoch guard for the classic cache-aside race (round-7 review):
+  // a vector fetched BEFORE a concurrent write must not be cached AFTER
+  // the write's invalidation (it would serve stale values for the whole
+  // TTL). Misses record the epoch before computing and only cache when no
+  // write landed in between — conservative (any write cancels any
+  // in-flight miss-fill) but bounded and correct; serving writes are rare.
+  @volatile private var writeEpoch: Long = 0L
 
   /** sha256-derived cache key — _get_cache_key, feature_server.py:470-479:
     * first 16 hex of sha256("type:id:sorted-names"). */
@@ -134,13 +145,14 @@ class FeatureServer(val store: FeatureStore,
       now: Timestamp): Map[String, Option[Double]] = {
     metrics.requestStarted()
     val t0 = System.nanoTime()
-    // SCOPED BY ROLE SET, deliberately beyond the reference: its cache key
-    // is type:id:names only (feature_server.py:470-479) because its online
-    // path never enforces RBAC — this facade serves RBAC-FILTERED vectors
-    // (deny→null), so a role-blind cache would hand one principal's PHI to
-    // the next caller with a different role set. The public [[cacheKey]]
-    // keeps reference parity; the storage key adds the role scope.
-    val key = cacheKey(entityType, entityId, featureIds) +
+    // storage key: entity-prefixed (so a write can group-invalidate by
+    // scan) and SCOPED BY ROLE SET, deliberately beyond the reference: its
+    // cache key is type:id:names only (feature_server.py:470-479) because
+    // its online path never enforces RBAC — this facade serves
+    // RBAC-FILTERED vectors (deny→null), so a role-blind cache would hand
+    // one principal's PHI to the next caller with a different role set.
+    // The public [[cacheKey]] keeps reference parity.
+    val key = entityId + "|" + cacheKey(entityType, entityId, featureIds) +
       "|" + userRoles.sorted.mkString(",")
     cache.get(key) match {
       case Some(v) =>
@@ -149,6 +161,7 @@ class FeatureServer(val store: FeatureStore,
         v
       case None =>
         metrics.cacheMiss()
+        val epochBefore = writeEpoch
         val row: Row = store
           .getFeatureVector(Seq(entityId), featureIds, now, userId, userRoles, now)
           .collect().head // one requested entity -> exactly one anchored row
@@ -156,10 +169,8 @@ class FeatureServer(val store: FeatureStore,
           val i = row.fieldIndex(id)
           id -> (if (row.isNullAt(i)) None else Some(row.getDouble(i)))
         }.toMap
-        cache.put(key, vec)
         synchronized {
-          keysByEntity.getOrElseUpdate(entityId,
-            scala.collection.mutable.Set.empty) += key
+          if (writeEpoch == epochBefore) cache.put(key, vec)
         }
         metrics.recordLatencyMs((System.nanoTime() - t0) / 1e6)
         vec
@@ -174,11 +185,13 @@ class FeatureServer(val store: FeatureStore,
       idForName: Map[String, String], now: Timestamp): Unit = {
     store.ingestValues(values, idForName, now)
     val touched = values.select("entity_id").distinct()
-      .collect().map(_.getString(0)) // serving writes are point-scale
+      .collect().map(_.getString(0)).toSet // serving writes are point-scale
     synchronized {
-      touched.foreach { e =>
-        keysByEntity.remove(e).foreach(_.foreach(cache.invalidate))
-      }
+      writeEpoch += 1 // cancels every in-flight miss-fill (see field doc)
+      // startsWith, not split-at-'|': an entity id CONTAINING '|' still
+      // invalidates correctly (a same-prefix sibling at worst invalidates
+      // spuriously — extra misses, never staleness)
+      cache.invalidateIf(k => touched.exists(e => k.startsWith(e + "|")))
     }
   }
 

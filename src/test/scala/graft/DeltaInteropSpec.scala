@@ -410,6 +410,28 @@ class DeltaInteropSpec extends SparkSpec {
     assert(DeltaInterop.readDelta(spark, root.toString).count() == 1L)
   }
 
+  test("reader version 2 without a metaData configuration is refused (unverifiable column mapping)") {
+    // mrv 2 exists FOR column mapping; a v2 table whose metaData omits the
+    // configuration object entirely cannot be proven safe — reading it
+    // could map col-<uuid> physical names to all-null logical columns
+    val root = Paths.get(tmp("delta_mrv2"))
+    val logDir = root.resolve("_delta_log"); Files.createDirectories(logDir)
+    val schemaJson = Seq((1L, "x")).toDF("id", "s").schema.json.replace("\"", "\\\"")
+    Files.write(logDir.resolve("0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[]}}"""
+    ).asJava)
+    assert(intercept[IllegalArgumentException](
+      DeltaInterop.readDelta(spark, root.toString))
+      .getMessage.contains("no configuration"))
+    // the SAME table at mrv 1 reads fine (column mapping cannot exist there)
+    Files.write(logDir.resolve("0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[]}}"""
+    ).asJava)
+    assert(DeltaInterop.readDelta(spark, root.toString).count() == 0L)
+  }
+
   test("checkpoint scale probe: 100k add actions replay + checkpoint in metadata time") {
     // the daily-mirror shape at production file counts: the log is pure
     // driver-side metadata, so replaying 100k actions and writing the
