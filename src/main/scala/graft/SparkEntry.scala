@@ -2389,6 +2389,57 @@ object SparkEntry {
     viaIceberg.orderBy("user_id", "event_type")
   }
 
+  /** Fixed export target for [[b5IcebergExportIncr]] — oracle SQL globs it. */
+  private val B5IcebergIncrPath = "/root/repo/target/graft_export/b5_iceberg_incr"
+
+  /** B5 — INCREMENTAL Iceberg export: the snapshot-append form of
+    * [[b5IcebergExport]] (Hadoop-catalog commit protocol: new
+    * `v(N+1).metadata.json`, version-hint flip). The base snapshot
+    * exports in full (metadata v1), a fresh batch lands, and
+    * [[graft.sources.IcebergInterop.exportIcebergIncremental]] appends
+    * snapshot 2 with the delta hard-linked — prior snapshots stay
+    * time-travelable. The declared result replays metadata JSON + Avro
+    * manifests; the oracle is DuckDB globbing the mirror's data files.
+    * In-query asserts pin the commit shape: metadata version 2, both
+    * snapshots present, parent-snapshot-id recorded.
+    */
+  private def b5IcebergExportIncr(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergInterop, TxTable}
+    import java.nio.file.{Files, Paths}
+    val cols = Seq("user_id", "event_type", "value", "event_id", "ts")
+    val t = TxTable(s, HarnessFixtures.cloneTxDir(txTpl(s, dir, "b2_upsert")))
+    val target = Paths.get(B5IcebergIncrPath)
+    if (Files.exists(target)) {
+      import scala.jdk.CollectionConverters._
+      val w = Files.walk(target)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
+    require(IcebergInterop.exportIcebergIncremental(t, B5IcebergIncrPath,
+      tsMillis = 5000L) == 1L)
+    t.append(Tables.events(s, dir)
+      .select(cols.map(col).toIndexedSeq: _*)
+      .where(col("ts") > ts(AsOf15) && col("event_id") % 4 === 0),
+      tsMillis = 6000L)
+    val v = IcebergInterop.exportIcebergIncremental(t, B5IcebergIncrPath,
+      tsMillis = 7000L)
+    require(v == 2L, s"b5_iceberg_export_incr: expected metadata version 2, got $v")
+    val metaTxt = new String(Files.readAllBytes(
+      target.resolve("metadata").resolve("v2.metadata.json")), "UTF-8")
+    require(metaTxt.contains("\"parent-snapshot-id\""),
+      "b5_iceberg_export_incr: the appended snapshot must record its parent")
+    val viaIceberg = IcebergInterop.readIceberg(s, B5IcebergIncrPath)
+      .select(cols.map(col).toIndexedSeq: _*)
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val (src, exp) = (sig(t.read().select(cols.map(col).toIndexedSeq: _*)), sig(viaIceberg))
+    require(src == exp,
+      s"b5_iceberg_export_incr: mirror diverges from source (source=$src, export=$exp)")
+    viaIceberg.orderBy("user_id", "event_type", "event_id")
+  }
+
   /** Fixed parquet target for [[h12TokenBudgetBpe]]'s per-doc counts — the
     * oracle SQL reads it (cross-engine: DuckDB recomputes the budget
     * arithmetic from the published counts). */
@@ -3788,6 +3839,7 @@ object SparkEntry {
     "b5_delta_export"    -> (b5DeltaExport _),
     "b5_delta_export_incr" -> (b5DeltaExportIncr _),
     "b5_iceberg_export"  -> (b5IcebergExport _),
+    "b5_iceberg_export_incr" -> (b5IcebergExportIncr _),
     "b2_delete_tx"       -> (b2DeleteTx _),
     "b2_tx_diff"         -> (b2TxDiff _),
     "b2_tx_cdc"          -> (b2TxCdc _),
@@ -4293,6 +4345,12 @@ object SparkEntry {
       """SELECT user_id, event_type, value, event_id, ts
         |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg/data/*.parquet')
         |ORDER BY user_id, event_type""".stripMargin,
+    // the incremental (snapshot-append) Iceberg mirror, same cross-engine
+    // shape: DuckDB globs the two-snapshot table's live data files
+    "b5_iceberg_export_incr" ->
+      """SELECT user_id, event_type, value, event_id, ts
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_incr/data/*.parquet')
+        |ORDER BY user_id, event_type, event_id""".stripMargin,
     "b1_typed_ingest" ->
       """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS entity_id, ts, value, event_type FROM events)
         |SELECT * FROM (

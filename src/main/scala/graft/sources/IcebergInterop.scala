@@ -163,6 +163,159 @@ object IcebergInterop {
     if (hadPrev) deleteRecursively(backup)
   }
 
+  /** Append the CURRENT snapshot of `t` to an EXISTING Iceberg export at
+    * `target` as a NEW SNAPSHOT (the Hadoop-catalog commit protocol:
+    * write `v(N+1).metadata.json`, then flip `version-hint.text`) —
+    * the second open format's incremental story, matching
+    * [[DeltaInterop.exportDeltaIncremental]]. Falls back to a full
+    * [[exportIceberg]] when no table exists yet.
+    *
+    * Data bytes move O(changed files) (hard links); snapshot metadata is
+    * O(live files) per export — one fresh manifest describing the whole
+    * live set, the same driver-metadata class as a Delta checkpoint (and
+    * exactly what Iceberg's own manifest-rewrite maintenance produces).
+    * Prior snapshots stay in the metadata, so [[readIceberg]]'s
+    * `snapshotAsOf` time-travels across exports; like the Delta mirror,
+    * data files the source dropped are physically retired after the
+    * commit, so old snapshots referencing them become unreadable (a
+    * vacuumed table) while a directory glob always equals the latest
+    * snapshot.
+    *
+    * Schema evolution rides along when it is append-only (new columns at
+    * the end — TxTable's evolve contract), which keeps the positional
+    * field-ids stable; any other shape change would silently renumber
+    * ids, so it fails loudly instead. The new metadata version is
+    * published with CREATE_NEW — a racing exporter collides on the
+    * version file and fails loudly rather than clobbering.
+    *
+    * @return the metadata version now current (1 for a fresh full export;
+    *   unchanged when the mirror is already identical). */
+  def exportIcebergIncremental(t: TxTable, target: String,
+      tsMillis: Long = System.currentTimeMillis()): Long = {
+    val finalDir = Paths.get(target).toAbsolutePath
+    val metaDir = finalDir.resolve("metadata")
+    if (!Files.isDirectory(metaDir)) { exportIceberg(t, target, tsMillis); return 1L }
+
+    val snap = t.snapshotInfo()
+    require(snap.partCols.isEmpty,
+      s"cannot export a partitioned TxTable (${snap.partCols.mkString(",")}) " +
+        "to Iceberg — see exportIceberg")
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val meta = currentMetadata(metaDir, target)
+    val prevVersion = currentMetadataVersion(metaDir, target)
+    val prevSchema = currentSparkSchema(meta, target)
+    require(prevSchema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        schema.fields.take(prevSchema.fields.length).map(f => (f.name, f.dataType)).toSeq,
+      s"schema change at $target is not append-only (prev " +
+        s"${prevSchema.fieldNames.mkString(",")} vs ${schema.fieldNames.mkString(",")}) " +
+        "— positional field-ids would renumber; re-export from scratch")
+
+    val prevSnapId = Option(meta.get("current-snapshot-id")).map(_.asLong).filter(_ != -1L)
+    val prevSnapNode = prevSnapId.flatMap { id =>
+      Option(meta.get("snapshots")).flatMap(
+        _.elements().asScala.find(_.get("snapshot-id").asLong == id))
+    }
+    // current live set, as rel names under data/
+    val live: Seq[String] = prevSnapNode.toSeq.flatMap { sn =>
+      val listPath = resolveUri(finalDir, sn.get("manifest-list").asText)
+      readAvro(listPath).flatMap { r =>
+        readAvro(resolveUri(finalDir, r.get("manifest_path").toString)).flatMap { entry =>
+          val status = entry.get("status").asInstanceOf[Int]
+          val df = entry.get("data_file").asInstanceOf[GenericRecord]
+          if (status == 2) None
+          else Some(finalDir.resolve("data").relativize(
+            resolveUri(finalDir, df.get("file_path").toString)).toString)
+        }
+      }
+    }
+    val liveSet = live.toSet
+    val snapSet = snap.files.toSet
+    val newFiles = snap.files.filterNot(liveSet)
+    val removedFiles = live.filterNot(snapSet)
+    val schemaChanged = prevSchema != schema
+    if (newFiles.isEmpty && removedFiles.isEmpty && !schemaChanged) return prevVersion
+
+    val srcData = Paths.get(snap.dataDir)
+    val dataDir = finalDir.resolve("data")
+    val files = snap.files.map { rel =>
+      val dst = dataDir.resolve(rel)
+      if (!Files.exists(dst)) {
+        Files.createDirectories(dst.getParent)
+        try Files.createLink(dst, srcData.resolve(rel))
+        catch { case _: Exception => Files.copy(srcData.resolve(rel), dst) }
+      }
+      (rel, Files.size(dst), parquetRowCount(t.spark, dst))
+    }
+
+    val m = mapper
+    val snapshotId = math.abs(java.util.UUID.nameUUIDFromBytes(
+      (target + "|" + prevVersion + "|" + snap.files.mkString(",")).getBytes("UTF-8"))
+      .getMostSignificantBits)
+    val icebergSchemaJson = m.writeValueAsString(icebergSchema(m, schema))
+    val manifestName = f"graft-m0-$snapshotId%d.avro"
+    writeManifest(metaDir.resolve(manifestName), snapshotId, icebergSchemaJson,
+      files.map { case (rel, size, rows) =>
+        (dataDir.resolve(rel).toUri.toString, size, rows)
+      })
+    val listName = f"snap-$snapshotId%d.avro"
+    writeManifestList(metaDir.resolve(listName), snapshotId,
+      metaDir.resolve(manifestName).toUri.toString,
+      Files.size(metaDir.resolve(manifestName)))
+
+    // new metadata = previous metadata with the schema refreshed and the
+    // new snapshot appended (prior snapshots kept: snapshotAsOf history)
+    val root = meta.deepCopy[ObjectNode]()
+    root.put("last-updated-ms", tsMillis)
+    root.put("last-column-id", schema.fields.length)
+    root.set[ObjectNode]("schema", icebergSchema(m, schema))
+    val schemas = root.putArray("schemas")
+    schemas.add(icebergSchema(m, schema))
+    root.put("current-schema-id", 0)
+    root.put("current-snapshot-id", snapshotId)
+    val snaps = Option(root.get("snapshots")) match {
+      case Some(a: ArrayNode) => a
+      case _                  => root.putArray("snapshots")
+    }
+    val s0 = m.createObjectNode()
+    s0.put("snapshot-id", snapshotId)
+    prevSnapId.foreach(s0.put("parent-snapshot-id", _))
+    s0.put("timestamp-ms", tsMillis)
+    s0.put("manifest-list", metaDir.resolve(listName).toUri.toString)
+    s0.putObject("summary").put("operation", "append")
+    snaps.add(s0)
+
+    val newVersion = prevVersion + 1
+    // CREATE_NEW = put-if-absent publish; version-hint flips LAST (readers
+    // on the old hint simply see the previous consistent version)
+    Files.write(metaDir.resolve(s"v$newVersion.metadata.json"),
+      Seq(m.writerWithDefaultPrettyPrinter().writeValueAsString(root)).asJava,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    Files.write(metaDir.resolve("version-hint.text"), Seq(newVersion.toString).asJava)
+    removedFiles.foreach(rel => Files.deleteIfExists(dataDir.resolve(rel)))
+    newVersion
+  }
+
+  /** The metadata version named by version-hint.text (or the highest vN
+    * present) — the number the NEXT commit increments. */
+  private def currentMetadataVersion(metaDir: Path, path: String): Long = {
+    val hint = metaDir.resolve("version-hint.text")
+    val fromHint =
+      if (!Files.isRegularFile(hint)) None
+      else scala.util.Try(
+        Files.readAllLines(hint).asScala.head.trim.toLong).toOption
+        .filter(v => Files.isRegularFile(metaDir.resolve(s"v$v.metadata.json")))
+    fromHint.getOrElse {
+      val V = """v(\d+)\.metadata\.json""".r
+      val s = Files.list(metaDir)
+      try s.iterator().asScala.flatMap(p => p.getFileName.toString match {
+        case V(v) => Some(v.toLong)
+        case _    => None
+      }).toSeq.sorted.lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no vN.metadata.json at $path"))
+      finally s.close()
+    }
+  }
+
   /** Spark StructType -> Iceberg schema JSON (top level only needs flat
     * field-ids for the types [[TxTable]] stores; nested types fail loudly
     * rather than export something another engine would misread). */

@@ -4,6 +4,8 @@ import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.sql.functions.col
+
 import graft.sources.{IcebergInterop, TxTable}
 
 /** Pins the Iceberg boundary: a TxTable exported with
@@ -156,6 +158,44 @@ class IcebergInteropSpec extends SparkSpec {
         .stripMargin.replace("\n", ""))
     assert(intercept[IllegalArgumentException](
       IcebergInterop.readIceberg(spark, s3meta)).getMessage.contains("remote storage"))
+  }
+
+  test("incremental export: snapshot append with history, removal mirroring, schema evolution") {
+    val t = sampleTable()
+    val out = tmp("ice_incr")
+    // first call = full export (metadata version 1)
+    assert(IcebergInterop.exportIcebergIncremental(t, out, tsMillis = 5000L) == 1L)
+    val firstCount = IcebergInterop.readIceberg(spark, out).count()
+    assert(firstCount == 4L)
+    // identical snapshot -> no new version
+    assert(IcebergInterop.exportIcebergIncremental(t, out, tsMillis = 5001L) == 1L)
+    // append -> version 2, with the previous snapshot retained for time travel
+    t.append(Seq((9L, "z", 90.0)).toDF("id", "k", "v"), tsMillis = 3000L)
+    assert(IcebergInterop.exportIcebergIncremental(t, out, tsMillis = 6000L) == 2L)
+    assert(IcebergInterop.readIceberg(spark, out).count() == 5L)
+    val metaTxt = new String(Files.readAllBytes(
+      Paths.get(out, "metadata", "v2.metadata.json")))
+    assert(metaTxt.contains("\"parent-snapshot-id\""))
+    val snapIds = """"snapshot-id" : (\d+)""".r
+      .findAllMatchIn(metaTxt).map(_.group(1).toLong).toSeq.distinct
+    assert(snapIds.size == 2, s"both snapshots must stay in the metadata: $snapIds")
+    // time travel into the mirror's own history (nothing removed yet)
+    assert(IcebergInterop.readIceberg(spark, out,
+      snapshotAsOf = Some(snapIds.head)).count() == 4L)
+    // compaction -> removals mirrored + bytes physically retired
+    t.compact(target = 1, tsMillis = 7000L)
+    assert(IcebergInterop.exportIcebergIncremental(t, out, tsMillis = 8000L) == 3L)
+    val filesOnDisk = Files.list(Paths.get(out, "data")).iterator().asScala
+      .count(_.toString.endsWith(".parquet"))
+    assert(filesOnDisk == 1, s"mirror must retire compacted-away bytes ($filesOnDisk files)")
+    assert(IcebergInterop.readIceberg(spark, out).orderBy("id").collect().toSeq ==
+      t.read().orderBy("id").collect().toSeq)
+    // append-only schema evolution rides along; reordering would fail loudly
+    t.append(Seq((11L, "w", 1.0, "note")).toDF("id", "k", "v", "extra"),
+      tsMillis = 9000L, evolve = true)
+    assert(IcebergInterop.exportIcebergIncremental(t, out, tsMillis = 10000L) == 4L)
+    val got = IcebergInterop.readIceberg(spark, out)
+    assert(got.columns.contains("extra") && got.where(col("extra").isNotNull).count() == 1L)
   }
 
   test("partitioned sources are refused: the data files do not carry the partition column") {
