@@ -739,12 +739,7 @@ object SparkEntry {
     // the SOURCE clone is mutated by the append, so it runs on a clone
     val t = TxTable(s, HarnessFixtures.cloneTxDir(txTpl(s, dir, "b2_upsert")))
     val target = Paths.get(B5DeltaIncrPath)
-    if (Files.exists(target)) {
-      import scala.jdk.CollectionConverters._
-      val w = Files.walk(target)
-      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally w.close()
-    }
+    DeltaInterop.deleteRecursively(target)
     require(DeltaInterop.exportDeltaIncremental(t, B5DeltaIncrPath,
       tsMillis = 5000L, checkpointInterval = 1) == 0L)
     // the incremental batch: late events, the same shape as the snapshot
@@ -2409,12 +2404,7 @@ object SparkEntry {
     val cols = Seq("user_id", "event_type", "value", "event_id", "ts")
     val t = TxTable(s, HarnessFixtures.cloneTxDir(txTpl(s, dir, "b2_upsert")))
     val target = Paths.get(B5IcebergIncrPath)
-    if (Files.exists(target)) {
-      import scala.jdk.CollectionConverters._
-      val w = Files.walk(target)
-      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally w.close()
-    }
+    graft.sources.DeltaInterop.deleteRecursively(target)
     require(IcebergInterop.exportIcebergIncremental(t, B5IcebergIncrPath,
       tsMillis = 5000L) == 1L)
     t.append(Tables.events(s, dir)

@@ -201,9 +201,10 @@ object DeltaInterop {
 
     val snap = t.snapshotInfo()
     val schema = StructType.fromDDL(snap.schemaDdl)
-    val (lastV, live, meta) = replayState(t.spark, finalDir, None)
-    val (schemaJson, partCols) = meta.getOrElse(throw new IllegalStateException(
+    val (lastV, live, metaOpt) = replayState(t.spark, finalDir, None)
+    val meta = metaOpt.getOrElse(throw new IllegalStateException(
       s"Delta log at $target carries no metaData action"))
+    val (schemaJson, partCols) = (meta.schemaJson, meta.partCols)
     require(partCols == snap.partCols,
       s"partition layout changed (${partCols.mkString(",")} -> " +
         s"${snap.partCols.mkString(",")}) — a layout change cannot be mirrored " +
@@ -240,7 +241,10 @@ object DeltaInterop {
     if (schemaChanged) {
       val metaData = obj()
       val md = metaData.putObject("metaData")
-      md.put("id", tableId(target))
+      // REUSE the log's declared id — a pre-existing mirror (or foreign
+      // table) keeps its permanent identity; only an id-less log falls
+      // back to the path-derived one (round-7 review #4)
+      md.put("id", meta.id.getOrElse(tableId(target)))
       val fmt = md.putObject("format")
       fmt.put("provider", "parquet")
       fmt.putObject("options")
@@ -285,12 +289,19 @@ object DeltaInterop {
     val staged = Files.createTempFile(logDir, s".commit-$v", ".json.tmp")
     Files.write(staged, lines.result().asJava)
     val commitPath = logDir.resolve(f"$v%020d.json")
+    def concurrent(e: Throwable) = new java.util.ConcurrentModificationException(
+      s"concurrent export committed version $v at $target").initCause(e)
     try Files.createLink(commitPath, staged)
     catch {
-      case e: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(staged)
-        throw new java.util.ConcurrentModificationException(
-          s"concurrent export committed version $v at $target", e)
+      case e: java.nio.file.FileAlreadyExistsException => throw concurrent(e)
+      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        // linkless filesystem (some NFS/CIFS/exFAT mounts): O_EXCL
+        // exclusive create keeps put-if-absent; content atomicity degrades
+        // to a single write call — the link path is preferred exactly
+        // because it publishes complete bytes atomically
+        try Files.write(commitPath, lines.result().asJava,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        catch { case e2: java.nio.file.FileAlreadyExistsException => throw concurrent(e2) }
     } finally Files.deleteIfExists(staged)
 
     // the mirror owns its data files: physically retire what the source no
@@ -324,9 +335,10 @@ object DeltaInterop {
     import org.apache.spark.sql.types._
     val root = Paths.get(target).toAbsolutePath
     val logDir = root.resolve(LogDirName)
-    val (atV, live, meta) = replayState(spark, root, Some(v))
-    val (schemaJson, partCols) = meta.getOrElse(throw new IllegalStateException(
+    val (atV, live, metaOpt) = replayState(spark, root, Some(v))
+    val meta = metaOpt.getOrElse(throw new IllegalStateException(
       s"Delta log at $target carries no metaData action"))
+    val (schemaJson, partCols) = (meta.schemaJson, meta.partCols)
     require(atV == v, s"cannot checkpoint version $v (log is at $atV)")
 
     val ckptSchema = StructType(Seq(
@@ -351,7 +363,10 @@ object DeltaInterop {
         StructField("deletionTimestamp", LongType))))))
 
     val protoRow = Row(Row(1, 2), null, null, null)
-    val metaRow = Row(null, Row(tableId(target),
+    // the checkpoint restates the log's OWN id (round-7 review #4): a
+    // checkpoint with a different id than the JSON commits reads as two
+    // different tables depending on the replay path
+    val metaRow = Row(null, Row(meta.id.getOrElse(tableId(target)),
       Row("parquet"), schemaJson, partCols, Map.empty[String, String], tsMillis),
       null, null)
     val addRows = live.map { a =>
@@ -388,6 +403,12 @@ object DeltaInterop {
 
   private case class AddFile(path: String, partitionValues: Map[String, Option[String]])
 
+  /** The table metadata a replay surfaces: logical schema, partition
+    * layout, and the table's declared permanent id (reused by incremental
+    * commits and checkpoints — stamping a fresh id mid-log reads as a
+    * replaced table to foreign engines). */
+  private case class TableMeta(schemaJson: String, partCols: Seq[String], id: Option[String])
+
   /** Read a standard Delta table at `path` into a DataFrame — the latest
     * version, or `versionAsOf` (Delta time travel over a foreign log).
     * Supports: JSON commits, parquet checkpoints (classic single-file,
@@ -400,17 +421,17 @@ object DeltaInterop {
     */
   def readDelta(spark: SparkSession, path: String,
       versionAsOf: Option[Long] = None): DataFrame = {
-    val (_, live, meta) = replayState(spark, Paths.get(path), versionAsOf)
-    val (schemaJson, partCols) = meta.getOrElse(
+    val (_, live, metaOpt) = replayState(spark, Paths.get(path), versionAsOf)
+    val meta = metaOpt.getOrElse(
       throw new IllegalStateException(s"Delta log at $path carries no metaData action"))
-    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    assembleRead(spark, Paths.get(path), schema, partCols, live)
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    assembleRead(spark, Paths.get(path), schema, meta.partCols, live)
   }
 
   /** Replay a Delta log to (version, live adds, metaData) — the shared core
     * of [[readDelta]] and [[exportDeltaIncremental]]'s target-state read. */
   private def replayState(spark: SparkSession, root: Path,
-      versionAsOf: Option[Long]): (Long, Seq[AddFile], Option[(String, Seq[String])]) = {
+      versionAsOf: Option[Long]): (Long, Seq[AddFile], Option[TableMeta]) = {
     val path = root.toString
     val logDir = root.resolve(LogDirName)
     require(Files.isDirectory(logDir), s"no Delta table at $path (missing $LogDirName)")
@@ -425,7 +446,7 @@ object DeltaInterop {
     // already compacted (a time travel below the checkpoint replays the
     // JSON commits from version 0 instead)
     val ckpt = lastCheckpoint(logDir).filter(_ <= bound)
-    val ckptState: Option[(Long, Seq[AddFile], Option[(String, Seq[String])])] =
+    val ckptState: Option[(Long, Seq[AddFile], Option[TableMeta], Int)] =
       ckpt.map { v => readCheckpoint(spark, logDir, v) }
 
     val fromVersion = ckptState.map(_._1 + 1).getOrElse(0L)
@@ -443,13 +464,14 @@ object DeltaInterop {
 
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     ckptState.foreach(_._2.foreach(a => live += a.path -> a))
-    var meta: Option[(String, Seq[String])] = ckptState.flatMap(_._3)
+    var meta: Option[TableMeta] = ckptState.flatMap(_._3)
 
     // mrv-2-without-configuration tracking: reader version 2 exists FOR
     // column mapping, so a v2 table whose metaData omits the configuration
     // object is unverifiable — checked after the whole replay because the
-    // protocol and metaData actions may land in different commits
-    var maxMrv = 1
+    // protocol and metaData actions may land in different commits, and the
+    // protocol may live ONLY in the checkpoint (seeded from its max mrv)
+    var maxMrv = ckptState.map(_._4).getOrElse(1)
     var configlessMeta = false
 
     val m = mapper
@@ -470,9 +492,10 @@ object DeltaInterop {
         Option(node.get("metaData")).foreach { md =>
           checkNoColumnMapping(md, path)
           configlessMeta = !md.hasNonNull("configuration")
-          meta = Some((md.get("schemaString").asText,
+          meta = Some(TableMeta(md.get("schemaString").asText,
             Option(md.get("partitionColumns")).map(_.elements().asScala.map(_.asText).toSeq)
-              .getOrElse(Seq.empty)))
+              .getOrElse(Seq.empty),
+            Option(md.get("id")).map(_.asText)))
         }
         Option(node.get("add")).foreach { add =>
           require(!add.hasNonNull("deletionVector"),
@@ -573,9 +596,12 @@ object DeltaInterop {
 
   /** Classic single-file parquet checkpoint: rows with nullable `add` /
     * `remove` / `metaData` / `protocol` structs; live adds are the add rows
-    * minus remove rows (a classic checkpoint may retain tombstones). */
+    * minus remove rows (a classic checkpoint may retain tombstones).
+    * Returns (version, live adds, metaData, max minReaderVersion) — the
+    * protocol version surfaces so the replay's mrv-2 gate also covers
+    * tables whose protocol lives ONLY in the checkpoint. */
   private def readCheckpoint(spark: SparkSession, logDir: Path, v: Long)
-      : (Long, Seq[AddFile], Option[(String, Seq[String])]) = {
+      : (Long, Seq[AddFile], Option[TableMeta], Int) = {
     val p = logDir.resolve(f"$v%020d.checkpoint.parquet")
     require(Files.isRegularFile(p), s"advertised checkpoint $p is missing")
     val df = spark.read.parquet(p.toString)
@@ -622,8 +648,13 @@ object DeltaInterop {
       val mdRows = df.where(col("metaData").isNotNull)
         .select(col("metaData.configuration")).collect()
       mdRows.foreach { r =>
-        val mode = Option(r.getMap[String, String](0))
-          .flatMap(_.get("delta.columnMapping.mode"))
+        val cfg = Option(r.getMap[String, String](0))
+        // a NULL configuration value is as unverifiable as an absent field
+        // at the column-mapping version
+        require(maxMrv != 2 || cfg.nonEmpty,
+          s"checkpoint $p declares reader version 2 but a metaData row's " +
+            "configuration is null — cannot verify the table is not column-mapped")
+        val mode = cfg.flatMap(_.get("delta.columnMapping.mode"))
         require(mode.forall(_ == "none"),
           s"checkpoint $p declares column mapping (${mode.get}) — unsupported by this reader")
       }
@@ -642,14 +673,21 @@ object DeltaInterop {
             .getOrElse(Map.empty[String, Option[String]])
           AddFile(decodePath(r.getString(0)), pv)
         }.filterNot(a => removed.contains(a.path)).toSeq
+    val mdHasId = df.schema.fields.find(_.name == "metaData").exists(_.dataType match {
+      case st: StructType => st.fieldNames.contains("id")
+      case _              => false
+    })
     val meta =
       if (!cols.contains("metaData")) None
       else df.where(col("metaData").isNotNull)
-        .select(col("metaData.schemaString"), col("metaData.partitionColumns"))
+        .select(col("metaData.schemaString"), col("metaData.partitionColumns"),
+          (if (mdHasId) col("metaData.id") else lit(null).cast("string")).as("id"))
         .collect().lastOption.map { r =>
-          (r.getString(0), Option(r.getSeq[String](1)).map(_.toSeq).getOrElse(Seq.empty))
+          TableMeta(r.getString(0),
+            Option(r.getSeq[String](1)).map(_.toSeq).getOrElse(Seq.empty),
+            Option(r.getString(2)))
         }
-    (v, adds, meta)
+    (v, adds, meta, maxMrv)
   }
 
   private def checkProtocol(p: JsonNode, path: String): Unit =
@@ -744,7 +782,9 @@ object DeltaInterop {
     partCols.map(c => c -> fromPath.getOrElse(c, None))
   }
 
-  private def deleteRecursively(p: Path): Unit =
+  /** The one local recursive delete (shared by both interop exporters and
+    * the harness queries — three identical copies was a review finding). */
+  private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val w = Files.walk(p)
       try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))

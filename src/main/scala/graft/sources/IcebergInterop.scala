@@ -202,6 +202,20 @@ object IcebergInterop {
         "to Iceberg — see exportIceberg")
     val schema = StructType.fromDDL(snap.schemaDdl)
     val meta = currentMetadata(metaDir, target)
+    // the mirror only appends to a table THIS writer's format produced —
+    // a foreign v2 table could carry delete files (whose manifests this
+    // path would misread as data, silently resurrecting deleted rows) or
+    // a partition spec the writer cannot express. Fail loudly, matching
+    // readIceberg's stance.
+    val fv = meta.get("format-version").asInt
+    require(fv == 1,
+      s"cannot incrementally export onto a format-version $fv Iceberg table " +
+        s"at $target — this writer produces v1; re-export from scratch")
+    val specsOk = Option(meta.get("partition-specs")).forall(
+      _.elements().asScala.forall(sp =>
+        Option(sp.get("fields")).forall(!_.elements().hasNext)))
+    require(specsOk,
+      s"cannot incrementally export onto a PARTITIONED Iceberg table at $target")
     val prevVersion = currentMetadataVersion(metaDir, target)
     val prevSchema = currentSparkSchema(meta, target)
     require(prevSchema.fields.map(f => (f.name, f.dataType)).toSeq ==
@@ -215,28 +229,46 @@ object IcebergInterop {
       Option(meta.get("snapshots")).flatMap(
         _.elements().asScala.find(_.get("snapshot-id").asLong == id))
     }
-    // current live set, as rel names under data/
-    val live: Seq[String] = prevSnapNode.toSeq.flatMap { sn =>
+    val dataDir = finalDir.resolve("data")
+    // current live set as (rel name under data/, size, rows) — sizes and
+    // record counts RIDE the prior manifest, so unchanged files cost no
+    // footer re-read and the export is genuinely O(changed files)
+    val live: Seq[(String, Long, Long)] = prevSnapNode.toSeq.flatMap { sn =>
       val listPath = resolveUri(finalDir, sn.get("manifest-list").asText)
       readAvro(listPath).flatMap { r =>
         readAvro(resolveUri(finalDir, r.get("manifest_path").toString)).flatMap { entry =>
           val status = entry.get("status").asInstanceOf[Int]
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
+          val content = Option(df.getSchema.getField("content"))
+            .map(_ => df.get("content").asInstanceOf[Int]).getOrElse(0)
+          require(content == 0,
+            s"Iceberg table at $target carries delete files — cannot mirror onto it")
           if (status == 2) None
-          else Some(finalDir.resolve("data").relativize(
-            resolveUri(finalDir, df.get("file_path").toString)).toString)
+          else {
+            // a manifest may legally reference files OUTSIDE <target>/data
+            // (moved tables, foreign warehouses); relativize would produce
+            // ../ names and the removal pass would DELETE FILES OUTSIDE
+            // THE EXPORT — refuse instead of escaping the directory
+            val p = resolveUri(finalDir, df.get("file_path").toString)
+              .toAbsolutePath.normalize
+            require(p.startsWith(dataDir.toAbsolutePath.normalize),
+              s"existing manifest references $p outside $dataDir — " +
+                "not a self-contained mirror; re-export from scratch")
+            Some((dataDir.relativize(p).toString,
+              df.get("file_size_in_bytes").asInstanceOf[Long],
+              df.get("record_count").asInstanceOf[Long]))
+          }
         }
       }
     }
-    val liveSet = live.toSet
+    val liveStats = live.map { case (rel, sz, rc) => rel -> (sz, rc) }.toMap
     val snapSet = snap.files.toSet
-    val newFiles = snap.files.filterNot(liveSet)
-    val removedFiles = live.filterNot(snapSet)
+    val newFiles = snap.files.filterNot(liveStats.contains)
+    val removedFiles = live.map(_._1).filterNot(snapSet)
     val schemaChanged = prevSchema != schema
     if (newFiles.isEmpty && removedFiles.isEmpty && !schemaChanged) return prevVersion
 
     val srcData = Paths.get(snap.dataDir)
-    val dataDir = finalDir.resolve("data")
     val files = snap.files.map { rel =>
       val dst = dataDir.resolve(rel)
       if (!Files.exists(dst)) {
@@ -244,7 +276,10 @@ object IcebergInterop {
         try Files.createLink(dst, srcData.resolve(rel))
         catch { case _: Exception => Files.copy(srcData.resolve(rel), dst) }
       }
-      (rel, Files.size(dst), parquetRowCount(t.spark, dst))
+      liveStats.get(rel) match {
+        case Some((sz, rc)) => (rel, sz, rc) // carried from the prior manifest
+        case None           => (rel, Files.size(dst), parquetRowCount(t.spark, dst))
+      }
     }
 
     val m = mapper
@@ -600,10 +635,5 @@ object IcebergInterop {
     finally reader.close()
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val w = Files.walk(p)
-      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      finally w.close()
-    }
+  private def deleteRecursively(p: Path): Unit = DeltaInterop.deleteRecursively(p)
 }

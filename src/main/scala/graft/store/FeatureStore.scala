@@ -47,12 +47,15 @@ class FeatureStore(val spark: SparkSession) {
   // builds into a local map and publishes with one assignment.
   private def hydrateRegistry(): Unit = synchronized {
     pendingRegistry.foreach { ds =>
-      pendingRegistry = None
       // toLocalIterator, not collect: driver memory bounded by the largest
-      // partition rather than the whole registry
+      // partition rather than the whole registry. The staged Dataset is
+      // cleared only AFTER the build succeeds — a transient Spark failure
+      // mid-hydration must leave the registry still staged for retry, not
+      // silently resolve every feature as missing forever (round-7 review)
       val b = scala.collection.mutable.Map.empty[String, Feature]
       ds.toLocalIterator().forEachRemaining(f => b += f.feature_id -> f)
       features0 = features0 ++ b
+      pendingRegistry = None
     }
   }
   private[store] def stageRegistry(ds: Dataset[Feature]): Unit = synchronized {

@@ -432,6 +432,35 @@ class DeltaInteropSpec extends SparkSpec {
     assert(DeltaInterop.readDelta(spark, root.toString).count() == 0L)
   }
 
+  test("mrv-2 gate holds when the protocol lives only in the checkpoint") {
+    // protocol (mrv=2) + config'd metaData in the CHECKPOINT, then a JSON
+    // tail re-declares metaData WITHOUT configuration: the replay must
+    // still refuse — seeding maxMrv only from JSON commits missed this
+    val root = Paths.get(tmp("delta_ckpt_mrv2"))
+    val logDir = root.resolve("_delta_log"); Files.createDirectories(logDir)
+    val schemaJson = Seq((1L, "x")).toDF("id", "s").schema.json
+    val ckptRows = Seq(
+      (Some((2, 5)), Option.empty[(String, Seq[String], Map[String, String])]),
+      (None, Some((schemaJson, Seq.empty[String], Map.empty[String, String]))))
+      .toDF("protocol_t", "meta_t")
+      .select(
+        col("protocol_t").cast("struct<minReaderVersion:int,minWriterVersion:int>").as("protocol"),
+        col("meta_t").cast("struct<schemaString:string,partitionColumns:array<string>,configuration:map<string,string>>").as("metaData"))
+    val stage = tmp("mrv2_stage")
+    ckptRows.coalesce(1).write.mode("overwrite").parquet(stage)
+    val s0 = Files.list(Paths.get(stage))
+    val src = try s0.iterator().asScala.find(_.toString.endsWith(".parquet")).get finally s0.close()
+    Files.copy(src, logDir.resolve("0" * 19 + "3.checkpoint.parquet"))
+    Files.write(logDir.resolve("_last_checkpoint"), Seq("""{"version":3,"size":2}""").asJava)
+    val escaped = schemaJson.replace("\"", "\\\"")
+    Files.write(logDir.resolve("0" * 19 + "4.json"), Seq(
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$escaped","partitionColumns":[]}}"""
+    ).asJava)
+    assert(intercept[IllegalArgumentException](
+      DeltaInterop.readDelta(spark, root.toString))
+      .getMessage.contains("no configuration"))
+  }
+
   test("checkpoint scale probe: 100k add actions replay + checkpoint in metadata time") {
     // the daily-mirror shape at production file counts: the log is pure
     // driver-side metadata, so replaying 100k actions and writing the
