@@ -11,7 +11,6 @@ value compare (with a tiny float report if mismatched).
 import json, sys, glob
 import duckdb
 import pandas as pd
-import numpy as np
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -45,20 +44,16 @@ def main(out, sfdir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
-    for name, sql in sorted(oracle.items()):
-        try:
-            orel = con.sql(sql)
-            otypes = dict(zip(orel.columns, [str(t) for t in orel.types]))
-            exp = orel.df()
-        except Exception as e:
-            print(f"FAIL {name}: oracle sql error: {e}")
-            n_fail += 1
-            continue
+
+    def check_one(name, sql):
+        """Returns True on pass; raises or returns False otherwise."""
+        orel = con.sql(sql)
+        otypes = dict(zip(orel.columns, [str(t) for t in orel.types]))
+        exp = orel.df()
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
-            n_fail += 1
-            continue
+            return False
         # physical type drift (the driver hashes value ENCODINGS, so a
         # value-equal frame can still hash-fail on e.g. HUGEINT vs BIGINT)
         srel = con.sql(f"SELECT * FROM '{files[0]}'")
@@ -68,18 +63,15 @@ def main(out, sfdir):
                  and canon_type(stypes[c]) != canon_type(otypes[c])]
         if drift:
             print(f"FAIL {name}: TYPE drift — " + "; ".join(drift))
-            n_fail += 1
-            continue
+            return False
         got = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
         e, g = canon(exp), canon(got)
         if list(e.columns) != list(g.columns):
             print(f"FAIL {name}: columns differ\n  oracle: {list(e.columns)}\n  spark : {list(g.columns)}")
-            n_fail += 1
-            continue
+            return False
         if len(e) != len(g):
             print(f"FAIL {name}: row counts differ oracle={len(e)} spark={len(g)}")
-            n_fail += 1
-            continue
+            return False
         ok = True
         for c in e.columns:
             ec, gc = e[c], g[c]
@@ -98,6 +90,18 @@ def main(out, sfdir):
                     ok = False
         if ok:
             print(f"PASS {name} ({len(e)} rows)")
+        return ok
+
+    for name, sql in sorted(oracle.items()):
+        # one malformed dump (truncated part-file, mid-write crash) must
+        # FAIL that query and keep checking — an unguarded traceback here
+        # would zero the whole round's correctness report
+        try:
+            ok = check_one(name, sql)
+        except Exception as e:
+            print(f"FAIL {name}: check error: {e}")
+            ok = False
+        if ok:
             n_pass += 1
         else:
             n_fail += 1

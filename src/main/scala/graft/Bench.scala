@@ -152,6 +152,10 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val repAgg = sys.env.getOrElse("SPARK_GRAFT_REP_AGG", "median")
+    // reject unknown agg values up front — silently falling back while the
+    // artifact's "agg" field records the requested name would be a lie
+    require(repAgg == "median" || repAgg == "min",
+      s"SPARK_GRAFT_REP_AGG must be 'median' or 'min', got '$repAgg'")
     // deterministic name order: per-query numbers stay comparable across
     // rounds instead of depending on hash-map iteration order
     val results: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -159,25 +163,36 @@ object Bench {
       .map { case (name, fn) =>
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          // a failed rep records the -1 sentinel, NOT its time-to-failure:
+          // summing a fast crash into the total would score a regression
+          // as a speedup and hide it from cross-round comparison
+          val ok = try { fn(spark, sfDir).count(); true }
+                   catch { case _: Throwable => false }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         }
         name -> times.toSeq
       }
+    // ANY failed rep marks the whole query failed (-1) in the artifact —
+    // a query that crashes intermittently must surface, not median away
     def pick(ts: Seq[Double]): Double =
-      if (repAgg == "min") ts.min else ts.sorted.apply((ts.size - 1) / 2)
+      if (ts.exists(_ < 0)) -1.0
+      else if (repAgg == "min") ts.min
+      else ts.sorted.apply((ts.size - 1) / 2)
     // round per-query seconds to ms precision: the metric line must stay
     // SHORT — round 2's driver tail-capture truncated a long line mid-object
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, ts) => s"\"" + k + "\":" + r3(pick(ts)) }
+    val qs = results.map { case (k, ts) => Verify.q(k) + ":" + r3(pick(ts)) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) r3(results.map(t => pick(t._2)).sum) else 0.0
+    val total =
+      if (results.nonEmpty) r3(results.map(t => math.max(pick(t._2), 0.0)).sum) else 0.0
     // per-rep totals (rep i = sum of every query's i-th run): three numbers,
     // not 3x the per-query map — the spread signal without risking the
-    // tail-capture length budget
+    // tail-capture length budget (failed reps contribute 0, visible as -1
+    // in the per-query map)
     val repTotals = (0 until reps).map(i =>
-      r3(results.map(_._2.applyOrElse(i, (_: Int) => 0.0)).sum)).mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","agg":"$repAgg-of-$reps","rep_totals":$repTotals,"queries":$qs,"sf":"$sfDir"}"""
+      r3(results.map(t => math.max(t._2.applyOrElse(i, (_: Int) => 0.0), 0.0)).sum))
+      .mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","agg":"$repAgg-of-$reps","rep_totals":$repTotals,"queries":$qs,"sf":${Verify.q(sfDir)}}"""
     // file sink first (this worked in round 2), then the metric as the
     // absolute LAST stdout line: spark.stop() runs BEFORE the println so no
     // shutdown logging can push the metric line out of a tail capture or

@@ -56,10 +56,17 @@ object HarnessFixtures {
 
   /** Event rows in (event-time, id) order — the replay order the
     * watermark-driven g4 queries need. */
-  def eventRowsOrdered(s: SparkSession, dir: String): Array[Streaming.EventRow] =
+  def eventRowsOrdered(s: SparkSession, dir: String): Array[Streaming.EventRow] = {
+    // the base memo is resolved OUTSIDE this memo's builder: nesting
+    // computeIfAbsent calls on one ConcurrentHashMap throws
+    // IllegalStateException("Recursive update") whenever the two keys hash
+    // to the same bin — which dir strings they do is luck (review finding;
+    // the shipped testdata dirs happened to land in different bins)
+    val base = eventRows(s, dir)
     memo(s"eventsOrdered|$dir") {
-      eventRows(s, dir).sortBy(e => (e.ts.getTime, e.event_id))
+      base.sortBy(e => (e.ts.getTime, e.event_id))
     }
+  }
 
   // ------------------------------------------------------------- documents
 
