@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, LinkOption, Path}
 import scala.jdk.CollectionConverters._
 
 /** RAM-disk hygiene for the bench/verify harness temp dirs: /dev/shm is
@@ -22,7 +22,12 @@ import scala.jdk.CollectionConverters._
 object TmpCleanup {
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) {
+    // NOFOLLOW is load-bearing: /dev/shm is world-writable, so a planted
+    // (or crash-leftover) symlink inside a stale dir pointing at, say, the
+    // repository would otherwise be RECURSED INTO and its target's
+    // contents deleted (review finding). A symlink is deleted as a link,
+    // never followed.
+    if (Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS)) {
       val s = Files.list(p)
       try s.iterator().asScala.foreach(deleteRecursively) finally s.close()
     }
@@ -73,21 +78,35 @@ object TmpCleanup {
       val cutoff = System.currentTimeMillis() - maxAgeMillis
       val selfPid = ProcessHandle.current().pid()
       def ownerAlive(p: Path): Boolean = {
+        // the pid is the FIRST digit run ANYWHERE after the prefix —
+        // createOwnDir names are `<callerPrefix><pid>-<nonce>` and callers
+        // sweep with the shorter family prefix ("graft-" covers
+        // "graft-bench-<pid>-…"), so anchoring at stripPrefix's end missed
+        // every real dir and the documented pid guard never engaged
+        // (review finding — liveness degraded to mtime alone)
         val name = p.getFileName.toString.stripPrefix(prefix)
-        name.takeWhile(_.isDigit) match {
-          case "" => false // legacy name without a pid: mtime decides alone
-          case digits =>
-            val pid = digits.toLong
-            pid == selfPid ||
-              ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+        val digits = name.dropWhile(!_.isDigit).takeWhile(_.isDigit)
+        digits match {
+          case "" => false // no pid anywhere: mtime decides alone
+          case d =>
+            scala.util.Try(d.toLong).toOption.exists { pid =>
+              pid == selfPid ||
+                ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
+            }
         }
       }
       val s = Files.list(base)
       try s.iterator().asScala
         .filter(p => p.getFileName.toString.startsWith(prefix))
-        .filter(p => !ownerAlive(p))
-        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-        .foreach(deleteRecursively)
+        .foreach { p =>
+          // per-entry best effort: a dir vanishing mid-sweep (a racing
+          // harness swept it first) must not abort the remaining entries
+          try {
+            if (!ownerAlive(p) &&
+                Files.getLastModifiedTime(p).toMillis <= cutoff)
+              deleteRecursively(p)
+          } catch { case _: Exception => () }
+        }
       finally s.close()
     } catch { case _: Exception => () }
 
@@ -99,10 +118,15 @@ object TmpCleanup {
   def startHeartbeat(p: Path, periodMillis: Long = 300000L): Unit = {
     val t = new Thread(() => {
       while (true) {
+        // each statement guarded separately: a stray interrupt (Spark
+        // shutdown-retry paths interrupt broadly) must not silently kill
+        // the heartbeat, and a throwing touch must not skip the sleep
+        // into a busy spin
         try Files.setLastModifiedTime(
           p, java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
         catch { case _: Exception => () }
-        Thread.sleep(periodMillis)
+        try Thread.sleep(periodMillis)
+        catch { case _: InterruptedException => () }
       }
     }, "graft-tmp-heartbeat")
     t.setDaemon(true)

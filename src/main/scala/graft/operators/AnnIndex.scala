@@ -38,15 +38,20 @@ object AnnIndex {
       m: Int = 8,
       k: Int = 16,
       pqIters: Int = 4): Unit = {
-    import java.nio.file.{Files, Paths}
     val spark = corpus.sparkSession
     import spark.implicits._
 
     // UNPUBLISH before rebuilding: a stale marker surviving into the
     // rebuild window would certify a MIXED index (new centroids/codebooks
     // + old codes after a crash between artifact writes) — readers must
-    // see "no index" for the whole rebuild, not a half-replaced one
-    Files.deleteIfExists(Paths.get(path, "_SUCCESS"))
+    // see "no index" for the whole rebuild, not a half-replaced one.
+    // Marker I/O goes through the HADOOP filesystem, like the data
+    // artifacts and like Dedup's index marker: java.nio silently resolves
+    // an hdfs://-s3a:// index root as a bogus LOCAL relative path, so the
+    // marker would never land next to the data (review finding).
+    val marker = successMarker(path)
+    val fs = marker.getFileSystem(hadoopConf())
+    fs.delete(marker, false)
 
     val cents = Similarity.kmeansCentroids(corpus, idCol, vecCol, nCentroids, refineIters)
     val cb = Pq.train(corpus, idCol, vecCol, m, k, pqIters)
@@ -61,11 +66,22 @@ object AnnIndex {
     // index build scans the embeddings exactly once
     Pq.encodeWithCell(corpus, idCol, vecCol, cb, cents)
       .write.mode("overwrite").parquet(s"$path/encoded")
-    Files.write(Paths.get(path, "_SUCCESS"), Array.empty[Byte])
+    fs.create(marker, true).close()
   }
 
-  def exists(path: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+  private def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def successMarker(path: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+
+  def exists(path: String): Boolean = {
+    val p = successMarker(path)
+    p.getFileSystem(hadoopConf()).exists(p)
+  }
 
   /** Raw (un-normalized) coarse centroids, cell order. */
   def loadCentroids(spark: SparkSession, path: String): Array[Array[Float]] =

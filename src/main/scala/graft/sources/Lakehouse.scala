@@ -108,11 +108,21 @@ object Lakehouse {
       .partitionBy("event_date")
       .mode("overwrite")
       .parquet(staging)
-    if (!fs.rename(target, trash))
+    if (!fs.rename(target, trash)) {
+      // the table is untouched; don't leak the fully-written staging copy
+      // (a complete duplicate of the table, silently doubling tmpfs/disk)
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
       throw new java.io.IOException(s"compact: rename $target -> $trash failed; table untouched")
+    }
     if (!fs.rename(new org.apache.hadoop.fs.Path(staging), target)) {
-      fs.rename(trash, target) // roll back so the table is still present
-      throw new java.io.IOException(s"compact: rename $staging -> $target failed; original restored")
+      // the error message must report the ACTUAL final state — claiming
+      // "restored" while the rollback rename also failed would send the
+      // operator away from a table that is simply missing
+      val restored = fs.rename(trash, target)
+      val state =
+        if (restored) s"original restored; staging left at $staging"
+        else s"ROLLBACK ALSO FAILED — table data sits at $trash, staging at $staging; manual recovery required"
+      throw new java.io.IOException(s"compact: rename $staging -> $target failed; $state")
     }
     fs.delete(trash, true)
     (before, countFiles(path))

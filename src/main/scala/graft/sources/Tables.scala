@@ -76,7 +76,16 @@ object Tables {
       }
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // FLOOR division, not bare `div`: integral `div` truncates toward
+        // zero, which would shift a pre-epoch nanos value forward by up to
+        // 1 µs (e.g. -1 ns would decode as the epoch itself) — diverging
+        // from DuckDB's floor semantics the oracle compares against. Kept
+        // in EXACT integer arithmetic (a double floor would lose precision
+        // past 2^53 ns ≈ 1970+104 days — every modern timestamp). The
+        // shipped fixtures are all post-epoch; the contract should not
+        // depend on that.
+        raw.withColumn("ts", expr(
+          "timestamp_micros((ts div 1000) - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END))"))
       case _ =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
     }

@@ -54,6 +54,46 @@ class TmpCleanupSpec extends AnyFunSuite {
     assert(!Files.exists(legacy))
   }
 
+  test("family-prefix sweep still honors the pid guard (harness sweeps 'graft-' over 'graft-bench-<pid>-' dirs)") {
+    // the real callers create with "graft-bench-"/"graft-verify-" but sweep
+    // with the family prefix "graft-" — stripPrefix then left-anchored
+    // digit-parse yielded "" for every real dir and the documented pid
+    // liveness guard NEVER engaged (review finding). The pid is now the
+    // first digit run after the prefix wherever it starts.
+    val base = tmpBase()
+    val live = base.resolve(s"graft-bench-${ProcessHandle.current().pid()}-aa")
+    Files.createDirectories(live)
+    Files.setLastModifiedTime(live,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 86400000L))
+    TmpCleanup.sweepStale(base, "graft-", maxAgeMillis = 1000L)
+    assert(Files.isDirectory(live),
+      "live-pid dir must survive a family-prefix sweep even with a stale mtime")
+    val dead = base.resolve("graft-bench-99999999-bb")
+    Files.createDirectories(dead)
+    Files.setLastModifiedTime(dead,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 86400000L))
+    TmpCleanup.sweepStale(base, "graft-", maxAgeMillis = 1000L)
+    assert(!Files.exists(dead), "dead + stale must still sweep under the family prefix")
+  }
+
+  test("sweep deletes a symlink inside a stale dir WITHOUT following it") {
+    // /dev/shm is world-writable: a planted link to a precious directory
+    // must be removed as a LINK, never recursed into (review finding —
+    // following it would delete the target's contents)
+    val base = tmpBase()
+    val precious = Files.createTempDirectory("graft-precious")
+    Files.write(precious.resolve("keep.txt"), "keep".getBytes)
+    val stale = base.resolve("graft-x-99999999-cc")
+    Files.createDirectories(stale)
+    Files.createSymbolicLink(stale.resolve("link"), precious)
+    Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 86400000L))
+    TmpCleanup.sweepStale(base, "graft-x-", maxAgeMillis = 1000L)
+    assert(!Files.exists(stale), "stale dir (and its link) must be swept")
+    assert(Files.exists(precious.resolve("keep.txt")),
+      "the symlink TARGET's contents must be untouched")
+  }
+
   test("heartbeat refreshes the dir's own mtime (child churn does not)") {
     val base = tmpBase()
     val own = TmpCleanup.createOwnDir(base, "graft-x-")
