@@ -1706,7 +1706,11 @@ object SparkEntry {
       val q = CorpusPrep.prepareCorpusSink(
           ms.toDF().toDF("doc_id", "text", "lang", "source"), bench, t,
           idCol = "doc_id", textCol = "text", carryCols = Seq("lang", "source"),
-          txnAppId = "p3_prepare_stream")
+          txnAppId = "p3_prepare_stream",
+          // deterministic commit stamps: the oracle compares this run's
+          // table byte-for-byte across runs (production keeps the default
+          // real clock — the log's ts feeds readAsOfTimestamp)
+          commitTsForBatch = 1000L + _)
         .start()
       ms.addData(first.toSeq);  q.processAllAvailable()
       ms.addData(batch2.toSeq); q.processAllAvailable()

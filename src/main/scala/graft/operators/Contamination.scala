@@ -76,10 +76,15 @@ object Contamination {
     * table builds ONCE per executor, each gram probes O(1) — never an
     * array scan per row) and one count per doc. Applied to a `readStream`
     * corpus this is a supported stream-static left join + update-mode
-    * aggregate whose state is one counter per doc in the batch — the
-    * on-ingest decontamination shape. Output: (idCol, n_shared,
-    * contaminated). A doc's rows must arrive within one micro-batch
-    * (documents are atomic rows upstream, so they do).
+    * aggregate — BUT the un-watermarked groupBy(id) retains one state row
+    * per document id FOREVER (documents are atomic rows, yet Spark cannot
+    * know an id will never recur), so the direct streaming form is for
+    * bounded-id feeds and harness oracles only. The production on-ingest
+    * shape is `foreachBatch` applying this as a BATCH per micro-batch
+    * (what [[CorpusPrep.prepareCorpusSink]] does) — zero standing state.
+    * Output: (idCol, n_shared, contaminated). A doc's rows must arrive
+    * within one micro-batch (documents are atomic rows upstream, so they
+    * do).
     */
   def contaminationFlags(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {

@@ -78,7 +78,22 @@ object CorpusPrep {
       gramN: Int = 8,
       minQuality: Double = 0.5,
       persist: StagePersist = localCheckpoint): DataFrame = {
-    val scored = TextAnalysis.withStats(batch, textCol)
+    // the pipeline OWNS these output columns — a batch (or carryCol) with
+    // one of these names would be silently overwritten by the withColumns
+    // below and the final select would emit a duplicate-named column that
+    // breaks every downstream reference (review finding)
+    val reserved = Set("quality", "n_tokens", "text_hash", "kept",
+      "n_stopwords", "avg_token_len")
+    val clash = batch.columns.filter(c => reserved.contains(c) && c != idCol)
+    require(clash.isEmpty,
+      s"batch columns ${clash.mkString(",")} collide with the pipeline's " +
+        "reserved output columns — rename them before prepareBatch")
+    // collapse SAME-ID duplicates first: an at-least-once source can
+    // deliver one record twice WITHIN a micro-batch, and the
+    // canonical-per-hash semi-join keys on id, so both copies would
+    // survive it and land twice in the manifest (review finding; the
+    // cross-batch case dies on the processed-hash anti-join instead)
+    val scored = TextAnalysis.withStats(batch.dropDuplicates(idCol), textCol)
       .withColumn("quality", TextAnalysis.qualityScore(
         col("n_tokens"), col("n_stopwords"), col("avg_token_len")))
       .where(col("quality") >= minQuality)
@@ -120,6 +135,15 @@ object CorpusPrep {
     * certifies. Caller supplies output mode/trigger/checkpoint and starts
     * the returned writer.
     */
+  /** @param persist stage-boundary strategy for EACH micro-batch — plumbed
+    *   through to [[prepareBatch]] so a production stream can select
+    *   [[parquetStages]] durability (review finding: the one production
+    *   attachment was pinned to the non-durable bench default).
+    * @param commitTsForBatch commit-log wall-clock stamp per batchId.
+    *   Defaults to the REAL clock — the TxTable log's `ts` feeds
+    *   `readAsOfTimestamp`, so synthetic stamps would corrupt table-level
+    *   time travel for every other consumer (review finding). Deterministic
+    *   harnesses override it (the oracle needs reproducible logs). */
   def prepareCorpusSink(
       docStream: DataFrame,
       bench: DataFrame,
@@ -129,7 +153,9 @@ object CorpusPrep {
       carryCols: Seq[String],
       gramN: Int = 8,
       minQuality: Double = 0.5,
-      txnAppId: String): DataStreamWriter[Row] =
+      txnAppId: String,
+      persist: StagePersist = localCheckpoint,
+      commitTsForBatch: Long => Long = _ => System.currentTimeMillis()): DataStreamWriter[Row] =
     docStream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       // exactly-once under micro-batch RETRY, not just row redelivery:
       // foreachBatch's contract makes the sink responsible for batchId
@@ -144,8 +170,9 @@ object CorpusPrep {
       val processed =
         if (table.version() >= 0) Some(table.read().select("text_hash")) else None
       val manifest = prepareBatch(batch, bench, idCol, textCol, carryCols,
-        processedHashes = processed, gramN = gramN, minQuality = minQuality)
-      table.append(manifest, tsMillis = 1000L + id, txn = Some((txnAppId, id)))
+        processedHashes = processed, gramN = gramN, minQuality = minQuality,
+        persist = persist)
+      table.append(manifest, tsMillis = commitTsForBatch(id), txn = Some((txnAppId, id)))
       ()
     }
 }

@@ -209,6 +209,60 @@ class IcebergInteropSpec extends SparkSpec {
     assert(e.getMessage.contains("partitioned TxTable"))
   }
 
+  test("manifest scale probe: 100k-entry Avro manifest writes and replays in metadata time") {
+    // the Iceberg twin of the Delta 100k-action checkpoint probe: manifests
+    // are driver-side metadata, so a production-file-count manifest must
+    // stay seconds — this pins the O(live files) class before a real
+    // deployment discovers otherwise
+    val metaDir = Paths.get(tmp("ice_100k")).resolve("metadata")
+    Files.createDirectories(metaDir)
+    // reach the private writer through a real export's manifest shape:
+    // hand-write with the same Avro schema the exporter uses
+    val schema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"},
+        |  {"name":"block_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    val p = metaDir.resolve("m-100k.avro")
+    val t0 = System.nanoTime()
+    val w = new org.apache.avro.file.DataFileWriter[org.apache.avro.generic.GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, p.toFile)
+    val dfSchema = schema.getField("data_file").schema()
+    (0 until 100000).foreach { i =>
+      val e = new org.apache.avro.generic.GenericData.Record(schema)
+      e.put("status", 1); e.put("snapshot_id", 7L)
+      val df = new org.apache.avro.generic.GenericData.Record(dfSchema)
+      df.put("file_path", s"file:///t/data/part-$i.parquet")
+      df.put("file_format", "PARQUET")
+      df.put("partition", new org.apache.avro.generic.GenericData.Record(
+        dfSchema.getField("partition").schema()))
+      df.put("record_count", 1000L)
+      df.put("file_size_in_bytes", 134217728L)
+      df.put("block_size_in_bytes", 134217728L)
+      e.put("data_file", df)
+      w.append(e)
+    }
+    w.close()
+    val writeSecs = (System.nanoTime() - t0) / 1e9
+    // replay: full read-back of every entry, the incremental export's shape
+    val t1 = System.nanoTime()
+    val r = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      p.toFile, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    var n = 0
+    try { while (r.hasNext) { r.next(); n += 1 } } finally r.close()
+    val readSecs = (System.nanoTime() - t1) / 1e9
+    assert(n == 100000)
+    assert(writeSecs < 30.0 && readSecs < 30.0,
+      f"100k-entry manifest must be metadata-scale (write $writeSecs%.1f s, read $readSecs%.1f s)")
+  }
+
   test("export hard-links data files (zero data bytes moved on one filesystem)") {
     val t = sampleTable()
     val out = tmp("ice_link")

@@ -51,6 +51,24 @@ class TombstoneSpec extends SparkSpec {
     assert(m == Seq(3L))
   }
 
+  test("SAME-ID redelivery within one micro-batch emits one manifest row, not two") {
+    // at-least-once sources can deliver one record twice inside a single
+    // batch; the canonical semi-join keys on id, so without an explicit
+    // same-id collapse BOTH copies would survive it and the manifest would
+    // carry the hash twice (review finding)
+    val m = prep(Seq((5L, clean), (5L, clean)).toDF("doc_id", "text"), None)
+    assert(m.count() == 1L, "one manifest row per newly-processed hash")
+    assert(m.select("doc_id").as[Long].collect().toSeq == Seq(5L))
+  }
+
+  test("reserved output column names in the batch are refused loudly") {
+    val e = intercept[IllegalArgumentException] {
+      prep(Seq((1L, clean)).toDF("doc_id", "text")
+        .withColumn("quality", org.apache.spark.sql.functions.lit(9.9)), None)
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("below-quality docs are rejected without a tombstone") {
     val junk = "x"
     val b1 = prep(Seq((20L, junk)).toDF("doc_id", "text"), None)
