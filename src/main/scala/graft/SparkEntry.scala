@@ -1751,7 +1751,6 @@ object SparkEntry {
     Similarity
       .filteredTopK(emb, qs, "vec_id", "embedding", "query_id", "qvec",
         filterCols = Seq("label"), k = 3)
-      .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "rank")
   }
 
@@ -1961,7 +1960,6 @@ object SparkEntry {
     val approx = Similarity
       .ivfTopKWith(emb, qs, "vec_id", "embedding", "query_id", "qvec", k = 3,
         AnnIndex.loadCentroids(s, annIndexDir(s, dir)))
-      .withColumn("rank", col("rank").cast("long"))
     certifyAnnScore("g2_ivf_topk", approx, dir, emb, qs, k = 3, floor = 0.8)
       .orderBy("query_id", "rank")
   }
@@ -2048,7 +2046,6 @@ object SparkEntry {
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val approx = Similarity
       .lshTopK(emb, qs, "vec_id", "embedding", "query_id", "qvec", k = 3)
-      .withColumn("rank", col("rank").cast("long"))
       .localCheckpoint() // materialize once: certificate + declared result
     val audit = approx
       .join(emb.select(col("vec_id"), col("embedding")), "vec_id")

@@ -555,15 +555,27 @@ object Dedup {
     p.getFileSystem(hadoopConf()).exists(p)
   }
 
+  // every incremental READ path must see the marker before probing:
+  // saveDedupIndex deletes it FIRST and rewrites it LAST, so its absence
+  // means no build ever completed OR a rebuild crashed midway — either
+  // way probing would silently join against a stale/half-rewritten table
+  // and return wrong dup_of results with no error
+  private def requireCommittedIndex(path: String): Unit =
+    require(dedupIndexExists(path),
+      s"dedup index at $path has no _SUCCESS marker — it was never built, or a " +
+        "rebuild crashed mid-overwrite; rerun saveDedupIndex before probing")
+
   /** Incoming docs that exact-duplicate an already-ingested doc:
     * (new_id, dup_of) via the persisted content-hash index — one
     * hash-equi-join, no corpus scan. */
   def incrementalExactDups(newDocs: DataFrame, idCol: String, textCol: String,
-      indexPath: String): DataFrame =
+      indexPath: String): DataFrame = {
+    requireCommittedIndex(indexPath)
     newDocs.select(col(idCol).as("new_id"), sha2(col(textCol), 256).as("text_hash"))
       .join(newDocs.sparkSession.read.parquet(s"$indexPath/exact")
         .select(col("text_hash"), col("canonical_id").as("dup_of")), "text_hash")
       .select(col("new_id"), col("dup_of"))
+  }
 
   /** Incremental MinHash-LSH near-dups: the incoming batch's band buckets
     * probe the PERSISTED corpus bucket table (equi-join on the band hash);
@@ -584,10 +596,12 @@ object Dedup {
       threshold: Double = 0.3,
       maxBucketWidth: Int = 100000): DataFrame = {
     val spark = newDocs.sparkSession
+    requireCommittedIndex(indexPath)
     // parameter drift vs the persisted index is a WRONG-RESULTS bug, not a
     // crash: different banding hashes simply match nothing (or combine
     // mismatched shingle counts into garbage jaccard) — validate against
-    // the parameters the marker recorded at build time
+    // the parameters the marker recorded at build time (a committed marker
+    // in a foreign/legacy format still parses to None: nothing to validate)
     readIndexParams(indexPath).foreach { p =>
       val want = Map("shingleN" -> shingleN, "bands" -> bands, "rowsPerBand" -> rowsPerBand)
       val drift = want.filter { case (k, v) => p.get(k).exists(_ != v) }
@@ -650,13 +664,20 @@ object Dedup {
     // than max_by over struct(score, -id): id negation only works for
     // numeric ids — a string id would ANSI-throw (or NULL out the
     // tie-break, making "ties to lowest id" nondeterministic), and Dedup
-    // supports string ids everywhere else
+    // supports string ids everywhere else.
+    // NULL discipline: a cluster must ALWAYS emit a keep decision — a
+    // retention pipeline that deletes everything not named in keep_id
+    // would otherwise drop whole clusters. Members joined LEFT (absence
+    // from `members` is a null score, not a vanished row), and the
+    // achiever filter is null-SAFE: when every member's score is null,
+    // max() is null, null <=> null selects them all, and the tie-break
+    // falls back to the lowest id with best_score = null reported as-is.
     val scored = clusters
-      .join(members.select(col(idCol), col(scoreCol).as("__score")), Seq(idCol))
+      .join(members.select(col(idCol), col(scoreCol).as("__score")), Seq(idCol), "left")
     val best = scored.groupBy(col("canonical_id"))
       .agg(max(col("__score")).as("best_score"), count(lit(1)).as("n_members"))
     scored.join(best, Seq("canonical_id"))
-      .where(col("__score") === col("best_score"))
+      .where(col("__score") <=> col("best_score"))
       .groupBy(col("canonical_id"), col("n_members"), col("best_score"))
       .agg(min(col(idCol)).as("keep_id"))
       .select(col("canonical_id"), col("keep_id"), col("n_members"), col("best_score"))

@@ -38,23 +38,34 @@ object Similarity {
   // the shared per-query rank-and-take: row_number over (sim desc, id asc)
   // with null sims (zero-norm pairs) dropped before ranking — one
   // definition for every exact/IVF/LSH top-k path so the semantics can't
-  // drift between them
+  // drift between them. Rank is LONG, matching the bounded-heap aggregate
+  // paths, so the window and heap formulations are drop-in swaps (same
+  // schema, not just the same rows).
   private def rankTopK(scored: DataFrame, qidCol: String, idCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col(idCol).asc)
     scored.where(col("__sim").isNotNull)
-      .withColumn("__rank", row_number().over(w))
+      .withColumn("__rank", row_number().over(w).cast("long"))
       .where(col("__rank") <= k)
   }
 
-  // the bounded-heap aggregate paths tie-break via numeric id negation in
-  // the struct prefix; a non-numeric id would ANSI-throw (or order
-  // differently than the window form) — fail loudly at plan time instead
-  private def requireNumericId(df: DataFrame, idCol: String, method: String): Unit = {
+  // the bounded-heap aggregate paths tie-break via bitwise id complement in
+  // the struct prefix, which requires a LOSSLESS cast to long: a fractional
+  // id would truncate (2.3 and 2.7 collide on the tie-break and the heap
+  // orders them OPPOSITE to the window form) — fail loudly at plan time
+  private def requireIntegralId(df: DataFrame, idCol: String, method: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val dt = df.schema(idCol).dataType
-    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"$method tie-breaks via numeric id negation; '$idCol' is ${dt.simpleString} — " +
-        "use the window formulation for non-numeric ids")
+    val integral = dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
+    require(integral,
+      s"$method tie-breaks via bitwise complement of the id cast to long; '$idCol' is " +
+        s"${dt.simpleString} — use the window formulation for non-integral ids")
   }
+
+  // order-reversing id transform for the heap paths' (sim desc, id asc)
+  // struct ordering: ~id, NOT -id — bitwise complement is total on longs
+  // (negation ANSI-overflows on Long.MinValue / pre-cast Int.MinValue) and
+  // strictly decreasing, so greatest-first heaps yield lowest-id-first ties
+  private def idComplement(id: Column): Column = bitwise_not(id.cast("long"))
 
   // one-row probe: hyperplane hashing silently truncates to `dim`
   // components, which collapses recall with no error — catch the config
@@ -117,8 +128,15 @@ object Similarity {
       candidates.select((Seq(idCol, vecCol) ++ filterCols).map(col): _*), vecCol, "__cn")
     val qs = withNorm(
       queries.select((Seq(qidCol, qvecCol) ++ filterCols).map(col): _*), qvecCol, "__qn")
+    // NULL-SAFE equi-join on the filter key (<=>, still a hash join): a
+    // NULL filter value is a bucket like any other — the plain `=` form
+    // silently drops every NULL-keyed query AND candidate, the same trap
+    // Dedup.jaccardPairs documents for its block columns
+    val qsRenamed = filterCols.foldLeft(qs)((d, c) => d.withColumnRenamed(c, s"__q_$c"))
     val joined = cand
-      .join(broadcast(qs), filterCols)
+      .join(broadcast(qsRenamed),
+        filterCols.map(c => col(c) <=> col(s"__q_$c")).reduce(_ && _))
+      .drop(filterCols.map(c => s"__q_$c"): _*)
       .where(if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
       .withColumn("__sim",
         cosScore(VectorExpressions.vecDot(col(vecCol), col(qvecCol)), col("__cn"), col("__qn")))
@@ -132,7 +150,7 @@ object Similarity {
     * [[cosineTopK]], but only k rows per (query, map-partition) cross the
     * shuffle instead of the full candidate set — the formulation that holds
     * when the corpus side is the scale axis. Ordering encoded in the struct
-    * prefix (sim, -id) = (sim desc, id asc) after reversal.
+    * prefix (sim, ~id) = (sim desc, id asc) after reversal.
     */
   def cosineTopKAgg(
       candidates: DataFrame,
@@ -145,7 +163,7 @@ object Similarity {
       excludeSelf: Boolean = true
   ): DataFrame = {
     import org.apache.spark.sql.graft.TopKStructs
-    requireNumericId(candidates, idCol, "cosineTopKAgg")
+    requireIntegralId(candidates, idCol, "cosineTopKAgg")
     val cand = withNorm(candidates.select(col(idCol), col(vecCol)), vecCol, "__cn")
     val qs   = withNorm(queries.select(col(qidCol), col(qvecCol)), qvecCol, "__qn")
     cand
@@ -155,7 +173,7 @@ object Similarity {
         cosScore(VectorExpressions.vecDot(col(vecCol), col(qvecCol)), col("__cn"), col("__qn")))
       .where(col("__sim").isNotNull)
       .select(col(qidCol),
-        struct(col("__sim").as("sim"), (-col(idCol)).cast("long").as("negid"), col(idCol).as("id")).as("__s"))
+        struct(col("__sim").as("sim"), idComplement(col(idCol)).as("negid"), col(idCol).as("id")).as("__s"))
       .groupBy(col(qidCol))
       .agg(TopKStructs.topK(col("__s"), k).as("__top"))
       .select(col(qidCol), posexplode(col("__top")).as(Seq("__r", "__t")))
@@ -543,8 +561,8 @@ object Similarity {
           Bridge.expression(col("codes")), Bridge.expression(col("__lut")), cb.k)) /
           nullif(col("norm") * col("__qn"), lit(0.0)))
     rankTopK(scored, qidCol, idCol, k)
-      .select(col(qidCol), col("__rank").cast("long").as("rank"), col(idCol),
-        round(col("__sim"), 4).as("cosine_approx"))
+      .select(col(qidCol), col("__rank").as("rank"), col(idCol),
+        epsRound(col("__sim"), 4).as("cosine_approx"))
   }
 
   /** Deterministic pseudo-random hyperplanes: component (t, p, i) derived
@@ -560,15 +578,31 @@ object Similarity {
       // map to (-1, 1)
       (z.toDouble / Long.MaxValue.toDouble)
     }
-    Array.tabulate(dim)(i => mix(table.toLong * 1000003L + plane.toLong * 10007L + i.toLong))
+    // disjoint bit fields, NOT small multiplicative strides: with strides
+    // (1000003, 10007) component (t, p+1, i) = (t, p, i+10007) for every
+    // dim > 10007 — consecutive planes share shifted components at real
+    // embedding widths (12288), silently breaking plane independence and
+    // the 1-(1-s^r)^b recall model. Packing (table<<44 | plane<<32 | i)
+    // is collision-free for dim < 2^32, planes < 2^12, tables < 2^20.
+    require(plane < (1 << 12) && table < (1 << 20),
+      s"hyperplane seed packing supports planes < 4096, tables < 1048576; got ($table, $plane)")
+    Array.tabulate(dim)(i =>
+      mix((table.toLong << 44) | (plane.toLong << 32) | i.toLong))
   }
 
   /** All tables' random-hyperplane signatures fused into one native
-    * expression evaluation (array indexed by table). */
+    * expression evaluation (array indexed by table). Each of the
+    * numTables*planes plane arrays is generated ONCE and copied into the
+    * flat literal — the obvious per-component `hyperplane(...)(i)` form
+    * regenerates a full dim-length array per element, O(tables*planes*dim²)
+    * driver work at plan build (seconds of pure waste at dim=4096). */
   private def lshBuckets(vec: Column, numTables: Int, planes: Int, dim: Int): Column = {
-    val flat = Array.tabulate(numTables * planes * dim) { j =>
-      val t = j / (planes * dim); val p = (j / dim) % planes; val i = j % dim
-      hyperplane(t, p, dim)(i).toFloat
+    val flat = new Array[Float](numTables * planes * dim)
+    var j = 0
+    for (t <- 0 until numTables; p <- 0 until planes) {
+      val pl = hyperplane(t, p, dim)
+      var i = 0
+      while (i < dim) { flat(j) = pl(i).toFloat; j += 1; i += 1 }
     }
     org.apache.spark.sql.graft.Bridge.column(
       graft.functions.HyperplaneBuckets(
@@ -605,9 +639,14 @@ object Similarity {
       numTables: Int = 8,
       planes: Int = 12,
       dim: Int = 64,
-      maxBucketWidth: Int = 100000
+      maxBucketWidth: Int = 100000,
+      excludeSelf: Boolean = true
   ): DataFrame = {
     requireDimCovers(candidates, vecCol, dim)
+    // the query side truncates in bucketing exactly like the corpus side —
+    // a 128-dim query against dim=64 hashes only its first half and recall
+    // quietly degrades, the config mistake this probe exists to catch
+    requireDimCovers(queries, qvecCol, dim)
     // narrow bucket membership: (table, bucket, id) — no vectors, no norms
     val candBuckets = candidates
       .select(col(idCol), posexplode(lshBuckets(col(vecCol), numTables, planes, dim)).as(Seq("__t", "__b")))
@@ -620,10 +659,14 @@ object Similarity {
           .agg(count(lit(1)).as("__w")).where(col("__w") <= maxBucketWidth).drop("__w")
         candBuckets.join(keep, Seq("__t", "__b"), "left_semi")
       }
-    // candidate (id, query) pairs, deduplicated while still narrow
+    // candidate (id, query) pairs, deduplicated while still narrow.
+    // excludeSelf is a PARAMETER like every other top-k path (exact, IVF,
+    // IVFPQ): when queries are NOT drawn from the corpus, an id
+    // coincidence would otherwise silently drop a legitimate — possibly
+    // the nearest — neighbor
     val pairs = narrow
       .join(broadcast(qsBuckets), Seq("__t", "__b"))
-      .where(col(idCol) =!= col(qidCol))
+      .where(if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
       .select(col(idCol), col(qidCol))
       .dropDuplicates(idCol, qidCol)
 
@@ -667,7 +710,7 @@ object Similarity {
       chunkRows: Int = 1024
   ): DataFrame = {
     import org.apache.spark.sql.graft.TopKStructs
-    requireNumericId(vectors, idCol, "knnJoin")
+    requireIntegralId(vectors, idCol, "knnJoin")
     val n = vectors.select(col(idCol)).count()
     val nChunks = math.max(1L, (n + chunkRows - 1) / chunkRows).toInt
     val chunked = withNorm(vectors.select(col(idCol), col(vecCol)), vecCol, "__n")
@@ -685,7 +728,7 @@ object Similarity {
         cosScore(VectorExpressions.vecDot(col("__va"), col("__vb")), col("__na"), col("__nb")))
       .where(col("__sim").isNotNull)
       .select(col("__ida"),
-        struct(col("__sim").as("sim"), (-col("__idb")).cast("long").as("negid"),
+        struct(col("__sim").as("sim"), idComplement(col("__idb")).as("negid"),
           col("__idb").as("id")).as("__s"))
       .groupBy(col("__ida"))
       .agg(TopKStructs.topK(col("__s"), k).as("__top"))
@@ -714,7 +757,7 @@ object Similarity {
       k: Int
   ): DataFrame = {
     import org.apache.spark.sql.graft.TopKStructs
-    requireNumericId(vectors, idCol, "knnJoinCells")
+    requireIntegralId(vectors, idCol, "knnJoinCells")
     val v = withNorm(vectors.select(col(idCol), col(vecCol)), vecCol, "__n")
       .join(cells.select(col(idCol), col(cellCol).as("__cell")), Seq(idCol))
     val a = v.select(col("__cell"), col(idCol).as("__ida"),
@@ -727,7 +770,7 @@ object Similarity {
         cosScore(VectorExpressions.vecDot(col("__va"), col("__vb")), col("__na"), col("__nb")))
       .where(col("__sim").isNotNull)
       .select(col("__ida"),
-        struct(col("__sim").as("sim"), (-col("__idb")).cast("long").as("negid"),
+        struct(col("__sim").as("sim"), idComplement(col("__idb")).as("negid"),
           col("__idb").as("id")).as("__s"))
       .groupBy(col("__ida"))
       .agg(TopKStructs.topK(col("__s"), k).as("__top"))
@@ -806,12 +849,18 @@ object Similarity {
     */
   def centroidDistances(df: DataFrame, idCol: String, vecCol: String,
       groupCol: String): DataFrame = {
+    // NULL-SAFE join back (<=>): groupCentroids keeps groupCol=NULL as a
+    // real group, and the null-label docs are the likeliest mislabeled
+    // ones — a plain equi-join would compute their centroid and then
+    // silently drop every one of them from the audit output
     val cents = groupCentroids(df, vecCol, groupCol)
       .groupBy(col(groupCol))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("centroid")))),
         s => s.getField("centroid")).as("__cent"))
+      .withColumnRenamed(groupCol, "__g")
     df.select(col(idCol), col(groupCol), col(vecCol))
-      .join(broadcast(cents), Seq(groupCol))
+      .join(broadcast(cents), col(groupCol) <=> col("__g"))
+      .drop("__g")
       .select(col(idCol), col(groupCol),
         epsRound(sqrt(aggregate(
           zip_with(col(vecCol), col("__cent"), (x, c) => {

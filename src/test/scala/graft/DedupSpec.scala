@@ -282,6 +282,100 @@ class DedupSpec extends SparkSpec {
       7L -> (7L, 2L, 5L)))  // score tie -> lowest id
   }
 
+  test("keepBest still names a keep_id when every member score is NULL or missing") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (7L, 7L), (8L, 7L)).toDF("doc_id", "canonical_id")
+    val members = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]), (7L, Option(5L)))
+      .toDF("doc_id", "n_chars") // doc 8 absent from members entirely
+    val got = Dedup.keepBest(clusters, members, "doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    // all-null cluster: min-id fallback with best_score reported null — the
+    // cluster must not vanish from a retention decision
+    assert(got(1L) == ((1L, 2L, None)))
+    // a null/absent member loses to any scored member
+    assert(got(7L) == ((7L, 2L, Some(5L))))
+  }
+
+  test("incremental probes refuse an index directory without its _SUCCESS marker") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-noidx").toString
+    val batch = docs.where(col("doc_id") === 2L)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalExactDups(batch, "doc_id", "text", dir)
+    }
+    assert(e.getMessage.contains("_SUCCESS"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.incrementalMinhashPairs(batch, docs, dir, "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("_SUCCESS"))
+  }
+
+  test("filteredTopK treats a NULL filter value as a bucket of its own") {
+    val cand = Seq(
+      (1L, Seq(1.0f, 0.0f), Option("en")),
+      (2L, Seq(0.9f, 0.1f), Option.empty[String]),
+      (3L, Seq(0.8f, 0.2f), Option.empty[String])
+    ).toDF("vec_id", "embedding", "lang")
+    val qs = Seq((10L, Seq(1.0f, 0.0f), Option.empty[String])).toDF("query_id", "qvec", "lang")
+    val got = Similarity
+      .filteredTopK(cand, qs, "vec_id", "embedding", "query_id", "qvec", Seq("lang"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the NULL-lang query scores exactly the NULL-lang candidates (it used
+    // to vanish from the output entirely under the plain equi-join)
+    assert(got == Set((10L, 1L, 2L), (10L, 2L, 3L)))
+  }
+
+  test("centroidDistances keeps NULL-group rows in the audit") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f), Option("a")),
+      (2L, Seq(0.0f, 1.0f), Option.empty[String]),
+      (3L, Seq(0.0f, 0.0f), Option.empty[String])
+    ).toDF("vec_id", "embedding", "label")
+    val d = Similarity.centroidDistances(vecs, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(d.size == 3, "null-label docs must appear in the outlier audit")
+    // null-group centroid = (0, 0.5): both members sit 0.5 away
+    assert(math.abs(d(2L) - 0.5) < 1e-6 && math.abs(d(3L) - 0.5) < 1e-6)
+  }
+
+  test("lshTopK: excludeSelf is a parameter (id coincidence must not drop a foreign candidate)") {
+    val cand = Seq((42L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val qs   = Seq((42L, Seq(1.0f, 0.0f))).toDF("query_id", "qvec")
+    // identical vectors share every table's bucket, so the collision is certain
+    val kept = Similarity.lshTopK(cand, qs, "vec_id", "embedding", "query_id", "qvec",
+      k = 1, excludeSelf = false)
+    assert(kept.count() == 1)
+    val dropped = Similarity.lshTopK(cand, qs, "vec_id", "embedding", "query_id", "qvec", k = 1)
+    assert(dropped.count() == 0)
+  }
+
+  test("lshTopK rejects QUERY vectors wider than dim (silent truncation guard, both sides)") {
+    val cand = Seq((1L, Seq.fill(4)(1.0f))).toDF("vec_id", "embedding")
+    val qs   = Seq((9L, Seq.fill(8)(1.0f))).toDF("query_id", "qvec")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshTopK(cand, qs, "vec_id", "embedding", "query_id", "qvec", k = 1, dim = 4)
+    }
+    assert(e.getMessage.contains("truncates"))
+  }
+
+  test("heap top-k paths refuse fractional ids and survive extreme integral ids") {
+    val frac = Seq((2.3, Seq(1.0f)), (2.7, Seq(1.0f))).toDF("vec_id", "embedding")
+    val fq = frac.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    // a double id would truncate in the tie-break and order OPPOSITE to the
+    // window form — must fail loudly at plan time
+    intercept[IllegalArgumentException] {
+      Similarity.cosineTopKAgg(frac, fq, "vec_id", "embedding", "query_id", "qvec", 1)
+    }
+    // ~id (bitwise complement) is total on longs: Long.MinValue survives
+    // where the old -id negation would ANSI-overflow; equal sims still
+    // tie-break id ascending
+    val ext = Seq(
+      (Long.MinValue, Seq(1.0f, 0.0f)), (Long.MaxValue, Seq(1.0f, 0.0f)), (0L, Seq(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q2 = Seq((1L, Seq(1.0f, 0.0f))).toDF("query_id", "qvec")
+    val top = Similarity.cosineTopKAgg(ext, q2, "vec_id", "embedding", "query_id", "qvec", 3)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(top == Seq(Long.MinValue, 0L, Long.MaxValue))
+  }
+
   test("sq8: codes bounded 0..255, round-trip error within the grid bound, degenerate dim exact") {
     val emb = Seq(
       (1L, Seq(0.0f, -1.0f, 7.0f)),
@@ -331,8 +425,9 @@ class DedupSpec extends SparkSpec {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val qs = emb.where($"vec_id" < 10)
       .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    // no cast patch: the window form's rank is long by contract (rankTopK),
+    // so the two formulations are drop-in swaps at the schema level too
     val win = Similarity.cosineTopK(emb, qs, "vec_id", "embedding", "query_id", "qvec", 3)
-      .withColumn("rank", $"rank".cast("long"))
       .select("query_id", "rank", "vec_id", "cosine")
     val agg = Similarity.cosineTopKAgg(emb, qs, "vec_id", "embedding", "query_id", "qvec", 3)
       .select("query_id", "rank", "vec_id", "cosine")
