@@ -3995,7 +3995,7 @@ object SparkEntry {
       |qf AS (SELECT * FROM q WHERE quality >= 0.5),
       |canon AS (SELECT min(doc_id) AS doc_id FROM qf GROUP BY sha256(text)),
       |dd AS (SELECT qf.* FROM qf JOIN canon USING (doc_id)),
-      |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+      |toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
       |grams AS (
       |  SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS g
       |  FROM toks, unnest(generate_series(1, len(tk) - 7)) AS u(i)
@@ -4669,7 +4669,7 @@ object SparkEntry {
         |      len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
     "g1_decontaminate" ->
-      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
         |grams AS (
         |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
         |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
@@ -4730,7 +4730,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "g4_decontam_stream" ->
       """WITH corpus AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
-        |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
         |grams AS (
         |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
         |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
@@ -4783,7 +4783,7 @@ object SparkEntry {
         |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents)
         |  GROUP BY 1, 2),
         |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
-        |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents WHERE length(trim(text)) > 0),
         |scored AS (
         |  SELECT tf.doc_id, tf.term, tf.tf,
         |         round(tf.tf * ln(n.n / df.df) + 1e-9, 4) AS tfidf
@@ -5246,7 +5246,7 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
         |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[REDACTED]', 'g'),
         |    '\bMRN[-: ]?\d{6,10}\b', '[REDACTED]', 'g'),
-        |    '\b(customer|key)\b', '[REDACTED]', 'g') AS text_clean
+        |    '(?i)\b(customer|key)\b', '[REDACTED]', 'g') AS text_clean
         |FROM documents ORDER BY doc_id""".stripMargin,
     "h5_split" ->
       """WITH b AS (

@@ -66,9 +66,13 @@ object Fns {
   // ---- text (G3) ----------------------------------------------------------
 
   /** Whitespace token count; empty/blank -> 0. */
+  // empty-token filter, not a trim()-emptiness branch: Spark trim strips
+  // only ' ' and split keeps edge empties, so "\n" or "\thello" would
+  // otherwise count phantom "" tokens (same discipline as
+  // TextAnalysis.tokens; kept textually in sync — functions must not
+  // depend on operators)
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+    size(filter(split(trim(text), "\\s+"), t => length(t) > 0))
 
   /** BPE-ish subword count proxy: word chunks + digits + punctuation each
     * count as a token (regexp over the codegen'd path).

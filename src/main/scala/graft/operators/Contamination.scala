@@ -4,10 +4,12 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination for training corpora (SURVEY.md §2 G1/G3
-  * family): flag or drop corpus documents sharing a verbatim word n-gram
-  * with an evaluation/benchmark set — the standard leakage guard an LLM
-  * data pipeline runs before training (GPT-3 used 13-grams, PaLM 8-grams;
-  * the mechanism is identical, only `n` differs).
+  * family): flag or drop corpus documents sharing a word n-gram
+  * (case-insensitively — matching normalizes to lowercase, as the
+  * published decontamination recipes do) with an evaluation/benchmark
+  * set — the standard leakage guard an LLM data pipeline runs before
+  * training (GPT-3 used 13-grams, PaLM 8-grams; the mechanism is
+  * identical, only `n` differs).
   *
   * 100 TB shape: the corpus side is map-only n-gram generation fused into
   * the scan (split → transform/slice, all codegen'd builtins, no UDF); the
@@ -27,13 +29,21 @@ object Contamination {
 
   private def tokenized(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n-gram size must be positive, got $n")
-    // blank-doc guard: split("") is [""], which passes size >= 1 and would
-    // make "" a gram at n = 1 — flagging every blank doc as contaminated
-    // by a blank bench row (and "" as boilerplate past minDocs)
+    // tokens() is empty-safe (no phantom "" tokens), so a blank or
+    // whitespace-only doc yields 0 tokens and dies on size >= n; the trim
+    // test is just a cheap prefilter
     df.where(length(trim(col(textCol))) > 0)
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
       .where(size(col("__t")) >= n)
   }
+
+  // contamination MATCHING is case-insensitive (GPT-3/PaLM-style
+  // decontamination normalizes before gram comparison): benchmark text
+  // differing from a corpus doc only in case is still leakage. Applied at
+  // the matching boundary only — boilerplate/repetition keep exact-text
+  // gram semantics (they measure the corpus, not cross-set identity).
+  private def caseFolded(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(textCol, lower(col(textCol)))
 
   /** Word n-grams per row: one (id, gram) row per position. Tokenization
     * is the engine-wide whitespace convention (TextAnalysis.tokens); the
@@ -58,12 +68,20 @@ object Contamination {
     // the bench side only contributes its GRAM SET — don't force it to
     // carry the corpus's id column (an eval set with a differently-named
     // id would otherwise fail analysis on a column nothing uses)
-    val benchGrams = ngrams(bench.select(col(textCol), lit(0L).as("__bid")),
+    val benchGrams = ngrams(caseFolded(bench.select(col(textCol)), textCol)
+        .withColumn("__bid", lit(0L)),
       "__bid", textCol, n).select(col("gram")).distinct()
-    ngrams(corpus, idCol, textCol, n)
+    // per-doc distinct MAP-SIDE (array_distinct before the explode, the
+    // same device as contaminationFlags/boilerplate): a doc repeating one
+    // benchmark gram 1,000 times — looping generations — would otherwise
+    // ship 1,000 identical post-join rows through the per-doc shuffle just
+    // for countDistinct to discard them; with unique-per-doc grams a plain
+    // count gives the identical n_shared
+    tokenized(caseFolded(corpus, textCol), idCol, textCol, n)
+      .select(col(idCol), explode(array_distinct(gramArray(n))).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"))
       .groupBy(col(idCol))
-      .agg(countDistinct(col("gram")).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"))
   }
 
   /** Contamination flags for EVERY corpus doc — the STREAMING-SAFE shape
@@ -89,12 +107,14 @@ object Contamination {
   def contaminationFlags(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n-gram size must be positive, got $n")
-    // gram-set only — no id coupling (same as contaminationReport)
-    val benchGrams = ngrams(bench.select(col(textCol), lit(0L).as("__bid")),
+    // gram-set only — no id coupling (same as contaminationReport), and
+    // case-folded on both sides (matching is case-insensitive)
+    val benchGrams = ngrams(caseFolded(bench.select(col(textCol)), textCol)
+        .withColumn("__bid", lit(0L)),
       "__bid", textCol, n)
       .select(col("gram")).distinct().withColumn("__hit", lit(1))
     corpus
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("__t"))
       .select(col(idCol), explode_outer(
         when(size(col("__t")) >= n, array_distinct(gramArray(n)))
           .otherwise(expr("cast(array() as array<string>)"))).as("gram"))
@@ -106,12 +126,17 @@ object Contamination {
   }
 
   /** The decontaminated corpus: input rows minus any doc sharing at least
-    * one n-gram with the benchmark (anti-join on the flagged id set). */
+    * one n-gram with the benchmark (anti-join on the flagged id set).
+    * The anti-join is null-SAFE: a contaminated row with a NULL id must
+    * die too — under plain equality NULL never matches NULL, so the row
+    * would survive decontamination and ship benchmark leakage into
+    * training data. */
   def decontaminate(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame =
     corpus.join(
-      contaminationReport(corpus, bench, idCol, textCol, n).select(col(idCol)),
-      Seq(idCol), "left_anti")
+      contaminationReport(corpus, bench, idCol, textCol, n)
+        .select(col(idCol).as("__contaminated_id")),
+      col(idCol) <=> col("__contaminated_id"), "left_anti")
 
   /** Cross-corpus boilerplate (the C4-style rule): word n-grams occurring
     * in at least `minDocs` DISTINCT documents — headers, footers, license
@@ -123,13 +148,16 @@ object Contamination {
   def boilerplate(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minDocs: Long): DataFrame =
     tokenized(docs, idCol, textCol, n)
-      // one vote per doc MAP-SIDE: array_distinct before the explode, so
-      // within-doc repeats never inflate df AND never reach the shuffle —
-      // rows then count as documents directly (the same device as the
-      // shingle df-cap), keeping this at exactly one gram-keyed exchange
-      .select(explode(array_distinct(gramArray(n))).as("gram"))
+      // one vote per doc: array_distinct map-side kills within-doc repeats
+      // before the explode, and the aggregate counts DISTINCT ids — not
+      // rows — so a doc delivered twice (at-least-once sources) still
+      // votes once, as the "minDocs DISTINCT documents" contract promises.
+      // countDistinct costs a second exchange ((gram,id) partial-distinct,
+      // then gram); the honest price of distinct-doc votes under
+      // duplicate-row inputs
+      .select(col(idCol), explode(array_distinct(gramArray(n))).as("gram"))
       .groupBy(col("gram"))
-      .agg(count(lit(1)).as("n_docs"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
       .where(col("n_docs") >= minDocs)
 
   /** Within-doc repetition (the Gopher-style quality rule): per doc, the

@@ -83,7 +83,7 @@ object CorpusPrep {
     // below and the final select would emit a duplicate-named column that
     // breaks every downstream reference (review finding)
     val reserved = Set("quality", "n_tokens", "text_hash", "kept",
-      "n_stopwords", "avg_token_len")
+      "n_stopwords", "avg_token_len", "n_chars_calc")
     val clash = batch.columns.filter(c => reserved.contains(c) && c != idCol)
     require(clash.isEmpty,
       s"batch columns ${clash.mkString(",")} collide with the pipeline's " +
@@ -111,11 +111,14 @@ object CorpusPrep {
       case Some(seen) => gated.join(seen.select("text_hash"), Seq("text_hash"), "left_anti")
       case None       => gated
     })
+    // null-SAFE verdict join: a contaminated row with a NULL id must still
+    // be flagged — plain equality never matches NULL to NULL, so the row
+    // would read kept=true and leak benchmark text into the manifest
     val contaminated = Contamination
       .contaminationReport(fresh, bench, idCol = idCol, textCol = textCol, n = gramN)
-      .select(col(idCol), lit(1).as("__c"))
+      .select(col(idCol).as("__cid"), lit(1).as("__c"))
     fresh
-      .join(contaminated, Seq(idCol), "left")
+      .join(contaminated, col(idCol) <=> col("__cid"), "left")
       .withColumn("kept", col("__c").isNull)
       .withColumn("n_tokens", col("n_tokens").cast("long"))
       .select((idCol +: carryCols).map(col) ++

@@ -15,7 +15,14 @@ object TextAnalysis {
   private val StopwordsEn =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
 
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Engine-wide whitespace tokenization. Structurally empty-safe: Spark's
+    * `trim()` strips ONLY the space character (0x20) and `split(.., -1)`
+    * keeps leading AND trailing empty strings, so `"\thello\n"` would
+    * otherwise yield phantom "" tokens at both ends (off-by-one counts,
+    * drifted fingerprints, bogus "" n-grams at document edges) — the
+    * filter drops them wherever they arise instead of trusting trim. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
   /** Per-doc descriptive stats. */
   def withStats(docs: DataFrame, textCol: String): DataFrame = {
@@ -207,10 +214,13 @@ object TextAnalysis {
     * is a compiled-once Java Pattern per task) and scales per-row with no
     * shuffle — scrubbing 100 TB is a map-only pass.
     *
-    * @param denylist terms redacted on word boundaries (dictionary
-    *   redaction: facility names, project codenames, known identifiers).
-    *   Terms must be plain words — they're spliced into an alternation, NOT
-    *   regex-escaped (Pattern.quote's \Q..\E would break the RE2 oracle).
+    * @param denylist terms redacted on word boundaries, case-INSENSITIVELY
+    *   ((?i), which Java regex and the oracle's RE2 both support): a
+    *   denylisted facility name or codename at sentence start ("Customer",
+    *   "KEY") must not survive scrubbing just because the dictionary is
+    *   lowercase. Terms must be plain words — they're spliced into an
+    *   alternation, NOT regex-escaped (Pattern.quote's \Q..\E would break
+    *   the RE2 oracle).
     */
   def scrub(
       text: Column,
@@ -219,8 +229,13 @@ object TextAnalysis {
       denylist: Seq[String] = Seq.empty): Column = {
     val withDeny =
       if (denylist.isEmpty) patterns
-      else patterns :+ denylist.mkString("\\b(", "|", ")\\b")
-    withDeny.foldLeft(text)((c, p) => regexp_replace(c, p, replacement))
+      else patterns :+ denylist.mkString("(?i)\\b(", "|", ")\\b")
+    // quoteReplacement: Java regexp_replace treats '$' and '\' in the
+    // replacement as group references/escapes — an unescaped "$0" would
+    // silently re-insert the PHI it was supposed to redact, and "<$>"
+    // would throw mid-scan
+    val safe = java.util.regex.Matcher.quoteReplacement(replacement)
+    withDeny.foldLeft(text)((c, p) => regexp_replace(c, p, safe))
   }
 
   /** Context-window chunking (sequence packing): split each document into
@@ -237,8 +252,9 @@ object TextAnalysis {
       size: Int, stride: Int): DataFrame = {
     require(size >= 1 && stride >= 1, s"size/stride must be positive: $size/$stride")
     docs
-      // blank-doc guard: split("") yields [""], a phantom 1-token doc that
-      // would emit a bogus empty chunk — drop truly token-less docs first
+      // cheap prefilter (tokens() itself is empty-safe); token-less docs
+      // that slip past trim (e.g. "\n"-only) produce one empty window that
+      // the n_tokens > 0 gate below drops
       .where(length(trim(col(textCol))) > 0)
       .select(col(idCol), tokens(col(textCol)).as("__t"))
       .select(col(idCol), posexplode(expr(
@@ -276,14 +292,18 @@ object TextAnalysis {
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
-    // blank-doc guard (same as chunkWindows/packSequences): split("") is
-    // [""], a phantom term that would otherwise enter the df table
-    val tf = docs
-      .where(length(trim(col(textCol))) > 0)
-      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    // N and df MUST share one basis (token-bearing docs): counting N over
+    // ALL input rows while df only sees non-blank docs inflates every idf —
+    // a term in every real doc would score ln(N/df) > 0 instead of 0 and
+    // rank as informative whenever blank rows exist
+    val base = docs
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) > 0)
+    val tf = base
+      .select(col(idCol), explode(col("__t")).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).cast("double").as("tf"))
     val dfTbl = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val nDocs = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val nDocs = base.agg(count(lit(1)).cast("double").as("__n"))
     val scored = tf
       .join(dfTbl, "term")
       .crossJoin(broadcast(nDocs))
@@ -313,9 +333,12 @@ object TextAnalysis {
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    // token-presence filter, not length(trim(..)): a "\n"-only doc passes
+    // the trim test with zero tokens and would deflate avgdl for every
+    // real doc
     val base = docs
-      .where(length(trim(col(textCol))) > 0)
       .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .where(org.apache.spark.sql.functions.size(col("__t")) > 0)
       .select(col(idCol), col("__t"),
         org.apache.spark.sql.functions.size(col("__t")).cast("double").as("__dl"))
     val stats = base.agg(avg("__dl").as("__avgdl"), count(lit(1)).cast("double").as("__n"))
@@ -348,7 +371,7 @@ object TextAnalysis {
     */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs
-      .where(length(trim(col(textCol))) > 0) // phantom "" token guard
+      .where(length(trim(col(textCol))) > 0) // cheap prefilter; tokens() is empty-safe
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
     val total  = toks.agg(count(lit(1)).cast("double").as("__total"))
     val counts = toks.groupBy("term").agg(count(lit(1)).cast("double").as("__cnt"))
@@ -449,9 +472,9 @@ object TextAnalysis {
     val cap = lit(capacity.toLong)
 
     // (id, token count) only — the packing never shuffles or pins the text.
-    // Blank docs are dropped BEFORE counting: split("") yields [""], a
-    // phantom token that would silently shift every downstream chunk
-    // boundary in the global stream
+    // tokens() is empty-safe, so token-less docs count 0 and die on the
+    // __n >= 1 gate — no phantom token ever shifts a chunk boundary in
+    // the global stream
     val counted = docs
       .where(length(trim(col(textCol))) > 0)
       .select(col(idCol), org.apache.spark.sql.functions.size(tokens(col(textCol)))

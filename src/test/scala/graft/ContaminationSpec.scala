@@ -38,6 +38,46 @@ class ContaminationSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  test("contamination matching is case-insensitive; benchmark leakage cannot hide behind case") {
+    val shouting = Seq(
+      (1L, "prefix words then ALPHA Beta GAMMA delta Epsilon ZETA eta Theta and a tail"),
+      (2L, "entirely clean document with no benchmark overlap at all in any window")
+    ).toDF("doc_id", "text")
+    val r = Contamination.contaminationReport(shouting, bench, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r == Map(1L -> 1L), "case-variant benchmark text is still leakage")
+    val kept = Contamination.decontaminate(shouting, bench, "doc_id", "text", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+
+  test("decontaminate kills a contaminated row even when its id is NULL") {
+    val withNull = Seq(
+      (Option.empty[Long], "prefix words then alpha beta gamma delta epsilon zeta eta theta and a tail"),
+      (Option(2L), "entirely clean document with no benchmark overlap at all in any window")
+    ).toDF("doc_id", "text")
+    val kept = Contamination.decontaminate(withNull, bench, "doc_id", "text", n = 8)
+      .select("doc_id").collect().map(r => Option(r.get(0)))
+    // plain equality would let the null-id contaminated row survive the
+    // anti-join and ship benchmark text into training data
+    assert(kept.toSeq == Seq(Some(2L)))
+  }
+
+  test("boilerplate votes once per DISTINCT doc id under duplicate-row delivery") {
+    val redelivered = Seq(
+      (1L, "shared header line here plus unique body one"),
+      (1L, "shared header line here plus unique body one"), // at-least-once duplicate
+      (2L, "shared header line here plus unique body two")
+    ).toDF("doc_id", "text")
+    val grams = Contamination.boilerplate(redelivered, "doc_id", "text", n = 4, minDocs = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "shared header line here" appears in docs 1 and 2 -> n_docs = 2, not 3;
+    // doc 1's unique body must NOT cross minDocs via its duplicate row
+    assert(grams.get("shared header line here").contains(2L))
+    assert(!grams.keys.exists(_.contains("unique body one")),
+      "a redelivered doc must not turn its own text into boilerplate")
+  }
+
   test("boilerplate finds grams shared across docs, one vote per doc, below-threshold excluded") {
     val docs = Seq(
       (1L, "copyright two thousand inc all rights reserved body one"),

@@ -103,6 +103,51 @@ class OperatorSpec extends SparkSpec {
     assert(out(4L) == "Project [REDACTED] [REDACTED] record")
   }
 
+  test("tokens/tokenCount ignore edge whitespace: no phantom empty tokens") {
+    import graft.operators.TextAnalysis
+    // Spark trim() strips only ' ' and split keeps edge empties, so these
+    // used to count phantom "" tokens at the boundaries
+    val df = Seq(
+      (1L, "hello world\n"), (2L, "\thello"), (3L, "\n"), (4L, ""), (5L, "  a  ")
+    ).toDF("id", "text")
+    val counts = df.select($"id", Fns.tokenCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(counts == Map(1L -> 2, 2L -> 1, 3L -> 0, 4L -> 0, 5L -> 1))
+    val toks = df.where($"id" === 1L)
+      .select(TextAnalysis.tokens($"text")).as[Seq[String]].head()
+    assert(toks == Seq("hello", "world"))
+  }
+
+  test("scrub: case-variant denylist terms die; '$' in the replacement is literal") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "Customer data and KEY material"), // sentence-case / all-caps
+      (2L, "ssn 123-45-6789 here")
+    ).toDF("id", "text")
+    val out = df.select($"id",
+        TextAnalysis.scrub($"text", denylist = Seq("customer", "key")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "[REDACTED] data and [REDACTED] material")
+    // a replacement containing '$0' must stay literal — Java replacement
+    // group references would re-insert the matched PHI
+    val dollar = df.where($"id" === 2L)
+      .select(TextAnalysis.scrub($"text", replacement = "<$0>").as("t"))
+      .as[String].head()
+    assert(dollar == "ssn <$0> here")
+  }
+
+  test("tfidf: blank rows do not inflate idf (N and df share the token-bearing basis)") {
+    val docs = Seq(
+      (1L, "shared zebra"), (2L, "shared"), (3L, ""), (4L, "   ")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(2)) -> r.getDouble(4)).toMap
+    // 'shared' is in BOTH token-bearing docs: idf must be ln(2/2) = 0, not
+    // ln(4/2) — blank rows previously counted into N but never into df
+    assert(out((1L, "shared")) == 0.0 && out((2L, "shared")) == 0.0)
+    assert(out((1L, "zebra")) > 0.0)
+  }
+
   test("withSplit is deterministic, exhaustive, and stable under repartitioning") {
     import graft.operators.Sampling
     val df = spark.range(0, 1000).toDF("id")
