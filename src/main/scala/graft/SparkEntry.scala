@@ -4886,7 +4886,8 @@ object SparkEntry {
         |c AS (
         |  SELECT e.vec_id,
         |    CASE WHEN d.mx = d.mn THEN 0
-        |         ELSE floor((e.embedding[d.i]::DOUBLE - d.mn) / (d.mx - d.mn) * 255.0 + 0.5 + 1e-9)::INT
+        |         ELSE least(255.0, greatest(0.0,
+        |           floor((e.embedding[d.i]::DOUBLE - d.mn) / (d.mx - d.mn) * 255.0 + 0.5 + 1e-9)))::INT
         |    END AS code,
         |    e.embedding[d.i]::DOUBLE AS x, d.mn, d.mx
         |  FROM embeddings e JOIN d ON d.i <= len(e.embedding))

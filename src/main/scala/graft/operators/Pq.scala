@@ -124,19 +124,26 @@ object Pq {
       qidCol: String,
       qvecCol: String,
       k: Int,
-      cb: Codebooks): DataFrame = {
+      cb: Codebooks,
+      excludeSelf: Boolean = true): DataFrame = {
     val qs = queries.select(
       col(qidCol),
       Bridge.column(PqLut(Bridge.expression(col(qvecCol)), cb.cents, cb.m, cb.k)).as("__lut"),
       Fns.l2Norm(col(qvecCol)).as("__qn"))
     val scored = encoded
-      .join(broadcast(qs), col(idCol) =!= col(qidCol))
+      .join(broadcast(qs),
+        if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
       .withColumn("__sim",
         Bridge.column(PqAdc(
           Bridge.expression(col("codes")), Bridge.expression(col("__lut")), cb.k)) /
           nullif(col("norm") * col("__qn"), lit(0.0)))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col(idCol).asc)
+    // null sims (zero-norm pairs) are DROPPED before ranking — the same
+    // rule as every Similarity top-k path; desc ordering puts nulls LAST,
+    // so without the filter a short candidate list would pad the top-k
+    // with null-scored rows the exact paths never emit
     scored
+      .where(col("__sim").isNotNull)
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col(qidCol), col("rank"), col(idCol), round(col("__sim"), 4).as("cosine_approx"))

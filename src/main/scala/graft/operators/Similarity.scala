@@ -272,7 +272,10 @@ object Similarity {
     *
     * @param cells `(id, cell)` assignment, e.g.
     *   `AnnIndex.loadEncoded(...).select(idCol, "__cell")` — reusing the
-    *   quantizer the ANN queries already persist.
+    *   quantizer the ANN queries already persist. Vectors whose id is
+    *   ABSENT from `cells` are silently excluded (inner join) — rebuild or
+    *   incrementally extend the index before deduping a grown corpus, or
+    *   the new docs dedup against nothing.
     */
   def semanticDedupPairs(
       vectors: DataFrame,
@@ -414,15 +417,25 @@ object Similarity {
       iters: Int,
       sampleMod: Int = 1
   ): Array[Array[Float]] = {
+    // null vectors never train (same guard as Pq.train — a null in the
+    // hash-ordered seed NPEs the collect, and a null in the refine sample
+    // assigns a null cell that NPEs the driver's getInt); seed dimensions
+    // must be uniform — the centroid matrix is flattened into one literal
+    // (centroidScores), where a ragged seed silently misaligns every score
     var cents: Array[Array[Float]] = candidates
       .select(col(idCol), col(vecCol))
+      .where(col(vecCol).isNotNull)
       .orderBy(xxhash64(col(idCol)))
       .limit(nCentroids)
       .collect()
       .map(r => r.getSeq[Float](1).toArray)
+    require(cents.nonEmpty, "empty centroid seed (no non-null vectors)")
+    require(cents.forall(_.length == cents.head.length),
+      s"mixed vector dimensions in the centroid seed (expected uniform ${cents.head.length})")
     if (iters == 0) return cents
     val sample = candidates.select(col(idCol).as("__sid"), col(vecCol).as("__sv"))
-      .where(if (sampleMod > 1) pmod(xxhash64(col("__sid")), lit(sampleMod)) === 0 else lit(true))
+      .where(col("__sv").isNotNull &&
+        (if (sampleMod > 1) pmod(xxhash64(col("__sid")), lit(sampleMod)) === 0 else lit(true)))
       .cache()
     for (_ <- 0 until iters) {
       val byComponent = sample
@@ -746,7 +759,9 @@ object Similarity {
     * on the emitted neighbors); recall misses only cross-cell neighbors,
     * pinned by the spec against [[knnJoin]].
     *
-    * @param cells `(id, cell)` from `AnnIndex.loadEncoded(...)`.
+    * @param cells `(id, cell)` from `AnnIndex.loadEncoded(...)`. As in
+    *   [[semanticDedupPairs]], ids absent from `cells` are silently
+    *   excluded by the inner join — keep the index in step with the corpus.
     */
   def knnJoinCells(
       vectors: DataFrame,
@@ -799,10 +814,15 @@ object Similarity {
           s => s.getField("__mx")).as("__maxs"))
 
   /** SQ8 encode: code[d] = floor((x[d]−min[d]) / (max[d]−min[d]) · 255 +
-    * 0.5 + 1e-9), clamped by construction to 0..255 (train saw the full
-    * corpus; the epsilon pins floor away from half-way boundaries so the
-    * SQL oracle replays the codes digit-for-digit). Degenerate dims
-    * (max = min) encode 0. Map-only after the one-row broadcast join.
+    * 0.5 + 1e-9), CLAMPED to 0..255 (the epsilon pins floor away from
+    * half-way boundaries so the SQL oracle replays the codes
+    * digit-for-digit). When train saw the full corpus the clamp is a
+    * no-op, but encode against PREVIOUSLY-trained ranges — incremental
+    * ingest, the production shape — routinely sees out-of-range
+    * components, and an unclamped code (-3, 261) silently decodes to a
+    * point OUTSIDE the training box (faiss clamps for the same reason).
+    * Degenerate dims (max = min) encode 0. Map-only after the one-row
+    * broadcast join.
     */
   def sq8Encode(vectors: DataFrame, idCol: String, vecCol: String,
       ranges: DataFrame): DataFrame = {
@@ -812,11 +832,12 @@ object Similarity {
     val v = "`" + vecCol.replace("`", "``") + "`"
     vectors.crossJoin(broadcast(ranges))
       .select(col(idCol), expr(
-        s"""transform(sequence(1, size($v), 1), d -> cast(floor(
+        s"""transform(sequence(1, size($v), 1), d -> cast(
+           |  least(255.0D, greatest(0.0D, floor(
            |  CASE WHEN element_at(__maxs, d) = element_at(__mins, d) THEN 0.0D
            |       ELSE (cast(element_at($v, d) as double) - element_at(__mins, d))
            |            / (element_at(__maxs, d) - element_at(__mins, d)) * 255.0D
-           |  END + 0.5D + 1e-9D) as int))""".stripMargin).as("codes"))
+           |  END + 0.5D + 1e-9D))) as int))""".stripMargin).as("codes"))
   }
 
   /** SQ8 decode: x̂[d] = min[d] + code[d]/255 · (max[d]−min[d]) — each

@@ -401,6 +401,57 @@ class DedupSpec extends SparkSpec {
     assert(dec(3L)(2) == 7.0f, "degenerate dim reconstructs exactly")
   }
 
+  test("sq8Encode clamps out-of-training-range components (incremental encode)") {
+    // encode against PREVIOUSLY-trained ranges — the production shape; an
+    // unclamped code (-128, 280) would decode OUTSIDE the training box
+    val train = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(10.0f, 1.0f))).toDF("vec_id", "embedding")
+    val ranges = Similarity.sq8Train(train, "embedding")
+    val fresh = Seq((3L, Seq(-5.0f, 2.0f))).toDF("vec_id", "embedding")
+    val codes = Similarity.sq8Encode(fresh, "vec_id", "embedding", ranges)
+      .collect()(0).getSeq[Int](1)
+    assert(codes == Seq(0, 255), s"below-min -> 0, above-max -> 255; got $codes")
+    // in-range components are untouched by the clamp (oracle parity)
+    val inRange = Similarity.sq8Encode(train, "vec_id", "embedding", ranges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(inRange(1L) == Seq(0, 0) && inRange(2L) == Seq(255, 255))
+  }
+
+  test("kmeansCentroids ignores null vectors in seed and refine (the Pq.train guard)") {
+    // pre-fix: a null vector in the refine sample assigned a null cell and
+    // NPE'd the driver-side getInt; one in the hash-ordered seed NPE'd the
+    // collect. Both paths now filter nulls, like Pq.train.
+    val vecs = ((0 until 12).map { i =>
+      val axis = i % 3
+      (i.toLong, Option(Seq.tabulate(6)(d =>
+        if (d == axis) 1.0f else (math.sin(i * 13 + d) * 0.05).toFloat)))
+    } :+ ((99L, Option.empty[Seq[Float]]))).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", nCentroids = 3, iters = 2)
+    assert(cents.length == 3 && cents.forall(_.length == 6))
+    // ragged seed dims fail loudly: the flattened centroid literal would
+    // silently misalign every score otherwise
+    val ragged = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansCentroids(ragged, "vec_id", "embedding", nCentroids = 2, iters = 0)
+    }
+    assert(e.getMessage.contains("mixed vector dimensions"))
+  }
+
+  test("Pq.topK drops zero-norm (null-sim) candidates instead of padding the top-k") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cb = Pq.train(vecs, "vec_id", "embedding", m = 2, k = 2, iters = 2, maxSample = 10)
+    val enc = Pq.encode(vecs, "vec_id", "embedding", cb)
+    val qs = vecs.where($"vec_id" === 1L)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    // k exceeds the real candidate count, so pre-fix the zero-norm row
+    // padded the result with a null cosine_approx — a row no exact path emits
+    val rows = Pq.topK(enc, qs, "vec_id", "query_id", "qvec", k = 5, cb).collect()
+    assert(rows.forall(!_.isNullAt(3)), "no null-scored rows in the top-k")
+    assert(!rows.map(_.getLong(2)).contains(3L), "zero-norm candidate never ranks")
+  }
+
   test("cosineTopK ranks the planted nearest neighbor first") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
