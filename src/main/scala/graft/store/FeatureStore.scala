@@ -31,7 +31,7 @@ class FeatureStore(val spark: SparkSession) {
   // ---- state: catalog driver-side; facts/audit as DataFrames ------------
 
   private var features0: Map[String, Feature] = Map.empty
-  private var groups: Map[String, FeatureGroup] = Map.empty
+  private var groups0: Map[String, FeatureGroup] = Map.empty
 
   /** Registry staged as a DATASET by [[FeatureStore.loadTx]]/load (round-6
     * verdict #7): the load path performs no driver round-trip at all — the
@@ -64,10 +64,32 @@ class FeatureStore(val spark: SparkSession) {
   }
   /** Test hook: whether the staged registry is still unmaterialized. */
   private[graft] def registryPendingForTest: Boolean = synchronized { pendingRegistry.nonEmpty }
+  /** Test hook: whether the staged groups table is still unmaterialized. */
+  private[graft] def groupsPendingForTest: Boolean = synchronized { pendingGroups.nonEmpty }
 
   private def features: Map[String, Feature] = synchronized { hydrateRegistry(); features0 }
   private def features_=(m: Map[String, Feature]): Unit = synchronized {
     hydrateRegistry(); features0 = m
+  }
+
+  // groups stage/hydrate exactly like the registry (same no-round-trip load
+  // contract, same monitor, same publish-after-build rule)
+  private var pendingGroups: Option[Dataset[FeatureGroup]] = None
+  private def hydrateGroups(): Unit = synchronized {
+    pendingGroups.foreach { ds =>
+      val b = scala.collection.mutable.Map.empty[String, FeatureGroup]
+      ds.toLocalIterator().forEachRemaining(g => b += g.group_id -> g)
+      groups0 = groups0 ++ b
+      pendingGroups = None
+    }
+  }
+  private[store] def stageGroups(ds: Dataset[FeatureGroup]): Unit = synchronized {
+    hydrateGroups()
+    pendingGroups = Some(ds)
+  }
+  private def groups: Map[String, FeatureGroup] = synchronized { hydrateGroups(); groups0 }
+  private def groups_=(m: Map[String, FeatureGroup]): Unit = synchronized {
+    hydrateGroups(); groups0 = m
   }
 
   /** EAV fact schema — FIXTURES.md A2 (typed value columns, choice (a) of
@@ -113,6 +135,9 @@ class FeatureStore(val spark: SparkSession) {
 
   def registryFeatures: Seq[Feature] = features.values.toSeq
   def valuesDF: DataFrame = values
+  /** All feature groups (B4) — the reference's feature_groups dict. */
+  def featureGroups: Seq[FeatureGroup] = groups.values.toSeq
+  def featureGroup(gid: String): Option[FeatureGroup] = groups.get(gid)
 
   // ---- audit as an append-only TABLE ------------------------------------
   // The reference accumulates audit records in a Python list
@@ -151,6 +176,10 @@ class FeatureStore(val spark: SparkSession) {
 
   private[graft] def restoreFeature(f: Feature): Unit = features += f.feature_id -> f
   private[store] def restoreValues(df: DataFrame): Unit = values = df
+  private[store] def restoreGroups(df: DataFrame): Unit = {
+    import spark.implicits._
+    stageGroups(df.as[FeatureGroup]) // lazy, like the registry
+  }
   private[store] def restoreAudit(df: DataFrame): Unit = {
     import spark.implicits._
     auditTable = df.as[AuditRecord].toDF()
@@ -535,6 +564,16 @@ class FeatureStore(val spark: SparkSession) {
     if (parentTypes.size > 1)
       return Left(s"derived parents span entity types ${parentTypes.mkString(",")}; " +
         "a derived feature needs co-typed parents")
+    // parents pivot to columns NAMED by feature name, and the registered
+    // expression references those names — two parents sharing a name (two
+    // VERSIONS of one feature) would pivot into duplicate columns and every
+    // downstream reference would die with an ambiguous-column error at
+    // materialize time; reject at registration where the cause is visible
+    val dupNames = parentIds.map(id => features(id).name)
+      .groupBy(identity).collect { case (n, xs) if xs.size > 1 => n }
+    if (dupNames.nonEmpty)
+      return Left(s"derived parents share a feature name (${dupNames.mkString(",")}); " +
+        "parent names must be unique — pick one version per name")
     // derived values are computed as doubles and stored in value_double —
     // any other declared value_type would disagree with the fact-log tag
     if (schema.value_type != "float64")
@@ -615,6 +654,13 @@ class FeatureStore(val spark: SparkSession) {
     spark.createDataset(features.values.toSeq)
   }
 
+  /** Feature groups as a typed Dataset — the persisted form (tiny, like
+    * the registry). */
+  def groupsDS: Dataset[FeatureGroup] = {
+    import spark.implicits._
+    spark.createDataset(groups.values.toSeq)
+  }
+
   /** Materialize every ACTIVE derived feature in topological (dependency)
     * order, so derived-of-derived chains see their parents' freshly-
     * appended values within the same pass. Only active features write to
@@ -659,6 +705,11 @@ class FeatureStore(val spark: SparkSession) {
     registryDS.write.mode("overwrite").parquet(s"$path/registry")
     graft.sources.Lakehouse.writeDatePartitioned(values, s"$path/feature_values", "event_timestamp")
     auditDF.write.mode("overwrite").parquet(s"$path/audit_log")
+    // groups travel with the store like the audit trail — without this, a
+    // save/load cycle silently lost every group created through the public
+    // CRUD (round-7 review); written even when empty so a load can tell
+    // "no groups" from "old layout" without guessing
+    groupsDS.write.mode("overwrite").parquet(s"$path/feature_groups")
   }
 
   /** Persistence on the transactional commit-log format
@@ -675,6 +726,7 @@ class FeatureStore(val spark: SparkSession) {
     TxTable(spark, s"$path/registry").overwrite(registryDS.toDF(), tsMillis)
     TxTable(spark, s"$path/feature_values").overwrite(values, tsMillis)
     TxTable(spark, s"$path/audit_log").overwrite(auditDF, tsMillis)
+    TxTable(spark, s"$path/feature_groups").overwrite(groupsDS.toDF(), tsMillis)
   }
 
   /** Catalog-table persistence with the full 100 TB layout: date partitions
@@ -687,10 +739,11 @@ class FeatureStore(val spark: SparkSession) {
   def saveBucketed(tablePrefix: String, nBuckets: Int): Unit = {
     import spark.implicits._
     registryDS.write.mode("overwrite").saveAsTable(s"${tablePrefix}_registry")
-    // the audit trail travels with the store on EVERY persistence path
-    // (same contract as save/saveTx) — dropping it here would lose the
-    // access log when a deployment standardizes on the bucketed layout
+    // the audit trail and groups travel with the store on EVERY persistence
+    // path (same contract as save/saveTx) — dropping either here would lose
+    // state when a deployment standardizes on the bucketed layout
     auditDF.write.mode("overwrite").saveAsTable(s"${tablePrefix}_audit")
+    groupsDS.write.mode("overwrite").saveAsTable(s"${tablePrefix}_groups")
     graft.sources.Lakehouse.writeBucketed(
       values.withColumn("event_date", to_date(col("event_timestamp"))),
       s"${tablePrefix}_values",
@@ -727,7 +780,11 @@ object FeatureStore {
   def exportDelta(spark: SparkSession, txPath: String, target: String,
       tsMillis: Long = System.currentTimeMillis()): Unit = {
     import graft.sources.{DeltaInterop, TxTable}
-    Seq("registry", "feature_values", "audit_log").foreach { name =>
+    // feature_groups is optional: pre-groups saveTx layouts don't have it,
+    // and the handoff must not invent an empty table the source never wrote
+    val tables = Seq("registry", "feature_values", "audit_log") ++
+      Some("feature_groups").filter(n => TxTable(spark, s"$txPath/$n").version() >= 0)
+    tables.foreach { name =>
       DeltaInterop.exportDelta(TxTable(spark, s"$txPath/$name"), s"$target/$name", tsMillis)
     }
   }
@@ -752,6 +809,11 @@ object FeatureStore {
     fs.restoreValues(snap("feature_values")
       .select(fs.valuesSchema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*))
     fs.restoreAudit(snap("audit_log")) // the audit trail travels with the store
+    // groups: tolerate their absence (stores saved before groups persisted
+    // have no feature_groups table; version() == -1 means "never committed")
+    val gt = TxTable(spark, s"$path/feature_groups")
+    if (gt.version() >= 0) fs.restoreGroups(
+      asOf.map(gt.readAsOfTimestamp).getOrElse(gt.read()))
     fs
   }
 
@@ -767,6 +829,12 @@ object FeatureStore {
     // same rule as loadTx: the audit trail travels with the store — without
     // this, a load-then-save cycle would overwrite audit_log with nothing
     fs.restoreAudit(spark.read.parquet(s"$path/audit_log"))
+    // groups: absent on pre-groups layouts — probe through the Hadoop FS
+    // (same resolution rule as the data reads; java.nio would misresolve a
+    // non-local path as a bogus relative one)
+    val gp = new org.apache.hadoop.fs.Path(s"$path/feature_groups")
+    if (gp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(gp))
+      fs.restoreGroups(spark.read.parquet(s"$path/feature_groups"))
     fs
   }
 }

@@ -243,6 +243,54 @@ class FeatureStoreSpec extends SparkSpec {
       .exists(_.getName.startsWith("event_date=")))
   }
 
+  test("feature groups persist across save/load and saveTx/loadTx; pre-groups layouts load") {
+    val (fs, hrId, dxId) = newStore()
+    ingestSample(fs, hrId, dxId)
+    val Right(g) = fs.createFeatureGroup("vitals", "patient", Seq(hrId, dxId), "d", "o", now)
+
+    // lakehouse layout
+    val dir = java.nio.file.Files.createTempDirectory("graft_store_grp").toString
+    fs.save(dir)
+    val re = FeatureStore.load(spark, dir)
+    assert(re.featureGroups.map(_.group_id) == Seq(g.group_id))
+    assert(re.featureGroup(g.group_id).exists(_.features == Seq(hrId, dxId)))
+
+    // transactional layout: staged lazily like the registry
+    val txDir = java.nio.file.Files.createTempDirectory("graft_store_grp_tx").toString
+    fs.saveTx(txDir, tsMillis = 1000L)
+    val reTx = FeatureStore.loadTx(spark, txDir)
+    assert(reTx.groupsPendingForTest, "loadTx must stage groups, not materialize them")
+    assert(reTx.featureGroups.map(_.name) == Seq("vitals"))
+    assert(!reTx.groupsPendingForTest)
+
+    // a PRE-groups layout (no feature_groups table) loads with empty groups
+    // instead of failing — backward compatibility with earlier saves
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(); ()
+    }
+    deleteRec(new java.io.File(s"$dir/feature_groups"))
+    deleteRec(new java.io.File(s"$txDir/feature_groups"))
+    assert(FeatureStore.load(spark, dir).featureGroups.isEmpty)
+    assert(FeatureStore.loadTx(spark, txDir).featureGroups.isEmpty)
+  }
+
+  test("registerDerivedFeature rejects duplicate parent names (two versions of one feature)") {
+    val (fs, hrId, _) = newStore()
+    val Right(hr2) = fs.registerFeature(
+      "heart_rate", "2.0.0",
+      FeatureSchemaMeta("heart_rate", "float64", entity_type = "patient"),
+      FeatureSourceMeta("batch"), "ops", now)
+    fs.activateFeature(hr2.feature_id, now)
+    // both parents pivot to a column named "heart_rate" — ambiguous; the
+    // misconfiguration must die at registration, not at materialize time
+    val r = fs.registerDerivedFeature(
+      "hr_blend", "1.0.0",
+      FeatureSchemaMeta("hr_blend", "float64", entity_type = "patient"),
+      parentIds = Seq(hrId, hr2.feature_id),
+      sqlExpr = "heart_rate * 2", owner = "ops", now = now)
+    assert(r.isLeft && r.left.exists(_.contains("share a feature name")))
+  }
+
   test("loadTx stages the catalog lazily: no driver round-trip until first catalog access") {
     val (fs, hrId, dxId) = newStore()
     ingestSample(fs, hrId, dxId)
