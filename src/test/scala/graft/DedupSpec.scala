@@ -77,6 +77,36 @@ class DedupSpec extends SparkSpec {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("connectedComponents: union-find fast path ≡ distributed propagation (differential)") {
+    // the two code paths share no logic beyond the contract — random edge
+    // sets must resolve identically through both (this is also the only
+    // executable check on the hand-rolled LongLongMap's hashing)
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 4) {
+      val nNodes = 20 + round * 15
+      val edges = Seq.fill(40 + round * 20)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      val pairs = edges.toDF("id_a", "id_b")
+      val fast = Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Dedup.connectedComponents(pairs, smallGraphEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == dist, s"paths disagree on round $round")
+    }
+  }
+
+  test("connectedComponents fast path survives LongLongMap growth (70k-node chain)") {
+    // the union-find parent table starts at 2^16 slots and grows at 0.5
+    // load — a 70k-node chain forces at least one rehash mid-build; every
+    // node must still resolve to the chain's minimum
+    val chain = spark.range(0, 70000)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val cc = Dedup.connectedComponents(chain)
+    assert(cc.where(col("canonical_id") =!= 0L).isEmpty, "all nodes resolve to 0")
+    assert(cc.count() == 70001L)
+  }
+
   test("simhash: exact dups identical, near dups close, unrelated far") {
     val m = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
