@@ -1481,6 +1481,15 @@ object SparkEntry {
       textCol = "text")
       .orderBy("doc_id")
 
+  /** G3 — interpolated bigram LM mean token log-prob (the CCNet-style
+    * perplexity quality filter, dependency-free form): first token scores
+    * its unigram, later tokens λ·P(w|prev) + (1−λ)·P(w), λ=0.75. Pairs
+    * build map-side from the token array; all joins vocabulary-keyed. */
+  private def g3BigramLm(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogProb(Tables.documents(s, dir), idCol = "doc_id",
+      textCol = "text", lambda = 0.75)
+      .orderBy("doc_id")
+
   /** G3 — DSIR importance weights: every doc scored by how much more
     * likely its tokens are under the English subset's unigram LM than
     * under the whole corpus's (add-0.5 smoothing over the shared vocab) —
@@ -3873,6 +3882,7 @@ object SparkEntry {
     "g3_tfidf"           -> (g3Tfidf _),
     "g3_bm25"            -> (g3Bm25 _),
     "g3_unigram_lm"      -> (g3UnigramLm _),
+    "g3_bigram_lm"       -> (g3BigramLm _),
     "g3_dsir"            -> (g3Dsir _),
     "g1_dedup_resolve"   -> (g1DedupResolve _),
     "g1_dedup_best"      -> (g1DedupBest _),
@@ -4815,6 +4825,28 @@ object SparkEntry {
         |       count(*) AS n_tokens
         |FROM toks JOIN counts USING (term) CROSS JOIN total
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "g3_bigram_lm" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |toks AS (
+        |  SELECT doc_id, t[i] AS term,
+        |         CASE WHEN i = 1 THEN NULL ELSE t[i-1] END AS prev
+        |  FROM base, unnest(generate_series(1, len(t))) AS u(i)
+        |  WHERE len(t) > 0),
+        |tot AS (SELECT count(*)::DOUBLE AS n FROM toks),
+        |uni AS (SELECT term, count(*)::DOUBLE AS uc FROM toks GROUP BY 1),
+        |bi AS (SELECT prev, term, count(*)::DOUBLE AS bc FROM toks WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT toks.doc_id, count(*)::BIGINT AS n_tokens,
+        |       round(avg(CASE WHEN toks.prev IS NULL THEN ln(u.uc / tot.n)
+        |                      ELSE ln(0.75 * coalesce(bi.bc, 0) / pu.uc + 0.25 * u.uc / tot.n)
+        |                 END) + 1e-9, 4) AS mean_logprob
+        |FROM toks
+        |JOIN uni u ON u.term = toks.term
+        |LEFT JOIN uni pu ON pu.term = toks.prev
+        |LEFT JOIN bi ON bi.prev = toks.prev AND bi.term = toks.term
+        |CROSS JOIN tot
+        |GROUP BY toks.doc_id ORDER BY toks.doc_id""".stripMargin,
     "g3_dsir" ->
       """WITH rawt AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
         |tgtt AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents WHERE lang = 'en'),

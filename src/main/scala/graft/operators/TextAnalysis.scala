@@ -361,6 +361,66 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Interpolated bigram LM mean token log-prob per doc — the stronger
+    * form of [[unigramLogProb]] and the dependency-free shape of the
+    * CCNet/Gopher perplexity quality filter (those use KenLM n-gram
+    * models; the mechanism — score each token by its in-context
+    * probability under a corpus-trained LM, filter on the mean — is
+    * identical, only the model order differs).
+    *
+    * Per-token log-probability, MLE-trained on the scored corpus itself:
+    *   - a doc's FIRST token: ln(cnt1(w) / N) (no context exists);
+    *   - later tokens: ln(λ·cnt2(prev,w)/cnt1(prev) + (1−λ)·cnt1(w)/N) —
+    *     Jelinek-Mercer interpolation with the unigram, so an unseen-in-
+    *     context token backs off instead of scoring -∞ (within one corpus
+    *     every pair was counted, but the interpolated form is what applies
+    *     unchanged when the tables are trained on a REFERENCE corpus and
+    *     score a new batch).
+    *
+    * Scale shape: token/bigram pairs are built MAP-SIDE from the per-doc
+    * token array (no per-doc window, no doc-keyed shuffle for context);
+    * the count tables and the score joins are vocabulary-keyed shuffles
+    * with partial aggregation, exactly like [[unigramLogProb]]; the
+    * per-doc mean is one more partial-agg shuffle. Nothing broadcasts the
+    * vocabulary (it scales with the corpus).
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val toks = docs
+      .where(length(trim(col(textCol))) > 0) // cheap prefilter; tokens() is empty-safe
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) > 0)
+      .select(col(idCol), explode(expr(
+        """transform(sequence(1, size(__t)), i -> named_struct(
+          |  'term', element_at(__t, i),
+          |  'prev', CASE WHEN i = 1 THEN cast(null as string)
+          |               ELSE element_at(__t, i - 1) END))""".stripMargin)).as("__p"))
+      .select(col(idCol), col("__p.term").as("term"), col("__p.prev").as("prev"))
+      // materialized once: feeds the total, both count tables AND the score
+      // join — left lazy, the scan + split + pair transform run four times
+      // (the same multi-consumer guard as Dedup.jaccardPairs)
+      .localCheckpoint()
+    val total = toks.agg(count(lit(1)).cast("double").as("__n"))
+    val uni = toks.groupBy("term").agg(count(lit(1)).cast("double").as("__uc"))
+    val bi = toks.where(col("prev").isNotNull)
+      .groupBy("prev", "term").agg(count(lit(1)).cast("double").as("__bc"))
+    toks
+      .join(uni, Seq("term"))
+      .join(uni.select(col("term").as("prev"), col("__uc").as("__pc")), Seq("prev"), "left")
+      .join(bi, Seq("prev", "term"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("__lp",
+        when(col("prev").isNull, log(col("__uc") / col("__n")))
+          .otherwise(log(
+            lit(lambda) * coalesce(col("__bc"), lit(0.0)) / col("__pc") +
+              lit(1.0 - lambda) * col("__uc") / col("__n"))))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        Fns.epsRound(avg(col("__lp")), 4).as("mean_logprob"))
+  }
+
   /** Unigram language-model scoring — the cheap perplexity proxy used for
     * corpus quality filtering: each doc's mean token log-probability under
     * the corpus's own unigram distribution (MLE, no smoothing needed —

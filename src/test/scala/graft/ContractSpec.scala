@@ -34,14 +34,15 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("query count matches the documented surface") {
-    // 167 = round-6's 163 plus the round-7 additions: b5_delta_export_incr
+    // 168 = round-6's 163 plus the round-7 additions: b5_delta_export_incr
     // (incremental Delta mirroring + checkpoint cadence),
     // b5_iceberg_export + b5_iceberg_export_incr (Iceberg v1 export/read
     // + snapshot-append mirroring, second cross-engine oracle format),
-    // and h12_token_budget_bpe (corpus budget in real BPE tokens, oracle
-    // replays the arithmetic from published counts)
-    assert(SparkEntry.queries.size == 167,
-      s"declared query count ${SparkEntry.queries.size} != documented 167 — " +
+    // h12_token_budget_bpe (corpus budget in real BPE tokens, oracle
+    // replays the arithmetic from published counts), and g3_bigram_lm
+    // (interpolated bigram-LM perplexity filter, full oracle)
+    assert(SparkEntry.queries.size == 168,
+      s"declared query count ${SparkEntry.queries.size} != documented 168 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

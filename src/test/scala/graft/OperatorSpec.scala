@@ -390,6 +390,29 @@ class OperatorSpec extends SparkSpec {
     assert(hits(1L) == 3L && hits(2L) == 1L)
   }
 
+  test("bigramLogProb: closed form on a tiny corpus; context raises in-context tokens") {
+    import graft.operators.TextAnalysis
+    // corpus: "a b" x2, "a c" x1 -> N = 6 tokens
+    // uni: a=3, b=2, c=1; bigrams: (a,b)=2, (a,c)=1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val lam = 0.75
+    val out = TextAnalysis.bigramLogProb(docs, "doc_id", "text", lambda = lam)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val n = 6.0
+    def lp1(c: Double) = math.log(c / n)
+    def lp2(bc: Double, pc: Double, c: Double) = math.log(lam * bc / pc + (1 - lam) * c / n)
+    val exp1 = (lp1(3) + lp2(2, 3, 2)) / 2 // "a b": first=uni(a), second=interp(b|a)
+    val exp3 = (lp1(3) + lp2(1, 3, 1)) / 2 // "a c"
+    assert(out(1L)._1 == 2L && math.abs(out(1L)._2 - exp1) < 1e-3)
+    assert(out(2L)._2 == out(1L)._2, "identical docs score identically")
+    assert(math.abs(out(3L)._2 - exp3) < 1e-3)
+    // the in-context token (b after a, p=0.75*2/3+0.25*2/6 ≈ 0.583) scores
+    // far above its unigram (2/6): the bigram filter rewards fluent
+    // continuations — the property the unigram proxy cannot express
+    assert(out(1L)._2 > lp1(3) / 2 + lp1(2) / 2,
+      "interpolated score must beat the pure-unigram mean for in-context text")
+  }
+
   test("unigramLogProb: rare-vocabulary docs score more negative; uniform corpus scores ln(1/V)") {
     val docs = Seq(
       (1L, "common common common common"),
