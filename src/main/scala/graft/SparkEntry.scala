@@ -1481,6 +1481,15 @@ object SparkEntry {
       textCol = "text")
       .orderBy("doc_id")
 
+  /** G3 — Zipf rank-frequency slope per source: the templated/synthetic-
+    * text audit (natural text ≈ −1; a flat head or truncated tail flags a
+    * machine-generated or boilerplate-heavy slice). Vocab-keyed count
+    * shuffle, vocab-row rank window, closed-form least squares. */
+  private def g3Zipf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zipfSlope(Tables.documents(s, dir), textCol = "text",
+      groupCol = "source")
+      .orderBy("source")
+
   /** G3 — interpolated bigram LM mean token log-prob (the CCNet-style
     * perplexity quality filter, dependency-free form): first token scores
     * its unigram, later tokens λ·P(w|prev) + (1−λ)·P(w), λ=0.75. Pairs
@@ -3883,6 +3892,7 @@ object SparkEntry {
     "g3_bm25"            -> (g3Bm25 _),
     "g3_unigram_lm"      -> (g3UnigramLm _),
     "g3_bigram_lm"       -> (g3BigramLm _),
+    "g3_zipf"            -> (g3Zipf _),
     "g3_dsir"            -> (g3Dsir _),
     "g1_dedup_resolve"   -> (g1DedupResolve _),
     "g1_dedup_best"      -> (g1DedupBest _),
@@ -4825,6 +4835,20 @@ object SparkEntry {
         |       count(*) AS n_tokens
         |FROM toks JOIN counts USING (term) CROSS JOIN total
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "g3_zipf" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |counts AS (SELECT source, term, count(*) AS c FROM toks GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT source,
+        |         ln(row_number() OVER (PARTITION BY source ORDER BY c DESC, term ASC)::DOUBLE) AS x,
+        |         ln(c::DOUBLE) AS y
+        |  FROM counts)
+        |SELECT source, count(*)::BIGINT AS n_terms,
+        |       round((count(*) * sum(x * y) - sum(x) * sum(y)) /
+        |             nullif(count(*) * sum(x * x) - sum(x) * sum(x), 0.0) + 1e-9, 4) AS zipf_slope
+        |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
     "g3_bigram_lm" ->
       """WITH base AS (
         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS t

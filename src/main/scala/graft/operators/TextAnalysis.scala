@@ -421,6 +421,46 @@ object TextAnalysis {
         Fns.epsRound(avg(col("__lp")), 4).as("mean_logprob"))
   }
 
+  /** Zipf rank-frequency slope per corpus slice — the templated/synthetic-
+    * text detector of a corpus QA pass: natural language's term
+    * frequencies follow freq ∝ rank^s with s ≈ −1 (Zipf's law), while
+    * machine-generated, boilerplate-heavy, or templated slices bend the
+    * curve (flat head from a tiny repeated vocabulary, or a truncated
+    * tail). The statistic is the least-squares slope of ln(freq) against
+    * ln(rank) over the slice's vocabulary, reported with the vocabulary
+    * size — an auditor flags slices whose slope sits far from −1.
+    *
+    * Scale shape: term counts are one vocabulary-keyed partial-agg shuffle
+    * (rows ∝ vocab, not corpus); the rank window orders VOCABULARY rows
+    * within each slice (never corpus rows — a slice's vocab is bounded by
+    * the Heaps-law sublinear curve); the slope's five sums fold in one
+    * more partial-agg pass. Ties rank deterministically (count desc, term
+    * asc), the same pinned total order every ranking in this engine uses.
+    * Closed form: s = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), x = ln rank,
+    * y = ln freq — exact arithmetic an external engine replays.
+    */
+  def zipfSlope(docs: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val counts = docs
+      .where(length(trim(col(textCol))) > 0)
+      .select(col(groupCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__c").desc, col("term").asc)
+    counts
+      .withColumn("__x", log(row_number().over(w).cast("double")))
+      .withColumn("__y", log(col("__c").cast("double")))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        Fns.epsRound(
+          (count(lit(1)) * sum(col("__x") * col("__y")) - sum("__x") * sum("__y")) /
+            // nullif: a single-term slice has zero x-variance — its slope
+            // is undefined (null), not a 0/0 NaN that poisons downstream
+            // aggregates (same zero-denominator rule as cosine's norms)
+            nullif(count(lit(1)) * sum(col("__x") * col("__x")) - sum("__x") * sum("__x"), lit(0.0)),
+          4).as("zipf_slope"))
+  }
+
   /** Unigram language-model scoring — the cheap perplexity proxy used for
     * corpus quality filtering: each doc's mean token log-probability under
     * the corpus's own unigram distribution (MLE, no smoothing needed —

@@ -39,10 +39,12 @@ class ContractSpec extends AnyFunSuite {
     // b5_iceberg_export + b5_iceberg_export_incr (Iceberg v1 export/read
     // + snapshot-append mirroring, second cross-engine oracle format),
     // h12_token_budget_bpe (corpus budget in real BPE tokens, oracle
-    // replays the arithmetic from published counts), and g3_bigram_lm
-    // (interpolated bigram-LM perplexity filter, full oracle)
-    assert(SparkEntry.queries.size == 168,
-      s"declared query count ${SparkEntry.queries.size} != documented 168 — " +
+    // replays the arithmetic from published counts), g3_bigram_lm
+    // (interpolated bigram-LM perplexity filter, full oracle), and
+    // g3_zipf (Zipf rank-frequency slope per source — templated-text
+    // audit, full oracle)
+    assert(SparkEntry.queries.size == 169,
+      s"declared query count ${SparkEntry.queries.size} != documented 169 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

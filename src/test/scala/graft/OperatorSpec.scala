@@ -390,6 +390,21 @@ class OperatorSpec extends SparkSpec {
     assert(hits(1L) == 3L && hits(2L) == 1L)
   }
 
+  test("zipfSlope: exactly -1 on a perfect Zipf corpus; degenerate slice is null") {
+    import graft.operators.TextAnalysis
+    // counts 6/3/2 at ranks 1/2/3 are EXACTLY freq = 6/rank — a perfect
+    // Zipf corpus whose least-squares slope is -1 in closed form
+    val docs = Seq(
+      (1L, "a a a a a a b b b c c", "web"),
+      (2L, "solo", "code") // single-term slice: zero x-variance
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.zipfSlope(docs, "text", "source")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), Option(r.get(2)))).toMap
+    assert(out("web")._1 == 3L)
+    assert(out("web")._2.contains(-1.0), s"perfect Zipf must fit slope -1, got ${out("web")._2}")
+    assert(out("code")._2.isEmpty, "single-term slice has undefined slope (null, not NaN)")
+  }
+
   test("bigramLogProb: closed form on a tiny corpus; context raises in-context tokens") {
     import graft.operators.TextAnalysis
     // corpus: "a b" x2, "a c" x1 -> N = 6 tokens
