@@ -1481,6 +1481,15 @@ object SparkEntry {
       textCol = "text")
       .orderBy("doc_id")
 
+  /** G3 — the published Gopher quality-rule battery (Rae et al. 2021,
+    * Table A1): word/line stats, duplicate-line fractions, bullet/
+    * ellipsis line fractions, symbol ratio, alpha-word fraction, and the
+    * conjunction flag — one map-only scan, all HOFs, no UDF. */
+  private def g3Gopher(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherQuality(Tables.documents(s, dir), idCol = "doc_id",
+      textCol = "text")
+      .orderBy("doc_id")
+
   /** G3 — Zipf rank-frequency slope per source: the templated/synthetic-
     * text audit (natural text ≈ −1; a flat head or truncated tail flags a
     * machine-generated or boilerplate-heavy slice). Vocab-keyed count
@@ -3893,6 +3902,7 @@ object SparkEntry {
     "g3_unigram_lm"      -> (g3UnigramLm _),
     "g3_bigram_lm"       -> (g3BigramLm _),
     "g3_zipf"            -> (g3Zipf _),
+    "g3_gopher"          -> (g3Gopher _),
     "g3_dsir"            -> (g3Dsir _),
     "g1_dedup_resolve"   -> (g1DedupResolve _),
     "g1_dedup_best"      -> (g1DedupBest _),
@@ -4835,6 +4845,39 @@ object SparkEntry {
         |       count(*) AS n_tokens
         |FROM toks JOIN counts USING (term) CROSS JOIN total
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "g3_gopher" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS w,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> len(l) > 0) AS li
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(w)::BIGINT AS n_words, len(li)::BIGINT AS n_lines,
+        |    round(list_sum(list_transform(w, x -> len(x)))::DOUBLE
+        |          / nullif(len(w), 0) + 1e-9, 4) AS mean_word_len,
+        |    round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+        |          / nullif(len(w), 0) + 1e-9, 4) AS alpha_word_frac,
+        |    round(((length(text) - length(replace(text, '#', '')))
+        |           + (length(text) - length(replace(text, '...', ''))) / 3.0)
+        |          / nullif(len(w), 0) + 1e-9, 4) AS symbol_word_ratio,
+        |    round(len(list_filter(li, l -> left(l, 1) IN ('-', '*', '•')))::DOUBLE
+        |          / nullif(len(li), 0) + 1e-9, 4) AS bullet_start_frac,
+        |    round(len(list_filter(li, l -> right(l, 3) = '...' OR right(l, 1) = '…'))::DOUBLE
+        |          / nullif(len(li), 0) + 1e-9, 4) AS ellipsis_end_frac,
+        |    round(1.0 - len(list_distinct(li))::DOUBLE / nullif(len(li), 0) + 1e-9, 4) AS dup_line_frac,
+        |    round(1.0 - list_sum(list_transform(list_distinct(li), l -> len(l)))::DOUBLE
+        |          / nullif(list_sum(list_transform(li, l -> len(l)))::DOUBLE, 0.0) + 1e-9, 4) AS dup_line_char_frac
+        |  FROM d)
+        |SELECT doc_id, n_words, n_lines, mean_word_len, alpha_word_frac,
+        |       symbol_word_ratio, bullet_start_frac, ellipsis_end_frac,
+        |       dup_line_frac, dup_line_char_frac,
+        |       coalesce(n_words >= 50 AND n_words <= 100000
+        |         AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |         AND symbol_word_ratio <= 0.1 AND bullet_start_frac <= 0.9
+        |         AND ellipsis_end_frac <= 0.3 AND alpha_word_frac >= 0.8
+        |         AND dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2, false) AS gopher_clean
+        |FROM m ORDER BY doc_id""".stripMargin,
     "g3_zipf" ->
       """WITH toks AS (
         |  SELECT source, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS term

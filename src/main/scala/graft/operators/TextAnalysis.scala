@@ -421,6 +421,90 @@ object TextAnalysis {
         Fns.epsRound(avg(col("__lp")), 4).as("mean_logprob"))
   }
 
+  /** The published Gopher quality-rule set (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", Table A1) as ONE map-only pass — the
+    * document-level filter battery most production corpus builds run
+    * verbatim (C4/MassiveText lineage). Per doc:
+    *
+    *  - `n_words`, `mean_word_len` — word count and mean word length
+    *    (rule: 50 ≤ n_words ≤ 100k, 3 ≤ mean ≤ 10);
+    *  - `alpha_word_frac` — fraction of words containing ≥1 ASCII
+    *    alphabetic character (rule: ≥ 0.8; extend the class per-script
+    *    for non-Latin corpora);
+    *  - `symbol_word_ratio` — ('#' occurrences + '...' occurrences) /
+    *    n_words (rule: ≤ 0.1);
+    *  - `bullet_start_frac` / `ellipsis_end_frac` — fraction of nonblank
+    *    TRIMMED lines starting with a bullet ('-', '*', '•') / ending
+    *    with an ellipsis ("..." or '…') (rules: ≤ 0.9 / ≤ 0.3);
+    *  - `dup_line_frac` / `dup_line_char_frac` — fraction of nonblank
+    *    lines that exactly duplicate an earlier line, and the fraction of
+    *    line characters in those duplicates (rules: ≤ 0.3 / ≤ 0.2);
+    *  - `gopher_clean` — the conjunction of all eight rules.
+    *
+    * Everything is built from the per-doc line/word arrays with
+    * codegen'd higher-order functions — no shuffle, no UDF; 100 TB
+    * filters in a single scan. Zero-word docs report null ratios and
+    * fail `gopher_clean` via the word-count rule (false, not null:
+    * SQL's false-AND-null). */
+  def gopherQuality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // backquote the interpolated identifier (same rule as sq8Encode): this
+    // is the one SQL fragment the column name is spliced into
+    val tq = "`" + textCol.replace("`", "``") + "`"
+    val out = docs
+      .withColumn("__w", tokens(col(textCol)))
+      .withColumn("__lines", expr(
+        s"""filter(transform(split($tq, '\\n'), l -> trim(l)), l -> length(l) > 0)"""))
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("n_lines", size(col("__lines")).cast("long"))
+      .withColumn("mean_word_len",
+        epsRoundOrNull(expr("aggregate(__w, 0L, (a, w) -> a + length(w))").cast("double") /
+          nullif(col("n_words").cast("double"), lit(0.0))))
+      .withColumn("alpha_word_frac",
+        epsRoundOrNull(expr("size(filter(__w, w -> w rlike '[A-Za-z]'))").cast("double") /
+          nullif(col("n_words").cast("double"), lit(0.0))))
+      .withColumn("symbol_word_ratio",
+        epsRoundOrNull((
+          (length(col(textCol)) - length(regexp_replace(col(textCol), "#", ""))).cast("double") +
+            (length(col(textCol)) - length(regexp_replace(col(textCol), "\\.\\.\\.", ""))).cast("double") / 3.0) /
+          nullif(col("n_words").cast("double"), lit(0.0))))
+      .withColumn("bullet_start_frac",
+        epsRoundOrNull(expr(
+          "size(filter(__lines, l -> startswith(l, '-') or startswith(l, '*') or startswith(l, '•')))")
+          .cast("double") / nullif(col("n_lines").cast("double"), lit(0.0))))
+      .withColumn("ellipsis_end_frac",
+        epsRoundOrNull(expr(
+          "size(filter(__lines, l -> endswith(l, '...') or endswith(l, '…')))")
+          .cast("double") / nullif(col("n_lines").cast("double"), lit(0.0))))
+      .withColumn("dup_line_frac",
+        epsRoundOrNull(lit(1.0) -
+          expr("size(array_distinct(__lines))").cast("double") /
+            nullif(col("n_lines").cast("double"), lit(0.0))))
+      .withColumn("dup_line_char_frac",
+        epsRoundOrNull(lit(1.0) -
+          expr("aggregate(array_distinct(__lines), 0L, (a, l) -> a + length(l))").cast("double") /
+            nullif(expr("aggregate(__lines, 0L, (a, l) -> a + length(l))").cast("double"), lit(0.0))))
+    out
+      .withColumn("gopher_clean",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_word_ratio") <= 0.1 &&
+          col("bullet_start_frac") <= 0.9 &&
+          col("ellipsis_end_frac") <= 0.3 &&
+          col("alpha_word_frac") >= 0.8 &&
+          col("dup_line_frac") <= 0.3 &&
+          col("dup_line_char_frac") <= 0.2)
+      // false-not-null for zero-word docs: the n_words clause is false, and
+      // SQL false AND null = false — but make it explicit for readability
+      .withColumn("gopher_clean", coalesce(col("gopher_clean"), lit(false)))
+      .select((Seq(col(idCol), col("n_words"), col("n_lines"), col("mean_word_len"),
+        col("alpha_word_frac"), col("symbol_word_ratio"), col("bullet_start_frac"),
+        col("ellipsis_end_frac"), col("dup_line_frac"), col("dup_line_char_frac"),
+        col("gopher_clean"))): _*)
+  }
+
+  // epsRound that passes null through (nullif-guarded ratios)
+  private def epsRoundOrNull(c: Column): Column = Fns.epsRound(c, 4)
+
   /** Zipf rank-frequency slope per corpus slice — the templated/synthetic-
     * text detector of a corpus QA pass: natural language's term
     * frequencies follow freq ∝ rank^s with s ≈ −1 (Zipf's law), while

@@ -40,11 +40,12 @@ class ContractSpec extends AnyFunSuite {
     // + snapshot-append mirroring, second cross-engine oracle format),
     // h12_token_budget_bpe (corpus budget in real BPE tokens, oracle
     // replays the arithmetic from published counts), g3_bigram_lm
-    // (interpolated bigram-LM perplexity filter, full oracle), and
-    // g3_zipf (Zipf rank-frequency slope per source — templated-text
-    // audit, full oracle)
-    assert(SparkEntry.queries.size == 169,
-      s"declared query count ${SparkEntry.queries.size} != documented 169 — " +
+    // (interpolated bigram-LM perplexity filter, full oracle), g3_zipf
+    // (Zipf rank-frequency slope per source — templated-text audit, full
+    // oracle), and g3_gopher (the published Gopher Table-A1 quality-rule
+    // battery, one map-only scan, full oracle)
+    assert(SparkEntry.queries.size == 170,
+      s"declared query count ${SparkEntry.queries.size} != documented 170 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

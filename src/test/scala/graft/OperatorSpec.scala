@@ -390,6 +390,26 @@ class OperatorSpec extends SparkSpec {
     assert(hits(1L) == 3L && hits(2L) == 1L)
   }
 
+  test("gopherQuality: published rule battery — closed forms and the clean flag") {
+    import graft.operators.TextAnalysis
+    val longDoc = ("word " * 60).trim // 60 words, mean len 4, one line, no rule trips
+    val dupLines = "alpha beta\nalpha beta\ngamma delta" // 1 of 3 lines duplicates
+    val bullets = "- one\n- two\n- three"
+    val docs = Seq(
+      (1L, longDoc), (2L, dupLines), (3L, bullets), (4L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQuality(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(10), "a 60-word plain doc passes the battery")
+    assert(math.abs(out(2L).getDouble(8) - 1.0 / 3.0) < 1e-3, "dup_line_frac = 1/3")
+    // line chars 10+10+11 = 31; distinct 10+11 = 21 -> dup chars 10/31
+    assert(math.abs(out(2L).getDouble(9) - (1.0 - 21.0 / 31.0)) < 1e-3)
+    assert(out(3L).getDouble(6) == 1.0, "all-bullet doc: bullet_start_frac = 1")
+    assert(!out(3L).getBoolean(10), "bullet doc fails (word count AND bullet rule)")
+    assert(!out(4L).getBoolean(10) && out(4L).isNullAt(3),
+      "empty doc: null ratios, clean = false (not null)")
+  }
+
   test("zipfSlope: exactly -1 on a perfect Zipf corpus; degenerate slice is null") {
     import graft.operators.TextAnalysis
     // counts 6/3/2 at ranks 1/2/3 are EXACTLY freq = 6/rank — a perfect
