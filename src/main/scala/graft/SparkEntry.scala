@@ -1490,6 +1490,15 @@ object SparkEntry {
       textCol = "text")
       .orderBy("doc_id")
 
+  /** G3 — the published C4 line-level cleaning battery (Raffel et al.
+    * 2020, §2.2): terminal-punctuation + ≥5-word + no-"javascript" line
+    * retention, the sentence-count page rule, and the lorem-ipsum /
+    * curly-brace page markers — one map-only scan, all HOFs, no UDF. */
+  private def g3C4(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.c4Quality(Tables.documents(s, dir), idCol = "doc_id",
+      textCol = "text")
+      .orderBy("doc_id")
+
   /** G3 — Zipf rank-frequency slope per source: the templated/synthetic-
     * text audit (natural text ≈ −1; a flat head or truncated tail flags a
     * machine-generated or boilerplate-heavy slice). Vocab-keyed count
@@ -3903,6 +3912,7 @@ object SparkEntry {
     "g3_bigram_lm"       -> (g3BigramLm _),
     "g3_zipf"            -> (g3Zipf _),
     "g3_gopher"          -> (g3Gopher _),
+    "g3_c4"              -> (g3C4 _),
     "g3_dsir"            -> (g3Dsir _),
     "g1_dedup_resolve"   -> (g1DedupResolve _),
     "g1_dedup_best"      -> (g1DedupBest _),
@@ -4878,6 +4888,33 @@ object SparkEntry {
         |         AND ellipsis_end_frac <= 0.3 AND alpha_word_frac >= 0.8
         |         AND dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2, false) AS gopher_clean
         |FROM m ORDER BY doc_id""".stripMargin,
+    "g3_c4" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> len(l) > 0) AS li
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, text, li,
+        |    list_filter(li, l ->
+        |      len(list_filter(string_split_regex(l, '\s+'), x -> len(x) > 0)) >= 5
+        |      AND right(l, 1) IN ('.', '!', '?', '"')
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM d)
+        |SELECT doc_id,
+        |  len(li)::BIGINT AS n_lines,
+        |  len(kept)::BIGINT AS n_kept_lines,
+        |  round(len(kept)::DOUBLE / nullif(len(li), 0) + 1e-9, 4) AS kept_line_frac,
+        |  coalesce(list_sum(list_transform(kept, l ->
+        |    len(list_filter(string_split_regex(l, '\s+'), x -> len(x) > 0)))), 0)::BIGINT AS n_kept_words,
+        |  coalesce(list_sum(list_transform(kept, l ->
+        |    len(l) - len(regexp_replace(l, '[.!?]', '', 'g')))), 0)::BIGINT AS n_sentences,
+        |  contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+        |  contains(text, '{') AS has_code_brace,
+        |  (coalesce(list_sum(list_transform(kept, l ->
+        |    len(l) - len(regexp_replace(l, '[.!?]', '', 'g')))), 0) >= 3
+        |   AND NOT contains(lower(text), 'lorem ipsum')
+        |   AND NOT contains(text, '{')) AS c4_keep
+        |FROM k ORDER BY doc_id""".stripMargin,
     "g3_zipf" ->
       """WITH toks AS (
         |  SELECT source, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS term

@@ -505,6 +505,62 @@ object TextAnalysis {
   // epsRound that passes null through (nullif-guarded ratios)
   private def epsRoundOrNull(c: Column): Column = Fns.epsRound(c, 4)
 
+  /** The published C4 cleaning heuristics (Raffel et al. 2020, "Exploring
+    * the Limits of Transfer Learning with a Unified Text-to-Text
+    * Transformer", §2.2) as ONE map-only pass — the LINE-level complement
+    * to [[gopherQuality]]'s document-level battery. A line is RETAINED iff
+    * it (a) ends in a terminal punctuation mark ('.', '!', '?', or a
+    * closing '"'), (b) has at least 5 words, and (c) does not mention
+    * "javascript" (case-insensitive) — the C4 boilerplate/navigation
+    * heuristic. Per doc:
+    *
+    *  - `n_lines` / `n_kept_lines` / `kept_line_frac` — nonblank trimmed
+    *    lines, how many the line filter retains, and the ratio (null for a
+    *    line-less doc);
+    *  - `n_kept_words` — word count of the retained lines (the doc's
+    *    surviving content volume);
+    *  - `n_sentences` — terminal-punctuation count over retained lines,
+    *    the paper's sentence proxy (rule: pages need ≥ 3 sentences);
+    *  - `has_lorem_ipsum` / `has_code_brace` — the page-level discard
+    *    markers ("lorem ipsum" placeholder text; '{' as the code signal);
+    *  - `c4_keep` — the page verdict: ≥ 3 sentences and neither marker.
+    *    (The paper's "bad words" page filter is the denylist family —
+    *    [[scrub]]/`g3_phi_scrub` cover that shape; its three-sentence-span
+    *    dedup is the G1 dedup family.)
+    *
+    * Like the Gopher battery everything is codegen'd higher-order
+    * functions over the per-doc line array — no shuffle, no UDF: at
+    * 100 TB this is a single scan that fuses with whatever reads the
+    * corpus next. */
+  def c4Quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tq = "`" + textCol.replace("`", "``") + "`"
+    docs
+      .withColumn("__lines", expr(
+        s"""filter(transform(split($tq, '\\n'), l -> trim(l)), l -> length(l) > 0)"""))
+      .withColumn("__kept", expr(
+        """filter(__lines, l ->
+          |  size(filter(split(l, '\\s+'), w -> length(w) > 0)) >= 5
+          |  and (endswith(l, '.') or endswith(l, '!') or endswith(l, '?')
+          |       or endswith(l, '"'))
+          |  and not contains(lower(l), 'javascript'))""".stripMargin))
+      .withColumn("n_lines", size(col("__lines")).cast("long"))
+      .withColumn("n_kept_lines", size(col("__kept")).cast("long"))
+      .withColumn("kept_line_frac",
+        epsRoundOrNull(col("n_kept_lines").cast("double") /
+          nullif(col("n_lines").cast("double"), lit(0.0))))
+      .withColumn("n_kept_words", expr(
+        "aggregate(__kept, 0L, (a, l) -> a + size(filter(split(l, '\\\\s+'), w -> length(w) > 0)))"))
+      .withColumn("n_sentences", expr(
+        "aggregate(__kept, 0L, (a, l) -> a + (length(l) - length(regexp_replace(l, '[.!?]', ''))))"))
+      .withColumn("has_lorem_ipsum", lower(col(textCol)).contains("lorem ipsum"))
+      .withColumn("has_code_brace", col(textCol).contains("{"))
+      .withColumn("c4_keep",
+        col("n_sentences") >= 3 && !col("has_lorem_ipsum") && !col("has_code_brace"))
+      .select(col(idCol), col("n_lines"), col("n_kept_lines"), col("kept_line_frac"),
+        col("n_kept_words"), col("n_sentences"), col("has_lorem_ipsum"),
+        col("has_code_brace"), col("c4_keep"))
+  }
+
   /** Zipf rank-frequency slope per corpus slice — the templated/synthetic-
     * text detector of a corpus QA pass: natural language's term
     * frequencies follow freq ∝ rank^s with s ≈ −1 (Zipf's law), while

@@ -42,10 +42,11 @@ class ContractSpec extends AnyFunSuite {
     // replays the arithmetic from published counts), g3_bigram_lm
     // (interpolated bigram-LM perplexity filter, full oracle), g3_zipf
     // (Zipf rank-frequency slope per source — templated-text audit, full
-    // oracle), and g3_gopher (the published Gopher Table-A1 quality-rule
-    // battery, one map-only scan, full oracle)
-    assert(SparkEntry.queries.size == 170,
-      s"declared query count ${SparkEntry.queries.size} != documented 170 — " +
+    // oracle), g3_gopher (the published Gopher Table-A1 quality-rule
+    // battery, one map-only scan, full oracle), and g3_c4 (the published
+    // C4 line-level cleaning battery, same shape)
+    assert(SparkEntry.queries.size == 171,
+      s"declared query count ${SparkEntry.queries.size} != documented 171 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

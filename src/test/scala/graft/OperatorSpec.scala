@@ -410,6 +410,31 @@ class OperatorSpec extends SparkSpec {
       "empty doc: null ratios, clean = false (not null)")
   }
 
+  test("c4Quality: line retention, sentence proxy, and the page verdict") {
+    import graft.operators.TextAnalysis
+    // 3 nonblank lines: line 1 kept (5 words, terminal '.'); line 2 dropped
+    // (4 words); line 3 dropped (mentions javascript)
+    val page = "alpha beta gamma delta epsilon.\nonly four words here.\n" +
+      "enable javascript to view this content please."
+    val clean = "one two three four five.\nsix seven eight nine ten!\n" +
+      "ask a question mark here now?"
+    val code = "val x = { 1 }\none two three four five six."
+    val docs = Seq(
+      (1L, page), (2L, clean), (3L, code), (4L, "lorem ipsum dolor sit amet today."), (5L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Quality(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 3 && out(1L).getLong(2) == 1, "1 of 3 lines retained")
+    assert(math.abs(out(1L).getDouble(3) - 1.0 / 3.0) < 1e-3)
+    assert(out(1L).getLong(4) == 5 && out(1L).getLong(5) == 1, "5 kept words, 1 sentence")
+    assert(!out(1L).getBoolean(8), "1 sentence < 3 -> page dropped")
+    assert(out(2L).getLong(5) == 3 && out(2L).getBoolean(8), "3 sentences, no markers -> kept")
+    assert(out(3L).getBoolean(7) && !out(3L).getBoolean(8), "curly brace kills the page")
+    assert(out(4L).getBoolean(6) && !out(4L).getBoolean(8), "lorem ipsum kills the page")
+    assert(out(5L).getLong(1) == 0 && out(5L).isNullAt(3) && !out(5L).getBoolean(8),
+      "empty doc: 0 lines, null frac, dropped")
+  }
+
   test("zipfSlope: exactly -1 on a perfect Zipf corpus; degenerate slice is null") {
     import graft.operators.TextAnalysis
     // counts 6/3/2 at ranks 1/2/3 are EXACTLY freq = 6/rank — a perfect
