@@ -1323,6 +1323,17 @@ object SparkEntry {
   private def g1DedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactStats(Tables.documents(s, dir), "text")
 
+  /** G1 — duplicated-span dedup: the substring-level tier between
+    * whole-doc hashing and shingle Jaccard (C4's three-sentence spans /
+    * Lee et al. 2021's ExactSubstr token windows). Declared in the WORD
+    * form (k = 15) because the synthetic corpus carries no sentence
+    * punctuation — the sentence form is spec-pinned. One shuffle, on the
+    * 32-byte span sha256 — span text never crosses the wire. */
+  private def g1SpanDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanDuplicates(Tables.documents(s, dir), idCol = "doc_id",
+      textCol = "text", k = 15, unit = "word")
+      .orderBy("span_hash")
+
   /** G1 — exact n-gram Jaccard near-dup pairs, blocked by (lang, length
     * bucket), stop-shingles (block df > 50) removed. Blocking and the df
     * cap are part of the declared semantics (oracle replicates both); the
@@ -3897,6 +3908,7 @@ object SparkEntry {
     "g4_dedup_stream"    -> (g4DedupStream _),
     "d1_rbac_roles"      -> (d1RbacRoles _),
     "g1_dedup_exact"     -> (g1DedupExact _),
+    "g1_span_dedup"      -> (g1SpanDedup _),
     "g1_jaccard_pairs"   -> (g1JaccardPairs _),
     "g1_decontaminate"   -> (g1Decontaminate _),
     "p1_prepare_corpus"  -> (p1PrepareCorpus _),
@@ -4607,6 +4619,19 @@ object SparkEntry {
         |       count(*) FILTER (n > 1) AS n_dup_groups,
         |       sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS n_dup_docs
         |FROM g""".stripMargin,
+    "g1_span_dedup" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split_regex(text, '\s+'), x -> trim(x)), x -> len(x) > 0) AS s
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(s) >= 15
+        |    THEN list_transform(range(1, len(s) - 13), i -> array_to_string(list_slice(s, i, i + 14), ' '))
+        |    ELSE CAST([] AS VARCHAR[]) END) AS span
+        |  FROM s)
+        |SELECT sha256(span) AS span_hash, count(*)::BIGINT AS n_occurrences,
+        |       count(DISTINCT doc_id)::BIGINT AS n_docs, min(doc_id) AS keeper_doc
+        |FROM sp GROUP BY 1 HAVING count(*) > 1 ORDER BY span_hash""".stripMargin,
     "g1_dedup_resolve" ->
       """WITH RECURSIVE s0 AS (
         |  SELECT doc_id, lang, n_chars // 100 AS len_bucket,

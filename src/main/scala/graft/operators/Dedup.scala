@@ -65,6 +65,62 @@ object Dedup {
       .groupBy(sha2(col(textCol), 256).as("text_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
 
+  /** Duplicated-SPAN detection — substring-level exact dedup, the tier
+    * between whole-document hashing ([[exactGroups]]) and shingle Jaccard
+    * ([[jaccardPairs]]): it catches the syndicated paragraph or boilerplate
+    * block pasted into otherwise-distinct pages that neither whole-doc
+    * hashing (docs differ) nor near-dup scoring (docs too different
+    * overall) flags. Two published forms, selected by `unit`:
+    *
+    *  - `"sentence"` (k = 3): C4's rule (Raffel et al. 2020 §2.2 — "we
+    *    discarded all but one of any three-sentence span occurring more
+    *    than once"). Sentences split on terminal punctuation ([.!?],
+    *    trimmed, nonblank — chosen over lookbehind splitting because the
+    *    oracle engine's RE2 has no lookbehind).
+    *  - `"word"` (k ≈ 15-50): the fixed-window approximation of Lee et
+    *    al. 2021's ExactSubstr dedup ("Deduplicating Training Data Makes
+    *    Language Models Better" — duplicate token spans), for corpora
+    *    where sentence structure is absent or untrustworthy. A maximal
+    *    duplicated substring of length L ≥ k duplicates all its L-k+1
+    *    windows, so window hits reconstruct the Lee et al. spans without
+    *    the suffix array.
+    *
+    * Spans are the k-unit sliding windows, space-joined. Output: one row
+    * per span occurring more than once corpus-wide — `span_hash` (sha256),
+    * `n_occurrences` (all occurrences, within-doc repeats included),
+    * `n_docs`, and `keeper_doc` (min id — the "all but one" survivor);
+    * callers anti-join span occurrences against this to cut duplicates.
+    *
+    * Scale shape: span construction is map-only HOFs over the per-doc
+    * unit array; the single shuffle is the groupBy on the 32-byte sha256 —
+    * span TEXT never crosses the wire, so the shuffle is O(corpus units ×
+    * 32 B) regardless of document sizes, with partial counts combining
+    * map-side. */
+  def spanDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, unit: String = "sentence"): DataFrame = {
+    require(k >= 1, s"span width k must be >= 1, got $k")
+    val splitRegex = unit match {
+      case "sentence" => "[.!?]"
+      case "word"     => "\\\\s+"
+      case other => throw new IllegalArgumentException(
+        s"span unit must be 'sentence' or 'word', got '$other'")
+    }
+    val tq = "`" + textCol.replace("`", "``") + "`"
+    docs
+      .select(col(idCol), expr(
+        s"""filter(transform(split($tq, '$splitRegex'), x -> trim(x)), x -> length(x) > 0)""")
+        .as("__sent"))
+      .select(col(idCol), explode(
+        when(size(col("__sent")) >= k,
+          expr(s"transform(sequence(0, size(__sent) - $k), i -> concat_ws(' ', slice(__sent, i + 1, $k)))"))
+          .otherwise(expr("cast(array() as array<string>)"))).as("__span"))
+      .groupBy(sha2(col("__span"), 256).as("span_hash"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("keeper_doc"))
+      .where(col("n_occurrences") > 1)
+  }
+
   /** Exact n-gram Jaccard near-dup pairs within blocking groups, via an
     * inverted index: explode distinct shingles, equi-join on
     * (block, shingle) to count shared shingles per pair, then

@@ -43,10 +43,12 @@ class ContractSpec extends AnyFunSuite {
     // (interpolated bigram-LM perplexity filter, full oracle), g3_zipf
     // (Zipf rank-frequency slope per source — templated-text audit, full
     // oracle), g3_gopher (the published Gopher Table-A1 quality-rule
-    // battery, one map-only scan, full oracle), and g3_c4 (the published
-    // C4 line-level cleaning battery, same shape)
-    assert(SparkEntry.queries.size == 171,
-      s"declared query count ${SparkEntry.queries.size} != documented 171 — " +
+    // battery, one map-only scan, full oracle), g3_c4 (the published
+    // C4 line-level cleaning battery, same shape), and g1_span_dedup
+    // (C4's three-sentence-span dedup — substring-level exact dedup,
+    // hash-only shuffle, full oracle)
+    assert(SparkEntry.queries.size == 172,
+      s"declared query count ${SparkEntry.queries.size} != documented 172 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

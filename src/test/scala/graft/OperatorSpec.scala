@@ -410,6 +410,35 @@ class OperatorSpec extends SparkSpec {
       "empty doc: null ratios, clean = false (not null)")
   }
 
+  test("spanDuplicates: C4 three-sentence-span dedup — shared spans found, keeper is min id") {
+    import graft.operators.Dedup
+    // docs 1 and 2 share sentences B C D (one 3-span); doc 3 repeats its own
+    // span twice (A B C A B C -> spans ABC, BCA, CAB, ABC); doc 4 too short
+    val d1 = "Aa aa. Bb bb. Cc cc. Dd dd."
+    val d2 = "Zz zz! Bb bb. Cc cc. Dd dd."
+    val d3 = "Pp. Qq. Rr. Pp. Qq. Rr."
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, "One. Two.")).toDF("doc_id", "text")
+    val out = Dedup.spanDuplicates(docs, "doc_id", "text", k = 3).collect()
+    // cross-doc: "Bb bb Cc cc Dd dd" occurs in docs 1 and 2; within-doc:
+    // "Pp Qq Rr" occurs twice in doc 3 — exactly two duplicated spans
+    assert(out.length == 2)
+    val byDocs = out.map(r => (r.getLong(2), r.getLong(1), r.getLong(3))).toSet
+    assert(byDocs.contains((2L, 2L, 1L)), "cross-doc span: 2 docs, 2 occurrences, keeper 1")
+    assert(byDocs.contains((1L, 2L, 3L)), "within-doc span: 1 doc, 2 occurrences, keeper 3")
+    // word unit (the Lee et al. ExactSubstr window form): docs sharing a
+    // 4-word run are caught even with no punctuation at all
+    val wdocs = Seq(
+      (1L, "alpha beta gamma delta unique1"),
+      (2L, "unique2 alpha beta gamma delta"),
+      (3L, "nothing shared here at all")).toDF("doc_id", "text")
+    val wout = Dedup.spanDuplicates(wdocs, "doc_id", "text", k = 4, unit = "word").collect()
+    assert(wout.length == 1 && wout(0).getLong(2) == 2 && wout(0).getLong(3) == 1,
+      "one shared 4-word window across docs 1 and 2")
+    intercept[IllegalArgumentException] {
+      Dedup.spanDuplicates(wdocs, "doc_id", "text", k = 3, unit = "line")
+    }
+  }
+
   test("c4Quality: line retention, sentence proxy, and the page verdict") {
     import graft.operators.TextAnalysis
     // 3 nonblank lines: line 1 kept (5 words, terminal '.'); line 2 dropped
