@@ -1348,6 +1348,23 @@ object SparkEntry {
         maxShingleDf = 50)
       .orderBy("id_a", "id_b")
 
+  /** G1 — containment near-dup pairs: |A∩B| / min(|A|,|B|) over the same
+    * blocked shingle inverted index as [[g1JaccardPairs]]. The asymmetric
+    * screen — catches a short doc embedded verbatim in a much longer one
+    * (quote expansion, boilerplate wrapping), which symmetric Jaccard
+    * scores near 0 and misses entirely. Lower shingle order (2) plus a
+    * high threshold: containment certifies substring-style overlap, not
+    * global similarity.
+    */
+  private def g1Containment(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .containmentPairs(
+        Tables.documents(s, dir),
+        idCol = "doc_id", textCol = "text",
+        blockCols = Seq("lang"), shingleN = 2, threshold = 0.5,
+        maxShingleDf = 100)
+      .orderBy("id_a", "id_b")
+
   /** G1 — near-dup pairs resolved to canonical clusters (connected
     * components over the oracle-checkable jaccard pairs). The pairs frame
     * is localCheckpoint'ed first: CC iterates over it, and without
@@ -1783,6 +1800,42 @@ object SparkEntry {
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     Similarity
       .cosineTopKAgg(emb, qs, "vec_id", "embedding", "query_id", "qvec", k = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  /** G2 — hybrid retrieval: BM25 lexical top-50 and cosine semantic
+    * top-50 fused by reciprocal-rank fusion (k0=60) into one top-20 —
+    * the standard two-tower retrieval combiner, composed entirely from
+    * the two oracle-anchored rankers it fuses. The lexical rank window is
+    * PARTITIONED by query id over an already-limited 50-row list, and the
+    * fusion is one (query, doc) partial-agg shuffle — nothing here is
+    * corpus-sized past the rankers themselves.
+    */
+  private def g2HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val qid = lit("q0")
+    // lexical ranker: the g3_bm25 scorer, widened to 50 and rank-indexed
+    // via the bounded-heap aggregate (rankByScore) — a window keyed by
+    // the literal query id would constant-fold to an UNPARTITIONED
+    // window, the one-task shape PlanAuditSpec bans
+    val lex = Similarity.rankByScore(
+      TextAnalysis
+        .bm25(Tables.documents(s, dir), idCol = "doc_id", textCol = "text",
+          queryTerms = Seq("table", "join", "merge"), k = 50)
+        .withColumn("query_id", qid),
+      qidCol = "query_id", idCol = "doc_id", scoreCol = "bm25", k = 50)
+    // semantic ranker: cosine top-50 against doc 0's embedding (vec_id
+    // doubles as doc_id on this corpus); self excluded up front so the
+    // string query id never meets the long vec_id in a comparison
+    val emb = Tables.embeddings(s, dir)
+    val sem = Similarity
+      .cosineTopKAgg(
+        emb.where(col("vec_id") =!= 0),
+        emb.where(col("vec_id") === 0).select(qid.as("query_id"), col("embedding").as("qvec")),
+        "vec_id", "embedding", "query_id", "qvec", k = 50, excludeSelf = false)
+      .withColumnRenamed("vec_id", "doc_id")
+    Similarity
+      .rrfFuse(Seq("lex" -> lex, "sem" -> sem),
+        qidCol = "query_id", idCol = "doc_id", rankCol = "rank", topK = 20)
       .orderBy("query_id", "rank")
   }
 
@@ -3705,6 +3758,28 @@ object SparkEntry {
       .orderBy("type_a", "type_b")
   }
 
+  /** G7 — weighted PageRank over the word-transition (bigram) graph,
+    * 3 fixed power iterations, damping 0.85: the graph-centrality audit
+    * of a corpus's lexical backbone (TextRank's exact substrate — rank
+    * words by stationary visit probability under the empirical next-word
+    * walk). Edges are the g3_bigrams pairs with multiplicities; every
+    * iteration is one edge-keyed join + partial-agg shuffle
+    * (operators/Graph.scala documents the 100 TB shape), and the result
+    * is the rank-mass top-20.
+    */
+  private def g7Pagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.documents(s, dir)
+      .select(TextAnalysis.tokens(col("text")).as("__t"))
+      .select(explode(expr(
+        """transform(slice(__t, 1, greatest(size(__t) - 1, 0)),
+          |  (w, i) -> struct(w as src, element_at(__t, i + 2) as dst))""".stripMargin)).as("bg"))
+      .select(col("bg.src").as("src"), col("bg.dst").as("dst"), lit(1.0).as("w"))
+    Graph.pageRank(edges, "src", "dst", "w", iterations = 3, damping = 0.85)
+      .select(col("node"), Fns.epsRound(col("pagerank"), 6).as("pagerank"))
+      .orderBy(col("pagerank").desc, col("node"))
+      .limit(20)
+  }
+
   /** G1 — normalized-text dedup accounting (the CCNet-style prep step):
     * lowercase, strip non-alphanumerics, collapse whitespace, then count
     * surviving distinct keys — catches dups that differ only in case/
@@ -3910,6 +3985,7 @@ object SparkEntry {
     "g1_dedup_exact"     -> (g1DedupExact _),
     "g1_span_dedup"      -> (g1SpanDedup _),
     "g1_jaccard_pairs"   -> (g1JaccardPairs _),
+    "g1_containment"     -> (g1Containment _),
     "g1_decontaminate"   -> (g1Decontaminate _),
     "p1_prepare_corpus"  -> (p1PrepareCorpus _),
     "p2_prepare_incremental" -> (p2PrepareIncremental _),
@@ -3938,6 +4014,7 @@ object SparkEntry {
     "g1_semdedup"        -> (g1Semdedup _),
     "g2_cosine_topk"     -> (g2CosineTopk _),
     "g2_filtered_topk"   -> (g2FilteredTopk _),
+    "g2_hybrid_rrf"      -> (g2HybridRrf _),
     "g2_cosine_threshold" -> (g2CosineThreshold _),
     "g2_centroid_dist"   -> (g2CentroidDist _),
     "g2_knn_join"        -> (g2KnnJoin _),
@@ -4022,6 +4099,7 @@ object SparkEntry {
     "h17_rolling_dau"    -> (h17RollingDau _),
     "h18_temporal_split" -> (h18TemporalSplit _),
     "g7_cooccurrence"    -> (g7Cooccurrence _),
+    "g7_pagerank"        -> (g7Pagerank _),
     "g1_dedup_normalized" -> (g1DedupNormalized _)
   )
 
@@ -4733,6 +4811,27 @@ object SparkEntry {
         |  AND len(list_intersect(a.sh, b.sh))::DOUBLE /
         |      len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+    "g1_containment" ->
+      """WITH s0 AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+        |                       i -> array_to_string(w[i:i+1], ' '))) AS sh
+        |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents)),
+        |ex AS (SELECT doc_id, lang, unnest(sh) AS s FROM s0),
+        |keep AS (SELECT lang, s FROM ex GROUP BY lang, s HAVING count(*) <= 100),
+        |s AS (SELECT doc_id, lang, list(s) AS sh
+        |      FROM ex JOIN keep USING (lang, s)
+        |      GROUP BY doc_id, lang)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |             least(len(a.sh), len(b.sh))::DOUBLE + 1e-9, 4) AS containment,
+        |       len(a.sh)::BIGINT AS n_shingles_a, len(b.sh)::BIGINT AS n_shingles_b
+        |FROM s a JOIN s b
+        |  ON a.lang IS NOT DISTINCT FROM b.lang AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) > 0
+        |  AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |      least(len(a.sh), len(b.sh))::DOUBLE >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     "g1_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
         |grams AS (
@@ -5028,6 +5127,39 @@ object SparkEntry {
         |      FROM p)
         |SELECT query_id, rank, vec_id, label, round(sim + 1e-9, 4) AS cosine
         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "g2_hybrid_rrf" ->
+      """WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |d AS (SELECT doc_id, len(t)::DOUBLE AS dl FROM base),
+        |stats AS (SELECT avg(dl) AS avgdl, count(*)::DOUBLE AS n FROM d),
+        |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+        |       FROM (SELECT doc_id, unnest(t) AS term FROM base)
+        |       WHERE term IN ('table', 'join', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+        |lexs AS (SELECT tf.doc_id,
+        |                round(sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * (1.2 + 1.0) /
+        |                          (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * d.dl / stats.avgdl))) + 1e-9, 4) AS bm25
+        |         FROM tf JOIN df USING (term) JOIN d USING (doc_id) CROSS JOIN stats
+        |         GROUP BY tf.doc_id
+        |         ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM lexs),
+        |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        |p AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |             i -> e.embedding[i]::DOUBLE * q.qvec[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(q.qvec, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+        |semr AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS r FROM p),
+        |sem AS (SELECT doc_id, r FROM semr WHERE r <= 50),
+        |f AS (SELECT doc_id,
+        |             coalesce(1.0 / (60.0 + l.r), 0.0) + coalesce(1.0 / (60.0 + s.r), 0.0) AS fscore,
+        |             l.r AS lex_rank, s.r AS sem_rank
+        |      FROM lex l FULL JOIN sem s USING (doc_id))
+        |SELECT 'q0' AS query_id,
+        |       row_number() OVER (ORDER BY f.fscore DESC, f.doc_id) AS rank,
+        |       f.doc_id, round(f.fscore + 1e-9, 6) AS rrf, f.lex_rank, f.sem_rank
+        |FROM f ORDER BY rank LIMIT 20""".stripMargin,
     "g2_centroid_dist" ->
       """WITH c AS (
         |  SELECT label, i, avg(embedding[i]::DOUBLE) AS m
@@ -5760,6 +5892,33 @@ object SparkEntry {
         |       round(n_both::DOUBLE / n_a + 1e-9, 6) AS p_b_given_a
         |FROM pairs JOIN reach USING (type_a)
         |ORDER BY type_a, type_b""".stripMargin,
+    "g7_pagerank" ->
+      """WITH t AS (SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+        |           FROM documents),
+        |e0 AS (SELECT toks[i] AS src, toks[i + 1] AS dst
+        |       FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+        |e AS (SELECT src, dst, count(*)::DOUBLE AS w FROM e0 GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        |outw AS (SELECT src, sum(w) AS osum FROM e GROUP BY 1),
+        |r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+        |d0 AS (SELECT coalesce(sum(r), 0.0) AS dm FROM r0 LEFT JOIN outw ON r0.node = outw.src WHERE outw.src IS NULL),
+        |c0 AS (SELECT e.dst AS node, sum(r0.r * e.w / outw.osum) AS c
+        |       FROM e JOIN outw USING (src) JOIN r0 ON e.src = r0.node GROUP BY 1),
+        |r1 AS (SELECT nodes.node, (1.0 - 0.85) / nn.n + 0.85 * (coalesce(c0.c, 0.0) + d0.dm / nn.n) AS r
+        |       FROM nodes CROSS JOIN nn CROSS JOIN d0 LEFT JOIN c0 ON nodes.node = c0.node),
+        |d1 AS (SELECT coalesce(sum(r), 0.0) AS dm FROM r1 LEFT JOIN outw ON r1.node = outw.src WHERE outw.src IS NULL),
+        |c1 AS (SELECT e.dst AS node, sum(r1.r * e.w / outw.osum) AS c
+        |       FROM e JOIN outw USING (src) JOIN r1 ON e.src = r1.node GROUP BY 1),
+        |r2 AS (SELECT nodes.node, (1.0 - 0.85) / nn.n + 0.85 * (coalesce(c1.c, 0.0) + d1.dm / nn.n) AS r
+        |       FROM nodes CROSS JOIN nn CROSS JOIN d1 LEFT JOIN c1 ON nodes.node = c1.node),
+        |d2 AS (SELECT coalesce(sum(r), 0.0) AS dm FROM r2 LEFT JOIN outw ON r2.node = outw.src WHERE outw.src IS NULL),
+        |c2 AS (SELECT e.dst AS node, sum(r2.r * e.w / outw.osum) AS c
+        |       FROM e JOIN outw USING (src) JOIN r2 ON e.src = r2.node GROUP BY 1),
+        |r3 AS (SELECT nodes.node, (1.0 - 0.85) / nn.n + 0.85 * (coalesce(c2.c, 0.0) + d2.dm / nn.n) AS r
+        |       FROM nodes CROSS JOIN nn CROSS JOIN d2 LEFT JOIN c2 ON nodes.node = c2.node)
+        |SELECT node, round(r + 1e-9, 6) AS pagerank
+        |FROM r3 ORDER BY pagerank DESC, node LIMIT 20""".stripMargin,
     "g1_dedup_normalized" ->
       """WITH n AS (SELECT text,
         |                  trim(regexp_replace(regexp_replace(lower(text),

@@ -151,6 +151,57 @@ object Dedup {
       shingleN: Int,
       threshold: Double,
       maxShingleDf: Int = Int.MaxValue
+  ): DataFrame =
+    pairSharedCounts(docs, idCol, textCol, blockCols, shingleN, maxShingleDf)
+      .withColumn(
+        "jaccard",
+        col("__common").cast("double") / (col("__na") + col("__nb") - col("__common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), epsRound(col("jaccard"), 4).as("jaccard"))
+
+  /** Exact shingle CONTAINMENT near-dup pairs: |A ∩ B| / min(|A|, |B|)
+    * within blocking groups — the asymmetric companion to
+    * [[jaccardPairs]]. Jaccard misses the quote-expansion dup (a short
+    * doc wholly embedded in a much longer one scores |A|/|B| ≈ 0);
+    * max-containment scores it 1.0 regardless of the length ratio, which
+    * is why dedup recipes (e.g. the ExactSubstr companion rule in Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better") pair a containment screen with the symmetric one. Same
+    * inverted-index cost model as [[jaccardPairs]] — proportional to
+    * shared-shingle occurrences (Σ df²), never block², with the identical
+    * stop-shingle df cap as the 100 TB guard.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      shingleN: Int,
+      threshold: Double,
+      maxShingleDf: Int = Int.MaxValue
+  ): DataFrame =
+    pairSharedCounts(docs, idCol, textCol, blockCols, shingleN, maxShingleDf)
+      .withColumn(
+        "containment",
+        col("__common").cast("double") / least(col("__na"), col("__nb")).cast("double"))
+      .where(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        epsRound(col("containment"), 4).as("containment"),
+        col("__na").as("n_shingles_a"), col("__nb").as("n_shingles_b"))
+
+  /** Shared core of [[jaccardPairs]] / [[containmentPairs]]: blocked
+    * inverted-index shared-shingle counts per candidate pair, with the
+    * per-doc distinct-shingle counts joined on. Returns
+    * (id_a, id_b, __common, __na, __nb) for id_a < id_b. All the scale
+    * and aliasing caveats documented on [[jaccardPairs]] live HERE.
+    */
+  private def pairSharedCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      shingleN: Int,
+      maxShingleDf: Int
   ): DataFrame = {
     val exAll = docs
       .select(
@@ -203,11 +254,6 @@ object Dedup {
     common
       .join(counts.select(col("__id").as("id_a"), col("__n").as("__na")), "id_a")
       .join(counts.select(col("__id").as("id_b"), col("__n").as("__nb")), "id_b")
-      .withColumn(
-        "jaccard",
-        col("__common").cast("double") / (col("__na") + col("__nb") - col("__common")).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), epsRound(col("jaccard"), 4).as("jaccard"))
   }
 
   /** MinHash-LSH near-dup pairs, exact-verified.

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge DataFrames (SURVEY.md §2 G7 — co-occurrence /
+  * graph-shaped corpus audits; companion to the connected-components
+  * resolver in [[Dedup.connectedComponents]]).
+  *
+  * The graph is never materialized as an adjacency structure: every
+  * operator works on a plain (src, dst, weight) edge DataFrame, so the
+  * 100 TB story is the DataFrame story — edges partition by their join
+  * key, each iteration is one partial-agg shuffle, and nothing is
+  * driver-resident.
+  */
+object Graph {
+
+  /** Weighted PageRank with uniform dangling-mass redistribution, run for
+    * a FIXED number of power iterations (the reproducible, oracle-checkable
+    * form — convergence-threshold stopping is just a caller loop over the
+    * same step).
+    *
+    * Semantics per iteration (damping d, N nodes):
+    * {{{
+    *   r_{k+1}(v) = (1-d)/N + d * ( Σ_{u→v} r_k(u) · w(u,v)/W(u)  +  dang_k/N )
+    * }}}
+    * where W(u) is u's total out-weight and dang_k is the rank mass sitting
+    * on dangling nodes (no out-edges) — redistributed uniformly, the
+    * standard stochastic-matrix patch, so Σ_v r(v) = 1 holds at every
+    * iteration (the invariant [[GraphSpec]] pins).
+    *
+    * Scale shape: rank propagation is an equi-join of the rank table
+    * against the edge table on `src` followed by a partial-agg shuffle on
+    * `dst` — cost O(|E|) per iteration with no window, no cross join, no
+    * driver collect; the dangling mass and N are 1-row frames broadcast
+    * back. The rank table is localCheckpoint'ed each iteration: r_{k+1}
+    * reads r_k twice (contribution join + dangling sum), so an un-truncated
+    * lineage doubles per iteration — checkpointing keeps plan size linear
+    * in `iterations` exactly like [[Dedup.connectedComponents]]'s rounds.
+    * On a 1000-executor cluster you would additionally pre-partition the
+    * aggregated edge table by `src` once and reuse it across iterations —
+    * the loop body's join key never changes.
+    *
+    * @param edges raw edge rows; parallel edges are summed into one
+    *   weighted edge first. Self-loops are legal (a self-loop feeds rank
+    *   back to its own node through the normal term).
+    * @param weightCol edge multiplicity/weight; pass a `lit(1.0)`-valued
+    *   column name for an unweighted graph.
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      iterations: Int,
+      damping: Double = 0.85
+  ): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
+
+    val e = edges
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+        col(weightCol).cast("double").as("__w"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull)
+      .groupBy("__src", "__dst")
+      .agg(sum("__w").as("__w"))
+      .localCheckpoint()
+    val nodes = e.select(col("__src").as("node"))
+      .union(e.select(col("__dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val outw = e.groupBy(col("__src")).agg(sum("__w").as("__ow"))
+    // 1-row frames, broadcast everywhere a scalar is needed — no collect,
+    // the whole loop stays one lazy-or-checkpointed distributed plan
+    val nFrame = nodes.agg(count(lit(1)).cast("double").as("__n"))
+
+    var ranks = nodes
+      .crossJoin(broadcast(nFrame))
+      .select(col("node"), (lit(1.0) / col("__n")).as("__r"))
+      .localCheckpoint()
+
+    for (_ <- 1 to iterations) {
+      val dang = ranks
+        .join(outw, ranks("node") === outw("__src"), "left_anti")
+        .agg(coalesce(sum("__r"), lit(0.0)).as("__dm"))
+      val contrib = e
+        .join(outw, "__src")
+        .join(ranks, e("__src") === ranks("node"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(col("__r") * col("__w") / col("__ow")).as("__c"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(nFrame))
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(1.0 - damping) / col("__n") +
+            lit(damping) * (coalesce(col("__c"), lit(0.0)) + col("__dm") / col("__n"))).as("__r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("__r").as("pagerank"))
+  }
+}

@@ -184,6 +184,86 @@ object Similarity {
         epsRound(col("__t").getField("sim"), 4).as("cosine"))
   }
 
+  /** Rank an already-scored per-query candidate list 1..k by
+    * (score desc, id asc) via the bounded-heap aggregate — the
+    * WINDOW-FREE rank derivation. A window partitioned by a literal
+    * query id gets its partition key constant-folded away and plans as
+    * an unpartitioned (one-task) window — exactly what PlanAuditSpec
+    * bans; the heap formulation shuffles only k rows per (query,
+    * map-partition) and has no such failure mode. Null scores drop
+    * (consistent with [[rankTopK]]).
+    */
+  def rankByScore(
+      scored: DataFrame,
+      qidCol: String,
+      idCol: String,
+      scoreCol: String,
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.graft.TopKStructs
+    requireIntegralId(scored, idCol, "rankByScore")
+    scored
+      .where(col(scoreCol).isNotNull)
+      .select(col(qidCol),
+        struct(col(scoreCol).cast("double").as("sim"),
+          idComplement(col(idCol)).as("negid"), col(idCol).as("id")).as("__s"))
+      .groupBy(col(qidCol))
+      .agg(TopKStructs.topK(col("__s"), k).as("__top"))
+      .select(col(qidCol), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col(qidCol), (col("__r") + 1).cast("long").as("rank"),
+        col("__t").getField("id").as(idCol),
+        col("__t").getField("sim").as(scoreCol))
+  }
+
+  /** Reciprocal-rank fusion of N per-query rank lists (Cormack &
+    * Clarke 2009): `rrf(d) = Σ_lists 1/(k0 + rank_list(d))`, with a list
+    * that did not retrieve `d` contributing 0 — the standard hybrid-search
+    * combiner for lexical (BM25) + semantic (cosine) retrieval, score-scale
+    * free by construction, which is exactly why it beats score
+    * interpolation across heterogeneous rankers.
+    *
+    * Input frames carry (`qidCol`, `idCol`, `rankCol`) with rank 1-based
+    * within each query. Output: (`qidCol`, fused `rank`, `idCol`, `rrf`,
+    * one `<tag>_rank` column per input list — null where that list missed
+    * the doc).
+    *
+    * Scale shape: tag + unionByName + one partial-agg shuffle on
+    * (query, doc); the fused top-k is the shared per-query bounded window
+    * ([[rankTopK]]) — every per-query candidate list is already ≤ its
+    * ranker's k, so no partition exceeds Σ k_i rows per query and nothing
+    * is corpus-sized past the rankers themselves.
+    */
+  def rrfFuse(
+      rankings: Seq[(String, DataFrame)],
+      qidCol: String,
+      idCol: String,
+      rankCol: String,
+      topK: Int,
+      k0: Int = 60
+  ): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(rankings.map(_._1).distinct.size == rankings.size,
+      s"ranking tags must be unique, got ${rankings.map(_._1)}")
+    require(k0 > 0, s"k0 must be positive, got $k0")
+    val tagged = rankings
+      .map { case (tag, df) =>
+        df.select(col(qidCol), col(idCol),
+          col(rankCol).cast("long").as("__rk"), lit(tag).as("__tag"))
+      }
+      .reduce(_ unionByName _)
+    val perTag = rankings.map { case (tag, _) =>
+      min(when(col("__tag") === tag, col("__rk"))).as(s"${tag}_rank")
+    }
+    val fused = tagged
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sum(lit(1.0) / (lit(k0.toDouble) + col("__rk"))).as("__sim"),
+        perTag: _*)
+    rankTopK(fused, qidCol, idCol, topK)
+      .select((Seq(col(qidCol), col("__rank").as("rank"), col(idCol),
+        epsRound(col("__sim"), 6).as("rrf")) ++
+        rankings.map { case (tag, _) => col(s"${tag}_rank") }): _*)
+  }
+
   /** Count of candidates above a cosine threshold, per query. */
   def thresholdCount(
       candidates: DataFrame,

@@ -46,9 +46,15 @@ class ContractSpec extends AnyFunSuite {
     // battery, one map-only scan, full oracle), g3_c4 (the published
     // C4 line-level cleaning battery, same shape), and g1_span_dedup
     // (C4's three-sentence-span dedup — substring-level exact dedup,
-    // hash-only shuffle, full oracle)
-    assert(SparkEntry.queries.size == 172,
-      s"declared query count ${SparkEntry.queries.size} != documented 172 — " +
+    // hash-only shuffle, full oracle). 175 adds the late-round-7 trio:
+    // g1_containment (asymmetric |A∩B|/min containment screen over the
+    // shared blocked inverted index — the quote-expansion dup Jaccard
+    // misses), g2_hybrid_rrf (BM25 + cosine reciprocal-rank fusion,
+    // composed from the two oracle-anchored rankers), and g7_pagerank
+    // (weighted PageRank, 3 fixed power iterations over the bigram
+    // word-transition graph; oracle unrolls the iterations in SQL)
+    assert(SparkEntry.queries.size == 175,
+      s"declared query count ${SparkEntry.queries.size} != documented 175 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

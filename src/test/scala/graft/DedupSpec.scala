@@ -31,6 +31,40 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => Set(a, b).contains(4L) || Set(a, b).contains(5L) })
   }
 
+  test("containmentPairs scores an embedded doc 1.0 where jaccard misses it") {
+    // A's 3 bigram shingles all occur inside B (8 distinct shingles):
+    // containment = 3/min(3,8) = 1.0, jaccard = 3/(3+8-3) = 0.375
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "intro words alpha beta gamma delta closing words here"),
+      (3L, "totally disjoint tokens nothing shared anywhere")
+    ).toDF("doc_id", "text").withColumn("blk", lit(1))
+    val c = Dedup.containmentPairs(d, "doc_id", "text", Seq("blk"), 2, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    assert(c.toSeq == Seq((1L, 2L, 1.0, 3L, 8L)))
+    val j = Dedup.jaccardPairs(d, "doc_id", "text", Seq("blk"), 2, 0.5).collect()
+    assert(j.isEmpty, "jaccard at 0.5 should miss the embedded doc containment catches")
+  }
+
+  test("rrfFuse: hand-computed fusion, per-list ranks carried, misses are null") {
+    val lex = Seq(("q0", 10L, 1L), ("q0", 20L, 2L), ("q0", 30L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val sem = Seq(("q0", 20L, 1L), ("q0", 40L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val out = Similarity
+      .rrfFuse(Seq("lex" -> lex, "sem" -> sem), "query_id", "doc_id", "rank", topK = 10)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), Option(r.get(5)).map(_.asInstanceOf[Long])))
+    // d20 hits both lists: 1/61 + 1/62; singles follow by their one term
+    val expected = Seq(
+      (1L, 20L, BigDecimal(1.0 / 62 + 1.0 / 61 + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, Some(2L), Some(1L)),
+      (2L, 10L, BigDecimal(1.0 / 61 + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, Some(1L), None),
+      (3L, 40L, BigDecimal(1.0 / 62 + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, None, Some(2L)),
+      (4L, 30L, BigDecimal(1.0 / 63 + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, Some(3L), None))
+    assert(out.toSeq == expected)
+  }
+
   test("minhashPairs recovers the same dup clusters (exact-verified)") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", shingleN = 3, bands = 16, rowsPerBand = 3, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

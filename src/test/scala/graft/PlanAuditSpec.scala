@@ -147,7 +147,13 @@ class PlanAuditSpec extends SparkSpec {
       "g2_lsh_topk"      -> "bucket",   // hyperplane buckets
       "g2_ivf_topk"      -> "cell",     // coarse IVF cells
       "g2_pq_topk"       -> "cell",
-      "g2_ivfpq_topk"    -> "cell")
+      "g2_ivfpq_topk"    -> "cell",
+      // fusion input = the rankers' OWN top-k lists (lex ≤50 via the
+      // bounded-heap rankByScore, sem ≤50 via cosineTopKAgg), so the
+      // per-query window partition holds ≤ Σ k_i rows by construction —
+      // never corpus-sized; the corpus-sized work happened inside the
+      // heap-ranked rankers
+      "g2_hybrid_rrf"    -> "per-ranker top-k lists")
     val dir = "/root/testdata/sf0.001"
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
       val qidWindows = fn(spark, dir).queryExecution.optimizedPlan.collect {
