@@ -3780,6 +3780,41 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** G7 — triangle counts over the co-purchase graph (parts sharing ≥2
+    * distinct orders): the clustering-structure audit of an affinity
+    * graph — triangle-dense neighborhoods are what community detection
+    * and co-occurrence embeddings feed on. Degree-ordered orientation
+    * (operators/Graph.scala) keeps the wedge join O(m^1.5)-bounded on
+    * any degree skew; the edge build itself is one distinct + equi-join
+    * + HAVING-count shuffle.
+    */
+  private def g7Triangles(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = d.as("x")
+      .join(d.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= 2)
+    Graph.triangleCounts(edges, "a", "b")
+      .select(col("node").as("part_id"), col("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("part_id"))
+  }
+
+  /** G3 — hashed-bigram linear classifier inference (the fastText shape:
+    * classifier-based quality filtering as every production corpus runs
+    * it). MAP-ONLY: hash fold, slot lookup, mean, threshold are all
+    * per-row lambda expressions fused into the scan — the 100 TB cost is
+    * exactly one pass over the text. The char-fold hash is engine-portable
+    * by construction; the DuckDB oracle replays it bit-for-bit.
+    */
+  private def g3ClassifierScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .hashedNgramScore(Tables.documents(s, dir), idCol = "doc_id",
+        textCol = "text", buckets = 4096)
+      .orderBy("doc_id")
+
   /** G1 — normalized-text dedup accounting (the CCNet-style prep step):
     * lowercase, strip non-alphanumerics, collapse whitespace, then count
     * surviving distinct keys — catches dups that differ only in case/
@@ -4100,6 +4135,8 @@ object SparkEntry {
     "h18_temporal_split" -> (h18TemporalSplit _),
     "g7_cooccurrence"    -> (g7Cooccurrence _),
     "g7_pagerank"        -> (g7Pagerank _),
+    "g7_triangles"       -> (g7Triangles _),
+    "g3_classifier_score" -> (g3ClassifierScore _),
     "g1_dedup_normalized" -> (g1DedupNormalized _)
   )
 
@@ -5919,6 +5956,47 @@ object SparkEntry {
         |       FROM nodes CROSS JOIN nn CROSS JOIN d2 LEFT JOIN c2 ON nodes.node = c2.node)
         |SELECT node, round(r + 1e-9, 6) AS pagerank
         |FROM r3 ORDER BY pagerank DESC, node LIMIT 20""".stripMargin,
+    "g7_triangles" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |und AS (SELECT x.p AS a, y.p AS b
+        |        FROM d x JOIN d y ON x.o = y.o AND x.p < y.p
+        |        GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT node, count(*) AS dg
+        |        FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        |o AS (SELECT CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND und.a < und.b)
+        |                  THEN und.a ELSE und.b END AS u,
+        |             CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND und.a < und.b)
+        |                  THEN und.b ELSE und.a END AS v,
+        |             CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND und.a < und.b)
+        |                  THEN db.dg ELSE da.dg END AS vd
+        |      FROM und JOIN deg da ON da.node = und.a JOIN deg db ON db.node = und.b),
+        |w AS (SELECT o1.u AS n0, o1.v AS n1, o2.v AS n2
+        |      FROM o o1 JOIN o o2
+        |        ON o1.u = o2.u AND ((o1.vd < o2.vd) OR (o1.vd = o2.vd AND o1.v < o2.v))),
+        |tri AS (SELECT n0, n1, n2 FROM w SEMI JOIN o ON w.n1 = o.u AND w.n2 = o.v),
+        |nodes AS (SELECT unnest([n0, n1, n2]) AS part_id FROM tri)
+        |SELECT part_id, count(*)::BIGINT AS n_triangles
+        |FROM nodes GROUP BY 1
+        |ORDER BY n_triangles DESC, part_id""".stripMargin,
+    "g3_classifier_score" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS w
+        |           FROM documents),
+        |bg AS (SELECT doc_id,
+        |              list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+        |                             i -> w[i] || ' ' || w[i+1]) AS bgs
+        |       FROM t),
+        |s AS (SELECT doc_id, len(bgs)::BIGINT AS n_bigrams,
+        |        CASE WHEN len(bgs) > 0 THEN
+        |          round(list_sum(list_transform(bgs, bg ->
+        |            ((list_reduce(list_prepend(0::BIGINT,
+        |                list_transform(range(1, len(bg) + 1), i -> ascii(bg[i])::BIGINT)),
+        |              (h, c) -> (h * 31 + c) % 1000003) % 4096)
+        |             * 2654435761 % 1000003)::DOUBLE / 1000003 - 0.5))
+        |            / len(bgs) + 1e-9, 6)
+        |        END AS score
+        |      FROM bg)
+        |SELECT doc_id, n_bigrams, score, coalesce(score > 0.0, false) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     "g1_dedup_normalized" ->
       """WITH n AS (SELECT text,
         |                  trim(regexp_replace(regexp_replace(lower(text),

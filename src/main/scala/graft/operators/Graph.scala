@@ -64,6 +64,11 @@ object Graph {
       .where(col("__src").isNotNull && col("__dst").isNotNull)
       .groupBy("__src", "__dst")
       .agg(sum("__w").as("__w"))
+      // a null/zero/negative aggregated weight is not an edge: keeping it
+      // would put 0 (or worse) in the out-weight denominator. A node whose
+      // OUT-edges all vanish here becomes dangling; one with no surviving
+      // edge at all leaves the graph.
+      .where(col("__w") > 0.0)
       .localCheckpoint()
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node")))
@@ -98,5 +103,71 @@ object Graph {
         .localCheckpoint()
     }
     ranks.select(col("node"), col("__r").as("pagerank"))
+  }
+
+  /** Per-node triangle counts via degree-ordered edge orientation — the
+    * standard scalable formulation (each undirected edge is directed from
+    * its lower-(degree, node) endpoint to the higher one, so every
+    * triangle is enumerated exactly once from its lowest-ranked corner
+    * and the oriented out-degree is bounded by O(√m) on any graph —
+    * wedge-join cost Σ outdeg² ≤ O(m^1.5) instead of Σ deg², which a
+    * skewed hub would otherwise drive quadratic).
+    *
+    * Input edges are treated as UNDIRECTED and simple: direction,
+    * multiplicity, self-loops, and null endpoints are all normalized
+    * away first. Returns (node, n_triangles) for nodes in ≥1 triangle.
+    *
+    * Scale shape: three equi-joins (degree attach ×2, wedge self-join on
+    * the shared corner, closing-edge semi-join) + partial-agg shuffles —
+    * no window, no cross join, no driver collect. The normalized edge
+    * and oriented-edge frames are each read ≥2 times and are
+    * localCheckpoint'ed (durable-checkpoint them on a real cluster);
+    * the non-equi rank comparison rides as a post-join filter on the
+    * equi-keyed wedge join, never a join strategy of its own.
+    */
+  def triangleCounts(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String
+  ): DataFrame = {
+    val und = edges
+      .select(col(srcCol).as("__x"), col(dstCol).as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull && col("__x") =!= col("__y"))
+      .select(least(col("__x"), col("__y")).as("__a"),
+        greatest(col("__x"), col("__y")).as("__b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("__a").as("node"))
+      .union(und.select(col("__b").as("node")))
+      .groupBy("node")
+      .agg(count(lit(1)).as("__d"))
+    val withDeg = und
+      .join(deg.select(col("node").as("__a"), col("__d").as("__da")), "__a")
+      .join(deg.select(col("node").as("__b"), col("__d").as("__db")), "__b")
+    val aFirst = col("__da") < col("__db") ||
+      (col("__da") === col("__db") && col("__a") < col("__b"))
+    // (u, v, vd): edge oriented toward the higher (degree, node) rank,
+    // carrying v's degree so the wedge step can order its two far ends
+    // without re-joining the degree table
+    val o = withDeg
+      .select(
+        when(aFirst, col("__a")).otherwise(col("__b")).as("u"),
+        when(aFirst, col("__b")).otherwise(col("__a")).as("v"),
+        when(aFirst, col("__db")).otherwise(col("__da")).as("vd"))
+      .localCheckpoint()
+    val wedges = o.as("o1")
+      .join(o.as("o2"),
+        col("o1.u") === col("o2.u") &&
+          (col("o1.vd") < col("o2.vd") ||
+            (col("o1.vd") === col("o2.vd") && col("o1.v") < col("o2.v"))))
+      .select(col("o1.u").as("n0"), col("o1.v").as("n1"), col("o2.v").as("n2"))
+    // rank(n1) < rank(n2), so the closing edge — if present — is oriented
+    // n1→n2; one semi-join decides triangle-ness
+    val tri = wedges.join(
+      o.select(col("u").as("n1"), col("v").as("n2")), Seq("n1", "n2"), "left_semi")
+    tri
+      .select(explode(array(col("n0"), col("n1"), col("n2"))).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_triangles"))
   }
 }

@@ -227,8 +227,9 @@ object Similarity {
     * one `<tag>_rank` column per input list — null where that list missed
     * the doc).
     *
-    * Scale shape: tag + unionByName + one partial-agg shuffle on
-    * (query, doc); the fused top-k is the shared per-query bounded window
+    * Scale shape: tag + unionByName + two partial-agg shuffles (per-tag
+    * best-rank dedup, then the fusion sum) on already-top-k-bounded rows;
+    * the fused top-k is the shared per-query bounded window
     * ([[rankTopK]]) — every per-query candidate list is already ≤ its
     * ranker's k, so no partition exceeds Σ k_i rows per query and nothing
     * is corpus-sized past the rankers themselves.
@@ -245,12 +246,19 @@ object Similarity {
     require(rankings.map(_._1).distinct.size == rankings.size,
       s"ranking tags must be unique, got ${rankings.map(_._1)}")
     require(k0 > 0, s"k0 must be positive, got $k0")
+    // defensive per-tag dedup: a malformed list carrying the same doc
+    // twice must contribute its BEST rank once, not sum both occurrences
+    // into an inflated rrf score; null ranks are malformed rows and drop.
+    // The extra partial-agg shuffle is over already-top-k-bounded rows.
     val tagged = rankings
       .map { case (tag, df) =>
         df.select(col(qidCol), col(idCol),
           col(rankCol).cast("long").as("__rk"), lit(tag).as("__tag"))
       }
       .reduce(_ unionByName _)
+      .where(col("__rk").isNotNull && col("__rk") >= 1)
+      .groupBy(col(qidCol), col(idCol), col("__tag"))
+      .agg(min("__rk").as("__rk"))
     val perTag = rankings.map { case (tag, _) =>
       min(when(col("__tag") === tag, col("__rk"))).as(s"${tag}_rank")
     }

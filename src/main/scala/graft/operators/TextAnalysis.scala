@@ -762,4 +762,53 @@ object TextAnalysis {
         least((col("chunk_id") + lit(1L)) * cap - col("__start"), col("__n")).as("end_tok"))
       .withColumn("n_tokens", col("end_tok") - col("begin_tok"))
   }
+
+  /** fastText-style hashed-n-gram linear classifier INFERENCE (Joulin et
+    * al. 2016, "Bag of Tricks for Efficient Text Classification"): each
+    * word bigram hashes into one of `buckets` weight slots, the doc score
+    * is the mean slot weight, and the binary label is score > 0 — the
+    * shape of every classifier-based quality filter (CCNet's wiki-ref
+    * scorer, the GPT-3/LLaMA quality screens) at inference time.
+    *
+    * The hash is an explicit char-fold polynomial (h·31 + ascii) mod
+    * 1000003 — chosen over Spark's built-in hash() so the SAME function is
+    * computable in any engine (the DuckDB oracle replays it with
+    * list_reduce), exactly like a production pipeline pins a
+    * tokenizer+hash pair across train and serve. Weights here are a
+    * deterministic arithmetic stand-in (slot b ↦ fract(b·2654435761 /
+    * 1000003) − ½, a Knuth multiplicative scramble): real trained weights
+    * would arrive as a `buckets`-row table joined or broadcast in — the
+    * plumbing (hash, slot lookup, mean, threshold) is identical and is
+    * what this operator exercises.
+    *
+    * Scale shape: MAP-ONLY — per-row lambda expressions (transform/
+    * aggregate) with no shuffle, no UDF, no driver state; fuses into the
+    * scan under whole-stage codegen.
+    */
+  def hashedNgramScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 4096
+  ): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val P = 1000003L // prime modulus shared by hash fold and weight scramble
+    docs
+      .withColumn("__t", tokens(col(textCol)))
+      .withColumn("__bg", expr(
+        """transform(slice(__t, 1, greatest(size(__t) - 1, 0)),
+          |  (w, i) -> concat(w, ' ', element_at(__t, i + 2)))""".stripMargin))
+      .withColumn("__wsum", expr(
+        s"""aggregate(__bg, cast(0.0 as double), (acc, bg) -> acc +
+           |  (cast((aggregate(transform(sequence(1, length(bg)),
+           |                             i -> cast(ascii(substring(bg, i, 1)) as bigint)),
+           |                   cast(0 as bigint), (h, c) -> (h * 31 + c) % $P)
+           |         % $buckets) * 2654435761 % $P as double) / $P.0 - 0.5))""".stripMargin))
+      .select(
+        col(idCol),
+        size(col("__bg")).cast("long").as("n_bigrams"),
+        when(size(col("__bg")) > 0,
+          Fns.epsRound(col("__wsum") / size(col("__bg")), 6)).as("score"))
+      .withColumn("keep", coalesce(col("score") > 0.0, lit(false)))
+  }
 }

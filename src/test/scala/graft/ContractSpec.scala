@@ -52,9 +52,14 @@ class ContractSpec extends AnyFunSuite {
     // misses), g2_hybrid_rrf (BM25 + cosine reciprocal-rank fusion,
     // composed from the two oracle-anchored rankers), and g7_pagerank
     // (weighted PageRank, 3 fixed power iterations over the bigram
-    // word-transition graph; oracle unrolls the iterations in SQL)
-    assert(SparkEntry.queries.size == 175,
-      s"declared query count ${SparkEntry.queries.size} != documented 175 — " +
+    // word-transition graph; oracle unrolls the iterations in SQL).
+    // 177 adds g7_triangles (degree-ordered triangle counting over the
+    // co-purchase graph — each triangle enumerated once from its
+    // lowest-rank corner) and g3_classifier_score (fastText-shape
+    // hashed-bigram linear classifier inference, map-only, with an
+    // engine-portable char-fold hash the oracle replays bit-for-bit)
+    assert(SparkEntry.queries.size == 177,
+      s"declared query count ${SparkEntry.queries.size} != documented 177 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

@@ -65,6 +65,20 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == expected)
   }
 
+  test("rrfFuse: a doc repeated inside one list contributes its best rank once; null ranks drop") {
+    val lex = Seq(("q0", 10L, 2L), ("q0", 10L, 5L))
+      .toDF("query_id", "doc_id", "rank")
+      .union(Seq(("q0", 20L)).toDF("query_id", "doc_id")
+        .selectExpr("query_id", "doc_id", "cast(null as bigint) as rank"))
+    val out = Similarity
+      .rrfFuse(Seq("lex" -> lex), "query_id", "doc_id", "rank", topK = 10)
+      .collect()
+      .map(r => (r.getLong(2), r.getDouble(3), r.getLong(4)))
+    // only d10 survives (null-rank d20 drops), scored 1/62 once, lex_rank=2
+    val want = BigDecimal(1.0 / 62 + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq((10L, want, 2L)))
+  }
+
   test("minhashPairs recovers the same dup clusters (exact-verified)") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", shingleN = 3, bands = 16, rowsPerBand = 3, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -47,11 +47,55 @@ class GraphSpec extends SparkSpec {
     assert(dup == once)
   }
 
+  test("zero/negative/null-weight edges are not edges: A loses its out-edge, stays reachable") {
+    // A→B w=0 and A→C w=-1 vanish; D→A keeps A in the graph as a DANGLING
+    // node — identical to the graph that never had A's out-edges
+    val degenerate = Seq(("A", "B", 0.0), ("A", "C", -1.0), ("D", "A", 1.0))
+    val clean      = Seq(("D", "A", 1.0))
+    val d = ranks(degenerate, iters = 2)
+    val c = ranks(clean, iters = 2)
+    assert(d.keySet == Set("A", "D"), "zero-weight targets B and C must leave the graph")
+    assert(d == c)
+    assert(math.abs(d.values.sum - 1.0) < 1e-9)
+  }
+
   test("rank mass sums to 1 on an asymmetric graph with dangling nodes") {
     val r = ranks(
       Seq(("A", "B", 1.0), ("A", "C", 2.0), ("B", "C", 1.0), ("D", "A", 1.0)),
       iters = 4)
     assert(math.abs(r.values.sum - 1.0) < 1e-9)
     assert(r.keySet == Set("A", "B", "C", "D"))
+  }
+
+  private def triangles(edges: Seq[(String, String)]): Map[String, Long] =
+    Graph
+      .triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+
+  test("triangleCounts: K4 has 4 triangles, every node in 3; a path has none") {
+    val k4 = for {
+      a <- Seq("A", "B", "C", "D"); b <- Seq("A", "B", "C", "D") if a < b
+    } yield (a, b)
+    val t = triangles(k4)
+    assert(t == Map("A" -> 3L, "B" -> 3L, "C" -> 3L, "D" -> 3L))
+    assert(t.values.sum == 12L) // 3 corners x 4 triangles
+    assert(triangles(Seq(("A", "B"), ("B", "C"), ("C", "D"))).isEmpty)
+  }
+
+  test("triangleCounts normalizes direction, multiplicity, and self-loops") {
+    // same triangle written with reversed edges, a duplicate, and a loop
+    val t = triangles(Seq(
+      ("A", "B"), ("B", "A"), ("C", "B"), ("A", "C"), ("A", "C"), ("A", "A")))
+    assert(t == Map("A" -> 1L, "B" -> 1L, "C" -> 1L))
+  }
+
+  test("triangleCounts: hub-and-spoke plus one rim edge yields exactly that triangle") {
+    // hub H connects to 5 spokes; only rim edge S1-S2 closes a triangle —
+    // degree orientation must count it once despite H's skewed degree
+    val spokes = (1 to 5).map(i => ("H", s"S$i"))
+    val t = triangles(spokes :+ ("S1", "S2"))
+    assert(t == Map("H" -> 1L, "S1" -> 1L, "S2" -> 1L))
   }
 }

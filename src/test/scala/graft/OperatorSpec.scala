@@ -541,4 +541,25 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(again == m.map { case (k, (_, w)) => k -> w })
   }
+
+  test("hashedNgramScore: closed-form hash/weight arithmetic, empty and 1-token docs") {
+    // replicate the operator's documented arithmetic in plain Scala
+    def polyhash(s: String): Long = s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000003L)
+    def weight(bg: String): Double =
+      (polyhash(bg) % 4096L) * 2654435761L % 1000003L / 1000003.0 - 0.5
+    val docs = Seq(
+      (1L, "alpha beta gamma"), // bigrams: "alpha beta", "beta gamma"
+      (2L, "solo"),             // 1 token -> 0 bigrams
+      (3L, "  ")                // no tokens
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.hashedNgramScore(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3))))
+      .toMap
+    val s1 = (weight("alpha beta") + weight("beta gamma")) / 2
+    val want = BigDecimal(s1 + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((2L, Some(want), s1 > 0)))
+    assert(out(2L) == ((0L, None, false)))
+    assert(out(3L) == ((0L, None, false)))
+  }
 }
