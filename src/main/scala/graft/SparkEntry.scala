@@ -3802,6 +3802,83 @@ object SparkEntry {
       .orderBy(col("n_triangles").desc, col("part_id"))
   }
 
+  /** G7 — semi-supervised label propagation: 20% of parts keep their
+    * trusted brand label; two synchronous rounds spread it across the
+    * co-purchase graph by edge-weight majority (ties to the smallest
+    * label). The pattern every pipeline uses to extend sparse trusted
+    * labels (quality, license, domain) over an affinity graph. Per
+    * round: one label⋈edge equi-join + a (node, label) partial agg +
+    * a min(struct) argmax — no window over the corpus.
+    */
+  private def g7LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = d.as("x")
+      .join(d.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).cast("double").as("w"))
+    val seeds = Tables.part(s, dir)
+      .where(col("p_partkey") % 5 === 0)
+      .select(col("p_partkey"), col("p_brand"))
+    Graph
+      .labelPropagate(edges, "a", "b", "w", seeds, "p_partkey", "p_brand",
+        iterations = 2)
+      .select(col("node").as("part_id"), col("label").as("brand"))
+      .orderBy("part_id")
+  }
+
+  /** G2 — Johnson–Lindenstrauss distortion audit: project 64-dim
+    * embeddings to 16 dims with the arithmetic Rademacher matrix
+    * ([[Similarity.jlProject]]) and report, for every exact near-dup
+    * pair, the original vs projected cosine side by side — the check a
+    * pipeline runs before trusting reduced-width vectors for dedup/ANN.
+    * Projection is map-only; the pair set is the oracle-anchored exact
+    * one, so the whole audit is oracle-checkable end to end.
+    */
+  private def g2JlDistortion(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val proj = Similarity.jlProject(emb, "embedding", "proj", outDim = 16)
+      .select(col("vec_id"), col("proj"))
+    Similarity
+      .cosineDupPairs(emb, "vec_id", "embedding", threshold = 0.3)
+      .join(proj.select(col("vec_id").as("id_a"), col("proj").as("__pa")), "id_a")
+      .join(proj.select(col("vec_id").as("id_b"), col("proj").as("__pb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("cosine"),
+        Fns.epsRound(Fns.cosine(col("__pa"), col("__pb")), 4).as("cosine_jl"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** E17 — truncated EWMA per user (α=0.2, 20-event frame): the smoothed
+    * per-entity activity feature every online store serves. One bounded
+    * PARTITIONED window (entity-keyed, never corpus-sized) + a map-only
+    * fold; truncation error ≤ 0.8^19 ≈ 0.014 of the seed weight.
+    */
+  private def e17Ewma(s: SparkSession, dir: String): DataFrame =
+    Scaling
+      .ewma(
+        Tables.events(s, dir).select("event_id", "user_id", "value", "ts"),
+        valueCol = "value", partitionCols = Seq("user_id"),
+        orderCols = Seq("ts", "event_id"), alpha = 0.2, window = 20)
+      .select(col("event_id"), col("user_id"), col("value"),
+        Scaling.rounded("ewma"))
+      .orderBy("event_id")
+
+  /** E18 — leave-one-out smoothed target encoding of order priority
+    * against total price (Micci-Barreca 2001): the leakage-safe
+    * categorical encoder. Two tiny broadcast aggregates + map-only
+    * arithmetic — one pass at any scale.
+    */
+  private def e18TargetEncode(s: SparkSession, dir: String): DataFrame =
+    Scaling
+      .targetEncode(
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        catCols = Seq("o_orderpriority"), targetCol = "o_totalprice",
+        smoothing = 10.0)
+      .select(col("o_orderkey"), col("o_orderpriority"), Scaling.rounded("te"))
+      .orderBy("o_orderkey")
+
   /** G3 — hashed-bigram linear classifier inference (the fastText shape:
     * classifier-based quality filtering as every production corpus runs
     * it). MAP-ONLY: hash fold, slot lookup, mean, threshold are all
@@ -4137,6 +4214,10 @@ object SparkEntry {
     "g7_pagerank"        -> (g7Pagerank _),
     "g7_triangles"       -> (g7Triangles _),
     "g3_classifier_score" -> (g3ClassifierScore _),
+    "g7_label_prop"      -> (g7LabelProp _),
+    "g2_jl_distortion"   -> (g2JlDistortion _),
+    "e17_ewma"           -> (e17Ewma _),
+    "e18_target_encode"  -> (e18TargetEncode _),
     "g1_dedup_normalized" -> (g1DedupNormalized _)
   )
 
@@ -5997,6 +6078,85 @@ object SparkEntry {
         |      FROM bg)
         |SELECT doc_id, n_bigrams, score, coalesce(score > 0.0, false) AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+    "g7_label_prop" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT x.p AS a, y.p AS b, count(*)::DOUBLE AS w
+        |       FROM d x JOIN d y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+        |e AS (SELECT a AS src, b AS dst, w FROM e0 UNION ALL SELECT b, a, w FROM e0),
+        |seed AS (SELECT p_partkey AS node, min(p_brand) AS lbl
+        |         FROM part WHERE p_partkey % 5 = 0 GROUP BY 1),
+        |m1 AS (SELECT e.dst AS node, l.lbl, sum(e.w) AS m
+        |       FROM e JOIN seed l ON e.src = l.node GROUP BY 1, 2),
+        |c1 AS (SELECT node, lbl FROM (SELECT node, lbl,
+        |         row_number() OVER (PARTITION BY node ORDER BY m DESC, lbl) AS rn
+        |       FROM m1) WHERE rn = 1),
+        |l1 AS (SELECT coalesce(p.node, c.node) AS node,
+        |              coalesce(s.lbl, c.lbl, p.lbl) AS lbl
+        |       FROM seed p FULL JOIN c1 c ON p.node = c.node
+        |       LEFT JOIN seed s ON coalesce(p.node, c.node) = s.node),
+        |m2 AS (SELECT e.dst AS node, l.lbl, sum(e.w) AS m
+        |       FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+        |c2 AS (SELECT node, lbl FROM (SELECT node, lbl,
+        |         row_number() OVER (PARTITION BY node ORDER BY m DESC, lbl) AS rn
+        |       FROM m2) WHERE rn = 1),
+        |l2 AS (SELECT coalesce(p.node, c.node) AS node,
+        |              coalesce(s.lbl, c.lbl, p.lbl) AS lbl
+        |       FROM l1 p FULL JOIN c2 c ON p.node = c.node
+        |       LEFT JOIN seed s ON coalesce(p.node, c.node) = s.node)
+        |SELECT node AS part_id, lbl AS brand FROM l2 ORDER BY part_id""".stripMargin,
+    "g2_jl_distortion" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings),
+        |proj AS (
+        |  SELECT vec_id,
+        |         list_transform(range(0, 16), j ->
+        |           list_sum(list_transform(range(1, len(embedding) + 1), i ->
+        |             embedding[i]::DOUBLE *
+        |             (CASE WHEN ((i - 1) * 2654435761 + j * 40503) % 1000003 % 2 = 0
+        |                   THEN 1.0 ELSE -1.0 END)))
+        |           / sqrt(16.0)) AS p
+        |  FROM v),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+        |    (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE))) *
+        |     sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS sim
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id),
+        |keep AS (SELECT id_a, id_b, round(sim + 1e-9, 4) AS cosine FROM pairs WHERE sim >= 0.3)
+        |SELECT k.id_a, k.id_b, k.cosine,
+        |       round(list_sum(list_transform(range(1, 17), t -> pa.p[t] * pb.p[t])) /
+        |             (sqrt(list_sum(list_transform(pa.p, x -> x * x))) *
+        |              sqrt(list_sum(list_transform(pb.p, x -> x * x)))) + 1e-9, 4) AS cosine_jl
+        |FROM keep k JOIN proj pa ON k.id_a = pa.vec_id JOIN proj pb ON k.id_b = pb.vec_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    "e17_ewma" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, value,
+        |         list_filter(
+        |           list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+        |           x -> x IS NOT NULL) AS l
+        |  FROM events)
+        |SELECT event_id, user_id, value,
+        |       CASE WHEN len(l) > 0 THEN
+        |         round(list_reduce(list_transform(l, x -> x::DOUBLE),
+        |                           (acc, x) -> 0.2 * x + 0.8 * acc) + 1e-9, 4)
+        |       END AS ewma
+        |FROM w ORDER BY event_id""".stripMargin,
+    "e18_target_encode" ->
+      """WITH s AS (SELECT o_orderpriority,
+        |                  sum(o_totalprice::DOUBLE) AS ts, count(o_totalprice) AS tn
+        |           FROM orders GROUP BY 1),
+        |p AS (SELECT avg(o_totalprice::DOUBLE) AS prior FROM orders)
+        |SELECT o.o_orderkey, o.o_orderpriority,
+        |       round(CASE WHEN o.o_totalprice IS NOT NULL THEN
+        |               (s.ts - o.o_totalprice + 10.0 * p.prior) / (s.tn - 1 + 10.0)
+        |             ELSE (coalesce(s.ts, 0.0) + 10.0 * p.prior) / (s.tn + 10.0) END
+        |             + 1e-9, 4) AS te
+        |FROM orders o
+        |JOIN s ON o.o_orderpriority IS NOT DISTINCT FROM s.o_orderpriority
+        |CROSS JOIN p
+        |ORDER BY o.o_orderkey""".stripMargin,
     "g1_dedup_normalized" ->
       """WITH n AS (SELECT text,
         |                  trim(regexp_replace(regexp_replace(lower(text),

@@ -105,6 +105,82 @@ object Graph {
     ranks.select(col("node"), col("__r").as("pagerank"))
   }
 
+  /** Semi-supervised label propagation (Zhu & Ghahramani 2002 shape,
+    * hard-label variant), run for a FIXED number of synchronous
+    * iterations: each round every node adopts the label with the largest
+    * incident edge-weight mass among its labeled neighbors — ties break
+    * to the SMALLEST label so the whole fixture is deterministic — nodes
+    * with no labeled neighbor keep their current label (or stay
+    * unlabeled), and seed nodes are CLAMPED (they never change). The
+    * training-data use is spreading sparse trusted labels (quality,
+    * domain, license) across an affinity graph (near-dup pairs,
+    * co-occurrence) to unlabeled items.
+    *
+    * Edges are undirected (each edge votes in both directions),
+    * parallel edges sum, self-loops drop (a node must not vote for
+    * itself), null/zero/negative weights are not edges. A node seeded
+    * twice takes its smallest label.
+    *
+    * Scale shape per iteration: one equi-join of the current label table
+    * onto the bidirectional edge list + a (node, label) partial-agg
+    * shuffle + a min(struct) argmax aggregate + one outer join against
+    * the previous labels — no window, no cross join, no driver state;
+    * the label table is localCheckpoint'ed each round (same
+    * lineage-growth argument as [[pageRank]]).
+    *
+    * @return (node, label) for every node labeled after `iterations`
+    *   rounds (seeds included).
+    */
+  def labelPropagate(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      seeds: DataFrame,
+      nodeCol: String,
+      labelCol: String,
+      iterations: Int
+  ): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val dir = edges
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+        col(weightCol).cast("double").as("__w"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull &&
+        col("__src") =!= col("__dst"))
+    val e = dir
+      .union(dir.select(col("__dst").as("__src"), col("__src").as("__dst"), col("__w")))
+      .groupBy("__src", "__dst")
+      .agg(sum("__w").as("__w"))
+      .where(col("__w") > 0.0)
+      .localCheckpoint()
+    val seed = seeds
+      .select(col(nodeCol).as("node"), col(labelCol).as("__lbl"))
+      .where(col("node").isNotNull && col("__lbl").isNotNull)
+      .groupBy("node")
+      .agg(min("__lbl").as("__lbl"))
+      .localCheckpoint()
+
+    var labels = seed
+    for (_ <- 1 to iterations) {
+      val mass = e
+        .join(labels, e("__src") === labels("node"))
+        .groupBy(col("__dst").as("node"), col("__lbl"))
+        .agg(sum("__w").as("__m"))
+      // min of (-mass, label): largest mass wins, ties to the smallest label
+      val cand = mass
+        .groupBy("node")
+        .agg(min(struct((-col("__m")).as("__negm"), col("__lbl"))).as("__t"))
+        .select(col("node"), col("__t").getField("__lbl").as("__cand"))
+      labels = labels
+        .join(cand, Seq("node"), "full_outer")
+        .join(seed.select(col("node"), col("__lbl").as("__seed")), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__seed"), col("__cand"), col("__lbl")).as("__lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("node"), col("__lbl").as("label"))
+  }
+
   /** Per-node triangle counts via degree-ordered edge orientation — the
     * standard scalable formulation (each undirected edge is directed from
     * its lower-(degree, node) endpoint to the higher one, so every

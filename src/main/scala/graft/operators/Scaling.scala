@@ -91,4 +91,79 @@ object Scaling {
 
   /** Oracle-friendly rounded projection helper. */
   def rounded(c: String, scale: Int = 4) = Fns.epsRound(col(c), scale).as(c)
+
+  /** Leave-one-out target encoding with additive smoothing — the
+    * standard leakage-safe categorical→numeric encoder (Micci-Barreca
+    * 2001): for a row with target t in a category holding (n, Σt),
+    *
+    * {{{ enc = (Σt − t + m·prior) / (n − 1 + m) }}}
+    *
+    * where prior is the GLOBAL target mean and m the smoothing
+    * pseudo-count. Subtracting the row's own target keeps its label out
+    * of its own feature (the leakage every naive mean-encoder ships);
+    * smoothing pulls rare categories toward the prior and keeps
+    * singleton categories total (n−1+m > 0 because m > 0 is required).
+    * A row with a NULL target can leak nothing — it gets the full-group
+    * posterior (Σt + m·prior)/(n + m). Null category keys form their own
+    * group (never dropped), matching [[standardize]].
+    *
+    * Scale shape: one partial-agg shuffle over the category keys (rows ∝
+    * categories) + a 1-row global aggregate, both broadcast back; the
+    * encoding itself is map-only arithmetic — one pass at 100 TB.
+    */
+  def targetEncode(df: DataFrame, catCols: Seq[String], targetCol: String,
+      outCol: String = "te", smoothing: Double = 10.0): DataFrame = {
+    require(smoothing > 0, s"smoothing must be positive, got $smoothing")
+    val t = col(targetCol).cast("double")
+    val stats = df.groupBy(catCols.map(col): _*)
+      .agg(sum(t).as("__ts"), count(t).as("__tn"))
+    val prior = df.agg(avg(t).as("__prior"))
+    val m = lit(smoothing)
+    joinStats(df, stats, catCols)
+      .crossJoin(broadcast(prior))
+      .withColumn(outCol,
+        when(t.isNotNull,
+          (col("__ts") - t + m * col("__prior")) / (col("__tn") - 1 + m))
+          .otherwise(
+            (coalesce(col("__ts"), lit(0.0)) + m * col("__prior")) /
+              (col("__tn") + m)))
+      .drop("__ts", "__tn", "__prior")
+  }
+
+  /** Truncated exponentially-weighted moving average per partition:
+    * the EWMA recurrence `e_i = α·x_i + (1−α)·e_{i−1}` restarted
+    * `window − 1` rows back — i.e. a left fold over the trailing
+    * `window`-row frame seeded with its oldest value. Truncation is what
+    * makes the recurrence distributable (the exact EWMA is a full-prefix
+    * scan); the error of dropping history beyond the frame is bounded by
+    * (1−α)^(window−1), so pick `window` for the ε you need (α = 0.2,
+    * window = 20 → ≤ 0.014 of the seed's weight). NULL values never
+    * contribute; a row whose own value is null gets the EWMA of what the
+    * frame does hold (null on an all-null frame).
+    *
+    * Scale shape: ONE partitioned bounded window (collect over the
+    * trailing frame) + a map-only fold lambda — partitions are entity
+    * keys, so parallelism is the entity count and no partition is
+    * corpus-sized. No UDF, no driver state.
+    */
+  def ewma(df: DataFrame, valueCol: String, partitionCols: Seq[String],
+      orderCols: Seq[String], alpha: Double, window: Int,
+      outCol: String = "ewma"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(partitionCols.nonEmpty,
+      "ewma needs partition columns — an unpartitioned window is a one-task global sort")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(window - 1), 0)
+    df.withColumn("__l", collect_list(col(valueCol).cast("double")).over(w))
+      .withColumn(outCol, expr(
+        s"""CASE WHEN size(__l) > 0 THEN
+           |  aggregate(slice(__l, 2, greatest(size(__l) - 1, 0)),
+           |            element_at(__l, 1),
+           |            (acc, x) -> $alpha * x + ${1.0 - alpha} * acc)
+           |END""".stripMargin))
+      .drop("__l")
+  }
 }

@@ -272,6 +272,39 @@ object Similarity {
         rankings.map { case (tag, _) => col(s"${tag}_rank") }): _*)
   }
 
+  /** Johnson–Lindenstrauss random projection with a Rademacher (±1)
+    * matrix (Achlioptas 2003, "Database-friendly random projections"):
+    * out[j] = Σ_i v[i]·s(i,j) / √outDim, where the sign matrix s is not
+    * stored anywhere — each entry derives arithmetically from its
+    * coordinates ((i·2654435761 + j·40503) mod 1000003 mod 2), the same
+    * engine-portable-determinism stance as
+    * [[TextAnalysis.hashedNgramScore]]'s weights: any engine (and the
+    * DuckDB oracle) regenerates the identical matrix from the formula, so
+    * projections are reproducible across train/serve with zero state to
+    * ship. The training-data use is cheap dimensionality reduction ahead
+    * of clustering / dedup / ANN when the full embedding width is
+    * overkill for the distance structure.
+    *
+    * Scale shape: MAP-ONLY — one nested lambda expression per row, no
+    * shuffle, no UDF, no broadcast (the matrix is arithmetic); cost
+    * O(dim · outDim) per row, fused into the scan.
+    */
+  def jlProject(
+      df: DataFrame,
+      vecCol: String,
+      outCol: String,
+      outDim: Int
+  ): DataFrame = {
+    require(outDim > 0, s"outDim must be positive, got $outDim")
+    df.withColumn(outCol, expr(
+      s"""transform(sequence(0, ${outDim - 1}), j ->
+         |  aggregate(sequence(0, size($vecCol) - 1), cast(0.0 as double),
+         |    (acc, i) -> acc + cast(element_at($vecCol, i + 1) as double) *
+         |      (case when (i * 2654435761 + j * 40503) % 1000003 % 2 = 0
+         |            then 1.0 else -1.0 end))
+         |  / sqrt(cast($outDim as double)))""".stripMargin))
+  }
+
   /** Count of candidates above a cosine threshold, per query. */
   def thresholdCount(
       candidates: DataFrame,

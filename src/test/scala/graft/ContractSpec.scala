@@ -57,9 +57,19 @@ class ContractSpec extends AnyFunSuite {
     // co-purchase graph — each triangle enumerated once from its
     // lowest-rank corner) and g3_classifier_score (fastText-shape
     // hashed-bigram linear classifier inference, map-only, with an
-    // engine-portable char-fold hash the oracle replays bit-for-bit)
-    assert(SparkEntry.queries.size == 177,
-      s"declared query count ${SparkEntry.queries.size} != documented 177 — " +
+    // engine-portable char-fold hash the oracle replays bit-for-bit).
+    // 178 adds g7_label_prop (semi-supervised label propagation: clamped
+    // seeds, weight-majority argmax, min-label ties, fixed synchronous
+    // rounds; oracle unrolls both iterations). 179 adds g2_jl_distortion
+    // (Johnson–Lindenstrauss Rademacher projection 64→16 with an
+    // arithmetic, engine-regenerable sign matrix; original vs projected
+    // cosine on every exact near-dup pair). 181 adds e17_ewma (truncated
+    // per-entity EWMA: bounded partitioned window + map-only fold,
+    // truncation error ≤ (1−α)^(window−1)) and e18_target_encode
+    // (leave-one-out smoothed target encoding — the leakage-safe
+    // categorical encoder; two broadcast aggregates + map-only math)
+    assert(SparkEntry.queries.size == 181,
+      s"declared query count ${SparkEntry.queries.size} != documented 181 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

@@ -79,6 +79,23 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((10L, want, 2L)))
   }
 
+  test("jlProject: closed-form signs, linearity, and identical-vector invariance") {
+    // dim=1, outDim=1: sign(0,0) = +1 (0 % 1000003 % 2 == 0), so
+    // out = [v0 / sqrt(1)] exactly
+    val one = Seq((1L, Seq(3.5f))).toDF("id", "v")
+    val p1 = Similarity.jlProject(one, "v", "p", 1)
+      .select($"p").as[Seq[Double]].head()
+    assert(p1 == Seq(3.5))
+    // linearity: P(2v) == 2 P(v); identical inputs project identically
+    val v = Seq(0.5f, -1.25f, 2.0f, 0.125f)
+    val df = Seq((1L, v), (2L, v.map(_ * 2)), (3L, v)).toDF("id", "v")
+    val m = Similarity.jlProject(df, "v", "p", 8)
+      .select($"id", $"p").as[(Long, Seq[Double])].collect().toMap
+    assert(m(1L) == m(3L))
+    assert(m(2L) == m(1L).map(_ * 2))
+    assert(m(1L).size == 8)
+  }
+
   test("minhashPairs recovers the same dup clusters (exact-verified)") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", shingleN = 3, bands = 16, rowsPerBand = 3, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -67,6 +67,53 @@ class GraphSpec extends SparkSpec {
     assert(r.keySet == Set("A", "B", "C", "D"))
   }
 
+  private def propagate(
+      edges: Seq[(String, String, Double)],
+      seeds: Seq[(String, String)],
+      iters: Int): Map[String, String] =
+    Graph
+      .labelPropagate(edges.toDF("src", "dst", "w"), "src", "dst", "w",
+        seeds.toDF("node", "lbl"), "node", "lbl", iters)
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .toMap
+
+  test("labelPropagate: chain reaches one hop per iteration") {
+    val chain = Seq(("A", "B", 1.0), ("B", "C", 1.0), ("C", "D", 1.0))
+    assert(propagate(chain, Seq("A" -> "x"), 1) == Map("A" -> "x", "B" -> "x"))
+    assert(propagate(chain, Seq("A" -> "x"), 2) ==
+      Map("A" -> "x", "B" -> "x", "C" -> "x"))
+  }
+
+  test("labelPropagate: weight majority wins, exact ties go to the smallest label") {
+    // N hears x with weight 1 and y with weight 2 -> y
+    val g = Seq(("X", "N", 1.0), ("Y", "N", 2.0))
+    assert(propagate(g, Seq("X" -> "x", "Y" -> "y"), 1)("N") == "y")
+    // equal weights -> min label
+    val tie = Seq(("X", "N", 1.0), ("Y", "N", 1.0))
+    assert(propagate(tie, Seq("X" -> "x", "Y" -> "y"), 1)("N") == "x")
+  }
+
+  test("labelPropagate: seeds are clamped and self-loops don't vote") {
+    // B is seeded y; its neighborhood overwhelmingly says x; B stays y.
+    // B's self-loop (weight 100) must not reinforce y onto B's neighbors
+    // beyond the normal edge, nor x onto itself.
+    val g = Seq(("A", "B", 10.0), ("B", "B", 100.0), ("B", "C", 1.0))
+    val r = propagate(g, Seq("A" -> "x", "B" -> "y"), 2)
+    assert(r("B") == "y", "seed must stay clamped")
+    assert(r("A") == "x" && r("C") == "y")
+  }
+
+  test("labelPropagate: labels persist across rounds; no node is ever un-labeled") {
+    // round 1: E takes z from D (D hears nothing back — E is unlabeled
+    // when the round starts). Round 2 changes nothing; nobody loses a
+    // label, and a disconnected never-reached node (F-G island with no
+    // seed) stays absent rather than appearing null-labeled.
+    val g = Seq(("D", "E", 1.0), ("F", "G", 1.0))
+    val r = propagate(g, Seq("D" -> "z"), 2)
+    assert(r == Map("D" -> "z", "E" -> "z"))
+  }
+
   private def triangles(edges: Seq[(String, String)]): Map[String, Long] =
     Graph
       .triangleCounts(edges.toDF("src", "dst"), "src", "dst")

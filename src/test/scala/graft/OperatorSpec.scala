@@ -542,6 +542,54 @@ class OperatorSpec extends SparkSpec {
     assert(again == m.map { case (k, (_, w)) => k -> w })
   }
 
+  test("targetEncode: leave-one-out arithmetic, null target, null category, singleton") {
+    // cat "a": targets 10, 20; cat "b": singleton 40; null cat: 30; null target in "a"
+    val df = Seq(
+      (1L, Some("a"), Some(10.0)),
+      (2L, Some("a"), Some(20.0)),
+      (3L, Some("b"), Some(40.0)),
+      (4L, None, Some(30.0)),
+      (5L, Some("a"), None)
+    ).toDF("id", "cat", "t")
+    val prior = (10.0 + 20.0 + 40.0 + 30.0) / 4 // 25
+    val m = 10.0
+    val out = Scaling.targetEncode(df, Seq("cat"), "t", "te", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // LOO: (Σt − own + m·prior) / (n − 1 + m); n counts non-null targets
+    assert(math.abs(out(1L) - (30.0 - 10.0 + m * prior) / (2 - 1 + m)) < 1e-12)
+    assert(math.abs(out(2L) - (30.0 - 20.0 + m * prior) / (2 - 1 + m)) < 1e-12)
+    // singleton: LOO leaves only the prior mass
+    assert(math.abs(out(3L) - (40.0 - 40.0 + m * prior) / (1 - 1 + m)) < 1e-12)
+    // null category is a real group of its own, not dropped
+    assert(math.abs(out(4L) - (30.0 - 30.0 + m * prior) / (1 - 1 + m)) < 1e-12)
+    // null target: full-group posterior, no own-label subtraction
+    assert(math.abs(out(5L) - (30.0 + m * prior) / (2 + m)) < 1e-12)
+  }
+
+  test("ewma: recurrence seeded at the frame start, truncation, nulls skipped") {
+    val df = Seq(
+      (1L, "u", 1, Some(10.0)),
+      (2L, "u", 2, Some(20.0)),
+      (3L, "u", 3, None),
+      (4L, "u", 4, Some(40.0)),
+      (5L, "v", 1, Some(7.0))
+    ).toDF("id", "user", "seq", "v")
+    def step(acc: Double, x: Double) = 0.5 * x + 0.5 * acc
+    val full = Scaling.ewma(df, "v", Seq("user"), Seq("seq"), alpha = 0.5, window = 10)
+      .collect().map(r => r.getLong(0) -> Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    assert(full(1L) == Some(10.0))
+    assert(full(2L) == Some(step(10.0, 20.0)))
+    // row 3's value is null: EWMA of what the frame holds (rows 1-2)
+    assert(full(3L) == Some(step(10.0, 20.0)))
+    assert(full(4L) == Some(step(step(10.0, 20.0), 40.0)))
+    assert(full(5L) == Some(7.0)) // partitions are independent
+    // window=2 truncates: row 4 sees only rows 3 (null, skipped) and 4
+    val w2 = Scaling.ewma(df, "v", Seq("user"), Seq("seq"), alpha = 0.5, window = 2)
+      .collect().map(r => r.getLong(0) -> Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    assert(w2(4L) == Some(40.0))
+    assert(w2(2L) == Some(step(10.0, 20.0)))
+  }
+
   test("hashedNgramScore: closed-form hash/weight arithmetic, empty and 1-token docs") {
     // replicate the operator's documented arithmetic in plain Scala
     def polyhash(s: String): Long = s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000003L)
