@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+import graft.sources.Tables
+
+/** Dev harness: isolates where the g7 graph queries spend their time —
+  * the bipartite edge build (collect_set + map-side pair expansion vs
+  * the naive membership self-join) versus the iteration loops that
+  * consume the edges. Run:
+  *
+  * {{{ SPARK_GRAFT_CPUS=32 sbt "runMain graft.GraphScaleProbe /root/testdata/sf0.1" }}}
+  */
+object GraphScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(label: String)(f: => Long): Unit = {
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[graph-probe] $label%-28s rep$i ${(System.nanoTime() - t0) / 1e9}%6.2fs rows=$n")
+      }
+    }
+
+    val m = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+
+    def selfJoinEdges(): DataFrame = {
+      val d = m.select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      d.as("x")
+        .join(d.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+        .agg(count(lit(1)).cast("double").as("w"))
+    }
+
+    time("edges: self-join")(selfJoinEdges().count())
+    time("edges: bipartiteProject")(
+      Graph.bipartiteProject(m, "l_orderkey", "l_partkey").count())
+
+    val seeds = Tables.part(spark, sfDir)
+      .where(col("p_partkey") % 5 === 0)
+      .select(col("p_partkey"), col("p_brand"))
+    time("labelProp on self-join")(
+      Graph.labelPropagate(selfJoinEdges(), "a", "b", "w",
+        seeds, "p_partkey", "p_brand", iterations = 2).count())
+    time("labelProp on bipartite")(
+      Graph.labelPropagate(
+        Graph.bipartiteProject(m, "l_orderkey", "l_partkey"), "a", "b", "w",
+        seeds, "p_partkey", "p_brand", iterations = 2).count())
+
+    spark.stop()
+  }
+}

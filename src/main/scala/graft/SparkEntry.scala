@@ -3785,18 +3785,13 @@ object SparkEntry {
     * graph — triangle-dense neighborhoods are what community detection
     * and co-occurrence embeddings feed on. Degree-ordered orientation
     * (operators/Graph.scala) keeps the wedge join O(m^1.5)-bounded on
-    * any degree skew; the edge build itself is one distinct + equi-join
-    * + HAVING-count shuffle.
+    * any degree skew; the edge build is [[Graph.bipartiteProject]] —
+    * one membership shuffle, pairs expanded map-side per basket.
     */
   private def g7Triangles(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val edges = d.as("x")
-      .join(d.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-      .agg(count(lit(1)).as("__n"))
-      .where(col("__n") >= 2)
+    val edges = Graph.bipartiteProject(
+      Tables.lineitem(s, dir).select("l_orderkey", "l_partkey"),
+      keyCol = "l_orderkey", itemCol = "l_partkey", minSupport = 2)
     Graph.triangleCounts(edges, "a", "b")
       .select(col("node").as("part_id"), col("n_triangles"))
       .orderBy(col("n_triangles").desc, col("part_id"))
@@ -3811,13 +3806,9 @@ object SparkEntry {
     * a min(struct) argmax — no window over the corpus.
     */
   private def g7LabelProp(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val edges = d.as("x")
-      .join(d.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-      .agg(count(lit(1)).cast("double").as("w"))
+    val edges = Graph.bipartiteProject(
+      Tables.lineitem(s, dir).select("l_orderkey", "l_partkey"),
+      keyCol = "l_orderkey", itemCol = "l_partkey")
     val seeds = Tables.part(s, dir)
       .where(col("p_partkey") % 5 === 0)
       .select(col("p_partkey"), col("p_brand"))

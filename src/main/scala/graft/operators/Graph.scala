@@ -105,6 +105,53 @@ object Graph {
     ranks.select(col("node"), col("__r").as("pagerank"))
   }
 
+  /** Bipartite→unipartite projection (the market-basket / co-occurrence
+    * graph build): from (key, item) membership rows, emit the weighted
+    * item–item edge list where w(a, b) = number of distinct keys
+    * containing both, keeping edges with w ≥ `minSupport`. This is the
+    * substrate step for co-purchase, co-citation, and shared-context
+    * graphs that [[pageRank]] / [[triangleCounts]] / [[labelPropagate]]
+    * then consume.
+    *
+    * Scale shape: ONE membership shuffle (collect_set per key dedups and
+    * gathers in the same partial-aggregated pass — no separate distinct),
+    * then the C(|basket|, 2) pair expansion happens MAP-SIDE from the
+    * sorted array, then one (a, b) partial-agg shuffle — versus the naive
+    * self-join on key, which shuffles the membership table twice more
+    * and materializes the same pairs as join output. The quadratic risk is a
+    * HOT KEY (one basket with 10⁵ items is 5·10⁹ pairs concentrated in
+    * one task): `maxBasketSize` drops baskets above the cap — the
+    * standard market-basket guard; a basket that large is a bot/aggregate
+    * key, not signal. Dropped baskets are gone from the projection
+    * (document the cap with the result); pass Int.MaxValue to disable.
+    *
+    * @return (a, b, w) with a < b, both non-null, w = distinct-key
+    *   co-occurrence count as double.
+    */
+  def bipartiteProject(
+      memberships: DataFrame,
+      keyCol: String,
+      itemCol: String,
+      minSupport: Long = 1L,
+      maxBasketSize: Int = 100000
+  ): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
+    memberships
+      .select(col(keyCol).as("__k"), col(itemCol).as("__i"))
+      .where(col("__k").isNotNull && col("__i").isNotNull)
+      .groupBy("__k")
+      .agg(sort_array(collect_set(col("__i"))).as("__l"))
+      .where(size(col("__l")).between(2, maxBasketSize))
+      .select(explode(expr(
+        """flatten(transform(__l, (x, i) ->
+          |  transform(slice(__l, i + 2, size(__l)), y -> struct(x AS a, y AS b))))""".stripMargin))
+        .as("__p"))
+      .groupBy(col("__p.a").as("a"), col("__p.b").as("b"))
+      .agg(count(lit(1)).cast("double").as("w"))
+      .where(col("w") >= minSupport)
+  }
+
   /** Semi-supervised label propagation (Zhu & Ghahramani 2002 shape,
     * hard-label variant), run for a FIXED number of synchronous
     * iterations: each round every node adopts the label with the largest

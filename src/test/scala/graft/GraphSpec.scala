@@ -114,6 +114,26 @@ class GraphSpec extends SparkSpec {
     assert(r == Map("D" -> "z", "E" -> "z"))
   }
 
+  test("bipartiteProject: co-occurrence counts, dup memberships, minSupport, basket cap") {
+    // baskets: k1 {A,B,C}, k2 {A,B}, k3 {A,B} (with a duplicate row), k4 {Z}
+    val m = Seq(
+      ("k1", "A"), ("k1", "B"), ("k1", "C"),
+      ("k2", "A"), ("k2", "B"),
+      ("k3", "A"), ("k3", "B"), ("k3", "B"), // dup membership counts once
+      ("k4", "Z")                            // singleton basket: no pairs
+    ).toDF("k", "i")
+    val all = Graph.bipartiteProject(m, "k", "i")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(all == Map(("A", "B") -> 3.0, ("A", "C") -> 1.0, ("B", "C") -> 1.0))
+    val sup2 = Graph.bipartiteProject(m, "k", "i", minSupport = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(sup2 == Set(("A", "B")))
+    // cap 2 drops the 3-item basket k1 entirely
+    val capped = Graph.bipartiteProject(m, "k", "i", maxBasketSize = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(capped == Map(("A", "B") -> 2.0))
+  }
+
   private def triangles(edges: Seq[(String, String)]): Map[String, Long] =
     Graph
       .triangleCounts(edges.toDF("src", "dst"), "src", "dst")
