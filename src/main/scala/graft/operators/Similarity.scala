@@ -296,13 +296,20 @@ object Similarity {
       outDim: Int
   ): DataFrame = {
     require(outDim > 0, s"outDim must be positive, got $outDim")
-    df.withColumn(outCol, expr(
+    val proj = expr(
       s"""transform(sequence(0, ${outDim - 1}), j ->
          |  aggregate(sequence(0, size($vecCol) - 1), cast(0.0 as double),
          |    (acc, i) -> acc + cast(element_at($vecCol, i + 1) as double) *
          |      (case when (i * 2654435761 + j * 40503) % 1000003 % 2 = 0
          |            then 1.0 else -1.0 end))
-         |  / sqrt(cast($outDim as double)))""".stripMargin))
+         |  / sqrt(cast($outDim as double)))""".stripMargin)
+    // empty vector → zero vector (Σ over nothing), guarded explicitly:
+    // sequence(0, -1) descends to [0, -1] and element_at(v, 1) on an empty
+    // array is an ANSI runtime error, not a null. Null vector stays null.
+    df.withColumn(outCol,
+      when(col(vecCol).isNull, lit(null))
+        .when(size(col(vecCol)) > 0, proj)
+        .otherwise(array_repeat(lit(0.0), outDim)))
   }
 
   /** Count of candidates above a cosine threshold, per query. */

@@ -94,6 +94,13 @@ class DedupSpec extends SparkSpec {
     assert(m(1L) == m(3L))
     assert(m(2L) == m(1L).map(_ * 2))
     assert(m(1L).size == 8)
+    // empty vector projects to the zero vector (sum over nothing), not an
+    // ANSI index error; null vector stays null
+    val edge = Seq((1L, Some(Seq.empty[Float])), (2L, None)).toDF("id", "v")
+    val e2 = Similarity.jlProject(edge, "v", "p", 4)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(e2(1L) == Some(Seq(0.0, 0.0, 0.0, 0.0)))
+    assert(e2(2L).isEmpty)
   }
 
   test("minhashPairs recovers the same dup clusters (exact-verified)") {
