@@ -58,6 +58,34 @@ object GraphScaleProbe {
         Graph.bipartiteProject(m, "l_orderkey", "l_partkey"), "a", "b", "w",
         seeds, "p_partkey", "p_brand", iterations = 2).count())
 
+    // ---- synthetic scale leg: 5M directed edges over 500k nodes --------
+    // Deterministic pseudo-random endpoints from a multiplicative hash of
+    // the edge index (no Random — reproducible across runs/engines). Shape
+    // mirrors a power-law-ish co-occurrence graph via modulo banding.
+    val nNodes = 500000L
+    val nEdges = 5000000L
+    val syn = spark.range(nEdges).select(
+      pmod(col("id") * 2654435761L, lit(nNodes)).as("src"),
+      pmod((col("id") + 7919L) * 40503L, lit(nNodes)).as("dst"),
+      (pmod(col("id"), lit(5L)) + 1L).cast("double").as("w"))
+      .localCheckpoint()
+    time(s"pageRank 3 iters ${nEdges / 1000000}M edges")(
+      Graph.pageRank(syn, "src", "dst", "w", iterations = 3).count())
+    val synSeeds = spark.range(0, nNodes, 10)
+      .select(col("id").as("node"), pmod(col("id"), lit(25L)).as("lbl"))
+    time(s"labelProp 2 iters ${nEdges / 1000000}M edges")(
+      Graph.labelPropagate(syn, "src", "dst", "w",
+        synSeeds, "node", "lbl", iterations = 2).count())
+    // plant a K100 clique (4950 edges, C(100,3) = 161700 triangles) so the
+    // triangle leg verifies output at scale, not just wall-clock: the
+    // multiplicative-hash graph itself is essentially triangle-free
+    val clique = spark.range(100).select(col("id").as("a"))
+      .join(spark.range(100).select(col("id").as("b")), col("a") < col("b"))
+      .select((col("a") + nNodes).as("src"), (col("b") + nNodes).as("dst"),
+        lit(1.0).as("w"))
+    time(s"triangles ${nEdges / 1000000}M edges + K100")(
+      Graph.triangleCounts(syn.unionByName(clique), "src", "dst").count())
+
     spark.stop()
   }
 }
