@@ -3840,6 +3840,23 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** G7 — BFS hop distance from trusted seeds (5% of parts) across the
+    * co-purchase graph, 2 hops: the provenance-distance feature
+    * (contamination blast radius, crawl depth). Frontier-only expansion —
+    * each round joins just the newest ring against the edges.
+    */
+  private def g7BfsHops(s: SparkSession, dir: String): DataFrame = {
+    val edges = Graph.bipartiteProject(
+      Tables.lineitem(s, dir).select("l_orderkey", "l_partkey"),
+      keyCol = "l_orderkey", itemCol = "l_partkey")
+    val seeds = Tables.part(s, dir)
+      .where(col("p_partkey") % 20 === 0)
+      .select("p_partkey")
+    Graph.hopsFrom(edges, "a", "b", seeds, "p_partkey", maxHops = 2)
+      .select(col("node").as("part_id"), col("hops"))
+      .orderBy("part_id")
+  }
+
   /** E17 — truncated EWMA per user (α=0.2, 20-event frame): the smoothed
     * per-entity activity feature every online store serves. One bounded
     * PARTITIONED window (entity-keyed, never corpus-sized) + a map-only
@@ -4208,6 +4225,7 @@ object SparkEntry {
     "g7_label_prop"      -> (g7LabelProp _),
     "g2_jl_distortion"   -> (g2JlDistortion _),
     "e17_ewma"           -> (e17Ewma _),
+    "g7_bfs_hops"        -> (g7BfsHops _),
     "e18_target_encode"  -> (e18TargetEncode _),
     "g1_dedup_normalized" -> (g1DedupNormalized _)
   )
@@ -6120,6 +6138,22 @@ object SparkEntry {
         |              sqrt(list_sum(list_transform(pb.p, x -> x * x)))) + 1e-9, 4) AS cosine_jl
         |FROM keep k JOIN proj pa ON k.id_a = pa.vec_id JOIN proj pb ON k.id_b = pb.vec_id
         |ORDER BY id_a, id_b""".stripMargin,
+    "g7_bfs_hops" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT x.p AS a, y.p AS b
+        |       FROM d x JOIN d y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+        |e AS (SELECT a AS src, b AS dst FROM e0 UNION SELECT b, a FROM e0),
+        |s0 AS (SELECT DISTINCT p_partkey AS node FROM part WHERE p_partkey % 20 = 0),
+        |h1 AS (SELECT DISTINCT e.dst AS node FROM e JOIN s0 ON e.src = s0.node
+        |       WHERE e.dst NOT IN (SELECT node FROM s0)),
+        |h2 AS (SELECT DISTINCT e.dst AS node FROM e JOIN h1 ON e.src = h1.node
+        |       WHERE e.dst NOT IN (SELECT node FROM s0)
+        |         AND e.dst NOT IN (SELECT node FROM h1))
+        |SELECT node AS part_id, hops FROM (
+        |  SELECT node, 0::BIGINT AS hops FROM s0
+        |  UNION ALL SELECT node, 1::BIGINT FROM h1
+        |  UNION ALL SELECT node, 2::BIGINT FROM h2)
+        |ORDER BY part_id""".stripMargin,
     "e17_ewma" ->
       """WITH w AS (
         |  SELECT event_id, user_id, value,

@@ -228,6 +228,56 @@ object Graph {
     labels.select(col("node"), col("__lbl").as("label"))
   }
 
+  /** Multi-source BFS hop distance: for every node within `maxHops`
+    * undirected edges of any seed, the MINIMUM hop count (0 for seeds) —
+    * the "distance to a trusted/labeled node" feature (provenance
+    * distance, contamination blast radius, crawl-frontier depth).
+    *
+    * Iterative frontier expansion: round k joins ONLY the hops = k−1
+    * frontier against the edge list (not the whole distance table), so
+    * per-round cost is O(edges incident to the frontier); the distance
+    * table dedups with a (node, min) partial agg and localCheckpoints per
+    * round like [[pageRank]]. Nodes beyond `maxHops` are absent, never
+    * null. Edge weight is irrelevant (hops, not shortest weighted path);
+    * direction is ignored; self-loops are harmless (a node is already at
+    * its own distance).
+    */
+  def hopsFrom(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      nodeCol: String,
+      maxHops: Int
+  ): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val dir = edges
+      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .where(col("__src").isNotNull && col("__dst").isNotNull)
+    val e = dir
+      .union(dir.select(col("__dst").as("__src"), col("__src").as("__dst")))
+      .distinct()
+      .localCheckpoint()
+    var dist = seeds
+      .select(col(nodeCol).as("node"))
+      .where(col("node").isNotNull)
+      .distinct()
+      .select(col("node"), lit(0L).as("hops"))
+      .localCheckpoint()
+    for (k <- 1 to maxHops) {
+      val frontier = dist.where(col("hops") === (k - 1))
+      val next = e
+        .join(frontier, e("__src") === frontier("node"))
+        .select(col("__dst").as("node"), lit(k.toLong).as("hops"))
+      dist = dist
+        .union(next)
+        .groupBy("node")
+        .agg(min("hops").as("hops"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Per-node triangle counts via degree-ordered edge orientation — the
     * standard scalable formulation (each undirected edge is directed from
     * its lower-(degree, node) endpoint to the higher one, so every

@@ -67,9 +67,11 @@ class ContractSpec extends AnyFunSuite {
     // per-entity EWMA: bounded partitioned window + map-only fold,
     // truncation error ≤ (1−α)^(window−1)) and e18_target_encode
     // (leave-one-out smoothed target encoding — the leakage-safe
-    // categorical encoder; two broadcast aggregates + map-only math)
-    assert(SparkEntry.queries.size == 181,
-      s"declared query count ${SparkEntry.queries.size} != documented 181 — " +
+    // categorical encoder; two broadcast aggregates + map-only math).
+    // 182 adds g7_bfs_hops (multi-source BFS hop distance from trusted
+    // seeds — frontier-only expansion per round; oracle unrolls 2 hops)
+    assert(SparkEntry.queries.size == 182,
+      s"declared query count ${SparkEntry.queries.size} != documented 182 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

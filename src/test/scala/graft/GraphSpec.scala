@@ -114,6 +114,24 @@ class GraphSpec extends SparkSpec {
     assert(r == Map("D" -> "z", "E" -> "z"))
   }
 
+  test("hopsFrom: min distance over multiple seeds, frontier bound, direction-blind") {
+    // path A-B-C-D-E with seeds {A, E}: distances collapse from both ends;
+    // maxHops=1 keeps only rings 0 and 1. Edges written in mixed directions.
+    val edges = Seq(("A", "B"), ("C", "B"), ("C", "D"), ("E", "D"))
+      .toDF("src", "dst")
+    def hops(seeds: Seq[String], k: Int): Map[String, Long] =
+      Graph.hopsFrom(edges, "src", "dst", seeds.toDF("node"), "node", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hops(Seq("A", "E"), 2) ==
+      Map("A" -> 0L, "E" -> 0L, "B" -> 1L, "D" -> 1L, "C" -> 2L))
+    assert(hops(Seq("A", "E"), 1) ==
+      Map("A" -> 0L, "E" -> 0L, "B" -> 1L, "D" -> 1L))
+    // a seed adjacent to another seed stays at 0, not 1
+    assert(hops(Seq("A", "B"), 1)("B") == 0L)
+    // disconnected node never appears
+    assert(!hops(Seq("A"), 2).contains("E"))
+  }
+
   test("bipartiteProject: co-occurrence counts, dup memberships, minSupport, basket cap") {
     // baskets: k1 {A,B,C}, k2 {A,B}, k3 {A,B} (with a duplicate row), k4 {Z}
     val m = Seq(
