@@ -189,16 +189,22 @@ object Graph {
       iterations: Int
   ): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val dir = edges
-      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+    // canonicalize BEFORE mirroring: the parallel-edge aggregation then
+    // shuffles half the rows, and the mirror is a map-side union of the
+    // aggregated result (same totals — both directions of a parallel
+    // edge land on one canonical key)
+    val canon = edges
+      .select(col(srcCol).as("__x"), col(dstCol).as("__y"),
         col(weightCol).cast("double").as("__w"))
-      .where(col("__src").isNotNull && col("__dst").isNotNull &&
-        col("__src") =!= col("__dst"))
-    val e = dir
-      .union(dir.select(col("__dst").as("__src"), col("__src").as("__dst"), col("__w")))
-      .groupBy("__src", "__dst")
+      .where(col("__x").isNotNull && col("__y").isNotNull &&
+        col("__x") =!= col("__y"))
+      .groupBy(least(col("__x"), col("__y")).as("__a"),
+        greatest(col("__x"), col("__y")).as("__b"))
       .agg(sum("__w").as("__w"))
       .where(col("__w") > 0.0)
+    val e = canon
+      .select(col("__a").as("__src"), col("__b").as("__dst"), col("__w"))
+      .union(canon.select(col("__b").as("__src"), col("__a").as("__dst"), col("__w")))
       .localCheckpoint()
     val seed = seeds
       .select(col(nodeCol).as("node"), col(labelCol).as("__lbl"))
@@ -251,12 +257,19 @@ object Graph {
       maxHops: Int
   ): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
-    val dir = edges
-      .select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
-      .where(col("__src").isNotNull && col("__dst").isNotNull)
-    val e = dir
-      .union(dir.select(col("__dst").as("__src"), col("__src").as("__dst")))
+    // dedup on the canonical orientation (half the distinct's shuffle),
+    // then mirror map-side; self-loops drop — a node is already at its
+    // own distance, and a mirrored loop would just duplicate rows
+    val canon = edges
+      .select(col(srcCol).as("__x"), col(dstCol).as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull &&
+        col("__x") =!= col("__y"))
+      .select(least(col("__x"), col("__y")).as("__a"),
+        greatest(col("__x"), col("__y")).as("__b"))
       .distinct()
+    val e = canon
+      .select(col("__a").as("__src"), col("__b").as("__dst"))
+      .union(canon.select(col("__b").as("__src"), col("__a").as("__dst")))
       .localCheckpoint()
     var dist = seeds
       .select(col(nodeCol).as("node"))
