@@ -3857,6 +3857,36 @@ object SparkEntry {
       .orderBy("part_id")
   }
 
+  /** G7 — SPPMI reweighting of the co-purchase graph: the
+    * co-occurrence→embedding substrate (the matrix item2vec/SGNS
+    * implicitly factorizes). One incidence-mass agg broadcast back onto
+    * the edge list + map-only log arithmetic.
+    */
+  private def g7Sppmi(s: SparkSession, dir: String): DataFrame =
+    Graph
+      .sppmi(
+        Graph.bipartiteProject(
+          Tables.lineitem(s, dir).select("l_orderkey", "l_partkey"),
+          keyCol = "l_orderkey", itemCol = "l_partkey", minSupport = 2),
+        "a", "b", "w", shift = 1.0)
+      .select(col("a").as("part_a"), col("b").as("part_b"), col("w"),
+        Fns.epsRound(col("sppmi"), 6).as("sppmi"))
+      .orderBy("part_a", "part_b")
+
+  /** H19 — last-3-events context feature per user: the trailing action
+    * sequence a sequential recommender consumes, oldest first, current
+    * event excluded. One bounded per-user window, map-only join.
+    */
+  private def h19LastEvents(s: SparkSession, dir: String): DataFrame =
+    Behavior
+      .trailingEvents(
+        Tables.events(s, dir).select("event_id", "user_id", "event_type", "ts"),
+        entityCol = "user_id", orderCols = Seq("ts", "event_id"),
+        seqCol = "event_type", n = 3)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("prev_events"))
+      .orderBy("event_id")
+
   /** E17 — truncated EWMA per user (α=0.2, 20-event frame): the smoothed
     * per-entity activity feature every online store serves. One bounded
     * PARTITIONED window (entity-keyed, never corpus-sized) + a map-only
@@ -4226,6 +4256,8 @@ object SparkEntry {
     "g2_jl_distortion"   -> (g2JlDistortion _),
     "e17_ewma"           -> (e17Ewma _),
     "g7_bfs_hops"        -> (g7BfsHops _),
+    "g7_sppmi"           -> (g7Sppmi _),
+    "h19_last_events"    -> (h19LastEvents _),
     "e18_target_encode"  -> (e18TargetEncode _),
     "g1_dedup_normalized" -> (g1DedupNormalized _)
   )
@@ -6138,6 +6170,20 @@ object SparkEntry {
         |              sqrt(list_sum(list_transform(pb.p, x -> x * x)))) + 1e-9, 4) AS cosine_jl
         |FROM keep k JOIN proj pa ON k.id_a = pa.vec_id JOIN proj pb ON k.id_b = pb.vec_id
         |ORDER BY id_a, id_b""".stripMargin,
+    "g7_sppmi" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT x.p AS a, y.p AS b, count(*)::DOUBLE AS w
+        |       FROM d x JOIN d y ON x.o = y.o AND x.p < y.p
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |m AS (SELECT node, sum(w) AS c
+        |      FROM (SELECT a AS node, w FROM e0 UNION ALL SELECT b, w FROM e0)
+        |      GROUP BY 1),
+        |t AS (SELECT sum(w) AS dd FROM e0)
+        |SELECT e0.a AS part_a, e0.b AS part_b, e0.w,
+        |       round(ln(e0.w * t.dd / (ma.c * mb.c)) + 1e-9, 6) AS sppmi
+        |FROM e0 JOIN m ma ON e0.a = ma.node JOIN m mb ON e0.b = mb.node CROSS JOIN t
+        |WHERE ln(e0.w * t.dd / (ma.c * mb.c)) > 0
+        |ORDER BY part_a, part_b""".stripMargin,
     "g7_bfs_hops" ->
       """WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e0 AS (SELECT x.p AS a, y.p AS b
@@ -6154,6 +6200,14 @@ object SparkEntry {
         |  UNION ALL SELECT node, 1::BIGINT FROM h1
         |  UNION ALL SELECT node, 2::BIGINT FROM h2)
         |ORDER BY part_id""".stripMargin,
+    "h19_last_events" ->
+      """SELECT event_id, user_id, event_type,
+        |       coalesce(array_to_string(
+        |         list_filter(
+        |           list(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+        |           x -> x IS NOT NULL), '|'), '') AS prev_events
+        |FROM events ORDER BY event_id""".stripMargin,
     "e17_ewma" ->
       """WITH w AS (
         |  SELECT event_id, user_id, value,

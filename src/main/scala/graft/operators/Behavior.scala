@@ -240,4 +240,27 @@ object Behavior {
         (sum(col(valueCol) * col("__dur")) / sum(col("__dur"))).as("twavg"),
         count(lit(1)).as("n_obs"))
   }
+
+  /** Trailing event-sequence feature: for every event, the previous `n`
+    * values of `seqCol` for the same entity in event order, OLDEST FIRST,
+    * joined with `sep` — the "last-N actions" context feature every
+    * sequential recommender / churn model consumes at serving time. The
+    * current event is excluded (it is the prediction target's context,
+    * not part of it); an entity's first event gets the empty string, and
+    * null sequence values are skipped (they carry no action).
+    *
+    * Scale shape: ONE bounded partitioned window per entity (rows
+    * between −n and −1) + a map-only join of the collected array —
+    * parallelism is the entity count, no partition is corpus-sized, no
+    * unpartitioned window (the PlanAuditSpec ban).
+    */
+  def trailingEvents(df: DataFrame, entityCol: String, orderCols: Seq[String],
+      seqCol: String, n: Int, outCol: String = "prev_events",
+      sep: String = "|"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val w = Window.partitionBy(entityCol).orderBy(orderCols.map(col): _*)
+      .rowsBetween(-n, -1)
+    df.withColumn(outCol,
+      concat_ws(sep, collect_list(col(seqCol)).over(w)))
+  }
 }

@@ -152,6 +152,52 @@ object Graph {
       .where(col("w") >= minSupport)
   }
 
+  /** Positive pointwise mutual information weighting of a co-occurrence
+    * edge list (Levy & Goldberg 2014, "Neural Word Embedding as Implicit
+    * Matrix Factorization"): for undirected pair weights w(a,b) with
+    * D = Σ w and incidence mass c(x) = Σ_y w(x,y),
+    *
+    * {{{ pmi(a,b) = ln( w(a,b) · D / (c(a) · c(b)) );  sppmi = max(pmi − ln k, 0) }}}
+    *
+    * — the reweighting that turns raw co-occurrence counts into the
+    * matrix SGNS/item2vec implicitly factorizes; `shift` is the
+    * negative-sampling k. Rows with sppmi = 0 drop (the "positive" in
+    * SPPMI — the sparse matrix keeps only informative pairs).
+    *
+    * Scale shape: one (node) partial-agg shuffle for the incidence
+    * masses (rows ∝ nodes) joined back onto the edge list, plus a 1-row
+    * total broadcast; the PMI arithmetic is map-only. Input edges are
+    * taken as already-canonical undirected pairs (the
+    * [[bipartiteProject]] output shape); weights ≤ 0 are not edges.
+    */
+  def sppmi(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      shift: Double = 1.0
+  ): DataFrame = {
+    require(shift >= 1.0, s"shift (negative-sampling k) must be >= 1, got $shift")
+    val e = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"),
+        col(weightCol).cast("double").as("w"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("w") > 0.0)
+      .localCheckpoint()
+    val mass = e.select(col("a").as("node"), col("w"))
+      .union(e.select(col("b").as("node"), col("w")))
+      .groupBy("node")
+      .agg(sum("w").as("__c"))
+    val total = e.agg(sum("w").as("__d"))
+    e
+      .join(mass.select(col("node").as("a"), col("__c").as("__ca")), "a")
+      .join(mass.select(col("node").as("b"), col("__c").as("__cb")), "b")
+      .crossJoin(broadcast(total))
+      .withColumn("__pmi",
+        log(col("w") * col("__d") / (col("__ca") * col("__cb"))) - lit(math.log(shift)))
+      .where(col("__pmi") > 0.0)
+      .select(col("a"), col("b"), col("w"), col("__pmi").as("sppmi"))
+  }
+
   /** Semi-supervised label propagation (Zhu & Ghahramani 2002 shape,
     * hard-label variant), run for a FIXED number of synchronous
     * iterations: each round every node adopts the label with the largest

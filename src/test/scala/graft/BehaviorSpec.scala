@@ -146,4 +146,21 @@ class BehaviorSpec extends SparkSpec {
       ("view", "view") -> ((1L, 0.5)),
       ("click", "view") -> ((1L, 1.0))))
   }
+
+  test("trailingEvents: oldest-first context, current excluded, nulls skipped, per-entity") {
+    val df = Seq(
+      (1L, "u", Some("A")), (2L, "u", Some("B")), (3L, "u", None),
+      (4L, "u", Some("D")), (5L, "u", Some("E")),
+      (6L, "v", Some("Z"))
+    ).toDF("id", "user", "typ")
+    val out = Behavior
+      .trailingEvents(df, "user", Seq("id"), "typ", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) == "")           // first event: empty context
+    assert(out(2L) == "A")
+    assert(out(3L) == "A|B")
+    assert(out(4L) == "A|B")        // null row occupies a frame slot but carries no action
+    assert(out(5L) == "B|D")        // frame is the last 3 ROWS (ids 2,3,4); null skipped
+    assert(out(6L) == "")           // entities are independent
+  }
 }

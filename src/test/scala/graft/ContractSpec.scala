@@ -69,9 +69,14 @@ class ContractSpec extends AnyFunSuite {
     // (leave-one-out smoothed target encoding — the leakage-safe
     // categorical encoder; two broadcast aggregates + map-only math).
     // 182 adds g7_bfs_hops (multi-source BFS hop distance from trusted
-    // seeds — frontier-only expansion per round; oracle unrolls 2 hops)
-    assert(SparkEntry.queries.size == 182,
-      s"declared query count ${SparkEntry.queries.size} != documented 182 — " +
+    // seeds — frontier-only expansion per round; oracle unrolls 2 hops).
+    // 184 adds g7_sppmi (positive PMI reweighting of the co-purchase
+    // graph — the matrix SGNS/item2vec implicitly factorizes; one
+    // incidence-mass agg + map-only log arithmetic) and h19_last_events
+    // (trailing last-3-actions context feature per user — one bounded
+    // per-entity window, oldest first, current event excluded)
+    assert(SparkEntry.queries.size == 184,
+      s"declared query count ${SparkEntry.queries.size} != documented 184 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

@@ -114,6 +114,22 @@ class GraphSpec extends SparkSpec {
     assert(r == Map("D" -> "z", "E" -> "z"))
   }
 
+  test("sppmi: closed-form PMI, negative-PMI pairs drop, shift subtracts ln k") {
+    // D = 12, every node's incidence mass = 6: pmi(A,B) = pmi(C,D) =
+    // ln(5·12/36) = ln(5/3) > 0; pmi(A,C) = pmi(B,D) = ln(1/3) < 0.
+    // The zero-weight row must not perturb the masses.
+    val edges = Seq(
+      ("A", "B", 5.0), ("A", "C", 1.0), ("B", "D", 1.0), ("C", "D", 5.0),
+      ("A", "D", 0.0)
+    ).toDF("a", "b", "w")
+    val out = Graph.sppmi(edges, "a", "b", "w")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out.keySet == Set(("A", "B"), ("C", "D")))
+    out.values.foreach(v => assert(math.abs(v - math.log(5.0 / 3.0)) < 1e-12))
+    // shift = 2 subtracts ln 2 > ln(5/3): everything drops
+    assert(Graph.sppmi(edges, "a", "b", "w", shift = 2.0).isEmpty)
+  }
+
   test("hopsFrom: min distance over multiple seeds, frontier bound, direction-blind") {
     // path A-B-C-D-E with seeds {A, E}: distances collapse from both ends;
     // maxHops=1 keeps only rings 0 and 1. Edges written in mixed directions.
