@@ -3887,6 +3887,45 @@ object SparkEntry {
         col("prev_events"))
       .orderBy("event_id")
 
+  /** G3 — reliability (calibration) audit: decile-bin the classifier
+    * score (equal-width over its observed range) and report the Gopher
+    * rule-battery pass rate per bin — the diagram a pipeline draws before
+    * trusting a learned quality filter's threshold. Two map-only scoring
+    * passes + a broadcast min/max + one 10-row aggregate.
+    */
+  private def g3Reliability(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // checkpoint both scorer outputs (2 narrow columns per doc): fusing
+    // the two giant lambda expressions plus the join into one generated
+    // stage blows the codegen method budget and the whole stage falls
+    // back to interpreted evaluation (measured 24 s vs 0.4 s at sf0.1);
+    // it also keeps each scorer evaluated once for the bounds pass and
+    // the binning pass
+    val scored = TextAnalysis
+      .hashedNgramScore(docs, idCol = "doc_id", textCol = "text", buckets = 4096)
+      .select(col("doc_id"), col("score"))
+      .where(col("score").isNotNull)
+      .localCheckpoint()
+    val labeled = TextAnalysis.gopherQuality(docs, "doc_id", "text")
+      .select(col("doc_id"), col("gopher_clean"))
+      .localCheckpoint()
+    val joined = scored.join(labeled, "doc_id")
+    val bounds = joined.agg(min("score").as("__lo"), max("score").as("__hi"))
+    joined
+      .crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        when(col("__hi") > col("__lo"),
+          least(floor((col("score") - col("__lo")) /
+            (col("__hi") - col("__lo")) * 10), lit(9L)))
+          .otherwise(lit(0L)))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        Fns.epsRound(avg(col("score")), 6).as("mean_score"),
+        Fns.epsRound(avg(col("gopher_clean").cast("double")), 6).as("clean_rate"))
+      .orderBy("bin")
+  }
+
   /** E17 — truncated EWMA per user (α=0.2, 20-event frame): the smoothed
     * per-entity activity feature every online store serves. One bounded
     * PARTITIONED window (entity-keyed, never corpus-sized) + a map-only
@@ -4258,6 +4297,7 @@ object SparkEntry {
     "g7_bfs_hops"        -> (g7BfsHops _),
     "g7_sppmi"           -> (g7Sppmi _),
     "h19_last_events"    -> (h19LastEvents _),
+    "g3_reliability"     -> (g3Reliability _),
     "e18_target_encode"  -> (e18TargetEncode _),
     "g1_dedup_normalized" -> (g1DedupNormalized _)
   )
@@ -6200,6 +6240,63 @@ object SparkEntry {
         |  UNION ALL SELECT node, 1::BIGINT FROM h1
         |  UNION ALL SELECT node, 2::BIGINT FROM h2)
         |ORDER BY part_id""".stripMargin,
+    "g3_reliability" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS w,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> len(l) > 0) AS li
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(w)::BIGINT AS n_words,
+        |    round(list_sum(list_transform(w, x -> len(x)))::DOUBLE
+        |          / nullif(len(w), 0) + 1e-9, 4) AS mean_word_len,
+        |    round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+        |          / nullif(len(w), 0) + 1e-9, 4) AS alpha_word_frac,
+        |    round(((length(text) - length(replace(text, '#', '')))
+        |           + (length(text) - length(replace(text, '...', ''))) / 3.0)
+        |          / nullif(len(w), 0) + 1e-9, 4) AS symbol_word_ratio,
+        |    round(len(list_filter(li, l -> left(l, 1) IN ('-', '*', '•')))::DOUBLE
+        |          / nullif(len(li), 0) + 1e-9, 4) AS bullet_start_frac,
+        |    round(len(list_filter(li, l -> right(l, 3) = '...' OR right(l, 1) = '…'))::DOUBLE
+        |          / nullif(len(li), 0) + 1e-9, 4) AS ellipsis_end_frac,
+        |    round(1.0 - len(list_distinct(li))::DOUBLE / nullif(len(li), 0) + 1e-9, 4) AS dup_line_frac,
+        |    round(1.0 - list_sum(list_transform(list_distinct(li), l -> len(l)))::DOUBLE
+        |          / nullif(list_sum(list_transform(li, l -> len(l)))::DOUBLE, 0.0) + 1e-9, 4) AS dup_line_char_frac
+        |  FROM d),
+        |g AS (
+        |  SELECT doc_id,
+        |    coalesce(n_words >= 50 AND n_words <= 100000
+        |      AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |      AND symbol_word_ratio <= 0.1 AND bullet_start_frac <= 0.9
+        |      AND ellipsis_end_frac <= 0.3 AND alpha_word_frac >= 0.8
+        |      AND dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2, false) AS clean
+        |  FROM m),
+        |bg AS (SELECT doc_id,
+        |         list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+        |                        i -> w[i] || ' ' || w[i+1]) AS bgs
+        |       FROM d),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(bgs) > 0 THEN
+        |          round(list_sum(list_transform(bgs, bg ->
+        |            ((list_reduce(list_prepend(0::BIGINT,
+        |                list_transform(range(1, len(bg) + 1), i -> ascii(bg[i])::BIGINT)),
+        |              (h, c) -> (h * 31 + c) % 1000003) % 4096)
+        |             * 2654435761 % 1000003)::DOUBLE / 1000003 - 0.5))
+        |            / len(bgs) + 1e-9, 6)
+        |        END AS score
+        |      FROM bg),
+        |j AS (SELECT s.doc_id, s.score, g.clean
+        |      FROM s JOIN g USING (doc_id) WHERE s.score IS NOT NULL),
+        |b AS (SELECT min(score) AS lo, max(score) AS hi FROM j)
+        |SELECT CASE WHEN b.hi > b.lo
+        |            THEN least(floor((j.score - b.lo) / (b.hi - b.lo) * 10), 9)::BIGINT
+        |            ELSE 0::BIGINT END AS bin,
+        |       count(*)::BIGINT AS n_docs,
+        |       round(avg(j.score) + 1e-9, 6) AS mean_score,
+        |       round(avg(CASE WHEN j.clean THEN 1.0 ELSE 0.0 END) + 1e-9, 6) AS clean_rate
+        |FROM j CROSS JOIN b
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
     "h19_last_events" ->
       """SELECT event_id, user_id, event_type,
         |       coalesce(array_to_string(

@@ -781,9 +781,14 @@ object TextAnalysis {
     * plumbing (hash, slot lookup, mean, threshold) is identical and is
     * what this operator exercises.
     *
-    * Scale shape: MAP-ONLY — per-row lambda expressions (transform/
-    * aggregate) with no shuffle, no UDF, no driver state; fuses into the
-    * scan under whole-stage codegen.
+    * Scale shape: MAP-ONLY — no shuffle, no UDF, no driver state. The
+    * per-doc weight sum is a native codegen'd expression
+    * ([[graft.functions.HashedBigramWsum]]): the equivalent lambda
+    * formulation is CodegenFallback and paid ~2 ms/doc in the
+    * interpreter; the native loop is bit-identical (same fold order,
+    * same modular steps, same left-to-right double accumulation) and
+    * ~100× cheaper — the DuckDB oracle still replays the arithmetic
+    * with list_reduce, unchanged.
     */
   def hashedNgramScore(
       docs: DataFrame,
@@ -792,23 +797,15 @@ object TextAnalysis {
       buckets: Int = 4096
   ): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val P = 1000003L // prime modulus shared by hash fold and weight scramble
     docs
       .withColumn("__t", tokens(col(textCol)))
-      .withColumn("__bg", expr(
-        """transform(slice(__t, 1, greatest(size(__t) - 1, 0)),
-          |  (w, i) -> concat(w, ' ', element_at(__t, i + 2)))""".stripMargin))
-      .withColumn("__wsum", expr(
-        s"""aggregate(__bg, cast(0.0 as double), (acc, bg) -> acc +
-           |  (cast((aggregate(transform(sequence(1, length(bg)),
-           |                             i -> cast(ascii(substring(bg, i, 1)) as bigint)),
-           |                   cast(0 as bigint), (h, c) -> (h * 31 + c) % $P)
-           |         % $buckets) * 2654435761 % $P as double) / $P.0 - 0.5))""".stripMargin))
+      .withColumn("__nbg", greatest(size(col("__t")) - 1, lit(0)).cast("long"))
+      .withColumn("__wsum", graft.functions.HashedNgram.wsum(col("__t"), buckets))
       .select(
         col(idCol),
-        size(col("__bg")).cast("long").as("n_bigrams"),
-        when(size(col("__bg")) > 0,
-          Fns.epsRound(col("__wsum") / size(col("__bg")), 6)).as("score"))
+        col("__nbg").as("n_bigrams"),
+        when(col("__nbg") > 0,
+          Fns.epsRound(col("__wsum") / col("__nbg"), 6)).as("score"))
       .withColumn("keep", coalesce(col("score") > 0.0, lit(false)))
   }
 }

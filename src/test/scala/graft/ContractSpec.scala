@@ -74,9 +74,11 @@ class ContractSpec extends AnyFunSuite {
     // graph — the matrix SGNS/item2vec implicitly factorizes; one
     // incidence-mass agg + map-only log arithmetic) and h19_last_events
     // (trailing last-3-actions context feature per user — one bounded
-    // per-entity window, oldest first, current event excluded)
-    assert(SparkEntry.queries.size == 184,
-      s"declared query count ${SparkEntry.queries.size} != documented 184 — " +
+    // per-entity window, oldest first, current event excluded).
+    // 185 adds g3_reliability (calibration audit: equal-width decile bins
+    // of the classifier score vs the Gopher pass rate per bin)
+    assert(SparkEntry.queries.size == 185,
+      s"declared query count ${SparkEntry.queries.size} != documented 185 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

@@ -600,6 +600,17 @@ class OperatorSpec extends SparkSpec {
       (2L, "solo"),             // 1 token -> 0 bigrams
       (3L, "  ")                // no tokens
     ).toDF("doc_id", "text")
+    // non-ASCII parity: the native expression must hash full code points
+    // (é = 233), matching ascii(substring(...)) and DuckDB's ascii()
+    val uni = Seq((9L, "café naïve")).toDF("doc_id", "text")
+    val uniOut = TextAnalysis.hashedNgramScore(uni, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).head
+    val uniWant = {
+      def ph(s: String) = s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000003L)
+      val w = ph("café naïve") % 4096L * 2654435761L % 1000003L / 1000003.0 - 0.5
+      BigDecimal(w / 1 + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(uniOut == ((1L, uniWant)))
     val out = TextAnalysis.hashedNgramScore(docs, "doc_id", "text")
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3))))
