@@ -2002,6 +2002,36 @@ object SparkEntry {
       out
     })
 
+  /** The INCREMENTAL twin of [[annIndexDir]] (round-7 verdict #2): the
+    * index is built on 3/4 of the corpus, then the last quarter lands via
+    * [[AnnIndex.appendToIndex]] — encoded with the FROZEN codebooks and
+    * centroids, committed by marker flip. Same content-signature key, so
+    * regenerated fixtures can never serve a stale index; additionally the
+    * encoded row count is checked against the full corpus, so a crash in
+    * the build→append window (committed base, missing append) re-runs the
+    * sequence instead of serving a 3/4 index. */
+  private def annIncrIndexDir(s: SparkSession, dir: String): String =
+    annDirCache.computeIfAbsent(s"$dir@incr@${fixtureToken(dir)}", _ => {
+      val emb = Tables.embeddings(s, dir)
+      val sigRow = emb
+        .agg(bit_xor(xxhash64(col("vec_id"), col("embedding"))), count(lit(1)))
+        .collect().head
+      val total = sigRow.getLong(1)
+      val sig = sigRow.toSeq.mkString("_")
+      val (nc, ri, m, k, pi) = annParams
+      val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_ann_incr_${java.lang.Integer.toHexString((dir + sig + annParams).hashCode)}").toString
+      val complete = AnnIndex.exists(out) &&
+        AnnIndex.loadEncoded(s, out).count() == total
+      if (!complete) {
+        AnnIndex.build(emb.where(col("vec_id") % 4 =!= 3), "vec_id", "embedding",
+          out, nCentroids = nc, refineIters = ri, m = m, k = k, pqIters = pi)
+        AnnIndex.appendToIndex(emb.where(col("vec_id") % 4 === 3),
+          "vec_id", "embedding", out)
+      }
+      out
+    })
+
   /** True cosine mass of an (query_id, vec_id) result frame — scored from
     * the ORIGINAL embeddings, independent of whatever approximate scores
     * the ANN path reported. */
@@ -2129,6 +2159,39 @@ object SparkEntry {
       Similarity.ivfPqTopKWith(AnnIndex.loadEncoded(s, idx), qs, "vec_id", "query_id", "qvec",
         k = 3, cb, AnnIndex.loadCentroids(s, idx)),
       dir, emb, qs, k = 3, floor = 0.5) // doubly approximate: coarse cells + ADC
+      .orderBy("query_id", "rank")
+  }
+
+  /** G2 ANN — INCREMENTAL index maintenance (round-7 verdict #2): the
+    * IVFPQ query served from an index built on 3/4 of the corpus with the
+    * last quarter APPENDED via [[AnnIndex.appendToIndex]] — new vectors
+    * encoded by the frozen codebooks/centroids, one marker-flip commit, no
+    * retrain in the ingest path (the daily 100 TB append shape). Rows-only
+    * with three in-query certificates: (1) the encoded table covers the
+    * FULL corpus (the append actually landed and is probe-able); (2)
+    * re-appending the same batch is refused loudly (the duplicate guard
+    * executes); (3) the post-append results carry the SAME score-ratio
+    * floor as the full-rebuild `g2_ivfpq_topk` — the frozen quantizer did
+    * not silently destroy recall.
+    */
+  private def g2AnnAppend(s: SparkSession, dir: String): DataFrame = {
+    val idx = annIncrIndexDir(s, dir)
+    val cb = AnnIndex.loadCodebooks(s, idx)
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val enc = AnnIndex.loadEncoded(s, idx)
+    require(enc.count() == emb.count(),
+      "g2_ann_append: the appended index must cover the full corpus")
+    // the duplicate guard fires BEFORE the marker flip, so this probe can
+    // never leave the index unpublished
+    require(scala.util.Try(AnnIndex.appendToIndex(
+        emb.where(col("vec_id") % 4 === 3), "vec_id", "embedding", idx)).isFailure,
+      "g2_ann_append: re-appending an already-encoded batch must be refused")
+    certifyAnnScore("g2_ann_append",
+      Similarity.ivfPqTopKWith(enc, qs, "vec_id", "query_id", "qvec",
+        k = 3, cb, AnnIndex.loadCentroids(s, idx)),
+      dir, emb, qs, k = 3, floor = 0.5) // same floor as the full rebuild
       .orderBy("query_id", "rank")
   }
 
@@ -2529,6 +2592,40 @@ object SparkEntry {
     require(src == exp,
       s"b5_iceberg_export_incr: mirror diverges from source (source=$src, export=$exp)")
     viaIceberg.orderBy("user_id", "event_type", "event_id")
+  }
+
+  /** Fixed export target for [[b5IcebergExportPart]] — oracle SQL globs it. */
+  private val B5IcebergPartPath = "/root/repo/target/graft_export/b5_iceberg_part"
+
+  /** B5 — PARTITIONED Iceberg export (round-7 verdict #1: the last
+    * day-one refusal). The date-partitioned events TxTable — the normal
+    * shape of a feature log (SURVEY §1.1) — exports as an Iceberg v1
+    * table with an IDENTITY partition spec and per-file partition tuples
+    * in the Avro manifests; the data files live under Hive dirs and do
+    * NOT physically carry the `day` column, so the reader reconstructs it
+    * from the tuples (the spec's Column Projection rule — one broadcast
+    * file→tuple join, no per-partition plan growth). The oracle is DuckDB
+    * reading the same bytes with `hive_partitioning=1` — a third,
+    * independent reconstruction of the partition column from the layout.
+    * In-query certificate: count + unordered content hash (day included)
+    * vs the source snapshot.
+    */
+  private def b5IcebergExportPart(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergInterop, TxTable}
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts", "day")
+    val t = TxTable(s, txTpl(s, dir, "b5_part"))
+    IcebergInterop.exportIceberg(t, B5IcebergPartPath, tsMillis = 5000L)
+    val viaIceberg = IcebergInterop.readIceberg(s, B5IcebergPartPath)
+      .select(cols.map(col).toIndexedSeq: _*)
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val (src, exp) =
+      (sig(t.read().select(cols.map(col).toIndexedSeq: _*)), sig(viaIceberg))
+    require(src == exp,
+      s"b5_iceberg_export_part: export diverges from the partitioned source (source=$src, export=$exp)")
+    viaIceberg.orderBy("event_id")
   }
 
   /** Fixed parquet target for [[h12TokenBudgetBpe]]'s per-doc counts — the
@@ -4099,6 +4196,7 @@ object SparkEntry {
 
   def prepareIndexes(s: SparkSession, dir: String): Unit = {
     annIndexDir(s, dir)
+    annIncrIndexDir(s, dir)
     dedupIndexDir(s, dir)
     ensureBucketTables(s, dir)
     ensureEventBucketTables(s, dir)
@@ -4142,6 +4240,7 @@ object SparkEntry {
     "b5_delta_export_incr" -> (b5DeltaExportIncr _),
     "b5_iceberg_export"  -> (b5IcebergExport _),
     "b5_iceberg_export_incr" -> (b5IcebergExportIncr _),
+    "b5_iceberg_export_part" -> (b5IcebergExportPart _),
     "b2_delete_tx"       -> (b2DeleteTx _),
     "b2_tx_diff"         -> (b2TxDiff _),
     "b2_tx_cdc"          -> (b2TxCdc _),
@@ -4260,6 +4359,7 @@ object SparkEntry {
     "g3_vocab_approx"    -> (g3VocabApprox _),
     "g2_pq_topk"         -> (g2PqTopk _),
     "g2_ivfpq_topk"      -> (g2IvfPqTopk _),
+    "g2_ann_append"      -> (g2AnnAppend _),
     "a9_twavg"           -> (a9Twavg _),
     "a10_decayed"        -> (a10Decayed _),
     "a11_scd2"           -> (a11Scd2 _),
@@ -4671,6 +4771,13 @@ object SparkEntry {
       """SELECT user_id, event_type, value, event_id, ts
         |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_incr/data/*.parquet')
         |ORDER BY user_id, event_type, event_id""".stripMargin,
+    // partitioned mirror: DuckDB reconstructs `day` from the Hive directory
+    // names (hive_partitioning) — a third independent reconstruction of the
+    // identity-partitioned column the data files do not carry
+    "b5_iceberg_export_part" ->
+      """SELECT event_id, user_id, event_type, value, ts, CAST(day AS VARCHAR) AS day
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_part/data/*/*.parquet', hive_partitioning=1)
+        |ORDER BY event_id""".stripMargin,
     "b1_typed_ingest" ->
       """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS entity_id, ts, value, event_type FROM events)
         |SELECT * FROM (

@@ -77,24 +77,22 @@ object TmpCleanup {
     try {
       val cutoff = System.currentTimeMillis() - maxAgeMillis
       val selfPid = ProcessHandle.current().pid()
-      def ownerAlive(p: Path): Boolean = {
-        // the pid is the FIRST digit run ANYWHERE after the prefix —
-        // createOwnDir names are `<callerPrefix><pid>-<nonce>` and callers
-        // sweep with the shorter family prefix ("graft-" covers
-        // "graft-bench-<pid>-…"), so anchoring at stripPrefix's end missed
-        // every real dir and the documented pid guard never engaged
-        // (review finding — liveness degraded to mtime alone)
-        val name = p.getFileName.toString.stripPrefix(prefix)
-        val digits = name.dropWhile(!_.isDigit).takeWhile(_.isDigit)
-        digits match {
-          case "" => false // no pid anywhere: mtime decides alone
-          case d =>
+      // the pid is the penultimate `-`-separated segment — createOwnDir
+      // names end `…<pid>-<hexnonce>`, so anchoring at the TAIL parses the
+      // actual pid regardless of what digits the caller prefix contains.
+      // (An earlier first-digit-run scan could latch onto a nonce or a
+      // prefix digit that happened to match an unrelated live pid, making
+      // the stale dir immortal — review finding.)
+      val ownShape = """^.*?(\d+)-[0-9a-f]+$""".r
+      def ownerAlive(p: Path): Boolean =
+        p.getFileName.toString match {
+          case ownShape(d) =>
             scala.util.Try(d.toLong).toOption.exists { pid =>
               pid == selfPid ||
                 ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
             }
+          case _ => false // not our dir shape: mtime decides alone
         }
-      }
       val s = Files.list(base)
       try s.iterator().asScala
         .filter(p => p.getFileName.toString.startsWith(prefix))

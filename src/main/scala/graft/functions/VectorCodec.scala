@@ -46,6 +46,11 @@ case class PackFloats(child: Expression) extends UnaryExpression {
     val out = new Array[Byte](n * 4)
     var i = 0
     while (i < n) {
+      // A null element has no bit pattern: packing it as 0.0f would corrupt
+      // the "exact bit round-trip" contract silently. Fail loudly instead.
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"vec_pack: null element at index $i — a packed vector must be dense")
       // raw bits, not value conversion: NaN payloads and -0.0 survive
       val bits = java.lang.Float.floatToRawIntBits(arr.getFloat(i))
       out(i * 4) = bits.toByte
@@ -65,6 +70,10 @@ case class PackFloats(child: Expression) extends UnaryExpression {
          |int $n = $a.numElements();
          |byte[] $out = new byte[$n * 4];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "vec_pack: null element at index " + $i + " — a packed vector must be dense");
+         |  }
          |  int $bits = java.lang.Float.floatToRawIntBits($a.getFloat($i));
          |  $out[$i * 4] = (byte) $bits;
          |  $out[$i * 4 + 1] = (byte) ($bits >>> 8);

@@ -34,12 +34,20 @@ import org.apache.spark.sql.types._
   * data bytes. Manifests are driver-side METADATA (O(files), the same
   * scale class as Iceberg's own planning path).
   *
+  * Partitioned TxTables (Hive layout: partition values in directory
+  * names, NOT in the data files) export as identity partition specs with
+  * per-file partition tuples in the manifests — exactly how Iceberg
+  * represents Hive-migrated tables. The reader applies the spec's Column
+  * Projection rule: an identity-partitioned column physically absent from
+  * the parquet is reconstructed from the manifest tuple via one broadcast
+  * file->tuple join (O(files) metadata, no per-partition plan growth).
+  *
   * Reader scope, enforced loudly (misreading an advanced table is
   * corruption, not compatibility): format-version 1-2; data content only
   * (v2 positional/equality DELETE files are rejected); schema resolved
-  * from the current metadata; identity partitioning reads through because
-  * Iceberg data files physically carry all columns. Unknown/fancy types
-  * (uuid, fixed, time) are rejected at schema conversion.
+  * from the current metadata, or per-snapshot by its recorded schema-id
+  * under time travel. Unknown/fancy types (uuid, fixed, time) are
+  * rejected at schema conversion.
   */
 object IcebergInterop {
 
@@ -55,17 +63,12 @@ object IcebergInterop {
       tsMillis: Long = System.currentTimeMillis()): Unit = {
     val snap = t.snapshotInfo()
     // a Hive-partitioned source drops the partition column FROM the data
-    // files; this writer declares an empty partition spec and relies on
-    // the parquet carrying every column, so exporting such a table would
-    // silently produce an Iceberg table missing a column — refuse instead
-    // (the Delta exporter handles partitioned layouts; use that, or
-    // compact the partition column back into the data first)
-    require(snap.partCols.isEmpty,
-      s"cannot export a partitioned TxTable (${snap.partCols.mkString(",")}) " +
-        "to Iceberg: partition values live in directory names, not the data " +
-        "files, and this writer emits an unpartitioned spec — use the Delta " +
-        "exporter for partitioned layouts")
+    // files; Iceberg expresses exactly this layout as an IDENTITY partition
+    // spec with per-file partition tuples in the manifests — readers fill
+    // the source column from the tuple as a constant (the same mechanism
+    // real Iceberg uses for Hive-migrated tables, spec "Column Projection").
     val schema = StructType.fromDDL(snap.schemaDdl)
+    val partFields = identityPartFields(schema, snap.partCols)
     val finalDir = Paths.get(target).toAbsolutePath
     Files.createDirectories(finalDir.getParent)
     val staging = finalDir.resolveSibling(
@@ -84,7 +87,8 @@ object IcebergInterop {
       try Files.createLink(dst, src)
       catch { case _: Exception =>
         Files.copy(src, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
-      (rel, Files.size(dst), parquetRowCount(t.spark, dst))
+      ManifestFile(rel, Files.size(dst), parquetRowCount(t.spark, dst),
+        hivePartitionTuple(rel, partFields))
     }
 
     // snapshot id: content-determined so identical exports are identical
@@ -93,13 +97,13 @@ object IcebergInterop {
       .getMostSignificantBits)
 
     // ---- manifest (one, listing every data file) — Avro container file
-    val icebergSchemaJson = mapper.writeValueAsString(icebergSchema(mapper, schema))
+    val icebergSchemaJson = mapper.writeValueAsString(icebergSchema(mapper, schema, 0))
     val manifestName = f"graft-m0-$snapshotId%d.avro"
     val manifestPath = metaDir.resolve(manifestName)
-    writeManifest(manifestPath, snapshotId, icebergSchemaJson,
-      files.map { case (rel, size, rows) =>
+    writeManifest(manifestPath, snapshotId, icebergSchemaJson, partFields,
+      files.map { f =>
         // file_path is a full URI per spec; the FINAL location, not staging
-        (finalDir.resolve("data").resolve(rel).toUri.toString, size, rows)
+        f.copy(path = finalDir.resolve("data").resolve(f.path).toUri.toString)
       })
 
     // ---- manifest list
@@ -118,24 +122,25 @@ object IcebergInterop {
     root.put("location", finalDir.toUri.toString.stripSuffix("/"))
     root.put("last-updated-ms", tsMillis)
     root.put("last-column-id", schema.fields.length)
-    val schemaNode = icebergSchema(m, schema)
-    root.set[ObjectNode]("schema", schemaNode)
+    root.set[ObjectNode]("schema", icebergSchema(m, schema, 0))
     val schemas = root.putArray("schemas")
-    schemas.add(icebergSchema(m, schema))
+    schemas.add(icebergSchema(m, schema, 0))
     root.put("current-schema-id", 0)
-    root.putArray("partition-spec") // v1 legacy field (unpartitioned)
+    // v1 legacy field: the bare fields array; modern field: partition-specs
+    root.set[ArrayNode]("partition-spec", specFieldsJson(m, partFields))
     val specs = root.putArray("partition-specs")
     val spec0 = m.createObjectNode()
     spec0.put("spec-id", 0)
-    spec0.putArray("fields")
+    spec0.set[ArrayNode]("fields", specFieldsJson(m, partFields))
     specs.add(spec0)
     root.put("default-spec-id", 0)
-    root.put("last-partition-id", 999)
+    root.put("last-partition-id", 999 + partFields.length)
     root.putObject("properties")
     root.put("current-snapshot-id", snapshotId)
     val snaps = root.putArray("snapshots")
     val s0 = m.createObjectNode()
     s0.put("snapshot-id", snapshotId)
+    s0.put("schema-id", 0)
     s0.put("timestamp-ms", tsMillis)
     s0.put("manifest-list",
       finalDir.resolve("metadata").resolve(listName).toUri.toString)
@@ -197,10 +202,8 @@ object IcebergInterop {
     if (!Files.isDirectory(metaDir)) { exportIceberg(t, target, tsMillis); return 1L }
 
     val snap = t.snapshotInfo()
-    require(snap.partCols.isEmpty,
-      s"cannot export a partitioned TxTable (${snap.partCols.mkString(",")}) " +
-        "to Iceberg — see exportIceberg")
     val schema = StructType.fromDDL(snap.schemaDdl)
+    val partFields = identityPartFields(schema, snap.partCols)
     val meta = currentMetadata(metaDir, target)
     // the mirror only appends to a table THIS writer's format produced —
     // a foreign v2 table could carry delete files (whose manifests this
@@ -211,11 +214,17 @@ object IcebergInterop {
     require(fv == 1,
       s"cannot incrementally export onto a format-version $fv Iceberg table " +
         s"at $target — this writer produces v1; re-export from scratch")
-    val specsOk = Option(meta.get("partition-specs")).forall(
-      _.elements().asScala.forall(sp =>
-        Option(sp.get("fields")).forall(!_.elements().hasNext)))
-    require(specsOk,
-      s"cannot incrementally export onto a PARTITIONED Iceberg table at $target")
+    // the EXISTING table's default spec must be exactly the identity spec
+    // this snapshot would write — same columns, same order. The check reads
+    // BOTH the modern `partition-specs` array and the v1 legacy
+    // `partition-spec` field: an older writer may carry only the legacy
+    // field, and trusting `partition-specs` alone would mirror an
+    // unpartitioned spec onto a partitioned table (review finding).
+    val prevSpecCols = targetSpecIdentityCols(meta, target)
+    require(prevSpecCols == snap.partCols,
+      s"cannot incrementally export onto the Iceberg table at $target: its " +
+        s"partition spec is [${prevSpecCols.mkString(",")}] but the source " +
+        s"layout is [${snap.partCols.mkString(",")}] — re-export from scratch")
     val prevVersion = currentMetadataVersion(metaDir, target)
     val prevSchema = currentSparkSchema(meta, target)
     require(prevSchema.fields.map(f => (f.name, f.dataType)).toSeq ==
@@ -276,36 +285,59 @@ object IcebergInterop {
         try Files.createLink(dst, srcData.resolve(rel))
         catch { case _: Exception => Files.copy(srcData.resolve(rel), dst) }
       }
-      liveStats.get(rel) match {
-        case Some((sz, rc)) => (rel, sz, rc) // carried from the prior manifest
-        case None           => (rel, Files.size(dst), parquetRowCount(t.spark, dst))
-      }
+      // partition tuples always re-derive from the Hive path segments (both
+      // carried and new files keep their `col=value/` rel names in a mirror)
+      val (sz, rc) = liveStats.getOrElse(rel,
+        (Files.size(dst), parquetRowCount(t.spark, dst)))
+      ManifestFile(rel, sz, rc, hivePartitionTuple(rel, partFields))
     }
+
+    // schema evolution gets a FRESH schema-id and keeps every prior schema
+    // in the `schemas` array — snapshots recorded under the old id stay
+    // readable with the schema they were written under, and appended
+    // columns are exported optional (old data files have no values for
+    // them, so a `required` flag would be a lie a strict reader rejects).
+    val prevSchemaId = Option(meta.get("current-schema-id")).map(_.asInt).getOrElse(0)
+    val newSchemaId = if (schemaChanged) prevSchemaId + 1 else prevSchemaId
+    val optionalFrom = if (schemaChanged) prevSchema.fields.length else Int.MaxValue
 
     val m = mapper
     val snapshotId = math.abs(java.util.UUID.nameUUIDFromBytes(
       (target + "|" + prevVersion + "|" + snap.files.mkString(",")).getBytes("UTF-8"))
       .getMostSignificantBits)
-    val icebergSchemaJson = m.writeValueAsString(icebergSchema(m, schema))
+    val icebergSchemaJson = m.writeValueAsString(
+      icebergSchema(m, schema, newSchemaId, optionalFrom))
     val manifestName = f"graft-m0-$snapshotId%d.avro"
     writeManifest(metaDir.resolve(manifestName), snapshotId, icebergSchemaJson,
-      files.map { case (rel, size, rows) =>
-        (dataDir.resolve(rel).toUri.toString, size, rows)
-      })
+      partFields,
+      files.map(f => f.copy(path = dataDir.resolve(f.path).toUri.toString)))
     val listName = f"snap-$snapshotId%d.avro"
     writeManifestList(metaDir.resolve(listName), snapshotId,
       metaDir.resolve(manifestName).toUri.toString,
       Files.size(metaDir.resolve(manifestName)))
 
-    // new metadata = previous metadata with the schema refreshed and the
-    // new snapshot appended (prior snapshots kept: snapshotAsOf history)
+    // new metadata = previous metadata with the new snapshot appended and —
+    // on evolution — the NEW schema appended under a fresh schema-id (prior
+    // snapshots and prior schemas kept: snapshotAsOf history reads each
+    // snapshot with the schema it was written under)
     val root = meta.deepCopy[ObjectNode]()
     root.put("last-updated-ms", tsMillis)
     root.put("last-column-id", schema.fields.length)
-    root.set[ObjectNode]("schema", icebergSchema(m, schema))
-    val schemas = root.putArray("schemas")
-    schemas.add(icebergSchema(m, schema))
-    root.put("current-schema-id", 0)
+    root.set[ObjectNode]("schema", icebergSchema(m, schema, newSchemaId, optionalFrom))
+    val schemas = Option(root.get("schemas")) match {
+      case Some(a: ArrayNode) => a
+      case _ =>
+        // older metadata carried only the legacy `schema` field: seed the
+        // array with the PREVIOUS schema under its id before appending
+        val a = root.putArray("schemas")
+        a.add(icebergSchema(m, prevSchema, prevSchemaId))
+        a
+    }
+    if (schemaChanged &&
+        !schemas.elements().asScala.exists(s =>
+          Option(s.get("schema-id")).exists(_.asInt == newSchemaId)))
+      schemas.add(icebergSchema(m, schema, newSchemaId, optionalFrom))
+    root.put("current-schema-id", newSchemaId)
     root.put("current-snapshot-id", snapshotId)
     val snaps = Option(root.get("snapshots")) match {
       case Some(a: ArrayNode) => a
@@ -313,6 +345,7 @@ object IcebergInterop {
     }
     val s0 = m.createObjectNode()
     s0.put("snapshot-id", snapshotId)
+    s0.put("schema-id", newSchemaId)
     prevSnapId.foreach(s0.put("parent-snapshot-id", _))
     s0.put("timestamp-ms", tsMillis)
     s0.put("manifest-list", metaDir.resolve(listName).toUri.toString)
@@ -353,21 +386,142 @@ object IcebergInterop {
 
   /** Spark StructType -> Iceberg schema JSON (top level only needs flat
     * field-ids for the types [[TxTable]] stores; nested types fail loudly
-    * rather than export something another engine would misread). */
-  private def icebergSchema(m: ObjectMapper, schema: StructType): ObjectNode = {
+    * rather than export something another engine would misread). Fields at
+    * index >= `optionalFrom` are forced optional — columns appended by
+    * schema evolution have no values in pre-evolution data files, so
+    * exporting them `required` would contradict what a reader observes. */
+  private def icebergSchema(m: ObjectMapper, schema: StructType, schemaId: Int,
+      optionalFrom: Int = Int.MaxValue): ObjectNode = {
     val node = m.createObjectNode()
     node.put("type", "struct")
-    node.put("schema-id", 0)
+    node.put("schema-id", schemaId)
     val fields: ArrayNode = node.putArray("fields")
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       val fn = m.createObjectNode()
       fn.put("id", i + 1)
       fn.put("name", f.name)
-      fn.put("required", !f.nullable)
+      fn.put("required", !f.nullable && i < optionalFrom)
       fn.put("type", icebergType(f.dataType, f.name))
       fields.add(fn)
     }
     node
+  }
+
+  /** One identity partition field per TxTable partition column:
+    * (name, source column type, source-id, partition field-id). Field-ids
+    * start at 1000 per the spec's convention; source-id is the positional
+    * schema field-id this writer assigns. Partition column types outside
+    * the Hive-path-encodable set fail loudly at export time. */
+  private[sources] case class PartField(name: String, dataType: DataType,
+      sourceId: Int, fieldId: Int)
+
+  private def identityPartFields(schema: StructType,
+      partCols: Seq[String]): Seq[PartField] =
+    partCols.zipWithIndex.map { case (c, i) =>
+      val idx = schema.fieldNames.indexOf(c)
+      require(idx >= 0,
+        s"partition column '$c' is not in the table schema — cannot export")
+      require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"partition column '$c' is not a valid Avro field name — cannot export")
+      val t = schema.fields(idx).dataType
+      t match {
+        case StringType | IntegerType | LongType | BooleanType | DateType => ()
+        case other => throw new IllegalArgumentException(
+          s"partition column '$c' has type $other — this writer exports " +
+            "identity partitions over string/int/long/boolean/date only")
+      }
+      PartField(c, t, sourceId = idx + 1, fieldId = 1000 + i)
+    }
+
+  /** The identity partition tuple of one data file, decoded from its
+    * Hive-style `col=value/` relative path segments — typed Avro values in
+    * spec-field order; the Hive null sentinel maps to null. */
+  private def hivePartitionTuple(rel: String,
+      partFields: Seq[PartField]): Seq[Any] = {
+    if (partFields.isEmpty) return Seq.empty
+    val segs = rel.split('/').iterator
+      .filter(_.contains("="))
+      .map { s => val i = s.indexOf('='); (s.substring(0, i), s.substring(i + 1)) }
+      .toMap
+    partFields.map { pf =>
+      val raw = segs.getOrElse(pf.name, throw new IllegalArgumentException(
+        s"data file '$rel' carries no '${pf.name}=' path segment — " +
+          "the partitioned layout is inconsistent; cannot export"))
+      if (raw == "__HIVE_DEFAULT_PARTITION__") null
+      else {
+        val v = TxTable.unescapePathName(raw)
+        pf.dataType match {
+          case StringType  => v
+          case IntegerType => java.lang.Integer.valueOf(v)
+          case LongType    => java.lang.Long.valueOf(v)
+          case BooleanType => java.lang.Boolean.valueOf(v)
+          case DateType    => // Avro logical date: days since epoch
+            java.lang.Integer.valueOf(java.time.LocalDate.parse(v).toEpochDay.toInt)
+          case other => throw new IllegalStateException(s"unreachable: $other")
+        }
+      }
+    }
+  }
+
+  /** The spec `fields` array JSON — used for BOTH the modern
+    * `partition-specs[].fields` and the v1 legacy `partition-spec`. */
+  private def specFieldsJson(m: ObjectMapper, partFields: Seq[PartField]): ArrayNode = {
+    val arr = m.createArrayNode()
+    partFields.foreach { pf =>
+      val f = m.createObjectNode()
+      f.put("name", pf.name)
+      f.put("transform", "identity")
+      f.put("source-id", pf.sourceId)
+      f.put("field-id", pf.fieldId)
+      arr.add(f)
+    }
+    arr
+  }
+
+  /** The identity source-column names of the table's DEFAULT partition
+    * spec, resolved against its current schema — from `partition-specs`
+    * (by default-spec-id) when present, else the v1 legacy
+    * `partition-spec` field. Non-identity transforms fail loudly (this
+    * writer cannot mirror onto bucket/truncate layouts). */
+  private def targetSpecIdentityCols(meta: JsonNode, path: String): Seq[String] = {
+    val idToName = schemaFieldIdToName(meta, path)
+    defaultSpecFields(meta).map { f =>
+      val tr = Option(f.get("transform")).map(_.asText).getOrElse("identity")
+      require(tr == "identity",
+        s"Iceberg table $path partitions with transform '$tr' — " +
+          "only identity specs are supported by this writer")
+      val sid = f.get("source-id").asInt
+      idToName.getOrElse(sid, throw new IllegalArgumentException(
+        s"Iceberg table $path partition spec references unknown field-id $sid"))
+    }
+  }
+
+  /** The `fields` of the table's DEFAULT partition spec — from the modern
+    * `partition-specs` array (by default-spec-id) when present, else the
+    * v1 legacy `partition-spec` field (an older writer may carry ONLY the
+    * legacy field — both must be consulted, review finding). */
+  private def defaultSpecFields(meta: JsonNode): Seq[JsonNode] = {
+    val wantSpec = Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0)
+    Option(meta.get("partition-specs")).flatMap { arr =>
+      arr.elements().asScala.find(sp =>
+        Option(sp.get("spec-id")).forall(_.asInt == wantSpec))
+    }.map(sp => Option(sp.get("fields"))
+        .map(_.elements().asScala.toSeq).getOrElse(Seq.empty))
+      .orElse(Option(meta.get("partition-spec"))
+        .map(_.elements().asScala.toSeq))
+      .getOrElse(Seq.empty)
+  }
+
+  /** field-id -> column name for the CURRENT schema in `meta`. */
+  private def schemaFieldIdToName(meta: JsonNode, path: String): Map[Int, String] = {
+    val schemaNode = Option(meta.get("schemas")).flatMap { arr =>
+      val want = Option(meta.get("current-schema-id")).map(_.asInt).getOrElse(0)
+      arr.elements().asScala.find(s =>
+        Option(s.get("schema-id")).forall(_.asInt == want))
+    }.orElse(Option(meta.get("schema"))).getOrElse(
+      throw new IllegalArgumentException(s"Iceberg table $path carries no schema"))
+    schemaNode.get("fields").elements().asScala
+      .map(f => f.get("id").asInt -> f.get("name").asText).toMap
   }
 
   private def icebergType(t: DataType, where: String): String = t match {
@@ -413,22 +567,44 @@ object IcebergInterop {
       |{"name":"added_snapshot_id","type":["null","long"],"default":null,"field-id":503}
       |]}""".stripMargin)
 
+  /** One data file as a manifest entry: full URI (or rel name before the
+    * final resolve), size, row count, identity partition tuple in
+    * spec-field order. */
+  private case class ManifestFile(path: String, size: Long, rows: Long,
+      tuple: Seq[Any])
+
   // block_size_in_bytes (field-id 105) is REQUIRED in the v1 data_file
   // record: real readers' v1 read schema has no default for it, so a
   // manifest lacking it fails Avro schema resolution (round-7 review).
-  private val ManifestSchema: Schema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
-      |{"name":"status","type":"int","field-id":0},
-      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
-      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
-      |  {"name":"file_path","type":"string","field-id":100},
-      |  {"name":"file_format","type":"string","field-id":101},
-      |  {"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
-      |  {"name":"record_count","type":"long","field-id":103},
-      |  {"name":"file_size_in_bytes","type":"long","field-id":104},
-      |  {"name":"block_size_in_bytes","type":"long","field-id":105}
-      |]},"field-id":2}
-      |]}""".stripMargin)
+  // The r102 partition record carries one typed nullable field per
+  // identity partition column (field-ids from the spec), so the Avro
+  // schema is built per export rather than being a static constant.
+  private def manifestSchema(partFields: Seq[PartField]): Schema = {
+    val partJson = partFields.map { pf =>
+      val t = pf.dataType match {
+        case StringType  => "\"string\""
+        case IntegerType => "\"int\""
+        case LongType    => "\"long\""
+        case BooleanType => "\"boolean\""
+        case DateType    => """{"type":"int","logicalType":"date"}"""
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+      s"""{"name":"${pf.name}","type":["null",$t],"default":null,"field-id":${pf.fieldId}}"""
+    }.mkString(",")
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int","field-id":0},
+         |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+         |  {"name":"file_path","type":"string","field-id":100},
+         |  {"name":"file_format","type":"string","field-id":101},
+         |  {"name":"partition","type":{"type":"record","name":"r102","fields":[$partJson]},"field-id":102},
+         |  {"name":"record_count","type":"long","field-id":103},
+         |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+         |  {"name":"block_size_in_bytes","type":"long","field-id":105}
+         |]},"field-id":2}
+         |]}""".stripMargin)
+  }
 
   private def writeManifestList(path: Path, snapshotId: Long,
       manifestUri: String, manifestLen: Long): Unit = {
@@ -447,27 +623,31 @@ object IcebergInterop {
   }
 
   private def writeManifest(path: Path, snapshotId: Long, schemaJson: String,
-      files: Seq[(String, Long, Long)]): Unit = {
+      partFields: Seq[PartField], files: Seq[ManifestFile]): Unit = {
+    val avroSchema = manifestSchema(partFields)
     val w = new DataFileWriter[GenericRecord](
-      new GenericDatumWriter[GenericRecord](ManifestSchema))
+      new GenericDatumWriter[GenericRecord](avroSchema))
     // the spec'd manifest file metadata: readers resolve projection and
     // partitioning from these keys, not just the Avro writer schema
     w.setMeta("format-version", "1")
     w.setMeta("schema", schemaJson)
-    w.setMeta("partition-spec", "[]")
+    w.setMeta("partition-spec",
+      mapper.writeValueAsString(specFieldsJson(mapper, partFields)))
     w.setMeta("partition-spec-id", "0")
-    w.create(ManifestSchema, path.toFile)
-    try files.foreach { case (uri, size, rows) =>
-      val entry = new GenericData.Record(ManifestSchema)
+    w.create(avroSchema, path.toFile)
+    try files.foreach { f =>
+      val entry = new GenericData.Record(avroSchema)
       entry.put("status", 1) // ADDED
       entry.put("snapshot_id", snapshotId)
-      val dfSchema = ManifestSchema.getField("data_file").schema()
+      val dfSchema = avroSchema.getField("data_file").schema()
       val df = new GenericData.Record(dfSchema)
-      df.put("file_path", uri)
+      df.put("file_path", f.path)
       df.put("file_format", "PARQUET")
-      df.put("partition", new GenericData.Record(dfSchema.getField("partition").schema()))
-      df.put("record_count", rows)
-      df.put("file_size_in_bytes", size)
+      val part = new GenericData.Record(dfSchema.getField("partition").schema())
+      partFields.zip(f.tuple).foreach { case (pf, v) => part.put(pf.name, v) }
+      df.put("partition", part)
+      df.put("record_count", f.rows)
+      df.put("file_size_in_bytes", f.size)
       df.put("block_size_in_bytes", 134217728L) // the conventional 128 MiB
       entry.put("data_file", df)
       w.append(entry)
@@ -491,8 +671,6 @@ object IcebergInterop {
     require(fv == 1 || fv == 2,
       s"Iceberg table $path has format-version $fv — only v1/v2 are supported")
 
-    val schema = currentSparkSchema(meta, path)
-
     val snapNode = {
       val snaps = Option(meta.get("snapshots"))
         .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
@@ -506,8 +684,17 @@ object IcebergInterop {
             .filter(_ != -1L)
           cur.flatMap(c => snaps.find(_.get("snapshot-id").asLong == c))
             .getOrElse(return spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              currentSparkSchema(meta, path)))
       }
+    }
+
+    // time travel reads the snapshot with the schema it was WRITTEN under
+    // (its recorded schema-id), not the evolved current schema — a column
+    // appended later must not appear (as spurious nulls) in an old snapshot
+    val schema = Option(snapNode.get("schema-id")).map(_.asInt) match {
+      case Some(id) => sparkSchemaById(meta, id, path)
+      case None     => currentSparkSchema(meta, path)
     }
 
     val listUri = snapNode.get("manifest-list")
@@ -519,7 +706,7 @@ object IcebergInterop {
       resolveUri(root, r.get("manifest_path").toString)
     }
 
-    val dataFiles = manifests.flatMap { mp =>
+    val dataFiles: Seq[(Path, GenericRecord)] = manifests.flatMap { mp =>
       readAvro(mp).flatMap { entry =>
         val status = entry.get("status").asInstanceOf[Int]
         val df = entry.get("data_file").asInstanceOf[GenericRecord]
@@ -535,13 +722,121 @@ object IcebergInterop {
         require(fmt.equalsIgnoreCase("PARQUET"),
           s"Iceberg table $path holds $fmt data files — only parquet is supported")
         if (status == 2) None // DELETED entry
-        else Some(resolveUri(root, df.get("file_path").toString).toString)
+        else Some((resolveUri(root, df.get("file_path").toString),
+          Option(df.getSchema.getField("partition"))
+            .map(_ => df.get("partition").asInstanceOf[GenericRecord]).orNull))
       }
     }
 
     if (dataFiles.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(dataFiles: _*)
+    else readWithIdentityFill(spark, path, meta, schema, dataFiles)
+  }
+
+  /** Scan the data files with `schema`, reconstructing identity-partitioned
+    * columns that are PHYSICALLY ABSENT from the parquet (a Hive-migrated
+    * layout, and what [[exportIceberg]] writes for a partitioned TxTable)
+    * from the manifests' per-file partition tuples — the Iceberg spec's
+    * "Column Projection" rule. The fill is ONE scan plus a broadcast join
+    * of a file-name -> tuple map (O(files) driver metadata, the same scale
+    * class as the manifests themselves), never a per-partition union, so
+    * the plan does not grow with partition count. */
+  private def readWithIdentityFill(spark: SparkSession, path: String,
+      meta: JsonNode, schema: StructType,
+      dataFiles: Seq[(Path, GenericRecord)]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val uris = dataFiles.map(_._1.toString)
+    val plain = spark.read.schema(schema).parquet(uris: _*)
+    // presence is probed on ONE footer: identity partitioning writes files
+    // uniformly, so the first file is representative (a half-migrated table
+    // mixing layouts is out of scope and documented as such)
+    val footerCols = parquetTopLevelCols(spark, dataFiles.head._1)
+    val missing = schema.fields.filter(f => !footerCols.contains(f.name))
+    if (missing.isEmpty) return plain
+
+    val specIdentity = targetSpecIdentityFields(meta, path) // (specField, sourceCol)
+    val srcToSpec = specIdentity.map { case (fn, src) => src -> fn }.toMap
+    val fillable = missing.filter(f => srcToSpec.contains(f.name))
+    val leftover = missing.filterNot(f => srcToSpec.contains(f.name))
+    // a nullable column absent from old files is ordinary schema evolution
+    // (Spark fills null per file); a REQUIRED one absent with no partition
+    // tuple to fill it from is unreadable — loudly
+    require(leftover.forall(_.nullable),
+      s"Iceberg table $path data files lack required non-partition column(s) " +
+        s"${leftover.filterNot(_.nullable).map(_.name).mkString(",")} — unreadable")
+    if (fillable.isEmpty) return plain
+
+    val names = dataFiles.map(_._1.getFileName.toString)
+    require(names.distinct.size == names.size,
+      s"Iceberg table $path has duplicate data-file names across partitions " +
+        "— the identity-fill join would be ambiguous; unsupported layout")
+    val rows: Seq[org.apache.spark.sql.Row] = dataFiles.map { case (p, rec) =>
+      org.apache.spark.sql.Row.fromSeq(p.getFileName.toString +: fillable.toSeq.map { f =>
+        val specField = srcToSpec(f.name)
+        require(rec != null && rec.getSchema.getField(specField) != null,
+          s"Iceberg table $path manifest entry for $p carries no partition " +
+            s"value '$specField' — cannot reconstruct column '${f.name}'")
+        sparkPartValue(rec.get(specField), f.dataType, path)
+      })
+    }
+    val tupleDf = spark.createDataFrame(rows.asJava,
+      StructType(StructField("__graft_pfile", StringType, nullable = false) +:
+        fillable.map(_.copy())))
+    val dataSchema = StructType(
+      schema.fields.filterNot(f => fillable.exists(_.name == f.name)))
+    spark.read.schema(dataSchema).parquet(uris: _*)
+      .withColumn("__graft_pfile", col("_metadata.file_name"))
+      .join(broadcast(tupleDf), Seq("__graft_pfile"))
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Avro partition value -> Spark external value for `t`. */
+  private def sparkPartValue(v: AnyRef, t: DataType, path: String): Any =
+    if (v == null) null
+    else t match {
+      case StringType  => v.toString
+      case IntegerType => v.asInstanceOf[Int]
+      case LongType    => v.asInstanceOf[Long]
+      case BooleanType => v.asInstanceOf[Boolean]
+      case DoubleType  => v.asInstanceOf[Double]
+      case FloatType   => v.asInstanceOf[Float]
+      case DateType =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+          v.asInstanceOf[Int].toLong))
+      case TimestampType => // Iceberg stores timestamps as micros since epoch
+        val micros = v.asInstanceOf[Long]
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
+      case other => throw new IllegalArgumentException(
+        s"Iceberg table $path identity-partitions a $other column — " +
+          "unsupported by this reader's partition fill")
+    }
+
+  /** Top-level column names of one parquet file's footer schema. */
+  private def parquetTopLevelCols(spark: SparkSession, p: Path): Set[String] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val in = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf))
+    try in.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet
+    finally in.close()
+  }
+
+  /** (partition-field name, identity source-column name) pairs of the
+    * table's default spec — see [[targetSpecIdentityCols]]. */
+  private def targetSpecIdentityFields(meta: JsonNode, path: String): Seq[(String, String)] = {
+    val idToName = schemaFieldIdToName(meta, path)
+    defaultSpecFields(meta).flatMap { f =>
+      val tr = Option(f.get("transform")).map(_.asText).getOrElse("identity")
+      if (tr != "identity") None // non-identity: source cols must be in data
+      else {
+        val sid = f.get("source-id").asInt
+        val src = idToName.getOrElse(sid, throw new IllegalArgumentException(
+          s"Iceberg table $path partition spec references unknown field-id $sid"))
+        Some((f.get("name").asText, src))
+      }
+    }
   }
 
   /** `metadata/vN.metadata.json` named by version-hint.text, else the
@@ -575,6 +870,18 @@ object IcebergInterop {
     }.orElse(Option(meta.get("schema"))).getOrElse(
       throw new IllegalArgumentException(s"Iceberg table $path carries no schema"))
     structOf(schemaNode, path)
+  }
+
+  /** The schema with an exact `schema-id` — for reading a snapshot under
+    * the schema it was committed with (time travel across evolution). */
+  private def sparkSchemaById(meta: JsonNode, id: Int, path: String): StructType = {
+    val node = Option(meta.get("schemas")).flatMap(_.elements().asScala.find(s =>
+        Option(s.get("schema-id")).exists(_.asInt == id)))
+      .orElse(Option(meta.get("schema")).filter(s =>
+        Option(s.get("schema-id")).forall(_.asInt == id)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"Iceberg table $path has no schema with id $id"))
+    structOf(node, path)
   }
 
   private def structOf(node: JsonNode, path: String): StructType =

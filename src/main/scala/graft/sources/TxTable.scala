@@ -783,28 +783,7 @@ class TxTable(val spark: SparkSession, val root: String) {
     * semantics, exactly like partition pruning one level finer. Resolves
     * through the checkpointed log like read().
     */
-  /** Inverse of Spark's Hive-style partition-path escaping (special chars
-    * written as `%XX` hex). Directory names hold the ESCAPED value; pruning
-    * must compare the LOGICAL value or `value = "a:b"` silently prunes the
-    * `k=a%3Ab` directory it should scan — wrong results, because partition
-    * pruning here is trusted as exact. */
-  private def unescapePathName(s: String): String =
-    if (!s.contains('%')) s
-    else {
-      val sb = new java.lang.StringBuilder(s.length)
-      var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c == '%' && i + 2 < s.length &&
-            Character.digit(s.charAt(i + 1), 16) >= 0 &&
-            Character.digit(s.charAt(i + 2), 16) >= 0) {
-          sb.append(((Character.digit(s.charAt(i + 1), 16) << 4) +
-            Character.digit(s.charAt(i + 2), 16)).toChar)
-          i += 3
-        } else { sb.append(c); i += 1 }
-      }
-      sb.toString
-    }
+  private def unescapePathName(s: String): String = TxTable.unescapePathName(s)
 
   /** The `colName=` partition value of a relative file path, if the file
     * sits under such a directory — unescaped to the logical value; the
@@ -1405,6 +1384,31 @@ object TxTable {
   /** See [[TxTable.snapshotInfo]]. */
   case class SnapshotInfo(files: Seq[String], schemaDdl: String,
       partCols: Seq[String], dataDir: String)
+
+  /** Inverse of Spark's Hive-style partition-path escaping (special chars
+    * written as `%XX` hex). Directory names hold the ESCAPED value; pruning
+    * must compare the LOGICAL value or `value = "a:b"` silently prunes the
+    * `k=a%3Ab` directory it should scan — wrong results, because partition
+    * pruning here is trusted as exact. On the companion so the lakehouse
+    * exporters ([[graft.sources.IcebergInterop]]) decode the same layout
+    * with provably the same rules. */
+  private[sources] def unescapePathName(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length &&
+            Character.digit(s.charAt(i + 1), 16) >= 0 &&
+            Character.digit(s.charAt(i + 2), 16) >= 0) {
+          sb.append(((Character.digit(s.charAt(i + 1), 16) << 4) +
+            Character.digit(s.charAt(i + 2), 16)).toChar)
+          i += 3
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
 
   /** Kirsch–Mitzenmacher double hashing: k bit positions in [0, m) derived
     * from one 64-bit hash (h2 from a splitmix64 finalizer, forced odd so

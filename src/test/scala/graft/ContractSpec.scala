@@ -24,6 +24,9 @@ class ContractSpec extends AnyFunSuite {
       "g1_minhash_pairs", "g1_simhash", "g1_semdedup", "g1_incr_minhash",
       "g1_embedding_dups_lsh",
       "g2_lsh_topk", "g2_ivf_topk", "g2_pq_topk", "g2_ivfpq_topk",
+      "g2_ann_append", // incremental index append: doubly-approximate IVFPQ
+                       // results; certified in-query at the full-rebuild
+                       // score-ratio floor + coverage/duplicate guards
       "g3_langid", "g3_fingerprint", "g3_vocab_approx",
       "g3_bpe_tokens") // ranked-merge BPE is not oracle-SQL-expressible;
                        // certified in-query (lossless + fixpoint) + BpeSpec
@@ -76,9 +79,17 @@ class ContractSpec extends AnyFunSuite {
     // (trailing last-3-actions context feature per user — one bounded
     // per-entity window, oldest first, current event excluded).
     // 185 adds g3_reliability (calibration audit: equal-width decile bins
-    // of the classifier score vs the Gopher pass rate per bin)
-    assert(SparkEntry.queries.size == 185,
-      s"declared query count ${SparkEntry.queries.size} != documented 185 — " +
+    // of the classifier score vs the Gopher pass rate per bin).
+    // 186 adds b5_iceberg_export_part (the date-partitioned fact table
+    // exported to Iceberg: identity partition spec + manifest partition
+    // tuples; reader reconstructs the column via one broadcast file→tuple
+    // join; DuckDB hive_partitioning is the cross-engine oracle).
+    // 187 adds g2_ann_append (incremental ANN index maintenance: the last
+    // corpus quarter appended with frozen codebooks/centroids, one
+    // marker-flip commit; rows-only with full-coverage, duplicate-refusal,
+    // and full-rebuild-floor score-ratio certificates in-query)
+    assert(SparkEntry.queries.size == 187,
+      s"declared query count ${SparkEntry.queries.size} != documented 187 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

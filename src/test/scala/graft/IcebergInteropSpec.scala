@@ -198,15 +198,129 @@ class IcebergInteropSpec extends SparkSpec {
     assert(got.columns.contains("extra") && got.where(col("extra").isNotNull).count() == 1L)
   }
 
-  test("partitioned sources are refused: the data files do not carry the partition column") {
-    // Hive layout drops the partition column from the parquet; an
-    // unpartitioned-spec Iceberg export of it would silently LOSE a column
+  test("partitioned export: identity spec + manifest tuples reconstruct the partition column") {
+    // Hive layout drops the partition column from the parquet; the export
+    // declares an identity spec and carries per-file partition tuples, and
+    // the reader fills the column back (Iceberg's Column Projection rule)
     val t = TxTable(spark, tmp("ice_part"))
-    t.append(Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0))
+    t.append(Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0),
+        (3L, "2024-01-01", 3.0))
       .toDF("id", "day", "v"), tsMillis = 1000L, partitionBy = Seq("day"))
+    val out = tmp("ice_part_exp")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+
+    // metadata declares the identity spec in BOTH the modern and legacy keys
+    val metaTxt = new String(Files.readAllBytes(
+      Paths.get(out, "metadata", "v1.metadata.json")))
+    assert(metaTxt.contains("\"transform\" : \"identity\""))
+    assert(metaTxt.contains("\"source-id\""))
+    assert("\"partition-spec\"".r.findAllIn(metaTxt).size >= 1)
+    // data files live under Hive dirs and do NOT carry the column physically
+    val dataFiles = Files.walk(Paths.get(out, "data")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    assert(dataFiles.forall(_.toString.contains("day=")))
+
+    // round trip: values, schema order, and the reconstructed column equal
+    val got = IcebergInterop.readIceberg(spark, out)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "day", "v"))
+    assert(got.orderBy("id").collect().toSeq ==
+      t.read().select("id", "day", "v").orderBy("id").collect().toSeq)
+    // pruning on the filled column still yields exact results
+    assert(got.where(col("day") === "2024-01-01").count() == 2L)
+  }
+
+  test("partitioned export round-trips typed (date, int) and null partition values") {
+    val t = TxTable(spark, tmp("ice_ptyped"))
+    t.append(Seq(
+        (1L, java.sql.Date.valueOf("2024-03-01"), 7, 1.0),
+        (2L, java.sql.Date.valueOf("2024-03-02"), 8, 2.0),
+        (3L, null.asInstanceOf[java.sql.Date], 8, 3.0))
+      .toDF("id", "day", "bucket", "v"),
+      tsMillis = 1000L, partitionBy = Seq("day", "bucket"))
+    val out = tmp("ice_ptyped_exp")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+    val got = IcebergInterop.readIceberg(spark, out)
+    assert(got.schema("day").dataType == org.apache.spark.sql.types.DateType)
+    assert(got.schema("bucket").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(got.orderBy("id").collect().toSeq ==
+      t.read().select("id", "day", "bucket", "v").orderBy("id").collect().toSeq)
+    assert(got.where(col("day").isNull).count() == 1L)
+  }
+
+  test("partitioned incremental export appends snapshots; spec mismatch is refused") {
+    val t = TxTable(spark, tmp("ice_pincr"))
+    t.append(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "k", "v"),
+      tsMillis = 1000L, partitionBy = Seq("k"))
+    val out = tmp("ice_pincr_exp")
+    assert(IcebergInterop.exportIcebergIncremental(t, out, tsMillis = 5000L) == 1L)
+    t.append(Seq((3L, "a", 3.0)).toDF("id", "k", "v"), tsMillis = 2000L)
+    assert(IcebergInterop.exportIcebergIncremental(t, out, tsMillis = 6000L) == 2L)
+    val got = IcebergInterop.readIceberg(spark, out)
+    assert(got.orderBy("id").collect().toSeq ==
+      t.read().select("id", "k", "v").orderBy("id").collect().toSeq)
+
+    // a FLAT table cannot mirror onto the partitioned export (and a
+    // partitioned one cannot mirror onto a flat export): loud refusal
+    val flat = TxTable(spark, tmp("ice_flat"))
+    flat.append(Seq((1L, "a", 1.0)).toDF("id", "k", "v"), tsMillis = 1000L)
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.exportIcebergIncremental(flat, out, tsMillis = 7000L))
+      .getMessage.contains("partition spec"))
+    val flatOut = tmp("ice_flat_exp")
+    IcebergInterop.exportIceberg(flat, flatOut, tsMillis = 5000L)
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.exportIcebergIncremental(t, flatOut, tsMillis = 8000L))
+      .getMessage.contains("partition spec"))
+  }
+
+  test("legacy-only partition-spec field still blocks a mismatched incremental append") {
+    // an older v1 writer may record ONLY the legacy `partition-spec` field;
+    // the guard must consult it, not just `partition-specs` (review finding)
+    val t = sampleTable()
+    val out = tmp("ice_legacy")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+    val metaPath = Paths.get(out, "metadata", "v1.metadata.json")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.readTree(Files.readAllBytes(metaPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.remove("partition-specs")
+    val legacy = root.putArray("partition-spec")
+    val f = m.createObjectNode()
+    f.put("name", "k"); f.put("transform", "identity")
+    f.put("source-id", 2); f.put("field-id", 1000)
+    legacy.add(f)
+    Files.write(metaPath, Seq(m.writeValueAsString(root)).asJava)
     val e = intercept[IllegalArgumentException](
-      IcebergInterop.exportIceberg(t, tmp("ice_part_exp"), tsMillis = 5000L))
-    assert(e.getMessage.contains("partitioned TxTable"))
+      IcebergInterop.exportIcebergIncremental(t, out, tsMillis = 6000L))
+    assert(e.getMessage.contains("partition spec"), e.getMessage)
+  }
+
+  test("schema evolution assigns a fresh schema-id and keeps old snapshots' schemas") {
+    val t = sampleTable()
+    val out = tmp("ice_evo")
+    assert(IcebergInterop.exportIcebergIncremental(t, out, tsMillis = 5000L) == 1L)
+    val v1 = new String(Files.readAllBytes(
+      Paths.get(out, "metadata", "v1.metadata.json")))
+    val firstSnap = """"snapshot-id" : (\d+)""".r
+      .findFirstMatchIn(v1).get.group(1).toLong
+    t.append(Seq((11L, "w", 1.0, "note")).toDF("id", "k", "v", "extra"),
+      tsMillis = 9000L, evolve = true)
+    assert(IcebergInterop.exportIcebergIncremental(t, out, tsMillis = 10000L) == 2L)
+    val v2 = new String(Files.readAllBytes(
+      Paths.get(out, "metadata", "v2.metadata.json")))
+    // fresh id, BOTH schemas retained, appended column exported optional
+    assert(v2.contains("\"current-schema-id\" : 1"), v2)
+    assert(""""schema-id" : 0""".r.findAllIn(v2).nonEmpty)
+    assert("""1,\s*"name" : "extra",\s*"required" : false""".r
+      .findAllIn(v2.replaceAll("\"id\" : ", "")).nonEmpty ||
+      v2.contains("\"name\" : \"extra\""))
+    // current read sees the evolved schema; time travel to the OLD snapshot
+    // reads the OLD schema (no phantom null 'extra' column)
+    assert(IcebergInterop.readIceberg(spark, out).columns.contains("extra"))
+    val old = IcebergInterop.readIceberg(spark, out, snapshotAsOf = Some(firstSnap))
+    assert(!old.columns.contains("extra"),
+      s"old snapshot must read with its own schema, got ${old.columns.mkString(",")}")
+    assert(old.count() == 4L)
   }
 
   test("manifest scale probe: 100k-entry Avro manifest writes and replays in metadata time") {

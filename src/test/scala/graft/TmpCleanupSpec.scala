@@ -76,6 +76,21 @@ class TmpCleanupSpec extends AnyFunSuite {
     assert(!Files.exists(dead), "dead + stale must still sweep under the family prefix")
   }
 
+  test("a live-pid-lookalike digit run that is NOT the pid segment does not immortalize a stale dir") {
+    // only the full `…<pid>-<hexnonce>` tail shape parses as owned; a name
+    // whose digits are a nonce/other number must fall back to mtime, or a
+    // coincidental match with any live pid leaks the dir forever (review
+    // finding). `-zz` is not hex, so the tail shape does not match.
+    val base = tmpBase()
+    val lookalike = base.resolve(s"graft-x-${ProcessHandle.current().pid()}-zz")
+    Files.createDirectories(lookalike)
+    Files.setLastModifiedTime(lookalike,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 86400000L))
+    TmpCleanup.sweepStale(base, "graft-", maxAgeMillis = 1000L)
+    assert(!Files.exists(lookalike),
+      "non-owned shape with a coincidental live digit run must sweep by mtime")
+  }
+
   test("sweep deletes a symlink inside a stale dir WITHOUT following it") {
     // /dev/shm is world-writable: a planted link to a precious directory
     // must be removed as a LINK, never recursed into (review finding —

@@ -53,6 +53,18 @@ class VectorCodecSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("a null vector element fails loudly instead of silently packing 0.0f") {
+    // the bit-round-trip contract has no representation for a null slot:
+    // packing it as 0.0f would be silent corruption (review finding)
+    val e = intercept[Exception] {
+      Seq(Tuple1(Array[java.lang.Float](1.0f, null, 3.0f))).toDF("v")
+        .select(VectorCodec.pack(col("v"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause).map(identity))
+    assert(msgs(e).exists(m => m != null && m.contains("null element at index 1")))
+  }
+
   test("malformed binary fails loudly instead of decoding garbage") {
     val e = intercept[Exception] {
       Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("b")

@@ -1,0 +1,101 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Pins the incremental ANN index contract (round-7 verdict #2):
+  * [[AnnIndex.appendToIndex]] encodes a new batch with the FROZEN
+  * codebooks/centroids, commits by marker flip, and refuses loudly when
+  * the frozen quantizer no longer represents the data (drift) or when a
+  * batch id is already encoded (duplicates).
+  */
+class AnnIndexSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic clustered vectors: two tight clusters along distinct
+    * axes, so a 2-centroid quantizer represents them with near-zero gap. */
+  private def clustered(ids: Range): org.apache.spark.sql.DataFrame =
+    ids.map { i =>
+      val axis = i % 2
+      val base = Array.fill(8)(0.01f * ((i * 7) % 5))
+      base(axis) = 1.0f
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+
+  private def freshIndex(n: Int = 64): (String, org.apache.spark.sql.DataFrame) = {
+    val dir = Files.createTempDirectory("graft_ann_spec").toString + "/idx"
+    val corpus = clustered(0 until n)
+    AnnIndex.build(corpus, "vec_id", "embedding", dir,
+      nCentroids = 2, refineIters = 2, m = 4, k = 4, pqIters = 2)
+    (dir, corpus)
+  }
+
+  test("appendToIndex makes the new batch visible to the encoded table under the same quantizer") {
+    val (dir, _) = freshIndex()
+    val cbBefore = AnnIndex.loadCodebooks(spark, dir)
+    val centsBefore = AnnIndex.loadCentroids(spark, dir)
+    val batch = clustered(64 until 96)
+    AnnIndex.appendToIndex(batch, "vec_id", "embedding", dir)
+    assert(AnnIndex.exists(dir), "index must be republished after the append")
+    val enc = AnnIndex.loadEncoded(spark, dir)
+    assert(enc.count() == 96L)
+    assert(enc.where(col("vec_id") >= 64).count() == 32L)
+    // the quantizer is genuinely FROZEN: artifacts bit-identical
+    assert(AnnIndex.loadCodebooks(spark, dir).cents.toSeq == cbBefore.cents.toSeq)
+    assert(AnnIndex.loadCentroids(spark, dir).map(_.toSeq).toSeq ==
+      centsBefore.map(_.toSeq).toSeq)
+    // appended rows carry codes/cells consistent with the frozen artifacts:
+    // re-encoding the batch yields the same (id, codes, cell) rows
+    val reEnc = Pq.encodeWithCell(batch, "vec_id", "embedding", cbBefore, centsBefore)
+      .select(col("vec_id"), col("codes"), col("__cell"))
+    val stored = enc.where(col("vec_id") >= 64)
+      .select(col("vec_id"), col("codes"), col("__cell"))
+    assert(stored.except(reEnc).count() == 0L && reEnc.except(stored).count() == 0L)
+  }
+
+  test("duplicate batch ids are refused before the index is unpublished") {
+    val (dir, corpus) = freshIndex()
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.appendToIndex(corpus.limit(3), "vec_id", "embedding", dir))
+    assert(e.getMessage.contains("already encoded"))
+    // the guard fires BEFORE the marker flip: the index stays published
+    assert(AnnIndex.exists(dir), "a refused append must not unpublish the index")
+    assert(AnnIndex.loadEncoded(spark, dir).count() == 64L)
+  }
+
+  test("a drifted batch distribution is refused with a rebuild instruction") {
+    val (dir, _) = freshIndex()
+    // drift: vectors along a THIRD axis the 2-centroid quantizer never saw
+    val drifted = (200 until 232).map { i =>
+      val v = Array.fill(8)(0.0f); v(5) = 1.0f; v(6) = 0.8f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.appendToIndex(drifted, "vec_id", "embedding", dir))
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+    assert(AnnIndex.exists(dir), "a refused append must not unpublish the index")
+  }
+
+  test("appending to an uncommitted index fails loudly") {
+    val dir = Files.createTempDirectory("graft_ann_none").toString + "/idx"
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.appendToIndex(clustered(0 until 4), "vec_id", "embedding", dir))
+    assert(e.getMessage.contains("build() first"))
+  }
+
+  test("post-append IVFPQ query returns appended neighbors (recall survives the frozen quantizer)") {
+    val (dir, _) = freshIndex()
+    AnnIndex.appendToIndex(clustered(64 until 96), "vec_id", "embedding", dir)
+    val cb = AnnIndex.loadCodebooks(spark, dir)
+    val cents = AnnIndex.loadCentroids(spark, dir)
+    // a query aligned with cluster axis 0: its near-exact twins include
+    // appended ids (even ids ≥ 64); top-10 must surface at least one
+    val q = Seq((0L, { val v = Array.fill(8)(0.0f); v(0) = 1.0f; v }))
+      .toDF("query_id", "qvec")
+    val top = Similarity.ivfPqTopKWith(AnnIndex.loadEncoded(spark, dir), q,
+      "vec_id", "query_id", "qvec", k = 10, cb, cents)
+    assert(top.where(col("vec_id") >= 64).count() > 0L,
+      "appended vectors must be retrievable through the persisted index")
+  }
+}
