@@ -76,6 +76,43 @@ object GraphScaleProbe {
     time(s"labelProp 2 iters ${nEdges / 1000000}M edges")(
       Graph.labelPropagate(syn, "src", "dst", "w",
         synSeeds, "node", "lbl", iterations = 2).count())
+    // ---- A/B: synchronous vs delta-propagation at MANY rounds ----------
+    // (round-7 verdict #3). Two regimes, measured separately:
+    //  - CHURNING graph (the hash-random leg above): competing labels keep
+    //    flipping, the frontier never decays, and delta propagation can
+    //    only match sync within noise — there is nothing to skip.
+    //  - CONVERGING graph (clustered leg below: 10k dense 50-node
+    //    components, one seed each): labels settle in ~2 rounds, the
+    //    frontier empties, and the frontier form EXITS while sync grinds
+    //    the remaining rounds over all 5M edges. This is the real shape of
+    //    affinity graphs (near-dup clusters, co-purchase communities).
+    time(s"labelProp sync     8 iters ${nEdges / 1000000}M edges churn")(
+      Graph.labelPropagate(syn, "src", "dst", "w",
+        synSeeds, "node", "lbl", iterations = 8).count())
+    time(s"labelProp frontier 8 iters ${nEdges / 1000000}M edges churn")(
+      Graph.labelPropagateFrontier(syn, "src", "dst", "w",
+        synSeeds, "node", "lbl", iterations = 8).count())
+    val nComp = 10000L
+    val compSize = 50L
+    // endpoint offsets from xxhash64 (a multiplicative hash of id is
+    // CONSTANT mod compSize within a component when nEdges step ≡ 0 mod
+    // compSize — the first cut of this leg silently degenerated to one
+    // edge per component)
+    val syn2 = spark.range(nEdges).select(
+      (pmod(col("id"), lit(nComp)) * compSize +
+        pmod(xxhash64(col("id")), lit(compSize))).as("src"),
+      (pmod(col("id"), lit(nComp)) * compSize +
+        pmod(xxhash64(col("id"), lit(1L)), lit(compSize))).as("dst"),
+      lit(1.0).as("w"))
+      .localCheckpoint()
+    val syn2Seeds = spark.range(0, nComp)
+      .select((col("id") * compSize).as("node"), pmod(col("id"), lit(25L)).as("lbl"))
+    time(s"labelProp sync     8 iters ${nEdges / 1000000}M edges converging")(
+      Graph.labelPropagate(syn2, "src", "dst", "w",
+        syn2Seeds, "node", "lbl", iterations = 8).count())
+    time(s"labelProp frontier 8 iters ${nEdges / 1000000}M edges converging")(
+      Graph.labelPropagateFrontier(syn2, "src", "dst", "w",
+        syn2Seeds, "node", "lbl", iterations = 8).count())
     // plant a K100 clique (4950 edges, C(100,3) = 161700 triangles) so the
     // triangle leg verifies output at scale, not just wall-clock: the
     // multiplicative-hash graph itself is essentially triangle-free

@@ -17,8 +17,9 @@ object Graph {
 
   /** Weighted PageRank with uniform dangling-mass redistribution, run for
     * a FIXED number of power iterations (the reproducible, oracle-checkable
-    * form — convergence-threshold stopping is just a caller loop over the
-    * same step).
+    * form; [[pageRankConverged]] is the ε-stopping production form over
+    * the SAME [[prStep]], and [[pageRankPersonalized]] the seed-teleport
+    * variant).
     *
     * Semantics per iteration (damping d, N nodes):
     * {{{
@@ -57,7 +58,127 @@ object Graph {
   ): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
+    val g = prepPr(edges, srcCol, dstCol, weightCol)
+    var ranks = uniformRanks(g)
+    for (_ <- 1 to iterations)
+      ranks = prStep(g, ranks, damping).localCheckpoint()
+    ranks.select(col("node"), col("__r").as("pagerank"))
+  }
 
+  /** [[pageRank]] with ε-based early stopping: iterate until the L1 delta
+    * Σ_v |r_{k+1}(v) − r_k(v)| falls to `tol` or `maxIterations` runs out,
+    * whichever first — the production form (the fixed-iteration form stays
+    * the declared/oracle-checkable one; at convergence the two agree,
+    * which [[GraphSpec]] pins). The per-round L1 deltas come back as the
+    * convergence trace — the metric a pipeline logs/alerts on. Each round
+    * costs one extra (already-shuffled) join + 1-row agg for the delta;
+    * the delta collect is a scalar, not data, on the driver.
+    *
+    * @return (ranks, per-round L1 deltas — length = rounds actually run).
+    */
+  def pageRankConverged(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      maxIterations: Int,
+      tol: Double,
+      damping: Double = 0.85
+  ): (DataFrame, Seq[Double]) = {
+    require(maxIterations >= 1, s"maxIterations must be >= 1, got $maxIterations")
+    require(tol >= 0.0, s"tol must be >= 0, got $tol")
+    require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
+    val g = prepPr(edges, srcCol, dstCol, weightCol)
+    var ranks = uniformRanks(g)
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var k = 0
+    var converged = false
+    while (k < maxIterations && !converged) {
+      val next = prStep(g, ranks, damping).localCheckpoint()
+      val d = next.as("n")
+        .join(ranks.as("p"), col("n.node") === col("p.node"))
+        .agg(coalesce(sum(abs(col("n.__r") - col("p.__r"))), lit(0.0)))
+        .collect().head.getDouble(0)
+      deltas += d
+      ranks = next
+      converged = d <= tol
+      k += 1
+    }
+    (ranks.select(col("node"), col("__r").as("pagerank")), deltas.toSeq)
+  }
+
+  /** Personalized PageRank (seed-restricted teleport): random walks
+    * restart at the SEED set instead of uniformly, so rank mass measures
+    * relevance TO the seeds — the recommender / related-items / trust-
+    * propagation feature one step past global [[pageRank]]. Per iteration
+    * (teleport vector p, uniform over the seed nodes present in the
+    * graph):
+    * {{{
+    *   r_{k+1}(v) = (1-d)·p(v) + d · ( Σ_{u→v} r_k(u)·w(u,v)/W(u) + dang_k·p(v) )
+    * }}}
+    * Dangling mass restarts at the seeds too (the PPR-standard patch), so
+    * Σ r = 1 still holds every round. Seeds not present in the graph are
+    * ignored (they can neither receive nor forward walk mass); r_0 = p.
+    * Same per-iteration scale shape as [[pageRank]] — the teleport vector
+    * replaces the 1/N constant with a node-keyed left join.
+    */
+  def pageRankPersonalized(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      seeds: DataFrame,
+      nodeCol: String,
+      iterations: Int,
+      damping: Double = 0.85
+  ): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1), got $damping")
+    val g = prepPr(edges, srcCol, dstCol, weightCol)
+    val seedNodes = seeds
+      .select(col(nodeCol).as("node"))
+      .where(col("node").isNotNull)
+      .distinct()
+      .join(g.nodes, Seq("node"), "left_semi")
+      .localCheckpoint()
+    val sFrame = seedNodes.agg(count(lit(1)).cast("double").as("__s"))
+    // the teleport vector as a node-keyed frame: 1/|S| on seeds, 0 elsewhere
+    val p = g.nodes
+      .join(seedNodes.withColumn("__hit", lit(1)), Seq("node"), "left")
+      .crossJoin(broadcast(sFrame))
+      .select(col("node"),
+        when(col("__hit").isNotNull, lit(1.0) / col("__s")).otherwise(lit(0.0)).as("__p"))
+      .localCheckpoint()
+    require(p.where(col("__p") > 0.0).limit(1).count() > 0L,
+      "pageRankPersonalized: no seed node is present in the graph")
+    var ranks = p.select(col("node"), col("__p").as("__r")).localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val dang = ranks
+        .join(g.outw, ranks("node") === g.outw("__src"), "left_anti")
+        .agg(coalesce(sum("__r"), lit(0.0)).as("__dm"))
+      val contrib = g.e
+        .join(g.outw, "__src")
+        .join(ranks, g.e("__src") === ranks("node"))
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(col("__r") * col("__w") / col("__ow")).as("__c"))
+      ranks = p
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(1.0 - damping) * col("__p") +
+            lit(damping) * (coalesce(col("__c"), lit(0.0)) + col("__dm") * col("__p"))).as("__r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("__r").as("pagerank"))
+  }
+
+  /** The shared PageRank substrate: aggregated positive-weight edges,
+    * node set, out-weights, and the 1-row N frame. */
+  private case class PrGraph(e: DataFrame, nodes: DataFrame,
+      outw: DataFrame, nFrame: DataFrame)
+
+  private def prepPr(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String): PrGraph = {
     val e = edges
       .select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
         col(weightCol).cast("double").as("__w"))
@@ -78,31 +199,34 @@ object Graph {
     // 1-row frames, broadcast everywhere a scalar is needed — no collect,
     // the whole loop stays one lazy-or-checkpointed distributed plan
     val nFrame = nodes.agg(count(lit(1)).cast("double").as("__n"))
+    PrGraph(e, nodes, outw, nFrame)
+  }
 
-    var ranks = nodes
-      .crossJoin(broadcast(nFrame))
-      .select(col("node"), (lit(1.0) / col("__n")).as("__r"))
-      .localCheckpoint()
+  private def uniformRanks(g: PrGraph): DataFrame = g.nodes
+    .crossJoin(broadcast(g.nFrame))
+    .select(col("node"), (lit(1.0) / col("__n")).as("__r"))
+    .localCheckpoint()
 
-    for (_ <- 1 to iterations) {
-      val dang = ranks
-        .join(outw, ranks("node") === outw("__src"), "left_anti")
-        .agg(coalesce(sum("__r"), lit(0.0)).as("__dm"))
-      val contrib = e
-        .join(outw, "__src")
-        .join(ranks, e("__src") === ranks("node"))
-        .groupBy(col("__dst").as("node"))
-        .agg(sum(col("__r") * col("__w") / col("__ow")).as("__c"))
-      ranks = nodes
-        .join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(nFrame))
-        .crossJoin(broadcast(dang))
-        .select(col("node"),
-          (lit(1.0 - damping) / col("__n") +
-            lit(damping) * (coalesce(col("__c"), lit(0.0)) + col("__dm") / col("__n"))).as("__r"))
-        .localCheckpoint()
-    }
-    ranks.select(col("node"), col("__r").as("pagerank"))
+  /** One synchronous uniform-teleport power iteration — the single
+    * definition [[pageRank]] and [[pageRankConverged]] both run, so the
+    * early-stopping form can never drift numerically from the
+    * oracle-checked fixed-iteration form. */
+  private def prStep(g: PrGraph, ranks: DataFrame, damping: Double): DataFrame = {
+    val dang = ranks
+      .join(g.outw, ranks("node") === g.outw("__src"), "left_anti")
+      .agg(coalesce(sum("__r"), lit(0.0)).as("__dm"))
+    val contrib = g.e
+      .join(g.outw, "__src")
+      .join(ranks, g.e("__src") === ranks("node"))
+      .groupBy(col("__dst").as("node"))
+      .agg(sum(col("__r") * col("__w") / col("__ow")).as("__c"))
+    g.nodes
+      .join(contrib, Seq("node"), "left")
+      .crossJoin(broadcast(g.nFrame))
+      .crossJoin(broadcast(dang))
+      .select(col("node"),
+        (lit(1.0 - damping) / col("__n") +
+          lit(damping) * (coalesce(col("__c"), lit(0.0)) + col("__dm") / col("__n"))).as("__r"))
   }
 
   /** Bipartite→unipartite projection (the market-basket / co-occurrence
@@ -222,7 +346,9 @@ object Graph {
     * lineage-growth argument as [[pageRank]]).
     *
     * @return (node, label) for every node labeled after `iterations`
-    *   rounds (seeds included).
+    *   rounds (seeds included). [[labelPropagateFrontier]] computes the
+    *   SAME result at frontier cost — this synchronous form is the
+    *   reference implementation the differential spec pins it against.
     */
   def labelPropagate(
       edges: DataFrame,
@@ -276,6 +402,110 @@ object Graph {
         .select(col("node"),
           coalesce(col("__seed"), col("__cand"), col("__lbl")).as("__lbl"))
         .localCheckpoint()
+    }
+    labels.select(col("node"), col("__lbl").as("label"))
+  }
+
+  /** Delta-propagation [[labelPropagate]] — bit-identical results, frontier
+    * cost (round-7 verdict #3). The synchronous update has a locality
+    * invariant: a node's candidate label can only change when a NEIGHBOR's
+    * label changed last round (its incident mass distribution is otherwise
+    * identical). So each round recomputes the argmax ONLY over nodes
+    * adjacent to the previous round's changed set, takes every other
+    * node's label from the stable table unread, and the new frontier is
+    * the nodes whose label actually changed. Round cost is O(edges
+    * incident to the frontier) instead of O(E) — as labels converge the
+    * per-round work decays with the frontier, and an EMPTY frontier exits
+    * early (provably nothing can change after it, so early exit ≡ running
+    * all remaining rounds — the convergence form of this operator).
+    *
+    * [[GraphPropertySpec]] pins frontier ≡ synchronous equality on random
+    * graphs; [[graft.GraphScaleProbe]] A/Bs the per-round cost at scale.
+    */
+  def labelPropagateFrontier(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      seeds: DataFrame,
+      nodeCol: String,
+      labelCol: String,
+      iterations: Int
+  ): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val canon = edges
+      .select(col(srcCol).as("__x"), col(dstCol).as("__y"),
+        col(weightCol).cast("double").as("__w"))
+      .where(col("__x").isNotNull && col("__y").isNotNull &&
+        col("__x") =!= col("__y"))
+      .groupBy(least(col("__x"), col("__y")).as("__a"),
+        greatest(col("__x"), col("__y")).as("__b"))
+      .agg(sum("__w").as("__w"))
+      .where(col("__w") > 0.0)
+    // TWO pre-partitioned copies of the mirrored edge list — the loop
+    // body's join keys never change (frontier expansion joins on __src,
+    // the neighborhood restriction on __dst), so shuffling the edges ONCE
+    // per key here removes the per-round 2×O(E) edge shuffle entirely:
+    // each round then shuffles only the frontier/touched side. This is
+    // the cluster discipline the pageRank doc describes, applied.
+    val eBySrc = canon
+      .select(col("__a").as("__src"), col("__b").as("__dst"), col("__w"))
+      .union(canon.select(col("__b").as("__src"), col("__a").as("__dst"), col("__w")))
+      .repartition(col("__src"))
+      .localCheckpoint()
+    val eByDst = eBySrc.repartition(col("__dst")).localCheckpoint()
+    val seed = seeds
+      .select(col(nodeCol).as("node"), col(labelCol).as("__lbl"))
+      .where(col("node").isNotNull && col("__lbl").isNotNull)
+      .groupBy("node")
+      .agg(min("__lbl").as("__lbl"))
+      .localCheckpoint()
+
+    var labels = seed
+    // round 1's changed set is the seeds themselves (they went from
+    // unlabeled to labeled relative to the empty start)
+    var frontier = seed.select("node").localCheckpoint()
+    var k = 0
+    var done = false
+    while (k < iterations && !done) {
+      // nodes whose incident mass could have changed: neighbors of the
+      // frontier — the ONLY join that touches the edge list at frontier
+      // width; the recompute below is restricted to their neighborhoods
+      val touched = eBySrc
+        .join(frontier, eBySrc("__src") === frontier("node"))
+        .select(col("__dst").as("node"))
+        .distinct()
+        .localCheckpoint()
+      val eT = eByDst.join(touched, eByDst("__dst") === touched("node"), "left_semi")
+      val mass = eT
+        .join(labels, eT("__src") === labels("node"))
+        .groupBy(col("__dst").as("node"), col("__lbl"))
+        .agg(sum("__w").as("__m"))
+      val cand = mass
+        .groupBy("node")
+        .agg(min(struct((-col("__m")).as("__negm"), col("__lbl"))).as("__t"))
+        .select(col("node"), col("__t").getField("__lbl").as("__cand"))
+      val updated = touched
+        .join(cand, Seq("node"), "left")
+        .join(seed.select(col("node"), col("__lbl").as("__seed")), Seq("node"), "left")
+        .join(labels.select(col("node"), col("__lbl").as("__old")), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__seed"), col("__cand"), col("__old")).as("__new"),
+          col("__old"))
+        .where(col("__new").isNotNull) // touched but still unlabeled: no row
+        .localCheckpoint()
+      frontier = updated
+        .where(!(col("__new") <=> col("__old")))
+        .select("node")
+        .localCheckpoint()
+      labels = labels
+        .join(updated.select(col("node"), col("__new")), Seq("node"), "full_outer")
+        .select(col("node"), coalesce(col("__new"), col("__lbl")).as("__lbl"))
+        .localCheckpoint()
+      // empty frontier → no node's mass can change in ANY later round:
+      // exiting now returns exactly what the remaining rounds would
+      done = frontier.limit(1).count() == 0L
+      k += 1
     }
     labels.select(col("node"), col("__lbl").as("label"))
   }

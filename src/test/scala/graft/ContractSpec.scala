@@ -87,9 +87,12 @@ class ContractSpec extends AnyFunSuite {
     // 187 adds g2_ann_append (incremental ANN index maintenance: the last
     // corpus quarter appended with frozen codebooks/centroids, one
     // marker-flip commit; rows-only with full-coverage, duplicate-refusal,
-    // and full-rebuild-floor score-ratio certificates in-query)
-    assert(SparkEntry.queries.size == 187,
-      s"declared query count ${SparkEntry.queries.size} != documented 187 — " +
+    // and full-rebuild-floor score-ratio certificates in-query).
+    // 188 adds g7_ppr (personalized PageRank: seed-restricted teleport
+    // over the mirrored co-purchase graph, 3 iterations unrolled by the
+    // oracle with the identical FP constants)
+    assert(SparkEntry.queries.size == 188,
+      s"declared query count ${SparkEntry.queries.size} != documented 188 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

@@ -145,6 +145,101 @@ class GraphPropertySpec extends SparkSpec {
     }
   }
 
+  private def refPpr(
+      edges: Seq[(String, String, Double)], seeds: Set[String],
+      iters: Int, d: Double = 0.85): Map[String, Double] = {
+    val agg = edges
+      .filter { case (_, _, w) => w != 0 }
+      .groupBy(e => (e._1, e._2)).view.mapValues(_.map(_._3).sum)
+      .filter(_._2 > 0.0).toMap
+    val nodes = agg.keys.flatMap(k => Seq(k._1, k._2)).toSet
+    val s = seeds.intersect(nodes)
+    if (nodes.isEmpty || s.isEmpty) return Map.empty
+    val p = nodes.map(v => v -> (if (s(v)) 1.0 / s.size else 0.0)).toMap
+    val outW = agg.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    var r = p
+    for (_ <- 1 to iters) {
+      val dang = nodes.toSeq.filterNot(outW.contains).map(r).sum
+      val contrib = agg.toSeq
+        .map { case ((u, v), w) => v -> (r(u) * w / outW(u)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = nodes.map(v =>
+        v -> ((1 - d) * p(v) + d * (contrib.getOrElse(v, 0.0) + dang * p(v)))).toMap
+    }
+    r
+  }
+
+  test("labelPropagateFrontier is bit-identical to the synchronous reference on random graphs") {
+    // the delta-propagation form must return EXACTLY the synchronous
+    // result at every iteration depth — including depths past convergence
+    // (where its early exit engages)
+    for (seed <- 1L to 8L; iters <- Seq(1, 2, 5)) {
+      val es = sample(edgesGen, seed)
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val seeds = nodes.zipWithIndex.collect {
+        case (n, i) if i % 3 == 0 => n -> (if (i % 2 == 0) "x" else "y")
+      }.toMap
+      if (seeds.nonEmpty) {
+        val sync = Graph
+          .labelPropagate(es.toDF("src", "dst", "w"), "src", "dst", "w",
+            seeds.toSeq.toDF("node", "lbl"), "node", "lbl", iterations = iters)
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        val frontier = Graph
+          .labelPropagateFrontier(es.toDF("src", "dst", "w"), "src", "dst", "w",
+            seeds.toSeq.toDF("node", "lbl"), "node", "lbl", iterations = iters)
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        assert(frontier == sync, s"seed=$seed iters=$iters")
+      }
+    }
+  }
+
+  test("pageRankConverged: early stop equals the fixed-iteration form; deltas shrink to tol") {
+    for (seed <- 1L to 4L) {
+      val es = sample(edgesGen, seed)
+      if (es.exists(_._3 > 0)) {
+        val (converged, deltas) = Graph.pageRankConverged(
+          es.toDF("src", "dst", "w"), "src", "dst", "w",
+          maxIterations = 50, tol = 1e-12)
+        // the run stopped exactly when the delta crossed tol: every prior
+        // delta is above it, the last at-or-below (or maxIterations hit)
+        assert(deltas.nonEmpty)
+        assert(deltas.init.forall(_ > 1e-12), s"seed=$seed deltas=$deltas")
+        if (deltas.size < 50) assert(deltas.last <= 1e-12)
+        // equality with the fixed form at the SAME number of rounds — the
+        // shared prStep makes this bit-exact, not approximate
+        val fixed = Graph
+          .pageRank(es.toDF("src", "dst", "w"), "src", "dst", "w",
+            iterations = deltas.size)
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val got = converged.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        assert(got == fixed, s"seed=$seed rounds=${deltas.size}")
+        // rank mass stays a distribution at the stopping point
+        assert(math.abs(got.values.sum - 1.0) < 1e-9)
+      }
+    }
+  }
+
+  test("pageRankPersonalized matches the seed-teleport recurrence on random graphs") {
+    for (seed <- 1L to 8L) {
+      val es = sample(edgesGen, seed)
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val seedSet = nodes.take(3).toSet
+      val want = refPpr(es, seedSet, iters = 3)
+      if (want.nonEmpty) {
+        val got = Graph
+          .pageRankPersonalized(es.toDF("src", "dst", "w"), "src", "dst", "w",
+            seedSet.toSeq.toDF("node"), "node", iterations = 3)
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        assert(got.keySet == want.keySet, s"seed=$seed")
+        got.foreach { case (n, v) =>
+          assert(math.abs(v - want(n)) < 1e-9, s"seed=$seed node=$n got=$v want=${want(n)}")
+        }
+        // teleport-restricted mass is still a distribution
+        assert(math.abs(got.values.sum - 1.0) < 1e-9, s"seed=$seed sum=${got.values.sum}")
+      }
+    }
+  }
+
   test("hopsFrom matches reference BFS on random graphs") {
     for (seed <- 1L to 8L) {
       val es = sample(edgesGen, seed).map(e => (e._1, e._2))
