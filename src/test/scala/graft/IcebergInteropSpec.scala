@@ -323,6 +323,112 @@ class IcebergInteropSpec extends SparkSpec {
     assert(old.count() == 4L)
   }
 
+  test("adversarial reads: truncated metadata, corrupt manifests, dangling references all fail loudly") {
+    // the Delta reader got this battery in round 7 (DeltaInteropSpec);
+    // same stance here: a damaged table must ERROR, never silently
+    // misread (round-7 verdict #5)
+    def freshExport(): java.nio.file.Path = {
+      val out = tmp("ice_adv")
+      IcebergInterop.exportIceberg(sampleTable(), out, tsMillis = 5000L)
+      Paths.get(out)
+    }
+
+    // (a) truncated metadata.json — cut mid-object
+    locally {
+      val root = freshExport()
+      val metaPath = root.resolve("metadata").resolve("v1.metadata.json")
+      val bytes = Files.readAllBytes(metaPath)
+      Files.write(metaPath, java.util.Arrays.copyOf(bytes, bytes.length / 2))
+      intercept[Exception](IcebergInterop.readIceberg(spark, root.toString))
+    }
+
+    // (b) metadata.json that is not JSON at all
+    locally {
+      val root = freshExport()
+      Files.write(root.resolve("metadata").resolve("v1.metadata.json"),
+        "not json {{{".getBytes("UTF-8"))
+      intercept[Exception](IcebergInterop.readIceberg(spark, root.toString))
+    }
+
+    // (c) manifest list pointing at a manifest file that does not exist
+    locally {
+      val root = freshExport()
+      val metaDir = root.resolve("metadata")
+      val manifest = Files.list(metaDir).iterator().asScala
+        .find(_.getFileName.toString.startsWith("graft-m0-")).get
+      Files.delete(manifest)
+      val e = intercept[IllegalArgumentException](
+        IcebergInterop.readIceberg(spark, root.toString))
+      assert(e.getMessage.contains("missing"), e.getMessage)
+    }
+
+    // (d) manifest that is not an Avro container file
+    locally {
+      val root = freshExport()
+      val metaDir = root.resolve("metadata")
+      val manifest = Files.list(metaDir).iterator().asScala
+        .find(_.getFileName.toString.startsWith("graft-m0-")).get
+      Files.write(manifest, "garbage".getBytes("UTF-8"))
+      intercept[Exception](IcebergInterop.readIceberg(spark, root.toString))
+    }
+
+    // (e) partition spec referencing a schema field-id that does not exist
+    locally {
+      val root = freshExport()
+      val metaPath = root.resolve("metadata").resolve("v1.metadata.json")
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = m.readTree(Files.readAllBytes(metaPath))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val spec = node.withArray("partition-specs").get(0)
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val f = m.createObjectNode()
+      f.put("name", "ghost"); f.put("transform", "identity")
+      f.put("source-id", 999); f.put("field-id", 1000)
+      spec.withArray("fields").add(f)
+      Files.write(metaPath, Seq(m.writeValueAsString(node)).asJava)
+      // spec resolution (the incremental guard path) must fail loudly on
+      // the unknown field-id — not invent a column
+      val e = intercept[IllegalArgumentException](
+        IcebergInterop.exportIcebergIncremental(sampleTable(), root.toString,
+          tsMillis = 6000L))
+      assert(e.getMessage.contains("unknown field-id"), e.getMessage)
+    }
+
+    // (f) current-snapshot-id pointing at a snapshot that is not in the list
+    locally {
+      val root = freshExport()
+      val metaPath = root.resolve("metadata").resolve("v1.metadata.json")
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = m.readTree(Files.readAllBytes(metaPath))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      node.put("current-snapshot-id", 424242L)
+      Files.write(metaPath, Seq(m.writeValueAsString(node)).asJava)
+      // a dangling current pointer reads as EMPTY (the no-snapshot shape),
+      // never as a partial table
+      assert(IcebergInterop.readIceberg(spark, root.toString).count() == 0L)
+    }
+
+    // (g) metadata dir present but empty — no versions at all
+    locally {
+      val root = Paths.get(tmp("ice_adv_empty"))
+      Files.createDirectories(root.resolve("metadata"))
+      val e = intercept[IllegalArgumentException](
+        IcebergInterop.readIceberg(spark, root.toString))
+      assert(e.getMessage.contains("no vN.metadata.json"), e.getMessage)
+    }
+
+    // (h) a data file named by the manifest deleted from disk — the scan
+    // must error, not silently return the surviving subset
+    locally {
+      val root = freshExport()
+      val dataFile = Files.walk(root.resolve("data")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.delete(dataFile)
+      intercept[Exception](
+        IcebergInterop.readIceberg(spark, root.toString).count())
+    }
+  }
+
   test("manifest scale probe: 100k-entry Avro manifest writes and replays in metadata time") {
     // the Iceberg twin of the Delta 100k-action checkpoint probe: manifests
     // are driver-side metadata, so a production-file-count manifest must

@@ -148,6 +148,8 @@ class PlanAuditSpec extends SparkSpec {
       "g2_ivf_topk"      -> "cell",     // coarse IVF cells
       "g2_pq_topk"       -> "cell",
       "g2_ivfpq_topk"    -> "cell",
+      "g2_ann_append"    -> "cell",   // the same IVFPQ probe over the
+                                      // incrementally-appended index
       // fusion input = the rankers' OWN top-k lists (lex ≤50 via the
       // bounded-heap rankByScore, sem ≤50 via cosineTopKAgg), so the
       // per-query window partition holds ≤ Σ k_i rows by construction —
