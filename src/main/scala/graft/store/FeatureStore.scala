@@ -72,6 +72,49 @@ class FeatureStore(val spark: SparkSession) {
     hydrateRegistry(); features0 = m
   }
 
+  /** The catalog as a Dataset WITHOUT forcing hydration (round-7 verdict
+    * #9): a purely staged registry is returned as staged; local CRUD state
+    * (or the mixed staged+mutated case) materializes from the hydrated
+    * map. Batch paths consume THIS — the driver map stays a serving-tier
+    * concern. */
+  private def catalogDS: Dataset[Feature] = synchronized {
+    import spark.implicits._
+    pendingRegistry match {
+      case Some(ds) if features0.isEmpty => ds
+      case _ => hydrateRegistry(); spark.createDataset(features0.values.toSeq)
+    }
+  }
+
+  /** Bounded catalog lookup for the batch read paths: resolves ONLY the
+    * requested ids — against the driver map when hydrated, else by a
+    * filtered collect of the staged Dataset (|ids| rows cross the driver,
+    * never the registry). Staged rows win id collisions, matching
+    * [[hydrateRegistry]]'s `features0 ++ staged` merge order. */
+  private def lookupFeatures(ids: Seq[String]): Map[String, Feature] = synchronized {
+    if (ids.isEmpty) Map.empty
+    else pendingRegistry match {
+      case None => ids.flatMap(id => features0.get(id).map(id -> _)).toMap
+      case Some(ds) =>
+        val local = ids.flatMap(id => features0.get(id).map(id -> _)).toMap
+        local ++ ds.filter(col("feature_id").isin(ids: _*)).collect()
+          .map(f => f.feature_id -> f)
+    }
+  }
+
+  /** Bounded by-name lookup (all versions of the requested names) — same
+    * no-hydration rule as [[lookupFeatures]]. */
+  private def lookupByNames(names: Seq[String]): Seq[Feature] = synchronized {
+    if (names.isEmpty) Seq.empty
+    else {
+      val local = features0.values.filter(f => names.contains(f.name))
+        .map(f => f.feature_id -> f).toMap
+      val staged = pendingRegistry
+        .map(_.filter(col("name").isin(names: _*)).collect().toSeq)
+        .getOrElse(Seq.empty)
+      (local ++ staged.map(f => f.feature_id -> f)).values.toSeq
+    }
+  }
+
   // groups stage/hydrate exactly like the registry (same no-round-trip load
   // contract, same monitor, same publish-after-build rule)
   private var pendingGroups: Option[Dataset[FeatureGroup]] = None
@@ -308,13 +351,17 @@ class FeatureStore(val spark: SparkSession) {
     * carries (missing storage columns are treated as all-null).
     */
   def ingestValues(df: DataFrame, featureIdForName: Map[String, String], createdTs: Timestamp): Long = {
-    val active = features.filter(_._2.status == "active")
-    val nameToId = featureIdForName.filter { case (_, id) => active.contains(id) }
-    if (nameToId.isEmpty) return 0L
-    val idMap = typedLit(nameToId)
-    val meta = active.map { case (id, f) => id -> (f.schema.entity_type, f.schema.value_type) }
-    val typeMap = typedLit(meta.map { case (id, (_, vt)) => id -> vt })
-    val etMap = typedLit(meta.map { case (id, (et, _)) => id -> et })
+    if (featureIdForName.isEmpty) return 0L
+    val idMap = typedLit(featureIdForName) // caller-provided, small: stays a literal
+    // the active-gate + per-feature (value_type, entity_type) resolve by a
+    // BROADCAST JOIN against the catalog Dataset (round-7 verdict #9) — no
+    // driver hydration, no typedLit of the whole registry; the inner join
+    // IS the "registered and active" rejection
+    val activeMeta = broadcast(catalogDS
+      .where(col("status") === "active")
+      .select(col("feature_id"),
+        col("schema.value_type").as("value_type"),
+        col("schema.entity_type").as("entity_type")))
 
     val storageCols = valuesSchema.fields.filter(_.name.startsWith("value_")).filterNot(_.name == "value_type")
     val withAllCols = storageCols.foldLeft(df) { (acc, f) =>
@@ -332,13 +379,15 @@ class FeatureStore(val spark: SparkSession) {
 
     val withMeta = withAllCols
       .withColumn("feature_id", idMap(col("feature_name")))
-      .where(col("feature_id").isNotNull) // not registered+active -> reject
+      .where(col("feature_id").isNotNull) // not in the caller's map -> reject
       // a null event_timestamp row would count as accepted yet be invisible
       // to every as-of read (NULL <= asOf drops it) and immortal under
       // retention — reject it like any other malformed row
       .where(col("event_timestamp").isNotNull)
-      .withColumn("value_type", typeMap(col("feature_id")))
-      .withColumn("entity_type", etMap(col("feature_id")))
+      // the registry is authoritative for the tag columns — caller-supplied
+      // ones are discarded exactly as the old withColumn overwrite did
+      .drop("value_type", "entity_type")
+      .join(activeMeta, Seq("feature_id")) // not registered+active -> reject
       .where(typeOk)
       .withColumn("created_timestamp", lit(createdTs))
       .select(valuesSchema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
@@ -346,6 +395,7 @@ class FeatureStore(val spark: SparkSession) {
     // count the BATCH, not the whole log: before/after counts recompute the
     // ever-growing union lineage on every ingest (O(n²) across ingests)
     val accepted = withMeta.count()
+    if (accepted == 0L) return 0L // nothing to append; keep the lineage flat
     values = values.unionByName(withMeta)
     noteMutation()
     accepted
@@ -432,8 +482,11 @@ class FeatureStore(val spark: SparkSession) {
       userId: String,
       userRoles: Seq[String],
       now: Timestamp): DataFrame = {
-    val known = featureIds.filter(features.contains)
-    val (allowed, denied) = known.partition(id => rbacCheck(features(id), userRoles))
+    // bounded lookup of ONLY the requested ids — the batch read path never
+    // hydrates the whole catalog onto the driver (round-7 verdict #9)
+    val meta = lookupFeatures(featureIds)
+    val known = featureIds.filter(meta.contains)
+    val (allowed, denied) = known.partition(id => rbacCheck(meta(id), userRoles))
     // audit carries one record per feature; the entity set stays
     // distributed, so the record points at the spine rather than
     // enumerating ids (enumerating would force a collect)
@@ -488,7 +541,9 @@ class FeatureStore(val spark: SparkSession) {
     // status, then the highest version (numeric by dot-separated component:
     // "1.10.0" > "1.9.0", which raw string order gets backwards), always
     // the same winner.
-    val nameForId = features.values.toSeq
+    // bounded by-name lookup: only the requested names' versions cross the
+    // driver, never the registry (round-7 verdict #9)
+    val nameForId = lookupByNames(featureNames)
       .sortBy(f => (f.status == "active", FeatureStore.versionSortKey(f.version), f.feature_id))
       .map(f => f.name -> f.feature_id).toMap
     featureNames.foldLeft(spine) { (acc, fname) =>
@@ -525,16 +580,21 @@ class FeatureStore(val spark: SparkSession) {
     * partition DROPs, not row deletes. Returns rows removed.
     */
   def enforceRetention(now: Timestamp): Long = {
-    if (features.isEmpty) return 0L
-    val retention = typedLit(features.map { case (id, f) => id -> f.retention_days })
+    // empty-catalog fast path WITHOUT hydrating: no registry -> no horizons
+    synchronized { if (pendingRegistry.isEmpty && features0.isEmpty) return 0L }
+    // per-feature horizons attach by BROADCAST JOIN (round-7 verdict #9);
+    // the left join leaves unknown features' rows with a null horizon
+    val horizons = broadcast(catalogDS.select(
+      col("feature_id"), col("retention_days").as("__retention")))
+    val joined = values.join(horizons, Seq("feature_id"), "left")
     val keep =
       col("event_timestamp") >=
-        lit(now) - retention(col("feature_id")).cast("int") * expr("INTERVAL 1 DAY") ||
-        retention(col("feature_id")).isNull ||   // unknown features retained
-        col("event_timestamp").isNull            // unknown-age rows retained, not silently destroyed
+        lit(now) - col("__retention").cast("int") * expr("INTERVAL 1 DAY") ||
+        col("__retention").isNull ||   // unknown features retained
+        col("event_timestamp").isNull  // unknown-age rows retained, not silently destroyed
     // count only the REMOVED rows (one scan), not before/after full counts
-    val removed = values.where(!keep).count()
-    values = values.where(keep)
+    val removed = joined.where(!keep).count()
+    values = joined.where(keep).drop("__retention")
     noteMutation()
     removed
   }
@@ -648,11 +708,11 @@ class FeatureStore(val spark: SparkSession) {
   }
 
   /** The catalog as a typed, queryable Dataset — C1 metadata filters then
-    * run distributed and broadcast-join against the fact log. */
-  def registryDS: Dataset[Feature] = {
-    import spark.implicits._
-    spark.createDataset(features.values.toSeq)
-  }
+    * run distributed and broadcast-join against the fact log. A purely
+    * staged (loaded, unmutated) registry passes through WITHOUT driver
+    * hydration — this is the batch surface; the driver map serves only
+    * the point-read/CRUD facade. */
+  def registryDS: Dataset[Feature] = catalogDS
 
   /** Feature groups as a typed Dataset — the persisted form (tiny, like
     * the registry). */

@@ -302,6 +302,23 @@ class FeatureStoreSpec extends SparkSpec {
     // fact-log-only usage never pays the catalog materialization
     assert(re.valuesDF.count() == fs.valuesDF.count())
     assert(re.registryPendingForTest, "reading facts must not hydrate the catalog")
+    // the BATCH paths answer by bounded lookup / broadcast join — none of
+    // them may hydrate the whole catalog onto the driver (round-7 verdict
+    // #9: no driver round-trip on the batch read path)
+    val vec = re.getFeatureVector(Seq("p1"), Seq(hrId, dxId),
+      ts("2024-01-31 00:00:00"), "u", Seq("clinical"), now)
+    assert(vec.count() == 1L)
+    assert(re.registryPendingForTest, "getFeatureVector must not hydrate the catalog")
+    import spark.implicits._
+    val spine = Seq(("p1", ts("2024-01-31 00:00:00")))
+      .toDF("entity_id", "event_timestamp")
+    assert(re.getPointInTimeFeatures(spine, Seq("heart_rate")).count() == 1L)
+    assert(re.registryPendingForTest, "getPointInTimeFeatures must not hydrate the catalog")
+    assert(re.registryDS.where(
+      org.apache.spark.sql.functions.col("status") === "active").count() >= 1L)
+    assert(re.registryPendingForTest, "registryDS must pass the staged Dataset through")
+    assert(re.enforceRetention(now) == 0L)
+    assert(re.registryPendingForTest, "enforceRetention must not hydrate the catalog")
     // first catalog access hydrates, once, with the full feature set
     assert(re.registryFeatures.map(_.feature_id).toSet ==
       fs.registryFeatures.map(_.feature_id).toSet)
