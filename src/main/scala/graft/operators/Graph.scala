@@ -406,8 +406,13 @@ object Graph {
     labels.select(col("node"), col("__lbl").as("label"))
   }
 
-  /** Delta-propagation [[labelPropagate]] — bit-identical results, frontier
-    * cost (round-7 verdict #3). The synchronous update has a locality
+  /** Delta-propagation [[labelPropagate]] — identical results, frontier
+    * cost (round-7 verdict #3). ("Identical" is exact for weights whose
+    * per-(node, label) sums are exactly representable — counts, small
+    * integers, the affinity-graph norm; with irrational weight sums a
+    * label race decided at FP-noise distance could in principle tip
+    * differently, in EITHER implementation, because partial-agg order is
+    * not deterministic.) The synchronous update has a locality
     * invariant: a node's candidate label can only change when a NEIGHBOR's
     * label changed last round (its incident mass distribution is otherwise
     * identical). So each round recomputes the argmax ONLY over nodes

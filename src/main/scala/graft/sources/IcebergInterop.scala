@@ -499,17 +499,33 @@ object IcebergInterop {
   /** The `fields` of the table's DEFAULT partition spec — from the modern
     * `partition-specs` array (by default-spec-id) when present, else the
     * v1 legacy `partition-spec` field (an older writer may carry ONLY the
-    * legacy field — both must be consulted, review finding). */
+    * legacy field — both must be consulted, review finding). When BOTH are
+    * present they must agree on (source-id, transform) per field: trusting
+    * one while the other contradicts it would mirror a spec that half the
+    * table's consumers disagree with — fail loudly instead. */
   private def defaultSpecFields(meta: JsonNode): Seq[JsonNode] = {
     val wantSpec = Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0)
-    Option(meta.get("partition-specs")).flatMap { arr =>
+    def shape(fs: Seq[JsonNode]) = fs.map(f =>
+      (Option(f.get("source-id")).map(_.asInt),
+        Option(f.get("transform")).map(_.asText).getOrElse("identity")))
+    val modern = Option(meta.get("partition-specs")).flatMap { arr =>
       arr.elements().asScala.find(sp =>
         Option(sp.get("spec-id")).forall(_.asInt == wantSpec))
     }.map(sp => Option(sp.get("fields"))
-        .map(_.elements().asScala.toSeq).getOrElse(Seq.empty))
-      .orElse(Option(meta.get("partition-spec"))
-        .map(_.elements().asScala.toSeq))
-      .getOrElse(Seq.empty)
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty))
+    val legacy = Option(meta.get("partition-spec"))
+      .map(_.elements().asScala.toSeq)
+    (modern, legacy) match {
+      case (Some(m), Some(l)) =>
+        require(shape(m) == shape(l),
+          "Iceberg metadata carries CONTRADICTORY partition specs " +
+            "(partition-specs vs the legacy partition-spec field) — refusing " +
+            "to pick one; repair the table metadata")
+        m
+      case (Some(m), None) => m
+      case (None, Some(l)) => l
+      case (None, None)    => Seq.empty
+    }
   }
 
   /** field-id -> column name for the CURRENT schema in `meta`. */

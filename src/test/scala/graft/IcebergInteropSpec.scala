@@ -247,6 +247,18 @@ class IcebergInteropSpec extends SparkSpec {
     assert(got.where(col("day").isNull).count() == 1L)
   }
 
+  test("hive-escaped partition values (colon, slash, space) round-trip through the manifest tuples") {
+    val t = TxTable(spark, tmp("ice_pesc"))
+    t.append(Seq((1L, "a:b/c d", 1.0), (2L, "plain", 2.0))
+      .toDF("id", "k", "v"), tsMillis = 1000L, partitionBy = Seq("k"))
+    val out = tmp("ice_pesc_exp")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+    val got = IcebergInterop.readIceberg(spark, out)
+    // the manifest carries the LOGICAL value, not the %XX directory form
+    assert(got.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("a:b/c d", "plain"))
+  }
+
   test("partitioned incremental export appends snapshots; spec mismatch is refused") {
     val t = TxTable(spark, tmp("ice_pincr"))
     t.append(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "k", "v"),
@@ -372,6 +384,25 @@ class IcebergInteropSpec extends SparkSpec {
       intercept[Exception](IcebergInterop.readIceberg(spark, root.toString))
     }
 
+    // (e0) partition-specs and the legacy partition-spec field CONTRADICT
+    // each other — refused outright rather than trusting either side
+    locally {
+      val root = freshExport()
+      val metaPath = root.resolve("metadata").resolve("v1.metadata.json")
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = m.readTree(Files.readAllBytes(metaPath))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val f = m.createObjectNode()
+      f.put("name", "k"); f.put("transform", "identity")
+      f.put("source-id", 2); f.put("field-id", 1000)
+      node.withArray("partition-spec").add(f) // legacy says partitioned; modern says flat
+      Files.write(metaPath, Seq(m.writeValueAsString(node)).asJava)
+      val e = intercept[IllegalArgumentException](
+        IcebergInterop.exportIcebergIncremental(sampleTable(), root.toString,
+          tsMillis = 6000L))
+      assert(e.getMessage.contains("CONTRADICTORY"), e.getMessage)
+    }
+
     // (e) partition spec referencing a schema field-id that does not exist
     locally {
       val root = freshExport()
@@ -381,10 +412,16 @@ class IcebergInteropSpec extends SparkSpec {
         .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       val spec = node.withArray("partition-specs").get(0)
         .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-      val f = m.createObjectNode()
-      f.put("name", "ghost"); f.put("transform", "identity")
-      f.put("source-id", 999); f.put("field-id", 1000)
-      spec.withArray("fields").add(f)
+      def ghost() = {
+        val f = m.createObjectNode()
+        f.put("name", "ghost"); f.put("transform", "identity")
+        f.put("source-id", 999); f.put("field-id", 1000)
+        f
+      }
+      // corrupt BOTH spec fields consistently, or the cross-field
+      // consistency guard fires before the field-id resolution under test
+      spec.withArray("fields").add(ghost())
+      node.withArray("partition-spec").add(ghost())
       Files.write(metaPath, Seq(m.writeValueAsString(node)).asJava)
       // spec resolution (the incremental guard path) must fail loudly on
       // the unknown field-id — not invent a column
