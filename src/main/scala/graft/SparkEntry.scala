@@ -2058,6 +2058,25 @@ object SparkEntry {
     * encoded row count is checked against the full corpus, so a crash in
     * the build→append window (committed base, missing append) re-runs the
     * sequence instead of serving a 3/4 index. */
+  /** The FROZEN base index (3/4 of the corpus) the incremental stories
+    * branch from — built once per fixture; [[annIncrIndexDir]] and the
+    * streaming append query each CLONE it (hard links) and append the
+    * last quarter their own way. */
+  private def annBaseIndexDir(s: SparkSession, dir: String): String =
+    annDirCache.computeIfAbsent(s"$dir@base@${fixtureToken(dir)}", _ => {
+      val emb = Tables.embeddings(s, dir)
+      val sig = emb
+        .agg(bit_xor(xxhash64(col("vec_id"), col("embedding"))), count(lit(1)))
+        .collect().head.toSeq.mkString("_")
+      val (nc, ri, m, k, pi) = annParams
+      val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_ann_base_${java.lang.Integer.toHexString((dir + sig + annParams).hashCode)}").toString
+      if (!AnnIndex.exists(out))
+        AnnIndex.build(emb.where(col("vec_id") % 4 =!= 3), "vec_id", "embedding",
+          out, nCentroids = nc, refineIters = ri, m = m, k = k, pqIters = pi)
+      out
+    })
+
   private def annIncrIndexDir(s: SparkSession, dir: String): String =
     annDirCache.computeIfAbsent(s"$dir@incr@${fixtureToken(dir)}", _ => {
       val emb = Tables.embeddings(s, dir)
@@ -2066,14 +2085,16 @@ object SparkEntry {
         .collect().head
       val total = sigRow.getLong(1)
       val sig = sigRow.toSeq.mkString("_")
-      val (nc, ri, m, k, pi) = annParams
       val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_ann_incr_${java.lang.Integer.toHexString((dir + sig + annParams).hashCode)}").toString
+      // a crash in the clone→append window leaves a committed BASE-ONLY
+      // clone: the completeness check re-runs the sequence rather than
+      // serving a 3/4 index
       val complete = AnnIndex.exists(out) &&
         AnnIndex.loadEncoded(s, out).count() == total
       if (!complete) {
-        AnnIndex.build(emb.where(col("vec_id") % 4 =!= 3), "vec_id", "embedding",
-          out, nCentroids = nc, refineIters = ri, m = m, k = k, pqIters = pi)
+        graft.sources.DeltaInterop.deleteRecursively(java.nio.file.Paths.get(out))
+        AnnIndex.cloneIndex(annBaseIndexDir(s, dir), out)
         AnnIndex.appendToIndex(emb.where(col("vec_id") % 4 === 3),
           "vec_id", "embedding", out)
       }
@@ -3366,6 +3387,60 @@ object SparkEntry {
       .orderBy("user_id", "session_start")
   }
 
+  /** G4 streaming #12 — STREAMING ANN index maintenance: the last corpus
+    * quarter arrives as a STREAM and lands in the persisted index via
+    * foreachBatch → [[AnnIndex.appendToIndex]] (frozen codebooks/centroids,
+    * marker-flip commit per micro-batch) — the online form of
+    * [[g2AnnAppend]], i.e. the vector-ingest pipeline a retrieval system
+    * actually runs. The scratch index is a hard-link CLONE of the frozen
+    * base (zero data bytes), so reps never double-append. Rows-only with
+    * a strong in-query certificate: the stream-maintained index must
+    * answer the IVFPQ top-k EXACTLY like the batch-appended index — both
+    * branch from one frozen quantizer, so encode is deterministic and any
+    * divergence is a real bug, not approximation noise.
+    */
+  private def g4AnnStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val emb = Tables.embeddings(s, dir)
+    val scratch = java.nio.file.Files.createTempDirectory("graft_ann_stream")
+      .resolve("idx").toString
+    AnnIndex.cloneIndex(annBaseIndexDir(s, dir), scratch)
+    val quarter = emb.where(col("vec_id") % 4 === 3)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val (b1, b2) = quarter.partition(_._1 % 8 == 3)
+    val ms = MemoryStream[(Long, Array[Float])]
+    withShufflePartitions(s, 2) {
+      val q = ms.toDS().toDF("vec_id", "embedding")
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          AnnIndex.appendToIndex(b, "vec_id", "embedding", scratch); ()
+        }
+        .outputMode("append").start()
+      ms.addData(b1.toSeq); q.processAllAvailable()
+      ms.addData(b2.toSeq); q.processAllAvailable()
+      q.stop()
+    }
+    val enc = AnnIndex.loadEncoded(s, scratch)
+    require(enc.count() == emb.count(),
+      "g4_ann_stream: the streamed index must cover the full corpus")
+    // certificate: WHOLE-INDEX equality with the batch-appended index —
+    // both branch from one frozen quantizer, so every (id, codes, norm,
+    // cell) row must match exactly; a multiset symmetric difference of
+    // zero is strictly stronger (and cheaper) than comparing top-k lists
+    val refEnc = AnnIndex.loadEncoded(s, annIncrIndexDir(s, dir))
+    val diff = enc.exceptAll(refEnc).count() + refEnc.exceptAll(enc).count()
+    require(diff == 0L,
+      s"g4_ann_stream: stream-maintained index diverges from the batch-appended one ($diff rows)")
+    val qs = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    Similarity.ivfPqTopKWith(enc, qs, "vec_id", "query_id", "qvec",
+      k = 3, AnnIndex.loadCodebooks(s, scratch), AnnIndex.loadCentroids(s, scratch))
+      .orderBy("query_id", "rank")
+  }
+
   /** G4 streaming #8 — LWW online state on the `transformWithState` API
     * (Spark 4's arbitrary-state v2, RocksDB-backed): same semantics as
     * g4_lww_stream via the SAME shared lwwWinner core, certifying the
@@ -4407,6 +4482,7 @@ object SparkEntry {
     "e3_quantiles_approx" -> (e3QuantilesApprox _),
     "g4_sessionize"      -> (g4Sessionize _),
     "g4_session_window"  -> (g4SessionWindow _),
+    "g4_ann_stream"      -> (g4AnnStream _),
     "g4_tws_stream"      -> (g4TwsStream _),
     "g4_attribution"     -> (g4Attribution _),
     "e15_hll_union"      -> (e15HllUnion _),

@@ -134,6 +134,36 @@ object AnnIndex {
     fs.create(marker, true).close()
   }
 
+  /** Clone a committed index by HARD LINK (zero data bytes moved on one
+    * filesystem) — the cheap branch point for what-if appends: clone, then
+    * [[appendToIndex]] onto the clone while the original stays immutable.
+    * Same commit discipline as build/append: artifacts land first, the
+    * `_SUCCESS` marker last, so a crash mid-clone leaves "no index" at the
+    * destination. Local-filesystem scope (an object-store deployment
+    * clones by copying the encoded table's files — same O(files) class).
+    */
+  def cloneIndex(srcPath: String, dstPath: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    require(exists(srcPath), s"no committed ANN index at $srcPath to clone")
+    val src = Paths.get(srcPath)
+    val dst = Paths.get(dstPath)
+    Files.createDirectories(dst)
+    val walk = Files.walk(src)
+    try walk.iterator().forEachRemaining { p =>
+        if (Files.isRegularFile(p) &&
+            src.relativize(p).toString != "_SUCCESS") {
+          val t = dst.resolve(src.relativize(p).toString)
+          Files.createDirectories(t.getParent)
+          try Files.createLink(t, p)
+          catch { case _: Exception =>
+            Files.copy(p, t, java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
+        }
+      }
+    finally walk.close()
+    val marker = successMarker(dstPath)
+    marker.getFileSystem(hadoopConf()).create(marker, true).close()
+  }
+
   /** Mean coarse-assignment gap (1 - cosine to the nearest centroid) over
     * a deterministic hash-sample of ≤ `maxSample` vectors — the scale-free
     * distribution statistic behind the drift guard. */

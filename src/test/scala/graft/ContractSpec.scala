@@ -27,6 +27,8 @@ class ContractSpec extends AnyFunSuite {
       "g2_ann_append", // incremental index append: doubly-approximate IVFPQ
                        // results; certified in-query at the full-rebuild
                        // score-ratio floor + coverage/duplicate guards
+      "g4_ann_stream", // streaming index maintenance; certified in-query
+                       // EXACTLY equal to the batch-appended index
       "g3_langid", "g3_fingerprint", "g3_vocab_approx",
       "g3_bpe_tokens") // ranked-merge BPE is not oracle-SQL-expressible;
                        // certified in-query (lossless + fixpoint) + BpeSpec
@@ -90,9 +92,12 @@ class ContractSpec extends AnyFunSuite {
     // and full-rebuild-floor score-ratio certificates in-query).
     // 188 adds g7_ppr (personalized PageRank: seed-restricted teleport
     // over the mirrored co-purchase graph, 3 iterations unrolled by the
-    // oracle with the identical FP constants)
-    assert(SparkEntry.queries.size == 188,
-      s"declared query count ${SparkEntry.queries.size} != documented 188 — " +
+    // oracle with the identical FP constants).
+    // 189 adds g4_ann_stream (streaming ANN index maintenance:
+    // foreachBatch appends onto a hard-link clone of the frozen base;
+    // certified exactly equal to the batch-appended index)
+    assert(SparkEntry.queries.size == 189,
+      s"declared query count ${SparkEntry.queries.size} != documented 189 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

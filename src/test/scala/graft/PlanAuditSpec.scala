@@ -150,6 +150,8 @@ class PlanAuditSpec extends SparkSpec {
       "g2_ivfpq_topk"    -> "cell",
       "g2_ann_append"    -> "cell",   // the same IVFPQ probe over the
                                       // incrementally-appended index
+      "g4_ann_stream"    -> "cell",   // IVFPQ probe over the stream-
+                                      // maintained index clone
       // fusion input = the rankers' OWN top-k lists (lex ≤50 via the
       // bounded-heap rankByScore, sem ≤50 via cosineTopKAgg), so the
       // per-query window partition holds ≤ Σ k_i rows by construction —
