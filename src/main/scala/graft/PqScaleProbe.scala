@@ -66,6 +66,41 @@ object PqScaleProbe {
 
     println(f"[pq-scale] vecs=$nVecs queries=$nQueries recall@$k=$recall%.3f " +
       f"train+encode=$tEnc%.1fs adc=$tAdc%.1fs exact=$tExact%.1fs")
+
+    // ---- incremental-append leg (round-8: AnnIndex.appendToIndex) ------
+    // Build the persisted index on 3/4 of the corpus, append the last
+    // quarter with the FROZEN quantizer, and verify (a) the append costs
+    // time ∝ batch (not corpus — compare to the full build), and (b)
+    // recall@10 over the appended index matches the full-build index
+    // within noise: the frozen quantizer represents the in-distribution
+    // batch, so appending must not silently dent recall.
+    import graft.operators.AnnIndex
+    val tmpBase = java.nio.file.Files.createTempDirectory("graft_pq_probe")
+    val fullIdx = tmpBase.resolve("full").toString
+    val baseIdx = tmpBase.resolve("base").toString
+    val t3 = System.nanoTime()
+    AnnIndex.build(vecs, "vec_id", "embedding", fullIdx, nCentroids = 64)
+    val tFull = (System.nanoTime() - t3) / 1e9
+    AnnIndex.build(vecs.where(col("vec_id") % 4 =!= 3), "vec_id", "embedding",
+      baseIdx, nCentroids = 64)
+    val t4 = System.nanoTime()
+    AnnIndex.appendToIndex(vecs.where(col("vec_id") % 4 === 3),
+      "vec_id", "embedding", baseIdx)
+    val tAppend = (System.nanoTime() - t4) / 1e9
+    def recallOf(idx: String): Double = {
+      val got = Similarity.ivfPqTopKWith(AnnIndex.loadEncoded(spark, idx), qs,
+          "vec_id", "query_id", "qvec", k,
+          AnnIndex.loadCodebooks(spark, idx), AnnIndex.loadCentroids(spark, idx))
+        .select(col("query_id"), col("vec_id")).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      exactSets.map { case (q, ex) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(ex).size.toDouble / ex.size
+      }.sum / exactSets.size
+    }
+    val (rFull, rAppended) = (recallOf(fullIdx), recallOf(baseIdx))
+    println(f"[pq-scale] append leg: full-build=$tFull%.1fs append(1/4)=$tAppend%.1fs " +
+      f"recall@$k full=$rFull%.3f appended=$rAppended%.3f")
+    graft.sources.DeltaInterop.deleteRecursively(tmpBase)
     spark.stop()
   }
 }

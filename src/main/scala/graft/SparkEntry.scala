@@ -770,6 +770,57 @@ object SparkEntry {
     viaDelta.orderBy("user_id", "event_type", "event_id")
   }
 
+  /** Fixed export target for [[b5DeltaReadIncr]]. */
+  private val B5DeltaReadIncrPath = "/root/repo/target/graft_export/b5_delta_read_incr"
+
+  /** B5 — INCREMENTAL Delta CONSUMPTION (the read-side complement of
+    * [[b5DeltaExportIncr]]): a downstream pipeline holding watermark v0
+    * reads ONLY the rows versions (v0, v1] appended —
+    * [[graft.sources.DeltaInterop.readDeltaChanges]] replays just the
+    * range's JSON commits, refuses remove actions (an append-only
+    * reconstruction over rewritten history would be wrong), and returns
+    * the new watermark. The declared result is the consumed delta itself;
+    * the ORACLE replays the appended batch's defining predicate over the
+    * source events table — the two agree only if the consumer read
+    * exactly the appended rows, no more (no resurrected v0 rows), no
+    * fewer. In-query certs: watermark advances to v1; consuming FROM v1
+    * is empty; v0 snapshot + delta == the full current table (multiset).
+    */
+  private def b5DeltaReadIncr(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaInterop, TxTable}
+    val cols = Seq("user_id", "event_type", "value", "event_id", "ts")
+    val t = TxTable(s, HarnessFixtures.cloneTxDir(txTpl(s, dir, "b2_upsert")))
+    val target = java.nio.file.Paths.get(B5DeltaReadIncrPath)
+    DeltaInterop.deleteRecursively(target)
+    val v0 = DeltaInterop.exportDeltaIncremental(t, B5DeltaReadIncrPath, tsMillis = 5000L)
+    require(v0 == 0L)
+    t.append(Tables.events(s, dir)
+      .select(cols.map(col).toIndexedSeq: _*)
+      .where(col("ts") > ts(AsOf15) && col("event_id") % 4 === 0),
+      tsMillis = 6000L)
+    val v1 = DeltaInterop.exportDeltaIncremental(t, B5DeltaReadIncrPath, tsMillis = 7000L)
+    require(v1 == 1L)
+    val (head, delta) = DeltaInterop.readDeltaChanges(s, B5DeltaReadIncrPath, sinceVersion = v0)
+    require(head == v1, s"b5_delta_read_incr: watermark must advance to $v1, got $head")
+    val (head2, empty2) = DeltaInterop.readDeltaChanges(s, B5DeltaReadIncrPath, sinceVersion = v1)
+    require(head2 == v1 && empty2.isEmpty,
+      "b5_delta_read_incr: a consumer at the head must read an empty delta")
+    // conservation: v0 snapshot + consumed delta == current full table
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val reconstructed = DeltaInterop.readDelta(s, B5DeltaReadIncrPath, versionAsOf = Some(v0))
+      .select(cols.map(col).toIndexedSeq: _*)
+      .unionByName(delta.select(cols.map(col).toIndexedSeq: _*))
+    val (rec, full) = (sig(reconstructed),
+      sig(DeltaInterop.readDelta(s, B5DeltaReadIncrPath).select(cols.map(col).toIndexedSeq: _*)))
+    require(rec == full,
+      s"b5_delta_read_incr: v0 + delta must reconstruct the head snapshot ($rec vs $full)")
+    delta.select(cols.map(col).toIndexedSeq: _*)
+      .orderBy("user_id", "event_type", "event_id")
+  }
+
   /** B5 — JSON-lines source: the corpus round-trips through JSONL (the
     * training-data interchange format) — written once as a deterministic
     * fixture, read back through the distributed json reader with an
@@ -2169,7 +2220,7 @@ object SparkEntry {
     * pair for pair. */
   private def g2KnnJoin(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    Similarity.knnJoin(emb, "vec_id", "embedding", k = 5, chunkRows = 256)
+    Similarity.knnJoin(emb, "vec_id", "embedding", k = 5, chunkRows = 1024)
       .orderBy("vec_id", "rank")
   }
 
@@ -4387,6 +4438,7 @@ object SparkEntry {
     "b5_tx_maintenance"  -> (b5TxMaintenance _),
     "b5_delta_export"    -> (b5DeltaExport _),
     "b5_delta_export_incr" -> (b5DeltaExportIncr _),
+    "b5_delta_read_incr" -> (b5DeltaReadIncr _),
     "b5_iceberg_export"  -> (b5IcebergExport _),
     "b5_iceberg_export_incr" -> (b5IcebergExportIncr _),
     "b5_iceberg_export_part" -> (b5IcebergExportPart _),
@@ -4908,6 +4960,14 @@ object SparkEntry {
     "b5_delta_export_incr" ->
       """SELECT user_id, event_type, value, event_id, ts
         |FROM parquet_scan('/root/repo/target/graft_export/b5_delta_incr/*.parquet')
+        |ORDER BY user_id, event_type, event_id""".stripMargin,
+    // incremental CONSUMPTION: the oracle replays the appended batch's
+    // defining predicate over the SOURCE table — equality holds only if
+    // the consumer read exactly the (v0, v1] delta, nothing more or less
+    "b5_delta_read_incr" ->
+      """SELECT user_id, event_type, value, event_id, ts
+        |FROM events
+        |WHERE ts > TIMESTAMP '2024-01-15 00:00:00' AND event_id % 4 = 0
         |ORDER BY user_id, event_type, event_id""".stripMargin,
     // cross-engine oracle over the SECOND open table format: DuckDB reads
     // the Iceberg export's data files while Spark replays metadata JSON +

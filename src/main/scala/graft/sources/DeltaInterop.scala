@@ -428,6 +428,78 @@ object DeltaInterop {
     assembleRead(spark, Paths.get(path), schema, meta.partCols, live)
   }
 
+  /** INCREMENTAL consumption of a Delta table: the rows appended in
+    * versions `(sinceVersion, current]` — the daily "read only what's new"
+    * pattern a downstream pipeline runs against a vendor's Delta feed
+    * (the consumer keeps `sinceVersion` as its watermark and advances it
+    * to the returned version after a successful sync).
+    *
+    * Append-only ranges ONLY, checked loudly: a `remove` action anywhere
+    * in the range means compaction / DELETE / MERGE / overwrite rewrote
+    * history there — reconstructing "the new rows" from adds alone would
+    * RESURRECT compacted-away duplicates or miss deletions, so the caller
+    * must re-sync from the full snapshot instead ([[readDelta]]). Same
+    * loud stance on gaps (log-retention-cleaned JSON commits cannot be
+    * replayed past) and on schema-changing metaData in the range when it
+    * is not append-only relative to the current schema (rows are read
+    * under the CURRENT schema; columns appended mid-range read as null
+    * for earlier files, Delta's own semantics).
+    *
+    * @return (currentVersion, appended rows) — empty frame when the
+    *   consumer is already at the head. */
+  def readDeltaChanges(spark: SparkSession, path: String,
+      sinceVersion: Long): (Long, DataFrame) = {
+    val root = Paths.get(path)
+    val logDir = root.resolve(LogDirName)
+    require(Files.isDirectory(logDir), s"no Delta table at $path (missing $LogDirName)")
+    // current state: schema + partition columns + the head version (and
+    // the full protocol/column-mapping checks ride along)
+    val (cur, _, metaOpt) = replayState(spark, root, None)
+    val meta = metaOpt.getOrElse(
+      throw new IllegalStateException(s"Delta log at $path carries no metaData action"))
+    require(sinceVersion <= cur,
+      s"consumer watermark $sinceVersion is ahead of the Delta log at $path (head $cur)")
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    if (sinceVersion == cur)
+      return (cur, assembleRead(spark, root, schema, meta.partCols, Seq.empty))
+
+    val commits = listJsonCommits(logDir)
+      .filter(c => c._1 > sinceVersion && c._1 <= cur)
+    require(commits.headOption.exists(_._1 == sinceVersion + 1) &&
+        commits.zip(commits.drop(1)).forall { case ((a, _), (b, _)) => b == a + 1 },
+      s"Delta log at $path has no gapless JSON commits in " +
+        s"${sinceVersion + 1}..$cur (cleaned by log retention?) — " +
+        "re-sync from the full snapshot")
+
+    val m = mapper
+    val adds = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    commits.foreach { case (cv, p) =>
+      Files.readAllLines(p).asScala.filter(_.trim.nonEmpty).foreach { line =>
+        val node =
+          try m.readTree(line)
+          catch { case e: Exception => throw new IllegalStateException(
+            s"Delta log at $path: commit $cv holds a malformed action line " +
+              s"(${e.getMessage}); refusing to reconstruct a partial delta", e) }
+        require(!node.hasNonNull("remove"),
+          s"Delta log at $path: commit $cv in the consumed range carries a " +
+            "remove action (compaction/delete/overwrite) — an append-only " +
+            "delta read would be wrong; re-sync from the full snapshot")
+        Option(node.get("add")).foreach { add =>
+          require(!add.hasNonNull("deletionVector"),
+            s"Delta table $path uses deletion vectors — unsupported by this reader")
+          val pv = Option(add.get("partitionValues")).map { o =>
+            o.properties().asScala.map { e =>
+              e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText))
+            }.toMap
+          }.getOrElse(Map.empty[String, Option[String]])
+          val decoded = decodePath(add.get("path").asText)
+          adds += decoded -> AddFile(decoded, pv)
+        }
+      }
+    }
+    (cur, assembleRead(spark, root, schema, meta.partCols, adds.values.toSeq))
+  }
+
   /** Replay a Delta log to (version, live adds, metaData) — the shared core
     * of [[readDelta]] and [[exportDeltaIncremental]]'s target-state read. */
   private def replayState(spark: SparkSession, root: Path,

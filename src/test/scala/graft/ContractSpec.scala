@@ -95,9 +95,12 @@ class ContractSpec extends AnyFunSuite {
     // oracle with the identical FP constants).
     // 189 adds g4_ann_stream (streaming ANN index maintenance:
     // foreachBatch appends onto a hard-link clone of the frozen base;
-    // certified exactly equal to the batch-appended index)
-    assert(SparkEntry.queries.size == 189,
-      s"declared query count ${SparkEntry.queries.size} != documented 189 — " +
+    // certified exactly equal to the batch-appended index).
+    // 190 adds b5_delta_read_incr (incremental Delta CONSUMPTION: replay
+    // only the (v0, v1] JSON commits, refuse remove actions, oracle
+    // replays the appended batch's predicate over the source table)
+    assert(SparkEntry.queries.size == 190,
+      s"declared query count ${SparkEntry.queries.size} != documented 190 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

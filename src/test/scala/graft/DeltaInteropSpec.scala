@@ -461,6 +461,43 @@ class DeltaInteropSpec extends SparkSpec {
       .getMessage.contains("no configuration"))
   }
 
+  test("readDeltaChanges: watermark-range consumption, head emptiness, remove refusal, bad watermark") {
+    import spark.implicits._
+    val t = sampleTable()
+    val out = tmp("delta_changes")
+    assert(DeltaInterop.exportDeltaIncremental(t, out, tsMillis = 5000L) == 0L)
+    t.append(Seq((9L, "z", 90.0), (10L, "z", 91.0)).toDF("id", "k", "v"), tsMillis = 3000L)
+    assert(DeltaInterop.exportDeltaIncremental(t, out, tsMillis = 6000L) == 1L)
+
+    // consume from watermark 0: exactly the appended rows, watermark -> 1
+    val (head, delta) = DeltaInterop.readDeltaChanges(spark, out, sinceVersion = 0L)
+    assert(head == 1L)
+    assert(delta.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(9L, 10L))
+    // consume from before table birth (-1): the whole table as one delta
+    val (_, all) = DeltaInterop.readDeltaChanges(spark, out, sinceVersion = -1L)
+    assert(all.count() == 6L)
+    // consumer at the head reads empty without advancing
+    val (h2, none) = DeltaInterop.readDeltaChanges(spark, out, sinceVersion = 1L)
+    assert(h2 == 1L && none.isEmpty)
+    // a watermark AHEAD of the log is a consumer bug, loudly
+    assert(intercept[IllegalArgumentException](
+      DeltaInterop.readDeltaChanges(spark, out, sinceVersion = 7L))
+      .getMessage.contains("ahead"))
+
+    // compaction in the range rewrites history: append-only consumption
+    // must refuse (remove actions present), not resurrect compacted rows
+    t.compact(target = 1, tsMillis = 7000L)
+    assert(DeltaInterop.exportDeltaIncremental(t, out, tsMillis = 8000L) == 2L)
+    val e = intercept[Exception](
+      DeltaInterop.readDeltaChanges(spark, out, sinceVersion = 1L)._2.count())
+    assert(e.getMessage.contains("remove action"), e.getMessage)
+    // but a consumer whose range is PAST the compaction reads cleanly
+    t.append(Seq((11L, "w", 95.0)).toDF("id", "k", "v"), tsMillis = 9000L)
+    assert(DeltaInterop.exportDeltaIncremental(t, out, tsMillis = 10000L) == 3L)
+    val (h3, d3) = DeltaInterop.readDeltaChanges(spark, out, sinceVersion = 2L)
+    assert(h3 == 3L && d3.collect().map(_.getLong(0)).toSeq == Seq(11L))
+  }
+
   test("checkpoint scale probe: 100k add actions replay + checkpoint in metadata time") {
     // the daily-mirror shape at production file counts: the log is pure
     // driver-side metadata, so replaying 100k actions and writing the
