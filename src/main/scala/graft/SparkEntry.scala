@@ -2748,6 +2748,61 @@ object SparkEntry {
     viaIceberg.orderBy("event_id")
   }
 
+  /** Fixed export target for [[b5IcebergReadIncr]]. */
+  private val B5IcebergReadIncrPath = "/root/repo/target/graft_export/b5_iceberg_read_incr"
+
+  /** B5 — INCREMENTAL Iceberg CONSUMPTION (the second open format's
+    * read-side twin of [[b5DeltaReadIncr]]): a consumer holding the v0
+    * snapshot id as its watermark reads ONLY the rows the appended
+    * snapshot added — [[graft.sources.IcebergInterop.readIcebergChanges]]
+    * walks the parent-snapshot chain, diffs each snapshot's manifest-
+    * derived live set against its parent's, and refuses removals
+    * (rewritten history). Oracle replays the appended batch's defining
+    * predicate over the source events table. In-query certs: the
+    * watermark advances to the new snapshot id; consuming at the head is
+    * empty; v0 + delta == the head snapshot (multiset).
+    */
+  private def b5IcebergReadIncr(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergInterop, TxTable}
+    import java.nio.file.{Files, Paths}
+    val cols = Seq("user_id", "event_type", "value", "event_id", "ts")
+    val t = TxTable(s, HarnessFixtures.cloneTxDir(txTpl(s, dir, "b2_upsert")))
+    val target = Paths.get(B5IcebergReadIncrPath)
+    graft.sources.DeltaInterop.deleteRecursively(target)
+    require(IcebergInterop.exportIcebergIncremental(t, B5IcebergReadIncrPath,
+      tsMillis = 5000L) == 1L)
+    val v0Meta = new String(Files.readAllBytes(
+      target.resolve("metadata").resolve("v1.metadata.json")), "UTF-8")
+    val snap0 = """"current-snapshot-id" : (\d+)""".r
+      .findFirstMatchIn(v0Meta).get.group(1).toLong
+    t.append(Tables.events(s, dir)
+      .select(cols.map(col).toIndexedSeq: _*)
+      .where(col("ts") > ts(AsOf15) && col("event_id") % 4 === 0),
+      tsMillis = 6000L)
+    require(IcebergInterop.exportIcebergIncremental(t, B5IcebergReadIncrPath,
+      tsMillis = 7000L) == 2L)
+    val (head, delta) = IcebergInterop.readIcebergChanges(s, B5IcebergReadIncrPath, snap0)
+    require(head != snap0, "b5_iceberg_read_incr: the watermark must advance")
+    val (head2, none) = IcebergInterop.readIcebergChanges(s, B5IcebergReadIncrPath, head)
+    require(head2 == head && none.isEmpty,
+      "b5_iceberg_read_incr: a consumer at the head must read an empty delta")
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val reconstructed = IcebergInterop.readIceberg(s, B5IcebergReadIncrPath,
+        snapshotAsOf = Some(snap0))
+      .select(cols.map(col).toIndexedSeq: _*)
+      .unionByName(delta.select(cols.map(col).toIndexedSeq: _*))
+    val (rec, full) = (sig(reconstructed),
+      sig(IcebergInterop.readIceberg(s, B5IcebergReadIncrPath)
+        .select(cols.map(col).toIndexedSeq: _*)))
+    require(rec == full,
+      s"b5_iceberg_read_incr: v0 + delta must reconstruct the head snapshot ($rec vs $full)")
+    delta.select(cols.map(col).toIndexedSeq: _*)
+      .orderBy("user_id", "event_type", "event_id")
+  }
+
   /** Fixed parquet target for [[h12TokenBudgetBpe]]'s per-doc counts — the
     * oracle SQL reads it (cross-engine: DuckDB recomputes the budget
     * arithmetic from the published counts). */
@@ -4442,6 +4497,7 @@ object SparkEntry {
     "b5_iceberg_export"  -> (b5IcebergExport _),
     "b5_iceberg_export_incr" -> (b5IcebergExportIncr _),
     "b5_iceberg_export_part" -> (b5IcebergExportPart _),
+    "b5_iceberg_read_incr" -> (b5IcebergReadIncr _),
     "b2_delete_tx"       -> (b2DeleteTx _),
     "b2_tx_diff"         -> (b2TxDiff _),
     "b2_tx_cdc"          -> (b2TxCdc _),
@@ -4965,6 +5021,13 @@ object SparkEntry {
     // defining predicate over the SOURCE table — equality holds only if
     // the consumer read exactly the (v0, v1] delta, nothing more or less
     "b5_delta_read_incr" ->
+      """SELECT user_id, event_type, value, event_id, ts
+        |FROM events
+        |WHERE ts > TIMESTAMP '2024-01-15 00:00:00' AND event_id % 4 = 0
+        |ORDER BY user_id, event_type, event_id""".stripMargin,
+    // the Iceberg twin consumes the same appended batch, so the oracle is
+    // the same source-side predicate replay
+    "b5_iceberg_read_incr" ->
       """SELECT user_id, event_type, value, event_id, ts
         |FROM events
         |WHERE ts > TIMESTAMP '2024-01-15 00:00:00' AND event_id % 4 = 0

@@ -749,6 +749,98 @@ object IcebergInterop {
     else readWithIdentityFill(spark, path, meta, schema, dataFiles)
   }
 
+  /** INCREMENTAL consumption of an Iceberg table: the rows appended in
+    * snapshots AFTER `sinceSnapshotId` up to the current snapshot — the
+    * Delta-side twin is [[DeltaInterop.readDeltaChanges]]; the consumer
+    * keeps the snapshot id as its watermark and advances it to the
+    * returned id after a successful sync.
+    *
+    * The changed file set derives from the snapshot lineage: walk the
+    * `parent-snapshot-id` chain from the current snapshot back to the
+    * watermark and diff each snapshot's live file set against its
+    * parent's. Append-only ranges only, checked loudly: a file REMOVED
+    * anywhere along the chain means compaction/rewrite landed — an
+    * append-only reconstruction would be wrong, so the caller re-syncs
+    * from the full snapshot ([[readIceberg]]). A watermark not on the
+    * current lineage (expired or orphaned snapshot) also fails loudly.
+    *
+    * @return (currentSnapshotId, appended rows) — empty frame when the
+    *   consumer is already at the head. */
+  def readIcebergChanges(spark: SparkSession, path: String,
+      sinceSnapshotId: Long): (Long, DataFrame) = {
+    val root = Paths.get(path).toAbsolutePath
+    val metaDir = root.resolve("metadata")
+    require(Files.isDirectory(metaDir), s"no Iceberg table at $path (missing metadata/)")
+    val meta = currentMetadata(metaDir, path)
+    val fv = meta.get("format-version").asInt
+    require(fv == 1 || fv == 2,
+      s"Iceberg table $path has format-version $fv — only v1/v2 are supported")
+    val schema = currentSparkSchema(meta, path)
+    val snaps = Option(meta.get("snapshots"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    val byId = snaps.map(s => s.get("snapshot-id").asLong -> s).toMap
+    val cur = Option(meta.get("current-snapshot-id")).map(_.asLong).filter(_ != -1L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"Iceberg table $path has no current snapshot — nothing to consume"))
+    if (sinceSnapshotId == cur)
+      return (cur, spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+
+    // file set of one snapshot (uri -> partition tuple), via its manifests
+    def liveFiles(snapId: Long): Map[String, GenericRecord] = {
+      val sn = byId.getOrElse(snapId, throw new IllegalArgumentException(
+        s"snapshot $snapId does not exist in the Iceberg table at $path"))
+      val listPath = resolveUri(root, sn.get("manifest-list").asText)
+      readAvro(listPath).flatMap { r =>
+        readAvro(resolveUri(root, r.get("manifest_path").toString)).flatMap { entry =>
+          val df = entry.get("data_file").asInstanceOf[GenericRecord]
+          val content = Option(df.getSchema.getField("content"))
+            .map(_ => df.get("content").asInstanceOf[Int]).getOrElse(0)
+          require(content == 0,
+            s"Iceberg table $path carries delete files — row-level deletes " +
+              "are unsupported by this reader")
+          if (entry.get("status").asInstanceOf[Int] == 2) None
+          else Some((resolveUri(root, df.get("file_path").toString).toString,
+            Option(df.getSchema.getField("partition"))
+              .map(_ => df.get("partition").asInstanceOf[GenericRecord]).orNull))
+        }
+      }.toMap
+    }
+
+    // walk the parent chain from the head down to the watermark
+    val chain = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var at = Option(cur)
+    while (at.isDefined && !at.contains(sinceSnapshotId)) {
+      chain += at.get
+      at = byId.get(at.get).flatMap(s =>
+        Option(s.get("parent-snapshot-id")).map(_.asLong))
+    }
+    require(at.contains(sinceSnapshotId),
+      s"watermark snapshot $sinceSnapshotId is not an ancestor of the current " +
+        s"snapshot $cur in the Iceberg table at $path (expired or ahead?) — " +
+        "re-sync from the full snapshot")
+
+    // per-edge diff, oldest edge first; refuse any removal along the chain
+    val newFiles = scala.collection.mutable.LinkedHashMap.empty[String, GenericRecord]
+    var parentSet = liveFiles(sinceSnapshotId)
+    chain.reverse.foreach { snapId =>
+      val cs = liveFiles(snapId)
+      val removed = parentSet.keySet -- cs.keySet
+      require(removed.isEmpty,
+        s"Iceberg table $path snapshot $snapId removes ${removed.size} file(s) " +
+          "inside the consumed range (compaction/rewrite) — an append-only " +
+          "delta read would be wrong; re-sync from the full snapshot")
+      (cs.keySet -- parentSet.keySet).foreach(u => newFiles += u -> cs(u))
+      parentSet = cs
+    }
+    if (newFiles.isEmpty)
+      return (cur, spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    // keys are resolved filesystem paths (resolveUri output), not URIs
+    (cur, readWithIdentityFill(spark, path, meta, schema,
+      newFiles.toSeq.map { case (u, rec) => (Paths.get(u), rec) }))
+  }
+
   /** Scan the data files with `schema`, reconstructing identity-partitioned
     * columns that are PHYSICALLY ABSENT from the parquet (a Hive-migrated
     * layout, and what [[exportIceberg]] writes for a partitioned TxTable)

@@ -98,9 +98,11 @@ class ContractSpec extends AnyFunSuite {
     // certified exactly equal to the batch-appended index).
     // 190 adds b5_delta_read_incr (incremental Delta CONSUMPTION: replay
     // only the (v0, v1] JSON commits, refuse remove actions, oracle
-    // replays the appended batch's predicate over the source table)
-    assert(SparkEntry.queries.size == 190,
-      s"declared query count ${SparkEntry.queries.size} != documented 190 — " +
+    // replays the appended batch's predicate over the source table).
+    // 191 adds b5_iceberg_read_incr (the second format's twin: snapshot
+    // parent-chain walk + manifest live-set diffs, removals refused)
+    assert(SparkEntry.queries.size == 191,
+      s"declared query count ${SparkEntry.queries.size} != documented 191 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

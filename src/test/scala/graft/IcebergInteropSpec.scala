@@ -335,6 +335,47 @@ class IcebergInteropSpec extends SparkSpec {
     assert(old.count() == 4L)
   }
 
+  test("readIcebergChanges: watermark consumption, head emptiness, rewrite refusal, bad watermark") {
+    import spark.implicits._
+    val t = sampleTable()
+    val out = tmp("ice_changes")
+    assert(IcebergInterop.exportIcebergIncremental(t, out, tsMillis = 5000L) == 1L)
+    def curSnap(): Long = {
+      val hint = Files.readAllLines(Paths.get(out, "metadata", "version-hint.text"))
+        .asScala.head.trim
+      val txt = new String(Files.readAllBytes(
+        Paths.get(out, "metadata", s"v$hint.metadata.json")))
+      """"current-snapshot-id" : (\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
+    }
+    val snap0 = curSnap()
+    t.append(Seq((9L, "z", 90.0), (10L, "z", 91.0)).toDF("id", "k", "v"), tsMillis = 3000L)
+    assert(IcebergInterop.exportIcebergIncremental(t, out, tsMillis = 6000L) == 2L)
+
+    val (head, delta) = IcebergInterop.readIcebergChanges(spark, out, snap0)
+    assert(head == curSnap() && head != snap0)
+    assert(delta.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(9L, 10L))
+    // at the head: empty, watermark unchanged
+    val (h2, none) = IcebergInterop.readIcebergChanges(spark, out, head)
+    assert(h2 == head && none.isEmpty)
+    // a watermark that is not on the lineage fails loudly
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.readIcebergChanges(spark, out, 424242L))
+      .getMessage.contains("not an ancestor"))
+
+    // compaction rewrites the live set: consumption across it must refuse
+    t.compact(target = 1, tsMillis = 7000L)
+    assert(IcebergInterop.exportIcebergIncremental(t, out, tsMillis = 8000L) == 3L)
+    val e = intercept[IllegalArgumentException](
+      IcebergInterop.readIcebergChanges(spark, out, snap0))
+    assert(e.getMessage.contains("removes"), e.getMessage)
+    // a consumer whose watermark is PAST the compaction reads cleanly
+    val snapAfterCompact = curSnap()
+    t.append(Seq((11L, "w", 95.0)).toDF("id", "k", "v"), tsMillis = 9000L)
+    assert(IcebergInterop.exportIcebergIncremental(t, out, tsMillis = 10000L) == 4L)
+    val (h3, d3) = IcebergInterop.readIcebergChanges(spark, out, snapAfterCompact)
+    assert(h3 == curSnap() && d3.collect().map(_.getLong(0)).toSeq == Seq(11L))
+  }
+
   test("adversarial reads: truncated metadata, corrupt manifests, dangling references all fail loudly") {
     // the Delta reader got this battery in round 7 (DeltaInteropSpec);
     // same stance here: a damaged table must ERROR, never silently
