@@ -3888,6 +3888,23 @@ object SparkEntry {
         Seq("c_nationkey", "c_mktsegment"), "balance_band", l = 3L)
       .orderBy("c_nationkey", "c_mktsegment")
 
+  /** D6 — t-closeness audit (the third rung of the privacy ladder after
+    * d4/d5): per quasi-identifier class, the ordered-EMD distance between
+    * the class's sensitive (balance-band) distribution and the global one
+    * — the skewness-attack audit (a diverse class that is 99% one band
+    * still discloses). Two hash aggregations + a broadcast domain row +
+    * a map-only per-class fold; `close` recomputed from the ROUNDED
+    * distance so the oracle boundary decision is identical.
+    */
+  private def d6TCloseness(s: SparkSession, dir: String): DataFrame =
+    Privacy.tCloseness(
+        Tables.customer(s, dir)
+          .withColumn("balance_band", floor(col("c_acctbal") / 1000.0).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "balance_band", t = 0.2)
+      .withColumn("t_dist", Fns.epsRound(col("t_dist"), 6))
+      .withColumn("close", col("t_dist") <= 0.2)
+      .orderBy("c_nationkey", "c_mktsegment")
+
   /** E12 — population stability index of the event value distribution,
     * per event type, between the first and second half of the month
     * (reference window = up to Jan 15, current = after). Ref-window decile
@@ -4634,6 +4651,7 @@ object SparkEntry {
     "g6_fuzzy_pairs"     -> (g6FuzzyPairs _),
     "d4_k_anonymity"     -> (d4KAnonymity _),
     "d5_l_diversity"     -> (d5LDiversity _),
+    "d6_t_closeness"     -> (d6TCloseness _),
     "e12_psi"            -> (e12Psi _),
     "e13_ks_drift"       -> (e13KsDrift _),
     "a13_ohlc"           -> (a13Ohlc _),
@@ -6289,6 +6307,37 @@ object SparkEntry {
         |       count(DISTINCT band) AS n_sensitive,
         |       count(DISTINCT band) >= 3 AS diverse
         |FROM b GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // t-closeness: the ordered-EMD fold replays in SQL as a per-class
+    // cumulative window over the shared band domain; same p/q arithmetic,
+    // same 1e-9-nudged rounding on both the distance and the gate
+    "d6_t_closeness" ->
+      """WITH b AS (SELECT c_nationkey, c_mktsegment,
+        |                  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
+        |           FROM customer),
+        |dom AS (SELECT band, count(*)::DOUBLE AS qc FROM b GROUP BY 1),
+        |tot AS (SELECT sum(qc) AS total, count(*) AS m FROM dom),
+        |cls AS (SELECT c_nationkey, c_mktsegment, count(*)::DOUBLE AS class_size
+        |        FROM b GROUP BY 1, 2),
+        |cc AS (SELECT c_nationkey, c_mktsegment, band, count(*)::DOUBLE AS cnt
+        |       FROM b GROUP BY 1, 2, 3),
+        |grid AS (SELECT cls.c_nationkey, cls.c_mktsegment, cls.class_size, dom.band,
+        |                coalesce(cc.cnt, 0.0) / cls.class_size - dom.qc / tot.total AS diff
+        |         FROM cls CROSS JOIN dom CROSS JOIN tot
+        |         LEFT JOIN cc ON cc.c_nationkey = cls.c_nationkey
+        |                     AND cc.c_mktsegment = cls.c_mktsegment
+        |                     AND cc.band = dom.band),
+        |cum AS (SELECT c_nationkey, c_mktsegment, class_size, band,
+        |               sum(diff) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |                               ORDER BY band) AS c
+        |        FROM grid),
+        |e AS (SELECT c_nationkey, c_mktsegment,
+        |             any_value(class_size) AS class_size, sum(abs(c)) AS sa
+        |      FROM cum GROUP BY 1, 2)
+        |SELECT c_nationkey, c_mktsegment, CAST(class_size AS BIGINT) AS class_size,
+        |       round(sa / (tot.m - 1) + 1e-9, 6) AS t_dist,
+        |       round(sa / (tot.m - 1) + 1e-9, 6) <= 0.2 AS close
+        |FROM e CROSS JOIN tot
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "e12_psi" ->
       """WITH ev AS (SELECT event_type, value, ts FROM events WHERE value IS NOT NULL),

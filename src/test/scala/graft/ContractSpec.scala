@@ -100,9 +100,12 @@ class ContractSpec extends AnyFunSuite {
     // only the (v0, v1] JSON commits, refuse remove actions, oracle
     // replays the appended batch's predicate over the source table).
     // 191 adds b5_iceberg_read_incr (the second format's twin: snapshot
-    // parent-chain walk + manifest live-set diffs, removals refused)
-    assert(SparkEntry.queries.size == 191,
-      s"declared query count ${SparkEntry.queries.size} != documented 191 — " +
+    // parent-chain walk + manifest live-set diffs, removals refused).
+    // 192 adds d6_t_closeness (the privacy ladder's third rung: per-class
+    // ordered-EMD distance of the sensitive distribution vs the global —
+    // the skewness-attack audit; oracle replays the cumulative fold)
+    assert(SparkEntry.queries.size == 192,
+      s"declared query count ${SparkEntry.queries.size} != documented 192 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }
