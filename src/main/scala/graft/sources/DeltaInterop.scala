@@ -8,7 +8,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 
 /** Open-format interop for the transactional table: export a [[TxTable]]
   * snapshot as a STANDARD Delta Lake table any external engine can read
@@ -595,9 +595,17 @@ object DeltaInterop {
   }
 
   /** One parquet scan over the live files with the log's partition values
-    * attached via a broadcast file→values lookup — correct for ANY file
-    * layout (Delta's partitionValues is authoritative; directory names are
-    * a writer convention) and O(1) plan size in the partition count. */
+    * attached via a BROADCAST file-name → values join — correct for ANY
+    * file layout (Delta's partitionValues is authoritative; directory
+    * names are a writer convention) and O(1) plan size in the partition
+    * count. The join keys on `_metadata.file_name` (the basename), the
+    * same mechanism as [[IcebergInterop]]'s Column-Projection fill — a
+    * codegen'd hash join instead of the closure-captured-map UDF this
+    * method originally shipped (which serialized the whole file map into
+    * the task closure and broke whole-stage codegen at the scan). Delta
+    * writers emit uuid part names, so basenames are unique; a foreign
+    * table violating that fails loudly rather than joining wrong values.
+    */
   private def assembleRead(spark: SparkSession, root: Path, schema: StructType,
       partCols: Seq[String], adds: Seq[AddFile]): DataFrame = {
     val partSet = partCols.toSet
@@ -609,22 +617,27 @@ object DeltaInterop {
     val base = spark.read.schema(dataSchema).parquet(files: _*)
     if (partCols.isEmpty) base.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     else {
-      // normalized absolute file path -> partition values, broadcast via
-      // the closure (metadata-scale: one short entry per live file)
-      val pvByFile: Map[String, Map[String, String]] = adds.map { a =>
-        root.resolve(a.path).toAbsolutePath.normalize.toString ->
-          a.partitionValues.collect { case (k, Some(v)) => k -> v }
-      }.toMap
-      val lookup = udf { (uri: String) =>
-        val p = Paths.get(new java.net.URI(uri)).toAbsolutePath.normalize.toString
-        pvByFile.getOrElse(p, Map.empty[String, String])
+      import scala.jdk.CollectionConverters._
+      val partFields = partCols.map(c => schema(c))
+      val names = adds.map(a => root.resolve(a.path).getFileName.toString)
+      require(names.distinct.size == names.size,
+        s"Delta table at $root has duplicate data-file names across " +
+          "partitions — the partition-value join would be ambiguous")
+      val rows: Seq[org.apache.spark.sql.Row] = adds.map { a =>
+        org.apache.spark.sql.Row.fromSeq(
+          root.resolve(a.path).getFileName.toString +:
+            partFields.map(f => a.partitionValues.get(f.name).flatten.orNull))
       }
-      val withPv = base.withColumn("__pv", lookup(input_file_name()))
-      val filled = partCols.foldLeft(withPv) { (acc, pc) =>
-        val f: StructField = schema(pc)
-        acc.withColumn(pc, element_at(col("__pv"), pc).cast(f.dataType))
-      }
-      filled.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      val tupleDf = spark.createDataFrame(rows.asJava,
+        StructType(StructField("__graft_pfile", StringType, nullable = false) +:
+          partFields.map(f => StructField(f.name, StringType))))
+      base
+        .withColumn("__graft_pfile", col("_metadata.file_name"))
+        .join(broadcast(tupleDf), Seq("__graft_pfile"))
+        .select(schema.fields.map { f =>
+          if (partSet.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else col(f.name)
+        }.toIndexedSeq: _*)
     }
   }
 
