@@ -69,6 +69,10 @@ object Scaling {
       probs: Seq[Double], outCol: String = "bin"): DataFrame = {
     require(probs.nonEmpty && probs == probs.sorted && probs.forall(p => p > 0 && p < 1),
       s"probs must be sorted interior probabilities, got $probs")
+    // backquote the interpolated identifier (the sq8Encode rule): this
+    // method splices the column name into TWO SQL fragments, and a name
+    // needing quoting must not silently parse as something else
+    val vq = "`" + valueCol.replace("`", "``") + "`"
     // edges on a fixed 6-dp grid: engines associate quantile interpolation
     // differently and a last-ulp edge difference can flip a row that sits
     // exactly on the interpolated value (see Drift.binnedShares — observed
@@ -77,7 +81,7 @@ object Scaling {
     // all sit below 1e-4 in magnitude keep exact edges — the 6-dp grid
     // would otherwise collapse them into a single degenerate bin.
     val stats = df.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile($valueCol, array(${probs.mkString("D,")}D))").as("__raw"))
+      .agg(expr(s"percentile($vq, array(${probs.mkString("D,")}D))").as("__raw"))
       .withColumn("__qs", expr(
         "CASE WHEN round(aggregate(__raw, 0D, (a, x) -> greatest(a, abs(x))) + 1e-9, 6) < 1e-4 " +
           "THEN __raw ELSE transform(__raw, e -> round(e + 1e-9, 6)) END"))
@@ -85,7 +89,7 @@ object Scaling {
     joinStats(df, stats, groupCols)
       .withColumn(outCol,
         when(col(valueCol).isNotNull,
-          (lit(probs.size + 1) - expr(s"size(filter(__qs, q -> $valueCol <= q))")).cast("int")))
+          (lit(probs.size + 1) - expr(s"size(filter(__qs, q -> $vq <= q))")).cast("int")))
       .drop("__qs")
   }
 
