@@ -56,8 +56,10 @@ object Drift {
     // guard value is itself snapped to the 6-dp grid before comparing, so
     // the BRANCH CHOICE cannot straddle a cross-engine ulp either — same
     // vanishing-probability class as the edge rounding above).
+    // backquote the interpolated identifier (the sq8Encode rule)
+    val vq = "`" + valueCol.replace("`", "``") + "`"
     val edges = ref.groupBy(groupCols.map(col): _*)
-      .agg(expr(s"percentile($valueCol, array(${probs.mkString("D,")}D))").as("__raw"))
+      .agg(expr(s"percentile($vq, array(${probs.mkString("D,")}D))").as("__raw"))
       .withColumn("__qs", expr(
         "CASE WHEN round(aggregate(__raw, 0D, (a, x) -> greatest(a, abs(x))) + 1e-9, 6) < 1e-4 " +
           "THEN __raw ELSE transform(__raw, e -> round(e + 1e-9, 6)) END"))
@@ -67,7 +69,7 @@ object Drift {
       val cond = groupCols.map(c => df(c) <=> edges(c)).reduce(_ && _)
       groupCols.foldLeft(df.join(broadcast(edges), cond))((acc, c) => acc.drop(edges(c)))
         .withColumn("bin",
-          (lit(nBins) - expr(s"size(filter(__qs, q -> $valueCol <= q))")).cast("int"))
+          (lit(nBins) - expr(s"size(filter(__qs, q -> $vq <= q))")).cast("int"))
         .groupBy((groupCols.map(col) :+ col("bin")): _*)
         .agg(count(lit(1)).as("__n"))
     }

@@ -29,10 +29,14 @@ object Sampling {
     * reduced mod 2^31 first so the product stays below 2^63 — no ANSI-mode
     * ARITHMETIC_OVERFLOW for 64-bit snowflake-style ids.
     */
+  // backquote interpolated identifiers (the sq8Encode rule): every SQL
+  // fragment below splices a caller-supplied column name
+  private def bq(c: String): String = "`" + c.replace("`", "``") + "`"
+
   /** The shared 0..99 bucket both [[withSplit]] and [[domainMix]] key on —
     * one definition makes their documented consistency structural. */
   private def hashBucket(idCol: String) = expr(
-    s"pmod(pmod(cast($idCol as bigint), 2147483648) * 2654435761, 2147483648) div 21474837")
+    s"pmod(pmod(cast(${bq(idCol)} as bigint), 2147483648) * 2654435761, 2147483648) div 21474837")
 
   def withSplit(df: DataFrame, idCol: String, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     // null ids hash to NULL, which matches NEITHER when() branch and would
@@ -135,7 +139,7 @@ object Sampling {
     // temporal bias this operator's contract explicitly forbids
     val w = Window.partitionBy(col(sourceCol))
       .orderBy(expr(
-        s"pmod(pmod(cast($idCol as bigint), 2147483648) * 2654435761, 2147483648)").asc,
+        s"pmod(pmod(cast(${bq(idCol)} as bigint), 2147483648) * 2654435761, 2147483648)").asc,
         col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("__before", coalesce(sum(col(nTokensCol)).over(w), lit(0L)))
@@ -158,7 +162,7 @@ object Sampling {
   def uniformSample(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     val h = expr(
-      s"pmod(pmod(cast($idCol as bigint), 2147483648) * 2654435761, 2147483648)")
+      s"pmod(pmod(cast(${bq(idCol)} as bigint), 2147483648) * 2654435761, 2147483648)")
     val w = Window.partitionBy(col(groupCol)).orderBy(h.asc, col(idCol).asc)
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .where(col("sample_rank") <= k)
@@ -191,8 +195,8 @@ object Sampling {
     require(badW == 0L,
       s"prioritySample weights must be in [1, 2^32): found out-of-range values in '$weightCol'")
     val pr = expr(
-      s"""cast($weightCol as bigint) * 2147483648L div
-         |  (pmod(pmod(cast($idCol as bigint), 2147483648) * 2654435761, 2147483648) + 1L)"""
+      s"""cast(${bq(weightCol)} as bigint) * 2147483648L div
+         |  (pmod(pmod(cast(${bq(idCol)} as bigint), 2147483648) * 2654435761, 2147483648) + 1L)"""
         .stripMargin)
     val w = Window.partitionBy(col(groupCol)).orderBy(pr.desc, col(idCol).asc)
     df.withColumn("priority", pr)
