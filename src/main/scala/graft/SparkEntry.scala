@@ -4082,6 +4082,21 @@ object SparkEntry {
       .orderBy("split")
   }
 
+  /** H20 — epoch/repetition plan (the data-constrained-scaling step after
+    * the mixture, Muennighoff et al. 2023): allocate a 1M-token training
+    * budget across sources by temperature-scaled availability (T=2) and
+    * report each source's implied EPOCHS (budget share / tokens
+    * available), flagging sources pushed past the ~4-epoch healthy-repeat
+    * ceiling. One source-keyed partial agg + a 1-row normalizer broadcast;
+    * the oracle replays the pow/floor/round arithmetic digit-for-digit.
+    */
+  private def h20EpochPlan(s: SparkSession, dir: String): DataFrame =
+    Sampling.epochPlan(
+        Tables.documents(s, dir)
+          .select(col("source"), Fns.tokenCount(col("text")).cast("double").as("n_tok")),
+        "source", "n_tok", budget = 1000000L, temperature = 2.0)
+      .orderBy("source")
+
   /** G7 — event-type co-occurrence: for each unordered type pair, how many
     * users exhibit both, and the conditional reach p(b | a) — the
     * feature-interaction / market-basket summary. The self-join runs on
@@ -4663,6 +4678,7 @@ object SparkEntry {
     "c7_moments"         -> (c7Moments _),
     "h17_rolling_dau"    -> (h17RollingDau _),
     "h18_temporal_split" -> (h18TemporalSplit _),
+    "h20_epoch_plan"     -> (h20EpochPlan _),
     "g7_cooccurrence"    -> (g7Cooccurrence _),
     "g7_pagerank"        -> (g7Pagerank _),
     "g7_triangles"       -> (g7Triangles _),
@@ -6311,6 +6327,21 @@ object SparkEntry {
     // t-closeness: the ordered-EMD fold replays in SQL as a per-class
     // cumulative window over the shared band domain; same p/q arithmetic,
     // same 1e-9-nudged rounding on both the distance and the gate
+    // epoch plan: pow/floor/round arithmetic replayed digit-for-digit
+    // (pow(x, 0.5) may differ by an ulp across libms — the 1e-9-nudged
+    // 6-dp rounding absorbs it, same convention as every ratio oracle)
+    "h20_epoch_plan" ->
+      """WITH t AS (SELECT source,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0))::DOUBLE AS n_tok
+        |  FROM documents WHERE source IS NOT NULL),
+        |c AS (SELECT source, sum(n_tok) AS n_tokens FROM t GROUP BY 1 HAVING sum(n_tok) > 0),
+        |z AS (SELECT sum(pow(n_tokens, 0.5)) AS z FROM c)
+        |SELECT source, n_tokens::BIGINT AS n_tokens,
+        |       round(pow(n_tokens, 0.5) / z.z + 1e-9, 6) AS weight,
+        |       CAST(floor(1000000.0 * pow(n_tokens, 0.5) / z.z + 0.5 + 1e-9) AS BIGINT) AS target_tokens,
+        |       round(floor(1000000.0 * pow(n_tokens, 0.5) / z.z + 0.5 + 1e-9) / n_tokens + 1e-9, 6) AS epochs,
+        |       round(floor(1000000.0 * pow(n_tokens, 0.5) / z.z + 0.5 + 1e-9) / n_tokens + 1e-9, 6) > 4.0 AS over_repeated
+        |FROM c CROSS JOIN z ORDER BY source""".stripMargin,
     "d6_t_closeness" ->
       """WITH b AS (SELECT c_nationkey, c_mktsegment,
         |                  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band

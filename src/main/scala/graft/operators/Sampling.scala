@@ -204,6 +204,49 @@ object Sampling {
       .where(col("sample_rank") <= k)
   }
 
+  /** Epoch/repetition plan for a token budget (the data-constrained
+    * scaling step after the mixture: Muennighoff et al. 2023 established
+    * that ~4 epochs of repetition cost little, beyond that returns decay
+    * fast): given per-document token counts, allocate a total training
+    * budget across sources by temperature-scaled availability
+    * (w_i ∝ n_i^(1/T), the mBERT/XLM-R sampling rule — T=1 is natural
+    * proportions, larger T flattens toward uniform) and report, per
+    * source, the tokens available, the budget share, and the EPOCHS the
+    * share implies (target/available — >1 means repetition), flagging
+    * sources past `maxHealthyEpochs`.
+    *
+    * Scale shape: one partial-agg shuffle over the source key (rows ∝
+    * sources), a 1-row normalizer broadcast back, map-only arithmetic —
+    * the whole plan is a sources-sized report off one corpus scan.
+    */
+  def epochPlan(df: DataFrame, sourceCol: String, nTokensCol: String,
+      budget: Long, temperature: Double = 1.0,
+      maxHealthyEpochs: Double = 4.0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(temperature >= 1.0, s"temperature must be >= 1, got $temperature")
+    val counts = df
+      .where(col(sourceCol).isNotNull) // the plan enumerates known sources
+      .groupBy(col(sourceCol))
+      .agg(sum(col(nTokensCol).cast("double")).as("n_tokens"))
+      .where(col("n_tokens") > 0)
+    val norm = counts.agg(
+      sum(pow(col("n_tokens"), lit(1.0 / temperature))).as("__z"))
+    counts.crossJoin(broadcast(norm))
+      .withColumn("weight",
+        graft.functions.Fns.epsRound(
+          pow(col("n_tokens"), lit(1.0 / temperature)) / col("__z"), 6))
+      .withColumn("target_tokens",
+        floor(lit(budget.toDouble) *
+          pow(col("n_tokens"), lit(1.0 / temperature)) / col("__z") + 0.5 + 1e-9)
+          .cast("long"))
+      .withColumn("epochs",
+        graft.functions.Fns.epsRound(
+          col("target_tokens").cast("double") / col("n_tokens"), 6))
+      .withColumn("over_repeated", col("epochs") > maxHealthyEpochs)
+      .select(col(sourceCol), col("n_tokens").cast("long").as("n_tokens"),
+        col("weight"), col("target_tokens"), col("epochs"), col("over_repeated"))
+  }
+
   /** Stratified top-k: the k best rows per stratum by a score column
     * (quality-filtered corpus assembly: "keep the best N documents per
     * language"). One shuffle on the stratum key; the window's rank is

@@ -103,9 +103,12 @@ class ContractSpec extends AnyFunSuite {
     // parent-chain walk + manifest live-set diffs, removals refused).
     // 192 adds d6_t_closeness (the privacy ladder's third rung: per-class
     // ordered-EMD distance of the sensitive distribution vs the global —
-    // the skewness-attack audit; oracle replays the cumulative fold)
-    assert(SparkEntry.queries.size == 192,
-      s"declared query count ${SparkEntry.queries.size} != documented 192 — " +
+    // the skewness-attack audit; oracle replays the cumulative fold).
+    // 193 adds h20_epoch_plan (data-constrained scaling: temperature-
+    // weighted budget allocation per source with implied epochs and the
+    // >4-epoch over-repetition flag; pow/floor/round oracle)
+    assert(SparkEntry.queries.size == 193,
+      s"declared query count ${SparkEntry.queries.size} != documented 193 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }
