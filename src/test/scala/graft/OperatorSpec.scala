@@ -314,6 +314,29 @@ class OperatorSpec extends SparkSpec {
     assert(kept("big") < 300L, "T=2 must cut the 4x group to ~half")
   }
 
+  test("epochPlan: hand-computed weights/epochs; over-repetition flag; null sources dropped") {
+    // sources: a=100 tokens, b=400 tokens; T=2 -> weights ∝ sqrt(n):
+    // z = 10 + 20 = 30; w_a = 1/3, w_b = 2/3. budget=1200 ->
+    // target_a = 400 (epochs 4.0, NOT over the >4 ceiling),
+    // target_b = 800 (epochs 2.0)
+    val df = Seq(("a", 100.0), ("b", 150.0), ("b", 250.0),
+      (null.asInstanceOf[String], 999.0)).toDF("src", "n_tok")
+    val out = Sampling.epochPlan(df, "src", "n_tok", budget = 1200L, temperature = 2.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(out.keySet == Set("a", "b"), "null sources must not enter the plan")
+    assert(out("a") == (100L, 0.333333, 400L, 4.0, false))
+    assert(out("b") == (400L, 0.666667, 800L, 2.0, false))
+    // shrink the corpus share: budget far above availability flags repetition
+    val tight = Sampling.epochPlan(
+      Seq(("a", 100.0), ("b", 10000.0)).toDF("src", "n_tok"),
+      "src", "n_tok", budget = 50000L, temperature = 1.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(4), r.getBoolean(5))).toMap
+    // T=1: w_a = 100/10100 -> target 495 -> epochs 4.95 > 4 (flagged);
+    // w_b -> target 49505 -> epochs 4.9505 > 4 (flagged)
+    assert(tight("a")._2 && tight("b")._2, s"over-repetition must flag: $tight")
+  }
+
   test("Scaling: z-score and min-max per group; constant group -> 0, nulls stay null") {
     val df = Seq(
       ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)), ("a", None),
