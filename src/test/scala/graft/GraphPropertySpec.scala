@@ -240,6 +240,14 @@ class GraphPropertySpec extends SparkSpec {
     }
   }
 
+  test("pageRankPersonalized: seeds absent from the graph fail loudly, not silently zero") {
+    val es = Seq(("a", "b", 1.0), ("b", "a", 1.0)).toDF("src", "dst", "w")
+    val e = intercept[IllegalArgumentException](
+      Graph.pageRankPersonalized(es, "src", "dst", "w",
+        Seq("ghost1", "ghost2").toDF("node"), "node", iterations = 2).collect())
+    assert(e.getMessage.contains("no seed node"), e.getMessage)
+  }
+
   test("hopsFrom matches reference BFS on random graphs") {
     for (seed <- 1L to 8L) {
       val es = sample(edgesGen, seed).map(e => (e._1, e._2))
