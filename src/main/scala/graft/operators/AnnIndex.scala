@@ -118,6 +118,20 @@ object AnnIndex {
         f"$maxDriftRatio%.1fx the build baseline $baseGap%.4f — the frozen " +
         "quantizer no longer represents the data; rebuild the index")
 
+    // Duplicates WITHIN the batch would be encoded twice just as surely as
+    // duplicates against the existing table — one count-distinct pass over
+    // the batch ids catches them (same agg Spark already plans for the
+    // semi-join's broadcast side).
+    val (batchRows, batchIds) = {
+      val r = batch.agg(
+        org.apache.spark.sql.functions.count(col(idCol)),
+        org.apache.spark.sql.functions.countDistinct(col(idCol))).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    require(batchRows == batchIds,
+      s"appendToIndex($path): batch carries ${batchRows - batchIds} duplicate " +
+        "id(s) within itself — every query would double-score them; dedup " +
+        "the batch before appending")
     val dups = loadEncoded(spark, path)
       .join(org.apache.spark.sql.functions.broadcast(
         batch.select(col(idCol)).distinct()), Seq(idCol), "left_semi")

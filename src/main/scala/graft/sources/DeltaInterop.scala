@@ -465,7 +465,12 @@ object DeltaInterop {
 
     val commits = listJsonCommits(logDir)
       .filter(c => c._1 > sinceVersion && c._1 <= cur)
+    // Gapless AND reaching the head: the head version can come from a
+    // checkpoint, so contiguity alone would silently drop the newest
+    // versions if their JSON commit files were retention-cleaned
+    // (e.g. checkpoint at v10, JSONs 6-9 present, 10 absent).
     require(commits.headOption.exists(_._1 == sinceVersion + 1) &&
+        commits.lastOption.exists(_._1 == cur) &&
         commits.zip(commits.drop(1)).forall { case ((a, _), (b, _)) => b == a + 1 },
       s"Delta log at $path has no gapless JSON commits in " +
         s"${sinceVersion + 1}..$cur (cleaned by log retention?) — " +

@@ -855,15 +855,32 @@ object IcebergInterop {
     import org.apache.spark.sql.functions.{broadcast, col}
     val uris = dataFiles.map(_._1.toString)
     val plain = spark.read.schema(schema).parquet(uris: _*)
-    // presence is probed on ONE footer: identity partitioning writes files
-    // uniformly, so the first file is representative (a half-migrated table
-    // mixing layouts is out of scope and documented as such)
-    val footerCols = parquetTopLevelCols(spark, dataFiles.head._1)
-    val missing = schema.fields.filter(f => !footerCols.contains(f.name))
-    if (missing.isEmpty) return plain
-
     val specIdentity = targetSpecIdentityFields(meta, path) // (specField, sourceCol)
     val srcToSpec = specIdentity.map { case (fn, src) => src -> fn }.toMap
+    // presence is probed on EVERY footer (O(files) — the same scale class as
+    // the manifests already read): a table mixing layouts (some files
+    // physically carrying an identity-partition column, some not — e.g.
+    // native Iceberg writes appended after a Hive migration) cannot be read
+    // with one uniform fill decision, so disagreement on the IDENTITY-SPEC
+    // source columns fails loudly instead of silently overwriting carried
+    // columns or nulling absent ones. (Other columns may legitimately vary
+    // across footers — ordinary schema evolution, Spark fills null per file.)
+    val footerColSets = dataFiles.map(f => f._1 -> parquetTopLevelCols(spark, f._1))
+    val footerCols = footerColSets.head._2
+    val identityCols = schema.fields.filter(f => srcToSpec.contains(f.name))
+    footerColSets.tail.foreach { case (p, cols) =>
+      val disagree = identityCols.filter(f =>
+        cols.contains(f.name) != footerCols.contains(f.name))
+      require(disagree.isEmpty,
+        s"Iceberg table $path mixes physical layouts: data file $p " +
+          s"${if (disagree.nonEmpty && footerCols.contains(disagree.head.name)) "lacks" else "carries"} " +
+          s"identity-partition column(s) ${disagree.map(_.name).mkString(",")} " +
+          "that other files " +
+          s"${if (disagree.nonEmpty && footerCols.contains(disagree.head.name)) "carry" else "lack"} — " +
+          "a uniform identity-fill would misread it; compact the table to one layout")
+    }
+    val missing = schema.fields.filter(f => !footerCols.contains(f.name))
+    if (missing.isEmpty) return plain
     val fillable = missing.filter(f => srcToSpec.contains(f.name))
     val leftover = missing.filterNot(f => srcToSpec.contains(f.name))
     // a nullable column absent from old files is ordinary schema evolution

@@ -594,7 +594,10 @@ class FeatureStore(val spark: SparkSession) {
         col("event_timestamp").isNull  // unknown-age rows retained, not silently destroyed
     // count only the REMOVED rows (one scan), not before/after full counts
     val removed = joined.where(!keep).count()
+    // usingColumns join moved feature_id to position 0 — re-select the fact
+    // log's declared order so positional consumers of valuesDF keep working
     values = joined.where(keep).drop("__retention")
+      .select(valuesSchema.fieldNames.map(col).toIndexedSeq: _*)
     noteMutation()
     removed
   }

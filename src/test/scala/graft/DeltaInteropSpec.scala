@@ -498,6 +498,42 @@ class DeltaInteropSpec extends SparkSpec {
     assert(h3 == 3L && d3.collect().map(_.getLong(0)).toSeq == Seq(11L))
   }
 
+  test("readDeltaChanges refuses a range whose JSON commits never reach the checkpointed head") {
+    // checkpoint at v2, JSON commits 0-1 present, 2 ABSENT (retention-cleaned
+    // past the checkpoint): contiguity from since+1 alone would silently drop
+    // v2's adds while still advancing the watermark to 2 — must fail loudly
+    import org.apache.spark.sql.functions.col
+    val root = Paths.get(tmp("delta_headgap"))
+    val logDir = root.resolve("_delta_log"); Files.createDirectories(logDir)
+    val schemaJson = Seq((1L, "x")).toDF("id", "s").schema.json
+    val escaped = schemaJson.replace("\"", "\\\"")
+    Files.write(logDir.resolve("0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$escaped","partitionColumns":[],"configuration":{}}}""",
+      """{"add":{"path":"part-0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+    ).asJava)
+    Files.write(logDir.resolve("0" * 19 + "1.json"), Seq(
+      """{"add":{"path":"part-1.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+    ).asJava)
+    val ckptRows = Seq(
+      (Some((1, 2)), Option.empty[(String, Seq[String], Map[String, String])]),
+      (None, Some((schemaJson, Seq.empty[String], Map.empty[String, String]))))
+      .toDF("protocol_t", "meta_t")
+      .select(
+        col("protocol_t").cast("struct<minReaderVersion:int,minWriterVersion:int>").as("protocol"),
+        col("meta_t").cast("struct<schemaString:string,partitionColumns:array<string>,configuration:map<string,string>>").as("metaData"))
+    val stage = tmp("headgap_stage")
+    ckptRows.coalesce(1).write.mode("overwrite").parquet(stage)
+    val s0 = Files.list(Paths.get(stage))
+    val src = try s0.iterator().asScala.find(_.toString.endsWith(".parquet")).get finally s0.close()
+    Files.copy(src, logDir.resolve("0" * 19 + "2.checkpoint.parquet"))
+    Files.write(logDir.resolve("_last_checkpoint"), Seq("""{"version":2,"size":2}""").asJava)
+
+    val e = intercept[IllegalArgumentException](
+      DeltaInterop.readDeltaChanges(spark, root.toString, sinceVersion = 0L))
+    assert(e.getMessage.contains("no gapless JSON commits"), e.getMessage)
+  }
+
   test("checkpoint scale probe: 100k add actions replay + checkpoint in metadata time") {
     // the daily-mirror shape at production file counts: the log is pure
     // driver-side metadata, so replaying 100k actions and writing the

@@ -172,6 +172,9 @@ class FeatureStoreSpec extends SparkSpec {
     val removed = fs.enforceRetention(now)
     assert(removed == 1L)
     assert(fs.valuesDF.count() == 1L)
+    // the fact log's declared column ORDER survives the retention join
+    // (usingColumns moves feature_id first; positional consumers must not break)
+    assert(fs.valuesDF.columns.toSeq == fs.valuesSchema.fieldNames.toSeq)
   }
 
   test("derived feature: register with parents, materialize, read back") {

@@ -229,6 +229,34 @@ class IcebergInteropSpec extends SparkSpec {
     assert(got.where(col("day") === "2024-01-01").count() == 2L)
   }
 
+  test("mixed physical layouts (some files carry the partition column) are refused loudly") {
+    // native-Iceberg writes appended after a Hive migration leave SOME data
+    // files physically carrying the identity-partition column: one uniform
+    // fill decision misreads them either way (overwrite the carried column
+    // or null the absent one), so footer disagreement must fail loudly
+    val t = TxTable(spark, tmp("ice_mixed"))
+    t.append(Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0))
+      .toDF("id", "day", "v"), tsMillis = 1000L, partitionBy = Seq("day"))
+    val out = tmp("ice_mixed_exp")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+    // rewrite ONE data file in place with a version that carries `day`
+    // physically (same rows, same path — the manifests don't change)
+    val victim = Files.walk(Paths.get(out, "data")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .find(_.toString.contains("day=2024-01-02")).get
+    val rows = spark.read.parquet(victim.toString)
+      .withColumn("day", org.apache.spark.sql.functions.lit("2024-01-02"))
+    val stage = tmp("ice_mixed_stage")
+    rows.coalesce(1).write.mode("overwrite").parquet(stage)
+    val s0 = Files.list(Paths.get(stage))
+    val src = try s0.iterator().asScala.find(_.toString.endsWith(".parquet")).get finally s0.close()
+    Files.copy(src, victim, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+
+    val e = intercept[IllegalArgumentException](
+      IcebergInterop.readIceberg(spark, out).collect())
+    assert(e.getMessage.contains("mixes physical layouts"), e.getMessage)
+  }
+
   test("partitioned export round-trips typed (date, int) and null partition values") {
     val t = TxTable(spark, tmp("ice_ptyped"))
     t.append(Seq(

@@ -64,6 +64,19 @@ class AnnIndexSpec extends graft.SparkSpec {
     assert(AnnIndex.loadEncoded(spark, dir).count() == 64L)
   }
 
+  test("duplicate ids WITHIN the batch are refused (not just vs the encoded table)") {
+    val (dir, _) = freshIndex()
+    // all-new ids vs the index, but id 100 appears twice inside the batch —
+    // the semi-join guard alone would encode it twice (double-scored by
+    // every query); the in-batch guard must refuse first
+    val batch = clustered(100 until 104).union(clustered(100 until 101))
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.appendToIndex(batch, "vec_id", "embedding", dir))
+    assert(e.getMessage.contains("within itself"), e.getMessage)
+    assert(AnnIndex.exists(dir), "a refused append must not unpublish the index")
+    assert(AnnIndex.loadEncoded(spark, dir).count() == 64L)
+  }
+
   test("a drifted batch distribution is refused with a rebuild instruction") {
     val (dir, _) = freshIndex()
     // drift: vectors along a THIRD axis the 2-centroid quantizer never saw
