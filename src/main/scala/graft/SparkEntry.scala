@@ -1686,11 +1686,13 @@ object SparkEntry {
       val corpus = Tables.documents(s, dir).where(col("doc_id") % 3 =!= 0)
       val sig = corpus.agg(bit_xor(xxhash64(col("doc_id"), col("text"))), count(lit(1)))
         .collect().head.toSeq.mkString("_")
+      // "v2" in the key: round 9 added shingles/ + doc_n/ to the layout, and
+      // a stale pre-v2 dir on the same host must rebuild, not half-probe
       val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-        s"graft_dedup_${java.lang.Integer.toHexString((dir + sig).hashCode)}").toString
+        s"graft_dedup_${java.lang.Integer.toHexString((dir + sig + "v2").hashCode)}").toString
       if (!Dedup.dedupIndexExists(out))
         Dedup.saveDedupIndex(corpus, "doc_id", "text", out,
-          shingleN = 3, bands = 16, rowsPerBand = 3)
+          shingleN = 3, bands = 16, rowsPerBand = 3, jaccardDfCap = 50)
       out
     })
 
@@ -1750,18 +1752,18 @@ object SparkEntry {
     * index ([[Dedup.incrementalExactDups]] — this puts the saved `exact/`
     * index on a full-oracle path; g1_incr_minhash only rows-checks the
     * bucket side) → reject near-duplicates of corpus docs (the exact
-    * bipartite jaccard anchor, same semantics as g1_incr_jaccard) →
-    * per-doc manifest.
+    * bipartite jaccard semantics of g1_incr_jaccard, served from the
+    * PERSISTED inverted shingle index) → per-doc manifest.
     *
     * Plan shape at 100 TB: gate map-only; within-batch dedup shuffles the
     * BATCH only (days are small; the corpus is reached exclusively through
-    * the persisted index equi-join and the df-capped inverted index —
-    * never a full-corpus text shuffle per day).
+    * persisted-index joins — content hashes, then the df-capped inverted
+    * shingle table pruned by a broadcast of the batch's shingles — never a
+    * corpus text re-shingle or shuffle per day).
     */
   private def p2PrepareIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs   = Tables.documents(s, dir)
     val batch  = docs.where(col("doc_id") % 3 === 0)
-    val corpus = docs.where(col("doc_id") % 3 =!= 0)
     // the SHARED per-batch core (same code as p1/p3): quality gate +
     // within-batch canonical dedup + rejection against processed hashes —
     // here the persisted index's `exact/` table IS the processed-hash set
@@ -1773,9 +1775,14 @@ object SparkEntry {
       textCol = "text", carryCols = Seq("lang", "source"),
       processedHashes = Some(indexHashes))
     // near-dup candidates computed on the RAW batch (the scan's results are
-    // reused by retention/reporting, so production runs it before the gate)
+    // reused by retention/reporting, so production runs it before the gate).
+    // INDEXED form: same results as g1_incr_jaccard's bipartite anchor, but
+    // the corpus side comes from the persisted inverted index — the daily
+    // run never re-shingles corpus text (IncrementalDedupSpec pins
+    // bit-equality of the two forms)
     val nearDupIds = Dedup
-      .incrementalJaccardPairs(batch, corpus, idCol = "doc_id", textCol = "text",
+      .incrementalJaccardPairsIndexed(batch, dedupIndexDir(s, dir),
+        idCol = "doc_id", textCol = "text",
         shingleN = 3, threshold = 0.3, maxShingleDf = 50)
       .select(col("new_id").as("doc_id")).distinct()
     gated

@@ -586,6 +586,86 @@ object Dedup {
       .select(col("new_id"), col("corpus_id"), epsRound(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** [[incrementalJaccardPairs]] against the PERSISTED index — bit-identical
+    * results (same df-cap semantics, counted over both sides together), but
+    * the corpus side comes from the index's `shingles/`/`doc_n/` tables
+    * instead of re-shingling corpus text per batch. The daily-ingest cost
+    * model this changes: the unindexed form re-runs the regex split +
+    * n-gram explode over the WHOLE corpus every day (O(corpus text) CPU);
+    * this form's corpus cost is one columnar scan of the inverted index
+    * pruned by a broadcast of the batch's shingle set — no string ops, no
+    * corpus shuffle (the broadcast-hash join streams the scan), and the
+    * per-doc df-cap counts come precomputed from `doc_n/` plus a
+    * batch-shared correction term (only shingles the batch pushes over the
+    * cap can change a corpus doc's count, and those are in the slice by
+    * definition).
+    *
+    * `maxShingleDf` must equal the `jaccardDfCap` the index was built with
+    * (the precomputed `doc_n/` bakes it in) — drift is a wrong-results bug
+    * and is refused loudly, like the banding parameters.
+    */
+  def incrementalJaccardPairsIndexed(
+      newDocs: DataFrame,
+      indexPath: String,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.3,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val spark = newDocs.sparkSession
+    requireCommittedIndex(indexPath)
+    readIndexParams(indexPath).foreach { p =>
+      require(p.contains("jaccardDfCap"),
+        s"dedup index at $indexPath predates the shingles/doc_n tables — " +
+          "rebuild with saveDedupIndex before probing the indexed jaccard path")
+      val want = Map("shingleN" -> shingleN, "jaccardDfCap" -> maxShingleDf)
+      val drift = want.filter { case (k, v) => p.get(k).exists(_ != v) }
+      require(drift.isEmpty,
+        s"dedup index at $indexPath was built with ${p.mkString(",")}; probing with " +
+          drift.map { case (k, v) => s"$k=$v" }.mkString(",") + " would return wrong pairs")
+    }
+    val cap = lit(maxShingleDf.toLong)
+    val exN = explodedShingles(newDocs, idCol, textCol, shingleN).localCheckpoint()
+    val dfN = exN.groupBy("__s").agg(count(lit(1)).as("__dfn")).localCheckpoint()
+    // ONE scan of the inverted index, pruned to batch-shared shingles by a
+    // broadcast hash join (a day's shingle set is broadcast-scale; the
+    // index is not shuffled)
+    val slice = spark.read.parquet(s"$indexPath/shingles")
+      .join(broadcast(dfN), col("s") === col("__s"))
+      .select(col("id").as("corpus_id"), col("__s"), col("df"), col("__dfn"))
+      .localCheckpoint() // feeds common, the correction term, and corpus dfs
+    val dfCForBatch = slice.select(col("__s"), col("df")).distinct()
+    // kept batch shingles: df_new + df_corpus(0 if unseen) <= cap.
+    // NOT checkpointed: both consumers (na, common) recompute it from the
+    // already-checkpointed exN/dfN/slice — two cheap batch-scale joins,
+    // cheaper than another checkpoint write barrier
+    val cN = exN.join(dfN, "__s")
+      .join(dfCForBatch, Seq("__s"), "left")
+      .where(coalesce(col("df"), lit(0L)) + col("__dfn") <= cap)
+    val na = cN.groupBy(col("__id").as("new_id")).agg(count(lit(1)).as("__na"))
+    val common = cN.select(col("__id").as("new_id"), col("__s"))
+      .join(slice.where(col("df") + col("__dfn") <= cap)
+        .select(col("corpus_id"), col("__s")), "__s")
+      .groupBy("new_id", "corpus_id")
+      .agg(count(lit(1)).as("__common"))
+    // corpus-side per-doc count under the cap: precomputed n_capped minus
+    // the shingles the BATCH pushed over it (those are batch-shared, so
+    // they live in the slice — never a full-index aggregation per day)
+    val pushedOver = slice
+      .where(col("df") <= cap && col("df") + col("__dfn") > cap)
+      .groupBy("corpus_id").agg(count(lit(1)).as("__b"))
+    val docN = spark.read.parquet(s"$indexPath/doc_n")
+      .select(col("id").as("corpus_id"), col("n_capped"))
+    common
+      .join(na, "new_id")
+      .join(docN, "corpus_id")
+      .join(pushedOver, Seq("corpus_id"), "left")
+      .withColumn("__nb", col("n_capped") - coalesce(col("__b"), lit(0L)))
+      .withColumn("jaccard", jaccardOf(col("__common"), col("__na"), col("__nb")))
+      .where(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), epsRound(col("jaccard"), 4).as("jaccard"))
+  }
+
   // marker I/O goes through the HADOOP filesystem of the index path, not
   // java.nio: the data files are written via Spark's Hadoop layer, and the
   // two disagree on any non-local path (hdfs://, s3a:// — exactly where
@@ -626,29 +706,49 @@ object Dedup {
     }
   }
 
-  /** Persist the corpus-side dedup index (two corpus scans — bucket table +
-    * content-hash groups — committed with a `_SUCCESS` marker that records
-    * the build parameters):
-    *  - `buckets/` — (bucket, id, n_shingles): MinHash-LSH band buckets.
+  /** Persist the corpus-side dedup index (one corpus shingling pass feeding
+    * every artifact — committed with a `_SUCCESS` marker that records the
+    * build parameters):
+    *  - `buckets/`  — (bucket, id, n_shingles): MinHash-LSH band buckets.
     *    The incoming batch probes this with an equi-join; the corpus text
     *    is NEVER rescanned for candidate generation.
-    *  - `exact/`   — (text_hash, canonical_id, n_docs): content-hash
+    *  - `exact/`    — (text_hash, canonical_id, n_docs): content-hash
     *    groups for exact-dup rejection of incoming docs.
+    *  - `shingles/` — (id, s, df): the inverted shingle index with each
+    *    shingle's corpus-wide document frequency denormalized per row.
+    *    [[incrementalJaccardPairsIndexed]] probes it with a broadcast join
+    *    on the batch's shingles, so the daily exact-Jaccard pass never
+    *    re-shingles corpus text (the regex/n-gram CPU is the dominant cost
+    *    of the unindexed form; a columnar scan of this table replaces it).
+    *  - `doc_n/`    — (id, n_capped): per-doc count of shingles whose df is
+    *    <= `jaccardDfCap` — the corpus side of the bipartite df-cap rule,
+    *    precomputed so probe-time per-doc counts touch only batch-shared
+    *    shingles (the batch-dependent correction term).
     */
   def saveDedupIndex(corpus: DataFrame, idCol: String, textCol: String, path: String,
-      shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 3): Unit = {
+      shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 3,
+      jaccardDfCap: Int = Int.MaxValue): Unit = {
     val marker = markerPath(path)
     val fs = marker.getFileSystem(hadoopConf())
     // invalidate FIRST: a crash mid-overwrite must not leave the PREVIOUS
     // build's marker blessing a half-rewritten index as committed
     fs.delete(marker, false)
-    bandBuckets(explodedShingles(corpus, idCol, textCol, shingleN), bands, rowsPerBand)
+    val ex = explodedShingles(corpus, idCol, textCol, shingleN).localCheckpoint()
+    bandBuckets(ex, bands, rowsPerBand)
       .select(col("__id").as("id"), col("__n").as("n_shingles"), col("__bucket").as("bucket"))
       .write.mode("overwrite").parquet(s"$path/buckets")
     exactGroups(corpus, idCol, textCol)
       .write.mode("overwrite").parquet(s"$path/exact")
+    val dfs = ex.groupBy("__s").agg(count(lit(1)).as("df")) // per-doc distinct => count == df
+    val withDf = ex.join(dfs, "__s").localCheckpoint()
+    withDf.select(col("__id").as("id"), col("__s").as("s"), col("df"))
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    withDf.where(col("df") <= jaccardDfCap)
+      .groupBy(col("__id").as("id")).agg(count(lit(1)).as("n_capped"))
+      .write.mode("overwrite").parquet(s"$path/doc_n")
     val out = fs.create(marker, true)
-    try out.write(s"shingleN=$shingleN,bands=$bands,rowsPerBand=$rowsPerBand".getBytes("UTF-8"))
+    try out.write((s"shingleN=$shingleN,bands=$bands,rowsPerBand=$rowsPerBand," +
+      s"jaccardDfCap=$jaccardDfCap").getBytes("UTF-8"))
     finally out.close()
   }
 

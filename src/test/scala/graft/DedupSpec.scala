@@ -139,6 +139,56 @@ class DedupSpec extends SparkSpec {
     assert(mh.keySet.subsetOf(exact.keySet))
     mh.foreach { case (k, j) => assert(j == exact(k)) }
     assert(mh.contains((2L, 1L)) && mh.contains((3L, 1L)))
+
+    // indexed exact-jaccard path: BIT-IDENTICAL to the anchor (recall 1, not
+    // just precision 1 — it is the same math served from shingles/ + doc_n/)
+    val idx = Dedup.incrementalJaccardPairsIndexed(batch, dir, "doc_id", "text",
+      shingleN = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(idx == exact, s"indexed=$idx anchor=$exact")
+  }
+
+  test("indexed incremental jaccard ≡ unindexed under an ACTIVE df cap (correction-term path)") {
+    // boiler docs: every doc carries the stop-phrase "the same boiler text
+    // here" whose shingles' combined df crosses the cap only when the batch
+    // arrives — exercising doc_n/'s batch-dependent correction term
+    val boiler = "the same boiler text here"
+    val corpus = Seq(
+      (10L, s"alpha beta gamma delta $boiler"),
+      (11L, s"alpha beta gamma epsilon $boiler"),
+      (12L, s"zeta eta theta iota $boiler kappa end marker")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, s"alpha beta gamma delta $boiler"),   // near/exact dup of 10
+      (21L, s"totally unrelated content $boiler") // shares only boiler
+    ).toDF("doc_id", "text")
+    for (cap <- Seq(3, 4, 100)) {
+      val anchor = Dedup.incrementalJaccardPairs(batch, corpus, "doc_id", "text",
+        shingleN = 3, threshold = 0.1, maxShingleDf = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-dedup-cap$cap").toString
+      Dedup.saveDedupIndex(corpus, "doc_id", "text", dir, jaccardDfCap = cap)
+      val idx = Dedup.incrementalJaccardPairsIndexed(batch, dir, "doc_id", "text",
+        shingleN = 3, threshold = 0.1, maxShingleDf = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(idx == anchor, s"cap=$cap indexed=$idx anchor=$anchor")
+    }
+    // probing with a cap the index wasn't built with is a wrong-results bug
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-drift").toString
+    Dedup.saveDedupIndex(corpus, "doc_id", "text", dir, jaccardDfCap = 4)
+    val e = intercept[IllegalArgumentException](
+      Dedup.incrementalJaccardPairsIndexed(batch, dir, "doc_id", "text",
+        shingleN = 3, threshold = 0.1, maxShingleDf = 50))
+    assert(e.getMessage.contains("jaccardDfCap"), e.getMessage)
+    // a legacy index (marker without jaccardDfCap) is refused, not half-probed
+    // (drop the Hadoop CRC sidecar — the local fs would reject the raw rewrite)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, "._SUCCESS.crc"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_SUCCESS"),
+      "shingleN=3,bands=16,rowsPerBand=3".getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.incrementalJaccardPairsIndexed(batch, dir, "doc_id", "text",
+        shingleN = 3, threshold = 0.1, maxShingleDf = 4))
+    assert(e2.getMessage.contains("predates"), e2.getMessage)
   }
 
   test("connectedComponents resolves chains and keeps min canonical") {
