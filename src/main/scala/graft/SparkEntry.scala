@@ -1700,6 +1700,10 @@ object SparkEntry {
   private[graft] def dedupIndexDirForTest(s: SparkSession, dir: String): String =
     dedupIndexDir(s, dir)
 
+  /** Test hook: the materialized co-purchase edge fixture. */
+  private[graft] def coPurchaseEdgesForTest(s: SparkSession, dir: String,
+      minSupport: Long): DataFrame = coPurchaseEdges(s, dir, minSupport)
+
   /** G1 — incremental exact-Jaccard dedup: the incoming batch
     * (doc_id % 3 == 0) against the already-ingested corpus, bipartite
     * inverted-index join, df-capped. Correctness anchor for the
@@ -4182,7 +4186,10 @@ object SparkEntry {
       .select(col("p_partkey"), col("p_brand"))
     Graph
       .labelPropagateFrontier(edges, "a", "b", "w", seeds, "p_partkey", "p_brand",
-        iterations = 2)
+        iterations = 2,
+        // the materialized co-purchase fixture IS the canonical form
+        // (bipartiteProject output) — don't re-shuffle it per query
+        edgesCanonical = true)
       .select(col("node").as("part_id"), col("label").as("brand"))
       .orderBy("part_id")
   }

@@ -322,6 +322,25 @@ object Graph {
       .select(col("a"), col("b"), col("w"), col("__pmi").as("sppmi"))
   }
 
+  /** Canonical undirected edge form shared by the label-propagation pair:
+    * (a < b) unique keys, parallel edges summed, self-loops/nulls/non-
+    * positive weights dropped. `trusted` skips the aggregation shuffle for
+    * callers whose edges already satisfy the contract. */
+  private def canonicalEdges(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, trusted: Boolean): DataFrame =
+    if (trusted)
+      edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"),
+        col(weightCol).cast("double").as("__w"))
+    else edges
+      .select(col(srcCol).as("__x"), col(dstCol).as("__y"),
+        col(weightCol).cast("double").as("__w"))
+      .where(col("__x").isNotNull && col("__y").isNotNull &&
+        col("__x") =!= col("__y"))
+      .groupBy(least(col("__x"), col("__y")).as("__a"),
+        greatest(col("__x"), col("__y")).as("__b"))
+      .agg(sum("__w").as("__w"))
+      .where(col("__w") > 0.0)
+
   /** Semi-supervised label propagation (Zhu & Ghahramani 2002 shape,
     * hard-label variant), run for a FIXED number of synchronous
     * iterations: each round every node adopts the label with the largest
@@ -349,6 +368,12 @@ object Graph {
     *   rounds (seeds included). [[labelPropagateFrontier]] computes the
     *   SAME result at frontier cost — this synchronous form is the
     *   reference implementation the differential spec pins it against.
+    * @param edgesCanonical the caller asserts `edges` is already the
+    *   canonical undirected form — (src < dst) unique pairs, no nulls, no
+    *   self-loops, weights > 0 (exactly [[bipartiteProject]]'s output
+    *   contract) — so the O(E) canonicalization shuffle is skipped. A
+    *   materialized edge fixture consumed by many queries should pay that
+    *   shuffle once at build time, not once per query.
     */
   def labelPropagate(
       edges: DataFrame,
@@ -358,22 +383,15 @@ object Graph {
       seeds: DataFrame,
       nodeCol: String,
       labelCol: String,
-      iterations: Int
+      iterations: Int,
+      edgesCanonical: Boolean = false
   ): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     // canonicalize BEFORE mirroring: the parallel-edge aggregation then
     // shuffles half the rows, and the mirror is a map-side union of the
     // aggregated result (same totals — both directions of a parallel
     // edge land on one canonical key)
-    val canon = edges
-      .select(col(srcCol).as("__x"), col(dstCol).as("__y"),
-        col(weightCol).cast("double").as("__w"))
-      .where(col("__x").isNotNull && col("__y").isNotNull &&
-        col("__x") =!= col("__y"))
-      .groupBy(least(col("__x"), col("__y")).as("__a"),
-        greatest(col("__x"), col("__y")).as("__b"))
-      .agg(sum("__w").as("__w"))
-      .where(col("__w") > 0.0)
+    val canon = canonicalEdges(edges, srcCol, dstCol, weightCol, edgesCanonical)
     val e = canon
       .select(col("__a").as("__src"), col("__b").as("__dst"), col("__w"))
       .union(canon.select(col("__b").as("__src"), col("__a").as("__dst"), col("__w")))
@@ -426,6 +444,25 @@ object Graph {
     *
     * [[GraphPropertySpec]] pins frontier ≡ synchronous equality on random
     * graphs; [[graft.GraphScaleProbe]] A/Bs the per-round cost at scale.
+    *
+    * HYBRID DISPATCH (round-8 verdict #2): the frontier machinery (touched
+    * expansion + neighborhood semi-join + extra checkpoints) only pays for
+    * itself when the frontier is SMALL — on a dense round (frontier ≈ the
+    * whole graph, e.g. the first rounds after dense seeding) it recomputes
+    * nearly every node anyway while paying the bookkeeping on top, which is
+    * how the r8 fixture regressed 5.2 → 8.2 s. Each round therefore
+    * dispatches on the measured frontier width: while |frontier| ≥
+    * `denseFraction` × |nodes| it runs the plain synchronous step (one
+    * edge join + argmax over everything — cheaper when everything moved),
+    * and switches to delta propagation once the frontier thins. Both steps
+    * compute the same labels, so the dispatch point cannot change results.
+    * Default 0.1, NOT higher: a random f-fraction node frontier touches
+    * ≈ 2f of the edges (every edge has two endpoints), so at f = 0.25 the
+    * "sparse" round already recomputes half the graph while paying the
+    * touched-set bookkeeping on top — measured slower than sync on the
+    * co-purchase fixture at f = 0.2.
+    * The per-round frontier count doubles as the early-exit check and is
+    * SKIPPED on the final iteration (it can never save work there).
     */
   def labelPropagateFrontier(
       edges: DataFrame,
@@ -435,81 +472,100 @@ object Graph {
       seeds: DataFrame,
       nodeCol: String,
       labelCol: String,
-      iterations: Int
+      iterations: Int,
+      denseFraction: Double = 0.1,
+      edgesCanonical: Boolean = false
   ): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val canon = edges
-      .select(col(srcCol).as("__x"), col(dstCol).as("__y"),
-        col(weightCol).cast("double").as("__w"))
-      .where(col("__x").isNotNull && col("__y").isNotNull &&
-        col("__x") =!= col("__y"))
-      .groupBy(least(col("__x"), col("__y")).as("__a"),
-        greatest(col("__x"), col("__y")).as("__b"))
-      .agg(sum("__w").as("__w"))
-      .where(col("__w") > 0.0)
-    // TWO pre-partitioned copies of the mirrored edge list — the loop
-    // body's join keys never change (frontier expansion joins on __src,
-    // the neighborhood restriction on __dst), so shuffling the edges ONCE
-    // per key here removes the per-round 2×O(E) edge shuffle entirely:
-    // each round then shuffles only the frontier/touched side. This is
-    // the cluster discipline the pageRank doc describes, applied.
+    val canon = canonicalEdges(edges, srcCol, dstCol, weightCol, edgesCanonical)
+    // Pre-partitioned mirrored edge list — the loop body's join keys never
+    // change (mass joins on __src, the neighborhood restriction on __dst),
+    // so shuffling the edges ONCE per key removes the per-round 2×O(E)
+    // edge shuffle entirely: each round then shuffles only the
+    // frontier/touched side. This is the cluster discipline the pageRank
+    // doc describes, applied. The __dst copy is built LAZILY — a run that
+    // stays dense (or converges) before any sparse round never pays it.
     val eBySrc = canon
       .select(col("__a").as("__src"), col("__b").as("__dst"), col("__w"))
       .union(canon.select(col("__b").as("__src"), col("__a").as("__dst"), col("__w")))
       .repartition(col("__src"))
       .localCheckpoint()
-    val eByDst = eBySrc.repartition(col("__dst")).localCheckpoint()
+    lazy val eByDst = eBySrc.repartition(col("__dst")).localCheckpoint()
     val seed = seeds
       .select(col(nodeCol).as("node"), col(labelCol).as("__lbl"))
       .where(col("node").isNotNull && col("__lbl").isNotNull)
       .groupBy("node")
       .agg(min("__lbl").as("__lbl"))
       .localCheckpoint()
+    val seedS = seed.select(col("node"), col("__lbl").as("__seed"))
+    // the dispatch denominator, measured once on the checkpointed edges
+    // (every node with an incident edge appears as a __src in the mirror)
+    val nNodes = eBySrc.select("__src").distinct().count()
+    val argmax = (mass: DataFrame) => mass
+      .groupBy("node")
+      .agg(min(struct((-col("__m")).as("__negm"), col("__lbl"))).as("__t"))
+      .select(col("node"), col("__t").getField("__lbl").as("__cand"))
 
     var labels = seed
     // round 1's changed set is the seeds themselves (they went from
     // unlabeled to labeled relative to the empty start)
-    var frontier = seed.select("node").localCheckpoint()
+    var frontier = seed.select("node")
+    var frontierCnt = frontier.count()
     var k = 0
-    var done = false
-    while (k < iterations && !done) {
-      // nodes whose incident mass could have changed: neighbors of the
-      // frontier — the ONLY join that touches the edge list at frontier
-      // width; the recompute below is restricted to their neighborhoods
-      val touched = eBySrc
-        .join(frontier, eBySrc("__src") === frontier("node"))
-        .select(col("__dst").as("node"))
-        .distinct()
-        .localCheckpoint()
-      val eT = eByDst.join(touched, eByDst("__dst") === touched("node"), "left_semi")
-      val mass = eT
-        .join(labels, eT("__src") === labels("node"))
-        .groupBy(col("__dst").as("node"), col("__lbl"))
-        .agg(sum("__w").as("__m"))
-      val cand = mass
-        .groupBy("node")
-        .agg(min(struct((-col("__m")).as("__negm"), col("__lbl"))).as("__t"))
-        .select(col("node"), col("__t").getField("__lbl").as("__cand"))
-      val updated = touched
-        .join(cand, Seq("node"), "left")
-        .join(seed.select(col("node"), col("__lbl").as("__seed")), Seq("node"), "left")
-        .join(labels.select(col("node"), col("__lbl").as("__old")), Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("__seed"), col("__cand"), col("__old")).as("__new"),
-          col("__old"))
-        .where(col("__new").isNotNull) // touched but still unlabeled: no row
-        .localCheckpoint()
-      frontier = updated
-        .where(!(col("__new") <=> col("__old")))
-        .select("node")
-        .localCheckpoint()
-      labels = labels
-        .join(updated.select(col("node"), col("__new")), Seq("node"), "full_outer")
-        .select(col("node"), coalesce(col("__new"), col("__lbl")).as("__lbl"))
-        .localCheckpoint()
-      // empty frontier → no node's mass can change in ANY later round:
-      // exiting now returns exactly what the remaining rounds would
-      done = frontier.limit(1).count() == 0L
+    while (k < iterations && frontierCnt > 0L) {
+      val lastRound = k == iterations - 1
+      if (frontierCnt >= denseFraction * nNodes) {
+        // DENSE round: plain synchronous step over the whole edge list —
+        // one checkpoint, no touched/updated bookkeeping
+        val mass = eBySrc
+          .join(labels, eBySrc("__src") === labels("node"))
+          .groupBy(col("__dst").as("node"), col("__lbl"))
+          .agg(sum("__w").as("__m"))
+        val merged = labels.select(col("node"), col("__lbl").as("__old"))
+          .join(argmax(mass), Seq("node"), "full_outer")
+          .join(seedS, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__seed"), col("__cand"), col("__old")).as("__lbl"),
+            col("__old"))
+          .localCheckpoint()
+        labels = merged.select("node", "__lbl")
+        frontier = merged.where(!(col("__lbl") <=> col("__old"))).select("node")
+      } else {
+        // SPARSE round: recompute only the frontier's neighborhoods —
+        // nodes whose incident mass could have changed are the frontier's
+        // neighbors (the ONLY join touching the edge list at frontier width)
+        val touched = eBySrc
+          .join(frontier, eBySrc("__src") === frontier("node"))
+          .select(col("__dst").as("node"))
+          .distinct()
+          .localCheckpoint()
+        val eT = eByDst.join(touched, eByDst("__dst") === touched("node"), "left_semi")
+        val mass = eT
+          .join(labels, eT("__src") === labels("node"))
+          .groupBy(col("__dst").as("node"), col("__lbl"))
+          .agg(sum("__w").as("__m"))
+        val updated = touched
+          .join(argmax(mass), Seq("node"), "left")
+          .join(seedS, Seq("node"), "left")
+          .join(labels.select(col("node"), col("__lbl").as("__old")), Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__seed"), col("__cand"), col("__old")).as("__new"),
+            col("__old"))
+          .where(col("__new").isNotNull) // touched but still unlabeled: no row
+          .localCheckpoint()
+        frontier = updated
+          .where(!(col("__new") <=> col("__old")))
+          .select("node")
+        labels = labels
+          .join(updated.select(col("node"), col("__new")), Seq("node"), "full_outer")
+          .select(col("node"), coalesce(col("__new"), col("__lbl")).as("__lbl"))
+          .localCheckpoint()
+      }
+      // one count serves BOTH the early exit (empty frontier → provably
+      // nothing can change later) and the next round's dispatch; the final
+      // iteration skips it — there is no later round for it to save.
+      // frontier reads the round's already-checkpointed table either way.
+      frontierCnt = if (lastRound) 0L else frontier.count()
       k += 1
     }
     labels.select(col("node"), col("__lbl").as("label"))
