@@ -69,6 +69,85 @@ object IcebergInterop {
     // real Iceberg uses for Hive-migrated tables, spec "Column Projection").
     val schema = StructType.fromDDL(snap.schemaDdl)
     val partFields = identityPartFields(schema, snap.partCols)
+    exportIcebergWith(t, target, tsMillis, schema, partFields,
+      rel => hivePartitionTuple(rel, partFields))
+  }
+
+  /** Export the CURRENT snapshot of a FLAT (un-partitioned) TxTable as an
+    * Iceberg v1 table partitioned by `day(tsCol)` — the idiomatic Iceberg
+    * layout for a date-partitioned fact table (a daily-exported feature
+    * log's natural spec). The timestamp column stays PHYSICALLY in the
+    * data files (non-identity transforms are pruning metadata, not Column
+    * Projection — nothing is reconstructed at read time); the manifests
+    * carry each file's day ordinal (days since epoch, the spec's `day`
+    * transform result type) so engines prune files by date without
+    * touching data.
+    *
+    * The per-file day comes from ONE distributed scan of just `tsCol`
+    * grouped by `_metadata.file_name` — and every file must be SINGLE-DAY
+    * (the daily-append shape): a file spanning days has no honest
+    * partition tuple, so the export fails loudly with a compact-by-day
+    * instruction instead of writing pruning metadata that would drop rows
+    * from date-filtered reads. Null timestamps are refused for the same
+    * reason. (A production TxTable would record per-file ts ranges in its
+    * commit log at append time; this scan is the catch-up equivalent,
+    * same cost class as Iceberg's own migrate procedure.)
+    */
+  def exportIcebergDays(t: TxTable, target: String, tsCol: String,
+      tsMillis: Long = System.currentTimeMillis()): Unit = {
+    import org.apache.spark.sql.functions.{col, count, datediff, lit, max, min, to_date, when}
+    val snap = t.snapshotInfo()
+    require(snap.partCols.isEmpty,
+      s"exportIcebergDays expects a FLAT TxTable (files carry '$tsCol' " +
+        s"physically); the table at ${snap.dataDir} is Hive-partitioned by " +
+        s"${snap.partCols.mkString(",")} — use exportIceberg's identity spec for it")
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val idx = schema.fieldNames.indexOf(tsCol)
+    require(idx >= 0, s"day-partition column '$tsCol' is not in the table schema")
+    require(schema.fields(idx).dataType == TimestampType ||
+        schema.fields(idx).dataType == DateType,
+      s"day-partition column '$tsCol' has type ${schema.fields(idx).dataType} — " +
+        "day() applies to timestamp/date columns only")
+    val partFields = Seq(PartField(s"${tsCol}_day", DateType,
+      sourceId = idx + 1, fieldId = 1000, transform = "day"))
+
+    val srcData = Paths.get(snap.dataDir)
+    val uris = snap.files.map(rel => srcData.resolve(rel).toString)
+    val perFile = t.spark.read.schema(schema).parquet(uris: _*)
+      .select(col(tsCol),
+        org.apache.spark.sql.functions.col("_metadata.file_name").as("__f"),
+        datediff(to_date(col(tsCol)), lit(java.sql.Date.valueOf("1970-01-01"))).as("__d"))
+      .groupBy("__f")
+      .agg(min("__d").as("__lo"), max("__d").as("__hi"),
+        count(when(col(tsCol).isNull, 1)).as("__nulls"))
+      .collect()
+    val dayOf: Map[String, Int] = perFile.map { r =>
+      val (f, nulls) = (r.getString(0), r.getLong(3))
+      require(nulls == 0L,
+        s"exportIcebergDays: data file $f carries $nulls null '$tsCol' " +
+          "value(s) — a null has no day partition; clean or re-ingest first")
+      val (lo, hi) = (r.getInt(1), r.getInt(2))
+      require(lo == hi,
+        s"exportIcebergDays: data file $f spans days $lo..$hi of '$tsCol' — " +
+          "every file must be single-day for an honest day() spec; " +
+          "compact/repartition the table by day first")
+      f -> lo
+    }.toMap
+    exportIcebergWith(t, target, tsMillis, schema, partFields, rel => {
+      val name = Paths.get(rel).getFileName.toString
+      Seq(java.lang.Integer.valueOf(dayOf.getOrElse(name,
+        throw new IllegalStateException(
+          s"exportIcebergDays: no day scanned for data file $rel")))) // unreachable
+    })
+  }
+
+  /** Shared single-snapshot export core: hard-link the data files, write
+    * manifest + manifest list + v1 metadata with `partFields` as spec 0,
+    * `tupleOf(relPath)` supplying each file's partition tuple. */
+  private def exportIcebergWith(t: TxTable, target: String, tsMillis: Long,
+      schema: StructType, partFields: Seq[PartField],
+      tupleOf: String => Seq[Any]): Unit = {
+    val snap = t.snapshotInfo()
     val finalDir = Paths.get(target).toAbsolutePath
     Files.createDirectories(finalDir.getParent)
     val staging = finalDir.resolveSibling(
@@ -88,7 +167,7 @@ object IcebergInterop {
       catch { case _: Exception =>
         Files.copy(src, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
       ManifestFile(rel, Files.size(dst), parquetRowCount(t.spark, dst),
-        hivePartitionTuple(rel, partFields))
+        tupleOf(rel))
     }
 
     // snapshot id: content-determined so identical exports are identical
@@ -413,7 +492,7 @@ object IcebergInterop {
     * schema field-id this writer assigns. Partition column types outside
     * the Hive-path-encodable set fail loudly at export time. */
   private[sources] case class PartField(name: String, dataType: DataType,
-      sourceId: Int, fieldId: Int)
+      sourceId: Int, fieldId: Int, transform: String = "identity")
 
   private def identityPartFields(schema: StructType,
       partCols: Seq[String]): Seq[PartField] =
@@ -470,7 +549,7 @@ object IcebergInterop {
     partFields.foreach { pf =>
       val f = m.createObjectNode()
       f.put("name", pf.name)
-      f.put("transform", "identity")
+      f.put("transform", pf.transform)
       f.put("source-id", pf.sourceId)
       f.put("field-id", pf.fieldId)
       arr.add(f)
@@ -867,7 +946,20 @@ object IcebergInterop {
     // across footers — ordinary schema evolution, Spark fills null per file.)
     val footerColSets = dataFiles.map(f => f._1 -> parquetTopLevelCols(spark, f._1))
     val footerCols = footerColSets.head._2
-    val identityCols = schema.fields.filter(f => srcToSpec.contains(f.name))
+    // a NON-identity transform (day/bucket/truncate/...) is pruning
+    // metadata only — its source column cannot be reconstructed from the
+    // partition tuple, so it must be PHYSICALLY present in the data files;
+    // a table where it is absent is unreadable, loudly (the "transforms
+    // the reader can't honor" rejection)
+    val transformSrcs = targetSpecTransformSources(meta, path)
+    transformSrcs.foreach { case (tr, src) =>
+      require(footerCols.contains(src),
+        s"Iceberg table $path partitions by $tr($src) but its data files do " +
+          s"not physically carry '$src' — a non-identity transform cannot be " +
+          "reconstructed from partition tuples; unreadable")
+    }
+    val identityCols = schema.fields.filter(f =>
+      srcToSpec.contains(f.name) || transformSrcs.exists(_._2 == f.name))
     footerColSets.tail.foreach { case (p, cols) =>
       val disagree = identityCols.filter(f =>
         cols.contains(f.name) != footerCols.contains(f.name))
@@ -960,6 +1052,26 @@ object IcebergInterop {
         val src = idToName.getOrElse(sid, throw new IllegalArgumentException(
           s"Iceberg table $path partition spec references unknown field-id $sid"))
         Some((f.get("name").asText, src))
+      }
+    }
+  }
+
+  /** (transform, source column name) for the default spec's NON-identity
+    * fields — the columns [[readWithIdentityFill]] must find physically in
+    * the data. A source field-id missing from the current schema means the
+    * source column was dropped after partitioning: presence can no longer
+    * be verified by name, so it fails loudly. */
+  private def targetSpecTransformSources(meta: JsonNode,
+      path: String): Seq[(String, String)] = {
+    val idToName = schemaFieldIdToName(meta, path)
+    defaultSpecFields(meta).flatMap { f =>
+      val tr = Option(f.get("transform")).map(_.asText).getOrElse("identity")
+      if (tr == "identity") None
+      else {
+        val sid = f.get("source-id").asInt
+        Some(tr -> idToName.getOrElse(sid, throw new IllegalArgumentException(
+          s"Iceberg table $path partitions by $tr() over dropped field-id " +
+            s"$sid — cannot verify the source column is present; unreadable")))
       }
     }
   }

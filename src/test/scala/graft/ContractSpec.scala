@@ -107,8 +107,11 @@ class ContractSpec extends AnyFunSuite {
     // 193 adds h20_epoch_plan (data-constrained scaling: temperature-
     // weighted budget allocation per source with implied epochs and the
     // >4-epoch over-repetition flag; pow/floor/round oracle)
-    assert(SparkEntry.queries.size == 193,
-      s"declared query count ${SparkEntry.queries.size} != documented 193 — " +
+    // 194 adds b5_iceberg_export_days (day(ts)-transform Iceberg export:
+    // per-file day tuples as pruning metadata, ts stays physical, DuckDB
+    // oracle over the same bytes; multi-day/null-ts files refused)
+    assert(SparkEntry.queries.size == 194,
+      s"declared query count ${SparkEntry.queries.size} != documented 194 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

@@ -229,6 +229,96 @@ class IcebergInteropSpec extends SparkSpec {
     assert(got.where(col("day") === "2024-01-01").count() == 2L)
   }
 
+  test("exportIcebergDays: day(ts) spec, per-file day tuples, ts stays physical, round-trip") {
+    import java.sql.Timestamp
+    val t = TxTable(spark, tmp("ice_days"))
+    // daily appends — each append (hence each file) is single-day
+    t.append(Seq((1L, Timestamp.valueOf("2024-03-01 08:00:00"), 1.0),
+        (2L, Timestamp.valueOf("2024-03-01 17:30:00"), 2.0))
+      .toDF("id", "ts", "v"), tsMillis = 1000L)
+    t.append(Seq((3L, Timestamp.valueOf("2024-03-02 09:15:00"), 3.0))
+      .toDF("id", "ts", "v"), tsMillis = 2000L)
+    val out = tmp("ice_days_exp")
+    IcebergInterop.exportIcebergDays(t, out, "ts", tsMillis = 5000L)
+
+    // metadata declares the day transform over ts in both spec keys
+    val metaTxt = new String(Files.readAllBytes(
+      Paths.get(out, "metadata", "v1.metadata.json")))
+    assert(metaTxt.contains("\"transform\" : \"day\""), metaTxt)
+    assert(metaTxt.contains("ts_day"))
+    // ts is PHYSICALLY in the data files (non-identity = pruning metadata)
+    val dataFiles = Files.walk(Paths.get(out, "data")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    assert(dataFiles.nonEmpty)
+    assert(spark.read.parquet(dataFiles.head.toString).columns.contains("ts"))
+
+    // round trip: identical rows, schema order preserved
+    val got = IcebergInterop.readIceberg(spark, out)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "ts", "v"))
+    assert(got.orderBy("id").collect().toSeq ==
+      t.read().select("id", "ts", "v").orderBy("id").collect().toSeq)
+  }
+
+  test("exportIcebergDays refuses multi-day files, null timestamps, partitioned sources") {
+    import java.sql.Timestamp
+    // a file spanning two days has no honest day tuple
+    val span = TxTable(spark, tmp("ice_days_span"))
+    span.append(Seq((1L, Timestamp.valueOf("2024-03-01 08:00:00"), 1.0),
+        (2L, Timestamp.valueOf("2024-03-02 08:00:00"), 2.0))
+      .toDF("id", "ts", "v").coalesce(1), tsMillis = 1000L)
+    val e1 = intercept[IllegalArgumentException](
+      IcebergInterop.exportIcebergDays(span, tmp("ice_days_span_exp"), "ts", 5000L))
+    assert(e1.getMessage.contains("spans days"), e1.getMessage)
+
+    // a null ts has no day partition
+    val nul = TxTable(spark, tmp("ice_days_null"))
+    nul.append(Seq((1L, Timestamp.valueOf("2024-03-01 08:00:00"), 1.0),
+        (2L, null.asInstanceOf[Timestamp], 2.0))
+      .toDF("id", "ts", "v").coalesce(1), tsMillis = 1000L)
+    val e2 = intercept[IllegalArgumentException](
+      IcebergInterop.exportIcebergDays(nul, tmp("ice_days_null_exp"), "ts", 5000L))
+    assert(e2.getMessage.contains("null"), e2.getMessage)
+
+    // a Hive-partitioned source belongs to the identity exporter
+    val part = TxTable(spark, tmp("ice_days_part"))
+    part.append(Seq((1L, "a", 1.0)).toDF("id", "k", "v"),
+      tsMillis = 1000L, partitionBy = Seq("k"))
+    val e3 = intercept[IllegalArgumentException](
+      IcebergInterop.exportIcebergDays(part, tmp("ice_days_part_exp"), "ts", 5000L))
+    assert(e3.getMessage.contains("FLAT"), e3.getMessage)
+
+    // a non-timestamp column cannot take day()
+    val bad = TxTable(spark, tmp("ice_days_bad"))
+    bad.append(Seq((1L, "x", 1.0)).toDF("id", "k", "v"), tsMillis = 1000L)
+    val e4 = intercept[IllegalArgumentException](
+      IcebergInterop.exportIcebergDays(bad, tmp("ice_days_bad_exp"), "k", 5000L))
+    assert(e4.getMessage.contains("timestamp/date"), e4.getMessage)
+  }
+
+  test("a non-identity transform whose source column is missing from the data is unreadable, loudly") {
+    import java.sql.Timestamp
+    val t = TxTable(spark, tmp("ice_days_strip"))
+    t.append(Seq((1L, Timestamp.valueOf("2024-03-01 08:00:00"), 1.0))
+      .toDF("id", "ts", "v"), tsMillis = 1000L)
+    val out = tmp("ice_days_strip_exp")
+    IcebergInterop.exportIcebergDays(t, out, "ts", tsMillis = 5000L)
+    // strip ts from every data file in place (a broken/foreign rewrite):
+    // day(ts) can NOT be reconstructed from the tuple — must refuse
+    val files = Files.walk(Paths.get(out, "data")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    files.foreach { p =>
+      val rows = spark.read.parquet(p.toString).drop("ts")
+      val stage = tmp("ice_days_strip_stage")
+      rows.coalesce(1).write.mode("overwrite").parquet(stage)
+      val s0 = Files.list(Paths.get(stage))
+      val src = try s0.iterator().asScala.find(_.toString.endsWith(".parquet")).get finally s0.close()
+      Files.copy(src, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val e = intercept[IllegalArgumentException](
+      IcebergInterop.readIceberg(spark, out).collect())
+    assert(e.getMessage.contains("cannot be reconstructed"), e.getMessage)
+  }
+
   test("mixed physical layouts (some files carry the partition column) are refused loudly") {
     // native-Iceberg writes appended after a Hive migration leave SOME data
     // files physically carrying the identity-partition column: one uniform
