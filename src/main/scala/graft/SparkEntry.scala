@@ -2036,7 +2036,10 @@ object SparkEntry {
     */
   // build parameters are part of the index identity: change one and the
   // key changes, so exists() can never serve an index built with old params
-  private val annParams = (16, 2, 8, 16, 4) // nCentroids, refineIters, m, k, pqIters
+  // "v2": round 9 partitioned encoded/ by cell (compaction's segment
+  // layout) — the version token keys the fixture dirs so a stale flat
+  // layout on the same host rebuilds instead of mixing layouts
+  private val annParams = (16, 2, 8, 16, 4, "v2") // nCentroids, refineIters, m, k, pqIters, layout
   // one signature scan per (session, fixture state) — three ANN queries per
   // bench run must not each re-aggregate the corpus just to find the same
   // directory. The cache key carries a file-metadata freshness token
@@ -2103,7 +2106,7 @@ object SparkEntry {
       val sig = emb
         .agg(bit_xor(xxhash64(col("vec_id"), col("embedding"))), count(lit(1)))
         .collect().head.toSeq.mkString("_")
-      val (nc, ri, m, k, pi) = annParams
+      val (nc, ri, m, k, pi, _) = annParams
       val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_ann_${java.lang.Integer.toHexString((dir + sig + annParams).hashCode)}").toString
       if (!AnnIndex.exists(out))
@@ -2130,7 +2133,7 @@ object SparkEntry {
       val sig = emb
         .agg(bit_xor(xxhash64(col("vec_id"), col("embedding"))), count(lit(1)))
         .collect().head.toSeq.mkString("_")
-      val (nc, ri, m, k, pi) = annParams
+      val (nc, ri, m, k, pi, _) = annParams
       val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
         s"graft_ann_base_${java.lang.Integer.toHexString((dir + sig + annParams).hashCode)}").toString
       if (!AnnIndex.exists(out))
@@ -2324,6 +2327,71 @@ object SparkEntry {
         k = 3, cb, AnnIndex.loadCentroids(s, idx)),
       dir, emb, qs, k = 3, floor = 0.5) // same floor as the full rebuild
       .orderBy("query_id", "rank")
+  }
+
+  /** G2 ANN — index DELETES + COMPACTION (round-8 verdict #4, completing
+    * the lifecycle g2_ann_append opened): a hard-link clone of the
+    * full-corpus index takes a 10%% tombstone delete
+    * ([[AnnIndex.removeFromIndex]]), serves the IVFPQ query through the
+    * tombstone mask, then [[AnnIndex.compactIndex]] physically reclaims
+    * the rows cell by cell and the query re-runs over the compacted
+    * files. Rows-only with five in-query certificates: (1) no deleted id
+    * is ever returned; (2) a repeated delete and an unknown-id delete are
+    * refused loudly; (3) post-compaction results are EXACTLY the
+    * pre-compaction results (the mask and the rewrite agree); (4)
+    * compaction physically removed the rows and emptied the tombstone
+    * set; (5) the post-delete picks carry the same score-ratio floor as
+    * g2_ivfpq_topk, measured against the exact top-k over the LIVE corpus.
+    */
+  private def g2AnnDelete(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val delIds = emb.where(col("vec_id") % 10 === 7).select("vec_id")
+    // per-call clone: the shared fixture index stays immutable
+    val idx = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_ann_del_${ProcessHandle.current().pid()}_${java.lang.Long.toHexString(System.nanoTime())}").toString
+    AnnIndex.cloneIndex(annIncrIndexDir(s, dir), idx)
+    try {
+      AnnIndex.removeFromIndex(delIds, "vec_id", idx)
+      // deleting again, or deleting an id that was never indexed: loud
+      require(scala.util.Try(
+          AnnIndex.removeFromIndex(delIds.limit(1), "vec_id", idx)).isFailure,
+        "g2_ann_delete: a repeated delete must be refused")
+      require(scala.util.Try(AnnIndex.removeFromIndex(
+          s.range(1).select((lit(-1L)).as("vec_id")), "vec_id", idx)).isFailure,
+        "g2_ann_delete: deleting a never-indexed id must be refused")
+      val cb = AnnIndex.loadCodebooks(s, idx)
+      val cents = AnnIndex.loadCentroids(s, idx)
+      def topk() = Similarity.ivfPqTopKWith(AnnIndex.loadEncoded(s, idx), qs,
+        "vec_id", "query_id", "qvec", k = 3, cb, cents).localCheckpoint()
+      val masked = topk()
+      require(masked.join(delIds, Seq("vec_id"), "left_semi").count() == 0L,
+        "g2_ann_delete: a deleted id surfaced in the post-delete top-k")
+      val cells = AnnIndex.compactIndex(s, idx, minTombstoneFraction = 0.02)
+      require(cells.nonEmpty,
+        "g2_ann_delete: a 10% spread delete must push cells over the compaction threshold")
+      val compacted = topk()
+      require(masked.exceptAll(compacted).count() == 0L &&
+          compacted.exceptAll(masked).count() == 0L,
+        "g2_ann_delete: compaction changed the query result — the tombstone " +
+          "mask and the physical rewrite disagree")
+      val rawN = AnnIndex.loadEncodedRaw(s, idx).count()
+      val liveN = AnnIndex.loadEncoded(s, idx).count()
+      require(rawN == liveN,
+        s"g2_ann_delete: compaction left ${rawN - liveN} tombstoned row(s) in place")
+      // same floor as g2_ivfpq_topk, denominated in the exact top-k mass
+      // over the LIVE (post-delete) corpus
+      val embLive = emb.join(delIds, Seq("vec_id"), "left_anti")
+      val liveBrute = annTrueScore(
+        Similarity.cosineTopKAgg(embLive, qs, "vec_id", "embedding",
+          "query_id", "qvec", 3), embLive, qs)
+      val ratio = annTrueScore(masked, embLive, qs) / liveBrute
+      require(ratio >= 0.5,
+        f"g2_ann_delete score ratio $ratio%.3f below declared floor 0.5")
+      masked.orderBy("query_id", "rank")
+    } finally graft.sources.DeltaInterop.deleteRecursively(
+      java.nio.file.Paths.get(idx))
   }
 
   /** G2 — hyperplane-LSH approximate top-k (rows-only: approximate
@@ -4739,6 +4807,7 @@ object SparkEntry {
     "g2_pq_topk"         -> (g2PqTopk _),
     "g2_ivfpq_topk"      -> (g2IvfPqTopk _),
     "g2_ann_append"      -> (g2AnnAppend _),
+    "g2_ann_delete"      -> (g2AnnDelete _),
     "a9_twavg"           -> (a9Twavg _),
     "a10_decayed"        -> (a10Decayed _),
     "a11_scd2"           -> (a11Scd2 _),

@@ -71,9 +71,14 @@ object AnnIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
     // ONE map-only pass encodes the corpus and assigns coarse cells — the
     // index build scans the embeddings exactly once (the stats pass above
-    // is a bounded-sample TakeOrdered, not a second full aggregate)
+    // is a bounded-sample TakeOrdered, not a second full aggregate).
+    // PARTITIONED BY CELL: each IVF cell owns its own directory — queries
+    // probing a cell subset prune whole directories at the scan, and
+    // [[compactIndex]] rewrites only the cells above its tombstone
+    // threshold instead of the whole code table (the segment layout a
+    // production index uses).
     Pq.encodeWithCell(corpus, idCol, vecCol, cb, cents)
-      .write.mode("overwrite").parquet(s"$path/encoded")
+      .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/encoded")
     fs.create(marker, true).close()
   }
 
@@ -132,20 +137,126 @@ object AnnIndex {
       s"appendToIndex($path): batch carries ${batchRows - batchIds} duplicate " +
         "id(s) within itself — every query would double-score them; dedup " +
         "the batch before appending")
-    val dups = loadEncoded(spark, path)
+    // the dup guard scans the RAW encoded table (tombstoned rows included):
+    // a tombstoned id still occupies encoded rows, and re-appending it
+    // would leave TWO physical rows that the tombstone mask then hides
+    // both of — compaction must physically reclaim the id first
+    val dups = loadEncodedRaw(spark, path)
       .join(org.apache.spark.sql.functions.broadcast(
         batch.select(col(idCol)).distinct()), Seq(idCol), "left_semi")
       .count()
     require(dups == 0L,
-      s"appendToIndex($path): $dups batch id(s) already encoded — an append " +
-        "must carry only new vectors (every query would double-score duplicates)")
+      s"appendToIndex($path): $dups batch id(s) already encoded (possibly " +
+        "tombstoned — compactIndex first) — an append must carry only new " +
+        "vectors (every query would double-score duplicates)")
 
     val marker = successMarker(path)
     val fs = marker.getFileSystem(hadoopConf())
     fs.delete(marker, false)
     Pq.encodeWithCell(batch, idCol, vecCol, cb, cents)
-      .write.mode("append").parquet(s"$path/encoded")
+      .write.mode("append").partitionBy("__cell").parquet(s"$path/encoded")
     fs.create(marker, true).close()
+  }
+
+  /** Remove ids from the index by TOMBSTONE (round-8 verdict #4 — the
+    * delete side of the index lifecycle: a dedup pass retracting vectors,
+    * GDPR erasure). The ids land in `tombstones/` and every read through
+    * [[loadEncoded]] anti-joins them out, so all `*TopKWith` scans honor
+    * the deletion immediately; the encoded rows are physically reclaimed
+    * later by [[compactIndex]]. Commit = the same marker flip as append.
+    *
+    * Loud guards: every id must currently be encoded (deleting a vector
+    * that was never indexed is an id-mapping bug upstream) and not already
+    * tombstoned (a double delete is an idempotence bug worth surfacing).
+    * A tombstoned id cannot be re-appended until compaction reclaims it
+    * ([[appendToIndex]]'s guard covers both physical and tombstoned rows).
+    */
+  def removeFromIndex(ids: DataFrame, idCol: String, path: String): Unit = {
+    import org.apache.spark.sql.functions.broadcast
+    val spark = ids.sparkSession
+    require(exists(path), s"no committed ANN index at $path — build() first")
+    val raw = loadEncodedRaw(spark, path)
+    require(raw.columns.contains(idCol),
+      s"ANN index at $path has no id column '$idCol' (its encoded schema is " +
+        s"${raw.columns.mkString(",")})")
+    val del = ids.select(col(idCol)).distinct().localCheckpoint()
+    require(del.count() > 0L, s"removeFromIndex($path): empty id set")
+    val missing = broadcast(del).join(raw, Seq(idCol), "left_anti").count()
+    require(missing == 0L,
+      s"removeFromIndex($path): $missing id(s) are not in the index — " +
+        "deleting a vector that was never indexed is an id-mapping bug")
+    val tombPath = new org.apache.hadoop.fs.Path(path, "tombstones")
+    val fs = tombPath.getFileSystem(hadoopConf())
+    if (fs.exists(tombPath)) {
+      val already = spark.read.parquet(s"$path/tombstones")
+        .join(broadcast(del), Seq(idCol), "left_semi").count()
+      require(already == 0L,
+        s"removeFromIndex($path): $already id(s) are already tombstoned — " +
+          "a repeated delete is an idempotence bug worth surfacing")
+    }
+    val marker = successMarker(path)
+    fs.delete(marker, false)
+    del.write.mode("append").parquet(s"$path/tombstones")
+    fs.create(marker, true).close()
+  }
+
+  /** Physically reclaim tombstoned rows: rewrite ONLY the cells whose
+    * tombstone fraction is at or above `minTombstoneFraction` (the
+    * encoded table is partitioned by cell, so untouched cells' files are
+    * not rewritten — the per-segment compaction a production index runs),
+    * then drop the reclaimed ids from the tombstone set. Returns the
+    * compacted cell ids.
+    *
+    * Commit discipline: the marker is down for the whole rewrite, so a
+    * crash mid-compaction leaves "no index" (rebuild/re-clone), never a
+    * half-compacted one that silently resurrects deleted vectors. */
+  def compactIndex(spark: SparkSession, path: String,
+      minTombstoneFraction: Double = 0.2): Seq[Int] = {
+    import org.apache.spark.sql.functions.broadcast
+    require(exists(path), s"no committed ANN index at $path — build() first")
+    val tombHPath = new org.apache.hadoop.fs.Path(path, "tombstones")
+    val fs = tombHPath.getFileSystem(hadoopConf())
+    if (!fs.exists(tombHPath)) return Seq.empty
+    // the per-cell rewrite needs the PARTITIONED layout (cell directories);
+    // a legacy flat index carries __cell as a data column instead — check
+    // the directories, not the schema
+    val encDir = new org.apache.hadoop.fs.Path(path, "encoded")
+    require(fs.listStatus(encDir).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("__cell=")),
+      s"ANN index at $path predates the cell-partitioned encoded layout — " +
+        "rebuild it before compacting")
+    val raw = loadEncodedRaw(spark, path)
+    val tomb = spark.read.parquet(s"$path/tombstones").distinct().localCheckpoint()
+    val idCol = tomb.schema.fieldNames.head
+    val perCell = raw.groupBy("__cell").agg(count(lit(1)).as("__n"))
+      .join(raw.join(broadcast(tomb), Seq(idCol), "left_semi")
+        .groupBy("__cell").agg(count(lit(1)).as("__nd")), Seq("__cell"), "left")
+      .na.fill(0L, Seq("__nd"))
+      .collect()
+    val cells = perCell
+      .filter(r => r.getLong(2) > 0L && // a tombstone-free cell is never rewritten
+        r.getLong(2).toDouble / r.getLong(1) >= minTombstoneFraction)
+      .map(_.getInt(0)).toSeq.sorted
+    if (cells.isEmpty) return Seq.empty
+    // materialize BEFORE any rewrite: both frames read the directories the
+    // rewrite below replaces
+    val live = raw.where(col("__cell").isin(cells: _*))
+      .join(broadcast(tomb), Seq(idCol), "left_anti")
+      .localCheckpoint()
+    val remaining = tomb.join(
+        raw.where(col("__cell").isin(cells: _*))
+          .join(broadcast(tomb), Seq(idCol), "left_semi").select(col(idCol)),
+        Seq(idCol), "left_anti")
+      .localCheckpoint()
+    val marker = successMarker(path)
+    fs.delete(marker, false)
+    cells.foreach { c =>
+      live.where(col("__cell") === c).drop("__cell")
+        .write.mode("overwrite").parquet(s"$path/encoded/__cell=$c")
+    }
+    remaining.write.mode("overwrite").parquet(s"$path/tombstones")
+    fs.create(marker, true).close()
+    cells
   }
 
   /** Clone a committed index by HARD LINK (zero data bytes moved on one
@@ -220,8 +331,24 @@ object AnnIndex {
     Pq.Codebooks(r.getInt(0), r.getInt(1), r.getInt(2), r.getSeq[Float](3).toArray)
   }
 
-  /** The encoded corpus (id, codes, norm, __cell) as a distributed frame —
-    * the thing a 100 TB deployment actually scans. */
-  def loadEncoded(spark: SparkSession, path: String): DataFrame =
+  /** The LIVE encoded corpus (id, codes, norm, __cell) as a distributed
+    * frame — the thing a 100 TB deployment actually scans. Tombstoned ids
+    * ([[removeFromIndex]]) are anti-joined out (broadcast — the tombstone
+    * set is bounded by the compaction cadence), so every query path honors
+    * deletes without knowing they exist. */
+  def loadEncoded(spark: SparkSession, path: String): DataFrame = {
+    val enc = loadEncodedRaw(spark, path)
+    val tombPath = new org.apache.hadoop.fs.Path(path, "tombstones")
+    if (!tombPath.getFileSystem(hadoopConf()).exists(tombPath)) enc
+    else {
+      val tomb = spark.read.parquet(s"$path/tombstones")
+      enc.join(org.apache.spark.sql.functions.broadcast(tomb.distinct()),
+        Seq(tomb.schema.fieldNames.head), "left_anti")
+    }
+  }
+
+  /** The encoded table INCLUDING tombstoned rows — internal bookkeeping
+    * (duplicate guards, compaction) only; queries use [[loadEncoded]]. */
+  def loadEncodedRaw(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/encoded")
 }

@@ -29,6 +29,9 @@ class ContractSpec extends AnyFunSuite {
                        // score-ratio floor + coverage/duplicate guards
       "g4_ann_stream", // streaming index maintenance; certified in-query
                        // EXACTLY equal to the batch-appended index
+      "g2_ann_delete", // tombstone delete + per-cell compaction; certified
+                       // in-query: no deleted id returned, compaction ≡
+                       // mask, physical reclaim, live score-ratio floor
       "g3_langid", "g3_fingerprint", "g3_vocab_approx",
       "g3_bpe_tokens") // ranked-merge BPE is not oracle-SQL-expressible;
                        // certified in-query (lossless + fixpoint) + BpeSpec
@@ -110,8 +113,11 @@ class ContractSpec extends AnyFunSuite {
     // 194 adds b5_iceberg_export_days (day(ts)-transform Iceberg export:
     // per-file day tuples as pruning metadata, ts stays physical, DuckDB
     // oracle over the same bytes; multi-day/null-ts files refused)
-    assert(SparkEntry.queries.size == 194,
-      s"declared query count ${SparkEntry.queries.size} != documented 194 — " +
+    // 195 adds g2_ann_delete (ANN tombstone delete + per-cell compaction:
+    // deleted ids never returned, repeated/unknown deletes refused,
+    // compaction ≡ mask, rows physically reclaimed, live score-ratio floor)
+    assert(SparkEntry.queries.size == 195,
+      s"declared query count ${SparkEntry.queries.size} != documented 195 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

@@ -97,6 +97,71 @@ class AnnIndexSpec extends graft.SparkSpec {
     assert(e.getMessage.contains("build() first"))
   }
 
+  test("removeFromIndex: deleted ids vanish from loadEncoded and every query; guards fire") {
+    val (dir, corpus) = freshIndex()
+    val del = corpus.where(col("vec_id") < 8).select("vec_id")
+    AnnIndex.removeFromIndex(del, "vec_id", dir)
+    assert(AnnIndex.exists(dir), "a delete must republish the index")
+    // masked from the live view, still physically present in the raw table
+    assert(AnnIndex.loadEncoded(spark, dir).count() == 56L)
+    assert(AnnIndex.loadEncodedRaw(spark, dir).count() == 64L)
+    assert(AnnIndex.loadEncoded(spark, dir)
+      .where(col("vec_id") < 8).count() == 0L,
+      "a deleted id must NEVER be visible through loadEncoded")
+    // every query path goes through loadEncoded: the top-k cannot return one
+    val cb = AnnIndex.loadCodebooks(spark, dir)
+    val cents = AnnIndex.loadCentroids(spark, dir)
+    val q = Seq((0L, { val v = Array.fill(8)(0.0f); v(0) = 1.0f; v }))
+      .toDF("query_id", "qvec")
+    val top = Similarity.ivfPqTopKWith(AnnIndex.loadEncoded(spark, dir), q,
+      "vec_id", "query_id", "qvec", k = 50, cb, cents)
+    assert(top.where(col("vec_id") < 8).count() == 0L,
+      "a deleted id surfaced in the post-delete top-k")
+    // repeated delete, unknown-id delete, empty delete: loud
+    assert(intercept[IllegalArgumentException](
+      AnnIndex.removeFromIndex(del.limit(1), "vec_id", dir))
+      .getMessage.contains("already tombstoned"))
+    assert(intercept[IllegalArgumentException](
+      AnnIndex.removeFromIndex(Seq(999L).toDF("vec_id"), "vec_id", dir))
+      .getMessage.contains("not in the index"))
+    // a tombstoned id cannot be re-appended until compaction reclaims it
+    assert(intercept[IllegalArgumentException](
+      AnnIndex.appendToIndex(corpus.where(col("vec_id") === 2L),
+        "vec_id", "embedding", dir))
+      .getMessage.contains("compactIndex"))
+  }
+
+  test("compactIndex rewrites only cells above the tombstone fraction and reclaims rows") {
+    val (dir, corpus) = freshIndex()
+    // clustered() puts even ids on axis 0, odd on axis 1 — two coarse
+    // cells; deleting only EVEN ids tombstones one cell ~100%, the other 0%
+    val del = corpus.where(col("vec_id") % 2 === 0).select("vec_id")
+    AnnIndex.removeFromIndex(del, "vec_id", dir)
+    val before = AnnIndex.loadEncoded(spark, dir).collect().map(_.toSeq).toSet
+    val cells = AnnIndex.compactIndex(spark, dir, minTombstoneFraction = 0.5)
+    assert(cells.size == 1, s"expected exactly the even-axis cell, got $cells")
+    // rows physically reclaimed; tombstone set emptied; live view unchanged
+    assert(AnnIndex.loadEncodedRaw(spark, dir).count() == 32L)
+    assert(AnnIndex.loadEncoded(spark, dir).collect().map(_.toSeq).toSet == before)
+    // idempotent: nothing left to compact
+    assert(AnnIndex.compactIndex(spark, dir, minTombstoneFraction = 0.0).isEmpty)
+    // and the reclaimed ids are appendable again (0 and 2 were deleted evens)
+    AnnIndex.appendToIndex(clustered(0 until 4 by 2), "vec_id", "embedding", dir)
+    assert(AnnIndex.loadEncoded(spark, dir).count() == 34L)
+  }
+
+  test("compactIndex below the threshold touches nothing") {
+    val (dir, corpus) = freshIndex()
+    AnnIndex.removeFromIndex(corpus.where(col("vec_id") === 0L).select("vec_id"),
+      "vec_id", dir)
+    // one tombstone in a 32-row cell = ~3% < 50% threshold
+    assert(AnnIndex.compactIndex(spark, dir, minTombstoneFraction = 0.5).isEmpty)
+    assert(AnnIndex.loadEncodedRaw(spark, dir).count() == 64L,
+      "below-threshold compaction must not rewrite anything")
+    assert(AnnIndex.loadEncoded(spark, dir).count() == 63L,
+      "the tombstone mask must survive a no-op compaction")
+  }
+
   test("post-append IVFPQ query returns appended neighbors (recall survives the frozen quantizer)") {
     val (dir, _) = freshIndex()
     AnnIndex.appendToIndex(clustered(64 until 96), "vec_id", "embedding", dir)
