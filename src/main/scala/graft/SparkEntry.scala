@@ -3424,6 +3424,60 @@ object SparkEntry {
       .orderBy("window_start", "event_type")
   }
 
+  /** G4 streaming — the same watermarked tumbling-window aggregate as
+    * [[g4WindowStream]], attached to Spark's built-in FILE STREAM source
+    * instead of MemoryStream (round-8 verdict #6: every other g4 query
+    * drives MemoryStream; this proves the non-test attachment end to end
+    * — directory listing, schema-locked parquet source, maxFilesPerTrigger
+    * batching, watermark advancement across REAL file-discovery
+    * micro-batches). The staged directory holds one parquet file per
+    * half of the event-time-ordered replay, mtime/name-ordered so the
+    * source discovers them oldest-first; `maxFilesPerTrigger=1` makes
+    * each file its own micro-batch (the second batch's minimum ts is at
+    * least the first's maximum, so nothing is late). Same oracle as the
+    * MemoryStream form — the attachment must not change the answer.
+    */
+  private def g4FileStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.Streaming
+    val rows = HarnessFixtures.eventRowsOrdered(s, dir)
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val stage = java.nio.file.Files.createTempDirectory("graft_file_stream")
+    val inDir = stage.resolve("in")
+    java.nio.file.Files.createDirectories(inDir)
+    Seq(first, second).zipWithIndex.foreach { case (half, i) =>
+      val tmpOut = stage.resolve(s"tmp$i").toString
+      s.createDataset(half.toSeq).coalesce(1).write.mode("overwrite").parquet(tmpOut)
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(tmpOut))
+      val part = try l.iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+        finally l.close()
+      val dst = inDir.resolve(f"batch-$i.parquet")
+      java.nio.file.Files.move(part, dst)
+      // mtimes ordered like the event times: the file source processes
+      // oldest-first, so discovery order == event-time order
+      dst.toFile.setLastModified(60000L * (i + 1))
+    }
+    val schema = s.createDataset(Seq.empty[Streaming.EventRow]).schema
+    s.catalog.dropTempView("g4_file_stream_state")
+    try withShufflePartitions(s, 2) {
+      val src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inDir.toString)
+      val q = Streaming.windowedCounts(src, "1 hour")
+        .writeStream.format("memory").queryName("g4_file_stream_state")
+        .outputMode("update").start()
+      q.processAllAvailable()
+      q.stop()
+    } finally graft.sources.DeltaInterop.deleteRecursively(stage)
+    // per key, n strictly grows across updates: the max-n update is final
+    s.table("g4_file_stream_state")
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(max(col("n")).as("n"), max_by(col("sum_value"), col("n")).as("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
   /** G4 — the stream→lakehouse sink, oracle-certified end-to-end (round-2
     * verdict #5): events replay through Structured Streaming in two
     * micro-batches (split by event_id parity — no watermark, so the split
@@ -4786,6 +4840,7 @@ object SparkEntry {
     "e16_quantile_sketch" -> (e16QuantileSketch _),
     "g4_lww_stream"      -> (g4LwwStream _),
     "g4_window_stream"   -> (g4WindowStream _),
+    "g4_file_stream"     -> (g4FileStream _),
     "g3_length_hist"     -> (g3LengthHist _),
     "h4_lag_delta"       -> (h4LagDelta _),
     "g3_phi_scrub"       -> (g3PhiScrub _),
@@ -6212,6 +6267,13 @@ object SparkEntry {
         |) AS t(feature_name, action, n)
         |ORDER BY feature_name, action""".stripMargin,
     "g4_window_stream" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |       count(*) AS n, round(sum(value) + 1e-9, 2) AS sum_value
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same aggregate through the FILE stream source: the attachment must
+    // not change the answer
+    "g4_file_stream" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |       count(*) AS n, round(sum(value) + 1e-9, 2) AS sum_value
         |FROM events WHERE value IS NOT NULL

@@ -116,8 +116,12 @@ class ContractSpec extends AnyFunSuite {
     // 195 adds g2_ann_delete (ANN tombstone delete + per-cell compaction:
     // deleted ids never returned, repeated/unknown deletes refused,
     // compaction ≡ mask, rows physically reclaimed, live score-ratio floor)
-    assert(SparkEntry.queries.size == 195,
-      s"declared query count ${SparkEntry.queries.size} != documented 195 — " +
+    // 196 adds g4_file_stream (the windowed aggregate attached to Spark's
+    // FILE stream source — staged parquet files, maxFilesPerTrigger
+    // micro-batches, oldest-first discovery; same oracle as the
+    // MemoryStream form, proving the non-test attachment end to end)
+    assert(SparkEntry.queries.size == 196,
+      s"declared query count ${SparkEntry.queries.size} != documented 196 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }
