@@ -141,6 +141,17 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] prepareIndexes failed (continuing): $e")
     }
+    // one untimed DECLARED-query warm before rep 1 (round-8 verdict #7):
+    // the synthetic warm-ups above cover the framework, but the first
+    // measured query still paid residual first-touch costs (fixture table
+    // reads, plan-cache misses) — on the loaded driver box rep 1 ran 222 s
+    // vs 138-146 for reps 2-3. q1 is cheap and touches the parquet read
+    // path end to end.
+    try SparkEntry.queries("q1_lineitem_agg")(spark, sfDir).count()
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] q1 warm failed (continuing): $e")
+    }
     // builder-side iteration knobs (driver sets neither): SPARK_GRAFT_ONLY
     // runs a comma-separated subset; SPARK_GRAFT_REPS overrides the rep
     // count; SPARK_GRAFT_REP_AGG=min keeps the fastest rep instead (the
@@ -192,7 +203,16 @@ object Bench {
     val repTotals = (0 until reps).map(i =>
       r3(results.map(t => math.max(t._2.applyOrElse(i, (_: Int) => 0.0), 0.0)).sum))
       .mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","agg":"$repAgg-of-$reps","rep_totals":$repTotals,"queries":$qs,"sf":${Verify.q(sfDir)}}"""
+    // per-rep MAXIMA (round-8 verdict #7): the slowest query of each rep,
+    // named — a loaded-host rep is diagnosable from the artifact alone
+    // (one outlier query vs uniform inflation), at 3 short entries of cost
+    val repMax = (0 until reps).map { i =>
+      val (name, sec) = results
+        .map(t => t._1 -> math.max(t._2.applyOrElse(i, (_: Int) => 0.0), 0.0))
+        .foldLeft(("", 0.0))((a, b) => if (b._2 > a._2) b else a)
+      s"""{"q":${Verify.q(name)},"sec":${r3(sec)}}"""
+    }.mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","agg":"$repAgg-of-$reps","rep_totals":$repTotals,"rep_max":$repMax,"queries":$qs,"sf":${Verify.q(sfDir)}}"""
     // file sink first (this worked in round 2), then the metric as the
     // absolute LAST stdout line: spark.stop() runs BEFORE the println so no
     // shutdown logging can push the metric line out of a tail capture or
@@ -211,7 +231,7 @@ object Bench {
     // carried "parsed": null with a mid-object fragment while the real
     // numbers lived only in the file sink (round-7 verdict #4). Totals +
     // per-rep spread + a pointer to the full detail always fit.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","agg":"$repAgg-of-$reps","rep_totals":$repTotals,"n_queries":${results.size},"detail":${Verify.q(sinkPath)},"sf":${Verify.q(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","agg":"$repAgg-of-$reps","rep_totals":$repTotals,"rep_max":$repMax,"n_queries":${results.size},"detail":${Verify.q(sinkPath)},"sf":${Verify.q(sfDir)}}""")
     System.out.flush()
   }
 }

@@ -2381,11 +2381,15 @@ object SparkEntry {
       require(rawN == liveN,
         s"g2_ann_delete: compaction left ${rawN - liveN} tombstoned row(s) in place")
       // same floor as g2_ivfpq_topk, denominated in the exact top-k mass
-      // over the LIVE (post-delete) corpus
+      // over the LIVE (post-delete) corpus. The delete set is
+      // fixture-deterministic, so the exact denominator caches per fixture
+      // token like bruteTopKScore (the exact scan is the certificate's
+      // dominant cost — pay it once per fixture, not per rep)
       val embLive = emb.join(delIds, Seq("vec_id"), "left_anti")
-      val liveBrute = annTrueScore(
-        Similarity.cosineTopKAgg(embLive, qs, "vec_id", "embedding",
-          "query_id", "qvec", 3), embLive, qs)
+      val liveBrute = bruteScoreCache.computeIfAbsent(
+        s"$dir@${fixtureToken(dir)}|del7|k=3", _ => annTrueScore(
+          Similarity.cosineTopKAgg(embLive, qs, "vec_id", "embedding",
+            "query_id", "qvec", 3), embLive, qs))
       val ratio = annTrueScore(masked, embLive, qs) / liveBrute
       require(ratio >= 0.5,
         f"g2_ann_delete score ratio $ratio%.3f below declared floor 0.5")

@@ -250,9 +250,19 @@ object AnnIndex {
       .localCheckpoint()
     val marker = successMarker(path)
     fs.delete(marker, false)
-    cells.foreach { c =>
-      live.where(col("__cell") === c).drop("__cell")
-        .write.mode("overwrite").parquet(s"$path/encoded/__cell=$c")
+    // ONE dynamic-partition-overwrite job replaces exactly the compacted
+    // cells that still have live rows (per-cell write jobs measured ~16
+    // separate jobs at fixture scale); cells left with NO live rows are
+    // not in `live`, so their directories are deleted explicitly — dynamic
+    // overwrite would otherwise leave their tombstoned rows in place
+    val liveCells = live.select("__cell").distinct().collect()
+      .map(_.getInt(0)).toSet
+    if (liveCells.nonEmpty)
+      live.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__cell").parquet(s"$path/encoded")
+    cells.filterNot(liveCells).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/encoded/__cell=$c"), true)
     }
     remaining.write.mode("overwrite").parquet(s"$path/tombstones")
     fs.create(marker, true).close()
