@@ -104,6 +104,14 @@ object AnnIndex {
     *    query; the batch's ids are semi-joined against the encoded table
     *    (one bounded scan of the code table — the same cost class as any
     *    index probe).
+    *
+    * CONCURRENCY, stated honestly: mutations are not serialized against
+    * each other — two appends racing the marker flip can both pass the
+    * duplicate guard before either writes (same batch → double-encoded),
+    * and an append racing a compaction can land files the compaction's
+    * snapshot never saw. Coordinate index mutations upstream (one writer
+    * at a time — the TxTable pattern); readers are always safe because
+    * the marker is down for every mutation window.
     */
   def appendToIndex(batch: DataFrame, idCol: String, vecCol: String,
       path: String, maxDriftRatio: Double = 2.0): Unit = {
@@ -330,13 +338,26 @@ object AnnIndex {
     p.getFileSystem(hadoopConf()).exists(p)
   }
 
+  // every public read goes through the marker check: build/append/delete/
+  // compact all keep the marker DOWN while artifacts are inconsistent, so
+  // reading a markerless index is reading a torn one — wrong results with
+  // no error. (Round-9 hardening sweep: loadEncoded previously skipped
+  // this, so a crash mid-append was readable as a silently partial index.)
+  private def requireCommitted(path: String): Unit =
+    require(exists(path),
+      s"no committed ANN index at $path — never built, or a " +
+        "build/append/delete/compaction crashed mid-flight; rebuild it")
+
   /** Raw (un-normalized) coarse centroids, cell order. */
-  def loadCentroids(spark: SparkSession, path: String): Array[Array[Float]] =
+  def loadCentroids(spark: SparkSession, path: String): Array[Array[Float]] = {
+    requireCommitted(path)
     spark.read.parquet(s"$path/centroids")
       .orderBy("cell").collect()
       .map(_.getSeq[Float](1).toArray)
+  }
 
   def loadCodebooks(spark: SparkSession, path: String): Pq.Codebooks = {
+    requireCommitted(path)
     val r = spark.read.parquet(s"$path/codebooks").collect().head
     Pq.Codebooks(r.getInt(0), r.getInt(1), r.getInt(2), r.getSeq[Float](3).toArray)
   }
@@ -347,6 +368,7 @@ object AnnIndex {
     * set is bounded by the compaction cadence), so every query path honors
     * deletes without knowing they exist. */
   def loadEncoded(spark: SparkSession, path: String): DataFrame = {
+    requireCommitted(path)
     val enc = loadEncodedRaw(spark, path)
     val tombPath = new org.apache.hadoop.fs.Path(path, "tombstones")
     if (!tombPath.getFileSystem(hadoopConf()).exists(tombPath)) enc

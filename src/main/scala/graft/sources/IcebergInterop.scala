@@ -993,7 +993,14 @@ object IcebergInterop {
         require(rec != null && rec.getSchema.getField(specField) != null,
           s"Iceberg table $path manifest entry for $p carries no partition " +
             s"value '$specField' — cannot reconstruct column '${f.name}'")
-        sparkPartValue(rec.get(specField), f.dataType, path)
+        // a tuple whose Avro type contradicts the schema column is a
+        // corrupt/foreign-spec manifest — name the file and column instead
+        // of surfacing a bare ClassCastException (round-9 hardening sweep)
+        try sparkPartValue(rec.get(specField), f.dataType, path)
+        catch { case e: ClassCastException => throw new IllegalArgumentException(
+          s"Iceberg table $path manifest partition value '$specField' for " +
+            s"$p cannot fill column '${f.name}' (${f.dataType}) — " +
+            "type-incompatible manifest tuple; repair the manifests", e) }
       })
     }
     val tupleDf = spark.createDataFrame(rows.asJava,

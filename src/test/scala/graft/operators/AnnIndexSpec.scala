@@ -150,6 +150,34 @@ class AnnIndexSpec extends graft.SparkSpec {
     assert(AnnIndex.loadEncoded(spark, dir).count() == 34L)
   }
 
+  test("a torn mutation (marker down) makes every read path refuse, not return garbage") {
+    val (dir, _) = freshIndex()
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(dir, "_SUCCESS")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(marker, false)
+    for (f <- Seq(
+        () => AnnIndex.loadEncoded(spark, dir),
+        () => AnnIndex.loadCentroids(spark, dir),
+        () => AnnIndex.loadCodebooks(spark, dir))) {
+      val e = intercept[IllegalArgumentException](f())
+      assert(e.getMessage.contains("no committed ANN index"), e.getMessage)
+    }
+  }
+
+  test("delete + compaction on a hard-link clone leave the SOURCE index untouched") {
+    val (src, corpus) = freshIndex()
+    val before = AnnIndex.loadEncoded(spark, src).collect().map(_.toSeq).toSet
+    val dst = Files.createTempDirectory("graft_ann_clone2").toString + "/idx"
+    AnnIndex.cloneIndex(src, dst)
+    AnnIndex.removeFromIndex(corpus.where(col("vec_id") % 2 === 0).select("vec_id"),
+      "vec_id", dst)
+    assert(AnnIndex.compactIndex(spark, dst, minTombstoneFraction = 0.01).nonEmpty)
+    // the clone diverged; the source's live view is bit-identical
+    assert(AnnIndex.loadEncoded(spark, dst).count() == 32L)
+    assert(AnnIndex.loadEncoded(spark, src).collect().map(_.toSeq).toSet == before,
+      "mutating a hard-link clone must never reach through to the source")
+  }
+
   test("compactIndex below the threshold touches nothing") {
     val (dir, corpus) = freshIndex()
     AnnIndex.removeFromIndex(corpus.where(col("vec_id") === 0L).select("vec_id"),
