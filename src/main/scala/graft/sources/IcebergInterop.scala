@@ -141,6 +141,124 @@ object IcebergInterop {
     })
   }
 
+  /** Export a FLAT TxTable as an Iceberg v1 table partitioned by
+    * `bucket[nBuckets](col)` — the hash-distribution layout for a
+    * high-cardinality key (user id, entity id). The bucket function is
+    * the SPEC's: `(murmur3_x86_32(littleEndianBytes(v as int64)) &
+    * Int.MaxValue) % N` (iceberg.apache.org/spec Appendix B; the
+    * BucketTransformSpec pins the spec's own published test vector
+    * 34 → 2017239379). int/long sources only — Spark's murmur3 long hash
+    * is bit-identical to the spec's 8-byte little-endian form, while its
+    * string hash diverges from standard murmur3 on non-4-byte-aligned
+    * tails, so string bucketing is refused rather than silently
+    * mis-bucketed.
+    *
+    * Unlike the identity/day exports this one MOVES DATA (stated
+    * honestly): a bucket layout groups rows by a derived hash, so the
+    * table is rewritten once, grouped by bucket — every data file is
+    * bucket-pure, the helper column is dropped by the Hive layout, and
+    * the SOURCE column stays physical (the non-identity rule). */
+  def exportIcebergBucketed(t: TxTable, target: String, col: String,
+      nBuckets: Int, tsMillis: Long = System.currentTimeMillis()): Unit = {
+    import org.apache.spark.sql.functions.{col => c, lit, pmod, when}
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val schema = StructType.fromDDL(t.snapshotInfo().schemaDdl)
+    val idx = schema.fieldNames.indexOf(col)
+    require(idx >= 0, s"bucket source column '$col' is not in the table schema")
+    require(schema.fields(idx).dataType == LongType ||
+        schema.fields(idx).dataType == IntegerType,
+      s"bucket source column '$col' has type ${schema.fields(idx).dataType} — " +
+        "this writer buckets int/long only (Spark's string murmur3 tail " +
+        "handling diverges from the Iceberg spec)")
+    val hash = org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+        Seq(org.apache.spark.sql.graft.Bridge.expression(c(col).cast("long"))), 0))
+    // null → null partition (transforms map null to null per spec); the
+    // seed-hash Spark would report for a null child is NOT a bucket
+    val bucket = when(c(col).isNull, lit(null))
+      .otherwise(pmod(hash.bitwiseAND(lit(Int.MaxValue)), lit(nBuckets)))
+    exportIcebergRewritten(t, target, col, s"${col}_bucket",
+      s"bucket[$nBuckets]", IntegerType, bucket,
+      raw => java.lang.Integer.valueOf(raw), tsMillis)
+  }
+
+  /** Export a FLAT TxTable as an Iceberg v1 table partitioned by
+    * `truncate[width](col)` — the prefix/range layout for strings (first
+    * `width` characters) and ints/longs (`v - (v mod W)`, floored mod per
+    * the spec, so negatives truncate toward -inf). Same rewrite shape as
+    * [[exportIcebergBucketed]]: data grouped once by the truncated value,
+    * source column physical. String truncation counts characters the way
+    * Spark's substring does; supplementary-plane code points are an
+    * untested edge, so keep widths semantic (prefix routing), not
+    * byte-budgeted. */
+  def exportIcebergTruncated(t: TxTable, target: String, col: String,
+      width: Int, tsMillis: Long = System.currentTimeMillis()): Unit = {
+    import org.apache.spark.sql.functions.{col => c, lit, pmod, substring}
+    require(width >= 1, s"truncate width must be >= 1, got $width")
+    val schema = StructType.fromDDL(t.snapshotInfo().schemaDdl)
+    val idx = schema.fieldNames.indexOf(col)
+    require(idx >= 0, s"truncate source column '$col' is not in the table schema")
+    val (partType, value, decode) = schema.fields(idx).dataType match {
+      case StringType =>
+        (StringType, substring(c(col), 1, width), (raw: String) => raw: Any)
+      case IntegerType =>
+        (IntegerType, c(col) - pmod(c(col), lit(width)),
+          (raw: String) => java.lang.Integer.valueOf(raw): Any)
+      case LongType =>
+        (LongType, c(col) - pmod(c(col), lit(width.toLong)),
+          (raw: String) => java.lang.Long.valueOf(raw): Any)
+      case other => throw new IllegalArgumentException(
+        s"truncate source column '$col' has type $other — " +
+          "this writer truncates string/int/long only")
+    }
+    exportIcebergRewritten(t, target, col, s"${col}_trunc",
+      s"truncate[$width]", partType, value, decode, tsMillis)
+  }
+
+  /** The shared rewrite core for transforms that cannot hard-link
+    * (bucket/truncate group rows by a DERIVED value): one shuffle write
+    * grouped by the transform value into a staging dir (the Hive layout
+    * drops the helper column; the source column stays physical), then the
+    * standard v1 assembly with per-file tuples decoded from the staging
+    * directory names. */
+  private def exportIcebergRewritten(t: TxTable, target: String,
+      sourceCol: String, fieldName: String, transform: String,
+      partType: DataType, partValue: org.apache.spark.sql.Column,
+      decode: String => Any, tsMillis: Long): Unit = {
+    val snap = t.snapshotInfo()
+    require(snap.partCols.isEmpty,
+      s"exportIceberg $transform expects a FLAT TxTable (the rewrite groups " +
+        s"rows itself); the table at ${snap.dataDir} is Hive-partitioned by " +
+        snap.partCols.mkString(","))
+    require(!StructType.fromDDL(snap.schemaDdl).fieldNames.contains(fieldName),
+      s"the table already has a column named '$fieldName' — the rewrite's " +
+        "helper partition column would collide; rename one of them")
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val idx = schema.fieldNames.indexOf(sourceCol)
+    val partFields = Seq(PartField(fieldName, partType,
+      sourceId = idx + 1, fieldId = 1000, transform))
+    val stage = Files.createTempDirectory("graft_ice_rewrite")
+    try {
+      t.read().withColumn(fieldName, partValue)
+        .write.mode("overwrite").partitionBy(fieldName).parquet(stage.toString)
+      val walk = Files.walk(stage)
+      val rels = try walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          .map(p => stage.relativize(p).toString).toSeq
+        finally walk.close()
+      val tupleOf: String => Seq[Any] = rel => {
+        val seg = rel.split('/').find(_.startsWith(fieldName + "="))
+          .getOrElse(throw new IllegalStateException(
+            s"rewritten data file '$rel' lacks the '$fieldName=' path segment"))
+        val raw = seg.substring(fieldName.length + 1)
+        if (raw == "__HIVE_DEFAULT_PARTITION__") Seq(null)
+        else Seq(decode(TxTable.unescapePathName(raw)))
+      }
+      assembleIcebergV1(t.spark, stage, rels, target, tsMillis,
+        schema, partFields, tupleOf)
+    } finally deleteRecursively(stage)
+  }
+
   /** Shared single-snapshot export core: hard-link the data files, write
     * manifest + manifest list + v1 metadata with `partFields` as spec 0,
     * `tupleOf(relPath)` supplying each file's partition tuple. */
@@ -148,6 +266,19 @@ object IcebergInterop {
       schema: StructType, partFields: Seq[PartField],
       tupleOf: String => Seq[Any]): Unit = {
     val snap = t.snapshotInfo()
+    assembleIcebergV1(t.spark, Paths.get(snap.dataDir), snap.files,
+      target, tsMillis, schema, partFields, tupleOf)
+  }
+
+  /** The table-assembly core behind every full export: hard-link
+    * `relFiles` out of `srcData`, write manifest + manifest list + v1
+    * metadata, swap into place. Callers differ only in where the data
+    * files come from (a TxTable snapshot, or a transform-rewritten
+    * staging) and how each file's partition tuple derives. */
+  private def assembleIcebergV1(spark: SparkSession, srcData: Path,
+      relFiles: Seq[String], target: String, tsMillis: Long,
+      schema: StructType, partFields: Seq[PartField],
+      tupleOf: String => Seq[Any]): Unit = {
     val finalDir = Paths.get(target).toAbsolutePath
     Files.createDirectories(finalDir.getParent)
     val staging = finalDir.resolveSibling(
@@ -158,21 +289,20 @@ object IcebergInterop {
     Files.createDirectories(metaDir)
     Files.createDirectories(dataDir)
 
-    val srcData = Paths.get(snap.dataDir)
-    val files = snap.files.map { rel =>
+    val files = relFiles.map { rel =>
       val src = srcData.resolve(rel)
       val dst = dataDir.resolve(rel)
       Files.createDirectories(dst.getParent)
       try Files.createLink(dst, src)
       catch { case _: Exception =>
         Files.copy(src, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
-      ManifestFile(rel, Files.size(dst), parquetRowCount(t.spark, dst),
+      ManifestFile(rel, Files.size(dst), parquetRowCount(spark, dst),
         tupleOf(rel))
     }
 
     // snapshot id: content-determined so identical exports are identical
     val snapshotId = math.abs(java.util.UUID.nameUUIDFromBytes(
-      (target + "|" + snap.files.mkString(",")).getBytes("UTF-8"))
+      (target + "|" + relFiles.mkString(",")).getBytes("UTF-8"))
       .getMostSignificantBits)
 
     // ---- manifest (one, listing every data file) — Avro container file
