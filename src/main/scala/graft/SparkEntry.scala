@@ -2867,6 +2867,91 @@ object SparkEntry {
     viaIceberg.orderBy("event_id")
   }
 
+  /** Fixed export target for [[b5IcebergExportBucket]] — oracle SQL globs it. */
+  private val B5IcebergBucketPath = "/root/repo/target/graft_export/b5_iceberg_bucket"
+
+  /** B5 — bucket[8] Iceberg export: the flat events TxTable rewritten once
+    * grouped by the SPEC's bucket function of event_id (murmur3_x86_32
+    * seed 0 over the value as little-endian int64 — pinned to the spec's
+    * published test vector in IcebergInteropSpec). In-query certificates:
+    * the declared transform, source≡export content hash, and BUCKET
+    * PURITY — one scan recomputes the spec hash per row and checks it
+    * against the file's directory, so a mis-bucketed row (the failure a
+    * foreign reader would hit as wrong pruning) cannot ship silently.
+    */
+  private def b5IcebergExportBucket(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergInterop, TxTable}
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
+    val t = TxTable(s, txTpl(s, dir, "b5_z"))
+    IcebergInterop.exportIcebergBucketed(t, B5IcebergBucketPath, "event_id",
+      nBuckets = 8, tsMillis = 5000L)
+    val metaTxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(B5IcebergBucketPath, "metadata", "v1.metadata.json")), "UTF-8")
+    require(metaTxt.contains("\"transform\" : \"bucket[8]\""),
+      "b5_iceberg_export_bucket: metadata must declare the bucket[8] spec")
+    // bucket purity, spec-hash recomputed per row against the file's dir
+    val impure = s.read.parquet(s"$B5IcebergBucketPath/data")
+      .select(col("event_id"),
+        col("_metadata.file_path").as("__p"),
+        org.apache.spark.sql.graft.Bridge.column(
+          org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+            Seq(org.apache.spark.sql.graft.Bridge.expression(col("event_id").cast("long"))), 0))
+          .bitwiseAND(lit(Int.MaxValue)).mod(lit(8)).as("__b"))
+      .where(!col("__p").contains(concat(lit("id_bucket="), col("__b"))))
+      .count()
+    require(impure == 0L,
+      s"b5_iceberg_export_bucket: $impure row(s) landed outside their spec bucket")
+    val viaIceberg = IcebergInterop.readIceberg(s, B5IcebergBucketPath)
+      .select(cols.map(col).toIndexedSeq: _*)
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val (src, exp) =
+      (sig(t.read().select(cols.map(col).toIndexedSeq: _*)), sig(viaIceberg))
+    require(src == exp,
+      s"b5_iceberg_export_bucket: export diverges from the source (source=$src, export=$exp)")
+    viaIceberg.orderBy("event_id")
+  }
+
+  /** Fixed export target for [[b5IcebergExportTrunc]] — oracle SQL globs it. */
+  private val B5IcebergTruncPath = "/root/repo/target/graft_export/b5_iceberg_trunc"
+
+  /** B5 — truncate[2] Iceberg export over event_type: the prefix-range
+    * layout (the spec's truncate transform for strings). Certificates:
+    * declared transform, source≡export content hash, and PREFIX PURITY —
+    * every row's 2-char prefix must match its file's directory value.
+    */
+  private def b5IcebergExportTrunc(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergInterop, TxTable}
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
+    val t = TxTable(s, txTpl(s, dir, "b5_z"))
+    IcebergInterop.exportIcebergTruncated(t, B5IcebergTruncPath, "event_type",
+      width = 2, tsMillis = 5000L)
+    val metaTxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(B5IcebergTruncPath, "metadata", "v1.metadata.json")), "UTF-8")
+    require(metaTxt.contains("\"transform\" : \"truncate[2]\""),
+      "b5_iceberg_export_trunc: metadata must declare the truncate[2] spec")
+    val impure = s.read.parquet(s"$B5IcebergTruncPath/data")
+      .select(col("event_type"), col("_metadata.file_path").as("__p"))
+      .where(!col("__p").contains(
+        concat(lit("event_type_trunc="), substring(col("event_type"), 1, 2))))
+      .count()
+    require(impure == 0L,
+      s"b5_iceberg_export_trunc: $impure row(s) landed outside their prefix range")
+    val viaIceberg = IcebergInterop.readIceberg(s, B5IcebergTruncPath)
+      .select(cols.map(col).toIndexedSeq: _*)
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val (src, exp) =
+      (sig(t.read().select(cols.map(col).toIndexedSeq: _*)), sig(viaIceberg))
+    require(src == exp,
+      s"b5_iceberg_export_trunc: export diverges from the source (source=$src, export=$exp)")
+    viaIceberg.orderBy("event_id")
+  }
+
   /** Fixed export target for [[b5IcebergReadIncr]]. */
   private val B5IcebergReadIncrPath = "/root/repo/target/graft_export/b5_iceberg_read_incr"
 
@@ -4744,6 +4829,8 @@ object SparkEntry {
     "b5_iceberg_export_incr" -> (b5IcebergExportIncr _),
     "b5_iceberg_export_part" -> (b5IcebergExportPart _),
     "b5_iceberg_export_days" -> (b5IcebergExportDays _),
+    "b5_iceberg_export_bucket" -> (b5IcebergExportBucket _),
+    "b5_iceberg_export_trunc" -> (b5IcebergExportTrunc _),
     "b5_iceberg_read_incr" -> (b5IcebergReadIncr _),
     "b2_delete_tx"       -> (b2DeleteTx _),
     "b2_tx_diff"         -> (b2TxDiff _),
@@ -5309,6 +5396,17 @@ object SparkEntry {
     "b5_iceberg_export_days" ->
       """SELECT event_id, user_id, event_type, value, ts
         |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_days/data/*.parquet')
+        |ORDER BY event_id""".stripMargin,
+    // bucket[8]/truncate[2] mirrors: the source column stays physical, so
+    // DuckDB reads the rewritten bytes flat; the bucket/prefix dirs are
+    // pruning metadata certified in-query against the spec hash
+    "b5_iceberg_export_bucket" ->
+      """SELECT event_id, user_id, event_type, value, ts
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_bucket/data/*/*.parquet')
+        |ORDER BY event_id""".stripMargin,
+    "b5_iceberg_export_trunc" ->
+      """SELECT event_id, user_id, event_type, value, ts
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_trunc/data/*/*.parquet')
         |ORDER BY event_id""".stripMargin,
     "b1_typed_ingest" ->
       """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS entity_id, ts, value, event_type FROM events)

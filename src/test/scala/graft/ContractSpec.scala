@@ -120,8 +120,12 @@ class ContractSpec extends AnyFunSuite {
     // FILE stream source — staged parquet files, maxFilesPerTrigger
     // micro-batches, oldest-first discovery; same oracle as the
     // MemoryStream form, proving the non-test attachment end to end)
-    assert(SparkEntry.queries.size == 196,
-      s"declared query count ${SparkEntry.queries.size} != documented 196 — " +
+    // 197-198 add b5_iceberg_export_bucket / b5_iceberg_export_trunc
+    // (the rest of the idiomatic Iceberg layout trio: spec-vector-pinned
+    // murmur3 bucket[8] and string-prefix truncate[2], both rewrite-based
+    // with in-query purity certificates and DuckDB oracles)
+    assert(SparkEntry.queries.size == 198,
+      s"declared query count ${SparkEntry.queries.size} != documented 198 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

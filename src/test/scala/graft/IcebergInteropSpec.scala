@@ -295,6 +295,67 @@ class IcebergInteropSpec extends SparkSpec {
     assert(e4.getMessage.contains("timestamp/date"), e4.getMessage)
   }
 
+  test("exportIcebergBucketed: spec-vector hash, bucket-pure files, round-trip, refusals") {
+    // the Iceberg spec's own published test vector (Appendix B):
+    // murmur3_x86_32 of int64 34 little-endian = 2017239379
+    assert(org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(34L, 0) == 2017239379)
+    val t = TxTable(spark, tmp("ice_bucket"))
+    t.append((0L until 40L).map(i => (i, s"u$i", i * 1.5)).toDF("id", "name", "v"),
+      tsMillis = 1000L)
+    val out = tmp("ice_bucket_exp")
+    IcebergInterop.exportIcebergBucketed(t, out, "id", nBuckets = 4, tsMillis = 5000L)
+    val metaTxt = new String(Files.readAllBytes(
+      Paths.get(out, "metadata", "v1.metadata.json")))
+    assert(metaTxt.contains("\"transform\" : \"bucket[4]\""), metaTxt)
+    // round trip: identical rows, id stays physical
+    val got = IcebergInterop.readIceberg(spark, out)
+    assert(got.orderBy("id").collect().toSeq ==
+      t.read().select("id", "name", "v").orderBy("id").collect().toSeq)
+    // every data file is bucket-pure AND its directory names the spec bucket
+    val files = Files.walk(Paths.get(out, "data")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    assert(files.nonEmpty && files.forall(_.toString.contains("id_bucket=")))
+    files.foreach { p =>
+      val dirBucket = p.getParent.getFileName.toString.stripPrefix("id_bucket=").toInt
+      val ids = spark.read.parquet(p.toString).select("id").collect().map(_.getLong(0))
+      ids.foreach { id =>
+        val expect = (org.apache.spark.unsafe.hash.Murmur3_x86_32
+          .hashLong(id, 0) & Int.MaxValue) % 4
+        assert(expect == dirBucket, s"id $id in bucket dir $dirBucket, spec says $expect")
+      }
+    }
+    // string bucketing is refused (Spark murmur3 string tails diverge)
+    val e = intercept[IllegalArgumentException](
+      IcebergInterop.exportIcebergBucketed(t, tmp("ice_bucket_bad"), "name", 4, 5000L))
+    assert(e.getMessage.contains("int/long only"), e.getMessage)
+  }
+
+  test("exportIcebergTruncated: string prefix + floored long ranges round-trip") {
+    val t = TxTable(spark, tmp("ice_trunc"))
+    t.append(Seq((1L, "alpha", -7L), (2L, "alps", 13L), (3L, "beta", -1L), (4L, "al", 5L))
+      .toDF("id", "k", "n"), tsMillis = 1000L)
+    // string prefix
+    val outS = tmp("ice_trunc_s")
+    IcebergInterop.exportIcebergTruncated(t, outS, "k", width = 2, tsMillis = 5000L)
+    assert(new String(Files.readAllBytes(Paths.get(outS, "metadata", "v1.metadata.json")))
+      .contains("\"transform\" : \"truncate[2]\""))
+    val gotS = IcebergInterop.readIceberg(spark, outS)
+    assert(gotS.orderBy("id").collect().toSeq ==
+      t.read().select("id", "k", "n").orderBy("id").collect().toSeq)
+    val dirsS = Files.walk(Paths.get(outS, "data")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(_.getParent.getFileName.toString).toSet
+    assert(dirsS == Set("k_trunc=al", "k_trunc=be"), dirsS.toString)
+    // floored integer ranges: -7 truncates to -10 at width 10 (toward -inf)
+    val outN = tmp("ice_trunc_n")
+    IcebergInterop.exportIcebergTruncated(t, outN, "n", width = 10, tsMillis = 5000L)
+    val dirsN = Files.walk(Paths.get(outN, "data")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(_.getParent.getFileName.toString).toSet
+    assert(dirsN == Set("n_trunc=-10", "n_trunc=10", "n_trunc=0"), dirsN.toString)
+    assert(IcebergInterop.readIceberg(spark, outN).count() == 4L)
+  }
+
   test("a non-identity transform whose source column is missing from the data is unreadable, loudly") {
     import java.sql.Timestamp
     val t = TxTable(spark, tmp("ice_days_strip"))
