@@ -191,6 +191,35 @@ class DedupSpec extends SparkSpec {
     assert(e2.getMessage.contains("predates"), e2.getMessage)
   }
 
+  test("property: indexed incremental jaccard ≡ unindexed on random corpora and caps") {
+    // randomized differential over the WHOLE parameter surface the fixture
+    // tests can't sweep: random word docs (overlapping vocab so shingles
+    // collide), random corpus/batch splits, random df caps — the indexed
+    // form must be bit-identical everywhere, including caps that never
+    // engage and caps that kill most shingles
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 12).map(i => s"w$i")
+      val docs = (0L until 30L).map { id =>
+        val words = Seq.fill(6 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+        (id, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      val batch  = docs.where(col("doc_id") % 4 === 0)
+      val corpus = docs.where(col("doc_id") % 4 =!= 0)
+      val cap = 1 + rnd.nextInt(12)
+      val anchor = Dedup.incrementalJaccardPairs(batch, corpus, "doc_id", "text",
+        shingleN = 2, threshold = 0.05, maxShingleDf = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-dedup-prop$seed").toString
+      Dedup.saveDedupIndex(corpus, "doc_id", "text", dir,
+        shingleN = 2, jaccardDfCap = cap)
+      val idx = Dedup.incrementalJaccardPairsIndexed(batch, dir, "doc_id", "text",
+        shingleN = 2, threshold = 0.05, maxShingleDf = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(idx == anchor, s"seed=$seed cap=$cap indexed=$idx anchor=$anchor")
+    }
+  }
+
   test("connectedComponents resolves chains and keeps min canonical") {
     // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,6}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L)).toDF("id_a", "id_b")

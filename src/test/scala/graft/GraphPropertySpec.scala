@@ -189,6 +189,19 @@ class GraphPropertySpec extends SparkSpec {
             seeds.toSeq.toDF("node", "lbl"), "node", "lbl", iterations = iters)
           .collect().map(r => r.getString(0) -> r.getString(1)).toMap
         assert(frontier == sync, s"seed=$seed iters=$iters")
+        // the hybrid dispatch cannot change results in ANY regime: pin the
+        // forced-dense (denseFraction 0 → every round synchronous) and
+        // forced-sparse (2.0 → every round delta) extremes too; the default
+        // 0.1 above crosses the boundary mid-run at iters=5 (seeds are a
+        // third of the nodes, the frontier decays below 10% as labels settle)
+        for (df <- Seq(0.0, 2.0)) {
+          val forced = Graph
+            .labelPropagateFrontier(es.toDF("src", "dst", "w"), "src", "dst", "w",
+              seeds.toSeq.toDF("node", "lbl"), "node", "lbl", iterations = iters,
+              denseFraction = df)
+            .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+          assert(forced == sync, s"seed=$seed iters=$iters denseFraction=$df")
+        }
       }
     }
   }
