@@ -34,7 +34,10 @@ object LpProbe {
     time("sync") {
       Graph.labelPropagate(edges, "a", "b", "w", seeds, "p_partkey", "p_brand", 2).count()
     }
-    time("hybrid canonical") {
+    time("hybrid canonical it=1") {
+      Graph.labelPropagateFrontier(edges, "a", "b", "w", seeds, "p_partkey", "p_brand", 1, edgesCanonical = true).count()
+    }
+    time("hybrid canonical it=2") {
       Graph.labelPropagateFrontier(edges, "a", "b", "w", seeds, "p_partkey", "p_brand", 2, edgesCanonical = true).count()
     }
     time("hybrid forced-sparse (0)") {
