@@ -501,6 +501,15 @@ object Graph {
     // the dispatch denominator, measured once on the checkpointed edges
     // (every node with an incident edge appears as a __src in the mirror)
     val nNodes = eBySrc.select("__src").distinct().count()
+    // checkpointed label tables carry NO size stats (LogicalRDD reports the
+    // default size), so the per-round mass join would plan a sort-merge
+    // join — shuffling/sorting the EDGE side every round. The label table
+    // is bounded by the measured node count, so broadcast it when that
+    // bound is broadcast-scale and let it shuffle (against the
+    // pre-partitioned edges) when it is not — a measured decision, not a
+    // blanket hint that would OOM the driver at node-scale = billions.
+    val labelSide = (df: DataFrame) =>
+      if (nNodes <= 4000000L) broadcast(df) else df
     val argmax = (mass: DataFrame) => mass
       .groupBy("node")
       .agg(min(struct((-col("__m")).as("__negm"), col("__lbl"))).as("__t"))
@@ -517,8 +526,9 @@ object Graph {
       if (frontierCnt >= denseFraction * nNodes) {
         // DENSE round: plain synchronous step over the whole edge list —
         // one checkpoint, no touched/updated bookkeeping
+        val lab = labelSide(labels)
         val mass = eBySrc
-          .join(labels, eBySrc("__src") === labels("node"))
+          .join(lab, eBySrc("__src") === lab("node"))
           .groupBy(col("__dst").as("node"), col("__lbl"))
           .agg(sum("__w").as("__m"))
         val merged = labels.select(col("node"), col("__lbl").as("__old"))
@@ -540,8 +550,9 @@ object Graph {
           .distinct()
           .localCheckpoint()
         val eT = eByDst.join(touched, eByDst("__dst") === touched("node"), "left_semi")
+        val lab = labelSide(labels)
         val mass = eT
-          .join(labels, eT("__src") === labels("node"))
+          .join(lab, eT("__src") === lab("node"))
           .groupBy(col("__dst").as("node"), col("__lbl"))
           .agg(sum("__w").as("__m"))
         val updated = touched
@@ -614,8 +625,16 @@ object Graph {
       .distinct()
       .select(col("node"), lit(0L).as("hops"))
       .localCheckpoint()
+    // checkpointed distance tables carry no size stats, so the frontier
+    // join would plan a sort-merge join shuffling the EDGE side every hop;
+    // the frontier is bounded by the node count, so broadcast it when that
+    // bound is broadcast-scale (measured once), shuffle when it is not —
+    // the same data-driven hint as labelPropagateFrontier's label side
+    val nNodes = e.select("__src").distinct().count()
+    val frontierSide = (df: DataFrame) =>
+      if (nNodes <= 4000000L) broadcast(df) else df
     for (k <- 1 to maxHops) {
-      val frontier = dist.where(col("hops") === (k - 1))
+      val frontier = frontierSide(dist.where(col("hops") === (k - 1)))
       val next = e
         .join(frontier, e("__src") === frontier("node"))
         .select(col("__dst").as("node"), lit(k.toLong).as("hops"))
