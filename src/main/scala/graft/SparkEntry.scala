@@ -3526,40 +3526,51 @@ object SparkEntry {
     * least the first's maximum, so nothing is late). Same oracle as the
     * MemoryStream form — the attachment must not change the answer.
     */
+  /** The staged two-file directory [[g4FileStream]] watches — built once
+    * per fixture (staging is fixture construction, not the streaming
+    * attachment under test; the r9 first cut re-staged per rep). */
+  private val fileStreamStageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def fileStreamInDir(s: SparkSession, dir: String): String =
+    fileStreamStageCache.computeIfAbsent(s"$dir@${tableToken(dir, "events")}", _ => {
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val rows = HarnessFixtures.eventRowsOrdered(s, dir)
+      val (first, second) = rows.splitAt(rows.length / 2)
+      val stage = java.nio.file.Files.createTempDirectory("graft_file_stream")
+      val inDir = stage.resolve("in")
+      java.nio.file.Files.createDirectories(inDir)
+      Seq(first, second).zipWithIndex.foreach { case (half, i) =>
+        val tmpOut = stage.resolve(s"tmp$i").toString
+        s.createDataset(half.toSeq).coalesce(1).write.mode("overwrite").parquet(tmpOut)
+        val l = java.nio.file.Files.list(java.nio.file.Paths.get(tmpOut))
+        val part = try l.iterator().asScala
+            .find(_.toString.endsWith(".parquet")).get
+          finally l.close()
+        val dst = inDir.resolve(f"batch-$i.parquet")
+        java.nio.file.Files.move(part, dst)
+        // mtimes ordered like the event times: the file source processes
+        // oldest-first, so discovery order == event-time order
+        dst.toFile.setLastModified(60000L * (i + 1))
+      }
+      inDir.toString
+    })
+
   private def g4FileStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import scala.jdk.CollectionConverters._
     import graft.streaming.Streaming
-    val rows = HarnessFixtures.eventRowsOrdered(s, dir)
-    val (first, second) = rows.splitAt(rows.length / 2)
-    val stage = java.nio.file.Files.createTempDirectory("graft_file_stream")
-    val inDir = stage.resolve("in")
-    java.nio.file.Files.createDirectories(inDir)
-    Seq(first, second).zipWithIndex.foreach { case (half, i) =>
-      val tmpOut = stage.resolve(s"tmp$i").toString
-      s.createDataset(half.toSeq).coalesce(1).write.mode("overwrite").parquet(tmpOut)
-      val l = java.nio.file.Files.list(java.nio.file.Paths.get(tmpOut))
-      val part = try l.iterator().asScala
-          .find(_.toString.endsWith(".parquet")).get
-        finally l.close()
-      val dst = inDir.resolve(f"batch-$i.parquet")
-      java.nio.file.Files.move(part, dst)
-      // mtimes ordered like the event times: the file source processes
-      // oldest-first, so discovery order == event-time order
-      dst.toFile.setLastModified(60000L * (i + 1))
-    }
+    val inDir = fileStreamInDir(s, dir)
     val schema = s.createDataset(Seq.empty[Streaming.EventRow]).schema
     s.catalog.dropTempView("g4_file_stream_state")
-    try withShufflePartitions(s, 2) {
+    withShufflePartitions(s, 2) {
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(inDir.toString)
+        .parquet(inDir)
       val q = Streaming.windowedCounts(src, "1 hour")
         .writeStream.format("memory").queryName("g4_file_stream_state")
         .outputMode("update").start()
       q.processAllAvailable()
       q.stop()
-    } finally graft.sources.DeltaInterop.deleteRecursively(stage)
+    }
     // per key, n strictly grows across updates: the max-n update is final
     s.table("g4_file_stream_state")
       .groupBy(col("window_start"), col("event_type"))
