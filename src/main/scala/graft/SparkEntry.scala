@@ -2867,6 +2867,59 @@ object SparkEntry {
     viaIceberg.orderBy("event_id")
   }
 
+  /** Fixed export target for [[b5IcebergDaysIncr]] — oracle SQL globs it. */
+  private val B5IcebergDaysIncrPath = "/root/repo/target/graft_export/b5_iceberg_days_incr"
+
+  /** B5 — INCREMENTAL day-spec Iceberg mirror: the production daily
+    * export. The daily-appended events table mirrors in full (metadata
+    * v1, day(ts) spec), then a NEW day lands and the incremental export
+    * appends snapshot 2 — hard-linking only the new files and scanning
+    * only THEM for day ordinals (carried files' tuples ride the prior
+    * manifest like their sizes). Certificates: metadata v2 with the day
+    * transform and a recorded parent snapshot, idempotent re-run, and
+    * the source≡mirror content hash. DuckDB oracle over the mirrored
+    * bytes.
+    */
+  private def b5IcebergDaysIncr(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergInterop, TxTable}
+    import java.nio.file.{Files, Paths}
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
+    val t = TxTable(s, HarnessFixtures.cloneTxDir(txTpl(s, dir, "b5_days")))
+    val target = Paths.get(B5IcebergDaysIncrPath)
+    graft.sources.DeltaInterop.deleteRecursively(target)
+    require(IcebergInterop.exportIcebergIncremental(t, B5IcebergDaysIncrPath,
+      tsMillis = 5000L, dayPartitionOf = Some("ts")) == 1L)
+    // a brand-new single day arrives (the fixture's events are Jan-2024)
+    val extra = Tables.events(s, dir)
+      .select(cols.map(col).toIndexedSeq: _*)
+      .where(col("event_id") % 4 === 1 && col("event_id") % 16 === 1)
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-03-01 12:00:00")))
+    t.append(extra, tsMillis = 6000L)
+    val v = IcebergInterop.exportIcebergIncremental(t, B5IcebergDaysIncrPath,
+      tsMillis = 7000L, dayPartitionOf = Some("ts"))
+    require(v == 2L, s"b5_iceberg_days_incr: expected metadata version 2, got $v")
+    // idempotent: an unchanged source appends nothing
+    require(IcebergInterop.exportIcebergIncremental(t, B5IcebergDaysIncrPath,
+      tsMillis = 8000L, dayPartitionOf = Some("ts")) == 2L,
+      "b5_iceberg_days_incr: an unchanged source must not append a snapshot")
+    val metaTxt = new String(Files.readAllBytes(
+      target.resolve("metadata").resolve("v2.metadata.json")), "UTF-8")
+    require(metaTxt.contains("\"transform\" : \"day\"") &&
+        metaTxt.contains("\"parent-snapshot-id\""),
+      "b5_iceberg_days_incr: v2 must declare day(ts) and record its parent")
+    val viaIceberg = IcebergInterop.readIceberg(s, B5IcebergDaysIncrPath)
+      .select(cols.map(col).toIndexedSeq: _*)
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val (src, exp) =
+      (sig(t.read().select(cols.map(col).toIndexedSeq: _*)), sig(viaIceberg))
+    require(src == exp,
+      s"b5_iceberg_days_incr: mirror diverges from the source (source=$src, export=$exp)")
+    viaIceberg.orderBy("event_id")
+  }
+
   /** Fixed export target for [[b5IcebergExportBucket]] — oracle SQL globs it. */
   private val B5IcebergBucketPath = "/root/repo/target/graft_export/b5_iceberg_bucket"
 
@@ -4842,6 +4895,7 @@ object SparkEntry {
     "b5_iceberg_export_days" -> (b5IcebergExportDays _),
     "b5_iceberg_export_bucket" -> (b5IcebergExportBucket _),
     "b5_iceberg_export_trunc" -> (b5IcebergExportTrunc _),
+    "b5_iceberg_days_incr" -> (b5IcebergDaysIncr _),
     "b5_iceberg_read_incr" -> (b5IcebergReadIncr _),
     "b2_delete_tx"       -> (b2DeleteTx _),
     "b2_tx_diff"         -> (b2TxDiff _),
@@ -5418,6 +5472,11 @@ object SparkEntry {
     "b5_iceberg_export_trunc" ->
       """SELECT event_id, user_id, event_type, value, ts
         |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_trunc/data/*/*.parquet')
+        |ORDER BY event_id""".stripMargin,
+    // the incremental day-spec mirror: two snapshots' live files globbed flat
+    "b5_iceberg_days_incr" ->
+      """SELECT event_id, user_id, event_type, value, ts
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_days_incr/data/*.parquet')
         |ORDER BY event_id""".stripMargin,
     "b1_typed_ingest" ->
       """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS entity_id, ts, value, event_type FROM events)

@@ -95,7 +95,6 @@ object IcebergInterop {
     */
   def exportIcebergDays(t: TxTable, target: String, tsCol: String,
       tsMillis: Long = System.currentTimeMillis()): Unit = {
-    import org.apache.spark.sql.functions.{col, count, datediff, lit, max, min, to_date, when}
     val snap = t.snapshotInfo()
     require(snap.partCols.isEmpty,
       s"exportIcebergDays expects a FLAT TxTable (files carry '$tsCol' " +
@@ -112,33 +111,44 @@ object IcebergInterop {
       sourceId = idx + 1, fieldId = 1000, transform = "day"))
 
     val srcData = Paths.get(snap.dataDir)
-    val uris = snap.files.map(rel => srcData.resolve(rel).toString)
-    val perFile = t.spark.read.schema(schema).parquet(uris: _*)
-      .select(col(tsCol),
-        org.apache.spark.sql.functions.col("_metadata.file_name").as("__f"),
-        datediff(to_date(col(tsCol)), lit(java.sql.Date.valueOf("1970-01-01"))).as("__d"))
-      .groupBy("__f")
-      .agg(min("__d").as("__lo"), max("__d").as("__hi"),
-        count(when(col(tsCol).isNull, 1)).as("__nulls"))
-      .collect()
-    val dayOf: Map[String, Int] = perFile.map { r =>
-      val (f, nulls) = (r.getString(0), r.getLong(3))
-      require(nulls == 0L,
-        s"exportIcebergDays: data file $f carries $nulls null '$tsCol' " +
-          "value(s) — a null has no day partition; clean or re-ingest first")
-      val (lo, hi) = (r.getInt(1), r.getInt(2))
-      require(lo == hi,
-        s"exportIcebergDays: data file $f spans days $lo..$hi of '$tsCol' — " +
-          "every file must be single-day for an honest day() spec; " +
-          "compact/repartition the table by day first")
-      f -> lo
-    }.toMap
+    val dayOf = dayOrdinalsOf(t.spark, schema, tsCol,
+      snap.files.map(rel => srcData.resolve(rel).toString))
     exportIcebergWith(t, target, tsMillis, schema, partFields, rel => {
       val name = Paths.get(rel).getFileName.toString
       Seq(java.lang.Integer.valueOf(dayOf.getOrElse(name,
         throw new IllegalStateException(
           s"exportIcebergDays: no day scanned for data file $rel")))) // unreachable
     })
+  }
+
+  /** Per-file day ordinal (days since epoch of `tsCol`, UTC) for `uris` —
+    * one distributed scan of just the timestamp column grouped by
+    * `_metadata.file_name`; every file must be SINGLE-DAY and null-free
+    * (the day-spec contract), loudly. */
+  private def dayOrdinalsOf(spark: SparkSession, schema: StructType,
+      tsCol: String, uris: Seq[String]): Map[String, Int] = {
+    import org.apache.spark.sql.functions.{col, count, datediff, lit, max, min, to_date, when}
+    if (uris.isEmpty) return Map.empty
+    spark.read.schema(schema).parquet(uris: _*)
+      .select(col(tsCol),
+        col("_metadata.file_name").as("__f"),
+        datediff(to_date(col(tsCol)), lit(java.sql.Date.valueOf("1970-01-01"))).as("__d"))
+      .groupBy("__f")
+      .agg(min("__d").as("__lo"), max("__d").as("__hi"),
+        count(when(col(tsCol).isNull, 1)).as("__nulls"))
+      .collect()
+      .map { r =>
+        val (f, nulls) = (r.getString(0), r.getLong(3))
+        require(nulls == 0L,
+          s"day-spec export: data file $f carries $nulls null '$tsCol' " +
+            "value(s) — a null has no day partition; clean or re-ingest first")
+        val (lo, hi) = (r.getInt(1), r.getInt(2))
+        require(lo == hi,
+          s"day-spec export: data file $f spans days $lo..$hi of '$tsCol' — " +
+            "every file must be single-day for an honest day() spec; " +
+            "compact/repartition the table by day first")
+        f -> lo
+      }.toMap
   }
 
   /** Export a FLAT TxTable as an Iceberg v1 table partitioned by
@@ -402,17 +412,45 @@ object IcebergInterop {
     * published with CREATE_NEW — a racing exporter collides on the
     * version file and fails loudly rather than clobbering.
     *
+    * With `dayPartitionOf = Some(tsCol)` the mirror targets (or creates)
+    * a `day(tsCol)` table instead of the identity spec — THE daily-export
+    * shape: each incremental run hard-links only the new single-day files
+    * and scans only THEM for their day ordinals (carried files' tuples
+    * ride the prior manifest like their sizes do), so the daily cost is
+    * O(changed files) in metadata and one timestamp-column scan of the
+    * new data only. The source stays FLAT (day files carry ts physically,
+    * the non-identity rule).
+    *
     * @return the metadata version now current (1 for a fresh full export;
     *   unchanged when the mirror is already identical). */
   def exportIcebergIncremental(t: TxTable, target: String,
-      tsMillis: Long = System.currentTimeMillis()): Long = {
+      tsMillis: Long = System.currentTimeMillis(),
+      dayPartitionOf: Option[String] = None): Long = {
     val finalDir = Paths.get(target).toAbsolutePath
     val metaDir = finalDir.resolve("metadata")
-    if (!Files.isDirectory(metaDir)) { exportIceberg(t, target, tsMillis); return 1L }
+    if (!Files.isDirectory(metaDir)) {
+      dayPartitionOf match {
+        case Some(tsCol) => exportIcebergDays(t, target, tsCol, tsMillis)
+        case None        => exportIceberg(t, target, tsMillis)
+      }
+      return 1L
+    }
 
     val snap = t.snapshotInfo()
     val schema = StructType.fromDDL(snap.schemaDdl)
-    val partFields = identityPartFields(schema, snap.partCols)
+    dayPartitionOf.foreach { tsCol =>
+      require(snap.partCols.isEmpty,
+        s"day-spec incremental export expects a FLAT TxTable; the table at " +
+          s"${snap.dataDir} is Hive-partitioned by ${snap.partCols.mkString(",")}")
+      require(schema.fieldNames.contains(tsCol),
+        s"day-partition column '$tsCol' is not in the table schema")
+    }
+    val partFields = dayPartitionOf match {
+      case Some(tsCol) => Seq(PartField(s"${tsCol}_day", DateType,
+        sourceId = schema.fieldNames.indexOf(tsCol) + 1, fieldId = 1000,
+        transform = "day"))
+      case None => identityPartFields(schema, snap.partCols)
+    }
     val meta = currentMetadata(metaDir, target)
     // the mirror only appends to a table THIS writer's format produced —
     // a foreign v2 table could carry delete files (whose manifests this
@@ -429,11 +467,24 @@ object IcebergInterop {
     // `partition-spec` field: an older writer may carry only the legacy
     // field, and trusting `partition-specs` alone would mirror an
     // unpartitioned spec onto a partitioned table (review finding).
-    val prevSpecCols = targetSpecIdentityCols(meta, target)
-    require(prevSpecCols == snap.partCols,
-      s"cannot incrementally export onto the Iceberg table at $target: its " +
-        s"partition spec is [${prevSpecCols.mkString(",")}] but the source " +
-        s"layout is [${snap.partCols.mkString(",")}] — re-export from scratch")
+    dayPartitionOf match {
+      case Some(tsCol) =>
+        // the existing table's default spec must be exactly [day(tsCol)]
+        val idToName = schemaFieldIdToName(meta, target)
+        val shape = defaultSpecFields(meta).map(f => (
+          Option(f.get("transform")).map(_.asText).getOrElse("identity"),
+          idToName.getOrElse(f.get("source-id").asInt, "?")))
+        require(shape == Seq(("day", tsCol)),
+          s"cannot incrementally export onto the Iceberg table at $target: its " +
+            s"partition spec is [${shape.map(p => s"${p._1}(${p._2})").mkString(",")}] " +
+            s"but this mirror writes [day($tsCol)] — re-export from scratch")
+      case None =>
+        val prevSpecCols = targetSpecIdentityCols(meta, target)
+        require(prevSpecCols == snap.partCols,
+          s"cannot incrementally export onto the Iceberg table at $target: its " +
+            s"partition spec is [${prevSpecCols.mkString(",")}] but the source " +
+            s"layout is [${snap.partCols.mkString(",")}] — re-export from scratch")
+    }
     val prevVersion = currentMetadataVersion(metaDir, target)
     val prevSchema = currentSparkSchema(meta, target)
     require(prevSchema.fields.map(f => (f.name, f.dataType)).toSeq ==
@@ -448,10 +499,11 @@ object IcebergInterop {
         _.elements().asScala.find(_.get("snapshot-id").asLong == id))
     }
     val dataDir = finalDir.resolve("data")
-    // current live set as (rel name under data/, size, rows) — sizes and
-    // record counts RIDE the prior manifest, so unchanged files cost no
-    // footer re-read and the export is genuinely O(changed files)
-    val live: Seq[(String, Long, Long)] = prevSnapNode.toSeq.flatMap { sn =>
+    // current live set as (rel name under data/, size, rows, carried day
+    // tuple) — sizes, record counts, AND day ordinals RIDE the prior
+    // manifest, so unchanged files cost no footer re-read or data scan and
+    // the export is genuinely O(changed files)
+    val live: Seq[(String, Long, Long, Option[Int])] = prevSnapNode.toSeq.flatMap { sn =>
       val listPath = resolveUri(finalDir, sn.get("manifest-list").asText)
       readAvro(listPath).flatMap { r =>
         readAvro(resolveUri(finalDir, r.get("manifest_path").toString)).flatMap { entry =>
@@ -472,14 +524,22 @@ object IcebergInterop {
             require(p.startsWith(dataDir.toAbsolutePath.normalize),
               s"existing manifest references $p outside $dataDir — " +
                 "not a self-contained mirror; re-export from scratch")
+            val carriedDay = dayPartitionOf.flatMap { _ =>
+              Option(df.getSchema.getField("partition"))
+                .map(_ => df.get("partition").asInstanceOf[GenericRecord])
+                .flatMap(rec => partFields.headOption.flatMap(pf =>
+                  Option(rec.getSchema.getField(pf.name))
+                    .map(_ => rec.get(pf.name).asInstanceOf[Int])))
+            }
             Some((dataDir.relativize(p).toString,
               df.get("file_size_in_bytes").asInstanceOf[Long],
-              df.get("record_count").asInstanceOf[Long]))
+              df.get("record_count").asInstanceOf[Long],
+              carriedDay))
           }
         }
       }
     }
-    val liveStats = live.map { case (rel, sz, rc) => rel -> (sz, rc) }.toMap
+    val liveStats = live.map { case (rel, sz, rc, day) => rel -> (sz, rc, day) }.toMap
     val snapSet = snap.files.toSet
     val newFiles = snap.files.filterNot(liveStats.contains)
     val removedFiles = live.map(_._1).filterNot(snapSet)
@@ -487,6 +547,12 @@ object IcebergInterop {
     if (newFiles.isEmpty && removedFiles.isEmpty && !schemaChanged) return prevVersion
 
     val srcData = Paths.get(snap.dataDir)
+    // day tuples for the NEW files only — one ts-column scan of the delta
+    val newDayOf: Map[String, Int] = dayPartitionOf match {
+      case Some(tsCol) => dayOrdinalsOf(t.spark, schema, tsCol,
+        newFiles.map(rel => srcData.resolve(rel).toString))
+      case None => Map.empty
+    }
     val files = snap.files.map { rel =>
       val dst = dataDir.resolve(rel)
       if (!Files.exists(dst)) {
@@ -494,11 +560,19 @@ object IcebergInterop {
         try Files.createLink(dst, srcData.resolve(rel))
         catch { case _: Exception => Files.copy(srcData.resolve(rel), dst) }
       }
-      // partition tuples always re-derive from the Hive path segments (both
-      // carried and new files keep their `col=value/` rel names in a mirror)
-      val (sz, rc) = liveStats.getOrElse(rel,
-        (Files.size(dst), parquetRowCount(t.spark, dst)))
-      ManifestFile(rel, sz, rc, hivePartitionTuple(rel, partFields))
+      val (sz, rc, carriedDay) = liveStats.getOrElse(rel,
+        (Files.size(dst), parquetRowCount(t.spark, dst), None))
+      val tuple = dayPartitionOf match {
+        case Some(_) => Seq(java.lang.Integer.valueOf(
+          carriedDay.orElse(newDayOf.get(Paths.get(rel).getFileName.toString))
+            .getOrElse(throw new IllegalStateException(
+              s"day-spec mirror: no day ordinal for data file $rel " +
+                "(neither carried in the prior manifest nor scanned as new)"))))
+        // identity tuples always re-derive from the Hive path segments (both
+        // carried and new files keep their `col=value/` rel names in a mirror)
+        case None => hivePartitionTuple(rel, partFields)
+      }
+      ManifestFile(rel, sz, rc, tuple)
     }
 
     // schema evolution gets a FRESH schema-id and keeps every prior schema

@@ -124,8 +124,12 @@ class ContractSpec extends AnyFunSuite {
     // (the rest of the idiomatic Iceberg layout trio: spec-vector-pinned
     // murmur3 bucket[8] and string-prefix truncate[2], both rewrite-based
     // with in-query purity certificates and DuckDB oracles)
-    assert(SparkEntry.queries.size == 198,
-      s"declared query count ${SparkEntry.queries.size} != documented 198 — " +
+    // 199 adds b5_iceberg_days_incr (the production daily export: the
+    // incremental mirror onto the day(ts) spec — only new files linked
+    // and scanned, carried tuples ride the prior manifest, v2 + parent
+    // snapshot certified, DuckDB oracle)
+    assert(SparkEntry.queries.size == 199,
+      s"declared query count ${SparkEntry.queries.size} != documented 199 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

@@ -259,6 +259,59 @@ class IcebergInteropSpec extends SparkSpec {
       t.read().select("id", "ts", "v").orderBy("id").collect().toSeq)
   }
 
+  test("incremental day-spec mirror: snapshots append, carried tuples ride, mismatches refused") {
+    import java.sql.Timestamp
+    val t = TxTable(spark, tmp("ice_days_incr"))
+    t.append(Seq((1L, Timestamp.valueOf("2024-03-01 08:00:00"), 1.0),
+        (2L, Timestamp.valueOf("2024-03-01 12:00:00"), 2.0))
+      .toDF("id", "ts", "v"), tsMillis = 1000L)
+    val out = tmp("ice_days_incr_exp")
+    assert(IcebergInterop.exportIcebergIncremental(t, out, tsMillis = 5000L,
+      dayPartitionOf = Some("ts")) == 1L)
+    // a new day lands; the mirror appends snapshot 2 (and scans ONLY it)
+    t.append(Seq((3L, Timestamp.valueOf("2024-03-02 09:00:00"), 3.0))
+      .toDF("id", "ts", "v"), tsMillis = 2000L)
+    assert(IcebergInterop.exportIcebergIncremental(t, out, tsMillis = 6000L,
+      dayPartitionOf = Some("ts")) == 2L)
+    // identical source → no new version
+    assert(IcebergInterop.exportIcebergIncremental(t, out, tsMillis = 7000L,
+      dayPartitionOf = Some("ts")) == 2L)
+    val metaTxt = new String(Files.readAllBytes(
+      Paths.get(out, "metadata", "v2.metadata.json")))
+    assert(metaTxt.contains("\"transform\" : \"day\""))
+    assert(metaTxt.contains("\"parent-snapshot-id\""))
+    val got = IcebergInterop.readIceberg(spark, out)
+    assert(got.orderBy("id").collect().toSeq ==
+      t.read().select("id", "ts", "v").orderBy("id").collect().toSeq)
+    // the manifests carry per-file day ordinals: 2024-03-01 = 19783,
+    // 2024-03-02 = 19784 (days since epoch)
+    assert(got.count() == 3L)
+
+    // an IDENTITY mirror onto the day table is refused (and vice versa)
+    val eId = intercept[IllegalArgumentException](
+      IcebergInterop.exportIcebergIncremental(t, out, tsMillis = 8000L))
+    assert(eId.getMessage.contains("identity"), eId.getMessage)
+    val flatOther = TxTable(spark, tmp("ice_days_incr_id"))
+    flatOther.append(Seq((1L, "a", 1.0)).toDF("id", "k", "v"), tsMillis = 1000L)
+    val idExp = tmp("ice_days_incr_id_exp")
+    IcebergInterop.exportIcebergIncremental(flatOther, idExp, tsMillis = 5000L)
+    val eDay = intercept[IllegalArgumentException](
+      IcebergInterop.exportIcebergIncremental(t, idExp,
+        tsMillis = 9000L, dayPartitionOf = Some("ts")))
+    // either shape-mismatch or spec-mismatch message — both loud
+    assert(eDay.getMessage.contains("re-export from scratch") ||
+      eDay.getMessage.contains("partition spec"), eDay.getMessage)
+
+    // a multi-day NEW batch is refused by the same single-day contract
+    t.append(Seq((4L, Timestamp.valueOf("2024-03-03 01:00:00"), 4.0),
+        (5L, Timestamp.valueOf("2024-03-04 01:00:00"), 5.0))
+      .toDF("id", "ts", "v").coalesce(1), tsMillis = 3000L)
+    val eSpan = intercept[IllegalArgumentException](
+      IcebergInterop.exportIcebergIncremental(t, out, tsMillis = 10000L,
+        dayPartitionOf = Some("ts")))
+    assert(eSpan.getMessage.contains("spans days"), eSpan.getMessage)
+  }
+
   test("exportIcebergDays refuses multi-day files, null timestamps, partitioned sources") {
     import java.sql.Timestamp
     // a file spanning two days has no honest day tuple
