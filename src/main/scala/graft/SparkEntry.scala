@@ -2920,6 +2920,43 @@ object SparkEntry {
     viaIceberg.orderBy("event_id")
   }
 
+  /** Fixed export target for [[b5IcebergPrunedRead]] — oracle SQL globs it. */
+  private val B5IcebergPrunedPath = "/root/repo/target/graft_export/b5_iceberg_pruned"
+
+  /** B5 — MANIFEST-TUPLE PRUNED READ: the planning path that makes a
+    * partition spec worth its metadata. The daily events table exports
+    * under the day(ts) spec, then the read prunes to days ≥ Jan 16 from
+    * the manifests alone — the earlier days' files are never listed, let
+    * alone scanned. In-query certificates: the pruned read touches
+    * STRICTLY fewer files than the full read, and its rows equal the full
+    * read post-filtered (prune-to-superset + exact row filter is the
+    * pruning correctness contract). The DuckDB oracle recomputes the same
+    * date cut over the exported bytes.
+    */
+  private def b5IcebergPrunedRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergInterop, TxTable}
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
+    val t = TxTable(s, txTpl(s, dir, "b5_days"))
+    IcebergInterop.exportIcebergDays(t, B5IcebergPrunedPath, "ts", tsMillis = 5000L)
+    val cut = java.sql.Date.valueOf("2024-01-16")
+    val pruned = IcebergInterop.readIcebergPruned(s, B5IcebergPrunedPath,
+      tuple => tuple("ts_day") match {
+        case d: java.sql.Date => !d.before(cut)
+        case _                => true // unknown tuple shape: never drop data
+      })
+      .select(cols.map(col).toIndexedSeq: _*)
+    val full = IcebergInterop.readIceberg(s, B5IcebergPrunedPath)
+      .select(cols.map(col).toIndexedSeq: _*)
+    require(pruned.inputFiles.length < full.inputFiles.length,
+      s"b5_iceberg_pruned_read: pruning must shrink the file list " +
+        s"(${pruned.inputFiles.length} vs ${full.inputFiles.length})")
+    val expected = full.where(col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00")))
+    require(pruned.exceptAll(expected).count() == 0L &&
+        expected.exceptAll(pruned).count() == 0L,
+      "b5_iceberg_pruned_read: pruned read diverges from full read + row filter")
+    pruned.orderBy("event_id")
+  }
+
   /** Fixed export target for [[b5IcebergExportBucket]] — oracle SQL globs it. */
   private val B5IcebergBucketPath = "/root/repo/target/graft_export/b5_iceberg_bucket"
 
@@ -4896,6 +4933,7 @@ object SparkEntry {
     "b5_iceberg_export_bucket" -> (b5IcebergExportBucket _),
     "b5_iceberg_export_trunc" -> (b5IcebergExportTrunc _),
     "b5_iceberg_days_incr" -> (b5IcebergDaysIncr _),
+    "b5_iceberg_pruned_read" -> (b5IcebergPrunedRead _),
     "b5_iceberg_read_incr" -> (b5IcebergReadIncr _),
     "b2_delete_tx"       -> (b2DeleteTx _),
     "b2_tx_diff"         -> (b2TxDiff _),
@@ -5477,6 +5515,14 @@ object SparkEntry {
     "b5_iceberg_days_incr" ->
       """SELECT event_id, user_id, event_type, value, ts
         |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_days_incr/data/*.parquet')
+        |ORDER BY event_id""".stripMargin,
+    // manifest-pruned read: DuckDB recomputes the same date cut over ALL
+    // the exported bytes — if pruning ever dropped a file the row filter
+    // would have kept, the sets diverge
+    "b5_iceberg_pruned_read" ->
+      """SELECT event_id, user_id, event_type, value, ts
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_pruned/data/*.parquet')
+        |WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
         |ORDER BY event_id""".stripMargin,
     "b1_typed_ingest" ->
       """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS entity_id, ts, value, event_type FROM events)

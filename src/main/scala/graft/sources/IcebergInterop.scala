@@ -960,7 +960,31 @@ object IcebergInterop {
     * the snapshot log). Fails loudly on delete files, format-version > 2,
     * and unconvertible types. */
   def readIceberg(spark: SparkSession, path: String,
-      snapshotAsOf: Option[Long] = None): DataFrame = {
+      snapshotAsOf: Option[Long] = None): DataFrame =
+    readIcebergImpl(spark, path, snapshotAsOf, None)
+
+  /** [[readIceberg]] with MANIFEST-TUPLE FILE PRUNING — the planning path
+    * that makes a partition spec worth its metadata: `keep` sees each
+    * data file's partition tuple as a (spec-field-name → decoded value)
+    * map (identity values typed like the source column, date-logical
+    * values — including `day()` ordinals — as java.sql.Date, null
+    * partitions as null, files with no tuple as an empty map) and only
+    * accepted files are LISTED, let alone scanned. At 100 TB this is the
+    * difference between planning over O(files) driver metadata and
+    * scanning every byte a date filter would discard.
+    *
+    * Correctness contract (the caller's side of pruning): `keep` must be
+    * IMPLIED by the row predicate applied afterwards — prune to a
+    * superset, filter rows exactly. The declared query's oracle pins
+    * pruned-read ≡ full-read + post-filter. */
+  def readIcebergPruned(spark: SparkSession, path: String,
+      keep: Map[String, Any] => Boolean,
+      snapshotAsOf: Option[Long] = None): DataFrame =
+    readIcebergImpl(spark, path, snapshotAsOf, Some(keep))
+
+  private def readIcebergImpl(spark: SparkSession, path: String,
+      snapshotAsOf: Option[Long],
+      pruner: Option[Map[String, Any] => Boolean]): DataFrame = {
     val root = Paths.get(path).toAbsolutePath
     val metaDir = root.resolve("metadata")
     require(Files.isDirectory(metaDir), s"no Iceberg table at $path (missing metadata/)")
@@ -1027,9 +1051,49 @@ object IcebergInterop {
       }
     }
 
-    if (dataFiles.isEmpty)
+    // manifest-tuple pruning happens HERE, before any data file is touched
+    // (the footer probes and the scan below see only the kept subset)
+    val kept = pruner match {
+      case None => dataFiles
+      case Some(keep) =>
+        val fieldNames = defaultSpecFields(meta).map(_.get("name").asText)
+        dataFiles.filter { case (_, rec) =>
+          val tuple: Map[String, Any] =
+            if (rec == null) Map.empty
+            else fieldNames.flatMap { fn =>
+              Option(rec.getSchema.getField(fn)).map(f =>
+                fn -> decodeTupleValue(rec.get(fn), f.schema()))
+            }.toMap
+          keep(tuple)
+        }
+    }
+
+    if (kept.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else readWithIdentityFill(spark, path, meta, schema, dataFiles)
+    else readWithIdentityFill(spark, path, meta, schema, kept)
+  }
+
+  /** Avro partition value → the external value [[readIcebergPruned]]'s
+    * `keep` sees: date-logical ints (identity dates AND day() ordinals)
+    * become java.sql.Date, Utf8 becomes String, null unions pass null,
+    * everything else stays its Avro-decoded self. */
+  private def decodeTupleValue(v: AnyRef, fieldSchema: Schema): Any = {
+    if (v == null) return null
+    // unwrap the ["null", t] union the manifest writes
+    val t = fieldSchema.getType match {
+      case Schema.Type.UNION =>
+        fieldSchema.getTypes.asScala.find(_.getType != Schema.Type.NULL)
+          .getOrElse(fieldSchema)
+      case _ => fieldSchema
+    }
+    val isDate = Option(t.getLogicalType).exists(_.getName == "date") ||
+      Option(t.getProp("logicalType")).contains("date")
+    v match {
+      case i: java.lang.Integer if isDate =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
+      case u: org.apache.avro.util.Utf8 => u.toString
+      case other => other
+    }
   }
 
   /** INCREMENTAL consumption of an Iceberg table: the rows appended in

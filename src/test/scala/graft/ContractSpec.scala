@@ -128,8 +128,11 @@ class ContractSpec extends AnyFunSuite {
     // incremental mirror onto the day(ts) spec — only new files linked
     // and scanned, carried tuples ride the prior manifest, v2 + parent
     // snapshot certified, DuckDB oracle)
-    assert(SparkEntry.queries.size == 199,
-      s"declared query count ${SparkEntry.queries.size} != documented 199 — " +
+    // 200 adds b5_iceberg_pruned_read (manifest-tuple file pruning — the
+    // planning path: prune-to-superset certified against full-read +
+    // row-filter, strictly fewer files listed, DuckDB recomputes the cut)
+    assert(SparkEntry.queries.size == 200,
+      s"declared query count ${SparkEntry.queries.size} != documented 200 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

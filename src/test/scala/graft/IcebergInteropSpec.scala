@@ -259,6 +259,41 @@ class IcebergInteropSpec extends SparkSpec {
       t.read().select("id", "ts", "v").orderBy("id").collect().toSeq)
   }
 
+  test("readIcebergPruned: manifest-tuple pruning skips files on day AND identity specs") {
+    import java.sql.Timestamp
+    // day spec: tuples decode as java.sql.Date; pruning to one day scans
+    // only that day's files
+    val t = TxTable(spark, tmp("ice_prune_days"))
+    t.append(Seq((1L, Timestamp.valueOf("2024-03-01 08:00:00"), 1.0))
+      .toDF("id", "ts", "v"), tsMillis = 1000L)
+    t.append(Seq((2L, Timestamp.valueOf("2024-03-02 09:00:00"), 2.0))
+      .toDF("id", "ts", "v"), tsMillis = 2000L)
+    val out = tmp("ice_prune_days_exp")
+    IcebergInterop.exportIcebergDays(t, out, "ts", tsMillis = 5000L)
+    val day2 = java.sql.Date.valueOf("2024-03-02")
+    val pruned = IcebergInterop.readIcebergPruned(spark, out,
+      tuple => tuple("ts_day") == day2)
+    assert(pruned.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(pruned.inputFiles.length <
+      IcebergInterop.readIceberg(spark, out).inputFiles.length,
+      "pruning must reduce the file list, not just filter rows")
+    // a pruner keeping nothing returns the empty frame with the schema
+    assert(IcebergInterop.readIcebergPruned(spark, out, _ => false).isEmpty)
+
+    // identity spec: tuples decode as the source-typed value (string here);
+    // pruning composes with the Column-Projection fill
+    val tp = TxTable(spark, tmp("ice_prune_id"))
+    tp.append(Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0),
+        (3L, "2024-01-01", 3.0))
+      .toDF("id", "day", "v"), tsMillis = 1000L, partitionBy = Seq("day"))
+    val outP = tmp("ice_prune_id_exp")
+    IcebergInterop.exportIceberg(tp, outP, tsMillis = 5000L)
+    val prunedP = IcebergInterop.readIcebergPruned(spark, outP,
+      tuple => tuple("day") == "2024-01-01")
+    assert(prunedP.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(prunedP.where(col("day") =!= "2024-01-01").count() == 0L)
+  }
+
   test("incremental day-spec mirror: snapshots append, carried tuples ride, mismatches refused") {
     import java.sql.Timestamp
     val t = TxTable(spark, tmp("ice_days_incr"))
