@@ -2920,6 +2920,38 @@ object SparkEntry {
     viaIceberg.orderBy("event_id")
   }
 
+  /** Fixed export target for [[b5DeltaPrunedRead]] — oracle SQL globs it. */
+  private val B5DeltaPrunedPath = "/root/repo/target/graft_export/b5_delta_pruned"
+
+  /** B5 — Delta PARTITION-VALUE PRUNED READ, the first format's twin of
+    * [[b5IcebergPrunedRead]]: the date-partitioned events TxTable exports
+    * as a standard Delta table and the read prunes the add-file list by
+    * the log's partitionValues (protocol string encoding) before any file
+    * is listed. Certificates: strictly fewer files than the full read,
+    * pruned ≡ full + row filter; the oracle is DuckDB reconstructing the
+    * partition column from the Hive directory names and recomputing the
+    * same cut.
+    */
+  private def b5DeltaPrunedRead(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaInterop, TxTable}
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts", "day")
+    val t = TxTable(s, txTpl(s, dir, "b5_part"))
+    DeltaInterop.exportDelta(t, B5DeltaPrunedPath, tsMillis = 5000L)
+    val pruned = DeltaInterop.readDeltaPruned(s, B5DeltaPrunedPath,
+      pv => pv.get("day").flatten.forall(_ >= "2024-01-16")) // None (null day) kept: superset
+      .select(cols.map(col).toIndexedSeq: _*)
+    val full = DeltaInterop.readDelta(s, B5DeltaPrunedPath)
+      .select(cols.map(col).toIndexedSeq: _*)
+    require(pruned.inputFiles.length < full.inputFiles.length,
+      s"b5_delta_pruned_read: pruning must shrink the file list " +
+        s"(${pruned.inputFiles.length} vs ${full.inputFiles.length})")
+    val expected = full.where(col("day").isNull || col("day") >= "2024-01-16")
+    require(pruned.exceptAll(expected).count() == 0L &&
+        expected.exceptAll(pruned).count() == 0L,
+      "b5_delta_pruned_read: pruned read diverges from full read + row filter")
+    pruned.orderBy("event_id")
+  }
+
   /** Fixed export target for [[b5IcebergPrunedRead]] — oracle SQL globs it. */
   private val B5IcebergPrunedPath = "/root/repo/target/graft_export/b5_iceberg_pruned"
 
@@ -4934,6 +4966,7 @@ object SparkEntry {
     "b5_iceberg_export_trunc" -> (b5IcebergExportTrunc _),
     "b5_iceberg_days_incr" -> (b5IcebergDaysIncr _),
     "b5_iceberg_pruned_read" -> (b5IcebergPrunedRead _),
+    "b5_delta_pruned_read" -> (b5DeltaPrunedRead _),
     "b5_iceberg_read_incr" -> (b5IcebergReadIncr _),
     "b2_delete_tx"       -> (b2DeleteTx _),
     "b2_tx_diff"         -> (b2TxDiff _),
@@ -5523,6 +5556,14 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value, ts
         |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_pruned/data/*.parquet')
         |WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    // the Delta twin: DuckDB reconstructs `day` from the Hive directory
+    // names and recomputes the same cut over ALL files — an over-eager
+    // prune diverges
+    "b5_delta_pruned_read" ->
+      """SELECT event_id, user_id, event_type, value, ts, CAST(day AS VARCHAR) AS day
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_delta_pruned/day=*/*.parquet', hive_partitioning=1)
+        |WHERE day IS NULL OR CAST(day AS VARCHAR) >= '2024-01-16'
         |ORDER BY event_id""".stripMargin,
     "b1_typed_ingest" ->
       """WITH e AS (SELECT CAST(user_id AS VARCHAR) AS entity_id, ts, value, event_type FROM events)

@@ -428,6 +428,26 @@ object DeltaInterop {
     assembleRead(spark, Paths.get(path), schema, meta.partCols, live)
   }
 
+  /** [[readDelta]] with PARTITION-VALUE FILE PRUNING — the Iceberg twin is
+    * [[IcebergInterop.readIcebergPruned]]. Delta's log carries each add's
+    * `partitionValues` as the protocol's STRING encoding, so the pruner
+    * sees a (partition column → Option[String]) map (None = the null
+    * partition; an unpartitioned table's files see an empty map) and only
+    * accepted files are listed, let alone scanned. Same correctness
+    * contract as the Iceberg side: `keep` must be implied by the row
+    * predicate applied afterwards — prune to a superset, filter rows
+    * exactly. */
+  def readDeltaPruned(spark: SparkSession, path: String,
+      keep: Map[String, Option[String]] => Boolean,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val (_, live, metaOpt) = replayState(spark, Paths.get(path), versionAsOf)
+    val meta = metaOpt.getOrElse(
+      throw new IllegalStateException(s"Delta log at $path carries no metaData action"))
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    assembleRead(spark, Paths.get(path), schema, meta.partCols,
+      live.filter(a => keep(a.partitionValues)))
+  }
+
   /** INCREMENTAL consumption of a Delta table: the rows appended in
     * versions `(sinceVersion, current]` — the daily "read only what's new"
     * pattern a downstream pipeline runs against a vendor's Delta feed

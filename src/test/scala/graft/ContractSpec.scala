@@ -131,8 +131,11 @@ class ContractSpec extends AnyFunSuite {
     // 200 adds b5_iceberg_pruned_read (manifest-tuple file pruning — the
     // planning path: prune-to-superset certified against full-read +
     // row-filter, strictly fewer files listed, DuckDB recomputes the cut)
-    assert(SparkEntry.queries.size == 200,
-      s"declared query count ${SparkEntry.queries.size} != documented 200 — " +
+    // 201 adds b5_delta_pruned_read (the first format's twin: add-file
+    // pruning by the log's partitionValues, same certificates, DuckDB
+    // hive_partitioning oracle)
+    assert(SparkEntry.queries.size == 201,
+      s"declared query count ${SparkEntry.queries.size} != documented 201 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

@@ -498,6 +498,28 @@ class DeltaInteropSpec extends SparkSpec {
     assert(h3 == 3L && d3.collect().map(_.getLong(0)).toSeq == Seq(11L))
   }
 
+  test("readDeltaPruned: partition-value pruning skips add files before any scan") {
+    val t = TxTable(spark, tmp("delta_prune_src"))
+    t.append(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+      .toDF("id", "k", "v"), tsMillis = 1000L, partitionBy = Seq("k"))
+    val out = tmp("delta_prune_exp")
+    DeltaInterop.exportDelta(t, out, tsMillis = 5000L)
+    val pruned = DeltaInterop.readDeltaPruned(spark, out,
+      pv => pv.get("k").flatten.contains("a"))
+    assert(pruned.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(pruned.inputFiles.length <
+      DeltaInterop.readDelta(spark, out).inputFiles.length,
+      "pruning must reduce the file list, not just filter rows")
+    // empty prune: the typed empty frame
+    assert(DeltaInterop.readDeltaPruned(spark, out, _ => false).isEmpty)
+    // an unpartitioned table's files see the empty map (keep-all passes)
+    val flat = sampleTable()
+    val outF = tmp("delta_prune_flat")
+    DeltaInterop.exportDelta(flat, outF, tsMillis = 5000L)
+    assert(DeltaInterop.readDeltaPruned(spark, outF, pv => { assert(pv.isEmpty); true })
+      .count() == flat.read().count())
+  }
+
   test("readDeltaChanges refuses a range whose JSON commits never reach the checkpointed head") {
     // checkpoint at v2, JSON commits 0-1 present, 2 ABSENT (retention-cleaned
     // past the checkpoint): contiguity from since+1 alone would silently drop
