@@ -490,13 +490,33 @@ object VectorExpressions {
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
 
+  /** `iceberg_bucket(n, v)` — the Iceberg spec's bucket transform
+    * ((murmur3_x86_32(littleEndianBytes(v as int64)) & Int.MaxValue) % n,
+    * seed 0; pinned to the spec's published vector 34 → bucket), composed
+    * from Spark's own codegen'd expressions: the SQL-side companion of
+    * [[graft.sources.IcebergInterop.exportIcebergBucketed]] — a spark.sql
+    * user locates a key's bucket to prune an exported table by hand.
+    * int/long values only (null → null), matching the writer's stance. */
+  private def icebergBucketExpr(children: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, If, IsNull, Literal, Murmur3Hash, Pmod, BitwiseAnd}
+    require(children.size == 2, "iceberg_bucket(n, v) takes exactly two arguments")
+    val Seq(n, v) = children
+    val hash = Murmur3Hash(Seq(Cast(v, org.apache.spark.sql.types.LongType)), 0)
+    If(IsNull(v), Literal(null, org.apache.spark.sql.types.IntegerType),
+      Pmod(BitwiseAnd(hash, Literal(Int.MaxValue)), n))
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))),
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSim(children(0), children(1)))
+      (children: Seq[Expression]) => CosineSim(children(0), children(1))),
+    (FunctionIdentifier("iceberg_bucket"),
+      new ExpressionInfo(classOf[org.apache.spark.sql.catalyst.expressions.Murmur3Hash].getName,
+        "iceberg_bucket"),
+      icebergBucketExpr _)
   )
 }
 

@@ -44,5 +44,14 @@ class VectorExpressionsSpec extends SparkSpec {
       .collect().head
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getDouble(1) == 23.0)
+    // iceberg_bucket: the spec's own published vector (murmur3 seed 0 of
+    // int64 34 little-endian = 2017239379; bucket 16 → 3), null → null,
+    // and agreement with the exporter's hash for int-typed values
+    val b = spark.sql(
+      "SELECT iceberg_bucket(16, 34L) a, iceberg_bucket(16, 34) b, " +
+        "iceberg_bucket(16, CAST(NULL AS BIGINT)) n").collect().head
+    assert(b.getInt(0) == (2017239379 & Int.MaxValue) % 16)
+    assert(b.getInt(1) == b.getInt(0), "int values must hash as int64 per the spec")
+    assert(b.isNullAt(2), "a null key has no bucket")
   }
 }
