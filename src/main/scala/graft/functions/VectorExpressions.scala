@@ -490,20 +490,18 @@ object VectorExpressions {
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(Bridge.expression(a), Bridge.expression(b)))
 
-  /** `iceberg_bucket(n, v)` — the Iceberg spec's bucket transform
-    * ((murmur3_x86_32(littleEndianBytes(v as int64)) & Int.MaxValue) % n,
-    * seed 0; pinned to the spec's published vector 34 → bucket), composed
-    * from Spark's own codegen'd expressions: the SQL-side companion of
+  /** `iceberg_bucket(n, v)` — the Iceberg spec's bucket transform as a
+    * dedicated type-checked expression ([[graft.functions.IcebergBucket]];
+    * round-9 advice retired the composed Cast+Murmur3Hash form, which
+    * silently hashed strings as null-longs and timestamps as seconds):
+    * the SQL-side companion of
     * [[graft.sources.IcebergInterop.exportIcebergBucketed]] — a spark.sql
     * user locates a key's bucket to prune an exported table by hand.
-    * int/long values only (null → null), matching the writer's stance. */
+    * int/long/date/timestamp/string values only, enforced at analysis;
+    * null → null; n < 1 throws, matching the writer's stance. */
   private def icebergBucketExpr(children: Seq[Expression]): Expression = {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, If, IsNull, Literal, Murmur3Hash, Pmod, BitwiseAnd}
     require(children.size == 2, "iceberg_bucket(n, v) takes exactly two arguments")
-    val Seq(n, v) = children
-    val hash = Murmur3Hash(Seq(Cast(v, org.apache.spark.sql.types.LongType)), 0)
-    If(IsNull(v), Literal(null, org.apache.spark.sql.types.IntegerType),
-      Pmod(BitwiseAnd(hash, Literal(Int.MaxValue)), n))
+    graft.functions.IcebergBucket(children(0), children(1))
   }
 
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -514,7 +512,7 @@ object VectorExpressions {
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))),
     (FunctionIdentifier("iceberg_bucket"),
-      new ExpressionInfo(classOf[org.apache.spark.sql.catalyst.expressions.Murmur3Hash].getName,
+      new ExpressionInfo(classOf[graft.functions.IcebergBucket].getName,
         "iceberg_bucket"),
       icebergBucketExpr _)
   )

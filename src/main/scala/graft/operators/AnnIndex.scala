@@ -160,10 +160,34 @@ object AnnIndex {
 
     val marker = successMarker(path)
     val fs = marker.getFileSystem(hadoopConf())
+    // layout guard BEFORE the marker flip (round-9 advice): appending a
+    // partitionBy("__cell") write onto a legacy FLAT encoded/ layout would
+    // land __cell= directories next to root-level parquet files, re-raise
+    // the marker, and leave every subsequent read failing on conflicting
+    // directory structures — a corrupted index behind a committed marker
+    requireCellLayout(fs, path, "appending to")
     fs.delete(marker, false)
     Pq.encodeWithCell(batch, idCol, vecCol, cb, cents)
       .write.mode("append").partitionBy("__cell").parquet(s"$path/encoded")
     fs.create(marker, true).close()
+  }
+
+  /** The encoded/ table must be the v2 CELL-PARTITIONED layout (pure
+    * `__cell=` directories): appends and per-cell compaction both assume
+    * it, and a legacy flat index (root-level parquet files) — or a mix of
+    * both — must be rebuilt, not mutated into corruption. */
+  private def requireCellLayout(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, op: String): Unit = {
+    val st = fs.listStatus(new org.apache.hadoop.fs.Path(path, "encoded"))
+    val hasCells = st.exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("__cell="))
+    val hasFlat = st.exists(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+    require(hasCells && !hasFlat,
+      s"ANN index at $path ${if (hasFlat && hasCells) "mixes flat parquet " +
+        "files into the cell-partitioned encoded layout"
+      else "predates the cell-partitioned encoded layout"} — " +
+        s"rebuild it before $op it")
   }
 
   /** Remove ids from the index by TOMBSTONE (round-8 verdict #4 — the
@@ -178,8 +202,18 @@ object AnnIndex {
     * tombstoned (a double delete is an idempotence bug worth surfacing).
     * A tombstoned id cannot be re-appended until compaction reclaims it
     * ([[appendToIndex]]'s guard covers both physical and tombstoned rows).
+    *
+    * BOUNDED tombstones, enforced (round-9 verdict #5 — the contract was
+    * previously documentation only): [[loadEncoded]] broadcasts the
+    * tombstone set on every read, so a caller deferring compaction
+    * indefinitely would grow an unbounded broadcast. When this delete
+    * would push the tombstone set past `maxTombstoneFraction` of the
+    * encoded rows, it refuses with a compact-first instruction — the
+    * index is untouched, and [[compactIndex]] (at a cadence below the
+    * threshold) makes the next delete admissible.
     */
-  def removeFromIndex(ids: DataFrame, idCol: String, path: String): Unit = {
+  def removeFromIndex(ids: DataFrame, idCol: String, path: String,
+      maxTombstoneFraction: Double = 0.5): Unit = {
     import org.apache.spark.sql.functions.broadcast
     val spark = ids.sparkSession
     require(exists(path), s"no committed ANN index at $path — build() first")
@@ -195,13 +229,24 @@ object AnnIndex {
         "deleting a vector that was never indexed is an id-mapping bug")
     val tombPath = new org.apache.hadoop.fs.Path(path, "tombstones")
     val fs = tombPath.getFileSystem(hadoopConf())
-    if (fs.exists(tombPath)) {
-      val already = spark.read.parquet(s"$path/tombstones")
-        .join(broadcast(del), Seq(idCol), "left_semi").count()
-      require(already == 0L,
-        s"removeFromIndex($path): $already id(s) are already tombstoned — " +
-          "a repeated delete is an idempotence bug worth surfacing")
-    }
+    val priorTombs =
+      if (!fs.exists(tombPath)) 0L
+      else {
+        val tomb = spark.read.parquet(s"$path/tombstones")
+        val already = tomb.join(broadcast(del), Seq(idCol), "left_semi").count()
+        require(already == 0L,
+          s"removeFromIndex($path): $already id(s) are already tombstoned — " +
+            "a repeated delete is an idempotence bug worth surfacing")
+        tomb.count()
+      }
+    val afterTombs = priorTombs + del.count()
+    val encodedRows = raw.count()
+    require(encodedRows == 0L ||
+        afterTombs.toDouble / encodedRows <= maxTombstoneFraction,
+      f"removeFromIndex($path): this delete would leave $afterTombs tombstone(s) " +
+        f"over $encodedRows encoded row(s) (${afterTombs.toDouble / encodedRows}%.2f " +
+        f"> the $maxTombstoneFraction%.2f bound) — every read broadcasts the " +
+        "tombstone set, so it must stay bounded; compactIndex first")
     val marker = successMarker(path)
     fs.delete(marker, false)
     del.write.mode("append").parquet(s"$path/tombstones")
@@ -227,12 +272,9 @@ object AnnIndex {
     if (!fs.exists(tombHPath)) return Seq.empty
     // the per-cell rewrite needs the PARTITIONED layout (cell directories);
     // a legacy flat index carries __cell as a data column instead — check
-    // the directories, not the schema
-    val encDir = new org.apache.hadoop.fs.Path(path, "encoded")
-    require(fs.listStatus(encDir).exists(st =>
-        st.isDirectory && st.getPath.getName.startsWith("__cell=")),
-      s"ANN index at $path predates the cell-partitioned encoded layout — " +
-        "rebuild it before compacting")
+    // the directories, not the schema (shared with appendToIndex's guard,
+    // which also refuses the mixed case)
+    requireCellLayout(fs, path, "compacting")
     val raw = loadEncodedRaw(spark, path)
     val tomb = spark.read.parquet(s"$path/tombstones").distinct().localCheckpoint()
     val idCol = tomb.schema.fieldNames.head

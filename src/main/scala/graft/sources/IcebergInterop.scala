@@ -124,15 +124,26 @@ object IcebergInterop {
   /** Per-file day ordinal (days since epoch of `tsCol`, UTC) for `uris` —
     * one distributed scan of just the timestamp column grouped by
     * `_metadata.file_name`; every file must be SINGLE-DAY and null-free
-    * (the day-spec contract), loudly. */
+    * (the day-spec contract), loudly. The ordinal is derived
+    * TIMEZONE-INDEPENDENTLY (round-9 advice): the spec's `day()` over
+    * timestamptz is UTC days since epoch, but `to_date` converts in the
+    * SESSION zone, which would shift files around midnight on a non-UTC
+    * session — so timestamps floor-divide their epoch micros directly,
+    * and only DateType (already an absolute ordinal) uses datediff. */
   private def dayOrdinalsOf(spark: SparkSession, schema: StructType,
       tsCol: String, uris: Seq[String]): Map[String, Int] = {
-    import org.apache.spark.sql.functions.{col, count, datediff, lit, max, min, to_date, when}
+    import org.apache.spark.sql.functions.{col, count, datediff, floor, lit, max, min, unix_micros, when}
     if (uris.isEmpty) return Map.empty
+    val dayOrdinal = schema(tsCol).dataType match {
+      case TimestampType =>
+        floor(unix_micros(col(tsCol)) / lit(86400000000L)).cast("int")
+      case _ =>
+        datediff(col(tsCol), lit(java.sql.Date.valueOf("1970-01-01")))
+    }
     spark.read.schema(schema).parquet(uris: _*)
       .select(col(tsCol),
         col("_metadata.file_name").as("__f"),
-        datediff(to_date(col(tsCol)), lit(java.sql.Date.valueOf("1970-01-01"))).as("__d"))
+        dayOrdinal.as("__d"))
       .groupBy("__f")
       .agg(min("__d").as("__lo"), max("__d").as("__hi"),
         count(when(col(tsCol).isNull, 1)).as("__nulls"))
@@ -170,23 +181,21 @@ object IcebergInterop {
     * the SOURCE column stays physical (the non-identity rule). */
   def exportIcebergBucketed(t: TxTable, target: String, col: String,
       nBuckets: Int, tsMillis: Long = System.currentTimeMillis()): Unit = {
-    import org.apache.spark.sql.functions.{col => c, lit, pmod, when}
+    import org.apache.spark.sql.functions.{col => c}
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val schema = StructType.fromDDL(t.snapshotInfo().schemaDdl)
     val idx = schema.fieldNames.indexOf(col)
     require(idx >= 0, s"bucket source column '$col' is not in the table schema")
-    require(schema.fields(idx).dataType == LongType ||
-        schema.fields(idx).dataType == IntegerType,
+    require(Seq(LongType, IntegerType, StringType, DateType, TimestampType)
+        .contains(schema.fields(idx).dataType),
       s"bucket source column '$col' has type ${schema.fields(idx).dataType} — " +
-        "this writer buckets int/long only (Spark's string murmur3 tail " +
-        "handling diverges from the Iceberg spec)")
-    val hash = org.apache.spark.sql.graft.Bridge.column(
-      org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
-        Seq(org.apache.spark.sql.graft.Bridge.expression(c(col).cast("long"))), 0))
-    // null → null partition (transforms map null to null per spec); the
-    // seed-hash Spark would report for a null child is NOT a bucket
-    val bucket = when(c(col).isNull, lit(null))
-      .otherwise(pmod(hash.bitwiseAND(lit(Int.MaxValue)), lit(nBuckets)))
+        "this writer buckets int/long/date/timestamp/string only (the spec's " +
+        "byte form for other types is not implemented)")
+    // the spec hash via the dedicated expression (IcebergBucket) — NOT
+    // Spark's Murmur3Hash, whose string tail handling diverges from the
+    // standard; null → null partition (transforms map null to null per
+    // spec), handled by the expression's null-intolerance
+    val bucket = graft.functions.IcebergTransforms.bucket(nBuckets, c(col))
     exportIcebergRewritten(t, target, col, s"${col}_bucket",
       s"bucket[$nBuckets]", IntegerType, bucket,
       raw => java.lang.Integer.valueOf(raw), tsMillis)
@@ -1020,49 +1029,22 @@ object IcebergInterop {
       case None     => currentSparkSchema(meta, path)
     }
 
-    val listUri = snapNode.get("manifest-list")
-    require(listUri != null,
-      s"Iceberg table $path uses inline v1 'manifests' lists without a " +
-        "manifest-list file — unsupported by this reader")
-    val listPath = resolveUri(root, listUri.asText)
-    val manifests = readAvro(listPath).map { r =>
-      resolveUri(root, r.get("manifest_path").toString)
-    }
-
-    val dataFiles: Seq[(Path, GenericRecord)] = manifests.flatMap { mp =>
-      readAvro(mp).flatMap { entry =>
-        val status = entry.get("status").asInstanceOf[Int]
-        val df = entry.get("data_file").asInstanceOf[GenericRecord]
-        // v2 manifests carry data_file.content: 0=data, 1=position deletes,
-        // 2=equality deletes. A table with live delete files CANNOT be read
-        // correctly by scanning data files alone.
-        val content = Option(df.getSchema.getField("content"))
-          .map(f => df.get("content").asInstanceOf[Int]).getOrElse(0)
-        require(content == 0,
-          s"Iceberg table $path carries delete files (content=$content) — " +
-            "row-level deletes are unsupported by this reader")
-        val fmt = df.get("file_format").toString
-        require(fmt.equalsIgnoreCase("PARQUET"),
-          s"Iceberg table $path holds $fmt data files — only parquet is supported")
-        if (status == 2) None // DELETED entry
-        else Some((resolveUri(root, df.get("file_path").toString),
-          Option(df.getSchema.getField("partition"))
-            .map(_ => df.get("partition").asInstanceOf[GenericRecord]).orNull))
-      }
-    }
+    val (dataFiles, deleteFiles) = liveEntries(root, path, snapNode)
 
     // manifest-tuple pruning happens HERE, before any data file is touched
-    // (the footer probes and the scan below see only the kept subset)
+    // (the footer probes and the scan below see only the kept subset);
+    // position deletes for pruned-out files drop out naturally in the
+    // delete-frame join below — prune-to-superset stays correct
     val kept = pruner match {
       case None => dataFiles
       case Some(keep) =>
         val fieldNames = defaultSpecFields(meta).map(_.get("name").asText)
-        dataFiles.filter { case (_, rec) =>
+        dataFiles.filter { e =>
           val tuple: Map[String, Any] =
-            if (rec == null) Map.empty
+            if (e.partition == null) Map.empty
             else fieldNames.flatMap { fn =>
-              Option(rec.getSchema.getField(fn)).map(f =>
-                fn -> decodeTupleValue(rec.get(fn), f.schema()))
+              Option(e.partition.getSchema.getField(fn)).map(f =>
+                fn -> decodeTupleValue(e.partition.get(fn), f.schema()))
             }.toMap
           keep(tuple)
         }
@@ -1070,7 +1052,122 @@ object IcebergInterop {
 
     if (kept.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else readWithIdentityFill(spark, path, meta, schema, kept)
+    else readWithIdentityFill(spark, path, meta, schema,
+      kept.map(e => (e.resolved, e.partition)),
+      positionDeleteFrame(spark, path, kept, deleteFiles))
+  }
+
+  /** One live DATA file of a snapshot: its resolved local path, the
+    * file_path string EXACTLY as the manifest records it (position-delete
+    * rows reference that string), its partition tuple, and its data
+    * sequence number (0 for v1-era files, per the spec's upgrade rule). */
+  private case class DataEntry(resolved: Path, uri: String,
+      partition: GenericRecord, seq: Long)
+
+  /** One live POSITION-DELETE file: resolved path + delete sequence. */
+  private case class DeleteEntry(resolved: Path, seq: Long)
+
+  /** Walk a snapshot's manifest list into its live data and position-delete
+    * entries, with v2 sequence-number INHERITANCE (a null entry-level
+    * sequence number takes the manifest-list entry's; both default to 0
+    * for v1 metadata — the spec's upgrade rule). Equality deletes
+    * (content=2) are refused loudly: applying them needs strict
+    * sequence-ordered column matching this reader does not implement, and
+    * misreading them would resurrect deleted rows. */
+  private def liveEntries(root: Path, path: String,
+      snapNode: JsonNode): (Seq[DataEntry], Seq[DeleteEntry]) = {
+    val listUri = snapNode.get("manifest-list")
+    require(listUri != null,
+      s"Iceberg table $path uses inline v1 'manifests' lists without a " +
+        "manifest-list file — unsupported by this reader")
+    val listPath = resolveUri(root, listUri.asText)
+    val data = Seq.newBuilder[DataEntry]
+    val dels = Seq.newBuilder[DeleteEntry]
+    readAvro(listPath).foreach { r =>
+      val mp = resolveUri(root, r.get("manifest_path").toString)
+      val listSeq = Option(r.getSchema.getField("sequence_number"))
+        .flatMap(_ => Option(r.get("sequence_number")))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      readAvro(mp).foreach { entry =>
+        val status = entry.get("status").asInstanceOf[Int]
+        val df = entry.get("data_file").asInstanceOf[GenericRecord]
+        // v2 manifests carry data_file.content: 0=data, 1=position deletes,
+        // 2=equality deletes
+        val content = Option(df.getSchema.getField("content"))
+          .map(_ => df.get("content").asInstanceOf[Int]).getOrElse(0)
+        require(content == 0 || content == 1,
+          s"Iceberg table $path carries equality delete files (content=$content) " +
+            "— unsupported by this reader (position delete files are applied)")
+        val fmt = df.get("file_format").toString
+        require(fmt.equalsIgnoreCase("PARQUET"),
+          s"Iceberg table $path holds $fmt files — only parquet is supported")
+        val seq = Option(entry.getSchema.getField("sequence_number"))
+          .flatMap(_ => Option(entry.get("sequence_number")))
+          .map(_.asInstanceOf[Long]).getOrElse(listSeq)
+        if (status == 2) () // DELETED entry: not live
+        else if (content == 1)
+          dels += DeleteEntry(resolveUri(root, df.get("file_path").toString), seq)
+        else data += DataEntry(resolveUri(root, df.get("file_path").toString),
+          df.get("file_path").toString,
+          Option(df.getSchema.getField("partition"))
+            .map(_ => df.get("partition").asInstanceOf[GenericRecord]).orNull,
+          seq)
+      }
+    }
+    (data.result(), dels.result())
+  }
+
+  /** The distributed (data-file basename, position) frame of every
+    * position delete that APPLIES to a kept data file — None when the
+    * snapshot carries no delete files, so delete-free tables plan exactly
+    * as before. Spec semantics: a position delete applies to data files
+    * whose data sequence number is <= the delete's; deletes referencing
+    * dead, pruned-out, or unknown files drop out in the join (they are
+    * inapplicable, not errors — real readers ignore them the same way).
+    *
+    * Scale shape: delete ROWS stay distributed (read straight from the
+    * delete parquets — O(deleted rows) executor work, never collected);
+    * only the O(files) basename->sequence translation is driver metadata,
+    * broadcast into the join. Rows match on the referenced file's
+    * BASENAME (manifest URI forms vary across writers — file:/ vs
+    * file:/// — while basenames are unique per the same check the
+    * identity fill already relies on). */
+  private def positionDeleteFrame(spark: SparkSession, path: String,
+      kept: Seq[DataEntry], dels: Seq[DeleteEntry]): Option[DataFrame] = {
+    if (dels.isEmpty || kept.isEmpty) return None
+    import org.apache.spark.sql.functions.{broadcast, col, substring_index}
+    dels.foreach { d =>
+      require(Files.isRegularFile(d.resolved),
+        s"Iceberg table $path references a position-delete file that is " +
+          s"missing: ${d.resolved} — the table metadata is corrupt/vacuumed; " +
+          "cannot read without silently resurrecting deleted rows")
+    }
+    val names = kept.map(_.resolved.getFileName.toString)
+    require(names.distinct.size == names.size,
+      s"Iceberg table $path has duplicate data-file names — position " +
+        "deletes cannot be applied unambiguously; unsupported layout")
+    val delNames = dels.map(_.resolved.getFileName.toString)
+    require(delNames.distinct.size == delNames.size,
+      s"Iceberg table $path has duplicate delete-file names — unsupported layout")
+    val raw = spark.read.parquet(dels.map(_.resolved.toString): _*)
+    require(raw.columns.contains("file_path") && raw.columns.contains("pos"),
+      s"Iceberg table $path holds a position-delete file without the spec's " +
+        s"(file_path, pos) columns (got ${raw.columns.mkString(",")}) — " +
+        "not a readable v2 position delete")
+    val delSeqDf = spark.createDataFrame(
+      dels.map(d => (d.resolved.getFileName.toString, d.seq)))
+      .toDF("__gdel_src", "__gdel_seq")
+    val dataSeqDf = spark.createDataFrame(
+      kept.map(e => (e.resolved.getFileName.toString, e.seq)))
+      .toDF("__gdel_file", "__gdel_dseq")
+    Some(raw
+      .select(substring_index(col("file_path"), "/", -1).as("__gdel_file"),
+        col("pos").cast("long").as("__gdel_pos"),
+        col("_metadata.file_name").as("__gdel_src"))
+      .join(broadcast(delSeqDf), Seq("__gdel_src"))
+      .join(broadcast(dataSeqDf), Seq("__gdel_file"))
+      .where(col("__gdel_seq") >= col("__gdel_dseq"))
+      .select(col("__gdel_file"), col("__gdel_pos")))
   }
 
   /** Avro partition value → the external value [[readIcebergPruned]]'s
@@ -1144,8 +1241,9 @@ object IcebergInterop {
           val content = Option(df.getSchema.getField("content"))
             .map(_ => df.get("content").asInstanceOf[Int]).getOrElse(0)
           require(content == 0,
-            s"Iceberg table $path carries delete files — row-level deletes " +
-              "are unsupported by this reader")
+            s"Iceberg table $path carries delete files — APPEND-ONLY " +
+              "incremental consumption cannot represent row-level deletes; " +
+              "re-sync from the full snapshot (readIceberg applies them)")
           if (entry.get("status").asInstanceOf[Int] == 2) None
           else Some((resolveUri(root, df.get("file_path").toString).toString,
             Option(df.getSchema.getField("partition"))
@@ -1198,10 +1296,23 @@ object IcebergInterop {
     * the plan does not grow with partition count. */
   private def readWithIdentityFill(spark: SparkSession, path: String,
       meta: JsonNode, schema: StructType,
-      dataFiles: Seq[(Path, GenericRecord)]): DataFrame = {
+      dataFiles: Seq[(Path, GenericRecord)],
+      deletes: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val uris = dataFiles.map(_._1.toString)
-    val plain = spark.read.schema(schema).parquet(uris: _*)
+    // position deletes apply to the RAW scan by (file basename, row index)
+    // anti-join — `_metadata.row_index` is the in-file position the spec's
+    // delete rows reference, the same mechanism Spark's own Delta/Iceberg
+    // connectors use. Delete-free tables skip this wholesale.
+    def masked(scan: DataFrame): DataFrame = deletes match {
+      case None => scan
+      case Some(d) => scan
+        .withColumn("__gdel_file", col("_metadata.file_name"))
+        .withColumn("__gdel_pos", col("_metadata.row_index"))
+        .join(d, Seq("__gdel_file", "__gdel_pos"), "left_anti")
+        .drop("__gdel_file", "__gdel_pos")
+    }
+    val plain = masked(spark.read.schema(schema).parquet(uris: _*))
     val specIdentity = targetSpecIdentityFields(meta, path) // (specField, sourceCol)
     val srcToSpec = specIdentity.map { case (fn, src) => src -> fn }.toMap
     // presence is probed on EVERY footer (O(files) — the same scale class as
@@ -1276,7 +1387,7 @@ object IcebergInterop {
         fillable.map(_.copy())))
     val dataSchema = StructType(
       schema.fields.filterNot(f => fillable.exists(_.name == f.name)))
-    spark.read.schema(dataSchema).parquet(uris: _*)
+    masked(spark.read.schema(dataSchema).parquet(uris: _*))
       .withColumn("__graft_pfile", col("_metadata.file_name"))
       .join(broadcast(tupleDf), Seq("__graft_pfile"))
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)

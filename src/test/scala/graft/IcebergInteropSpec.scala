@@ -412,10 +412,29 @@ class IcebergInteropSpec extends SparkSpec {
         assert(expect == dirBucket, s"id $id in bucket dir $dirBucket, spec says $expect")
       }
     }
-    // string bucketing is refused (Spark murmur3 string tails diverge)
+    // STRING bucketing works via the reference murmur3 (round-9 verdict #2
+    // — the reference's own entity_id is a string; the spec's string
+    // vector "iceberg" -> 1210000089 is pinned in IcebergTransformsSpec),
+    // where Spark's own Murmur3Hash would diverge on the tails
+    val outS = tmp("ice_bucket_str")
+    IcebergInterop.exportIcebergBucketed(t, outS, "name", nBuckets = 4, 5000L)
+    val gotS = IcebergInterop.readIceberg(spark, outS)
+    assert(gotS.orderBy("id").collect().toSeq ==
+      t.read().select("id", "name", "v").orderBy("id").collect().toSeq)
+    Files.walk(Paths.get(outS, "data")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).foreach { p =>
+        val dirBucket = p.getParent.getFileName.toString.stripPrefix("name_bucket=").toInt
+        spark.read.parquet(p.toString).select("name").collect().map(_.getString(0))
+          .foreach { name =>
+            val expect = (graft.functions.IcebergTransforms.murmur3(
+              name.getBytes("UTF-8"), 0) & Int.MaxValue) % 4
+            assert(expect == dirBucket, s"'$name' in bucket dir $dirBucket, spec says $expect")
+          }
+      }
+    // a type with no implemented spec byte form is still refused
     val e = intercept[IllegalArgumentException](
-      IcebergInterop.exportIcebergBucketed(t, tmp("ice_bucket_bad"), "name", 4, 5000L))
-    assert(e.getMessage.contains("int/long only"), e.getMessage)
+      IcebergInterop.exportIcebergBucketed(t, tmp("ice_bucket_bad"), "v", 4, 5000L))
+    assert(e.getMessage.contains("int/long/date/timestamp/string"), e.getMessage)
   }
 
   test("exportIcebergTruncated: string prefix + floored long ranges round-trip") {

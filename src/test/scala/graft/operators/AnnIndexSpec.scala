@@ -131,6 +131,40 @@ class AnnIndexSpec extends graft.SparkSpec {
       .getMessage.contains("compactIndex"))
   }
 
+  test("a delete pushing tombstones past the bound refuses with a compact-first instruction") {
+    val (dir, corpus) = freshIndex()
+    // the bound turns the documented broadcast contract into a CHECK
+    // (round-9 verdict #5): deleting 33 of 64 rows crosses the 0.5 default
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.removeFromIndex(corpus.where(col("vec_id") < 33).select("vec_id"),
+        "vec_id", dir))
+    assert(e.getMessage.contains("compactIndex first"), e.getMessage)
+    // the refusal left the index committed and untouched
+    assert(AnnIndex.exists(dir))
+    assert(AnnIndex.loadEncoded(spark, dir).count() == 64L)
+    // the same delete under a caller-raised bound goes through
+    AnnIndex.removeFromIndex(corpus.where(col("vec_id") < 33).select("vec_id"),
+      "vec_id", dir, maxTombstoneFraction = 0.6)
+    assert(AnnIndex.loadEncoded(spark, dir).count() == 31L)
+  }
+
+  test("appending onto a legacy FLAT encoded layout refuses before unpublishing") {
+    val (dir, _) = freshIndex()
+    // degrade the index to the pre-v2 layout: flatten the cell directories
+    // into root-level parquet files (what a legacy build left on disk)
+    val enc = java.nio.file.Paths.get(dir, "encoded")
+    val flat = AnnIndex.loadEncodedRaw(spark, dir).localCheckpoint()
+    graft.sources.DeltaInterop.deleteRecursively(enc)
+    flat.write.parquet(enc.toString)
+    val marker = java.nio.file.Paths.get(dir, "_SUCCESS")
+    if (!Files.exists(marker)) Files.createFile(marker)
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.appendToIndex(clustered(64 until 68), "vec_id", "embedding", dir))
+    assert(e.getMessage.contains("cell-partitioned"), e.getMessage)
+    assert(AnnIndex.exists(dir),
+      "the layout refusal must fire BEFORE the marker is pulled")
+  }
+
   test("compactIndex rewrites only cells above the tombstone fraction and reclaims rows") {
     val (dir, corpus) = freshIndex()
     // clustered() puts even ids on axis 0, odd on axis 1 — two coarse
