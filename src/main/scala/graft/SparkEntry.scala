@@ -3129,6 +3129,64 @@ object SparkEntry {
       .orderBy("user_id", "event_type", "event_id")
   }
 
+  /** Fixed export target for [[b5IcebergReadDeletes]] — oracle SQL globs
+    * the data directory FLAT (one star), so the `data/deletes/`
+    * position-delete parquets stay out of the oracle's scan. */
+  private val B5IcebergDeletesPath = "/root/repo/target/graft_export/b5_iceberg_deletes"
+
+  /** B5 — ICEBERG v2 ROW-LEVEL DELETES, both directions (round-9 verdict
+    * #1 — the engine previously refused any table a modern writer had
+    * MERGEd into): the flat events export takes a
+    * [[graft.sources.IcebergInterop.deleteFromIceberg]] position-delete
+    * commit (v1 upgrades to format-version 2; no data file is rewritten —
+    * the deleted rows' (file_path, pos) pairs land in a spec-sorted delete
+    * parquet listed by a content=1 manifest), and
+    * [[graft.sources.IcebergInterop.readIceberg]] serves the LIVE view by
+    * anti-joining the positions out on `_metadata.row_index`. In-query
+    * certificates: (1) the deleted count equals the predicate's count over
+    * the source; (2) no predicate row survives; (3) `snapshotAsOf` time
+    * travel to the pre-delete snapshot still reads ALL rows; (4) re-running
+    * the same delete matches nothing and commits nothing (idempotent);
+    * (5) survivors ≡ source minus predicate, bit-exact. The DuckDB oracle
+    * recomputes the survivor set over the exported data bytes (deletes are
+    * LOGICAL — the data parquets still hold every row, so the oracle's
+    * post-filter is exactly what the delete masks).
+    */
+  private def b5IcebergReadDeletes(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergInterop, TxTable}
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
+    val t = TxTable(s, txTpl(s, dir, "b5_z"))
+    IcebergInterop.exportIceberg(t, B5IcebergDeletesPath, tsMillis = 5000L)
+    val srcCount = t.read().count()
+    val predCount = t.read().where(col("event_id") % 7 === 0).count()
+    val deleted = IcebergInterop.deleteFromIceberg(s, B5IcebergDeletesPath,
+      col("event_id") % 7 === 0, tsMillis = 6000L)
+    require(deleted == predCount,
+      s"b5_iceberg_read_deletes: deleted $deleted positions, predicate matches $predCount")
+    val live = IcebergInterop.readIceberg(s, B5IcebergDeletesPath)
+      .select(cols.map(col).toIndexedSeq: _*)
+    require(live.where(col("event_id") % 7 === 0).count() == 0L,
+      "b5_iceberg_read_deletes: a deleted row survived the live read")
+    // the pre-delete snapshot still reads the full table (deletes are a
+    // NEW snapshot, not history rewrite)
+    val v1Txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      B5IcebergDeletesPath, "metadata", "v1.metadata.json")), "UTF-8")
+    val snap0 = """"snapshot-id" : (\d+)""".r.findFirstMatchIn(v1Txt).get.group(1).toLong
+    require(IcebergInterop.readIceberg(s, B5IcebergDeletesPath,
+        snapshotAsOf = Some(snap0)).count() == srcCount,
+      "b5_iceberg_read_deletes: time travel below the delete must read all rows")
+    // idempotent: the same predicate over the live view matches nothing
+    require(IcebergInterop.deleteFromIceberg(s, B5IcebergDeletesPath,
+        col("event_id") % 7 === 0, tsMillis = 7000L) == 0L,
+      "b5_iceberg_read_deletes: a repeated delete must be a no-op")
+    val expected = t.read().where(col("event_id") % 7 =!= 0)
+      .select(cols.map(col).toIndexedSeq: _*)
+    require(live.exceptAll(expected).count() == 0L &&
+        expected.exceptAll(live).count() == 0L,
+      "b5_iceberg_read_deletes: live view diverges from source minus predicate")
+    live.orderBy("event_id")
+  }
+
   /** Fixed parquet target for [[h12TokenBudgetBpe]]'s per-doc counts — the
     * oracle SQL reads it (cross-engine: DuckDB recomputes the budget
     * arithmetic from the published counts). */
@@ -4966,6 +5024,7 @@ object SparkEntry {
     "b5_iceberg_export_trunc" -> (b5IcebergExportTrunc _),
     "b5_iceberg_days_incr" -> (b5IcebergDaysIncr _),
     "b5_iceberg_pruned_read" -> (b5IcebergPrunedRead _),
+    "b5_iceberg_read_deletes" -> (b5IcebergReadDeletes _),
     "b5_delta_pruned_read" -> (b5DeltaPrunedRead _),
     "b5_iceberg_read_incr" -> (b5IcebergReadIncr _),
     "b2_delete_tx"       -> (b2DeleteTx _),
@@ -5556,6 +5615,14 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value, ts
         |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_pruned/data/*.parquet')
         |WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    // position deletes are LOGICAL: the data parquets still hold every
+    // row, so DuckDB recomputes the survivor set by post-filtering what
+    // the delete commit masks (the flat glob keeps data/deletes/ out)
+    "b5_iceberg_read_deletes" ->
+      """SELECT event_id, user_id, event_type, value, ts
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_deletes/data/*.parquet')
+        |WHERE event_id % 7 <> 0
         |ORDER BY event_id""".stripMargin,
     // the Delta twin: DuckDB reconstructs `day` from the Hive directory
     // names and recomputes the same cut over ALL files — an over-eager

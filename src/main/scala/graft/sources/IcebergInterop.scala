@@ -655,6 +655,345 @@ object IcebergInterop {
     newVersion
   }
 
+  /** Row-level DELETE on an Iceberg table at `path` (Hadoop layout):
+    * commit a v2 POSITION-DELETE snapshot — the spec's merge-on-read
+    * DELETE, the same commit a modern engine's `DELETE FROM t WHERE …`
+    * produces. No data file is rewritten: matching rows' (file_path, pos)
+    * pairs land in position-delete parquet files under `data/deletes/`
+    * (spec-sorted, field-ids 2147483546/2147483545 stamped so foreign
+    * readers resolve them by id), a new DELETE manifest lists them, and a
+    * new metadata version makes them current. A v1 table upgrades to
+    * format-version 2 on its first delete — existing snapshots keep
+    * sequence number 0 and existing manifest FILES are reused verbatim,
+    * both per the spec's upgrade rules. [[readIceberg]] (and any
+    * spec-conforming foreign reader) then anti-joins the positions out,
+    * while `snapshotAsOf` time travel to pre-delete snapshots still reads
+    * the undeleted rows.
+    *
+    * The predicate evaluates against the LIVE view (existing position
+    * deletes already applied), so re-running the same delete matches
+    * nothing, commits nothing, and returns 0 — idempotent by
+    * construction. Positions come from ONE distributed scan (predicate
+    * pushdown applies; `_metadata.row_index` is the in-file position the
+    * spec defines) and the delete rows never pass through the driver —
+    * only the O(files) manifest bookkeeping does.
+    *
+    * Scope, enforced loudly: unpartitioned default specs only (a
+    * partitioned table wants per-partition delete files this writer does
+    * not implement — use it on flat exports), parquet data files, and no
+    * equality deletes present (inherited from [[readIceberg]]'s gate).
+    *
+    * @return the number of newly deleted row positions (0 = no commit). */
+  def deleteFromIceberg(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      tsMillis: Long = System.currentTimeMillis()): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val root = Paths.get(path).toAbsolutePath
+    val metaDir = root.resolve("metadata")
+    require(Files.isDirectory(metaDir), s"no Iceberg table at $path (missing metadata/)")
+    val meta = currentMetadata(metaDir, path)
+    val fv = meta.get("format-version").asInt
+    require(fv == 1 || fv == 2,
+      s"Iceberg table $path has format-version $fv — only v1/v2 are supported")
+    require(defaultSpecFields(meta).isEmpty,
+      s"deleteFromIceberg supports unpartitioned tables only; the table at " +
+        s"$path has a partition spec — partitioned position deletes are " +
+        "per-partition files this writer does not implement")
+    val schema = currentSparkSchema(meta, path)
+    val curId = Option(meta.get("current-snapshot-id")).map(_.asLong)
+      .filter(_ != -1L).getOrElse(throw new IllegalArgumentException(
+        s"Iceberg table $path has no current snapshot — nothing to delete from"))
+    val snapNode = Option(meta.get("snapshots"))
+      .flatMap(_.elements().asScala.find(_.get("snapshot-id").asLong == curId))
+      .getOrElse(throw new IllegalArgumentException(
+        s"Iceberg table $path current snapshot $curId is missing from the log"))
+    val (dataFiles, deleteFiles) = liveEntries(root, path, snapNode)
+    if (dataFiles.isEmpty) return 0L
+
+    // live view (existing deletes applied) with per-row (file, pos)
+    // provenance; the manifest-recorded file_path string rides back in via
+    // the O(files) basename map so delete rows reference files EXACTLY as
+    // the manifests do
+    val delFrame = positionDeleteFrame(spark, path, dataFiles, deleteFiles)
+    val names = dataFiles.map(_.resolved.getFileName.toString)
+    require(names.distinct.size == names.size,
+      s"Iceberg table $path has duplicate data-file names — position " +
+        "deletes cannot be recorded unambiguously; unsupported layout")
+    val base = spark.read.schema(schema)
+      .parquet(dataFiles.map(_.resolved.toString): _*)
+      .withColumn("__gdel_file", col("_metadata.file_name"))
+      .withColumn("__gdel_pos", col("_metadata.row_index"))
+    val live = delFrame
+      .map(d => base.join(d, Seq("__gdel_file", "__gdel_pos"), "left_anti"))
+      .getOrElse(base)
+    val uriDf = spark.createDataFrame(
+      dataFiles.map(e => (e.resolved.getFileName.toString, e.uri)))
+      .toDF("__gdel_file", "__gdel_uri")
+    val fileIdPath = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", 2147483546L).build()
+    val fileIdPos = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("parquet.field.id", 2147483545L).build()
+    val hits = live.where(predicate)
+      .join(broadcast(uriDf), Seq("__gdel_file"))
+      .select(col("__gdel_uri").as("file_path", fileIdPath),
+        col("__gdel_pos").cast("long").as("pos", fileIdPos))
+
+    // spec-sorted position-delete parquet(s), staged then moved into place
+    val delDir = root.resolve("data").resolve("deletes")
+    val stage = Files.createTempDirectory("graft_ice_delw")
+    val written: Seq[(Path, Long, Long)] = try { // (final path, rows, size)
+      val key = "spark.sql.parquet.fieldId.write.enabled"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try hits.sort("file_path", "pos").write.mode("overwrite").parquet(stage.toString)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+      val walk = Files.walk(stage)
+      val staged = try walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          .map(p => (p, parquetRowCount(spark, p))).filter(_._2 > 0L).toSeq
+        finally walk.close()
+      if (staged.isEmpty) Seq.empty
+      else {
+        Files.createDirectories(delDir)
+        staged.zipWithIndex.map { case ((p, rows), i) =>
+          val dst = delDir.resolve(
+            s"delete-${java.util.UUID.nameUUIDFromBytes(
+              (path + "|" + tsMillis + "|" + i).getBytes("UTF-8"))}.parquet")
+          Files.move(p, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          (dst, rows, Files.size(dst))
+        }
+      }
+    } finally deleteRecursively(stage)
+    if (written.isEmpty) return 0L
+    val deleted = written.map(_._2).sum
+
+    // ---- the v2 commit: delete manifest + manifest list + metadata
+    val prevVersion = currentMetadataVersion(metaDir, path)
+    val newSeq = Option(meta.get("last-sequence-number")).map(_.asLong)
+      .getOrElse(0L) + 1
+    val snapshotId = math.abs(java.util.UUID.nameUUIDFromBytes(
+      (path + "|delete|" + prevVersion + "|" +
+        written.map(_._1.getFileName).mkString(",")).getBytes("UTF-8"))
+      .getMostSignificantBits)
+    val m = mapper
+    val manifestName = f"graft-d0-$snapshotId%d.avro"
+    writeDeleteManifest(metaDir.resolve(manifestName), snapshotId, newSeq,
+      m.writeValueAsString(icebergSchema(m, schema,
+        Option(meta.get("current-schema-id")).map(_.asInt).getOrElse(0))),
+      written.map { case (p, rows, size) => (p.toUri.toString, rows, size) })
+
+    // the new manifest list carries every existing manifest forward
+    // VERBATIM (paths, specs, sequence numbers — defaulting v1-era ones to
+    // sequence 0 per the upgrade rule) plus the new delete manifest
+    val prevList = resolveUri(root, snapNode.get("manifest-list").asText)
+    val carried = readAvro(prevList).map { r =>
+      def opt(name: String): Option[AnyRef] =
+        Option(r.getSchema.getField(name)).flatMap(_ => Option(r.get(name)))
+      val mp = resolveUri(root, r.get("manifest_path").toString)
+      val counts = opt("added_files_count").map { _ =>
+        (r.get("added_files_count").asInstanceOf[Int],
+          r.get("existing_files_count").asInstanceOf[Int],
+          r.get("deleted_files_count").asInstanceOf[Int],
+          r.get("added_rows_count").asInstanceOf[Long],
+          r.get("existing_rows_count").asInstanceOf[Long],
+          r.get("deleted_rows_count").asInstanceOf[Long])
+      }.getOrElse {
+        // v1 lists carry no counts: derive them from the manifest's entry
+        // statuses (O(files) driver metadata, read once per commit)
+        var (af, ef, df) = (0, 0, 0)
+        var (ar, er, dr) = (0L, 0L, 0L)
+        readAvro(mp).foreach { e =>
+          val rows = e.get("data_file").asInstanceOf[GenericRecord]
+            .get("record_count").asInstanceOf[Long]
+          e.get("status").asInstanceOf[Int] match {
+            case 1 => af += 1; ar += rows
+            case 2 => df += 1; dr += rows
+            case _ => ef += 1; er += rows
+          }
+        }
+        (af, ef, df, ar, er, dr)
+      }
+      ManifestListEntry(
+        mp.toUri.toString,
+        r.get("manifest_length").asInstanceOf[Long],
+        opt("partition_spec_id").map(_.asInstanceOf[Int]).getOrElse(0),
+        opt("content").map(_.asInstanceOf[Int]).getOrElse(0),
+        opt("sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L),
+        opt("min_sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L),
+        opt("added_snapshot_id").map(_.asInstanceOf[Long]).getOrElse(curId),
+        counts._1, counts._2, counts._3, counts._4, counts._5, counts._6)
+    }
+    val listName = f"snap-$snapshotId%d.avro"
+    val manifestLen = Files.size(metaDir.resolve(manifestName))
+    writeManifestListV2(metaDir.resolve(listName),
+      carried :+ ManifestListEntry(
+        metaDir.resolve(manifestName).toUri.toString, manifestLen,
+        specId = 0, content = 1, seq = newSeq, minSeq = newSeq,
+        addedSnapshotId = snapshotId,
+        addedFiles = written.size, existingFiles = 0, deletedFiles = 0,
+        addedRows = deleted, existingRows = 0L, deletedRows = 0L))
+
+    // ---- v(N+1).metadata.json: format-version 2 with the new snapshot
+    val rootNode = meta.deepCopy[ObjectNode]()
+    rootNode.put("format-version", 2)
+    rootNode.put("last-sequence-number", newSeq)
+    rootNode.put("last-updated-ms", tsMillis)
+    val curSchemaId = Option(meta.get("current-schema-id")).map(_.asInt).getOrElse(0)
+    // v2 metadata must carry the plural forms; seed them from the v1
+    // singular fields when a legacy writer left only those, then drop the
+    // singulars (v2 writers must not emit them)
+    if (!rootNode.hasNonNull("schemas")) {
+      val arr = rootNode.putArray("schemas")
+      arr.add(Option(rootNode.get("schema")).getOrElse(
+        throw new IllegalArgumentException(
+          s"Iceberg table $path carries no schema")).deepCopy[JsonNode]())
+      rootNode.put("current-schema-id", curSchemaId)
+    }
+    if (!rootNode.hasNonNull("partition-specs")) {
+      val specs = rootNode.putArray("partition-specs")
+      val spec0 = m.createObjectNode()
+      spec0.put("spec-id", 0)
+      val fields = spec0.putArray("fields")
+      Option(rootNode.get("partition-spec")).foreach(
+        _.elements().asScala.foreach(f => fields.add(f.deepCopy[JsonNode]())))
+      specs.add(spec0)
+      rootNode.put("default-spec-id", 0)
+    }
+    rootNode.remove("schema")
+    rootNode.remove("partition-spec")
+    if (!rootNode.hasNonNull("sort-orders")) {
+      val so = rootNode.putArray("sort-orders")
+      val o0 = m.createObjectNode()
+      o0.put("order-id", 0)
+      o0.putArray("fields")
+      so.add(o0)
+      rootNode.put("default-sort-order-id", 0)
+    }
+    rootNode.put("current-snapshot-id", snapshotId)
+    val snapsArr = rootNode.get("snapshots").asInstanceOf[ArrayNode]
+    val s0 = m.createObjectNode()
+    s0.put("snapshot-id", snapshotId)
+    s0.put("parent-snapshot-id", curId)
+    s0.put("sequence-number", newSeq)
+    s0.put("schema-id", curSchemaId)
+    s0.put("timestamp-ms", tsMillis)
+    s0.put("manifest-list", metaDir.resolve(listName).toUri.toString)
+    val summary = s0.putObject("summary")
+    summary.put("operation", "delete")
+    summary.put("deleted-position-deletes", deleted.toString)
+    snapsArr.add(s0)
+
+    val newVersion = prevVersion + 1
+    Files.write(metaDir.resolve(s"v$newVersion.metadata.json"),
+      Seq(m.writerWithDefaultPrettyPrinter().writeValueAsString(rootNode)).asJava,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    Files.write(metaDir.resolve("version-hint.text"),
+      Seq(newVersion.toString).asJava)
+    deleted
+  }
+
+  /** One v2 manifest-list row (the full required field set — foreign v2
+    * readers resolve these by field-id). */
+  private case class ManifestListEntry(path: String, length: Long,
+      specId: Int, content: Int, seq: Long, minSeq: Long,
+      addedSnapshotId: Long, addedFiles: Int, existingFiles: Int,
+      deletedFiles: Int, addedRows: Long, existingRows: Long,
+      deletedRows: Long)
+
+  private val ManifestListSchemaV2: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_files_count","type":"int","field-id":504},
+      |{"name":"existing_files_count","type":"int","field-id":505},
+      |{"name":"deleted_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"existing_rows_count","type":"long","field-id":513},
+      |{"name":"deleted_rows_count","type":"long","field-id":514}
+      |]}""".stripMargin)
+
+  private def writeManifestListV2(path: Path,
+      entries: Seq[ManifestListEntry]): Unit = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](ManifestListSchemaV2))
+    w.setMeta("format-version", "2")
+    w.create(ManifestListSchemaV2, path.toFile)
+    try entries.foreach { e =>
+      val r = new GenericData.Record(ManifestListSchemaV2)
+      r.put("manifest_path", e.path)
+      r.put("manifest_length", e.length)
+      r.put("partition_spec_id", e.specId)
+      r.put("content", e.content)
+      r.put("sequence_number", e.seq)
+      r.put("min_sequence_number", e.minSeq)
+      r.put("added_snapshot_id", e.addedSnapshotId)
+      r.put("added_files_count", e.addedFiles)
+      r.put("existing_files_count", e.existingFiles)
+      r.put("deleted_files_count", e.deletedFiles)
+      r.put("added_rows_count", e.addedRows)
+      r.put("existing_rows_count", e.existingRows)
+      r.put("deleted_rows_count", e.deletedRows)
+      w.append(r)
+    } finally w.close()
+  }
+
+  // v2 manifest entry schema for POSITION-DELETE manifests (unpartitioned
+  // spec → empty r102): content (134) distinguishes delete from data
+  // files; sequence numbers are written explicitly rather than inherited.
+  private val DeleteManifestSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |  {"name":"content","type":"int","field-id":134},
+      |  {"name":"file_path","type":"string","field-id":100},
+      |  {"name":"file_format","type":"string","field-id":101},
+      |  {"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
+      |  {"name":"record_count","type":"long","field-id":103},
+      |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |]},"field-id":2}
+      |]}""".stripMargin)
+
+  private def writeDeleteManifest(path: Path, snapshotId: Long, seq: Long,
+      schemaJson: String, files: Seq[(String, Long, Long)]): Unit = {
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](DeleteManifestSchema))
+    w.setMeta("format-version", "2")
+    w.setMeta("content", "deletes")
+    w.setMeta("schema", schemaJson)
+    w.setMeta("partition-spec", "[ ]")
+    w.setMeta("partition-spec-id", "0")
+    w.create(DeleteManifestSchema, path.toFile)
+    try files.foreach { case (uri, rows, size) =>
+      val entry = new GenericData.Record(DeleteManifestSchema)
+      entry.put("status", 1) // ADDED
+      entry.put("snapshot_id", snapshotId)
+      entry.put("sequence_number", seq)
+      entry.put("file_sequence_number", seq)
+      val dfSchema = DeleteManifestSchema.getField("data_file").schema()
+      val df = new GenericData.Record(dfSchema)
+      df.put("content", 1) // POSITION DELETES
+      df.put("file_path", uri)
+      df.put("file_format", "PARQUET")
+      df.put("partition",
+        new GenericData.Record(dfSchema.getField("partition").schema()))
+      df.put("record_count", rows)
+      df.put("file_size_in_bytes", size)
+      entry.put("data_file", df)
+      w.append(entry)
+    } finally w.close()
+  }
+
   /** The metadata version named by version-hint.text (or the highest vN
     * present) — the number the NEXT commit increments. */
   private def currentMetadataVersion(metaDir: Path, path: String): Long = {

@@ -134,8 +134,13 @@ class ContractSpec extends AnyFunSuite {
     // 201 adds b5_delta_pruned_read (the first format's twin: add-file
     // pruning by the log's partitionValues, same certificates, DuckDB
     // hive_partitioning oracle)
-    assert(SparkEntry.queries.size == 201,
-      s"declared query count ${SparkEntry.queries.size} != documented 201 — " +
+    // 202 adds b5_iceberg_read_deletes (v2 ROW-LEVEL DELETES, both
+    // directions: deleteFromIceberg commits a position-delete snapshot —
+    // v1 upgrades to format-version 2, no data rewrite — and readIceberg
+    // anti-joins the positions out on _metadata.row_index; count/survivor/
+    // time-travel/idempotence certificates, DuckDB survivor oracle)
+    assert(SparkEntry.queries.size == 202,
+      s"declared query count ${SparkEntry.queries.size} != documented 202 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

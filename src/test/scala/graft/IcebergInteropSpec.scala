@@ -437,6 +437,104 @@ class IcebergInteropSpec extends SparkSpec {
     assert(e.getMessage.contains("int/long/date/timestamp/string"), e.getMessage)
   }
 
+  test("deleteFromIceberg: v2 position-delete commit, live reads, time travel, idempotence") {
+    val t = TxTable(spark, tmp("ice_del_src"))
+    t.append((0L until 40L).map(i => (i, s"k${i % 4}", i * 1.5)).toDF("id", "k", "v"),
+      tsMillis = 1000L)
+    val out = tmp("ice_del_exp")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+    val metaDir = Paths.get(out, "metadata")
+
+    val n = IcebergInterop.deleteFromIceberg(spark, out, col("id") % 5 === 0, tsMillis = 6000L)
+    assert(n == 8L, s"expected 8 deleted positions, got $n")
+
+    // live read excludes exactly the predicate's rows
+    val live = IcebergInterop.readIceberg(spark, out)
+    assert(live.count() == 32L)
+    assert(live.where(col("id") % 5 === 0).count() == 0L)
+    assert(live.orderBy("id").collect().toSeq ==
+      t.read().where(col("id") % 5 =!= 0).orderBy("id").collect().toSeq)
+
+    // the commit is structurally v2: metadata, sequence numbers, and a
+    // content=1 manifest-list entry; prior snapshot still time-travels FULL
+    assert(Files.isRegularFile(metaDir.resolve("v2.metadata.json")))
+    val metaTxt = new String(Files.readAllBytes(metaDir.resolve("v2.metadata.json")))
+    assert(metaTxt.contains("\"format-version\" : 2"))
+    assert(metaTxt.contains("\"last-sequence-number\" : 1"))
+    assert(metaTxt.contains("\"operation\" : \"delete\""))
+    assert(!metaTxt.contains("\"partition-spec\" :"), "v2 must drop the v1 singular fields")
+    val v1Txt = new String(Files.readAllBytes(metaDir.resolve("v1.metadata.json")))
+    val oldSnap = """"snapshot-id" : (\d+)""".r.findFirstMatchIn(v1Txt).get.group(1).toLong
+    assert(IcebergInterop.readIceberg(spark, out, snapshotAsOf = Some(oldSnap))
+      .count() == 40L, "pre-delete snapshots must still read the full rows")
+
+    // the delete parquet is where the spec puts it, with the spec's columns
+    val delFiles = Files.list(Paths.get(out, "data", "deletes")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    assert(delFiles.nonEmpty)
+    val delRows = spark.read.parquet(delFiles.map(_.toString): _*)
+    assert(delRows.columns.toSeq == Seq("file_path", "pos"))
+    assert(delRows.count() == 8L)
+
+    // idempotent: the same predicate now matches nothing and commits nothing
+    assert(IcebergInterop.deleteFromIceberg(spark, out, col("id") % 5 === 0, 7000L) == 0L)
+    assert(!Files.isRegularFile(metaDir.resolve("v3.metadata.json")))
+
+    // a SECOND delete stacks (sequence 2 over 1) and both apply
+    assert(IcebergInterop.deleteFromIceberg(spark, out, col("id") === 1L, 8000L) == 1L)
+    val live2 = IcebergInterop.readIceberg(spark, out)
+    assert(live2.count() == 31L && live2.where(col("id") === 1L).count() == 0L)
+    assert(new String(Files.readAllBytes(metaDir.resolve("v3.metadata.json")))
+      .contains("\"last-sequence-number\" : 2"))
+
+    // pruned reads apply deletes too (prune-to-superset stays correct)
+    val pruned = IcebergInterop.readIcebergPruned(spark, out, _ => true)
+    assert(pruned.count() == 31L)
+
+    // incremental consumption refuses a deleted-from table, loudly
+    val e = intercept[IllegalArgumentException](
+      IcebergInterop.readIcebergChanges(spark, out, oldSnap))
+    assert(e.getMessage.contains("re-sync from the full snapshot"))
+  }
+
+  test("position deletes: dangling delete files are loud, unknown-file rows are inert") {
+    val t = TxTable(spark, tmp("ice_del2_src"))
+    t.append((0L until 10L).map(i => (i, i * 2.0)).toDF("id", "v"), tsMillis = 1000L)
+    val out = tmp("ice_del2_exp")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+    assert(IcebergInterop.deleteFromIceberg(spark, out, col("id") < 2, 6000L) == 2L)
+    val delFile = Files.list(Paths.get(out, "data", "deletes")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq.head
+
+    // a delete row referencing an UNKNOWN data file is inapplicable, not an
+    // error (real readers ignore deletes for dead/pruned files the same way)
+    val augmented = spark.read.parquet(delFile.toString)
+      .union(Seq(("file:///nowhere/unknown.parquet", 5L)).toDF("file_path", "pos"))
+    val staged = Files.createTempDirectory("ice_del2_aug")
+    augmented.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+    val part = Files.list(staged).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    Files.move(part, delFile, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    assert(IcebergInterop.readIceberg(spark, out).count() == 8L)
+
+    // a delete file named by the manifests but MISSING on disk is loud —
+    // reading around it would silently resurrect deleted rows
+    Files.delete(delFile)
+    val e = intercept[IllegalArgumentException](
+      IcebergInterop.readIceberg(spark, out))
+    assert(e.getMessage.contains("position-delete file that is missing"))
+
+    // partitioned tables refuse the delete writer loudly
+    val tp = TxTable(spark, tmp("ice_del2_part"))
+    tp.append(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "day", "v"),
+      tsMillis = 1000L, partitionBy = Seq("day"))
+    val outP = tmp("ice_del2_partexp")
+    IcebergInterop.exportIceberg(tp, outP, tsMillis = 5000L)
+    val ep = intercept[IllegalArgumentException](
+      IcebergInterop.deleteFromIceberg(spark, outP, col("id") === 1L, 6000L))
+    assert(ep.getMessage.contains("unpartitioned tables only"))
+  }
+
   test("exportIcebergTruncated: string prefix + floored long ranges round-trip") {
     val t = TxTable(spark, tmp("ice_trunc"))
     t.append(Seq((1L, "alpha", -7L), (2L, "alps", 13L), (3L, "beta", -1L), (4L, "al", 5L))
