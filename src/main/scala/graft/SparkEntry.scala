@@ -3187,6 +3187,66 @@ object SparkEntry {
     live.orderBy("event_id")
   }
 
+  /** Fixed export target for [[b5DeltaReadDv]] — oracle SQL globs the
+    * table root's parquet files (the `deletion_vector_*.bin` files don't
+    * match the glob; deletes are logical). */
+  private val B5DeltaDvPath = "/root/repo/target/graft_export/b5_delta_dv"
+
+  /** B5 — DELTA DELETION VECTORS, both directions (round-9 verdict #1's
+    * first-format half): [[graft.sources.DeltaInterop.deleteFromDelta]]
+    * commits the protocol's merge-on-read DELETE — matching rows'
+    * positions serialize into a `deletion_vector_<uuid>.bin`
+    * (RoaringBitmapArray portable format, RFC-1924 Base85 UUID naming,
+    * CRC-checked), each touched file's entry is removed and re-added
+    * with the descriptor, and the protocol rises to readerVersion 3 +
+    * `deletionVectors` — and [[graft.sources.DeltaInterop.readDelta]]
+    * serves the LIVE view by decoding the blobs (driver: compressed
+    * bytes only) and anti-joining positions on `_metadata.row_index`
+    * (executors: the expansion). Certificates mirror the Iceberg twin:
+    * deleted-count == predicate count, zero surviving predicate rows,
+    * `versionAsOf` 0 reads ALL rows, idempotent re-delete, and a STACKED
+    * second delete whose descriptor unions the first (the per-file DV
+    * rewrite semantics a real engine applies). DuckDB oracle recomputes
+    * the survivor set over the exported bytes.
+    */
+  private def b5DeltaReadDv(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaInterop, TxTable}
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
+    val t = TxTable(s, txTpl(s, dir, "b5_z"))
+    DeltaInterop.exportDelta(t, B5DeltaDvPath, tsMillis = 5000L)
+    val srcCount = t.read().count()
+    val predCount = t.read().where(col("event_id") % 9 === 0).count()
+    val deleted = DeltaInterop.deleteFromDelta(s, B5DeltaDvPath,
+      col("event_id") % 9 === 0, tsMillis = 6000L)
+    require(deleted == predCount,
+      s"b5_delta_read_dv: deleted $deleted positions, predicate matches $predCount")
+    // a second, stacking delete: the touched files' descriptors must
+    // UNION with the first commit's bitmaps
+    val pred2Count = t.read()
+      .where(col("event_id") % 9 =!= 0 && col("event_id") % 11 === 0).count()
+    require(DeltaInterop.deleteFromDelta(s, B5DeltaDvPath,
+        col("event_id") % 11 === 0, tsMillis = 7000L) == pred2Count,
+      "b5_delta_read_dv: the stacked delete must cover only still-live rows")
+    val live = DeltaInterop.readDelta(s, B5DeltaDvPath)
+      .select(cols.map(col).toIndexedSeq: _*)
+    require(live.where(col("event_id") % 9 === 0 || col("event_id") % 11 === 0)
+        .count() == 0L,
+      "b5_delta_read_dv: a deleted row survived the live read")
+    require(DeltaInterop.readDelta(s, B5DeltaDvPath, versionAsOf = Some(0L))
+        .count() == srcCount,
+      "b5_delta_read_dv: time travel below the deletes must read all rows")
+    require(DeltaInterop.deleteFromDelta(s, B5DeltaDvPath,
+        col("event_id") % 9 === 0, tsMillis = 8000L) == 0L,
+      "b5_delta_read_dv: a repeated delete must be a no-op")
+    val expected = t.read()
+      .where(col("event_id") % 9 =!= 0 && col("event_id") % 11 =!= 0)
+      .select(cols.map(col).toIndexedSeq: _*)
+    require(live.exceptAll(expected).count() == 0L &&
+        expected.exceptAll(live).count() == 0L,
+      "b5_delta_read_dv: live view diverges from source minus predicates")
+    live.orderBy("event_id")
+  }
+
   /** Fixed parquet target for [[h12TokenBudgetBpe]]'s per-doc counts — the
     * oracle SQL reads it (cross-engine: DuckDB recomputes the budget
     * arithmetic from the published counts). */
@@ -5025,6 +5085,7 @@ object SparkEntry {
     "b5_iceberg_days_incr" -> (b5IcebergDaysIncr _),
     "b5_iceberg_pruned_read" -> (b5IcebergPrunedRead _),
     "b5_iceberg_read_deletes" -> (b5IcebergReadDeletes _),
+    "b5_delta_read_dv"   -> (b5DeltaReadDv _),
     "b5_delta_pruned_read" -> (b5DeltaPrunedRead _),
     "b5_iceberg_read_incr" -> (b5IcebergReadIncr _),
     "b2_delete_tx"       -> (b2DeleteTx _),
@@ -5623,6 +5684,14 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value, ts
         |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_deletes/data/*.parquet')
         |WHERE event_id % 7 <> 0
+        |ORDER BY event_id""".stripMargin,
+    // Delta DVs are logical like Iceberg's position deletes: the oracle
+    // post-filters the exported bytes with the two delete predicates
+    // (the .bin deletion vectors don't match the parquet glob)
+    "b5_delta_read_dv" ->
+      """SELECT event_id, user_id, event_type, value, ts
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_delta_dv/*.parquet')
+        |WHERE event_id % 9 <> 0 AND event_id % 11 <> 0
         |ORDER BY event_id""".stripMargin,
     // the Delta twin: DuckDB reconstructs `day` from the Hive directory
     // names and recomputes the same cut over ALL files — an over-eager

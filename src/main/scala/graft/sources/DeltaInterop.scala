@@ -201,7 +201,7 @@ object DeltaInterop {
 
     val snap = t.snapshotInfo()
     val schema = StructType.fromDDL(snap.schemaDdl)
-    val (lastV, live, metaOpt) = replayState(t.spark, finalDir, None)
+    val (lastV, live, metaOpt, _) = replayState(t.spark, finalDir, None)
     val meta = metaOpt.getOrElse(throw new IllegalStateException(
       s"Delta log at $target carries no metaData action"))
     val (schemaJson, partCols) = (meta.schemaJson, meta.partCols)
@@ -335,7 +335,7 @@ object DeltaInterop {
     import org.apache.spark.sql.types._
     val root = Paths.get(target).toAbsolutePath
     val logDir = root.resolve(LogDirName)
-    val (atV, live, metaOpt) = replayState(spark, root, Some(v))
+    val (atV, live, metaOpt, proto) = replayState(spark, root, Some(v))
     val meta = metaOpt.getOrElse(throw new IllegalStateException(
       s"Delta log at $target carries no metaData action"))
     val (schemaJson, partCols) = (meta.schemaJson, meta.partCols)
@@ -344,7 +344,9 @@ object DeltaInterop {
     val ckptSchema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType)))),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("format", StructType(Seq(StructField("provider", StringType)))),
@@ -357,12 +359,25 @@ object DeltaInterop {
         StructField("partitionValues", MapType(StringType, StringType)),
         StructField("size", LongType),
         StructField("modificationTime", LongType),
-        StructField("dataChange", BooleanType)))),
+        StructField("dataChange", BooleanType),
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("offset", IntegerType),
+          StructField("sizeInBytes", IntegerType),
+          StructField("cardinality", LongType))))))),
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("deletionTimestamp", LongType))))))
 
-    val protoRow = Row(Row(1, 2), null, null, null)
+    // the checkpoint RESTATES the strongest protocol the replay observed
+    // (a DV table checkpointed at (1,2) would read as plain parquet to a
+    // stale reader — silent row resurrection); feature arrays stay null
+    // below mrv 3, the protocol's own shape
+    val protoRow = Row(Row(proto.mrv, proto.mwv,
+      if (proto.mrv >= 3) proto.readerFeatures.toSeq.sorted else null,
+      if (proto.mrv >= 3 || proto.mwv >= 7) proto.writerFeatures.toSeq.sorted else null),
+      null, null, null)
     // the checkpoint restates the log's OWN id (round-7 review #4): a
     // checkpoint with a different id than the JSON commits reads as two
     // different tables depending on the replay path
@@ -374,9 +389,11 @@ object DeltaInterop {
       // null partition values stay as null MAP ENTRIES (the protocol's
       // shape — __HIVE_DEFAULT_PARTITION__ rows keep their key), not
       // dropped keys: foreign readers expect every partition column present
+      val dvRow = a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+        d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull
       Row(null, null, Row(encodePath(a.path),
         a.partitionValues.map { case (k, vv) => k -> vv.orNull },
-        sz, tsMillis, true), null)
+        sz, tsMillis, true, dvRow), null)
     }
     val rows = (protoRow +: metaRow +: addRows).asJava
     val df = spark.createDataFrame(rows, ckptSchema)
@@ -401,7 +418,28 @@ object DeltaInterop {
 
   // --------------------------------------------------------------- READ
 
-  private case class AddFile(path: String, partitionValues: Map[String, Option[String]])
+  private case class AddFile(path: String,
+      partitionValues: Map[String, Option[String]],
+      dv: Option[DvDesc] = None)
+
+  /** A Delta DELETION VECTOR descriptor as the protocol's add actions
+    * carry it: `storageType` "u" (UUID-named file), "p" (plain path) or
+    * "i" (inline Base85 blob); `offset`/`sizeInBytes` locate the blob;
+    * `cardinality` is the deleted-row count the reader re-verifies. */
+  private case class DvDesc(storageType: String, pathOrInlineDv: String,
+      offset: Option[Int], sizeInBytes: Int, cardinality: Long)
+
+  private def parseDv(add: JsonNode, path: String): Option[DvDesc] =
+    Option(add.get("deletionVector")).filter(!_.isNull).map { dv =>
+      def req(f: String): JsonNode = Option(dv.get(f)).filter(!_.isNull)
+        .getOrElse(throw new IllegalArgumentException(
+          s"Delta table $path: deletionVector descriptor lacks '$f'"))
+      DvDesc(req("storageType").asText,
+        req("pathOrInlineDv").asText,
+        Option(dv.get("offset")).filter(!_.isNull).map(_.asInt),
+        req("sizeInBytes").asInt,
+        req("cardinality").asLong)
+    }
 
   /** The table metadata a replay surfaces: logical schema, partition
     * layout, and the table's declared permanent id (reused by incremental
@@ -414,14 +452,15 @@ object DeltaInterop {
     * Supports: JSON commits, parquet checkpoints (classic single-file,
     * via `_last_checkpoint`), partitioned tables (partition values come
     * from the log's `partitionValues`, never guessed from directory
-    * names), protocol versions 1-3 WITHOUT reader-affecting table
-    * features. Fails loudly on column mapping, deletion vectors, or
-    * unknown reader features — silently misreading an advanced table
-    * would be corruption, not compatibility.
+    * names), protocol versions 1-3, and DELETION VECTORS (round 10 —
+    * each add's DV decodes from its Base85/RoaringBitmapArray form and
+    * the positions anti-join out of the scan). Fails loudly on column
+    * mapping and unknown reader features — silently misreading an
+    * advanced table would be corruption, not compatibility.
     */
   def readDelta(spark: SparkSession, path: String,
       versionAsOf: Option[Long] = None): DataFrame = {
-    val (_, live, metaOpt) = replayState(spark, Paths.get(path), versionAsOf)
+    val (_, live, metaOpt, _) = replayState(spark, Paths.get(path), versionAsOf)
     val meta = metaOpt.getOrElse(
       throw new IllegalStateException(s"Delta log at $path carries no metaData action"))
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
@@ -440,7 +479,7 @@ object DeltaInterop {
   def readDeltaPruned(spark: SparkSession, path: String,
       keep: Map[String, Option[String]] => Boolean,
       versionAsOf: Option[Long] = None): DataFrame = {
-    val (_, live, metaOpt) = replayState(spark, Paths.get(path), versionAsOf)
+    val (_, live, metaOpt, _) = replayState(spark, Paths.get(path), versionAsOf)
     val meta = metaOpt.getOrElse(
       throw new IllegalStateException(s"Delta log at $path carries no metaData action"))
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
@@ -474,7 +513,7 @@ object DeltaInterop {
     require(Files.isDirectory(logDir), s"no Delta table at $path (missing $LogDirName)")
     // current state: schema + partition columns + the head version (and
     // the full protocol/column-mapping checks ride along)
-    val (cur, _, metaOpt) = replayState(spark, root, None)
+    val (cur, _, metaOpt, _) = replayState(spark, root, None)
     val meta = metaOpt.getOrElse(
       throw new IllegalStateException(s"Delta log at $path carries no metaData action"))
     require(sinceVersion <= cur,
@@ -511,7 +550,10 @@ object DeltaInterop {
             "delta read would be wrong; re-sync from the full snapshot")
         Option(node.get("add")).foreach { add =>
           require(!add.hasNonNull("deletionVector"),
-            s"Delta table $path uses deletion vectors — unsupported by this reader")
+            s"Delta table $path: commit $cv adds a deletion vector in the " +
+              "consumed range — APPEND-ONLY incremental consumption cannot " +
+              "represent row-level deletes; re-sync from the full snapshot " +
+              "(readDelta applies them)")
           val pv = Option(add.get("partitionValues")).map { o =>
             o.properties().asScala.map { e =>
               e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText))
@@ -525,10 +567,17 @@ object DeltaInterop {
     (cur, assembleRead(spark, root, schema, meta.partCols, adds.values.toSeq))
   }
 
-  /** Replay a Delta log to (version, live adds, metaData) — the shared core
-    * of [[readDelta]] and [[exportDeltaIncremental]]'s target-state read. */
+  /** The strongest protocol the replay observed (for checkpoint
+    * restatement — a checkpoint that silently DOWNGRADED a DV table's
+    * protocol would let stale readers misread it). */
+  private case class ProtocolInfo(mrv: Int, mwv: Int,
+      readerFeatures: Set[String], writerFeatures: Set[String])
+
+  /** Replay a Delta log to (version, live adds, metaData, protocol) — the
+    * shared core of [[readDelta]] and [[exportDeltaIncremental]]'s
+    * target-state read. */
   private def replayState(spark: SparkSession, root: Path,
-      versionAsOf: Option[Long]): (Long, Seq[AddFile], Option[TableMeta]) = {
+      versionAsOf: Option[Long]): (Long, Seq[AddFile], Option[TableMeta], ProtocolInfo) = {
     val path = root.toString
     val logDir = root.resolve(LogDirName)
     require(Files.isDirectory(logDir), s"no Delta table at $path (missing $LogDirName)")
@@ -543,7 +592,7 @@ object DeltaInterop {
     // already compacted (a time travel below the checkpoint replays the
     // JSON commits from version 0 instead)
     val ckpt = lastCheckpoint(logDir).filter(_ <= bound)
-    val ckptState: Option[(Long, Seq[AddFile], Option[TableMeta], Int)] =
+    val ckptState: Option[(Long, Seq[AddFile], Option[TableMeta], ProtocolInfo)] =
       ckpt.map { v => readCheckpoint(spark, logDir, v) }
 
     val fromVersion = ckptState.map(_._1 + 1).getOrElse(0L)
@@ -568,11 +617,21 @@ object DeltaInterop {
     // object is unverifiable — checked after the whole replay because the
     // protocol and metaData actions may land in different commits, and the
     // protocol may live ONLY in the checkpoint (seeded from its max mrv)
-    var maxMrv = ckptState.map(_._4).getOrElse(1)
+    var maxMrv = ckptState.map(_._4.mrv).getOrElse(1)
+    var maxMwv = ckptState.map(_._4.mwv).getOrElse(1)
+    var readerFeats = ckptState.map(_._4.readerFeatures).getOrElse(Set.empty[String])
+    var writerFeats = ckptState.map(_._4.writerFeatures).getOrElse(Set.empty[String])
     var configlessMeta = false
 
     val m = mapper
     commits.foreach { case (cv, p) =>
+      // removes apply BEFORE adds within one commit: a DV rewrite commits
+      // `remove` of a file's previous entry alongside `add` of the same
+      // path with the new deletion vector, and the protocol does not fix
+      // the line order — applying them in file order could drop the re-add
+      // (a file silently vanishing is corruption, not compatibility)
+      val commitAdds = Seq.newBuilder[AddFile]
+      val commitRemoves = Seq.newBuilder[String]
       Files.readAllLines(p).asScala.filter(_.trim.nonEmpty).foreach { line =>
         // a truncated/corrupt line must name the commit it came from, not
         // surface as a bare Jackson parse error with no table context
@@ -585,6 +644,12 @@ object DeltaInterop {
           checkProtocol(pr, path)
           maxMrv = math.max(maxMrv,
             Option(pr.get("minReaderVersion")).map(_.asInt).getOrElse(1))
+          maxMwv = math.max(maxMwv,
+            Option(pr.get("minWriterVersion")).map(_.asInt).getOrElse(1))
+          readerFeats ++= Option(pr.get("readerFeatures"))
+            .map(_.elements().asScala.map(_.asText).toSet).getOrElse(Set.empty)
+          writerFeats ++= Option(pr.get("writerFeatures"))
+            .map(_.elements().asScala.map(_.asText).toSet).getOrElse(Set.empty)
         }
         Option(node.get("metaData")).foreach { md =>
           checkNoColumnMapping(md, path)
@@ -595,20 +660,20 @@ object DeltaInterop {
             Option(md.get("id")).map(_.asText)))
         }
         Option(node.get("add")).foreach { add =>
-          require(!add.hasNonNull("deletionVector"),
-            s"Delta table $path uses deletion vectors — unsupported by this reader")
           val pv = Option(add.get("partitionValues")).map { o =>
             o.properties().asScala.map { e =>
               e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText))
             }.toMap
           }.getOrElse(Map.empty[String, Option[String]])
           val decoded = decodePath(add.get("path").asText)
-          live += decoded -> AddFile(decoded, pv)
+          commitAdds += AddFile(decoded, pv, parseDv(add, path))
         }
         Option(node.get("remove")).foreach { rm =>
-          live -= decodePath(rm.get("path").asText)
+          commitRemoves += decodePath(rm.get("path").asText)
         }
       }
+      commitRemoves.result().foreach(live -= _)
+      commitAdds.result().foreach(a => live += a.path -> a)
     }
     require(maxMrv != 2 || !configlessMeta,
       s"Delta table $path declares reader version 2 (the column-mapping " +
@@ -616,7 +681,8 @@ object DeltaInterop {
         "— cannot verify the table is not column-mapped")
     val lastVersion = commits.lastOption.map(_._1)
       .orElse(ckptState.map(_._1)).getOrElse(0L)
-    (lastVersion, live.values.toSeq, meta)
+    (lastVersion, live.values.toSeq, meta,
+      ProtocolInfo(maxMrv, maxMwv, readerFeats, writerFeats))
   }
 
   /** One parquet scan over the live files with the log's partition values
@@ -639,7 +705,11 @@ object DeltaInterop {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val files = adds.map(a => root.resolve(a.path).toString)
-    val base = spark.read.schema(dataSchema).parquet(files: _*)
+    // descriptors decode BEFORE the scan is constructed: a malformed DV
+    // must surface as ITS error, not hide behind whatever the file scan
+    // happens to throw first
+    val dvPos = dvPositionsDf(spark, root, adds)
+    val base = applyDvs(spark.read.schema(dataSchema).parquet(files: _*), dvPos)
     if (partCols.isEmpty) base.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     else {
       import scala.jdk.CollectionConverters._
@@ -664,6 +734,197 @@ object DeltaInterop {
           else col(f.name)
         }.toIndexedSeq: _*)
     }
+  }
+
+  /** Mask each add's DELETION VECTOR out of the scan: the driver loads
+    * only the serialized BLOBS (compressed-bitmap metadata scale —
+    * file-based, plain-path, or inline Base85), executors expand them to
+    * (file basename, position) rows via one typed flatMap, and a
+    * left-anti join on `_metadata.(file_name, row_index)` drops the
+    * deleted rows — positions never pass through the driver, and
+    * DV-free tables return the scan untouched. Each blob's decoded
+    * cardinality is re-verified against its descriptor in the same pass
+    * (a mismatch means a corrupt DV — failing the job beats silently
+    * returning the wrong row set). */
+  private def applyDvs(scan: DataFrame,
+      dvPos: Option[DataFrame]): DataFrame =
+    dvPos match {
+      case None => scan
+      case Some(posDf) => scan
+        .withColumn("__gdv_file", col("_metadata.file_name"))
+        .withColumn("__gdv_pos", col("_metadata.row_index"))
+        .join(posDf, Seq("__gdv_file", "__gdv_pos"), "left_anti")
+        .drop("__gdv_file", "__gdv_pos")
+    }
+
+  /** Load one descriptor's serialized DV blob (file-based or inline). */
+  private def dvBlob(root: Path, filePath: String, d: DvDesc): Array[Byte] =
+    d.storageType match {
+      case "i" => DeletionVectors.base85Decode(d.pathOrInlineDv, d.sizeInBytes)
+      case st =>
+        val file = DeletionVectors.resolveDvFile(root, st, d.pathOrInlineDv)
+        DeletionVectors.readDvBlob(file,
+          d.offset.getOrElse(throw new IllegalArgumentException(
+            s"Delta table at $root: file-based deletion vector for " +
+              s"$filePath lacks an offset")),
+          d.sizeInBytes)
+    }
+
+  /** The distributed (data-file basename, deleted position) frame of the
+    * adds' deletion vectors — None when no add carries one. */
+  private def dvPositionsDf(spark: SparkSession, root: Path,
+      adds: Seq[AddFile]): Option[DataFrame] = {
+    val withDv = adds.filter(_.dv.isDefined)
+    if (withDv.isEmpty) return None
+    val names = adds.map(a => root.resolve(a.path).getFileName.toString)
+    require(names.distinct.size == names.size,
+      s"Delta table at $root has duplicate data-file names — deletion " +
+        "vectors cannot be applied unambiguously")
+    val blobs: Seq[(String, Array[Byte], Long)] = withDv.map { a =>
+      (root.resolve(a.path).getFileName.toString,
+        dvBlob(root, a.path, a.dv.get), a.dv.get.cardinality)
+    }
+    import org.apache.spark.sql.Encoders
+    Some(spark.createDataset(blobs)(
+        Encoders.tuple(Encoders.STRING, Encoders.BINARY, Encoders.scalaLong))
+      .flatMap { case (f, blob, card) =>
+        val ps = DeletionVectors.positions(blob).toArray
+        if (ps.length.toLong != card)
+          throw new IllegalStateException(
+            s"deletion vector for $f decodes ${ps.length} positions but its " +
+              s"descriptor declares cardinality $card — corrupt DV")
+        ps.iterator.map(p => (f, p))
+      }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .toDF("__gdv_file", "__gdv_pos"))
+  }
+
+  /** Row-level DELETE on a Delta table at `path`: commit a DELETION-VECTOR
+    * snapshot — the protocol's merge-on-read DELETE, what a modern
+    * engine's `DELETE FROM t WHERE …` with DVs enabled produces. No data
+    * file is rewritten: matching rows' positions serialize into one
+    * `deletion_vector_<uuid>.bin` (RoaringBitmapArray portable format,
+    * one blob per touched file, CRC-checked), and one new commit carries,
+    * per touched file, a `remove` of its previous entry plus an `add` of
+    * the SAME path with the new descriptor — stacked deletes UNION with
+    * the file's existing DV, so every commit's descriptor covers the
+    * file's full deleted set. The commit also raises the protocol to
+    * readerVersion 3 / writerVersion 7 with the `deletionVectors` feature,
+    * as the spec requires of DV-writing commits.
+    *
+    * The predicate evaluates against the LIVE view (existing DVs
+    * applied), so re-running the same delete matches nothing, commits
+    * nothing, and returns 0 — idempotent. Positions are computed by one
+    * distributed scan and the per-file bitmaps are BUILT ON EXECUTORS
+    * (groupByKey over the hit positions); the driver handles only the
+    * O(touched files) compressed blobs. Unpartitioned tables only,
+    * refused loudly (same stance as
+    * [[IcebergInterop.deleteFromIceberg]]); one writer at a time — the
+    * commit publishes with CREATE_NEW, so a racing writer fails loudly
+    * rather than clobbering.
+    *
+    * @return the number of newly deleted row positions (0 = no commit). */
+  def deleteFromDelta(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      tsMillis: Long = System.currentTimeMillis()): Long = {
+    val root = Paths.get(path).toAbsolutePath
+    val logDir = root.resolve(LogDirName)
+    require(Files.isDirectory(logDir), s"no Delta table at $path (missing $LogDirName)")
+    val (cur, live, metaOpt, _) = replayState(spark, root, None)
+    val meta = metaOpt.getOrElse(throw new IllegalStateException(
+      s"Delta log at $path carries no metaData action"))
+    require(meta.partCols.isEmpty,
+      s"deleteFromDelta supports unpartitioned tables only; the table at " +
+        s"$path is partitioned by ${meta.partCols.mkString(",")}")
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    if (live.isEmpty) return 0L
+    val nameToAdd: Map[String, AddFile] =
+      live.map(a => root.resolve(a.path).getFileName.toString -> a).toMap
+    require(nameToAdd.size == live.size,
+      s"Delta table at $root has duplicate data-file names — deletion " +
+        "vectors cannot be recorded unambiguously")
+
+    val base = spark.read.schema(schema)
+      .parquet(live.map(a => root.resolve(a.path).toString): _*)
+      .withColumn("__gdv_file", col("_metadata.file_name"))
+      .withColumn("__gdv_pos", col("_metadata.row_index"))
+    val liveDf = dvPositionsDf(spark, root, live)
+      .map(d => base.join(d, Seq("__gdv_file", "__gdv_pos"), "left_anti"))
+      .getOrElse(base)
+    import org.apache.spark.sql.Encoders
+    val newBlobs: Seq[(String, Array[Byte], Long)] = liveDf.where(predicate)
+      .select(col("__gdv_file"), col("__gdv_pos"))
+      .as(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapGroups { (f, it) =>
+        val blob = DeletionVectors.serialize(it.map(_._2))
+        (f, blob, DeletionVectors.cardinality(blob))
+      }(Encoders.tuple(Encoders.STRING, Encoders.BINARY, Encoders.scalaLong))
+      .collect().toSeq.sortBy(_._1)
+    if (newBlobs.isEmpty) return 0L
+    val newDeleted = newBlobs.map(_._3).sum
+
+    // stacked deletes: union each touched file's existing DV in
+    val merged: Seq[(String, Array[Byte])] = newBlobs.map { case (f, blob, _) =>
+      nameToAdd(f).dv match {
+        case None    => (f, blob)
+        case Some(d) => (f, DeletionVectors.union(dvBlob(root, f, d), blob))
+      }
+    }
+    val (encUuid, offsets) = DeletionVectors.writeDvFile(root, merged.map(_._2))
+
+    val m = mapper
+    def obj() = m.createObjectNode()
+    val lines = Seq.newBuilder[String]
+    val commitInfo = obj()
+    commitInfo.putObject("commitInfo")
+      .put("timestamp", tsMillis)
+      .put("operation", "DELETE")
+      .put("engineInfo", "graft-delta-dv-delete")
+    lines += m.writeValueAsString(commitInfo)
+    // a DV-writing commit must declare the table feature (protocol
+    // upgrade is idempotent — re-declaring it is harmless)
+    val protocol = obj()
+    val pr = protocol.putObject("protocol")
+    pr.put("minReaderVersion", 3)
+    pr.put("minWriterVersion", 7)
+    pr.putArray("readerFeatures").add("deletionVectors")
+    pr.putArray("writerFeatures").add("deletionVectors")
+    lines += m.writeValueAsString(protocol)
+    merged.zip(offsets).foreach { case ((f, blob), off) =>
+      val a = nameToAdd(f)
+      val rm = obj()
+      val rmNode = rm.putObject("remove")
+      rmNode.put("path", encodePath(a.path))
+      rmNode.put("deletionTimestamp", tsMillis)
+      rmNode.put("dataChange", true)
+      a.dv.foreach { d => // the superseded descriptor rides the remove (vacuum bookkeeping)
+        val o = rmNode.putObject("deletionVector")
+        o.put("storageType", d.storageType)
+        o.put("pathOrInlineDv", d.pathOrInlineDv)
+        d.offset.foreach(o.put("offset", _))
+        o.put("sizeInBytes", d.sizeInBytes)
+        o.put("cardinality", d.cardinality)
+      }
+      lines += m.writeValueAsString(rm)
+      val ad = obj()
+      val addNode = ad.putObject("add")
+      addNode.put("path", encodePath(a.path))
+      addNode.putObject("partitionValues")
+      addNode.put("size", Files.size(root.resolve(a.path)))
+      addNode.put("modificationTime", tsMillis)
+      addNode.put("dataChange", true)
+      val o = addNode.putObject("deletionVector")
+      o.put("storageType", "u")
+      o.put("pathOrInlineDv", encUuid)
+      o.put("offset", off)
+      o.put("sizeInBytes", blob.length)
+      o.put("cardinality", DeletionVectors.cardinality(blob))
+      lines += m.writeValueAsString(ad)
+    }
+    // CREATE_NEW = put-if-absent: a racing writer collides loudly
+    Files.write(logDir.resolve(f"${cur + 1}%020d.json"), lines.result().asJava,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    newDeleted
   }
 
   // ------------------------------------------------------ log mechanics
@@ -707,11 +968,12 @@ object DeltaInterop {
   /** Classic single-file parquet checkpoint: rows with nullable `add` /
     * `remove` / `metaData` / `protocol` structs; live adds are the add rows
     * minus remove rows (a classic checkpoint may retain tombstones).
-    * Returns (version, live adds, metaData, max minReaderVersion) — the
-    * protocol version surfaces so the replay's mrv-2 gate also covers
-    * tables whose protocol lives ONLY in the checkpoint. */
+    * Returns (version, live adds, metaData, protocol info) — the
+    * protocol surfaces so the replay's mrv-2 gate also covers tables
+    * whose protocol lives ONLY in the checkpoint, and so a re-checkpoint
+    * restates it instead of downgrading. */
   private def readCheckpoint(spark: SparkSession, logDir: Path, v: Long)
-      : (Long, Seq[AddFile], Option[TableMeta], Int) = {
+      : (Long, Seq[AddFile], Option[TableMeta], ProtocolInfo) = {
     val p = logDir.resolve(f"$v%020d.checkpoint.parquet")
     require(Files.isRegularFile(p), s"advertised checkpoint $p is missing")
     val df = spark.read.parquet(p.toString)
@@ -728,15 +990,21 @@ object DeltaInterop {
     val protoRows = df.where(col("protocol").isNotNull).select("protocol.*").collect()
     require(protoRows.nonEmpty,
       s"checkpoint $p carries no protocol row — malformed checkpoint")
+    def feats(r: org.apache.spark.sql.Row, f: String): Set[String] =
+      if (!r.schema.fieldNames.contains(f)) Set.empty
+      else Option(r.getAs[scala.collection.Seq[String]](f))
+        .map(_.toSet).getOrElse(Set.empty)
     protoRows.foreach { r =>
-      val mrv = r.getAs[Int]("minReaderVersion")
-      val feats: Set[String] =
-        if (!r.schema.fieldNames.contains("readerFeatures")) Set.empty
-        else Option(r.getAs[scala.collection.Seq[String]]("readerFeatures"))
-          .map(_.toSet).getOrElse(Set.empty)
-      checkProtocolValues(mrv, feats, p.toString)
+      checkProtocolValues(r.getAs[Int]("minReaderVersion"),
+        feats(r, "readerFeatures"), p.toString)
     }
     val maxMrv = protoRows.map(_.getAs[Int]("minReaderVersion")).max
+    val proto = ProtocolInfo(maxMrv,
+      protoRows.map(r => if (r.schema.fieldNames.contains("minWriterVersion") &&
+          !r.isNullAt(r.fieldIndex("minWriterVersion")))
+        r.getAs[Int]("minWriterVersion") else 1).max,
+      protoRows.flatMap(feats(_, "readerFeatures")).toSet,
+      protoRows.flatMap(feats(_, "writerFeatures")).toSet)
     // column mapping hides in the checkpointed metaData configuration too —
     // the JSON-path check alone misses a table whose metaData only lives in
     // the checkpoint. At mrv<=1 an absent configuration field is benign
@@ -773,15 +1041,43 @@ object DeltaInterop {
       if (!cols.contains("remove")) Set.empty
       else df.where(col("remove").isNotNull).select(col("remove.path"))
         .collect().map(r => decodePath(r.getString(0))).toSet
+    // a checkpointed add may carry a deletionVector struct (DV tables
+    // checkpoint like any other) — dropping it would silently resurrect
+    // the deleted rows, so it rides into AddFile like the JSON path's
+    val addHasDv = df.schema.fields.find(_.name == "add").exists(_.dataType match {
+      case st: StructType => st.fieldNames.contains("deletionVector")
+      case _              => false
+    })
     val adds =
       if (!cols.contains("add")) Seq.empty
       else df.where(col("add").isNotNull)
-        .select(col("add.path"), col("add.partitionValues"))
+        .select(col("add.path"), col("add.partitionValues"),
+          (if (addHasDv) col("add.deletionVector")
+           else lit(null).cast("string")).as("dv"))
         .collect().map { r =>
           val pv = Option(r.getMap[String, String](1))
             .map(_.toMap.map { case (k, vv) => k -> Option(vv) })
             .getOrElse(Map.empty[String, Option[String]])
-          AddFile(decodePath(r.getString(0)), pv)
+          val dv =
+            if (!addHasDv || r.isNullAt(2)) None
+            else {
+              val d = r.getStruct(2)
+              def fld[A](n: String): Option[A] = {
+                val i = d.fieldIndex(n)
+                if (d.isNullAt(i)) None else Some(d.getAs[A](n))
+              }
+              Some(DvDesc(
+                fld[String]("storageType").getOrElse(throw new IllegalArgumentException(
+                  s"checkpoint $p: deletionVector lacks storageType")),
+                fld[String]("pathOrInlineDv").getOrElse(throw new IllegalArgumentException(
+                  s"checkpoint $p: deletionVector lacks pathOrInlineDv")),
+                fld[Int]("offset"),
+                fld[Int]("sizeInBytes").getOrElse(throw new IllegalArgumentException(
+                  s"checkpoint $p: deletionVector lacks sizeInBytes")),
+                fld[Long]("cardinality").getOrElse(throw new IllegalArgumentException(
+                  s"checkpoint $p: deletionVector lacks cardinality"))))
+            }
+          AddFile(decodePath(r.getString(0)), pv, dv)
         }.filterNot(a => removed.contains(a.path)).toSeq
     val mdHasId = df.schema.fields.find(_.name == "metaData").exists(_.dataType match {
       case st: StructType => st.fieldNames.contains("id")
@@ -797,7 +1093,7 @@ object DeltaInterop {
             Option(r.getSeq[String](1)).map(_.toSeq).getOrElse(Seq.empty),
             Option(r.getString(2)))
         }
-    (v, adds, meta, maxMrv)
+    (v, adds, meta, proto)
   }
 
   private def checkProtocol(p: JsonNode, path: String): Unit =
@@ -810,13 +1106,14 @@ object DeltaInterop {
   /** One acceptance rule for BOTH protocol sources (JSON commit and parquet
     * checkpoint — divergent gates were round-6 advice): mrv 1-2 are plain
     * parquet reads; mrv 3 = table features, where every listed reader
-    * feature must be one this reader genuinely honors (none change plain
-    * parquet reads; anything unknown — deletionVectors, columnMapping, v2
-    * checkpoints — must fail, not silently corrupt). */
+    * feature must be one this reader genuinely honors
+    * (`deletionVectors` IS honored since round 10 — [[assembleRead]]
+    * anti-joins the decoded positions out; anything unknown —
+    * columnMapping, v2Checkpoint — must fail, not silently corrupt). */
   private def checkProtocolValues(mrv: Int, readerFeatures: Set[String], where: String): Unit = {
     if (mrv >= 3) {
-      val benign = Set("timestampNtz", "vacuumProtocolCheck")
-      val unsupported = readerFeatures.diff(benign)
+      val supported = Set("timestampNtz", "vacuumProtocolCheck", "deletionVectors")
+      val unsupported = readerFeatures.diff(supported)
       require(mrv == 3 && unsupported.isEmpty,
         s"Delta table $where requires reader version $mrv with reader features " +
           s"$unsupported — unsupported by this reader")

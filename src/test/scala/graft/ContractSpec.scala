@@ -139,8 +139,14 @@ class ContractSpec extends AnyFunSuite {
     // v1 upgrades to format-version 2, no data rewrite — and readIceberg
     // anti-joins the positions out on _metadata.row_index; count/survivor/
     // time-travel/idempotence certificates, DuckDB survivor oracle)
-    assert(SparkEntry.queries.size == 202,
-      s"declared query count ${SparkEntry.queries.size} != documented 202 — " +
+    // 203 adds b5_delta_read_dv (the first format's row-level-delete
+    // half: deleteFromDelta commits a deletion-vector snapshot —
+    // RoaringBitmapArray blobs, Base85 UUID file, protocol raised to
+    // readerVersion 3 — and readDelta anti-joins the decoded positions
+    // out; stacked-delete UNION semantics certified alongside the
+    // count/survivor/time-travel/idempotence set, DuckDB survivor oracle)
+    assert(SparkEntry.queries.size == 203,
+      s"declared query count ${SparkEntry.queries.size} != documented 203 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

@@ -192,24 +192,109 @@ class DeltaInteropSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       DeltaInterop.readDelta(spark, cm)).getMessage.contains("column mapping"))
 
+    // a MALFORMED deletion-vector descriptor is loud (round 10: DVs are
+    // supported, so the gate moved from wholesale refusal to validation)
     val dv = foreign(Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
       s"""{"metaData":{$meta,"configuration":{}}}""",
       """{"add":{"path":"x.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"a","offset":1,"sizeInBytes":1,"cardinality":1}}}"""))
     assert(intercept[IllegalArgumentException](
-      DeltaInterop.readDelta(spark, dv)).getMessage.contains("deletion vectors"))
+      DeltaInterop.readDelta(spark, dv)).getMessage.contains("encoded UUID"))
 
     val hi = foreign(Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"]}}""",
       s"""{"metaData":{$meta,"configuration":{}}}"""))
     assert(intercept[IllegalArgumentException](
       DeltaInterop.readDelta(spark, hi)).getMessage.contains("reader features"))
 
-    // benign v3 features pass
+    // honored v3 features pass (deletionVectors since round 10)
     val ok = foreign(Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz","deletionVectors"]}}""",
       s"""{"metaData":{$meta,"configuration":{}}}"""))
     assert(DeltaInterop.readDelta(spark, ok).count() == 0L) // no adds: empty table
+  }
+
+  test("deleteFromDelta: DV commit, live reads, time travel, stacking, idempotence") {
+    val t = TxTable(spark, tmp("delta_dv_src"))
+    t.append((0L until 40L).map(i => (i, s"k${i % 4}", i * 1.5)).toDF("id", "k", "v"),
+      tsMillis = 1000L)
+    val out = tmp("delta_dv_exp")
+    DeltaInterop.exportDelta(t, out, tsMillis = 5000L)
+
+    val n = DeltaInterop.deleteFromDelta(spark, out, col("id") % 5 === 0, tsMillis = 6000L)
+    assert(n == 8L, s"expected 8 deleted positions, got $n")
+    val live = DeltaInterop.readDelta(spark, out)
+    assert(live.count() == 32L && live.where(col("id") % 5 === 0).count() == 0L)
+    assert(live.orderBy("id").collect().toSeq ==
+      t.read().where(col("id") % 5 =!= 0).orderBy("id").collect().toSeq)
+
+    // the commit is structurally what the protocol asks of DV writers
+    val commit1 = new String(Files.readAllBytes(
+      Paths.get(out, "_delta_log", f"${1L}%020d.json")))
+    assert(commit1.contains("\"minReaderVersion\":3"))
+    assert(commit1.contains("\"deletionVectors\""))
+    assert(commit1.contains("\"storageType\":\"u\""))
+    assert(commit1.contains("\"remove\""), "a DV rewrite removes the previous entry")
+    val dvFiles = Files.list(Paths.get(out)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("deletion_vector_")).toSeq
+    assert(dvFiles.nonEmpty, "the DV file must live in the table root")
+
+    // time travel below the delete reads ALL rows
+    assert(DeltaInterop.readDelta(spark, out, versionAsOf = Some(0L)).count() == 40L)
+
+    // idempotent: re-deleting the same predicate is a no-op
+    assert(DeltaInterop.deleteFromDelta(spark, out, col("id") % 5 === 0, 7000L) == 0L)
+    assert(!Files.exists(Paths.get(out, "_delta_log", f"${2L}%020d.json")))
+
+    // stacked delete UNIONS with the existing DV per file
+    assert(DeltaInterop.deleteFromDelta(spark, out, col("id") === 7L, 8000L) == 1L)
+    val live2 = DeltaInterop.readDelta(spark, out)
+    assert(live2.count() == 31L && live2.where(col("id") === 7L).count() == 0L)
+    val commit2 = new String(Files.readAllBytes(
+      Paths.get(out, "_delta_log", f"${2L}%020d.json")))
+    assert(commit2.contains("\"remove\""), "stacking rewrites the file's entry")
+
+    // pruned reads apply DVs too; incremental consumption refuses, loudly
+    assert(DeltaInterop.readDeltaPruned(spark, out, _ => true).count() == 31L)
+    val e = intercept[IllegalArgumentException](
+      DeltaInterop.readDeltaChanges(spark, out, 0L))
+    assert(e.getMessage.contains("re-sync from the full snapshot"))
+
+    // a deleted DV file is loud on read (resurrecting rows is corruption)
+    dvFiles.foreach(Files.delete)
+    Files.list(Paths.get(out)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("deletion_vector_"))
+      .foreach(Files.delete)
+    val e2 = intercept[IllegalArgumentException](
+      DeltaInterop.readDelta(spark, out).count())
+    assert(e2.getMessage.contains("missing"))
+
+    // partitioned tables refuse the delete writer loudly
+    val tp = TxTable(spark, tmp("delta_dv_part"))
+    tp.append(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "day", "v"),
+      tsMillis = 1000L, partitionBy = Seq("day"))
+    val outP = tmp("delta_dv_partexp")
+    DeltaInterop.exportDelta(tp, outP, tsMillis = 5000L)
+    assert(intercept[IllegalArgumentException](
+      DeltaInterop.deleteFromDelta(spark, outP, col("id") === 1L, 6000L))
+      .getMessage.contains("unpartitioned tables only"))
+  }
+
+  test("deletion vectors survive a checkpoint (add.deletionVector rides the parquet)") {
+    val t = TxTable(spark, tmp("delta_dvc_src"))
+    t.append((0L until 20L).map(i => (i, i * 2.0)).toDF("id", "v"), tsMillis = 1000L)
+    val out = tmp("delta_dvc_exp")
+    DeltaInterop.exportDelta(t, out, tsMillis = 5000L)
+    assert(DeltaInterop.deleteFromDelta(spark, out, col("id") < 5, 6000L) == 5L)
+    // checkpoint AFTER the DV commit: the checkpointed add must carry it
+    DeltaInterop.writeDeltaCheckpoint(spark, out, v = 1L, tsMillis = 7000L)
+    // drop the JSON commits the checkpoint covers so the read MUST go
+    // through the checkpointed adds
+    Files.delete(Paths.get(out, "_delta_log", f"${0L}%020d.json"))
+    Files.delete(Paths.get(out, "_delta_log", f"${1L}%020d.json"))
+    val live = DeltaInterop.readDelta(spark, out)
+    assert(live.count() == 15L && live.where(col("id") < 5).count() == 0L,
+      "a checkpoint must not resurrect DV-deleted rows")
   }
 
   test("versionAsOf time-travels a foreign log; gapless-replay guard fires on cleaned logs") {
