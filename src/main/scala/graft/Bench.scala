@@ -14,6 +14,10 @@ object Bench {
     // createTempDirectory downstream silently leaves the RAM disk.
     TmpCleanup.useShmTmpdir("graft-bench-")
     val spark = SparkSession.builder()
+      // the engine's Catalyst surface (SQL functions, native as-of
+      // strategy, conf-gated masking rule) — the intended deployment
+      // shape; a no-op unless a query opts in
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .config("spark.local.dir", System.getProperty("java.io.tmpdir"))
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -13,6 +13,10 @@ object Profile {
     val names = rest.filterNot(_ == "explain")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
+      // the engine's Catalyst surface (SQL functions, native as-of
+      // strategy, conf-gated masking rule) — the intended deployment
+      // shape; a no-op unless a query opts in
+      .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // let AQE re-coalesce shuffle partitions even under .cache() —

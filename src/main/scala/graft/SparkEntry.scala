@@ -3187,6 +3187,98 @@ object SparkEntry {
     live.orderBy("event_id")
   }
 
+  /** Fixed export target for [[b5IcebergBucketStr]] — oracle SQL globs it. */
+  private val B5IcebergBucketStrPath =
+    "/root/repo/target/graft_export/b5_iceberg_bucket_str"
+
+  /** B5 — bucket[8] Iceberg export over a STRING key (round-9 verdict #2:
+    * the reference's own entity_id is a string, and bucket-by-entity is
+    * THE layout for a high-cardinality string key — previously refused
+    * because Spark's Murmur3Hash diverges from standard murmur3 on
+    * non-4-byte-aligned string tails). The export routes through the
+    * dedicated [[graft.functions.IcebergBucket]] expression (reference
+    * murmur3_x86_32 over the raw UTF-8 bytes, seed 0; the spec's own
+    * string vector "iceberg" → 1210000089 is pinned in
+    * IcebergTransformsSpec). Certificates: the declared transform, BUCKET
+    * PURITY recomputed per row via the SQL-surface `iceberg_bucket`
+    * function against each file's directory (exercising the registered
+    * expression end to end), and the source≡export content hash.
+    */
+  private def b5IcebergBucketStr(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergInterop, TxTable}
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts", "ekey")
+    val t = TxTable(s, txTpl(s, dir, "b5_bloom"))
+    IcebergInterop.exportIcebergBucketed(t, B5IcebergBucketStrPath, "ekey",
+      nBuckets = 8, tsMillis = 5000L)
+    val metaTxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(B5IcebergBucketStrPath, "metadata", "v1.metadata.json")), "UTF-8")
+    require(metaTxt.contains("\"transform\" : \"bucket[8]\""),
+      "b5_iceberg_bucket_str: metadata must declare the bucket[8] spec")
+    // bucket purity via the registered SQL function (the user-facing way
+    // to locate a key's bucket and hand-prune the exported table)
+    val impure = s.read.parquet(s"$B5IcebergBucketStrPath/data")
+      .select(col("ekey"), col("_metadata.file_path").as("__p"))
+      .where(!col("__p").contains(
+        concat(lit("ekey_bucket="), expr("iceberg_bucket(8, ekey)"))))
+      .count()
+    require(impure == 0L,
+      s"b5_iceberg_bucket_str: $impure row(s) landed outside their spec bucket")
+    val viaIceberg = IcebergInterop.readIceberg(s, B5IcebergBucketStrPath)
+      .select(cols.map(col).toIndexedSeq: _*)
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val (src, exp) =
+      (sig(t.read().select(cols.map(col).toIndexedSeq: _*)), sig(viaIceberg))
+    require(src == exp,
+      s"b5_iceberg_bucket_str: export diverges from the source (source=$src, export=$exp)")
+    viaIceberg.orderBy("event_id")
+  }
+
+  /** Fixed export target for [[b5TxClusterDays]] — oracle SQL globs it. */
+  private val B5ClusterDaysPath = "/root/repo/target/graft_export/b5_cluster_days"
+
+  /** B5 — CLUSTER-THEN-EXPORT: the in-engine path from an arbitrarily-
+    * appended fact table to the day(ts) Iceberg layout (round-9 verdict
+    * #3: exportIcebergDays refuses multi-day files, but the engine
+    * offered no operation producing the single-day layout —
+    * [[graft.sources.TxTable.clusterBy]] closes that loop). The flat
+    * events table (whose commit-sized files span many days) is FIRST
+    * refused by the day export — certified in-query — then
+    * `clusterBy(to_date(ts))` rewrites it file-per-day, and the same
+    * export succeeds. Certificates: the refusal fires before, the
+    * rewrite preserves content bit-exactly, every rewritten file is
+    * single-day, the export declares day(ts), and the mirror hash
+    * matches the source. DuckDB oracle over the exported bytes.
+    */
+  private def b5TxClusterDays(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergInterop, TxTable}
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
+    val t = TxTable(s, HarnessFixtures.cloneTxDir(txTpl(s, dir, "b5_z")))
+    require(scala.util.Try(IcebergInterop.exportIcebergDays(
+        t, B5ClusterDaysPath, "ts", tsMillis = 4000L)).isFailure,
+      "b5_tx_cluster_days: the multi-day layout must be refused BEFORE clusterBy")
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val before = sig(t.read().select(cols.map(col).toIndexedSeq: _*))
+    t.clusterBy(to_date(col("ts")), tsMillis = 2000L)
+    require(sig(t.read().select(cols.map(col).toIndexedSeq: _*)) == before,
+      "b5_tx_cluster_days: the clustering rewrite must preserve content")
+    IcebergInterop.exportIcebergDays(t, B5ClusterDaysPath, "ts", tsMillis = 5000L)
+    val metaTxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(B5ClusterDaysPath, "metadata", "v1.metadata.json")), "UTF-8")
+    require(metaTxt.contains("\"transform\" : \"day\""),
+      "b5_tx_cluster_days: metadata must declare the day(ts) spec")
+    val viaIceberg = IcebergInterop.readIceberg(s, B5ClusterDaysPath)
+      .select(cols.map(col).toIndexedSeq: _*)
+    require(sig(viaIceberg) == before,
+      "b5_tx_cluster_days: export diverges from the source")
+    viaIceberg.orderBy("event_id")
+  }
+
   /** Fixed export target for [[b5DeltaReadDv]] — oracle SQL globs the
     * table root's parquet files (the `deletion_vector_*.bin` files don't
     * match the glob; deletes are logical). */
@@ -5086,6 +5178,8 @@ object SparkEntry {
     "b5_iceberg_pruned_read" -> (b5IcebergPrunedRead _),
     "b5_iceberg_read_deletes" -> (b5IcebergReadDeletes _),
     "b5_delta_read_dv"   -> (b5DeltaReadDv _),
+    "b5_iceberg_bucket_str" -> (b5IcebergBucketStr _),
+    "b5_tx_cluster_days" -> (b5TxClusterDays _),
     "b5_delta_pruned_read" -> (b5DeltaPrunedRead _),
     "b5_iceberg_read_incr" -> (b5IcebergReadIncr _),
     "b2_delete_tx"       -> (b2DeleteTx _),
@@ -5684,6 +5778,14 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value, ts
         |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_deletes/data/*.parquet')
         |WHERE event_id % 7 <> 0
+        |ORDER BY event_id""".stripMargin,
+    "b5_iceberg_bucket_str" ->
+      """SELECT event_id, user_id, event_type, value, ts, ekey
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_bucket_str/data/*/*.parquet')
+        |ORDER BY event_id""".stripMargin,
+    "b5_tx_cluster_days" ->
+      """SELECT event_id, user_id, event_type, value, ts
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_cluster_days/data/*.parquet')
         |ORDER BY event_id""".stripMargin,
     // Delta DVs are logical like Iceberg's position deletes: the oracle
     // post-filters the exported bytes with the two delete predicates

@@ -1164,6 +1164,69 @@ class TxTable(val spark: SparkSession, val root: String) {
       })
   }
 
+  /** CLUSTERING maintenance rewrite — the in-engine path from an
+    * arbitrarily-appended fact table to a transform-partitionable layout
+    * (round-9 verdict #3: [[graft.sources.IcebergInterop.exportIcebergDays]]
+    * refuses multi-day files, but nothing produced the single-day layout).
+    * Rewrites the table's files grouped by a DERIVED key so every data
+    * file is PURE in that key: `clusterBy(to_date(col("ts")))` makes
+    * every file single-day (the day-spec export contract); a bucket or
+    * prefix expression gives bucket-/prefix-pure files the same way.
+    * The key is a helper, not a column: the table stays FLAT and keeps
+    * its schema — only the row→file assignment changes.
+    *
+    * Mechanics: one shuffle clusters rows by the key value (each value
+    * lands in ONE task — no tasks×values small-file spray), a
+    * partitioned staging write splits tasks into one file per value (the
+    * helper column is dropped by the partitioned write), and the files
+    * move back into the flat data layout under fresh names. Stats and
+    * blooms re-record for the table's active skipping columns, like
+    * every maintenance rewrite. Same concurrency contract as
+    * [[compact]]/[[zorder]]: commits only against its read set; a racing
+    * append aborts this rewrite, never the reverse. Rows with a NULL key
+    * cluster into their own file (the export's own null check still
+    * guards a day-spec over them, loudly).
+    */
+  def clusterBy(key: Column, tsMillis: Long = System.currentTimeMillis()): Long = {
+    val state = stateForVersion(Long.MaxValue)
+    require(state.partCols.isEmpty,
+      s"clusterBy rewrites FLAT layouts; table $root is Hive-partitioned by " +
+        s"${state.partCols.mkString(",")} — its directories already cluster it")
+    val files = state.files
+    if (files.isEmpty) return version()
+    val helper = "__graft_cluster"
+    val df = readState(state)
+    require(!df.columns.contains(helper),
+      s"the table already has a column named '$helper' — rename it first")
+    Files.createDirectories(dataDir)
+    val staging = Files.createTempDirectory(Paths.get(root), ".staging")
+    val staged = try {
+      df.withColumn(helper, key)
+        .repartition(col(helper))
+        .write.mode("overwrite").partitionBy(helper).parquet(staging.toString)
+      val w0 = Files.walk(staging)
+      val parts = try w0.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+        finally w0.close()
+      parts.map { p =>
+        val name = s"${UUID.randomUUID()}.parquet"
+        Files.move(p, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+        name
+      }
+    } finally {
+      val w = Files.walk(staging)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
+    commitLoop("cluster", staged, files, tsMillis,
+      stats = computeStats(staged, activeStatsCols(state)),
+      blooms = computeBlooms(staged, activeBloomCols(state)),
+      validate = () => {
+        val live = stateForVersion(Long.MaxValue).files.toSet
+        files.forall(live.contains)
+      })
+  }
+
   /** RESTORE to a committed version (Delta's `RESTORE TABLE ... VERSION AS
     * OF`): ONE new commit whose file actions re-add the target snapshot's
     * files and remove the current ones — the rollback is itself history

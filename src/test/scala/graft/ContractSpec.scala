@@ -145,8 +145,16 @@ class ContractSpec extends AnyFunSuite {
     // readerVersion 3 — and readDelta anti-joins the decoded positions
     // out; stacked-delete UNION semantics certified alongside the
     // count/survivor/time-travel/idempotence set, DuckDB survivor oracle)
-    assert(SparkEntry.queries.size == 203,
-      s"declared query count ${SparkEntry.queries.size} != documented 203 — " +
+    // 204 adds b5_iceberg_bucket_str (bucket[8] over a STRING key via the
+    // dedicated reference-murmur3 expression — the reference's entity_id
+    // shape; purity certified per row through the registered SQL
+    // iceberg_bucket function, DuckDB oracle)
+    // 205 adds b5_tx_cluster_days (TxTable.clusterBy: the in-engine
+    // rewrite from multi-day files to the single-day layout — refusal
+    // certified before, content-preservation certified after, then the
+    // previously-refused day(ts) export succeeds; DuckDB oracle)
+    assert(SparkEntry.queries.size == 205,
+      s"declared query count ${SparkEntry.queries.size} != documented 205 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

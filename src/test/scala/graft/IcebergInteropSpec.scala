@@ -437,6 +437,47 @@ class IcebergInteropSpec extends SparkSpec {
     assert(e.getMessage.contains("int/long/date/timestamp/string"), e.getMessage)
   }
 
+  test("clusterBy turns a day-export refusal into a working day(ts) export") {
+    import org.apache.spark.sql.functions.to_date
+    val t = TxTable(spark, tmp("ice_cluster_src"))
+    // one commit spanning three days in one file: exactly the layout
+    // exportIcebergDays refuses (a multi-day file has no honest day tuple)
+    t.append((0L until 30L).map(i =>
+        (i, java.sql.Timestamp.valueOf(f"2024-01-${(i % 3) + 10}%02d 08:00:00"), i * 2.0))
+      .toDF("id", "ts", "v").coalesce(1), tsMillis = 1000L)
+    val out = tmp("ice_cluster_exp")
+    val refusal = intercept[IllegalArgumentException](
+      IcebergInterop.exportIcebergDays(t, out, "ts", tsMillis = 5000L))
+    assert(refusal.getMessage.contains("spans days"), refusal.getMessage)
+
+    val before = t.read().orderBy("id").collect().toSeq
+    t.clusterBy(to_date(col("ts")), tsMillis = 2000L)
+    // the rewrite preserves content and keeps the table flat
+    assert(t.read().orderBy("id").collect().toSeq == before)
+    assert(t.snapshotInfo().partCols.isEmpty)
+    // every file is now single-day (the clusterBy contract)
+    t.snapshotInfo().files.foreach { rel =>
+      val days = spark.read
+        .parquet(java.nio.file.Paths.get(t.snapshotInfo().dataDir, rel).toString)
+        .select(to_date(col("ts"))).distinct().count()
+      assert(days == 1L, s"file $rel still spans $days days after clusterBy")
+    }
+    // the previously-refused export now succeeds and round-trips
+    IcebergInterop.exportIcebergDays(t, out, "ts", tsMillis = 5000L)
+    val got = IcebergInterop.readIceberg(spark, out)
+    assert(got.orderBy("id").collect().toSeq == before)
+    val metaTxt = new String(Files.readAllBytes(
+      Paths.get(out, "metadata", "v1.metadata.json")))
+    assert(metaTxt.contains("\"transform\" : \"day\""))
+
+    // partitioned tables refuse clusterBy (their directories already cluster)
+    val tp = TxTable(spark, tmp("ice_cluster_part"))
+    tp.append(Seq((1L, "a", 1.0)).toDF("id", "day", "v"),
+      tsMillis = 1000L, partitionBy = Seq("day"))
+    assert(intercept[IllegalArgumentException](
+      tp.clusterBy(col("id"), 2000L)).getMessage.contains("FLAT"))
+  }
+
   test("deleteFromIceberg: v2 position-delete commit, live reads, time travel, idempotence") {
     val t = TxTable(spark, tmp("ice_del_src"))
     t.append((0L until 40L).map(i => (i, s"k${i % 4}", i * 1.5)).toDF("id", "k", "v"),

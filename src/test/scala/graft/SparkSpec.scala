@@ -14,6 +14,10 @@ trait SparkSpec extends AnyFunSuite {
 object SparkSpec {
   lazy val session: SparkSession = SparkSession
     .builder()
+    // same extension surface as the Verify/Bench harness sessions (SQL
+    // functions, native as-of strategy, conf-gated masking) — queries
+    // using the registered functions must analyze under test too
+    .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
     .master("local[2]")
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
