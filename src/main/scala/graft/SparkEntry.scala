@@ -3279,6 +3279,61 @@ object SparkEntry {
     viaIceberg.orderBy("event_id")
   }
 
+  /** Fixed export target for [[b5IcebergComposite]] — oracle SQL globs it
+    * with two-level hive_partitioning. */
+  private val B5IcebergCompositePath =
+    "/root/repo/target/graft_export/b5_iceberg_composite"
+
+  /** B5 — COMPOSITE `[day(ts), identity(event_type)]` Iceberg export
+    * (round-9 verdict #7 — the multi-tenant fact-table layout): one
+    * rewrite groups rows by (day, tenant), every file pure in BOTH
+    * dimensions; `ts` stays physical (non-identity rule) while
+    * `event_type` drops from the data files and reconstructs at read time
+    * from the manifest tuples (Column Projection). In-query certificates:
+    * both transforms declared, two-dimensional manifest pruning ≡
+    * full-read + row-filter with strictly fewer files, and the
+    * source≡export content hash. The DuckDB oracle reconstructs BOTH
+    * partition dimensions from the directory names (two-level
+    * hive_partitioning) and recomputes the same cut over every file.
+    */
+  private def b5IcebergComposite(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergInterop, TxTable}
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
+    val t = TxTable(s, txTpl(s, dir, "b5_z"))
+    IcebergInterop.exportIcebergDayIdentity(t, B5IcebergCompositePath,
+      "ts", "event_type", tsMillis = 5000L)
+    val metaTxt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      B5IcebergCompositePath, "metadata", "v1.metadata.json")), "UTF-8")
+    require(metaTxt.contains("\"transform\" : \"day\"") &&
+        metaTxt.contains("\"transform\" : \"identity\""),
+      "b5_iceberg_composite: metadata must declare BOTH transforms")
+    val full = IcebergInterop.readIceberg(s, B5IcebergCompositePath)
+      .select(cols.map(col).toIndexedSeq: _*)
+    // prune on BOTH dimensions from the manifests alone
+    val cut = java.sql.Date.valueOf("2024-01-16")
+    val pruned = IcebergInterop.readIcebergPruned(s, B5IcebergCompositePath,
+      tuple => (tuple("ts_day"), tuple("event_type")) match {
+        case (d: java.sql.Date, et: String) => !d.before(cut) && et >= "purchase"
+        case _                              => true // unknown shape: never drop
+      }).select(cols.map(col).toIndexedSeq: _*)
+    val expected = full.where(
+      col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00")) &&
+        col("event_type") >= "purchase")
+    require(pruned.inputFiles.length < full.inputFiles.length,
+      s"b5_iceberg_composite: two-dim pruning must shrink the file list " +
+        s"(${pruned.inputFiles.length} vs ${full.inputFiles.length})")
+    require(pruned.exceptAll(expected).count() == 0L &&
+        expected.exceptAll(pruned).count() == 0L,
+      "b5_iceberg_composite: pruned read diverges from full read + row filter")
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    require(sig(t.read().select(cols.map(col).toIndexedSeq: _*)) == sig(full),
+      "b5_iceberg_composite: export diverges from the source")
+    pruned.orderBy("event_id")
+  }
+
   /** Fixed export target for [[b5DeltaReadDv]] — oracle SQL globs the
     * table root's parquet files (the `deletion_vector_*.bin` files don't
     * match the glob; deletes are logical). */
@@ -5180,6 +5235,7 @@ object SparkEntry {
     "b5_delta_read_dv"   -> (b5DeltaReadDv _),
     "b5_iceberg_bucket_str" -> (b5IcebergBucketStr _),
     "b5_tx_cluster_days" -> (b5TxClusterDays _),
+    "b5_iceberg_composite" -> (b5IcebergComposite _),
     "b5_delta_pruned_read" -> (b5DeltaPrunedRead _),
     "b5_iceberg_read_incr" -> (b5IcebergReadIncr _),
     "b2_delete_tx"       -> (b2DeleteTx _),
@@ -5786,6 +5842,14 @@ object SparkEntry {
     "b5_tx_cluster_days" ->
       """SELECT event_id, user_id, event_type, value, ts
         |FROM parquet_scan('/root/repo/target/graft_export/b5_cluster_days/data/*.parquet')
+        |ORDER BY event_id""".stripMargin,
+    // two-level hive_partitioning reconstructs BOTH dimensions (ts_day
+    // and the Column-Projected event_type) from the directory names; the
+    // oracle recomputes the composite cut over every file
+    "b5_iceberg_composite" ->
+      """SELECT event_id, user_id, CAST(event_type AS VARCHAR) AS event_type, value, ts
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_composite/data/*/*/*.parquet', hive_partitioning=1)
+        |WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' AND CAST(event_type AS VARCHAR) >= 'purchase'
         |ORDER BY event_id""".stripMargin,
     // Delta DVs are logical like Iceberg's position deletes: the oracle
     // post-filters the exported bytes with the two delete predicates

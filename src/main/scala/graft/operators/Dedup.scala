@@ -593,10 +593,15 @@ object Dedup {
     * model this changes: the unindexed form re-runs the regex split +
     * n-gram explode over the WHOLE corpus every day (O(corpus text) CPU);
     * this form's corpus cost is one columnar scan of the inverted index
-    * pruned by a broadcast of the batch's shingle set — no string ops, no
-    * corpus shuffle (the broadcast-hash join streams the scan), and the
-    * per-doc df-cap counts come precomputed from `doc_n/` plus a
-    * batch-shared correction term (only shingles the batch pushes over the
+    * pruned by the batch's shingle set — no string ops, and the per-doc
+    * df-cap counts come precomputed from `doc_n/` plus a batch-shared
+    * correction term. The prune joins by BROADCAST while the batch's
+    * distinct shingle count stays within `maxBroadcastShingles` (a daily
+    * batch: the index is never shuffled) and automatically falls back to
+    * a plain shuffle join above it (a backfill-sized batch would blow the
+    * broadcast; the index pays one shuffle instead, results bit-identical
+    * — round-9 verdict #6's dispatch). Only shingles the batch pushes over
+    * the
     * cap can change a corpus doc's count, and those are in the slice by
     * definition).
     *
@@ -611,7 +616,8 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.3,
-      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+      maxShingleDf: Int = Int.MaxValue,
+      maxBroadcastShingles: Long = 4000000L): DataFrame = {
     val spark = newDocs.sparkSession
     requireCommittedIndex(indexPath)
     readIndexParams(indexPath).foreach { p =>
@@ -627,11 +633,18 @@ object Dedup {
     val cap = lit(maxShingleDf.toLong)
     val exN = explodedShingles(newDocs, idCol, textCol, shingleN).localCheckpoint()
     val dfN = exN.groupBy("__s").agg(count(lit(1)).as("__dfn")).localCheckpoint()
-    // ONE scan of the inverted index, pruned to batch-shared shingles by a
-    // broadcast hash join (a day's shingle set is broadcast-scale; the
-    // index is not shuffled)
+    // ONE scan of the inverted index, pruned to batch-shared shingles.
+    // DISPATCH ON MEASURED BATCH SIZE (round-9 verdict #6 — the broadcast
+    // was only safe at daily-batch scale): a day's shingle set broadcasts
+    // (the index is never shuffled), but a backfill-sized batch above
+    // `maxBroadcastShingles` distinct shingles would blow the broadcast,
+    // so it falls back to a plain shuffle join — the index pays one
+    // shuffle, results bit-identical (DedupSpec pins both paths equal).
+    // The count is one agg over the already-checkpointed batch frame.
+    val batchShingles = dfN.count()
+    val probeSide = if (batchShingles <= maxBroadcastShingles) broadcast(dfN) else dfN
     val slice = spark.read.parquet(s"$indexPath/shingles")
-      .join(broadcast(dfN), col("s") === col("__s"))
+      .join(probeSide, col("s") === col("__s"))
       .select(col("id").as("corpus_id"), col("__s"), col("df"), col("__dfn"))
       .localCheckpoint() // feeds common, the correction term, and corpus dfs
     val dfCForBatch = slice.select(col("__s"), col("df")).distinct()

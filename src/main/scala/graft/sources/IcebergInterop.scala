@@ -162,6 +162,81 @@ object IcebergInterop {
       }.toMap
   }
 
+  /** Export a FLAT TxTable as an Iceberg v1 table under the COMPOSITE
+    * spec `[day(tsCol), identity(idCol)]` — the multi-tenant fact-table
+    * layout (round-9 verdict #7): engines prune by date AND by tenant/
+    * source from the manifests alone. Like the bucket/truncate exports
+    * this one REWRITES the data once, grouped by (day, identity value),
+    * so every file is pure in BOTH dimensions; per the non-identity rule
+    * `tsCol` stays PHYSICAL in the data files (the day tuple is pruning
+    * metadata) while `idCol` is dropped and reconstructed at read time
+    * from the manifest tuples (the spec's Column Projection — the same
+    * mechanism the Hive-migrated identity export uses). The day value
+    * derives timezone-independently (epoch-micros floor-division, never
+    * the session zone). Null values in either column land in their own
+    * null-tuple partition, honestly representable per spec. */
+  def exportIcebergDayIdentity(t: TxTable, target: String, tsCol: String,
+      idCol: String, tsMillis: Long = System.currentTimeMillis()): Unit = {
+    import org.apache.spark.sql.functions.{col => c, date_add, floor, lit, unix_micros}
+    val snap = t.snapshotInfo()
+    require(snap.partCols.isEmpty,
+      s"exportIcebergDayIdentity expects a FLAT TxTable (the rewrite groups " +
+        s"rows itself); the table at ${snap.dataDir} is Hive-partitioned by " +
+        snap.partCols.mkString(","))
+    require(tsCol != idCol, "the day and identity columns must differ")
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val tsIdx = schema.fieldNames.indexOf(tsCol)
+    require(tsIdx >= 0, s"day-partition column '$tsCol' is not in the table schema")
+    require(schema.fields(tsIdx).dataType == TimestampType ||
+        schema.fields(tsIdx).dataType == DateType,
+      s"day-partition column '$tsCol' has type ${schema.fields(tsIdx).dataType} — " +
+        "day() applies to timestamp/date columns only")
+    val idIdx = schema.fieldNames.indexOf(idCol)
+    require(idIdx >= 0, s"identity-partition column '$idCol' is not in the table schema")
+    require(Seq(StringType, IntegerType, LongType, BooleanType, DateType)
+        .contains(schema.fields(idIdx).dataType),
+      s"identity-partition column '$idCol' has type ${schema.fields(idIdx).dataType} — " +
+        "this writer exports identity partitions over string/int/long/boolean/date only")
+    val dayName = s"${tsCol}_day"
+    require(!schema.fieldNames.contains(dayName),
+      s"the table already has a column named '$dayName' — the derived day " +
+        "partition column would collide; rename one of them")
+    val partFields = Seq(
+      PartField(dayName, DateType, sourceId = tsIdx + 1, fieldId = 1000,
+        transform = "day"),
+      PartField(idCol, schema.fields(idIdx).dataType, sourceId = idIdx + 1,
+        fieldId = 1001))
+    // the day as a DATE value (timezone-independent for timestamps), so
+    // the staging directory names are ISO dates hivePartitionTuple
+    // already decodes to the spec's epoch-day ordinals
+    val dayValue = schema.fields(tsIdx).dataType match {
+      case TimestampType => date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+        floor(unix_micros(c(tsCol)) / lit(86400000000L)).cast("int"))
+      case _ => c(tsCol)
+    }
+    val stage = Files.createTempDirectory("graft_ice_composite")
+    try {
+      t.read().withColumn(dayName, dayValue)
+        .repartition(c(dayName), c(idCol))
+        .write.mode("overwrite").partitionBy(dayName, idCol).parquet(stage.toString)
+      val walk = Files.walk(stage)
+      // UNIQUE basenames: one task writing several partition directories
+      // reuses its part-file name in each, and the reader's Column
+      // Projection fill joins on basenames — rename while still staged
+      val rels = try walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          .map { p =>
+            val unique = p.getParent.resolve(
+              s"${java.util.UUID.randomUUID()}.parquet")
+            Files.move(p, unique)
+            stage.relativize(unique).toString
+          }.toSeq
+        finally walk.close()
+      assembleIcebergV1(t.spark, stage, rels, target, tsMillis,
+        schema, partFields, rel => hivePartitionTuple(rel, partFields))
+    } finally deleteRecursively(stage)
+  }
+
   /** Export a FLAT TxTable as an Iceberg v1 table partitioned by
     * `bucket[nBuckets](col)` — the hash-distribution layout for a
     * high-cardinality key (user id, entity id). The bucket function is

@@ -153,8 +153,13 @@ class ContractSpec extends AnyFunSuite {
     // rewrite from multi-day files to the single-day layout — refusal
     // certified before, content-preservation certified after, then the
     // previously-refused day(ts) export succeeds; DuckDB oracle)
-    assert(SparkEntry.queries.size == 205,
-      s"declared query count ${SparkEntry.queries.size} != documented 205 — " +
+    // 206 adds b5_iceberg_composite (the COMPOSITE day(ts)+identity spec
+    // — the multi-tenant layout: files pure in both dims, ts physical,
+    // event_type Column-Projected from tuples; two-dimensional manifest
+    // pruning certified against full-read + row-filter, DuckDB two-level
+    // hive_partitioning oracle)
+    assert(SparkEntry.queries.size == 206,
+      s"declared query count ${SparkEntry.queries.size} != documented 206 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

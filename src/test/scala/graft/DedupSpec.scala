@@ -146,6 +146,14 @@ class DedupSpec extends SparkSpec {
       shingleN = 3, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(idx == exact, s"indexed=$idx anchor=$exact")
+
+    // backfill-scale dispatch (round-9 verdict #6): a batch whose distinct
+    // shingle count exceeds maxBroadcastShingles takes the shuffle-join
+    // path instead of the broadcast — results BIT-IDENTICAL
+    val shuffled = Dedup.incrementalJaccardPairsIndexed(batch, dir, "doc_id", "text",
+      shingleN = 3, threshold = 0.3, maxBroadcastShingles = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(shuffled == idx, s"shuffle-dispatch diverged: $shuffled vs $idx")
   }
 
   test("indexed incremental jaccard ≡ unindexed under an ACTIVE df cap (correction-term path)") {

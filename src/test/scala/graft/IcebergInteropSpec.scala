@@ -437,6 +437,57 @@ class IcebergInteropSpec extends SparkSpec {
     assert(e.getMessage.contains("int/long/date/timestamp/string"), e.getMessage)
   }
 
+  test("composite day(ts)+identity(src) export: two-dim tuples, projection fill, pruning") {
+    val t = TxTable(spark, tmp("ice_comp_src"))
+    t.append((0L until 30L).map(i =>
+        (i, java.sql.Timestamp.valueOf(f"2024-01-${(i % 3) + 10}%02d 08:00:00"),
+          if (i % 2 == 0) "web" else "app", i * 2.0))
+      .toDF("id", "ts", "src", "v"), tsMillis = 1000L)
+    val out = tmp("ice_comp_exp")
+    IcebergInterop.exportIcebergDayIdentity(t, out, "ts", "src", tsMillis = 5000L)
+
+    val metaTxt = new String(Files.readAllBytes(
+      Paths.get(out, "metadata", "v1.metadata.json")))
+    assert(metaTxt.contains("\"transform\" : \"day\"") &&
+      metaTxt.contains("\"transform\" : \"identity\""), metaTxt)
+
+    // round trip: src reconstructs from the tuples (Column Projection),
+    // ts stays physical
+    val got = IcebergInterop.readIceberg(spark, out)
+    assert(got.orderBy("id").collect().toSeq ==
+      t.read().select("id", "ts", "src", "v").orderBy("id").collect().toSeq)
+    // every data file is pure in BOTH dims and physically lacks src
+    Files.walk(Paths.get(out, "data")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).foreach { p =>
+        val df = spark.read.parquet(p.toString)
+        assert(!df.columns.contains("src"), s"$p should drop the identity column")
+        assert(df.select(org.apache.spark.sql.functions.to_date(col("ts")))
+          .distinct().count() == 1L, s"$p spans multiple days")
+      }
+
+    // pruning on BOTH dimensions, certified against full read + row filter
+    val cut = java.sql.Date.valueOf("2024-01-11")
+    val pruned = IcebergInterop.readIcebergPruned(spark, out, tuple =>
+      (tuple("ts_day"), tuple("src")) match {
+        case (d: java.sql.Date, s: String) => !d.before(cut) && s == "web"
+        case _                             => true
+      })
+    val expected = got.where(
+      col("ts") >= org.apache.spark.sql.functions.lit(
+        java.sql.Timestamp.valueOf("2024-01-11 00:00:00")) && col("src") === "web")
+    assert(pruned.inputFiles.length < got.inputFiles.length)
+    assert(pruned.exceptAll(expected).count() == 0L &&
+      expected.exceptAll(pruned).count() == 0L)
+
+    // refusals: partitioned source, same column twice, bad identity type
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.exportIcebergDayIdentity(t, tmp("x"), "ts", "ts", 1L))
+      .getMessage.contains("must differ"))
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.exportIcebergDayIdentity(t, tmp("x"), "ts", "v", 1L))
+      .getMessage.contains("identity partitions over"))
+  }
+
   test("clusterBy turns a day-export refusal into a working day(ts) export") {
     import org.apache.spark.sql.functions.to_date
     val t = TxTable(spark, tmp("ice_cluster_src"))
