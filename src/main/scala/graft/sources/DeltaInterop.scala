@@ -204,6 +204,14 @@ object DeltaInterop {
     val (lastV, live, metaOpt, _) = replayState(t.spark, finalDir, None)
     val meta = metaOpt.getOrElse(throw new IllegalStateException(
       s"Delta log at $target carries no metaData action"))
+    // the mirror contract is FILE-SET equality with the source snapshot;
+    // a target someone has deleteFromDelta'd carries deletion vectors the
+    // file-path diff cannot see — mirroring over them would silently keep
+    // rows deleted that the source still has (round-10 hardening sweep)
+    require(live.forall(_.dv.isEmpty),
+      s"the Delta table at $target carries deletion vectors — an " +
+        "incremental file-set mirror cannot represent them; " +
+        "re-export from scratch")
     val (schemaJson, partCols) = (meta.schemaJson, meta.partCols)
     require(partCols == snap.partCols,
       s"partition layout changed (${partCols.mkString(",")} -> " +

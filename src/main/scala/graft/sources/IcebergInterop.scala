@@ -785,6 +785,8 @@ object IcebergInterop {
     val (dataFiles, deleteFiles) = liveEntries(root, path, snapNode)
     if (dataFiles.isEmpty) return 0L
 
+    val prevVersion = currentMetadataVersion(metaDir, path)
+
     // live view (existing deletes applied) with per-row (file, pos)
     // provenance; the manifest-recorded file_path string rides back in via
     // the O(files) basename map so delete rows reference files EXACTLY as
@@ -834,9 +836,12 @@ object IcebergInterop {
       else {
         Files.createDirectories(delDir)
         staged.zipWithIndex.map { case ((p, rows), i) =>
+          // the COMMIT VERSION keys the name: two deletes sharing a fixed
+          // tsMillis (deterministic fixtures) must not collide
           val dst = delDir.resolve(
             s"delete-${java.util.UUID.nameUUIDFromBytes(
-              (path + "|" + tsMillis + "|" + i).getBytes("UTF-8"))}.parquet")
+              (path + "|v" + prevVersion + "|" + tsMillis + "|" + i)
+                .getBytes("UTF-8"))}.parquet")
           Files.move(p, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           (dst, rows, Files.size(dst))
         }
@@ -846,7 +851,6 @@ object IcebergInterop {
     val deleted = written.map(_._2).sum
 
     // ---- the v2 commit: delete manifest + manifest list + metadata
-    val prevVersion = currentMetadataVersion(metaDir, path)
     val newSeq = Option(meta.get("last-sequence-number")).map(_.asLong)
       .getOrElse(0L) + 1
     val snapshotId = math.abs(java.util.UUID.nameUUIDFromBytes(
@@ -1560,6 +1564,16 @@ object IcebergInterop {
     require(names.distinct.size == names.size,
       s"Iceberg table $path has duplicate data-file names — position " +
         "deletes cannot be applied unambiguously; unsupported layout")
+    // delete rows reference data files by their MANIFEST-recorded URI, so
+    // the translation keys on that URI's basename (round-10 hardening
+    // sweep: resolving first and keying on the decoded filesystem name
+    // would silently miss files whose URIs percent-encode characters —
+    // an inapplicable delete is row resurrection); the output key is the
+    // RESOLVED basename `_metadata.file_name` exposes at scan time
+    val uriNames = kept.map(_.uri.split('/').last)
+    require(uriNames.distinct.size == uriNames.size,
+      s"Iceberg table $path has duplicate data-file URI basenames — position " +
+        "deletes cannot be applied unambiguously; unsupported layout")
     val delNames = dels.map(_.resolved.getFileName.toString)
     require(delNames.distinct.size == delNames.size,
       s"Iceberg table $path has duplicate delete-file names — unsupported layout")
@@ -1572,14 +1586,15 @@ object IcebergInterop {
       dels.map(d => (d.resolved.getFileName.toString, d.seq)))
       .toDF("__gdel_src", "__gdel_seq")
     val dataSeqDf = spark.createDataFrame(
-      kept.map(e => (e.resolved.getFileName.toString, e.seq)))
-      .toDF("__gdel_file", "__gdel_dseq")
+      kept.map(e => (e.uri.split('/').last,
+        e.resolved.getFileName.toString, e.seq)))
+      .toDF("__gdel_uriname", "__gdel_file", "__gdel_dseq")
     Some(raw
-      .select(substring_index(col("file_path"), "/", -1).as("__gdel_file"),
+      .select(substring_index(col("file_path"), "/", -1).as("__gdel_uriname"),
         col("pos").cast("long").as("__gdel_pos"),
         col("_metadata.file_name").as("__gdel_src"))
       .join(broadcast(delSeqDf), Seq("__gdel_src"))
-      .join(broadcast(dataSeqDf), Seq("__gdel_file"))
+      .join(broadcast(dataSeqDf), Seq("__gdel_uriname"))
       .where(col("__gdel_seq") >= col("__gdel_dseq"))
       .select(col("__gdel_file"), col("__gdel_pos")))
   }
