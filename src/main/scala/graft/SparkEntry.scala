@@ -3184,6 +3184,23 @@ object SparkEntry {
     require(live.exceptAll(expected).count() == 0L &&
         expected.exceptAll(live).count() == 0L,
       "b5_iceberg_read_deletes: live view diverges from source minus predicate")
+    // the lifecycle's compaction half: ONLY delete-carrying files rewrite
+    // (survivors under data/compacted/, outside the oracle's flat glob;
+    // originals stay for snapshot history), the new snapshot lists no
+    // delete files, and the live view is bit-identical across the purge
+    val (nf, reclaimed) = IcebergInterop.compactIcebergDeletes(
+      s, B5IcebergDeletesPath, tsMillis = 8000L)
+    require(nf >= 1 && reclaimed == deleted,
+      s"b5_iceberg_read_deletes: purge rewrote $nf file(s) / $reclaimed row(s), " +
+        s"expected >=1 / $deleted")
+    val postPurge = IcebergInterop.readIceberg(s, B5IcebergDeletesPath)
+      .select(cols.map(col).toIndexedSeq: _*)
+    require(postPurge.exceptAll(live).count() == 0L &&
+        live.exceptAll(postPurge).count() == 0L,
+      "b5_iceberg_read_deletes: compaction must be invisible to the live view")
+    require(IcebergInterop.compactIcebergDeletes(
+        s, B5IcebergDeletesPath, tsMillis = 9000L) == ((0, 0L)),
+      "b5_iceberg_read_deletes: a second compaction must be a no-op")
     live.orderBy("event_id")
   }
 
@@ -3391,6 +3408,20 @@ object SparkEntry {
     require(live.exceptAll(expected).count() == 0L &&
         expected.exceptAll(live).count() == 0L,
       "b5_delta_read_dv: live view diverges from source minus predicates")
+    // the lifecycle's purge half (REORG … APPLY (PURGE)): only DV'd files
+    // rewrite (survivors under compacted/, outside the oracle's flat
+    // glob), the vectors clear, and the live view is bit-identical
+    val (nf, reclaimed) = DeltaInterop.purgeDeltaDvs(s, B5DeltaDvPath, 9000L)
+    require(nf >= 1 && reclaimed == deleted + pred2Count,
+      s"b5_delta_read_dv: purge rewrote $nf file(s) / $reclaimed row(s), " +
+        s"expected >=1 / ${deleted + pred2Count}")
+    val postPurge = DeltaInterop.readDelta(s, B5DeltaDvPath)
+      .select(cols.map(col).toIndexedSeq: _*)
+    require(postPurge.exceptAll(live).count() == 0L &&
+        live.exceptAll(postPurge).count() == 0L,
+      "b5_delta_read_dv: the purge must be invisible to the live view")
+    require(DeltaInterop.purgeDeltaDvs(s, B5DeltaDvPath, 10000L) == ((0, 0L)),
+      "b5_delta_read_dv: a second purge must be a no-op")
     live.orderBy("event_id")
   }
 

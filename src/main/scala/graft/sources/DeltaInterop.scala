@@ -935,6 +935,99 @@ object DeltaInterop {
     newDeleted
   }
 
+  /** Physically reclaim deletion-vector'd rows (the delete lifecycle's
+    * compaction half — Delta's `REORG TABLE … APPLY (PURGE)`, and the
+    * Iceberg twin of [[IcebergInterop.compactIcebergDeletes]]): ONLY the
+    * files carrying DVs are rewritten — their survivor rows land in fresh
+    * files under `compacted/`, committed as remove(old entry with its DV)
+    * + add(new file, NO deletionVector) per touched file; untouched files
+    * are not mentioned and move zero bytes. Subsequent reads plan without
+    * the anti-join; prior versions still time-travel to the masked (and
+    * pre-delete) views, so superseded files and `.bin` DVs stay on disk
+    * for that history (vacuum semantics out of scope).
+    *
+    * @return (files rewritten, rows reclaimed) — (0, 0) when no live add
+    *   carries a deletion vector (no commit). */
+  def purgeDeltaDvs(spark: SparkSession, path: String,
+      tsMillis: Long = System.currentTimeMillis()): (Int, Long) = {
+    val root = Paths.get(path).toAbsolutePath
+    val logDir = root.resolve(LogDirName)
+    require(Files.isDirectory(logDir), s"no Delta table at $path (missing $LogDirName)")
+    val (cur, live, metaOpt, _) = replayState(spark, root, None)
+    val meta = metaOpt.getOrElse(throw new IllegalStateException(
+      s"Delta log at $path carries no metaData action"))
+    require(meta.partCols.isEmpty,
+      s"purgeDeltaDvs supports unpartitioned tables only; the table at " +
+        s"$path is partitioned by ${meta.partCols.mkString(",")}")
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val withDv = live.filter(_.dv.isDefined)
+    if (withDv.isEmpty) return (0, 0L)
+    val deadRows = withDv.map(_.dv.get.cardinality).sum
+
+    val compDir = root.resolve("compacted")
+    Files.createDirectories(compDir)
+    val stage = Files.createTempDirectory("graft_delta_purge")
+    val newFiles: Seq[(String, Long)] = try { // (rel path, size)
+      applyDvs(
+        spark.read.schema(schema)
+          .parquet(withDv.map(a => root.resolve(a.path).toString): _*),
+        dvPositionsDf(spark, root, withDv))
+        .write.mode("overwrite").parquet(stage.toString)
+      val walk = Files.walk(stage)
+      val staged = try walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          // a fully-deleted input file leaves an empty part: footer-count,
+          // not a Spark job per file
+          .filter(p => IcebergInterop.parquetRowCount(spark, p) > 0L).toSeq
+        finally walk.close()
+      staged.zipWithIndex.map { case (p, i) =>
+        val rel = s"compacted/purge-${java.util.UUID.nameUUIDFromBytes(
+          (path + "|v" + cur + "|" + i).getBytes("UTF-8"))}.parquet"
+        Files.move(p, root.resolve(rel),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        (rel, Files.size(root.resolve(rel)))
+      }
+    } finally deleteRecursively(stage)
+
+    val m = mapper
+    def obj() = m.createObjectNode()
+    val lines = Seq.newBuilder[String]
+    val commitInfo = obj()
+    commitInfo.putObject("commitInfo")
+      .put("timestamp", tsMillis)
+      .put("operation", "REORG")
+      .put("engineInfo", "graft-delta-dv-purge")
+    lines += m.writeValueAsString(commitInfo)
+    withDv.foreach { a =>
+      val rm = obj()
+      val rmNode = rm.putObject("remove")
+      rmNode.put("path", encodePath(a.path))
+      rmNode.put("deletionTimestamp", tsMillis)
+      rmNode.put("dataChange", false) // a purge rewrites, it does not change rows
+      val d = a.dv.get
+      val o = rmNode.putObject("deletionVector")
+      o.put("storageType", d.storageType)
+      o.put("pathOrInlineDv", d.pathOrInlineDv)
+      d.offset.foreach(o.put("offset", _))
+      o.put("sizeInBytes", d.sizeInBytes)
+      o.put("cardinality", d.cardinality)
+      lines += m.writeValueAsString(rm)
+    }
+    newFiles.foreach { case (rel, size) =>
+      val ad = obj()
+      val addNode = ad.putObject("add")
+      addNode.put("path", encodePath(rel))
+      addNode.putObject("partitionValues")
+      addNode.put("size", size)
+      addNode.put("modificationTime", tsMillis)
+      addNode.put("dataChange", false)
+      lines += m.writeValueAsString(ad)
+    }
+    Files.write(logDir.resolve(f"${cur + 1}%020d.json"), lines.result().asJava,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    (withDv.size, deadRows)
+  }
+
   // ------------------------------------------------------ log mechanics
 
   private val JsonCommit = """(\d{20})\.json""".r

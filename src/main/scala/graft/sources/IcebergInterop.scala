@@ -974,6 +974,130 @@ object IcebergInterop {
     deleted
   }
 
+  /** Physically reclaim position-deleted rows (the delete lifecycle's
+    * compaction half — Iceberg's `rewrite_data_files` +
+    * `rewrite_position_delete_files` maintenance, and the same
+    * only-touch-what-changed discipline as
+    * [[graft.operators.AnnIndex.compactIndex]]): ONLY the data files that
+    * carry applicable deletes are rewritten (survivor rows land in fresh
+    * files under `data/compacted/`); untouched files are carried into the
+    * new snapshot's manifest by reference — zero data movement for them.
+    * The new snapshot lists NO delete files, so every subsequent read
+    * plans without the anti-join; prior snapshots still read the
+    * tombstone-masked (and pre-delete) views. Superseded data files and
+    * delete parquets stay on disk for that history (vacuum semantics are
+    * out of scope, as everywhere in this exporter).
+    *
+    * @return (files rewritten, rows reclaimed) — (0, 0) when the current
+    *   snapshot carries no delete files (no commit). */
+  def compactIcebergDeletes(spark: SparkSession, path: String,
+      tsMillis: Long = System.currentTimeMillis()): (Int, Long) = {
+    import org.apache.spark.sql.functions.col
+    val root = Paths.get(path).toAbsolutePath
+    val metaDir = root.resolve("metadata")
+    require(Files.isDirectory(metaDir), s"no Iceberg table at $path (missing metadata/)")
+    val meta = currentMetadata(metaDir, path)
+    val fv = meta.get("format-version").asInt
+    require(fv == 1 || fv == 2,
+      s"Iceberg table $path has format-version $fv — only v1/v2 are supported")
+    require(defaultSpecFields(meta).isEmpty,
+      s"compactIcebergDeletes supports unpartitioned tables only; the table " +
+        s"at $path has a partition spec")
+    val schema = currentSparkSchema(meta, path)
+    val curId = Option(meta.get("current-snapshot-id")).map(_.asLong)
+      .filter(_ != -1L).getOrElse(return (0, 0L))
+    val snapNode = Option(meta.get("snapshots"))
+      .flatMap(_.elements().asScala.find(_.get("snapshot-id").asLong == curId))
+      .getOrElse(throw new IllegalArgumentException(
+        s"Iceberg table $path current snapshot $curId is missing from the log"))
+    val (dataFiles, deleteFiles) = liveEntries(root, path, snapNode)
+    if (deleteFiles.isEmpty || dataFiles.isEmpty) return (0, 0L)
+    val delFrame = positionDeleteFrame(spark, path, dataFiles, deleteFiles)
+      .getOrElse(return (0, 0L))
+
+    // which files actually carry APPLICABLE deletes — O(touched files)
+    val touched: Set[String] = delFrame.select("__gdel_file").distinct()
+      .collect().map(_.getString(0)).toSet
+    val (rewrite, carry) = dataFiles.partition(e =>
+      touched.contains(e.resolved.getFileName.toString))
+    if (rewrite.isEmpty) return (0, 0L)
+    val deadRows = delFrame.count()
+
+    // survivors of the touched files only, written fresh
+    val compDir = root.resolve("data").resolve("compacted")
+    Files.createDirectories(compDir)
+    val stage = Files.createTempDirectory("graft_ice_compact")
+    val newFiles: Seq[ManifestFile] = try {
+      spark.read.schema(schema).parquet(rewrite.map(_.resolved.toString): _*)
+        .withColumn("__gdel_file", col("_metadata.file_name"))
+        .withColumn("__gdel_pos", col("_metadata.row_index"))
+        .join(delFrame, Seq("__gdel_file", "__gdel_pos"), "left_anti")
+        .drop("__gdel_file", "__gdel_pos")
+        .write.mode("overwrite").parquet(stage.toString)
+      val walk = Files.walk(stage)
+      val staged = try walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          .map(p => (p, parquetRowCount(spark, p))).filter(_._2 > 0L).toSeq
+        finally walk.close()
+      staged.zipWithIndex.map { case ((p, rows), i) =>
+        val dst = compDir.resolve(
+          s"compact-${java.util.UUID.nameUUIDFromBytes(
+            (path + "|compact|" + tsMillis + "|" + i).getBytes("UTF-8"))}.parquet")
+        Files.move(p, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ManifestFile(dst.toUri.toString, Files.size(dst), rows, Seq.empty)
+      }
+    } finally deleteRecursively(stage)
+
+    // ---- the commit: ONE fresh data manifest (carried + rewritten), no
+    // delete manifests, published as a new v2 metadata version
+    val prevVersion = currentMetadataVersion(metaDir, path)
+    val newSeq = Option(meta.get("last-sequence-number")).map(_.asLong)
+      .getOrElse(0L) + 1
+    val snapshotId = math.abs(java.util.UUID.nameUUIDFromBytes(
+      (path + "|compact|" + prevVersion).getBytes("UTF-8")).getMostSignificantBits)
+    val m = mapper
+    val curSchemaId = Option(meta.get("current-schema-id")).map(_.asInt).getOrElse(0)
+    val manifestName = f"graft-c0-$snapshotId%d.avro"
+    // carried entries reuse the prior manifest's sizes/counts — no
+    // footer re-reads for untouched files (O(changed files) I/O only)
+    val entries = carry.map(e =>
+      ManifestFile(e.uri, e.size, e.rows, Seq.empty)) ++ newFiles
+    writeManifest(metaDir.resolve(manifestName), snapshotId,
+      m.writeValueAsString(icebergSchema(m, schema, curSchemaId)),
+      Seq.empty, entries)
+    val listName = f"snap-$snapshotId%d.avro"
+    writeManifestListV2(metaDir.resolve(listName), Seq(ManifestListEntry(
+      metaDir.resolve(manifestName).toUri.toString,
+      Files.size(metaDir.resolve(manifestName)),
+      specId = 0, content = 0, seq = newSeq, minSeq = newSeq,
+      addedSnapshotId = snapshotId,
+      addedFiles = entries.size, existingFiles = 0, deletedFiles = 0,
+      addedRows = entries.map(_.rows).sum, existingRows = 0L, deletedRows = 0L)))
+
+    val rootNode = meta.deepCopy[ObjectNode]()
+    rootNode.put("format-version", 2)
+    rootNode.put("last-sequence-number", newSeq)
+    rootNode.put("last-updated-ms", tsMillis)
+    rootNode.put("current-snapshot-id", snapshotId)
+    val snapsArr = rootNode.get("snapshots").asInstanceOf[ArrayNode]
+    val s0 = m.createObjectNode()
+    s0.put("snapshot-id", snapshotId)
+    s0.put("parent-snapshot-id", curId)
+    s0.put("sequence-number", newSeq)
+    s0.put("schema-id", curSchemaId)
+    s0.put("timestamp-ms", tsMillis)
+    s0.put("manifest-list", metaDir.resolve(listName).toUri.toString)
+    s0.putObject("summary").put("operation", "replace")
+    snapsArr.add(s0)
+    val newVersion = prevVersion + 1
+    Files.write(metaDir.resolve(s"v$newVersion.metadata.json"),
+      Seq(m.writerWithDefaultPrettyPrinter().writeValueAsString(rootNode)).asJava,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    Files.write(metaDir.resolve("version-hint.text"),
+      Seq(newVersion.toString).asJava)
+    (rewrite.size, deadRows)
+  }
+
   /** One v2 manifest-list row (the full required field set — foreign v2
     * readers resolve these by field-id). */
   private case class ManifestListEntry(path: String, length: Long,
@@ -1273,7 +1397,7 @@ object IcebergInterop {
     * object-store deployment at that count would parallelize this via a
     * small Spark job over the file list (the record counts could also be
     * carried in the TxTable commit stats to make this free). */
-  private def parquetRowCount(spark: SparkSession, p: Path): Long = {
+  private[sources] def parquetRowCount(spark: SparkSession, p: Path): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sessionState.newHadoopConf()
@@ -1480,7 +1604,7 @@ object IcebergInterop {
     * rows reference that string), its partition tuple, and its data
     * sequence number (0 for v1-era files, per the spec's upgrade rule). */
   private case class DataEntry(resolved: Path, uri: String,
-      partition: GenericRecord, seq: Long)
+      partition: GenericRecord, seq: Long, rows: Long, size: Long)
 
   /** One live POSITION-DELETE file: resolved path + delete sequence. */
   private case class DeleteEntry(resolved: Path, seq: Long)
@@ -1529,7 +1653,9 @@ object IcebergInterop {
           df.get("file_path").toString,
           Option(df.getSchema.getField("partition"))
             .map(_ => df.get("partition").asInstanceOf[GenericRecord]).orNull,
-          seq)
+          seq,
+          df.get("record_count").asInstanceOf[Long],
+          df.get("file_size_in_bytes").asInstanceOf[Long])
       }
     }
     (data.result(), dels.result())

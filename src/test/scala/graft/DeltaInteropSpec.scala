@@ -280,6 +280,33 @@ class DeltaInteropSpec extends SparkSpec {
       .getMessage.contains("unpartitioned tables only"))
   }
 
+  test("purgeDeltaDvs rewrites ONLY the DV'd files and clears the vectors") {
+    val t = TxTable(spark, tmp("delta_purge_src"))
+    t.append((0L until 20L).map(i => (i, i * 2.0)).toDF("id", "v").coalesce(1),
+      tsMillis = 1000L)
+    t.append((20L until 40L).map(i => (i, i * 2.0)).toDF("id", "v").coalesce(1),
+      tsMillis = 2000L)
+    val out = tmp("delta_purge_exp")
+    DeltaInterop.exportDelta(t, out, tsMillis = 5000L)
+    assert(DeltaInterop.deleteFromDelta(spark, out, col("id") < 4, 6000L) == 4L)
+    val pre = DeltaInterop.readDelta(spark, out).orderBy("id").collect().toSeq
+    val preFiles = DeltaInterop.readDelta(spark, out).inputFiles.toSet
+
+    val (nf, reclaimed) = DeltaInterop.purgeDeltaDvs(spark, out, 7000L)
+    assert(nf == 1 && reclaimed == 4L, s"($nf, $reclaimed)")
+    val post = DeltaInterop.readDelta(spark, out)
+    assert(post.orderBy("id").collect().toSeq == pre,
+      "the purge must be invisible to the live view")
+    val postFiles = post.inputFiles.toSet
+    assert(postFiles.exists(_.contains("compacted")), "rewritten file missing")
+    assert((postFiles intersect preFiles).size == preFiles.size - 1,
+      "exactly one original file should be replaced")
+    // idempotent; history still time-travels to the masked and full views
+    assert(DeltaInterop.purgeDeltaDvs(spark, out, 8000L) == ((0, 0L)))
+    assert(DeltaInterop.readDelta(spark, out, versionAsOf = Some(0L)).count() == 40L)
+    assert(DeltaInterop.readDelta(spark, out, versionAsOf = Some(1L)).count() == 36L)
+  }
+
   test("deletion vectors survive a checkpoint (add.deletionVector rides the parquet)") {
     val t = TxTable(spark, tmp("delta_dvc_src"))
     t.append((0L until 20L).map(i => (i, i * 2.0)).toDF("id", "v"), tsMillis = 1000L)

@@ -589,6 +589,43 @@ class IcebergInteropSpec extends SparkSpec {
     assert(e.getMessage.contains("re-sync from the full snapshot"))
   }
 
+  test("compactIcebergDeletes rewrites ONLY the touched files and drops the delete set") {
+    val t = TxTable(spark, tmp("ice_cmp_src"))
+    t.append((0L until 20L).map(i => (i, i * 2.0)).toDF("id", "v").coalesce(1),
+      tsMillis = 1000L)
+    t.append((20L until 40L).map(i => (i, i * 2.0)).toDF("id", "v").coalesce(1),
+      tsMillis = 2000L)
+    val out = tmp("ice_cmp_exp")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+    // deletes land only in the FIRST commit's file
+    assert(IcebergInterop.deleteFromIceberg(spark, out, col("id") < 4, 6000L) == 4L)
+    val pre = IcebergInterop.readIceberg(spark, out).orderBy("id").collect().toSeq
+    // inputFiles of the pre-purge plan includes the delete-parquet scan
+    // (the anti-join side) — compare DATA files only
+    val preFiles = IcebergInterop.readIceberg(spark, out).inputFiles.toSet
+      .filterNot(_.contains("/deletes/"))
+
+    val (nf, reclaimed) = IcebergInterop.compactIcebergDeletes(spark, out, 7000L)
+    assert(nf == 1 && reclaimed == 4L, s"($nf, $reclaimed)")
+    val post = IcebergInterop.readIceberg(spark, out)
+    assert(post.orderBy("id").collect().toSeq == pre,
+      "compaction must be invisible to the live view")
+    // the untouched file is carried by reference; the touched one is gone
+    val postFiles = post.inputFiles.toSet
+    assert(postFiles.exists(_.contains("compacted")), "rewritten file missing")
+    assert((postFiles intersect preFiles).size == preFiles.size - 1,
+      "exactly one original file should be replaced")
+    // the new snapshot carries no deletes: compacting again is a no-op,
+    // and a fresh delete starts a new lifecycle
+    assert(IcebergInterop.compactIcebergDeletes(spark, out, 8000L) == ((0, 0L)))
+    // prior snapshots still read their views
+    val v1Txt = new String(Files.readAllBytes(
+      Paths.get(out, "metadata", "v1.metadata.json")))
+    val snap0 = """"snapshot-id" : (\d+)""".r.findFirstMatchIn(v1Txt).get.group(1).toLong
+    assert(IcebergInterop.readIceberg(spark, out, snapshotAsOf = Some(snap0))
+      .count() == 40L)
+  }
+
   test("position deletes: dangling delete files are loud, unknown-file rows are inert") {
     val t = TxTable(spark, tmp("ice_del2_src"))
     t.append((0L until 10L).map(i => (i, i * 2.0)).toDF("id", "v"), tsMillis = 1000L)
