@@ -3351,6 +3351,69 @@ object SparkEntry {
     pruned.orderBy("event_id")
   }
 
+  /** Fixed export target for [[b5IcebergEqDelete]] — oracle SQL globs the
+    * data directory flat (delete parquets live under data/deletes/). */
+  private val B5IcebergEqPath = "/root/repo/target/graft_export/b5_iceberg_eq"
+
+  /** B5 — ICEBERG EQUALITY DELETES (the spec's declarative delete-by-key,
+    * what a CDC/GDPR writer emits — content=2 with equality_ids):
+    * [[graft.sources.IcebergInterop.deleteFromIcebergByKey]] commits the
+    * key rows WITHOUT SCANNING THE TABLE (O(keys) regardless of table
+    * size — the whole point of the format), and the reader drops matching
+    * rows from every data file committed strictly before the delete via a
+    * null-safe hash anti-join chained after the position-delete mask. The
+    * query composes BOTH delete kinds on one table: an equality delete of
+    * the 'click' tenant plus a position delete of a row predicate.
+    * Certificates: zero surviving rows of either predicate, time travel
+    * below the deletes reads all rows, a repeated key delete leaves the
+    * live view unchanged (declarative semantics), and the position-delete
+    * writer's live view honors the equality delete (re-deleting an
+    * eq-deleted row's position matches nothing). DuckDB oracle recomputes
+    * the composed survivor set over the exported bytes.
+    */
+  private def b5IcebergEqDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergInterop, TxTable}
+    import s.implicits._
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
+    val t = TxTable(s, txTpl(s, dir, "b5_z"))
+    IcebergInterop.exportIceberg(t, B5IcebergEqPath, tsMillis = 5000L)
+    val srcCount = t.read().count()
+    require(IcebergInterop.deleteFromIcebergByKey(s, B5IcebergEqPath,
+      Seq("click").toDF("event_type"), tsMillis = 6000L) == 1L)
+    val posPred = col("event_id") % 13 === 0 && col("event_type") =!= "click"
+    val posCount = t.read().where(posPred).count()
+    require(IcebergInterop.deleteFromIceberg(s, B5IcebergEqPath,
+        col("event_id") % 13 === 0, tsMillis = 7000L) == posCount,
+      "b5_iceberg_eq_delete: the position delete must see the eq-masked live view")
+    val live = IcebergInterop.readIceberg(s, B5IcebergEqPath)
+      .select(cols.map(col).toIndexedSeq: _*)
+    require(live.where(col("event_type") === "click" ||
+        col("event_id") % 13 === 0).count() == 0L,
+      "b5_iceberg_eq_delete: a deleted row survived the live read")
+    val v1Txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      B5IcebergEqPath, "metadata", "v1.metadata.json")), "UTF-8")
+    val snap0 = """"snapshot-id" : (\d+)""".r.findFirstMatchIn(v1Txt).get.group(1).toLong
+    require(IcebergInterop.readIceberg(s, B5IcebergEqPath,
+        snapshotAsOf = Some(snap0)).count() == srcCount,
+      "b5_iceberg_eq_delete: time travel below the deletes must read all rows")
+    // declarative semantics: a repeated key delete commits but the live
+    // view is unchanged
+    require(IcebergInterop.deleteFromIcebergByKey(s, B5IcebergEqPath,
+      Seq("click").toDF("event_type"), tsMillis = 8000L) == 1L)
+    val live2 = IcebergInterop.readIceberg(s, B5IcebergEqPath)
+      .select(cols.map(col).toIndexedSeq: _*)
+    require(live2.exceptAll(live).count() == 0L &&
+        live.exceptAll(live2).count() == 0L,
+      "b5_iceberg_eq_delete: a repeated key delete must not change the live view")
+    val expected = t.read()
+      .where(col("event_type") =!= "click" && col("event_id") % 13 =!= 0)
+      .select(cols.map(col).toIndexedSeq: _*)
+    require(live.exceptAll(expected).count() == 0L &&
+        expected.exceptAll(live).count() == 0L,
+      "b5_iceberg_eq_delete: live view diverges from source minus predicates")
+    live.orderBy("event_id")
+  }
+
   /** Fixed export target for [[b5DeltaReadDv]] — oracle SQL globs the
     * table root's parquet files (the `deletion_vector_*.bin` files don't
     * match the glob; deletes are logical). */
@@ -5267,6 +5330,7 @@ object SparkEntry {
     "b5_iceberg_bucket_str" -> (b5IcebergBucketStr _),
     "b5_tx_cluster_days" -> (b5TxClusterDays _),
     "b5_iceberg_composite" -> (b5IcebergComposite _),
+    "b5_iceberg_eq_delete" -> (b5IcebergEqDelete _),
     "b5_delta_pruned_read" -> (b5DeltaPrunedRead _),
     "b5_iceberg_read_incr" -> (b5IcebergReadIncr _),
     "b2_delete_tx"       -> (b2DeleteTx _),
@@ -5881,6 +5945,14 @@ object SparkEntry {
       """SELECT event_id, user_id, CAST(event_type AS VARCHAR) AS event_type, value, ts
         |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_composite/data/*/*/*.parquet', hive_partitioning=1)
         |WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' AND CAST(event_type AS VARCHAR) >= 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    // both delete kinds are logical; the oracle recomputes the composed
+    // survivor set over the exported bytes (deletes live under
+    // data/deletes/, outside the flat glob)
+    "b5_iceberg_eq_delete" ->
+      """SELECT event_id, user_id, event_type, value, ts
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_eq/data/*.parquet')
+        |WHERE event_type <> 'click' AND event_id % 13 <> 0
         |ORDER BY event_id""".stripMargin,
     // Delta DVs are logical like Iceberg's position deletes: the oracle
     // post-filters the exported bytes with the two delete predicates

@@ -782,15 +782,15 @@ object IcebergInterop {
       .flatMap(_.elements().asScala.find(_.get("snapshot-id").asLong == curId))
       .getOrElse(throw new IllegalArgumentException(
         s"Iceberg table $path current snapshot $curId is missing from the log"))
-    val (dataFiles, deleteFiles) = liveEntries(root, path, snapNode)
+    val (dataFiles, deleteFiles, eqDeletes) = liveEntries(root, path, snapNode)
     if (dataFiles.isEmpty) return 0L
 
     val prevVersion = currentMetadataVersion(metaDir, path)
 
-    // live view (existing deletes applied) with per-row (file, pos)
-    // provenance; the manifest-recorded file_path string rides back in via
-    // the O(files) basename map so delete rows reference files EXACTLY as
-    // the manifests do
+    // live view (existing POSITION and EQUALITY deletes applied) with
+    // per-row (file, pos) provenance; the manifest-recorded file_path
+    // string rides back in via the O(files) basename map so delete rows
+    // reference files EXACTLY as the manifests do
     val delFrame = positionDeleteFrame(spark, path, dataFiles, deleteFiles)
     val names = dataFiles.map(_.resolved.getFileName.toString)
     require(names.distinct.size == names.size,
@@ -800,9 +800,12 @@ object IcebergInterop {
       .parquet(dataFiles.map(_.resolved.toString): _*)
       .withColumn("__gdel_file", col("_metadata.file_name"))
       .withColumn("__gdel_pos", col("_metadata.row_index"))
-    val live = delFrame
+    val afterPos = delFrame
       .map(d => base.join(d, Seq("__gdel_file", "__gdel_pos"), "left_anti"))
       .getOrElse(base)
+    val live = applyEqDeletes(spark, afterPos,
+      equalityDeleteSpecs(spark, path, meta, eqDeletes),
+      dataFiles.map(e => (e.resolved.getFileName.toString, e.seq)))
     val uriDf = spark.createDataFrame(
       dataFiles.map(e => (e.resolved.getFileName.toString, e.uri)))
       .toDF("__gdel_file", "__gdel_uri")
@@ -863,10 +866,128 @@ object IcebergInterop {
       m.writeValueAsString(icebergSchema(m, schema,
         Option(meta.get("current-schema-id")).map(_.asInt).getOrElse(0))),
       written.map { case (p, rows, size) => (p.toUri.toString, rows, size) })
+    commitV2DeleteSnapshot(path, root, metaDir, meta, curId, snapNode,
+      prevVersion, snapshotId, newSeq, tsMillis, manifestName,
+      addedFiles = written.size, addedRows = deleted,
+      summaryKey = "deleted-position-deletes", summaryVal = deleted.toString)
+    deleted
+  }
 
-    // the new manifest list carries every existing manifest forward
-    // VERBATIM (paths, specs, sequence numbers — defaulting v1-era ones to
-    // sequence 0 per the upgrade rule) plus the new delete manifest
+  /** Row-level DELETE BY KEY: commit a v2 EQUALITY-DELETE snapshot — the
+    * spec's declarative delete (what a CDC/GDPR writer emits): the key
+    * rows land in an equality-delete parquet whose `equality_ids` name
+    * the matched columns, and every data file committed STRICTLY BEFORE
+    * this snapshot drops its matching rows at read time; rows appended
+    * LATER with the same key survive (the CDC semantics — re-ingesting an
+    * erased entity works). No scan of the table happens at all: the
+    * delete is O(keys) regardless of table size, which is exactly why
+    * the format defines it. Same scope and upgrade rules as
+    * [[deleteFromIceberg]]; keys match null-safely (a null key component
+    * matches null values).
+    *
+    * @param keys one column per equality column (names must be table
+    *   columns); duplicates collapse.
+    * @return the number of distinct keys committed. */
+  def deleteFromIcebergByKey(spark: SparkSession, path: String,
+      keys: DataFrame, tsMillis: Long = System.currentTimeMillis()): Long = {
+    import org.apache.spark.sql.functions.col
+    val root = Paths.get(path).toAbsolutePath
+    val metaDir = root.resolve("metadata")
+    require(Files.isDirectory(metaDir), s"no Iceberg table at $path (missing metadata/)")
+    val meta = currentMetadata(metaDir, path)
+    val fv = meta.get("format-version").asInt
+    require(fv == 1 || fv == 2,
+      s"Iceberg table $path has format-version $fv — only v1/v2 are supported")
+    require(defaultSpecFields(meta).isEmpty,
+      s"deleteFromIcebergByKey supports unpartitioned tables only; the " +
+        s"table at $path has a partition spec")
+    val schema = currentSparkSchema(meta, path)
+    val curId = Option(meta.get("current-snapshot-id")).map(_.asLong)
+      .filter(_ != -1L).getOrElse(throw new IllegalArgumentException(
+        s"Iceberg table $path has no current snapshot — nothing to delete from"))
+    val snapNode = Option(meta.get("snapshots"))
+      .flatMap(_.elements().asScala.find(_.get("snapshot-id").asLong == curId))
+      .getOrElse(throw new IllegalArgumentException(
+        s"Iceberg table $path current snapshot $curId is missing from the log"))
+    val keyCols = keys.columns.toSeq
+    require(keyCols.nonEmpty, "deleteFromIcebergByKey: the key frame has no columns")
+    val nameToId = schemaFieldIdToName(meta, path).map(_.swap)
+    val ids = keyCols.map(c => nameToId.getOrElse(c,
+      throw new IllegalArgumentException(
+        s"deleteFromIcebergByKey: '$c' is not a column of the Iceberg table at $path")))
+    val prevVersion = currentMetadataVersion(metaDir, path)
+
+    // the spec-shaped equality-delete parquet: distinct keys, field-ids
+    // stamped so foreign readers resolve the columns by id
+    val stamped = keys.distinct().select(keyCols.zip(ids).map { case (c, id) =>
+      col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", id.toLong).build())
+    }.toIndexedSeq: _*)
+    val delDir = root.resolve("data").resolve("deletes")
+    val stage = Files.createTempDirectory("graft_ice_eqdel")
+    val written: Seq[(Path, Long, Long)] = try {
+      val key = "spark.sql.parquet.fieldId.write.enabled"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try stamped.sort(keyCols.map(col).toIndexedSeq: _*)
+        .write.mode("overwrite").parquet(stage.toString)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+      val walk = Files.walk(stage)
+      val staged = try walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          .map(p => (p, parquetRowCount(spark, p))).filter(_._2 > 0L).toSeq
+        finally walk.close()
+      if (staged.isEmpty) Seq.empty
+      else {
+        Files.createDirectories(delDir)
+        staged.zipWithIndex.map { case ((p, rows), i) =>
+          val dst = delDir.resolve(
+            s"eqdelete-${java.util.UUID.nameUUIDFromBytes(
+              (path + "|v" + prevVersion + "|" + tsMillis + "|" + i)
+                .getBytes("UTF-8"))}.parquet")
+          Files.move(p, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          (dst, rows, Files.size(dst))
+        }
+      }
+    } finally deleteRecursively(stage)
+    if (written.isEmpty) return 0L
+    val nKeys = written.map(_._2).sum
+
+    val newSeq = Option(meta.get("last-sequence-number")).map(_.asLong)
+      .getOrElse(0L) + 1
+    val snapshotId = math.abs(java.util.UUID.nameUUIDFromBytes(
+      (path + "|eqdelete|" + prevVersion + "|" +
+        written.map(_._1.getFileName).mkString(",")).getBytes("UTF-8"))
+      .getMostSignificantBits)
+    val m = mapper
+    val manifestName = f"graft-e0-$snapshotId%d.avro"
+    writeDeleteManifest(metaDir.resolve(manifestName), snapshotId, newSeq,
+      m.writeValueAsString(icebergSchema(m, schema,
+        Option(meta.get("current-schema-id")).map(_.asInt).getOrElse(0))),
+      written.map { case (p, rows, size) => (p.toUri.toString, rows, size) },
+      content = 2, equalityIds = Some(ids))
+    commitV2DeleteSnapshot(path, root, metaDir, meta, curId, snapNode,
+      prevVersion, snapshotId, newSeq, tsMillis, manifestName,
+      addedFiles = written.size, addedRows = nKeys,
+      summaryKey = "deleted-equality-keys", summaryVal = nKeys.toString)
+    nKeys
+  }
+
+  /** The shared v2 DELETE-snapshot commit: carry every existing manifest
+    * forward VERBATIM into a new manifest list (paths, specs, sequence
+    * numbers — defaulting v1-era ones to sequence 0 per the upgrade
+    * rule), append the freshly written delete manifest at
+    * `metaDir/manifestName`, and publish v(N+1).metadata.json upgraded to
+    * format-version 2 (plural schema/spec forms, sort-orders seeded). */
+  private def commitV2DeleteSnapshot(path: String, root: Path, metaDir: Path,
+      meta: JsonNode, curId: Long, snapNode: JsonNode, prevVersion: Long,
+      snapshotId: Long, newSeq: Long, tsMillis: Long, manifestName: String,
+      addedFiles: Int, addedRows: Long,
+      summaryKey: String, summaryVal: String): Unit = {
+    val m = mapper
     val prevList = resolveUri(root, snapNode.get("manifest-list").asText)
     val carried = readAvro(prevList).map { r =>
       def opt(name: String): Option[AnyRef] =
@@ -912,8 +1033,8 @@ object IcebergInterop {
         metaDir.resolve(manifestName).toUri.toString, manifestLen,
         specId = 0, content = 1, seq = newSeq, minSeq = newSeq,
         addedSnapshotId = snapshotId,
-        addedFiles = written.size, existingFiles = 0, deletedFiles = 0,
-        addedRows = deleted, existingRows = 0L, deletedRows = 0L))
+        addedFiles = addedFiles, existingFiles = 0, deletedFiles = 0,
+        addedRows = addedRows, existingRows = 0L, deletedRows = 0L))
 
     // ---- v(N+1).metadata.json: format-version 2 with the new snapshot
     val rootNode = meta.deepCopy[ObjectNode]()
@@ -962,7 +1083,7 @@ object IcebergInterop {
     s0.put("manifest-list", metaDir.resolve(listName).toUri.toString)
     val summary = s0.putObject("summary")
     summary.put("operation", "delete")
-    summary.put("deleted-position-deletes", deleted.toString)
+    summary.put(summaryKey, summaryVal)
     snapsArr.add(s0)
 
     val newVersion = prevVersion + 1
@@ -971,7 +1092,6 @@ object IcebergInterop {
       java.nio.file.StandardOpenOption.CREATE_NEW)
     Files.write(metaDir.resolve("version-hint.text"),
       Seq(newVersion.toString).asJava)
-    deleted
   }
 
   /** Physically reclaim position-deleted rows (the delete lifecycle's
@@ -1010,7 +1130,11 @@ object IcebergInterop {
       .flatMap(_.elements().asScala.find(_.get("snapshot-id").asLong == curId))
       .getOrElse(throw new IllegalArgumentException(
         s"Iceberg table $path current snapshot $curId is missing from the log"))
-    val (dataFiles, deleteFiles) = liveEntries(root, path, snapNode)
+    val (dataFiles, deleteFiles, eqDeletes) = liveEntries(root, path, snapNode)
+    require(eqDeletes.isEmpty,
+      s"compactIcebergDeletes does not rewrite EQUALITY deletes (the table " +
+        s"at $path carries ${eqDeletes.size}) — every pre-delete file would " +
+        "need rewriting; re-export the live view instead")
     if (deleteFiles.isEmpty || dataFiles.isEmpty) return (0, 0L)
     val delFrame = positionDeleteFrame(spark, path, dataFiles, deleteFiles)
       .getOrElse(return (0, 0L))
@@ -1148,9 +1272,10 @@ object IcebergInterop {
     } finally w.close()
   }
 
-  // v2 manifest entry schema for POSITION-DELETE manifests (unpartitioned
-  // spec → empty r102): content (134) distinguishes delete from data
-  // files; sequence numbers are written explicitly rather than inherited.
+  // v2 manifest entry schema for DELETE manifests (unpartitioned spec →
+  // empty r102): content (134) distinguishes position (1) from equality
+  // (2) delete files, equality_ids (135) names the matched field-ids;
+  // sequence numbers are written explicitly rather than inherited.
   private val DeleteManifestSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int","field-id":0},
@@ -1163,12 +1288,14 @@ object IcebergInterop {
       |  {"name":"file_format","type":"string","field-id":101},
       |  {"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
       |  {"name":"record_count","type":"long","field-id":103},
-      |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
       |]},"field-id":2}
       |]}""".stripMargin)
 
   private def writeDeleteManifest(path: Path, snapshotId: Long, seq: Long,
-      schemaJson: String, files: Seq[(String, Long, Long)]): Unit = {
+      schemaJson: String, files: Seq[(String, Long, Long)],
+      content: Int = 1, equalityIds: Option[Seq[Int]] = None): Unit = {
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](DeleteManifestSchema))
     w.setMeta("format-version", "2")
@@ -1185,13 +1312,15 @@ object IcebergInterop {
       entry.put("file_sequence_number", seq)
       val dfSchema = DeleteManifestSchema.getField("data_file").schema()
       val df = new GenericData.Record(dfSchema)
-      df.put("content", 1) // POSITION DELETES
+      df.put("content", content)
       df.put("file_path", uri)
       df.put("file_format", "PARQUET")
       df.put("partition",
         new GenericData.Record(dfSchema.getField("partition").schema()))
       df.put("record_count", rows)
       df.put("file_size_in_bytes", size)
+      equalityIds.foreach(ids => df.put("equality_ids",
+        java.util.Arrays.asList(ids.map(Int.box): _*)))
       entry.put("data_file", df)
       w.append(entry)
     } finally w.close()
@@ -1571,7 +1700,7 @@ object IcebergInterop {
       case None     => currentSparkSchema(meta, path)
     }
 
-    val (dataFiles, deleteFiles) = liveEntries(root, path, snapNode)
+    val (dataFiles, deleteFiles, eqDeletes) = liveEntries(root, path, snapNode)
 
     // manifest-tuple pruning happens HERE, before any data file is touched
     // (the footer probes and the scan below see only the kept subset);
@@ -1596,7 +1725,9 @@ object IcebergInterop {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else readWithIdentityFill(spark, path, meta, schema,
       kept.map(e => (e.resolved, e.partition)),
-      positionDeleteFrame(spark, path, kept, deleteFiles))
+      positionDeleteFrame(spark, path, kept, deleteFiles),
+      equalityDeleteSpecs(spark, path, meta, eqDeletes),
+      kept.map(e => (e.resolved.getFileName.toString, e.seq)))
   }
 
   /** One live DATA file of a snapshot: its resolved local path, the
@@ -1609,6 +1740,10 @@ object IcebergInterop {
   /** One live POSITION-DELETE file: resolved path + delete sequence. */
   private case class DeleteEntry(resolved: Path, seq: Long)
 
+  /** One live EQUALITY-DELETE file: resolved path, delete sequence, and
+    * the schema field-ids its rows match on (`equality_ids`). */
+  private case class EqDeleteEntry(resolved: Path, seq: Long, ids: Seq[Int])
+
   /** Walk a snapshot's manifest list into its live data and position-delete
     * entries, with v2 sequence-number INHERITANCE (a null entry-level
     * sequence number takes the manifest-list entry's; both default to 0
@@ -1616,8 +1751,8 @@ object IcebergInterop {
     * (content=2) are refused loudly: applying them needs strict
     * sequence-ordered column matching this reader does not implement, and
     * misreading them would resurrect deleted rows. */
-  private def liveEntries(root: Path, path: String,
-      snapNode: JsonNode): (Seq[DataEntry], Seq[DeleteEntry]) = {
+  private def liveEntries(root: Path, path: String, snapNode: JsonNode)
+      : (Seq[DataEntry], Seq[DeleteEntry], Seq[EqDeleteEntry]) = {
     val listUri = snapNode.get("manifest-list")
     require(listUri != null,
       s"Iceberg table $path uses inline v1 'manifests' lists without a " +
@@ -1625,6 +1760,7 @@ object IcebergInterop {
     val listPath = resolveUri(root, listUri.asText)
     val data = Seq.newBuilder[DataEntry]
     val dels = Seq.newBuilder[DeleteEntry]
+    val eqs = Seq.newBuilder[EqDeleteEntry]
     readAvro(listPath).foreach { r =>
       val mp = resolveUri(root, r.get("manifest_path").toString)
       val listSeq = Option(r.getSchema.getField("sequence_number"))
@@ -1637,9 +1773,9 @@ object IcebergInterop {
         // 2=equality deletes
         val content = Option(df.getSchema.getField("content"))
           .map(_ => df.get("content").asInstanceOf[Int]).getOrElse(0)
-        require(content == 0 || content == 1,
-          s"Iceberg table $path carries equality delete files (content=$content) " +
-            "— unsupported by this reader (position delete files are applied)")
+        require(content >= 0 && content <= 2,
+          s"Iceberg table $path carries a manifest entry with unknown " +
+            s"content=$content — unsupported by this reader")
         val fmt = df.get("file_format").toString
         require(fmt.equalsIgnoreCase("PARQUET"),
           s"Iceberg table $path holds $fmt files — only parquet is supported")
@@ -1649,6 +1785,17 @@ object IcebergInterop {
         if (status == 2) () // DELETED entry: not live
         else if (content == 1)
           dels += DeleteEntry(resolveUri(root, df.get("file_path").toString), seq)
+        else if (content == 2) {
+          val ids = Option(df.getSchema.getField("equality_ids"))
+            .flatMap(_ => Option(df.get("equality_ids")))
+            .map(_.asInstanceOf[java.util.List[_]].asScala.toSeq
+              .map(_.asInstanceOf[Int]))
+            .getOrElse(throw new IllegalArgumentException(
+              s"Iceberg table $path holds an equality delete file without " +
+                "equality_ids — unreadable"))
+          eqs += EqDeleteEntry(
+            resolveUri(root, df.get("file_path").toString), seq, ids)
+        }
         else data += DataEntry(resolveUri(root, df.get("file_path").toString),
           df.get("file_path").toString,
           Option(df.getSchema.getField("partition"))
@@ -1658,7 +1805,53 @@ object IcebergInterop {
           df.get("file_size_in_bytes").asInstanceOf[Long])
       }
     }
-    (data.result(), dels.result())
+    (data.result(), dels.result(), eqs.result())
+  }
+
+  /** One equality-delete GROUP ready to apply: the table-schema column
+    * names the deletes match on, and the distributed delete-row frame
+    * (renamed `__geq_<col>` columns plus each row's delete sequence). A
+    * data row dies when some delete row null-safe-equals it on every
+    * column AND was committed STRICTLY AFTER the data file (the spec's
+    * equality-delete rule — rows appended later with the same key
+    * survive, the CDC semantics). */
+  private case class EqDeleteSpec(cols: Seq[String], frame: DataFrame)
+
+  /** Group the snapshot's equality-delete files by their equality_ids and
+    * build one applicable frame per group. Refuses loudly when an
+    * equality column is not PHYSICALLY present in the data files (an
+    * identity-partitioned column reconstructed from tuples cannot anchor
+    * the scan-level anti-join this reader performs). */
+  private def equalityDeleteSpecs(spark: SparkSession, path: String,
+      meta: JsonNode, eqs: Seq[EqDeleteEntry]): Seq[EqDeleteSpec] = {
+    if (eqs.isEmpty) return Seq.empty
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val idToName = schemaFieldIdToName(meta, path)
+    eqs.foreach { e =>
+      require(Files.isRegularFile(e.resolved),
+        s"Iceberg table $path references an equality-delete file that is " +
+          s"missing: ${e.resolved} — cannot read without silently " +
+          "resurrecting deleted rows")
+    }
+    val delNames = eqs.map(_.resolved.getFileName.toString)
+    require(delNames.distinct.size == delNames.size,
+      s"Iceberg table $path has duplicate equality-delete file names — unsupported layout")
+    eqs.groupBy(_.ids).toSeq.sortBy(_._1.mkString(",")).map { case (ids, group) =>
+      val cols = ids.map(id => idToName.getOrElse(id, throw new IllegalArgumentException(
+        s"Iceberg table $path equality delete references unknown field-id $id")))
+      val seqDf = spark.createDataFrame(
+        group.map(e => (e.resolved.getFileName.toString, e.seq)))
+        .toDF("__geq_src", "__geq_seq")
+      val raw = spark.read.parquet(group.map(_.resolved.toString): _*)
+      cols.foreach(c => require(raw.columns.contains(c),
+        s"Iceberg table $path equality-delete file lacks its own column '$c'"))
+      val frame = raw
+        .select((cols.map(c => col(c).as(s"__geq_$c")) :+
+          col("_metadata.file_name").as("__geq_src")).toIndexedSeq: _*)
+        .join(broadcast(seqDf), Seq("__geq_src"))
+        .drop("__geq_src")
+      EqDeleteSpec(cols, frame)
+    }
   }
 
   /** The distributed (data-file basename, position) frame of every
@@ -1849,23 +2042,62 @@ object IcebergInterop {
     * of a file-name -> tuple map (O(files) driver metadata, the same scale
     * class as the manifests themselves), never a per-partition union, so
     * the plan does not grow with partition count. */
+  /** Chain the equality-delete anti-joins onto a scan that carries a
+    * `__gdel_file` basename column: each group's condition is null-safe
+    * equality on every equality column AND a STRICTLY newer delete
+    * sequence than the row's data file (the spec's rule — re-ingested
+    * keys survive). The per-file sequence map is O(files) broadcast; the
+    * null-safe keys keep the anti-join a HASH join, never a nested loop. */
+  private def applyEqDeletes(spark: SparkSession, df0: DataFrame,
+      eqSpecs: Seq[EqDeleteSpec], dataSeqs: Seq[(String, Long)]): DataFrame = {
+    if (eqSpecs.isEmpty) return df0
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val seqDf = spark.createDataFrame(dataSeqs)
+      .toDF("__gdel_file", "__geq_dseq")
+    var df = df0.join(broadcast(seqDf), Seq("__gdel_file"))
+    eqSpecs.foreach { spec =>
+      val cond = spec.cols.map(c => col(c) <=> spec.frame(s"__geq_$c"))
+        .reduce(_ && _) && spec.frame("__geq_seq") > col("__geq_dseq")
+      df = df.join(spec.frame, cond, "left_anti")
+    }
+    df.drop("__geq_dseq")
+  }
+
   private def readWithIdentityFill(spark: SparkSession, path: String,
       meta: JsonNode, schema: StructType,
       dataFiles: Seq[(Path, GenericRecord)],
-      deletes: Option[DataFrame] = None): DataFrame = {
+      deletes: Option[DataFrame] = None,
+      eqSpecs: Seq[EqDeleteSpec] = Seq.empty,
+      dataSeqs: Seq[(String, Long)] = Seq.empty): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val uris = dataFiles.map(_._1.toString)
     // position deletes apply to the RAW scan by (file basename, row index)
     // anti-join — `_metadata.row_index` is the in-file position the spec's
     // delete rows reference, the same mechanism Spark's own Delta/Iceberg
-    // connectors use. Delete-free tables skip this wholesale.
-    def masked(scan: DataFrame): DataFrame = deletes match {
-      case None => scan
-      case Some(d) => scan
+    // connectors use — and equality deletes chain after them on the same
+    // provenance column. Delete-free tables skip this wholesale.
+    def masked(scan: DataFrame): DataFrame = {
+      if (deletes.isEmpty && eqSpecs.isEmpty) return scan
+      val withProv = scan
         .withColumn("__gdel_file", col("_metadata.file_name"))
         .withColumn("__gdel_pos", col("_metadata.row_index"))
-        .join(d, Seq("__gdel_file", "__gdel_pos"), "left_anti")
+      val afterPos = deletes
+        .map(d => withProv.join(d, Seq("__gdel_file", "__gdel_pos"), "left_anti"))
+        .getOrElse(withProv)
+      applyEqDeletes(spark, afterPos, eqSpecs, dataSeqs)
         .drop("__gdel_file", "__gdel_pos")
+    }
+    // equality columns must be PHYSICALLY in the data files: the explicit
+    // schema read fills absent (identity-partitioned) columns with null at
+    // scan level, so an anti-join there would silently match nothing —
+    // refuse instead of resurrecting rows (one footer probe; mixed
+    // layouts are refused further down regardless)
+    if (eqSpecs.nonEmpty) {
+      val probe = parquetTopLevelCols(spark, dataFiles.head._1)
+      eqSpecs.flatMap(_.cols).distinct.foreach(c => require(probe.contains(c),
+        s"Iceberg table $path equality-deletes on column '$c', which is not " +
+          "physically present in the data files — this reader anchors " +
+          "equality deletes at the scan, before the identity fill; unreadable"))
     }
     val plain = masked(spark.read.schema(schema).parquet(uris: _*))
     val specIdentity = targetSpecIdentityFields(meta, path) // (specField, sourceCol)

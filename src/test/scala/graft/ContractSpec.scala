@@ -158,8 +158,14 @@ class ContractSpec extends AnyFunSuite {
     // event_type Column-Projected from tuples; two-dimensional manifest
     // pruning certified against full-read + row-filter, DuckDB two-level
     // hive_partitioning oracle)
-    assert(SparkEntry.queries.size == 206,
-      s"declared query count ${SparkEntry.queries.size} != documented 206 — " +
+    // 207 adds b5_iceberg_eq_delete (the spec's EQUALITY deletes — the
+    // declarative delete-by-key a CDC/GDPR writer emits, content=2 with
+    // equality_ids: deleteFromIcebergByKey commits O(keys) with no table
+    // scan, the reader chains a null-safe hash anti-join with the
+    // strictly-newer-sequence rule after the position mask; composed with
+    // a position delete on one table, DuckDB survivor oracle)
+    assert(SparkEntry.queries.size == 207,
+      s"declared query count ${SparkEntry.queries.size} != documented 207 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }
