@@ -3179,10 +3179,14 @@ object SparkEntry {
     require(IcebergInterop.deleteFromIceberg(s, B5IcebergDeletesPath,
         col("event_id") % 7 === 0, tsMillis = 7000L) == 0L,
       "b5_iceberg_read_deletes: a repeated delete must be a no-op")
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
     val expected = t.read().where(col("event_id") % 7 =!= 0)
       .select(cols.map(col).toIndexedSeq: _*)
-    require(live.exceptAll(expected).count() == 0L &&
-        expected.exceptAll(live).count() == 0L,
+    val liveSig = sig(live)
+    require(liveSig == sig(expected),
       "b5_iceberg_read_deletes: live view diverges from source minus predicate")
     // the lifecycle's compaction half: ONLY delete-carrying files rewrite
     // (survivors under data/compacted/, outside the oracle's flat glob;
@@ -3195,8 +3199,7 @@ object SparkEntry {
         s"expected >=1 / $deleted")
     val postPurge = IcebergInterop.readIceberg(s, B5IcebergDeletesPath)
       .select(cols.map(col).toIndexedSeq: _*)
-    require(postPurge.exceptAll(live).count() == 0L &&
-        live.exceptAll(postPurge).count() == 0L,
+    require(sig(postPurge) == liveSig,
       "b5_iceberg_read_deletes: compaction must be invisible to the live view")
     require(IcebergInterop.compactIcebergDeletes(
         s, B5IcebergDeletesPath, tsMillis = 9000L) == ((0, 0L)),
@@ -3339,13 +3342,12 @@ object SparkEntry {
     require(pruned.inputFiles.length < full.inputFiles.length,
       s"b5_iceberg_composite: two-dim pruning must shrink the file list " +
         s"(${pruned.inputFiles.length} vs ${full.inputFiles.length})")
-    require(pruned.exceptAll(expected).count() == 0L &&
-        expected.exceptAll(pruned).count() == 0L,
-      "b5_iceberg_composite: pruned read diverges from full read + row filter")
     def sig(df: DataFrame) = df
       .agg(count(lit(1)).as("n"),
         bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
       .collect().head
+    require(sig(pruned) == sig(expected),
+      "b5_iceberg_composite: pruned read diverges from full read + row filter")
     require(sig(t.read().select(cols.map(col).toIndexedSeq: _*)) == sig(full),
       "b5_iceberg_composite: export diverges from the source")
     pruned.orderBy("event_id")
@@ -3400,16 +3402,19 @@ object SparkEntry {
     // view is unchanged
     require(IcebergInterop.deleteFromIcebergByKey(s, B5IcebergEqPath,
       Seq("click").toDF("event_type"), tsMillis = 8000L) == 1L)
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val liveSig = sig(live)
     val live2 = IcebergInterop.readIceberg(s, B5IcebergEqPath)
       .select(cols.map(col).toIndexedSeq: _*)
-    require(live2.exceptAll(live).count() == 0L &&
-        live.exceptAll(live2).count() == 0L,
+    require(sig(live2) == liveSig,
       "b5_iceberg_eq_delete: a repeated key delete must not change the live view")
     val expected = t.read()
       .where(col("event_type") =!= "click" && col("event_id") % 13 =!= 0)
       .select(cols.map(col).toIndexedSeq: _*)
-    require(live.exceptAll(expected).count() == 0L &&
-        expected.exceptAll(live).count() == 0L,
+    require(liveSig == sig(expected),
       "b5_iceberg_eq_delete: live view diverges from source minus predicates")
     live.orderBy("event_id")
   }
@@ -3465,11 +3470,15 @@ object SparkEntry {
     require(DeltaInterop.deleteFromDelta(s, B5DeltaDvPath,
         col("event_id") % 9 === 0, tsMillis = 8000L) == 0L,
       "b5_delta_read_dv: a repeated delete must be a no-op")
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
     val expected = t.read()
       .where(col("event_id") % 9 =!= 0 && col("event_id") % 11 =!= 0)
       .select(cols.map(col).toIndexedSeq: _*)
-    require(live.exceptAll(expected).count() == 0L &&
-        expected.exceptAll(live).count() == 0L,
+    val liveSig = sig(live)
+    require(liveSig == sig(expected),
       "b5_delta_read_dv: live view diverges from source minus predicates")
     // the lifecycle's purge half (REORG … APPLY (PURGE)): only DV'd files
     // rewrite (survivors under compacted/, outside the oracle's flat
@@ -3480,8 +3489,7 @@ object SparkEntry {
         s"expected >=1 / ${deleted + pred2Count}")
     val postPurge = DeltaInterop.readDelta(s, B5DeltaDvPath)
       .select(cols.map(col).toIndexedSeq: _*)
-    require(postPurge.exceptAll(live).count() == 0L &&
-        live.exceptAll(postPurge).count() == 0L,
+    require(sig(postPurge) == liveSig,
       "b5_delta_read_dv: the purge must be invisible to the live view")
     require(DeltaInterop.purgeDeltaDvs(s, B5DeltaDvPath, 10000L) == ((0, 0L)),
       "b5_delta_read_dv: a second purge must be a no-op")

@@ -333,7 +333,13 @@ object IcebergInterop {
       sourceId = idx + 1, fieldId = 1000, transform))
     val stage = Files.createTempDirectory("graft_ice_rewrite")
     try {
+      // cluster rows by the transform value before the partitioned write:
+      // without it every task writes a sliver into EVERY value directory
+      // (tasks × values tiny files — the classic small-files trap, which
+      // also multiplies the reader's O(files) footer probes); with it each
+      // value lands in one task → one well-sized file per value
       t.read().withColumn(fieldName, partValue)
+        .repartition(org.apache.spark.sql.functions.col(fieldName))
         .write.mode("overwrite").partitionBy(fieldName).parquet(stage.toString)
       val walk = Files.walk(stage)
       val rels = try walk.iterator().asScala
@@ -390,8 +396,14 @@ object IcebergInterop {
       try Files.createLink(dst, src)
       catch { case _: Exception =>
         Files.copy(src, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
-      ManifestFile(rel, Files.size(dst), parquetRowCount(spark, dst),
-        tupleOf(rel))
+      dst
+    }
+    // manifest record counts from ONE distributed footer pass, not a
+    // sequential driver loop (the same O(files) fix as the reader's
+    // layout probe — at 100k files the difference is the whole export)
+    val rowsOf = parquetRowCountBulk(spark, files)
+    val manifestFiles = relFiles.zip(files).map { case (rel, dst) =>
+      ManifestFile(rel, Files.size(dst), rowsOf(dst.toString), tupleOf(rel))
     }
 
     // snapshot id: content-determined so identical exports are identical
@@ -404,7 +416,7 @@ object IcebergInterop {
     val manifestName = f"graft-m0-$snapshotId%d.avro"
     val manifestPath = metaDir.resolve(manifestName)
     writeManifest(manifestPath, snapshotId, icebergSchemaJson, partFields,
-      files.map { f =>
+      manifestFiles.map { f =>
         // file_path is a full URI per spec; the FINAL location, not staging
         f.copy(path = finalDir.resolve("data").resolve(f.path).toUri.toString)
       })
@@ -2110,7 +2122,10 @@ object IcebergInterop {
     // source columns fails loudly instead of silently overwriting carried
     // columns or nulling absent ones. (Other columns may legitimately vary
     // across footers — ordinary schema evolution, Spark fills null per file.)
-    val footerColSets = dataFiles.map(f => f._1 -> parquetTopLevelCols(spark, f._1))
+    val footerColSets: Seq[(Path, Set[String])] = {
+      val bulk = parquetTopLevelColsBulk(spark, dataFiles.map(_._1))
+      dataFiles.map(f => f._1 -> bulk(f._1.toString))
+    }
     val footerCols = footerColSets.head._2
     // a NON-identity transform (day/bucket/truncate/...) is pruning
     // metadata only — its source column cannot be reconstructed from the
@@ -2200,6 +2215,62 @@ object IcebergInterop {
       case other => throw new IllegalArgumentException(
         s"Iceberg table $path identity-partitions a $other column — " +
           "unsupported by this reader's partition fill")
+    }
+
+  /** Top-level footer columns for MANY files: distributed above a small
+    * threshold — sequential driver-side footer I/O is the hidden O(files)
+    * cost of the layout check at scale (100k files = 100k blocking opens
+    * on the driver; one 32-way metadata job reads them in parallel, the
+    * same planning shape Iceberg's own distributed scans use). Local-only
+    * `new Configuration()` on executors is sound because [[resolveUri]]
+    * already refuses remote storage for this reader. */
+  private def parquetTopLevelColsBulk(spark: SparkSession,
+      paths: Seq[Path]): Map[String, Set[String]] =
+    if (paths.size <= 16)
+      paths.map(p => p.toString -> parquetTopLevelCols(spark, p)).toMap
+    else {
+      val sp = spark
+      import sp.implicits._
+      spark.createDataset(paths.map(_.toString))
+        .repartition(math.min(paths.size, 64))
+        .mapPartitions { it =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          it.map { u =>
+            val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(
+                  java.nio.file.Paths.get(u).toUri), conf))
+            try (u, in.getFooter.getFileMetaData.getSchema.getFields
+              .asScala.map(_.getName).toSeq)
+            finally in.close()
+          }
+        }
+        .collect().map { case (u, cols) => u -> cols.toSet }.toMap
+    }
+
+  /** Footer row counts for MANY files — the same distributed-above-a-
+    * threshold shape as [[parquetTopLevelColsBulk]]. */
+  private def parquetRowCountBulk(spark: SparkSession,
+      paths: Seq[Path]): Map[String, Long] =
+    if (paths.size <= 16)
+      paths.map(p => p.toString -> parquetRowCount(spark, p)).toMap
+    else {
+      val sp = spark
+      import sp.implicits._
+      spark.createDataset(paths.map(_.toString))
+        .repartition(math.min(paths.size, 64))
+        .mapPartitions { it =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          it.map { u =>
+            val in = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(
+                  java.nio.file.Paths.get(u).toUri), conf))
+            try (u, in.getRecordCount)
+            finally in.close()
+          }
+        }
+        .collect().toMap
     }
 
   /** Top-level column names of one parquet file's footer schema. */

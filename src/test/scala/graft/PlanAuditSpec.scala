@@ -42,6 +42,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(keyedOnShingle, s"__s not an equi-join key in any join:\n$planStr")
   }
 
+  test("b5_iceberg_eq_delete: both delete masks stay hash ANTI-joins") {
+    // the equality-delete condition mixes null-safe key equality with a
+    // strictly-newer-sequence comparison — EqualNullSafe must survive as
+    // the hash key (the seq comparison riding as the join's extra
+    // condition); a BNLJ here means the mask degenerated into an
+    // all-pairs pass over the corpus per delete row
+    val plan = SparkEntry.queries("b5_iceberg_eq_delete")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"non-equi delete mask:\n$plan")
+    assert(plan.contains("LeftAnti"), s"no anti-join in the masked plan:\n$plan")
+  }
+
   test("p1_prepare_corpus: pipeline composition keeps every join hash-keyed") {
     // four stages compose here; the scale contract is two corpus shuffles
     // (content-hash agg + the contamination id-agg) and zero non-equi
