@@ -1990,27 +1990,24 @@ object IcebergInterop {
       return (cur, spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
 
-    // file set of one snapshot (uri -> partition tuple), via its manifests
-    def liveFiles(snapId: Long): Map[String, GenericRecord] = {
+    // file + delete sets of one snapshot via its manifests. Deletes that
+    // PREDATE the consumed range are fine: every delete applies only to
+    // data files with an older (position: <=; equality: <) sequence
+    // number, so files appended after the watermark — the delta this
+    // reader returns — are untouched by them. A delete LANDING INSIDE the
+    // range (the delete sets differ between the watermark and the head)
+    // removes rows an append-only reconstruction cannot represent, so
+    // that still refuses loudly below.
+    def liveState(snapId: Long)
+        : (Map[String, GenericRecord], Set[(String, Long)]) = {
       val sn = byId.getOrElse(snapId, throw new IllegalArgumentException(
         s"snapshot $snapId does not exist in the Iceberg table at $path"))
-      val listPath = resolveUri(root, sn.get("manifest-list").asText)
-      readAvro(listPath).flatMap { r =>
-        readAvro(resolveUri(root, r.get("manifest_path").toString)).flatMap { entry =>
-          val df = entry.get("data_file").asInstanceOf[GenericRecord]
-          val content = Option(df.getSchema.getField("content"))
-            .map(_ => df.get("content").asInstanceOf[Int]).getOrElse(0)
-          require(content == 0,
-            s"Iceberg table $path carries delete files — APPEND-ONLY " +
-              "incremental consumption cannot represent row-level deletes; " +
-              "re-sync from the full snapshot (readIceberg applies them)")
-          if (entry.get("status").asInstanceOf[Int] == 2) None
-          else Some((resolveUri(root, df.get("file_path").toString).toString,
-            Option(df.getSchema.getField("partition"))
-              .map(_ => df.get("partition").asInstanceOf[GenericRecord]).orNull))
-        }
-      }.toMap
+      val (data, posDels, eqDels) = liveEntries(root, path, sn)
+      val delSet = (posDels.map(d => (d.resolved.toString, d.seq)) ++
+        eqDels.map(d => (d.resolved.toString, d.seq))).toSet
+      (data.map(e => e.resolved.toString -> e.partition).toMap, delSet)
     }
+    def liveFiles(snapId: Long): Map[String, GenericRecord] = liveState(snapId)._1
 
     // walk the parent chain from the head down to the watermark
     val chain = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -2024,6 +2021,14 @@ object IcebergInterop {
       s"watermark snapshot $sinceSnapshotId is not an ancestor of the current " +
         s"snapshot $cur in the Iceberg table at $path (expired or ahead?) — " +
         "re-sync from the full snapshot")
+    // a delete committed INSIDE the range (including a compaction that
+    // cleared one) changes already-delivered rows — refuse; identical
+    // delete sets at both ends mean every delete predates the watermark
+    // and cannot touch the appended files
+    require(liveState(sinceSnapshotId)._2 == liveState(cur)._2,
+      s"Iceberg table $path changed its delete files inside the consumed " +
+        "range — an append-only delta cannot represent row-level deletes; " +
+        "re-sync from the full snapshot (readIceberg applies them)")
 
     // per-edge diff, oldest edge first; refuse any removal along the chain
     val newFiles = scala.collection.mutable.LinkedHashMap.empty[String, GenericRecord]

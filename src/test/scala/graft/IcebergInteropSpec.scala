@@ -651,6 +651,129 @@ class IcebergInteropSpec extends SparkSpec {
       .getMessage.contains("not a column"))
   }
 
+  test("incremental consumption WORKS over deletes that predate the watermark") {
+    // a foreign v2 writer appends a data snapshot AFTER a delete: the
+    // delete set is identical at both ends of the consumed range, so the
+    // delta is exactly the appended rows (deletes apply only to OLDER
+    // files) — the coarse refuse-on-any-delete stance would force a full
+    // re-sync after every one-time GDPR delete, forever
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+    val t = TxTable(spark, tmp("ice_incrdel_src"))
+    t.append((0L until 10L).map(i => (i, i * 2.0)).toDF("id", "v").coalesce(1),
+      tsMillis = 1000L)
+    val out = tmp("ice_incrdel_exp")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+    assert(IcebergInterop.deleteFromIceberg(spark, out, col("id") < 3, 6000L) == 3L)
+    val metaDir = Paths.get(out, "metadata")
+    val v2Txt = new String(Files.readAllBytes(metaDir.resolve("v2.metadata.json")))
+    val deleteSnap = """"current-snapshot-id" : (\d+)""".r
+      .findFirstMatchIn(v2Txt).get.group(1).toLong
+
+    // ---- emulate the foreign append (snapshot 777, sequence 2)
+    val dataDir = Paths.get(out, "data")
+    val staged = Files.createTempDirectory("ice_incrdel_new")
+    Seq((100L, 1.5), (101L, 2.5)).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(staged.toString)
+    val newPart = Files.list(staged).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    val newData = dataDir.resolve("foreign-append.parquet")
+    Files.move(newPart, newData)
+    // new manifest reusing the existing data manifest's writer schema
+    val oldManifest = Files.list(metaDir).iterator().asScala
+      .find(_.getFileName.toString.startsWith("graft-m0-")).get
+    val rdr = new DataFileReader[GenericRecord](oldManifest.toFile,
+      new GenericDatumReader[GenericRecord]())
+    val mSchema = rdr.getSchema
+    rdr.close()
+    val newManifest = metaDir.resolve("foreign-append.avro")
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](mSchema))
+    w.setMeta("format-version", "1")
+    w.create(mSchema, newManifest.toFile)
+    val entry = new GenericData.Record(mSchema)
+    entry.put("status", 1)
+    entry.put("snapshot_id", 777L)
+    val dfSchema = mSchema.getField("data_file").schema()
+    val dfr = new GenericData.Record(dfSchema)
+    dfr.put("file_path", newData.toUri.toString)
+    dfr.put("file_format", "PARQUET")
+    Option(dfSchema.getField("partition")).foreach(f =>
+      dfr.put("partition", new GenericData.Record(f.schema())))
+    dfr.put("record_count", 2L)
+    dfr.put("file_size_in_bytes", Files.size(newData))
+    Option(dfSchema.getField("block_size_in_bytes")).foreach(_ =>
+      dfr.put("block_size_in_bytes", 134217728L))
+    entry.put("data_file", dfr)
+    w.append(entry); w.close()
+    // new manifest list = the delete snapshot's entries (copied with their
+    // own writer schema) + the new manifest at sequence 2
+    val curListUri = """"manifest-list" : "([^"]+)"""".r
+      .findAllMatchIn(v2Txt).toSeq.last.group(1)
+    val curList = Paths.get(java.net.URI.create(curListUri))
+    val lr = new DataFileReader[GenericRecord](curList.toFile,
+      new GenericDatumReader[GenericRecord]())
+    val listSchema = lr.getSchema
+    val carried = lr.iterator().asScala.toSeq
+    lr.close()
+    val newList = metaDir.resolve("snap-777.avro")
+    val lw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](listSchema))
+    lw.create(listSchema, newList.toFile)
+    carried.foreach(lw.append)
+    val le = new GenericData.Record(listSchema)
+    le.put("manifest_path", newManifest.toUri.toString)
+    le.put("manifest_length", Files.size(newManifest))
+    le.put("partition_spec_id", 0)
+    Option(listSchema.getField("content")).foreach(_ => le.put("content", 0))
+    Option(listSchema.getField("sequence_number")).foreach(_ =>
+      le.put("sequence_number", 2L))
+    Option(listSchema.getField("min_sequence_number")).foreach(_ =>
+      le.put("min_sequence_number", 2L))
+    le.put("added_snapshot_id", 777L)
+    Seq("added_files_count" -> 1, "existing_files_count" -> 0,
+      "deleted_files_count" -> 0).foreach { case (f, v) =>
+      Option(listSchema.getField(f)).foreach(_ => le.put(f, v)) }
+    Seq("added_rows_count" -> 2L, "existing_rows_count" -> 0L,
+      "deleted_rows_count" -> 0L).foreach { case (f, v) =>
+      Option(listSchema.getField(f)).foreach(_ => le.put(f, v)) }
+    lw.append(le); lw.close()
+    // new metadata version: snapshot 777 on top of the delete snapshot
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rootNode = om.readTree(v2Txt)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    rootNode.put("last-sequence-number", 2L)
+    rootNode.put("current-snapshot-id", 777L)
+    val sn = om.createObjectNode()
+    sn.put("snapshot-id", 777L)
+    sn.put("parent-snapshot-id", deleteSnap)
+    sn.put("sequence-number", 2L)
+    sn.put("schema-id", 0)
+    sn.put("timestamp-ms", 7000L)
+    sn.put("manifest-list", newList.toUri.toString)
+    sn.putObject("summary").put("operation", "append")
+    rootNode.get("snapshots")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode].add(sn)
+    Files.write(metaDir.resolve("v3.metadata.json"),
+      java.util.List.of(om.writerWithDefaultPrettyPrinter().writeValueAsString(rootNode)))
+    Files.write(metaDir.resolve("version-hint.text"), java.util.List.of("3"))
+
+    // the consumer at the delete snapshot reads EXACTLY the appended rows
+    val (head, delta) = IcebergInterop.readIcebergChanges(spark, out, deleteSnap)
+    assert(head == 777L)
+    assert(delta.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(100L, 101L))
+    // and the full read still applies the pre-watermark delete
+    assert(IcebergInterop.readIceberg(spark, out).count() == 9L)
+    // a delete INSIDE the range still refuses: consume from s0 (before
+    // the delete landed)
+    val v1Txt = new String(Files.readAllBytes(metaDir.resolve("v1.metadata.json")))
+    val snap0 = """"snapshot-id" : (\d+)""".r.findFirstMatchIn(v1Txt).get.group(1).toLong
+    val e = intercept[IllegalArgumentException](
+      IcebergInterop.readIcebergChanges(spark, out, snap0))
+    assert(e.getMessage.contains("delete files inside the consumed range"), e.getMessage)
+  }
+
   test("compactIcebergDeletes rewrites ONLY the touched files and drops the delete set") {
     val t = TxTable(spark, tmp("ice_cmp_src"))
     t.append((0L until 20L).map(i => (i, i * 2.0)).toDF("id", "v").coalesce(1),
