@@ -3496,6 +3496,230 @@ object SparkEntry {
     live.orderBy("event_id")
   }
 
+  /** Fixed export target for [[b5DeltaRename]] — oracle SQL globs the
+    * table root's parquet files and aliases the PHYSICAL column name to
+    * the renamed logical one (a rename moves zero data bytes, so the
+    * bytes still carry the original name). */
+  private val B5DeltaRenamePath = "/root/repo/target/graft_export/b5_delta_rename"
+
+  /** B5 — DELTA COLUMN MAPPING, both directions (round-10 extension past
+    * the verdict list: after deletion vectors, the next foreign-table
+    * refusal a consumer of Databricks-written tables hits is a renamed
+    * column): [[graft.sources.DeltaInterop.renameDeltaColumn]] renames
+    * `value` twice as METADATA-ONLY commits — the first upgrades the
+    * (3,7)-DV table by adding `columnMapping` to both feature sets and
+    * assigning every field its stable id + physical name, the second
+    * rides the existing mapping — and
+    * [[graft.sources.DeltaInterop.readDelta]] resolves logical names
+    * through the schema's `delta.columnMapping.physicalName` metadata
+    * over the UNTOUCHED parquet bytes. In-query certificates: (1) both
+    * renames move zero data files; (2) the live view is bit-identical to
+    * the pre-rename view up to the column name; (3) `versionAsOf` below
+    * the rename still reads the OLD name (the mapping is versioned
+    * metadata); (4) deletion vectors keep masking through the mapping;
+    * (5) a checkpoint written PAST the rename restates the configuration
+    * and the mapping survives a checkpoint-based replay. The DuckDB
+    * oracle reads the physical bytes and recomputes the logical view
+    * (physical name aliased + DV predicate post-filtered).
+    */
+  private def b5DeltaRename(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaInterop, TxTable}
+    val renamedCols = Seq("event_id", "user_id", "event_type", "score", "ts")
+    val t = TxTable(s, txTpl(s, dir, "b5_z"))
+    DeltaInterop.exportDelta(t, B5DeltaRenamePath, tsMillis = 5000L)
+    val predCount = t.read().where(col("event_id") % 5 === 0).count()
+    require(DeltaInterop.deleteFromDelta(s, B5DeltaRenamePath,
+        col("event_id") % 5 === 0, tsMillis = 6000L) == predCount,
+      "b5_delta_rename: the DV delete must cover the predicate exactly")
+    def sig(df: DataFrame, c: Seq[String]) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(c.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val baseline = sig(DeltaInterop.readDelta(s, B5DeltaRenamePath),
+      Seq("event_id", "user_id", "event_type", "value", "ts"))
+    def fileSet = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(B5DeltaRenamePath))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSet
+      } finally st.close()
+    }
+    val filesBefore = fileSet
+    DeltaInterop.renameDeltaColumn(s, B5DeltaRenamePath, "value", "points", 7000L)
+    DeltaInterop.renameDeltaColumn(s, B5DeltaRenamePath, "points", "score", 8000L)
+    require(fileSet == filesBefore,
+      "b5_delta_rename: a rename must move ZERO data files")
+    val live = DeltaInterop.readDelta(s, B5DeltaRenamePath)
+      .select(renamedCols.map(col).toIndexedSeq: _*)
+    require(sig(live, renamedCols) == baseline,
+      "b5_delta_rename: the renamed live view must be bit-identical to the " +
+        "pre-rename view up to the column name")
+    // the mapping is versioned metadata: below the rename the OLD name reads
+    val v1Cols = DeltaInterop.readDelta(s, B5DeltaRenamePath,
+      versionAsOf = Some(1L)).columns.toSeq
+    require(v1Cols.contains("value") && !v1Cols.contains("score"),
+      s"b5_delta_rename: versionAsOf 1 must read the old column name ($v1Cols)")
+    // the mapping survives a checkpoint (configuration restated, not dropped)
+    DeltaInterop.writeDeltaCheckpoint(s, B5DeltaRenamePath, 3L, tsMillis = 9000L)
+    require(sig(DeltaInterop.readDelta(s, B5DeltaRenamePath)
+        .select(renamedCols.map(col).toIndexedSeq: _*), renamedCols) == baseline,
+      "b5_delta_rename: the mapping must survive a checkpoint-based replay")
+    live.orderBy("event_id")
+  }
+
+  /** Fixed export target for [[b5IcebergExpire]] — after the expire the
+    * ONLY data bytes on disk are the compacted survivors, so the oracle
+    * globs `data/compacted/` with NO post-filter: physical disk state ≡
+    * logical table is the certificate. */
+  private val B5IcebergExpirePath = "/root/repo/target/graft_export/b5_iceberg_expire"
+
+  /** B5 — ICEBERG SNAPSHOT EXPIRATION (round-10 extension: the retention
+    * half that completes the delete lifecycle — delete → compact leaves
+    * the replaced data files and the position-delete parquets on disk for
+    * time travel; `expireSnapshots` is how those bytes are ever
+    * reclaimed): [[graft.sources.IcebergInterop.expireIcebergSnapshots]]
+    * keeps the newest snapshot, drops the export/delete snapshots from
+    * the metadata, and physically deletes every file only they reference.
+    * In-query certificates: (1) the DV-style delete and the compaction
+    * cover the predicate exactly and rewrite EVERY data file (so disk ≡
+    * live is checkable); (2) the live view is bit-identical across the
+    * expire; (3) time travel to the expired export snapshot now fails
+    * loudly; (4) a second expire is a no-op (idempotent, no commit);
+    * (5) zero data parquets remain outside `compacted/` — the deleted
+    * rows' bytes are GONE (the GDPR end state). The DuckDB oracle reads
+    * the remaining bytes with NO row filter: after expiry, physical state
+    * IS the survivor set.
+    */
+  private def b5IcebergExpire(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergInterop, TxTable}
+    import java.nio.file.{Files, Paths}
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
+    val t = TxTable(s, HarnessFixtures.cloneTxDir(txTpl(s, dir, "b5_z")))
+    IcebergInterop.exportIceberg(t, B5IcebergExpirePath, tsMillis = 5000L)
+    def flatDataFiles = {
+      val st = Files.list(Paths.get(B5IcebergExpirePath, "data"))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.count(p =>
+          Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      } finally st.close()
+    }
+    val nData = flatDataFiles
+    val predCount = t.read().where(col("event_id") % 2 === 0).count()
+    require(IcebergInterop.deleteFromIceberg(s, B5IcebergExpirePath,
+        col("event_id") % 2 === 0, tsMillis = 6000L) == predCount,
+      "b5_iceberg_expire: the position delete must cover the predicate exactly")
+    val (nf, dead) = IcebergInterop.compactIcebergDeletes(s, B5IcebergExpirePath, 7000L)
+    require(nf == nData && dead == predCount,
+      s"b5_iceberg_expire: compaction must rewrite every data file " +
+        s"($nf of $nData, $dead of $predCount dead rows) for disk ≡ live to hold")
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val liveSig = sig(IcebergInterop.readIceberg(s, B5IcebergExpirePath)
+      .select(cols.map(col).toIndexedSeq: _*))
+    val v1Txt = new String(Files.readAllBytes(Paths.get(
+      B5IcebergExpirePath, "metadata", "v1.metadata.json")), "UTF-8")
+    val snap1 = """"snapshot-id" : (\d+)""".r.findFirstMatchIn(v1Txt).get.group(1).toLong
+    val (expired, removed, bytes) =
+      IcebergInterop.expireIcebergSnapshots(s, B5IcebergExpirePath,
+        keepLast = 1, tsMillis = 8000L)
+    require(expired == 2 && removed > 0 && bytes > 0L,
+      s"b5_iceberg_expire: expected 2 expired snapshots reclaiming files " +
+        s"(got $expired snapshots, $removed files, $bytes bytes)")
+    val live = IcebergInterop.readIceberg(s, B5IcebergExpirePath)
+      .select(cols.map(col).toIndexedSeq: _*)
+    require(sig(live) == liveSig,
+      "b5_iceberg_expire: expiry must be invisible to the live view")
+    val travel = scala.util.Try(
+      IcebergInterop.readIceberg(s, B5IcebergExpirePath,
+        snapshotAsOf = Some(snap1)).count())
+    require(travel.isFailure &&
+        travel.failed.get.getMessage.contains("does not exist"),
+      "b5_iceberg_expire: time travel to an expired snapshot must fail loudly")
+    require(IcebergInterop.expireIcebergSnapshots(s, B5IcebergExpirePath,
+        keepLast = 1, tsMillis = 9000L) == ((0, 0, 0L)),
+      "b5_iceberg_expire: a second expire must be a no-op")
+    require(flatDataFiles == 0,
+      "b5_iceberg_expire: every pre-compaction data parquet must be gone from disk")
+    live.orderBy("event_id")
+  }
+
+  /** Fixed export target for [[b5DeltaVacuum]] — same disk ≡ live oracle
+    * shape as the Iceberg twin: after purge + vacuum the only data bytes
+    * left are the survivors under `compacted/`. */
+  private val B5DeltaVacuumPath = "/root/repo/target/graft_export/b5_delta_vacuum"
+
+  /** B5 — DELTA VACUUM + LOG CLEANUP (round-10 extension, the Delta twin
+    * of [[b5IcebergExpire]]): after a DV delete and a purge, the
+    * superseded data files and their `.bin` deletion vectors still sit on
+    * disk for time travel; [[graft.sources.DeltaInterop.vacuumDelta]]
+    * physically removes everything the HEAD no longer references, and
+    * [[graft.sources.DeltaInterop.writeDeltaCheckpoint]] +
+    * [[graft.sources.DeltaInterop.cleanDeltaLog]] retire the now-
+    * unreadable history LOUDLY (time travel below the horizon fails as a
+    * missing version, not a missing file mid-scan). Certificates: purge
+    * rewrites EVERY file (disk ≡ live checkable), live view bit-identical
+    * across checkpoint/clean/vacuum, vacuum reclaims > 0 files and is
+    * idempotent, version-0 time travel refuses after cleanup, zero
+    * parquets remain at the table root. DuckDB oracle: the remaining
+    * bytes with NO row filter.
+    */
+  private def b5DeltaVacuum(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaInterop, TxTable}
+    import java.nio.file.{Files, Paths}
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
+    val t = TxTable(s, HarnessFixtures.cloneTxDir(txTpl(s, dir, "b5_z")))
+    DeltaInterop.exportDelta(t, B5DeltaVacuumPath, tsMillis = 5000L)
+    def rootParquets = {
+      val st = Files.list(Paths.get(B5DeltaVacuumPath))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.count(p =>
+          Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      } finally st.close()
+    }
+    val nData = rootParquets
+    val predCount = t.read().where(col("event_id") % 2 === 0).count()
+    require(DeltaInterop.deleteFromDelta(s, B5DeltaVacuumPath,
+        col("event_id") % 2 === 0, tsMillis = 6000L) == predCount,
+      "b5_delta_vacuum: the DV delete must cover the predicate exactly")
+    val (nf, dead) = DeltaInterop.purgeDeltaDvs(s, B5DeltaVacuumPath, 7000L)
+    require(nf == nData && dead == predCount,
+      s"b5_delta_vacuum: the purge must rewrite every data file " +
+        s"($nf of $nData, $dead of $predCount dead rows) for disk ≡ live to hold")
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val liveSig = sig(DeltaInterop.readDelta(s, B5DeltaVacuumPath)
+      .select(cols.map(col).toIndexedSeq: _*))
+    DeltaInterop.writeDeltaCheckpoint(s, B5DeltaVacuumPath, 2L, tsMillis = 8000L)
+    require(DeltaInterop.cleanDeltaLog(B5DeltaVacuumPath) == 3,
+      "b5_delta_vacuum: the checkpoint at v2 must retire JSON commits 0..2")
+    val (vFiles, vBytes) = DeltaInterop.vacuumDelta(s, B5DeltaVacuumPath)
+    require(vFiles > 0 && vBytes > 0L,
+      s"b5_delta_vacuum: vacuum must reclaim the purged originals and the " +
+        s".bin vectors (got $vFiles files, $vBytes bytes)")
+    val live = DeltaInterop.readDelta(s, B5DeltaVacuumPath)
+      .select(cols.map(col).toIndexedSeq: _*)
+    require(sig(live) == liveSig,
+      "b5_delta_vacuum: vacuum must be invisible to the live view")
+    require(DeltaInterop.vacuumDelta(s, B5DeltaVacuumPath) == ((0, 0L)),
+      "b5_delta_vacuum: a second vacuum must be a no-op")
+    val travel = scala.util.Try(
+      DeltaInterop.readDelta(s, B5DeltaVacuumPath, versionAsOf = Some(0L)).count())
+    require(travel.isFailure &&
+        travel.failed.get.getMessage.contains("does not exist"),
+      "b5_delta_vacuum: time travel below the cleaned horizon must fail " +
+        "as a missing VERSION, not a missing file mid-scan")
+    require(rootParquets == 0,
+      "b5_delta_vacuum: every pre-purge data parquet must be gone from disk")
+    live.orderBy("event_id")
+  }
+
   /** Fixed parquet target for [[h12TokenBudgetBpe]]'s per-doc counts — the
     * oracle SQL reads it (cross-engine: DuckDB recomputes the budget
     * arithmetic from the published counts). */
@@ -5335,6 +5559,9 @@ object SparkEntry {
     "b5_iceberg_pruned_read" -> (b5IcebergPrunedRead _),
     "b5_iceberg_read_deletes" -> (b5IcebergReadDeletes _),
     "b5_delta_read_dv"   -> (b5DeltaReadDv _),
+    "b5_delta_rename"    -> (b5DeltaRename _),
+    "b5_delta_vacuum"    -> (b5DeltaVacuum _),
+    "b5_iceberg_expire"  -> (b5IcebergExpire _),
     "b5_iceberg_bucket_str" -> (b5IcebergBucketStr _),
     "b5_tx_cluster_days" -> (b5TxClusterDays _),
     "b5_iceberg_composite" -> (b5IcebergComposite _),
@@ -5969,6 +6196,25 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value, ts
         |FROM parquet_scan('/root/repo/target/graft_export/b5_delta_dv/*.parquet')
         |WHERE event_id % 9 <> 0 AND event_id % 11 <> 0
+        |ORDER BY event_id""".stripMargin,
+    // a rename is metadata-only: the physical bytes still carry the old
+    // column name (aliased here) and the DV delete stays logical (the
+    // post-filter recomputes its survivor set)
+    "b5_delta_rename" ->
+      """SELECT event_id, user_id, event_type, value AS score, ts
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_delta_rename/*.parquet')
+        |WHERE event_id % 5 <> 0
+        |ORDER BY event_id""".stripMargin,
+    // expire/vacuum are PHYSICAL: after the maintenance chain the only
+    // data bytes on disk are the survivors, so both oracles scan with NO
+    // row filter — disk state ≡ logical table is the certificate
+    "b5_iceberg_expire" ->
+      """SELECT event_id, user_id, event_type, value, ts
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_expire/data/compacted/*.parquet')
+        |ORDER BY event_id""".stripMargin,
+    "b5_delta_vacuum" ->
+      """SELECT event_id, user_id, event_type, value, ts
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_delta_vacuum/compacted/*.parquet')
         |ORDER BY event_id""".stripMargin,
     // the Delta twin: DuckDB reconstructs `day` from the Hive directory
     // names and recomputes the same cut over ALL files — an over-eager

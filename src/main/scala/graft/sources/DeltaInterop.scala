@@ -212,6 +212,13 @@ object DeltaInterop {
       s"the Delta table at $target carries deletion vectors — an " +
         "incremental file-set mirror cannot represent them; " +
         "re-export from scratch")
+    // same stance for column mapping: the mirror hard-links files whose
+    // parquet columns carry the SOURCE's logical names, but a mapped
+    // reader resolves through physical names — the mirrored rows would
+    // silently read as all-null
+    require(!meta.mapped,
+      s"the Delta table at $target is column-mapped — the file-set mirror " +
+        "cannot write its physical layout; re-export from scratch")
     val (schemaJson, partCols) = (meta.schemaJson, meta.partCols)
     require(partCols == snap.partCols,
       s"partition layout changed (${partCols.mkString(",")} -> " +
@@ -388,9 +395,12 @@ object DeltaInterop {
       null, null, null)
     // the checkpoint restates the log's OWN id (round-7 review #4): a
     // checkpoint with a different id than the JSON commits reads as two
-    // different tables depending on the replay path
+    // different tables depending on the replay path — and the log's OWN
+    // configuration (a column-mapped table checkpointed with an empty
+    // configuration would read its col-<uuid> physical columns as
+    // all-null logical ones past log cleanup)
     val metaRow = Row(null, Row(meta.id.getOrElse(tableId(target)),
-      Row("parquet"), schemaJson, partCols, Map.empty[String, String], tsMillis),
+      Row("parquet"), schemaJson, partCols, meta.config, tsMillis),
       null, null)
     val addRows = live.map { a =>
       val sz = scala.util.Try(Files.size(root.resolve(a.path))).getOrElse(0L)
@@ -450,21 +460,68 @@ object DeltaInterop {
     }
 
   /** The table metadata a replay surfaces: logical schema, partition
-    * layout, and the table's declared permanent id (reused by incremental
+    * layout, the table's declared permanent id (reused by incremental
     * commits and checkpoints — stamping a fresh id mid-log reads as a
-    * replaced table to foreign engines). */
-  private case class TableMeta(schemaJson: String, partCols: Seq[String], id: Option[String])
+    * replaced table to foreign engines), and the table configuration
+    * (column mapping lives in `delta.columnMapping.mode` — dropping it
+    * would silently read physical `col-<uuid>` columns as all-null
+    * logical ones). */
+  private case class TableMeta(schemaJson: String, partCols: Seq[String],
+      id: Option[String], config: Map[String, String] = Map.empty) {
+    /** "none" or "name" — [[columnMappingModeOf]] refuses anything else. */
+    def mappingMode: String = config.getOrElse("delta.columnMapping.mode", "none")
+    def mapped: Boolean = mappingMode == "name"
+  }
+
+  /** The schema-field metadata key that carries a column's PHYSICAL
+    * (parquet) name under column mapping (PROTOCOL.md, Column Mapping):
+    * under `name` mode every reader must resolve data columns through it. */
+  private val PhysNameKey = "delta.columnMapping.physicalName"
+  private val ColIdKey = "delta.columnMapping.id"
+
+  private def physicalNameOf(f: StructField, path: String): String = {
+    require(f.metadata.contains(PhysNameKey),
+      s"Delta table $path is column-mapped (name mode) but field " +
+        s"'${f.name}' carries no $PhysNameKey — malformed metadata")
+    f.metadata.getString(PhysNameKey)
+  }
+
+  /** Rename every struct field (recursively) to its physical name — the
+    * schema the parquet FILES of a name-mapped table actually carry. */
+  private def toPhysical(dt: DataType, path: String): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(name = physicalNameOf(f, path),
+        dataType = toPhysical(f.dataType, path))))
+    case org.apache.spark.sql.types.ArrayType(et, n) =>
+      org.apache.spark.sql.types.ArrayType(toPhysical(et, path), n)
+    case org.apache.spark.sql.types.MapType(k, v, n) =>
+      org.apache.spark.sql.types.MapType(toPhysical(k, path), toPhysical(v, path), n)
+    case other => other
+  }
+
+  /** One acceptance rule for the column-mapping mode (JSON commit and
+    * checkpoint paths): `none` and `name` are readable (round 10 — name
+    * mode resolves logical→physical through the schema's field metadata);
+    * `id` mode needs parquet field-id resolution this reader does not
+    * implement, so it fails loudly rather than misread. */
+  private def checkMappingMode(mode: Option[String], where: String): Unit =
+    require(mode.forall(m => m == "none" || m == "name"),
+      s"Delta table $where uses column mapping mode '${mode.get}' — only " +
+        "'none' and 'name' are supported by this reader")
 
   /** Read a standard Delta table at `path` into a DataFrame — the latest
     * version, or `versionAsOf` (Delta time travel over a foreign log).
     * Supports: JSON commits, parquet checkpoints (classic single-file,
     * via `_last_checkpoint`), partitioned tables (partition values come
     * from the log's `partitionValues`, never guessed from directory
-    * names), protocol versions 1-3, and DELETION VECTORS (round 10 —
+    * names), protocol versions 1-3, DELETION VECTORS (round 10 —
     * each add's DV decodes from its Base85/RoaringBitmapArray form and
-    * the positions anti-join out of the scan). Fails loudly on column
-    * mapping and unknown reader features — silently misreading an
-    * advanced table would be corruption, not compatibility.
+    * the positions anti-join out of the scan), and COLUMN MAPPING in
+    * `name` mode (logical names resolve to the files' physical columns
+    * through the schema's field metadata — the layout every
+    * Databricks-renamed table carries). Fails loudly on id-mode mapping
+    * and unknown reader features — silently misreading an advanced
+    * table would be corruption, not compatibility.
     */
   def readDelta(spark: SparkSession, path: String,
       versionAsOf: Option[Long] = None): DataFrame = {
@@ -472,7 +529,7 @@ object DeltaInterop {
     val meta = metaOpt.getOrElse(
       throw new IllegalStateException(s"Delta log at $path carries no metaData action"))
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-    assembleRead(spark, Paths.get(path), schema, meta.partCols, live)
+    assembleRead(spark, Paths.get(path), schema, meta.partCols, live, meta.mapped)
   }
 
   /** [[readDelta]] with PARTITION-VALUE FILE PRUNING — the Iceberg twin is
@@ -491,8 +548,18 @@ object DeltaInterop {
     val meta = metaOpt.getOrElse(
       throw new IllegalStateException(s"Delta log at $path carries no metaData action"))
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    // the pruner sees LOGICAL partition-column keys even under column
+    // mapping (partitionValues keys are physical on the wire — the caller
+    // should never have to know a column's col-<uuid> alias)
+    val physToLogical: Map[String, String] =
+      if (!meta.mapped) Map.empty
+      else meta.partCols.map(c =>
+        physicalNameOf(schema(c), path) -> c).toMap
+    def logicalKeys(pv: Map[String, Option[String]]): Map[String, Option[String]] =
+      if (!meta.mapped) pv
+      else pv.map { case (k, v) => physToLogical.getOrElse(k, k) -> v }
     assembleRead(spark, Paths.get(path), schema, meta.partCols,
-      live.filter(a => keep(a.partitionValues)))
+      live.filter(a => keep(logicalKeys(a.partitionValues))), meta.mapped)
   }
 
   /** INCREMENTAL consumption of a Delta table: the rows appended in
@@ -528,7 +595,8 @@ object DeltaInterop {
       s"consumer watermark $sinceVersion is ahead of the Delta log at $path (head $cur)")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     if (sinceVersion == cur)
-      return (cur, assembleRead(spark, root, schema, meta.partCols, Seq.empty))
+      return (cur, assembleRead(spark, root, schema, meta.partCols, Seq.empty,
+        meta.mapped))
 
     val commits = listJsonCommits(logDir)
       .filter(c => c._1 > sinceVersion && c._1 <= cur)
@@ -572,7 +640,8 @@ object DeltaInterop {
         }
       }
     }
-    (cur, assembleRead(spark, root, schema, meta.partCols, adds.values.toSeq))
+    (cur, assembleRead(spark, root, schema, meta.partCols, adds.values.toSeq,
+      meta.mapped))
   }
 
   /** The strongest protocol the replay observed (for checkpoint
@@ -660,12 +729,15 @@ object DeltaInterop {
             .map(_.elements().asScala.map(_.asText).toSet).getOrElse(Set.empty)
         }
         Option(node.get("metaData")).foreach { md =>
-          checkNoColumnMapping(md, path)
+          val cfg = Option(md.get("configuration")).map { c =>
+            c.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+          }.getOrElse(Map.empty[String, String])
+          checkMappingMode(cfg.get("delta.columnMapping.mode"), path)
           configlessMeta = !md.hasNonNull("configuration")
           meta = Some(TableMeta(md.get("schemaString").asText,
             Option(md.get("partitionColumns")).map(_.elements().asScala.map(_.asText).toSeq)
               .getOrElse(Seq.empty),
-            Option(md.get("id")).map(_.asText)))
+            Option(md.get("id")).map(_.asText), cfg))
         }
         Option(node.get("add")).foreach { add =>
           val pv = Option(add.get("partitionValues")).map { o =>
@@ -706,9 +778,20 @@ object DeltaInterop {
     * table violating that fails loudly rather than joining wrong values.
     */
   private def assembleRead(spark: SparkSession, root: Path, schema: StructType,
-      partCols: Seq[String], adds: Seq[AddFile]): DataFrame = {
+      partCols: Seq[String], adds: Seq[AddFile],
+      mapped: Boolean = false): DataFrame = {
     val partSet = partCols.toSet
-    val dataSchema = StructType(schema.fields.filterNot(f => partSet.contains(f.name)))
+    val logicalData = StructType(schema.fields.filterNot(f => partSet.contains(f.name)))
+    // under column mapping (name mode) the parquet files carry PHYSICAL
+    // column names — the scan schema renames through the field metadata,
+    // and the final select restores logical names (a positional struct
+    // cast restores NESTED logical names in the same move)
+    val dataSchema =
+      if (mapped) toPhysical(logicalData, root.toString).asInstanceOf[StructType]
+      else logicalData
+    def dataCol(f: StructField): org.apache.spark.sql.Column =
+      if (mapped) col(physicalNameOf(f, root.toString)).cast(f.dataType).as(f.name)
+      else col(f.name)
     if (adds.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -718,7 +801,8 @@ object DeltaInterop {
     // happens to throw first
     val dvPos = dvPositionsDf(spark, root, adds)
     val base = applyDvs(spark.read.schema(dataSchema).parquet(files: _*), dvPos)
-    if (partCols.isEmpty) base.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    if (partCols.isEmpty)
+      base.select(schema.fields.map(dataCol).toIndexedSeq: _*)
     else {
       import scala.jdk.CollectionConverters._
       val partFields = partCols.map(c => schema(c))
@@ -726,10 +810,16 @@ object DeltaInterop {
       require(names.distinct.size == names.size,
         s"Delta table at $root has duplicate data-file names across " +
           "partitions — the partition-value join would be ambiguous")
+      // `partitionValues` keys are PHYSICAL names under column mapping
+      // (PROTOCOL.md) while metaData.partitionColumns stays logical — the
+      // tuple frame looks values up physically and names columns logically
       val rows: Seq[org.apache.spark.sql.Row] = adds.map { a =>
         org.apache.spark.sql.Row.fromSeq(
           root.resolve(a.path).getFileName.toString +:
-            partFields.map(f => a.partitionValues.get(f.name).flatten.orNull))
+            partFields.map { f =>
+              val key = if (mapped) physicalNameOf(f, root.toString) else f.name
+              a.partitionValues.get(key).flatten.orNull
+            })
       }
       val tupleDf = spark.createDataFrame(rows.asJava,
         StructType(StructField("__graft_pfile", StringType, nullable = false) +:
@@ -739,7 +829,7 @@ object DeltaInterop {
         .join(broadcast(tupleDf), Seq("__graft_pfile"))
         .select(schema.fields.map { f =>
           if (partSet.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-          else col(f.name)
+          else dataCol(f)
         }.toIndexedSeq: _*)
     }
   }
@@ -831,6 +921,118 @@ object DeltaInterop {
     * rather than clobbering.
     *
     * @return the number of newly deleted row positions (0 = no commit). */
+  /** Rename a top-level column of a Delta table as a METADATA-ONLY commit
+    * — zero data files touched, O(1) I/O at any table size. This is what
+    * Delta's column mapping exists for (PROTOCOL.md, Column Mapping): on a
+    * plain table the commit first UPGRADES to `name` mode by assigning
+    * every field (recursively) a stable `delta.columnMapping.id` and a
+    * physical name equal to its current name — the existing parquet files
+    * become the physical layout as-is — then the rename changes only the
+    * LOGICAL name while the field keeps its physical name and id, so
+    * every reader resolving through the mapping (including [[readDelta]])
+    * sees the new name over the old bytes. Time travel below the rename
+    * still reads the old name: the mapping is versioned metadata like any
+    * other.
+    *
+    * Protocol: a plain table upgrades to the legacy column-mapping pair
+    * (2, 5); a table already on table features — e.g. one
+    * [[deleteFromDelta]] has raised to (3, 7) — adds `columnMapping` to
+    * BOTH feature sets instead (reader-writer features must be listed at
+    * mrv 3). Renaming a partition column is legal: `partitionValues` keys
+    * are physical and do not move.
+    *
+    * Refuses: a missing source column, a target name already taken
+    * (Delta names are case-insensitively unique), and self-renames. */
+  def renameDeltaColumn(spark: SparkSession, path: String,
+      oldName: String, newName: String,
+      tsMillis: Long = System.currentTimeMillis()): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, MetadataBuilder}
+    val root = Paths.get(path).toAbsolutePath
+    val logDir = root.resolve(LogDirName)
+    require(Files.isDirectory(logDir), s"no Delta table at $path (missing $LogDirName)")
+    val (cur, _, metaOpt, proto) = replayState(spark, root, None)
+    val meta = metaOpt.getOrElse(throw new IllegalStateException(
+      s"Delta log at $path carries no metaData action"))
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(oldName),
+      s"Delta table $path has no column '$oldName' " +
+        s"(schema: ${schema.fieldNames.mkString(", ")})")
+    require(oldName != newName,
+      s"renaming '$oldName' to itself — refusing to commit a no-op")
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"Delta table $path already has a column '$newName' " +
+        "(Delta column names are case-insensitively unique)")
+
+    val (mappedSchema, config, upgraded) =
+      if (meta.mapped) (schema, meta.config, false)
+      else {
+        var nextId = 0L
+        def assign(dt: DataType): DataType = dt match {
+          case st: StructType => StructType(st.fields.map { f =>
+            nextId += 1
+            val md = new MetadataBuilder().withMetadata(f.metadata)
+              .putString(PhysNameKey, f.name)
+              .putLong(ColIdKey, nextId)
+              .build()
+            f.copy(metadata = md, dataType = assign(f.dataType))
+          })
+          case ArrayType(et, n) => ArrayType(assign(et), n)
+          case MapType(k, v, n) => MapType(assign(k), assign(v), n)
+          case other => other
+        }
+        val s2 = assign(schema).asInstanceOf[StructType]
+        (s2, meta.config ++ Map(
+          "delta.columnMapping.mode" -> "name",
+          "delta.columnMapping.maxColumnId" -> nextId.toString), true)
+      }
+    val renamed = StructType(mappedSchema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val newPartCols = meta.partCols.map(c => if (c == oldName) newName else c)
+
+    val m = mapper
+    def obj() = m.createObjectNode()
+    val lines = Seq.newBuilder[String]
+    val commitInfo = obj()
+    commitInfo.putObject("commitInfo")
+      .put("timestamp", tsMillis)
+      .put("operation", "RENAME COLUMN")
+      .put("engineInfo", "graft-delta-rename")
+    lines += m.writeValueAsString(commitInfo)
+    if (upgraded) {
+      val protocol = obj()
+      val pr = protocol.putObject("protocol")
+      if (proto.mrv >= 3 || proto.mwv >= 7 ||
+          proto.readerFeatures.nonEmpty || proto.writerFeatures.nonEmpty) {
+        pr.put("minReaderVersion", 3)
+        pr.put("minWriterVersion", 7)
+        val rf = pr.putArray("readerFeatures")
+        (proto.readerFeatures + "columnMapping").toSeq.sorted.foreach(rf.add)
+        val wf = pr.putArray("writerFeatures")
+        (proto.writerFeatures + "columnMapping").toSeq.sorted.foreach(wf.add)
+      } else {
+        pr.put("minReaderVersion", 2)
+        pr.put("minWriterVersion", 5)
+      }
+      lines += m.writeValueAsString(protocol)
+    }
+    val metaData = obj()
+    val md = metaData.putObject("metaData")
+    md.put("id", meta.id.getOrElse(tableId(path)))
+    val fmt = md.putObject("format")
+    fmt.put("provider", "parquet")
+    fmt.putObject("options")
+    md.put("schemaString", renamed.json)
+    val pcArr = md.putArray("partitionColumns")
+    newPartCols.foreach(pcArr.add)
+    val cfgNode = md.putObject("configuration")
+    config.toSeq.sortBy(_._1).foreach { case (k, v) => cfgNode.put(k, v) }
+    md.put("createdTime", tsMillis)
+    lines += m.writeValueAsString(metaData)
+    // CREATE_NEW = put-if-absent: a racing writer collides loudly
+    Files.write(logDir.resolve(f"${cur + 1}%020d.json"), lines.result().asJava,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+  }
+
   def deleteFromDelta(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column,
       tsMillis: Long = System.currentTimeMillis()): Long = {
@@ -851,10 +1053,20 @@ object DeltaInterop {
       s"Delta table at $root has duplicate data-file names — deletion " +
         "vectors cannot be recorded unambiguously")
 
-    val base = spark.read.schema(schema)
+    // a column-mapped table's files carry PHYSICAL names: scan physically,
+    // alias logically so the caller's predicate resolves — the recorded
+    // (file, position) pairs are name-independent either way
+    val physSchema =
+      if (meta.mapped) toPhysical(schema, path).asInstanceOf[StructType] else schema
+    val base0 = spark.read.schema(physSchema)
       .parquet(live.map(a => root.resolve(a.path).toString): _*)
       .withColumn("__gdv_file", col("_metadata.file_name"))
       .withColumn("__gdv_pos", col("_metadata.row_index"))
+    val base =
+      if (!meta.mapped) base0
+      else base0.select((schema.fields.map(f =>
+        col(physicalNameOf(f, path)).cast(f.dataType).as(f.name)) :+
+        col("__gdv_file") :+ col("__gdv_pos")).toIndexedSeq: _*)
     val liveDf = dvPositionsDf(spark, root, live)
       .map(d => base.join(d, Seq("__gdv_file", "__gdv_pos"), "left_anti"))
       .getOrElse(base)
@@ -968,8 +1180,13 @@ object DeltaInterop {
     Files.createDirectories(compDir)
     val stage = Files.createTempDirectory("graft_delta_purge")
     val newFiles: Seq[(String, Long)] = try { // (rel path, size)
+      // a mapped table's survivor files must carry PHYSICAL column names
+      // like every other data file — the purge reads and writes the
+      // physical schema without ever resolving logical names
+      val scanSchema =
+        if (meta.mapped) toPhysical(schema, path).asInstanceOf[StructType] else schema
       applyDvs(
-        spark.read.schema(schema)
+        spark.read.schema(scanSchema)
           .parquet(withDv.map(a => root.resolve(a.path).toString): _*),
         dvPositionsDf(spark, root, withDv))
         .write.mode("overwrite").parquet(stage.toString)
@@ -1026,6 +1243,123 @@ object DeltaInterop {
     Files.write(logDir.resolve(f"${cur + 1}%020d.json"), lines.result().asJava,
       java.nio.file.StandardOpenOption.CREATE_NEW)
     (withDv.size, deadRows)
+  }
+
+  /** Physically remove every file under the table root that the HEAD
+    * version no longer references — Delta's VACUUM as an explicit
+    * maintenance call (retention 0: this engine's commits carry
+    * deterministic timestamps, so an hours-based horizon would be
+    * theater; the caller decides WHEN history is disposable). Reclaims
+    * the data files superseded by [[purgeDeltaDvs]] / mirror removals /
+    * re-exports and the `.bin` deletion vectors their adds once carried
+    * — after a purge + vacuum the deleted rows' bytes are GONE from
+    * disk, the GDPR end state a logical delete never reaches.
+    *
+    * `_delta_log/` and any '.'- or '_'-prefixed path segment are never
+    * touched (Delta's own VACUUM convention). Time travel below the
+    * vacuum horizon becomes unreadable — the protocol's documented
+    * VACUUM trade — so pair with [[writeDeltaCheckpoint]] +
+    * [[cleanDeltaLog]] to retire that history LOUDLY (a gap error at
+    * replay) rather than let it fail on a missing file mid-scan.
+    *
+    * O(live files + directory listing) driver metadata, zero data reads.
+    *
+    * @return (files removed, bytes reclaimed); (0, 0) when the table is
+    *   already minimal — vacuum is idempotent. */
+  def vacuumDelta(spark: SparkSession, path: String): (Int, Long) = {
+    val root = Paths.get(path).toAbsolutePath
+    val logDir = root.resolve(LogDirName)
+    require(Files.isDirectory(logDir), s"no Delta table at $path (missing $LogDirName)")
+    val (_, live, _, _) = replayState(spark, root, None)
+    val referenced: Set[Path] = live.flatMap { a =>
+      val data = root.resolve(a.path).normalize
+      val dvs = a.dv.toSeq.filter(_.storageType != "i").map(d =>
+        DeletionVectors.resolveDvFile(root, d.storageType, d.pathOrInlineDv).normalize)
+      data +: dvs
+    }.toSet
+    val walk = Files.walk(root)
+    val victims = try walk.iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .filter { p =>
+        val rel = root.relativize(p)
+        val segs = (0 until rel.getNameCount).map(rel.getName(_).toString)
+        !segs.exists(s => s.startsWith("_") || s.startsWith(".")) &&
+          !referenced.contains(p.normalize)
+      }.toVector
+    finally walk.close()
+    val bytes = victims.map(p => scala.util.Try(Files.size(p)).getOrElse(0L)).sum
+    victims.foreach(Files.deleteIfExists(_))
+    (victims.size, bytes)
+  }
+
+  /** The version that was current as of the instant `tsMillis` — Delta's
+    * timestamp time travel (`TIMESTAMP AS OF`), resolved the way Delta
+    * itself does: each version's instant is its `commitInfo.timestamp`
+    * when the commit carries one, else the commit file's modification
+    * time (the protocol's documented fallback). Pass the result to
+    * [[readDelta]]'s `versionAsOf`. Only still-replayable versions count
+    * (JSON commits, plus the advertised checkpoint when
+    * [[cleanDeltaLog]] retired its predecessors — a checkpoint-only
+    * table resolves to the checkpoint version by the parquet's mtime);
+    * loud when the instant predates all of them, rather than silently
+    * serving some other version's view. */
+  def deltaVersionAt(path: String, tsMillis: Long): Long = {
+    val root = Paths.get(path).toAbsolutePath
+    val logDir = root.resolve(LogDirName)
+    require(Files.isDirectory(logDir), s"no Delta table at $path (missing $LogDirName)")
+    val m = mapper
+    def commitTs(p: Path): Long = {
+      val lines = Files.readAllLines(p).asScala
+      lines.iterator.filter(_.trim.nonEmpty).flatMap { line =>
+        scala.util.Try(m.readTree(line)).toOption
+          .flatMap(n => Option(n.get("commitInfo")))
+          .flatMap(ci => Option(ci.get("timestamp")).filter(!_.isNull).map(_.asLong))
+      }.nextOption().getOrElse(Files.getLastModifiedTime(p).toMillis)
+    }
+    val commits = listJsonCommits(logDir)
+    val ckptOnly = lastCheckpoint(logDir)
+      .filterNot(v => commits.exists(_._1 == v))
+      .map { v =>
+        val p = logDir.resolve(f"$v%020d.checkpoint.parquet")
+        require(Files.isRegularFile(p),
+          s"Delta log at $path advertises checkpoint $v but the parquet is missing")
+        (v, Files.getLastModifiedTime(p).toMillis)
+      }
+    val versions = (ckptOnly.toSeq ++ commits.map { case (v, p) => (v, commitTs(p)) })
+      .sortBy(_._1)
+    require(versions.nonEmpty, s"empty Delta log at $path")
+    val atOrBelow = versions.filter(_._2 <= tsMillis)
+    require(atOrBelow.nonEmpty,
+      s"no version of the Delta table at $path exists at or before $tsMillis " +
+        s"(oldest replayable: version ${versions.head._1} at ${versions.head._2} " +
+        "— earlier history may have been cleaned)")
+    atOrBelow.map(_._1).max
+  }
+
+  /** Retire the JSON commits an advertised checkpoint makes redundant:
+    * replay starts at `_last_checkpoint` and reads only NEWER commits,
+    * so everything at or below the checkpoint version is O(history)
+    * dead weight — this is Delta's own metadata-retention cleanup
+    * (PROTOCOL.md log cleanup). Time travel below the checkpoint
+    * afterwards fails with the replay's existing LOUD gap error instead
+    * of a missing-file surprise mid-scan. Refuses when no checkpoint is
+    * advertised (cleaning would orphan the whole table).
+    *
+    * @return JSON commits removed (0 = already clean; idempotent). */
+  def cleanDeltaLog(path: String): Int = {
+    val root = Paths.get(path).toAbsolutePath
+    val logDir = root.resolve(LogDirName)
+    require(Files.isDirectory(logDir), s"no Delta table at $path (missing $LogDirName)")
+    val ckpt = lastCheckpoint(logDir).getOrElse(throw new IllegalArgumentException(
+      s"Delta log at $path advertises no checkpoint — write one first " +
+        "(writeDeltaCheckpoint); cleaning JSON commits without a covering " +
+        "checkpoint would orphan the table"))
+    require(Files.isRegularFile(logDir.resolve(f"$ckpt%020d.checkpoint.parquet")),
+      s"Delta log at $path advertises checkpoint $ckpt but the parquet is " +
+        "missing — refusing to clean the only replayable history")
+    val victims = listJsonCommits(logDir).filter(_._1 <= ckpt)
+    victims.foreach(c => Files.deleteIfExists(c._2))
+    victims.size
   }
 
   // ------------------------------------------------------ log mechanics
@@ -1133,9 +1467,7 @@ object DeltaInterop {
         require(maxMrv != 2 || cfg.nonEmpty,
           s"checkpoint $p declares reader version 2 but a metaData row's " +
             "configuration is null — cannot verify the table is not column-mapped")
-        val mode = cfg.flatMap(_.get("delta.columnMapping.mode"))
-        require(mode.forall(_ == "none"),
-          s"checkpoint $p declares column mapping (${mode.get}) — unsupported by this reader")
+        checkMappingMode(cfg.flatMap(_.get("delta.columnMapping.mode")), p.toString)
       }
     }
     val removed: Set[String] =
@@ -1188,11 +1520,15 @@ object DeltaInterop {
       if (!cols.contains("metaData")) None
       else df.where(col("metaData").isNotNull)
         .select(col("metaData.schemaString"), col("metaData.partitionColumns"),
-          (if (mdHasId) col("metaData.id") else lit(null).cast("string")).as("id"))
+          (if (mdHasId) col("metaData.id") else lit(null).cast("string")).as("id"),
+          (if (mdHasConfig) col("metaData.configuration")
+           else lit(null).cast("map<string,string>")).as("cfg"))
         .collect().lastOption.map { r =>
           TableMeta(r.getString(0),
             Option(r.getSeq[String](1)).map(_.toSeq).getOrElse(Seq.empty),
-            Option(r.getString(2)))
+            Option(r.getString(2)),
+            Option(r.getMap[String, String](3)).map(_.toMap)
+              .getOrElse(Map.empty[String, String]))
         }
     (v, adds, meta, proto)
   }
@@ -1209,11 +1545,14 @@ object DeltaInterop {
     * parquet reads; mrv 3 = table features, where every listed reader
     * feature must be one this reader genuinely honors
     * (`deletionVectors` IS honored since round 10 — [[assembleRead]]
-    * anti-joins the decoded positions out; anything unknown —
-    * columnMapping, v2Checkpoint — must fail, not silently corrupt). */
+    * anti-joins the decoded positions out — and so is `columnMapping`:
+    * name-mode resolution via [[toPhysical]], with id-mode still refused
+    * at the metaData gate; anything unknown — v2Checkpoint et al. — must
+    * fail, not silently corrupt). */
   private def checkProtocolValues(mrv: Int, readerFeatures: Set[String], where: String): Unit = {
     if (mrv >= 3) {
-      val supported = Set("timestampNtz", "vacuumProtocolCheck", "deletionVectors")
+      val supported = Set("timestampNtz", "vacuumProtocolCheck", "deletionVectors",
+        "columnMapping")
       val unsupported = readerFeatures.diff(supported)
       require(mrv == 3 && unsupported.isEmpty,
         s"Delta table $where requires reader version $mrv with reader features " +
@@ -1222,12 +1561,6 @@ object DeltaInterop {
       s"Delta table $where requires reader version $mrv — unsupported")
   }
 
-  private def checkNoColumnMapping(md: JsonNode, path: String): Unit = {
-    val mode = Option(md.get("configuration"))
-      .flatMap(c => Option(c.get("delta.columnMapping.mode"))).map(_.asText)
-    require(mode.forall(_ == "none"),
-      s"Delta table $path uses column mapping (${mode.get}) — unsupported by this reader")
-  }
 
   // Delta add.path is a RELATIVE URI: encode each path segment, keep '/'
   private def encodePath(rel: String): String =

@@ -462,6 +462,7 @@ object IcebergInterop {
     val summary = s0.putObject("summary")
     summary.put("operation", "append")
     snaps.add(s0)
+    appendSnapshotLog(m, root, snapshotId, tsMillis)
     Files.write(metaDir.resolve("v1.metadata.json"),
       Seq(m.writerWithDefaultPrettyPrinter().writeValueAsString(root)).asJava)
     Files.write(metaDir.resolve("version-hint.text"), Seq("1").asJava)
@@ -730,6 +731,7 @@ object IcebergInterop {
     s0.put("manifest-list", metaDir.resolve(listName).toUri.toString)
     s0.putObject("summary").put("operation", "append")
     snaps.add(s0)
+    appendSnapshotLog(m, root, snapshotId, tsMillis)
 
     val newVersion = prevVersion + 1
     // CREATE_NEW = put-if-absent publish; version-hint flips LAST (readers
@@ -1097,6 +1099,7 @@ object IcebergInterop {
     summary.put("operation", "delete")
     summary.put(summaryKey, summaryVal)
     snapsArr.add(s0)
+    appendSnapshotLog(m, rootNode, snapshotId, tsMillis)
 
     val newVersion = prevVersion + 1
     Files.write(metaDir.resolve(s"v$newVersion.metadata.json"),
@@ -1225,6 +1228,7 @@ object IcebergInterop {
     s0.put("manifest-list", metaDir.resolve(listName).toUri.toString)
     s0.putObject("summary").put("operation", "replace")
     snapsArr.add(s0)
+    appendSnapshotLog(m, rootNode, snapshotId, tsMillis)
     val newVersion = prevVersion + 1
     Files.write(metaDir.resolve(s"v$newVersion.metadata.json"),
       Seq(m.writerWithDefaultPrettyPrinter().writeValueAsString(rootNode)).asJava,
@@ -1232,6 +1236,136 @@ object IcebergInterop {
     Files.write(metaDir.resolve("version-hint.text"),
       Seq(newVersion.toString).asJava)
     (rewrite.size, deadRows)
+  }
+
+  /** Append the (timestamp-ms, snapshot-id) pair to the metadata's
+    * `snapshot-log` — the record the spec's timestamp time travel
+    * resolves against (Table Metadata, snapshot-log): every committing
+    * writer here calls it so foreign engines (and
+    * [[icebergSnapshotAt]]) can answer `FOR SYSTEM_TIME AS OF` over
+    * exported tables. */
+  private def appendSnapshotLog(m: ObjectMapper, root: ObjectNode,
+      snapshotId: Long, tsMillis: Long): Unit = {
+    val log = Option(root.get("snapshot-log")) match {
+      case Some(a: ArrayNode) => a
+      case _                  => root.putArray("snapshot-log")
+    }
+    val e = m.createObjectNode()
+    e.put("timestamp-ms", tsMillis)
+    e.put("snapshot-id", snapshotId)
+    log.add(e)
+  }
+
+  /** Every file a snapshot REFERENCES, at any entry status or content
+    * kind: its manifest list, its manifests, and the data/delete files
+    * they name. This is retention bookkeeping, not a read plan — an
+    * expired snapshot's DELETED-status entries still pin bytes a kept
+    * snapshot may share, so reachability must count everything. */
+  private def referencedFiles(root: Path, path: String, snapNode: JsonNode)
+      : (Path, Set[Path], Set[Path]) = {
+    val listUri = snapNode.get("manifest-list")
+    require(listUri != null,
+      s"Iceberg table $path uses inline v1 'manifests' lists without a " +
+        "manifest-list file — unsupported")
+    val listPath = resolveUri(root, listUri.asText).normalize
+    val manifests = Set.newBuilder[Path]
+    val files = Set.newBuilder[Path]
+    readAvro(listPath).foreach { r =>
+      val mp = resolveUri(root, r.get("manifest_path").toString).normalize
+      manifests += mp
+      readAvro(mp).foreach { entry =>
+        val df = entry.get("data_file").asInstanceOf[GenericRecord]
+        files += resolveUri(root, df.get("file_path").toString).normalize
+      }
+    }
+    (listPath, manifests.result(), files.result())
+  }
+
+  /** EXPIRE SNAPSHOTS — the retention half of the table lifecycle
+    * (Iceberg's `expireSnapshots`): keep the newest `keepLast` snapshots
+    * (the current one must be among them), drop the rest from the
+    * metadata, and PHYSICALLY delete every file only the expired
+    * snapshots reference — the superseded data files a
+    * [[compactIcebergDeletes]] replaced, their position-delete parquets,
+    * and the expired manifests/manifest lists. After a delete → compact →
+    * expire chain the deleted rows' bytes are GONE from disk (the GDPR
+    * end state a logical delete never reaches) and a directory glob over
+    * `data/` equals the live table.
+    *
+    * Reachability is computed over EVERY kept snapshot's full reference
+    * set (any status, any content), so manifests carried across
+    * snapshots by reference never lose files they share. Time travel to
+    * an expired snapshot fails with the reader's existing loud
+    * "snapshot … does not exist"; kept snapshots still time-travel.
+    * Metadata-scale I/O only: O(snapshots × manifests) avro reads on the
+    * driver, zero data-file reads.
+    *
+    * @return (snapshots expired, files removed, bytes reclaimed) —
+    *   (0, 0, 0) when nothing is expirable (idempotent; no commit). */
+  def expireIcebergSnapshots(spark: SparkSession, path: String,
+      keepLast: Int = 1,
+      tsMillis: Long = System.currentTimeMillis()): (Int, Int, Long) = {
+    require(keepLast >= 1, s"keepLast must be >= 1 (got $keepLast)")
+    val root = Paths.get(path).toAbsolutePath
+    val metaDir = root.resolve("metadata")
+    require(Files.isDirectory(metaDir), s"no Iceberg table at $path (missing metadata/)")
+    val meta = currentMetadata(metaDir, path)
+    val fv = meta.get("format-version").asInt
+    require(fv == 1 || fv == 2,
+      s"Iceberg table $path has format-version $fv — only v1/v2 are supported")
+    val snaps = Option(meta.get("snapshots"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    if (snaps.size <= keepLast) return (0, 0, 0L)
+    val curId = Option(meta.get("current-snapshot-id")).map(_.asLong)
+      .filter(_ != -1L).getOrElse(throw new IllegalArgumentException(
+        s"Iceberg table $path has no current snapshot — nothing to expire against"))
+    // age order: sequence number when present (v2), timestamp as the tie
+    def seqOf(n: JsonNode) =
+      Option(n.get("sequence-number")).map(_.asLong).getOrElse(0L)
+    def tsOf(n: JsonNode) =
+      Option(n.get("timestamp-ms")).map(_.asLong).getOrElse(0L)
+    val ordered = snaps.sortBy(n => (seqOf(n), tsOf(n)))
+    val kept = ordered.takeRight(keepLast)
+    val expired = ordered.dropRight(keepLast)
+    require(kept.exists(_.get("snapshot-id").asLong == curId),
+      s"keepLast=$keepLast would expire the CURRENT snapshot of $path — " +
+        "retention keeps the head by definition")
+
+    val keptRefs = kept.map(n => referencedFiles(root, path, n))
+    val keptPinned: Set[Path] = keptRefs.flatMap { case (l, ms, fs) =>
+      fs ++ ms + l }.toSet
+    val victims: Set[Path] = expired.map(n => referencedFiles(root, path, n))
+      .flatMap { case (l, ms, fs) => fs ++ ms + l }
+      .toSet.diff(keptPinned)
+
+    // commit the pruned metadata FIRST: a reader racing the deletion must
+    // never resolve a current metadata that still lists doomed snapshots
+    val keptIds = kept.map(_.get("snapshot-id").asLong).toSet
+    val rootNode = meta.deepCopy[ObjectNode]()
+    val snapsArr = rootNode.putArray("snapshots")
+    ordered.filter(n => keptIds.contains(n.get("snapshot-id").asLong))
+      .foreach(snapsArr.add)
+    Option(rootNode.get("snapshot-log")).foreach {
+      case arr: ArrayNode =>
+        val keptLog = arr.elements().asScala.toSeq.filter(e =>
+          Option(e.get("snapshot-id")).exists(id => keptIds.contains(id.asLong)))
+        val newLog = rootNode.putArray("snapshot-log")
+        keptLog.foreach(newLog.add)
+      case _ => ()
+    }
+    rootNode.put("last-updated-ms", tsMillis)
+    val prevVersion = currentMetadataVersion(metaDir, path)
+    val newVersion = prevVersion + 1
+    Files.write(metaDir.resolve(s"v$newVersion.metadata.json"),
+      Seq(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(rootNode)).asJava,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    Files.write(metaDir.resolve("version-hint.text"),
+      Seq(newVersion.toString).asJava)
+
+    val bytes = victims.toSeq
+      .map(p => scala.util.Try(Files.size(p)).getOrElse(0L)).sum
+    victims.foreach(Files.deleteIfExists(_))
+    (expired.size, victims.size, bytes)
   }
 
   /** One v2 manifest-list row (the full required field set — foreign v2
@@ -1654,6 +1788,33 @@ object IcebergInterop {
   def readIceberg(spark: SparkSession, path: String,
       snapshotAsOf: Option[Long] = None): DataFrame =
     readIcebergImpl(spark, path, snapshotAsOf, None)
+
+  /** The snapshot that was CURRENT as of the instant `tsMillis` —
+    * Iceberg's timestamp time travel (`FOR SYSTEM_TIME AS OF`), resolved
+    * from the metadata's `snapshot-log` exactly as the spec prescribes:
+    * the newest log entry at or below the instant. Pass the result to
+    * [[readIceberg]]'s `snapshotAsOf`. Loud when the instant predates
+    * the log or the history was trimmed past it by
+    * [[expireIcebergSnapshots]] (the log is pruned with the snapshots —
+    * resolving an expired instant to some OTHER snapshot would silently
+    * serve the wrong view). */
+  def icebergSnapshotAt(path: String, tsMillis: Long): Long = {
+    val root = Paths.get(path).toAbsolutePath
+    val metaDir = root.resolve("metadata")
+    require(Files.isDirectory(metaDir), s"no Iceberg table at $path (missing metadata/)")
+    val meta = currentMetadata(metaDir, path)
+    val log = Option(meta.get("snapshot-log"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    require(log.nonEmpty,
+      s"Iceberg table $path has no snapshot-log — cannot resolve a timestamp")
+    val atOrBelow = log.filter(e =>
+      Option(e.get("timestamp-ms")).exists(_.asLong <= tsMillis))
+    require(atOrBelow.nonEmpty,
+      s"no snapshot of $path exists at or before $tsMillis (oldest logged: " +
+        s"${log.flatMap(e => Option(e.get("timestamp-ms")).map(_.asLong)).min} " +
+        "— earlier history may have been expired)")
+    atOrBelow.maxBy(e => e.get("timestamp-ms").asLong).get("snapshot-id").asLong
+  }
 
   /** [[readIceberg]] with MANIFEST-TUPLE FILE PRUNING — the planning path
     * that makes a partition spec worth its metadata: `keep` sees each

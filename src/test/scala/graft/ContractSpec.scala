@@ -164,8 +164,19 @@ class ContractSpec extends AnyFunSuite {
     // scan, the reader chains a null-safe hash anti-join with the
     // strictly-newer-sequence rule after the position mask; composed with
     // a position delete on one table, DuckDB survivor oracle)
-    assert(SparkEntry.queries.size == 207,
-      s"declared query count ${SparkEntry.queries.size} != documented 207 — " +
+    // 208 adds b5_delta_rename (Delta COLUMN MAPPING both directions:
+    // renameDeltaColumn commits metadata-only renames — upgrade assigns
+    // field ids + physical names, (3,7) tables gain the feature in both
+    // sets — and readDelta resolves logical names through the mapping
+    // over untouched bytes; DV + checkpoint composition certified,
+    // DuckDB oracle aliases the physical column)
+    // 209-210 add b5_iceberg_expire + b5_delta_vacuum (the RETENTION half
+    // of both delete lifecycles: expireIcebergSnapshots / vacuumDelta +
+    // writeDeltaCheckpoint + cleanDeltaLog physically reclaim everything
+    // only expired history references — both oracles scan the remaining
+    // bytes with NO row filter: disk ≡ live is the certificate)
+    assert(SparkEntry.queries.size == 210,
+      s"declared query count ${SparkEntry.queries.size} != documented 210 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

@@ -186,9 +186,11 @@ class DeltaInteropSpec extends SparkSpec {
     val schemaJson = Seq((1L, "x")).toDF("id", "s").schema.json.replace("\"", "\\\"")
     val meta = s""""id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[]"""
 
+    // id-mode column mapping needs parquet field-id resolution — still
+    // refused (name mode is READABLE since round 10, pinned below)
     val cm = foreign(Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-      s"""{"metaData":{$meta,"configuration":{"delta.columnMapping.mode":"name"}}}"""))
+      s"""{"metaData":{$meta,"configuration":{"delta.columnMapping.mode":"id"}}}"""))
     assert(intercept[IllegalArgumentException](
       DeltaInterop.readDelta(spark, cm)).getMessage.contains("column mapping"))
 
@@ -202,7 +204,7 @@ class DeltaInteropSpec extends SparkSpec {
       DeltaInterop.readDelta(spark, dv)).getMessage.contains("encoded UUID"))
 
     val hi = foreign(Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}""",
       s"""{"metaData":{$meta,"configuration":{}}}"""))
     assert(intercept[IllegalArgumentException](
       DeltaInterop.readDelta(spark, hi)).getMessage.contains("reader features"))
@@ -711,5 +713,210 @@ class DeltaInteropSpec extends SparkSpec {
     // hard link: link count of the exported file is >= 2 (same inode as source)
     val linkCount = Files.getAttribute(exported.head, "unix:nlink").asInstanceOf[Int]
     assert(linkCount >= 2, s"expected a hard link, got nlink=$linkCount (copy fallback?)")
+  }
+
+  private def dataFiles(out: String): Set[String] = {
+    val s = Files.list(Paths.get(out))
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSet
+    finally s.close()
+  }
+
+  test("renameDeltaColumn: metadata-only rename (upgrade to name mode, then mapped-mode rename)") {
+    val t = sampleTable()
+    val out = tmp("delta_rename")
+    DeltaInterop.exportDelta(t, out, tsMillis = 5000L)
+    val before = DeltaInterop.readDelta(spark, out).orderBy("id").collect().toSeq
+    val filesBefore = dataFiles(out)
+
+    DeltaInterop.renameDeltaColumn(spark, out, "v", "score", tsMillis = 6000L)
+    // metadata-only: the data file set is bit-identical
+    assert(dataFiles(out) == filesBefore, "a rename must move zero data bytes")
+    val after = DeltaInterop.readDelta(spark, out)
+    assert(after.columns.toSeq == Seq("id", "k", "score"))
+    // values untouched (Row equality is positional — names live in the schema)
+    assert(after.orderBy("id").collect().toSeq == before)
+    // the upgrade committed the legacy column-mapping protocol pair
+    val v1 = Files.readAllLines(
+      Paths.get(out, "_delta_log", "0" * 19 + "1.json")).asScala.mkString
+    assert(v1.contains("\"minReaderVersion\":2") && v1.contains("\"minWriterVersion\":5"))
+    assert(v1.contains("\"delta.columnMapping.mode\":\"name\""))
+    assert(v1.contains("delta.columnMapping.physicalName"))
+    // time travel below the rename still reads the OLD name
+    val v0 = DeltaInterop.readDelta(spark, out, versionAsOf = Some(0L))
+    assert(v0.columns.toSeq == Seq("id", "k", "v"))
+    // a second rename rides the existing mapping (no re-upgrade)
+    DeltaInterop.renameDeltaColumn(spark, out, "k", "key", tsMillis = 7000L)
+    val twice = DeltaInterop.readDelta(spark, out)
+    assert(twice.columns.toSeq == Seq("id", "key", "score"))
+    assert(twice.orderBy("id").collect().toSeq == before)
+    // refusals: missing source, case-insensitive collision, self-rename
+    assert(intercept[IllegalArgumentException](
+      DeltaInterop.renameDeltaColumn(spark, out, "nope", "x"))
+      .getMessage.contains("no column"))
+    assert(intercept[IllegalArgumentException](
+      DeltaInterop.renameDeltaColumn(spark, out, "id", "SCORE"))
+      .getMessage.contains("case-insensitively"))
+    assert(intercept[IllegalArgumentException](
+      DeltaInterop.renameDeltaColumn(spark, out, "id", "id"))
+      .getMessage.contains("no-op"))
+  }
+
+  test("column mapping composes with deletion vectors and survives a checkpoint") {
+    val t = sampleTable()
+    val out = tmp("delta_ren_dv")
+    DeltaInterop.exportDelta(t, out, tsMillis = 5000L)
+    // DV first: the table is on (3,7) table features when the rename lands
+    assert(DeltaInterop.deleteFromDelta(spark, out, col("id") === 2L, tsMillis = 6000L) == 1L)
+    DeltaInterop.renameDeltaColumn(spark, out, "v", "score", tsMillis = 7000L)
+    val v2 = Files.readAllLines(
+      Paths.get(out, "_delta_log", "0" * 19 + "2.json")).asScala.mkString
+    assert(v2.contains("\"minReaderVersion\":3"), "a table-features table must stay on (3,7)")
+    assert(v2.contains("columnMapping") && v2.contains("deletionVectors"),
+      "the upgrade must ADD columnMapping to the existing feature sets, not replace them")
+    val live = DeltaInterop.readDelta(spark, out)
+    assert(live.columns.toSeq == Seq("id", "k", "score"))
+    assert(live.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L))
+    // a DELETE over the logical view of the mapped table resolves the
+    // renamed predicate column to the files' physical bytes
+    assert(DeltaInterop.deleteFromDelta(spark, out, col("score") > 35.0, tsMillis = 8000L) == 1L)
+    assert(DeltaInterop.readDelta(spark, out)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // checkpoint restates the configuration: replay THROUGH the checkpoint
+    // (log tail empty past it) must still resolve the mapping
+    DeltaInterop.writeDeltaCheckpoint(spark, out, 3L, tsMillis = 9000L)
+    val ckptRead = DeltaInterop.readDelta(spark, out)
+    assert(ckptRead.columns.toSeq == Seq("id", "k", "score"))
+    assert(ckptRead.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // purge on the mapped table writes PHYSICAL-named survivor files
+    val (nf, dead) = DeltaInterop.purgeDeltaDvs(spark, out, tsMillis = 10000L)
+    assert(nf > 0 && dead == 2L)
+    val purged = DeltaInterop.readDelta(spark, out)
+    assert(purged.columns.toSeq == Seq("id", "k", "score"))
+    assert(purged.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("foreign name-mapped table with col-<uuid> physical names reads logically") {
+    import org.apache.spark.sql.types._
+    val root = Paths.get(tmp("delta_foreign_cmap"))
+    val logDir = root.resolve("_delta_log"); Files.createDirectories(logDir)
+    // physical layout: a parquet whose columns are opaque col-<uuid>s —
+    // exactly what Databricks writes for a table CREATEd with mapping on
+    val physIdCol = "col-7a3f" // id
+    val physSCol = "col-9b21"  // s
+    Seq((1L, "a"), (2L, "b")).toDF(physIdCol, physSCol)
+      .coalesce(1).write.mode("overwrite").parquet(root.resolve("stage").toString)
+    val st = Files.list(root.resolve("stage"))
+    val part = try st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      finally st.close()
+    Files.move(part, root.resolve("data0.parquet"))
+    DeltaInterop.deleteRecursively(root.resolve("stage"))
+    def fld(name: String, phys: String, id: Int, tpe: DataType) =
+      StructField(name, tpe, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(
+      fld("id", physIdCol, 1, LongType), fld("s", physSCol, 2, StringType)))
+    val schemaJson = logical.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.write(logDir.resolve("0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"2"}}}""",
+      """{"add":{"path":"data0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+    ).asJava)
+    val got = DeltaInterop.readDelta(spark, root.toString)
+    assert(got.columns.toSeq == Seq("id", "s"))
+    assert(got.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // a mapped table refuses the file-set mirror (logical-named files
+    // would silently read as all-null through the mapping)
+    val t2 = sampleTable()
+    val e = intercept[IllegalArgumentException](
+      DeltaInterop.exportDeltaIncremental(t2, root.toString, tsMillis = 9000L))
+    assert(e.getMessage.contains("column-mapped"))
+  }
+
+  test("vacuumDelta reclaims only unreferenced files; cleanDeltaLog retires covered commits") {
+    val t = sampleTable()
+    val out = tmp("delta_vac")
+    DeltaInterop.exportDelta(t, out, tsMillis = 5000L)
+    // a live DV table vacuums to nothing: the data files are still
+    // referenced (with vectors) and so are the .bin blobs
+    assert(DeltaInterop.deleteFromDelta(spark, out, col("id") % 2 === 0, 6000L) == 2L)
+    assert(DeltaInterop.vacuumDelta(spark, out) == ((0, 0L)),
+      "every file of a live DV table is referenced — vacuum must be a no-op")
+    val (_, dead) = DeltaInterop.purgeDeltaDvs(spark, out, 7000L)
+    assert(dead == 2L)
+    val before = DeltaInterop.readDelta(spark, out).orderBy("id").collect().toSeq
+    // underscore/dot paths are out of vacuum's jurisdiction
+    Files.createDirectories(Paths.get(out, "_extra"))
+    Files.write(Paths.get(out, "_extra", "keep.txt"), Seq("x").asJava)
+    Files.write(Paths.get(out, ".hidden"), Seq("x").asJava)
+    // now the purged originals + their .bin vectors are unreferenced
+    val (vf, vb) = DeltaInterop.vacuumDelta(spark, out)
+    assert(vf > 0 && vb > 0L, s"expected reclaim, got ($vf, $vb)")
+    assert(Files.exists(Paths.get(out, "_extra", "keep.txt")) &&
+      Files.exists(Paths.get(out, ".hidden")),
+      "vacuum must never touch '_'/'.'-prefixed paths")
+    assert(DeltaInterop.readDelta(spark, out).orderBy("id").collect().toSeq == before)
+    assert(DeltaInterop.vacuumDelta(spark, out) == ((0, 0L)), "vacuum is idempotent")
+    // no .bin vectors remain anywhere under the root
+    val walk = Files.walk(Paths.get(out))
+    val bins = try walk.iterator().asScala.count(_.toString.endsWith(".bin"))
+      finally walk.close()
+    assert(bins == 0, "the purged deletion vectors' bytes must be gone")
+
+    // log cleanup: refuses without a checkpoint, then retires commits 0..2
+    assert(intercept[IllegalArgumentException](DeltaInterop.cleanDeltaLog(out))
+      .getMessage.contains("no checkpoint"))
+    DeltaInterop.writeDeltaCheckpoint(spark, out, 2L, tsMillis = 8000L)
+    assert(DeltaInterop.cleanDeltaLog(out) == 3)
+    assert(DeltaInterop.cleanDeltaLog(out) == 0, "cleanup is idempotent")
+    assert(DeltaInterop.readDelta(spark, out).orderBy("id").collect().toSeq == before)
+    // time travel below the horizon is a LOUD missing version
+    assert(intercept[IllegalArgumentException](
+      DeltaInterop.readDelta(spark, out, versionAsOf = Some(0L)))
+      .getMessage.contains("does not exist"))
+  }
+
+  test("deltaVersionAt: timestamp time travel from commitInfo timestamps") {
+    val t = sampleTable()
+    val out = tmp("delta_ts")
+    DeltaInterop.exportDelta(t, out, tsMillis = 5000L)                              // v0
+    assert(DeltaInterop.deleteFromDelta(spark, out, col("id") === 1L, 6000L) == 1L) // v1
+    assert(DeltaInterop.deltaVersionAt(out, 5000L) == 0L)
+    assert(DeltaInterop.deltaVersionAt(out, 5999L) == 0L)
+    assert(DeltaInterop.deltaVersionAt(out, 6000L) == 1L)
+    assert(DeltaInterop.deltaVersionAt(out, Long.MaxValue) == 1L)
+    assert(intercept[IllegalArgumentException](
+      DeltaInterop.deltaVersionAt(out, 4999L)).getMessage.contains("at or before"))
+    // composes with readDelta: the instant between the commits reads v0
+    assert(DeltaInterop.readDelta(spark, out,
+      versionAsOf = Some(DeltaInterop.deltaVersionAt(out, 5500L))).count() == 4L)
+    // log cleanup retires the early instants LOUDLY; the checkpoint-only
+    // version still resolves (by the parquet's mtime)
+    DeltaInterop.writeDeltaCheckpoint(spark, out, 1L, tsMillis = 7000L)
+    assert(DeltaInterop.cleanDeltaLog(out) == 2)
+    assert(intercept[IllegalArgumentException](
+      DeltaInterop.deltaVersionAt(out, 5000L)).getMessage.contains("cleaned"))
+    assert(DeltaInterop.deltaVersionAt(out, Long.MaxValue) == 1L)
+  }
+
+  test("renamed partition column: physical partitionValues keys, logical pruner keys") {
+    val t = TxTable(spark, tmp("delta_ren_part"))
+    val df = Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0), (3L, null, 3.0))
+      .toDF("id", "day", "v")
+    t.append(df, tsMillis = 1000L, partitionBy = Seq("day"))
+    val out = tmp("delta_ren_part_exp")
+    DeltaInterop.exportDelta(t, out, tsMillis = 5000L)
+    DeltaInterop.renameDeltaColumn(spark, out, "day", "dt", tsMillis = 6000L)
+    val live = DeltaInterop.readDelta(spark, out)
+    assert(live.columns.toSeq == Seq("id", "dt", "v"))
+    assert(live.where(col("dt") === "2024-01-02").select("id").as[Long].collect()
+      .toSeq == Seq(2L))
+    assert(live.where(col("dt").isNull).count() == 1L)
+    // the pruner addresses the renamed column by its LOGICAL name
+    val pruned = DeltaInterop.readDeltaPruned(spark, out,
+      keep = pv => pv.get("dt").flatten.contains("2024-01-01"))
+    assert(pruned.select("id").as[Long].collect().toSeq == Seq(1L))
   }
 }

@@ -1294,4 +1294,91 @@ class IcebergInteropSpec extends SparkSpec {
     val linkCount = Files.getAttribute(dataFiles.head, "unix:nlink").asInstanceOf[Int]
     assert(linkCount >= 2, s"expected a hard link, got nlink=$linkCount")
   }
+
+  test("icebergSnapshotAt: snapshot-log timestamp travel; expiry trims the log") {
+    val t = sampleTable()
+    val out = tmp("ice_ts")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)                            // snap1
+    assert(IcebergInterop.deleteFromIceberg(spark, out, col("id") === 1L, 6000L) == 1L) // snap2
+    val snap1 = IcebergInterop.icebergSnapshotAt(out, 5000L)
+    assert(IcebergInterop.icebergSnapshotAt(out, 5999L) == snap1)
+    val snap2 = IcebergInterop.icebergSnapshotAt(out, 6000L)
+    assert(snap1 != snap2 &&
+      IcebergInterop.icebergSnapshotAt(out, Long.MaxValue) == snap2)
+    assert(IcebergInterop.readIceberg(spark, out, snapshotAsOf = Some(snap1)).count() == 4L)
+    assert(IcebergInterop.readIceberg(spark, out, snapshotAsOf = Some(snap2)).count() == 3L)
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.icebergSnapshotAt(out, 4999L)).getMessage.contains("at or before"))
+    // the metadata carries a spec-shaped snapshot-log for foreign engines
+    val metaTxt = new String(Files.readAllBytes(
+      Paths.get(out, "metadata", "v2.metadata.json")))
+    assert(metaTxt.contains("snapshot-log"))
+    // expiry prunes the log WITH the snapshots: an expired instant must
+    // refuse, never silently resolve to a different snapshot's view
+    assert(IcebergInterop.expireIcebergSnapshots(spark, out, keepLast = 1, 7000L)._1 == 1)
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.icebergSnapshotAt(out, 5500L)).getMessage.contains("expired"))
+    assert(IcebergInterop.icebergSnapshotAt(out, 6000L) == snap2)
+  }
+
+  test("expireIcebergSnapshots: shared-manifest safety, physical reclaim, loud expired reads") {
+    val t = TxTable(spark, tmp("ice_expire_src"))
+    t.append((0L until 20L).map(i => (i, i * 2.0)).toDF("id", "v").coalesce(1),
+      tsMillis = 1000L)
+    t.append((20L until 40L).map(i => (i, i * 2.0)).toDF("id", "v").coalesce(1),
+      tsMillis = 2000L)
+    val out = tmp("ice_expire_exp")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)                          // snap1
+    assert(IcebergInterop.deleteFromIceberg(spark, out, col("id") < 4, 6000L) == 4L) // snap2
+    assert(IcebergInterop.compactIcebergDeletes(spark, out, 7000L)._1 == 1)          // snap3
+    def snapOf(v: Int): Long = {
+      val txt = new String(Files.readAllBytes(Paths.get(out, "metadata", s"v$v.metadata.json")))
+      """"current-snapshot-id" : (\d+)""".r.findFirstMatchIn(txt).get.group(1).toLong
+    }
+    val (snap1, snap2) = (snapOf(1), snapOf(2))
+    val pre = IcebergInterop.readIceberg(spark, out).orderBy("id").collect().toSeq
+    // the export's two original files: after compaction the live view is
+    // (carried original + compacted survivor) — the REPLACED original and
+    // the delete parquet stay on disk only for snap1/snap2 time travel
+    val originals = Files.list(Paths.get(out, "data")).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet")).toSet
+    assert(originals.size == 2)
+    val liveFiles = IcebergInterop.readIceberg(spark, out).inputFiles.toSet
+    val carried = originals.filter(p => liveFiles.exists(_.endsWith(p.getFileName.toString)))
+    val replaced = originals.diff(carried)
+    assert(carried.size == 1 && replaced.size == 1)
+
+    // keepLast=2: only snap1 expires — its data manifest AND both data
+    // files are SHARED with snap2 (the delete commit reuses the export's
+    // manifests verbatim), so reclaim must touch only snap1's own
+    // manifest list; snap2 still time-travels to the masked view
+    val (e1, f1, b1) = IcebergInterop.expireIcebergSnapshots(spark, out, keepLast = 2, 8000L)
+    assert(e1 == 1 && f1 == 1 && b1 > 0L,
+      s"expected exactly snap1's manifest list reclaimed, got ($e1, $f1, $b1)")
+    assert(IcebergInterop.readIceberg(spark, out).orderBy("id").collect().toSeq == pre)
+    assert(IcebergInterop.readIceberg(spark, out, snapshotAsOf = Some(snap2)).count() == 36L,
+      "a KEPT snapshot must still time-travel after a partial expire")
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.readIceberg(spark, out, snapshotAsOf = Some(snap1)))
+      .getMessage.contains("does not exist"))
+
+    // keepLast=1: snap2 expires — now the replaced original data file,
+    // the delete parquet, the shared manifest, and the delete manifest
+    // all become unreachable and are physically reclaimed
+    val (e2, f2, _) = IcebergInterop.expireIcebergSnapshots(spark, out, keepLast = 1, 9000L)
+    assert(e2 == 1 && f2 >= 4, s"expected >=4 files reclaimed, got ($e2, $f2)")
+    val post = IcebergInterop.readIceberg(spark, out)
+    assert(post.orderBy("id").collect().toSeq == pre)
+    // the replaced original's bytes are reclaimed; the carried one survives
+    assert(!Files.exists(replaced.head),
+      "the superseded data file's bytes must be reclaimed")
+    assert(Files.exists(carried.head),
+      "the carried data file must survive the expire")
+    // idempotent; keepLast bounds checked
+    assert(IcebergInterop.expireIcebergSnapshots(spark, out, keepLast = 1, 9500L)
+      == ((0, 0, 0L)))
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.expireIcebergSnapshots(spark, out, keepLast = 0))
+      .getMessage.contains("keepLast"))
+  }
 }
