@@ -3568,6 +3568,83 @@ object SparkEntry {
     live.orderBy("event_id")
   }
 
+  /** Fixed export target for [[b5IcebergRename]] — same oracle shape as
+    * the Delta twin: the bytes still carry the original column name
+    * (renames are metadata-only), so the oracle aliases it. */
+  private val B5IcebergRenamePath = "/root/repo/target/graft_export/b5_iceberg_rename"
+
+  /** B5 — ICEBERG COLUMN RENAME, both directions (round-10 extension,
+    * the Iceberg twin of [[b5DeltaRename]] — schema evolution is what
+    * the spec's field-ids exist for):
+    * [[graft.sources.IcebergInterop.renameIcebergColumn]] renames
+    * `value` twice as METADATA-ONLY commits (a new schema version per
+    * rename, every field-id unchanged, no snapshot — plus the spec's
+    * `schema.name-mapping.default` property so foreign engines resolve
+    * the id-less hard-linked files), and
+    * [[graft.sources.IcebergInterop.readIceberg]] resolves the old
+    * files' physical names by FIELD-ID semantics: the scan requests
+    * every historic name side by side and coalesces the at-most-one
+    * present per file — one scan, no per-file dispatch. In-query
+    * certificates: (1) both renames move zero data files; (2) the live
+    * view is bit-identical up to the column name; (3) filtering on the
+    * NEW name resolves the OLD bytes (position-delete composition); (4)
+    * time travel to the pre-rename snapshot reads the OLD name
+    * (snapshots are schema-pinned). DuckDB oracle aliases the physical
+    * column over the untouched bytes.
+    */
+  private def b5IcebergRename(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergInterop, TxTable}
+    import java.nio.file.{Files, Paths}
+    val renamedCols = Seq("event_id", "user_id", "event_type", "score", "ts")
+    val t = TxTable(s, txTpl(s, dir, "b5_z"))
+    IcebergInterop.exportIceberg(t, B5IcebergRenamePath, tsMillis = 5000L)
+    val predCount = t.read().where(col("event_id") % 5 === 0).count()
+    require(IcebergInterop.deleteFromIceberg(s, B5IcebergRenamePath,
+        col("event_id") % 5 === 0, tsMillis = 6000L) == predCount,
+      "b5_iceberg_rename: the position delete must cover the predicate exactly")
+    def sig(df: DataFrame, c: Seq[String]) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(c.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val baseline = sig(IcebergInterop.readIceberg(s, B5IcebergRenamePath),
+      Seq("event_id", "user_id", "event_type", "value", "ts"))
+    def fileSet = {
+      val st = Files.list(Paths.get(B5IcebergRenamePath, "data"))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSet
+      } finally st.close()
+    }
+    val filesBefore = fileSet
+    IcebergInterop.renameIcebergColumn(s, B5IcebergRenamePath, "value", "points", 7000L)
+    IcebergInterop.renameIcebergColumn(s, B5IcebergRenamePath, "points", "score", 8000L)
+    require(fileSet == filesBefore,
+      "b5_iceberg_rename: a rename must move ZERO data files")
+    val live = IcebergInterop.readIceberg(s, B5IcebergRenamePath)
+      .select(renamedCols.map(col).toIndexedSeq: _*)
+    require(sig(live, renamedCols) == baseline,
+      "b5_iceberg_rename: the renamed live view must be bit-identical to " +
+        "the pre-rename view up to the column name")
+    // filtering on the NEW name must resolve the OLD physical bytes
+    val wantHigh = t.read()
+      .where(col("event_id") % 5 =!= 0 && col("value") > 50.0).count()
+    require(live.where(col("score") > 50.0).count() == wantHigh,
+      "b5_iceberg_rename: a predicate on the renamed column must see the " +
+        "old files' values, not nulls")
+    // snapshots are schema-pinned: the delete snapshot reads the OLD name
+    val v2Txt = new String(Files.readAllBytes(Paths.get(
+      B5IcebergRenamePath, "metadata", "v2.metadata.json")), "UTF-8")
+    val snap2 = """"current-snapshot-id" : (\d+)""".r
+      .findFirstMatchIn(v2Txt).get.group(1).toLong
+    val travelCols = IcebergInterop.readIceberg(s, B5IcebergRenamePath,
+      snapshotAsOf = Some(snap2)).columns.toSeq
+    require(travelCols.contains("value") && !travelCols.contains("score"),
+      s"b5_iceberg_rename: the pre-rename snapshot must read the old " +
+        s"column name ($travelCols)")
+    live.orderBy("event_id")
+  }
+
   /** Fixed export target for [[b5IcebergExpire]] — after the expire the
     * ONLY data bytes on disk are the compacted survivors, so the oracle
     * globs `data/compacted/` with NO post-filter: physical disk state ≡
@@ -5562,6 +5639,7 @@ object SparkEntry {
     "b5_delta_rename"    -> (b5DeltaRename _),
     "b5_delta_vacuum"    -> (b5DeltaVacuum _),
     "b5_iceberg_expire"  -> (b5IcebergExpire _),
+    "b5_iceberg_rename"  -> (b5IcebergRename _),
     "b5_iceberg_bucket_str" -> (b5IcebergBucketStr _),
     "b5_tx_cluster_days" -> (b5TxClusterDays _),
     "b5_iceberg_composite" -> (b5IcebergComposite _),
@@ -6215,6 +6293,14 @@ object SparkEntry {
     "b5_delta_vacuum" ->
       """SELECT event_id, user_id, event_type, value, ts
         |FROM parquet_scan('/root/repo/target/graft_export/b5_delta_vacuum/compacted/*.parquet')
+        |ORDER BY event_id""".stripMargin,
+    // the Iceberg rename is metadata-only like the Delta one: physical
+    // bytes keep the old name (aliased) and the position delete stays
+    // logical (post-filtered)
+    "b5_iceberg_rename" ->
+      """SELECT event_id, user_id, event_type, value AS score, ts
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_rename/data/*.parquet')
+        |WHERE event_id % 5 <> 0
         |ORDER BY event_id""".stripMargin,
     // the Delta twin: DuckDB reconstructs `day` from the Hive directory
     // names and recomputes the same cut over ALL files — an over-eager

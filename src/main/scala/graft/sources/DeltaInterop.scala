@@ -921,82 +921,54 @@ object DeltaInterop {
     * rather than clobbering.
     *
     * @return the number of newly deleted row positions (0 = no commit). */
-  /** Rename a top-level column of a Delta table as a METADATA-ONLY commit
-    * — zero data files touched, O(1) I/O at any table size. This is what
-    * Delta's column mapping exists for (PROTOCOL.md, Column Mapping): on a
-    * plain table the commit first UPGRADES to `name` mode by assigning
-    * every field (recursively) a stable `delta.columnMapping.id` and a
-    * physical name equal to its current name — the existing parquet files
-    * become the physical layout as-is — then the rename changes only the
-    * LOGICAL name while the field keeps its physical name and id, so
-    * every reader resolving through the mapping (including [[readDelta]])
-    * sees the new name over the old bytes. Time travel below the rename
-    * still reads the old name: the mapping is versioned metadata like any
-    * other.
-    *
-    * Protocol: a plain table upgrades to the legacy column-mapping pair
-    * (2, 5); a table already on table features — e.g. one
-    * [[deleteFromDelta]] has raised to (3, 7) — adds `columnMapping` to
-    * BOTH feature sets instead (reader-writer features must be listed at
-    * mrv 3). Renaming a partition column is legal: `partitionValues` keys
-    * are physical and do not move.
-    *
-    * Refuses: a missing source column, a target name already taken
-    * (Delta names are case-insensitively unique), and self-renames. */
-  def renameDeltaColumn(spark: SparkSession, path: String,
-      oldName: String, newName: String,
-      tsMillis: Long = System.currentTimeMillis()): Unit = {
+  /** Upgrade a logical schema to column-mapping NAME mode: every field
+    * (recursively) gets a stable `delta.columnMapping.id` and a physical
+    * name equal to its current name, so the existing parquet files become
+    * the physical layout as-is. Identity when already mapped.
+    * @return (mapped schema, table configuration, whether an upgrade
+    *   protocol action must be committed) */
+  private def upgradeToNameMode(schema: StructType, meta: TableMeta)
+      : (StructType, Map[String, String], Boolean) = {
     import org.apache.spark.sql.types.{ArrayType, MapType, MetadataBuilder}
-    val root = Paths.get(path).toAbsolutePath
-    val logDir = root.resolve(LogDirName)
-    require(Files.isDirectory(logDir), s"no Delta table at $path (missing $LogDirName)")
-    val (cur, _, metaOpt, proto) = replayState(spark, root, None)
-    val meta = metaOpt.getOrElse(throw new IllegalStateException(
-      s"Delta log at $path carries no metaData action"))
-    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-    require(schema.fieldNames.contains(oldName),
-      s"Delta table $path has no column '$oldName' " +
-        s"(schema: ${schema.fieldNames.mkString(", ")})")
-    require(oldName != newName,
-      s"renaming '$oldName' to itself — refusing to commit a no-op")
-    require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
-      s"Delta table $path already has a column '$newName' " +
-        "(Delta column names are case-insensitively unique)")
+    if (meta.mapped) return (schema, meta.config, false)
+    var nextId = 0L
+    def assign(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        nextId += 1
+        val md = new MetadataBuilder().withMetadata(f.metadata)
+          .putString(PhysNameKey, f.name)
+          .putLong(ColIdKey, nextId)
+          .build()
+        f.copy(metadata = md, dataType = assign(f.dataType))
+      })
+      case ArrayType(et, n) => ArrayType(assign(et), n)
+      case MapType(k, v, n) => MapType(assign(k), assign(v), n)
+      case other => other
+    }
+    val s2 = assign(schema).asInstanceOf[StructType]
+    (s2, meta.config ++ Map(
+      "delta.columnMapping.mode" -> "name",
+      "delta.columnMapping.maxColumnId" -> nextId.toString), true)
+  }
 
-    val (mappedSchema, config, upgraded) =
-      if (meta.mapped) (schema, meta.config, false)
-      else {
-        var nextId = 0L
-        def assign(dt: DataType): DataType = dt match {
-          case st: StructType => StructType(st.fields.map { f =>
-            nextId += 1
-            val md = new MetadataBuilder().withMetadata(f.metadata)
-              .putString(PhysNameKey, f.name)
-              .putLong(ColIdKey, nextId)
-              .build()
-            f.copy(metadata = md, dataType = assign(f.dataType))
-          })
-          case ArrayType(et, n) => ArrayType(assign(et), n)
-          case MapType(k, v, n) => MapType(assign(k), assign(v), n)
-          case other => other
-        }
-        val s2 = assign(schema).asInstanceOf[StructType]
-        (s2, meta.config ++ Map(
-          "delta.columnMapping.mode" -> "name",
-          "delta.columnMapping.maxColumnId" -> nextId.toString), true)
-      }
-    val renamed = StructType(mappedSchema.fields.map(f =>
-      if (f.name == oldName) f.copy(name = newName) else f))
-    val newPartCols = meta.partCols.map(c => if (c == oldName) newName else c)
-
+  /** Commit a metadata-only schema change: commitInfo + (on upgrade) the
+    * column-mapping protocol — a plain table takes the legacy (2,5)
+    * pair; a table already on table features adds `columnMapping` to
+    * BOTH feature sets (reader-writer features must be listed at mrv 3)
+    * — + the restated metaData. CREATE_NEW = put-if-absent: a racing
+    * writer collides loudly. */
+  private def commitSchemaChange(logDir: Path, cur: Long, meta: TableMeta,
+      proto: ProtocolInfo, path: String, operation: String,
+      newSchema: StructType, newPartCols: Seq[String],
+      config: Map[String, String], upgraded: Boolean, tsMillis: Long): Unit = {
     val m = mapper
     def obj() = m.createObjectNode()
     val lines = Seq.newBuilder[String]
     val commitInfo = obj()
     commitInfo.putObject("commitInfo")
       .put("timestamp", tsMillis)
-      .put("operation", "RENAME COLUMN")
-      .put("engineInfo", "graft-delta-rename")
+      .put("operation", operation)
+      .put("engineInfo", "graft-delta-schema")
     lines += m.writeValueAsString(commitInfo)
     if (upgraded) {
       val protocol = obj()
@@ -1021,16 +993,88 @@ object DeltaInterop {
     val fmt = md.putObject("format")
     fmt.put("provider", "parquet")
     fmt.putObject("options")
-    md.put("schemaString", renamed.json)
+    md.put("schemaString", newSchema.json)
     val pcArr = md.putArray("partitionColumns")
     newPartCols.foreach(pcArr.add)
     val cfgNode = md.putObject("configuration")
     config.toSeq.sortBy(_._1).foreach { case (k, v) => cfgNode.put(k, v) }
     md.put("createdTime", tsMillis)
     lines += m.writeValueAsString(metaData)
-    // CREATE_NEW = put-if-absent: a racing writer collides loudly
     Files.write(logDir.resolve(f"${cur + 1}%020d.json"), lines.result().asJava,
       java.nio.file.StandardOpenOption.CREATE_NEW)
+  }
+
+  /** Rename a top-level column of a Delta table as a METADATA-ONLY commit
+    * — zero data files touched, O(1) I/O at any table size. This is what
+    * Delta's column mapping exists for (PROTOCOL.md, Column Mapping): on a
+    * plain table the commit first UPGRADES to `name` mode
+    * ([[upgradeToNameMode]]), then the rename changes only the LOGICAL
+    * name while the field keeps its physical name and id, so every reader
+    * resolving through the mapping (including [[readDelta]]) sees the new
+    * name over the old bytes. Time travel below the rename still reads
+    * the old name: the mapping is versioned metadata like any other.
+    * Renaming a partition column is legal: `partitionValues` keys are
+    * physical and do not move.
+    *
+    * Refuses: a missing source column, a target name already taken
+    * (Delta names are case-insensitively unique), and self-renames. */
+  def renameDeltaColumn(spark: SparkSession, path: String,
+      oldName: String, newName: String,
+      tsMillis: Long = System.currentTimeMillis()): Unit = {
+    val root = Paths.get(path).toAbsolutePath
+    val logDir = root.resolve(LogDirName)
+    require(Files.isDirectory(logDir), s"no Delta table at $path (missing $LogDirName)")
+    val (cur, _, metaOpt, proto) = replayState(spark, root, None)
+    val meta = metaOpt.getOrElse(throw new IllegalStateException(
+      s"Delta log at $path carries no metaData action"))
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(oldName),
+      s"Delta table $path has no column '$oldName' " +
+        s"(schema: ${schema.fieldNames.mkString(", ")})")
+    require(oldName != newName,
+      s"renaming '$oldName' to itself — refusing to commit a no-op")
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"Delta table $path already has a column '$newName' " +
+        "(Delta column names are case-insensitively unique)")
+    val (mappedSchema, config, upgraded) = upgradeToNameMode(schema, meta)
+    val renamed = StructType(mappedSchema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val newPartCols = meta.partCols.map(c => if (c == oldName) newName else c)
+    commitSchemaChange(logDir, cur, meta, proto, path, "RENAME COLUMN",
+      renamed, newPartCols, config, upgraded, tsMillis)
+  }
+
+  /** Drop a top-level column of a Delta table as a METADATA-ONLY commit
+    * — the other operation column mapping exists for: the field leaves
+    * the logical schema while the physical column stays in the files,
+    * never requested again by readers (zero data movement; the bytes are
+    * reclaimed whenever the files are next rewritten). A plain table
+    * upgrades to name mode first, exactly like [[renameDeltaColumn]].
+    * Time travel below the drop still reads the column. Refuses:
+    * missing column, partition columns (their values live in the log,
+    * not the files — dropping one is a repartition, not a metadata
+    * edit), and dropping the last column. */
+  def dropDeltaColumn(spark: SparkSession, path: String, name: String,
+      tsMillis: Long = System.currentTimeMillis()): Unit = {
+    val root = Paths.get(path).toAbsolutePath
+    val logDir = root.resolve(LogDirName)
+    require(Files.isDirectory(logDir), s"no Delta table at $path (missing $LogDirName)")
+    val (cur, _, metaOpt, proto) = replayState(spark, root, None)
+    val meta = metaOpt.getOrElse(throw new IllegalStateException(
+      s"Delta log at $path carries no metaData action"))
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    require(schema.fieldNames.contains(name),
+      s"Delta table $path has no column '$name' " +
+        s"(schema: ${schema.fieldNames.mkString(", ")})")
+    require(!meta.partCols.contains(name),
+      s"'$name' is a partition column of $path — dropping it is a " +
+        "repartition, not a metadata edit")
+    require(schema.fields.length > 1,
+      s"refusing to drop the last column of $path")
+    val (mappedSchema, config, upgraded) = upgradeToNameMode(schema, meta)
+    val dropped = StructType(mappedSchema.fields.filterNot(_.name == name))
+    commitSchemaChange(logDir, cur, meta, proto, path, "DROP COLUMNS",
+      dropped, meta.partCols, config, upgraded, tsMillis)
   }
 
   def deleteFromDelta(spark: SparkSession, path: String,

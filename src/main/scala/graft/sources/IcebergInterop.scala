@@ -641,6 +641,17 @@ object IcebergInterop {
     val newFiles = snap.files.filterNot(liveStats.contains)
     val removedFiles = live.map(_._1).filterNot(snapSet)
     val schemaChanged = prevSchema != schema
+    // positional field-ids are only honest for APPEND-ONLY (or positional
+    // RENAME) evolution: a dropped or reordered column would silently
+    // re-assign existing ids to different data — a spec violation no
+    // reader can detect, so it refuses here instead
+    require(!schemaChanged ||
+        (prevSchema.fields.length <= schema.fields.length &&
+          prevSchema.fields.zip(schema.fields)
+            .forall { case (a, b) => a.dataType == b.dataType }),
+      s"schema change at $target is not append-only/rename (a drop, reorder, " +
+        "or type change) — positional field-ids cannot mirror it faithfully; " +
+        "re-export from scratch")
     if (newFiles.isEmpty && removedFiles.isEmpty && !schemaChanged) return prevVersion
 
     val srcData = Paths.get(snap.dataDir)
@@ -810,10 +821,18 @@ object IcebergInterop {
     require(names.distinct.size == names.size,
       s"Iceberg table $path has duplicate data-file names — position " +
         "deletes cannot be recorded unambiguously; unsupported layout")
-    val base = spark.read.schema(schema)
+    // renamed columns resolve like the reader: aliased scan + coalesce,
+    // so the predicate sees every file's values under the CURRENT names
+    val aliases = renameAliases(meta, path,
+      Option(meta.get("current-schema-id")).map(_.asInt))
+    val base0 = spark.read.schema(aliasedScanSchema(schema, aliases))
       .parquet(dataFiles.map(_.resolved.toString): _*)
       .withColumn("__gdel_file", col("_metadata.file_name"))
       .withColumn("__gdel_pos", col("_metadata.row_index"))
+    val base =
+      if (aliases.isEmpty) base0
+      else base0.select((schema.fields.map(aliasCol(_, aliases)) :+
+        col("__gdel_file") :+ col("__gdel_pos")).toIndexedSeq: _*)
     val afterPos = delFrame
       .map(d => base.join(d, Seq("__gdel_file", "__gdel_pos"), "left_anti"))
       .getOrElse(base)
@@ -925,6 +944,16 @@ object IcebergInterop {
         s"Iceberg table $path current snapshot $curId is missing from the log"))
     val keyCols = keys.columns.toSeq
     require(keyCols.nonEmpty, "deleteFromIcebergByKey: the key frame has no columns")
+    // the reader anchors equality deletes at the SCAN under current
+    // names; a renamed key column would anti-join against nulls for
+    // pre-rename files and silently resurrect rows — refuse at write
+    val renamed = renameAliases(meta, path,
+      Option(meta.get("current-schema-id")).map(_.asInt))
+    keyCols.filter(renamed.contains).foreach(c =>
+      throw new IllegalArgumentException(
+        s"deleteFromIcebergByKey: column '$c' of $path has been renamed — " +
+          "equality deletes cannot anchor across both physical names; " +
+          "compact the table to the current names first"))
     val nameToId = schemaFieldIdToName(meta, path).map(_.swap)
     val ids = keyCols.map(c => nameToId.getOrElse(c,
       throw new IllegalArgumentException(
@@ -1167,11 +1196,17 @@ object IcebergInterop {
     Files.createDirectories(compDir)
     val stage = Files.createTempDirectory("graft_ice_compact")
     val newFiles: Seq[ManifestFile] = try {
-      spark.read.schema(schema).parquet(rewrite.map(_.resolved.toString): _*)
+      // renamed columns: aliased scan + coalesce, and the survivors are
+      // WRITTEN under the current names — compaction doubles as the
+      // physical migration path that retires historic column names
+      val aliases = renameAliases(meta, path,
+        Option(meta.get("current-schema-id")).map(_.asInt))
+      spark.read.schema(aliasedScanSchema(schema, aliases))
+        .parquet(rewrite.map(_.resolved.toString): _*)
         .withColumn("__gdel_file", col("_metadata.file_name"))
         .withColumn("__gdel_pos", col("_metadata.row_index"))
         .join(delFrame, Seq("__gdel_file", "__gdel_pos"), "left_anti")
-        .drop("__gdel_file", "__gdel_pos")
+        .select(schema.fields.map(aliasCol(_, aliases)).toIndexedSeq: _*)
         .write.mode("overwrite").parquet(stage.toString)
       val walk = Files.walk(stage)
       val staged = try walk.iterator().asScala
@@ -1366,6 +1401,168 @@ object IcebergInterop {
       .map(p => scala.util.Try(Files.size(p)).getOrElse(0L)).sum
     victims.foreach(Files.deleteIfExists(_))
     (expired.size, victims.size, bytes)
+  }
+
+  /** Rename a top-level column of an Iceberg table as a METADATA-ONLY
+    * commit — the operation field-ids exist for (spec: Schema Evolution):
+    * a new schema version keeps every field-id and changes only the
+    * name, so zero data bytes move and old files keep their physical
+    * column name. [[readIceberg]] resolves those files with field-id
+    * semantics ([[renameAliases]]: the scan requests every historic name
+    * and coalesces the at-most-one physically present per file), and the
+    * commit also (re)writes the spec's `schema.name-mapping.default`
+    * property so FOREIGN engines resolve the id-less hard-linked files
+    * the same way.
+    *
+    * No snapshot is created (a rename changes no data); existing
+    * snapshots keep their recorded schema-id, so time travel still reads
+    * each snapshot under the names it was written with.
+    *
+    * Refuses: a missing source column, self-renames, a target name any
+    * schema version ever used for a DIFFERENT field id (the reader's
+    * rename+re-add refusal, enforced at write time), and renaming a
+    * partition-spec source column (partition reconstruction across
+    * physical names is unsupported). */
+  def renameIcebergColumn(spark: SparkSession, path: String,
+      oldName: String, newName: String,
+      tsMillis: Long = System.currentTimeMillis()): Unit = {
+    val root = Paths.get(path).toAbsolutePath
+    val metaDir = root.resolve("metadata")
+    require(Files.isDirectory(metaDir), s"no Iceberg table at $path (missing metadata/)")
+    val meta = currentMetadata(metaDir, path)
+    val fv = meta.get("format-version").asInt
+    require(fv == 1 || fv == 2,
+      s"Iceberg table $path has format-version $fv — only v1/v2 are supported")
+    val nodes = allSchemaNodes(meta)
+    require(nodes.nonEmpty, s"Iceberg table $path carries no schema")
+    val curId = Option(meta.get("current-schema-id")).map(_.asInt).getOrElse(0)
+    val cur = nodes.find(n => Option(n.get("schema-id")).exists(_.asInt == curId))
+      .getOrElse(nodes.last)
+    val curPairs = schemaIdNames(cur)
+    require(oldName != newName,
+      s"renaming '$oldName' to itself — refusing to commit a no-op")
+    val oldId = curPairs.find(_._2 == oldName).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"Iceberg table $path has no column '$oldName' " +
+          s"(schema: ${curPairs.map(_._2).mkString(", ")})"))
+    require(!curPairs.exists(_._2 == newName),
+      s"Iceberg table $path already has a column '$newName'")
+    nodes.flatMap(schemaIdNames).find(p => p._2 == newName && p._1 != oldId)
+      .foreach { p =>
+        throw new IllegalArgumentException(
+          s"'$newName' already named field id ${p._1} in an earlier schema " +
+            s"version of $path — reusing it for a different field would make " +
+            "old data files unresolvable")
+      }
+    defaultSpecFields(meta).foreach { f =>
+      require(Option(f.get("source-id")).forall(_.asInt != oldId),
+        s"Iceberg table $path partitions by a transform of '$oldName' — " +
+          "renaming a partition source column is unsupported")
+    }
+
+    val newSchemaId = nodes.flatMap(n => Option(n.get("schema-id")).map(_.asInt))
+      .foldLeft(0)(math.max) + 1
+    val newSchema = cur.deepCopy[ObjectNode]()
+    newSchema.put("schema-id", newSchemaId)
+    newSchema.get("fields").elements().asScala.foreach {
+      case f: ObjectNode if f.get("name").asText == oldName => f.put("name", newName)
+      case _ => ()
+    }
+    commitIcebergSchema(metaDir, path, meta, nodes, curId, newSchema, tsMillis)
+  }
+
+  /** Publish a new CURRENT schema version as a metadata-only commit (no
+    * snapshot — schema evolution changes no data): the version rides the
+    * `schemas` history (legacy single-"schema" tables get the array
+    * materialized), the v1 legacy `schema` field is restated, and the
+    * spec's `schema.name-mapping.default` property is rebuilt over every
+    * version so foreign readers resolve files WITHOUT parquet field ids
+    * (ours are hard-linked from the source) by name → field-id. */
+  private def commitIcebergSchema(metaDir: Path, path: String,
+      meta: JsonNode, nodes: Seq[JsonNode], curId: Int,
+      newSchema: ObjectNode, tsMillis: Long): Unit = {
+    val m = mapper
+    val rootNode = meta.deepCopy[ObjectNode]()
+    val schemasArr = Option(rootNode.get("schemas")) match {
+      case Some(a: ArrayNode) if a.size() > 0 => a
+      case _ =>
+        // legacy single-"schema" table: materialize the history array
+        val a = rootNode.putArray("schemas")
+        nodes.foreach { n =>
+          val c = n.deepCopy[ObjectNode]()
+          if (!c.has("schema-id")) c.put("schema-id", curId)
+          a.add(c)
+        }
+        a
+    }
+    schemasArr.add(newSchema)
+    rootNode.set[ObjectNode]("schema", newSchema.deepCopy[ObjectNode]()) // v1 legacy field
+    rootNode.put("current-schema-id", newSchema.get("schema-id").asInt)
+    rootNode.put("last-updated-ms", tsMillis)
+    val mappingArr = m.createArrayNode()
+    (nodes :+ (newSchema: JsonNode)).flatMap(schemaIdNames)
+      .groupBy(_._1).toSeq.sortBy(_._1).foreach { case (id, pairs) =>
+        val e = m.createObjectNode()
+        e.put("field-id", id)
+        val namesArr = e.putArray("names")
+        pairs.map(_._2).distinct.foreach(namesArr.add)
+        mappingArr.add(e)
+      }
+    val props = Option(rootNode.get("properties")) match {
+      case Some(o: ObjectNode) => o
+      case _                   => rootNode.putObject("properties")
+    }
+    props.put("schema.name-mapping.default", m.writeValueAsString(mappingArr))
+    val prevVersion = currentMetadataVersion(metaDir, path)
+    val newVersion = prevVersion + 1
+    Files.write(metaDir.resolve(s"v$newVersion.metadata.json"),
+      Seq(m.writerWithDefaultPrettyPrinter().writeValueAsString(rootNode)).asJava,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    Files.write(metaDir.resolve("version-hint.text"),
+      Seq(newVersion.toString).asJava)
+  }
+
+  /** Drop a top-level column of an Iceberg table as a METADATA-ONLY
+    * commit: a new schema version without the field (every other
+    * field-id unchanged; the id is never reused — the spec's permanence
+    * rule), zero data bytes moved. Old files keep the physical column;
+    * readers simply never request it again, and snapshots below the drop
+    * still read it (schema-pinned time travel). Refuses: missing column,
+    * partition-spec source columns, and dropping the last column. */
+  def dropIcebergColumn(spark: SparkSession, path: String, name: String,
+      tsMillis: Long = System.currentTimeMillis()): Unit = {
+    val root = Paths.get(path).toAbsolutePath
+    val metaDir = root.resolve("metadata")
+    require(Files.isDirectory(metaDir), s"no Iceberg table at $path (missing metadata/)")
+    val meta = currentMetadata(metaDir, path)
+    val fv = meta.get("format-version").asInt
+    require(fv == 1 || fv == 2,
+      s"Iceberg table $path has format-version $fv — only v1/v2 are supported")
+    val nodes = allSchemaNodes(meta)
+    require(nodes.nonEmpty, s"Iceberg table $path carries no schema")
+    val curId = Option(meta.get("current-schema-id")).map(_.asInt).getOrElse(0)
+    val cur = nodes.find(n => Option(n.get("schema-id")).exists(_.asInt == curId))
+      .getOrElse(nodes.last)
+    val curPairs = schemaIdNames(cur)
+    val dropId = curPairs.find(_._2 == name).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"Iceberg table $path has no column '$name' " +
+          s"(schema: ${curPairs.map(_._2).mkString(", ")})"))
+    require(curPairs.size > 1, s"refusing to drop the last column of $path")
+    defaultSpecFields(meta).foreach { f =>
+      require(Option(f.get("source-id")).forall(_.asInt != dropId),
+        s"Iceberg table $path partitions by a transform of '$name' — " +
+          "dropping a partition source column is unsupported")
+    }
+    val newSchemaId = nodes.flatMap(n => Option(n.get("schema-id")).map(_.asInt))
+      .foldLeft(0)(math.max) + 1
+    val newSchema = cur.deepCopy[ObjectNode]()
+    newSchema.put("schema-id", newSchemaId)
+    val keptFields = newSchema.get("fields").elements().asScala.toSeq
+      .filterNot(f => f.get("name").asText == name)
+    val fieldsArr = newSchema.putArray("fields")
+    keptFields.foreach(fieldsArr.add)
+    commitIcebergSchema(metaDir, path, meta, nodes, curId, newSchema, tsMillis)
   }
 
   /** One v2 manifest-list row (the full required field set — foreign v2
@@ -1816,6 +2013,86 @@ object IcebergInterop {
     atOrBelow.maxBy(e => e.get("timestamp-ms").asLong).get("snapshot-id").asLong
   }
 
+  /** Every schema version the metadata carries (the `schemas` array, or
+    * the legacy single `schema` field as a one-element history). */
+  private def allSchemaNodes(meta: JsonNode): Seq[JsonNode] =
+    Option(meta.get("schemas")).map(_.elements().asScala.toSeq)
+      .filter(_.nonEmpty)
+      .orElse(Option(meta.get("schema")).map(Seq(_)))
+      .getOrElse(Seq.empty)
+
+  private def schemaIdNames(n: JsonNode): Seq[(Int, String)] =
+    Option(n.get("fields")).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+      .flatMap(f => for {
+        i <- Option(f.get("id"))
+        nm <- Option(f.get("name"))
+      } yield (i.asInt, nm.asText))
+
+  /** For each column of the schema being read, the DIFFERENT names its
+    * field-id carried under other schema versions — i.e. the PHYSICAL
+    * column names pre-rename data files still hold (renames are
+    * metadata-only; no bytes move). The reader resolves them with
+    * field-id semantics: the scan requests read-name and aliases side by
+    * side (a file physically carries at most one) and coalesces.
+    *
+    * Refuses the rename + re-add pattern loudly: an alias equal to a
+    * read-schema name of a DIFFERENT field-id would need per-file schema
+    * provenance to disambiguate — prefer unreadable over wrong. */
+  private def renameAliases(meta: JsonNode, path: String,
+      readSchemaId: Option[Int]): Map[String, Seq[String]] = {
+    val nodes = allSchemaNodes(meta)
+    if (nodes.size <= 1) return Map.empty
+    val read = readSchemaId.flatMap(id =>
+        nodes.find(n => Option(n.get("schema-id")).exists(_.asInt == id)))
+      .getOrElse(nodes.last)
+    val readPairs = schemaIdNames(read)
+    val readNameById = readPairs.toMap
+    val readNames = readPairs.map(_._2).toSet
+    val historic = nodes.filterNot(_ eq read).flatMap(schemaIdNames).distinct
+    // drop + re-add of one name: an old file physically carries the
+    // DROPPED field's bytes under a name the read schema now assigns to
+    // a different id — the scan would silently leak them; refuse
+    historic.foreach { case (id, nm) =>
+      if (!readNameById.contains(id))
+        require(!readNames.contains(nm),
+          s"Iceberg table $path reuses column name '$nm' of a dropped " +
+            s"field (id $id) for a different field — old files' bytes " +
+            "would leak into the new column; unreadable")
+    }
+    val aliasesById: Map[Int, Seq[String]] = historic
+      .filter { case (id, nm) => readNameById.get(id).exists(_ != nm) }
+      .groupBy(_._1).map { case (id, seq) => id -> seq.map(_._2).distinct }
+    if (aliasesById.isEmpty) return Map.empty
+    aliasesById.foreach { case (id, names) =>
+      names.foreach(nm => require(!readNames.contains(nm),
+        s"Iceberg table $path reuses column name '$nm' for a different " +
+          s"field id than the one it named before a rename (id $id) — " +
+          "resolving it would need per-file schema provenance; unreadable"))
+    }
+    aliasesById.map { case (id, names) => readNameById(id) -> names }
+  }
+
+  /** The scan schema for a table with renamed columns: each read-schema
+    * field followed by its historic physical names (nullable — a file
+    * carries at most one of the set). */
+  private def aliasedScanSchema(schema: StructType,
+      aliases: Map[String, Seq[String]]): StructType =
+    if (aliases.isEmpty) schema
+    else StructType(schema.fields.flatMap(f =>
+      f +: aliases.getOrElse(f.name, Seq.empty)
+        .map(a => StructField(a, f.dataType, nullable = true))))
+
+  /** The read-name projection over an [[aliasedScanSchema]] scan:
+    * coalesce of the at-most-one physically-present name per file. */
+  private def aliasCol(f: StructField,
+      aliases: Map[String, Seq[String]]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{coalesce, col}
+    aliases.get(f.name) match {
+      case Some(olds) => coalesce((f.name +: olds).map(col): _*).as(f.name)
+      case None       => col(f.name)
+    }
+  }
+
   /** [[readIceberg]] with MANIFEST-TUPLE FILE PRUNING — the planning path
     * that makes a partition spec worth its metadata: `keep` sees each
     * data file's partition tuple as a (spec-field-name → decoded value)
@@ -1867,11 +2144,23 @@ object IcebergInterop {
 
     // time travel reads the snapshot with the schema it was WRITTEN under
     // (its recorded schema-id), not the evolved current schema — a column
-    // appended later must not appear (as spurious nulls) in an old snapshot
-    val schema = Option(snapNode.get("schema-id")).map(_.asInt) match {
+    // appended later must not appear (as spurious nulls) in an old
+    // snapshot. A CURRENT read, by contrast, uses the CURRENT schema even
+    // when it is newer than the head snapshot's recorded id: a rename is
+    // a schema-only commit with no snapshot, and the spec reads the live
+    // table under the current schema.
+    val readSchemaId = snapshotAsOf match {
+      case Some(_) => Option(snapNode.get("schema-id")).map(_.asInt)
+        .orElse(Option(meta.get("current-schema-id")).map(_.asInt))
+      case None => Option(meta.get("current-schema-id")).map(_.asInt)
+        .orElse(Option(snapNode.get("schema-id")).map(_.asInt))
+    }
+    val schema = readSchemaId match {
       case Some(id) => sparkSchemaById(meta, id, path)
       case None     => currentSparkSchema(meta, path)
     }
+    // renamed columns: the physical names old files still carry
+    val aliases = renameAliases(meta, path, readSchemaId)
 
     val (dataFiles, deleteFiles, eqDeletes) = liveEntries(root, path, snapNode)
 
@@ -1900,7 +2189,8 @@ object IcebergInterop {
       kept.map(e => (e.resolved, e.partition)),
       positionDeleteFrame(spark, path, kept, deleteFiles),
       equalityDeleteSpecs(spark, path, meta, eqDeletes),
-      kept.map(e => (e.resolved.getFileName.toString, e.seq)))
+      kept.map(e => (e.resolved.getFileName.toString, e.seq)),
+      aliases)
   }
 
   /** One live DATA file of a snapshot: its resolved local path, the
@@ -2207,9 +2497,13 @@ object IcebergInterop {
     if (newFiles.isEmpty)
       return (cur, spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
-    // keys are resolved filesystem paths (resolveUri output), not URIs
+    // keys are resolved filesystem paths (resolveUri output), not URIs;
+    // a consumed range can span a RENAME (files appended before it carry
+    // the old physical name), so the alias resolution rides along
     (cur, readWithIdentityFill(spark, path, meta, schema,
-      newFiles.toSeq.map { case (u, rec) => (Paths.get(u), rec) }))
+      newFiles.toSeq.map { case (u, rec) => (Paths.get(u), rec) },
+      aliases = renameAliases(meta, path,
+        Option(meta.get("current-schema-id")).map(_.asInt))))
   }
 
   /** Scan the data files with `schema`, reconstructing identity-partitioned
@@ -2246,9 +2540,17 @@ object IcebergInterop {
       dataFiles: Seq[(Path, GenericRecord)],
       deletes: Option[DataFrame] = None,
       eqSpecs: Seq[EqDeleteSpec] = Seq.empty,
-      dataSeqs: Seq[(String, Long)] = Seq.empty): DataFrame = {
+      dataSeqs: Seq[(String, Long)] = Seq.empty,
+      aliases: Map[String, Seq[String]] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val uris = dataFiles.map(_._1.toString)
+    // RENAMED columns ([[renameAliases]]): the scan requests the read
+    // name AND every historic physical name side by side (Spark fills
+    // the per-file absent ones with null — a file carries at most one),
+    // and the final projection coalesces — field-id resolution without
+    // per-file schema dispatch, preserving the single-scan plan
+    def withAliases(s: StructType): StructType = aliasedScanSchema(s, aliases)
+    def readCol(f: StructField): org.apache.spark.sql.Column = aliasCol(f, aliases)
     // position deletes apply to the RAW scan by (file basename, row index)
     // anti-join — `_metadata.row_index` is the in-file position the spec's
     // delete rows reference, the same mechanism Spark's own Delta/Iceberg
@@ -2271,13 +2573,22 @@ object IcebergInterop {
     // refuse instead of resurrecting rows (one footer probe; mixed
     // layouts are refused further down regardless)
     if (eqSpecs.nonEmpty) {
+      // an equality-delete column that was RENAMED would anchor its
+      // anti-join on a scan column that is null for pre-rename files —
+      // silent row resurrection; refuse instead
+      eqSpecs.flatMap(_.cols).distinct.filter(aliases.contains).foreach(c =>
+        throw new IllegalArgumentException(
+          s"Iceberg table $path equality-deletes on column '$c', which has " +
+            "been renamed — this reader cannot anchor the delete across " +
+            "both physical names; rewrite the deletes or the data first"))
       val probe = parquetTopLevelCols(spark, dataFiles.head._1)
       eqSpecs.flatMap(_.cols).distinct.foreach(c => require(probe.contains(c),
         s"Iceberg table $path equality-deletes on column '$c', which is not " +
           "physically present in the data files — this reader anchors " +
           "equality deletes at the scan, before the identity fill; unreadable"))
     }
-    val plain = masked(spark.read.schema(schema).parquet(uris: _*))
+    val plain = masked(spark.read.schema(withAliases(schema)).parquet(uris: _*))
+      .select(schema.fields.map(readCol).toIndexedSeq: _*)
     val specIdentity = targetSpecIdentityFields(meta, path) // (specField, sourceCol)
     val srcToSpec = specIdentity.map { case (fn, src) => src -> fn }.toMap
     // presence is probed on EVERY footer (O(files) — the same scale class as
@@ -2305,6 +2616,14 @@ object IcebergInterop {
           s"not physically carry '$src' — a non-identity transform cannot be " +
           "reconstructed from partition tuples; unreadable")
     }
+    // a renamed partition SOURCE column would break both the identity
+    // fill (spec fields name the current source) and the transform
+    // presence rule — the writer refuses such renames; a foreign table
+    // carrying one is refused here for the same reason
+    (srcToSpec.keySet ++ transformSrcs.map(_._2)).filter(aliases.contains)
+      .foreach(c => throw new IllegalArgumentException(
+        s"Iceberg table $path renamed partition source column '$c' — " +
+          "partition reconstruction across physical names is unsupported"))
     val identityCols = schema.fields.filter(f =>
       srcToSpec.contains(f.name) || transformSrcs.exists(_._2 == f.name))
     footerColSets.tail.foreach { case (p, cols) =>
@@ -2318,7 +2637,12 @@ object IcebergInterop {
           s"${if (disagree.nonEmpty && footerCols.contains(disagree.head.name)) "carry" else "lack"} — " +
           "a uniform identity-fill would misread it; compact the table to one layout")
     }
-    val missing = schema.fields.filter(f => !footerCols.contains(f.name))
+    // a field is physically present under its read name OR any historic
+    // name (a renamed column is present in old files under its alias)
+    def physPresent(cols: Set[String], f: StructField): Boolean =
+      cols.contains(f.name) ||
+        aliases.getOrElse(f.name, Seq.empty).exists(cols.contains)
+    val missing = schema.fields.filter(f => !physPresent(footerCols, f))
     if (missing.isEmpty) return plain
     val fillable = missing.filter(f => srcToSpec.contains(f.name))
     val leftover = missing.filterNot(f => srcToSpec.contains(f.name))
@@ -2355,10 +2679,12 @@ object IcebergInterop {
         fillable.map(_.copy())))
     val dataSchema = StructType(
       schema.fields.filterNot(f => fillable.exists(_.name == f.name)))
-    masked(spark.read.schema(dataSchema).parquet(uris: _*))
+    masked(spark.read.schema(withAliases(dataSchema)).parquet(uris: _*))
       .withColumn("__graft_pfile", col("_metadata.file_name"))
       .join(broadcast(tupleDf), Seq("__graft_pfile"))
-      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .select(schema.fields.map(f =>
+        if (fillable.exists(_.name == f.name)) col(f.name) else readCol(f))
+        .toIndexedSeq: _*)
   }
 
   /** Avro partition value -> Spark external value for `t`. */

@@ -175,8 +175,13 @@ class ContractSpec extends AnyFunSuite {
     // writeDeltaCheckpoint + cleanDeltaLog physically reclaim everything
     // only expired history references — both oracles scan the remaining
     // bytes with NO row filter: disk ≡ live is the certificate)
-    assert(SparkEntry.queries.size == 210,
-      s"declared query count ${SparkEntry.queries.size} != documented 210 — " +
+    // 211 adds b5_iceberg_rename (the Iceberg twin of b5_delta_rename:
+    // renameIcebergColumn commits a new schema version with every
+    // field-id unchanged + the spec's name-mapping property; the reader
+    // resolves old files' physical names by field-id semantics —
+    // aliased scan + coalesce, one scan, no per-file dispatch)
+    assert(SparkEntry.queries.size == 211,
+      s"declared query count ${SparkEntry.queries.size} != documented 211 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

@@ -878,6 +878,39 @@ class DeltaInteropSpec extends SparkSpec {
       .getMessage.contains("does not exist"))
   }
 
+  test("dropDeltaColumn: metadata-only drop — bytes invisible now, time travel keeps them") {
+    val t = sampleTable()
+    val out = tmp("delta_drop")
+    DeltaInterop.exportDelta(t, out, tsMillis = 5000L)
+    val filesBefore = dataFiles(out)
+    DeltaInterop.dropDeltaColumn(spark, out, "k", tsMillis = 6000L)
+    assert(dataFiles(out) == filesBefore, "a drop must move zero data bytes")
+    val live = DeltaInterop.readDelta(spark, out)
+    assert(live.columns.toSeq == Seq("id", "v") && live.count() == 4L)
+    assert(DeltaInterop.readDelta(spark, out, versionAsOf = Some(0L))
+      .columns.contains("k"), "time travel below the drop must still read it")
+    // composes with rename on the now-mapped table
+    DeltaInterop.renameDeltaColumn(spark, out, "v", "score", 7000L)
+    assert(DeltaInterop.readDelta(spark, out).columns.toSeq == Seq("id", "score"))
+    // refusals: missing column, last column
+    assert(intercept[IllegalArgumentException](
+      DeltaInterop.dropDeltaColumn(spark, out, "nope"))
+      .getMessage.contains("no column"))
+    DeltaInterop.dropDeltaColumn(spark, out, "id", tsMillis = 8000L)
+    assert(intercept[IllegalArgumentException](
+      DeltaInterop.dropDeltaColumn(spark, out, "score"))
+      .getMessage.contains("last column"))
+    // partition columns are a repartition, not a metadata edit
+    val tp = TxTable(spark, tmp("delta_drop_p"))
+    tp.append(Seq((1L, "a", 1.0)).toDF("id", "day", "v"),
+      tsMillis = 1000L, partitionBy = Seq("day"))
+    val outp = tmp("delta_drop_pe")
+    DeltaInterop.exportDelta(tp, outp, tsMillis = 5000L)
+    assert(intercept[IllegalArgumentException](
+      DeltaInterop.dropDeltaColumn(spark, outp, "day"))
+      .getMessage.contains("partition column"))
+  }
+
   test("deltaVersionAt: timestamp time travel from commitInfo timestamps") {
     val t = sampleTable()
     val out = tmp("delta_ts")

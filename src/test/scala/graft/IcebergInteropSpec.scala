@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, sum}
 
 import graft.sources.{IcebergInterop, TxTable}
 
@@ -1319,6 +1319,147 @@ class IcebergInteropSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       IcebergInterop.icebergSnapshotAt(out, 5500L)).getMessage.contains("expired"))
     assert(IcebergInterop.icebergSnapshotAt(out, 6000L) == snap2)
+  }
+
+  test("renameIcebergColumn: metadata-only rename with field-id read resolution") {
+    val t = TxTable(spark, tmp("ice_ren_src"))
+    t.append((0L until 10L).map(i => (i, s"k$i", i * 2.0)).toDF("id", "k", "v"),
+      tsMillis = 1000L)
+    val out = tmp("ice_ren_exp")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L) // snap1, schema 0
+    val before = IcebergInterop.readIceberg(spark, out).orderBy("id").collect().toSeq
+    def dataSet = Files.list(Paths.get(out, "data")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    val filesBefore = dataSet
+
+    IcebergInterop.renameIcebergColumn(spark, out, "v", "score", 6000L)
+    assert(dataSet == filesBefore, "a rename must move zero data bytes")
+    val live = IcebergInterop.readIceberg(spark, out)
+    assert(live.columns.toSeq == Seq("id", "k", "score"))
+    assert(live.orderBy("id").collect().toSeq == before,
+      "values must be untouched (Row equality is positional)")
+    // a filter on the NEW name resolves the OLD physical bytes
+    assert(live.where(col("score") > 15.0).count() == 2L) // ids 8, 9
+    // snapshots are schema-pinned: snap1 still reads the OLD name
+    val v1Txt = new String(Files.readAllBytes(
+      Paths.get(out, "metadata", "v1.metadata.json")))
+    val snap1 = """"snapshot-id" : (\d+)""".r.findFirstMatchIn(v1Txt).get.group(1).toLong
+    val travel = IcebergInterop.readIceberg(spark, out, snapshotAsOf = Some(snap1))
+    assert(travel.columns.toSeq == Seq("id", "k", "v") && travel.count() == 10L)
+    // the name mapping rides the metadata for foreign engines over the
+    // id-less hard-linked files
+    val metaTxt = new String(Files.readAllBytes(
+      Paths.get(out, "metadata", "v2.metadata.json")))
+    assert(metaTxt.contains("schema.name-mapping.default"))
+
+    // a DELETE over the renamed logical view resolves physical bytes
+    assert(IcebergInterop.deleteFromIceberg(spark, out, col("score") > 15.0, 7000L) == 2L)
+    assert(IcebergInterop.readIceberg(spark, out).count() == 8L)
+    // compaction migrates survivors to the CURRENT physical names
+    assert(IcebergInterop.compactIcebergDeletes(spark, out, 8000L)._2 == 2L)
+    val post = IcebergInterop.readIceberg(spark, out)
+    assert(post.columns.toSeq == Seq("id", "k", "score") && post.count() == 8L)
+    assert(post.agg(sum("score")).as[Double].head() ==
+      before.map(_.getDouble(2)).sum - (16.0 + 18.0))
+
+    // a second rename rides the accumulated history; rename-back to a
+    // name the SAME id once held is legal
+    IcebergInterop.renameIcebergColumn(spark, out, "score", "points", 9000L)
+    assert(IcebergInterop.readIceberg(spark, out).columns.toSeq ==
+      Seq("id", "k", "points"))
+    IcebergInterop.renameIcebergColumn(spark, out, "points", "v", 9500L)
+    assert(IcebergInterop.readIceberg(spark, out)
+      .agg(sum("v")).as[Double].head() == post.agg(sum("score")).as[Double].head())
+
+    // refusals: missing source, current-name collision, cross-id name
+    // reuse, self-rename
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.renameIcebergColumn(spark, out, "nope", "x"))
+      .getMessage.contains("no column"))
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.renameIcebergColumn(spark, out, "k", "v"))
+      .getMessage.contains("already has"))
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.renameIcebergColumn(spark, out, "k", "score"))
+      .getMessage.contains("already named field id"))
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.renameIcebergColumn(spark, out, "k", "k"))
+      .getMessage.contains("no-op"))
+  }
+
+  test("dropIcebergColumn: metadata-only drop — schema-pinned travel, id never reused") {
+    val t = TxTable(spark, tmp("ice_drop_src"))
+    t.append((0L until 6L).map(i => (i, s"k$i", i * 2.0)).toDF("id", "k", "v"),
+      tsMillis = 1000L)
+    val out = tmp("ice_drop_exp")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+    def dataSet = Files.list(Paths.get(out, "data")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    val filesBefore = dataSet
+    IcebergInterop.dropIcebergColumn(spark, out, "k", 6000L)
+    assert(dataSet == filesBefore, "a drop must move zero data bytes")
+    val live = IcebergInterop.readIceberg(spark, out)
+    assert(live.columns.toSeq == Seq("id", "v") && live.count() == 6L)
+    // time travel below the drop still reads the column (schema-pinned)
+    val v1Txt = new String(Files.readAllBytes(
+      Paths.get(out, "metadata", "v1.metadata.json")))
+    val snap1 = """"snapshot-id" : (\d+)""".r.findFirstMatchIn(v1Txt).get.group(1).toLong
+    assert(IcebergInterop.readIceberg(spark, out, snapshotAsOf = Some(snap1))
+      .columns.contains("k"))
+    // rename after drop works over the shared schema history
+    IcebergInterop.renameIcebergColumn(spark, out, "v", "score", 7000L)
+    val renamed = IcebergInterop.readIceberg(spark, out)
+    assert(renamed.columns.toSeq == Seq("id", "score"))
+    assert(renamed.agg(sum("score")).as[Double].head() == 30.0)
+    // the dropped field's NAME is never reusable for a different id —
+    // old files still physically carry its bytes (the leak refusal)
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.renameIcebergColumn(spark, out, "score", "k"))
+      .getMessage.contains("already named field id"))
+    // refusals: missing column, last column, partition source
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.dropIcebergColumn(spark, out, "nope"))
+      .getMessage.contains("no column"))
+    IcebergInterop.dropIcebergColumn(spark, out, "id", 8000L)
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.dropIcebergColumn(spark, out, "score"))
+      .getMessage.contains("last column"))
+    val tp = TxTable(spark, tmp("ice_drop_p_src"))
+    tp.append(Seq((1L, "2024-01-01", 1.0)).toDF("id", "day", "v"),
+      tsMillis = 1000L, partitionBy = Seq("day"))
+    val outp = tmp("ice_drop_p_exp")
+    IcebergInterop.exportIceberg(tp, outp, tsMillis = 5000L)
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.dropIcebergColumn(spark, outp, "day"))
+      .getMessage.contains("partition source"))
+  }
+
+  test("renameIcebergColumn refuses partition sources; eq-deletes refuse renamed keys") {
+    // partition-source rename refusal
+    val t = TxTable(spark, tmp("ice_ren_part_src"))
+    t.append(Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0))
+      .toDF("id", "day", "v"), tsMillis = 1000L, partitionBy = Seq("day"))
+    val out = tmp("ice_ren_part_exp")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.renameIcebergColumn(spark, out, "day", "dt"))
+      .getMessage.contains("partition source"))
+
+    // equality deletes refuse renamed key columns (write side)
+    val t2 = TxTable(spark, tmp("ice_ren_eq_src"))
+    t2.append((0L until 6L).map(i => (i, s"e$i", i * 1.0)).toDF("id", "ekey", "v"),
+      tsMillis = 1000L)
+    val out2 = tmp("ice_ren_eq_exp")
+    IcebergInterop.exportIceberg(t2, out2, tsMillis = 5000L)
+    IcebergInterop.renameIcebergColumn(spark, out2, "ekey", "entity", 6000L)
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.deleteFromIcebergByKey(spark, out2,
+        Seq("e1").toDF("entity"), 7000L))
+      .getMessage.contains("renamed"))
+    // position deletes still work on the renamed table
+    assert(IcebergInterop.deleteFromIceberg(spark, out2,
+      col("entity") === "e1", 7000L) == 1L)
+    assert(IcebergInterop.readIceberg(spark, out2).count() == 5L)
   }
 
   test("expireIcebergSnapshots: shared-manifest safety, physical reclaim, loud expired reads") {
