@@ -3702,10 +3702,16 @@ object SparkEntry {
     val snap1 = """"snapshot-id" : (\d+)""".r.findFirstMatchIn(v1Txt).get.group(1).toLong
     val (expired, removed, bytes) =
       IcebergInterop.expireIcebergSnapshots(s, B5IcebergExpirePath,
-        keepLast = 1, tsMillis = 8000L)
+        keepLast = 1, tsMillis = 8000L, keepMetadataVersions = 1)
     require(expired == 2 && removed > 0 && bytes > 0L,
       s"b5_iceberg_expire: expected 2 expired snapshots reclaiming files " +
         s"(got $expired snapshots, $removed files, $bytes bytes)")
+    // metadata retention rode along: the old vN.metadata.json files (each
+    // still listing the expired snapshots) are gone, the hint resolves
+    require(!Files.exists(Paths.get(
+        B5IcebergExpirePath, "metadata", "v1.metadata.json")),
+      "b5_iceberg_expire: keepMetadataVersions=1 must prune the old " +
+        "metadata versions")
     val live = IcebergInterop.readIceberg(s, B5IcebergExpirePath)
       .select(cols.map(col).toIndexedSeq: _*)
     require(sig(live) == liveSig,

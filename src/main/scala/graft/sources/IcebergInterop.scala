@@ -1335,12 +1335,25 @@ object IcebergInterop {
     * Metadata-scale I/O only: O(snapshots × manifests) avro reads on the
     * driver, zero data-file reads.
     *
+    * `keepMetadataVersions` bounds the OTHER unreclaimed artifact class:
+    * old `vN.metadata.json` files (each still listing the expired
+    * snapshots) are pruned down to the newest N versions including the
+    * one this expire publishes — Iceberg's
+    * `write.metadata.previous-versions-max` retention. The default keeps
+    * every version (pure snapshot expiry, the prior behavior); pruned
+    * versions also leave the `metadata-log`. Readers resolve through
+    * `version-hint.text` (with a newest-file fallback), so pruned
+    * history is simply absent, never dangling.
+    *
     * @return (snapshots expired, files removed, bytes reclaimed) —
     *   (0, 0, 0) when nothing is expirable (idempotent; no commit). */
   def expireIcebergSnapshots(spark: SparkSession, path: String,
       keepLast: Int = 1,
-      tsMillis: Long = System.currentTimeMillis()): (Int, Int, Long) = {
+      tsMillis: Long = System.currentTimeMillis(),
+      keepMetadataVersions: Int = Int.MaxValue): (Int, Int, Long) = {
     require(keepLast >= 1, s"keepLast must be >= 1 (got $keepLast)")
+    require(keepMetadataVersions >= 1,
+      s"keepMetadataVersions must be >= 1 (got $keepMetadataVersions)")
     val root = Paths.get(path).toAbsolutePath
     val metaDir = root.resolve("metadata")
     require(Files.isDirectory(metaDir), s"no Iceberg table at $path (missing metadata/)")
@@ -1391,16 +1404,43 @@ object IcebergInterop {
     rootNode.put("last-updated-ms", tsMillis)
     val prevVersion = currentMetadataVersion(metaDir, path)
     val newVersion = prevVersion + 1
+
+    // metadata retention: versions below the kept window go, and the
+    // metadata-log forgets them (computed BEFORE publishing, applied
+    // after — a reader racing the prune only ever resolves kept files)
+    val MetaV = """v(\d+)\.metadata\.json""".r
+    val metaVictims: Seq[Path] =
+      if (keepMetadataVersions == Int.MaxValue) Seq.empty
+      else {
+        val cutoff = newVersion - (keepMetadataVersions - 1)
+        val s = Files.list(metaDir)
+        try s.iterator().asScala.flatMap(p => p.getFileName.toString match {
+          case MetaV(v) if v.toLong < cutoff => Some(p)
+          case _                             => None
+        }).toVector
+        finally s.close()
+      }
+    if (metaVictims.nonEmpty) Option(rootNode.get("metadata-log")).foreach {
+      case arr: ArrayNode =>
+        val doomed = metaVictims.map(_.getFileName.toString).toSet
+        val keptLog = arr.elements().asScala.toSeq.filter(e =>
+          Option(e.get("metadata-file")).forall(f =>
+            !doomed.contains(Paths.get(f.asText).getFileName.toString)))
+        val newLog = rootNode.putArray("metadata-log")
+        keptLog.foreach(newLog.add)
+      case _ => ()
+    }
     Files.write(metaDir.resolve(s"v$newVersion.metadata.json"),
       Seq(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(rootNode)).asJava,
       java.nio.file.StandardOpenOption.CREATE_NEW)
     Files.write(metaDir.resolve("version-hint.text"),
       Seq(newVersion.toString).asJava)
 
-    val bytes = victims.toSeq
+    val allVictims = victims.toSeq ++ metaVictims
+    val bytes = allVictims
       .map(p => scala.util.Try(Files.size(p)).getOrElse(0L)).sum
-    victims.foreach(Files.deleteIfExists(_))
-    (expired.size, victims.size, bytes)
+    allVictims.foreach(Files.deleteIfExists(_))
+    (expired.size, allVictims.size, bytes)
   }
 
   /** Rename a top-level column of an Iceberg table as a METADATA-ONLY

@@ -1522,4 +1522,53 @@ class IcebergInteropSpec extends SparkSpec {
       IcebergInterop.expireIcebergSnapshots(spark, out, keepLast = 0))
       .getMessage.contains("keepLast"))
   }
+
+  test("expire with a missing expired-snapshot manifest list fails before any mutation") {
+    val t = sampleTable()
+    val out = tmp("ice_exp_corrupt")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+    assert(IcebergInterop.deleteFromIceberg(spark, out, col("id") === 1L, 6000L) == 1L)
+    // corrupt: remove snap1's manifest list — its reference set is now
+    // uncomputable, so reclaim must refuse rather than guess (deleting
+    // blindly could orphan files the kept snapshots share)
+    val v1Txt = new String(Files.readAllBytes(Paths.get(out, "metadata", "v1.metadata.json")))
+    val listUri = """"manifest-list" : "([^"]+)"""".r.findFirstMatchIn(v1Txt).get.group(1)
+    val listPath = Paths.get(new java.net.URI(listUri))
+    val hidden = listPath.resolveSibling(listPath.getFileName.toString + ".bak")
+    Files.move(listPath, hidden)
+    val before = IcebergInterop.readIceberg(spark, out).orderBy("id").collect().toSeq
+    intercept[Exception](
+      IcebergInterop.expireIcebergSnapshots(spark, out, keepLast = 1, 7000L))
+    // nothing moved: the live view is intact and no new metadata version landed
+    assert(IcebergInterop.readIceberg(spark, out).orderBy("id").collect().toSeq == before)
+    assert(!Files.exists(Paths.get(out, "metadata", "v3.metadata.json")),
+      "a failed expire must not publish a new metadata version")
+    // restored, the same expire succeeds
+    Files.move(hidden, listPath)
+    assert(IcebergInterop.expireIcebergSnapshots(spark, out, keepLast = 1, 8000L)._1 == 1)
+  }
+
+  test("expire metadata retention: old vN.metadata.json pruned, hint resolves") {
+    val t = sampleTable()
+    val out = tmp("ice_meta_ret")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)                            // v1
+    assert(IcebergInterop.deleteFromIceberg(spark, out, col("id") === 1L, 6000L) == 1L) // v2
+    assert(IcebergInterop.compactIcebergDeletes(spark, out, 7000L)._1 >= 1)            // v3
+    val pre = IcebergInterop.readIceberg(spark, out).orderBy("id").collect().toSeq
+    // default: pure snapshot expiry, every metadata version kept
+    val (_, f1, _) = IcebergInterop.expireIcebergSnapshots(spark, out, keepLast = 2, 8000L)
+    assert(Files.exists(Paths.get(out, "metadata", "v1.metadata.json")))
+    // opt-in retention: keep only the version this expire publishes (v5)
+    val (e2, f2, _) = IcebergInterop.expireIcebergSnapshots(spark, out,
+      keepLast = 1, 9000L, keepMetadataVersions = 1)
+    assert(e2 == 1)
+    (1 to 4).foreach(v => assert(
+      !Files.exists(Paths.get(out, "metadata", s"v$v.metadata.json")),
+      s"v$v.metadata.json must be pruned"))
+    assert(Files.exists(Paths.get(out, "metadata", "v5.metadata.json")))
+    assert(IcebergInterop.readIceberg(spark, out).orderBy("id").collect().toSeq == pre)
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.expireIcebergSnapshots(spark, out, keepMetadataVersions = 0))
+      .getMessage.contains("keepMetadataVersions"))
+  }
 }
