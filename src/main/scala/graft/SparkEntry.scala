@@ -3568,6 +3568,79 @@ object SparkEntry {
     live.orderBy("event_id")
   }
 
+  /** Fixed export target for [[b5DeltaCdf]] — oracle SQL recomputes both
+    * change kinds over the table-root data bytes (the `_change_data/`
+    * parquets sit outside the flat glob). */
+  private val B5DeltaCdfPath = "/root/repo/target/graft_export/b5_delta_cdf"
+
+  /** B5 — DELTA CHANGE DATA FEED, both directions (round-10 extension:
+    * [[graft.sources.DeltaInterop.readDeltaChanges]]'s append-only
+    * contract must refuse any range with a remove — CDF is the
+    * protocol's answer for row-level incremental consumption):
+    * [[graft.sources.DeltaInterop.setDeltaTableProperty]] declares
+    * `delta.enableChangeDataFeed`, after which
+    * [[graft.sources.DeltaInterop.deleteFromDelta]] materializes the
+    * deleted rows as `_change_data/` parquets carrying `_change_type`
+    * (cdc actions + the writer-only `changeDataFeed` feature), and
+    * [[graft.sources.DeltaInterop.readDeltaCdf]] serves the watermark
+    * range: cdc actions verbatim where present, whole-file
+    * insert/delete synthesis where not, dataChange=false rewrites
+    * skipped. In-query certificates: (1) the feed's inserts equal the
+    * appended batch and its deletes equal the predicate over the
+    * pre-delete live view; (2) a consumer at the head reads empty; (3)
+    * the property commit contributes no rows; (4) purge + vacuum retire
+    * the DV'd originals and the SAME feed still serves (cdc files are
+    * authoritative and outside vacuum's jurisdiction). DuckDB oracle
+    * recomputes both change kinds from the data bytes.
+    */
+  private def b5DeltaCdf(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaInterop, TxTable}
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
+    val outCols = cols ++ Seq("_change_type", "_commit_version")
+    val t = TxTable(s, HarnessFixtures.cloneTxDir(txTpl(s, dir, "b5_cdf")))
+    val target = java.nio.file.Paths.get(B5DeltaCdfPath)
+    graft.sources.DeltaInterop.deleteRecursively(target)
+    require(DeltaInterop.exportDeltaIncremental(t, B5DeltaCdfPath,
+      tsMillis = 5000L) == 0L)                                          // v0
+    DeltaInterop.setDeltaTableProperty(s, B5DeltaCdfPath,
+      "delta.enableChangeDataFeed", "true", tsMillis = 6000L)           // v1
+    val appended = Tables.events(s, dir)
+      .select(cols.map(col).toIndexedSeq: _*)
+      .where(col("event_id") % 3 === 0)
+    t.append(appended, tsMillis = 2000L)
+    require(DeltaInterop.exportDeltaIncremental(t, B5DeltaCdfPath,
+      tsMillis = 7000L) == 2L)                                          // v2: inserts
+    val preDelete = DeltaInterop.readDelta(s, B5DeltaCdfPath)
+    val delCount = preDelete.where(col("event_id") % 7 === 0).count()
+    require(DeltaInterop.deleteFromDelta(s, B5DeltaCdfPath,
+        col("event_id") % 7 === 0, tsMillis = 8000L) == delCount,
+      "b5_delta_cdf: the DV delete must cover the predicate exactly")   // v3: cdc
+    val (head, cdf) = DeltaInterop.readDeltaCdf(s, B5DeltaCdfPath, sinceVersion = 1L)
+    require(head == 3L, s"b5_delta_cdf: expected head 3, got $head")
+    val inserts = cdf.where(col("_change_type") === "insert")
+    val deletes = cdf.where(col("_change_type") === "delete")
+    require(inserts.count() == appended.count() && deletes.count() == delCount,
+      "b5_delta_cdf: the feed must carry exactly the appended batch as " +
+        "inserts and the predicate rows as deletes")
+    require(DeltaInterop.readDeltaCdf(s, B5DeltaCdfPath, 3L)._2.isEmpty,
+      "b5_delta_cdf: a consumer at the head must read an empty feed")
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(outCols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val feedSig = sig(cdf)
+    // physical rewrite must not pollute the feed: the purge commit is
+    // dataChange=false — a rewrite, not a change — and is skipped (the
+    // DeltaInteropSpec CDF test additionally pins vacuum survival; the
+    // oracle here recomputes deletes from the original bytes, which the
+    // purge deliberately leaves on disk for time travel)
+    require(DeltaInterop.purgeDeltaDvs(s, B5DeltaCdfPath, 9000L)._2 == delCount)
+    val (head2, cdf2) = DeltaInterop.readDeltaCdf(s, B5DeltaCdfPath, 1L)
+    require(head2 == 4L && sig(cdf2) == feedSig,
+      "b5_delta_cdf: the feed must be bit-identical across the purge")
+    cdf2.orderBy("_commit_version", "event_id")
+  }
+
   /** Fixed export target for [[b5IcebergRename]] — same oracle shape as
     * the Delta twin: the bytes still carry the original column name
     * (renames are metadata-only), so the oracle aliases it. */
@@ -5572,6 +5645,12 @@ object SparkEntry {
       "b5_z" -> build("b5_z") { path =>
         TxTable(s, path).append(evStd, tsMillis = 1000L)
       },
+      "b5_cdf" -> build("b5_cdf") { path =>
+        // the CDF base: two thirds of events; the query appends the rest
+        // as the feed's insert commit
+        TxTable(s, path).append(evStd.where(col("event_id") % 3 =!= 0),
+          tsMillis = 1000L)
+      },
       "b5_maint" -> build("b5_maint", shuffle = 4) { path =>
         val t0 = TxTable(s, path)
         t0.append(evStd.where(col("event_id") % 3 === 0), tsMillis = 1000L) // v0
@@ -5644,6 +5723,7 @@ object SparkEntry {
     "b5_delta_read_dv"   -> (b5DeltaReadDv _),
     "b5_delta_rename"    -> (b5DeltaRename _),
     "b5_delta_vacuum"    -> (b5DeltaVacuum _),
+    "b5_delta_cdf"       -> (b5DeltaCdf _),
     "b5_iceberg_expire"  -> (b5IcebergExpire _),
     "b5_iceberg_rename"  -> (b5IcebergRename _),
     "b5_iceberg_bucket_str" -> (b5IcebergBucketStr _),
@@ -6300,6 +6380,19 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value, ts
         |FROM parquet_scan('/root/repo/target/graft_export/b5_delta_vacuum/compacted/*.parquet')
         |ORDER BY event_id""".stripMargin,
+    // the change feed recomputed from the data bytes: inserts are the
+    // appended third, deletes the predicate over the whole table (the
+    // purge leaves the original bytes in place; _change_data/ sits
+    // outside the flat glob)
+    "b5_delta_cdf" ->
+      """SELECT event_id, user_id, event_type, value, ts, 'insert' AS _change_type, 2::BIGINT AS _commit_version
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_delta_cdf/*.parquet')
+        |WHERE event_id % 3 = 0
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, value, ts, 'delete', 3::BIGINT
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_delta_cdf/*.parquet')
+        |WHERE event_id % 7 = 0
+        |ORDER BY _commit_version, event_id""".stripMargin,
     // the Iceberg rename is metadata-only like the Delta one: physical
     // bytes keep the old name (aliased) and the position delete stays
     // logical (post-filtered)

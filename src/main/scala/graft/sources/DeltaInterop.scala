@@ -266,7 +266,11 @@ object DeltaInterop {
       md.put("schemaString", schema.json)
       val pcArr = md.putArray("partitionColumns")
       snap.partCols.foreach(pcArr.add)
-      md.putObject("configuration")
+      // a metaData action REPLACES table metadata wholly — restate the
+      // target's configuration (an empty object here would silently wipe
+      // table properties like delta.enableChangeDataFeed)
+      val cfgNode = md.putObject("configuration")
+      meta.config.toSeq.sortBy(_._1).foreach { case (k, v) => cfgNode.put(k, v) }
       md.put("createdTime", tsMillis)
       lines += m.writeValueAsString(metaData)
     }
@@ -642,6 +646,120 @@ object DeltaInterop {
     }
     (cur, assembleRead(spark, root, schema, meta.partCols, adds.values.toSeq,
       meta.mapped))
+  }
+
+  /** CHANGE DATA FEED consumption: the row-level changes committed in
+    * versions `(sinceVersion, head]` — including the deletes
+    * [[readDeltaChanges]]'s append-only contract must refuse. Returns
+    * `(head, changes)` where `changes` carries the table columns plus
+    * `_change_type` ('insert' | 'delete' | the protocol's update_* kinds
+    * when present in foreign change files) and `_commit_version`.
+    *
+    * Per the protocol (Change Data Files): a commit WITH cdc actions is
+    * served from its `_change_data/` parquets verbatim (they physically
+    * carry `_change_type` — [[deleteFromDelta]] writes them when the
+    * table declares `delta.enableChangeDataFeed=true`); a commit without
+    * them synthesizes — every dataChange add is an 'insert' of that
+    * file's rows, every dataChange remove a 'delete' read from the
+    * removed file's still-present bytes. Refuses loudly when synthesis
+    * is impossible: a DV-carrying add or remove without cdc actions (the
+    * row delta is not derivable from whole files), a removed file
+    * already vacuumed away, a retention-cleaned JSON range, and
+    * column-mapped tables (change files would need physical-name
+    * resolution). dataChange=false actions (purges, compactions) are
+    * rewrites, not changes, and are skipped — exactly the protocol's
+    * rule. */
+  def readDeltaCdf(spark: SparkSession, path: String,
+      sinceVersion: Long): (Long, DataFrame) = {
+    import org.apache.spark.sql.types.LongType
+    val root = Paths.get(path).toAbsolutePath
+    val logDir = root.resolve(LogDirName)
+    require(Files.isDirectory(logDir), s"no Delta table at $path (missing $LogDirName)")
+    val (cur, _, metaOpt, _) = replayState(spark, root, None)
+    val meta = metaOpt.getOrElse(throw new IllegalStateException(
+      s"Delta log at $path carries no metaData action"))
+    require(!meta.mapped,
+      s"readDeltaCdf on the column-mapped table at $path is unsupported " +
+        "(change files would need physical-name resolution)")
+    require(sinceVersion <= cur,
+      s"consumer watermark $sinceVersion is ahead of the Delta log at $path (head $cur)")
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val outSchema = StructType(schema.fields :+
+      StructField("_change_type", StringType, nullable = false) :+
+      StructField("_commit_version", LongType, nullable = false))
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    if (sinceVersion == cur) return (cur, empty)
+
+    val commits = listJsonCommits(logDir)
+      .filter(c => c._1 > sinceVersion && c._1 <= cur)
+    require(commits.headOption.exists(_._1 == sinceVersion + 1) &&
+        commits.lastOption.exists(_._1 == cur) &&
+        commits.zip(commits.drop(1)).forall { case ((a, _), (b, _)) => b == a + 1 },
+      s"Delta log at $path has no gapless JSON commits in " +
+        s"${sinceVersion + 1}..$cur (cleaned by log retention?) — " +
+        "re-sync from the full snapshot")
+
+    val m = mapper
+    val cdcSchema = StructType(schema.fields :+
+      StructField("_change_type", StringType, nullable = false))
+    val frames: Seq[DataFrame] = commits.flatMap { case (cv, p) =>
+      val cdcFiles = Seq.newBuilder[String]
+      val addFiles = Seq.newBuilder[String]
+      val removeFiles = Seq.newBuilder[String]
+      var dvChange = false
+      Files.readAllLines(p).asScala.filter(_.trim.nonEmpty).foreach { line =>
+        val node =
+          try m.readTree(line)
+          catch { case e: Exception => throw new IllegalStateException(
+            s"Delta log at $path: commit $cv holds a malformed action line " +
+              s"(${e.getMessage}); refusing to reconstruct a partial feed", e) }
+        Option(node.get("cdc")).foreach(c =>
+          cdcFiles += decodePath(c.get("path").asText))
+        Option(node.get("add")).foreach { a =>
+          if (Option(a.get("dataChange")).forall(_.asBoolean)) {
+            if (a.hasNonNull("deletionVector")) dvChange = true
+            else addFiles += decodePath(a.get("path").asText)
+          }
+        }
+        Option(node.get("remove")).foreach { r =>
+          if (Option(r.get("dataChange")).forall(_.asBoolean)) {
+            if (r.hasNonNull("deletionVector")) dvChange = true
+            else removeFiles += decodePath(r.get("path").asText)
+          }
+        }
+      }
+      val cdc = cdcFiles.result()
+      if (cdc.nonEmpty) {
+        // cdc actions are AUTHORITATIVE for their commit — the
+        // accompanying add/remove pairs restate the same change
+        val paths = cdc.map(rel => root.resolve(rel).toString)
+        Seq(spark.read.schema(cdcSchema).parquet(paths: _*)
+          .withColumn("_commit_version", lit(cv)))
+      } else {
+        require(!dvChange,
+          s"Delta table $path: commit $cv changes rows through a deletion " +
+            "vector but carries no cdc actions — the row delta is not " +
+            "derivable from whole files; enable delta.enableChangeDataFeed " +
+            "before deleting, or re-sync from the full snapshot")
+        def readWhole(rels: Seq[String], kind: String): Option[DataFrame] =
+          if (rels.isEmpty) None
+          else {
+            rels.foreach(rel => require(Files.isRegularFile(root.resolve(rel)),
+              s"Delta table $path: commit $cv ${kind}s $rel whose bytes are " +
+                "no longer on disk (vacuumed/retired) — the change feed for " +
+                "this range is unreconstructable; re-sync from the full snapshot"))
+            Some(spark.read.schema(schema)
+              .parquet(rels.map(rel => root.resolve(rel).toString): _*)
+              .withColumn("_change_type", lit(if (kind == "add") "insert" else "delete"))
+              .withColumn("_commit_version", lit(cv)))
+          }
+        readWhole(addFiles.result(), "add").toSeq ++
+          readWhole(removeFiles.result(), "remove").toSeq
+      }
+    }
+    val out = frames.reduceOption(_.unionByName(_)).getOrElse(empty)
+    (cur, out.select(outSchema.fieldNames.map(col).toIndexedSeq: _*))
   }
 
   /** The strongest protocol the replay observed (for checkpoint
@@ -1054,6 +1172,30 @@ object DeltaInterop {
     * missing column, partition columns (their values live in the log,
     * not the files — dropping one is a repartition, not a metadata
     * edit), and dropping the last column. */
+  /** Set one table property as a METADATA-ONLY commit (Delta's `ALTER
+    * TABLE … SET TBLPROPERTIES`): the metaData action restates the table
+    * with `configuration + (key → value)`. The column-mapping keys are
+    * managed by [[renameDeltaColumn]]/[[dropDeltaColumn]] and refuse here
+    * — hand-setting them would declare a mapping the schema's field
+    * metadata does not back. */
+  def setDeltaTableProperty(spark: SparkSession, path: String,
+      key: String, value: String,
+      tsMillis: Long = System.currentTimeMillis()): Unit = {
+    val root = Paths.get(path).toAbsolutePath
+    val logDir = root.resolve(LogDirName)
+    require(Files.isDirectory(logDir), s"no Delta table at $path (missing $LogDirName)")
+    require(key.nonEmpty && !key.startsWith("delta.columnMapping."),
+      s"'$key' is managed by renameDeltaColumn/dropDeltaColumn — setting " +
+        "it by hand would declare a mapping the schema metadata does not back")
+    val (cur, _, metaOpt, proto) = replayState(spark, root, None)
+    val meta = metaOpt.getOrElse(throw new IllegalStateException(
+      s"Delta log at $path carries no metaData action"))
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    commitSchemaChange(logDir, cur, meta, proto, path, "SET TBLPROPERTIES",
+      schema, meta.partCols, meta.config + (key -> value),
+      upgraded = false, tsMillis)
+  }
+
   def dropDeltaColumn(spark: SparkSession, path: String, name: String,
       tsMillis: Long = System.currentTimeMillis()): Unit = {
     val root = Paths.get(path).toAbsolutePath
@@ -1136,6 +1278,42 @@ object DeltaInterop {
     }
     val (encUuid, offsets) = DeletionVectors.writeDvFile(root, merged.map(_._2))
 
+    // CHANGE DATA FEED: when the table declares
+    // delta.enableChangeDataFeed=true, the commit also materializes the
+    // deleted rows as `_change_data/` parquet(s) carrying the protocol's
+    // _change_type column, listed by cdc actions — so [[readDeltaCdf]]
+    // (and foreign CDF readers) serve row-level deletes without
+    // re-reading retired history. '_'-prefixed, so VACUUM never touches
+    // the change files (the protocol's own convention).
+    val cdfEnabled = meta.config.get("delta.enableChangeDataFeed").contains("true")
+    require(!(cdfEnabled && meta.mapped),
+      s"CDF emission on the column-mapped table at $path is unsupported " +
+        "(change files would need the physical layout)")
+    val cdcEntries: Seq[(String, Long)] =
+      if (!cdfEnabled) Seq.empty
+      else {
+        val cdcDir = root.resolve("_change_data")
+        Files.createDirectories(cdcDir)
+        val stage = Files.createTempDirectory("graft_delta_cdc")
+        try {
+          liveDf.where(predicate)
+            .drop("__gdv_file", "__gdv_pos")
+            .withColumn("_change_type", lit("delete"))
+            .write.mode("overwrite").parquet(stage.toString)
+          val walk = Files.walk(stage)
+          val staged = try walk.iterator().asScala
+            .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+            .filter(p => IcebergInterop.parquetRowCount(spark, p) > 0L).toSeq
+            finally walk.close()
+          staged.zipWithIndex.map { case (p, i) =>
+            val rel = s"_change_data/cdc-${java.util.UUID.nameUUIDFromBytes(
+              (path + "|cdc|" + cur + "|" + i).getBytes("UTF-8"))}.parquet"
+            Files.move(p, root.resolve(rel), StandardCopyOption.ATOMIC_MOVE)
+            (rel, Files.size(root.resolve(rel)))
+          }
+        } finally deleteRecursively(stage)
+      }
+
     val m = mapper
     def obj() = m.createObjectNode()
     val lines = Seq.newBuilder[String]
@@ -1146,14 +1324,26 @@ object DeltaInterop {
       .put("engineInfo", "graft-delta-dv-delete")
     lines += m.writeValueAsString(commitInfo)
     // a DV-writing commit must declare the table feature (protocol
-    // upgrade is idempotent — re-declaring it is harmless)
+    // upgrade is idempotent — re-declaring it is harmless); a CDF commit
+    // additionally declares the writer-only changeDataFeed feature
     val protocol = obj()
     val pr = protocol.putObject("protocol")
     pr.put("minReaderVersion", 3)
     pr.put("minWriterVersion", 7)
     pr.putArray("readerFeatures").add("deletionVectors")
-    pr.putArray("writerFeatures").add("deletionVectors")
+    val wf = pr.putArray("writerFeatures")
+    wf.add("deletionVectors")
+    if (cdcEntries.nonEmpty) wf.add("changeDataFeed")
     lines += m.writeValueAsString(protocol)
+    cdcEntries.foreach { case (rel, size) =>
+      val c = obj()
+      val cd = c.putObject("cdc")
+      cd.put("path", encodePath(rel))
+      cd.putObject("partitionValues")
+      cd.put("size", size)
+      cd.put("dataChange", false)
+      lines += m.writeValueAsString(c)
+    }
     merged.zip(offsets).foreach { case ((f, blob), off) =>
       val a = nameToAdd(f)
       val rm = obj()

@@ -180,8 +180,15 @@ class ContractSpec extends AnyFunSuite {
     // field-id unchanged + the spec's name-mapping property; the reader
     // resolves old files' physical names by field-id semantics —
     // aliased scan + coalesce, one scan, no per-file dispatch)
-    assert(SparkEntry.queries.size == 211,
-      s"declared query count ${SparkEntry.queries.size} != documented 211 — " +
+    // 212 adds b5_delta_cdf (CHANGE DATA FEED both directions: the
+    // property commit via setDeltaTableProperty, cdc emission in
+    // deleteFromDelta — _change_data parquets with _change_type + the
+    // writer-only feature — and readDeltaCdf serving cdc verbatim /
+    // whole-file synthesis / dataChange=false skips; purge invariance
+    // certified in-query, vacuum survival spec-pinned; DuckDB oracle
+    // recomputes both change kinds)
+    assert(SparkEntry.queries.size == 212,
+      s"declared query count ${SparkEntry.queries.size} != documented 212 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

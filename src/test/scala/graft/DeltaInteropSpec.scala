@@ -934,6 +934,67 @@ class DeltaInteropSpec extends SparkSpec {
     assert(DeltaInterop.deltaVersionAt(out, Long.MaxValue) == 1L)
   }
 
+  test("change data feed: cdc emission on delete, readDeltaCdf serves inserts AND deletes") {
+    val t = sampleTable()
+    val out = tmp("delta_cdf")
+    DeltaInterop.exportDelta(t, out, tsMillis = 5000L)                           // v0
+    DeltaInterop.setDeltaTableProperty(spark, out,
+      "delta.enableChangeDataFeed", "true", tsMillis = 6000L)                    // v1
+    t.append(Seq((9L, "z", 90.0)).toDF("id", "k", "v"), tsMillis = 3000L)
+    assert(DeltaInterop.exportDeltaIncremental(t, out, tsMillis = 7000L) == 2L)  // v2: insert
+    assert(DeltaInterop.deleteFromDelta(spark, out, col("id") % 2 === 0, 8000L) == 2L) // v3: cdc
+    val (head, cdf) = DeltaInterop.readDeltaCdf(spark, out, sinceVersion = 1L)
+    assert(head == 3L)
+    val rows = cdf.select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows == Set((9L, "insert", 2L), (2L, "delete", 3L), (4L, "delete", 3L)))
+    // the change parquet physically exists; the live view is DV-masked
+    val cdcFiles = Files.list(Paths.get(out, "_change_data")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    assert(cdcFiles.nonEmpty)
+    assert(DeltaInterop.readDelta(spark, out).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L, 9L))
+    // consumer at the head reads empty; property commits contribute nothing
+    assert(DeltaInterop.readDeltaCdf(spark, out, 3L)._2.isEmpty)
+    assert(DeltaInterop.readDeltaCdf(spark, out, 0L)._2.count() == 3L)
+    // the commit declares the writer-only feature
+    val v3Txt = Files.readAllLines(
+      Paths.get(out, "_delta_log", "0" * 19 + "3.json")).asScala.mkString
+    assert(v3Txt.contains("changeDataFeed") && v3Txt.contains("\"cdc\""))
+    // purge + vacuum retire the DV'd originals — the feed STILL serves,
+    // because cdc files are authoritative and '_change_data' is outside
+    // vacuum's jurisdiction (purge itself is dataChange=false: skipped)
+    assert(DeltaInterop.purgeDeltaDvs(spark, out, 9000L)._2 == 2L)              // v4
+    assert(DeltaInterop.vacuumDelta(spark, out)._1 > 0)
+    val (head2, cdf2) = DeltaInterop.readDeltaCdf(spark, out, 1L)
+    assert(head2 == 4L && cdf2.select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet == rows)
+    // a DV delete WITHOUT the property has no cdc actions — synthesis
+    // refuses rather than resurrecting a wrong feed
+    val t2 = sampleTable()
+    val out2 = tmp("delta_cdf2")
+    DeltaInterop.exportDelta(t2, out2, tsMillis = 5000L)
+    assert(DeltaInterop.deleteFromDelta(spark, out2, col("id") === 1L, 6000L) == 1L)
+    assert(intercept[IllegalArgumentException](
+      DeltaInterop.readDeltaCdf(spark, out2, 0L))
+      .getMessage.contains("no cdc actions"))
+    // column-mapping refusals, both directions
+    DeltaInterop.renameDeltaColumn(spark, out2, "v", "score", 7000L)
+    assert(intercept[IllegalArgumentException](
+      DeltaInterop.readDeltaCdf(spark, out2, 0L))
+      .getMessage.contains("column-mapped"))
+    DeltaInterop.setDeltaTableProperty(spark, out2,
+      "delta.enableChangeDataFeed", "true", tsMillis = 8000L)
+    assert(intercept[IllegalArgumentException](
+      DeltaInterop.deleteFromDelta(spark, out2, col("id") === 3L, 9000L))
+      .getMessage.contains("column-mapped"))
+    // the property setter refuses the managed column-mapping keys
+    assert(intercept[IllegalArgumentException](
+      DeltaInterop.setDeltaTableProperty(spark, out2,
+        "delta.columnMapping.mode", "id"))
+      .getMessage.contains("managed by"))
+  }
+
   test("renamed partition column: physical partitionValues keys, logical pruner keys") {
     val t = TxTable(spark, tmp("delta_ren_part"))
     val df = Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0), (3L, null, 3.0))
