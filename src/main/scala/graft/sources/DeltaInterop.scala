@@ -681,6 +681,11 @@ object DeltaInterop {
     require(!meta.mapped,
       s"readDeltaCdf on the column-mapped table at $path is unsupported " +
         "(change files would need physical-name resolution)")
+    // partition columns live in the LOG, not the files — both the cdc
+    // parquets and whole-file synthesis would read them as silent nulls
+    require(meta.partCols.isEmpty,
+      s"readDeltaCdf supports unpartitioned tables only; the table at " +
+        s"$path is partitioned by ${meta.partCols.mkString(",")}")
     require(sinceVersion <= cur,
       s"consumer watermark $sinceVersion is ahead of the Delta log at $path (head $cur)")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
@@ -1014,31 +1019,6 @@ object DeltaInterop {
       .toDF("__gdv_file", "__gdv_pos"))
   }
 
-  /** Row-level DELETE on a Delta table at `path`: commit a DELETION-VECTOR
-    * snapshot — the protocol's merge-on-read DELETE, what a modern
-    * engine's `DELETE FROM t WHERE …` with DVs enabled produces. No data
-    * file is rewritten: matching rows' positions serialize into one
-    * `deletion_vector_<uuid>.bin` (RoaringBitmapArray portable format,
-    * one blob per touched file, CRC-checked), and one new commit carries,
-    * per touched file, a `remove` of its previous entry plus an `add` of
-    * the SAME path with the new descriptor — stacked deletes UNION with
-    * the file's existing DV, so every commit's descriptor covers the
-    * file's full deleted set. The commit also raises the protocol to
-    * readerVersion 3 / writerVersion 7 with the `deletionVectors` feature,
-    * as the spec requires of DV-writing commits.
-    *
-    * The predicate evaluates against the LIVE view (existing DVs
-    * applied), so re-running the same delete matches nothing, commits
-    * nothing, and returns 0 — idempotent. Positions are computed by one
-    * distributed scan and the per-file bitmaps are BUILT ON EXECUTORS
-    * (groupByKey over the hit positions); the driver handles only the
-    * O(touched files) compressed blobs. Unpartitioned tables only,
-    * refused loudly (same stance as
-    * [[IcebergInterop.deleteFromIceberg]]); one writer at a time — the
-    * commit publishes with CREATE_NEW, so a racing writer fails loudly
-    * rather than clobbering.
-    *
-    * @return the number of newly deleted row positions (0 = no commit). */
   /** Upgrade a logical schema to column-mapping NAME mode: every field
     * (recursively) gets a stable `delta.columnMapping.id` and a physical
     * name equal to its current name, so the existing parquet files become
@@ -1151,7 +1131,11 @@ object DeltaInterop {
         s"(schema: ${schema.fieldNames.mkString(", ")})")
     require(oldName != newName,
       s"renaming '$oldName' to itself — refusing to commit a no-op")
-    require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+    // the field being renamed is excluded: a CASE-ONLY rename
+    // (value → Value) is a legitimate metadata-only operation — the
+    // physical name stays put either way
+    require(!schema.fieldNames.filterNot(_ == oldName)
+        .exists(_.equalsIgnoreCase(newName)),
       s"Delta table $path already has a column '$newName' " +
         "(Delta column names are case-insensitively unique)")
     val (mappedSchema, config, upgraded) = upgradeToNameMode(schema, meta)
@@ -1162,16 +1146,6 @@ object DeltaInterop {
       renamed, newPartCols, config, upgraded, tsMillis)
   }
 
-  /** Drop a top-level column of a Delta table as a METADATA-ONLY commit
-    * — the other operation column mapping exists for: the field leaves
-    * the logical schema while the physical column stays in the files,
-    * never requested again by readers (zero data movement; the bytes are
-    * reclaimed whenever the files are next rewritten). A plain table
-    * upgrades to name mode first, exactly like [[renameDeltaColumn]].
-    * Time travel below the drop still reads the column. Refuses:
-    * missing column, partition columns (their values live in the log,
-    * not the files — dropping one is a repartition, not a metadata
-    * edit), and dropping the last column. */
   /** Set one table property as a METADATA-ONLY commit (Delta's `ALTER
     * TABLE … SET TBLPROPERTIES`): the metaData action restates the table
     * with `configuration + (key → value)`. The column-mapping keys are
@@ -1196,6 +1170,16 @@ object DeltaInterop {
       upgraded = false, tsMillis)
   }
 
+  /** Drop a top-level column of a Delta table as a METADATA-ONLY commit
+    * — the other operation column mapping exists for: the field leaves
+    * the logical schema while the physical column stays in the files,
+    * never requested again by readers (zero data movement; the bytes are
+    * reclaimed whenever the files are next rewritten). A plain table
+    * upgrades to name mode first, exactly like [[renameDeltaColumn]].
+    * Time travel below the drop still reads the column. Refuses:
+    * missing column, partition columns (their values live in the log,
+    * not the files — dropping one is a repartition, not a metadata
+    * edit), and dropping the last column. */
   def dropDeltaColumn(spark: SparkSession, path: String, name: String,
       tsMillis: Long = System.currentTimeMillis()): Unit = {
     val root = Paths.get(path).toAbsolutePath
@@ -1219,6 +1203,31 @@ object DeltaInterop {
       dropped, meta.partCols, config, upgraded, tsMillis)
   }
 
+  /** Row-level DELETE on a Delta table at `path`: commit a DELETION-VECTOR
+    * snapshot — the protocol's merge-on-read DELETE, what a modern
+    * engine's `DELETE FROM t WHERE …` with DVs enabled produces. No data
+    * file is rewritten: matching rows' positions serialize into one
+    * `deletion_vector_<uuid>.bin` (RoaringBitmapArray portable format,
+    * one blob per touched file, CRC-checked), and one new commit carries,
+    * per touched file, a `remove` of its previous entry plus an `add` of
+    * the SAME path with the new descriptor — stacked deletes UNION with
+    * the file's existing DV, so every commit's descriptor covers the
+    * file's full deleted set. The commit also raises the protocol to
+    * readerVersion 3 / writerVersion 7 with the `deletionVectors` feature,
+    * as the spec requires of DV-writing commits.
+    *
+    * The predicate evaluates against the LIVE view (existing DVs
+    * applied), so re-running the same delete matches nothing, commits
+    * nothing, and returns 0 — idempotent. Positions are computed by one
+    * distributed scan and the per-file bitmaps are BUILT ON EXECUTORS
+    * (groupByKey over the hit positions); the driver handles only the
+    * O(touched files) compressed blobs. Unpartitioned tables only,
+    * refused loudly (same stance as
+    * [[IcebergInterop.deleteFromIceberg]]); one writer at a time — the
+    * commit publishes with CREATE_NEW, so a racing writer fails loudly
+    * rather than clobbering.
+    *
+    * @return the number of newly deleted row positions (0 = no commit). */
   def deleteFromDelta(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column,
       tsMillis: Long = System.currentTimeMillis()): Long = {
@@ -1231,6 +1240,12 @@ object DeltaInterop {
     require(meta.partCols.isEmpty,
       s"deleteFromDelta supports unpartitioned tables only; the table at " +
         s"$path is partitioned by ${meta.partCols.mkString(",")}")
+    // CDF eligibility is metadata-known — refuse BEFORE any scan or DV
+    // write (a late refusal would leave an orphan .bin behind)
+    val cdfEnabled = meta.config.get("delta.enableChangeDataFeed").contains("true")
+    require(!(cdfEnabled && meta.mapped),
+      s"CDF emission on the column-mapped table at $path is unsupported " +
+        "(change files would need the physical layout)")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     if (live.isEmpty) return 0L
     val nameToAdd: Map[String, AddFile] =
@@ -1284,19 +1299,27 @@ object DeltaInterop {
     // _change_type column, listed by cdc actions — so [[readDeltaCdf]]
     // (and foreign CDF readers) serve row-level deletes without
     // re-reading retired history. '_'-prefixed, so VACUUM never touches
-    // the change files (the protocol's own convention).
-    val cdfEnabled = meta.config.get("delta.enableChangeDataFeed").contains("true")
-    require(!(cdfEnabled && meta.mapped),
-      s"CDF emission on the column-mapped table at $path is unsupported " +
-        "(change files would need the physical layout)")
+    // the change files (the protocol's own convention). The change rows
+    // can only live in the files the first scan found TOUCHED, so this
+    // second read scans those alone — O(matched files), not O(table).
     val cdcEntries: Seq[(String, Long)] =
       if (!cdfEnabled) Seq.empty
       else {
+        val touched = newBlobs.map(_._1).toSet
+        val touchedAdds = live.filter(a =>
+          touched.contains(root.resolve(a.path).getFileName.toString))
+        val base2 = spark.read.schema(schema) // cdf + mapped refused above
+          .parquet(touchedAdds.map(a => root.resolve(a.path).toString): _*)
+          .withColumn("__gdv_file", col("_metadata.file_name"))
+          .withColumn("__gdv_pos", col("_metadata.row_index"))
+        val live2 = dvPositionsDf(spark, root, touchedAdds)
+          .map(d => base2.join(d, Seq("__gdv_file", "__gdv_pos"), "left_anti"))
+          .getOrElse(base2)
         val cdcDir = root.resolve("_change_data")
         Files.createDirectories(cdcDir)
         val stage = Files.createTempDirectory("graft_delta_cdc")
         try {
-          liveDf.where(predicate)
+          live2.where(predicate)
             .drop("__gdv_file", "__gdv_pos")
             .withColumn("_change_type", lit("delete"))
             .write.mode("overwrite").parquet(stage.toString)
@@ -1532,11 +1555,15 @@ object DeltaInterop {
     * when the commit carries one, else the commit file's modification
     * time (the protocol's documented fallback). Pass the result to
     * [[readDelta]]'s `versionAsOf`. Only still-replayable versions count
-    * (JSON commits, plus the advertised checkpoint when
-    * [[cleanDeltaLog]] retired its predecessors — a checkpoint-only
-    * table resolves to the checkpoint version by the parquet's mtime);
-    * loud when the instant predates all of them, rather than silently
-    * serving some other version's view. */
+    * — JSON commits, plus the advertised checkpoint when
+    * [[cleanDeltaLog]] retired its predecessors. A checkpoint-only
+    * version carries NO recorded instant (checkpoints have no
+    * commitInfo), so its parquet's mtime is used only as a SAFE lower
+    * bound — an instant at or past it is certainly at or past the
+    * version's true commit time — and is never ordered against the
+    * commits' logical timestamps. Instants that cannot be attributed to
+    * any replayable version fail loudly rather than silently serving
+    * some other version's view. */
   def deltaVersionAt(path: String, tsMillis: Long): Long = {
     val root = Paths.get(path).toAbsolutePath
     val logDir = root.resolve(LogDirName)
@@ -1559,15 +1586,19 @@ object DeltaInterop {
           s"Delta log at $path advertises checkpoint $v but the parquet is missing")
         (v, Files.getLastModifiedTime(p).toMillis)
       }
-    val versions = (ckptOnly.toSeq ++ commits.map { case (v, p) => (v, commitTs(p)) })
-      .sortBy(_._1)
-    require(versions.nonEmpty, s"empty Delta log at $path")
-    val atOrBelow = versions.filter(_._2 <= tsMillis)
-    require(atOrBelow.nonEmpty,
-      s"no version of the Delta table at $path exists at or before $tsMillis " +
-        s"(oldest replayable: version ${versions.head._1} at ${versions.head._2} " +
-        "— earlier history may have been cleaned)")
-    atOrBelow.map(_._1).max
+    require(commits.nonEmpty || ckptOnly.nonEmpty, s"empty Delta log at $path")
+    val commitTimes = commits.map { case (v, p) => (v, commitTs(p)) }
+    val atOrBelow = commitTimes.filter(_._2 <= tsMillis).map(_._1)
+    if (atOrBelow.nonEmpty) atOrBelow.max
+    else ckptOnly match {
+      case Some((v, mtime)) if tsMillis >= mtime => v
+      case _ => throw new IllegalArgumentException(
+        s"cannot resolve $tsMillis for the Delta table at $path: the " +
+          "instant predates every recorded commit timestamp" +
+          ckptOnly.map(c => s" and version ${c._1}'s own instant is " +
+            "unrecorded (its JSON history was cleaned)").getOrElse("") +
+          " — time-travel by version instead")
+    }
   }
 
   /** Retire the JSON commits an advertised checkpoint makes redundant:

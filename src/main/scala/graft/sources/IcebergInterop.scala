@@ -644,11 +644,18 @@ object IcebergInterop {
     // positional field-ids are only honest for APPEND-ONLY (or positional
     // RENAME) evolution: a dropped or reordered column would silently
     // re-assign existing ids to different data — a spec violation no
-    // reader can detect, so it refuses here instead
+    // reader can detect, so it refuses here instead. Type equality alone
+    // misses SAME-TYPED reorders/drop+appends, so a changed name at a
+    // position must also be genuinely NEW on both sides (a name moving
+    // between positions is a reorder wearing a rename's shape).
     require(!schemaChanged ||
         (prevSchema.fields.length <= schema.fields.length &&
-          prevSchema.fields.zip(schema.fields)
-            .forall { case (a, b) => a.dataType == b.dataType }),
+          prevSchema.fields.zip(schema.fields).forall { case (a, b) =>
+            a.dataType == b.dataType &&
+              (a.name == b.name ||
+                (!schema.fieldNames.contains(a.name) &&
+                  !prevSchema.fieldNames.contains(b.name)))
+          }),
       s"schema change at $target is not append-only/rename (a drop, reorder, " +
         "or type change) — positional field-ids cannot mirror it faithfully; " +
         "re-export from scratch")
@@ -945,15 +952,24 @@ object IcebergInterop {
     val keyCols = keys.columns.toSeq
     require(keyCols.nonEmpty, "deleteFromIcebergByKey: the key frame has no columns")
     // the reader anchors equality deletes at the SCAN under current
-    // names; a renamed key column would anti-join against nulls for
-    // pre-rename files and silently resurrect rows — refuse at write
+    // names; a renamed key column anti-joins against nulls for any file
+    // still carrying the OLD physical name. The write-side refusal is
+    // precise (the same rule the reader enforces): only files that lack
+    // the current name block the delete, so a compacted table passes.
     val renamed = renameAliases(meta, path,
       Option(meta.get("current-schema-id")).map(_.asInt))
-    keyCols.filter(renamed.contains).foreach(c =>
-      throw new IllegalArgumentException(
-        s"deleteFromIcebergByKey: column '$c' of $path has been renamed — " +
-          "equality deletes cannot anchor across both physical names; " +
-          "compact the table to the current names first"))
+    val renamedKeys = keyCols.filter(renamed.contains)
+    if (renamedKeys.nonEmpty) {
+      val (liveData, _, _) = liveEntries(root, path, snapNode)
+      val bulk = parquetTopLevelColsBulk(spark, liveData.map(_.resolved))
+      renamedKeys.foreach(c => bulk.find(!_._2.contains(c)).foreach { case (u, _) =>
+        throw new IllegalArgumentException(
+          s"deleteFromIcebergByKey: column '$c' of $path has been renamed " +
+            s"and data file $u still carries its old physical name — " +
+            "compact the table to the current names first " +
+            "(compactIcebergDeletes)")
+      })
+    }
     val nameToId = schemaFieldIdToName(meta, path).map(_.swap)
     val ids = keyCols.map(c => nameToId.getOrElse(c,
       throw new IllegalArgumentException(
@@ -1155,8 +1171,28 @@ object IcebergInterop {
     * @return (files rewritten, rows reclaimed) — (0, 0) when the current
     *   snapshot carries no delete files (no commit). */
   def compactIcebergDeletes(spark: SparkSession, path: String,
-      tsMillis: Long = System.currentTimeMillis()): (Int, Long) = {
+      tsMillis: Long = System.currentTimeMillis()): (Int, Long) =
+    rewriteIcebergImpl(spark, path, tsMillis, rewriteAll = false)
+
+  /** FULL data rewrite under the CURRENT schema — the OPTIMIZE-style
+    * maintenance twin of [[compactIcebergDeletes]] (which rewrites only
+    * delete-carrying files): every live data file is re-written fresh,
+    * position deletes fold in, and every surviving byte carries the
+    * current physical column names. This is the migration path that
+    * retires a [[renameIcebergColumn]]'s historic names for DELETE-FREE
+    * files too (compaction alone never touches them), after which
+    * equality deletes on the renamed column are accepted again.
+    *
+    * @return (files rewritten, rows reclaimed) — (0, 0) only on an empty
+    *   table (a full rewrite always commits otherwise). */
+  def rewriteIcebergData(spark: SparkSession, path: String,
+      tsMillis: Long = System.currentTimeMillis()): (Int, Long) =
+    rewriteIcebergImpl(spark, path, tsMillis, rewriteAll = true)
+
+  private def rewriteIcebergImpl(spark: SparkSession, path: String,
+      tsMillis: Long, rewriteAll: Boolean): (Int, Long) = {
     import org.apache.spark.sql.functions.col
+    val what = if (rewriteAll) "rewriteIcebergData" else "compactIcebergDeletes"
     val root = Paths.get(path).toAbsolutePath
     val metaDir = root.resolve("metadata")
     require(Files.isDirectory(metaDir), s"no Iceberg table at $path (missing metadata/)")
@@ -1165,7 +1201,7 @@ object IcebergInterop {
     require(fv == 1 || fv == 2,
       s"Iceberg table $path has format-version $fv — only v1/v2 are supported")
     require(defaultSpecFields(meta).isEmpty,
-      s"compactIcebergDeletes supports unpartitioned tables only; the table " +
+      s"$what supports unpartitioned tables only; the table " +
         s"at $path has a partition spec")
     val schema = currentSparkSchema(meta, path)
     val curId = Option(meta.get("current-snapshot-id")).map(_.asLong)
@@ -1176,20 +1212,26 @@ object IcebergInterop {
         s"Iceberg table $path current snapshot $curId is missing from the log"))
     val (dataFiles, deleteFiles, eqDeletes) = liveEntries(root, path, snapNode)
     require(eqDeletes.isEmpty,
-      s"compactIcebergDeletes does not rewrite EQUALITY deletes (the table " +
+      s"$what does not rewrite EQUALITY deletes (the table " +
         s"at $path carries ${eqDeletes.size}) — every pre-delete file would " +
-        "need rewriting; re-export the live view instead")
-    if (deleteFiles.isEmpty || dataFiles.isEmpty) return (0, 0L)
-    val delFrame = positionDeleteFrame(spark, path, dataFiles, deleteFiles)
-      .getOrElse(return (0, 0L))
+        "need rewriting with the strictly-newer-sequence rule applied; " +
+        "re-export the live view instead")
+    if (dataFiles.isEmpty) return (0, 0L)
+    if (!rewriteAll && deleteFiles.isEmpty) return (0, 0L)
+    val delFrameOpt = positionDeleteFrame(spark, path, dataFiles, deleteFiles)
+    if (!rewriteAll && delFrameOpt.isEmpty) return (0, 0L)
 
-    // which files actually carry APPLICABLE deletes — O(touched files)
-    val touched: Set[String] = delFrame.select("__gdel_file").distinct()
-      .collect().map(_.getString(0)).toSet
-    val (rewrite, carry) = dataFiles.partition(e =>
-      touched.contains(e.resolved.getFileName.toString))
+    // which files carry APPLICABLE deletes — O(touched files); a full
+    // rewrite touches everything regardless
+    val touched: Set[String] = delFrameOpt.map(_.select("__gdel_file").distinct()
+      .collect().map(_.getString(0)).toSet).getOrElse(Set.empty)
+    val (rewrite, carry) =
+      if (rewriteAll) (dataFiles, Seq.empty[DataEntry])
+      else dataFiles.partition(e =>
+        touched.contains(e.resolved.getFileName.toString))
     if (rewrite.isEmpty) return (0, 0L)
-    val deadRows = delFrame.count()
+    val deadRows = delFrameOpt.map(_.count()).getOrElse(0L)
+    val delFrame = delFrameOpt
 
     // survivors of the touched files only, written fresh
     val compDir = root.resolve("data").resolve("compacted")
@@ -1201,11 +1243,13 @@ object IcebergInterop {
       // physical migration path that retires historic column names
       val aliases = renameAliases(meta, path,
         Option(meta.get("current-schema-id")).map(_.asInt))
-      spark.read.schema(aliasedScanSchema(schema, aliases))
+      val scan = spark.read.schema(aliasedScanSchema(schema, aliases))
         .parquet(rewrite.map(_.resolved.toString): _*)
         .withColumn("__gdel_file", col("_metadata.file_name"))
         .withColumn("__gdel_pos", col("_metadata.row_index"))
-        .join(delFrame, Seq("__gdel_file", "__gdel_pos"), "left_anti")
+      delFrame
+        .map(d => scan.join(d, Seq("__gdel_file", "__gdel_pos"), "left_anti"))
+        .getOrElse(scan)
         .select(schema.fields.map(aliasCol(_, aliases)).toIndexedSeq: _*)
         .write.mode("overwrite").parquet(stage.toString)
       val walk = Files.walk(stage)
@@ -1236,9 +1280,15 @@ object IcebergInterop {
     // footer re-reads for untouched files (O(changed files) I/O only)
     val entries = carry.map(e =>
       ManifestFile(e.uri, e.size, e.rows, Seq.empty)) ++ newFiles
+    // the manifest embeds the metadata's CURRENT schema node VERBATIM —
+    // re-deriving ids positionally would lie after a dropIcebergColumn
+    // (ids are permanent; positions are not)
+    val curSchemaJson = allSchemaNodes(meta)
+      .find(n => Option(n.get("schema-id")).exists(_.asInt == curSchemaId))
+      .map(m.writeValueAsString)
+      .getOrElse(m.writeValueAsString(icebergSchema(m, schema, curSchemaId)))
     writeManifest(metaDir.resolve(manifestName), snapshotId,
-      m.writeValueAsString(icebergSchema(m, schema, curSchemaId)),
-      Seq.empty, entries)
+      curSchemaJson, Seq.empty, entries)
     val listName = f"snap-$snapshotId%d.avro"
     writeManifestListV2(metaDir.resolve(listName), Seq(ManifestListEntry(
       metaDir.resolve(manifestName).toUri.toString,
@@ -2050,7 +2100,12 @@ object IcebergInterop {
       s"no snapshot of $path exists at or before $tsMillis (oldest logged: " +
         s"${log.flatMap(e => Option(e.get("timestamp-ms")).map(_.asLong)).min} " +
         "— earlier history may have been expired)")
-    atOrBelow.maxBy(e => e.get("timestamp-ms").asLong).get("snapshot-id").asLong
+    // ties resolve to the LATEST log entry (the log is append-ordered;
+    // maxBy would return the first, serving a superseded view for an
+    // instant at which a newer same-timestamp snapshot was current)
+    val best = atOrBelow.map(_.get("timestamp-ms").asLong).max
+    atOrBelow.filter(_.get("timestamp-ms").asLong == best)
+      .last.get("snapshot-id").asLong
   }
 
   /** Every schema version the metadata carries (the `schemas` array, or
@@ -2613,16 +2668,26 @@ object IcebergInterop {
     // refuse instead of resurrecting rows (one footer probe; mixed
     // layouts are refused further down regardless)
     if (eqSpecs.nonEmpty) {
-      // an equality-delete column that was RENAMED would anchor its
-      // anti-join on a scan column that is null for pre-rename files —
-      // silent row resurrection; refuse instead
-      eqSpecs.flatMap(_.cols).distinct.filter(aliases.contains).foreach(c =>
-        throw new IllegalArgumentException(
-          s"Iceberg table $path equality-deletes on column '$c', which has " +
-            "been renamed — this reader cannot anchor the delete across " +
-            "both physical names; rewrite the deletes or the data first"))
+      // an equality-delete column that was RENAMED anchors its anti-join
+      // at the scan under the READ name, which is null for any file still
+      // carrying the OLD physical name — silent row resurrection. The
+      // refusal is precise: only files that physically lack the read name
+      // block the read, so compacting the table to the current names
+      // (compactIcebergDeletes, the migration path) genuinely clears it.
+      val eqCols = eqSpecs.flatMap(_.cols).distinct
+      val aliased = eqCols.filter(aliases.contains)
+      if (aliased.nonEmpty) {
+        val bulk = parquetTopLevelColsBulk(spark, dataFiles.map(_._1))
+        aliased.foreach(c => bulk.find(!_._2.contains(c)).foreach { case (u, _) =>
+          throw new IllegalArgumentException(
+            s"Iceberg table $path equality-deletes on renamed column '$c' " +
+              s"but data file $u still carries its old physical name — " +
+              "compact the table to the current names first " +
+              "(compactIcebergDeletes), or rewrite the deletes")
+        })
+      }
       val probe = parquetTopLevelCols(spark, dataFiles.head._1)
-      eqSpecs.flatMap(_.cols).distinct.foreach(c => require(probe.contains(c),
+      eqCols.foreach(c => require(probe.contains(c),
         s"Iceberg table $path equality-deletes on column '$c', which is not " +
           "physically present in the data files — this reader anchors " +
           "equality deletes at the scan, before the identity fill; unreadable"))

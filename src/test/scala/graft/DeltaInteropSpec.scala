@@ -760,6 +760,12 @@ class DeltaInteropSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       DeltaInterop.renameDeltaColumn(spark, out, "id", "id"))
       .getMessage.contains("no-op"))
+    // a CASE-ONLY rename is legal (the renamed field itself is excluded
+    // from the collision check — the physical name stays put either way)
+    DeltaInterop.renameDeltaColumn(spark, out, "score", "Score", tsMillis = 8000L)
+    val cased = DeltaInterop.readDelta(spark, out)
+    assert(cased.columns.toSeq == Seq("id", "key", "Score"))
+    assert(cased.orderBy("id").collect().toSeq == before)
   }
 
   test("column mapping composes with deletion vectors and survives a checkpoint") {
@@ -921,7 +927,7 @@ class DeltaInteropSpec extends SparkSpec {
     assert(DeltaInterop.deltaVersionAt(out, 6000L) == 1L)
     assert(DeltaInterop.deltaVersionAt(out, Long.MaxValue) == 1L)
     assert(intercept[IllegalArgumentException](
-      DeltaInterop.deltaVersionAt(out, 4999L)).getMessage.contains("at or before"))
+      DeltaInterop.deltaVersionAt(out, 4999L)).getMessage.contains("predates"))
     // composes with readDelta: the instant between the commits reads v0
     assert(DeltaInterop.readDelta(spark, out,
       versionAsOf = Some(DeltaInterop.deltaVersionAt(out, 5500L))).count() == 4L)
@@ -993,6 +999,16 @@ class DeltaInteropSpec extends SparkSpec {
       DeltaInterop.setDeltaTableProperty(spark, out2,
         "delta.columnMapping.mode", "id"))
       .getMessage.contains("managed by"))
+    // partition columns live in the log, not the files — the feed would
+    // read them as silent nulls, so partitioned tables refuse
+    val tp = TxTable(spark, tmp("delta_cdf_part"))
+    tp.append(Seq((1L, "2024-01-01", 1.0)).toDF("id", "day", "v"),
+      tsMillis = 1000L, partitionBy = Seq("day"))
+    val outp = tmp("delta_cdf_part_exp")
+    DeltaInterop.exportDelta(tp, outp, tsMillis = 5000L)
+    assert(intercept[IllegalArgumentException](
+      DeltaInterop.readDeltaCdf(spark, outp, 0L))
+      .getMessage.contains("unpartitioned"))
   }
 
   test("renamed partition column: physical partitionValues keys, logical pruner keys") {

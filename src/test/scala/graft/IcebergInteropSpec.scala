@@ -1309,16 +1309,22 @@ class IcebergInteropSpec extends SparkSpec {
     assert(IcebergInterop.readIceberg(spark, out, snapshotAsOf = Some(snap2)).count() == 3L)
     assert(intercept[IllegalArgumentException](
       IcebergInterop.icebergSnapshotAt(out, 4999L)).getMessage.contains("at or before"))
+    // equal timestamps resolve to the LATEST log entry, never a
+    // superseded view (the log is append-ordered)
+    assert(IcebergInterop.deleteFromIceberg(spark, out, col("id") === 2L, 6000L) == 1L)
+    val snap3 = IcebergInterop.icebergSnapshotAt(out, 6000L)
+    assert(snap3 != snap2 &&
+      IcebergInterop.readIceberg(spark, out, snapshotAsOf = Some(snap3)).count() == 2L)
     // the metadata carries a spec-shaped snapshot-log for foreign engines
     val metaTxt = new String(Files.readAllBytes(
       Paths.get(out, "metadata", "v2.metadata.json")))
     assert(metaTxt.contains("snapshot-log"))
     // expiry prunes the log WITH the snapshots: an expired instant must
     // refuse, never silently resolve to a different snapshot's view
-    assert(IcebergInterop.expireIcebergSnapshots(spark, out, keepLast = 1, 7000L)._1 == 1)
+    assert(IcebergInterop.expireIcebergSnapshots(spark, out, keepLast = 1, 7000L)._1 == 2)
     assert(intercept[IllegalArgumentException](
       IcebergInterop.icebergSnapshotAt(out, 5500L)).getMessage.contains("expired"))
-    assert(IcebergInterop.icebergSnapshotAt(out, 6000L) == snap2)
+    assert(IcebergInterop.icebergSnapshotAt(out, 6000L) == snap3)
   }
 
   test("renameIcebergColumn: metadata-only rename with field-id read resolution") {
@@ -1460,6 +1466,16 @@ class IcebergInteropSpec extends SparkSpec {
     assert(IcebergInterop.deleteFromIceberg(spark, out2,
       col("entity") === "e1", 7000L) == 1L)
     assert(IcebergInterop.readIceberg(spark, out2).count() == 5L)
+    // the refusal's own remedy must WORK: a full rewrite migrates every
+    // file to the current physical names, and the same equality delete
+    // is accepted afterwards (the refusal is per-file-precise, not
+    // permanent schema history)
+    val (nf, dead) = IcebergInterop.rewriteIcebergData(spark, out2, 8000L)
+    assert(nf >= 1 && dead == 1L, s"($nf, $dead)")
+    assert(IcebergInterop.readIceberg(spark, out2).count() == 5L)
+    assert(IcebergInterop.deleteFromIcebergByKey(spark, out2,
+      Seq("e2").toDF("entity"), 9000L) == 1L)
+    assert(IcebergInterop.readIceberg(spark, out2).count() == 4L)
   }
 
   test("expireIcebergSnapshots: shared-manifest safety, physical reclaim, loud expired reads") {
