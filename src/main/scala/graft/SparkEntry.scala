@@ -3641,6 +3641,80 @@ object SparkEntry {
     cdf2.orderBy("_commit_version", "event_id")
   }
 
+  /** Fixed export target for [[b5IcebergChangelog]] — oracle SQL
+    * recomputes both change kinds over the ROOT data bytes (the rewrite
+    * leaves the originals in place; `data/compacted/` and
+    * `data/deletes/` sit outside the flat glob). */
+  private val B5IcebergChangelogPath =
+    "/root/repo/target/graft_export/b5_iceberg_changelog"
+
+  /** B5 — ICEBERG CHANGELOG, the [[b5DeltaCdf]] twin (round-10
+    * extension: [[graft.sources.IcebergInterop.readIcebergChanges]]'s
+    * append-only contract must refuse in-range deletes — the changelog
+    * scan is Iceberg's answer):
+    * [[graft.sources.IcebergInterop.readIcebergChangelog]] classifies
+    * each consumed snapshot by summary.operation + manifest diff —
+    * `append` edges emit the added files' insert-time rows, `delete`
+    * edges resolve the added position-delete files back to the rows
+    * they kill (touched files only), and `replace` edges
+    * ([[graft.sources.IcebergInterop.rewriteIcebergData]], exercised
+    * here) change no rows and stay silent. In-query certificates: (1)
+    * inserts ≡ the appended batch and deletes ≡ the predicate; (2) the
+    * feed is bit-identical across the full rewrite; (3) a consumer at
+    * the head reads empty. DuckDB oracle recomputes both change kinds
+    * from the original bytes.
+    */
+  private def b5IcebergChangelog(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergInterop, TxTable}
+    import java.nio.file.{Files, Paths}
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
+    val outCols = cols ++ Seq("_change_type", "_change_ordinal")
+    val t = TxTable(s, HarnessFixtures.cloneTxDir(txTpl(s, dir, "b5_cdf")))
+    val target = Paths.get(B5IcebergChangelogPath)
+    graft.sources.DeltaInterop.deleteRecursively(target)
+    require(IcebergInterop.exportIcebergIncremental(t, B5IcebergChangelogPath,
+      tsMillis = 5000L) == 1L)                                         // snap1
+    val v1Txt = new String(Files.readAllBytes(
+      target.resolve("metadata").resolve("v1.metadata.json")), "UTF-8")
+    val snap1 = """"current-snapshot-id" : (\d+)""".r
+      .findFirstMatchIn(v1Txt).get.group(1).toLong
+    val appended = Tables.events(s, dir)
+      .select(cols.map(col).toIndexedSeq: _*)
+      .where(col("event_id") % 3 === 0)
+    t.append(appended, tsMillis = 2000L)
+    require(IcebergInterop.exportIcebergIncremental(t, B5IcebergChangelogPath,
+      tsMillis = 6000L) == 2L)                                         // snap2: inserts
+    val delCount = IcebergInterop.readIceberg(s, B5IcebergChangelogPath)
+      .where(col("event_id") % 7 === 0).count()
+    require(IcebergInterop.deleteFromIceberg(s, B5IcebergChangelogPath,
+        col("event_id") % 7 === 0, tsMillis = 7000L) == delCount,
+      "b5_iceberg_changelog: the delete must cover the predicate exactly") // snap3
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(outCols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val (head1, log1) = IcebergInterop.readIcebergChangelog(
+      s, B5IcebergChangelogPath, snap1)
+    require(log1.where(col("_change_type") === "insert").count() == appended.count() &&
+        log1.where(col("_change_type") === "delete").count() == delCount,
+      "b5_iceberg_changelog: the feed must carry exactly the appended " +
+        "batch as inserts and the predicate rows as deletes")
+    val feedSig = sig(log1)
+    // the full rewrite is a 'replace' edge: zero rows, same feed
+    require(IcebergInterop.rewriteIcebergData(s, B5IcebergChangelogPath,
+      tsMillis = 8000L)._1 > 0)                                        // snap4: silent
+    val (head2, log2) = IcebergInterop.readIcebergChangelog(
+      s, B5IcebergChangelogPath, snap1)
+    require(head2 != head1 && sig(log2) == feedSig,
+      "b5_iceberg_changelog: a replace edge must advance the head and " +
+        "change NOTHING in the feed")
+    require(IcebergInterop.readIcebergChangelog(
+        s, B5IcebergChangelogPath, head2)._2.isEmpty,
+      "b5_iceberg_changelog: a consumer at the head must read an empty feed")
+    log2.select(outCols.map(col).toIndexedSeq: _*)
+      .orderBy("_change_ordinal", "event_id")
+  }
+
   /** Fixed export target for [[b5IcebergRename]] — same oracle shape as
     * the Delta twin: the bytes still carry the original column name
     * (renames are metadata-only), so the oracle aliases it. */
@@ -5726,6 +5800,7 @@ object SparkEntry {
     "b5_delta_cdf"       -> (b5DeltaCdf _),
     "b5_iceberg_expire"  -> (b5IcebergExpire _),
     "b5_iceberg_rename"  -> (b5IcebergRename _),
+    "b5_iceberg_changelog" -> (b5IcebergChangelog _),
     "b5_iceberg_bucket_str" -> (b5IcebergBucketStr _),
     "b5_tx_cluster_days" -> (b5TxClusterDays _),
     "b5_iceberg_composite" -> (b5IcebergComposite _),
@@ -6393,6 +6468,18 @@ object SparkEntry {
         |FROM parquet_scan('/root/repo/target/graft_export/b5_delta_cdf/*.parquet')
         |WHERE event_id % 7 = 0
         |ORDER BY _commit_version, event_id""".stripMargin,
+    // the Iceberg changelog twin: same recomputation as b5_delta_cdf —
+    // ordinal 1 = the append edge, ordinal 2 = the delete edge; the
+    // rewrite edge is silent and the originals stay on disk for the glob
+    "b5_iceberg_changelog" ->
+      """SELECT event_id, user_id, event_type, value, ts, 'insert' AS _change_type, 1::BIGINT AS _change_ordinal
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_changelog/data/*.parquet')
+        |WHERE event_id % 3 = 0
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, value, ts, 'delete', 2::BIGINT
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_changelog/data/*.parquet')
+        |WHERE event_id % 7 = 0
+        |ORDER BY _change_ordinal, event_id""".stripMargin,
     // the Iceberg rename is metadata-only like the Delta one: physical
     // bytes keep the old name (aliased) and the position delete stays
     // logical (post-filtered)

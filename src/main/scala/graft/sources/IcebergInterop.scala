@@ -2288,6 +2288,143 @@ object IcebergInterop {
       aliases)
   }
 
+  /** CHANGELOG consumption — the row-level changes committed in the
+    * snapshots `(sinceSnapshotId, head]`, including the deletes
+    * [[readIcebergChanges]]' append-only contract must refuse (the
+    * Iceberg twin of [[DeltaInterop.readDeltaCdf]], Iceberg's
+    * `changelog` scan shape). Returns `(head, changes)` where `changes`
+    * carries the table columns plus `_change_type`
+    * ('insert' | 'delete'), `_change_ordinal` (1-based position of the
+    * commit in the consumed chain — SQL-derivable for oracles), and
+    * `_commit_snapshot_id` (the consumer's watermark currency).
+    *
+    * Classification is by each snapshot's `summary.operation` plus its
+    * manifest diff, checked for consistency: `append` emits the added
+    * files' rows as inserts (their INSERT-TIME state — a later in-range
+    * delete emits both the insert and the delete, changelog semantics);
+    * `delete` resolves the added POSITION-delete files back to the data
+    * rows they kill (scanning only the touched files); `replace`
+    * (compaction / [[rewriteIcebergData]]) changes no rows by definition
+    * and is skipped. Refuses loudly: snapshots without a classifiable
+    * operation, mixed shapes (a delete snapshot adding data files),
+    * EQUALITY deletes landing in the range (resolving them to rows
+    * would need the full pre-delete state), partitioned tables (same
+    * v1 scope as the Delta twin), and expired watermarks. */
+  def readIcebergChangelog(spark: SparkSession, path: String,
+      sinceSnapshotId: Long): (Long, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.LongType
+    val root = Paths.get(path).toAbsolutePath
+    val metaDir = root.resolve("metadata")
+    require(Files.isDirectory(metaDir), s"no Iceberg table at $path (missing metadata/)")
+    val meta = currentMetadata(metaDir, path)
+    val fv = meta.get("format-version").asInt
+    require(fv == 1 || fv == 2,
+      s"Iceberg table $path has format-version $fv — only v1/v2 are supported")
+    require(defaultSpecFields(meta).isEmpty,
+      s"readIcebergChangelog supports unpartitioned tables only; the table " +
+        s"at $path has a partition spec")
+    val schema = currentSparkSchema(meta, path)
+    val outSchema = StructType(schema.fields :+
+      StructField("_change_type", StringType, nullable = false) :+
+      StructField("_change_ordinal", LongType, nullable = false) :+
+      StructField("_commit_snapshot_id", LongType, nullable = false))
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val snaps = Option(meta.get("snapshots"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    val byId = snaps.map(s => s.get("snapshot-id").asLong -> s).toMap
+    val cur = Option(meta.get("current-snapshot-id")).map(_.asLong).filter(_ != -1L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"Iceberg table $path has no current snapshot — nothing to consume"))
+    if (sinceSnapshotId == cur) return (cur, empty)
+
+    val chain = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var at = Option(cur)
+    while (at.isDefined && !at.contains(sinceSnapshotId)) {
+      chain += at.get
+      at = byId.get(at.get).flatMap(s =>
+        Option(s.get("parent-snapshot-id")).map(_.asLong))
+    }
+    require(at.contains(sinceSnapshotId),
+      s"watermark snapshot $sinceSnapshotId is not an ancestor of the current " +
+        s"snapshot $cur in the Iceberg table at $path (expired or ahead?) — " +
+        "re-sync from the full snapshot")
+
+    val aliases = renameAliases(meta, path,
+      Option(meta.get("current-schema-id")).map(_.asInt))
+    def state(snapId: Long) = liveEntries(root, path, byId(snapId))
+    var parent = state(sinceSnapshotId)
+    val frames = Seq.newBuilder[DataFrame]
+    chain.reverse.zipWithIndex.foreach { case (snapId, i) =>
+      val ord = i + 1L
+      val op = Option(byId(snapId).get("summary"))
+        .flatMap(s => Option(s.get("operation"))).map(_.asText)
+        .getOrElse(throw new IllegalArgumentException(
+          s"Iceberg table $path snapshot $snapId carries no " +
+            "summary.operation — cannot classify its change; re-sync from " +
+            "the full snapshot"))
+      val cs = state(snapId)
+      val (pData, pPos, pEq) = parent
+      val (cData, cPos, cEq) = cs
+      val pSet = pData.map(_.resolved.toString).toSet
+      val addedData = cData.filterNot(e => pSet.contains(e.resolved.toString))
+      val removedData = pSet.diff(cData.map(_.resolved.toString).toSet)
+      val pPosSet = pPos.map(_.resolved.toString).toSet
+      val addedPos = cPos.filterNot(d => pPosSet.contains(d.resolved.toString))
+      val pEqSet = pEq.map(_.resolved.toString).toSet
+      val addedEq = cEq.filterNot(d => pEqSet.contains(d.resolved.toString))
+      require(addedEq.isEmpty,
+        s"Iceberg table $path snapshot $snapId adds EQUALITY deletes inside " +
+          "the consumed range — resolving them to rows needs the full " +
+          "pre-delete state; re-sync from the full snapshot")
+      def stamp(df: DataFrame, kind: String): DataFrame = df
+        .withColumn("_change_type", lit(kind))
+        .withColumn("_change_ordinal", lit(ord))
+        .withColumn("_commit_snapshot_id", lit(snapId))
+      op match {
+        case "append" =>
+          require(removedData.isEmpty && addedPos.isEmpty,
+            s"Iceberg table $path snapshot $snapId declares 'append' but " +
+              "removes files or adds deletes — unclassifiable shape; " +
+              "re-sync from the full snapshot")
+          if (addedData.nonEmpty)
+            frames += stamp(readWithIdentityFill(spark, path, meta, schema,
+              addedData.map(e => (e.resolved, e.partition)),
+              aliases = aliases), "insert")
+        case "delete" =>
+          require(addedData.isEmpty && removedData.isEmpty,
+            s"Iceberg table $path snapshot $snapId declares 'delete' but " +
+              "changes the data file set — unclassifiable shape; re-sync " +
+              "from the full snapshot")
+          positionDeleteFrame(spark, path, cData, addedPos).foreach { delF =>
+            val touched = delF.select("__gdel_file").distinct()
+              .collect().map(_.getString(0)).toSet
+            val touchedEntries = cData.filter(e =>
+              touched.contains(e.resolved.getFileName.toString))
+            val scan = spark.read.schema(aliasedScanSchema(schema, aliases))
+              .parquet(touchedEntries.map(_.resolved.toString): _*)
+              .withColumn("__gdel_file", col("_metadata.file_name"))
+              .withColumn("__gdel_pos", col("_metadata.row_index"))
+            frames += stamp(
+              scan.join(delF, Seq("__gdel_file", "__gdel_pos"), "left_semi")
+                .select(schema.fields.map(aliasCol(_, aliases)).toIndexedSeq: _*),
+              "delete")
+          }
+        case "replace" =>
+          // a rewrite (compaction, full rewrite) changes no rows — skipped
+          ()
+        case other => throw new IllegalArgumentException(
+          s"Iceberg table $path snapshot $snapId declares operation " +
+            s"'$other' — unsupported changelog shape; re-sync from the " +
+            "full snapshot")
+      }
+      parent = cs
+    }
+    val out = frames.result().reduceOption(_.unionByName(_)).getOrElse(empty)
+    (cur, out.select(outSchema.fieldNames.map(col).toIndexedSeq: _*))
+  }
+
   /** One live DATA file of a snapshot: its resolved local path, the
     * file_path string EXACTLY as the manifest records it (position-delete
     * rows reference that string), its partition tuple, and its data

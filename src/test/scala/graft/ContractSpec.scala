@@ -187,8 +187,14 @@ class ContractSpec extends AnyFunSuite {
     // whole-file synthesis / dataChange=false skips; purge invariance
     // certified in-query, vacuum survival spec-pinned; DuckDB oracle
     // recomputes both change kinds)
-    assert(SparkEntry.queries.size == 212,
-      s"declared query count ${SparkEntry.queries.size} != documented 212 — " +
+    // 213 adds b5_iceberg_changelog (the CDF twin: readIcebergChangelog
+    // classifies consumed snapshots by summary.operation + manifest diff
+    // — append edges emit inserts, delete edges resolve position-delete
+    // files back to rows over the touched files only, replace edges
+    // (rewriteIcebergData) stay silent; eq-deletes/mixed shapes refuse;
+    // DuckDB oracle recomputes both change kinds)
+    assert(SparkEntry.queries.size == 213,
+      s"declared query count ${SparkEntry.queries.size} != documented 213 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

@@ -1393,6 +1393,46 @@ class IcebergInteropSpec extends SparkSpec {
       .getMessage.contains("no-op"))
   }
 
+  test("readIcebergChangelog: inserts AND deletes; replace snapshots are silent") {
+    val t = TxTable(spark, tmp("ice_clog_src"))
+    t.append((0L until 10L).map(i => (i, i * 2.0)).toDF("id", "v").coalesce(1),
+      tsMillis = 1000L)
+    val out = tmp("ice_clog_exp")
+    assert(IcebergInterop.exportIcebergIncremental(t, out, 5000L) == 1L)   // snap1
+    val v1Txt = new String(Files.readAllBytes(
+      Paths.get(out, "metadata", "v1.metadata.json")))
+    val snap1 = """"snapshot-id" : (\d+)""".r.findFirstMatchIn(v1Txt).get.group(1).toLong
+    t.append((10L until 14L).map(i => (i, i * 2.0)).toDF("id", "v").coalesce(1),
+      tsMillis = 2000L)
+    assert(IcebergInterop.exportIcebergIncremental(t, out, 6000L) == 2L)   // snap2: insert
+    assert(IcebergInterop.deleteFromIceberg(spark, out,
+      col("id") % 5 === 0, 7000L) == 3L)                                   // snap3: delete
+    assert(IcebergInterop.compactIcebergDeletes(spark, out, 8000L)._2 == 3L) // snap4: replace
+    val (head, log) = IcebergInterop.readIcebergChangelog(spark, out, snap1)
+    val rows = log.select("id", "_change_type", "_change_ordinal")
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows == ((10L until 14L).map(i => (i, "insert", 1L)).toSet ++
+      Set((0L, "delete", 2L), (5L, "delete", 2L), (10L, "delete", 2L))),
+      s"got $rows")
+    // the replace edge (ordinal 3) contributed NOTHING; head watermark works
+    assert(log.where(col("_change_ordinal") === 3L).isEmpty)
+    assert(IcebergInterop.readIcebergChangelog(spark, out, head)._2.isEmpty)
+    // an equality delete landing in the range refuses (rows would need
+    // the pre-delete state); consuming from AFTER it is fine
+    assert(IcebergInterop.deleteFromIcebergByKey(spark, out,
+      Seq(3L).toDF("id"), 9000L) == 1L)                                    // snap5
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.readIcebergChangelog(spark, out, snap1))
+      .getMessage.contains("EQUALITY"))
+    // a consumer already past the eq-delete edge reads an empty feed
+    val snap5 = IcebergInterop.icebergSnapshotAt(out, Long.MaxValue)
+    assert(IcebergInterop.readIcebergChangelog(spark, out, snap5)._2.isEmpty)
+    // unknown watermark refuses like the append-only reader
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.readIcebergChangelog(spark, out, 424242L))
+      .getMessage.contains("not an ancestor"))
+  }
+
   test("dropIcebergColumn: metadata-only drop — schema-pinned travel, id never reused") {
     val t = TxTable(spark, tmp("ice_drop_src"))
     t.append((0L until 6L).map(i => (i, s"k$i", i * 2.0)).toDF("id", "k", "v"),
