@@ -2310,6 +2310,34 @@ object IcebergInterop {
     * EQUALITY deletes landing in the range (resolving them to rows
     * would need the full pre-delete state), partitioned tables (same
     * v1 scope as the Delta twin), and expired watermarks. */
+  /** The parent-chain snapshot ids from `since` (exclusive) up to `cur`
+    * (inclusive), OLDEST FIRST — the shared lineage walk of
+    * [[readIcebergChanges]] and [[readIcebergChangelog]], with ONE
+    * refusal behavior for both: a watermark that is not an ancestor, or
+    * one that survives only as the oldest kept snapshot's
+    * parent-snapshot-id after an [[expireIcebergSnapshots]] (present as
+    * a pointer, EXPIRED as a snapshot), fails loudly instead of
+    * surfacing a bare lookup error downstream. */
+  private def snapshotLineage(path: String, byId: Map[Long, JsonNode],
+      cur: Long, since: Long): Seq[Long] = {
+    val chain = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var at = Option(cur)
+    while (at.isDefined && !at.contains(since)) {
+      chain += at.get
+      at = byId.get(at.get).flatMap(s =>
+        Option(s.get("parent-snapshot-id")).map(_.asLong))
+    }
+    require(at.contains(since),
+      s"watermark snapshot $since is not an ancestor of the current " +
+        s"snapshot $cur in the Iceberg table at $path (expired or ahead?) — " +
+        "re-sync from the full snapshot")
+    require(byId.contains(since),
+      s"watermark snapshot $since has been EXPIRED from the Iceberg table " +
+        s"at $path (it survives only as a parent pointer) — re-sync from " +
+        "the full snapshot")
+    chain.reverse.toSeq
+  }
+
   def readIcebergChangelog(spark: SparkSession, path: String,
       sinceSnapshotId: Long): (Long, DataFrame) = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -2338,25 +2366,14 @@ object IcebergInterop {
       .getOrElse(throw new IllegalArgumentException(
         s"Iceberg table $path has no current snapshot — nothing to consume"))
     if (sinceSnapshotId == cur) return (cur, empty)
-
-    val chain = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var at = Option(cur)
-    while (at.isDefined && !at.contains(sinceSnapshotId)) {
-      chain += at.get
-      at = byId.get(at.get).flatMap(s =>
-        Option(s.get("parent-snapshot-id")).map(_.asLong))
-    }
-    require(at.contains(sinceSnapshotId),
-      s"watermark snapshot $sinceSnapshotId is not an ancestor of the current " +
-        s"snapshot $cur in the Iceberg table at $path (expired or ahead?) — " +
-        "re-sync from the full snapshot")
+    val chain = snapshotLineage(path, byId, cur, sinceSnapshotId)
 
     val aliases = renameAliases(meta, path,
       Option(meta.get("current-schema-id")).map(_.asInt))
     def state(snapId: Long) = liveEntries(root, path, byId(snapId))
     var parent = state(sinceSnapshotId)
     val frames = Seq.newBuilder[DataFrame]
-    chain.reverse.zipWithIndex.foreach { case (snapId, i) =>
+    chain.zipWithIndex.foreach { case (snapId, i) =>
       val ord = i + 1L
       val op = Option(byId(snapId).get("summary"))
         .flatMap(s => Option(s.get("operation"))).map(_.asText)
@@ -2368,12 +2385,16 @@ object IcebergInterop {
       val (pData, pPos, pEq) = parent
       val (cData, cPos, cEq) = cs
       val pSet = pData.map(_.resolved.toString).toSet
+      val cPosSet = cPos.map(_.resolved.toString).toSet
       val addedData = cData.filterNot(e => pSet.contains(e.resolved.toString))
       val removedData = pSet.diff(cData.map(_.resolved.toString).toSet)
       val pPosSet = pPos.map(_.resolved.toString).toSet
       val addedPos = cPos.filterNot(d => pPosSet.contains(d.resolved.toString))
+      val removedPos = pPos.filterNot(d => cPosSet.contains(d.resolved.toString))
       val pEqSet = pEq.map(_.resolved.toString).toSet
       val addedEq = cEq.filterNot(d => pEqSet.contains(d.resolved.toString))
+      val removedEq = pEq.filterNot(d =>
+        cEq.map(_.resolved.toString).toSet.contains(d.resolved.toString))
       require(addedEq.isEmpty,
         s"Iceberg table $path snapshot $snapId adds EQUALITY deletes inside " +
           "the consumed range — resolving them to rows needs the full " +
@@ -2384,19 +2405,24 @@ object IcebergInterop {
         .withColumn("_commit_snapshot_id", lit(snapId))
       op match {
         case "append" =>
-          require(removedData.isEmpty && addedPos.isEmpty,
+          // an append must not remove data files, add deletes, or DROP
+          // a delete file — dropping one RESURRECTS rows, a change the
+          // feed would otherwise silently miss
+          require(removedData.isEmpty && addedPos.isEmpty &&
+              removedPos.isEmpty && removedEq.isEmpty,
             s"Iceberg table $path snapshot $snapId declares 'append' but " +
-              "removes files or adds deletes — unclassifiable shape; " +
+              "removes files or changes deletes — unclassifiable shape; " +
               "re-sync from the full snapshot")
           if (addedData.nonEmpty)
             frames += stamp(readWithIdentityFill(spark, path, meta, schema,
               addedData.map(e => (e.resolved, e.partition)),
               aliases = aliases), "insert")
         case "delete" =>
-          require(addedData.isEmpty && removedData.isEmpty,
+          require(addedData.isEmpty && removedData.isEmpty &&
+              removedPos.isEmpty && removedEq.isEmpty,
             s"Iceberg table $path snapshot $snapId declares 'delete' but " +
-              "changes the data file set — unclassifiable shape; re-sync " +
-              "from the full snapshot")
+              "changes the data file set or drops delete files — " +
+              "unclassifiable shape; re-sync from the full snapshot")
           positionDeleteFrame(spark, path, cData, addedPos).foreach { delF =>
             val touched = delF.select("__gdel_file").distinct()
               .collect().map(_.getString(0)).toSet
@@ -2412,8 +2438,22 @@ object IcebergInterop {
               "delete")
           }
         case "replace" =>
-          // a rewrite (compaction, full rewrite) changes no rows — skipped
-          ()
+          // a rewrite changes no rows BY CONTRACT — verified, not
+          // trusted: it must not add delete files, must not fold
+          // equality deletes (their kill counts are not derivable from
+          // file metadata), and the manifest row counts must conserve
+          // (data rows after == before minus the positions of the
+          // delete files it retired — O(removed delete files) footers)
+          require(addedPos.isEmpty && removedEq.isEmpty,
+            s"Iceberg table $path snapshot $snapId declares 'replace' but " +
+              "adds position deletes or retires equality deletes — row " +
+              "changes are not derivable; re-sync from the full snapshot")
+          val reclaimed = removedPos
+            .map(d => parquetRowCount(spark, d.resolved)).sum
+          require(cData.map(_.rows).sum == pData.map(_.rows).sum - reclaimed,
+            s"Iceberg table $path snapshot $snapId declares 'replace' but " +
+              "its manifest row counts do not conserve — a mislabeled " +
+              "row-changing rewrite; re-sync from the full snapshot")
         case other => throw new IllegalArgumentException(
           s"Iceberg table $path snapshot $snapId declares operation " +
             s"'$other' — unsupported changelog shape; re-sync from the " +
@@ -2692,18 +2732,9 @@ object IcebergInterop {
     }
     def liveFiles(snapId: Long): Map[String, GenericRecord] = liveState(snapId)._1
 
-    // walk the parent chain from the head down to the watermark
-    val chain = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var at = Option(cur)
-    while (at.isDefined && !at.contains(sinceSnapshotId)) {
-      chain += at.get
-      at = byId.get(at.get).flatMap(s =>
-        Option(s.get("parent-snapshot-id")).map(_.asLong))
-    }
-    require(at.contains(sinceSnapshotId),
-      s"watermark snapshot $sinceSnapshotId is not an ancestor of the current " +
-        s"snapshot $cur in the Iceberg table at $path (expired or ahead?) — " +
-        "re-sync from the full snapshot")
+    // walk the parent chain from the head down to the watermark (the
+    // shared lineage walk — ONE refusal behavior with the changelog)
+    val chain = snapshotLineage(path, byId, cur, sinceSnapshotId)
     // a delete committed INSIDE the range (including a compaction that
     // cleared one) changes already-delivered rows — refuse; identical
     // delete sets at both ends mean every delete predates the watermark
@@ -2716,7 +2747,7 @@ object IcebergInterop {
     // per-edge diff, oldest edge first; refuse any removal along the chain
     val newFiles = scala.collection.mutable.LinkedHashMap.empty[String, GenericRecord]
     var parentSet = liveFiles(sinceSnapshotId)
-    chain.reverse.foreach { snapId =>
+    chain.foreach { snapId =>
       val cs = liveFiles(snapId)
       val removed = parentSet.keySet -- cs.keySet
       require(removed.isEmpty,

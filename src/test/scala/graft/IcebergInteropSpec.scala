@@ -1431,6 +1431,15 @@ class IcebergInteropSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       IcebergInterop.readIcebergChangelog(spark, out, 424242L))
       .getMessage.contains("not an ancestor"))
+    // a watermark surviving only as the kept head's parent POINTER after
+    // an expire refuses loudly, not with a bare lookup error
+    assert(IcebergInterop.expireIcebergSnapshots(spark, out, keepLast = 1, 10000L)._1 == 4)
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.readIcebergChangelog(spark, out, head))
+      .getMessage.contains("EXPIRED"))
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.readIcebergChanges(spark, out, head))
+      .getMessage.contains("EXPIRED"))
   }
 
   test("dropIcebergColumn: metadata-only drop — schema-pinned travel, id never reused") {
