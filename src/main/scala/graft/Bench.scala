@@ -25,6 +25,10 @@ object Bench {
       // iterative ops (connected components, Lloyd) cache tiny frames whose
       // fixed 32-way partitioning otherwise costs ~100 empty tasks/iteration
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // pinned like Verify: day-bucketing queries derive UTC days, and an
+      // unpinned session zone would shift midnight-adjacent rows on
+      // non-UTC hosts (review finding — Bench was the one unpinned main)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -3265,9 +3265,10 @@ object SparkEntry {
     * offered no operation producing the single-day layout —
     * [[graft.sources.TxTable.clusterBy]] closes that loop). The flat
     * events table (whose commit-sized files span many days) is FIRST
-    * refused by the day export — certified in-query — then
-    * `clusterBy(to_date(ts))` rewrites it file-per-day, and the same
-    * export succeeds. Certificates: the refusal fires before, the
+    * refused by the day export — certified in-query — then clusterBy on
+    * the UTC epoch-day (the same timezone-independent derivation the
+    * export validates) rewrites it file-per-day, and the same export
+    * succeeds. Certificates: the refusal fires before, the
     * rewrite preserves content bit-exactly, every rewritten file is
     * single-day, the export declares day(ts), and the mirror hash
     * matches the source. DuckDB oracle over the exported bytes.
@@ -3284,7 +3285,11 @@ object SparkEntry {
         bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
       .collect().head
     val before = sig(t.read().select(cols.map(col).toIndexedSeq: _*))
-    t.clusterBy(to_date(col("ts")), tsMillis = 2000L)
+    // the cluster key is the UTC epoch-day — the SAME timezone-independent
+    // derivation exportIcebergDays validates; to_date would convert in the
+    // session zone and leave midnight-adjacent rows spanning two UTC days
+    // on any non-UTC session
+    t.clusterBy(floor(unix_micros(col("ts")) / 86400000000L), tsMillis = 2000L)
     require(sig(t.read().select(cols.map(col).toIndexedSeq: _*)) == before,
       "b5_tx_cluster_days: the clustering rewrite must preserve content")
     IcebergInterop.exportIcebergDays(t, B5ClusterDaysPath, "ts", tsMillis = 5000L)

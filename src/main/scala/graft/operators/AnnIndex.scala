@@ -240,7 +240,21 @@ object AnnIndex {
         tomb.count()
       }
     val afterTombs = priorTombs + del.count()
-    val encodedRows = raw.count()
+    // footer row counts, never a data scan: the bound check is metadata —
+    // a full raw.count() here turned every O(ids) delete into an
+    // O(index) job (round-10 review finding)
+    val encodedRows = {
+      val base = new org.apache.hadoop.fs.Path(path, "encoded")
+      val it = fs.listFiles(base, true)
+      var sum = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          sum += graft.sources.IcebergInterop.parquetRowCount(
+            spark, java.nio.file.Paths.get(f.getPath.toUri))
+      }
+      sum
+    }
     require(encodedRows == 0L ||
         afterTombs.toDouble / encodedRows <= maxTombstoneFraction,
       f"removeFromIndex($path): this delete would leave $afterTombs tombstone(s) " +

@@ -767,6 +767,27 @@ object DeltaInterop {
     (cur, out.select(outSchema.fieldNames.map(col).toIndexedSeq: _*))
   }
 
+  /** The features a LEGACY protocol version pair implies (PROTOCOL.md's
+    * version-to-feature table) — when a commit upgrades a legacy table
+    * to table features (3, 7), the spec requires these to be LISTED,
+    * else the upgrade silently stops enforcing them for foreign
+    * readers/writers. Cumulative by version; empty once the table is
+    * already on explicit features. */
+  private def legacyImpliedFeatures(mrv: Int, mwv: Int): (Set[String], Set[String]) = {
+    val writer =
+      if (mwv >= 7) Set.empty[String]
+      else Seq(
+        2 -> Seq("appendOnly", "invariants"),
+        3 -> Seq("checkConstraints"),
+        4 -> Seq("changeDataFeed", "generatedColumns"),
+        5 -> Seq("columnMapping"),
+        6 -> Seq("identityColumns"))
+        .collect { case (v, fs) if mwv >= v => fs }.flatten.toSet
+    val reader =
+      if (mrv == 2) Set("columnMapping") else Set.empty[String]
+    (reader, writer)
+  }
+
   /** The strongest protocol the replay observed (for checkpoint
     * restatement — a checkpoint that silently DOWNGRADED a DV table's
     * protocol would let stale readers misread it). */
@@ -1234,7 +1255,7 @@ object DeltaInterop {
     val root = Paths.get(path).toAbsolutePath
     val logDir = root.resolve(LogDirName)
     require(Files.isDirectory(logDir), s"no Delta table at $path (missing $LogDirName)")
-    val (cur, live, metaOpt, _) = replayState(spark, root, None)
+    val (cur, live, metaOpt, proto) = replayState(spark, root, None)
     val meta = metaOpt.getOrElse(throw new IllegalStateException(
       s"Delta log at $path carries no metaData action"))
     require(meta.partCols.isEmpty,
@@ -1348,15 +1369,24 @@ object DeltaInterop {
     lines += m.writeValueAsString(commitInfo)
     // a DV-writing commit must declare the table feature (protocol
     // upgrade is idempotent — re-declaring it is harmless); a CDF commit
-    // additionally declares the writer-only changeDataFeed feature
+    // additionally declares the writer-only changeDataFeed feature. The
+    // latest protocol action REPLACES the table protocol wholly, so the
+    // replay's accumulated features ride along — writing a fixed
+    // singleton set would silently DOWNGRADE a table that also declares
+    // e.g. timestampNtz or columnMapping, unblocking foreign readers
+    // that must stay blocked
     val protocol = obj()
     val pr = protocol.putObject("protocol")
-    pr.put("minReaderVersion", 3)
-    pr.put("minWriterVersion", 7)
-    pr.putArray("readerFeatures").add("deletionVectors")
+    pr.put("minReaderVersion", math.max(3, proto.mrv))
+    pr.put("minWriterVersion", math.max(7, proto.mwv))
+    val (legacyR, legacyW) = legacyImpliedFeatures(proto.mrv, proto.mwv)
+    val rf = pr.putArray("readerFeatures")
+    (proto.readerFeatures ++ legacyR + "deletionVectors")
+      .toSeq.sorted.foreach(rf.add)
     val wf = pr.putArray("writerFeatures")
-    wf.add("deletionVectors")
-    if (cdcEntries.nonEmpty) wf.add("changeDataFeed")
+    (proto.writerFeatures ++ legacyW + "deletionVectors" ++
+      (if (cdcEntries.nonEmpty) Seq("changeDataFeed") else Seq.empty))
+      .toSeq.sorted.foreach(wf.add)
     lines += m.writeValueAsString(protocol)
     cdcEntries.foreach { case (rel, size) =>
       val c = obj()

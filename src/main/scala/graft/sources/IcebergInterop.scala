@@ -787,8 +787,12 @@ object IcebergInterop {
     *
     * Scope, enforced loudly: unpartitioned default specs only (a
     * partitioned table wants per-partition delete files this writer does
-    * not implement — use it on flat exports), parquet data files, and no
-    * equality deletes present (inherited from [[readIceberg]]'s gate).
+    * not implement — use it on flat exports) and parquet data files.
+    * Existing EQUALITY deletes are fine: the predicate evaluates against
+    * the live view with BOTH delete kinds applied (the position mask,
+    * then the null-safe equality anti-join with the strictly-newer-
+    * sequence rule), so rows an equality delete already killed are never
+    * position-deleted twice.
     *
     * @return the number of newly deleted row positions (0 = no commit). */
   def deleteFromIceberg(spark: SparkSession, path: String,
@@ -974,6 +978,18 @@ object IcebergInterop {
     val ids = keyCols.map(c => nameToId.getOrElse(c,
       throw new IllegalArgumentException(
         s"deleteFromIcebergByKey: '$c' is not a column of the Iceberg table at $path")))
+    // key TYPES must match the table schema exactly: the delete parquet's
+    // columns are resolved by field-id by foreign readers, so a string
+    // key against a long column writes a file the spec's readers cannot
+    // apply (and Spark's implicit cast here would delete
+    // approximately-matching rows) — refuse instead
+    keyCols.foreach { c =>
+      val kt = keys.schema(c).dataType
+      val tt = schema(c).dataType
+      require(kt == tt,
+        s"deleteFromIcebergByKey: key column '$c' is $kt but the table " +
+          s"column is $tt — cast the keys to the exact table type first")
+    }
     val prevVersion = currentMetadataVersion(metaDir, path)
 
     // the spec-shaped equality-delete parquet: distinct keys, field-ids
@@ -1230,7 +1246,9 @@ object IcebergInterop {
       else dataFiles.partition(e =>
         touched.contains(e.resolved.getFileName.toString))
     if (rewrite.isEmpty) return (0, 0L)
-    val deadRows = delFrameOpt.map(_.count()).getOrElse(0L)
+    // distinct: overlapping foreign delete files may record the same
+    // (file, pos) twice — one dead row, not two, for the caller's books
+    val deadRows = delFrameOpt.map(_.distinct().count()).getOrElse(0L)
     val delFrame = delFrameOpt
 
     // survivors of the touched files only, written fresh
@@ -1959,7 +1977,7 @@ object IcebergInterop {
     * object-store deployment at that count would parallelize this via a
     * small Spark job over the file list (the record counts could also be
     * carried in the TxTable commit stats to make this free). */
-  private[sources] def parquetRowCount(spark: SparkSession, p: Path): Long = {
+  private[graft] def parquetRowCount(spark: SparkSession, p: Path): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sessionState.newHadoopConf()
@@ -2721,15 +2739,22 @@ object IcebergInterop {
     // range (the delete sets differ between the watermark and the head)
     // removes rows an append-only reconstruction cannot represent, so
     // that still refuses loudly below.
+    // memoized: the watermark and head states feed BOTH the delete-set
+    // check and the per-edge chain diff — walking each snapshot's full
+    // manifest tree twice doubled the O(files) driver metadata I/O on
+    // exactly the incremental path meant to avoid it (review finding)
+    val stateCache = scala.collection.mutable.Map
+      .empty[Long, (Map[String, GenericRecord], Set[(String, Long)])]
     def liveState(snapId: Long)
-        : (Map[String, GenericRecord], Set[(String, Long)]) = {
-      val sn = byId.getOrElse(snapId, throw new IllegalArgumentException(
-        s"snapshot $snapId does not exist in the Iceberg table at $path"))
-      val (data, posDels, eqDels) = liveEntries(root, path, sn)
-      val delSet = (posDels.map(d => (d.resolved.toString, d.seq)) ++
-        eqDels.map(d => (d.resolved.toString, d.seq))).toSet
-      (data.map(e => e.resolved.toString -> e.partition).toMap, delSet)
-    }
+        : (Map[String, GenericRecord], Set[(String, Long)]) =
+      stateCache.getOrElseUpdate(snapId, {
+        val sn = byId.getOrElse(snapId, throw new IllegalArgumentException(
+          s"snapshot $snapId does not exist in the Iceberg table at $path"))
+        val (data, posDels, eqDels) = liveEntries(root, path, sn)
+        val delSet = (posDels.map(d => (d.resolved.toString, d.seq)) ++
+          eqDels.map(d => (d.resolved.toString, d.seq))).toSet
+        (data.map(e => e.resolved.toString -> e.partition).toMap, delSet)
+      })
     def liveFiles(snapId: Long): Map[String, GenericRecord] = liveState(snapId)._1
 
     // walk the parent chain from the head down to the watermark (the

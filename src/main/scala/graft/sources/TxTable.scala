@@ -1169,9 +1169,14 @@ class TxTable(val spark: SparkSession, val root: String) {
     * (round-9 verdict #3: [[graft.sources.IcebergInterop.exportIcebergDays]]
     * refuses multi-day files, but nothing produced the single-day layout).
     * Rewrites the table's files grouped by a DERIVED key so every data
-    * file is PURE in that key: `clusterBy(to_date(col("ts")))` makes
-    * every file single-day (the day-spec export contract); a bucket or
-    * prefix expression gives bucket-/prefix-pure files the same way.
+    * file is PURE in that key:
+    * `clusterBy(floor(unix_micros(col("ts")) / 86400000000L))` makes
+    * every file single-UTC-day (the day-spec export contract — derive
+    * the key timezone-independently like the export's own validation;
+    * `to_date` converts in the SESSION zone and leaves
+    * midnight-adjacent rows spanning two UTC days on non-UTC sessions);
+    * a bucket or prefix expression gives bucket-/prefix-pure files the
+    * same way.
     * The key is a helper, not a column: the table stays FLAT and keeps
     * its schema — only the row→file assignment changes.
     *

@@ -917,6 +917,34 @@ class DeltaInteropSpec extends SparkSpec {
       .getMessage.contains("partition column"))
   }
 
+  test("a DV delete preserves pre-existing protocol features (no silent downgrade)") {
+    val t = sampleTable()
+    val out = tmp("delta_proto")
+    DeltaInterop.exportDelta(t, out, tsMillis = 5000L)
+    // a foreign commit raises the table to (3,7) with timestampNtz: the
+    // delete's protocol action REPLACES the table protocol, so it must
+    // carry the accumulated features forward, not a fixed singleton
+    val logDir = Paths.get(out, "_delta_log")
+    Files.write(logDir.resolve("0" * 19 + "1.json"), Seq(
+      """{"commitInfo":{"timestamp":6000}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}"""
+    ).asJava)
+    assert(DeltaInterop.deleteFromDelta(spark, out, col("id") === 1L, 7000L) == 1L)
+    val v2 = Files.readAllLines(logDir.resolve("0" * 19 + "2.json")).asScala.mkString
+    assert(v2.contains("timestampNtz") && v2.contains("deletionVectors"),
+      s"the replacing protocol action must union the features: $v2")
+    assert(DeltaInterop.readDelta(spark, out).count() == 3L)
+    // crossing a LEGACY (1,2) protocol to (3,7) lists what the old
+    // versions implied (PROTOCOL.md's upgrade rule)
+    val out2 = tmp("delta_proto2")
+    DeltaInterop.exportDelta(t, out2, tsMillis = 5000L)
+    assert(DeltaInterop.deleteFromDelta(spark, out2, col("id") === 1L, 6000L) == 1L)
+    val v1b = Files.readAllLines(
+      Paths.get(out2, "_delta_log", "0" * 19 + "1.json")).asScala.mkString
+    assert(v1b.contains("appendOnly") && v1b.contains("invariants"),
+      s"legacy-implied writer features must ride the upgrade: $v1b")
+  }
+
   test("deltaVersionAt: timestamp time travel from commitInfo timestamps") {
     val t = sampleTable()
     val out = tmp("delta_ts")

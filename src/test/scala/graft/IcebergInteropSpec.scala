@@ -1393,6 +1393,21 @@ class IcebergInteropSpec extends SparkSpec {
       .getMessage.contains("no-op"))
   }
 
+  test("deleteFromIcebergByKey refuses key types that diverge from the table schema") {
+    val t = TxTable(spark, tmp("ice_eqtype_src"))
+    t.append((0L until 4L).map(i => (i, i * 1.0)).toDF("id", "v"), tsMillis = 1000L)
+    val out = tmp("ice_eqtype_exp")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+    // a string key against a long column would write an equality-delete
+    // parquet whose field-id resolves to the wrong physical type for
+    // spec-conforming foreign readers — refuse, never cast silently
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.deleteFromIcebergByKey(spark, out, Seq("1").toDF("id"), 6000L))
+      .getMessage.contains("cast the keys"))
+    assert(IcebergInterop.deleteFromIcebergByKey(spark, out, Seq(1L).toDF("id"), 6000L) == 1L)
+    assert(IcebergInterop.readIceberg(spark, out).count() == 3L)
+  }
+
   test("readIcebergChangelog: inserts AND deletes; replace snapshots are silent") {
     val t = TxTable(spark, tmp("ice_clog_src"))
     t.append((0L until 10L).map(i => (i, i * 2.0)).toDF("id", "v").coalesce(1),
