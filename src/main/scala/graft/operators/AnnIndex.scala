@@ -245,11 +245,23 @@ object AnnIndex {
     // O(index) job (round-10 review finding)
     val encodedRows = {
       val base = new org.apache.hadoop.fs.Path(path, "encoded")
+      val baseUri = base.toUri.getPath
       val it = fs.listFiles(base, true)
       var sum = 0L
       while (it.hasNext) {
         val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet"))
+        // only files Spark's reader would also see: a path with a `_` or
+        // `.`-prefixed segment (leftover _temporary staging from a
+        // crashed append, hidden files) is invisible to the scan, and
+        // counting it would inflate the denominator and admit deletes
+        // past the tombstone bound
+        val rel = f.getPath.toUri.getPath.stripPrefix(baseUri)
+        // Spark's own rule: `.`-prefixed always hidden; `_`-prefixed
+        // hidden UNLESS it is a partition directory (contains '='), so
+        // the __cell=N layout stays visible
+        val hidden = rel.split('/').exists(s =>
+          s.startsWith(".") || (s.startsWith("_") && !s.contains("=")))
+        if (!hidden && f.getPath.getName.endsWith(".parquet"))
           sum += graft.sources.IcebergInterop.parquetRowCount(
             spark, java.nio.file.Paths.get(f.getPath.toUri))
       }

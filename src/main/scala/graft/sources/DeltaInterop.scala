@@ -1070,16 +1070,31 @@ object DeltaInterop {
       "delta.columnMapping.maxColumnId" -> nextId.toString), true)
   }
 
+  /** A protocol feature a metadata commit must start gating: the feature
+    * name, whether it is a reader-writer feature (listed in BOTH sets at
+    * (3,7)) or writer-only, and the legacy version pair that implies it
+    * (PROTOCOL.md's version-to-feature table) for tables not yet on
+    * explicit features. */
+  private case class ProtocolUpgrade(feature: String, readerFeature: Boolean,
+      legacyMrv: Int, legacyMwv: Int)
+  private val ColumnMappingUpgrade =
+    ProtocolUpgrade("columnMapping", readerFeature = true, 2, 5)
+  private val ChangeDataFeedUpgrade =
+    ProtocolUpgrade("changeDataFeed", readerFeature = false, 1, 4)
+
   /** Commit a metadata-only schema change: commitInfo + (on upgrade) the
-    * column-mapping protocol — a plain table takes the legacy (2,5)
-    * pair; a table already on table features adds `columnMapping` to
-    * BOTH feature sets (reader-writer features must be listed at mrv 3)
-    * — + the restated metaData. CREATE_NEW = put-if-absent: a racing
-    * writer collides loudly. */
+    * protocol action gating `upgrade.feature` — a plain table takes the
+    * feature's legacy version pair (max'd against the current pair:
+    * legacy versions are cumulative); a table already on table features
+    * adds the feature to the appropriate feature set(s) (reader-writer
+    * features must be listed in both at mrv 3) — + the restated
+    * metaData. CREATE_NEW = put-if-absent: a racing writer collides
+    * loudly. */
   private def commitSchemaChange(logDir: Path, cur: Long, meta: TableMeta,
       proto: ProtocolInfo, path: String, operation: String,
       newSchema: StructType, newPartCols: Seq[String],
-      config: Map[String, String], upgraded: Boolean, tsMillis: Long): Unit = {
+      config: Map[String, String], upgrade: Option[ProtocolUpgrade],
+      tsMillis: Long): Unit = {
     val m = mapper
     def obj() = m.createObjectNode()
     val lines = Seq.newBuilder[String]
@@ -1089,20 +1104,29 @@ object DeltaInterop {
       .put("operation", operation)
       .put("engineInfo", "graft-delta-schema")
     lines += m.writeValueAsString(commitInfo)
-    if (upgraded) {
+    upgrade.foreach { up =>
       val protocol = obj()
       val pr = protocol.putObject("protocol")
       if (proto.mrv >= 3 || proto.mwv >= 7 ||
           proto.readerFeatures.nonEmpty || proto.writerFeatures.nonEmpty) {
         pr.put("minReaderVersion", 3)
         pr.put("minWriterVersion", 7)
+        val (legacyR, legacyW) = legacyImpliedFeatures(proto.mrv, proto.mwv)
         val rf = pr.putArray("readerFeatures")
-        (proto.readerFeatures + "columnMapping").toSeq.sorted.foreach(rf.add)
+        (proto.readerFeatures ++ legacyR ++
+          (if (up.readerFeature) Set(up.feature) else Set.empty[String]))
+          .toSeq.sorted.foreach(rf.add)
         val wf = pr.putArray("writerFeatures")
-        (proto.writerFeatures + "columnMapping").toSeq.sorted.foreach(wf.add)
+        (proto.writerFeatures ++ legacyW + up.feature)
+          .toSeq.sorted.foreach(wf.add)
       } else {
-        pr.put("minReaderVersion", 2)
-        pr.put("minWriterVersion", 5)
+        // legacy versions are cumulative, so taking the max PRESERVES
+        // whatever the table already gates (a legacy mwv 6 table keeps
+        // identityColumns enforcement — (2, 6) implies columnMapping
+        // too); writing the feature's fixed legacy pair would silently
+        // DOWNGRADE it
+        pr.put("minReaderVersion", math.max(up.legacyMrv, proto.mrv))
+        pr.put("minWriterVersion", math.max(up.legacyMwv, proto.mwv))
       }
       lines += m.writeValueAsString(protocol)
     }
@@ -1164,7 +1188,8 @@ object DeltaInterop {
       if (f.name == oldName) f.copy(name = newName) else f))
     val newPartCols = meta.partCols.map(c => if (c == oldName) newName else c)
     commitSchemaChange(logDir, cur, meta, proto, path, "RENAME COLUMN",
-      renamed, newPartCols, config, upgraded, tsMillis)
+      renamed, newPartCols, config,
+      if (upgraded) Some(ColumnMappingUpgrade) else None, tsMillis)
   }
 
   /** Set one table property as a METADATA-ONLY commit (Delta's `ALTER
@@ -1172,7 +1197,15 @@ object DeltaInterop {
     * with `configuration + (key → value)`. The column-mapping keys are
     * managed by [[renameDeltaColumn]]/[[dropDeltaColumn]] and refuse here
     * — hand-setting them would declare a mapping the schema's field
-    * metadata does not back. */
+    * metadata does not back.
+    *
+    * Enabling `delta.enableChangeDataFeed` ALSO commits a protocol
+    * action gating the `changeDataFeed` writer feature (legacy floor
+    * writer version 4): once the property is set the protocol requires
+    * writers to emit cdc actions, and an un-gated legacy foreign writer
+    * could commit row changes without them — [[readDeltaCdf]]'s
+    * whole-file synthesis would then over-report rewrites as change
+    * pairs. */
   def setDeltaTableProperty(spark: SparkSession, path: String,
       key: String, value: String,
       tsMillis: Long = System.currentTimeMillis()): Unit = {
@@ -1186,9 +1219,17 @@ object DeltaInterop {
     val meta = metaOpt.getOrElse(throw new IllegalStateException(
       s"Delta log at $path carries no metaData action"))
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    // already gated: listed explicitly on a table-features protocol, or
+    // implied by a legacy writer version 4-6 (mwv >= 7 alone implies
+    // nothing — features are explicit there)
+    val cdfGated =
+      if (proto.mwv >= 7) proto.writerFeatures.contains("changeDataFeed")
+      else proto.mwv >= 4
+    val enablesCdf = key == "delta.enableChangeDataFeed" &&
+      value.trim.equalsIgnoreCase("true") && !cdfGated
     commitSchemaChange(logDir, cur, meta, proto, path, "SET TBLPROPERTIES",
       schema, meta.partCols, meta.config + (key -> value),
-      upgraded = false, tsMillis)
+      if (enablesCdf) Some(ChangeDataFeedUpgrade) else None, tsMillis)
   }
 
   /** Drop a top-level column of a Delta table as a METADATA-ONLY commit
@@ -1221,7 +1262,8 @@ object DeltaInterop {
     val (mappedSchema, config, upgraded) = upgradeToNameMode(schema, meta)
     val dropped = StructType(mappedSchema.fields.filterNot(_.name == name))
     commitSchemaChange(logDir, cur, meta, proto, path, "DROP COLUMNS",
-      dropped, meta.partCols, config, upgraded, tsMillis)
+      dropped, meta.partCols, config,
+      if (upgraded) Some(ColumnMappingUpgrade) else None, tsMillis)
   }
 
   /** Row-level DELETE on a Delta table at `path`: commit a DELETION-VECTOR

@@ -2441,7 +2441,17 @@ object IcebergInterop {
             s"Iceberg table $path snapshot $snapId declares 'delete' but " +
               "changes the data file set or drops delete files — " +
               "unclassifiable shape; re-sync from the full snapshot")
-          positionDeleteFrame(spark, path, cData, addedPos).foreach { delF =>
+          positionDeleteFrame(spark, path, cData, addedPos).foreach { delF0 =>
+            // a foreign delete file may overlap positions ALREADY dead at
+            // the parent snapshot — re-emitting those rows would inflate
+            // the feed, so the new positions are anti-joined against the
+            // parent's applicable position-delete frame (the parent's
+            // delete files all survive into this snapshot: removedPos is
+            // required empty above)
+            val delF = positionDeleteFrame(spark, path, cData, pPos)
+              .map(parentDead => delF0.join(parentDead,
+                Seq("__gdel_file", "__gdel_pos"), "left_anti"))
+              .getOrElse(delF0)
             val touched = delF.select("__gdel_file").distinct()
               .collect().map(_.getString(0)).toSet
             val touchedEntries = cData.filter(e =>

@@ -1057,4 +1057,67 @@ class DeltaInteropSpec extends SparkSpec {
       keep = pv => pv.get("dt").flatten.contains("2024-01-01"))
     assert(pruned.select("id").as[Long].collect().toSeq == Seq(1L))
   }
+
+  test("legacy schema-change commits preserve a HIGHER legacy writer version") {
+    val t = sampleTable()
+    val out = tmp("delta_legacy6")
+    DeltaInterop.exportDelta(t, out, tsMillis = 5000L)
+    // a foreign writer raised the table to legacy (1, 6) — identityColumns
+    // territory; legacy versions are cumulative, so any later protocol
+    // action must not fall below it
+    Files.write(Paths.get(out, "_delta_log", "0" * 19 + "1.json"), Seq(
+      """{"commitInfo":{"timestamp":5500,"operation":"UPGRADE PROTOCOL"}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""").asJava)
+    DeltaInterop.renameDeltaColumn(spark, out, "v", "score", tsMillis = 6000L)
+    val v2 = Files.readAllLines(
+      Paths.get(out, "_delta_log", "0" * 19 + "2.json")).asScala.mkString
+    // writer 6 preserved (a fixed (2,5) pair would DOWNGRADE the table,
+    // un-gating foreign writers that don't enforce identity columns);
+    // reader raised to columnMapping's floor of 2
+    assert(v2.contains("\"minWriterVersion\":6"), v2)
+    assert(v2.contains("\"minReaderVersion\":2"), v2)
+    val live = DeltaInterop.readDelta(spark, out)
+    assert(live.columns.toSeq == Seq("id", "k", "score"))
+    assert(live.count() == 4L)
+  }
+
+  test("enabling change data feed gates writers via the protocol") {
+    // plain legacy table: the property commit must raise the writer
+    // version to CDF's legacy floor of 4 — otherwise a legacy foreign
+    // writer could commit row changes with NO cdc actions and the feed's
+    // whole-file synthesis would over-report rewrites as change pairs
+    val t = sampleTable()
+    val out = tmp("delta_cdf_gate")
+    DeltaInterop.exportDelta(t, out, tsMillis = 5000L)
+    DeltaInterop.setDeltaTableProperty(spark, out,
+      "delta.enableChangeDataFeed", "true", tsMillis = 6000L)
+    val v1 = Files.readAllLines(
+      Paths.get(out, "_delta_log", "0" * 19 + "1.json")).asScala.mkString
+    assert(v1.contains("\"minWriterVersion\":4"), v1)
+    assert(v1.contains("\"minReaderVersion\":1"), v1)
+    // already gated: a second property commit emits NO protocol action
+    DeltaInterop.setDeltaTableProperty(spark, out,
+      "delta.retentionDurationMillis", "1000", tsMillis = 7000L)
+    val v2 = Files.readAllLines(
+      Paths.get(out, "_delta_log", "0" * 19 + "2.json")).asScala.mkString
+    assert(!v2.contains("\"protocol\""), v2)
+    // table-features table: the feature lands in writerFeatures while the
+    // existing features are preserved
+    val t2 = sampleTable()
+    val out2 = tmp("delta_cdf_gate2")
+    DeltaInterop.exportDelta(t2, out2, tsMillis = 5000L)
+    assert(DeltaInterop.deleteFromDelta(spark, out2, col("id") === 2L,
+      tsMillis = 6000L) == 1L)                                         // (3,7) DV
+    DeltaInterop.setDeltaTableProperty(spark, out2,
+      "delta.enableChangeDataFeed", "true", tsMillis = 7000L)
+    val w2 = Files.readAllLines(
+      Paths.get(out2, "_delta_log", "0" * 19 + "2.json")).asScala.mkString
+    assert(w2.contains("changeDataFeed") && w2.contains("deletionVectors"), w2)
+    assert(w2.contains("\"minWriterVersion\":7"), w2)
+    // the gated table still reads and feeds normally
+    assert(DeltaInterop.deleteFromDelta(spark, out2, col("id") === 4L,
+      tsMillis = 8000L) == 1L)
+    val (_, cdf) = DeltaInterop.readDeltaCdf(spark, out2, sinceVersion = 2L)
+    assert(cdf.select("id").as[Long].collect().toSeq == Seq(4L))
+  }
 }

@@ -1651,4 +1651,63 @@ class IcebergInteropSpec extends SparkSpec {
       IcebergInterop.expireIcebergSnapshots(spark, out, keepMetadataVersions = 0))
       .getMessage.contains("keepMetadataVersions"))
   }
+
+  test("changelog delete edge skips positions already dead at the parent snapshot") {
+    val t = TxTable(spark, tmp("ice_clog_ovl_src"))
+    t.append((0L until 5L).map(i => (i, i * 2.0)).toDF("id", "v").coalesce(1),
+      tsMillis = 1000L)
+    val out = tmp("ice_clog_ovl_exp")
+    assert(IcebergInterop.exportIcebergIncremental(t, out, 5000L) == 1L)      // snap1
+    val v1Txt = new String(Files.readAllBytes(
+      Paths.get(out, "metadata", "v1.metadata.json")))
+    val snap1 = """"snapshot-id" : (\d+)""".r.findFirstMatchIn(v1Txt).get.group(1).toLong
+    def delFiles() = {
+      val d = Paths.get(out, "data", "deletes")
+      if (!Files.isDirectory(d)) Set.empty[java.nio.file.Path]
+      else { val s = Files.list(d)
+        try s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSet
+        finally s.close() }
+    }
+    assert(IcebergInterop.deleteFromIceberg(spark, out, col("id") === 0L, 6000L) == 1L) // snap2
+    val d1 = delFiles()
+    assert(IcebergInterop.deleteFromIceberg(spark, out, col("id") === 1L, 7000L) == 1L) // snap3
+    val d2 = (delFiles() -- d1).toSeq
+    assert(d2.size == 1)
+    // make snap3's delete file a FOREIGN overlap: it re-kills position 0,
+    // already dead at the parent — a spec-legal shape some engines write.
+    // (the data-file URI comes from d1, NOT d2: reading d2 here would pin
+    // its pre-replacement size in Spark's shared file-status cache)
+    val fp = spark.read.parquet(d1.head.toString)
+      .select("file_path").as[String].head()
+    val stage = Files.createTempDirectory("ice_ovl_stage")
+    val delSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file_path",
+        org.apache.spark.sql.types.StringType, nullable = false,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", 2147483546L).build()),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType, nullable = false,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", 2147483545L).build())))
+    val overlap = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(fp, 0L),
+        org.apache.spark.sql.Row(fp, 1L)), delSchema)
+    val fidKey = "spark.sql.parquet.fieldId.write.enabled"
+    spark.conf.set(fidKey, "true")
+    try overlap.coalesce(1).sort("pos").write.mode("overwrite")
+      .parquet(stage.toString)
+    finally spark.conf.unset(fidKey)
+    val part = { val s = Files.list(stage)
+      try s.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      finally s.close() }
+    Files.move(part, d2.head, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // the live view is unchanged — overlapping kills are idempotent there
+    assert(IcebergInterop.readIceberg(spark, out)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L, 4L))
+    // the feed must NOT re-emit id 0 at ordinal 2: it was already dead
+    val (_, log) = IcebergInterop.readIcebergChangelog(spark, out, snap1)
+    val rows = log.select("id", "_change_type", "_change_ordinal")
+      .as[(Long, String, Long)].collect().toSet
+    assert(rows == Set((0L, "delete", 1L), (1L, "delete", 2L)), s"got $rows")
+  }
 }

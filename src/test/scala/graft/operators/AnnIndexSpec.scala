@@ -148,6 +148,22 @@ class AnnIndexSpec extends graft.SparkSpec {
     assert(AnnIndex.loadEncoded(spark, dir).count() == 31L)
   }
 
+  test("the tombstone bound ignores hidden staging files under encoded/") {
+    val (dir, corpus) = freshIndex()
+    // leftover _temporary staging from a crashed append: invisible to
+    // Spark's scan, so it must not inflate the bound's denominator and
+    // admit deletes past the fraction
+    val stage = java.nio.file.Paths.get(dir, "encoded", "_temporary", "0")
+    Files.createDirectories(stage)
+    AnnIndex.loadEncodedRaw(spark, dir).localCheckpoint()
+      .coalesce(1).write.parquet(stage.resolve("dup").toString)
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.removeFromIndex(corpus.where(col("vec_id") < 33).select("vec_id"),
+        "vec_id", dir))
+    assert(e.getMessage.contains("compactIndex first"),
+      s"64 phantom staged rows must not double the denominator: ${e.getMessage}")
+  }
+
   test("appending onto a legacy FLAT encoded layout refuses before unpublishing") {
     val (dir, _) = freshIndex()
     // degrade the index to the pre-v2 layout: flatten the cell directories
