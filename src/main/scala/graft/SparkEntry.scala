@@ -3207,6 +3207,195 @@ object SparkEntry {
     live.orderBy("event_id")
   }
 
+  /** Fixed export target for [[b5IcebergPartDelete]] — oracle SQL globs
+    * the Hive day dirs (`data/day=*`), which keeps `data/deletes/` out of
+    * the scan. */
+  private val B5IcebergPartDelPath =
+    "/root/repo/target/graft_export/b5_iceberg_pdel"
+
+  /** B5 — ROW-LEVEL DELETES ON A PARTITIONED ICEBERG TABLE (round-10
+    * verdict #1: every 100 TB fact table is partitioned, and the GDPR
+    * delete-by-entity over a date-partitioned corpus is THE production
+    * delete — previously a loud refusal). Three delete shapes compose on
+    * the identity-partitioned (Column-Projected `day`) events export:
+    *
+    *   1. a PRUNER-SCOPED position delete (`DELETE WHERE day='…' AND
+    *      pred`): the manifest-tuple pruner restricts the candidate
+    *      files BEFORE the scan, so a one-partition delete scans one
+    *      partition — certified by the delete writing exactly ONE
+    *      per-partition delete file;
+    *   2. a position delete whose predicate references the PROJECTED
+    *      partition column itself (reconstructed from manifest tuples in
+    *      the delete's scan, the reader's own identity fill);
+    *   3. a GLOBAL equality delete by a physical key — committed under
+    *      an UNPARTITIONED spec minted in the same commit (the spec's
+    *      global-delete shape), killing matching rows in EVERY
+    *      partition with no table scan.
+    *
+    * Each delete file carries its partition tuple in a spec-shaped
+    * content=1 manifest (the table's spec + per-entry tuples), so
+    * foreign engines can scope and prune delete application. In-query
+    * certificates: per-delete counts vs the source, per-partition
+    * delete-file counts, tuple-pruned reads composing with BOTH delete
+    * kinds, pre-delete time travel, and idempotence. The DuckDB oracle
+    * recomputes the three-way survivor set over the exported bytes with
+    * `hive_partitioning` reconstructing `day`. */
+  private def b5IcebergPartDelete(s: SparkSession, dir: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import graft.sources.{IcebergInterop, TxTable}
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts", "day")
+    val t = TxTable(s, txTpl(s, dir, "b5_part"))
+    IcebergInterop.exportIceberg(t, B5IcebergPartDelPath, tsMillis = 5000L)
+    val src = t.read().select(cols.map(col).toIndexedSeq: _*).localCheckpoint()
+    def delFileCount: Int = {
+      val d = java.nio.file.Paths.get(B5IcebergPartDelPath, "data", "deletes")
+      if (!java.nio.file.Files.isDirectory(d)) 0
+      else { val st = java.nio.file.Files.list(d)
+        try st.iterator().asScala.count(_.toString.endsWith(".parquet"))
+        finally st.close() }
+    }
+    // 1) pruner-scoped: the predicate matches every 7th event TABLE-WIDE;
+    // keep restricts the scan to one day — exactly one delete file lands
+    val d1 = src.where(col("day") === "2024-01-05" && col("event_id") % 7 === 0).count()
+    require(IcebergInterop.deleteFromIceberg(s, B5IcebergPartDelPath,
+        col("event_id") % 7 === 0, tsMillis = 6000L,
+        keep = Some(pv => pv.get("day").contains("2024-01-05"))) == d1 && d1 > 0,
+      s"b5_iceberg_part_delete: pruner-scoped delete must kill exactly day-05's $d1 matches")
+    require(delFileCount == 1,
+      s"b5_iceberg_part_delete: a one-partition delete must write ONE " +
+        s"per-partition delete file, got $delFileCount")
+    // 2) the predicate references the PROJECTED partition column
+    val d2 = src.where(col("day") === "2024-01-10" && col("event_id") % 3 === 0).count()
+    require(IcebergInterop.deleteFromIceberg(s, B5IcebergPartDelPath,
+        col("day") === "2024-01-10" && col("event_id") % 3 === 0,
+        tsMillis = 7000L) == d2 && d2 > 0,
+      s"b5_iceberg_part_delete: identity-predicate delete must kill $d2 rows")
+    require(delFileCount == 2,
+      s"b5_iceberg_part_delete: the second delete touches one partition, " +
+        s"got $delFileCount files")
+    // 3) GLOBAL equality delete by the physical key, all partitions at once
+    val keys = src.where(col("event_id") % 13 === 0)
+      .select("event_id").distinct()
+    val nKeys = keys.count()
+    require(IcebergInterop.deleteFromIcebergByKey(s, B5IcebergPartDelPath,
+        keys, tsMillis = 8000L) == nKeys && nKeys > 0,
+      s"b5_iceberg_part_delete: the equality delete must commit $nKeys keys")
+    val expected = src
+      .where(!(col("day") === "2024-01-05" && col("event_id") % 7 === 0))
+      .where(!(col("day") === "2024-01-10" && col("event_id") % 3 === 0))
+      .where(col("event_id") % 13 =!= 0)
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val live = IcebergInterop.readIceberg(s, B5IcebergPartDelPath)
+      .select(cols.map(col).toIndexedSeq: _*)
+    require(sig(live) == sig(expected),
+      "b5_iceberg_part_delete: live view diverges from the three-way survivor set")
+    // tuple-pruned reads compose with BOTH delete kinds: an untouched day
+    // still drops its equality-deleted rows; a position-deleted day reads
+    // its survivors
+    val p7 = IcebergInterop.readIcebergPruned(s, B5IcebergPartDelPath,
+      keep = pv => pv.get("day").contains("2024-01-07"))
+      .select(cols.map(col).toIndexedSeq: _*)
+    require(sig(p7) == sig(expected.where(col("day") === "2024-01-07")),
+      "b5_iceberg_part_delete: the pruned read must apply the global equality delete")
+    val p10 = IcebergInterop.readIcebergPruned(s, B5IcebergPartDelPath,
+      keep = pv => pv.get("day").contains("2024-01-10"))
+      .select(cols.map(col).toIndexedSeq: _*)
+    require(sig(p10) == sig(expected.where(col("day") === "2024-01-10")),
+      "b5_iceberg_part_delete: the pruned read must apply the partition's position deletes")
+    // pre-delete time travel reads everything; re-running delete 1 is a no-op
+    val v1Txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      B5IcebergPartDelPath, "metadata", "v1.metadata.json")), "UTF-8")
+    val snap0 = """"snapshot-id" : (\d+)""".r.findFirstMatchIn(v1Txt).get.group(1).toLong
+    require(IcebergInterop.readIceberg(s, B5IcebergPartDelPath,
+        snapshotAsOf = Some(snap0)).count() == src.count(),
+      "b5_iceberg_part_delete: time travel below the deletes must read all rows")
+    require(IcebergInterop.deleteFromIceberg(s, B5IcebergPartDelPath,
+        col("event_id") % 7 === 0, tsMillis = 9000L,
+        keep = Some(pv => pv.get("day").contains("2024-01-05"))) == 0L,
+      "b5_iceberg_part_delete: a repeated delete must be a no-op")
+    live.orderBy("event_id")
+  }
+
+  /** Fixed export target for [[b5DeltaPartDelete]] — oracle SQL globs the
+    * Hive day dirs (`day=*`), keeping `compacted/` and `_change_data/`
+    * out of the scan. */
+  private val B5DeltaPartDelPath = "/root/repo/target/graft_export/b5_delta_pdel"
+
+  /** B5 — DELETION VECTORS ON A PARTITIONED DELTA TABLE (round-10
+    * verdict #1, the Delta half): the date-partitioned events export
+    * takes a DV delete whose predicate mixes the LOG-ONLY partition
+    * column (reconstructed from each add's `partitionValues` — never in
+    * the files) with a data column; the DV re-adds RESTATE their files'
+    * partition tuples, the cdc emission writes one change parquet per
+    * touched partition with its `partitionValues` on the cdc action, and
+    * the purge rewrites survivors PER PARTITION with honest tuples.
+    * In-query certificates: deleted count ≡ predicate count, survivor
+    * signature ≡ source minus predicate, tuple-pruned reads across
+    * delete AND purge, pre-delete time travel, change feed ≡ the
+    * predicate rows with the partition column filled, and feed
+    * invariance across the purge. The DuckDB oracle recomputes the
+    * survivor set over the original bytes with `hive_partitioning`. */
+  private def b5DeltaPartDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaInterop, TxTable}
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts", "day")
+    val t = TxTable(s, txTpl(s, dir, "b5_part"))
+    DeltaInterop.exportDelta(t, B5DeltaPartDelPath, tsMillis = 5000L)       // v0
+    DeltaInterop.setDeltaTableProperty(s, B5DeltaPartDelPath,
+      "delta.enableChangeDataFeed", "true", tsMillis = 6000L)               // v1
+    val src = t.read().select(cols.map(col).toIndexedSeq: _*).localCheckpoint()
+    val pred = col("day") === "2024-01-05" || col("event_id") % 9 === 0
+    val predCount = src.where(pred).count()
+    val deleted = DeltaInterop.deleteFromDelta(s, B5DeltaPartDelPath,
+      pred, tsMillis = 7000L)                                               // v2
+    require(deleted == predCount && deleted > 0,
+      s"b5_delta_part_delete: deleted $deleted, predicate matches $predCount")
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val expected = src.where(!pred)
+    val live = DeltaInterop.readDelta(s, B5DeltaPartDelPath)
+      .select(cols.map(col).toIndexedSeq: _*)
+    val liveSig = sig(live)
+    require(liveSig == sig(expected),
+      "b5_delta_part_delete: live view diverges from source minus predicate")
+    // the DV re-adds restated their partitionValues: the pruner still
+    // finds the files in their partitions, DVs applied
+    def prunedSig(day: String) = sig(DeltaInterop.readDeltaPruned(s,
+      B5DeltaPartDelPath, keep = pv => pv.get("day").flatten.contains(day))
+      .select(cols.map(col).toIndexedSeq: _*))
+    require(prunedSig("2024-01-10") == sig(expected.where(col("day") === "2024-01-10")),
+      "b5_delta_part_delete: the pruned read must apply the partition's DVs")
+    require(DeltaInterop.readDelta(s, B5DeltaPartDelPath,
+        versionAsOf = Some(0L)).count() == src.count(),
+      "b5_delta_part_delete: time travel below the delete must read all rows")
+    // the change feed serves the deletes from the per-partition cdc
+    // parquets, partition column filled from the cdc actions' tuples
+    val (_, cdf) = DeltaInterop.readDeltaCdf(s, B5DeltaPartDelPath, sinceVersion = 1L)
+    require(cdf.where(col("_change_type") =!= "delete").isEmpty,
+      "b5_delta_part_delete: the range holds exactly one delete commit")
+    require(sig(cdf.select(cols.map(col).toIndexedSeq: _*)) == sig(src.where(pred)),
+      "b5_delta_part_delete: the feed's deletes diverge from the predicate rows")
+    // purge rewrites survivors per partition; live view and feed invariant
+    val (nf, dead) = DeltaInterop.purgeDeltaDvs(s, B5DeltaPartDelPath,
+      tsMillis = 8000L)                                                     // v3
+    require(nf > 0 && dead == deleted,
+      s"b5_delta_part_delete: purge rewrote $nf file(s) / $dead row(s), " +
+        s"expected >0 / $deleted")
+    require(sig(DeltaInterop.readDelta(s, B5DeltaPartDelPath)
+        .select(cols.map(col).toIndexedSeq: _*)) == liveSig,
+      "b5_delta_part_delete: the purge must be invisible to the live view")
+    require(prunedSig("2024-01-05") == sig(expected.where(col("day") === "2024-01-05")),
+      "b5_delta_part_delete: the purged survivors must keep their partitions")
+    require(sig(DeltaInterop.readDeltaCdf(s, B5DeltaPartDelPath, 1L)._2
+        .select(cols.map(col).toIndexedSeq: _*)) == sig(src.where(pred)),
+      "b5_delta_part_delete: the purge must not perturb the change feed")
+    live.orderBy("event_id")
+  }
+
   /** Fixed export target for [[b5IcebergBucketStr]] — oracle SQL globs it. */
   private val B5IcebergBucketStrPath =
     "/root/repo/target/graft_export/b5_iceberg_bucket_str"
@@ -5799,6 +5988,8 @@ object SparkEntry {
     "b5_iceberg_days_incr" -> (b5IcebergDaysIncr _),
     "b5_iceberg_pruned_read" -> (b5IcebergPrunedRead _),
     "b5_iceberg_read_deletes" -> (b5IcebergReadDeletes _),
+    "b5_iceberg_part_delete" -> (b5IcebergPartDelete _),
+    "b5_delta_part_delete" -> (b5DeltaPartDelete _),
     "b5_delta_read_dv"   -> (b5DeltaReadDv _),
     "b5_delta_rename"    -> (b5DeltaRename _),
     "b5_delta_vacuum"    -> (b5DeltaVacuum _),
@@ -6408,6 +6599,26 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, value, ts
         |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_deletes/data/*.parquet')
         |WHERE event_id % 7 <> 0
+        |ORDER BY event_id""".stripMargin,
+    // partitioned deletes are logical; the oracle reconstructs `day` from
+    // the Hive dirs (the `day=*` glob keeps data/deletes/ out) and
+    // recomputes the three-way survivor set: the pruner-scoped position
+    // delete, the identity-predicate position delete, and the global
+    // equality delete
+    "b5_iceberg_part_delete" ->
+      """SELECT event_id, user_id, event_type, value, ts, CAST(day AS VARCHAR) AS day
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_pdel/data/day=*/*.parquet', hive_partitioning=1)
+        |WHERE NOT (CAST(day AS VARCHAR) = '2024-01-05' AND event_id % 7 = 0)
+        |  AND NOT (CAST(day AS VARCHAR) = '2024-01-10' AND event_id % 3 = 0)
+        |  AND event_id % 13 <> 0
+        |ORDER BY event_id""".stripMargin,
+    // Delta DVs stay logical too (purge survivors land under compacted/,
+    // outside the `day=*` glob): the oracle post-filters the original
+    // bytes with the delete predicate
+    "b5_delta_part_delete" ->
+      """SELECT event_id, user_id, event_type, value, ts, CAST(day AS VARCHAR) AS day
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_delta_pdel/day=*/*.parquet', hive_partitioning=1)
+        |WHERE CAST(day AS VARCHAR) <> '2024-01-05' AND event_id % 9 <> 0
         |ORDER BY event_id""".stripMargin,
     "b5_iceberg_bucket_str" ->
       """SELECT event_id, user_id, event_type, value, ts, ekey

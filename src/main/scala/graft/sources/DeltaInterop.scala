@@ -681,11 +681,6 @@ object DeltaInterop {
     require(!meta.mapped,
       s"readDeltaCdf on the column-mapped table at $path is unsupported " +
         "(change files would need physical-name resolution)")
-    // partition columns live in the LOG, not the files — both the cdc
-    // parquets and whole-file synthesis would read them as silent nulls
-    require(meta.partCols.isEmpty,
-      s"readDeltaCdf supports unpartitioned tables only; the table at " +
-        s"$path is partitioned by ${meta.partCols.mkString(",")}")
     require(sinceVersion <= cur,
       s"consumer watermark $sinceVersion is ahead of the Delta log at $path (head $cur)")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
@@ -706,12 +701,46 @@ object DeltaInterop {
         "re-sync from the full snapshot")
 
     val m = mapper
-    val cdcSchema = StructType(schema.fields :+
+    val partSet = meta.partCols.toSet
+    val dataSchema = StructType(schema.fields.filterNot(f => partSet.contains(f.name)))
+    val cdcSchema = StructType(dataSchema.fields :+
       StructField("_change_type", StringType, nullable = false))
+    def pvOf(n: JsonNode): Map[String, Option[String]] =
+      Option(n.get("partitionValues")).map { o =>
+        o.properties().asScala.map { e =>
+          e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText))
+        }.toMap
+      }.getOrElse(Map.empty[String, Option[String]])
+    // partition columns live in the LOG's partitionValues, never in the
+    // files — every frame below fills them back through a broadcast
+    // (file basename → values) join, exactly like the table read
+    def fillPartCols(df: DataFrame, rels: Seq[(String, Map[String, Option[String]])],
+        extraCols: Seq[StructField]): DataFrame = {
+      if (meta.partCols.isEmpty) return df
+      val partFields = meta.partCols.map(c => schema(c))
+      val names = rels.map(r => root.resolve(r._1).getFileName.toString)
+      require(names.distinct.size == names.size,
+        s"Delta table $path has duplicate file names in a cdf commit — " +
+          "the partition-value join would be ambiguous")
+      val rows: Seq[org.apache.spark.sql.Row] = rels.map { case (rel, pv) =>
+        org.apache.spark.sql.Row.fromSeq(
+          root.resolve(rel).getFileName.toString +:
+            partFields.map(f => pv.get(f.name).flatten.orNull))
+      }
+      val tupleDf = spark.createDataFrame(rows.asJava,
+        StructType(StructField("__gcdf_file", StringType, nullable = false) +:
+          partFields.map(f => StructField(f.name, StringType))))
+      df.withColumn("__gcdf_file", col("_metadata.file_name"))
+        .join(broadcast(tupleDf), Seq("__gcdf_file"))
+        .select((schema.fields.map { f =>
+          if (partSet.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else col(f.name)
+        } ++ extraCols.map(f => col(f.name))).toIndexedSeq: _*)
+    }
     val frames: Seq[DataFrame] = commits.flatMap { case (cv, p) =>
-      val cdcFiles = Seq.newBuilder[String]
-      val addFiles = Seq.newBuilder[String]
-      val removeFiles = Seq.newBuilder[String]
+      val cdcFiles = Seq.newBuilder[(String, Map[String, Option[String]])]
+      val addFiles = Seq.newBuilder[(String, Map[String, Option[String]])]
+      val removeFiles = Seq.newBuilder[(String, Map[String, Option[String]])]
       var dvChange = false
       Files.readAllLines(p).asScala.filter(_.trim.nonEmpty).foreach { line =>
         val node =
@@ -720,17 +749,17 @@ object DeltaInterop {
             s"Delta log at $path: commit $cv holds a malformed action line " +
               s"(${e.getMessage}); refusing to reconstruct a partial feed", e) }
         Option(node.get("cdc")).foreach(c =>
-          cdcFiles += decodePath(c.get("path").asText))
+          cdcFiles += decodePath(c.get("path").asText) -> pvOf(c))
         Option(node.get("add")).foreach { a =>
           if (Option(a.get("dataChange")).forall(_.asBoolean)) {
             if (a.hasNonNull("deletionVector")) dvChange = true
-            else addFiles += decodePath(a.get("path").asText)
+            else addFiles += decodePath(a.get("path").asText) -> pvOf(a)
           }
         }
         Option(node.get("remove")).foreach { r =>
           if (Option(r.get("dataChange")).forall(_.asBoolean)) {
             if (r.hasNonNull("deletionVector")) dvChange = true
-            else removeFiles += decodePath(r.get("path").asText)
+            else removeFiles += decodePath(r.get("path").asText) -> pvOf(r)
           }
         }
       }
@@ -738,8 +767,10 @@ object DeltaInterop {
       if (cdc.nonEmpty) {
         // cdc actions are AUTHORITATIVE for their commit — the
         // accompanying add/remove pairs restate the same change
-        val paths = cdc.map(rel => root.resolve(rel).toString)
-        Seq(spark.read.schema(cdcSchema).parquet(paths: _*)
+        val paths = cdc.map(r => root.resolve(r._1).toString)
+        Seq(fillPartCols(
+          spark.read.schema(cdcSchema).parquet(paths: _*),
+          cdc, Seq(StructField("_change_type", StringType)))
           .withColumn("_commit_version", lit(cv)))
       } else {
         require(!dvChange,
@@ -747,15 +778,18 @@ object DeltaInterop {
             "vector but carries no cdc actions — the row delta is not " +
             "derivable from whole files; enable delta.enableChangeDataFeed " +
             "before deleting, or re-sync from the full snapshot")
-        def readWhole(rels: Seq[String], kind: String): Option[DataFrame] =
+        def readWhole(rels: Seq[(String, Map[String, Option[String]])],
+            kind: String): Option[DataFrame] =
           if (rels.isEmpty) None
           else {
-            rels.foreach(rel => require(Files.isRegularFile(root.resolve(rel)),
-              s"Delta table $path: commit $cv ${kind}s $rel whose bytes are " +
+            rels.foreach(r => require(Files.isRegularFile(root.resolve(r._1)),
+              s"Delta table $path: commit $cv ${kind}s ${r._1} whose bytes are " +
                 "no longer on disk (vacuumed/retired) — the change feed for " +
                 "this range is unreconstructable; re-sync from the full snapshot"))
-            Some(spark.read.schema(schema)
-              .parquet(rels.map(rel => root.resolve(rel).toString): _*)
+            Some(fillPartCols(
+              spark.read.schema(dataSchema)
+                .parquet(rels.map(r => root.resolve(r._1).toString): _*),
+              rels, Seq.empty)
               .withColumn("_change_type", lit(if (kind == "add") "insert" else "delete"))
               .withColumn("_commit_version", lit(cv)))
           }
@@ -944,10 +978,14 @@ object DeltaInterop {
     // must surface as ITS error, not hide behind whatever the file scan
     // happens to throw first
     val dvPos = dvPositionsDf(spark, root, adds)
-    val base = applyDvs(spark.read.schema(dataSchema).parquet(files: _*), dvPos)
+    val scan0 = spark.read.schema(dataSchema).parquet(files: _*)
     if (partCols.isEmpty)
-      base.select(schema.fields.map(dataCol).toIndexedSeq: _*)
+      applyDvs(scan0, dvPos).select(schema.fields.map(dataCol).toIndexedSeq: _*)
     else {
+      // the partition-join key is derived BEFORE the DV anti-join:
+      // `_metadata` is no longer resolvable after applyDvs's joins
+      val base = applyDvs(
+        scan0.withColumn("__graft_pfile", col("_metadata.file_name")), dvPos)
       import scala.jdk.CollectionConverters._
       val partFields = partCols.map(c => schema(c))
       val names = adds.map(a => root.resolve(a.path).getFileName.toString)
@@ -969,7 +1007,6 @@ object DeltaInterop {
         StructType(StructField("__graft_pfile", StringType, nullable = false) +:
           partFields.map(f => StructField(f.name, StringType))))
       base
-        .withColumn("__graft_pfile", col("_metadata.file_name"))
         .join(broadcast(tupleDf), Seq("__graft_pfile"))
         .select(schema.fields.map { f =>
           if (partSet.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
@@ -1291,6 +1328,52 @@ object DeltaInterop {
     * rather than clobbering.
     *
     * @return the number of newly deleted row positions (0 = no commit). */
+  /** Scan `adds` into the LOGICAL schema with `(__gdv_file, __gdv_pos)`
+    * provenance: a column-mapped table's files scan physically and alias
+    * logically; a PARTITIONED table's partition columns — which live in
+    * the log's `partitionValues`, never in the files — reconstruct via a
+    * broadcast (file basename → values) join, so predicates over them
+    * resolve instead of matching silent nulls. The shared scan of
+    * [[deleteFromDelta]] and its cdc emission. */
+  private def provScan(spark: SparkSession, root: Path, path: String,
+      schema: StructType, meta: TableMeta, adds: Seq[AddFile]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val partSet = meta.partCols.toSet
+    val logicalData = StructType(schema.fields.filterNot(f => partSet.contains(f.name)))
+    val physSchema =
+      if (meta.mapped) toPhysical(logicalData, path).asInstanceOf[StructType]
+      else logicalData
+    def dataCol(f: StructField): org.apache.spark.sql.Column =
+      if (meta.mapped) col(physicalNameOf(f, path)).cast(f.dataType).as(f.name)
+      else col(f.name)
+    val scan = spark.read.schema(physSchema)
+      .parquet(adds.map(a => root.resolve(a.path).toString): _*)
+      .withColumn("__gdv_file", col("_metadata.file_name"))
+      .withColumn("__gdv_pos", col("_metadata.row_index"))
+    val prov = Seq(col("__gdv_file"), col("__gdv_pos"))
+    if (meta.partCols.isEmpty)
+      scan.select((schema.fields.map(dataCol) ++ prov).toIndexedSeq: _*)
+    else {
+      val partFields = meta.partCols.map(c => schema(c))
+      val rows: Seq[org.apache.spark.sql.Row] = adds.map { a =>
+        org.apache.spark.sql.Row.fromSeq(
+          root.resolve(a.path).getFileName.toString +:
+            partFields.map { f =>
+              val key = if (meta.mapped) physicalNameOf(f, path) else f.name
+              a.partitionValues.get(key).flatten.orNull
+            })
+      }
+      val tupleDf = spark.createDataFrame(rows.asJava,
+        StructType(StructField("__gdv_file", StringType, nullable = false) +:
+          partFields.map(f => StructField(f.name, StringType))))
+      scan.join(broadcast(tupleDf), Seq("__gdv_file"))
+        .select((schema.fields.map { f =>
+          if (partSet.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else dataCol(f)
+        } ++ prov).toIndexedSeq: _*)
+    }
+  }
+
   def deleteFromDelta(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column,
       tsMillis: Long = System.currentTimeMillis()): Long = {
@@ -1300,9 +1383,6 @@ object DeltaInterop {
     val (cur, live, metaOpt, proto) = replayState(spark, root, None)
     val meta = metaOpt.getOrElse(throw new IllegalStateException(
       s"Delta log at $path carries no metaData action"))
-    require(meta.partCols.isEmpty,
-      s"deleteFromDelta supports unpartitioned tables only; the table at " +
-        s"$path is partitioned by ${meta.partCols.mkString(",")}")
     // CDF eligibility is metadata-known — refuse BEFORE any scan or DV
     // write (a late refusal would leave an orphan .bin behind)
     val cdfEnabled = meta.config.get("delta.enableChangeDataFeed").contains("true")
@@ -1317,20 +1397,7 @@ object DeltaInterop {
       s"Delta table at $root has duplicate data-file names — deletion " +
         "vectors cannot be recorded unambiguously")
 
-    // a column-mapped table's files carry PHYSICAL names: scan physically,
-    // alias logically so the caller's predicate resolves — the recorded
-    // (file, position) pairs are name-independent either way
-    val physSchema =
-      if (meta.mapped) toPhysical(schema, path).asInstanceOf[StructType] else schema
-    val base0 = spark.read.schema(physSchema)
-      .parquet(live.map(a => root.resolve(a.path).toString): _*)
-      .withColumn("__gdv_file", col("_metadata.file_name"))
-      .withColumn("__gdv_pos", col("_metadata.row_index"))
-    val base =
-      if (!meta.mapped) base0
-      else base0.select((schema.fields.map(f =>
-        col(physicalNameOf(f, path)).cast(f.dataType).as(f.name)) :+
-        col("__gdv_file") :+ col("__gdv_pos")).toIndexedSeq: _*)
+    val base = provScan(spark, root, path, schema, meta, live)
     val liveDf = dvPositionsDf(spark, root, live)
       .map(d => base.join(d, Seq("__gdv_file", "__gdv_pos"), "left_anti"))
       .getOrElse(base)
@@ -1365,16 +1432,14 @@ object DeltaInterop {
     // the change files (the protocol's own convention). The change rows
     // can only live in the files the first scan found TOUCHED, so this
     // second read scans those alone — O(matched files), not O(table).
-    val cdcEntries: Seq[(String, Long)] =
+    // (rel path, size, the cdc file's partitionValues)
+    val cdcEntries: Seq[(String, Long, Map[String, Option[String]])] =
       if (!cdfEnabled) Seq.empty
       else {
         val touched = newBlobs.map(_._1).toSet
         val touchedAdds = live.filter(a =>
           touched.contains(root.resolve(a.path).getFileName.toString))
-        val base2 = spark.read.schema(schema) // cdf + mapped refused above
-          .parquet(touchedAdds.map(a => root.resolve(a.path).toString): _*)
-          .withColumn("__gdv_file", col("_metadata.file_name"))
-          .withColumn("__gdv_pos", col("_metadata.row_index"))
+        val base2 = provScan(spark, root, path, schema, meta, touchedAdds)
         val live2 = dvPositionsDf(spark, root, touchedAdds)
           .map(d => base2.join(d, Seq("__gdv_file", "__gdv_pos"), "left_anti"))
           .getOrElse(base2)
@@ -1382,20 +1447,62 @@ object DeltaInterop {
         Files.createDirectories(cdcDir)
         val stage = Files.createTempDirectory("graft_delta_cdc")
         try {
-          live2.where(predicate)
-            .drop("__gdv_file", "__gdv_pos")
-            .withColumn("_change_type", lit("delete"))
-            .write.mode("overwrite").parquet(stage.toString)
-          val walk = Files.walk(stage)
-          val staged = try walk.iterator().asScala
-            .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-            .filter(p => IcebergInterop.parquetRowCount(spark, p) > 0L).toSeq
-            finally walk.close()
-          staged.zipWithIndex.map { case (p, i) =>
-            val rel = s"_change_data/cdc-${java.util.UUID.nameUUIDFromBytes(
-              (path + "|cdc|" + cur + "|" + i).getBytes("UTF-8"))}.parquet"
-            Files.move(p, root.resolve(rel), StandardCopyOption.ATOMIC_MOVE)
-            (rel, Files.size(root.resolve(rel)))
+          val hits2 = live2.where(predicate)
+          if (meta.partCols.isEmpty) {
+            hits2.drop("__gdv_file", "__gdv_pos")
+              .withColumn("_change_type", lit("delete"))
+              .write.mode("overwrite").parquet(stage.toString)
+            val walk = Files.walk(stage)
+            val staged = try walk.iterator().asScala
+              .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+              .filter(p => IcebergInterop.parquetRowCount(spark, p) > 0L).toSeq
+              finally walk.close()
+            staged.zipWithIndex.map { case (p, i) =>
+              val rel = s"_change_data/cdc-${java.util.UUID.nameUUIDFromBytes(
+                (path + "|cdc|" + cur + "|" + i).getBytes("UTF-8"))}.parquet"
+              Files.move(p, root.resolve(rel), StandardCopyOption.ATOMIC_MOVE)
+              (rel, Files.size(root.resolve(rel)), Map.empty[String, Option[String]])
+            }
+          } else {
+            // cdc files mirror the data layout (protocol: partition
+            // columns live on the cdc ACTION's partitionValues, not in
+            // the file) — one change parquet per touched partition, its
+            // group id riding a broadcast (file → group) join
+            val groups: Seq[(Map[String, Option[String]], Seq[AddFile])] =
+              touchedAdds.groupBy(_.partitionValues).toSeq
+                .sortBy(_._1.toSeq.sortBy(_._1).toString)
+            val grpDf = spark.createDataFrame(
+              groups.zipWithIndex.flatMap { case ((_, as), gi) =>
+                as.map(a => (root.resolve(a.path).getFileName.toString, gi)) })
+              .toDF("__gdv_file", "__gcdc_grp")
+            val partSet = meta.partCols.toSet
+            val dataCols = schema.fields.filterNot(f => partSet.contains(f.name))
+            hits2.join(broadcast(grpDf), Seq("__gdv_file"))
+              .select((dataCols.map(f => col(f.name)) :+
+                lit("delete").as("_change_type") :+
+                col("__gcdc_grp")).toIndexedSeq: _*)
+              .write.mode("overwrite").partitionBy("__gcdc_grp")
+              .parquet(stage.toString)
+            val walk = Files.walk(stage)
+            val staged = try walk.iterator().asScala
+              .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+              .map { p =>
+                val grp = stage.relativize(p).iterator().asScala
+                  .map(_.toString).find(_.startsWith("__gcdc_grp="))
+                  .map(_.stripPrefix("__gcdc_grp=").toInt)
+                  .getOrElse(throw new IllegalStateException(
+                    s"staged cdc file $p carries no __gcdc_grp segment"))
+                (p, grp)
+              }
+              .filter(pg => IcebergInterop.parquetRowCount(spark, pg._1) > 0L)
+              .toSeq.sortBy(pg => (pg._2, pg._1.toString))
+              finally walk.close()
+            staged.zipWithIndex.map { case ((p, grp), i) =>
+              val rel = s"_change_data/cdc-${java.util.UUID.nameUUIDFromBytes(
+                (path + "|cdc|" + cur + "|" + i).getBytes("UTF-8"))}.parquet"
+              Files.move(p, root.resolve(rel), StandardCopyOption.ATOMIC_MOVE)
+              (rel, Files.size(root.resolve(rel)), groups(grp)._1)
+            }
           }
         } finally deleteRecursively(stage)
       }
@@ -1430,11 +1537,19 @@ object DeltaInterop {
       (if (cdcEntries.nonEmpty) Seq("changeDataFeed") else Seq.empty))
       .toSeq.sorted.foreach(wf.add)
     lines += m.writeValueAsString(protocol)
-    cdcEntries.foreach { case (rel, size) =>
+    def putPv(node: com.fasterxml.jackson.databind.node.ObjectNode,
+        pv: Map[String, Option[String]]): Unit = {
+      val o = node.putObject("partitionValues")
+      pv.toSeq.sortBy(_._1).foreach {
+        case (k, Some(v)) => o.put(k, v)
+        case (k, None)    => o.putNull(k)
+      }
+    }
+    cdcEntries.foreach { case (rel, size, pv) =>
       val c = obj()
       val cd = c.putObject("cdc")
       cd.put("path", encodePath(rel))
-      cd.putObject("partitionValues")
+      putPv(cd, pv)
       cd.put("size", size)
       cd.put("dataChange", false)
       lines += m.writeValueAsString(c)
@@ -1446,6 +1561,7 @@ object DeltaInterop {
       rmNode.put("path", encodePath(a.path))
       rmNode.put("deletionTimestamp", tsMillis)
       rmNode.put("dataChange", true)
+      putPv(rmNode, a.partitionValues)
       a.dv.foreach { d => // the superseded descriptor rides the remove (vacuum bookkeeping)
         val o = rmNode.putObject("deletionVector")
         o.put("storageType", d.storageType)
@@ -1458,7 +1574,9 @@ object DeltaInterop {
       val ad = obj()
       val addNode = ad.putObject("add")
       addNode.put("path", encodePath(a.path))
-      addNode.putObject("partitionValues")
+      // the DV re-add RESTATES the file's partition tuple — an empty map
+      // would silently move the file out of its partition
+      putPv(addNode, a.partitionValues)
       addNode.put("size", Files.size(root.resolve(a.path)))
       addNode.put("modificationTime", tsMillis)
       addNode.put("dataChange", true)
@@ -1497,9 +1615,6 @@ object DeltaInterop {
     val (cur, live, metaOpt, _) = replayState(spark, root, None)
     val meta = metaOpt.getOrElse(throw new IllegalStateException(
       s"Delta log at $path carries no metaData action"))
-    require(meta.partCols.isEmpty,
-      s"purgeDeltaDvs supports unpartitioned tables only; the table at " +
-        s"$path is partitioned by ${meta.partCols.mkString(",")}")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     val withDv = live.filter(_.dv.isDefined)
     if (withDv.isEmpty) return (0, 0L)
@@ -1508,30 +1623,80 @@ object DeltaInterop {
     val compDir = root.resolve("compacted")
     Files.createDirectories(compDir)
     val stage = Files.createTempDirectory("graft_delta_purge")
-    val newFiles: Seq[(String, Long)] = try { // (rel path, size)
-      // a mapped table's survivor files must carry PHYSICAL column names
-      // like every other data file — the purge reads and writes the
-      // physical schema without ever resolving logical names
-      val scanSchema =
-        if (meta.mapped) toPhysical(schema, path).asInstanceOf[StructType] else schema
-      applyDvs(
-        spark.read.schema(scanSchema)
-          .parquet(withDv.map(a => root.resolve(a.path).toString): _*),
-        dvPositionsDf(spark, root, withDv))
-        .write.mode("overwrite").parquet(stage.toString)
-      val walk = Files.walk(stage)
-      val staged = try walk.iterator().asScala
-          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-          // a fully-deleted input file leaves an empty part: footer-count,
-          // not a Spark job per file
-          .filter(p => IcebergInterop.parquetRowCount(spark, p) > 0L).toSeq
-        finally walk.close()
-      staged.zipWithIndex.map { case (p, i) =>
-        val rel = s"compacted/purge-${java.util.UUID.nameUUIDFromBytes(
-          (path + "|v" + cur + "|" + i).getBytes("UTF-8"))}.parquet"
-        Files.move(p, root.resolve(rel),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        (rel, Files.size(root.resolve(rel)))
+    // a mapped table's survivor files must carry PHYSICAL column names
+    // like every other data file — the purge reads and writes the
+    // physical schema without ever resolving logical names; partition
+    // columns are log metadata either way and never touch the files
+    val partSet = meta.partCols.toSet
+    val dataSchema = StructType(schema.fields.filterNot(f => partSet.contains(f.name)))
+    val scanSchema =
+      if (meta.mapped) toPhysical(dataSchema, path).asInstanceOf[StructType]
+      else dataSchema
+    // (rel path, size, partitionValues of the survivor file)
+    val newFiles: Seq[(String, Long, Map[String, Option[String]])] = try {
+      if (meta.partCols.isEmpty) {
+        applyDvs(
+          spark.read.schema(scanSchema)
+            .parquet(withDv.map(a => root.resolve(a.path).toString): _*),
+          dvPositionsDf(spark, root, withDv))
+          .write.mode("overwrite").parquet(stage.toString)
+        val walk = Files.walk(stage)
+        val staged = try walk.iterator().asScala
+            .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+            // a fully-deleted input file leaves an empty part: footer-count,
+            // not a Spark job per file
+            .filter(p => IcebergInterop.parquetRowCount(spark, p) > 0L).toSeq
+          finally walk.close()
+        staged.zipWithIndex.map { case (p, i) =>
+          val rel = s"compacted/purge-${java.util.UUID.nameUUIDFromBytes(
+            (path + "|v" + cur + "|" + i).getBytes("UTF-8"))}.parquet"
+          Files.move(p, root.resolve(rel),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          (rel, Files.size(root.resolve(rel)), Map.empty[String, Option[String]])
+        }
+      } else {
+        // survivors write PER PARTITION (mixing partitions in one file
+        // would make its add's partitionValues a lie): group the touched
+        // files by their tuple, split the staged write by group
+        val groups: Seq[(Map[String, Option[String]], Seq[AddFile])] =
+          withDv.groupBy(_.partitionValues).toSeq
+            .sortBy(_._1.toSeq.sortBy(_._1).toString)
+        val grpDf = spark.createDataFrame(
+          groups.zipWithIndex.flatMap { case ((_, as), gi) =>
+            as.map(a => (root.resolve(a.path).getFileName.toString, gi)) })
+          .toDF("__gdv_file", "__gp_grp")
+        val scan = spark.read.schema(scanSchema)
+          .parquet(withDv.map(a => root.resolve(a.path).toString): _*)
+          .withColumn("__gdv_file", col("_metadata.file_name"))
+          .withColumn("__gdv_pos", col("_metadata.row_index"))
+        val survivors = dvPositionsDf(spark, root, withDv)
+          .map(d => scan.join(d, Seq("__gdv_file", "__gdv_pos"), "left_anti"))
+          .getOrElse(scan)
+        survivors.join(broadcast(grpDf), Seq("__gdv_file"))
+          .drop("__gdv_file", "__gdv_pos")
+          .write.mode("overwrite").partitionBy("__gp_grp")
+          .parquet(stage.toString)
+        val walk = Files.walk(stage)
+        val staged = try walk.iterator().asScala
+            .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+            .map { p =>
+              val grp = stage.relativize(p).iterator().asScala
+                .map(_.toString).find(_.startsWith("__gp_grp="))
+                .map(_.stripPrefix("__gp_grp=").toInt)
+                .getOrElse(throw new IllegalStateException(
+                  s"staged purge file $p carries no __gp_grp segment"))
+              (p, grp)
+            }
+            .filter(pg => IcebergInterop.parquetRowCount(spark, pg._1) > 0L)
+            .toSeq.sortBy(pg => (pg._2, pg._1.toString))
+          finally walk.close()
+        staged.zipWithIndex.map { case ((p, grp), i) =>
+          val rel = s"compacted/purge-${java.util.UUID.nameUUIDFromBytes(
+            (path + "|v" + cur + "|" + i).getBytes("UTF-8"))}.parquet"
+          Files.move(p, root.resolve(rel),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          (rel, Files.size(root.resolve(rel)), groups(grp)._1)
+        }
       }
     } finally deleteRecursively(stage)
 
@@ -1550,6 +1715,11 @@ object DeltaInterop {
       rmNode.put("path", encodePath(a.path))
       rmNode.put("deletionTimestamp", tsMillis)
       rmNode.put("dataChange", false) // a purge rewrites, it does not change rows
+      val rmPv = rmNode.putObject("partitionValues")
+      a.partitionValues.toSeq.sortBy(_._1).foreach {
+        case (k, Some(v)) => rmPv.put(k, v)
+        case (k, None)    => rmPv.putNull(k)
+      }
       val d = a.dv.get
       val o = rmNode.putObject("deletionVector")
       o.put("storageType", d.storageType)
@@ -1559,11 +1729,15 @@ object DeltaInterop {
       o.put("cardinality", d.cardinality)
       lines += m.writeValueAsString(rm)
     }
-    newFiles.foreach { case (rel, size) =>
+    newFiles.foreach { case (rel, size, pv) =>
       val ad = obj()
       val addNode = ad.putObject("add")
       addNode.put("path", encodePath(rel))
-      addNode.putObject("partitionValues")
+      val pvNode = addNode.putObject("partitionValues")
+      pv.toSeq.sortBy(_._1).foreach {
+        case (k, Some(v)) => pvNode.put(k, v)
+        case (k, None)    => pvNode.putNull(k)
+      }
       addNode.put("size", size)
       addNode.put("modificationTime", tsMillis)
       addNode.put("dataChange", false)

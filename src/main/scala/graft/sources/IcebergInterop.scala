@@ -785,9 +785,19 @@ object IcebergInterop {
     * spec defines) and the delete rows never pass through the driver —
     * only the O(files) manifest bookkeeping does.
     *
-    * Scope, enforced loudly: unpartitioned default specs only (a
-    * partitioned table wants per-partition delete files this writer does
-    * not implement — use it on flat exports) and parquet data files.
+    * PARTITIONED tables write spec-shaped PER-PARTITION delete files:
+    * hit positions group by their data file's manifest partition tuple,
+    * one delete parquet per touched partition, and the delete manifest
+    * carries the table's partition spec with each entry's tuple — the
+    * shape the spec requires so foreign engines can scope delete
+    * application (and prune it) by partition. Partitions without hits
+    * get no delete file. The optional `keep` pruner restricts the
+    * CANDIDATE files by manifest tuple BEFORE the scan (the production
+    * `DELETE WHERE day = X AND entity = Y` composition: a one-partition
+    * delete scans one partition) — rows matching the predicate OUTSIDE
+    * kept partitions are intentionally not deleted, exactly like a
+    * partition predicate ANDed into the delete.
+    *
     * Existing EQUALITY deletes are fine: the predicate evaluates against
     * the live view with BOTH delete kinds applied (the position mask,
     * then the null-safe equality anti-join with the strictly-newer-
@@ -797,7 +807,8 @@ object IcebergInterop {
     * @return the number of newly deleted row positions (0 = no commit). */
   def deleteFromIceberg(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column,
-      tsMillis: Long = System.currentTimeMillis()): Long = {
+      tsMillis: Long = System.currentTimeMillis(),
+      keep: Option[Map[String, Any] => Boolean] = None): Long = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val root = Paths.get(path).toAbsolutePath
     val metaDir = root.resolve("metadata")
@@ -806,10 +817,7 @@ object IcebergInterop {
     val fv = meta.get("format-version").asInt
     require(fv == 1 || fv == 2,
       s"Iceberg table $path has format-version $fv — only v1/v2 are supported")
-    require(defaultSpecFields(meta).isEmpty,
-      s"deleteFromIceberg supports unpartitioned tables only; the table at " +
-        s"$path has a partition spec — partitioned position deletes are " +
-        "per-partition files this writer does not implement")
+    val partFieldNames = defaultSpecFields(meta).map(_.get("name").asText)
     val schema = currentSparkSchema(meta, path)
     val curId = Option(meta.get("current-snapshot-id")).map(_.asLong)
       .filter(_ != -1L).getOrElse(throw new IllegalArgumentException(
@@ -818,71 +826,97 @@ object IcebergInterop {
       .flatMap(_.elements().asScala.find(_.get("snapshot-id").asLong == curId))
       .getOrElse(throw new IllegalArgumentException(
         s"Iceberg table $path current snapshot $curId is missing from the log"))
-    val (dataFiles, deleteFiles, eqDeletes) = liveEntries(root, path, snapNode)
+    val (allDataFiles, deleteFiles, eqDeletes) = liveEntries(root, path, snapNode)
+    // manifest-tuple pruning BEFORE any footer or data byte is touched —
+    // the same prune the reader runs
+    val dataFiles = keep match {
+      case None => allDataFiles
+      case Some(k) => allDataFiles.filter(e => k(decodePartitionTuple(
+        e.partition, partFieldNames)))
+    }
     if (dataFiles.isEmpty) return 0L
 
     val prevVersion = currentMetadataVersion(metaDir, path)
 
-    // live view (existing POSITION and EQUALITY deletes applied) with
+    // live view (existing POSITION and EQUALITY deletes applied, identity
+    // partition columns reconstructed from the manifest tuples) with
     // per-row (file, pos) provenance; the manifest-recorded file_path
     // string rides back in via the O(files) basename map so delete rows
     // reference files EXACTLY as the manifests do
-    val delFrame = positionDeleteFrame(spark, path, dataFiles, deleteFiles)
     val names = dataFiles.map(_.resolved.getFileName.toString)
     require(names.distinct.size == names.size,
       s"Iceberg table $path has duplicate data-file names — position " +
         "deletes cannot be recorded unambiguously; unsupported layout")
-    // renamed columns resolve like the reader: aliased scan + coalesce,
-    // so the predicate sees every file's values under the CURRENT names
     val aliases = renameAliases(meta, path,
       Option(meta.get("current-schema-id")).map(_.asInt))
-    val base0 = spark.read.schema(aliasedScanSchema(schema, aliases))
-      .parquet(dataFiles.map(_.resolved.toString): _*)
-      .withColumn("__gdel_file", col("_metadata.file_name"))
-      .withColumn("__gdel_pos", col("_metadata.row_index"))
-    val base =
-      if (aliases.isEmpty) base0
-      else base0.select((schema.fields.map(aliasCol(_, aliases)) :+
-        col("__gdel_file") :+ col("__gdel_pos")).toIndexedSeq: _*)
-    val afterPos = delFrame
-      .map(d => base.join(d, Seq("__gdel_file", "__gdel_pos"), "left_anti"))
-      .getOrElse(base)
-    val live = applyEqDeletes(spark, afterPos,
+    val live = readWithIdentityFill(spark, path, meta, schema,
+      dataFiles.map(e => (e.resolved, e.partition)),
+      positionDeleteFrame(spark, path, dataFiles, deleteFiles),
       equalityDeleteSpecs(spark, path, meta, eqDeletes),
-      dataFiles.map(e => (e.resolved.getFileName.toString, e.seq)))
-    val uriDf = spark.createDataFrame(
-      dataFiles.map(e => (e.resolved.getFileName.toString, e.uri)))
-      .toDF("__gdel_file", "__gdel_uri")
+      dataFiles.map(e => (e.resolved.getFileName.toString, e.seq)),
+      aliases, provenance = true)
+    // each hit's partition GROUP rides along so the staged write splits
+    // per partition — one sorted delete file per touched tuple
+    val groups: Seq[(Option[GenericRecord], Seq[DataEntry])] =
+      if (partFieldNames.isEmpty) Seq((None, dataFiles))
+      else dataFiles.groupBy(e => String.valueOf(e.partition)).toSeq
+        .sortBy(_._1).map { case (_, es) => (Option(es.head.partition), es) }
+    val fileMeta = spark.createDataFrame(
+      groups.zipWithIndex.flatMap { case ((_, es), gi) =>
+        es.map(e => (e.resolved.getFileName.toString, e.uri, gi)) })
+      .toDF("__gdel_file", "__gdel_uri", "__gdel_grp")
     val fileIdPath = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("parquet.field.id", 2147483546L).build()
     val fileIdPos = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("parquet.field.id", 2147483545L).build()
     val hits = live.where(predicate)
-      .join(broadcast(uriDf), Seq("__gdel_file"))
+      .join(broadcast(fileMeta), Seq("__gdel_file"))
       .select(col("__gdel_uri").as("file_path", fileIdPath),
-        col("__gdel_pos").cast("long").as("pos", fileIdPos))
+        col("__gdel_pos").cast("long").as("pos", fileIdPos),
+        col("__gdel_grp"))
 
-    // spec-sorted position-delete parquet(s), staged then moved into place
+    // spec-sorted position-delete parquet(s), staged then moved into
+    // place: partitioned by group so each touched partition gets its own
+    // file(s) — `__gdel_grp` leads the sort, so the partitioned writer's
+    // required ordering is already satisfied and the (file_path, pos)
+    // order survives into each written file
     val delDir = root.resolve("data").resolve("deletes")
     val stage = Files.createTempDirectory("graft_ice_delw")
-    val written: Seq[(Path, Long, Long)] = try { // (final path, rows, size)
+    // (final path, rows, size, partition tuple)
+    val written: Seq[(Path, Long, Long, Option[GenericRecord])] = try {
       val key = "spark.sql.parquet.fieldId.write.enabled"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "true")
-      try hits.sort("file_path", "pos").write.mode("overwrite").parquet(stage.toString)
-      finally prev match {
+      try {
+        if (partFieldNames.isEmpty)
+          hits.drop("__gdel_grp").sort("file_path", "pos")
+            .write.mode("overwrite").parquet(stage.toString)
+        else hits.repartition(col("__gdel_grp"))
+          .sortWithinPartitions("__gdel_grp", "file_path", "pos")
+          .write.mode("overwrite").partitionBy("__gdel_grp")
+          .parquet(stage.toString)
+      } finally prev match {
         case Some(v) => spark.conf.set(key, v)
         case None    => spark.conf.unset(key)
       }
       val walk = Files.walk(stage)
       val staged = try walk.iterator().asScala
           .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-          .map(p => (p, parquetRowCount(spark, p))).filter(_._2 > 0L).toSeq
+          .map { p =>
+            val grp =
+              if (partFieldNames.isEmpty) 0
+              else stage.relativize(p).iterator().asScala
+                .map(_.toString).find(_.startsWith("__gdel_grp="))
+                .map(_.stripPrefix("__gdel_grp=").toInt)
+                .getOrElse(throw new IllegalStateException(
+                  s"staged delete file $p carries no __gdel_grp segment"))
+            (p, parquetRowCount(spark, p), grp)
+          }.filter(_._2 > 0L).toSeq.sortBy(f => (f._3, f._1.toString))
         finally walk.close()
       if (staged.isEmpty) Seq.empty
       else {
         Files.createDirectories(delDir)
-        staged.zipWithIndex.map { case ((p, rows), i) =>
+        staged.zipWithIndex.map { case ((p, rows, grp), i) =>
           // the COMMIT VERSION keys the name: two deletes sharing a fixed
           // tsMillis (deterministic fixtures) must not collide
           val dst = delDir.resolve(
@@ -890,7 +924,7 @@ object IcebergInterop {
               (path + "|v" + prevVersion + "|" + tsMillis + "|" + i)
                 .getBytes("UTF-8"))}.parquet")
           Files.move(p, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          (dst, rows, Files.size(dst))
+          (dst, rows, Files.size(dst), groups(grp)._1)
         }
       }
     } finally deleteRecursively(stage)
@@ -906,15 +940,40 @@ object IcebergInterop {
       .getMostSignificantBits)
     val m = mapper
     val manifestName = f"graft-d0-$snapshotId%d.avro"
+    val partRecordJson = written.flatMap(_._4).headOption
+      .map(_.getSchema.toString).getOrElse(EmptyPartRecordJson)
     writeDeleteManifest(metaDir.resolve(manifestName), snapshotId, newSeq,
       m.writeValueAsString(icebergSchema(m, schema,
         Option(meta.get("current-schema-id")).map(_.asInt).getOrElse(0))),
-      written.map { case (p, rows, size) => (p.toUri.toString, rows, size) })
+      written.map { case (p, rows, size, part) =>
+        DeleteManifestFile(p.toUri.toString, rows, size, part) },
+      partRecordJson = partRecordJson,
+      specFieldsStr = m.writeValueAsString(specFieldsArray(m, meta)),
+      specId = Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0))
     commitV2DeleteSnapshot(path, root, metaDir, meta, curId, snapNode,
       prevVersion, snapshotId, newSeq, tsMillis, manifestName,
       addedFiles = written.size, addedRows = deleted,
-      summaryKey = "deleted-position-deletes", summaryVal = deleted.toString)
+      summaryKey = "deleted-position-deletes", summaryVal = deleted.toString,
+      manifestSpecId = Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0))
     deleted
+  }
+
+  /** A manifest partition tuple decoded to the external (field name →
+    * value) map the pruners see — empty for null/flat tuples. */
+  private def decodePartitionTuple(rec: GenericRecord,
+      fieldNames: Seq[String]): Map[String, Any] =
+    if (rec == null) Map.empty
+    else fieldNames.flatMap { fn =>
+      Option(rec.getSchema.getField(fn)).map(f =>
+        fn -> decodeTupleValue(rec.get(fn), f.schema()))
+    }.toMap
+
+  /** The default spec's `fields` as a JSON array (deep-copied from the
+    * metadata) — the delete manifest's `partition-spec` header. */
+  private def specFieldsArray(m: ObjectMapper, meta: JsonNode): ArrayNode = {
+    val arr = m.createArrayNode()
+    defaultSpecFields(meta).foreach(f => arr.add(f.deepCopy[JsonNode]()))
+    arr
   }
 
   /** Row-level DELETE BY KEY: commit a v2 EQUALITY-DELETE snapshot — the
@@ -942,9 +1001,6 @@ object IcebergInterop {
     val fv = meta.get("format-version").asInt
     require(fv == 1 || fv == 2,
       s"Iceberg table $path has format-version $fv — only v1/v2 are supported")
-    require(defaultSpecFields(meta).isEmpty,
-      s"deleteFromIcebergByKey supports unpartitioned tables only; the " +
-        s"table at $path has a partition spec")
     val schema = currentSparkSchema(meta, path)
     val curId = Option(meta.get("current-snapshot-id")).map(_.asLong)
       .filter(_ != -1L).getOrElse(throw new IllegalArgumentException(
@@ -990,6 +1046,36 @@ object IcebergInterop {
         s"deleteFromIcebergByKey: key column '$c' is $kt but the table " +
           s"column is $tt — cast the keys to the exact table type first")
     }
+    // a PARTITIONED table's global equality delete is written under an
+    // UNPARTITIONED spec (the spec's global-delete shape: a delete file
+    // stored with an unpartitioned spec applies to the whole table) —
+    // reuse an existing empty spec or mint one in the same commit. The
+    // key columns must be PHYSICAL in the data files (the reader anchors
+    // the anti-join at the scan, before the identity fill), so an
+    // identity-projected partition source refuses at write time with the
+    // reader's rule.
+    val specsById = partitionSpecsById(meta)
+    val defaultSpecId = Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0)
+    val partitioned = defaultSpecFields(meta).nonEmpty
+    if (partitioned) {
+      val (liveData, _, _) = liveEntries(root, path, snapNode)
+      if (liveData.nonEmpty) {
+        val probe = parquetTopLevelCols(spark, liveData.head.resolved)
+        keyCols.foreach(c => require(probe.contains(c),
+          s"deleteFromIcebergByKey: key column '$c' is not physically " +
+            s"present in the data files of $path (an identity-projected " +
+            "partition source) — equality deletes anchor at the scan, " +
+            "before the identity fill; delete by a physical column instead"))
+      }
+    }
+    val (eqSpecId, mintEmptySpec) =
+      if (!partitioned) (defaultSpecId, None)
+      else specsById.collectFirst { case (id, fs) if fs.isEmpty => id } match {
+        case Some(id) => (id, None)
+        case None =>
+          val next = specsById.keys.max + 1
+          (next, Some(next))
+      }
     val prevVersion = currentMetadataVersion(metaDir, path)
 
     // the spec-shaped equality-delete parquet: distinct keys, field-ids
@@ -1042,13 +1128,31 @@ object IcebergInterop {
     writeDeleteManifest(metaDir.resolve(manifestName), snapshotId, newSeq,
       m.writeValueAsString(icebergSchema(m, schema,
         Option(meta.get("current-schema-id")).map(_.asInt).getOrElse(0))),
-      written.map { case (p, rows, size) => (p.toUri.toString, rows, size) },
-      content = 2, equalityIds = Some(ids))
+      written.map { case (p, rows, size) =>
+        DeleteManifestFile(p.toUri.toString, rows, size) },
+      content = 2, equalityIds = Some(ids), specId = eqSpecId)
     commitV2DeleteSnapshot(path, root, metaDir, meta, curId, snapNode,
       prevVersion, snapshotId, newSeq, tsMillis, manifestName,
       addedFiles = written.size, addedRows = nKeys,
-      summaryKey = "deleted-equality-keys", summaryVal = nKeys.toString)
+      summaryKey = "deleted-equality-keys", summaryVal = nKeys.toString,
+      manifestSpecId = eqSpecId, mintEmptySpec = mintEmptySpec)
     nKeys
+  }
+
+  /** spec-id → spec fields for every spec the metadata lists (modern
+    * `partition-specs`; a legacy-only table maps its single spec to id
+    * 0). */
+  private def partitionSpecsById(meta: JsonNode): Map[Int, Seq[JsonNode]] = {
+    val modern = Option(meta.get("partition-specs")).map { arr =>
+      arr.elements().asScala.map { sp =>
+        Option(sp.get("spec-id")).map(_.asInt).getOrElse(0) ->
+          Option(sp.get("fields")).map(_.elements().asScala.toSeq)
+            .getOrElse(Seq.empty)
+      }.toMap
+    }
+    modern.getOrElse(
+      Map(0 -> Option(meta.get("partition-spec"))
+        .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)))
   }
 
   /** The shared v2 DELETE-snapshot commit: carry every existing manifest
@@ -1061,7 +1165,8 @@ object IcebergInterop {
       meta: JsonNode, curId: Long, snapNode: JsonNode, prevVersion: Long,
       snapshotId: Long, newSeq: Long, tsMillis: Long, manifestName: String,
       addedFiles: Int, addedRows: Long,
-      summaryKey: String, summaryVal: String): Unit = {
+      summaryKey: String, summaryVal: String,
+      manifestSpecId: Int = 0, mintEmptySpec: Option[Int] = None): Unit = {
     val m = mapper
     val prevList = resolveUri(root, snapNode.get("manifest-list").asText)
     val carried = readAvro(prevList).map { r =>
@@ -1106,7 +1211,7 @@ object IcebergInterop {
     writeManifestListV2(metaDir.resolve(listName),
       carried :+ ManifestListEntry(
         metaDir.resolve(manifestName).toUri.toString, manifestLen,
-        specId = 0, content = 1, seq = newSeq, minSeq = newSeq,
+        specId = manifestSpecId, content = 1, seq = newSeq, minSeq = newSeq,
         addedSnapshotId = snapshotId,
         addedFiles = addedFiles, existingFiles = 0, deletedFiles = 0,
         addedRows = addedRows, existingRows = 0L, deletedRows = 0L))
@@ -1136,6 +1241,19 @@ object IcebergInterop {
         _.elements().asScala.foreach(f => fields.add(f.deepCopy[JsonNode]())))
       specs.add(spec0)
       rootNode.put("default-spec-id", 0)
+    }
+    // a partitioned table's GLOBAL equality delete mints an unpartitioned
+    // spec in the same commit (the default spec stays the partitioned one)
+    mintEmptySpec.foreach { id =>
+      val specs = rootNode.get("partition-specs").asInstanceOf[ArrayNode]
+      val already = specs.elements().asScala.exists(sp =>
+        Option(sp.get("spec-id")).exists(_.asInt == id))
+      if (!already) {
+        val sp = m.createObjectNode()
+        sp.put("spec-id", id)
+        sp.putArray("fields")
+        specs.add(sp)
+      }
     }
     rootNode.remove("schema")
     rootNode.remove("partition-spec")
@@ -1723,53 +1841,77 @@ object IcebergInterop {
     } finally w.close()
   }
 
-  // v2 manifest entry schema for DELETE manifests (unpartitioned spec →
-  // empty r102): content (134) distinguishes position (1) from equality
-  // (2) delete files, equality_ids (135) names the matched field-ids;
-  // sequence numbers are written explicitly rather than inherited.
-  private val DeleteManifestSchema: Schema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
-      |{"name":"status","type":"int","field-id":0},
-      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
-      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
-      |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
-      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
-      |  {"name":"content","type":"int","field-id":134},
-      |  {"name":"file_path","type":"string","field-id":100},
-      |  {"name":"file_format","type":"string","field-id":101},
-      |  {"name":"partition","type":{"type":"record","name":"r102","fields":[]},"field-id":102},
-      |  {"name":"record_count","type":"long","field-id":103},
-      |  {"name":"file_size_in_bytes","type":"long","field-id":104},
-      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
-      |]},"field-id":2}
-      |]}""".stripMargin)
+  // v2 manifest entry schema for DELETE manifests: content (134)
+  // distinguishes position (1) from equality (2) delete files,
+  // equality_ids (135) names the matched field-ids; sequence numbers are
+  // written explicitly rather than inherited. The partition record (r102)
+  // is spliced per spec — empty for the unpartitioned spec, the table's
+  // partition fields for partition-scoped position deletes.
+  private def deleteManifestSchema(partRecordJson: String): Schema =
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int","field-id":0},
+        |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+        |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+        |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"content","type":"int","field-id":134},
+        |  {"name":"file_path","type":"string","field-id":100},
+        |  {"name":"file_format","type":"string","field-id":101},
+        |  {"name":"partition","type":$partRecordJson,"field-id":102},
+        |  {"name":"record_count","type":"long","field-id":103},
+        |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+        |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
+        |]},"field-id":2}
+        |]}""".stripMargin)
+  private val EmptyPartRecordJson = """{"type":"record","name":"r102","fields":[]}"""
+
+  /** One delete file for the manifest: its URI, footer row count, size,
+    * and (for partition-scoped position deletes) the partition tuple —
+    * field-name → value, copied into the manifest's partition record. */
+  private case class DeleteManifestFile(uri: String, rows: Long, size: Long,
+      partition: Option[GenericRecord] = None)
 
   private def writeDeleteManifest(path: Path, snapshotId: Long, seq: Long,
-      schemaJson: String, files: Seq[(String, Long, Long)],
-      content: Int = 1, equalityIds: Option[Seq[Int]] = None): Unit = {
+      schemaJson: String, files: Seq[DeleteManifestFile],
+      content: Int = 1, equalityIds: Option[Seq[Int]] = None,
+      partRecordJson: String = EmptyPartRecordJson,
+      specFieldsStr: String = "[ ]", specId: Int = 0): Unit = {
+    val avroSchema = deleteManifestSchema(partRecordJson)
     val w = new DataFileWriter[GenericRecord](
-      new GenericDatumWriter[GenericRecord](DeleteManifestSchema))
+      new GenericDatumWriter[GenericRecord](avroSchema))
     w.setMeta("format-version", "2")
     w.setMeta("content", "deletes")
     w.setMeta("schema", schemaJson)
-    w.setMeta("partition-spec", "[ ]")
-    w.setMeta("partition-spec-id", "0")
-    w.create(DeleteManifestSchema, path.toFile)
-    try files.foreach { case (uri, rows, size) =>
-      val entry = new GenericData.Record(DeleteManifestSchema)
+    w.setMeta("partition-spec", specFieldsStr)
+    w.setMeta("partition-spec-id", specId.toString)
+    w.create(avroSchema, path.toFile)
+    try files.foreach { f =>
+      val entry = new GenericData.Record(avroSchema)
       entry.put("status", 1) // ADDED
       entry.put("snapshot_id", snapshotId)
       entry.put("sequence_number", seq)
       entry.put("file_sequence_number", seq)
-      val dfSchema = DeleteManifestSchema.getField("data_file").schema()
+      val dfSchema = avroSchema.getField("data_file").schema()
       val df = new GenericData.Record(dfSchema)
       df.put("content", content)
-      df.put("file_path", uri)
+      df.put("file_path", f.uri)
       df.put("file_format", "PARQUET")
-      df.put("partition",
-        new GenericData.Record(dfSchema.getField("partition").schema()))
-      df.put("record_count", rows)
-      df.put("file_size_in_bytes", size)
+      val partSchema = dfSchema.getField("partition").schema()
+      val part = new GenericData.Record(partSchema)
+      // copy BY NAME: the source tuple was read under the data manifest's
+      // own parsed schema instance — positional writes against this
+      // writer's schema would be fragile across instances
+      f.partition.foreach { src =>
+        partSchema.getFields.asScala.foreach { fld =>
+          part.put(fld.name(),
+            Option(src.getSchema.getField(fld.name()))
+              .map(_ => src.get(fld.name())).orNull)
+        }
+      }
+      df.put("partition", part)
+      df.put("record_count", f.rows)
+      df.put("file_size_in_bytes", f.size)
       equalityIds.foreach(ids => df.put("equality_ids",
         java.util.Arrays.asList(ids.map(Int.box): _*)))
       entry.put("data_file", df)
@@ -2281,18 +2423,28 @@ object IcebergInterop {
     // (the footer probes and the scan below see only the kept subset);
     // position deletes for pruned-out files drop out naturally in the
     // delete-frame join below — prune-to-superset stays correct
+    val fieldNames = defaultSpecFields(meta).map(_.get("name").asText)
     val kept = pruner match {
       case None => dataFiles
       case Some(keep) =>
-        val fieldNames = defaultSpecFields(meta).map(_.get("name").asText)
-        dataFiles.filter { e =>
-          val tuple: Map[String, Any] =
-            if (e.partition == null) Map.empty
-            else fieldNames.flatMap { fn =>
-              Option(e.partition.getSchema.getField(fn)).map(f =>
-                fn -> decodeTupleValue(e.partition.get(fn), f.schema()))
-            }.toMap
-          keep(tuple)
+        dataFiles.filter(e => keep(decodePartitionTuple(e.partition, fieldNames)))
+    }
+    // partition-scoped DELETE files prune with the data: a delete file of
+    // partition P applies only to P's data files, so when every file of P
+    // is pruned its delete rows would join nothing anyway — skipping the
+    // parquet read entirely is the point of carrying the tuple. Tuples
+    // under a DIFFERENT spec than the pruner's field names (spec
+    // evolution) are kept conservatively — a superset of applicable
+    // delete files is always correct, the (file, pos) join scopes them.
+    val keptDeletes = pruner match {
+      case None => deleteFiles
+      case Some(keep) =>
+        val defaultSpecId = Option(meta.get("default-spec-id"))
+          .map(_.asInt).getOrElse(0)
+        deleteFiles.filter { d =>
+          d.partition == null || d.partition.getSchema.getFields.isEmpty ||
+            d.specId != defaultSpecId ||
+            keep(decodePartitionTuple(d.partition, fieldNames))
         }
     }
 
@@ -2300,7 +2452,7 @@ object IcebergInterop {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else readWithIdentityFill(spark, path, meta, schema,
       kept.map(e => (e.resolved, e.partition)),
-      positionDeleteFrame(spark, path, kept, deleteFiles),
+      positionDeleteFrame(spark, path, kept, keptDeletes),
       equalityDeleteSpecs(spark, path, meta, eqDeletes),
       kept.map(e => (e.resolved.getFileName.toString, e.seq)),
       aliases)
@@ -2326,8 +2478,11 @@ object IcebergInterop {
     * and is skipped. Refuses loudly: snapshots without a classifiable
     * operation, mixed shapes (a delete snapshot adding data files),
     * EQUALITY deletes landing in the range (resolving them to rows
-    * would need the full pre-delete state), partitioned tables (same
-    * v1 scope as the Delta twin), and expired watermarks. */
+    * would need the full pre-delete state), and expired watermarks.
+    * Partitioned tables consume like flat ones: the insert AND delete
+    * edges resolve rows through the identity-fill scan, so
+    * Column-Projected partition columns reconstruct from the manifest
+    * tuples in the feed too. */
   /** The parent-chain snapshot ids from `since` (exclusive) up to `cur`
     * (inclusive), OLDEST FIRST — the shared lineage walk of
     * [[readIcebergChanges]] and [[readIcebergChangelog]], with ONE
@@ -2367,9 +2522,6 @@ object IcebergInterop {
     val fv = meta.get("format-version").asInt
     require(fv == 1 || fv == 2,
       s"Iceberg table $path has format-version $fv — only v1/v2 are supported")
-    require(defaultSpecFields(meta).isEmpty,
-      s"readIcebergChangelog supports unpartitioned tables only; the table " +
-        s"at $path has a partition spec")
     val schema = currentSparkSchema(meta, path)
     val outSchema = StructType(schema.fields :+
       StructField("_change_type", StringType, nullable = false) :+
@@ -2456,14 +2608,14 @@ object IcebergInterop {
               .collect().map(_.getString(0)).toSet
             val touchedEntries = cData.filter(e =>
               touched.contains(e.resolved.getFileName.toString))
-            val scan = spark.read.schema(aliasedScanSchema(schema, aliases))
-              .parquet(touchedEntries.map(_.resolved.toString): _*)
-              .withColumn("__gdel_file", col("_metadata.file_name"))
-              .withColumn("__gdel_pos", col("_metadata.row_index"))
-            frames += stamp(
-              scan.join(delF, Seq("__gdel_file", "__gdel_pos"), "left_semi")
-                .select(schema.fields.map(aliasCol(_, aliases)).toIndexedSeq: _*),
-              "delete")
+            // the killed rows resolve through the same scan machinery as
+            // reads: identity-partitioned columns reconstructed from the
+            // manifest tuples, renamed columns coalesced — keepMatching
+            // flips the delete anti-join to the semi-join
+            frames += stamp(readWithIdentityFill(spark, path, meta, schema,
+              touchedEntries.map(e => (e.resolved, e.partition)),
+              deletes = Some(delF), aliases = aliases,
+              keepMatching = true), "delete")
           }
         case "replace" =>
           // a rewrite changes no rows BY CONTRACT — verified, not
@@ -2500,12 +2652,19 @@ object IcebergInterop {
   private case class DataEntry(resolved: Path, uri: String,
       partition: GenericRecord, seq: Long, rows: Long, size: Long)
 
-  /** One live POSITION-DELETE file: resolved path + delete sequence. */
-  private case class DeleteEntry(resolved: Path, seq: Long)
+  /** One live POSITION-DELETE file: resolved path, delete sequence, its
+    * manifest-recorded partition tuple (null/empty for global deletes),
+    * and the spec id the tuple is shaped by (manifest-list entry). */
+  private case class DeleteEntry(resolved: Path, seq: Long,
+      partition: GenericRecord, specId: Int)
 
-  /** One live EQUALITY-DELETE file: resolved path, delete sequence, and
-    * the schema field-ids its rows match on (`equality_ids`). */
-  private case class EqDeleteEntry(resolved: Path, seq: Long, ids: Seq[Int])
+  /** One live EQUALITY-DELETE file: resolved path, delete sequence, the
+    * schema field-ids its rows match on (`equality_ids`), and its spec id
+    * — a spec with fields would scope it to one partition, which this
+    * reader refuses (it applies equality deletes GLOBALLY, the
+    * unpartitioned-spec semantics). */
+  private case class EqDeleteEntry(resolved: Path, seq: Long, ids: Seq[Int],
+      specId: Int)
 
   /** Walk a snapshot's manifest list into its live data and position-delete
     * entries, with v2 sequence-number INHERITANCE (a null entry-level
@@ -2529,6 +2688,9 @@ object IcebergInterop {
       val listSeq = Option(r.getSchema.getField("sequence_number"))
         .flatMap(_ => Option(r.get("sequence_number")))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
+      val listSpecId = Option(r.getSchema.getField("partition_spec_id"))
+        .flatMap(_ => Option(r.get("partition_spec_id")))
+        .map(_.asInstanceOf[Int]).getOrElse(0)
       readAvro(mp).foreach { entry =>
         val status = entry.get("status").asInstanceOf[Int]
         val df = entry.get("data_file").asInstanceOf[GenericRecord]
@@ -2547,7 +2709,11 @@ object IcebergInterop {
           .map(_.asInstanceOf[Long]).getOrElse(listSeq)
         if (status == 2) () // DELETED entry: not live
         else if (content == 1)
-          dels += DeleteEntry(resolveUri(root, df.get("file_path").toString), seq)
+          dels += DeleteEntry(resolveUri(root, df.get("file_path").toString),
+            seq,
+            Option(df.getSchema.getField("partition"))
+              .map(_ => df.get("partition").asInstanceOf[GenericRecord]).orNull,
+            listSpecId)
         else if (content == 2) {
           val ids = Option(df.getSchema.getField("equality_ids"))
             .flatMap(_ => Option(df.get("equality_ids")))
@@ -2557,7 +2723,8 @@ object IcebergInterop {
               s"Iceberg table $path holds an equality delete file without " +
                 "equality_ids — unreadable"))
           eqs += EqDeleteEntry(
-            resolveUri(root, df.get("file_path").toString), seq, ids)
+            resolveUri(root, df.get("file_path").toString), seq, ids,
+            listSpecId)
         }
         else data += DataEntry(resolveUri(root, df.get("file_path").toString),
           df.get("file_path").toString,
@@ -2590,7 +2757,17 @@ object IcebergInterop {
     if (eqs.isEmpty) return Seq.empty
     import org.apache.spark.sql.functions.{broadcast, col}
     val idToName = schemaFieldIdToName(meta, path)
+    // this reader applies equality deletes GLOBALLY (the spec's
+    // unpartitioned-spec semantics); a delete file under a spec WITH
+    // fields is scoped to its partition, and applying it globally would
+    // over-delete — refuse the foreign shape loudly
+    val specsById = partitionSpecsById(meta)
     eqs.foreach { e =>
+      require(specsById.get(e.specId).forall(_.isEmpty),
+        s"Iceberg table $path carries a PARTITION-SCOPED equality-delete " +
+          s"file (spec ${e.specId} has partition fields): ${e.resolved} — " +
+          "this reader applies equality deletes globally and would " +
+          "over-delete; unsupported foreign shape")
       require(Files.isRegularFile(e.resolved),
         s"Iceberg table $path references an equality-delete file that is " +
           s"missing: ${e.resolved} — cannot read without silently " +
@@ -2839,8 +3016,16 @@ object IcebergInterop {
       deletes: Option[DataFrame] = None,
       eqSpecs: Seq[EqDeleteSpec] = Seq.empty,
       dataSeqs: Seq[(String, Long)] = Seq.empty,
-      aliases: Map[String, Seq[String]] = Map.empty): DataFrame = {
+      aliases: Map[String, Seq[String]] = Map.empty,
+      provenance: Boolean = false,
+      keepMatching: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    // keepMatching flips the position-delete anti-join to a SEMI join —
+    // the changelog's "which rows did this delete kill" resolution, with
+    // the identity fill and rename aliases riding along; it composes
+    // with position deletes only
+    require(!keepMatching || eqSpecs.isEmpty,
+      "keepMatching composes with position deletes only")
     val uris = dataFiles.map(_._1.toString)
     // RENAMED columns ([[renameAliases]]): the scan requests the read
     // name AND every historic physical name side by side (Spark fills
@@ -2854,16 +3039,22 @@ object IcebergInterop {
     // delete rows reference, the same mechanism Spark's own Delta/Iceberg
     // connectors use — and equality deletes chain after them on the same
     // provenance column. Delete-free tables skip this wholesale.
+    // whether masked() computes provenance columns — after its joins
+    // `_metadata` is no longer resolvable, so the identity-fill join
+    // below must reuse `__gdel_file` instead
+    val hasProv = deletes.nonEmpty || eqSpecs.nonEmpty || provenance
     def masked(scan: DataFrame): DataFrame = {
-      if (deletes.isEmpty && eqSpecs.isEmpty) return scan
+      if (!hasProv) return scan
       val withProv = scan
         .withColumn("__gdel_file", col("_metadata.file_name"))
         .withColumn("__gdel_pos", col("_metadata.row_index"))
       val afterPos = deletes
-        .map(d => withProv.join(d, Seq("__gdel_file", "__gdel_pos"), "left_anti"))
+        .map(d => withProv.join(d, Seq("__gdel_file", "__gdel_pos"),
+          if (keepMatching) "left_semi" else "left_anti"))
         .getOrElse(withProv)
-      applyEqDeletes(spark, afterPos, eqSpecs, dataSeqs)
-        .drop("__gdel_file", "__gdel_pos")
+      val out = applyEqDeletes(spark, afterPos, eqSpecs, dataSeqs)
+      // __gdel_file stays for the fill join; the final selects drop it
+      if (provenance) out else out.drop("__gdel_pos")
     }
     // equality columns must be PHYSICALLY in the data files: the explicit
     // schema read fills absent (identity-partitioned) columns with null at
@@ -2895,8 +3086,10 @@ object IcebergInterop {
           "physically present in the data files — this reader anchors " +
           "equality deletes at the scan, before the identity fill; unreadable"))
     }
+    val provCols =
+      if (provenance) Seq(col("__gdel_file"), col("__gdel_pos")) else Seq.empty
     val plain = masked(spark.read.schema(withAliases(schema)).parquet(uris: _*))
-      .select(schema.fields.map(readCol).toIndexedSeq: _*)
+      .select((schema.fields.map(readCol) ++ provCols).toIndexedSeq: _*)
     val specIdentity = targetSpecIdentityFields(meta, path) // (specField, sourceCol)
     val srcToSpec = specIdentity.map { case (fn, src) => src -> fn }.toMap
     // presence is probed on EVERY footer (O(files) — the same scale class as
@@ -2987,12 +3180,14 @@ object IcebergInterop {
         fillable.map(_.copy())))
     val dataSchema = StructType(
       schema.fields.filterNot(f => fillable.exists(_.name == f.name)))
-    masked(spark.read.schema(withAliases(dataSchema)).parquet(uris: _*))
-      .withColumn("__graft_pfile", col("_metadata.file_name"))
+    val maskedScan = masked(spark.read.schema(withAliases(dataSchema)).parquet(uris: _*))
+    maskedScan
+      .withColumn("__graft_pfile",
+        if (hasProv) col("__gdel_file") else col("_metadata.file_name"))
       .join(broadcast(tupleDf), Seq("__graft_pfile"))
-      .select(schema.fields.map(f =>
+      .select((schema.fields.map(f =>
         if (fillable.exists(_.name == f.name)) col(f.name) else readCol(f))
-        .toIndexedSeq: _*)
+        ++ provCols).toIndexedSeq: _*)
   }
 
   /** Avro partition value -> Spark external value for `t`. */

@@ -193,8 +193,15 @@ class ContractSpec extends AnyFunSuite {
     // files back to rows over the touched files only, replace edges
     // (rewriteIcebergData) stay silent; eq-deletes/mixed shapes refuse;
     // DuckDB oracle recomputes both change kinds)
-    assert(SparkEntry.queries.size == 213,
-      s"declared query count ${SparkEntry.queries.size} != documented 213 — " +
+    // 215 adds the partitioned row-level deletes (round-11 verdict #1):
+    // b5_iceberg_part_delete (pruner-scoped + identity-predicate position
+    // deletes with per-partition spec-shaped delete files, global
+    // unpartitioned-spec equality delete, tuple-pruned reads composing
+    // with both kinds) and b5_delta_part_delete (DV delete over log-only
+    // partition columns, partitionValues-restating re-adds, per-partition
+    // cdc emission + purge; CDF partition fill)
+    assert(SparkEntry.queries.size == 215,
+      s"declared query count ${SparkEntry.queries.size} != documented 215 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

@@ -271,15 +271,60 @@ class DeltaInteropSpec extends SparkSpec {
       DeltaInterop.readDelta(spark, out).count())
     assert(e2.getMessage.contains("missing"))
 
-    // partitioned tables refuse the delete writer loudly
-    val tp = TxTable(spark, tmp("delta_dv_part"))
-    tp.append(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "day", "v"),
-      tsMillis = 1000L, partitionBy = Seq("day"))
-    val outP = tmp("delta_dv_partexp")
-    DeltaInterop.exportDelta(tp, outP, tsMillis = 5000L)
-    assert(intercept[IllegalArgumentException](
-      DeltaInterop.deleteFromDelta(spark, outP, col("id") === 1L, 6000L))
-      .getMessage.contains("unpartitioned tables only"))
+  }
+
+  test("partitioned deletion vectors: predicate over log-only partition columns, purge per partition, cdf") {
+    val t = TxTable(spark, tmp("delta_pdv"))
+    t.append(Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0),
+        (3L, "2024-01-01", 3.0), (4L, "2024-01-03", 4.0),
+        (5L, "2024-01-02", 5.0))
+      .toDF("id", "day", "v"), tsMillis = 1000L, partitionBy = Seq("day"))
+    val out = tmp("delta_pdv_exp")
+    DeltaInterop.exportDelta(t, out, tsMillis = 5000L)                       // v0
+    t.append(Seq((6L, "2024-01-01", 6.0)).toDF("id", "day", "v"),
+      tsMillis = 2000L, partitionBy = Seq("day"))
+    assert(DeltaInterop.exportDeltaIncremental(t, out, tsMillis = 6000L) == 1L) // v1
+    DeltaInterop.setDeltaTableProperty(spark, out,
+      "delta.enableChangeDataFeed", "true", tsMillis = 7000L)                // v2
+    // the predicate mixes the LOG-ONLY partition column with a data
+    // column: days 01 (ids 1,3) and 02 (id 2) are touched, day 03 is not
+    assert(DeltaInterop.deleteFromDelta(spark, out,
+      col("id") <= 2L || (col("day") === "2024-01-01" && col("v") === 3.0),
+      tsMillis = 8000L) == 3L)                                               // v3
+    val live = DeltaInterop.readDelta(spark, out)
+    assert(live.columns.toSeq == Seq("id", "day", "v"))
+    assert(live.select("id").as[Long].collect().sorted.toSeq == Seq(4L, 5L, 6L))
+    // the DV re-adds RESTATED partitionValues: the pruner still sees the
+    // files in their partitions
+    assert(DeltaInterop.readDeltaPruned(spark, out,
+        keep = pv => pv.get("day").flatten.contains("2024-01-01"))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(6L))
+    // time travel below the delete reads all rows
+    assert(DeltaInterop.readDelta(spark, out, versionAsOf = Some(1L)).count() == 6L)
+    // the feed: v1 whole-file insert synthesis and v3 cdc deletes BOTH
+    // fill the partition column from the actions' partitionValues
+    val (_, cdf) = DeltaInterop.readDeltaCdf(spark, out, sinceVersion = 0L)
+    val rows = cdf.select("id", "day", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(rows == Set((6L, "2024-01-01", "insert", 1L),
+      (1L, "2024-01-01", "delete", 3L), (2L, "2024-01-02", "delete", 3L),
+      (3L, "2024-01-01", "delete", 3L)), s"got $rows")
+    // the cdc actions carry their partitions' values
+    val v3Txt = Files.readAllLines(
+      Paths.get(out, "_delta_log", "0" * 19 + "3.json")).asScala.mkString
+    assert(v3Txt.contains("\"cdc\"") && v3Txt.contains("2024-01-02"), v3Txt)
+    // purge rewrites survivors PER PARTITION with honest partitionValues
+    val (nf, dead) = DeltaInterop.purgeDeltaDvs(spark, out, tsMillis = 9000L) // v4
+    assert(nf == 2 && dead == 3L, s"($nf, $dead)")
+    val purged = DeltaInterop.readDelta(spark, out)
+    assert(purged.select("id").as[Long].collect().sorted.toSeq == Seq(4L, 5L, 6L))
+    assert(DeltaInterop.readDeltaPruned(spark, out,
+        keep = pv => pv.get("day").flatten.contains("2024-01-02"))
+      .select("id").as[Long].collect().toSeq == Seq(5L))
+    // feed invariance across the purge (dataChange=false is skipped)
+    assert(DeltaInterop.readDeltaCdf(spark, out, 0L)._2
+      .select("id", "day", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet == rows)
   }
 
   test("purgeDeltaDvs rewrites ONLY the DV'd files and clears the vectors") {
@@ -1027,16 +1072,6 @@ class DeltaInteropSpec extends SparkSpec {
       DeltaInterop.setDeltaTableProperty(spark, out2,
         "delta.columnMapping.mode", "id"))
       .getMessage.contains("managed by"))
-    // partition columns live in the log, not the files — the feed would
-    // read them as silent nulls, so partitioned tables refuse
-    val tp = TxTable(spark, tmp("delta_cdf_part"))
-    tp.append(Seq((1L, "2024-01-01", 1.0)).toDF("id", "day", "v"),
-      tsMillis = 1000L, partitionBy = Seq("day"))
-    val outp = tmp("delta_cdf_part_exp")
-    DeltaInterop.exportDelta(tp, outp, tsMillis = 5000L)
-    assert(intercept[IllegalArgumentException](
-      DeltaInterop.readDeltaCdf(spark, outp, 0L))
-      .getMessage.contains("unpartitioned"))
   }
 
   test("renamed partition column: physical partitionValues keys, logical pruner keys") {

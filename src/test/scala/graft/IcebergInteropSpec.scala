@@ -838,15 +838,6 @@ class IcebergInteropSpec extends SparkSpec {
       IcebergInterop.readIceberg(spark, out))
     assert(e.getMessage.contains("position-delete file that is missing"))
 
-    // partitioned tables refuse the delete writer loudly
-    val tp = TxTable(spark, tmp("ice_del2_part"))
-    tp.append(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "day", "v"),
-      tsMillis = 1000L, partitionBy = Seq("day"))
-    val outP = tmp("ice_del2_partexp")
-    IcebergInterop.exportIceberg(tp, outP, tsMillis = 5000L)
-    val ep = intercept[IllegalArgumentException](
-      IcebergInterop.deleteFromIceberg(spark, outP, col("id") === 1L, 6000L))
-    assert(ep.getMessage.contains("unpartitioned tables only"))
   }
 
   test("exportIcebergTruncated: string prefix + floored long ranges round-trip") {
@@ -1709,5 +1700,124 @@ class IcebergInteropSpec extends SparkSpec {
     val rows = log.select("id", "_change_type", "_change_ordinal")
       .as[(Long, String, Long)].collect().toSet
     assert(rows == Set((0L, "delete", 1L), (1L, "delete", 2L)), s"got $rows")
+  }
+
+  test("partitioned position deletes: per-partition delete files, tuple-pruned reads, identity predicates") {
+    // identity spec with Column Projection: 'day' lives only in the
+    // manifest tuples — the delete's predicate must still see it
+    val t = TxTable(spark, tmp("ice_pdel"))
+    t.append(Seq((1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0),
+        (3L, "2024-01-01", 3.0), (4L, "2024-01-03", 4.0),
+        (5L, "2024-01-02", 5.0), (6L, "2024-01-01", 6.0))
+      .toDF("id", "day", "v"), tsMillis = 1000L, partitionBy = Seq("day"))
+    val out = tmp("ice_pdel_exp")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+    def delFiles() = {
+      val d = Paths.get(out, "data", "deletes")
+      if (!Files.isDirectory(d)) Seq.empty[java.nio.file.Path]
+      else { val s = Files.list(d)
+        try s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+        finally s.close() }
+    }
+    // the predicate mixes a PHYSICAL column and the PROJECTED partition
+    // column; it touches days 01 (ids 1,3,6) and 02 (id 2) but not 03
+    val deleted = IcebergInterop.deleteFromIceberg(spark, out,
+      col("id") <= 2L || (col("day") === "2024-01-01" && col("v") > 2.5), 6000L)
+    assert(deleted == 4L)
+    // one spec-shaped delete file PER TOUCHED PARTITION — not one global
+    assert(delFiles().size == 2, s"got ${delFiles().size} delete files")
+    val live = IcebergInterop.readIceberg(spark, out)
+    assert(live.select("id").as[Long].collect().sorted.toSeq == Seq(4L, 5L))
+    assert(live.schema.fieldNames.toSeq == Seq("id", "day", "v"))
+    // the pruned read composes with delete application: an untouched
+    // partition reads clean, a fully-deleted one reads empty
+    val p3 = IcebergInterop.readIcebergPruned(spark, out,
+      keep = pv => pv.get("day").contains("2024-01-03"))
+    assert(p3.select("id").as[Long].collect().toSeq == Seq(4L))
+    val p1 = IcebergInterop.readIcebergPruned(spark, out,
+      keep = pv => pv.get("day").contains("2024-01-01"))
+    assert(p1.count() == 0L)
+    // time travel below the delete reads everything; re-delete is a no-op
+    val v1Txt = new String(Files.readAllBytes(
+      Paths.get(out, "metadata", "v1.metadata.json")))
+    val snap0 = """"snapshot-id" : (\d+)""".r.findFirstMatchIn(v1Txt).get.group(1).toLong
+    assert(IcebergInterop.readIceberg(spark, out,
+      snapshotAsOf = Some(snap0)).count() == 6L)
+    assert(IcebergInterop.deleteFromIceberg(spark, out,
+      col("id") <= 2L || (col("day") === "2024-01-01" && col("v") > 2.5),
+      7000L) == 0L)
+    // a second, stacked delete on one partition: only that partition
+    // gains a delete file
+    val before = delFiles().size
+    assert(IcebergInterop.deleteFromIceberg(spark, out,
+      col("day") === "2024-01-02", 8000L) == 1L)
+    assert(delFiles().size == before + 1)
+    assert(IcebergInterop.readIceberg(spark, out)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(4L))
+  }
+
+  test("partitioned delete with a partition pruner scans and deletes only kept partitions") {
+    val t = TxTable(spark, tmp("ice_pdel_keep"))
+    t.append(Seq((1L, "a", 1.0), (2L, "b", 1.0), (3L, "a", 1.0), (4L, "c", 1.0))
+      .toDF("id", "k", "v"), tsMillis = 1000L, partitionBy = Seq("k"))
+    val out = tmp("ice_pdel_keep_exp")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+    // predicate matches EVERY row; keep restricts the candidate files to
+    // partition k=a — the DELETE WHERE k='a' AND v=1.0 composition
+    val deleted = IcebergInterop.deleteFromIceberg(spark, out,
+      col("v") === 1.0, 6000L, keep = Some(pv => pv.get("k").contains("a")))
+    assert(deleted == 2L)
+    assert(IcebergInterop.readIceberg(spark, out)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+  }
+
+  test("partitioned equality delete: global unpartitioned-spec delete file, physical-key guard") {
+    val t = TxTable(spark, tmp("ice_peq"))
+    t.append(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+      .toDF("id", "k", "v"), tsMillis = 1000L, partitionBy = Seq("k"))
+    val out = tmp("ice_peq_exp")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+    // an identity-projected partition source cannot key an equality
+    // delete (the reader anchors the anti-join at the scan): loud refusal
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.deleteFromIcebergByKey(spark, out, Seq("a").toDF("k"), 6000L))
+      .getMessage.contains("not physically"))
+    // a physical key deletes across partitions via ONE global delete file
+    assert(IcebergInterop.deleteFromIcebergByKey(spark, out,
+      Seq(1L, 3L).toDF("id"), 6000L) == 2L)
+    assert(IcebergInterop.readIceberg(spark, out)
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    // the commit minted an UNPARTITIONED spec for the global delete while
+    // the default spec stays the partitioned one
+    val metaTxt = new String(Files.readAllBytes(Paths.get(out, "metadata",
+      s"v${Files.readAllLines(Paths.get(out, "metadata", "version-hint.text"))
+        .get(0).trim}.metadata.json")))
+    assert(metaTxt.contains("\"spec-id\" : 1"), metaTxt)
+    assert("\"default-spec-id\" : 0".r.findAllIn(metaTxt).size == 1, metaTxt)
+    // pruned reads still apply the GLOBAL delete inside any partition
+    val pa = IcebergInterop.readIcebergPruned(spark, out,
+      keep = pv => pv.get("k").contains("a"))
+    assert(pa.count() == 0L)
+  }
+
+  test("changelog over a partitioned table: insert and delete edges fill projected columns") {
+    val t = TxTable(spark, tmp("ice_pclog"))
+    t.append(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "k", "v"),
+      tsMillis = 1000L, partitionBy = Seq("k"))
+    val out = tmp("ice_pclog_exp")
+    assert(IcebergInterop.exportIcebergIncremental(t, out, 5000L) == 1L)   // snap1
+    val v1Txt = new String(Files.readAllBytes(
+      Paths.get(out, "metadata", "v1.metadata.json")))
+    val snap1 = """"snapshot-id" : (\d+)""".r.findFirstMatchIn(v1Txt).get.group(1).toLong
+    t.append(Seq((3L, "a", 3.0)).toDF("id", "k", "v"),
+      tsMillis = 2000L, partitionBy = Seq("k"))
+    assert(IcebergInterop.exportIcebergIncremental(t, out, 6000L) == 2L)   // snap2
+    assert(IcebergInterop.deleteFromIceberg(spark, out,
+      col("k") === "a" && col("v") < 2.0, 7000L) == 1L)                    // snap3
+    val (_, log) = IcebergInterop.readIcebergChangelog(spark, out, snap1)
+    val rows = log.select("id", "k", "_change_type", "_change_ordinal")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(rows == Set((3L, "a", "insert", 1L), (1L, "a", "delete", 2L)),
+      s"got $rows")
   }
 }
