@@ -3319,6 +3319,67 @@ object SparkEntry {
     live.orderBy("event_id")
   }
 
+  /** Fixed export targets for [[b5BoundsSkipping]] — oracle SQL globs the
+    * Iceberg side. */
+  private val B5IcebergBoundsPath =
+    "/root/repo/target/graft_export/b5_iceberg_bounds"
+  private val B5DeltaBoundsPath =
+    "/root/repo/target/graft_export/b5_delta_bounds"
+
+  /** B5 — PER-FILE COLUMN BOUNDS IN BOTH EXPORTS (round-10 verdict #2):
+    * TxTable's own per-file min/max data-skipping stats ride into the
+    * Iceberg manifests' `lower_bounds`/`upper_bounds` (spec field-ids
+    * 125/128, single-value binary serialization) and Delta `add.stats`
+    * (numRecords/minValues/maxValues JSON), so engines — foreign and
+    * this one — can skip files by VALUE RANGE on non-partition
+    * predicates, the genuine 100×-scale skipping partition pruning
+    * alone cannot give. The range-clustered events fixture (four
+    * single-file quartile appends with recorded stats) takes an
+    * `event_id BETWEEN` predicate through [[graft.sources.IcebergInterop.readIcebergRange]]
+    * and [[graft.sources.DeltaInterop.readDeltaRange]]. In-query
+    * certificates: both sides scan STRICTLY FEWER files (1 of 4), both
+    * pruned+filtered results match each other and the full-scan filter
+    * bit-exactly. The DuckDB oracle reads the same exported bytes flat
+    * (stats ignored harmlessly — cross-engine readable) and recomputes
+    * the predicate. */
+  private def b5BoundsSkipping(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaInterop, IcebergInterop, TxTable}
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
+    val t = TxTable(s, txTpl(s, dir, "b5_stats"))
+    IcebergInterop.exportIceberg(t, B5IcebergBoundsPath, tsMillis = 5000L)
+    DeltaInterop.exportDelta(t, B5DeltaBoundsPath, tsMillis = 5000L)
+    val ice = IcebergInterop.readIcebergRange(s, B5IcebergBoundsPath,
+      Seq(("event_id", 1200.0, 2300.0)))
+    val del = DeltaInterop.readDeltaRange(s, B5DeltaBoundsPath,
+      Seq(("event_id", 1200.0, 2300.0)))
+    val total = IcebergInterop.readIceberg(s, B5IcebergBoundsPath)
+      .inputFiles.length
+    require(total == 4,
+      s"b5_bounds_skipping: the fixture must export 4 files, got $total")
+    require(ice.inputFiles.length == 1,
+      s"b5_bounds_skipping: Iceberg bounds must skip to 1 of $total files, " +
+        s"got ${ice.inputFiles.length}")
+    require(del.inputFiles.length == 1,
+      s"b5_bounds_skipping: Delta stats must skip to 1 of $total files, " +
+        s"got ${del.inputFiles.length}")
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val iceF = ice.where(col("event_id").between(1200L, 2300L))
+      .select(cols.map(col).toIndexedSeq: _*)
+    val delF = del.where(col("event_id").between(1200L, 2300L))
+      .select(cols.map(col).toIndexedSeq: _*)
+    val full = t.read().where(col("event_id").between(1200L, 2300L))
+      .select(cols.map(col).toIndexedSeq: _*)
+    val iceSig = sig(iceF)
+    require(iceSig == sig(delF),
+      "b5_bounds_skipping: the two formats' pruned reads diverge")
+    require(iceSig == sig(full),
+      "b5_bounds_skipping: pruning changed the result — it must be I/O only")
+    iceF.orderBy("event_id")
+  }
+
   /** Fixed export target for [[b5DeltaPartDelete]] — oracle SQL globs the
     * Hive day dirs (`day=*`), keeping `compacted/` and `_change_data/`
     * out of the scan. */
@@ -5913,6 +5974,17 @@ object SparkEntry {
       "b5_z" -> build("b5_z") { path =>
         TxTable(s, path).append(evStd, tsMillis = 1000L)
       },
+      "b5_stats" -> build("b5_stats") { path =>
+        // four RANGE-CLUSTERED single-file appends with recorded min/max
+        // stats — the layout whose per-file bounds genuinely skip
+        val t0 = TxTable(s, path)
+        val mx = evStd.agg(max(col("event_id"))).head().getLong(0) + 1
+        (0 until 4).foreach { q =>
+          t0.append(evStd.where(col("event_id") >= lit(mx * q / 4) &&
+              col("event_id") < lit(mx * (q + 1) / 4)).coalesce(1),
+            tsMillis = 1000L + q, statsCols = Seq("event_id", "value"))
+        }
+      },
       "b5_cdf" -> build("b5_cdf") { path =>
         // the CDF base: two thirds of events; the query appends the rest
         // as the feed's insert commit
@@ -5990,6 +6062,7 @@ object SparkEntry {
     "b5_iceberg_read_deletes" -> (b5IcebergReadDeletes _),
     "b5_iceberg_part_delete" -> (b5IcebergPartDelete _),
     "b5_delta_part_delete" -> (b5DeltaPartDelete _),
+    "b5_bounds_skipping" -> (b5BoundsSkipping _),
     "b5_delta_read_dv"   -> (b5DeltaReadDv _),
     "b5_delta_rename"    -> (b5DeltaRename _),
     "b5_delta_vacuum"    -> (b5DeltaVacuum _),
@@ -6611,6 +6684,14 @@ object SparkEntry {
         |WHERE NOT (CAST(day AS VARCHAR) = '2024-01-05' AND event_id % 7 = 0)
         |  AND NOT (CAST(day AS VARCHAR) = '2024-01-10' AND event_id % 3 = 0)
         |  AND event_id % 13 <> 0
+        |ORDER BY event_id""".stripMargin,
+    // the per-file bounds are pruning metadata DuckDB ignores harmlessly
+    // (cross-engine readable); the oracle recomputes the range predicate
+    // over the same exported bytes
+    "b5_bounds_skipping" ->
+      """SELECT event_id, user_id, event_type, value, ts
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_bounds/data/*.parquet')
+        |WHERE event_id BETWEEN 1200 AND 2300
         |ORDER BY event_id""".stripMargin,
     // Delta DVs stay logical too (purge survivors land under compacted/,
     // outside the `day=*` glob): the oracle post-filters the original

@@ -70,6 +70,49 @@ object DeltaInterop {
     * `tsMillis` stamps `modificationTime`/`createdTime` (pass a fixed value
     * for byte-deterministic exports).
     */
+  /** The `add.stats` JSON for one data file, carried from TxTable's own
+    * per-file data-skipping min/max ([[TxTable.FileStats]] — doubles from
+    * `cast(col as double)`): numRecords + minValues/maxValues in the
+    * protocol's per-type JSON encoding (long/int integral, double plain,
+    * timestamp ISO-8601 millis — floored/ceiled CONSERVATIVELY so the
+    * bound always contains the true value). Columns whose type cannot be
+    * represented exactly from a double stat are skipped; absent stats are
+    * simply not written (readers treat missing stats as unprunable). */
+  private def statsJson(m: ObjectMapper, schema: StructType,
+      sts: Seq[TxTable.FileStats], numRecords: Long): Option[String] = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, TimestampType}
+    val node = m.createObjectNode()
+    node.put("numRecords", numRecords)
+    val mins = node.putObject("minValues")
+    val maxs = node.putObject("maxValues")
+    var any = false
+    sts.foreach { st =>
+      schema.fields.find(_.name == st.colName).map(_.dataType).foreach {
+        case LongType =>
+          mins.put(st.colName, math.floor(st.min).toLong)
+          maxs.put(st.colName, math.ceil(st.max).toLong)
+          any = true
+        case IntegerType =>
+          mins.put(st.colName, math.floor(st.min).toInt)
+          maxs.put(st.colName, math.ceil(st.max).toInt)
+          any = true
+        case DoubleType =>
+          mins.put(st.colName, st.min)
+          maxs.put(st.colName, st.max)
+          any = true
+        case TimestampType =>
+          // the double stat is epoch SECONDS (Spark's cast); the JSON
+          // encoding is an ISO instant at millisecond precision
+          def iso(ms: Long) = java.time.Instant.ofEpochMilli(ms).toString
+          mins.put(st.colName, iso(math.floor(st.min * 1000.0).toLong))
+          maxs.put(st.colName, iso(math.ceil(st.max * 1000.0).toLong))
+          any = true
+        case _ => ()
+      }
+    }
+    if (any) Some(m.writeValueAsString(node)) else None
+  }
+
   def exportDelta(t: TxTable, target: String,
       tsMillis: Long = System.currentTimeMillis()): Unit = {
     val snap = t.snapshotInfo()
@@ -123,6 +166,14 @@ object DeltaInterop {
     md.put("createdTime", tsMillis)
     lines += m.writeValueAsString(metaData)
 
+    // per-file column bounds ride into add.stats (foreign engines skip
+    // files by value range); numRecords from one distributed footer pass
+    // over just the stat-carrying files
+    val statFiles = snap.files.filter(f => snap.stats.get(f).exists(_.nonEmpty))
+    val rowCounts =
+      if (statFiles.isEmpty) Map.empty[String, Long]
+      else IcebergInterop.parquetRowCountBulk(t.spark,
+        statFiles.map(r => dataDir.resolve(r)))
     adds.foreach { case (rel, size) =>
       val a = obj()
       val add = a.putObject("add")
@@ -132,6 +183,11 @@ object DeltaInterop {
         case (k, Some(v)) => pv.put(k, v)
         case (k, None)    => pv.putNull(k)
       }
+      for {
+        sts <- snap.stats.get(rel) if sts.nonEmpty
+        n <- rowCounts.get(dataDir.resolve(rel).toString)
+        js <- statsJson(m, schema, sts, n)
+      } add.put("stats", js)
       add.put("size", size)
       add.put("modificationTime", tsMillis)
       add.put("dataChange", true)
@@ -274,6 +330,12 @@ object DeltaInterop {
       md.put("createdTime", tsMillis)
       lines += m.writeValueAsString(metaData)
     }
+    val incrStatFiles = adds.map(_._1)
+      .filter(f => snap.stats.get(f).exists(_.nonEmpty))
+    val incrRowCounts =
+      if (incrStatFiles.isEmpty) Map.empty[String, Long]
+      else IcebergInterop.parquetRowCountBulk(t.spark,
+        incrStatFiles.map(r => dataDir.resolve(r)))
     adds.foreach { case (rel, size) =>
       val a = obj()
       val add = a.putObject("add")
@@ -283,6 +345,11 @@ object DeltaInterop {
         case (k, Some(vv)) => pv.put(k, vv)
         case (k, None)     => pv.putNull(k)
       }
+      for {
+        sts <- snap.stats.get(rel) if sts.nonEmpty
+        n <- incrRowCounts.get(dataDir.resolve(rel).toString)
+        js <- statsJson(m, schema, sts, n)
+      } add.put("stats", js)
       add.put("size", size)
       add.put("modificationTime", tsMillis)
       add.put("dataChange", true)
@@ -379,6 +446,7 @@ object DeltaInterop {
         StructField("size", LongType),
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
+        StructField("stats", StringType),
         StructField("deletionVector", StructType(Seq(
           StructField("storageType", StringType),
           StructField("pathOrInlineDv", StringType),
@@ -415,7 +483,7 @@ object DeltaInterop {
         d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull
       Row(null, null, Row(encodePath(a.path),
         a.partitionValues.map { case (k, vv) => k -> vv.orNull },
-        sz, tsMillis, true, dvRow), null)
+        sz, tsMillis, true, a.stats.orNull, dvRow), null)
     }
     val rows = (protoRow +: metaRow +: addRows).asJava
     val df = spark.createDataFrame(rows, ckptSchema)
@@ -442,7 +510,8 @@ object DeltaInterop {
 
   private case class AddFile(path: String,
       partitionValues: Map[String, Option[String]],
-      dv: Option[DvDesc] = None)
+      dv: Option[DvDesc] = None,
+      stats: Option[String] = None)
 
   /** A Delta DELETION VECTOR descriptor as the protocol's add actions
     * carry it: `storageType` "u" (UUID-named file), "p" (plain path) or
@@ -564,6 +633,52 @@ object DeltaInterop {
       else pv.map { case (k, v) => physToLogical.getOrElse(k, k) -> v }
     assembleRead(spark, Paths.get(path), schema, meta.partCols,
       live.filter(a => keep(logicalKeys(a.partitionValues))), meta.mapped)
+  }
+
+  /** [[readDelta]] with VALUE-RANGE FILE SKIPPING over the per-file
+    * column bounds [[exportDelta]] carries in `add.stats`
+    * (minValues/maxValues) — the Iceberg twin is
+    * [[IcebergInterop.readIcebergRange]]. Only files whose recorded
+    * bounds INTERSECT every `(column, lo, hi)` range are listed; files
+    * without stats (or without that column's bound) are conservatively
+    * scanned, so pruning is always to a superset. Ranges are in
+    * `cast(col as double)` units — for timestamps, epoch SECONDS — the
+    * same contract as `TxTable.readWhere`. The caller still applies the
+    * exact row filter: this prunes I/O, not semantics. */
+  def readDeltaRange(spark: SparkSession, path: String,
+      preds: Seq[(String, Double, Double)]): DataFrame = {
+    val (_, live, metaOpt, _) = replayState(spark, Paths.get(path), None)
+    val meta = metaOpt.getOrElse(
+      throw new IllegalStateException(s"Delta log at $path carries no metaData action"))
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val m = mapper
+    def boundsOf(a: AddFile): Map[String, (Double, Double)] =
+      a.stats.map { js =>
+        val node = m.readTree(js)
+        val mins = Option(node.get("minValues"))
+        val maxs = Option(node.get("maxValues"))
+        def vals(o: Option[JsonNode]): Map[String, Double] = o.map { n =>
+          n.properties().asScala.flatMap { e =>
+            val v = e.getValue
+            if (v.isNumber) Some(e.getKey -> v.asDouble)
+            else if (v.isTextual)
+              // the timestamp encoding: ISO instant → epoch seconds
+              scala.util.Try(e.getKey ->
+                java.time.Instant.parse(v.asText).toEpochMilli / 1000.0).toOption
+            else None
+          }.toMap
+        }.getOrElse(Map.empty)
+        val lo = vals(mins)
+        val hi = vals(maxs)
+        lo.keySet.intersect(hi.keySet).map(c => c -> (lo(c), hi(c))).toMap
+      }.getOrElse(Map.empty)
+    val kept = live.filter { a =>
+      val b = boundsOf(a)
+      preds.forall { case (c, lo, hi) =>
+        b.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      }
+    }
+    assembleRead(spark, Paths.get(path), schema, meta.partCols, kept, meta.mapped)
   }
 
   /** INCREMENTAL consumption of a Delta table: the rows appended in
@@ -924,7 +1039,8 @@ object DeltaInterop {
             }.toMap
           }.getOrElse(Map.empty[String, Option[String]])
           val decoded = decodePath(add.get("path").asText)
-          commitAdds += AddFile(decoded, pv, parseDv(add, path))
+          commitAdds += AddFile(decoded, pv, parseDv(add, path),
+            Option(add.get("stats")).filter(!_.isNull).map(_.asText))
         }
         Option(node.get("remove")).foreach { rm =>
           commitRemoves += decodePath(rm.get("path").asText)
@@ -1992,12 +2108,18 @@ object DeltaInterop {
       case st: StructType => st.fieldNames.contains("deletionVector")
       case _              => false
     })
+    val addHasStats = df.schema.fields.find(_.name == "add").exists(_.dataType match {
+      case st: StructType => st.fieldNames.contains("stats")
+      case _              => false
+    })
     val adds =
       if (!cols.contains("add")) Seq.empty
       else df.where(col("add").isNotNull)
         .select(col("add.path"), col("add.partitionValues"),
           (if (addHasDv) col("add.deletionVector")
-           else lit(null).cast("string")).as("dv"))
+           else lit(null).cast("string")).as("dv"),
+          (if (addHasStats) col("add.stats")
+           else lit(null).cast("string")).as("stats"))
         .collect().map { r =>
           val pv = Option(r.getMap[String, String](1))
             .map(_.toMap.map { case (k, vv) => k -> Option(vv) })
@@ -2021,7 +2143,8 @@ object DeltaInterop {
                 fld[Long]("cardinality").getOrElse(throw new IllegalArgumentException(
                   s"checkpoint $p: deletionVector lacks cardinality"))))
             }
-          AddFile(decodePath(r.getString(0)), pv, dv)
+          AddFile(decodePath(r.getString(0)), pv, dv,
+            if (r.isNullAt(3)) None else Some(r.getString(3)))
         }.filterNot(a => removed.contains(a.path)).toSeq
     val mdHasId = df.schema.fields.find(_.name == "metaData").exists(_.dataType match {
       case st: StructType => st.fieldNames.contains("id")

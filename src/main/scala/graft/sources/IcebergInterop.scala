@@ -367,8 +367,24 @@ object IcebergInterop {
       tupleOf: String => Seq[Any]): Unit = {
     val snap = t.snapshotInfo()
     assembleIcebergV1(t.spark, Paths.get(snap.dataDir), snap.files,
-      target, tsMillis, schema, partFields, tupleOf)
+      target, tsMillis, schema, partFields, tupleOf,
+      rel => statsBounds(schema,
+        snap.stats.getOrElse(rel, Seq.empty)))
   }
+
+  /** TxTable per-file min/max → the manifest's `(field-id, lower, upper)`
+    * bounds — this writer assigns field-id = schema position + 1, the
+    * same rule [[icebergSchema]] declares. */
+  private def statsBounds(schema: StructType,
+      sts: Seq[TxTable.FileStats]): Seq[(Int, Array[Byte], Array[Byte])] =
+    sts.flatMap { st =>
+      val idx = schema.fieldNames.indexOf(st.colName)
+      if (idx < 0) None
+      else for {
+        lo <- boundBytes(schema.fields(idx).dataType, st.min, isLower = true)
+        hi <- boundBytes(schema.fields(idx).dataType, st.max, isLower = false)
+      } yield (idx + 1, lo, hi)
+    }
 
   /** The table-assembly core behind every full export: hard-link
     * `relFiles` out of `srcData`, write manifest + manifest list + v1
@@ -378,7 +394,9 @@ object IcebergInterop {
   private def assembleIcebergV1(spark: SparkSession, srcData: Path,
       relFiles: Seq[String], target: String, tsMillis: Long,
       schema: StructType, partFields: Seq[PartField],
-      tupleOf: String => Seq[Any]): Unit = {
+      tupleOf: String => Seq[Any],
+      boundsOf: String => Seq[(Int, Array[Byte], Array[Byte])] =
+        _ => Seq.empty): Unit = {
     val finalDir = Paths.get(target).toAbsolutePath
     Files.createDirectories(finalDir.getParent)
     val staging = finalDir.resolveSibling(
@@ -403,7 +421,8 @@ object IcebergInterop {
     // layout probe — at 100k files the difference is the whole export)
     val rowsOf = parquetRowCountBulk(spark, files)
     val manifestFiles = relFiles.zip(files).map { case (rel, dst) =>
-      ManifestFile(rel, Files.size(dst), rowsOf(dst.toString), tupleOf(rel))
+      ManifestFile(rel, Files.size(dst), rowsOf(dst.toString), tupleOf(rel),
+        boundsOf(rel))
     }
 
     // snapshot id: content-determined so identical exports are identical
@@ -687,7 +706,10 @@ object IcebergInterop {
         // carried and new files keep their `col=value/` rel names in a mirror)
         case None => hivePartitionTuple(rel, partFields)
       }
-      ManifestFile(rel, sz, rc, tuple)
+      // bounds re-derive from the SOURCE TxTable's stats for carried and
+      // new files alike (the mirror re-lists every live file anyway)
+      ManifestFile(rel, sz, rc, tuple,
+        statsBounds(schema, snap.stats.getOrElse(rel, Seq.empty)))
     }
 
     // schema evolution gets a FRESH schema-id and keeps every prior schema
@@ -2141,9 +2163,45 @@ object IcebergInterop {
 
   /** One data file as a manifest entry: full URI (or rel name before the
     * final resolve), size, row count, identity partition tuple in
-    * spec-field order. */
+    * spec-field order, and per-column bounds `(field-id, lower bytes,
+    * upper bytes)` in the spec's single-value serialization. */
   private case class ManifestFile(path: String, size: Long, rows: Long,
-      tuple: Seq[Any])
+      tuple: Seq[Any], bounds: Seq[(Int, Array[Byte], Array[Byte])] = Seq.empty)
+
+  /** Iceberg single-value serialization (the spec's binary encoding for
+    * `lower_bounds`/`upper_bounds`) of a CONSERVATIVE bound derived from
+    * a `cast(col as double)` stat: ints/longs floor (lower) / ceil
+    * (upper), timestamps floor/ceil at microsecond precision, doubles
+    * exact — the bound always contains the true value. Types a double
+    * stat cannot represent exactly are skipped. */
+  private def boundBytes(dt: DataType, v: Double,
+      isLower: Boolean): Option[Array[Byte]] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    def round(x: Double) = if (isLower) math.floor(x) else math.ceil(x)
+    dt match {
+      case IntegerType   => Some(le(4).putInt(round(v).toInt).array())
+      case LongType      => Some(le(8).putLong(round(v).toLong).array())
+      case DoubleType    => Some(le(8).putDouble(v).array())
+      case TimestampType => Some(le(8).putLong(round(v * 1e6).toLong).array())
+      case _             => None
+    }
+  }
+
+  /** Inverse of [[boundBytes]] into `cast(col as double)` units
+    * (timestamps: micros → epoch seconds) — None on a length mismatch
+    * (a foreign encoding this reader must not misinterpret). */
+  private def boundDouble(dt: DataType, b: Array[Byte]): Option[Double] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType if b.length == 4   => Some(bb.getInt.toDouble)
+      case LongType if b.length == 8      => Some(bb.getLong.toDouble)
+      case DoubleType if b.length == 8    => Some(bb.getDouble)
+      case TimestampType if b.length == 8 => Some(bb.getLong / 1e6)
+      case _                              => None
+    }
+  }
 
   // block_size_in_bytes (field-id 105) is REQUIRED in the v1 data_file
   // record: real readers' v1 read schema has no default for it, so a
@@ -2173,7 +2231,9 @@ object IcebergInterop {
          |  {"name":"partition","type":{"type":"record","name":"r102","fields":[$partJson]},"field-id":102},
          |  {"name":"record_count","type":"long","field-id":103},
          |  {"name":"file_size_in_bytes","type":"long","field-id":104},
-         |  {"name":"block_size_in_bytes","type":"long","field-id":105}
+         |  {"name":"block_size_in_bytes","type":"long","field-id":105},
+         |  {"name":"lower_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]},"logicalType":"map"}],"default":null,"field-id":125},
+         |  {"name":"upper_bounds","type":["null",{"type":"array","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]},"logicalType":"map"}],"default":null,"field-id":128}
          |]},"field-id":2}
          |]}""".stripMargin)
   }
@@ -2221,6 +2281,22 @@ object IcebergInterop {
       df.put("record_count", f.rows)
       df.put("file_size_in_bytes", f.size)
       df.put("block_size_in_bytes", 134217728L) // the conventional 128 MiB
+      if (f.bounds.nonEmpty) {
+        def boundArray(fieldName: String, pick: ((Int, Array[Byte], Array[Byte])) => Array[Byte]) = {
+          val itemSchema = dfSchema.getField(fieldName).schema()
+            .getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+          val arr = new GenericData.Array[GenericRecord](f.bounds.size, itemSchema)
+          f.bounds.foreach { b =>
+            val r = new GenericData.Record(itemSchema.getElementType)
+            r.put("key", b._1)
+            r.put("value", java.nio.ByteBuffer.wrap(pick(b)))
+            arr.add(r)
+          }
+          arr
+        }
+        df.put("lower_bounds", boundArray("lower_bounds", _._2))
+        df.put("upper_bounds", boundArray("upper_bounds", _._3))
+      }
       entry.put("data_file", df)
       w.append(entry)
     } finally w.close()
@@ -2235,6 +2311,19 @@ object IcebergInterop {
   def readIceberg(spark: SparkSession, path: String,
       snapshotAsOf: Option[Long] = None): DataFrame =
     readIcebergImpl(spark, path, snapshotAsOf, None)
+
+  /** [[readIceberg]] with VALUE-RANGE FILE SKIPPING over the manifests'
+    * `lower_bounds`/`upper_bounds` (which [[exportIceberg]] carries from
+    * TxTable's own per-file min/max) — the Delta twin is
+    * [[DeltaInterop.readDeltaRange]]. Only files whose recorded bounds
+    * intersect every `(column, lo, hi)` range are scanned; files without
+    * bounds are kept conservatively. Ranges are in `cast(col as double)`
+    * units (timestamps: epoch SECONDS), the `TxTable.readWhere`
+    * contract. The caller still applies the exact row filter: this
+    * prunes I/O, not semantics. */
+  def readIcebergRange(spark: SparkSession, path: String,
+      preds: Seq[(String, Double, Double)]): DataFrame =
+    readIcebergImpl(spark, path, None, None, preds)
 
   /** The snapshot that was CURRENT as of the instant `tsMillis` —
     * Iceberg's timestamp time travel (`FOR SYSTEM_TIME AS OF`), resolved
@@ -2369,7 +2458,8 @@ object IcebergInterop {
 
   private def readIcebergImpl(spark: SparkSession, path: String,
       snapshotAsOf: Option[Long],
-      pruner: Option[Map[String, Any] => Boolean]): DataFrame = {
+      pruner: Option[Map[String, Any] => Boolean],
+      rangePreds: Seq[(String, Double, Double)] = Seq.empty): DataFrame = {
     val root = Paths.get(path).toAbsolutePath
     val metaDir = root.resolve("metadata")
     require(Files.isDirectory(metaDir), s"no Iceberg table at $path (missing metadata/)")
@@ -2424,11 +2514,31 @@ object IcebergInterop {
     // position deletes for pruned-out files drop out naturally in the
     // delete-frame join below — prune-to-superset stays correct
     val fieldNames = defaultSpecFields(meta).map(_.get("name").asText)
-    val kept = pruner match {
+    val keptByTuple = pruner match {
       case None => dataFiles
       case Some(keep) =>
         dataFiles.filter(e => keep(decodePartitionTuple(e.partition, fieldNames)))
     }
+    // VALUE-RANGE skipping over the manifests' lower/upper bounds: only
+    // files whose recorded range INTERSECTS every predicate are kept;
+    // files without a bound for the column are conservatively scanned
+    // (pruning to a superset — the caller applies the exact row filter)
+    val kept =
+      if (rangePreds.isEmpty) keptByTuple
+      else {
+        val nameToId = schemaFieldIdToName(meta, path).map(_.swap)
+        keptByTuple.filter { e =>
+          rangePreds.forall { case (c, lo, hi) =>
+            (for {
+              id <- nameToId.get(c)
+              f  <- schema.fields.find(_.name == c)
+              b  <- e.bounds.get(id)
+              mn <- boundDouble(f.dataType, b._1)
+              mx <- boundDouble(f.dataType, b._2)
+            } yield mx >= lo && mn <= hi).getOrElse(true)
+          }
+        }
+      }
     // partition-scoped DELETE files prune with the data: a delete file of
     // partition P applies only to P's data files, so when every file of P
     // is pruned its delete rows would join nothing anyway — skipping the
@@ -2650,7 +2760,8 @@ object IcebergInterop {
     * rows reference that string), its partition tuple, and its data
     * sequence number (0 for v1-era files, per the spec's upgrade rule). */
   private case class DataEntry(resolved: Path, uri: String,
-      partition: GenericRecord, seq: Long, rows: Long, size: Long)
+      partition: GenericRecord, seq: Long, rows: Long, size: Long,
+      bounds: Map[Int, (Array[Byte], Array[Byte])] = Map.empty)
 
   /** One live POSITION-DELETE file: resolved path, delete sequence, its
     * manifest-recorded partition tuple (null/empty for global deletes),
@@ -2726,13 +2837,41 @@ object IcebergInterop {
             resolveUri(root, df.get("file_path").toString), seq, ids,
             listSpecId)
         }
-        else data += DataEntry(resolveUri(root, df.get("file_path").toString),
-          df.get("file_path").toString,
-          Option(df.getSchema.getField("partition"))
-            .map(_ => df.get("partition").asInstanceOf[GenericRecord]).orNull,
-          seq,
-          df.get("record_count").asInstanceOf[Long],
-          df.get("file_size_in_bytes").asInstanceOf[Long])
+        else {
+          // per-column bounds, when the manifest carries them (both the
+          // Avro array-backed map this writer emits and a true Avro map
+          // a foreign writer might use)
+          def boundMap(name: String): Map[Int, Array[Byte]] = {
+            def toBytes(v: AnyRef): Array[Byte] = v match {
+              case bb: java.nio.ByteBuffer =>
+                val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b
+              case arr: Array[Byte] => arr
+              case other => other.toString.getBytes("UTF-8")
+            }
+            Option(df.getSchema.getField(name))
+              .flatMap(_ => Option(df.get(name))).map {
+                case l: java.util.List[_] => l.asScala.map { r0 =>
+                  val r = r0.asInstanceOf[GenericRecord]
+                  r.get("key").asInstanceOf[Int] -> toBytes(r.get("value"))
+                }.toMap
+                case mm: java.util.Map[_, _] => mm.asScala.map { case (k, v) =>
+                  k.toString.toInt -> toBytes(v.asInstanceOf[AnyRef])
+                }.toMap
+                case _ => Map.empty[Int, Array[Byte]]
+              }.getOrElse(Map.empty)
+          }
+          val lows = boundMap("lower_bounds")
+          val highs = boundMap("upper_bounds")
+          data += DataEntry(resolveUri(root, df.get("file_path").toString),
+            df.get("file_path").toString,
+            Option(df.getSchema.getField("partition"))
+              .map(_ => df.get("partition").asInstanceOf[GenericRecord]).orNull,
+            seq,
+            df.get("record_count").asInstanceOf[Long],
+            df.get("file_size_in_bytes").asInstanceOf[Long],
+            lows.keySet.intersect(highs.keySet)
+              .map(k => k -> (lows(k), highs(k))).toMap)
+        }
       }
     }
     (data.result(), dels.result(), eqs.result())
@@ -3245,7 +3384,7 @@ object IcebergInterop {
 
   /** Footer row counts for MANY files — the same distributed-above-a-
     * threshold shape as [[parquetTopLevelColsBulk]]. */
-  private def parquetRowCountBulk(spark: SparkSession,
+  private[sources] def parquetRowCountBulk(spark: SparkSession,
       paths: Seq[Path]): Map[String, Long] =
     if (paths.size <= 16)
       paths.map(p => p.toString -> parquetRowCount(spark, p)).toMap

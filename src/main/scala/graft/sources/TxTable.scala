@@ -62,9 +62,7 @@ class TxTable(val spark: SparkSession, val root: String) {
   private val logDir = Paths.get(root, "_txlog")
   private val dataDir = Paths.get(root, "data")
 
-  /** Per-file column statistics for data skipping: values normalized to
-    * double via Spark's `cast("double")` (timestamps become epoch seconds). */
-  case class FileStats(colName: String, min: Double, max: Double)
+  import TxTable.FileStats
 
   /** Per-file Bloom filter for EQUALITY data skipping on one column — the
     * point-lookup complement of min/max range stats (which cannot prune a
@@ -1370,7 +1368,7 @@ class TxTable(val spark: SparkSession, val root: String) {
     val st = stateForVersion(Long.MaxValue)
     TxTable.SnapshotInfo(st.files,
       st.ddl.getOrElse(throw new IllegalStateException(s"no schema in table $root")),
-      st.partCols, dataDir.toString)
+      st.partCols, dataDir.toString, st.stats)
   }
 
   /** Remove data files not visible from any of the last `retainVersions`
@@ -1442,6 +1440,12 @@ class TxTable(val spark: SparkSession, val root: String) {
 }
 
 object TxTable {
+
+  /** Per-file column statistics for data skipping: values normalized to
+    * double via Spark's `cast("double")` (timestamps become epoch seconds).
+    * On the companion so the lakehouse exporters carry the same bounds
+    * into Iceberg/Delta file statistics. */
+  case class FileStats(colName: String, min: Double, max: Double)
   def apply(spark: SparkSession, root: String): TxTable = new TxTable(spark, root)
 
   /** Returned by txn-guarded [[TxTable.append]]/[[TxTable.merge]] when the
@@ -1450,8 +1454,13 @@ object TxTable {
   val SkippedCommit: Long = -1L
 
   /** See [[TxTable.snapshotInfo]]. */
+  /** `stats`: the table's per-file data-skipping min/max (rel path →
+    * per-column bounds, [[FileStats]] doubles from `cast(col as
+    * double)`) — what the lakehouse exporters carry into Iceberg
+    * `lower_bounds`/`upper_bounds` and Delta `add.stats`. */
   case class SnapshotInfo(files: Seq[String], schemaDdl: String,
-      partCols: Seq[String], dataDir: String)
+      partCols: Seq[String], dataDir: String,
+      stats: Map[String, Seq[FileStats]] = Map.empty)
 
   /** Inverse of Spark's Hive-style partition-path escaping (special chars
     * written as `%XX` hex). Directory names hold the ESCAPED value; pruning

@@ -200,8 +200,13 @@ class ContractSpec extends AnyFunSuite {
     // with both kinds) and b5_delta_part_delete (DV delete over log-only
     // partition columns, partitionValues-restating re-adds, per-partition
     // cdc emission + purge; CDF partition fill)
-    assert(SparkEntry.queries.size == 215,
-      s"declared query count ${SparkEntry.queries.size} != documented 215 — " +
+    // 216 adds b5_bounds_skipping (round-11 verdict #2: TxTable's
+    // per-file min/max carried into Iceberg lower/upper_bounds and Delta
+    // add.stats; readIcebergRange/readDeltaRange skip files by value
+    // range — certified 1-of-4 files scanned, results bit-equal across
+    // formats and vs the full scan)
+    assert(SparkEntry.queries.size == 216,
+      s"declared query count ${SparkEntry.queries.size} != documented 216 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

@@ -1093,6 +1093,37 @@ class DeltaInteropSpec extends SparkSpec {
     assert(pruned.select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("add.stats carries per-file bounds; readDeltaRange skips files; checkpoint keeps stats") {
+    val t = TxTable(spark, tmp("delta_bounds"))
+    (0 until 3).foreach { b =>
+      t.append((b * 10L until (b + 1) * 10L).map(i => (i, i * 2.0))
+        .toDF("id", "v").coalesce(1),
+        tsMillis = 1000L + b, statsCols = Seq("id", "v"))
+    }
+    val out = tmp("delta_bounds_exp")
+    DeltaInterop.exportDelta(t, out, tsMillis = 5000L)
+    // the adds physically carry protocol-shaped stats JSON
+    val v0 = Files.readAllLines(
+      Paths.get(out, "_delta_log", "0" * 20 + ".json")).asScala.mkString
+    assert(v0.contains("numRecords") && v0.contains("minValues") &&
+      v0.contains("maxValues"), v0)
+    assert(v0.contains("\\\"id\\\":10") || v0.contains("\"id\":10"), v0)
+    // range read scans ONE file; the exact filter on top is precise
+    val pruned = DeltaInterop.readDeltaRange(spark, out, Seq(("id", 12.0, 17.0)))
+    assert(pruned.inputFiles.length == 1, s"got ${pruned.inputFiles.length}")
+    assert(pruned.where(col("id").between(12, 17)).count() == 6L)
+    // column without stats → conservative full scan; empty intersection → 0
+    assert(DeltaInterop.readDeltaRange(spark, out,
+      Seq(("nope", 0.0, 1.0))).inputFiles.length == 3)
+    assert(DeltaInterop.readDeltaRange(spark, out,
+      Seq(("id", 100.0, 200.0))).count() == 0L)
+    // stats survive the checkpoint restatement: prune still works when
+    // the adds replay from the checkpoint alone
+    DeltaInterop.writeDeltaCheckpoint(spark, out, 0L, tsMillis = 6000L)
+    assert(DeltaInterop.readDeltaRange(spark, out,
+      Seq(("id", 12.0, 17.0))).inputFiles.length == 1)
+  }
+
   test("legacy schema-change commits preserve a HIGHER legacy writer version") {
     val t = sampleTable()
     val out = tmp("delta_legacy6")

@@ -1702,6 +1702,60 @@ class IcebergInteropSpec extends SparkSpec {
     assert(rows == Set((0L, "delete", 1L), (1L, "delete", 2L)), s"got $rows")
   }
 
+  test("per-file column bounds: manifests carry lower/upper bounds, range reads skip files") {
+    val t = TxTable(spark, tmp("ice_bounds"))
+    // three single-file appends with disjoint id ranges, stats recorded
+    (0 until 3).foreach { b =>
+      t.append((b * 10L until (b + 1) * 10L).map(i => (i, i * 2.0))
+        .toDF("id", "v").coalesce(1),
+        tsMillis = 1000L + b, statsCols = Seq("id", "v"))
+    }
+    val out = tmp("ice_bounds_exp")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+    // the manifest physically carries the spec's bounds maps
+    val manifest = { val s = Files.list(Paths.get(out, "metadata"))
+      try s.iterator().asScala.find(_.getFileName.toString.startsWith("graft-m0")).get
+      finally s.close() }
+    val rdr = new org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord](
+      manifest.toFile, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    val entries = try rdr.iterator().asScala.toSeq finally rdr.close()
+    assert(entries.size == 3)
+    val boundsSeen = entries.map { e =>
+      val df = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      val lows = df.get("lower_bounds").asInstanceOf[java.util.List[_]].asScala.map { r0 =>
+        val r = r0.asInstanceOf[org.apache.avro.generic.GenericRecord]
+        val bb = r.get("value").asInstanceOf[java.nio.ByteBuffer]
+        val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b)
+        r.get("key").asInstanceOf[Int] ->
+          java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      }.toMap
+      lows(1).getLong // field-id 1 = 'id' (long, little-endian per spec)
+    }.toSet
+    assert(boundsSeen == Set(0L, 10L, 20L), s"got $boundsSeen")
+    // range read scans ONE file; result post-filter is exact
+    val pruned = IcebergInterop.readIcebergRange(spark, out, Seq(("id", 12.0, 17.0)))
+    assert(pruned.inputFiles.length == 1, s"got ${pruned.inputFiles.length} files")
+    assert(pruned.where(col("id").between(12, 17)).count() == 6L)
+    // a two-dimensional range intersects both columns' bounds
+    val two = IcebergInterop.readIcebergRange(spark, out,
+      Seq(("id", 0.0, 29.0), ("v", 44.0, 50.0)))
+    assert(two.inputFiles.length == 1)
+    // a column without bounds is conservatively scanned
+    assert(IcebergInterop.readIcebergRange(spark, out,
+      Seq(("nope", 0.0, 1.0))).inputFiles.length == 3)
+    // an empty intersection reads nothing
+    assert(IcebergInterop.readIcebergRange(spark, out,
+      Seq(("id", 100.0, 200.0))).count() == 0L)
+    // the incremental mirror carries bounds too
+    val out2 = tmp("ice_bounds_incr")
+    assert(IcebergInterop.exportIcebergIncremental(t, out2, 6000L) == 1L)
+    t.append((30L until 40L).map(i => (i, i * 2.0)).toDF("id", "v").coalesce(1),
+      tsMillis = 4000L, statsCols = Seq("id", "v"))
+    assert(IcebergInterop.exportIcebergIncremental(t, out2, 7000L) == 2L)
+    assert(IcebergInterop.readIcebergRange(spark, out2,
+      Seq(("id", 35.0, 36.0))).inputFiles.length == 1)
+  }
+
   test("partitioned position deletes: per-partition delete files, tuple-pruned reads, identity predicates") {
     // identity spec with Column Projection: 'day' lives only in the
     // manifest tuples — the delete's predicate must still see it
