@@ -3319,6 +3319,137 @@ object SparkEntry {
     live.orderBy("event_id")
   }
 
+  /** Fixed export target for [[b5IcebergUpsert]] — oracle SQL globs it. */
+  private val B5IcebergUpsertPath =
+    "/root/repo/target/graft_export/b5_iceberg_upsert"
+
+  /** B5 — CDC UPSERT INTO ICEBERG (round-10 verdict #3): the standard
+    * MERGE as ONE v2 commit pairing a GLOBAL equality delete on the key
+    * (O(keys), no table scan — the spec's declarative CDC delete) with
+    * an append of the incoming rows; both halves share the commit's
+    * sequence number and equality deletes apply only to STRICTLY older
+    * sequences, so the incoming rows survive their own delete — the
+    * ordering the format defines MERGE around. Every tenth event updates
+    * (value + 1000) and a sparse set inserts under fresh ids, in one
+    * [[graft.sources.IcebergInterop.upsertIceberg]] call. In-query
+    * certificates: (keys, appended) counts, live ≡ latest-per-key over
+    * old ∪ new (bit-exact signature), and pre-merge time travel (the
+    * strictly-newer-sequence rule is spec-pinned). The DuckDB oracle
+    * replays the upsert semantics from the BYTES alone: survivors = old
+    * files' rows whose key is absent from the upsert files' rows, union
+    * the upsert rows. */
+  private def b5IcebergUpsert(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergInterop, TxTable}
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
+    val t = TxTable(s, txTpl(s, dir, "b5_z"))
+    IcebergInterop.exportIceberg(t, B5IcebergUpsertPath, tsMillis = 5000L)
+    val base = t.read().select(cols.map(col).toIndexedSeq: _*).localCheckpoint()
+    val upd = base.where(col("event_id") % 10 === 0)
+      .withColumn("value", col("value") + lit(1000.0))
+      .select(cols.map(col).toIndexedSeq: _*)
+    val ins = base.where(col("event_id") % 1000 === 0)
+      .withColumn("event_id", col("event_id") + lit(10000000L))
+      .select(cols.map(col).toIndexedSeq: _*)
+    val up = upd.unionByName(ins).localCheckpoint()
+    val (updN, insN) = (upd.count(), ins.count())
+    val (nk, na) = IcebergInterop.upsertIceberg(s, B5IcebergUpsertPath,
+      up, Seq("event_id"), tsMillis = 6000L)
+    require(nk == updN + insN && na == updN + insN,
+      s"b5_iceberg_upsert: committed ($nk keys, $na rows), expected ${updN + insN}")
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val expected = base.where(col("event_id") % 10 =!= 0).unionByName(up)
+    val live = IcebergInterop.readIceberg(s, B5IcebergUpsertPath)
+      .select(cols.map(col).toIndexedSeq: _*)
+    require(sig(live) == sig(expected),
+      "b5_iceberg_upsert: live view diverges from latest-per-key over old ∪ new")
+    // pre-merge time travel; a second upsert REPLACES a just-upserted key
+    val v1Txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      B5IcebergUpsertPath, "metadata", "v1.metadata.json")), "UTF-8")
+    val snap0 = """"snapshot-id" : (\d+)""".r.findFirstMatchIn(v1Txt).get.group(1).toLong
+    require(IcebergInterop.readIceberg(s, B5IcebergUpsertPath,
+        snapshotAsOf = Some(snap0)).count() == base.count(),
+      "b5_iceberg_upsert: time travel below the merge must read the base table")
+    // (the strictly-newer-sequence rule — a SECOND upsert replacing a
+    // just-upserted key — is pinned in IcebergInteropSpec; a second
+    // overlapping upsert here would make the oracle's byte-level replay
+    // order-ambiguous by design)
+    live.orderBy("event_id")
+  }
+
+  /** Fixed export target for [[b5DeltaMerge]] — oracle SQL globs it. */
+  private val B5DeltaMergePath = "/root/repo/target/graft_export/b5_delta_merge"
+
+  /** B5 — CDC UPSERT (MERGE) INTO DELTA (round-10 verdict #3, the Delta
+    * half): ONE commit deletion-vectors the superseded pre-images and
+    * adds the incoming rows as fresh files
+    * ([[graft.sources.DeltaInterop.mergeDelta]]); with
+    * `delta.enableChangeDataFeed=true` the commit materializes the
+    * protocol's FULL merge classification — `update_preimage` /
+    * `update_postimage` pairs for matched keys, `insert` for new ones —
+    * so [[graft.sources.DeltaInterop.readDeltaCdf]] serves row-accurate
+    * MERGE changes. Same update/insert recipe as the Iceberg twin.
+    * In-query certificates: (superseded, appended) counts, live ≡
+    * latest-per-key (bit-exact), the feed's three change kinds with
+    * exact counts and postimage ∪ insert ≡ the incoming frame, pre-merge
+    * time travel, and purge invariance. The DuckDB oracle replays the
+    * merge from the bytes: survivors = original files' rows whose key is
+    * absent from the merge files, union the merge files' rows. */
+  private def b5DeltaMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaInterop, TxTable}
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
+    val t = TxTable(s, txTpl(s, dir, "b5_z"))
+    DeltaInterop.exportDelta(t, B5DeltaMergePath, tsMillis = 5000L)         // v0
+    DeltaInterop.setDeltaTableProperty(s, B5DeltaMergePath,
+      "delta.enableChangeDataFeed", "true", tsMillis = 6000L)               // v1
+    val base = t.read().select(cols.map(col).toIndexedSeq: _*).localCheckpoint()
+    val upd = base.where(col("event_id") % 10 === 0)
+      .withColumn("value", col("value") + lit(1000.0))
+      .select(cols.map(col).toIndexedSeq: _*)
+    val ins = base.where(col("event_id") % 1000 === 0)
+      .withColumn("event_id", col("event_id") + lit(10000000L))
+      .select(cols.map(col).toIndexedSeq: _*)
+    val up = upd.unionByName(ins).localCheckpoint()
+    val (updN, insN) = (upd.count(), ins.count())
+    val (sup, app) = DeltaInterop.mergeDelta(s, B5DeltaMergePath,
+      up, Seq("event_id"), tsMillis = 7000L)                                // v2
+    require(sup == updN && app == updN + insN,
+      s"b5_delta_merge: committed ($sup superseded, $app appended), " +
+        s"expected ($updN, ${updN + insN})")
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val expected = base.where(col("event_id") % 10 =!= 0).unionByName(up)
+    val live = DeltaInterop.readDelta(s, B5DeltaMergePath)
+      .select(cols.map(col).toIndexedSeq: _*)
+    require(sig(live) == sig(expected),
+      "b5_delta_merge: live view diverges from latest-per-key over old ∪ new")
+    // the feed's full classification, exact
+    val (_, cdf) = DeltaInterop.readDeltaCdf(s, B5DeltaMergePath, sinceVersion = 1L)
+    val kinds = cdf.groupBy("_change_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(kinds == Map("update_preimage" -> updN, "update_postimage" -> updN,
+        "insert" -> insN),
+      s"b5_delta_merge: change kinds $kinds diverge from " +
+        s"(pre=$updN, post=$updN, ins=$insN)")
+    require(sig(cdf.where(col("_change_type") =!= "update_preimage")
+        .select(cols.map(col).toIndexedSeq: _*)) == sig(up),
+      "b5_delta_merge: postimage ∪ insert must equal the incoming frame")
+    require(DeltaInterop.readDelta(s, B5DeltaMergePath,
+        versionAsOf = Some(0L)).count() == base.count(),
+      "b5_delta_merge: time travel below the merge must read the base table")
+    // purge reclaims the merge's DVs; live view and feed stay put
+    require(DeltaInterop.purgeDeltaDvs(s, B5DeltaMergePath, 8000L)._2 == sup, // v3
+      "b5_delta_merge: the purge must reclaim exactly the superseded rows")
+    require(sig(DeltaInterop.readDelta(s, B5DeltaMergePath)
+        .select(cols.map(col).toIndexedSeq: _*)) == sig(expected),
+      "b5_delta_merge: the purge must be invisible to the live view")
+    live.orderBy("event_id")
+  }
+
   /** Fixed export targets for [[b5BoundsSkipping]] — oracle SQL globs the
     * Iceberg side. */
   private val B5IcebergBoundsPath =
@@ -3348,10 +3479,15 @@ object SparkEntry {
     val t = TxTable(s, txTpl(s, dir, "b5_stats"))
     IcebergInterop.exportIceberg(t, B5IcebergBoundsPath, tsMillis = 5000L)
     DeltaInterop.exportDelta(t, B5DeltaBoundsPath, tsMillis = 5000L)
+    // scale-relative range: 12%..23% of the id space falls inside the
+    // first quartile file at EVERY sf, and equals the oracle's literal
+    // 1200..2300 at the driver's sf0.01 (mx = 10000 there)
+    val mx = t.read().agg(max(col("event_id"))).head().getLong(0) + 1
+    val (lo, hi) = (mx * 12 / 100, mx * 23 / 100)
     val ice = IcebergInterop.readIcebergRange(s, B5IcebergBoundsPath,
-      Seq(("event_id", 1200.0, 2300.0)))
+      Seq(("event_id", lo.toDouble, hi.toDouble)))
     val del = DeltaInterop.readDeltaRange(s, B5DeltaBoundsPath,
-      Seq(("event_id", 1200.0, 2300.0)))
+      Seq(("event_id", lo.toDouble, hi.toDouble)))
     val total = IcebergInterop.readIceberg(s, B5IcebergBoundsPath)
       .inputFiles.length
     require(total == 4,
@@ -3366,11 +3502,11 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"),
         bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
       .collect().head
-    val iceF = ice.where(col("event_id").between(1200L, 2300L))
+    val iceF = ice.where(col("event_id").between(lo, hi))
       .select(cols.map(col).toIndexedSeq: _*)
-    val delF = del.where(col("event_id").between(1200L, 2300L))
+    val delF = del.where(col("event_id").between(lo, hi))
       .select(cols.map(col).toIndexedSeq: _*)
-    val full = t.read().where(col("event_id").between(1200L, 2300L))
+    val full = t.read().where(col("event_id").between(lo, hi))
       .select(cols.map(col).toIndexedSeq: _*)
     val iceSig = sig(iceF)
     require(iceSig == sig(delF),
@@ -3966,7 +4102,30 @@ object SparkEntry {
     require(IcebergInterop.readIcebergChangelog(
         s, B5IcebergChangelogPath, head2)._2.isEmpty,
       "b5_iceberg_changelog: a consumer at the head must read an empty feed")
-    log2.select(outCols.map(col).toIndexedSeq: _*)
+    // EQUALITY-delete edge (round-11: the feed can now replay the
+    // engine's own deleteFromIcebergByKey history): every parent-live
+    // row with a matching key emits as a delete — already-dead rows
+    // must NOT re-emit
+    val eqKeys = IcebergInterop.readIceberg(s, B5IcebergChangelogPath)
+      .where(col("event_id") % 11 === 0).select("event_id").distinct()
+    val nEq = eqKeys.count()
+    require(IcebergInterop.deleteFromIcebergByKey(s, B5IcebergChangelogPath,
+        eqKeys, tsMillis = 9000L) == nEq && nEq > 0,
+      s"b5_iceberg_changelog: the equality delete must commit $nEq keys") // snap5
+    val (head3, log3) = IcebergInterop.readIcebergChangelog(
+      s, B5IcebergChangelogPath, snap1)
+    require(log3.where(col("_change_ordinal") === 4L).count() == nEq &&
+        log3.where(col("_change_ordinal") === 4L &&
+          col("_change_type") =!= "delete").isEmpty,
+      "b5_iceberg_changelog: the equality-delete edge must emit exactly " +
+        "the matching live rows as deletes")
+    require(sig(log3.where(col("_change_ordinal") < 4L)) == feedSig,
+      "b5_iceberg_changelog: the equality-delete edge must not perturb " +
+        "the prior edges")
+    require(IcebergInterop.readIcebergChangelog(
+        s, B5IcebergChangelogPath, head3)._2.isEmpty,
+      "b5_iceberg_changelog: a consumer at the new head must read empty")
+    log3.select(outCols.map(col).toIndexedSeq: _*)
       .orderBy("_change_ordinal", "event_id")
   }
 
@@ -4818,6 +4977,75 @@ object SparkEntry {
       q.stop()
     }
     t.read().select(cols.map(col): _*).orderBy("user_id", "event_type")
+  }
+
+  /** G4 — CONTINUOUS TAIL OF A DELTA TABLE (round-10 verdict #7): the
+    * interop layer's batch pull ([[graft.sources.DeltaInterop.readDeltaChanges]])
+    * wired as a foreachBatch-driven consumer — each trigger polls the
+    * watermark, reads the incremental appends, and commits them into a
+    * TxTable sink as ONE transactional append whose txn marker IS the
+    * new watermark ([[graft.sources.DeltaInterop.tailDeltaInto]]), so a
+    * replayed trigger re-lands as a no-op (the exactly-once discipline
+    * of the streaming MERGE sink, over the open format). The producer
+    * commits two incremental Delta versions BETWEEN polls; a final
+    * no-new-commits poll certifies idempotence. In-query certificates:
+    * the watermark reaches the head, and the sink is bit-identical to
+    * BOTH the full Delta read and the one-shot batch incremental read —
+    * stream ≡ batch, end to end. The DuckDB oracle recomputes the full
+    * event set (base two-thirds + the two appended quarters = all
+    * events). */
+  private def g4DeltaTail(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.{DeltaInterop, TxTable}
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
+    val producer = TxTable(s, HarnessFixtures.cloneTxDir(txTpl(s, dir, "b5_cdf")))
+    val deltaPath = java.nio.file.Files
+      .createTempDirectory("graft_delta_tail").toString + "/tbl"
+    DeltaInterop.exportDelta(producer, deltaPath, tsMillis = 5000L)        // v0
+    val sink = TxTable(s, java.nio.file.Files
+      .createTempDirectory("graft_tail_sink").toString)
+    val third = Tables.events(s, dir)
+      .select(cols.map(col).toIndexedSeq: _*)
+      .where(col("event_id") % 3 === 0).localCheckpoint()
+    val watermark = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val ms = MemoryStream[Int]
+    withShufflePartitions(s, 2) {
+      val q = ms.toDS().writeStream
+        .foreachBatch { (_: org.apache.spark.sql.Dataset[Int], id: Long) =>
+          watermark.set(DeltaInterop.tailDeltaInto(s, deltaPath, sink,
+            watermark.get(), tsMillis = 1000L + id))
+          ()
+        }
+        .start()
+      ms.addData(0); q.processAllAvailable()                               // poll: v0
+      producer.append(third.where(col("event_id") % 2 === 0), tsMillis = 2000L)
+      require(DeltaInterop.exportDeltaIncremental(producer, deltaPath,
+        tsMillis = 6000L) == 1L)                                           // v1
+      ms.addData(1); q.processAllAvailable()                               // poll: v1
+      producer.append(third.where(col("event_id") % 2 === 1), tsMillis = 3000L)
+      require(DeltaInterop.exportDeltaIncremental(producer, deltaPath,
+        tsMillis = 7000L) == 2L)                                           // v2
+      ms.addData(2); q.processAllAvailable()                               // poll: v2
+      ms.addData(3); q.processAllAvailable()                               // no-op poll
+      q.stop()
+    }
+    require(watermark.get() == 2L,
+      s"g4_delta_tail: the watermark must reach the head, got ${watermark.get()}")
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val sinkDf = sink.read().select(cols.map(col).toIndexedSeq: _*)
+    val sinkSig = sig(sinkDf)
+    require(sinkSig == sig(DeltaInterop.readDelta(s, deltaPath)
+        .select(cols.map(col).toIndexedSeq: _*)),
+      "g4_delta_tail: the tailed sink diverges from the full Delta read")
+    require(sinkSig == sig(DeltaInterop.readDeltaChanges(s, deltaPath, -1L)._2
+        .select(cols.map(col).toIndexedSeq: _*)),
+      "g4_delta_tail: the tailed sink diverges from the one-shot batch pull")
+    sinkDf.orderBy("event_id")
   }
 
   /** G4 streaming #5 — on-arrival point-in-time enrichment: purchase spine
@@ -6063,6 +6291,8 @@ object SparkEntry {
     "b5_iceberg_part_delete" -> (b5IcebergPartDelete _),
     "b5_delta_part_delete" -> (b5DeltaPartDelete _),
     "b5_bounds_skipping" -> (b5BoundsSkipping _),
+    "b5_iceberg_upsert" -> (b5IcebergUpsert _),
+    "b5_delta_merge" -> (b5DeltaMerge _),
     "b5_delta_read_dv"   -> (b5DeltaReadDv _),
     "b5_delta_rename"    -> (b5DeltaRename _),
     "b5_delta_vacuum"    -> (b5DeltaVacuum _),
@@ -6101,6 +6331,7 @@ object SparkEntry {
     "b3_audit_append"    -> (b3AuditAppend _),
     "b3_audit_table"     -> (b3AuditTable _),
     "g4_tx_sink"         -> (g4TxSink _),
+    "g4_delta_tail"      -> (g4DeltaTail _),
     "g4_decontam_stream" -> (g4DecontamStream _),
     "g4_asof_stream"     -> (g4AsofStream _),
     "g4_dedup_stream"    -> (g4DedupStream _),
@@ -6685,6 +6916,33 @@ object SparkEntry {
         |  AND NOT (CAST(day AS VARCHAR) = '2024-01-10' AND event_id % 3 = 0)
         |  AND event_id % 13 <> 0
         |ORDER BY event_id""".stripMargin,
+    // MERGE replayed from the BYTES alone: the upsert files (named
+    // upsert-*/merge-*) are the incoming rows verbatim, so survivors =
+    // old rows whose key is absent from them, union them — deletes stay
+    // logical (Iceberg equality-delete parquets under data/deletes/,
+    // outside the flat glob; Delta DVs invisible to parquet_scan)
+    "b5_iceberg_upsert" ->
+      """WITH allr AS (
+        |  SELECT event_id, user_id, event_type, value, ts, filename
+        |  FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_upsert/data/*.parquet', filename=1)),
+        |newr AS (SELECT * FROM allr WHERE filename LIKE '%/upsert-%'),
+        |oldr AS (SELECT * FROM allr WHERE filename NOT LIKE '%/upsert-%')
+        |SELECT event_id, user_id, event_type, value, ts FROM (
+        |  SELECT event_id, user_id, event_type, value, ts FROM oldr
+        |  WHERE event_id NOT IN (SELECT event_id FROM newr)
+        |  UNION ALL SELECT event_id, user_id, event_type, value, ts FROM newr)
+        |ORDER BY event_id""".stripMargin,
+    "b5_delta_merge" ->
+      """WITH allr AS (
+        |  SELECT event_id, user_id, event_type, value, ts, filename
+        |  FROM parquet_scan('/root/repo/target/graft_export/b5_delta_merge/*.parquet', filename=1)),
+        |newr AS (SELECT * FROM allr WHERE filename LIKE '%/merge-%'),
+        |oldr AS (SELECT * FROM allr WHERE filename NOT LIKE '%/merge-%')
+        |SELECT event_id, user_id, event_type, value, ts FROM (
+        |  SELECT event_id, user_id, event_type, value, ts FROM oldr
+        |  WHERE event_id NOT IN (SELECT event_id FROM newr)
+        |  UNION ALL SELECT event_id, user_id, event_type, value, ts FROM newr)
+        |ORDER BY event_id""".stripMargin,
     // the per-file bounds are pruning metadata DuckDB ignores harmlessly
     // (cross-engine readable); the oracle recomputes the range predicate
     // over the same exported bytes
@@ -6776,6 +7034,10 @@ object SparkEntry {
         |SELECT event_id, user_id, event_type, value, ts, 'delete', 2::BIGINT
         |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_changelog/data/*.parquet')
         |WHERE event_id % 7 = 0
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, value, ts, 'delete', 4::BIGINT
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_changelog/data/*.parquet')
+        |WHERE event_id % 11 = 0 AND event_id % 7 <> 0
         |ORDER BY _change_ordinal, event_id""".stripMargin,
     // the Iceberg rename is metadata-only like the Delta one: physical
     // bytes keep the old name (aliased) and the position delete stays
@@ -7743,6 +8005,11 @@ object SparkEntry {
         |       arg_max(event_id, ts) AS event_id, max(ts) AS ts
         |FROM events WHERE value IS NOT NULL
         |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    // the tailed sink accumulates the base two-thirds plus the two
+    // appended quarters — every event exactly once
+    "g4_delta_tail" ->
+      """SELECT event_id, user_id, event_type, value, ts
+        |FROM events ORDER BY event_id""".stripMargin,
     "b3_audit_table" ->
       """SELECT * FROM (VALUES
         |  ('click',    'access',        2::BIGINT),

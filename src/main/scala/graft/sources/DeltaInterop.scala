@@ -700,6 +700,29 @@ object DeltaInterop {
     *
     * @return (currentVersion, appended rows) — empty frame when the
     *   consumer is already at the head. */
+  /** One POLL of a continuous Delta tail: read the rows appended in
+    * `(sinceVersion, head]` ([[readDeltaChanges]]' append-only contract)
+    * and commit them into the TxTable `sink` as ONE transactional append
+    * whose txn marker is the new watermark — so a re-poll after a crash
+    * (or a foreachBatch retry replaying the same trigger) re-lands as a
+    * no-op instead of duplicating rows: the consumer's watermark IS the
+    * sink's txn version, exactly-once by the same mechanism the
+    * streaming MERGE sink uses. Returns the new watermark (unchanged
+    * when the head has not advanced — no commit).
+    *
+    * The production shape: a `foreachBatch` loop (or a plain scheduler
+    * tick) calls this with the last returned watermark; see the
+    * `g4_delta_tail` query for the wired-up form. */
+  def tailDeltaInto(spark: SparkSession, path: String, sink: TxTable,
+      sinceVersion: Long,
+      tsMillis: Long = System.currentTimeMillis()): Long = {
+    val (head, delta) = readDeltaChanges(spark, path, sinceVersion)
+    if (head == sinceVersion) return sinceVersion
+    sink.append(delta, tsMillis = tsMillis,
+      txn = Some((s"graft-delta-tail|$path", head)))
+    head
+  }
+
   def readDeltaChanges(spark: SparkSession, path: String,
       sinceVersion: Long): (Long, DataFrame) = {
     val root = Paths.get(path)
@@ -1708,6 +1731,289 @@ object DeltaInterop {
     Files.write(logDir.resolve(f"${cur + 1}%020d.json"), lines.result().asJava,
       java.nio.file.StandardOpenOption.CREATE_NEW)
     newDeleted
+  }
+
+  /** CDC UPSERT (the standard MERGE) into a Delta table: ONE commit that
+    * deletion-vectors every live row whose key matches an incoming row
+    * (the superseded pre-images) and adds the incoming rows as fresh data
+    * files — copy-on-write for the new rows, merge-on-read for the old.
+    * Keys match NULL-SAFELY (a null key component matches null), and the
+    * incoming keys must be DISTINCT (duplicate incoming keys make MERGE
+    * ambiguous — refused loudly, the standard MERGE precondition).
+    * Unmatched keys simply insert.
+    *
+    * When the table declares `delta.enableChangeDataFeed=true`, the
+    * commit also materializes the protocol's FULL change classification
+    * into `_change_data/`: `update_preimage` (the superseded old rows) +
+    * `update_postimage` (their replacements) for matched keys, `insert`
+    * for new keys — so [[readDeltaCdf]] and foreign CDF readers serve
+    * row-accurate MERGE semantics. Partitioned tables write the new
+    * files (and cdc files) per partition with honest `partitionValues`.
+    * Column-mapped tables refuse (the new files would need the physical
+    * layout).
+    *
+    * @return (rows superseded, rows appended). */
+  def mergeDelta(spark: SparkSession, path: String, rows: DataFrame,
+      keyCols: Seq[String],
+      tsMillis: Long = System.currentTimeMillis()): (Long, Long) = {
+    import org.apache.spark.sql.Encoders
+    val root = Paths.get(path).toAbsolutePath
+    val logDir = root.resolve(LogDirName)
+    require(Files.isDirectory(logDir), s"no Delta table at $path (missing $LogDirName)")
+    val (cur, live, metaOpt, proto) = replayState(spark, root, None)
+    val meta = metaOpt.getOrElse(throw new IllegalStateException(
+      s"Delta log at $path carries no metaData action"))
+    require(!meta.mapped,
+      s"mergeDelta on the column-mapped table at $path is unsupported " +
+        "(the new data files would need the physical layout)")
+    val cdfEnabled = meta.config.get("delta.enableChangeDataFeed").contains("true")
+    val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    require(keyCols.nonEmpty, "mergeDelta: no key columns")
+    require(rows.columns.toSet == schema.fieldNames.toSet,
+      s"mergeDelta: the incoming rows must carry the table's exact " +
+        s"columns (${schema.fieldNames.mkString(",")}); got ${rows.columns.mkString(",")}")
+    val ordered = rows.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    schema.fields.foreach { f =>
+      require(ordered.schema(f.name).dataType == f.dataType,
+        s"mergeDelta: column '${f.name}' is ${ordered.schema(f.name).dataType} " +
+          s"but the table column is ${f.dataType} — cast to the exact types first")
+    }
+    keyCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"mergeDelta: key column '$c' is not a table column"))
+    val incoming = ordered.localCheckpoint()
+    require(!incoming.isEmpty, "mergeDelta: the incoming frame has no rows")
+    val dupKeys = incoming.groupBy(keyCols.map(col).toIndexedSeq: _*)
+      .count().where(col("count") > 1).count()
+    require(dupKeys == 0L,
+      s"mergeDelta: $dupKeys duplicate key(s) in the incoming frame — " +
+        "MERGE with duplicate source keys is ambiguous; dedupe first")
+    val keysDf = broadcast(
+      incoming.select(keyCols.map(c => col(c).as(s"__gmk_$c")).toIndexedSeq: _*)
+        .distinct())
+    def keyCond(left: DataFrame): org.apache.spark.sql.Column =
+      keyCols.map(c => left(c) <=> keysDf(s"__gmk_$c")).reduce(_ && _)
+
+    val nameToAdd: Map[String, AddFile] =
+      live.map(a => root.resolve(a.path).getFileName.toString -> a).toMap
+    require(nameToAdd.size == live.size,
+      s"Delta table at $root has duplicate data-file names — deletion " +
+        "vectors cannot be recorded unambiguously")
+
+    // the LIVE pre-images whose key matches an incoming row, with
+    // (file, pos) provenance — these rows take the deletion vectors
+    val base = provScan(spark, root, path, schema, meta, live)
+    val liveDf = dvPositionsDf(spark, root, live)
+      .map(d => base.join(d, Seq("__gdv_file", "__gdv_pos"), "left_anti"))
+      .getOrElse(base)
+    val matched = liveDf.join(keysDf, keyCond(liveDf), "left_semi")
+      .localCheckpoint()
+    val newBlobs: Seq[(String, Array[Byte], Long)] = matched
+      .select(col("__gdv_file"), col("__gdv_pos"))
+      .as(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapGroups { (f, it) =>
+        val blob = DeletionVectors.serialize(it.map(_._2))
+        (f, blob, DeletionVectors.cardinality(blob))
+      }(Encoders.tuple(Encoders.STRING, Encoders.BINARY, Encoders.scalaLong))
+      .collect().toSeq.sortBy(_._1)
+    val superseded = newBlobs.map(_._3).sum
+    val merged: Seq[(String, Array[Byte])] = newBlobs.map { case (f, blob, _) =>
+      nameToAdd(f).dv match {
+        case None    => (f, blob)
+        case Some(d) => (f, DeletionVectors.union(dvBlob(root, f, d), blob))
+      }
+    }
+    val dvOut: Option[(String, Seq[Int])] =
+      if (merged.isEmpty) None
+      else Some(DeletionVectors.writeDvFile(root, merged.map(_._2)))
+
+    // the incoming rows land as fresh data files — per partition, their
+    // partitionValues derived from the staged Hive layout
+    val stage = Files.createTempDirectory("graft_delta_merge")
+    val newFiles: Seq[(String, Long, Map[String, Option[String]])] = try {
+      if (meta.partCols.isEmpty)
+        incoming.write.mode("overwrite").parquet(stage.toString)
+      else incoming.write.mode("overwrite")
+        .partitionBy(meta.partCols: _*).parquet(stage.toString)
+      val walk = Files.walk(stage)
+      val staged = try walk.iterator().asScala
+          .filter(pp => Files.isRegularFile(pp) && pp.toString.endsWith(".parquet"))
+          .filter(pp => IcebergInterop.parquetRowCount(spark, pp) > 0L)
+          .toSeq.sortBy(_.toString)
+        finally walk.close()
+      staged.zipWithIndex.map { case (pp, i) =>
+        val relDir = Option(stage.relativize(pp).getParent)
+          .map(_.toString).getOrElse("")
+        val name = s"merge-${java.util.UUID.nameUUIDFromBytes(
+          (path + "|merge|" + cur + "|" + i).getBytes("UTF-8"))}.parquet"
+        val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+        val dst = root.resolve(rel)
+        Files.createDirectories(dst.getParent)
+        Files.move(pp, dst, StandardCopyOption.ATOMIC_MOVE)
+        (rel, Files.size(dst), partitionValuesOf(rel, meta.partCols).toMap)
+      }
+    } finally deleteRecursively(stage)
+    val appended = incoming.count()
+
+    // CHANGE DATA FEED: the full MERGE classification, per partition
+    val cdcEntries: Seq[(String, Long, Map[String, Option[String]])] =
+      if (!cdfEnabled) Seq.empty
+      else {
+        val matchedKeys = broadcast(matched
+          .select(keyCols.map(c => col(c).as(s"__gck_$c")).toIndexedSeq: _*)
+          .distinct())
+        def matchCond(left: DataFrame): org.apache.spark.sql.Column =
+          keyCols.map(c => left(c) <=> matchedKeys(s"__gck_$c")).reduce(_ && _)
+        val pre = matched.withColumn("_change_type", lit("update_preimage"))
+        val post = incoming.join(matchedKeys, matchCond(incoming), "left_semi")
+          .withColumn("_change_type", lit("update_postimage"))
+        val ins = incoming.join(matchedKeys, matchCond(incoming), "left_anti")
+          .withColumn("_change_type", lit("insert"))
+        val partSet = meta.partCols.toSet
+        val dataCols = schema.fields.filterNot(f => partSet.contains(f.name))
+        val changeCols = (dataCols.map(f => col(f.name)) :+
+          col("_change_type")).toIndexedSeq
+        val changes = pre.select((schema.fields.map(f => col(f.name)) :+
+            col("_change_type")).toIndexedSeq: _*)
+          .unionByName(post.select((schema.fields.map(f => col(f.name)) :+
+            col("_change_type")).toIndexedSeq: _*))
+          .unionByName(ins.select((schema.fields.map(f => col(f.name)) :+
+            col("_change_type")).toIndexedSeq: _*))
+        val cdcDir = root.resolve("_change_data")
+        Files.createDirectories(cdcDir)
+        val cstage = Files.createTempDirectory("graft_delta_merge_cdc")
+        try {
+          if (meta.partCols.isEmpty) {
+            changes.select(changeCols: _*)
+              .write.mode("overwrite").parquet(cstage.toString)
+            val walk = Files.walk(cstage)
+            val staged = try walk.iterator().asScala
+              .filter(pp => Files.isRegularFile(pp) && pp.toString.endsWith(".parquet"))
+              .filter(pp => IcebergInterop.parquetRowCount(spark, pp) > 0L).toSeq
+              .sortBy(_.toString)
+              finally walk.close()
+            staged.zipWithIndex.map { case (pp, i) =>
+              val rel = s"_change_data/cdc-${java.util.UUID.nameUUIDFromBytes(
+                (path + "|mergecdc|" + cur + "|" + i).getBytes("UTF-8"))}.parquet"
+              Files.move(pp, root.resolve(rel), StandardCopyOption.ATOMIC_MOVE)
+              (rel, Files.size(root.resolve(rel)), Map.empty[String, Option[String]])
+            }
+          } else {
+            // cdc files mirror the data layout: partition columns on the
+            // cdc ACTION, not in the file — the Hive staging derives them
+            changes.write.mode("overwrite")
+              .partitionBy(meta.partCols: _*).parquet(cstage.toString)
+            val walk = Files.walk(cstage)
+            val staged = try walk.iterator().asScala
+              .filter(pp => Files.isRegularFile(pp) && pp.toString.endsWith(".parquet"))
+              .filter(pp => IcebergInterop.parquetRowCount(spark, pp) > 0L)
+              .map(pp => (pp, Option(cstage.relativize(pp).getParent)
+                .map(_.toString).getOrElse("")))
+              .toSeq.sortBy(_._1.toString)
+              finally walk.close()
+            staged.zipWithIndex.map { case ((pp, relDir), i) =>
+              val rel = s"_change_data/cdc-${java.util.UUID.nameUUIDFromBytes(
+                (path + "|mergecdc|" + cur + "|" + i).getBytes("UTF-8"))}.parquet"
+              Files.move(pp, root.resolve(rel), StandardCopyOption.ATOMIC_MOVE)
+              (rel, Files.size(root.resolve(rel)),
+                partitionValuesOf(relDir + "/x.parquet", meta.partCols).toMap)
+            }
+          }
+        } finally deleteRecursively(cstage)
+      }
+
+    // ---- the commit: protocol (DV + cdf features), cdc actions, the
+    // superseded files' remove + DV re-add pairs, the new adds
+    val m = mapper
+    def obj() = m.createObjectNode()
+    val lines = Seq.newBuilder[String]
+    val commitInfo = obj()
+    commitInfo.putObject("commitInfo")
+      .put("timestamp", tsMillis)
+      .put("operation", "MERGE")
+      .put("engineInfo", "graft-delta-merge")
+    lines += m.writeValueAsString(commitInfo)
+    if (dvOut.nonEmpty || cdcEntries.nonEmpty) {
+      val protocol = obj()
+      val pr = protocol.putObject("protocol")
+      pr.put("minReaderVersion", math.max(3, proto.mrv))
+      pr.put("minWriterVersion", math.max(7, proto.mwv))
+      val (legacyR, legacyW) = legacyImpliedFeatures(proto.mrv, proto.mwv)
+      val rf = pr.putArray("readerFeatures")
+      (proto.readerFeatures ++ legacyR ++
+        (if (dvOut.nonEmpty) Set("deletionVectors") else Set.empty[String]))
+        .toSeq.sorted.foreach(rf.add)
+      val wf = pr.putArray("writerFeatures")
+      (proto.writerFeatures ++ legacyW ++
+        (if (dvOut.nonEmpty) Set("deletionVectors") else Set.empty[String]) ++
+        (if (cdcEntries.nonEmpty) Set("changeDataFeed") else Set.empty[String]))
+        .toSeq.sorted.foreach(wf.add)
+      lines += m.writeValueAsString(protocol)
+    }
+    def putPv(node: com.fasterxml.jackson.databind.node.ObjectNode,
+        pv: Map[String, Option[String]]): Unit = {
+      val o = node.putObject("partitionValues")
+      pv.toSeq.sortBy(_._1).foreach {
+        case (k, Some(v)) => o.put(k, v)
+        case (k, None)    => o.putNull(k)
+      }
+    }
+    cdcEntries.foreach { case (rel, size, pv) =>
+      val c = obj()
+      val cd = c.putObject("cdc")
+      cd.put("path", encodePath(rel))
+      putPv(cd, pv)
+      cd.put("size", size)
+      cd.put("dataChange", false)
+      lines += m.writeValueAsString(c)
+    }
+    dvOut.foreach { case (encUuid, offsets) =>
+      merged.zip(offsets).foreach { case ((f, blob), off) =>
+        val a = nameToAdd(f)
+        val rm = obj()
+        val rmNode = rm.putObject("remove")
+        rmNode.put("path", encodePath(a.path))
+        rmNode.put("deletionTimestamp", tsMillis)
+        rmNode.put("dataChange", true)
+        putPv(rmNode, a.partitionValues)
+        a.dv.foreach { d =>
+          val o = rmNode.putObject("deletionVector")
+          o.put("storageType", d.storageType)
+          o.put("pathOrInlineDv", d.pathOrInlineDv)
+          d.offset.foreach(o.put("offset", _))
+          o.put("sizeInBytes", d.sizeInBytes)
+          o.put("cardinality", d.cardinality)
+        }
+        lines += m.writeValueAsString(rm)
+        val ad = obj()
+        val addNode = ad.putObject("add")
+        addNode.put("path", encodePath(a.path))
+        putPv(addNode, a.partitionValues)
+        addNode.put("size", Files.size(root.resolve(a.path)))
+        addNode.put("modificationTime", tsMillis)
+        addNode.put("dataChange", true)
+        val o = addNode.putObject("deletionVector")
+        o.put("storageType", "u")
+        o.put("pathOrInlineDv", encUuid)
+        o.put("offset", off)
+        o.put("sizeInBytes", blob.length)
+        o.put("cardinality", DeletionVectors.cardinality(blob))
+        lines += m.writeValueAsString(ad)
+      }
+    }
+    newFiles.foreach { case (rel, size, pv) =>
+      val ad = obj()
+      val addNode = ad.putObject("add")
+      addNode.put("path", encodePath(rel))
+      putPv(addNode, pv)
+      addNode.put("size", size)
+      addNode.put("modificationTime", tsMillis)
+      addNode.put("dataChange", true)
+      lines += m.writeValueAsString(ad)
+    }
+    Files.write(logDir.resolve(f"${cur + 1}%020d.json"), lines.result().asJava,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    (superseded, appended)
   }
 
   /** Physically reclaim deletion-vector'd rows (the delete lifecycle's

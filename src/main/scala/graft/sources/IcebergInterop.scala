@@ -1031,8 +1031,50 @@ object IcebergInterop {
       .flatMap(_.elements().asScala.find(_.get("snapshot-id").asLong == curId))
       .getOrElse(throw new IllegalArgumentException(
         s"Iceberg table $path current snapshot $curId is missing from the log"))
+    val prevVersion = currentMetadataVersion(metaDir, path)
+    val (written, ids, eqSpecId, mintEmptySpec) = stageEqDelete(spark, root,
+      path, meta, snapNode, schema, keys, prevVersion, tsMillis,
+      "deleteFromIcebergByKey")
+    if (written.isEmpty) return 0L
+    val nKeys = written.map(_._2).sum
+
+    val newSeq = Option(meta.get("last-sequence-number")).map(_.asLong)
+      .getOrElse(0L) + 1
+    val snapshotId = math.abs(java.util.UUID.nameUUIDFromBytes(
+      (path + "|eqdelete|" + prevVersion + "|" +
+        written.map(_._1.getFileName).mkString(",")).getBytes("UTF-8"))
+      .getMostSignificantBits)
+    val m = mapper
+    val manifestName = f"graft-e0-$snapshotId%d.avro"
+    writeDeleteManifest(metaDir.resolve(manifestName), snapshotId, newSeq,
+      m.writeValueAsString(icebergSchema(m, schema,
+        Option(meta.get("current-schema-id")).map(_.asInt).getOrElse(0))),
+      written.map { case (p, rows, size) =>
+        DeleteManifestFile(p.toUri.toString, rows, size) },
+      content = 2, equalityIds = Some(ids), specId = eqSpecId)
+    commitV2DeleteSnapshot(path, root, metaDir, meta, curId, snapNode,
+      prevVersion, snapshotId, newSeq, tsMillis, manifestName,
+      addedFiles = written.size, addedRows = nKeys,
+      summaryKey = "deleted-equality-keys", summaryVal = nKeys.toString,
+      manifestSpecId = eqSpecId, mintEmptySpec = mintEmptySpec)
+    nKeys
+  }
+
+  /** Shared equality-delete preparation of [[deleteFromIcebergByKey]] and
+    * [[upsertIceberg]]: the write-side guards (key existence and EXACT
+    * type match, renamed-column physical presence, identity-projected
+    * partition sources refused), the spec selection (a partitioned
+    * table's GLOBAL delete takes an unpartitioned spec — reused or
+    * minted), and the spec-shaped staged delete parquet(s) moved into
+    * `data/deletes/`. Returns (files `(path, rows, size)`, equality
+    * field-ids, the delete manifest's spec id, the spec id to mint). */
+  private def stageEqDelete(spark: SparkSession, root: Path, path: String,
+      meta: JsonNode, snapNode: JsonNode, schema: StructType,
+      keys: DataFrame, prevVersion: Long, tsMillis: Long, caller: String)
+      : (Seq[(Path, Long, Long)], Seq[Int], Int, Option[Int]) = {
+    import org.apache.spark.sql.functions.col
     val keyCols = keys.columns.toSeq
-    require(keyCols.nonEmpty, "deleteFromIcebergByKey: the key frame has no columns")
+    require(keyCols.nonEmpty, s"$caller: the key frame has no columns")
     // the reader anchors equality deletes at the SCAN under current
     // names; a renamed key column anti-joins against nulls for any file
     // still carrying the OLD physical name. The write-side refusal is
@@ -1046,7 +1088,7 @@ object IcebergInterop {
       val bulk = parquetTopLevelColsBulk(spark, liveData.map(_.resolved))
       renamedKeys.foreach(c => bulk.find(!_._2.contains(c)).foreach { case (u, _) =>
         throw new IllegalArgumentException(
-          s"deleteFromIcebergByKey: column '$c' of $path has been renamed " +
+          s"$caller: column '$c' of $path has been renamed " +
             s"and data file $u still carries its old physical name — " +
             "compact the table to the current names first " +
             "(compactIcebergDeletes)")
@@ -1055,7 +1097,7 @@ object IcebergInterop {
     val nameToId = schemaFieldIdToName(meta, path).map(_.swap)
     val ids = keyCols.map(c => nameToId.getOrElse(c,
       throw new IllegalArgumentException(
-        s"deleteFromIcebergByKey: '$c' is not a column of the Iceberg table at $path")))
+        s"$caller: '$c' is not a column of the Iceberg table at $path")))
     // key TYPES must match the table schema exactly: the delete parquet's
     // columns are resolved by field-id by foreign readers, so a string
     // key against a long column writes a file the spec's readers cannot
@@ -1065,7 +1107,7 @@ object IcebergInterop {
       val kt = keys.schema(c).dataType
       val tt = schema(c).dataType
       require(kt == tt,
-        s"deleteFromIcebergByKey: key column '$c' is $kt but the table " +
+        s"$caller: key column '$c' is $kt but the table " +
           s"column is $tt — cast the keys to the exact table type first")
     }
     // a PARTITIONED table's global equality delete is written under an
@@ -1084,10 +1126,10 @@ object IcebergInterop {
       if (liveData.nonEmpty) {
         val probe = parquetTopLevelCols(spark, liveData.head.resolved)
         keyCols.foreach(c => require(probe.contains(c),
-          s"deleteFromIcebergByKey: key column '$c' is not physically " +
+          s"$caller: key column '$c' is not physically " +
             s"present in the data files of $path (an identity-projected " +
             "partition source) — equality deletes anchor at the scan, " +
-            "before the identity fill; delete by a physical column instead"))
+            "before the identity fill; key on a physical column instead"))
       }
     }
     val (eqSpecId, mintEmptySpec) =
@@ -1098,7 +1140,6 @@ object IcebergInterop {
           val next = specsById.keys.max + 1
           (next, Some(next))
       }
-    val prevVersion = currentMetadataVersion(metaDir, path)
 
     // the spec-shaped equality-delete parquet: distinct keys, field-ids
     // stamped so foreign readers resolve the columns by id
@@ -1136,29 +1177,142 @@ object IcebergInterop {
         }
       }
     } finally deleteRecursively(stage)
-    if (written.isEmpty) return 0L
-    val nKeys = written.map(_._2).sum
+    (written, ids, eqSpecId, mintEmptySpec)
+  }
+
+  /** CDC UPSERT (the standard MERGE): commit `rows` into the Iceberg
+    * table in ONE snapshot that pairs a GLOBAL equality delete on
+    * `keyCols` (killing every older row with an incoming key — the
+    * spec's declarative CDC shape, O(keys), no table scan) with an
+    * append of the incoming rows. Both halves share the commit's
+    * sequence number, and equality deletes apply only to STRICTLY older
+    * sequences, so the incoming rows survive their own delete — exactly
+    * the ordering the format defines MERGE around. Keys absent from the
+    * table simply insert (their delete matches nothing).
+    *
+    * `rows` must carry the table's exact schema (every column, exact
+    * types). Partitioned tables: IDENTITY specs are supported — the new
+    * files stage per partition under the same Hive layout (projected
+    * columns stay out of the bytes, tuples ride the manifest), so the
+    * table keeps ONE uniform layout; non-identity transforms refuse
+    * (their staged tuples are not derivable here). The snapshot's
+    * operation is `overwrite` (rows are replaced), which the
+    * append-only/changelog consumers refuse loudly by design — re-sync
+    * consumers from the full snapshot after adopting MERGE.
+    *
+    * @return (distinct keys deleted-or-replaced, rows appended). */
+  def upsertIceberg(spark: SparkSession, path: String, rows: DataFrame,
+      keyCols: Seq[String],
+      tsMillis: Long = System.currentTimeMillis()): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val root = Paths.get(path).toAbsolutePath
+    val metaDir = root.resolve("metadata")
+    require(Files.isDirectory(metaDir), s"no Iceberg table at $path (missing metadata/)")
+    val meta = currentMetadata(metaDir, path)
+    val fv = meta.get("format-version").asInt
+    require(fv == 1 || fv == 2,
+      s"Iceberg table $path has format-version $fv — only v1/v2 are supported")
+    val schema = currentSparkSchema(meta, path)
+    require(keyCols.nonEmpty, "upsertIceberg: no key columns")
+    require(rows.columns.toSet == schema.fieldNames.toSet,
+      s"upsertIceberg: the incoming rows must carry the table's exact " +
+        s"columns (${schema.fieldNames.mkString(",")}); got " +
+        s"${rows.columns.mkString(",")}")
+    val ordered = rows.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    schema.fields.foreach { f =>
+      require(ordered.schema(f.name).dataType == f.dataType,
+        s"upsertIceberg: column '${f.name}' is " +
+          s"${ordered.schema(f.name).dataType} but the table column is " +
+          s"${f.dataType} — cast to the exact table types first")
+    }
+    val curId = Option(meta.get("current-snapshot-id")).map(_.asLong)
+      .filter(_ != -1L).getOrElse(throw new IllegalArgumentException(
+        s"Iceberg table $path has no current snapshot — export first, then merge"))
+    val snapNode = Option(meta.get("snapshots"))
+      .flatMap(_.elements().asScala.find(_.get("snapshot-id").asLong == curId))
+      .getOrElse(throw new IllegalArgumentException(
+        s"Iceberg table $path current snapshot $curId is missing from the log"))
+    // identity specs keep the table's uniform Column-Projected layout;
+    // other transforms cannot derive their staged tuples here
+    val partFieldsMeta = defaultSpecFields(meta)
+    partFieldsMeta.foreach { f =>
+      val tr = Option(f.get("transform")).map(_.asText).getOrElse("identity")
+      require(tr == "identity",
+        s"upsertIceberg: the table at $path partitions with transform " +
+          s"'$tr' — only identity specs are supported by this writer")
+    }
+    val identityCols = targetSpecIdentityCols(meta, path)
+    val prevVersion = currentMetadataVersion(metaDir, path)
+
+    val (delWritten, ids, eqSpecId, mintEmptySpec) = stageEqDelete(spark,
+      root, path, meta, snapNode, schema,
+      ordered.select(keyCols.map(col).toIndexedSeq: _*).distinct(),
+      prevVersion, tsMillis, "upsertIceberg")
+    val nKeys = delWritten.map(_._2).sum
+
+    // stage the incoming rows as data files — per partition for identity
+    // specs (the projected columns leave the bytes, exactly the layout
+    // the rest of the table has)
+    val partFields = identityPartFields(schema, identityCols)
+    val dataDir = root.resolve("data")
+    val stage = Files.createTempDirectory("graft_ice_upsert")
+    val dataWritten: Seq[(String, Long, Long, Seq[Any])] = try {
+      if (identityCols.isEmpty)
+        ordered.write.mode("overwrite").parquet(stage.toString)
+      else ordered.write.mode("overwrite")
+        .partitionBy(identityCols: _*).parquet(stage.toString)
+      val walk = Files.walk(stage)
+      val staged = try walk.iterator().asScala
+          .filter(pp => Files.isRegularFile(pp) && pp.toString.endsWith(".parquet"))
+          .map(pp => (pp, parquetRowCount(spark, pp))).filter(_._2 > 0L)
+          .toSeq.sortBy(_._1.toString)
+        finally walk.close()
+      staged.zipWithIndex.map { case ((pp, rc), i) =>
+        val relDir = Option(stage.relativize(pp).getParent)
+          .map(_.toString).getOrElse("")
+        val name = s"upsert-${java.util.UUID.nameUUIDFromBytes(
+          (path + "|v" + prevVersion + "|" + tsMillis + "|" + i)
+            .getBytes("UTF-8"))}.parquet"
+        val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+        val dst = dataDir.resolve(rel)
+        Files.createDirectories(dst.getParent)
+        Files.move(pp, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        (rel, rc, Files.size(dst), hivePartitionTuple(rel, partFields))
+      }
+    } finally deleteRecursively(stage)
+    val appended = dataWritten.map(_._2).sum
+    require(appended > 0, "upsertIceberg: the incoming frame has no rows")
 
     val newSeq = Option(meta.get("last-sequence-number")).map(_.asLong)
       .getOrElse(0L) + 1
     val snapshotId = math.abs(java.util.UUID.nameUUIDFromBytes(
-      (path + "|eqdelete|" + prevVersion + "|" +
-        written.map(_._1.getFileName).mkString(",")).getBytes("UTF-8"))
+      (path + "|upsert|" + prevVersion + "|" +
+        dataWritten.map(_._1).mkString(",")).getBytes("UTF-8"))
       .getMostSignificantBits)
     val m = mapper
-    val manifestName = f"graft-e0-$snapshotId%d.avro"
-    writeDeleteManifest(metaDir.resolve(manifestName), snapshotId, newSeq,
-      m.writeValueAsString(icebergSchema(m, schema,
-        Option(meta.get("current-schema-id")).map(_.asInt).getOrElse(0))),
-      written.map { case (p, rows, size) =>
-        DeleteManifestFile(p.toUri.toString, rows, size) },
+    val schemaJson = m.writeValueAsString(icebergSchema(m, schema,
+      Option(meta.get("current-schema-id")).map(_.asInt).getOrElse(0)))
+    val delManifest = f"graft-e0-$snapshotId%d.avro"
+    writeDeleteManifest(metaDir.resolve(delManifest), snapshotId, newSeq,
+      schemaJson,
+      delWritten.map { case (pp, rc, size) =>
+        DeleteManifestFile(pp.toUri.toString, rc, size) },
       content = 2, equalityIds = Some(ids), specId = eqSpecId)
+    val dataManifest = f"graft-u0-$snapshotId%d.avro"
+    writeManifest(metaDir.resolve(dataManifest), snapshotId, schemaJson,
+      partFields,
+      dataWritten.map { case (rel, rc, size, tuple) =>
+        ManifestFile(dataDir.resolve(rel).toUri.toString, size, rc, tuple) })
     commitV2DeleteSnapshot(path, root, metaDir, meta, curId, snapNode,
-      prevVersion, snapshotId, newSeq, tsMillis, manifestName,
-      addedFiles = written.size, addedRows = nKeys,
-      summaryKey = "deleted-equality-keys", summaryVal = nKeys.toString,
-      manifestSpecId = eqSpecId, mintEmptySpec = mintEmptySpec)
-    nKeys
+      prevVersion, snapshotId, newSeq, tsMillis, delManifest,
+      addedFiles = delWritten.size, addedRows = nKeys,
+      summaryKey = "upserted-rows", summaryVal = appended.toString,
+      manifestSpecId = eqSpecId, mintEmptySpec = mintEmptySpec,
+      extraManifests = Seq(NewManifest(dataManifest, 0,
+        Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0),
+        dataWritten.size, appended)),
+      operation = "overwrite")
+    (nKeys, appended)
   }
 
   /** spec-id → spec fields for every spec the metadata lists (modern
@@ -1183,12 +1337,20 @@ object IcebergInterop {
     * rule), append the freshly written delete manifest at
     * `metaDir/manifestName`, and publish v(N+1).metadata.json upgraded to
     * format-version 2 (plural schema/spec forms, sort-orders seeded). */
+  /** One freshly-written manifest a v2 commit appends: name under
+    * metadata/, manifest-list content code (0 data, 1 deletes), its spec
+    * id, and its added file/row counts. */
+  private case class NewManifest(name: String, content: Int, specId: Int,
+      addedFiles: Int, addedRows: Long)
+
   private def commitV2DeleteSnapshot(path: String, root: Path, metaDir: Path,
       meta: JsonNode, curId: Long, snapNode: JsonNode, prevVersion: Long,
       snapshotId: Long, newSeq: Long, tsMillis: Long, manifestName: String,
       addedFiles: Int, addedRows: Long,
       summaryKey: String, summaryVal: String,
-      manifestSpecId: Int = 0, mintEmptySpec: Option[Int] = None): Unit = {
+      manifestSpecId: Int = 0, mintEmptySpec: Option[Int] = None,
+      extraManifests: Seq[NewManifest] = Seq.empty,
+      operation: String = "delete"): Unit = {
     val m = mapper
     val prevList = resolveUri(root, snapNode.get("manifest-list").asText)
     val carried = readAvro(prevList).map { r =>
@@ -1231,12 +1393,18 @@ object IcebergInterop {
     val listName = f"snap-$snapshotId%d.avro"
     val manifestLen = Files.size(metaDir.resolve(manifestName))
     writeManifestListV2(metaDir.resolve(listName),
-      carried :+ ManifestListEntry(
-        metaDir.resolve(manifestName).toUri.toString, manifestLen,
-        specId = manifestSpecId, content = 1, seq = newSeq, minSeq = newSeq,
-        addedSnapshotId = snapshotId,
-        addedFiles = addedFiles, existingFiles = 0, deletedFiles = 0,
-        addedRows = addedRows, existingRows = 0L, deletedRows = 0L))
+      carried ++ (NewManifest(manifestName, 1, manifestSpecId,
+        addedFiles, addedRows) +: extraManifests).map { nm =>
+        ManifestListEntry(
+          metaDir.resolve(nm.name).toUri.toString,
+          if (nm.name == manifestName) manifestLen
+          else Files.size(metaDir.resolve(nm.name)),
+          specId = nm.specId, content = nm.content,
+          seq = newSeq, minSeq = newSeq,
+          addedSnapshotId = snapshotId,
+          addedFiles = nm.addedFiles, existingFiles = 0, deletedFiles = 0,
+          addedRows = nm.addedRows, existingRows = 0L, deletedRows = 0L)
+      })
 
     // ---- v(N+1).metadata.json: format-version 2 with the new snapshot
     val rootNode = meta.deepCopy[ObjectNode]()
@@ -1297,7 +1465,7 @@ object IcebergInterop {
     s0.put("timestamp-ms", tsMillis)
     s0.put("manifest-list", metaDir.resolve(listName).toUri.toString)
     val summary = s0.putObject("summary")
-    summary.put("operation", "delete")
+    summary.put("operation", operation)
     summary.put(summaryKey, summaryVal)
     snapsArr.add(s0)
     appendSnapshotLog(m, rootNode, snapshotId, tsMillis)
@@ -2587,10 +2755,12 @@ object IcebergInterop {
     * (compaction / [[rewriteIcebergData]]) changes no rows by definition
     * and is skipped. Refuses loudly: snapshots without a classifiable
     * operation, mixed shapes (a delete snapshot adding data files),
-    * EQUALITY deletes landing in the range (resolving them to rows
-    * would need the full pre-delete state), and expired watermarks.
-    * Partitioned tables consume like flat ones: the insert AND delete
-    * edges resolve rows through the identity-fill scan, so
+    * and expired watermarks. EQUALITY-delete snapshots (the engine's own
+    * `deleteFromIcebergByKey` history) replay as delete edges: every
+    * parent-live row with a matching key — resolved over the parent's
+    * full live view, the inherent cost of a declarative key delete in a
+    * feed. Partitioned tables consume like flat ones: the insert AND
+    * delete edges resolve rows through the identity-fill scan, so
     * Column-Projected partition columns reconstruct from the manifest
     * tuples in the feed too. */
   /** The parent-chain snapshot ids from `since` (exclusive) up to `cur`
@@ -2675,10 +2845,6 @@ object IcebergInterop {
       val addedEq = cEq.filterNot(d => pEqSet.contains(d.resolved.toString))
       val removedEq = pEq.filterNot(d =>
         cEq.map(_.resolved.toString).toSet.contains(d.resolved.toString))
-      require(addedEq.isEmpty,
-        s"Iceberg table $path snapshot $snapId adds EQUALITY deletes inside " +
-          "the consumed range — resolving them to rows needs the full " +
-          "pre-delete state; re-sync from the full snapshot")
       def stamp(df: DataFrame, kind: String): DataFrame = df
         .withColumn("_change_type", lit(kind))
         .withColumn("_change_ordinal", lit(ord))
@@ -2688,7 +2854,7 @@ object IcebergInterop {
           // an append must not remove data files, add deletes, or DROP
           // a delete file — dropping one RESURRECTS rows, a change the
           // feed would otherwise silently miss
-          require(removedData.isEmpty && addedPos.isEmpty &&
+          require(removedData.isEmpty && addedPos.isEmpty && addedEq.isEmpty &&
               removedPos.isEmpty && removedEq.isEmpty,
             s"Iceberg table $path snapshot $snapId declares 'append' but " +
               "removes files or changes deletes — unclassifiable shape; " +
@@ -2703,6 +2869,38 @@ object IcebergInterop {
             s"Iceberg table $path snapshot $snapId declares 'delete' but " +
               "changes the data file set or drops delete files — " +
               "unclassifiable shape; re-sync from the full snapshot")
+          require(addedPos.isEmpty || addedEq.isEmpty,
+            s"Iceberg table $path snapshot $snapId adds BOTH position and " +
+              "equality deletes — a row matching both would be emitted " +
+              "twice; unsupported foreign shape, re-sync from the full snapshot")
+          // EQUALITY-delete edge (the feed of the engine's own
+          // deleteFromIcebergByKey): every parent-LIVE row with a
+          // matching key dies — the parent's files are all strictly
+          // older than the delete's sequence, so the kill set is the
+          // parent live view (both parent delete kinds applied)
+          // null-safe-semi-joined on the new keys; provenance keys the
+          // survivors-complement so rows matching several delete files
+          // are emitted once
+          if (addedEq.nonEmpty) {
+            val eqSpecs = equalityDeleteSpecs(spark, path, meta, addedEq)
+            val pl = readWithIdentityFill(spark, path, meta, schema,
+              pData.map(e => (e.resolved, e.partition)),
+              positionDeleteFrame(spark, path, pData, pPos),
+              equalityDeleteSpecs(spark, path, meta, pEq),
+              pData.map(e => (e.resolved.getFileName.toString, e.seq)),
+              aliases, provenance = true)
+            var surv = pl
+            eqSpecs.foreach { spec =>
+              val cond = spec.cols.map(c => surv(c) <=> spec.frame(s"__geq_$c"))
+                .reduce(_ && _)
+              surv = surv.join(spec.frame, cond, "left_anti")
+            }
+            frames += stamp(
+              pl.join(surv.select(col("__gdel_file"), col("__gdel_pos")),
+                  Seq("__gdel_file", "__gdel_pos"), "left_anti")
+                .select(schema.fields.map(f => col(f.name)).toIndexedSeq: _*),
+              "delete")
+          }
           positionDeleteFrame(spark, path, cData, addedPos).foreach { delF0 =>
             // a foreign delete file may overlap positions ALREADY dead at
             // the parent snapshot — re-emitting those rows would inflate
@@ -2734,9 +2932,9 @@ object IcebergInterop {
           // file metadata), and the manifest row counts must conserve
           // (data rows after == before minus the positions of the
           // delete files it retired — O(removed delete files) footers)
-          require(addedPos.isEmpty && removedEq.isEmpty,
+          require(addedPos.isEmpty && addedEq.isEmpty && removedEq.isEmpty,
             s"Iceberg table $path snapshot $snapId declares 'replace' but " +
-              "adds position deletes or retires equality deletes — row " +
+              "adds delete files or retires equality deletes — row " +
               "changes are not derivable; re-sync from the full snapshot")
           val reclaimed = removedPos
             .map(d => parquetRowCount(spark, d.resolved)).sum

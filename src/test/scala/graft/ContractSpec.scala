@@ -205,8 +205,18 @@ class ContractSpec extends AnyFunSuite {
     // add.stats; readIcebergRange/readDeltaRange skip files by value
     // range — certified 1-of-4 files scanned, results bit-equal across
     // formats and vs the full scan)
-    assert(SparkEntry.queries.size == 216,
-      s"declared query count ${SparkEntry.queries.size} != documented 216 — " +
+    // 218 adds the CDC upserts (round-11 verdict #3): b5_iceberg_upsert
+    // (ONE commit pairing a global equality delete with the appended
+    // rows — same-sequence survival, strictly-newer replacement) and
+    // b5_delta_merge (DV'd pre-images + fresh adds + the protocol's full
+    // update_preimage/update_postimage/insert CDF classification); both
+    // oracles replay MERGE from the bytes alone
+    // 219 adds g4_delta_tail (round-11 verdict #7: the open-format batch
+    // pull wired as a foreachBatch-driven continuous tail — poll
+    // watermark → readDeltaChanges → txn-marked TxTable append, replayed
+    // triggers no-op; certified stream ≡ batch ≡ full read)
+    assert(SparkEntry.queries.size == 219,
+      s"declared query count ${SparkEntry.queries.size} != documented 219 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

@@ -1124,6 +1124,73 @@ class DeltaInteropSpec extends SparkSpec {
       Seq(("id", 12.0, 17.0))).inputFiles.length == 1)
   }
 
+  test("mergeDelta: DV'd pre-images + fresh adds in one commit; CDF update pairs") {
+    val t = sampleTable()
+    val out = tmp("delta_merge")
+    DeltaInterop.exportDelta(t, out, tsMillis = 5000L)                      // v0
+    DeltaInterop.setDeltaTableProperty(spark, out,
+      "delta.enableChangeDataFeed", "true", tsMillis = 6000L)               // v1
+    // id 2 updates, id 9 inserts — ONE commit
+    val up = Seq((2L, "x", 200.0), (9L, "y", 900.0)).toDF("id", "k", "v")
+    val (sup, app) = DeltaInterop.mergeDelta(spark, out, up, Seq("id"), 7000L) // v2
+    assert((sup, app) == ((1L, 2L)))
+    val live = DeltaInterop.readDelta(spark, out)
+    assert(live.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 10.0), (2L, "x", 200.0), (3L, "a", 30.0),
+        (4L, "c", 40.0), (9L, "y", 900.0)))
+    // the feed serves the protocol's FULL merge classification
+    val (_, cdf) = DeltaInterop.readDeltaCdf(spark, out, sinceVersion = 1L)
+    val rows = cdf.select("id", "v", "_change_type")
+      .as[(Long, Double, String)].collect().toSet
+    assert(rows == Set((2L, 20.0, "update_preimage"),
+      (2L, 200.0, "update_postimage"), (9L, 900.0, "insert")), s"got $rows")
+    // time travel below the merge; re-merging the same keys works (the
+    // fresh adds take the DVs this time)
+    assert(DeltaInterop.readDelta(spark, out, versionAsOf = Some(0L))
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      t.read().orderBy("id").as[(Long, String, Double)].collect().toSeq)
+    val (sup2, app2) = DeltaInterop.mergeDelta(spark, out,
+      Seq((9L, "z", 901.0)).toDF("id", "k", "v"), Seq("id"), 8000L)         // v3
+    assert((sup2, app2) == ((1L, 1L)))
+    assert(DeltaInterop.readDelta(spark, out)
+      .where(col("id") === 9L).as[(Long, String, Double)].head() == ((9L, "z", 901.0)))
+    // duplicate incoming keys are ambiguous: loud refusal
+    assert(intercept[IllegalArgumentException](
+      DeltaInterop.mergeDelta(spark, out,
+        Seq((1L, "p", 1.0), (1L, "q", 2.0)).toDF("id", "k", "v"), Seq("id")))
+      .getMessage.contains("duplicate"))
+    // purge reclaims the merge's DVs without perturbing the live view
+    val pre = DeltaInterop.readDelta(spark, out).orderBy("id").collect().toSeq
+    assert(DeltaInterop.purgeDeltaDvs(spark, out, 9000L)._1 > 0)
+    assert(DeltaInterop.readDelta(spark, out).orderBy("id").collect().toSeq == pre)
+  }
+
+  test("mergeDelta on a partitioned table: new files carry honest partitionValues") {
+    val t = TxTable(spark, tmp("delta_merge_part"))
+    t.append(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+      .toDF("id", "day", "v"), tsMillis = 1000L, partitionBy = Seq("day"))
+    val out = tmp("delta_merge_part_exp")
+    DeltaInterop.exportDelta(t, out, tsMillis = 5000L)
+    // id2 MOVES partitions (b → c), id7 inserts into a
+    val (sup, app) = DeltaInterop.mergeDelta(spark, out,
+      Seq((2L, "c", 20.0), (7L, "a", 7.0)).toDF("id", "day", "v"),
+      Seq("id"), 6000L)
+    assert((sup, app) == ((1L, 2L)))
+    assert(DeltaInterop.readDelta(spark, out)
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 1.0), (2L, "c", 20.0), (3L, "a", 3.0), (7L, "a", 7.0)))
+    // the pruner finds the moved and inserted rows in their partitions
+    assert(DeltaInterop.readDeltaPruned(spark, out,
+        keep = pv => pv.get("day").flatten.contains("c"))
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(DeltaInterop.readDeltaPruned(spark, out,
+        keep = pv => pv.get("day").flatten.contains("b"))
+      .count() == 0L)
+    assert(DeltaInterop.readDeltaPruned(spark, out,
+        keep = pv => pv.get("day").flatten.contains("a"))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 7L))
+  }
+
   test("legacy schema-change commits preserve a HIGHER legacy writer version") {
     val t = sampleTable()
     val out = tmp("delta_legacy6")

@@ -1423,13 +1423,16 @@ class IcebergInteropSpec extends SparkSpec {
     // the replace edge (ordinal 3) contributed NOTHING; head watermark works
     assert(log.where(col("_change_ordinal") === 3L).isEmpty)
     assert(IcebergInterop.readIcebergChangelog(spark, out, head)._2.isEmpty)
-    // an equality delete landing in the range refuses (rows would need
-    // the pre-delete state); consuming from AFTER it is fine
+    // an equality delete landing in the range REPLAYS as a delete edge:
+    // the parent-live rows whose key matches (id 3 — ids 0/5/10 are
+    // already dead and must NOT re-emit)
     assert(IcebergInterop.deleteFromIcebergByKey(spark, out,
-      Seq(3L).toDF("id"), 9000L) == 1L)                                    // snap5
-    assert(intercept[IllegalArgumentException](
-      IcebergInterop.readIcebergChangelog(spark, out, snap1))
-      .getMessage.contains("EQUALITY"))
+      Seq(3L, 5L).toDF("id"), 9000L) == 2L)                                // snap5
+    val (_, log2) = IcebergInterop.readIcebergChangelog(spark, out, snap1)
+    assert(log2.select("id", "_change_type", "_change_ordinal")
+        .as[(Long, String, Long)].collect().toSet ==
+      rows + ((3L, "delete", 4L)),
+      s"got ${log2.select("id", "_change_type", "_change_ordinal").collect().toSeq}")
     // a consumer already past the eq-delete edge reads an empty feed
     val snap5 = IcebergInterop.icebergSnapshotAt(out, Long.MaxValue)
     assert(IcebergInterop.readIcebergChangelog(spark, out, snap5)._2.isEmpty)
@@ -1852,6 +1855,79 @@ class IcebergInteropSpec extends SparkSpec {
     val pa = IcebergInterop.readIcebergPruned(spark, out,
       keep = pv => pv.get("k").contains("a"))
     assert(pa.count() == 0L)
+  }
+
+  test("upsertIceberg: one commit pairs a global equality delete with the appended rows") {
+    val t = sampleTable()
+    val out = tmp("ice_upsert")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+    val v1Txt = new String(Files.readAllBytes(
+      Paths.get(out, "metadata", "v1.metadata.json")))
+    val snap0 = """"snapshot-id" : (\d+)""".r.findFirstMatchIn(v1Txt).get.group(1).toLong
+    // id 2 updates, id 9 inserts — ONE commit
+    val up = Seq((2L, "x", 200.0), (9L, "y", 900.0)).toDF("id", "k", "v")
+    val (nk, na) = IcebergInterop.upsertIceberg(spark, out, up, Seq("id"), 6000L)
+    assert((nk, na) == ((2L, 2L)))
+    val live = IcebergInterop.readIceberg(spark, out)
+    assert(live.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 10.0), (2L, "x", 200.0), (3L, "a", 30.0),
+        (4L, "c", 40.0), (9L, "y", 900.0)))
+    // the upserted rows SURVIVE their own commit's delete (same sequence)
+    // but a SECOND upsert replaces them (strictly newer sequence)
+    val (nk2, na2) = IcebergInterop.upsertIceberg(spark, out,
+      Seq((9L, "z", 901.0)).toDF("id", "k", "v"), Seq("id"), 7000L)
+    assert((nk2, na2) == ((1L, 1L)))
+    assert(IcebergInterop.readIceberg(spark, out)
+      .where(col("id") === 9L).as[(Long, String, Double)].head() == ((9L, "z", 901.0)))
+    // pre-upsert time travel intact; schema/type refusals loud
+    assert(IcebergInterop.readIceberg(spark, out,
+      snapshotAsOf = Some(snap0)).count() == 4L)
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.upsertIceberg(spark, out,
+        Seq(("2", "x", 1.0)).toDF("id", "k", "v"), Seq("id"), 8000L))
+      .getMessage.contains("cast"))
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.upsertIceberg(spark, out,
+        Seq((1L, "x")).toDF("id", "k"), Seq("id"), 8000L))
+      .getMessage.contains("exact"))
+    // the upsert's 'overwrite' operation refuses the changelog consumer
+    // loudly instead of misclassifying a row replacement
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.readIcebergChangelog(spark, out, snap0))
+      .getMessage.contains("overwrite"))
+  }
+
+  test("upsertIceberg on an identity-partitioned table keeps the uniform projected layout") {
+    val t = TxTable(spark, tmp("ice_upsert_part"))
+    t.append(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+      .toDF("id", "k", "v"), tsMillis = 1000L, partitionBy = Seq("k"))
+    val out = tmp("ice_upsert_part_exp")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+    // update id2 into partition c (a NEW partition), insert id7 into a
+    val up = Seq((2L, "c", 20.0), (7L, "a", 7.0)).toDF("id", "k", "v")
+    val (nk, na) = IcebergInterop.upsertIceberg(spark, out, up, Seq("id"), 6000L)
+    assert((nk, na) == ((2L, 2L)))
+    val live = IcebergInterop.readIceberg(spark, out)
+    assert(live.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 1.0), (2L, "c", 20.0), (3L, "a", 3.0), (7L, "a", 7.0)))
+    // the new files keep the Column-Projected layout: no staged file
+    // physically carries 'k', and tuple-pruned reads see the new rows
+    val dataFiles = Files.walk(Paths.get(out, "data")).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !p.toString.contains("deletes")).toSeq
+    assert(dataFiles.forall(_.toString.contains("k=")))
+    assert(IcebergInterop.readIcebergPruned(spark, out,
+        keep = pv => pv.get("k").contains("c"))
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(IcebergInterop.readIcebergPruned(spark, out,
+        keep = pv => pv.get("k").contains("a"))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 7L))
+    // keying on the identity-projected column refuses (reader anchors
+    // equality deletes at the scan)
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.upsertIceberg(spark, out,
+        Seq((8L, "a", 8.0)).toDF("id", "k", "v"), Seq("k"), 7000L))
+      .getMessage.contains("not physically"))
   }
 
   test("changelog over a partitioned table: insert and delete edges fill projected columns") {
