@@ -1524,9 +1524,16 @@ object IcebergInterop {
     val fv = meta.get("format-version").asInt
     require(fv == 1 || fv == 2,
       s"Iceberg table $path has format-version $fv — only v1/v2 are supported")
-    require(defaultSpecFields(meta).isEmpty,
-      s"$what supports unpartitioned tables only; the table " +
-        s"at $path has a partition spec")
+    // identity specs rewrite per partition (survivors keep the
+    // Column-Projected layout and their manifest tuples); non-identity
+    // transforms would need their staged tuples re-derived — refused
+    defaultSpecFields(meta).foreach { f =>
+      val tr = Option(f.get("transform")).map(_.asText).getOrElse("identity")
+      require(tr == "identity",
+        s"$what: the table at $path partitions with transform '$tr' — " +
+          "only identity specs are supported by this writer")
+    }
+    val identityCols = targetSpecIdentityCols(meta, path)
     val schema = currentSparkSchema(meta, path)
     val curId = Option(meta.get("current-snapshot-id")).map(_.asLong)
       .filter(_ != -1L).getOrElse(return (0, 0L))
@@ -1563,32 +1570,40 @@ object IcebergInterop {
     val compDir = root.resolve("data").resolve("compacted")
     Files.createDirectories(compDir)
     val stage = Files.createTempDirectory("graft_ice_compact")
+    val partFields = identityPartFields(schema, identityCols)
     val newFiles: Seq[ManifestFile] = try {
       // renamed columns: aliased scan + coalesce, and the survivors are
       // WRITTEN under the current names — compaction doubles as the
-      // physical migration path that retires historic column names
+      // physical migration path that retires historic column names;
+      // identity-partitioned tables resolve projected columns through
+      // the fill and stage the survivors back per partition (the
+      // projected columns leave the bytes again)
       val aliases = renameAliases(meta, path,
         Option(meta.get("current-schema-id")).map(_.asInt))
-      val scan = spark.read.schema(aliasedScanSchema(schema, aliases))
-        .parquet(rewrite.map(_.resolved.toString): _*)
-        .withColumn("__gdel_file", col("_metadata.file_name"))
-        .withColumn("__gdel_pos", col("_metadata.row_index"))
-      delFrame
-        .map(d => scan.join(d, Seq("__gdel_file", "__gdel_pos"), "left_anti"))
-        .getOrElse(scan)
-        .select(schema.fields.map(aliasCol(_, aliases)).toIndexedSeq: _*)
-        .write.mode("overwrite").parquet(stage.toString)
+      val survivors = readWithIdentityFill(spark, path, meta, schema,
+        rewrite.map(e => (e.resolved, e.partition)),
+        deletes = delFrame, aliases = aliases)
+      if (identityCols.isEmpty)
+        survivors.write.mode("overwrite").parquet(stage.toString)
+      else survivors.write.mode("overwrite")
+        .partitionBy(identityCols: _*).parquet(stage.toString)
       val walk = Files.walk(stage)
       val staged = try walk.iterator().asScala
           .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-          .map(p => (p, parquetRowCount(spark, p))).filter(_._2 > 0L).toSeq
+          .map(p => (p, parquetRowCount(spark, p))).filter(_._2 > 0L)
+          .toSeq.sortBy(_._1.toString)
         finally walk.close()
       staged.zipWithIndex.map { case ((p, rows), i) =>
-        val dst = compDir.resolve(
-          s"compact-${java.util.UUID.nameUUIDFromBytes(
-            (path + "|compact|" + tsMillis + "|" + i).getBytes("UTF-8"))}.parquet")
+        val relDir = Option(stage.relativize(p).getParent)
+          .map(_.toString).getOrElse("")
+        val name = s"compact-${java.util.UUID.nameUUIDFromBytes(
+          (path + "|compact|" + tsMillis + "|" + i).getBytes("UTF-8"))}.parquet"
+        val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+        val dst = compDir.resolve(rel)
+        Files.createDirectories(dst.getParent)
         Files.move(p, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        ManifestFile(dst.toUri.toString, Files.size(dst), rows, Seq.empty)
+        ManifestFile(dst.toUri.toString, Files.size(dst), rows,
+          hivePartitionTuple(rel, partFields))
       }
     } finally deleteRecursively(stage)
 
@@ -1602,10 +1617,15 @@ object IcebergInterop {
     val m = mapper
     val curSchemaId = Option(meta.get("current-schema-id")).map(_.asInt).getOrElse(0)
     val manifestName = f"graft-c0-$snapshotId%d.avro"
-    // carried entries reuse the prior manifest's sizes/counts — no
-    // footer re-reads for untouched files (O(changed files) I/O only)
+    // carried entries reuse the prior manifest's sizes/counts/tuples —
+    // and their per-column BOUNDS — no footer re-reads for untouched
+    // files (O(changed files) I/O only)
     val entries = carry.map(e =>
-      ManifestFile(e.uri, e.size, e.rows, Seq.empty)) ++ newFiles
+      ManifestFile(e.uri, e.size, e.rows,
+        if (e.partition == null) Seq.empty
+        else partFields.map(pf => e.partition.get(pf.name)),
+        e.bounds.toSeq.sortBy(_._1)
+          .map { case (id, (lo, hi)) => (id, lo, hi) })) ++ newFiles
     // the manifest embeds the metadata's CURRENT schema node VERBATIM —
     // re-deriving ids positionally would lie after a dropIcebergColumn
     // (ids are permanent; positions are not)
@@ -1614,12 +1634,13 @@ object IcebergInterop {
       .map(m.writeValueAsString)
       .getOrElse(m.writeValueAsString(icebergSchema(m, schema, curSchemaId)))
     writeManifest(metaDir.resolve(manifestName), snapshotId,
-      curSchemaJson, Seq.empty, entries)
+      curSchemaJson, partFields, entries)
     val listName = f"snap-$snapshotId%d.avro"
     writeManifestListV2(metaDir.resolve(listName), Seq(ManifestListEntry(
       metaDir.resolve(manifestName).toUri.toString,
       Files.size(metaDir.resolve(manifestName)),
-      specId = 0, content = 0, seq = newSeq, minSeq = newSeq,
+      specId = Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0),
+      content = 0, seq = newSeq, minSeq = newSeq,
       addedSnapshotId = snapshotId,
       addedFiles = entries.size, existingFiles = 0, deletedFiles = 0,
       addedRows = entries.map(_.rows).sum, existingRows = 0L, deletedRows = 0L)))

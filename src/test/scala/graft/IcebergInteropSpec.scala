@@ -1811,6 +1811,53 @@ class IcebergInteropSpec extends SparkSpec {
     assert(delFiles().size == before + 1)
     assert(IcebergInterop.readIceberg(spark, out)
       .select("id").as[Long].collect().sorted.toSeq == Seq(4L))
+    // compaction with FULLY-DEAD touched partitions: no survivor bytes
+    // land, the delete-free snapshot still reads right, re-compaction is
+    // a no-op
+    val (nf, dead) = IcebergInterop.compactIcebergDeletes(spark, out, 9000L)
+    assert(nf == 2 && dead == 5L, s"($nf, $dead)")
+    assert(IcebergInterop.readIceberg(spark, out)
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((4L, "2024-01-03", 4.0)))
+    assert(IcebergInterop.compactIcebergDeletes(spark, out, 10000L) == ((0, 0L)))
+    assert(IcebergInterop.readIcebergPruned(spark, out,
+        keep = pv => pv.get("day").contains("2024-01-01"))
+      .count() == 0L)
+  }
+
+  test("compaction on an identity-partitioned table rewrites survivors per partition") {
+    val t = TxTable(spark, tmp("ice_pcompact"))
+    t.append(Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0),
+        (4L, "b", 4.0), (5L, "c", 5.0))
+      .toDF("id", "k", "v"), tsMillis = 1000L, partitionBy = Seq("k"))
+    val out = tmp("ice_pcompact_exp")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+    assert(IcebergInterop.deleteFromIceberg(spark, out,
+      col("id") % 2 === 1, 6000L) == 3L)
+    val (nf, dead) = IcebergInterop.compactIcebergDeletes(spark, out, 7000L)
+    assert(nf == 3 && dead == 3L, s"($nf, $dead)")
+    val live = IcebergInterop.readIceberg(spark, out)
+    assert(live.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((2L, "a", 2.0), (4L, "b", 4.0)))
+    // the survivors keep the Column-Projected Hive layout, per partition
+    val comp = Files.walk(Paths.get(out, "data", "compacted")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    assert(comp.nonEmpty && comp.forall(_.toString.contains("k=")))
+    // tuple-pruned reads over the compacted layout
+    assert(IcebergInterop.readIcebergPruned(spark, out,
+        keep = pv => pv.get("k").contains("b"))
+      .select("id").as[Long].collect().toSeq == Seq(4L))
+    assert(IcebergInterop.readIcebergPruned(spark, out,
+        keep = pv => pv.get("k").contains("c")).count() == 0L)
+    // time travel below the compaction still reads the masked view
+    val hint = Files.readAllLines(Paths.get(out, "metadata", "version-hint.text"))
+      .get(0).trim.toInt
+    val metaTxt = new String(Files.readAllBytes(
+      Paths.get(out, "metadata", s"v${hint - 1}.metadata.json")))
+    val preSnap = """"current-snapshot-id" : (\d+)""".r
+      .findFirstMatchIn(metaTxt).get.group(1).toLong
+    assert(IcebergInterop.readIceberg(spark, out, snapshotAsOf = Some(preSnap))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
   }
 
   test("partitioned delete with a partition pruner scans and deletes only kept partitions") {
