@@ -89,12 +89,14 @@ object DeltaInterop {
     sts.foreach { st =>
       schema.fields.find(_.name == st.colName).map(_.dataType).foreach {
         case LongType =>
-          mins.put(st.colName, math.floor(st.min).toLong)
-          maxs.put(st.colName, math.ceil(st.max).toLong)
+          mins.put(st.colName, IcebergInterop.safeIntegral(st.min, isLower = true))
+          maxs.put(st.colName, IcebergInterop.safeIntegral(st.max, isLower = false))
           any = true
         case IntegerType =>
-          mins.put(st.colName, math.floor(st.min).toInt)
-          maxs.put(st.colName, math.ceil(st.max).toInt)
+          mins.put(st.colName,
+            IcebergInterop.safeIntegral(st.min, isLower = true).toInt)
+          maxs.put(st.colName,
+            IcebergInterop.safeIntegral(st.max, isLower = false).toInt)
           any = true
         case DoubleType =>
           mins.put(st.colName, st.min)
@@ -357,10 +359,13 @@ object DeltaInterop {
     }
     removedFiles.foreach { rel =>
       val r = obj()
-      r.putObject("remove")
-        .put("path", encodePath(rel))
-        .put("deletionTimestamp", tsMillis)
-        .put("dataChange", true)
+      val rmNode = r.putObject("remove")
+      rmNode.put("path", encodePath(rel))
+      rmNode.put("deletionTimestamp", tsMillis)
+      rmNode.put("dataChange", true)
+      // partitionValues on removes keep a partitioned mirror's history
+      // consumable by the change feed (absent keys refuse the fill)
+      putPv(rmNode, partitionValuesOf(rel, snap.partCols).toMap)
       lines += m.writeValueAsString(r)
     }
 
@@ -716,10 +721,16 @@ object DeltaInterop {
   def tailDeltaInto(spark: SparkSession, path: String, sink: TxTable,
       sinceVersion: Long,
       tsMillis: Long = System.currentTimeMillis()): Long = {
-    val (head, delta) = readDeltaChanges(spark, path, sinceVersion)
-    if (head == sinceVersion) return sinceVersion
-    sink.append(delta, tsMillis = tsMillis,
-      txn = Some((s"graft-delta-tail|$path", head)))
+    val appId = s"graft-delta-tail|$path"
+    // the SINK's recorded txn version is the authoritative watermark: a
+    // caller restarting with a stale (or lost, -1) watermark after the
+    // producer advanced would otherwise re-read versions the sink already
+    // holds and duplicate their rows — the txn marker alone only guards
+    // an exact same-head replay
+    val from = math.max(sinceVersion, sink.txnVersion(appId).getOrElse(-1L))
+    val (head, delta) = readDeltaChanges(spark, path, from)
+    if (head == from) return head
+    sink.append(delta, tsMillis = tsMillis, txn = Some((appId, head)))
     head
   }
 
@@ -861,6 +872,13 @@ object DeltaInterop {
         s"Delta table $path has duplicate file names in a cdf commit — " +
           "the partition-value join would be ambiguous")
       val rows: Seq[org.apache.spark.sql.Row] = rels.map { case (rel, pv) =>
+        // an action MISSING a partition key (legal for removes per the
+        // protocol) cannot fill the column — emitting NULL instead of
+        // the real value would silently corrupt the feed; refuse
+        partFields.foreach(f => require(pv.contains(f.name),
+          s"Delta table $path: a cdf action for $rel carries no " +
+            s"partitionValues entry for '${f.name}' — the feed cannot " +
+            "reconstruct the partition column; re-sync from the full snapshot"))
         org.apache.spark.sql.Row.fromSeq(
           root.resolve(rel).getFileName.toString +:
             partFields.map(f => pv.get(f.name).flatten.orNull))
@@ -1246,6 +1264,25 @@ object DeltaInterop {
       "delta.columnMapping.maxColumnId" -> nextId.toString), true)
   }
 
+  /** The table's `delta.enableChangeDataFeed` flag, parsed
+    * case-insensitively (Delta boolean properties are) — ONE predicate
+    * shared by the property setter's protocol gating and every cdc
+    * producer, so the two can never disagree. */
+  private def cdfEnabledIn(config: Map[String, String]): Boolean =
+    config.get("delta.enableChangeDataFeed")
+      .exists(_.trim.equalsIgnoreCase("true"))
+
+  /** The protocol's `partitionValues` emission (null values as JSON
+    * null) — ONE serialization for every commit writer. */
+  private def putPv(node: com.fasterxml.jackson.databind.node.ObjectNode,
+      pv: Map[String, Option[String]]): Unit = {
+    val o = node.putObject("partitionValues")
+    pv.toSeq.sortBy(_._1).foreach {
+      case (k, Some(v)) => o.put(k, v)
+      case (k, None)    => o.putNull(k)
+    }
+  }
+
   /** A protocol feature a metadata commit must start gating: the feature
     * name, whether it is a reader-writer feature (listed in BOTH sets at
     * (3,7)) or writer-only, and the legacy version pair that implies it
@@ -1524,7 +1561,7 @@ object DeltaInterop {
       s"Delta log at $path carries no metaData action"))
     // CDF eligibility is metadata-known — refuse BEFORE any scan or DV
     // write (a late refusal would leave an orphan .bin behind)
-    val cdfEnabled = meta.config.get("delta.enableChangeDataFeed").contains("true")
+    val cdfEnabled = cdfEnabledIn(meta.config)
     require(!(cdfEnabled && meta.mapped),
       s"CDF emission on the column-mapped table at $path is unsupported " +
         "(change files would need the physical layout)")
@@ -1676,14 +1713,6 @@ object DeltaInterop {
       (if (cdcEntries.nonEmpty) Seq("changeDataFeed") else Seq.empty))
       .toSeq.sorted.foreach(wf.add)
     lines += m.writeValueAsString(protocol)
-    def putPv(node: com.fasterxml.jackson.databind.node.ObjectNode,
-        pv: Map[String, Option[String]]): Unit = {
-      val o = node.putObject("partitionValues")
-      pv.toSeq.sortBy(_._1).foreach {
-        case (k, Some(v)) => o.put(k, v)
-        case (k, None)    => o.putNull(k)
-      }
-    }
     cdcEntries.foreach { case (rel, size, pv) =>
       val c = obj()
       val cd = c.putObject("cdc")
@@ -1766,7 +1795,7 @@ object DeltaInterop {
     require(!meta.mapped,
       s"mergeDelta on the column-mapped table at $path is unsupported " +
         "(the new data files would need the physical layout)")
-    val cdfEnabled = meta.config.get("delta.enableChangeDataFeed").contains("true")
+    val cdfEnabled = cdfEnabledIn(meta.config)
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     require(keyCols.nonEmpty, "mergeDelta: no key columns")
     require(rows.columns.toSet == schema.fieldNames.toSet,
@@ -1950,14 +1979,6 @@ object DeltaInterop {
         .toSeq.sorted.foreach(wf.add)
       lines += m.writeValueAsString(protocol)
     }
-    def putPv(node: com.fasterxml.jackson.databind.node.ObjectNode,
-        pv: Map[String, Option[String]]): Unit = {
-      val o = node.putObject("partitionValues")
-      pv.toSeq.sortBy(_._1).foreach {
-        case (k, Some(v)) => o.put(k, v)
-        case (k, None)    => o.putNull(k)
-      }
-    }
     cdcEntries.foreach { case (rel, size, pv) =>
       val c = obj()
       val cd = c.putObject("cdc")
@@ -2137,11 +2158,7 @@ object DeltaInterop {
       rmNode.put("path", encodePath(a.path))
       rmNode.put("deletionTimestamp", tsMillis)
       rmNode.put("dataChange", false) // a purge rewrites, it does not change rows
-      val rmPv = rmNode.putObject("partitionValues")
-      a.partitionValues.toSeq.sortBy(_._1).foreach {
-        case (k, Some(v)) => rmPv.put(k, v)
-        case (k, None)    => rmPv.putNull(k)
-      }
+      putPv(rmNode, a.partitionValues)
       val d = a.dv.get
       val o = rmNode.putObject("deletionVector")
       o.put("storageType", d.storageType)
@@ -2155,11 +2172,7 @@ object DeltaInterop {
       val ad = obj()
       val addNode = ad.putObject("add")
       addNode.put("path", encodePath(rel))
-      val pvNode = addNode.putObject("partitionValues")
-      pv.toSeq.sortBy(_._1).foreach {
-        case (k, Some(v)) => pvNode.put(k, v)
-        case (k, None)    => pvNode.putNull(k)
-      }
+      putPv(addNode, pv)
       addNode.put("size", size)
       addNode.put("modificationTime", tsMillis)
       addNode.put("dataChange", false)

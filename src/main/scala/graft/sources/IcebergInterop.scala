@@ -1196,9 +1196,9 @@ object IcebergInterop {
     * columns stay out of the bytes, tuples ride the manifest), so the
     * table keeps ONE uniform layout; non-identity transforms refuse
     * (their staged tuples are not derivable here). The snapshot's
-    * operation is `overwrite` (rows are replaced), which the
-    * append-only/changelog consumers refuse loudly by design — re-sync
-    * consumers from the full snapshot after adopting MERGE.
+    * operation is `overwrite` (rows are replaced): the CHANGELOG
+    * consumer replays it as the protocol's delete+insert pair, while
+    * the append-only reader refuses loudly by design.
     *
     * @return (distinct keys deleted-or-replaced, rows appended). */
   def upsertIceberg(spark: SparkSession, path: String, rows: DataFrame,
@@ -2367,14 +2367,25 @@ object IcebergInterop {
       isLower: Boolean): Option[Array[Byte]] = {
     import java.nio.{ByteBuffer, ByteOrder}
     def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
-    def round(x: Double) = if (isLower) math.floor(x) else math.ceil(x)
     dt match {
-      case IntegerType   => Some(le(4).putInt(round(v).toInt).array())
-      case LongType      => Some(le(8).putLong(round(v).toLong).array())
+      case IntegerType   => Some(le(4).putInt(safeIntegral(v, isLower).toInt).array())
+      case LongType      => Some(le(8).putLong(safeIntegral(v, isLower)).array())
       case DoubleType    => Some(le(8).putDouble(v).array())
-      case TimestampType => Some(le(8).putLong(round(v * 1e6).toLong).array())
+      case TimestampType =>
+        Some(le(8).putLong(safeIntegral(v * 1e6, isLower)).array())
       case _             => None
     }
+  }
+
+  /** A CONSERVATIVE integral bound from a `cast(col as double)` stat:
+    * within double's exact-integer range (|v| ≤ 2^53) floor/ceil recover
+    * the true bound; beyond it the cast itself rounded to nearest, so
+    * the bound widens by one ulp — a too-tight bound would let
+    * value-range pruning silently drop files holding matching rows. */
+  private[sources] def safeIntegral(v: Double, isLower: Boolean): Long = {
+    val exact = math.abs(v) <= 9007199254740992.0 // 2^53
+    val adj = if (exact) v else if (isLower) v - Math.ulp(v) else v + Math.ulp(v)
+    (if (isLower) math.floor(adj) else math.ceil(adj)).toLong
   }
 
   /** Inverse of [[boundBytes]] into `cast(col as double)` units
@@ -2866,6 +2877,31 @@ object IcebergInterop {
       val addedEq = cEq.filterNot(d => pEqSet.contains(d.resolved.toString))
       val removedEq = pEq.filterNot(d =>
         cEq.map(_.resolved.toString).toSet.contains(d.resolved.toString))
+      // EQUALITY-delete resolution shared by the 'delete' and 'overwrite'
+      // edges: every parent-LIVE row with a matching key dies — the
+      // parent's files are all strictly older than the new delete's
+      // sequence, and provenance keys the survivors-complement so rows
+      // matching several delete files emit once
+      def eqKillFrame(added: Seq[EqDeleteEntry]): Option[DataFrame] =
+        if (added.isEmpty) None
+        else {
+          val eqSpecs = equalityDeleteSpecs(spark, path, meta, added)
+          val pl = readWithIdentityFill(spark, path, meta, schema,
+            pData.map(e => (e.resolved, e.partition)),
+            positionDeleteFrame(spark, path, pData, pPos),
+            equalityDeleteSpecs(spark, path, meta, pEq),
+            pData.map(e => (e.resolved.getFileName.toString, e.seq)),
+            aliases, provenance = true)
+          var surv = pl
+          eqSpecs.foreach { spec =>
+            val cond = spec.cols.map(c => surv(c) <=> spec.frame(s"__geq_$c"))
+              .reduce(_ && _)
+            surv = surv.join(spec.frame, cond, "left_anti")
+          }
+          Some(pl.join(surv.select(col("__gdel_file"), col("__gdel_pos")),
+              Seq("__gdel_file", "__gdel_pos"), "left_anti")
+            .select(schema.fields.map(f => col(f.name)).toIndexedSeq: _*))
+        }
       def stamp(df: DataFrame, kind: String): DataFrame = df
         .withColumn("_change_type", lit(kind))
         .withColumn("_change_ordinal", lit(ord))
@@ -2902,26 +2938,7 @@ object IcebergInterop {
           // null-safe-semi-joined on the new keys; provenance keys the
           // survivors-complement so rows matching several delete files
           // are emitted once
-          if (addedEq.nonEmpty) {
-            val eqSpecs = equalityDeleteSpecs(spark, path, meta, addedEq)
-            val pl = readWithIdentityFill(spark, path, meta, schema,
-              pData.map(e => (e.resolved, e.partition)),
-              positionDeleteFrame(spark, path, pData, pPos),
-              equalityDeleteSpecs(spark, path, meta, pEq),
-              pData.map(e => (e.resolved.getFileName.toString, e.seq)),
-              aliases, provenance = true)
-            var surv = pl
-            eqSpecs.foreach { spec =>
-              val cond = spec.cols.map(c => surv(c) <=> spec.frame(s"__geq_$c"))
-                .reduce(_ && _)
-              surv = surv.join(spec.frame, cond, "left_anti")
-            }
-            frames += stamp(
-              pl.join(surv.select(col("__gdel_file"), col("__gdel_pos")),
-                  Seq("__gdel_file", "__gdel_pos"), "left_anti")
-                .select(schema.fields.map(f => col(f.name)).toIndexedSeq: _*),
-              "delete")
-          }
+          eqKillFrame(addedEq).foreach(k => frames += stamp(k, "delete"))
           positionDeleteFrame(spark, path, cData, addedPos).foreach { delF0 =>
             // a foreign delete file may overlap positions ALREADY dead at
             // the parent snapshot — re-emitting those rows would inflate
@@ -2946,6 +2963,21 @@ object IcebergInterop {
               deletes = Some(delF), aliases = aliases,
               keepMatching = true), "delete")
           }
+        case "overwrite" =>
+          // an UPSERT/MERGE commit ([[upsertIceberg]]): a global equality
+          // delete + an append in one snapshot — emits the protocol's
+          // delete+insert pair for the ordinal (deletes apply to the
+          // PRE-state: the kill set is the parent live view, which never
+          // includes the commit's own new files)
+          require(removedData.isEmpty && addedPos.isEmpty &&
+              removedPos.isEmpty && removedEq.isEmpty && addedData.nonEmpty,
+            s"Iceberg table $path snapshot $snapId declares 'overwrite' " +
+              "but is not an equality-delete + append pair — " +
+              "unclassifiable shape; re-sync from the full snapshot")
+          eqKillFrame(addedEq).foreach(k => frames += stamp(k, "delete"))
+          frames += stamp(readWithIdentityFill(spark, path, meta, schema,
+            addedData.map(e => (e.resolved, e.partition)),
+            aliases = aliases), "insert")
         case "replace" =>
           // a rewrite changes no rows BY CONTRACT — verified, not
           // trusted: it must not add delete files, must not fold

@@ -1124,6 +1124,25 @@ class DeltaInteropSpec extends SparkSpec {
       Seq(("id", 12.0, 17.0))).inputFiles.length == 1)
   }
 
+  test("tailDeltaInto: a stale or lost watermark never duplicates sink rows") {
+    val t = sampleTable()
+    val out = tmp("delta_tail_src")
+    DeltaInterop.exportDelta(t, out, tsMillis = 5000L)                    // v0
+    val sink = TxTable(spark, tmp("delta_tail_sink"))
+    assert(DeltaInterop.tailDeltaInto(spark, out, sink, -1L, 1000L) == 0L)
+    assert(sink.read().count() == 4L)
+    t.append(Seq((9L, "z", 90.0)).toDF("id", "k", "v"), tsMillis = 2000L)
+    assert(DeltaInterop.exportDeltaIncremental(t, out, tsMillis = 6000L) == 1L) // v1
+    // a RESTARTED consumer that lost its watermark re-polls from -1: the
+    // sink's recorded txn version clamps the range, so v0 is not re-read
+    assert(DeltaInterop.tailDeltaInto(spark, out, sink, -1L, 3000L) == 1L)
+    assert(sink.read().count() == 5L,
+      "a lost watermark must not duplicate already-landed versions")
+    // a replayed trigger at the head is a no-op
+    assert(DeltaInterop.tailDeltaInto(spark, out, sink, 1L, 4000L) == 1L)
+    assert(sink.read().count() == 5L)
+  }
+
   test("mergeDelta: DV'd pre-images + fresh adds in one commit; CDF update pairs") {
     val t = sampleTable()
     val out = tmp("delta_merge")

@@ -1937,11 +1937,17 @@ class IcebergInteropSpec extends SparkSpec {
       IcebergInterop.upsertIceberg(spark, out,
         Seq((1L, "x")).toDF("id", "k"), Seq("id"), 8000L))
       .getMessage.contains("exact"))
-    // the upsert's 'overwrite' operation refuses the changelog consumer
-    // loudly instead of misclassifying a row replacement
-    assert(intercept[IllegalArgumentException](
-      IcebergInterop.readIcebergChangelog(spark, out, snap0))
-      .getMessage.contains("overwrite"))
+    // the changelog replays the upserts as the protocol's delete+insert
+    // pairs: ordinal 1 kills the OLD id-2 row and inserts both incoming
+    // rows; ordinal 2 kills the id-9 row ordinal 1 inserted and re-inserts
+    val (_, clog) = IcebergInterop.readIcebergChangelog(spark, out, snap0)
+    val edges = clog.select("id", "k", "v", "_change_type", "_change_ordinal")
+      .as[(Long, String, Double, String, Long)].collect().toSet
+    assert(edges == Set(
+      (2L, "b", 20.0, "delete", 1L),
+      (2L, "x", 200.0, "insert", 1L), (9L, "y", 900.0, "insert", 1L),
+      (9L, "y", 900.0, "delete", 2L), (9L, "z", 901.0, "insert", 2L)),
+      s"got $edges")
   }
 
   test("upsertIceberg on an identity-partitioned table keeps the uniform projected layout") {
