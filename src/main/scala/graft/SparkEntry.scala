@@ -5042,6 +5042,80 @@ object SparkEntry {
     sinkDf.orderBy("event_id")
   }
 
+  /** G4 — CONTINUOUS TAIL OF AN ICEBERG TABLE, the [[g4DeltaTail]] twin:
+    * [[graft.sources.IcebergInterop.tailIcebergInto]] polls
+    * readIcebergChanges per foreachBatch trigger and commits each delta
+    * into a TxTable sink txn-marked with the table's METADATA VERSION
+    * (the format's monotonic clock — snapshot ids are random), so
+    * replayed triggers no-op and a STALE/lost snapshot watermark clamps
+    * to the sink's recorded version (resolved through that version's
+    * own metadata file). Producer commits two incremental snapshots
+    * between polls; a final no-new-commits poll certifies idempotence.
+    * Certificates and oracle mirror the Delta twin: sink ≡ batch
+    * incremental read ≡ all events. */
+  private def g4IcebergTail(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.{IcebergInterop, TxTable}
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
+    val producer = TxTable(s, HarnessFixtures.cloneTxDir(txTpl(s, dir, "b5_cdf")))
+    val icePath = java.nio.file.Files
+      .createTempDirectory("graft_ice_tail").toString + "/tbl"
+    require(IcebergInterop.exportIcebergIncremental(producer, icePath,
+      tsMillis = 5000L) == 1L)                                             // snap1
+    val v1Txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(icePath, "metadata", "v1.metadata.json")), "UTF-8")
+    val snap1 = """"snapshot-id" : (\d+)""".r
+      .findFirstMatchIn(v1Txt).get.group(1).toLong
+    // the sink seeds with snap1's rows (a tail consumes FROM a synced
+    // base, readIcebergChanges' watermark contract)
+    val sink = TxTable(s, java.nio.file.Files
+      .createTempDirectory("graft_ice_tail_sink").toString)
+    sink.append(IcebergInterop.readIceberg(s, icePath)
+      .select(cols.map(col).toIndexedSeq: _*), tsMillis = 500L)
+    val third = Tables.events(s, dir)
+      .select(cols.map(col).toIndexedSeq: _*)
+      .where(col("event_id") % 3 === 0).localCheckpoint()
+    val watermark = new java.util.concurrent.atomic.AtomicLong(snap1)
+    val ms = MemoryStream[Int]
+    withShufflePartitions(s, 2) {
+      val q = ms.toDS().writeStream
+        .foreachBatch { (_: org.apache.spark.sql.Dataset[Int], id: Long) =>
+          watermark.set(IcebergInterop.tailIcebergInto(s, icePath, sink,
+            watermark.get(), tsMillis = 1000L + id))
+          ()
+        }
+        .start()
+      producer.append(third.where(col("event_id") % 2 === 0), tsMillis = 2000L)
+      require(IcebergInterop.exportIcebergIncremental(producer, icePath,
+        tsMillis = 6000L) == 2L)                                           // snap2
+      ms.addData(0); q.processAllAvailable()                               // poll: snap2
+      producer.append(third.where(col("event_id") % 2 === 1), tsMillis = 3000L)
+      require(IcebergInterop.exportIcebergIncremental(producer, icePath,
+        tsMillis = 7000L) == 3L)                                           // snap3
+      ms.addData(1); q.processAllAvailable()                               // poll: snap3
+      ms.addData(2); q.processAllAvailable()                               // no-op poll
+      q.stop()
+    }
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val sinkDf = sink.read().select(cols.map(col).toIndexedSeq: _*)
+    val sinkSig = sig(sinkDf)
+    require(sinkSig == sig(IcebergInterop.readIceberg(s, icePath)
+        .select(cols.map(col).toIndexedSeq: _*)),
+      "g4_iceberg_tail: the tailed sink diverges from the full Iceberg read")
+    require(sinkSig == sig(IcebergInterop.readIceberg(s, icePath,
+          snapshotAsOf = Some(snap1))
+        .select(cols.map(col).toIndexedSeq: _*)
+        .unionByName(IcebergInterop.readIcebergChanges(s, icePath, snap1)._2
+          .select(cols.map(col).toIndexedSeq: _*))),
+      "g4_iceberg_tail: the tailed sink diverges from base + batch pull")
+    sinkDf.orderBy("event_id")
+  }
+
   /** G4 streaming #5 — on-arrival point-in-time enrichment: purchase spine
     * rows arrive as a stream (two micro-batches); each batch runs the same
     * one-shuffle LOCF as `a3_pit_join` against the STATIC click history and
@@ -6326,6 +6400,7 @@ object SparkEntry {
     "b3_audit_table"     -> (b3AuditTable _),
     "g4_tx_sink"         -> (g4TxSink _),
     "g4_delta_tail"      -> (g4DeltaTail _),
+    "g4_iceberg_tail"    -> (g4IcebergTail _),
     "g4_decontam_stream" -> (g4DecontamStream _),
     "g4_asof_stream"     -> (g4AsofStream _),
     "g4_dedup_stream"    -> (g4DedupStream _),
@@ -7999,9 +8074,12 @@ object SparkEntry {
         |       arg_max(event_id, ts) AS event_id, max(ts) AS ts
         |FROM events WHERE value IS NOT NULL
         |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
-    // the tailed sink accumulates the base two-thirds plus the two
+    // the tailed sinks accumulate the base two-thirds plus the two
     // appended quarters — every event exactly once
     "g4_delta_tail" ->
+      """SELECT event_id, user_id, event_type, value, ts
+        |FROM events ORDER BY event_id""".stripMargin,
+    "g4_iceberg_tail" ->
       """SELECT event_id, user_id, event_type, value, ts
         |FROM events ORDER BY event_id""".stripMargin,
     "b3_audit_table" ->

@@ -3288,6 +3288,47 @@ object IcebergInterop {
     *
     * @return (currentSnapshotId, appended rows) — empty frame when the
     *   consumer is already at the head. */
+  /** One POLL of a continuous Iceberg tail — the
+    * [[DeltaInterop.tailDeltaInto]] twin: read the rows appended in
+    * `(sinceSnapshotId, head]` ([[readIcebergChanges]]' append-only
+    * contract) and commit them into the TxTable `sink` as ONE
+    * transactional append whose txn marker is the table's METADATA
+    * VERSION at read time (snapshot ids are random, metadata versions
+    * are the format's monotonic clock), so a foreachBatch retry
+    * replaying the same trigger re-lands as a no-op. A consumer
+    * restarting with a STALE or lost snapshot watermark clamps to the
+    * sink's recorded version by resolving that version's own
+    * `current-snapshot-id` — duplicating already-landed snapshots is
+    * impossible while the recorded version's metadata file exists;
+    * if metadata retention pruned it, the resolution fails loudly
+    * (re-sync) rather than re-reading rows the sink already holds.
+    * Returns the new watermark (the head snapshot id). */
+  def tailIcebergInto(spark: SparkSession, path: String, sink: TxTable,
+      sinceSnapshotId: Long,
+      tsMillis: Long = System.currentTimeMillis()): Long = {
+    val appId = s"graft-iceberg-tail|$path"
+    val metaDir = Paths.get(path).toAbsolutePath.resolve("metadata")
+    require(Files.isDirectory(metaDir), s"no Iceberg table at $path (missing metadata/)")
+    val from = sink.txnVersion(appId) match {
+      case None => sinceSnapshotId
+      case Some(recordedVersion) =>
+        val vFile = metaDir.resolve(s"v$recordedVersion.metadata.json")
+        require(Files.isRegularFile(vFile),
+          s"tailIcebergInto($path): the sink's recorded watermark is " +
+            s"metadata version $recordedVersion but v$recordedVersion" +
+            ".metadata.json has been pruned by metadata retention — " +
+            "cannot clamp a stale caller watermark; re-sync the sink " +
+            "from the full snapshot")
+        Option(mapper.readTree(vFile.toFile).get("current-snapshot-id"))
+          .map(_.asLong).filter(_ != -1L).getOrElse(sinceSnapshotId)
+    }
+    val version = currentMetadataVersion(metaDir, path)
+    val (head, delta) = readIcebergChanges(spark, path, from)
+    if (head == from) return head
+    sink.append(delta, tsMillis = tsMillis, txn = Some((appId, version)))
+    head
+  }
+
   def readIcebergChanges(spark: SparkSession, path: String,
       sinceSnapshotId: Long): (Long, DataFrame) = {
     val root = Paths.get(path).toAbsolutePath

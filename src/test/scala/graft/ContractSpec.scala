@@ -215,8 +215,12 @@ class ContractSpec extends AnyFunSuite {
     // pull wired as a foreachBatch-driven continuous tail — poll
     // watermark → readDeltaChanges → txn-marked TxTable append, replayed
     // triggers no-op; certified stream ≡ batch ≡ full read)
-    assert(SparkEntry.queries.size == 219,
-      s"declared query count ${SparkEntry.queries.size} != documented 219 — " +
+    // 220 adds g4_iceberg_tail (the Iceberg twin of g4_delta_tail:
+    // tailIcebergInto polls readIcebergChanges per trigger, txn-marked
+    // with the metadata version — the format's monotonic clock — and a
+    // stale watermark clamps through the sink's recorded version)
+    assert(SparkEntry.queries.size == 220,
+      s"declared query count ${SparkEntry.queries.size} != documented 220 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

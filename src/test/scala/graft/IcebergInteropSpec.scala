@@ -1825,6 +1825,82 @@ class IcebergInteropSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("tailIcebergInto: metadata-version txn marker; a stale watermark never duplicates") {
+    val t = TxTable(spark, tmp("ice_tail_src"))
+    t.append(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"), tsMillis = 1000L)
+    val out = tmp("ice_tail_exp")
+    assert(IcebergInterop.exportIcebergIncremental(t, out, 5000L) == 1L)   // snap1
+    val v1Txt = new String(Files.readAllBytes(
+      Paths.get(out, "metadata", "v1.metadata.json")))
+    val snap1 = """"snapshot-id" : (\d+)""".r.findFirstMatchIn(v1Txt).get.group(1).toLong
+    val sink = TxTable(spark, tmp("ice_tail_sink"))
+    t.append(Seq((3L, 3.0)).toDF("id", "v"), tsMillis = 2000L)
+    assert(IcebergInterop.exportIcebergIncremental(t, out, 6000L) == 2L)   // snap2
+    val w1 = IcebergInterop.tailIcebergInto(spark, out, sink, snap1, 1000L)
+    assert(sink.read().select("id").as[Long].collect().toSeq == Seq(3L))
+    t.append(Seq((4L, 4.0)).toDF("id", "v"), tsMillis = 3000L)
+    assert(IcebergInterop.exportIcebergIncremental(t, out, 7000L) == 3L)   // snap3
+    // a restarted consumer re-polls with the STALE snap1 watermark: the
+    // sink's recorded metadata version clamps the range to snap2's head
+    val w2 = IcebergInterop.tailIcebergInto(spark, out, sink, snap1, 2000L)
+    assert(w2 != w1)
+    assert(sink.read().select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L),
+      "a stale watermark must not duplicate already-landed snapshots")
+    // a replayed trigger at the head is a no-op
+    assert(IcebergInterop.tailIcebergInto(spark, out, sink, w2, 3000L) == w2)
+    assert(sink.read().count() == 2L)
+  }
+
+  test("position deletes on day-transform and composite specs: per-tuple delete files, pruned reads") {
+    import java.sql.Timestamp
+    // day(ts) spec: ts stays physical, tuples are day ordinals
+    val t = TxTable(spark, tmp("ice_daydel"))
+    t.append(Seq((1L, Timestamp.valueOf("2024-03-01 08:00:00"), 1.0),
+        (2L, Timestamp.valueOf("2024-03-01 17:00:00"), 2.0))
+      .toDF("id", "ts", "v"), tsMillis = 1000L)
+    t.append(Seq((3L, Timestamp.valueOf("2024-03-02 09:00:00"), 3.0),
+        (4L, Timestamp.valueOf("2024-03-02 10:00:00"), 4.0))
+      .toDF("id", "ts", "v"), tsMillis = 2000L)
+    val out = tmp("ice_daydel_exp")
+    IcebergInterop.exportIcebergDays(t, out, "ts", tsMillis = 5000L)
+    // the delete's predicate spans one day; only that tuple's delete file lands
+    assert(IcebergInterop.deleteFromIceberg(spark, out,
+      col("id") === 1L || col("id") === 4L, 6000L) == 2L)
+    val dels = { val s = Files.list(Paths.get(out, "data", "deletes"))
+      try s.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally s.close() }
+    assert(dels == 2, s"two touched days → two delete files, got $dels")
+    assert(IcebergInterop.readIceberg(spark, out)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // day-ordinal pruned read composes with the deletes
+    val d1 = java.time.LocalDate.parse("2024-03-01").toEpochDay.toInt
+    val p1 = IcebergInterop.readIcebergPruned(spark, out,
+      keep = pv => pv.get("ts_day").exists {
+        case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt == d1
+        case i: Int           => i == d1
+        case _                => false
+      })
+    assert(p1.select("id").as[Long].collect().toSeq == Seq(2L))
+
+    // composite [day(ts), identity(k)]: both dims in the tuple, k projected
+    val t2 = TxTable(spark, tmp("ice_compdel"))
+    t2.append(Seq(
+        (1L, Timestamp.valueOf("2024-03-01 08:00:00"), "a", 1.0),
+        (2L, Timestamp.valueOf("2024-03-01 09:00:00"), "b", 2.0),
+        (3L, Timestamp.valueOf("2024-03-02 09:00:00"), "a", 3.0))
+      .toDF("id", "ts", "k", "v"), tsMillis = 1000L)
+    val out2 = tmp("ice_compdel_exp")
+    IcebergInterop.exportIcebergDayIdentity(t2, out2, "ts", "k", tsMillis = 5000L)
+    // predicate over the PROJECTED identity dimension
+    assert(IcebergInterop.deleteFromIceberg(spark, out2,
+      col("k") === "a" && col("v") < 2.0, 6000L) == 1L)
+    assert(IcebergInterop.readIceberg(spark, out2)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    assert(IcebergInterop.readIcebergPruned(spark, out2,
+        keep = pv => pv.get("k").contains("a"))
+      .select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("compaction on an identity-partitioned table rewrites survivors per partition") {
     val t = TxTable(spark, tmp("ice_pcompact"))
     t.append(Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0),
