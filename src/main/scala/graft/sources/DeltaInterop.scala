@@ -363,8 +363,9 @@ object DeltaInterop {
       rmNode.put("path", encodePath(rel))
       rmNode.put("deletionTimestamp", tsMillis)
       rmNode.put("dataChange", true)
-      // partitionValues on removes keep a partitioned mirror's history
-      // consumable by the change feed (absent keys refuse the fill)
+      // partitionValues on removes: protocol hygiene for foreign readers
+      // (the mirror retires the removed bytes in this same call, so the
+      // change feed refuses this range on missing bytes regardless)
       putPv(rmNode, partitionValuesOf(rel, snap.partCols).toMap)
       lines += m.writeValueAsString(r)
     }

@@ -2383,7 +2383,9 @@ object IcebergInterop {
     * the bound widens by one ulp — a too-tight bound would let
     * value-range pruning silently drop files holding matching rows. */
   private[sources] def safeIntegral(v: Double, isLower: Boolean): Long = {
-    val exact = math.abs(v) <= 9007199254740992.0 // 2^53
+    // STRICTLY below 2^53: a double of exactly ±2^53 can itself be the
+    // ties-to-even rounding of ±(2^53 + 1), so the boundary must widen too
+    val exact = math.abs(v) < 9007199254740992.0 // 2^53
     val adj = if (exact) v else if (isLower) v - Math.ulp(v) else v + Math.ulp(v)
     (if (isLower) math.floor(adj) else math.ceil(adj)).toLong
   }
@@ -3309,23 +3311,40 @@ object IcebergInterop {
     val appId = s"graft-iceberg-tail|$path"
     val metaDir = Paths.get(path).toAbsolutePath.resolve("metadata")
     require(Files.isDirectory(metaDir), s"no Iceberg table at $path (missing metadata/)")
+    def snapOf(ver: Long): Option[Long] = {
+      val f = metaDir.resolve(s"v$ver.metadata.json")
+      if (!Files.isRegularFile(f)) None
+      else Option(mapper.readTree(f.toFile).get("current-snapshot-id"))
+        .map(_.asLong).filter(_ != -1L)
+    }
     val from = sink.txnVersion(appId) match {
       case None => sinceSnapshotId
       case Some(recordedVersion) =>
-        val vFile = metaDir.resolve(s"v$recordedVersion.metadata.json")
-        require(Files.isRegularFile(vFile),
+        // the SINK's state is authoritative in BOTH directions: a caller
+        // behind it would duplicate, a caller ahead of it would leave a
+        // gap — so the recorded version resolves to its own snapshot
+        snapOf(recordedVersion).getOrElse(throw new IllegalArgumentException(
           s"tailIcebergInto($path): the sink's recorded watermark is " +
             s"metadata version $recordedVersion but v$recordedVersion" +
-            ".metadata.json has been pruned by metadata retention — " +
-            "cannot clamp a stale caller watermark; re-sync the sink " +
-            "from the full snapshot")
-        Option(mapper.readTree(vFile.toFile).get("current-snapshot-id"))
-          .map(_.asLong).filter(_ != -1L).getOrElse(sinceSnapshotId)
+            ".metadata.json has been pruned by metadata retention — a " +
+            "TxTable txn watermark never rewinds, so this sink cannot " +
+            "tail this table again; rebuild a FRESH sink from a full read"))
     }
-    val version = currentMetadataVersion(metaDir, path)
     val (head, delta) = readIcebergChanges(spark, path, from)
     if (head == from) return head
-    sink.append(delta, tsMillis = tsMillis, txn = Some((appId, version)))
+    // the txn marker must name the metadata version whose CURRENT
+    // snapshot is the head ACTUALLY READ — resolving after the read (and
+    // walking down from the latest version) guards the race where a
+    // producer commit lands between this poll's statements; marking with
+    // a version older than the appended rows would make the next poll's
+    // clamp re-read and duplicate them
+    var v = currentMetadataVersion(metaDir, path)
+    while (v > 0 && !snapOf(v).contains(head)) v -= 1
+    require(v > 0,
+      s"tailIcebergInto($path): no metadata version resolves to the " +
+        s"snapshot $head just read — metadata retention pruned it " +
+        "mid-poll; re-poll")
+    sink.append(delta, tsMillis = tsMillis, txn = Some((appId, v)))
     head
   }
 

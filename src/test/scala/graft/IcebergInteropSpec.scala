@@ -1849,6 +1849,14 @@ class IcebergInteropSpec extends SparkSpec {
     // a replayed trigger at the head is a no-op
     assert(IcebergInterop.tailIcebergInto(spark, out, sink, w2, 3000L) == w2)
     assert(sink.read().count() == 2L)
+    // the recorded txn version resolves to the head ACTUALLY read — the
+    // invariant that makes the clamp race-free when a producer commit
+    // lands mid-poll
+    val ver = sink.txnVersion(s"graft-iceberg-tail|$out").get
+    val vTxt = new String(Files.readAllBytes(
+      Paths.get(out, "metadata", s"v$ver.metadata.json")))
+    assert(s""""current-snapshot-id" : $w2""".r.findFirstIn(vTxt).nonEmpty,
+      s"txn version $ver must be the metadata version whose head is $w2")
   }
 
   test("position deletes on day-transform and composite specs: per-tuple delete files, pruned reads") {
