@@ -687,6 +687,41 @@ object DeltaInterop {
     assembleRead(spark, Paths.get(path), schema, meta.partCols, kept, meta.mapped)
   }
 
+  /** One POLL of a continuous Delta tail: read the rows appended in
+    * `(sinceVersion, head]` ([[readDeltaChanges]]' append-only contract)
+    * and commit them into the TxTable `sink` as ONE transactional append
+    * whose txn marker is the new watermark — so a re-poll after a crash
+    * (or a foreachBatch retry replaying the same trigger) re-lands as a
+    * no-op instead of duplicating rows: the consumer's watermark IS the
+    * sink's txn version, exactly-once by the same mechanism the
+    * streaming MERGE sink uses. Once the sink has recorded a txn
+    * version, that version is authoritative in BOTH directions
+    * (matching [[IcebergInterop.tailIcebergInto]]): `sinceVersion` is
+    * only consulted for a FRESH sink, so a caller watermark ahead of the
+    * sink cannot silently skip the gap versions. Returns the new
+    * watermark (unchanged when the head has not advanced — no commit).
+    *
+    * The production shape: a `foreachBatch` loop (or a plain scheduler
+    * tick) calls this with the last returned watermark; see the
+    * `g4_delta_tail` query for the wired-up form. */
+  def tailDeltaInto(spark: SparkSession, path: String, sink: TxTable,
+      sinceVersion: Long,
+      tsMillis: Long = System.currentTimeMillis()): Long = {
+    val appId = s"graft-delta-tail|$path"
+    // the SINK's recorded txn version is the authoritative watermark in
+    // BOTH directions (the tailIcebergInto stance): a caller restarting
+    // with a STALE (or lost, -1) watermark would re-read versions the
+    // sink already holds and duplicate their rows — the txn marker alone
+    // only guards an exact same-head replay — while a caller AHEAD of the
+    // recorded version would silently skip the gap versions (rows never
+    // land in the sink, lost forever)
+    val from = sink.txnVersion(appId).getOrElse(sinceVersion)
+    val (head, delta) = readDeltaChanges(spark, path, from)
+    if (head == from) return head
+    sink.append(delta, tsMillis = tsMillis, txn = Some((appId, head)))
+    head
+  }
+
   /** INCREMENTAL consumption of a Delta table: the rows appended in
     * versions `(sinceVersion, current]` — the daily "read only what's new"
     * pattern a downstream pipeline runs against a vendor's Delta feed
@@ -706,35 +741,6 @@ object DeltaInterop {
     *
     * @return (currentVersion, appended rows) — empty frame when the
     *   consumer is already at the head. */
-  /** One POLL of a continuous Delta tail: read the rows appended in
-    * `(sinceVersion, head]` ([[readDeltaChanges]]' append-only contract)
-    * and commit them into the TxTable `sink` as ONE transactional append
-    * whose txn marker is the new watermark — so a re-poll after a crash
-    * (or a foreachBatch retry replaying the same trigger) re-lands as a
-    * no-op instead of duplicating rows: the consumer's watermark IS the
-    * sink's txn version, exactly-once by the same mechanism the
-    * streaming MERGE sink uses. Returns the new watermark (unchanged
-    * when the head has not advanced — no commit).
-    *
-    * The production shape: a `foreachBatch` loop (or a plain scheduler
-    * tick) calls this with the last returned watermark; see the
-    * `g4_delta_tail` query for the wired-up form. */
-  def tailDeltaInto(spark: SparkSession, path: String, sink: TxTable,
-      sinceVersion: Long,
-      tsMillis: Long = System.currentTimeMillis()): Long = {
-    val appId = s"graft-delta-tail|$path"
-    // the SINK's recorded txn version is the authoritative watermark: a
-    // caller restarting with a stale (or lost, -1) watermark after the
-    // producer advanced would otherwise re-read versions the sink already
-    // holds and duplicate their rows — the txn marker alone only guards
-    // an exact same-head replay
-    val from = math.max(sinceVersion, sink.txnVersion(appId).getOrElse(-1L))
-    val (head, delta) = readDeltaChanges(spark, path, from)
-    if (head == from) return head
-    sink.append(delta, tsMillis = tsMillis, txn = Some((appId, head)))
-    head
-  }
-
   def readDeltaChanges(spark: SparkSession, path: String,
       sinceVersion: Long): (Long, DataFrame) = {
     val root = Paths.get(path)
@@ -1480,31 +1486,6 @@ object DeltaInterop {
       if (upgraded) Some(ColumnMappingUpgrade) else None, tsMillis)
   }
 
-  /** Row-level DELETE on a Delta table at `path`: commit a DELETION-VECTOR
-    * snapshot — the protocol's merge-on-read DELETE, what a modern
-    * engine's `DELETE FROM t WHERE …` with DVs enabled produces. No data
-    * file is rewritten: matching rows' positions serialize into one
-    * `deletion_vector_<uuid>.bin` (RoaringBitmapArray portable format,
-    * one blob per touched file, CRC-checked), and one new commit carries,
-    * per touched file, a `remove` of its previous entry plus an `add` of
-    * the SAME path with the new descriptor — stacked deletes UNION with
-    * the file's existing DV, so every commit's descriptor covers the
-    * file's full deleted set. The commit also raises the protocol to
-    * readerVersion 3 / writerVersion 7 with the `deletionVectors` feature,
-    * as the spec requires of DV-writing commits.
-    *
-    * The predicate evaluates against the LIVE view (existing DVs
-    * applied), so re-running the same delete matches nothing, commits
-    * nothing, and returns 0 — idempotent. Positions are computed by one
-    * distributed scan and the per-file bitmaps are BUILT ON EXECUTORS
-    * (groupByKey over the hit positions); the driver handles only the
-    * O(touched files) compressed blobs. Unpartitioned tables only,
-    * refused loudly (same stance as
-    * [[IcebergInterop.deleteFromIceberg]]); one writer at a time — the
-    * commit publishes with CREATE_NEW, so a racing writer fails loudly
-    * rather than clobbering.
-    *
-    * @return the number of newly deleted row positions (0 = no commit). */
   /** Scan `adds` into the LOGICAL schema with `(__gdv_file, __gdv_pos)`
     * provenance: a column-mapped table's files scan physically and alias
     * logically; a PARTITIONED table's partition columns — which live in
@@ -1551,6 +1532,31 @@ object DeltaInterop {
     }
   }
 
+  /** Row-level DELETE on a Delta table at `path`: commit a DELETION-VECTOR
+    * snapshot — the protocol's merge-on-read DELETE, what a modern
+    * engine's `DELETE FROM t WHERE …` with DVs enabled produces. No data
+    * file is rewritten: matching rows' positions serialize into one
+    * `deletion_vector_<uuid>.bin` (RoaringBitmapArray portable format,
+    * one blob per touched file, CRC-checked), and one new commit carries,
+    * per touched file, a `remove` of its previous entry plus an `add` of
+    * the SAME path with the new descriptor — stacked deletes UNION with
+    * the file's existing DV, so every commit's descriptor covers the
+    * file's full deleted set. The commit also raises the protocol to
+    * readerVersion 3 / writerVersion 7 with the `deletionVectors` feature,
+    * as the spec requires of DV-writing commits.
+    *
+    * The predicate evaluates against the LIVE view (existing DVs
+    * applied), so re-running the same delete matches nothing, commits
+    * nothing, and returns 0 — idempotent. Positions are computed by one
+    * distributed scan and the per-file bitmaps are BUILT ON EXECUTORS
+    * (groupByKey over the hit positions); the driver handles only the
+    * O(touched files) compressed blobs. Partitioned tables work — the
+    * predicate may name partition columns, reconstructed from the log's
+    * `partitionValues` (via a broadcast basename→tuple join) before
+    * evaluation. One writer at a time — the commit publishes with
+    * CREATE_NEW, so a racing writer fails loudly rather than clobbering.
+    *
+    * @return the number of newly deleted row positions (0 = no commit). */
   def deleteFromDelta(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column,
       tsMillis: Long = System.currentTimeMillis()): Long = {

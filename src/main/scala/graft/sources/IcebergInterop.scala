@@ -1032,31 +1032,33 @@ object IcebergInterop {
       .getOrElse(throw new IllegalArgumentException(
         s"Iceberg table $path current snapshot $curId is missing from the log"))
     val prevVersion = currentMetadataVersion(metaDir, path)
-    val (written, ids, eqSpecId, mintEmptySpec) = stageEqDelete(spark, root,
-      path, meta, snapNode, schema, keys, prevVersion, tsMillis,
-      "deleteFromIcebergByKey")
-    if (written.isEmpty) return 0L
-    val nKeys = written.map(_._2).sum
+    val staged = stageEqDelete(spark, root, path, meta, snapNode, schema,
+      keys, prevVersion, tsMillis, "deleteFromIcebergByKey")
+    if (staged.files.isEmpty) { staged.cleanup(); return 0L }
+    val nKeys = staged.rows
 
     val newSeq = Option(meta.get("last-sequence-number")).map(_.asLong)
       .getOrElse(0L) + 1
     val snapshotId = math.abs(java.util.UUID.nameUUIDFromBytes(
       (path + "|eqdelete|" + prevVersion + "|" +
-        written.map(_._1.getFileName).mkString(",")).getBytes("UTF-8"))
+        staged.files.map(_._2.getFileName).mkString(",")).getBytes("UTF-8"))
       .getMostSignificantBits)
     val m = mapper
     val manifestName = f"graft-e0-$snapshotId%d.avro"
+    // the staged parquets enter the table only now, immediately before
+    // the commit metadata — nothing orphans on an earlier failure
+    val written = staged.promote()
     writeDeleteManifest(metaDir.resolve(manifestName), snapshotId, newSeq,
       m.writeValueAsString(icebergSchema(m, schema,
         Option(meta.get("current-schema-id")).map(_.asInt).getOrElse(0))),
       written.map { case (p, rows, size) =>
         DeleteManifestFile(p.toUri.toString, rows, size) },
-      content = 2, equalityIds = Some(ids), specId = eqSpecId)
+      content = 2, equalityIds = Some(staged.ids), specId = staged.eqSpecId)
     commitV2DeleteSnapshot(path, root, metaDir, meta, curId, snapNode,
       prevVersion, snapshotId, newSeq, tsMillis, manifestName,
       addedFiles = written.size, addedRows = nKeys,
       summaryKey = "deleted-equality-keys", summaryVal = nKeys.toString,
-      manifestSpecId = eqSpecId, mintEmptySpec = mintEmptySpec)
+      manifestSpecId = staged.eqSpecId, mintEmptySpec = staged.mintEmptySpec)
     nKeys
   }
 
@@ -1065,13 +1067,14 @@ object IcebergInterop {
     * type match, renamed-column physical presence, identity-projected
     * partition sources refused), the spec selection (a partitioned
     * table's GLOBAL delete takes an unpartitioned spec — reused or
-    * minted), and the spec-shaped staged delete parquet(s) moved into
-    * `data/deletes/`. Returns (files `(path, rows, size)`, equality
-    * field-ids, the delete manifest's spec id, the spec id to mint). */
+    * minted), and the spec-shaped delete parquet(s) staged in a TEMP
+    * directory with their `data/deletes/` destinations planned — moved
+    * into the table only by [[StagedEqDelete.promote]], which the caller
+    * invokes immediately before writing the commit metadata. */
   private def stageEqDelete(spark: SparkSession, root: Path, path: String,
       meta: JsonNode, snapNode: JsonNode, schema: StructType,
       keys: DataFrame, prevVersion: Long, tsMillis: Long, caller: String)
-      : (Seq[(Path, Long, Long)], Seq[Int], Int, Option[Int]) = {
+      : StagedEqDelete = {
     import org.apache.spark.sql.functions.col
     val keyCols = keys.columns.toSeq
     require(keyCols.nonEmpty, s"$caller: the key frame has no columns")
@@ -1149,7 +1152,7 @@ object IcebergInterop {
     }.toIndexedSeq: _*)
     val delDir = root.resolve("data").resolve("deletes")
     val stage = Files.createTempDirectory("graft_ice_eqdel")
-    val written: Seq[(Path, Long, Long)] = try {
+    val planned: Seq[(Path, Path, Long)] = try {
       val key = "spark.sql.parquet.fieldId.write.enabled"
       val prev = spark.conf.getOption(key)
       spark.conf.set(key, "true")
@@ -1164,20 +1167,41 @@ object IcebergInterop {
           .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
           .map(p => (p, parquetRowCount(spark, p))).filter(_._2 > 0L).toSeq
         finally walk.close()
-      if (staged.isEmpty) Seq.empty
-      else {
-        Files.createDirectories(delDir)
-        staged.zipWithIndex.map { case ((p, rows), i) =>
-          val dst = delDir.resolve(
-            s"eqdelete-${java.util.UUID.nameUUIDFromBytes(
-              (path + "|v" + prevVersion + "|" + tsMillis + "|" + i)
-                .getBytes("UTF-8"))}.parquet")
-          Files.move(p, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          (dst, rows, Files.size(dst))
-        }
+      staged.zipWithIndex.map { case ((p, rows), i) =>
+        val dst = delDir.resolve(
+          s"eqdelete-${java.util.UUID.nameUUIDFromBytes(
+            (path + "|v" + prevVersion + "|" + tsMillis + "|" + i)
+              .getBytes("UTF-8"))}.parquet")
+        (p, dst, rows)
       }
-    } finally deleteRecursively(stage)
-    (written, ids, eqSpecId, mintEmptySpec)
+    } catch {
+      case e: Throwable => deleteRecursively(stage); throw e
+    }
+    StagedEqDelete(stage, planned, ids, eqSpecId, mintEmptySpec)
+  }
+
+  /** An equality delete staged OUTSIDE the table (a temp directory):
+    * [[stageEqDelete]] plans the final `data/deletes/` destinations but
+    * does not move anything — the caller calls [[promote]] only
+    * immediately before writing the commit metadata, so any failure in
+    * the rest of the staging (e.g. the data half of an upsert) aborts
+    * with NO bytes left inside the table directory (and a retried commit
+    * never collides with orphaned deterministic names). */
+  private final case class StagedEqDelete(stageDir: Path,
+      files: Seq[(Path, Path, Long)], ids: Seq[Int], eqSpecId: Int,
+      mintEmptySpec: Option[Int]) {
+    def rows: Long = files.map(_._3).sum
+    /** Move the staged parquets to their planned in-table destinations;
+      * returns `(dst, rows, size)` per file and removes the temp dir. */
+    def promote(): Seq[(Path, Long, Long)] =
+      try {
+        files.headOption.foreach(f => Files.createDirectories(f._2.getParent))
+        files.map { case (src, dst, nRows) =>
+          Files.move(src, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          (dst, nRows, Files.size(dst))
+        }
+      } finally cleanup()
+    def cleanup(): Unit = deleteRecursively(stageDir)
   }
 
   /** CDC UPSERT (the standard MERGE): commit `rows` into the Iceberg
@@ -1225,6 +1249,18 @@ object IcebergInterop {
           s"${ordered.schema(f.name).dataType} but the table column is " +
           s"${f.dataType} — cast to the exact table types first")
     }
+    keyCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"upsertIceberg: key column '$c' is not a table column"))
+    // the standard MERGE precondition (the mergeDelta guard): duplicate
+    // incoming keys would BOTH land in the append and both survive the
+    // same-sequence equality delete, silently breaking the
+    // live = latest-per-key contract — refuse loudly before staging
+    val incoming = ordered.localCheckpoint()
+    val dupKeys = incoming.groupBy(keyCols.map(col).toIndexedSeq: _*)
+      .count().where(col("count") > 1).count()
+    require(dupKeys == 0L,
+      s"upsertIceberg: $dupKeys duplicate key(s) in the incoming frame — " +
+        "MERGE with duplicate source keys is ambiguous; dedupe first")
     val curId = Option(meta.get("current-snapshot-id")).map(_.asLong)
       .filter(_ != -1L).getOrElse(throw new IllegalArgumentException(
         s"Iceberg table $path has no current snapshot — export first, then merge"))
@@ -1244,22 +1280,25 @@ object IcebergInterop {
     val identityCols = targetSpecIdentityCols(meta, path)
     val prevVersion = currentMetadataVersion(metaDir, path)
 
-    val (delWritten, ids, eqSpecId, mintEmptySpec) = stageEqDelete(spark,
+    val stagedDel = stageEqDelete(spark,
       root, path, meta, snapNode, schema,
-      ordered.select(keyCols.map(col).toIndexedSeq: _*).distinct(),
+      incoming.select(keyCols.map(col).toIndexedSeq: _*).distinct(),
       prevVersion, tsMillis, "upsertIceberg")
-    val nKeys = delWritten.map(_._2).sum
+    val nKeys = stagedDel.rows
 
     // stage the incoming rows as data files — per partition for identity
     // specs (the projected columns leave the bytes, exactly the layout
-    // the rest of the table has)
+    // the rest of the table has). Both halves stage in TEMP directories
+    // and move into the table together, immediately before the commit
+    // metadata — a failure anywhere in the staging aborts with no bytes
+    // left behind inside the table.
     val partFields = identityPartFields(schema, identityCols)
     val dataDir = root.resolve("data")
     val stage = Files.createTempDirectory("graft_ice_upsert")
-    val dataWritten: Seq[(String, Long, Long, Seq[Any])] = try {
+    val (delWritten, dataWritten) = try {
       if (identityCols.isEmpty)
-        ordered.write.mode("overwrite").parquet(stage.toString)
-      else ordered.write.mode("overwrite")
+        incoming.write.mode("overwrite").parquet(stage.toString)
+      else incoming.write.mode("overwrite")
         .partitionBy(identityCols: _*).parquet(stage.toString)
       val walk = Files.walk(stage)
       val staged = try walk.iterator().asScala
@@ -1267,7 +1306,10 @@ object IcebergInterop {
           .map(pp => (pp, parquetRowCount(spark, pp))).filter(_._2 > 0L)
           .toSeq.sortBy(_._1.toString)
         finally walk.close()
-      staged.zipWithIndex.map { case ((pp, rc), i) =>
+      require(staged.map(_._2).sum > 0,
+        "upsertIceberg: the incoming frame has no rows")
+      val dw = stagedDel.promote()
+      val moved = staged.zipWithIndex.map { case ((pp, rc), i) =>
         val relDir = Option(stage.relativize(pp).getParent)
           .map(_.toString).getOrElse("")
         val name = s"upsert-${java.util.UUID.nameUUIDFromBytes(
@@ -1279,9 +1321,11 @@ object IcebergInterop {
         Files.move(pp, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         (rel, rc, Files.size(dst), hivePartitionTuple(rel, partFields))
       }
+      (dw, moved)
+    } catch {
+      case e: Throwable => stagedDel.cleanup(); throw e
     } finally deleteRecursively(stage)
     val appended = dataWritten.map(_._2).sum
-    require(appended > 0, "upsertIceberg: the incoming frame has no rows")
 
     val newSeq = Option(meta.get("last-sequence-number")).map(_.asLong)
       .getOrElse(0L) + 1
@@ -1297,7 +1341,8 @@ object IcebergInterop {
       schemaJson,
       delWritten.map { case (pp, rc, size) =>
         DeleteManifestFile(pp.toUri.toString, rc, size) },
-      content = 2, equalityIds = Some(ids), specId = eqSpecId)
+      content = 2, equalityIds = Some(stagedDel.ids),
+      specId = stagedDel.eqSpecId)
     val dataManifest = f"graft-u0-$snapshotId%d.avro"
     writeManifest(metaDir.resolve(dataManifest), snapshotId, schemaJson,
       partFields,
@@ -1307,7 +1352,8 @@ object IcebergInterop {
       prevVersion, snapshotId, newSeq, tsMillis, delManifest,
       addedFiles = delWritten.size, addedRows = nKeys,
       summaryKey = "upserted-rows", summaryVal = appended.toString,
-      manifestSpecId = eqSpecId, mintEmptySpec = mintEmptySpec,
+      manifestSpecId = stagedDel.eqSpecId,
+      mintEmptySpec = stagedDel.mintEmptySpec,
       extraManifests = Seq(NewManifest(dataManifest, 0,
         Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0),
         dataWritten.size, appended)),
@@ -3273,23 +3319,6 @@ object IcebergInterop {
     }
   }
 
-  /** INCREMENTAL consumption of an Iceberg table: the rows appended in
-    * snapshots AFTER `sinceSnapshotId` up to the current snapshot — the
-    * Delta-side twin is [[DeltaInterop.readDeltaChanges]]; the consumer
-    * keeps the snapshot id as its watermark and advances it to the
-    * returned id after a successful sync.
-    *
-    * The changed file set derives from the snapshot lineage: walk the
-    * `parent-snapshot-id` chain from the current snapshot back to the
-    * watermark and diff each snapshot's live file set against its
-    * parent's. Append-only ranges only, checked loudly: a file REMOVED
-    * anywhere along the chain means compaction/rewrite landed — an
-    * append-only reconstruction would be wrong, so the caller re-syncs
-    * from the full snapshot ([[readIceberg]]). A watermark not on the
-    * current lineage (expired or orphaned snapshot) also fails loudly.
-    *
-    * @return (currentSnapshotId, appended rows) — empty frame when the
-    *   consumer is already at the head. */
   /** One POLL of a continuous Iceberg tail — the
     * [[DeltaInterop.tailDeltaInto]] twin: read the rows appended in
     * `(sinceSnapshotId, head]` ([[readIcebergChanges]]' append-only
@@ -3348,6 +3377,23 @@ object IcebergInterop {
     head
   }
 
+  /** INCREMENTAL consumption of an Iceberg table: the rows appended in
+    * snapshots AFTER `sinceSnapshotId` up to the current snapshot — the
+    * Delta-side twin is [[DeltaInterop.readDeltaChanges]]; the consumer
+    * keeps the snapshot id as its watermark and advances it to the
+    * returned id after a successful sync.
+    *
+    * The changed file set derives from the snapshot lineage: walk the
+    * `parent-snapshot-id` chain from the current snapshot back to the
+    * watermark and diff each snapshot's live file set against its
+    * parent's. Append-only ranges only, checked loudly: a file REMOVED
+    * anywhere along the chain means compaction/rewrite landed — an
+    * append-only reconstruction would be wrong, so the caller re-syncs
+    * from the full snapshot ([[readIceberg]]). A watermark not on the
+    * current lineage (expired or orphaned snapshot) also fails loudly.
+    *
+    * @return (currentSnapshotId, appended rows) — empty frame when the
+    *   consumer is already at the head. */
   def readIcebergChanges(spark: SparkSession, path: String,
       sinceSnapshotId: Long): (Long, DataFrame) = {
     val root = Paths.get(path).toAbsolutePath

@@ -1143,6 +1143,22 @@ class DeltaInteropSpec extends SparkSpec {
     assert(sink.read().count() == 5L)
   }
 
+  test("tailDeltaInto: a caller watermark AHEAD of the sink cannot skip gap versions") {
+    val t = sampleTable()
+    val out = tmp("delta_tail_ahead")
+    DeltaInterop.exportDelta(t, out, tsMillis = 5000L)                    // v0
+    val sink = TxTable(spark, tmp("delta_tail_ahead_sink"))
+    assert(DeltaInterop.tailDeltaInto(spark, out, sink, -1L, 1000L) == 0L)
+    t.append(Seq((9L, "z", 90.0)).toDF("id", "k", "v"), tsMillis = 2000L)
+    assert(DeltaInterop.exportDeltaIncremental(t, out, tsMillis = 6000L) == 1L) // v1
+    // the sink recorded v0; a buggy caller claiming v1 must NOT make the
+    // poll skip v1's rows — the sink's state is authoritative in BOTH
+    // directions (the tailIcebergInto stance)
+    assert(DeltaInterop.tailDeltaInto(spark, out, sink, 1L, 3000L) == 1L)
+    assert(sink.read().count() == 5L,
+      "the sink's recorded version is authoritative — gap versions must land")
+  }
+
   test("mergeDelta: DV'd pre-images + fresh adds in one commit; CDF update pairs") {
     val t = sampleTable()
     val out = tmp("delta_merge")

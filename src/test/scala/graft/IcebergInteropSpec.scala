@@ -2034,6 +2034,35 @@ class IcebergInteropSpec extends SparkSpec {
       s"got $edges")
   }
 
+  test("upsertIceberg: duplicate keys refuse; an aborted staging leaves no bytes in the table") {
+    val t = sampleTable()
+    val out = tmp("ice_upsert_guard")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+    def tableFiles(): Set[String] = {
+      val w = Files.walk(Paths.get(out))
+      try w.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(_.toString).toSet
+      finally w.close()
+    }
+    val before = tableFiles()
+    // the standard MERGE precondition (the mergeDelta guard): duplicate
+    // incoming keys would both survive the same-sequence delete
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.upsertIceberg(spark, out,
+        Seq((2L, "x", 1.0), (2L, "y", 2.0)).toDF("id", "k", "v"),
+        Seq("id"), 6000L)).getMessage.contains("duplicate"))
+    // an empty incoming frame aborts AFTER the eq-delete half staged;
+    // both halves stage in temp directories and move in only right
+    // before the commit metadata, so the table directory is untouched
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.upsertIceberg(spark, out,
+        Seq.empty[(Long, String, Double)].toDF("id", "k", "v"),
+        Seq("id"), 6000L)).getMessage.contains("no rows"))
+    assert(tableFiles() == before,
+      "a refused upsert must leave no bytes inside the table directory")
+    assert(IcebergInterop.readIceberg(spark, out).count() == 4L)
+  }
+
   test("upsertIceberg on an identity-partitioned table keeps the uniform projected layout") {
     val t = TxTable(spark, tmp("ice_upsert_part"))
     t.append(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
