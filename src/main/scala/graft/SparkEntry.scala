@@ -3370,6 +3370,137 @@ object SparkEntry {
     live.orderBy("event_id")
   }
 
+  /** Fixed export target for [[b5IcebergUpsertDays]] — oracle SQL globs
+    * the flat base files and the `ts_day=` upsert files separately. */
+  private val B5IcebergUpsertDaysPath =
+    "/root/repo/target/graft_export/b5_iceberg_upsert_days"
+
+  /** B5 — CDC UPSERT INTO THE day(ts)-PARTITIONED ICEBERG TABLE
+    * (round-11 verdict #2: day(ts) is the engine's own flagship layout
+    * and CDC-upsert-into-the-daily-fact-table is THE production write;
+    * upsertIceberg previously refused non-identity specs). Same
+    * one-commit global-eq-delete + append semantics as
+    * [[b5IcebergUpsert]]; each incoming row's day ordinal derives
+    * TIMEZONE-INDEPENDENTLY (epoch-micros floor division — the day
+    * exports' rule), the staged files group under `ts_day=` directories
+    * with ts staying PHYSICAL (a day transform is pruning metadata, not
+    * Column Projection), and the manifest carries the derived day tuples
+    * so date pruning composes with the upsert. Updates keep their day;
+    * inserts land in BRAND-NEW day partitions (ts shifted +400 days),
+    * certifying derivation for days the table has never seen. In-query
+    * certificates: (keys, appended) counts, live ≡ latest-per-key over
+    * old ∪ new (bit-exact), and a tuple-pruned day read applying the
+    * upsert's eq-delete inside the partition. The DuckDB oracle replays
+    * the MERGE from the bytes alone: survivors = base files' rows whose
+    * key is absent from the upsert files, union the upsert rows. */
+  private def b5IcebergUpsertDays(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergInterop, TxTable}
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
+    val t = TxTable(s, txTpl(s, dir, "b5_days"))
+    HarnessFixtures.stagedExport(s, dir, B5IcebergUpsertDaysPath) {
+      IcebergInterop.exportIcebergDays(t, B5IcebergUpsertDaysPath, "ts",
+        tsMillis = 5000L)
+    }
+    val base = HarnessFixtures.memoFrame(s, s"b5days_base|$dir")(
+      t.read().select(cols.map(col).toIndexedSeq: _*).localCheckpoint())
+    val upd = base.where(col("event_id") % 5 === 0)
+      .withColumn("value", col("value") + lit(1000.0))
+      .select(cols.map(col).toIndexedSeq: _*)
+    val ins = base.where(col("event_id") % 500 === 0)
+      .withColumn("event_id", col("event_id") + lit(10000000L))
+      .withColumn("ts", col("ts") + expr("INTERVAL 400 DAYS"))
+      .select(cols.map(col).toIndexedSeq: _*)
+    val up = upd.unionByName(ins).localCheckpoint()
+    val (updN, insN) = (upd.count(), ins.count())
+    val (nk, na) = IcebergInterop.upsertIceberg(s, B5IcebergUpsertDaysPath,
+      up, Seq("event_id"), tsMillis = 6000L)
+    require(nk == updN + insN && na == updN + insN,
+      s"b5_iceberg_upsert_days: committed ($nk keys, $na rows), " +
+        s"expected ${updN + insN}")
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val expected = base.where(col("event_id") % 5 =!= 0).unionByName(up)
+    val live = IcebergInterop.readIceberg(s, B5IcebergUpsertDaysPath)
+      .select(cols.map(col).toIndexedSeq: _*).localCheckpoint()
+    require(sig(live) == sig(expected),
+      "b5_iceberg_upsert_days: live view diverges from latest-per-key " +
+        "over old ∪ new")
+    // ONE tuple-pruned day read: the upsert's eq-delete applies INSIDE
+    // the pruned partition and updated rows surface in their day (the
+    // session zone is pinned UTC, matching the spec's day() derivation)
+    val day = java.sql.Date.valueOf("2024-01-05")
+    val pruned = IcebergInterop.readIcebergPruned(s, B5IcebergUpsertDaysPath,
+        keep = pv => pv.get("ts_day").contains(day))
+      .select(cols.map(col).toIndexedSeq: _*)
+    require(sig(pruned) == sig(expected.where(col("ts").cast("date") === lit(day))),
+      "b5_iceberg_upsert_days: the pruned day must apply the upsert's delete")
+    live.orderBy("event_id")
+  }
+
+  /** Fixed export target for [[b5DeltaMergePart]] — oracle SQL globs the
+    * `day=` partition dirs with hive_partitioning; merge files tell
+    * themselves apart by name. */
+  private val B5DeltaMergePartPath =
+    "/root/repo/target/graft_export/b5_delta_merge_part"
+
+  /** B5 — MERGE INTO THE DAY-PARTITIONED DELTA TABLE (the
+    * [[b5IcebergUpsertDays]] twin):
+    * [[graft.sources.DeltaInterop.mergeDelta]] on the date-partitioned
+    * events export — the matched pre-images take deletion vectors inside
+    * their partitions (the DV re-adds restate honest partitionValues)
+    * and the incoming rows stage per partition, landing in their
+    * (possibly brand-new) day directories. Updates keep their day;
+    * inserts land in NEW day partitions. In-query certificates:
+    * (superseded, appended) counts, live ≡ latest-per-key over old ∪ new
+    * (bit-exact), and a pruned read of one day composing that
+    * partition's DVs with its merge files. The DuckDB oracle replays the
+    * merge from the bytes (hive_partitioning reconstructs day). */
+  private def b5DeltaMergePart(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaInterop, TxTable}
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts", "day")
+    val t = TxTable(s, txTpl(s, dir, "b5_part"))
+    HarnessFixtures.stagedExport(s, dir, B5DeltaMergePartPath) {
+      DeltaInterop.exportDelta(t, B5DeltaMergePartPath, tsMillis = 5000L)
+    }
+    val base = HarnessFixtures.memoFrame(s, s"b5part_src|$dir")(
+      t.read().select(cols.map(col).toIndexedSeq: _*).localCheckpoint())
+    val upd = base.where(col("event_id") % 10 === 0)
+      .withColumn("value", col("value") + lit(1000.0))
+      .select(cols.map(col).toIndexedSeq: _*)
+    val ins = base.where(col("event_id") % 1000 === 0)
+      .withColumn("event_id", col("event_id") + lit(10000000L))
+      .withColumn("ts", col("ts") + expr("INTERVAL 400 DAYS"))
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .select(cols.map(col).toIndexedSeq: _*)
+    val up = upd.unionByName(ins).localCheckpoint()
+    val (updN, insN) = (upd.count(), ins.count())
+    val (sup, app) = DeltaInterop.mergeDelta(s, B5DeltaMergePartPath,
+      up, Seq("event_id"), tsMillis = 6000L)
+    require(sup == updN && app == updN + insN,
+      s"b5_delta_merge_part: committed ($sup superseded, $app appended), " +
+        s"expected ($updN, ${updN + insN})")
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val expected = base.where(col("event_id") % 10 =!= 0).unionByName(up)
+    val live = DeltaInterop.readDelta(s, B5DeltaMergePartPath)
+      .select(cols.map(col).toIndexedSeq: _*).localCheckpoint()
+    require(sig(live) == sig(expected),
+      "b5_delta_merge_part: live view diverges from latest-per-key over " +
+        "old ∪ new")
+    // pruned read of one day: the partition's DVs and its merge files
+    // compose behind the pruner
+    val pruned = DeltaInterop.readDeltaPruned(s, B5DeltaMergePartPath,
+        keep = pv => pv.get("day").flatten.contains("2024-01-05"))
+      .select(cols.map(col).toIndexedSeq: _*)
+    require(sig(pruned) == sig(expected.where(col("day") === "2024-01-05")),
+      "b5_delta_merge_part: the pruned day must compose DVs with merge files")
+    live.orderBy("event_id")
+  }
+
   /** Fixed export target for [[b5DeltaMerge]] — oracle SQL globs it. */
   private val B5DeltaMergePath = "/root/repo/target/graft_export/b5_delta_merge"
 
@@ -6384,7 +6515,9 @@ object SparkEntry {
     "b5_delta_part_delete" -> (b5DeltaPartDelete _),
     "b5_bounds_skipping" -> (b5BoundsSkipping _),
     "b5_iceberg_upsert" -> (b5IcebergUpsert _),
+    "b5_iceberg_upsert_days" -> (b5IcebergUpsertDays _),
     "b5_delta_merge" -> (b5DeltaMerge _),
+    "b5_delta_merge_part" -> (b5DeltaMergePart _),
     "b5_delta_read_dv"   -> (b5DeltaReadDv _),
     "b5_delta_rename"    -> (b5DeltaRename _),
     "b5_delta_vacuum"    -> (b5DeltaVacuum _),
@@ -7035,6 +7168,33 @@ object SparkEntry {
         |  SELECT event_id, user_id, event_type, value, ts FROM oldr
         |  WHERE event_id NOT IN (SELECT event_id FROM newr)
         |  UNION ALL SELECT event_id, user_id, event_type, value, ts FROM newr)
+        |ORDER BY event_id""".stripMargin,
+    // the day-spec MERGE replayed from the bytes: base files sit flat
+    // under data/, the upsert's files under their derived ts_day= dirs
+    "b5_iceberg_upsert_days" ->
+      """WITH newr AS (
+        |  SELECT event_id, user_id, event_type, value, ts
+        |  FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_upsert_days/data/ts_day=*/*.parquet')),
+        |oldr AS (
+        |  SELECT event_id, user_id, event_type, value, ts
+        |  FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_upsert_days/data/*.parquet'))
+        |SELECT event_id, user_id, event_type, value, ts FROM (
+        |  SELECT event_id, user_id, event_type, value, ts FROM oldr
+        |  WHERE event_id NOT IN (SELECT event_id FROM newr)
+        |  UNION ALL SELECT event_id, user_id, event_type, value, ts FROM newr)
+        |ORDER BY event_id""".stripMargin,
+    "b5_delta_merge_part" ->
+      """WITH allr AS (
+        |  SELECT event_id, user_id, event_type, value, ts,
+        |         CAST(day AS VARCHAR) AS day, filename
+        |  FROM parquet_scan('/root/repo/target/graft_export/b5_delta_merge_part/day=*/*.parquet',
+        |                    hive_partitioning=1, filename=1)),
+        |newr AS (SELECT * FROM allr WHERE filename LIKE '%/merge-%'),
+        |oldr AS (SELECT * FROM allr WHERE filename NOT LIKE '%/merge-%')
+        |SELECT event_id, user_id, event_type, value, ts, day FROM (
+        |  SELECT event_id, user_id, event_type, value, ts, day FROM oldr
+        |  WHERE event_id NOT IN (SELECT event_id FROM newr)
+        |  UNION ALL SELECT event_id, user_id, event_type, value, ts, day FROM newr)
         |ORDER BY event_id""".stripMargin,
     // the per-file bounds are pruning metadata DuckDB ignores harmlessly
     // (cross-engine readable); the oracle recomputes the range predicate

@@ -1180,6 +1180,13 @@ object IcebergInterop {
     StagedEqDelete(stage, planned, ids, eqSpecId, mintEmptySpec)
   }
 
+  /** One field of the default partition spec as [[upsertIceberg]] stages
+    * it: the manifest-facing [[PartField]] (a day field's dataType is
+    * DATE, the transform's result type), the SOURCE column it derives
+    * from, and the transform name. */
+  private final case class UpsertSpecField(pf: PartField, srcCol: String,
+      transform: String)
+
   /** An equality delete staged OUTSIDE the table (a temp directory):
     * [[stageEqDelete]] plans the final `data/deletes/` destinations but
     * does not move anything — the caller calls [[promote]] only
@@ -1215,11 +1222,16 @@ object IcebergInterop {
     * table simply insert (their delete matches nothing).
     *
     * `rows` must carry the table's exact schema (every column, exact
-    * types). Partitioned tables: IDENTITY specs are supported — the new
-    * files stage per partition under the same Hive layout (projected
-    * columns stay out of the bytes, tuples ride the manifest), so the
-    * table keeps ONE uniform layout; non-identity transforms refuse
-    * (their staged tuples are not derivable here). The snapshot's
+    * types). Partitioned tables: IDENTITY and DAY specs are supported
+    * (and their composites). Identity fields stage per partition under
+    * the same Hive layout (projected columns stay out of the bytes,
+    * tuples ride the manifest) so the table keeps ONE uniform layout; a
+    * day(ts) field derives each incoming row's day ordinal
+    * timezone-independently (epoch-micros floor division — the rule the
+    * day exports use) purely as directory grouping + manifest tuples,
+    * the source timestamp staying physical in the bytes. Other
+    * transforms refuse (their staged tuples are not derivable here). The
+    * snapshot's
     * operation is `overwrite` (rows are replaced): the CHANGELOG
     * consumer replays it as the protocol's delete+insert pair, while
     * the append-only reader refuses loudly by design.
@@ -1268,16 +1280,47 @@ object IcebergInterop {
       .flatMap(_.elements().asScala.find(_.get("snapshot-id").asLong == curId))
       .getOrElse(throw new IllegalArgumentException(
         s"Iceberg table $path current snapshot $curId is missing from the log"))
-    // identity specs keep the table's uniform Column-Projected layout;
-    // other transforms cannot derive their staged tuples here
-    val partFieldsMeta = defaultSpecFields(meta)
-    partFieldsMeta.foreach { f =>
+    // identity fields keep the table's uniform Column-Projected layout;
+    // day(ts) fields derive each incoming row's day the same
+    // timezone-independent way the day exports do (epoch-micros floor
+    // division, never the session zone). Other transforms cannot derive
+    // their staged tuples here.
+    val idToName = schemaFieldIdToName(meta, path)
+    val specFields: Seq[UpsertSpecField] = defaultSpecFields(meta).map { f =>
       val tr = Option(f.get("transform")).map(_.asText).getOrElse("identity")
-      require(tr == "identity",
+      require(tr == "identity" || tr == "day",
         s"upsertIceberg: the table at $path partitions with transform " +
-          s"'$tr' — only identity specs are supported by this writer")
+          s"'$tr' — identity and day specs are supported by this writer")
+      val sid = f.get("source-id").asInt
+      val srcCol = idToName.getOrElse(sid, throw new IllegalArgumentException(
+        s"upsertIceberg: the partition spec of $path references unknown field-id $sid"))
+      val fName = Option(f.get("name")).map(_.asText).getOrElse(srcCol)
+      val fieldId = Option(f.get("field-id")).map(_.asInt).getOrElse(1000)
+      if (tr == "identity") {
+        require(fName == srcCol,
+          s"upsertIceberg: identity partition field '$fName' of $path is " +
+            s"named differently from its source column '$srcCol' — the " +
+            "Hive staging cannot reproduce that layout")
+        require(Seq(StringType, IntegerType, LongType, BooleanType, DateType)
+            .contains(schema(srcCol).dataType),
+          s"upsertIceberg: identity partition column '$srcCol' has type " +
+            s"${schema(srcCol).dataType} — string/int/long/boolean/date only")
+        UpsertSpecField(PartField(srcCol, schema(srcCol).dataType,
+          sourceId = schema.fieldNames.indexOf(srcCol) + 1,
+          fieldId = fieldId), srcCol, tr)
+      } else {
+        require(schema(srcCol).dataType == TimestampType ||
+            schema(srcCol).dataType == DateType,
+          s"upsertIceberg: day partition source '$srcCol' of $path has " +
+            s"type ${schema(srcCol).dataType} — day() applies to timestamp/date")
+        require(!schema.fieldNames.contains(fName),
+          s"upsertIceberg: the derived day partition field '$fName' of " +
+            s"$path collides with a table column")
+        UpsertSpecField(PartField(fName, DateType,
+          sourceId = schema.fieldNames.indexOf(srcCol) + 1,
+          fieldId = fieldId, transform = "day"), srcCol, tr)
+      }
     }
-    val identityCols = targetSpecIdentityCols(meta, path)
     val prevVersion = currentMetadataVersion(metaDir, path)
 
     val stagedDel = stageEqDelete(spark,
@@ -1286,20 +1329,35 @@ object IcebergInterop {
       prevVersion, tsMillis, "upsertIceberg")
     val nKeys = stagedDel.rows
 
-    // stage the incoming rows as data files — per partition for identity
-    // specs (the projected columns leave the bytes, exactly the layout
-    // the rest of the table has). Both halves stage in TEMP directories
-    // and move into the table together, immediately before the commit
-    // metadata — a failure anywhere in the staging aborts with no bytes
-    // left behind inside the table.
-    val partFields = identityPartFields(schema, identityCols)
+    // stage the incoming rows as data files — per partition for
+    // partitioned specs: identity columns leave the bytes (the table's
+    // Column-Projected layout) while a day field's DERIVED date column
+    // groups the directories and leaves the bytes, its source timestamp
+    // staying physical (non-identity transforms are pruning metadata).
+    // Both halves stage in TEMP directories and move into the table
+    // together, immediately before the commit metadata — a failure
+    // anywhere in the staging aborts with no bytes left behind inside
+    // the table.
+    val partFields = specFields.map(_.pf)
     val dataDir = root.resolve("data")
     val stage = Files.createTempDirectory("graft_ice_upsert")
     val (delWritten, dataWritten) = try {
-      if (identityCols.isEmpty)
-        incoming.write.mode("overwrite").parquet(stage.toString)
-      else incoming.write.mode("overwrite")
-        .partitionBy(identityCols: _*).parquet(stage.toString)
+      val stagedFrame = specFields.filter(_.transform == "day")
+        .foldLeft(incoming) { (df, sf) =>
+          import org.apache.spark.sql.functions.{date_add, floor, lit, unix_micros}
+          val dayVal = schema(sf.srcCol).dataType match {
+            case TimestampType => date_add(
+              lit(java.sql.Date.valueOf("1970-01-01")),
+              floor(unix_micros(col(sf.srcCol)) / lit(86400000000L)).cast("int"))
+            case _ => col(sf.srcCol)
+          }
+          df.withColumn(sf.pf.name, dayVal)
+        }
+      val stageCols = specFields.map(_.pf.name)
+      if (stageCols.isEmpty)
+        stagedFrame.write.mode("overwrite").parquet(stage.toString)
+      else stagedFrame.write.mode("overwrite")
+        .partitionBy(stageCols: _*).parquet(stage.toString)
       val walk = Files.walk(stage)
       val staged = try walk.iterator().asScala
           .filter(pp => Files.isRegularFile(pp) && pp.toString.endsWith(".parquet"))

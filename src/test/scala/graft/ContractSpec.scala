@@ -219,8 +219,15 @@ class ContractSpec extends AnyFunSuite {
     // tailIcebergInto polls readIcebergChanges per trigger, txn-marked
     // with the metadata version — the format's monotonic clock — and a
     // stale watermark clamps through the sink's recorded version)
-    assert(SparkEntry.queries.size == 220,
-      s"declared query count ${SparkEntry.queries.size} != documented 220 — " +
+    // 222 adds the PARTITIONED CDC upserts (round-12 verdict #2):
+    // b5_iceberg_upsert_days (upsertIceberg onto the day(ts) spec — the
+    // engine's flagship layout; derived day tuples, ts physical, inserts
+    // land in brand-new day partitions) and b5_delta_merge_part
+    // (mergeDelta on the date-partitioned export — DVs inside their
+    // partitions, merge files in possibly-new day dirs); both oracles
+    // replay MERGE from the bytes alone
+    assert(SparkEntry.queries.size == 222,
+      s"declared query count ${SparkEntry.queries.size} != documented 222 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

@@ -2096,6 +2096,90 @@ class IcebergInteropSpec extends SparkSpec {
       .getMessage.contains("not physically"))
   }
 
+  test("upsertIceberg onto a day(ts) spec: derived day tuples, pruning, physical ts") {
+    def ts(v: String) = java.sql.Timestamp.valueOf(v)
+    val t = TxTable(spark, tmp("ice_upsert_days"))
+    // per-day appends — the single-day-file layout the day export requires
+    t.append(Seq((1L, ts("2024-01-01 10:00:00"), 1.0),
+        (2L, ts("2024-01-01 11:00:00"), 2.0)).toDF("id", "ts", "v").coalesce(1),
+      tsMillis = 1000L)
+    t.append(Seq((3L, ts("2024-01-02 10:00:00"), 3.0)).toDF("id", "ts", "v")
+      .coalesce(1), tsMillis = 1001L)
+    val out = tmp("ice_upsert_days_exp")
+    IcebergInterop.exportIcebergDays(t, out, "ts", tsMillis = 5000L)
+    // id 2 UPDATES and moves to a brand-new day; id 9 INSERTS — one commit
+    val up = Seq((2L, ts("2024-01-03 09:00:00"), 20.0),
+      (9L, ts("2024-01-02 12:00:00"), 90.0)).toDF("id", "ts", "v")
+    val (nk, na) = IcebergInterop.upsertIceberg(spark, out, up, Seq("id"), 6000L)
+    assert((nk, na) == ((2L, 2L)))
+    val live = IcebergInterop.readIceberg(spark, out)
+    assert(live.orderBy("id").as[(Long, java.sql.Timestamp, Double)].collect().toSeq ==
+      Seq((1L, ts("2024-01-01 10:00:00"), 1.0), (2L, ts("2024-01-03 09:00:00"), 20.0),
+        (3L, ts("2024-01-02 10:00:00"), 3.0), (9L, ts("2024-01-02 12:00:00"), 90.0)))
+    // the day tuples rode the manifest: tuple-pruned reads see the new
+    // rows in their derived days, with the eq-delete applied inside them
+    def prunedIds(day: String): Seq[Long] = IcebergInterop.readIcebergPruned(
+      spark, out, keep = pv =>
+        pv.get("ts_day").contains(java.sql.Date.valueOf(day)))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(prunedIds("2024-01-03") == Seq(2L))
+    assert(prunedIds("2024-01-02") == Seq(3L, 9L))
+    assert(prunedIds("2024-01-01") == Seq(1L), "the old id-2 row must be eq-deleted")
+    // the staged files keep ts PHYSICAL (a day transform is pruning
+    // metadata, not Column Projection) and group under ts_day= dirs
+    val upsertFiles = Files.walk(Paths.get(out, "data")).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("upsert-")).toSeq
+    assert(upsertFiles.nonEmpty && upsertFiles.forall(_.toString.contains("ts_day=")))
+    upsertFiles.foreach { p =>
+      val cols = spark.read.parquet(p.toString).columns.toSet
+      assert(cols == Set("id", "ts", "v"), s"$p carries $cols")
+    }
+    // a second upsert replaces a just-upserted key (strictly newer sequence)
+    val (nk2, na2) = IcebergInterop.upsertIceberg(spark, out,
+      Seq((9L, ts("2024-01-05 00:00:00"), 91.0)).toDF("id", "ts", "v"), Seq("id"), 7000L)
+    assert((nk2, na2) == ((1L, 1L)))
+    assert(prunedIds("2024-01-05") == Seq(9L) && prunedIds("2024-01-02") == Seq(3L))
+  }
+
+  test("upsertIceberg onto a composite day+identity spec keeps both layouts") {
+    def ts(v: String) = java.sql.Timestamp.valueOf(v)
+    val t = TxTable(spark, tmp("ice_upsert_comp"))
+    t.append(Seq((1L, ts("2024-01-01 10:00:00"), "a", 1.0),
+        (2L, ts("2024-01-01 11:00:00"), "b", 2.0),
+        (3L, ts("2024-01-02 10:00:00"), "a", 3.0))
+      .toDF("id", "ts", "k", "v"), tsMillis = 1000L)
+    val out = tmp("ice_upsert_comp_exp")
+    IcebergInterop.exportIcebergDayIdentity(t, out, "ts", "k", tsMillis = 5000L)
+    val up = Seq((2L, ts("2024-01-03 09:00:00"), "c", 20.0),
+      (7L, ts("2024-01-01 12:00:00"), "a", 7.0)).toDF("id", "ts", "k", "v")
+    val (nk, na) = IcebergInterop.upsertIceberg(spark, out, up, Seq("id"), 6000L)
+    assert((nk, na) == ((2L, 2L)))
+    val live = IcebergInterop.readIceberg(spark, out)
+    assert(live.orderBy("id").as[(Long, java.sql.Timestamp, String, Double)]
+      .collect().toSeq == Seq(
+        (1L, ts("2024-01-01 10:00:00"), "a", 1.0),
+        (2L, ts("2024-01-03 09:00:00"), "c", 20.0),
+        (3L, ts("2024-01-02 10:00:00"), "a", 3.0),
+        (7L, ts("2024-01-01 12:00:00"), "a", 7.0)))
+    // identity column k is PROJECTED out of the staged bytes, ts stays
+    val upsertFiles = Files.walk(Paths.get(out, "data")).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("upsert-")).toSeq
+    assert(upsertFiles.nonEmpty && upsertFiles.forall(p =>
+      p.toString.contains("ts_day=") && p.toString.contains("k=")))
+    upsertFiles.foreach { p =>
+      val cols = spark.read.parquet(p.toString).columns.toSet
+      assert(cols == Set("id", "ts", "v"), s"$p carries $cols")
+    }
+    // two-dimensional tuple pruning composes with the upsert's eq-delete
+    val pruned = IcebergInterop.readIcebergPruned(spark, out,
+      tuple => (tuple("ts_day"), tuple("k")) match {
+        case (d: java.sql.Date, k: String) =>
+          d == java.sql.Date.valueOf("2024-01-01") && k == "a"
+        case _ => true
+      })
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 7L))
+  }
+
   test("changelog over a partitioned table: insert and delete edges fill projected columns") {
     val t = TxTable(spark, tmp("ice_pclog"))
     t.append(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "k", "v"),
