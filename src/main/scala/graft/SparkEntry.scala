@@ -3439,6 +3439,73 @@ object SparkEntry {
     live.orderBy("event_id")
   }
 
+  /** Fixed export target for [[b5IcebergEvolve]] — oracle SQL unions the
+    * flat spec-0 bytes with the day-dir spec-1 bytes. */
+  private val B5IcebergEvolvePath =
+    "/root/repo/target/graft_export/b5_iceberg_evolve"
+
+  /** B5 — PARTITION SPEC EVOLUTION (round-11 verdict "missing" #2: real
+    * Iceberg tables change specs over time and carry files under
+    * multiple spec-ids, resolved per manifest — readers must not assume
+    * one uniform layout). The staged fixture exports the EVEN half of
+    * events flat (spec 0) and evolves the default spec to day(ts) via
+    * [[graft.sources.IcebergInterop.evolveIcebergSpecDay]] — a
+    * METADATA-ONLY commit, nothing rewrites. The timed operation appends
+    * the ODD half UNDER THE NEW SPEC
+    * ([[graft.sources.IcebergInterop.appendIceberg]]: derived ts_day
+    * dirs + manifest tuples) and reads across both eras. In-query
+    * certificates: live ≡ the full event set (bit-exact), and a
+    * day-pruned read that keeps spec-0 files CONSERVATIVELY (their
+    * tuples carry no day to prune by) while pruning the day era from the
+    * manifests alone — sig ≡ the row-filter recomputation AND a strictly
+    * smaller file list. DuckDB oracle: the union of the two eras'
+    * bytes. */
+  private def b5IcebergEvolve(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergInterop, TxTable}
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
+    val t = TxTable(s, txTpl(s, dir, "b5_z"))
+    val base = HarnessFixtures.memoFrame(s, s"b5z_base|$dir")(
+      t.read().select(cols.map(col).toIndexedSeq: _*).localCheckpoint())
+    HarnessFixtures.stagedExport(s, dir, B5IcebergEvolvePath) {
+      val halfTbl = TxTable(s, java.nio.file.Files
+        .createTempDirectory("graft_evolve_src").toString)
+      halfTbl.append(base.where(col("event_id") % 2 === 0), tsMillis = 1000L)
+      IcebergInterop.exportIceberg(halfTbl, B5IcebergEvolvePath, tsMillis = 5000L)
+      require(IcebergInterop.evolveIcebergSpecDay(s, B5IcebergEvolvePath,
+          "ts", tsMillis = 6000L) == 1,
+        "b5_iceberg_evolve: the evolution must mint spec 1")
+    }
+    // the operation under test: the odd half lands UNDER THE EVOLVED SPEC
+    val odd = base.where(col("event_id") % 2 === 1)
+    require(IcebergInterop.appendIceberg(s, B5IcebergEvolvePath, odd,
+        tsMillis = 7000L) == odd.count(),
+      "b5_iceberg_evolve: the append must commit exactly the odd half")
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val liveRaw = IcebergInterop.readIceberg(s, B5IcebergEvolvePath)
+      .select(cols.map(col).toIndexedSeq: _*)
+    val liveFiles = liveRaw.inputFiles.length // before the checkpoint hides the scan
+    val live = liveRaw.localCheckpoint()
+    require(sig(live) == sig(base),
+      "b5_iceberg_evolve: the live view must union both eras bit-exactly")
+    // pruned read across the evolution: spec-0 files keep conservatively,
+    // the day era prunes from the manifests alone
+    val day = java.sql.Date.valueOf("2024-01-05")
+    val pruned = IcebergInterop.readIcebergPruned(s, B5IcebergEvolvePath,
+        keep = pv => pv.get("ts_day").contains(day))
+      .select(cols.map(col).toIndexedSeq: _*)
+    val expected = base.where(col("event_id") % 2 === 0 ||
+      col("ts").cast("date") === lit(day))
+    require(sig(pruned) == sig(expected),
+      "b5_iceberg_evolve: the cross-era pruned read diverges")
+    require(pruned.inputFiles.length < liveFiles,
+      "b5_iceberg_evolve: day pruning must shrink the file list across " +
+        "the evolution")
+    live.orderBy("event_id")
+  }
+
   /** Fixed export target for [[b5DeltaMergePart]] — oracle SQL globs the
     * `day=` partition dirs with hive_partitioning; merge files tell
     * themselves apart by name. */
@@ -6516,6 +6583,7 @@ object SparkEntry {
     "b5_bounds_skipping" -> (b5BoundsSkipping _),
     "b5_iceberg_upsert" -> (b5IcebergUpsert _),
     "b5_iceberg_upsert_days" -> (b5IcebergUpsertDays _),
+    "b5_iceberg_evolve" -> (b5IcebergEvolve _),
     "b5_delta_merge" -> (b5DeltaMerge _),
     "b5_delta_merge_part" -> (b5DeltaMergePart _),
     "b5_delta_read_dv"   -> (b5DeltaReadDv _),
@@ -7182,6 +7250,16 @@ object SparkEntry {
         |  SELECT event_id, user_id, event_type, value, ts FROM oldr
         |  WHERE event_id NOT IN (SELECT event_id FROM newr)
         |  UNION ALL SELECT event_id, user_id, event_type, value, ts FROM newr)
+        |ORDER BY event_id""".stripMargin,
+    // both eras of the evolved table: spec-0 bytes flat under data/,
+    // spec-1 bytes under their derived ts_day= dirs
+    "b5_iceberg_evolve" ->
+      """SELECT event_id, user_id, event_type, value, ts FROM (
+        |  SELECT event_id, user_id, event_type, value, ts
+        |  FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_evolve/data/*.parquet')
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_type, value, ts
+        |  FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_evolve/data/ts_day=*/*.parquet'))
         |ORDER BY event_id""".stripMargin,
     "b5_delta_merge_part" ->
       """WITH allr AS (

@@ -1187,6 +1187,53 @@ object IcebergInterop {
   private final case class UpsertSpecField(pf: PartField, srcCol: String,
       transform: String)
 
+  /** The default partition spec as STAGEABLE fields — the row-writing
+    * commits' ([[upsertIceberg]], [[appendIceberg]]) shape: identity
+    * fields keep the table's uniform Column-Projected layout; day(ts)
+    * fields derive each incoming row's day the same timezone-independent
+    * way the day exports do (epoch-micros floor division, never the
+    * session zone). Other transforms cannot derive their staged tuples
+    * here and refuse loudly. */
+  private def stageableSpecFields(meta: JsonNode, schema: StructType,
+      path: String, caller: String): Seq[UpsertSpecField] = {
+    val idToName = schemaFieldIdToName(meta, path)
+    defaultSpecFields(meta).map { f =>
+      val tr = Option(f.get("transform")).map(_.asText).getOrElse("identity")
+      require(tr == "identity" || tr == "day",
+        s"$caller: the table at $path partitions with transform " +
+          s"'$tr' — identity and day specs are supported by this writer")
+      val sid = f.get("source-id").asInt
+      val srcCol = idToName.getOrElse(sid, throw new IllegalArgumentException(
+        s"$caller: the partition spec of $path references unknown field-id $sid"))
+      val fName = Option(f.get("name")).map(_.asText).getOrElse(srcCol)
+      val fieldId = Option(f.get("field-id")).map(_.asInt).getOrElse(1000)
+      if (tr == "identity") {
+        require(fName == srcCol,
+          s"$caller: identity partition field '$fName' of $path is " +
+            s"named differently from its source column '$srcCol' — the " +
+            "Hive staging cannot reproduce that layout")
+        require(Seq(StringType, IntegerType, LongType, BooleanType, DateType)
+            .contains(schema(srcCol).dataType),
+          s"$caller: identity partition column '$srcCol' has type " +
+            s"${schema(srcCol).dataType} — string/int/long/boolean/date only")
+        UpsertSpecField(PartField(srcCol, schema(srcCol).dataType,
+          sourceId = schema.fieldNames.indexOf(srcCol) + 1,
+          fieldId = fieldId), srcCol, tr)
+      } else {
+        require(schema(srcCol).dataType == TimestampType ||
+            schema(srcCol).dataType == DateType,
+          s"$caller: day partition source '$srcCol' of $path has " +
+            s"type ${schema(srcCol).dataType} — day() applies to timestamp/date")
+        require(!schema.fieldNames.contains(fName),
+          s"$caller: the derived day partition field '$fName' of " +
+            s"$path collides with a table column")
+        UpsertSpecField(PartField(fName, DateType,
+          sourceId = schema.fieldNames.indexOf(srcCol) + 1,
+          fieldId = fieldId, transform = "day"), srcCol, tr)
+      }
+    }
+  }
+
   /** An equality delete staged OUTSIDE the table (a temp directory):
     * [[stageEqDelete]] plans the final `data/deletes/` destinations but
     * does not move anything — the caller calls [[promote]] only
@@ -1280,47 +1327,7 @@ object IcebergInterop {
       .flatMap(_.elements().asScala.find(_.get("snapshot-id").asLong == curId))
       .getOrElse(throw new IllegalArgumentException(
         s"Iceberg table $path current snapshot $curId is missing from the log"))
-    // identity fields keep the table's uniform Column-Projected layout;
-    // day(ts) fields derive each incoming row's day the same
-    // timezone-independent way the day exports do (epoch-micros floor
-    // division, never the session zone). Other transforms cannot derive
-    // their staged tuples here.
-    val idToName = schemaFieldIdToName(meta, path)
-    val specFields: Seq[UpsertSpecField] = defaultSpecFields(meta).map { f =>
-      val tr = Option(f.get("transform")).map(_.asText).getOrElse("identity")
-      require(tr == "identity" || tr == "day",
-        s"upsertIceberg: the table at $path partitions with transform " +
-          s"'$tr' — identity and day specs are supported by this writer")
-      val sid = f.get("source-id").asInt
-      val srcCol = idToName.getOrElse(sid, throw new IllegalArgumentException(
-        s"upsertIceberg: the partition spec of $path references unknown field-id $sid"))
-      val fName = Option(f.get("name")).map(_.asText).getOrElse(srcCol)
-      val fieldId = Option(f.get("field-id")).map(_.asInt).getOrElse(1000)
-      if (tr == "identity") {
-        require(fName == srcCol,
-          s"upsertIceberg: identity partition field '$fName' of $path is " +
-            s"named differently from its source column '$srcCol' — the " +
-            "Hive staging cannot reproduce that layout")
-        require(Seq(StringType, IntegerType, LongType, BooleanType, DateType)
-            .contains(schema(srcCol).dataType),
-          s"upsertIceberg: identity partition column '$srcCol' has type " +
-            s"${schema(srcCol).dataType} — string/int/long/boolean/date only")
-        UpsertSpecField(PartField(srcCol, schema(srcCol).dataType,
-          sourceId = schema.fieldNames.indexOf(srcCol) + 1,
-          fieldId = fieldId), srcCol, tr)
-      } else {
-        require(schema(srcCol).dataType == TimestampType ||
-            schema(srcCol).dataType == DateType,
-          s"upsertIceberg: day partition source '$srcCol' of $path has " +
-            s"type ${schema(srcCol).dataType} — day() applies to timestamp/date")
-        require(!schema.fieldNames.contains(fName),
-          s"upsertIceberg: the derived day partition field '$fName' of " +
-            s"$path collides with a table column")
-        UpsertSpecField(PartField(fName, DateType,
-          sourceId = schema.fieldNames.indexOf(srcCol) + 1,
-          fieldId = fieldId, transform = "day"), srcCol, tr)
-      }
-    }
+    val specFields = stageableSpecFields(meta, schema, path, "upsertIceberg")
     val prevVersion = currentMetadataVersion(metaDir, path)
 
     val stagedDel = stageEqDelete(spark,
@@ -1419,6 +1426,214 @@ object IcebergInterop {
     (nKeys, appended)
   }
 
+  /** Plain INSERT INTO: commit `rows` as ONE `append` snapshot under the
+    * table's CURRENT default partition spec — identity and day fields,
+    * the same staging rules as [[upsertIceberg]] (identity columns leave
+    * the bytes as Column Projection, a day field's ordinal derives
+    * timezone-independently and rides the manifest as pruning metadata).
+    * Nothing is deleted or replaced, so the append-only incremental
+    * reader and the changelog both replay it as inserts. After a
+    * [[evolveIcebergSpecDay]] spec evolution this is how new data lands
+    * under the NEW layout while older files stay under theirs.
+    *
+    * `rows` must carry the table's exact schema. Returns rows appended. */
+  def appendIceberg(spark: SparkSession, path: String, rows: DataFrame,
+      tsMillis: Long = System.currentTimeMillis()): Long = {
+    import org.apache.spark.sql.functions.col
+    val root = Paths.get(path).toAbsolutePath
+    val metaDir = root.resolve("metadata")
+    require(Files.isDirectory(metaDir), s"no Iceberg table at $path (missing metadata/)")
+    val meta = currentMetadata(metaDir, path)
+    val fv = meta.get("format-version").asInt
+    require(fv == 1 || fv == 2,
+      s"Iceberg table $path has format-version $fv — only v1/v2 are supported")
+    val schema = currentSparkSchema(meta, path)
+    require(rows.columns.toSet == schema.fieldNames.toSet,
+      s"appendIceberg: the incoming rows must carry the table's exact " +
+        s"columns (${schema.fieldNames.mkString(",")}); got " +
+        s"${rows.columns.mkString(",")}")
+    val ordered = rows.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    schema.fields.foreach { f =>
+      require(ordered.schema(f.name).dataType == f.dataType,
+        s"appendIceberg: column '${f.name}' is " +
+          s"${ordered.schema(f.name).dataType} but the table column is " +
+          s"${f.dataType} — cast to the exact table types first")
+    }
+    val curId = Option(meta.get("current-snapshot-id")).map(_.asLong)
+      .filter(_ != -1L).getOrElse(throw new IllegalArgumentException(
+        s"Iceberg table $path has no current snapshot — export first, then append"))
+    val snapNode = Option(meta.get("snapshots"))
+      .flatMap(_.elements().asScala.find(_.get("snapshot-id").asLong == curId))
+      .getOrElse(throw new IllegalArgumentException(
+        s"Iceberg table $path current snapshot $curId is missing from the log"))
+    val specFields = stageableSpecFields(meta, schema, path, "appendIceberg")
+    val prevVersion = currentMetadataVersion(metaDir, path)
+
+    val partFields = specFields.map(_.pf)
+    val dataDir = root.resolve("data")
+    val stage = Files.createTempDirectory("graft_ice_append")
+    val dataWritten: Seq[(String, Long, Long, Seq[Any])] = try {
+      val stagedFrame = specFields.filter(_.transform == "day")
+        .foldLeft(ordered) { (df, sf) =>
+          import org.apache.spark.sql.functions.{date_add, floor, lit, unix_micros}
+          val dayVal = schema(sf.srcCol).dataType match {
+            case TimestampType => date_add(
+              lit(java.sql.Date.valueOf("1970-01-01")),
+              floor(unix_micros(col(sf.srcCol)) / lit(86400000000L)).cast("int"))
+            case _ => col(sf.srcCol)
+          }
+          df.withColumn(sf.pf.name, dayVal)
+        }
+      val stageCols = specFields.map(_.pf.name)
+      if (stageCols.isEmpty)
+        stagedFrame.write.mode("overwrite").parquet(stage.toString)
+      else stagedFrame.write.mode("overwrite")
+        .partitionBy(stageCols: _*).parquet(stage.toString)
+      val walk = Files.walk(stage)
+      val staged = try walk.iterator().asScala
+          .filter(pp => Files.isRegularFile(pp) && pp.toString.endsWith(".parquet"))
+          .map(pp => (pp, parquetRowCount(spark, pp))).filter(_._2 > 0L)
+          .toSeq.sortBy(_._1.toString)
+        finally walk.close()
+      require(staged.map(_._2).sum > 0,
+        "appendIceberg: the incoming frame has no rows")
+      staged.zipWithIndex.map { case ((pp, rc), i) =>
+        val relDir = Option(stage.relativize(pp).getParent)
+          .map(_.toString).getOrElse("")
+        val name = s"append-${java.util.UUID.nameUUIDFromBytes(
+          (path + "|append|v" + prevVersion + "|" + tsMillis + "|" + i)
+            .getBytes("UTF-8"))}.parquet"
+        val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+        val dst = dataDir.resolve(rel)
+        Files.createDirectories(dst.getParent)
+        Files.move(pp, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        (rel, rc, Files.size(dst), hivePartitionTuple(rel, partFields))
+      }
+    } finally deleteRecursively(stage)
+    val appended = dataWritten.map(_._2).sum
+
+    val newSeq = Option(meta.get("last-sequence-number")).map(_.asLong)
+      .getOrElse(0L) + 1
+    val snapshotId = math.abs(java.util.UUID.nameUUIDFromBytes(
+      (path + "|append|" + prevVersion + "|" +
+        dataWritten.map(_._1).mkString(",")).getBytes("UTF-8"))
+      .getMostSignificantBits)
+    val m = mapper
+    val schemaJson = m.writeValueAsString(icebergSchema(m, schema,
+      Option(meta.get("current-schema-id")).map(_.asInt).getOrElse(0)))
+    val dataManifest = f"graft-a0-$snapshotId%d.avro"
+    writeManifest(metaDir.resolve(dataManifest), snapshotId, schemaJson,
+      partFields,
+      dataWritten.map { case (rel, rc, size, tuple) =>
+        ManifestFile(dataDir.resolve(rel).toUri.toString, size, rc, tuple) })
+    commitV2DeleteSnapshot(path, root, metaDir, meta, curId, snapNode,
+      prevVersion, snapshotId, newSeq, tsMillis, dataManifest,
+      addedFiles = dataWritten.size, addedRows = appended,
+      summaryKey = "added-records", summaryVal = appended.toString,
+      manifestSpecId = Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0),
+      operation = "append", primaryContent = 0)
+    appended
+  }
+
+  /** PARTITION SPEC EVOLUTION, metadata-only commit (no snapshot — no
+    * data changes): make `day(tsCol)` the table's DEFAULT partition spec.
+    * Existing data files stay under their original spec-ids — manifests
+    * resolve their own spec at read time, the format's contract — and
+    * only FUTURE writes ([[appendIceberg]], [[upsertIceberg]]) stage
+    * under the new layout; a pruner keeps old-era files conservatively
+    * (their tuples carry no day to prune by).
+    *
+    * Supported evolution keeps the PHYSICAL layout unchanged: the current
+    * default spec must carry no identity fields (evolving identity
+    * projection would make old and new files disagree on their physical
+    * columns — the shape the uniform-fill reader refuses by design), and
+    * non-identity sources are physical in every era's files already.
+    *
+    * @return the new spec id (also now the default-spec-id). */
+  def evolveIcebergSpecDay(spark: SparkSession, path: String, tsCol: String,
+      tsMillis: Long = System.currentTimeMillis()): Int = {
+    val root = Paths.get(path).toAbsolutePath
+    val metaDir = root.resolve("metadata")
+    require(Files.isDirectory(metaDir), s"no Iceberg table at $path (missing metadata/)")
+    val meta = currentMetadata(metaDir, path)
+    val fv = meta.get("format-version").asInt
+    require(fv == 1 || fv == 2,
+      s"Iceberg table $path has format-version $fv — only v1/v2 are supported")
+    val schema = currentSparkSchema(meta, path)
+    require(schema.fieldNames.contains(tsCol),
+      s"evolveIcebergSpecDay: '$tsCol' is not a column of the table at $path")
+    require(schema(tsCol).dataType == TimestampType ||
+        schema(tsCol).dataType == DateType,
+      s"evolveIcebergSpecDay: '$tsCol' has type ${schema(tsCol).dataType} — " +
+        "day() applies to timestamp/date columns only")
+    defaultSpecFields(meta).foreach { f =>
+      val tr = Option(f.get("transform")).map(_.asText).getOrElse("identity")
+      require(tr != "identity",
+        s"evolveIcebergSpecDay: the table at $path currently partitions " +
+          "by an IDENTITY field — evolving away from identity projection " +
+          "would make old and new files disagree on their physical " +
+          "columns; rewrite the table instead")
+    }
+    val dayName = s"${tsCol}_day"
+    require(!schema.fieldNames.contains(dayName),
+      s"evolveIcebergSpecDay: the derived day partition field '$dayName' " +
+        s"collides with a column of the table at $path")
+    val nameToId = schemaFieldIdToName(meta, path).map(_.swap)
+    val specsById = partitionSpecsById(meta)
+    // the new default already IS [day(tsCol)]? refuse the no-op loudly
+    val curShape = defaultSpecFields(meta).map(f => (
+      Option(f.get("transform")).map(_.asText).getOrElse("identity"),
+      Option(f.get("source-id")).map(_.asInt).getOrElse(-1)))
+    require(curShape != Seq(("day", nameToId(tsCol))),
+      s"evolveIcebergSpecDay: the table at $path already defaults to " +
+        s"[day($tsCol)] — refusing to commit a no-op")
+    val newSpecId = (specsById.keys ++ Seq(0)).max + 1
+    val maxPartFieldId = specsById.values.flatten
+      .flatMap(f => Option(f.get("field-id")).map(_.asInt)).foldLeft(999)(math.max)
+    val newFieldId = math.max(
+      Option(meta.get("last-partition-id")).map(_.asInt).getOrElse(999),
+      maxPartFieldId) + 1
+
+    val m = mapper
+    val rootNode = meta.deepCopy[ObjectNode]()
+    // materialize the modern partition-specs array (a legacy-only table
+    // carries just the v1 `partition-spec` field — seed spec 0 from it)
+    if (!rootNode.hasNonNull("partition-specs")) {
+      val specs = rootNode.putArray("partition-specs")
+      val spec0 = m.createObjectNode()
+      spec0.put("spec-id", 0)
+      val fields = spec0.putArray("fields")
+      Option(rootNode.get("partition-spec")).foreach(
+        _.elements().asScala.foreach(f => fields.add(f.deepCopy[JsonNode]())))
+      specs.add(spec0)
+    }
+    val newField = m.createObjectNode()
+    newField.put("name", dayName)
+    newField.put("transform", "day")
+    newField.put("source-id", nameToId(tsCol))
+    newField.put("field-id", newFieldId)
+    val newSpec = m.createObjectNode()
+    newSpec.put("spec-id", newSpecId)
+    newSpec.putArray("fields").add(newField)
+    rootNode.get("partition-specs").asInstanceOf[ArrayNode].add(newSpec)
+    rootNode.put("default-spec-id", newSpecId)
+    rootNode.put("last-partition-id", newFieldId)
+    // the v1 legacy field mirrors the DEFAULT spec when present
+    // ([[defaultSpecFields]] cross-checks the two for agreement)
+    if (rootNode.hasNonNull("partition-spec")) {
+      val legacy = rootNode.putArray("partition-spec")
+      legacy.add(newField.deepCopy[JsonNode]())
+    }
+    rootNode.put("last-updated-ms", tsMillis)
+    val newVersion = currentMetadataVersion(metaDir, path) + 1
+    Files.write(metaDir.resolve(s"v$newVersion.metadata.json"),
+      Seq(m.writerWithDefaultPrettyPrinter().writeValueAsString(rootNode)).asJava,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    Files.write(metaDir.resolve("version-hint.text"),
+      Seq(newVersion.toString).asJava)
+    newSpecId
+  }
+
   /** spec-id → spec fields for every spec the metadata lists (modern
     * `partition-specs`; a legacy-only table maps its single spec to id
     * 0). */
@@ -1454,7 +1669,7 @@ object IcebergInterop {
       summaryKey: String, summaryVal: String,
       manifestSpecId: Int = 0, mintEmptySpec: Option[Int] = None,
       extraManifests: Seq[NewManifest] = Seq.empty,
-      operation: String = "delete"): Unit = {
+      operation: String = "delete", primaryContent: Int = 1): Unit = {
     val m = mapper
     val prevList = resolveUri(root, snapNode.get("manifest-list").asText)
     val carried = readAvro(prevList).map { r =>
@@ -1497,7 +1712,7 @@ object IcebergInterop {
     val listName = f"snap-$snapshotId%d.avro"
     val manifestLen = Files.size(metaDir.resolve(manifestName))
     writeManifestListV2(metaDir.resolve(listName),
-      carried ++ (NewManifest(manifestName, 1, manifestSpecId,
+      carried ++ (NewManifest(manifestName, primaryContent, manifestSpecId,
         addedFiles, addedRows) +: extraManifests).map { nm =>
         ManifestListEntry(
           metaDir.resolve(nm.name).toUri.toString,
@@ -1651,6 +1866,17 @@ object IcebergInterop {
         s"at $path carries ${eqDeletes.size}) — every pre-delete file would " +
         "need rewriting with the strictly-newer-sequence rule applied; " +
         "re-export the live view instead")
+    // after a spec evolution live files ride SEVERAL spec-ids; the carry
+    // half of this rewrite re-lists entries under ONE manifest header, so
+    // mixed-spec tables refuse rather than silently re-shaping tuples
+    val rwDefaultSpec = Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0)
+    dataFiles.find(_.specId != rwDefaultSpec).foreach { e =>
+      throw new IllegalArgumentException(
+        s"$what: the table at $path carries data files under multiple " +
+          s"partition specs (${e.resolved.getFileName} rides spec " +
+          s"${e.specId}, default is $rwDefaultSpec) — rewriting across a " +
+          "spec evolution would need per-era tuple re-derivation; unsupported")
+    }
     if (dataFiles.isEmpty) return (0, 0L)
     if (!rewriteAll && deleteFiles.isEmpty) return (0, 0L)
     val delFrameOpt = positionDeleteFrame(spark, path, dataFiles, deleteFiles)
@@ -2820,10 +3046,16 @@ object IcebergInterop {
     // position deletes for pruned-out files drop out naturally in the
     // delete-frame join below — prune-to-superset stays correct
     val fieldNames = defaultSpecFields(meta).map(_.get("name").asText)
+    val defaultSpecId = Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0)
     val keptByTuple = pruner match {
       case None => dataFiles
       case Some(keep) =>
-        dataFiles.filter(e => keep(decodePartitionTuple(e.partition, fieldNames)))
+        // SPEC EVOLUTION: a file whose manifest rides a DIFFERENT spec-id
+        // than the default carries a tuple the pruner's field names cannot
+        // interpret — keep it conservatively (prune-to-superset stays
+        // correct; the caller's exact row filter decides)
+        dataFiles.filter(e => e.specId != defaultSpecId ||
+          keep(decodePartitionTuple(e.partition, fieldNames)))
     }
     // VALUE-RANGE skipping over the manifests' lower/upper bounds: only
     // files whose recorded range INTERSECTS every predicate are kept;
@@ -2855,8 +3087,6 @@ object IcebergInterop {
     val keptDeletes = pruner match {
       case None => deleteFiles
       case Some(keep) =>
-        val defaultSpecId = Option(meta.get("default-spec-id"))
-          .map(_.asInt).getOrElse(0)
         deleteFiles.filter { d =>
           d.partition == null || d.partition.getSchema.getFields.isEmpty ||
             d.specId != defaultSpecId ||
@@ -3118,7 +3348,8 @@ object IcebergInterop {
     * sequence number (0 for v1-era files, per the spec's upgrade rule). */
   private case class DataEntry(resolved: Path, uri: String,
       partition: GenericRecord, seq: Long, rows: Long, size: Long,
-      bounds: Map[Int, (Array[Byte], Array[Byte])] = Map.empty)
+      bounds: Map[Int, (Array[Byte], Array[Byte])] = Map.empty,
+      specId: Int = 0)
 
   /** One live POSITION-DELETE file: resolved path, delete sequence, its
     * manifest-recorded partition tuple (null/empty for global deletes),
@@ -3227,7 +3458,8 @@ object IcebergInterop {
             df.get("record_count").asInstanceOf[Long],
             df.get("file_size_in_bytes").asInstanceOf[Long],
             lows.keySet.intersect(highs.keySet)
-              .map(k => k -> (lows(k), highs(k))).toMap)
+              .map(k => k -> (lows(k), highs(k))).toMap,
+            specId = listSpecId)
         }
       }
     }

@@ -226,8 +226,13 @@ class ContractSpec extends AnyFunSuite {
     // (mergeDelta on the date-partitioned export — DVs inside their
     // partitions, merge files in possibly-new day dirs); both oracles
     // replay MERGE from the bytes alone
-    assert(SparkEntry.queries.size == 222,
-      s"declared query count ${SparkEntry.queries.size} != documented 222 — " +
+    // 223 adds b5_iceberg_evolve (round-12 verdict #3: PARTITION SPEC
+    // EVOLUTION — evolveIcebergSpecDay makes day(ts) the default spec as
+    // a metadata-only commit, appendIceberg lands new rows under the new
+    // spec, and reads resolve each manifest's spec-id: day-era files
+    // prune from tuples, old-era files keep conservatively)
+    assert(SparkEntry.queries.size == 223,
+      s"declared query count ${SparkEntry.queries.size} != documented 223 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

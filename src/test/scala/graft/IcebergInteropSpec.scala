@@ -2141,6 +2141,55 @@ class IcebergInteropSpec extends SparkSpec {
     assert(prunedIds("2024-01-05") == Seq(9L) && prunedIds("2024-01-02") == Seq(3L))
   }
 
+  test("partition spec evolution: flat -> day(ts), eras read and prune per spec-id") {
+    def ts(v: String) = java.sql.Timestamp.valueOf(v)
+    val t = TxTable(spark, tmp("ice_evolve"))
+    t.append(Seq((1L, ts("2024-01-01 10:00:00"), 1.0),
+        (2L, ts("2024-01-02 10:00:00"), 2.0)).toDF("id", "ts", "v").coalesce(1),
+      tsMillis = 1000L)
+    val out = tmp("ice_evolve_exp")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)          // spec 0: flat
+    // INSERT INTO under spec 0 (still flat)
+    assert(IcebergInterop.appendIceberg(spark, out,
+      Seq((3L, ts("2024-01-03 10:00:00"), 3.0)).toDF("id", "ts", "v"), 6000L) == 1L)
+    // evolve: day(ts) becomes the DEFAULT spec; nothing rewrites
+    assert(IcebergInterop.evolveIcebergSpecDay(spark, out, "ts", 7000L) == 1)
+    // INSERT INTO under spec 1: derived ts_day dirs, tuples ride the manifest
+    assert(IcebergInterop.appendIceberg(spark, out,
+      Seq((4L, ts("2024-01-04 10:00:00"), 4.0),
+        (5L, ts("2024-01-01 09:00:00"), 5.0)).toDF("id", "ts", "v"), 8000L) == 2L)
+    val live = IcebergInterop.readIceberg(spark, out)
+    assert(live.orderBy("id").as[(Long, java.sql.Timestamp, Double)].collect().toSeq ==
+      Seq((1L, ts("2024-01-01 10:00:00"), 1.0), (2L, ts("2024-01-02 10:00:00"), 2.0),
+        (3L, ts("2024-01-03 10:00:00"), 3.0), (4L, ts("2024-01-04 10:00:00"), 4.0),
+        (5L, ts("2024-01-01 09:00:00"), 5.0)))
+    // pruning resolves PER SPEC-ID: the day-era file for 01-01 prunes out,
+    // old-era files (whose tuples carry no day) keep CONSERVATIVELY
+    val pruned = IcebergInterop.readIcebergPruned(spark, out,
+      keep = pv => pv.get("ts_day").contains(java.sql.Date.valueOf("2024-01-04")))
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(pruned.inputFiles.length < live.inputFiles.length,
+      "day-era pruning must shrink the file list across the evolution")
+    // evolving to the spec the table already defaults to refuses loudly
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.evolveIcebergSpecDay(spark, out, "ts", 9000L))
+      .getMessage.contains("no-op"))
+    // the MERGE stages under the evolved spec: old-era id 2 eq-deletes,
+    // its replacement lands in its derived day partition
+    val (nk, na) = IcebergInterop.upsertIceberg(spark, out,
+      Seq((2L, ts("2024-01-05 00:00:00"), 20.0)).toDF("id", "ts", "v"),
+      Seq("id"), 10000L)
+    assert((nk, na) == ((1L, 1L)))
+    assert(IcebergInterop.readIcebergPruned(spark, out,
+        keep = pv => pv.get("ts_day").contains(java.sql.Date.valueOf("2024-01-05")))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L),
+      "old-era files keep conservatively, the eq-delete applies inside them")
+    // rewriting across a spec evolution refuses (per-era tuples)
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.rewriteIcebergData(spark, out, tsMillis = 11000L))
+      .getMessage.contains("spec"))
+  }
+
   test("upsertIceberg onto a composite day+identity spec keeps both layouts") {
     def ts(v: String) = java.sql.Timestamp.valueOf(v)
     val t = TxTable(spark, tmp("ice_upsert_comp"))
