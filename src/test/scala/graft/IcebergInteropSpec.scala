@@ -2141,6 +2141,63 @@ class IcebergInteropSpec extends SparkSpec {
     assert(prunedIds("2024-01-05") == Seq(9L) && prunedIds("2024-01-02") == Seq(3L))
   }
 
+  test("bucket/truncate mirrors maintain incrementally: new batches rewrite into their values") {
+    val t = TxTable(spark, tmp("ice_bucket_incr"))
+    t.append(Seq((1L, "aa", 1.0), (2L, "bb", 2.0), (3L, "cc", 3.0))
+      .toDF("id", "k", "v"), tsMillis = 1000L)
+    val out = tmp("ice_bucket_incr_exp")
+    assert(IcebergInterop.exportIcebergBucketedIncremental(t, out, "id", 4, 5000L) == 1L)
+    // identical mirror: no new snapshot
+    assert(IcebergInterop.exportIcebergBucketedIncremental(t, out, "id", 4, 5500L) == 1L)
+    t.append(Seq((4L, "dd", 4.0), (5L, "ee", 5.0)).toDF("id", "k", "v"),
+      tsMillis = 2000L)
+    assert(IcebergInterop.exportIcebergBucketedIncremental(t, out, "id", 4, 6000L) == 2L)
+    val live = IcebergInterop.readIceberg(spark, out)
+    assert(live.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "aa", 1.0), (2L, "bb", 2.0), (3L, "cc", 3.0),
+        (4L, "dd", 4.0), (5L, "ee", 5.0)))
+    // BUCKET PURITY across both snapshots: every row's spec hash matches
+    // its file's directory
+    val impure = spark.read.parquet(s"$out/data")
+      .select(col("id"), col("_metadata.file_path").as("__p"),
+        graft.functions.IcebergTransforms.bucket(4, col("id")).as("__b"))
+      .where(!col("__p").contains(
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("id_bucket="), col("__b"))))
+      .count()
+    assert(impure == 0L, s"$impure row(s) outside their spec bucket")
+    // tuple-pruned read composes across snapshots
+    val b5 = IcebergInterop.readIceberg(spark, out)
+      .where(graft.functions.IcebergTransforms.bucket(4, col("id")) === 1)
+      .count()
+    assert(b5 >= 0L) // the hash landscape is opaque; purity above is the pin
+    // a DIFFERENT bucket width refuses (spec mismatch)
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.exportIcebergBucketedIncremental(t, out, "id", 8, 7000L))
+      .getMessage.contains("re-export"))
+    // source history rewrite (delete) removes mirrored files — refuses
+    t.delete(col("id") === 1L, tsMillis = 3000L)
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.exportIcebergBucketedIncremental(t, out, "id", 4, 8000L))
+      .getMessage.contains("re-export from scratch"))
+
+    // the truncate twin over a string prefix
+    val t2 = TxTable(spark, tmp("ice_trunc_incr"))
+    t2.append(Seq((1L, "alpha", 1.0), (2L, "beta", 2.0)).toDF("id", "k", "v"),
+      tsMillis = 1000L)
+    val out2 = tmp("ice_trunc_incr_exp")
+    assert(IcebergInterop.exportIcebergTruncatedIncremental(t2, out2, "k", 2, 5000L) == 1L)
+    t2.append(Seq((3L, "alto", 3.0)).toDF("id", "k", "v"), tsMillis = 2000L)
+    assert(IcebergInterop.exportIcebergTruncatedIncremental(t2, out2, "k", 2, 6000L) == 2L)
+    assert(IcebergInterop.readIceberg(spark, out2)
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "alpha", 1.0), (2L, "beta", 2.0), (3L, "alto", 3.0)))
+    // prefix pruning sees BOTH eras' "al" files from the manifests alone
+    assert(IcebergInterop.readIcebergPruned(spark, out2,
+        keep = pv => pv.get("k_trunc").contains("al"))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("partition spec evolution: flat -> day(ts), eras read and prune per spec-id") {
     def ts(v: String) = java.sql.Timestamp.valueOf(v)
     val t = TxTable(spark, tmp("ice_evolve"))
