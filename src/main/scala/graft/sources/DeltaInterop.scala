@@ -274,7 +274,7 @@ object DeltaInterop {
     // parquet columns carry the SOURCE's logical names, but a mapped
     // reader resolves through physical names — the mirrored rows would
     // silently read as all-null
-    require(!meta.mapped,
+    require(meta.mappingMode == "none",
       s"the Delta table at $target is column-mapped — the file-set mirror " +
         "cannot write its physical layout; re-export from scratch")
     val (schemaJson, partCols) = (meta.schemaJson, meta.partCols)
@@ -547,9 +547,12 @@ object DeltaInterop {
     * logical ones). */
   private case class TableMeta(schemaJson: String, partCols: Seq[String],
       id: Option[String], config: Map[String, String] = Map.empty) {
-    /** "none" or "name" — [[columnMappingModeOf]] refuses anything else. */
+    /** "none", "name" or "id" — [[checkMappingMode]] refuses others. */
     def mappingMode: String = config.getOrElse("delta.columnMapping.mode", "none")
+    /** NAME mode: logical names resolve to physical through field metadata. */
     def mapped: Boolean = mappingMode == "name"
+    /** ID mode: columns resolve through parquet field ids (round 12). */
+    def idMapped: Boolean = mappingMode == "id"
   }
 
   /** The schema-field metadata key that carries a column's PHYSICAL
@@ -580,13 +583,42 @@ object DeltaInterop {
 
   /** One acceptance rule for the column-mapping mode (JSON commit and
     * checkpoint paths): `none` and `name` are readable (round 10 — name
-    * mode resolves logical→physical through the schema's field metadata);
-    * `id` mode needs parquet field-id resolution this reader does not
-    * implement, so it fails loudly rather than misread. */
+    * mode resolves logical→physical through the schema's field metadata)
+    * and `id` mode is readable since round 12 (columns resolve through
+    * parquet FIELD IDS — the files of an id-mapped table are required to
+    * carry them); anything else fails loudly rather than misread. */
   private def checkMappingMode(mode: Option[String], where: String): Unit =
-    require(mode.forall(m => m == "none" || m == "name"),
+    require(mode.forall(m => m == "none" || m == "name" || m == "id"),
       s"Delta table $where uses column mapping mode '${mode.get}' — only " +
-        "'none' and 'name' are supported by this reader")
+        "'none', 'name' and 'id' are supported by this reader")
+
+  /** The parquet field-id metadata key Spark's reader resolves by when
+    * `spark.sql.parquet.fieldId.read.enabled` is on. */
+  private val FieldIdKey = "parquet.field.id"
+
+  /** The LOGICAL schema with each field's parquet field id attached
+    * (`delta.columnMapping.id` → `parquet.field.id`) — the read schema of
+    * an ID-mapped table: Spark resolves requested fields against the
+    * files' field ids, the protocol's id-mode rule (robust against
+    * physical-name drift, e.g. tables converted from Iceberg). Recursive
+    * so nested struct fields resolve by id too. */
+  private def withFieldIds(dt: DataType, path: String): DataType = dt match {
+    case st: StructType => StructType(st.fields.map { f =>
+      require(f.metadata.contains(ColIdKey),
+        s"Delta table $path is column-mapped (id mode) but field " +
+          s"'${f.name}' carries no $ColIdKey — malformed metadata")
+      f.copy(dataType = withFieldIds(f.dataType, path),
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong(FieldIdKey, f.metadata.getLong(ColIdKey)).build())
+    })
+    case org.apache.spark.sql.types.ArrayType(et, n) =>
+      org.apache.spark.sql.types.ArrayType(withFieldIds(et, path), n)
+    case org.apache.spark.sql.types.MapType(k, v, n) =>
+      org.apache.spark.sql.types.MapType(
+        withFieldIds(k, path), withFieldIds(v, path), n)
+    case other => other
+  }
 
   /** Read a standard Delta table at `path` into a DataFrame — the latest
     * version, or `versionAsOf` (Delta time travel over a foreign log).
@@ -596,11 +628,15 @@ object DeltaInterop {
     * names), protocol versions 1-3, DELETION VECTORS (round 10 —
     * each add's DV decodes from its Base85/RoaringBitmapArray form and
     * the positions anti-join out of the scan), and COLUMN MAPPING in
-    * `name` mode (logical names resolve to the files' physical columns
-    * through the schema's field metadata — the layout every
-    * Databricks-renamed table carries). Fails loudly on id-mode mapping
-    * and unknown reader features — silently misreading an advanced
-    * table would be corruption, not compatibility.
+    * BOTH modes: `name` (logical names resolve to the files' physical
+    * columns through the schema's field metadata — the layout every
+    * Databricks-renamed table carries) and `id` (round 12 — columns
+    * resolve through the files' parquet FIELD IDS, the rule for tables
+    * whose physical names drifted, e.g. Iceberg conversions; enables the
+    * session's `spark.sql.parquet.fieldId.read.enabled`, a no-op for
+    * schemas without field-id metadata). Fails loudly on unknown mapping
+    * modes and reader features — silently misreading an advanced table
+    * would be corruption, not compatibility.
     */
   def readDelta(spark: SparkSession, path: String,
       versionAsOf: Option[Long] = None): DataFrame = {
@@ -608,7 +644,8 @@ object DeltaInterop {
     val meta = metaOpt.getOrElse(
       throw new IllegalStateException(s"Delta log at $path carries no metaData action"))
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
-    assembleRead(spark, Paths.get(path), schema, meta.partCols, live, meta.mapped)
+    assembleRead(spark, Paths.get(path), schema, meta.partCols, live,
+      meta.mappingMode)
   }
 
   /** [[readDelta]] with PARTITION-VALUE FILE PRUNING — the Iceberg twin is
@@ -631,14 +668,15 @@ object DeltaInterop {
     // mapping (partitionValues keys are physical on the wire — the caller
     // should never have to know a column's col-<uuid> alias)
     val physToLogical: Map[String, String] =
-      if (!meta.mapped) Map.empty
+      if (meta.mappingMode == "none") Map.empty
       else meta.partCols.map(c =>
         physicalNameOf(schema(c), path) -> c).toMap
     def logicalKeys(pv: Map[String, Option[String]]): Map[String, Option[String]] =
-      if (!meta.mapped) pv
+      if (meta.mappingMode == "none") pv
       else pv.map { case (k, v) => physToLogical.getOrElse(k, k) -> v }
     assembleRead(spark, Paths.get(path), schema, meta.partCols,
-      live.filter(a => keep(logicalKeys(a.partitionValues))), meta.mapped)
+      live.filter(a => keep(logicalKeys(a.partitionValues))),
+      meta.mappingMode)
   }
 
   /** [[readDelta]] with VALUE-RANGE FILE SKIPPING over the per-file
@@ -684,7 +722,8 @@ object DeltaInterop {
         b.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
       }
     }
-    assembleRead(spark, Paths.get(path), schema, meta.partCols, kept, meta.mapped)
+    assembleRead(spark, Paths.get(path), schema, meta.partCols, kept,
+      meta.mappingMode)
   }
 
   /** One POLL of a continuous Delta tail: read the rows appended in
@@ -756,7 +795,7 @@ object DeltaInterop {
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     if (sinceVersion == cur)
       return (cur, assembleRead(spark, root, schema, meta.partCols, Seq.empty,
-        meta.mapped))
+        meta.mappingMode))
 
     val commits = listJsonCommits(logDir)
       .filter(c => c._1 > sinceVersion && c._1 <= cur)
@@ -801,7 +840,7 @@ object DeltaInterop {
       }
     }
     (cur, assembleRead(spark, root, schema, meta.partCols, adds.values.toSeq,
-      meta.mapped))
+      meta.mappingMode))
   }
 
   /** CHANGE DATA FEED consumption: the row-level changes committed in
@@ -834,9 +873,9 @@ object DeltaInterop {
     val (cur, _, metaOpt, _) = replayState(spark, root, None)
     val meta = metaOpt.getOrElse(throw new IllegalStateException(
       s"Delta log at $path carries no metaData action"))
-    require(!meta.mapped,
+    require(meta.mappingMode == "none",
       s"readDeltaCdf on the column-mapped table at $path is unsupported " +
-        "(change files would need physical-name resolution)")
+        "(change files would need physical resolution)")
     require(sinceVersion <= cur,
       s"consumer watermark $sinceVersion is ahead of the Delta log at $path (head $cur)")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
@@ -1121,23 +1160,34 @@ object DeltaInterop {
     */
   private def assembleRead(spark: SparkSession, root: Path, schema: StructType,
       partCols: Seq[String], adds: Seq[AddFile],
-      mapped: Boolean = false): DataFrame = {
+      mappingMode: String = "none"): DataFrame = {
+    val nameMapped = mappingMode == "name"
+    val idMapped = mappingMode == "id"
     val partSet = partCols.toSet
     val logicalData = StructType(schema.fields.filterNot(f => partSet.contains(f.name)))
-    // under column mapping (name mode) the parquet files carry PHYSICAL
-    // column names — the scan schema renames through the field metadata,
-    // and the final select restores logical names (a positional struct
-    // cast restores NESTED logical names in the same move)
+    // under NAME mapping the parquet files carry PHYSICAL column names —
+    // the scan schema renames through the field metadata and the final
+    // select restores logical names (a positional struct cast restores
+    // NESTED logical names in the same move). Under ID mapping the scan
+    // schema keeps LOGICAL names but carries each field's parquet field
+    // id, and Spark's reader resolves by id.
     val dataSchema =
-      if (mapped) toPhysical(logicalData, root.toString).asInstanceOf[StructType]
+      if (nameMapped) toPhysical(logicalData, root.toString).asInstanceOf[StructType]
+      else if (idMapped) withFieldIds(logicalData, root.toString).asInstanceOf[StructType]
       else logicalData
     def dataCol(f: StructField): org.apache.spark.sql.Column =
-      if (mapped) col(physicalNameOf(f, root.toString)).cast(f.dataType).as(f.name)
+      if (nameMapped) col(physicalNameOf(f, root.toString)).cast(f.dataType).as(f.name)
       else col(f.name)
     if (adds.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val files = adds.map(a => root.resolve(a.path).toString)
+    // the SESSION-level switch (not a scoped set: the returned frame is
+    // lazy, and a scope that closed before evaluation would silently
+    // fall back to name matching). A no-op for every read whose schema
+    // carries no field-id metadata, which is all non-id-mapped reads.
+    if (idMapped)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     // descriptors decode BEFORE the scan is constructed: a malformed DV
     // must surface as ITS error, not hide behind whatever the file scan
     // happens to throw first
@@ -1163,7 +1213,8 @@ object DeltaInterop {
         org.apache.spark.sql.Row.fromSeq(
           root.resolve(a.path).getFileName.toString +:
             partFields.map { f =>
-              val key = if (mapped) physicalNameOf(f, root.toString) else f.name
+              val key = if (nameMapped || idMapped) physicalNameOf(f, root.toString)
+                else f.name
               a.partitionValues.get(key).flatten.orNull
             })
       }
@@ -1250,6 +1301,10 @@ object DeltaInterop {
   private def upgradeToNameMode(schema: StructType, meta: TableMeta)
       : (StructType, Map[String, String], Boolean) = {
     import org.apache.spark.sql.types.{ArrayType, MapType, MetadataBuilder}
+    require(!meta.idMapped,
+      "the table is column-mapped in ID mode — flipping a foreign " +
+        "table's declared mode to name would change how every reader " +
+        "resolves its files; unsupported")
     if (meta.mapped) return (schema, meta.config, false)
     var nextId = 0L
     def assign(dt: DataType): DataType = dt match {
@@ -1566,6 +1621,9 @@ object DeltaInterop {
     val (cur, live, metaOpt, proto) = replayState(spark, root, None)
     val meta = metaOpt.getOrElse(throw new IllegalStateException(
       s"Delta log at $path carries no metaData action"))
+    require(!meta.idMapped,
+      s"deleteFromDelta on the id-mapped table at $path is unsupported " +
+        "(the provenance scan resolves physical names, not field ids)")
     // CDF eligibility is metadata-known — refuse BEFORE any scan or DV
     // write (a late refusal would leave an orphan .bin behind)
     val cdfEnabled = cdfEnabledIn(meta.config)
@@ -1799,7 +1857,7 @@ object DeltaInterop {
     val (cur, live, metaOpt, proto) = replayState(spark, root, None)
     val meta = metaOpt.getOrElse(throw new IllegalStateException(
       s"Delta log at $path carries no metaData action"))
-    require(!meta.mapped,
+    require(meta.mappingMode == "none",
       s"mergeDelta on the column-mapped table at $path is unsupported " +
         "(the new data files would need the physical layout)")
     val cdfEnabled = cdfEnabledIn(meta.config)
@@ -2065,6 +2123,9 @@ object DeltaInterop {
     val (cur, live, metaOpt, _) = replayState(spark, root, None)
     val meta = metaOpt.getOrElse(throw new IllegalStateException(
       s"Delta log at $path carries no metaData action"))
+    require(!meta.idMapped,
+      s"purgeDeltaDvs on the id-mapped table at $path is unsupported " +
+        "(survivor rewrites resolve physical names, not field ids)")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     val withDv = live.filter(_.dv.isDefined)
     if (withDv.isEmpty) return (0, 0L)

@@ -186,11 +186,11 @@ class DeltaInteropSpec extends SparkSpec {
     val schemaJson = Seq((1L, "x")).toDF("id", "s").schema.json.replace("\"", "\\\"")
     val meta = s""""id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[]"""
 
-    // id-mode column mapping needs parquet field-id resolution — still
-    // refused (name mode is READABLE since round 10, pinned below)
+    // an UNKNOWN column-mapping mode refuses (name mode is readable since
+    // round 10, id mode since round 12 — both pinned in their own tests)
     val cm = foreign(Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-      s"""{"metaData":{$meta,"configuration":{"delta.columnMapping.mode":"id"}}}"""))
+      s"""{"metaData":{$meta,"configuration":{"delta.columnMapping.mode":"weird"}}}"""))
     assert(intercept[IllegalArgumentException](
       DeltaInterop.readDelta(spark, cm)).getMessage.contains("column mapping"))
 
@@ -884,6 +884,71 @@ class DeltaInteropSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       DeltaInterop.exportDeltaIncremental(t2, root.toString, tsMillis = 9000L))
     assert(e.getMessage.contains("column-mapped"))
+  }
+
+  test("foreign ID-mapped table resolves columns by parquet field id") {
+    import org.apache.spark.sql.types._
+    val root = Paths.get(tmp("delta_foreign_idmap"))
+    val logDir = root.resolve("_delta_log"); Files.createDirectories(logDir)
+    // the physical layout an id-mode writer produces: opaque col-<uuid>
+    // column names AND parquet field ids stamped on every column — id
+    // mode exists exactly because readers must NOT trust the names
+    // (e.g. a table converted from Iceberg carries drifted names)
+    def stamp(name: String, id: Long) = new MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    val stamped = Seq((1L, "a"), (2L, "b")).toDF("p1", "p2")
+      .select(col("p1").as("col-7a3f", stamp("col-7a3f", 1L)),
+        col("p2").as("col-9b21", stamp("col-9b21", 2L)))
+    val key = "spark.sql.parquet.fieldId.write.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try stamped.coalesce(1).write.mode("overwrite")
+      .parquet(root.resolve("stage").toString)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+    val st = Files.list(root.resolve("stage"))
+    val part = try st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      finally st.close()
+    Files.move(part, root.resolve("data0.parquet"))
+    DeltaInterop.deleteRecursively(root.resolve("stage"))
+    def fld(name: String, phys: String, id: Int, tpe: DataType) =
+      StructField(name, tpe, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    // the logical schema includes a PARTITION column ("part", physical
+    // col-pp) that lives only in the log's partitionValues — whose keys
+    // are PHYSICAL names under column mapping, both modes
+    val logical = StructType(Seq(
+      fld("id", "col-7a3f", 1, LongType), fld("s", "col-9b21", 2, StringType),
+      fld("part", "col-pp", 3, StringType)))
+    val schemaJson = logical.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    Files.write(logDir.resolve("0" * 20 + ".json"), Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":["part"],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"3"}}}""",
+      """{"add":{"path":"data0.parquet","partitionValues":{"col-pp":"x"},"size":1,"modificationTime":1,"dataChange":true}}"""
+    ).asJava)
+    val got = DeltaInterop.readDelta(spark, root.toString)
+    assert(got.columns.toSeq == Seq("id", "s", "part"))
+    assert(got.orderBy("id").as[(Long, String, String)].collect().toSeq ==
+      Seq((1L, "a", "x"), (2L, "b", "x")))
+    // the pruner still keys LOGICALLY (physical keys translate back)
+    assert(DeltaInterop.readDeltaPruned(spark, root.toString,
+        keep = pv => pv.get("part").flatten.contains("x")).count() == 2L)
+    assert(DeltaInterop.readDeltaPruned(spark, root.toString,
+        keep = pv => pv.get("part").flatten.contains("y")).count() == 0L)
+    // write paths refuse the id-mapped table LOUDLY
+    assert(intercept[IllegalArgumentException](
+      DeltaInterop.deleteFromDelta(spark, root.toString, col("id") === 1L))
+      .getMessage.contains("id-mapped"))
+    assert(intercept[IllegalArgumentException](
+      DeltaInterop.mergeDelta(spark, root.toString,
+        Seq((1L, "z", "x")).toDF("id", "s", "part"), Seq("id")))
+      .getMessage.contains("column-mapped"))
+    assert(intercept[IllegalArgumentException](
+      DeltaInterop.renameDeltaColumn(spark, root.toString, "s", "s2"))
+      .getMessage.contains("ID mode"))
   }
 
   test("vacuumDelta reclaims only unreferenced files; cleanDeltaLog retires covered commits") {
