@@ -1264,6 +1264,14 @@ object DeltaInterop {
           d.sizeInBytes)
     }
 
+  /** One deletion vector ready for EXECUTOR-side decode: the descriptor
+    * fields plus a file-based blob's resolved absolute path. The driver
+    * validates and resolves but never loads the compressed bytes (an
+    * inline vector's bytes already ride the descriptor string). */
+  private[sources] case class DvWork(file: String, storageType: String,
+      pathOrInline: String, offset: Int, sizeInBytes: Int,
+      cardinality: Long, resolved: String)
+
   /** The distributed (data-file basename, deleted position) frame of the
     * adds' deletion vectors — None when no add carries one. */
   private def dvPositionsDf(spark: SparkSession, root: Path,
@@ -1274,20 +1282,51 @@ object DeltaInterop {
     require(names.distinct.size == names.size,
       s"Delta table at $root has duplicate data-file names — deletion " +
         "vectors cannot be applied unambiguously")
-    val blobs: Seq[(String, Array[Byte], Long)] = withDv.map { a =>
-      (root.resolve(a.path).getFileName.toString,
-        dvBlob(root, a.path, a.dv.get), a.dv.get.cardinality)
+    // the driver VALIDATES every descriptor eagerly (a malformed one must
+    // surface as its own error at read construction, not behind whatever
+    // a task throws first) and resolves file-based blob locations — but
+    // never loads the compressed bytes: at 100 TB with pervasive deletes
+    // driver memory would otherwise grow with the number of DV'd files.
+    // Executors read and expand the blobs, where the anti-join runs
+    // anyway (the same shared-filesystem assumption as the data files).
+    val work: Seq[DvWork] = withDv.map { a =>
+      val f = root.resolve(a.path).getFileName.toString
+      val d = a.dv.get
+      d.storageType match {
+        case "i" =>
+          DvWork(f, d.storageType, d.pathOrInlineDv, 0, d.sizeInBytes,
+            d.cardinality, "")
+        case st =>
+          val file = DeletionVectors.resolveDvFile(root, st, d.pathOrInlineDv)
+          val off = d.offset.getOrElse(throw new IllegalArgumentException(
+            s"Delta table at $root: file-based deletion vector for " +
+              s"${a.path} lacks an offset"))
+          require(Files.isRegularFile(file),
+            s"Delta table at $root: deletion vector file $file for " +
+              s"${a.path} is missing")
+          require(Files.size(file) >= off.toLong + d.sizeInBytes,
+            s"Delta table at $root: deletion vector file $file is shorter " +
+              s"than ${a.path}'s descriptor claims (offset $off + size " +
+              s"${d.sizeInBytes})")
+          DvWork(f, st, d.pathOrInlineDv, off, d.sizeInBytes, d.cardinality,
+            file.toAbsolutePath.toString)
+      }
     }
     import org.apache.spark.sql.Encoders
-    Some(spark.createDataset(blobs)(
-        Encoders.tuple(Encoders.STRING, Encoders.BINARY, Encoders.scalaLong))
-      .flatMap { case (f, blob, card) =>
+    Some(spark.createDataset(work)(Encoders.product[DvWork])
+      .flatMap { w =>
+        val blob =
+          if (w.storageType == "i")
+            DeletionVectors.base85Decode(w.pathOrInline, w.sizeInBytes)
+          else DeletionVectors.readDvBlob(
+            Paths.get(w.resolved), w.offset, w.sizeInBytes)
         val ps = DeletionVectors.positions(blob).toArray
-        if (ps.length.toLong != card)
+        if (ps.length.toLong != w.cardinality)
           throw new IllegalStateException(
-            s"deletion vector for $f decodes ${ps.length} positions but its " +
-              s"descriptor declares cardinality $card — corrupt DV")
-        ps.iterator.map(p => (f, p))
+            s"deletion vector for ${w.file} decodes ${ps.length} positions " +
+              s"but its descriptor declares cardinality ${w.cardinality} — " +
+              "corrupt DV")
+        ps.iterator.map(p => (w.file, p))
       }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
       .toDF("__gdv_file", "__gdv_pos"))
   }

@@ -886,6 +886,22 @@ class DeltaInteropSpec extends SparkSpec {
     assert(e.getMessage.contains("column-mapped"))
   }
 
+  test("a missing deletion-vector blob fails at read CONSTRUCTION, not mid-scan") {
+    // executor-side decode (round 12) must not weaken the eager contract:
+    // the driver validates every descriptor and resolves file-based blob
+    // locations up front — it just never loads the bytes
+    val t = sampleTable()
+    val out = tmp("delta_dv_missing")
+    DeltaInterop.exportDelta(t, out, tsMillis = 5000L)
+    assert(DeltaInterop.deleteFromDelta(spark, out, col("id") === 1L, 6000L) == 1L)
+    val walk = Files.walk(Paths.get(out))
+    val bin = try walk.iterator().asScala.find(_.toString.endsWith(".bin")).get
+      finally walk.close()
+    Files.delete(bin)
+    assert(intercept[IllegalArgumentException](
+      DeltaInterop.readDelta(spark, out)).getMessage.contains("missing"))
+  }
+
   test("foreign ID-mapped table resolves columns by parquet field id") {
     import org.apache.spark.sql.types._
     val root = Paths.get(tmp("delta_foreign_idmap"))
