@@ -54,10 +54,12 @@ object DvScaleProbe {
     val heapAfterRead = usedHeapMb()
     require(n == nRows - deleted, s"survivors $n != ${nRows - deleted}")
 
+    def num(fmt: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
     println(s"""{"probe":"dv_scale","rows":$nRows,"files":$nFiles,""" +
-      s""""deleted":$deleted,"delete_sec":${deleteSec.formatted("%.2f")},""" +
-      s""""read_build_sec":${built.formatted("%.3f")},""" +
-      s""""read_sec":${readSec.formatted("%.2f")},""" +
+      s""""deleted":$deleted,"delete_sec":${num("%.2f", deleteSec)},""" +
+      s""""read_build_sec":${num("%.3f", built)},""" +
+      s""""read_sec":${num("%.2f", readSec)},""" +
       s""""driver_heap_mb_before":$heapBefore,""" +
       s""""driver_heap_mb_after_build":$heapAfterBuild,""" +
       s""""driver_heap_mb_after_read":$heapAfterRead}""")

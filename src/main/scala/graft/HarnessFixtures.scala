@@ -141,11 +141,23 @@ object HarnessFixtures {
   /** Session-keyed memoized FIXTURE FRAME: a `localCheckpoint`ed read of
     * an immutable template, shared across the queries (and bench reps)
     * that certify against the same source — e.g. the two part-delete
-    * queries' `src` over the b5_part template. Keyed by the session
-    * identity because a checkpointed frame dies with its session. */
+    * queries' `src` over the b5_part template. Keyed by the session's
+    * UNIQUE id because a checkpointed frame dies with its session (an
+    * identity hash could be reused by a later session after GC, serving
+    * a frame whose cached blocks are gone). */
   def memoFrame(s: SparkSession, key: String)(build: => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    memo(s"df|${System.identityHashCode(s)}|$key")(build)
+    memo(s"df|${sessionId(s)}|$key")(build)
+
+  /** A UNIQUE id per live session (a WeakHashMap so dead sessions are
+    * collectable; SparkSession equality is identity). */
+  private val sessionIds =
+    new java.util.WeakHashMap[SparkSession, String]()
+  private def sessionId(s: SparkSession): String = sessionIds.synchronized {
+    var id = sessionIds.get(s)
+    if (id == null) { id = java.util.UUID.randomUUID().toString; sessionIds.put(s, id) }
+    id
+  }
 
   // --------------------------------------------------- lakehouse exports
 

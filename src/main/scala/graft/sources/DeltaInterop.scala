@@ -1177,6 +1177,12 @@ object DeltaInterop {
       else logicalData
     def dataCol(f: StructField): org.apache.spark.sql.Column =
       if (nameMapped) col(physicalNameOf(f, root.toString)).cast(f.dataType).as(f.name)
+      else if (idMapped)
+        // re-alias with the LOGICAL field's metadata so the output schema
+        // does not leak the scan's parquet.field.id stamps — a user
+        // copying this frame's schema into another parquet read would
+        // otherwise trip field-id resolution against id-less files
+        col(f.name).as(f.name, f.metadata)
       else col(f.name)
     if (adds.isEmpty)
       return spark.createDataFrame(
@@ -1294,6 +1300,10 @@ object DeltaInterop {
       val d = a.dv.get
       d.storageType match {
         case "i" =>
+          // decode-and-discard keeps the eager contract for inline
+          // vectors (tiny by construction — they are inline BECAUSE
+          // small): a corrupt Base85 payload errors here, not mid-scan
+          DeletionVectors.base85Decode(d.pathOrInlineDv, d.sizeInBytes)
           DvWork(f, d.storageType, d.pathOrInlineDv, 0, d.sizeInBytes,
             d.cardinality, "")
         case st =>
@@ -1304,10 +1314,11 @@ object DeltaInterop {
           require(Files.isRegularFile(file),
             s"Delta table at $root: deletion vector file $file for " +
               s"${a.path} is missing")
-          require(Files.size(file) >= off.toLong + d.sizeInBytes,
+          // the stored blob is length-prefixed (4) and CRC-suffixed (4)
+          require(Files.size(file) >= off.toLong + 4L + d.sizeInBytes + 4L,
             s"Delta table at $root: deletion vector file $file is shorter " +
-              s"than ${a.path}'s descriptor claims (offset $off + size " +
-              s"${d.sizeInBytes})")
+              s"than ${a.path}'s descriptor claims (offset $off + 4 + size " +
+              s"${d.sizeInBytes} + 4)")
           DvWork(f, st, d.pathOrInlineDv, off, d.sizeInBytes, d.cardinality,
             file.toAbsolutePath.toString)
       }

@@ -420,8 +420,19 @@ object IcebergInterop {
     val finalDir = Paths.get(target).toAbsolutePath
     val metaDir = finalDir.resolve("metadata")
     if (!Files.isDirectory(metaDir)) {
+      val before = t.snapshotInfo().files
       full()
-      writeMirrorState(metaDir, t.snapshotInfo().files)
+      // the recorded set must be EXACTLY what the full export wrote — a
+      // writer racing the export would otherwise leave files the state
+      // claims mirrored but the snapshot lacks (silently dropped later),
+      // or vice versa (silently duplicated). Single-writer is the
+      // engine-wide contract; enforce it loudly here.
+      val after = t.snapshotInfo().files
+      require(before == after,
+        s"the source TxTable changed while the $transform mirror was " +
+          s"exporting to $target (a concurrent writer) — the mirror state " +
+          "cannot be recorded faithfully; re-run against a quiescent source")
+      writeMirrorState(metaDir, after, forVersion = 1L)
       return 1L
     }
     val snap = t.snapshotInfo()
@@ -448,7 +459,8 @@ object IcebergInterop {
       s"schema change at $target — the $transform mirror rewrites rows and " +
         "cannot restate already-rewritten files under an evolved schema; " +
         "re-export from scratch")
-    val mirrored = readMirrorState(metaDir, target, transform)
+    val mirrored = readMirrorState(metaDir, target, transform,
+      currentMetadataVersion(metaDir, target))
     val snapSet = snap.files.toSet
     val removed = mirrored.filterNot(snapSet)
     require(removed.isEmpty,
@@ -565,12 +577,15 @@ object IcebergInterop {
     snaps.add(s0)
     appendSnapshotLog(m, root, snapshotId, tsMillis)
     val newVersion = prevVersion + 1
+    // state FIRST, then the metadata publish: a crash between the two
+    // leaves a version mismatch readMirrorState refuses loudly — never a
+    // stale mirrored set that would silently duplicate the delta
+    writeMirrorState(metaDir, snap.files, forVersion = newVersion)
     Files.write(metaDir.resolve(s"v$newVersion.metadata.json"),
       Seq(m.writerWithDefaultPrettyPrinter().writeValueAsString(root)).asJava,
       java.nio.file.StandardOpenOption.CREATE_NEW)
     Files.write(metaDir.resolve("version-hint.text"),
       Seq(newVersion.toString).asJava)
-    writeMirrorState(metaDir, snap.files)
     newVersion
   }
 
@@ -578,10 +593,16 @@ object IcebergInterop {
     * `metadata/graft-mirror-state.json`, the diff base
     * [[exportIcebergRewrittenIncremental]] needs because its target files
     * are not the source's. An engine-side sidecar, not format metadata;
-    * foreign readers ignore it. */
-  private def writeMirrorState(metaDir: Path, files: Seq[String]): Unit = {
+    * foreign readers ignore it. The state records the metadata VERSION it
+    * belongs to and is written BEFORE that version publishes, so a crash
+    * anywhere in the window leaves a version MISMATCH the next call
+    * refuses loudly — never a stale set that would silently duplicate
+    * (or drop) the delta's rows. */
+  private def writeMirrorState(metaDir: Path, files: Seq[String],
+      forVersion: Long): Unit = {
     val m = mapper
     val root = m.createObjectNode()
+    root.put("for-metadata-version", forVersion)
     val arr = root.putArray("files")
     files.sorted.foreach(arr.add)
     Files.write(metaDir.resolve("graft-mirror-state.json"),
@@ -589,14 +610,21 @@ object IcebergInterop {
   }
 
   private def readMirrorState(metaDir: Path, target: String,
-      transform: String): Seq[String] = {
+      transform: String, expectVersion: Long): Seq[String] = {
     val f = metaDir.resolve("graft-mirror-state.json")
     require(Files.isRegularFile(f),
       s"the Iceberg table at $target carries no graft-mirror-state.json — " +
         s"only tables this engine's $transform mirror created can be " +
         "incrementally maintained (the rewritten files are not the " +
         "source's); re-export from scratch")
-    Option(mapper.readTree(f.toFile).get("files"))
+    val node = mapper.readTree(f.toFile)
+    val recorded = Option(node.get("for-metadata-version")).map(_.asLong)
+      .getOrElse(-1L)
+    require(recorded == expectVersion,
+      s"the mirror state of $target records metadata version $recorded " +
+        s"but the table is at version $expectVersion — a previous mirror " +
+        "crashed mid-commit; re-export from scratch")
+    Option(node.get("files"))
       .map(_.elements().asScala.map(_.asText).toSeq)
       .getOrElse(Seq.empty)
   }
@@ -1439,7 +1467,7 @@ object IcebergInterop {
   private def stageableSpecFields(meta: JsonNode, schema: StructType,
       path: String, caller: String): Seq[UpsertSpecField] = {
     val idToName = schemaFieldIdToName(meta, path)
-    defaultSpecFields(meta).map { f =>
+    defaultSpecFields(meta).zipWithIndex.map { case (f, i) =>
       val tr = Option(f.get("transform")).map(_.asText).getOrElse("identity")
       require(tr == "identity" || tr == "day",
         s"$caller: the table at $path partitions with transform " +
@@ -1448,7 +1476,10 @@ object IcebergInterop {
       val srcCol = idToName.getOrElse(sid, throw new IllegalArgumentException(
         s"$caller: the partition spec of $path references unknown field-id $sid"))
       val fName = Option(f.get("name")).map(_.asText).getOrElse(srcCol)
-      val fieldId = Option(f.get("field-id")).map(_.asInt).getOrElse(1000)
+      // a legacy spec without explicit field-ids takes the v1 implicit
+      // assignment 1000, 1001, ... (a fixed 1000 fallback would collide
+      // on multi-field specs)
+      val fieldId = Option(f.get("field-id")).map(_.asInt).getOrElse(1000 + i)
       if (tr == "identity") {
         require(fName == srcCol,
           s"$caller: identity partition field '$fName' of $path is " +
@@ -1475,6 +1506,57 @@ object IcebergInterop {
       }
     }
   }
+
+  /** Write `rows` into `stage` under the spec-shaped Hive layout (a day
+    * field derives its DATE grouping column timezone-independently;
+    * identity fields partition directly — both leave the bytes) and
+    * enumerate the non-empty staged parquets, sorted for deterministic
+    * naming. The staging half shared by [[upsertIceberg]] and
+    * [[appendIceberg]]. */
+  private def writeSpecStage(spark: SparkSession, rows: DataFrame,
+      schema: StructType, specFields: Seq[UpsertSpecField],
+      stage: Path): Seq[(Path, Long)] = {
+    import org.apache.spark.sql.functions.{col, date_add, floor, lit, unix_micros}
+    val stagedFrame = specFields.filter(_.transform == "day")
+      .foldLeft(rows) { (df, sf) =>
+        val dayVal = schema(sf.srcCol).dataType match {
+          case TimestampType => date_add(
+            lit(java.sql.Date.valueOf("1970-01-01")),
+            floor(unix_micros(col(sf.srcCol)) / lit(86400000000L)).cast("int"))
+          case _ => col(sf.srcCol)
+        }
+        df.withColumn(sf.pf.name, dayVal)
+      }
+    val stageCols = specFields.map(_.pf.name)
+    if (stageCols.isEmpty)
+      stagedFrame.write.mode("overwrite").parquet(stage.toString)
+    else stagedFrame.write.mode("overwrite")
+      .partitionBy(stageCols: _*).parquet(stage.toString)
+    val walk = Files.walk(stage)
+    try walk.iterator().asScala
+        .filter(pp => Files.isRegularFile(pp) && pp.toString.endsWith(".parquet"))
+        .map(pp => (pp, parquetRowCount(spark, pp))).filter(_._2 > 0L)
+        .toSeq.sortBy(_._1.toString)
+      finally walk.close()
+  }
+
+  /** Move staged parquets into `dataDir` under deterministic
+    * `<prefix>-<uuid>` names (uuid keyed by `seed|index`), preserving
+    * their Hive partition dirs; returns (rel, rows, size, tuple). */
+  private def moveStagedInto(staged: Seq[(Path, Long)], stage: Path,
+      dataDir: Path, partFields: Seq[PartField], prefix: String,
+      seed: String): Seq[(String, Long, Long, Seq[Any])] =
+    staged.zipWithIndex.map { case ((pp, rc), i) =>
+      val relDir = Option(stage.relativize(pp).getParent)
+        .map(_.toString).getOrElse("")
+      val name = s"$prefix-${java.util.UUID.nameUUIDFromBytes(
+        (seed + "|" + i).getBytes("UTF-8"))}.parquet"
+      val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+      val dst = dataDir.resolve(rel)
+      Files.createDirectories(dst.getParent)
+      Files.move(pp, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      (rel, rc, Files.size(dst), hivePartitionTuple(rel, partFields))
+    }
 
   /** An equality delete staged OUTSIDE the table (a temp directory):
     * [[stageEqDelete]] plans the final `data/deletes/` destinations but
@@ -1591,43 +1673,12 @@ object IcebergInterop {
     val dataDir = root.resolve("data")
     val stage = Files.createTempDirectory("graft_ice_upsert")
     val (delWritten, dataWritten) = try {
-      val stagedFrame = specFields.filter(_.transform == "day")
-        .foldLeft(incoming) { (df, sf) =>
-          import org.apache.spark.sql.functions.{date_add, floor, lit, unix_micros}
-          val dayVal = schema(sf.srcCol).dataType match {
-            case TimestampType => date_add(
-              lit(java.sql.Date.valueOf("1970-01-01")),
-              floor(unix_micros(col(sf.srcCol)) / lit(86400000000L)).cast("int"))
-            case _ => col(sf.srcCol)
-          }
-          df.withColumn(sf.pf.name, dayVal)
-        }
-      val stageCols = specFields.map(_.pf.name)
-      if (stageCols.isEmpty)
-        stagedFrame.write.mode("overwrite").parquet(stage.toString)
-      else stagedFrame.write.mode("overwrite")
-        .partitionBy(stageCols: _*).parquet(stage.toString)
-      val walk = Files.walk(stage)
-      val staged = try walk.iterator().asScala
-          .filter(pp => Files.isRegularFile(pp) && pp.toString.endsWith(".parquet"))
-          .map(pp => (pp, parquetRowCount(spark, pp))).filter(_._2 > 0L)
-          .toSeq.sortBy(_._1.toString)
-        finally walk.close()
+      val staged = writeSpecStage(spark, incoming, schema, specFields, stage)
       require(staged.map(_._2).sum > 0,
         "upsertIceberg: the incoming frame has no rows")
       val dw = stagedDel.promote()
-      val moved = staged.zipWithIndex.map { case ((pp, rc), i) =>
-        val relDir = Option(stage.relativize(pp).getParent)
-          .map(_.toString).getOrElse("")
-        val name = s"upsert-${java.util.UUID.nameUUIDFromBytes(
-          (path + "|v" + prevVersion + "|" + tsMillis + "|" + i)
-            .getBytes("UTF-8"))}.parquet"
-        val rel = if (relDir.isEmpty) name else s"$relDir/$name"
-        val dst = dataDir.resolve(rel)
-        Files.createDirectories(dst.getParent)
-        Files.move(pp, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        (rel, rc, Files.size(dst), hivePartitionTuple(rel, partFields))
-      }
+      val moved = moveStagedInto(staged, stage, dataDir, partFields,
+        "upsert", s"$path|v$prevVersion|$tsMillis")
       (dw, moved)
     } catch {
       case e: Throwable => stagedDel.cleanup(); throw e
@@ -1678,6 +1729,14 @@ object IcebergInterop {
     * [[evolveIcebergSpecDay]] spec evolution this is how new data lands
     * under the NEW layout while older files stay under theirs.
     *
+    * The commit rides the same v2 snapshot writer as the row-level
+    * mutations, so a format-version-1 table UPGRADES to v2 on its first
+    * append — spec-legal and readable by every modern engine, but note
+    * that the engine's own file-set mirrors
+    * ([[exportIcebergIncremental]] and friends) manage v1 tables only
+    * and will refuse the table afterwards: a table is either
+    * mirror-managed or append-managed, not both.
+    *
     * `rows` must carry the table's exact schema. Returns rows appended. */
   def appendIceberg(spark: SparkSession, path: String, rows: DataFrame,
       tsMillis: Long = System.currentTimeMillis()): Long = {
@@ -1715,42 +1774,11 @@ object IcebergInterop {
     val dataDir = root.resolve("data")
     val stage = Files.createTempDirectory("graft_ice_append")
     val dataWritten: Seq[(String, Long, Long, Seq[Any])] = try {
-      val stagedFrame = specFields.filter(_.transform == "day")
-        .foldLeft(ordered) { (df, sf) =>
-          import org.apache.spark.sql.functions.{date_add, floor, lit, unix_micros}
-          val dayVal = schema(sf.srcCol).dataType match {
-            case TimestampType => date_add(
-              lit(java.sql.Date.valueOf("1970-01-01")),
-              floor(unix_micros(col(sf.srcCol)) / lit(86400000000L)).cast("int"))
-            case _ => col(sf.srcCol)
-          }
-          df.withColumn(sf.pf.name, dayVal)
-        }
-      val stageCols = specFields.map(_.pf.name)
-      if (stageCols.isEmpty)
-        stagedFrame.write.mode("overwrite").parquet(stage.toString)
-      else stagedFrame.write.mode("overwrite")
-        .partitionBy(stageCols: _*).parquet(stage.toString)
-      val walk = Files.walk(stage)
-      val staged = try walk.iterator().asScala
-          .filter(pp => Files.isRegularFile(pp) && pp.toString.endsWith(".parquet"))
-          .map(pp => (pp, parquetRowCount(spark, pp))).filter(_._2 > 0L)
-          .toSeq.sortBy(_._1.toString)
-        finally walk.close()
+      val staged = writeSpecStage(spark, ordered, schema, specFields, stage)
       require(staged.map(_._2).sum > 0,
         "appendIceberg: the incoming frame has no rows")
-      staged.zipWithIndex.map { case ((pp, rc), i) =>
-        val relDir = Option(stage.relativize(pp).getParent)
-          .map(_.toString).getOrElse("")
-        val name = s"append-${java.util.UUID.nameUUIDFromBytes(
-          (path + "|append|v" + prevVersion + "|" + tsMillis + "|" + i)
-            .getBytes("UTF-8"))}.parquet"
-        val rel = if (relDir.isEmpty) name else s"$relDir/$name"
-        val dst = dataDir.resolve(rel)
-        Files.createDirectories(dst.getParent)
-        Files.move(pp, dst, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        (rel, rc, Files.size(dst), hivePartitionTuple(rel, partFields))
-      }
+      moveStagedInto(staged, stage, dataDir, partFields,
+        "append", s"$path|append|v$prevVersion|$tsMillis")
     } finally deleteRecursively(stage)
     val appended = dataWritten.map(_._2).sum
 
