@@ -3439,6 +3439,66 @@ object SparkEntry {
     live.orderBy("event_id")
   }
 
+  /** Fixed export target for [[b5IcebergEqScoped]] — oracle SQL globs the
+    * day dirs (delete parquets live under data/deletes/, outside it). */
+  private val B5IcebergEqScopedPath =
+    "/root/repo/target/graft_export/b5_iceberg_eq_scoped"
+
+  /** B5 — PARTITION-SCOPED EQUALITY DELETE (round-11 "missing" #5, the
+    * foreign CDC writers' shape — e.g. Flink: a delete file stored under
+    * the table's PARTITIONED spec applies only inside its partition;
+    * previously refused at read as an over-delete risk).
+    * [[graft.sources.IcebergInterop.deleteFromIcebergByKeyScoped]]
+    * commits every 11th event key SCOPED to day 2024-01-05 — the keys
+    * die inside that partition only, the SAME keys elsewhere survive,
+    * and the reader resolves the scope from the delete manifest's
+    * partition tuple (a (delete file → data file) pair broadcast into
+    * the anti-join, never a global apply). In-query certificates: the
+    * committed key count, live ≡ the scoped survivor set (bit-exact),
+    * and a tuple-pruned read of the scoped day composing with the
+    * delete. The DuckDB oracle recomputes the scoped survivor set over
+    * the bytes with hive_partitioning. */
+  private def b5IcebergEqScoped(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergInterop, TxTable}
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts", "day")
+    val t = TxTable(s, txTpl(s, dir, "b5_part"))
+    HarnessFixtures.stagedExport(s, dir, B5IcebergEqScopedPath) {
+      IcebergInterop.exportIceberg(t, B5IcebergEqScopedPath, tsMillis = 5000L)
+    }
+    val src = HarnessFixtures.memoFrame(s, s"b5part_src|$dir")(
+      t.read().select(cols.map(col).toIndexedSeq: _*).localCheckpoint())
+    val keys = src.where(col("event_id") % 11 === 0)
+      .select("event_id").distinct()
+    val nKeys = keys.count()
+    require(IcebergInterop.deleteFromIcebergByKeyScoped(s,
+        B5IcebergEqScopedPath, keys, Map("day" -> "2024-01-05"),
+        tsMillis = 6000L) == nKeys && nKeys > 0,
+      s"b5_iceberg_eq_scoped: the scoped delete must commit $nKeys keys")
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val expected = src.where(
+      !(col("day") === "2024-01-05" && col("event_id") % 11 === 0))
+    val live = IcebergInterop.readIceberg(s, B5IcebergEqScopedPath)
+      .select(cols.map(col).toIndexedSeq: _*).localCheckpoint()
+    require(sig(live) == sig(expected),
+      "b5_iceberg_eq_scoped: the scoped delete must kill ONLY its " +
+        "partition's matches — the same keys elsewhere survive")
+    // the pruned read of the scoped day composes with the delete; an
+    // UNtouched day keeps its matching keys
+    def prunedSig(day: String) = sig(IcebergInterop.readIcebergPruned(s,
+        B5IcebergEqScopedPath, keep = pv => pv.get("day").contains(day))
+      .select(cols.map(col).toIndexedSeq: _*))
+    require(prunedSig("2024-01-05") ==
+        sig(expected.where(col("day") === "2024-01-05")),
+      "b5_iceberg_eq_scoped: the scoped day's pruned read diverges")
+    require(prunedSig("2024-01-10") ==
+        sig(src.where(col("day") === "2024-01-10")),
+      "b5_iceberg_eq_scoped: an untouched day must keep its matching keys")
+    live.orderBy("event_id")
+  }
+
   /** Fixed root for [[b5IcebergBucketIncr]]: `src/` holds the mutable
     * source TxTable, `tbl/` the mirrored bucket table the oracle globs. */
   private val B5IcebergBucketIncrPath =
@@ -6664,6 +6724,7 @@ object SparkEntry {
     "b5_tx_cluster_days" -> (b5TxClusterDays _),
     "b5_iceberg_composite" -> (b5IcebergComposite _),
     "b5_iceberg_eq_delete" -> (b5IcebergEqDelete _),
+    "b5_iceberg_eq_scoped" -> (b5IcebergEqScoped _),
     "b5_delta_pruned_read" -> (b5DeltaPrunedRead _),
     "b5_iceberg_read_incr" -> (b5IcebergReadIncr _),
     "b2_delete_tx"       -> (b2DeleteTx _),
@@ -7317,6 +7378,13 @@ object SparkEntry {
         |  SELECT event_id, user_id, event_type, value, ts FROM oldr
         |  WHERE event_id NOT IN (SELECT event_id FROM newr)
         |  UNION ALL SELECT event_id, user_id, event_type, value, ts FROM newr)
+        |ORDER BY event_id""".stripMargin,
+    // the scoped survivor set: keys die only inside day 2024-01-05 (the
+    // delete parquets live under data/deletes/, outside the day glob)
+    "b5_iceberg_eq_scoped" ->
+      """SELECT event_id, user_id, event_type, value, ts, CAST(day AS VARCHAR) AS day
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_eq_scoped/data/day=*/*.parquet', hive_partitioning=1)
+        |WHERE NOT (CAST(day AS VARCHAR) = '2024-01-05' AND event_id % 11 = 0)
         |ORDER BY event_id""".stripMargin,
     // the maintained bucket mirror: both snapshots' bytes live under the
     // bucket dirs and together equal the full event set

@@ -1144,7 +1144,7 @@ object IcebergInterop {
     val live = readWithIdentityFill(spark, path, meta, schema,
       dataFiles.map(e => (e.resolved, e.partition)),
       positionDeleteFrame(spark, path, dataFiles, deleteFiles),
-      equalityDeleteSpecs(spark, path, meta, eqDeletes),
+      equalityDeleteSpecs(spark, path, meta, eqDeletes, Some(dataFiles)),
       dataFiles.map(e => (e.resolved.getFileName.toString, e.seq)),
       aliases, provenance = true)
     // each hit's partition GROUP rides along so the staged write splits
@@ -1332,6 +1332,94 @@ object IcebergInterop {
     nKeys
   }
 
+  /** PARTITION-SCOPED equality delete — the foreign CDC writers' shape
+    * (e.g. Flink), which [[readIceberg]] honors since round 12: the key
+    * rows commit under the TABLE'S OWN partitioned spec with the target
+    * partition's tuple riding the manifest, so they delete only INSIDE
+    * that partition — the same key in another partition survives, and
+    * rows appended to the partition after this commit survive too (the
+    * strictly-older sequence rule). `partition` maps spec FIELD names to
+    * tuple values exactly as [[readIcebergPruned]]'s keep callback sees
+    * them (identity: the column value; day: the java.sql.Date). Same
+    * write-side guards as [[deleteFromIcebergByKey]].
+    *
+    * @return distinct keys committed — 0 with NO commit when the
+    *   partition holds no live data files (nothing the delete could
+    *   reach; committing it anyway would be dead metadata). */
+  def deleteFromIcebergByKeyScoped(spark: SparkSession, path: String,
+      keys: DataFrame, partition: Map[String, Any],
+      tsMillis: Long = System.currentTimeMillis()): Long = {
+    val root = Paths.get(path).toAbsolutePath
+    val metaDir = root.resolve("metadata")
+    require(Files.isDirectory(metaDir), s"no Iceberg table at $path (missing metadata/)")
+    val meta = currentMetadata(metaDir, path)
+    val fv = meta.get("format-version").asInt
+    require(fv == 1 || fv == 2,
+      s"Iceberg table $path has format-version $fv — only v1/v2 are supported")
+    val schema = currentSparkSchema(meta, path)
+    val curId = Option(meta.get("current-snapshot-id")).map(_.asLong)
+      .filter(_ != -1L).getOrElse(throw new IllegalArgumentException(
+        s"Iceberg table $path has no current snapshot — nothing to delete from"))
+    val snapNode = Option(meta.get("snapshots"))
+      .flatMap(_.elements().asScala.find(_.get("snapshot-id").asLong == curId))
+      .getOrElse(throw new IllegalArgumentException(
+        s"Iceberg table $path current snapshot $curId is missing from the log"))
+    val specFields = defaultSpecFields(meta)
+    require(specFields.nonEmpty,
+      s"deleteFromIcebergByKeyScoped: the table at $path is UNPARTITIONED — " +
+        "use deleteFromIcebergByKey (a global delete)")
+    val fieldNames = specFields.map(_.get("name").asText)
+    require(partition.keySet == fieldNames.toSet,
+      s"deleteFromIcebergByKeyScoped: partition must name exactly the spec " +
+        s"fields [${fieldNames.mkString(",")}]; got " +
+        s"[${partition.keySet.mkString(",")}]")
+    // resolve the target tuple from a LIVE data entry of that partition —
+    // reusing its manifest GenericRecord keeps the Avro tuple schema
+    // byte-identical to the data manifests'
+    val defaultSpecId = Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0)
+    val (liveData, _, _) = liveEntries(root, path, snapNode)
+    liveData.find(_.specId != defaultSpecId).foreach { d =>
+      throw new IllegalArgumentException(
+        s"deleteFromIcebergByKeyScoped: data file ${d.resolved.getFileName} " +
+          s"of $path rides spec ${d.specId} (default $defaultSpecId) — a " +
+          "scoped delete across a spec evolution is undecidable; compact first")
+    }
+    val inPartition = liveData.filter(d =>
+      decodePartitionTuple(d.partition, fieldNames) == partition)
+    if (inPartition.isEmpty) return 0L
+    val tupleRec = inPartition.head.partition
+    val prevVersion = currentMetadataVersion(metaDir, path)
+    val staged = stageEqDelete(spark, root, path, meta, snapNode, schema,
+      keys, prevVersion, tsMillis, "deleteFromIcebergByKeyScoped",
+      scoped = true)
+    if (staged.files.isEmpty) { staged.cleanup(); return 0L }
+    val nKeys = staged.rows
+    val newSeq = Option(meta.get("last-sequence-number")).map(_.asLong)
+      .getOrElse(0L) + 1
+    val snapshotId = math.abs(java.util.UUID.nameUUIDFromBytes(
+      (path + "|eqdelete-scoped|" + prevVersion + "|" +
+        staged.files.map(_._2.getFileName).mkString(",")).getBytes("UTF-8"))
+      .getMostSignificantBits)
+    val m = mapper
+    val manifestName = f"graft-e0-$snapshotId%d.avro"
+    val written = staged.promote()
+    writeDeleteManifest(metaDir.resolve(manifestName), snapshotId, newSeq,
+      m.writeValueAsString(icebergSchema(m, schema,
+        Option(meta.get("current-schema-id")).map(_.asInt).getOrElse(0))),
+      written.map { case (p, rows, size) =>
+        DeleteManifestFile(p.toUri.toString, rows, size, Some(tupleRec)) },
+      content = 2, equalityIds = Some(staged.ids),
+      partRecordJson = tupleRec.getSchema.toString,
+      specFieldsStr = m.writeValueAsString(specFieldsArray(m, meta)),
+      specId = staged.eqSpecId)
+    commitV2DeleteSnapshot(path, root, metaDir, meta, curId, snapNode,
+      prevVersion, snapshotId, newSeq, tsMillis, manifestName,
+      addedFiles = written.size, addedRows = nKeys,
+      summaryKey = "deleted-equality-keys", summaryVal = nKeys.toString,
+      manifestSpecId = staged.eqSpecId)
+    nKeys
+  }
+
   /** Shared equality-delete preparation of [[deleteFromIcebergByKey]] and
     * [[upsertIceberg]]: the write-side guards (key existence and EXACT
     * type match, renamed-column physical presence, identity-projected
@@ -1343,8 +1431,8 @@ object IcebergInterop {
     * invokes immediately before writing the commit metadata. */
   private def stageEqDelete(spark: SparkSession, root: Path, path: String,
       meta: JsonNode, snapNode: JsonNode, schema: StructType,
-      keys: DataFrame, prevVersion: Long, tsMillis: Long, caller: String)
-      : StagedEqDelete = {
+      keys: DataFrame, prevVersion: Long, tsMillis: Long, caller: String,
+      scoped: Boolean = false): StagedEqDelete = {
     import org.apache.spark.sql.functions.col
     val keyCols = keys.columns.toSeq
     require(keyCols.nonEmpty, s"$caller: the key frame has no columns")
@@ -1406,7 +1494,15 @@ object IcebergInterop {
       }
     }
     val (eqSpecId, mintEmptySpec) =
-      if (!partitioned) (defaultSpecId, None)
+      if (scoped) {
+        // a PARTITION-SCOPED delete rides the table's own spec (the
+        // caller supplies each file's tuple) — nothing to mint
+        require(partitioned,
+          s"$caller: the table at $path is unpartitioned — a " +
+            "partition-scoped delete has no partition to scope to")
+        (defaultSpecId, None)
+      }
+      else if (!partitioned) (defaultSpecId, None)
       else specsById.collectFirst { case (id, fs) if fs.isEmpty => id } match {
         case Some(id) => (id, None)
         case None =>
@@ -3369,7 +3465,7 @@ object IcebergInterop {
     else readWithIdentityFill(spark, path, meta, schema,
       kept.map(e => (e.resolved, e.partition)),
       positionDeleteFrame(spark, path, kept, keptDeletes),
-      equalityDeleteSpecs(spark, path, meta, eqDeletes),
+      equalityDeleteSpecs(spark, path, meta, eqDeletes, Some(kept)),
       kept.map(e => (e.resolved.getFileName.toString, e.seq)),
       aliases)
   }
@@ -3628,12 +3724,12 @@ object IcebergInterop {
       partition: GenericRecord, specId: Int)
 
   /** One live EQUALITY-DELETE file: resolved path, delete sequence, the
-    * schema field-ids its rows match on (`equality_ids`), and its spec id
-    * — a spec with fields would scope it to one partition, which this
-    * reader refuses (it applies equality deletes GLOBALLY, the
-    * unpartitioned-spec semantics). */
+    * schema field-ids its rows match on (`equality_ids`), its spec id,
+    * and its manifest partition tuple — a spec WITH fields scopes the
+    * delete to data files of that partition (round 12; previously
+    * refused), an empty spec applies globally. */
   private case class EqDeleteEntry(resolved: Path, seq: Long, ids: Seq[Int],
-      specId: Int)
+      specId: Int, partition: GenericRecord = null)
 
   /** Walk a snapshot's manifest list into its live data and position-delete
     * entries, with v2 sequence-number INHERITANCE (a null entry-level
@@ -3693,7 +3789,9 @@ object IcebergInterop {
                 "equality_ids — unreadable"))
           eqs += EqDeleteEntry(
             resolveUri(root, df.get("file_path").toString), seq, ids,
-            listSpecId)
+            listSpecId,
+            Option(df.getSchema.getField("partition"))
+              .map(_ => df.get("partition").asInstanceOf[GenericRecord]).orNull)
         }
         else {
           // per-column bounds, when the manifest carries them (both the
@@ -3742,8 +3840,12 @@ object IcebergInterop {
     * data row dies when some delete row null-safe-equals it on every
     * column AND was committed STRICTLY AFTER the data file (the spec's
     * equality-delete rule — rows appended later with the same key
-    * survive, the CDC semantics). */
-  private case class EqDeleteSpec(cols: Seq[String], frame: DataFrame)
+    * survive, the CDC semantics). A `scoped` group's frame additionally
+    * carries `__geq_file` — the data-file basenames each delete row may
+    * touch (the spec's partition-scoped shape: a delete stored with a
+    * partitioned spec applies only inside its partition). */
+  private case class EqDeleteSpec(cols: Seq[String], frame: DataFrame,
+      scoped: Boolean = false)
 
   /** Group the snapshot's equality-delete files by their equality_ids and
     * build one applicable frame per group. Refuses loudly when an
@@ -3751,21 +3853,24 @@ object IcebergInterop {
     * identity-partitioned column reconstructed from tuples cannot anchor
     * the scan-level anti-join this reader performs). */
   private def equalityDeleteSpecs(spark: SparkSession, path: String,
-      meta: JsonNode, eqs: Seq[EqDeleteEntry]): Seq[EqDeleteSpec] = {
+      meta: JsonNode, eqs: Seq[EqDeleteEntry],
+      scopeData: Option[Seq[DataEntry]] = None): Seq[EqDeleteSpec] = {
     if (eqs.isEmpty) return Seq.empty
     import org.apache.spark.sql.functions.{broadcast, col}
     val idToName = schemaFieldIdToName(meta, path)
-    // this reader applies equality deletes GLOBALLY (the spec's
-    // unpartitioned-spec semantics); a delete file under a spec WITH
-    // fields is scoped to its partition, and applying it globally would
-    // over-delete — refuse the foreign shape loudly
+    // an equality delete under an EMPTY spec applies globally; under a
+    // spec WITH fields it is scoped to its partition (a Flink CDC writer's
+    // shape) and applies only to data files carrying the SAME tuple —
+    // callers that cannot honor the scope pass no scopeData and refuse
     val specsById = partitionSpecsById(meta)
+    def isScoped(e: EqDeleteEntry): Boolean =
+      specsById.get(e.specId).exists(_.nonEmpty)
     eqs.foreach { e =>
-      require(specsById.get(e.specId).forall(_.isEmpty),
+      require(scopeData.isDefined || !isScoped(e),
         s"Iceberg table $path carries a PARTITION-SCOPED equality-delete " +
           s"file (spec ${e.specId} has partition fields): ${e.resolved} — " +
-          "this reader applies equality deletes globally and would " +
-          "over-delete; unsupported foreign shape")
+          "this consumer applies equality deletes globally and would " +
+          "over-delete; unsupported here")
       require(Files.isRegularFile(e.resolved),
         s"Iceberg table $path references an equality-delete file that is " +
           s"missing: ${e.resolved} — cannot read without silently " +
@@ -3774,22 +3879,53 @@ object IcebergInterop {
     val delNames = eqs.map(_.resolved.getFileName.toString)
     require(delNames.distinct.size == delNames.size,
       s"Iceberg table $path has duplicate equality-delete file names — unsupported layout")
-    eqs.groupBy(_.ids).toSeq.sortBy(_._1.mkString(",")).map { case (ids, group) =>
-      val cols = ids.map(id => idToName.getOrElse(id, throw new IllegalArgumentException(
-        s"Iceberg table $path equality delete references unknown field-id $id")))
-      val seqDf = spark.createDataFrame(
-        group.map(e => (e.resolved.getFileName.toString, e.seq)))
-        .toDF("__geq_src", "__geq_seq")
-      val raw = spark.read.parquet(group.map(_.resolved.toString): _*)
-      cols.foreach(c => require(raw.columns.contains(c),
-        s"Iceberg table $path equality-delete file lacks its own column '$c'"))
-      val frame = raw
-        .select((cols.map(c => col(c).as(s"__geq_$c")) :+
-          col("_metadata.file_name").as("__geq_src")).toIndexedSeq: _*)
-        .join(broadcast(seqDf), Seq("__geq_src"))
-        .drop("__geq_src")
-      EqDeleteSpec(cols, frame)
+    // (delete file basename -> applicable data file basename) pairs for
+    // the scoped entries: driver metadata scale (files-per-partition per
+    // delete), broadcast into the anti-join. Tuples compare DECODED under
+    // the delete's own spec; a data file riding a DIFFERENT spec cannot
+    // be compared — whether the delete reaches it is undecidable, so the
+    // combination refuses rather than risk resurrection or over-delete.
+    def scopePairs(e: EqDeleteEntry): Seq[(String, String)] = {
+      val fieldNames = specsById(e.specId).map(_.get("name").asText)
+      val target = decodePartitionTuple(e.partition, fieldNames)
+      val data = scopeData.get
+      data.filter(_.specId != e.specId).foreach { d =>
+        throw new IllegalArgumentException(
+          s"Iceberg table $path carries a partition-scoped equality " +
+            s"delete under spec ${e.specId} while data file " +
+            s"${d.resolved.getFileName} rides spec ${d.specId} — the " +
+            "delete's reach across a spec evolution is undecidable; " +
+            "compact the table first")
+      }
+      data.filter(d => decodePartitionTuple(d.partition, fieldNames) == target)
+        .map(d => (e.resolved.getFileName.toString,
+          d.resolved.getFileName.toString))
     }
+    eqs.groupBy(e => (e.ids, isScoped(e))).toSeq
+      .sortBy { case ((ids, sc), _) => (ids.mkString(","), sc) }
+      .map { case ((ids, scoped), group) =>
+        val cols = ids.map(id => idToName.getOrElse(id, throw new IllegalArgumentException(
+          s"Iceberg table $path equality delete references unknown field-id $id")))
+        val seqDf = spark.createDataFrame(
+          group.map(e => (e.resolved.getFileName.toString, e.seq)))
+          .toDF("__geq_src", "__geq_seq")
+        val raw = spark.read.parquet(group.map(_.resolved.toString): _*)
+        cols.foreach(c => require(raw.columns.contains(c),
+          s"Iceberg table $path equality-delete file lacks its own column '$c'"))
+        val base = raw
+          .select((cols.map(c => col(c).as(s"__geq_$c")) :+
+            col("_metadata.file_name").as("__geq_src")).toIndexedSeq: _*)
+          .join(broadcast(seqDf), Seq("__geq_src"))
+        if (!scoped) EqDeleteSpec(cols, base.drop("__geq_src"))
+        else {
+          val pairs = group.flatMap(scopePairs)
+          val pairDf = spark.createDataFrame(pairs)
+            .toDF("__geq_src", "__geq_file")
+          EqDeleteSpec(cols,
+            base.join(broadcast(pairDf), Seq("__geq_src")).drop("__geq_src"),
+            scoped = true)
+        }
+      }
   }
 
   /** The distributed (data-file basename, position) frame of every
@@ -4059,8 +4195,13 @@ object IcebergInterop {
       .toDF("__gdel_file", "__geq_dseq")
     var df = df0.join(broadcast(seqDf), Seq("__gdel_file"))
     eqSpecs.foreach { spec =>
-      val cond = spec.cols.map(c => col(c) <=> spec.frame(s"__geq_$c"))
+      val cond0 = spec.cols.map(c => col(c) <=> spec.frame(s"__geq_$c"))
         .reduce(_ && _) && spec.frame("__geq_seq") > col("__geq_dseq")
+      // a partition-scoped delete row reaches only the data files of its
+      // partition (the pairs pre-joined into the frame)
+      val cond = if (spec.scoped)
+        cond0 && col("__gdel_file") === spec.frame("__geq_file")
+      else cond0
       df = df.join(spec.frame, cond, "left_anti")
     }
     df.drop("__geq_dseq")

@@ -236,8 +236,13 @@ class ContractSpec extends AnyFunSuite {
     // by the spec hash, one appended snapshot, purity recomputed per row
     // across both snapshots; the mirror tracks the source file set in a
     // metadata sidecar because rewritten files are not the source's)
-    assert(SparkEntry.queries.size == 224,
-      s"declared query count ${SparkEntry.queries.size} != documented 224 — " +
+    // 225 adds b5_iceberg_eq_scoped (round-12: PARTITION-SCOPED equality
+    // deletes — the foreign CDC shape previously refused at read; the
+    // reader resolves each delete manifest's partition tuple into a
+    // (delete file -> data file) scope, and deleteFromIcebergByKeyScoped
+    // writes the same shape)
+    assert(SparkEntry.queries.size == 225,
+      s"declared query count ${SparkEntry.queries.size} != documented 225 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

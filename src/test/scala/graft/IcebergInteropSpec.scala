@@ -2141,6 +2141,47 @@ class IcebergInteropSpec extends SparkSpec {
     assert(prunedIds("2024-01-05") == Seq(9L) && prunedIds("2024-01-02") == Seq(3L))
   }
 
+  test("partition-scoped equality delete: keys die only inside their partition") {
+    val t = TxTable(spark, tmp("ice_eqscope"))
+    t.append(Seq((1L, "a", 1.0), (1L, "b", 10.0), (2L, "a", 2.0), (3L, "b", 3.0))
+      .toDF("id", "k", "v"), tsMillis = 1000L, partitionBy = Seq("k"))
+    val out = tmp("ice_eqscope_exp")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L) // identity spec k
+    // id 1 dies ONLY inside k=a; the same key in k=b survives
+    assert(IcebergInterop.deleteFromIcebergByKeyScoped(spark, out,
+      Seq(1L).toDF("id"), Map("k" -> "a"), 6000L) == 1L)
+    val live = IcebergInterop.readIceberg(spark, out)
+    assert(live.orderBy("id", "k").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "b", 10.0), (2L, "a", 2.0), (3L, "b", 3.0)),
+      "the key must survive in the OTHER partition")
+    // pruned reads compose with the scoped delete on both sides
+    def prunedIds(k: String): Seq[Long] = IcebergInterop.readIcebergPruned(
+      spark, out, keep = pv => pv.get("k").contains(k))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(prunedIds("a") == Seq(2L) && prunedIds("b") == Seq(1L, 3L))
+    // rows appended to the partition AFTER the delete survive (the
+    // strictly-older sequence rule applies inside the scope too)
+    assert(IcebergInterop.appendIceberg(spark, out,
+      Seq((1L, "a", 99.0)).toDF("id", "k", "v"), 7000L) == 1L)
+    assert(prunedIds("a") == Seq(1L, 2L))
+    // an unknown partition reaches nothing: no commit, version unchanged
+    val vBefore = Files.readAllLines(
+      Paths.get(out, "metadata", "version-hint.text")).get(0)
+    assert(IcebergInterop.deleteFromIcebergByKeyScoped(spark, out,
+      Seq(2L).toDF("id"), Map("k" -> "zzz"), 8000L) == 0L)
+    assert(Files.readAllLines(
+      Paths.get(out, "metadata", "version-hint.text")).get(0) == vBefore)
+    // the unpartitioned table refuses (use the global delete)
+    val flat = TxTable(spark, tmp("ice_eqscope_flat"))
+    flat.append(Seq((1L, "a", 1.0)).toDF("id", "k", "v"), tsMillis = 1000L)
+    val outFlat = tmp("ice_eqscope_flat_exp")
+    IcebergInterop.exportIceberg(flat, outFlat, tsMillis = 5000L)
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.deleteFromIcebergByKeyScoped(spark, outFlat,
+        Seq(1L).toDF("id"), Map.empty, 6000L))
+      .getMessage.contains("UNPARTITIONED"))
+  }
+
   test("bucket/truncate mirrors maintain incrementally: new batches rewrite into their values") {
     val t = TxTable(spark, tmp("ice_bucket_incr"))
     t.append(Seq((1L, "aa", 1.0), (2L, "bb", 2.0), (3L, "cc", 3.0))
