@@ -5342,10 +5342,21 @@ object SparkEntry {
     import graft.sources.{DeltaInterop, TxTable}
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
-    val producer = TxTable(s, HarnessFixtures.cloneTxDir(txTpl(s, dir, "b5_cdf")))
-    val deltaPath = java.nio.file.Files
-      .createTempDirectory("graft_delta_tail").toString + "/tbl"
-    DeltaInterop.exportDelta(producer, deltaPath, tsMillis = 5000L)        // v0
+    // producer base (two thirds of events, the b5_cdf shape) + its v0
+    // export stage once and restore per rep; the polls, the producer's
+    // incremental commits, and the tail's appends stay timed
+    val tailRoot = "/root/repo/target/graft_export/g4_delta_tail_base"
+    val deltaPath = s"$tailRoot/tbl"
+    HarnessFixtures.stagedExport(s, dir, tailRoot) {
+      val p = TxTable(s, s"$tailRoot/producer")
+      withShufflePartitions(s, 8) {
+        p.append(Tables.events(s, dir)
+          .select(cols.map(col).toIndexedSeq: _*)
+          .where(col("event_id") % 3 =!= 0), tsMillis = 1000L)
+      }
+      DeltaInterop.exportDelta(p, deltaPath, tsMillis = 5000L)             // v0
+    }
+    val producer = TxTable(s, s"$tailRoot/producer")
     val sink = TxTable(s, java.nio.file.Files
       .createTempDirectory("graft_tail_sink").toString)
     val third = Tables.events(s, dir)
@@ -5407,11 +5418,21 @@ object SparkEntry {
     import graft.sources.{IcebergInterop, TxTable}
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
-    val producer = TxTable(s, HarnessFixtures.cloneTxDir(txTpl(s, dir, "b5_cdf")))
-    val icePath = java.nio.file.Files
-      .createTempDirectory("graft_ice_tail").toString + "/tbl"
-    require(IcebergInterop.exportIcebergIncremental(producer, icePath,
-      tsMillis = 5000L) == 1L)                                             // snap1
+    // producer base + snap1 stage once and restore per rep (the Delta
+    // twin's pattern); polls and incremental commits stay timed
+    val tailRoot = "/root/repo/target/graft_export/g4_iceberg_tail_base"
+    val icePath = s"$tailRoot/tbl"
+    HarnessFixtures.stagedExport(s, dir, tailRoot) {
+      val p = TxTable(s, s"$tailRoot/producer")
+      withShufflePartitions(s, 8) {
+        p.append(Tables.events(s, dir)
+          .select(cols.map(col).toIndexedSeq: _*)
+          .where(col("event_id") % 3 =!= 0), tsMillis = 1000L)
+      }
+      require(IcebergInterop.exportIcebergIncremental(p, icePath,
+        tsMillis = 5000L) == 1L)                                           // snap1
+    }
+    val producer = TxTable(s, s"$tailRoot/producer")
     val v1Txt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(icePath, "metadata", "v1.metadata.json")), "UTF-8")
     val snap1 = """"snapshot-id" : (\d+)""".r
