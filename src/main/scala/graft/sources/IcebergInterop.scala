@@ -3587,17 +3587,23 @@ object IcebergInterop {
       def eqKillFrame(added: Seq[EqDeleteEntry]): Option[DataFrame] =
         if (added.isEmpty) None
         else {
-          val eqSpecs = equalityDeleteSpecs(spark, path, meta, added)
+          val eqSpecs = equalityDeleteSpecs(spark, path, meta, added,
+            Some(pData))
           val pl = readWithIdentityFill(spark, path, meta, schema,
             pData.map(e => (e.resolved, e.partition)),
             positionDeleteFrame(spark, path, pData, pPos),
-            equalityDeleteSpecs(spark, path, meta, pEq),
+            equalityDeleteSpecs(spark, path, meta, pEq, Some(pData)),
             pData.map(e => (e.resolved.getFileName.toString, e.seq)),
             aliases, provenance = true)
           var surv = pl
           eqSpecs.foreach { spec =>
-            val cond = spec.cols.map(c => surv(c) <=> spec.frame(s"__geq_$c"))
+            val cond0 = spec.cols.map(c => surv(c) <=> spec.frame(s"__geq_$c"))
               .reduce(_ && _)
+            // a PARTITION-SCOPED delete kills only inside its partition —
+            // the provenance file anchors the scope, same as the live read
+            val cond = if (spec.scoped)
+              cond0 && surv("__gdel_file") === spec.frame("__geq_file")
+            else cond0
             surv = surv.join(spec.frame, cond, "left_anti")
           }
           Some(pl.join(surv.select(col("__gdel_file"), col("__gdel_pos")),

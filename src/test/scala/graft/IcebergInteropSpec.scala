@@ -2171,6 +2171,17 @@ class IcebergInteropSpec extends SparkSpec {
       Seq(2L).toDF("id"), Map("k" -> "zzz"), 8000L) == 0L)
     assert(Files.readAllLines(
       Paths.get(out, "metadata", "version-hint.text")).get(0) == vBefore)
+    // the CHANGELOG replays the scoped delete: exactly the partition's
+    // matching rows emit as delete edges, the other partition's key does
+    // not (consume from snap1, before the scoped delete)
+    val v1Txt = new String(Files.readAllBytes(
+      Paths.get(out, "metadata", "v1.metadata.json")), "UTF-8")
+    val snap1 = """"snapshot-id" : (\d+)""".r.findFirstMatchIn(v1Txt).get.group(1).toLong
+    val (_, clog) = IcebergInterop.readIcebergChangelog(spark, out, snap1)
+    val dels = clog.where(col("_change_type") === "delete")
+      .select("id", "k").as[(Long, String)].collect().toSet
+    assert(dels == Set((1L, "a")), s"got $dels")
+
     // the unpartitioned table refuses (use the global delete)
     val flat = TxTable(spark, tmp("ice_eqscope_flat"))
     flat.append(Seq((1L, "a", 1.0)).toDF("id", "k", "v"), tsMillis = 1000L)
