@@ -342,10 +342,23 @@ object IcebergInterop {
         .repartition(org.apache.spark.sql.functions.col(fieldName))
         .write.mode("overwrite").partitionBy(fieldName).parquet(stage.toString)
       val walk = Files.walk(stage)
-      val rels = try walk.iterator().asScala
+      val rawRels = try walk.iterator().asScala
           .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-          .map(p => stage.relativize(p).toString).toSeq
+          .map(p => stage.relativize(p).toString).toSeq.sorted
         finally walk.close()
+      // rename to globally-unique basenames: a Spark partitioned write
+      // reuses one task's part number across every value directory it
+      // writes, and the delete paths' (file basename -> metadata)
+      // translations require basename uniqueness table-wide
+      val rels = rawRels.zipWithIndex.map { case (rel, i) =>
+        val dir = rel.split('/').dropRight(1)
+        val name = s"rw-${java.util.UUID.nameUUIDFromBytes(
+          (target + "|rewrite|" + i).getBytes("UTF-8"))}.parquet"
+        val nrel = (dir :+ name).mkString("/")
+        Files.move(stage.resolve(rel), stage.resolve(nrel),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        nrel
+      }
       val tupleOf: String => Seq[Any] = rel => {
         val seg = rel.split('/').find(_.startsWith(fieldName + "="))
           .getOrElse(throw new IllegalStateException(
@@ -1554,20 +1567,30 @@ object IcebergInterop {
       transform: String)
 
   /** The default partition spec as STAGEABLE fields — the row-writing
-    * commits' ([[upsertIceberg]], [[appendIceberg]]) shape: identity
-    * fields keep the table's uniform Column-Projected layout; day(ts)
-    * fields derive each incoming row's day the same timezone-independent
-    * way the day exports do (epoch-micros floor division, never the
-    * session zone). Other transforms cannot derive their staged tuples
-    * here and refuse loudly. */
+    * commits' ([[upsertIceberg]], [[appendIceberg]]) and the rewrite
+    * paths' ([[compactIcebergDeletes]], [[rewriteIcebergData]]) shape:
+    * identity fields keep the table's uniform Column-Projected layout;
+    * day(ts) fields derive each incoming row's day the same
+    * timezone-independent way the day exports do (epoch-micros floor
+    * division, never the session zone); bucket[N]/truncate[W] fields
+    * re-derive the spec's transform value with the same expressions the
+    * transform exports use ([[graft.functions.IcebergTransforms]] — the
+    * spec's murmur3, NOT Spark's string-divergent hash). Transforms
+    * outside these four cannot derive their staged tuples here and
+    * refuse loudly. */
   private def stageableSpecFields(meta: JsonNode, schema: StructType,
       path: String, caller: String): Seq[UpsertSpecField] = {
     val idToName = schemaFieldIdToName(meta, path)
+    val BucketTr = """bucket\[(\d+)\]""".r
+    val TruncTr = """truncate\[(\d+)\]""".r
     defaultSpecFields(meta).zipWithIndex.map { case (f, i) =>
       val tr = Option(f.get("transform")).map(_.asText).getOrElse("identity")
-      require(tr == "identity" || tr == "day",
+      require(tr == "identity" || tr == "day" ||
+          BucketTr.pattern.matcher(tr).matches() ||
+          TruncTr.pattern.matcher(tr).matches(),
         s"$caller: the table at $path partitions with transform " +
-          s"'$tr' — identity and day specs are supported by this writer")
+          s"'$tr' — identity/day/bucket/truncate specs are supported by " +
+          "this writer")
       val sid = f.get("source-id").asInt
       val srcCol = idToName.getOrElse(sid, throw new IllegalArgumentException(
         s"$caller: the partition spec of $path references unknown field-id $sid"))
@@ -1588,7 +1611,7 @@ object IcebergInterop {
         UpsertSpecField(PartField(srcCol, schema(srcCol).dataType,
           sourceId = schema.fieldNames.indexOf(srcCol) + 1,
           fieldId = fieldId), srcCol, tr)
-      } else {
+      } else if (tr == "day") {
         require(schema(srcCol).dataType == TimestampType ||
             schema(srcCol).dataType == DateType,
           s"$caller: day partition source '$srcCol' of $path has " +
@@ -1599,34 +1622,87 @@ object IcebergInterop {
         UpsertSpecField(PartField(fName, DateType,
           sourceId = schema.fieldNames.indexOf(srcCol) + 1,
           fieldId = fieldId, transform = "day"), srcCol, tr)
+      } else {
+        // bucket[N] / truncate[W]: a DERIVED grouping field — the source
+        // column stays physical (the non-identity rule), the derived
+        // value rides the Hive staging dirs + manifest tuples only
+        val partType = tr match {
+          case BucketTr(_) =>
+            require(Seq(LongType, IntegerType, StringType, DateType,
+                TimestampType).contains(schema(srcCol).dataType),
+              s"$caller: bucket source column '$srcCol' of $path has type " +
+                s"${schema(srcCol).dataType} — int/long/date/timestamp/" +
+                "string only (the spec's byte form for other types is " +
+                "not implemented)")
+            IntegerType
+          case TruncTr(_) => schema(srcCol).dataType match {
+            case StringType  => StringType
+            case IntegerType => IntegerType
+            case LongType    => LongType
+            case other => throw new IllegalArgumentException(
+              s"$caller: truncate source column '$srcCol' of $path has " +
+                s"type $other — string/int/long only")
+          }
+          case other => throw new IllegalStateException(s"unreachable: $other")
+        }
+        require(!schema.fieldNames.contains(fName),
+          s"$caller: the derived partition field '$fName' of " +
+            s"$path collides with a table column")
+        UpsertSpecField(PartField(fName, partType,
+          sourceId = schema.fieldNames.indexOf(srcCol) + 1,
+          fieldId = fieldId, transform = tr), srcCol, tr)
       }
     }
   }
 
   /** Write `rows` into `stage` under the spec-shaped Hive layout (a day
-    * field derives its DATE grouping column timezone-independently;
-    * identity fields partition directly — both leave the bytes) and
-    * enumerate the non-empty staged parquets, sorted for deterministic
-    * naming. The staging half shared by [[upsertIceberg]] and
-    * [[appendIceberg]]. */
+    * field derives its DATE grouping column timezone-independently; a
+    * bucket/truncate field derives the spec's transform value via
+    * [[graft.functions.IcebergTransforms]]; identity fields partition
+    * directly — derived helper columns and identity columns both leave
+    * the bytes) and enumerate the non-empty staged parquets, sorted for
+    * deterministic naming. The staging half shared by [[upsertIceberg]],
+    * [[appendIceberg]] and the rewrite paths. `cluster` shuffles rows by
+    * the partition values first — the full-table rewrite's shape, where
+    * input files may span many partition values and every task would
+    * otherwise write a sliver into every value directory (the
+    * small-files trap [[exportIcebergRewritten]] documents); upsert-size
+    * batches skip it. */
   private def writeSpecStage(spark: SparkSession, rows: DataFrame,
       schema: StructType, specFields: Seq[UpsertSpecField],
-      stage: Path): Seq[(Path, Long)] = {
-    import org.apache.spark.sql.functions.{col, date_add, floor, lit, unix_micros}
-    val stagedFrame = specFields.filter(_.transform == "day")
+      stage: Path, cluster: Boolean = false): Seq[(Path, Long)] = {
+    import org.apache.spark.sql.functions.{col, date_add, floor, lit, pmod,
+      substring, unix_micros}
+    val BucketTr = """bucket\[(\d+)\]""".r
+    val TruncTr = """truncate\[(\d+)\]""".r
+    val stagedFrame = specFields.filterNot(_.transform == "identity")
       .foldLeft(rows) { (df, sf) =>
-        val dayVal = schema(sf.srcCol).dataType match {
-          case TimestampType => date_add(
-            lit(java.sql.Date.valueOf("1970-01-01")),
-            floor(unix_micros(col(sf.srcCol)) / lit(86400000000L)).cast("int"))
-          case _ => col(sf.srcCol)
+        val v = sf.transform match {
+          case "day" => schema(sf.srcCol).dataType match {
+            case TimestampType => date_add(
+              lit(java.sql.Date.valueOf("1970-01-01")),
+              floor(unix_micros(col(sf.srcCol)) / lit(86400000000L)).cast("int"))
+            case _ => col(sf.srcCol)
+          }
+          case BucketTr(n) =>
+            graft.functions.IcebergTransforms.bucket(n.toInt, col(sf.srcCol))
+          case TruncTr(w) => schema(sf.srcCol).dataType match {
+            case StringType  => substring(col(sf.srcCol), 1, w.toInt)
+            case IntegerType => col(sf.srcCol) - pmod(col(sf.srcCol), lit(w.toInt))
+            case _           => col(sf.srcCol) - pmod(col(sf.srcCol), lit(w.toLong))
+          }
+          case other => throw new IllegalStateException(s"unreachable: $other")
         }
-        df.withColumn(sf.pf.name, dayVal)
+        df.withColumn(sf.pf.name, v)
       }
     val stageCols = specFields.map(_.pf.name)
+    val toWrite =
+      if (cluster && stageCols.nonEmpty)
+        stagedFrame.repartition(stageCols.map(col): _*)
+      else stagedFrame
     if (stageCols.isEmpty)
-      stagedFrame.write.mode("overwrite").parquet(stage.toString)
-    else stagedFrame.write.mode("overwrite")
+      toWrite.write.mode("overwrite").parquet(stage.toString)
+    else toWrite.write.mode("overwrite")
       .partitionBy(stageCols: _*).parquet(stage.toString)
     val walk = Files.walk(stage)
     try walk.iterator().asScala
@@ -2163,19 +2239,28 @@ object IcebergInterop {
       Seq(newVersion.toString).asJava)
   }
 
-  /** Physically reclaim position-deleted rows (the delete lifecycle's
-    * compaction half — Iceberg's `rewrite_data_files` +
+  /** Physically reclaim deleted rows (the delete lifecycle's compaction
+    * half — Iceberg's `rewrite_data_files` +
     * `rewrite_position_delete_files` maintenance, and the same
     * only-touch-what-changed discipline as
     * [[graft.operators.AnnIndex.compactIndex]]): ONLY the data files that
     * carry applicable deletes are rewritten (survivor rows land in fresh
     * files under `data/compacted/`); untouched files are carried into the
     * new snapshot's manifest by reference — zero data movement for them.
-    * The new snapshot lists NO delete files, so every subsequent read
-    * plans without the anti-join; prior snapshots still read the
-    * tombstone-masked (and pre-delete) views. Superseded data files and
-    * delete parquets stay on disk for that history (vacuum semantics are
-    * out of scope, as everywhere in this exporter).
+    * POSITION deletes fold by (file, pos); EQUALITY deletes fold by the
+    * spec's strictly-newer-sequence rule (a delete touches every file
+    * committed strictly before it, inside its partition when scoped) —
+    * exactly the view the read path serves, so the table a chain of
+    * [[upsertIceberg]] MERGEs maintains compacts back to a delete-free
+    * snapshot instead of paying a growing anti-join forever.
+    * Identity, day, bucket and truncate specs all rewrite (survivors
+    * restage under the table's own layout); mixed-spec tables refuse —
+    * run [[rewriteIcebergData]] first. The new snapshot lists NO delete
+    * files, so every subsequent read plans without the anti-join; prior
+    * snapshots still read the tombstone-masked (and pre-delete) views.
+    * Superseded data files and delete parquets stay on disk for that
+    * history (vacuum semantics are out of scope, as everywhere in this
+    * exporter).
     *
     * @return (files rewritten, rows reclaimed) — (0, 0) when the current
     *   snapshot carries no delete files (no commit). */
@@ -2183,14 +2268,21 @@ object IcebergInterop {
       tsMillis: Long = System.currentTimeMillis()): (Int, Long) =
     rewriteIcebergImpl(spark, path, tsMillis, rewriteAll = false)
 
-  /** FULL data rewrite under the CURRENT schema — the OPTIMIZE-style
-    * maintenance twin of [[compactIcebergDeletes]] (which rewrites only
-    * delete-carrying files): every live data file is re-written fresh,
-    * position deletes fold in, and every surviving byte carries the
-    * current physical column names. This is the migration path that
+  /** FULL data rewrite under the CURRENT schema AND the CURRENT default
+    * partition spec — the OPTIMIZE-style maintenance twin of
+    * [[compactIcebergDeletes]] (which rewrites only delete-carrying
+    * files): every live data file is re-written fresh, position and
+    * equality deletes fold in, and every surviving byte carries the
+    * current physical column names. This is the migration path that (a)
     * retires a [[renameIcebergColumn]]'s historic names for DELETE-FREE
     * files too (compaction alone never touches them), after which
-    * equality deletes on the renamed column are accepted again.
+    * equality deletes on the renamed column are accepted again, and (b)
+    * converts a MIXED-SPEC table (after [[evolveIcebergSpecDay]]) to a
+    * single-spec one — old-era tuples re-derive under the current
+    * default spec, making the table compactable again. Mixed tables
+    * rewrite only under pure-transform specs (identity fields would need
+    * default-spec tuples the old era does not carry) and only when every
+    * old-era file physically carries every schema column.
     *
     * @return (files rewritten, rows reclaimed) — (0, 0) only on an empty
     *   table (a full rewrite always commits otherwise). */
@@ -2209,17 +2301,14 @@ object IcebergInterop {
     val fv = meta.get("format-version").asInt
     require(fv == 1 || fv == 2,
       s"Iceberg table $path has format-version $fv — only v1/v2 are supported")
-    // identity specs rewrite per partition (survivors keep the
-    // Column-Projected layout and their manifest tuples); non-identity
-    // transforms would need their staged tuples re-derived — refused
-    defaultSpecFields(meta).foreach { f =>
-      val tr = Option(f.get("transform")).map(_.asText).getOrElse("identity")
-      require(tr == "identity",
-        s"$what: the table at $path partitions with transform '$tr' — " +
-          "only identity specs are supported by this writer")
-    }
-    val identityCols = targetSpecIdentityCols(meta, path)
+    // the default spec's stageable shape: identity fields rewrite per
+    // partition (survivors keep the Column-Projected layout and their
+    // manifest tuples); day/bucket/truncate fields re-derive their staged
+    // tuples with the same transform expressions the exports use; other
+    // transforms refuse inside stageableSpecFields
     val schema = currentSparkSchema(meta, path)
+    val specFields = stageableSpecFields(meta, schema, path, what)
+    val partFields = specFields.map(_.pf)
     val curId = Option(meta.get("current-snapshot-id")).map(_.asLong)
       .filter(_ != -1L).getOrElse(return (0, 0L))
     val snapNode = Option(meta.get("snapshots"))
@@ -2227,68 +2316,109 @@ object IcebergInterop {
       .getOrElse(throw new IllegalArgumentException(
         s"Iceberg table $path current snapshot $curId is missing from the log"))
     val (dataFiles, deleteFiles, eqDeletes) = liveEntries(root, path, snapNode)
-    require(eqDeletes.isEmpty,
-      s"$what does not rewrite EQUALITY deletes (the table " +
-        s"at $path carries ${eqDeletes.size}) — every pre-delete file would " +
-        "need rewriting with the strictly-newer-sequence rule applied; " +
-        "re-export the live view instead")
-    // after a spec evolution live files ride SEVERAL spec-ids; the carry
-    // half of this rewrite re-lists entries under ONE manifest header, so
-    // mixed-spec tables refuse rather than silently re-shaping tuples
-    val rwDefaultSpec = Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0)
-    dataFiles.find(_.specId != rwDefaultSpec).foreach { e =>
-      throw new IllegalArgumentException(
-        s"$what: the table at $path carries data files under multiple " +
-          s"partition specs (${e.resolved.getFileName} rides spec " +
-          s"${e.specId}, default is $rwDefaultSpec) — rewriting across a " +
-          "spec evolution would need per-era tuple re-derivation; unsupported")
-    }
     if (dataFiles.isEmpty) return (0, 0L)
-    if (!rewriteAll && deleteFiles.isEmpty) return (0, 0L)
+    if (!rewriteAll && deleteFiles.isEmpty && eqDeletes.isEmpty) return (0, 0L)
+    val rwDefaultSpec = Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0)
+    // after a spec evolution live files ride SEVERAL spec-ids. A FULL
+    // rewrite re-derives every tuple under the current default spec —
+    // the migration that converts a mixed-spec table to single-spec —
+    // provided the old-era rows are fully reconstructible: identity
+    // fields fill from DEFAULT-spec tuples (which old-era entries do not
+    // carry), so mixed tables rewrite only under pure-transform specs,
+    // and every old-era file must physically carry every schema column.
+    // The compaction half re-lists CARRIED entries under ONE manifest
+    // header, so it refuses mixed tables outright — run
+    // rewriteIcebergData first.
+    val mixedSpec = dataFiles.exists(_.specId != rwDefaultSpec)
+    if (mixedSpec) {
+      require(rewriteAll,
+        s"$what: the table at $path carries data files under multiple " +
+          s"partition specs — carried entries re-list under one manifest " +
+          "header; run rewriteIcebergData first to convert the table to " +
+          "its current spec")
+      require(specFields.forall(_.transform != "identity"),
+        s"$what: the table at $path mixes partition specs and its current " +
+          "spec has IDENTITY fields — old-era entries carry no tuple to " +
+          "reconstruct them from; unsupported")
+      val aliasesPre = renameAliases(meta, path,
+        Option(meta.get("current-schema-id")).map(_.asInt))
+      val oldEra = dataFiles.filter(_.specId != rwDefaultSpec)
+      val bulk = parquetTopLevelColsBulk(spark, oldEra.map(_.resolved))
+      oldEra.foreach { d =>
+        val cols = bulk(d.resolved.toString)
+        schema.fieldNames.foreach(c => require(cols.contains(c) ||
+            aliasesPre.getOrElse(c, Seq.empty).exists(cols.contains),
+          s"$what: data file ${d.resolved.getFileName} rides spec " +
+            s"${d.specId} and does not physically carry column '$c' — " +
+            "its rows cannot be reconstructed under the current spec; " +
+            "unsupported"))
+      }
+    }
     val delFrameOpt = positionDeleteFrame(spark, path, dataFiles, deleteFiles)
-    if (!rewriteAll && delFrameOpt.isEmpty) return (0, 0L)
 
-    // which files carry APPLICABLE deletes — O(touched files); a full
-    // rewrite touches everything regardless
-    val touched: Set[String] = delFrameOpt.map(_.select("__gdel_file").distinct()
-      .collect().map(_.getString(0)).toSet).getOrElse(Set.empty)
+    // which files carry APPLICABLE deletes — position deletes resolve by
+    // (file, pos) translation (O(touched files) driver metadata), and an
+    // equality delete touches every file committed STRICTLY BEFORE it
+    // (inside its partition when the delete is scoped — the spec's rule,
+    // O(files × delete files) driver metadata). A full rewrite touches
+    // everything regardless.
+    val specsById = partitionSpecsById(meta)
+    def eqTouches(e: EqDeleteEntry, d: DataEntry): Boolean = {
+      if (e.seq <= d.seq) return false
+      val fields = specsById.getOrElse(e.specId, Seq.empty)
+      if (fields.isEmpty) return true // global delete (empty spec)
+      if (d.specId != e.specId) throw new IllegalArgumentException(
+        s"$what: the table at $path carries a partition-scoped equality " +
+          s"delete under spec ${e.specId} while data file " +
+          s"${d.resolved.getFileName} rides spec ${d.specId} — the " +
+          "delete's reach across a spec evolution is undecidable; " +
+          "unsupported")
+      val names = fields.map(_.get("name").asText)
+      decodePartitionTuple(d.partition, names) ==
+        decodePartitionTuple(e.partition, names)
+    }
+    val posTouched: Set[String] = delFrameOpt.map(
+      _.select("__gdel_file").distinct()
+        .collect().map(_.getString(0)).toSet).getOrElse(Set.empty)
+    val eqTouched: Set[String] =
+      if (eqDeletes.isEmpty) Set.empty
+      else dataFiles.filter(d => eqDeletes.exists(e => eqTouches(e, d)))
+        .map(_.resolved.getFileName.toString).toSet
+    val touched = posTouched ++ eqTouched
     val (rewrite, carry) =
       if (rewriteAll) (dataFiles, Seq.empty[DataEntry])
       else dataFiles.partition(e =>
         touched.contains(e.resolved.getFileName.toString))
     if (rewrite.isEmpty) return (0, 0L)
-    // distinct: overlapping foreign delete files may record the same
-    // (file, pos) twice — one dead row, not two, for the caller's books
-    val deadRows = delFrameOpt.map(_.distinct().count()).getOrElse(0L)
     val delFrame = delFrameOpt
 
     // survivors of the touched files only, written fresh
     val compDir = root.resolve("data").resolve("compacted")
     Files.createDirectories(compDir)
     val stage = Files.createTempDirectory("graft_ice_compact")
-    val partFields = identityPartFields(schema, identityCols)
     val newFiles: Seq[ManifestFile] = try {
       // renamed columns: aliased scan + coalesce, and the survivors are
       // WRITTEN under the current names — compaction doubles as the
       // physical migration path that retires historic column names;
       // identity-partitioned tables resolve projected columns through
       // the fill and stage the survivors back per partition (the
-      // projected columns leave the bytes again)
+      // projected columns leave the bytes again). Equality deletes fold
+      // in via the read path's own strictly-newer-sequence anti-join —
+      // the new snapshot carries NO delete files of either kind.
       val aliases = renameAliases(meta, path,
         Option(meta.get("current-schema-id")).map(_.asInt))
+      val eqSpecs = equalityDeleteSpecs(spark, path, meta, eqDeletes,
+        scopeData = if (eqDeletes.isEmpty) None else Some(dataFiles))
       val survivors = readWithIdentityFill(spark, path, meta, schema,
         rewrite.map(e => (e.resolved, e.partition)),
-        deletes = delFrame, aliases = aliases)
-      if (identityCols.isEmpty)
-        survivors.write.mode("overwrite").parquet(stage.toString)
-      else survivors.write.mode("overwrite")
-        .partitionBy(identityCols: _*).parquet(stage.toString)
-      val walk = Files.walk(stage)
-      val staged = try walk.iterator().asScala
-          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-          .map(p => (p, parquetRowCount(spark, p))).filter(_._2 > 0L)
-          .toSeq.sortBy(_._1.toString)
-        finally walk.close()
+        deletes = delFrame, eqSpecs = eqSpecs,
+        dataSeqs = rewrite.map(e => (e.resolved.getFileName.toString, e.seq)),
+        aliases = aliases)
+      // a full rewrite may regroup rows across partition values (a flat
+      // old era landing under a day spec) — cluster first; compaction
+      // inputs are already partition-pure, no shuffle needed
+      val staged = writeSpecStage(spark, survivors, schema, specFields,
+        stage, cluster = rewriteAll)
       staged.zipWithIndex.map { case ((p, rows), i) =>
         val relDir = Option(stage.relativize(p).getParent)
           .map(_.toString).getOrElse("")
@@ -2302,6 +2432,10 @@ object IcebergInterop {
           hivePartitionTuple(rel, partFields))
       }
     } finally deleteRecursively(stage)
+    // rows reclaimed = inputs of the rewritten files minus their
+    // survivors — exact under overlapping delete files (a (file, pos)
+    // recorded twice dies once) and under equality deletes alike
+    val deadRows = rewrite.map(_.rows).sum - newFiles.map(_.rows).sum
 
     // ---- the commit: ONE fresh data manifest (carried + rewritten), no
     // delete manifests, published as a new v2 metadata version
@@ -4197,6 +4331,15 @@ object IcebergInterop {
       eqSpecs: Seq[EqDeleteSpec], dataSeqs: Seq[(String, Long)]): DataFrame = {
     if (eqSpecs.isEmpty) return df0
     import org.apache.spark.sql.functions.{broadcast, col}
+    // the (basename -> sequence) translation joins on `_metadata
+    // .file_name`, so duplicate data-file basenames would silently
+    // MULTIPLY rows (each row matching several sequence entries) — the
+    // same uniqueness positionDeleteFrame already demands, enforced
+    // loudly here for equality deletes too (a foreign layout may nest
+    // identical part names under different partition dirs)
+    require(dataSeqs.map(_._1).distinct.size == dataSeqs.size,
+      "Iceberg table has duplicate data-file names — equality deletes " +
+        "cannot be applied unambiguously; unsupported layout")
     val seqDf = spark.createDataFrame(dataSeqs)
       .toDF("__gdel_file", "__geq_dseq")
     var df = df0.join(broadcast(seqDf), Seq("__gdel_file"))

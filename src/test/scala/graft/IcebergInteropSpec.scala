@@ -641,10 +641,17 @@ class IcebergInteropSpec extends SparkSpec {
     // the pos-delete writer's live view honors the eq delete: re-deleting
     // an eq-deleted row's position matches nothing
     assert(IcebergInterop.deleteFromIceberg(spark, out2, col("id") === 2L, 8000L) == 0L)
-    // compaction refuses equality deletes loudly
-    assert(intercept[IllegalArgumentException](
-      IcebergInterop.compactIcebergDeletes(spark, out2, 9000L))
-      .getMessage.contains("EQUALITY"))
+    // compaction FOLDS both delete kinds (round-13: the eq-delete
+    // refusal is gone): the position delete resolves by (file, pos), the
+    // equality delete by the strictly-newer-sequence rule, and the new
+    // snapshot is delete-free — the live view unchanged, read with no
+    // anti-join
+    val (nfEq, deadEq) = IcebergInterop.compactIcebergDeletes(spark, out2, 9000L)
+    assert(nfEq >= 1 && deadEq == 6L, s"got ($nfEq, $deadEq)")
+    assert(IcebergInterop.readIceberg(spark, out2)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 5L, 7L, 9L))
+    assert(IcebergInterop.compactIcebergDeletes(spark, out2, 9500L) == ((0, 0L)),
+      "the compacted snapshot must carry no delete files")
     // unknown key columns refuse
     assert(intercept[IllegalArgumentException](
       IcebergInterop.deleteFromIcebergByKey(spark, out2, Seq(1).toDF("nope"), 9500L))
@@ -1944,6 +1951,126 @@ class IcebergInteropSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
   }
 
+  test("compaction folds a day-spec MERGE chain back to a delete-free snapshot") {
+    // the engine's flagship production shape (b5_iceberg_upsert_days):
+    // day(ts) spec maintained by upsertIceberg MERGEs — before round 13
+    // its eq-delete files accumulated unboundedly (compaction refused
+    // both the transform spec and the eq deletes)
+    def ts(v: String) = java.sql.Timestamp.valueOf(v)
+    val t = TxTable(spark, tmp("ice_daycompact"))
+    t.append(Seq((1L, ts("2024-01-01 10:00:00"), 1.0),
+        (2L, ts("2024-01-01 11:00:00"), 2.0),
+        (3L, ts("2024-01-02 10:00:00"), 3.0))
+      .toDF("id", "ts", "v").coalesce(1), tsMillis = 1000L)
+    t.clusterBy(org.apache.spark.sql.functions.to_date(col("ts")), tsMillis = 2000L)
+    val out = tmp("ice_daycompact_exp")
+    IcebergInterop.exportIcebergDays(t, out, "ts", tsMillis = 5000L)
+    // two MERGE commits: replace id 2 (lands on a NEW day), insert id 4
+    assert(IcebergInterop.upsertIceberg(spark, out,
+      Seq((2L, ts("2024-01-03 09:00:00"), 20.0)).toDF("id", "ts", "v"),
+      Seq("id"), 6000L) == ((1L, 1L)))
+    assert(IcebergInterop.upsertIceberg(spark, out,
+      Seq((4L, ts("2024-01-02 12:00:00"), 4.0)).toDF("id", "ts", "v"),
+      Seq("id"), 7000L) == ((1L, 1L)))
+    val expected = Seq((1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, ts("2024-01-03 09:00:00"), 20.0), (3L, ts("2024-01-02 10:00:00"), 3.0),
+      (4L, ts("2024-01-02 12:00:00"), 4.0))
+    assert(IcebergInterop.readIceberg(spark, out).orderBy("id")
+      .as[(Long, java.sql.Timestamp, Double)].collect().toSeq == expected)
+    val (nf, dead) = IcebergInterop.compactIcebergDeletes(spark, out, 8000L)
+    // the two eq-deletes touch every file committed strictly before them
+    assert(nf >= 1 && dead == 1L, s"($nf, $dead)")
+    assert(IcebergInterop.readIceberg(spark, out).orderBy("id")
+      .as[(Long, java.sql.Timestamp, Double)].collect().toSeq == expected)
+    // survivors restaged under derived ts_day dirs, ts still physical
+    val comp = Files.walk(Paths.get(out, "data", "compacted")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    assert(comp.nonEmpty && comp.forall(_.toString.contains("ts_day=")))
+    assert(comp.forall(p =>
+      spark.read.parquet(p.toString).columns.toSeq == Seq("id", "ts", "v")),
+      "the day helper column must leave the bytes; ts stays physical")
+    // day pruning over the compacted tuples is exact
+    val pruned = IcebergInterop.readIcebergPruned(spark, out,
+      keep = pv => pv.get("ts_day").contains(java.sql.Date.valueOf("2024-01-02")))
+    assert(pruned.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+    // delete-free now: a second compaction is a no-op, and a LATER merge
+    // starts the cycle again
+    assert(IcebergInterop.compactIcebergDeletes(spark, out, 9000L) == ((0, 0L)))
+    assert(IcebergInterop.upsertIceberg(spark, out,
+      Seq((1L, ts("2024-01-04 00:00:00"), 10.0)).toDF("id", "ts", "v"),
+      Seq("id"), 10000L) == ((1L, 1L)))
+    assert(IcebergInterop.compactIcebergDeletes(spark, out, 11000L)._2 == 1L)
+    assert(IcebergInterop.readIceberg(spark, out).count() == 4L)
+  }
+
+  test("compaction folds a partition-scoped equality delete only inside its partition") {
+    val t = TxTable(spark, tmp("ice_scompact"))
+    t.append(Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "b", 4.0))
+      .toDF("id", "k", "v"), tsMillis = 1000L, partitionBy = Seq("k"))
+    val out = tmp("ice_scompact_exp")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)
+    // id dies in k=a ONLY (the scoped shape); k=b keeps its id-1... none,
+    // but id 2 exists only in a — scope the delete to k=a
+    assert(IcebergInterop.deleteFromIcebergByKeyScoped(spark, out,
+      Seq(2L).toDF("id"), Map("k" -> "a"), 6000L) == 1L)
+    val (nf, dead) = IcebergInterop.compactIcebergDeletes(spark, out, 7000L)
+    assert(dead == 1L, s"($nf, $dead)")
+    val live = IcebergInterop.readIceberg(spark, out)
+    assert(live.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 1.0), (3L, "b", 3.0), (4L, "b", 4.0)))
+    // ONLY the scoped partition's files were rewritten: k=b carried
+    val comp = Files.walk(Paths.get(out, "data", "compacted")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    assert(comp.nonEmpty && comp.forall(_.toString.contains("k=a")),
+      s"k=b must carry by reference, got ${comp.mkString(",")}")
+    assert(IcebergInterop.compactIcebergDeletes(spark, out, 8000L) == ((0, 0L)))
+  }
+
+  test("compaction and full rewrite restage bucket/truncate tuples under the spec transforms") {
+    // bucket[4] table takes an eq delete, compacts, stays bucket-pure
+    val t = TxTable(spark, tmp("ice_bcompact"))
+    t.append((0L until 12L).map(i => (i, i * 1.0)).toDF("id", "v"),
+      tsMillis = 1000L)
+    val out = tmp("ice_bcompact_exp")
+    IcebergInterop.exportIcebergBucketed(t, out, "id", 4, tsMillis = 5000L)
+    assert(IcebergInterop.deleteFromIcebergByKey(spark, out,
+      Seq(3L, 7L).toDF("id"), 6000L) == 2L)
+    val (nf, dead) = IcebergInterop.compactIcebergDeletes(spark, out, 7000L)
+    assert(nf >= 1 && dead == 2L, s"($nf, $dead)")
+    assert(IcebergInterop.readIceberg(spark, out).select("id").as[Long]
+      .collect().sorted.toSeq == (0L until 12L).filterNot(Set(3L, 7L)))
+    // every compacted file is bucket-pure under the SPEC's murmur3
+    val comp = Files.walk(Paths.get(out, "data", "compacted")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    assert(comp.nonEmpty && comp.forall(_.toString.contains("id_bucket=")))
+    comp.foreach { p =>
+      val b = """id_bucket=(\d+)""".r.findFirstMatchIn(p.toString).get.group(1).toInt
+      val ids = spark.read.parquet(p.toString).select("id").as[Long].collect()
+      assert(ids.forall(id =>
+        graft.functions.IcebergTransforms.bucketOfLong(4, id) == b),
+        s"file $p is not bucket-pure")
+    }
+    // bucket pruning over the compacted tuples still works
+    val b0 = IcebergInterop.readIcebergPruned(spark, out,
+      keep = pv => pv.get("id_bucket").contains(
+        graft.functions.IcebergTransforms.bucketOfLong(4, 8L)))
+    assert(b0.select("id").as[Long].collect().contains(8L))
+
+    // truncate[2] string table: full rewrite folds a position delete and
+    // keeps prefix tuples
+    val t2 = TxTable(spark, tmp("ice_tcompact"))
+    t2.append(Seq((1L, "alpha", 1.0), (2L, "beta", 2.0), (3L, "alto", 3.0))
+      .toDF("id", "k", "v"), tsMillis = 1000L)
+    val out2 = tmp("ice_tcompact_exp")
+    IcebergInterop.exportIcebergTruncated(t2, out2, "k", 2, tsMillis = 5000L)
+    assert(IcebergInterop.deleteFromIceberg(spark, out2, col("id") === 1L, 6000L) == 1L)
+    val (nf2, dead2) = IcebergInterop.rewriteIcebergData(spark, out2, 7000L)
+    assert(nf2 >= 1 && dead2 == 1L, s"($nf2, $dead2)")
+    assert(IcebergInterop.readIcebergPruned(spark, out2,
+        keep = pv => pv.get("k_trunc").contains("al"))
+      .select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("partitioned delete with a partition pruner scans and deletes only kept partitions") {
     val t = TxTable(spark, tmp("ice_pdel_keep"))
     t.append(Seq((1L, "a", 1.0), (2L, "b", 1.0), (3L, "a", 1.0), (4L, "c", 1.0))
@@ -2293,10 +2420,31 @@ class IcebergInteropSpec extends SparkSpec {
         keep = pv => pv.get("ts_day").contains(java.sql.Date.valueOf("2024-01-05")))
       .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L),
       "old-era files keep conservatively, the eq-delete applies inside them")
-    // rewriting across a spec evolution refuses (per-era tuples)
+    // COMPACTION still refuses the mixed-spec table (its carried entries
+    // re-list under one manifest header), pointing at the migration
     assert(intercept[IllegalArgumentException](
-      IcebergInterop.rewriteIcebergData(spark, out, tsMillis = 11000L))
-      .getMessage.contains("spec"))
+      IcebergInterop.compactIcebergDeletes(spark, out, 10500L))
+      .getMessage.contains("rewriteIcebergData"))
+    // the FULL rewrite converts the table to ONE spec (round-13): every
+    // file re-derives its ts_day tuple under the current default spec,
+    // the upsert's global eq-delete folds in, and the live view is
+    // unchanged
+    val (nfRw, deadRw) = IcebergInterop.rewriteIcebergData(spark, out, 11000L)
+    assert(nfRw >= 1 && deadRw == 1L, s"got ($nfRw, $deadRw)")
+    val after = IcebergInterop.readIceberg(spark, out)
+    assert(after.orderBy("id").as[(Long, java.sql.Timestamp, Double)].collect().toSeq ==
+      Seq((1L, ts("2024-01-01 10:00:00"), 1.0), (2L, ts("2024-01-05 00:00:00"), 20.0),
+        (3L, ts("2024-01-03 10:00:00"), 3.0), (4L, ts("2024-01-04 10:00:00"), 4.0),
+        (5L, ts("2024-01-01 09:00:00"), 5.0)))
+    // single-spec now: EVERY file prunes by day — the 01-05 read plans
+    // exactly the one rewritten file, no conservative old-era keeps
+    val prunedAfter = IcebergInterop.readIcebergPruned(spark, out,
+      keep = pv => pv.get("ts_day").contains(java.sql.Date.valueOf("2024-01-05")))
+    assert(prunedAfter.select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(prunedAfter.inputFiles.length == 1,
+      "post-rewrite pruning must be exact — no old-era conservative keeps")
+    // and the table is compactable again (delete-free: no-op)
+    assert(IcebergInterop.compactIcebergDeletes(spark, out, 12000L) == ((0, 0L)))
   }
 
   test("upsertIceberg onto a composite day+identity spec keeps both layouts") {
