@@ -241,8 +241,13 @@ class ContractSpec extends AnyFunSuite {
     // reader resolves each delete manifest's partition tuple into a
     // (delete file -> data file) scope, and deleteFromIcebergByKeyScoped
     // writes the same shape)
-    assert(SparkEntry.queries.size == 225,
-      s"declared query count ${SparkEntry.queries.size} != documented 225 — " +
+    // 226 adds b5_iceberg_compact_days (round-13 verdict #1: the day(ts)
+    // MERGE table's maintenance lifecycle — compaction folds the
+    // equality deletes by the strictly-newer-sequence rule, restages
+    // survivors under the transform spec, expiry reclaims the superseded
+    // bytes; disk ≡ live with no row filter)
+    assert(SparkEntry.queries.size == 226,
+      s"declared query count ${SparkEntry.queries.size} != documented 226 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }
