@@ -5621,6 +5621,175 @@ object SparkEntry {
     sinkDf.orderBy("event_id")
   }
 
+  /** G4 — CONTINUOUS CDC TAIL OF A DELTA TABLE (round-12 verdict #2:
+    * [[g4DeltaTail]]'s append-only contract refuses tables receiving
+    * deletes or MERGEs, yet tailing a CDC-maintained table is the
+    * standard downstream-materialization shape):
+    * [[graft.sources.DeltaInterop.tailDeltaCdcInto]] polls
+    * [[graft.sources.DeltaInterop.readDeltaCdf]] per foreachBatch
+    * trigger, nets each key's edge chain to its last effect
+    * ([[graft.sources.CdcFeed.net]] — a MERGE's preimage/postimage pair
+    * collapses to the replacement) and lands the batch as ONE keyed
+    * delete-or-replace commit ([[graft.sources.TxTable.applyCdc]]),
+    * txn-marked with the head version. The table (the 1-in-5 event
+    * slice) receives a MERGE (replacing `id%4=0` rows at `value+1000`,
+    * inserting the ones not present — staged, its commit kind certified
+    * by the b5 merge queries) and a mid-stream DV delete of `id%7=0`
+    * (timed) — exactly the commits the append-only tail refuses. The
+    * continuous ≡ one-shot-batch replay and from-birth-bootstrap
+    * equivalences are pinned in DeltaInteropSpec; the timed query
+    * certifies watermark-reaches-head + sink ≡ live, and the DuckDB
+    * oracle recomputes the final state from the events table. */
+  private def g4DeltaCdcTail(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.{DeltaInterop, TxTable}
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
+    val tailRoot = "/root/repo/target/graft_export/g4_delta_cdc_tail_base"
+    val deltaPath = s"$tailRoot/tbl"
+    // the pre-feed history (base export, CDF property, the MERGE — each
+    // commit kind certified in its own b5 query) stages once and
+    // restores per rep, the b5_delta_cdf discipline; the sink SEEDED at
+    // v1 stages as a TxTable template cloned per rep. The CDC
+    // consumption under test — feed reads, netting, keyed sink applies,
+    // the mid-stream delete — stays timed.
+    HarnessFixtures.stagedExport(s, dir, tailRoot) {
+      val universe = Tables.events(s, dir)
+        .select(cols.map(col).toIndexedSeq: _*)
+        .where(col("event_id") % 5 === 0)
+      val p = TxTable(s, s"$tailRoot/producer")
+      withShufflePartitions(s, 8) {
+        p.append(universe.where(col("event_id") % 3 =!= 0), tsMillis = 1000L)
+      }
+      DeltaInterop.exportDelta(p, deltaPath, tsMillis = 5000L)            // v0
+      DeltaInterop.setDeltaTableProperty(s, deltaPath,
+        "delta.enableChangeDataFeed", "true", tsMillis = 6000L)           // v1
+      val seeded = TxTable(s, s"$tailRoot/sink_tpl")
+      seeded.append(DeltaInterop.readDelta(s, deltaPath)
+        .select(cols.map(col).toIndexedSeq: _*), tsMillis = 500L)
+      val ups = universe
+        .where(col("event_id") % 4 === 0)
+        .withColumn("value", col("value") + 1000.0d)
+        .select(cols.map(col).toIndexedSeq: _*)
+      DeltaInterop.mergeDelta(s, deltaPath, ups,
+        Seq("event_id"), tsMillis = 7000L)                               // v2: MERGE
+    }
+    // the sink seeds with v1's rows and tails from there (the
+    // g4_iceberg_tail contract; the from-birth bootstrap via since = -1
+    // is pinned in DeltaInteropSpec)
+    val sink = TxTable(s, HarnessFixtures.cloneTxDir(s"$tailRoot/sink_tpl"))
+    val watermark = new java.util.concurrent.atomic.AtomicLong(1L)
+    val ms = MemoryStream[Int]
+    withShufflePartitions(s, 2) {
+      val q = ms.toDS().writeStream
+        .foreachBatch { (_: org.apache.spark.sql.Dataset[Int], id: Long) =>
+          watermark.set(DeltaInterop.tailDeltaCdcInto(s, deltaPath, sink,
+            Seq("event_id"), watermark.get(), tsMillis = 1000L + id))
+          ()
+        }
+        .start()
+      ms.addData(0); q.processAllAvailable()                   // poll: v2 (the MERGE)
+      require(DeltaInterop.deleteFromDelta(s, deltaPath,
+        col("event_id") % 7 === 0, tsMillis = 8000L) > 0L)               // v3: delete
+      ms.addData(1); q.processAllAvailable()                             // poll: v3
+      ms.addData(2); q.processAllAvailable()                             // no-op poll
+      q.stop()
+    }
+    require(watermark.get() == 3L,
+      s"g4_delta_cdc_tail: the watermark must reach the head, got ${watermark.get()}")
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val sinkDf = sink.read().select(cols.map(col).toIndexedSeq: _*)
+    require(sig(sinkDf) == sig(DeltaInterop.readDelta(s, deltaPath)
+        .select(cols.map(col).toIndexedSeq: _*)),
+      "g4_delta_cdc_tail: the tailed sink diverges from the live Delta read")
+    sinkDf.orderBy("event_id")
+  }
+
+  /** G4 — CONTINUOUS CDC TAIL OF AN ICEBERG TABLE, the [[g4DeltaCdcTail]]
+    * twin: [[graft.sources.IcebergInterop.tailIcebergCdcInto]] drains
+    * [[graft.sources.IcebergInterop.readIcebergChangelog]] per trigger —
+    * the upsert's overwrite snapshot (equality deletes + fresh files)
+    * replays as delete+insert pairs that net to the replacement, the key
+    * delete as delete edges — and lands each batch through
+    * [[graft.sources.TxTable.applyCdc]], txn-marked with the metadata
+    * version whose snapshot is the head actually read. Certificates,
+    * slice, and oracle mirror the Delta twin (sink ≡ live Iceberg read;
+    * continuous ≡ one-shot replay pinned in IcebergInteropSpec). */
+  private def g4IcebergCdcTail(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.{IcebergInterop, TxTable}
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
+    val tailRoot = "/root/repo/target/graft_export/g4_iceberg_cdc_tail_base"
+    val icePath = s"$tailRoot/tbl"
+    // staging discipline mirrors the Delta twin: base export + the
+    // MERGE (upsertIceberg's commit kind certified by b5_iceberg_upsert*)
+    // plus the snap1-seeded sink template stage once; the changelog
+    // consumption and the mid-stream key delete stay timed
+    HarnessFixtures.stagedExport(s, dir, tailRoot) {
+      val universe = Tables.events(s, dir)
+        .select(cols.map(col).toIndexedSeq: _*)
+        .where(col("event_id") % 5 === 0)
+      val p = TxTable(s, s"$tailRoot/producer")
+      withShufflePartitions(s, 8) {
+        p.append(universe.where(col("event_id") % 3 =!= 0), tsMillis = 1000L)
+      }
+      IcebergInterop.exportIceberg(p, icePath, tsMillis = 5000L)          // snap1
+      val seeded = TxTable(s, s"$tailRoot/sink_tpl")
+      seeded.append(IcebergInterop.readIceberg(s, icePath)
+        .select(cols.map(col).toIndexedSeq: _*), tsMillis = 500L)
+      val ups = universe
+        .where(col("event_id") % 4 === 0)
+        .withColumn("value", col("value") + 1000.0d)
+        .select(cols.map(col).toIndexedSeq: _*)
+      IcebergInterop.upsertIceberg(s, icePath, ups,
+        Seq("event_id"), tsMillis = 6000L)                               // snap2: MERGE
+    }
+    val v1Txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(icePath, "metadata", "v1.metadata.json")), "UTF-8")
+    val snap1 = """"snapshot-id" : (\d+)""".r
+      .findFirstMatchIn(v1Txt).get.group(1).toLong
+    val delKeys = Tables.events(s, dir)
+      .where(col("event_id") % 5 === 0 && col("event_id") % 7 === 0)
+      .select("event_id").localCheckpoint()
+    // the changelog replays AFTER an ancestor snapshot: the sink seeds
+    // with the bootstrap snapshot's rows (the g4_iceberg_tail contract)
+    val sink = TxTable(s, HarnessFixtures.cloneTxDir(s"$tailRoot/sink_tpl"))
+    val watermark = new java.util.concurrent.atomic.AtomicLong(snap1)
+    val ms = MemoryStream[Int]
+    withShufflePartitions(s, 2) {
+      val q = ms.toDS().writeStream
+        .foreachBatch { (_: org.apache.spark.sql.Dataset[Int], id: Long) =>
+          watermark.set(IcebergInterop.tailIcebergCdcInto(s, icePath, sink,
+            Seq("event_id"), watermark.get(), tsMillis = 1000L + id))
+          ()
+        }
+        .start()
+      ms.addData(0); q.processAllAvailable()                   // poll: snap2 (the MERGE)
+      require(IcebergInterop.deleteFromIcebergByKey(s, icePath, delKeys,
+        tsMillis = 7000L) > 0L)                                          // snap3: delete
+      ms.addData(1); q.processAllAvailable()                             // poll: snap3
+      ms.addData(2); q.processAllAvailable()                             // no-op poll
+      q.stop()
+    }
+    require(watermark.get() != snap1,
+      "g4_iceberg_cdc_tail: the watermark must advance past the bootstrap snapshot")
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    val sinkDf = sink.read().select(cols.map(col).toIndexedSeq: _*)
+    require(sig(sinkDf) == sig(IcebergInterop.readIceberg(s, icePath)
+        .select(cols.map(col).toIndexedSeq: _*)),
+      "g4_iceberg_cdc_tail: the tailed sink diverges from the live Iceberg read")
+    sinkDf.orderBy("event_id")
+  }
+
   /** G4 streaming #5 — on-arrival point-in-time enrichment: purchase spine
     * rows arrive as a stream (two micro-batches); each batch runs the same
     * one-shuffle LOCF as `a3_pit_join` against the STATIC click history and
@@ -6912,6 +7081,8 @@ object SparkEntry {
     "g4_tx_sink"         -> (g4TxSink _),
     "g4_delta_tail"      -> (g4DeltaTail _),
     "g4_iceberg_tail"    -> (g4IcebergTail _),
+    "g4_delta_cdc_tail"  -> (g4DeltaCdcTail _),
+    "g4_iceberg_cdc_tail" -> (g4IcebergCdcTail _),
     "g4_decontam_stream" -> (g4DecontamStream _),
     "g4_asof_stream"     -> (g4AsofStream _),
     "g4_dedup_stream"    -> (g4DedupStream _),
@@ -8655,6 +8826,35 @@ object SparkEntry {
     "g4_iceberg_tail" ->
       """SELECT event_id, user_id, event_type, value, ts
         |FROM events ORDER BY event_id""".stripMargin,
+    // the CDC-tailed sinks materialize the final upstream state over the
+    // 1-in-5 event slice: base two-thirds, MERGE-replaced/inserted
+    // id%4=0 rows at value+1000, id%7=0 rows deleted
+    "g4_delta_cdc_tail" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type, value, ts
+        |  FROM events WHERE event_id % 5 = 0 AND event_id % 3 <> 0),
+        |ups AS (
+        |  SELECT event_id, user_id, event_type, value + 1000.0 AS value, ts
+        |  FROM events WHERE event_id % 5 = 0 AND event_id % 4 = 0)
+        |SELECT * FROM (
+        |  SELECT * FROM ups
+        |  UNION ALL
+        |  SELECT * FROM base WHERE event_id % 4 <> 0)
+        |WHERE event_id % 7 <> 0
+        |ORDER BY event_id""".stripMargin,
+    "g4_iceberg_cdc_tail" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type, value, ts
+        |  FROM events WHERE event_id % 5 = 0 AND event_id % 3 <> 0),
+        |ups AS (
+        |  SELECT event_id, user_id, event_type, value + 1000.0 AS value, ts
+        |  FROM events WHERE event_id % 5 = 0 AND event_id % 4 = 0)
+        |SELECT * FROM (
+        |  SELECT * FROM ups
+        |  UNION ALL
+        |  SELECT * FROM base WHERE event_id % 4 <> 0)
+        |WHERE event_id % 7 <> 0
+        |ORDER BY event_id""".stripMargin,
     "b3_audit_table" ->
       """SELECT * FROM (VALUES
         |  ('click',    'access',        2::BIGINT),

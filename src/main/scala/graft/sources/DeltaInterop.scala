@@ -761,6 +761,45 @@ object DeltaInterop {
     head
   }
 
+  /** Continuous CDC tail (round-12 verdict #2 — [[tailDeltaInto]]'s
+    * append-only contract refuses tables receiving deletes or MERGEs,
+    * yet tailing a CDC-maintained table into a downstream
+    * materialization is the standard shape): drain the CHANGE feed
+    * `(watermark, head]` through [[readDeltaCdf]], net every key's edge
+    * chain to its last effect ([[CdcFeed.net]] — a MERGE's
+    * preimage/postimage pair collapses to the replacement, later commits
+    * win), and apply the net batch to the sink as ONE keyed
+    * delete-or-replace commit ([[TxTable.applyCdc]]), txn-marked with
+    * the head version under the same both-directions watermark
+    * discipline as the append-only tail (the sink's recorded version is
+    * authoritative: behind = would duplicate, ahead = would skip).
+    * Exactly-once: a replayed batch skips on the marker; a crash between
+    * read and apply re-reads the same range next poll.
+    *
+    * The sink materializes the TABLE's live rows keyed by `keys` — its
+    * rows are the base table's columns, no change metadata. Bootstrap it
+    * with a full copy at `sinceVersion` (or empty with
+    * `sinceVersion = -1` to replay from table birth).
+    *
+    * @return the head version consumed up to (= the new watermark). */
+  def tailDeltaCdcInto(spark: SparkSession, path: String, sink: TxTable,
+      keys: Seq[String], sinceVersion: Long,
+      tsMillis: Long = System.currentTimeMillis()): Long = {
+    val appId = s"graft-delta-cdc-tail|$path"
+    val from = sink.txnVersion(appId).getOrElse(sinceVersion)
+    val (head, feed) = readDeltaCdf(spark, path, from)
+    if (head == from) return head
+    val dataCols = feed.columns.filterNot(c =>
+      c == "_change_type" || c == "_commit_version").toSeq
+    keys.foreach(k => require(dataCols.contains(k),
+      s"tailDeltaCdcInto($path): key column '$k' is not a table column"))
+    val (upserts, deleteKeys) = CdcFeed.net(feed, keys, dataCols,
+      verCol = "_commit_version", typeCol = "_change_type")
+    sink.applyCdc(upserts, deleteKeys, keys, tsMillis = tsMillis,
+      txn = Some((appId, head)))
+    head
+  }
+
   /** INCREMENTAL consumption of a Delta table: the rows appended in
     * versions `(sinceVersion, current]` — the daily "read only what's new"
     * pattern a downstream pipeline runs against a vendor's Delta feed

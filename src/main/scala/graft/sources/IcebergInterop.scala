@@ -4213,6 +4213,65 @@ object IcebergInterop {
     head
   }
 
+  /** Continuous CDC tail (round-12 verdict #2, the [[DeltaInterop
+    * .tailDeltaCdcInto]] twin — [[tailIcebergInto]]'s append-only
+    * contract refuses tables receiving deletes or MERGEs): drain the
+    * CHANGELOG `(watermark, head]` through [[readIcebergChangelog]]
+    * (delete snapshots resolve to the rows they killed, `overwrite`
+    * MERGEs replay as delete+insert pairs, `replace` compactions are
+    * silent), net every key's edge chain to its last effect
+    * ([[CdcFeed.net]]), and apply the net batch to the sink as ONE keyed
+    * delete-or-replace commit ([[TxTable.applyCdc]]). The txn marker
+    * names the METADATA VERSION whose current snapshot is the head read
+    * (the [[tailIcebergInto]] race-safe resolution), and the sink's
+    * recorded version is authoritative in both directions. Bootstrap the
+    * sink with a full copy at `sinceSnapshotId`.
+    *
+    * @return the head snapshot id consumed up to. */
+  def tailIcebergCdcInto(spark: SparkSession, path: String, sink: TxTable,
+      keys: Seq[String], sinceSnapshotId: Long,
+      tsMillis: Long = System.currentTimeMillis()): Long = {
+    val appId = s"graft-iceberg-cdc-tail|$path"
+    val metaDir = Paths.get(path).toAbsolutePath.resolve("metadata")
+    require(Files.isDirectory(metaDir), s"no Iceberg table at $path (missing metadata/)")
+    def snapOf(ver: Long): Option[Long] = {
+      val f = metaDir.resolve(s"v$ver.metadata.json")
+      if (!Files.isRegularFile(f)) None
+      else Option(mapper.readTree(f.toFile).get("current-snapshot-id"))
+        .map(_.asLong).filter(_ != -1L)
+    }
+    val from = sink.txnVersion(appId) match {
+      case None => sinceSnapshotId
+      case Some(recordedVersion) =>
+        snapOf(recordedVersion).getOrElse(throw new IllegalArgumentException(
+          s"tailIcebergCdcInto($path): the sink's recorded watermark is " +
+            s"metadata version $recordedVersion but v$recordedVersion" +
+            ".metadata.json has been pruned by metadata retention — a " +
+            "TxTable txn watermark never rewinds, so this sink cannot " +
+            "tail this table again; rebuild a FRESH sink from a full read"))
+    }
+    val (head, feed) = readIcebergChangelog(spark, path, from)
+    if (head == from) return head
+    val dataCols = feed.columns.filterNot(c =>
+      c == "_change_type" || c == "_change_ordinal" ||
+        c == "_commit_snapshot_id").toSeq
+    keys.foreach(k => require(dataCols.contains(k),
+      s"tailIcebergCdcInto($path): key column '$k' is not a table column"))
+    val (upserts, deleteKeys) = CdcFeed.net(feed, keys, dataCols,
+      verCol = "_change_ordinal", typeCol = "_change_type")
+    // same race-safe marker resolution as tailIcebergInto: the version
+    // whose snapshot is the head ACTUALLY read, never just the latest
+    var v = currentMetadataVersion(metaDir, path)
+    while (v > 0 && !snapOf(v).contains(head)) v -= 1
+    require(v > 0,
+      s"tailIcebergCdcInto($path): no metadata version resolves to the " +
+        s"snapshot $head just read — metadata retention pruned it " +
+        "mid-poll; re-poll")
+    sink.applyCdc(upserts, deleteKeys, keys, tsMillis = tsMillis,
+      txn = Some((appId, v)))
+    head
+  }
+
   /** INCREMENTAL consumption of an Iceberg table: the rows appended in
     * snapshots AFTER `sinceSnapshotId` up to the current snapshot — the
     * Delta-side twin is [[DeltaInterop.readDeltaChanges]]; the consumer

@@ -941,6 +941,80 @@ class TxTable(val spark: SparkSession, val root: String) {
       txn = txn)
   }
 
+  /** Apply a NET CDC batch in ONE atomic commit (the downstream-
+    * materialization write [[graft.sources.DeltaInterop.tailDeltaCdcInto]]
+    * / [[graft.sources.IcebergInterop.tailIcebergCdcInto]] drain into):
+    * rows matching `deleteKeys` are REMOVED, and rows of `upserts`
+    * REPLACE any row sharing their key. Unlike [[merge]] there is no
+    * timestamp tie-break — a netted CDC edge is authoritative by
+    * construction (the feed already ordered the edges by commit), so the
+    * incoming row wins unconditionally. Same scale shape as merge:
+    * file-granularity pruning (only files holding a touched key
+    * rewrite, found by one broadcast semi-join), stats/blooms re-recorded
+    * on rewritten files, optimistic-concurrency commit, and the
+    * `txn=(appId, batchVersion)` idempotence marker for exactly-once
+    * replay. `upserts` must carry the table's full schema with DISTINCT
+    * keys, disjoint from `deleteKeys` (what [[graft.sources.CdcFeed.net]]
+    * produces); duplicate keys refuse loudly — a replacement applied
+    * twice would write two rows.
+    *
+    * @return the committed version, or [[TxTable.SkippedCommit]] when the
+    *   txn marker shows the batch already applied. */
+  def applyCdc(upserts: DataFrame, deleteKeys: DataFrame, keys: Seq[String],
+      tsMillis: Long = System.currentTimeMillis(),
+      txn: Option[(String, Long)] = None): Long = {
+    require(keys.nonEmpty, "applyCdc: no key columns")
+    if (txn.exists { case (app, bv) => txnVersion(app).exists(_ >= bv) })
+      return TxTable.SkippedCommit
+    keys.foreach(k => require(upserts.columns.contains(k),
+      s"applyCdc: key column '$k' is not an upsert column"))
+    val baseVersion = latestVersion()
+    // bootstrap: a sink tailed from table birth starts with NO commits —
+    // the first net batch is pure inserts and founds the table (version 0
+    // records the upserts' schema, like append's fresh path)
+    val state = baseVersion.map(_ => stateForVersion(Long.MaxValue))
+    val keyCols = keys.map(col)
+    val up = upserts.cache()
+    val dupKeys = up.groupBy(keyCols: _*).count().where(col("count") > 1).count()
+    require(dupKeys == 0L,
+      s"applyCdc: the upsert batch carries $dupKeys duplicate key(s) — a " +
+        "replacement applied twice writes two rows; net the feed first " +
+        "(CdcFeed.net)")
+    val touchKeys = up.select(keyCols: _*)
+      .unionByName(deleteKeys.select(keyCols: _*)).distinct().cache()
+    val snapDf = state.map(readState)
+    val affected: Seq[String] = snapDf match {
+      case None => Seq.empty
+      case Some(df) => df.withColumn("__file", input_file_name())
+        .join(broadcast(touchKeys), keys, "left_semi")
+        .select(col("__file")).distinct()
+        .collect().map(r => fileNameOf(r.getString(0))).toSeq
+    }
+    // survivors = untouched rows of the affected files; every touched key
+    // (deleted OR replaced) leaves, then the upserts land
+    val out = snapDf match {
+      case Some(df) if affected.nonEmpty =>
+        spark.read.schema(df.schema)
+          .option("basePath", dataDir.toString)
+          .parquet(affected.map(f => dataDir.resolve(f).toString): _*)
+          .join(broadcast(touchKeys), keys, "left_anti")
+          .unionByName(up.select(df.columns.map(col).toIndexedSeq: _*))
+      case Some(df) => up.select(df.columns.map(col).toIndexedSeq: _*)
+      case None     => up
+    }
+    val layout = state.map(_.partCols).getOrElse(Seq.empty)
+    val newFiles = stageDataFiles(out, layout)
+    up.unpersist()
+    touchKeys.unpersist()
+    commitLoop("cdc", newFiles, affected, tsMillis,
+      schemaDdl = Some(out.schema.toDDL),
+      stats = computeStats(newFiles, state.map(activeStatsCols).getOrElse(Seq.empty)),
+      partCols = layout,
+      blooms = computeBlooms(newFiles, state.map(activeBloomCols).getOrElse(Seq.empty)),
+      validate = () => latestVersion() == baseVersion,
+      txn = txn)
+  }
+
   /** Time-travel DIFF: the rows inserted and removed between two committed
     * versions, tagged with a `change_type` column — the "what did commit N
     * change?" audit a versioned table owes its operators (the read-side

@@ -246,8 +246,12 @@ class ContractSpec extends AnyFunSuite {
     // equality deletes by the strictly-newer-sequence rule, restages
     // survivors under the transform spec, expiry reclaims the superseded
     // bytes; disk ≡ live with no row filter)
-    assert(SparkEntry.queries.size == 226,
-      s"declared query count ${SparkEntry.queries.size} != documented 226 — " +
+    // 227-228 add g4_delta_cdc_tail / g4_iceberg_cdc_tail (round-13
+    // verdict #2: continuous CDC tails — the delete+insert feeds wired
+    // into a MERGE-applying TxTable sink via CdcFeed.net netting +
+    // applyCdc's one-commit delete-or-replace, txn-marked exactly-once)
+    assert(SparkEntry.queries.size == 228,
+      s"declared query count ${SparkEntry.queries.size} != documented 228 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

@@ -1369,4 +1369,56 @@ class DeltaInteropSpec extends SparkSpec {
     val (_, cdf) = DeltaInterop.readDeltaCdf(spark, out2, sinceVersion = 2L)
     assert(cdf.select("id").as[Long].collect().toSeq == Seq(4L))
   }
+
+  test("tailDeltaCdcInto: MERGE + delete edges land in a keyed sink exactly-once") {
+    val t = sampleTable()                                                   // ids 1..4
+    val out = tmp("delta_cdc_tail")
+    DeltaInterop.exportDelta(t, out, tsMillis = 5000L)                      // v0
+    DeltaInterop.setDeltaTableProperty(spark, out,
+      "delta.enableChangeDataFeed", "true", tsMillis = 6000L)               // v1
+    val sink = TxTable(spark, tmp("delta_cdc_sink"))
+    // bootstrap from table birth: empty sink + since = -1 replays v0's
+    // whole-file inserts through the same netting path
+    assert(DeltaInterop.tailDeltaCdcInto(spark, out, sink, Seq("id"), -1L,
+      tsMillis = 1000L) == 1L)
+    assert(sink.read().orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      t.read().orderBy("id").as[(Long, String, Double)].collect().toSeq)
+    // upstream: one MERGE (update id 2, insert id 9) and one DV delete
+    // (id 1) — exactly the commits the append-only tail refuses
+    DeltaInterop.mergeDelta(spark, out,
+      Seq((2L, "x", 200.0), (9L, "y", 900.0)).toDF("id", "k", "v"),
+      Seq("id"), 7000L)                                                     // v2
+    assert(DeltaInterop.deleteFromDelta(spark, out, col("id") === 1L,
+      tsMillis = 8000L) == 1L)                                              // v3
+    // ONE poll drains both commits: the preimage/postimage pair nets to
+    // the replacement, the delete edge to a key removal
+    assert(DeltaInterop.tailDeltaCdcInto(spark, out, sink, Seq("id"), -1L,
+      tsMillis = 2000L) == 3L)
+    val want = Seq((2L, "x", 200.0), (3L, "a", 30.0), (4L, "c", 40.0),
+      (9L, "y", 900.0))
+    assert(sink.read().orderBy("id").as[(Long, String, Double)].collect().toSeq
+      == want, "the materialized sink must equal the upstream live view")
+    assert(DeltaInterop.readDelta(spark, out).orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq == want)
+    // a replayed poll at the head no-ops; a LOST watermark (-1) cannot
+    // duplicate — the sink's recorded version is authoritative
+    assert(DeltaInterop.tailDeltaCdcInto(spark, out, sink, Seq("id"), -1L,
+      tsMillis = 3000L) == 3L)
+    assert(sink.read().count() == 4L)
+    // the tail resumes across the no-op: a later upstream delete lands
+    assert(DeltaInterop.deleteFromDelta(spark, out, col("id") === 9L,
+      tsMillis = 9000L) == 1L)                                              // v4
+    assert(DeltaInterop.tailDeltaCdcInto(spark, out, sink, Seq("id"), -1L,
+      tsMillis = 4000L) == 4L)
+    assert(sink.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L, 4L))
+    // continuous ≡ batch: ONE from-birth replay into a fresh sink lands
+    // the identical materialization the four incremental polls built
+    val oneShot = TxTable(spark, tmp("delta_cdc_oneshot"))
+    assert(DeltaInterop.tailDeltaCdcInto(spark, out, oneShot, Seq("id"), -1L,
+      tsMillis = 5000L) == 4L)
+    assert(oneShot.read().orderBy("id").as[(Long, String, Double)].collect().toSeq
+      == sink.read().orderBy("id").as[(Long, String, Double)].collect().toSeq,
+      "the incremental tail must equal the one-shot batch replay")
+  }
 }

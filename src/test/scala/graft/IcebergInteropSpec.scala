@@ -2506,4 +2506,71 @@ class IcebergInteropSpec extends SparkSpec {
     assert(rows == Set((3L, "a", "insert", 1L), (1L, "a", "delete", 2L)),
       s"got $rows")
   }
+
+  test("tailIcebergCdcInto: upsert + key-delete edges land in a keyed sink exactly-once") {
+    val t = TxTable(spark, tmp("ice_cdc_src"))
+    t.append(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0),
+      (4L, "c", 40.0)).toDF("id", "k", "v"), tsMillis = 1000L)
+    val out = tmp("ice_cdc_tail")
+    IcebergInterop.exportIceberg(t, out, tsMillis = 5000L)                  // snap0
+    val v1Txt = new String(Files.readAllBytes(
+      Paths.get(out, "metadata", "v1.metadata.json")))
+    val snap0 = """"snapshot-id" : (\d+)""".r
+      .findFirstMatchIn(v1Txt).get.group(1).toLong
+    // bootstrap: full copy at snap0 (the changelog replays only what
+    // comes AFTER an ancestor snapshot)
+    val sink = TxTable(spark, tmp("ice_cdc_sink"))
+    sink.append(IcebergInterop.readIceberg(spark, out), tsMillis = 500L)
+    // a poll with nothing new is a no-op that records no watermark
+    assert(IcebergInterop.tailIcebergCdcInto(spark, out, sink, Seq("id"),
+      snap0, tsMillis = 1000L) == snap0)
+    // upstream: one MERGE (replace id 2, insert id 9 — an overwrite
+    // snapshot with equality deletes) and one key delete (id 1) — the
+    // commits the append-only tail refuses
+    assert(IcebergInterop.upsertIceberg(spark, out,
+      Seq((2L, "x", 200.0), (9L, "y", 900.0)).toDF("id", "k", "v"),
+      Seq("id"), 6000L) == ((2L, 2L)))                                      // snap1
+    assert(IcebergInterop.deleteFromIcebergByKey(spark, out,
+      Seq(1L).toDF("id"), tsMillis = 7000L) == 1L)                          // snap2
+    // ONE poll drains both snapshots: the overwrite's delete+insert pair
+    // nets to the replacement, the eq-delete edge to a key removal
+    val w1 = IcebergInterop.tailIcebergCdcInto(spark, out, sink, Seq("id"),
+      snap0, tsMillis = 2000L)
+    assert(w1 != snap0)
+    val want = Seq((2L, "x", 200.0), (3L, "a", 30.0), (4L, "c", 40.0),
+      (9L, "y", 900.0))
+    assert(sink.read().orderBy("id").as[(Long, String, Double)].collect().toSeq
+      == want, "the materialized sink must equal the upstream live view")
+    assert(IcebergInterop.readIceberg(spark, out).orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq == want)
+    // a replayed poll with the STALE snap0 watermark cannot duplicate:
+    // the sink's recorded metadata version is authoritative
+    assert(IcebergInterop.tailIcebergCdcInto(spark, out, sink, Seq("id"),
+      snap0, tsMillis = 3000L) == w1)
+    assert(sink.read().count() == 4L)
+    // the tail resumes: a later upstream delete lands on the next poll
+    assert(IcebergInterop.deleteFromIcebergByKey(spark, out,
+      Seq(9L).toDF("id"), tsMillis = 8000L) == 1L)                          // snap3
+    val w2 = IcebergInterop.tailIcebergCdcInto(spark, out, sink, Seq("id"),
+      snap0, tsMillis = 4000L)
+    assert(w2 != w1)
+    assert(sink.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L, 4L))
+    // the recorded txn version resolves to the head ACTUALLY read
+    val ver = sink.txnVersion(s"graft-iceberg-cdc-tail|$out").get
+    val vTxt = new String(Files.readAllBytes(
+      Paths.get(out, "metadata", s"v$ver.metadata.json")))
+    assert(s""""current-snapshot-id" : $w2""".r.findFirstIn(vTxt).nonEmpty,
+      s"txn version $ver must be the metadata version whose head is $w2")
+    // continuous ≡ batch: one replay from the bootstrap snapshot into a
+    // fresh seeded sink lands the identical materialization
+    val oneShot = TxTable(spark, tmp("ice_cdc_oneshot"))
+    oneShot.append(IcebergInterop.readIceberg(spark, out,
+      snapshotAsOf = Some(snap0)), tsMillis = 500L)
+    assert(IcebergInterop.tailIcebergCdcInto(spark, out, oneShot, Seq("id"),
+      snap0, tsMillis = 5000L) == w2)
+    assert(oneShot.read().orderBy("id").as[(Long, String, Double)].collect().toSeq
+      == sink.read().orderBy("id").as[(Long, String, Double)].collect().toSeq,
+      "the incremental tail must equal the one-shot batch replay")
+  }
 }

@@ -765,4 +765,49 @@ class TxTableSpec extends SparkSpec {
     assert(retries.get() <= 100, s"excessive optimistic retries: ${retries.get()}")
     println(s"[tx-stress] 15 commits, ${retries.get()} optimistic retries")
   }
+
+  test("applyCdc: one atomic delete+replace commit, unconditional wins, file pruning") {
+    val t = newTable()
+    // keys 1,2 in one file, 3 in another — the untouched file must survive
+    t.append(kv((1L, "a", 1.0, 10L), (2L, "a", 2.0, 10L)), tsMillis = 100L)
+    t.append(kv((3L, "a", 3.0, 10L)), tsMillis = 200L)
+    val v0 = t.version()
+    // a netted CDC batch: key 1 replaced (with an OLDER ts — unlike merge,
+    // the incoming row wins unconditionally), key 4 inserted, key 2 deleted
+    val ups = kv((1L, "a", 9.0, 5L), (4L, "a", 4.0, 10L))
+    val dels = Seq((2L, "a")).toDF("k", "f")
+    val v = t.applyCdc(ups, dels, keys = Seq("k", "f"), tsMillis = 300L,
+      txn = Some(("cdc", 7L)))
+    assert(v == v0 + 1)
+    val got = t.read().orderBy("k").select("k", "value", "ts")
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got == Seq((1L, 9.0, 5L), (3L, 3.0, 10L), (4L, 4.0, 10L)),
+      s"got $got")
+    // pruning: key 3's file held no touched key — the commit's remove list
+    // must be disjoint from the second append's add list
+    def actions(ver: Long, key: String): Set[String] =
+      Files.readAllLines(java.nio.file.Paths.get(t.root, "_txlog", f"$ver%020d.txt"))
+        .toArray.map(_.toString).filter(_.startsWith(s"$key="))
+        .map(_.drop(key.length + 1)).toSet
+    val secondAppendAdds = actions(v0, "add")
+    assert(actions(v, "remove").intersect(secondAppendAdds).isEmpty,
+      "applyCdc rewrote a file holding no touched key")
+    // txn idempotence: a replayed batch (same or older version) is skipped
+    assert(t.applyCdc(ups, dels, Seq("k", "f"), tsMillis = 301L,
+      txn = Some(("cdc", 7L))) == TxTable.SkippedCommit)
+    assert(t.read().count() == 3L)
+    // duplicate upsert keys refuse loudly — a replacement applied twice
+    // would write two rows
+    val dup = kv((5L, "a", 1.0, 1L), (5L, "a", 2.0, 2L))
+    val e = intercept[IllegalArgumentException] {
+      t.applyCdc(dup, dels.limit(0), Seq("k", "f"), tsMillis = 302L)
+    }
+    assert(e.getMessage.contains("duplicate"))
+    // delete-only batch (no upserts) also lands atomically
+    val v2 = t.applyCdc(ups.limit(0), Seq((4L, "a")).toDF("k", "f"),
+      Seq("k", "f"), tsMillis = 303L)
+    assert(v2 > v)
+    assert(t.read().orderBy("k").select("k").as[Long].collect().toSeq ==
+      Seq(1L, 3L))
+  }
 }
