@@ -4491,6 +4491,60 @@ object SparkEntry {
     cdf2.orderBy("_commit_version", "event_id")
   }
 
+  /** Fixed export target for [[b5DeltaCdfRenamed]] — oracle SQL
+    * recomputes the delete edges from the root data bytes under the
+    * RENAMED logical name (the physical bytes keep the old one). */
+  private val B5DeltaCdfRenamedPath =
+    "/root/repo/target/graft_export/b5_delta_cdf_renamed"
+
+  /** B5 — CDF ON A COLUMN-MAPPED TABLE (round-13 verdict #3: the
+    * engine's own [[graft.sources.DeltaInterop.renameDeltaColumn]]
+    * upgrades tables to name mode, and readDeltaCdf refused every
+    * mapped table — rename + CDC, a routine combo, broke the very feed
+    * the engine produced): the staged history declares CDF and renames
+    * `value`→`score` (the name-mode upgrade); the TIMED
+    * [[graft.sources.DeltaInterop.deleteFromDelta]] then materializes
+    * its change files under the PHYSICAL layout — the protocol's rule
+    * that change files follow the table's column mapping exactly like
+    * data files — and [[graft.sources.DeltaInterop.readDeltaCdf]]
+    * resolves them through readDelta's logical→physical schema
+    * resolution, serving the feed under the LOGICAL renamed names.
+    * Certificates: head version; the feed is delete-only and equals the
+    * predicate count; the physical cdc bytes carry the OLD column name
+    * (also spec-pinned). DuckDB oracle recomputes the delete edges from
+    * the root bytes, aliasing the rename. */
+  private def b5DeltaCdfRenamed(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaInterop, TxTable}
+    val outCols = Seq("event_id", "user_id", "event_type", "score", "ts",
+      "_change_type", "_commit_version")
+    HarnessFixtures.stagedExport(s, dir, B5DeltaCdfRenamedPath) {
+      val t = TxTable(s, HarnessFixtures.cloneTxDir(txTpl(s, dir, "b5_cdf")))
+      require(DeltaInterop.exportDeltaIncremental(t, B5DeltaCdfRenamedPath,
+        tsMillis = 5000L) == 0L)                                        // v0
+      DeltaInterop.setDeltaTableProperty(s, B5DeltaCdfRenamedPath,
+        "delta.enableChangeDataFeed", "true", tsMillis = 6000L)         // v1
+      DeltaInterop.renameDeltaColumn(s, B5DeltaCdfRenamedPath,
+        "value", "score", tsMillis = 7000L)                            // v2: name mode
+    }
+    val delCount = Tables.events(s, dir)
+      .where(col("event_id") % 3 =!= 0 && col("event_id") % 7 === 0).count()
+    require(DeltaInterop.deleteFromDelta(s, B5DeltaCdfRenamedPath,
+        col("event_id") % 7 === 0, tsMillis = 8000L) == delCount,
+      "b5_delta_cdf_renamed: the mapped-table delete must cover the " +
+        "predicate exactly")                                            // v3: cdc
+    val (head, cdf) = DeltaInterop.readDeltaCdf(s, B5DeltaCdfRenamedPath, 1L)
+    require(head == 3L, s"b5_delta_cdf_renamed: expected head 3, got $head")
+    require(cdf.columns.toSeq == outCols,
+      s"b5_delta_cdf_renamed: the feed must carry the LOGICAL renamed " +
+        s"columns, got ${cdf.columns.mkString(",")}")
+    val cdfC = cdf.localCheckpoint()
+    require(cdfC.where(col("_change_type") =!= "delete").isEmpty &&
+        cdfC.count() == delCount,
+      "b5_delta_cdf_renamed: the post-rename range must serve exactly " +
+        "the delete edges (rename and property commits are silent)")
+    cdfC.orderBy("event_id")
+  }
+
   /** Fixed export target for [[b5IcebergChangelog]] — oracle SQL
     * recomputes both change kinds over the ROOT data bytes (the rewrite
     * leaves the originals in place; `data/compacted/` and
@@ -7044,6 +7098,7 @@ object SparkEntry {
     "b5_delta_rename"    -> (b5DeltaRename _),
     "b5_delta_vacuum"    -> (b5DeltaVacuum _),
     "b5_delta_cdf"       -> (b5DeltaCdf _),
+    "b5_delta_cdf_renamed" -> (b5DeltaCdfRenamed _),
     "b5_iceberg_expire"  -> (b5IcebergExpire _),
     "b5_iceberg_rename"  -> (b5IcebergRename _),
     "b5_iceberg_changelog" -> (b5IcebergChangelog _),
@@ -7836,6 +7891,15 @@ object SparkEntry {
         |FROM parquet_scan('/root/repo/target/graft_export/b5_delta_cdf/*.parquet')
         |WHERE event_id % 7 = 0
         |ORDER BY _commit_version, event_id""".stripMargin,
+    // the rename+CDC composition: physical bytes keep the old name
+    // (aliased here), the feed serves the renamed logical column; the
+    // change files sit outside the flat glob
+    "b5_delta_cdf_renamed" ->
+      """SELECT event_id, user_id, event_type, value AS score, ts,
+        |       'delete' AS _change_type, 3::BIGINT AS _commit_version
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_delta_cdf_renamed/*.parquet')
+        |WHERE event_id % 7 = 0
+        |ORDER BY event_id""".stripMargin,
     // the Iceberg changelog twin: same recomputation as b5_delta_cdf —
     // ordinal 1 = the append edge, ordinal 2 = the delete edge; the
     // rewrite edge is silent and the originals stay on disk for the glob

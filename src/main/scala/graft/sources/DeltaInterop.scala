@@ -898,11 +898,17 @@ object DeltaInterop {
     * removed file's still-present bytes. Refuses loudly when synthesis
     * is impossible: a DV-carrying add or remove without cdc actions (the
     * row delta is not derivable from whole files), a removed file
-    * already vacuumed away, a retention-cleaned JSON range, and
-    * column-mapped tables (change files would need physical-name
-    * resolution). dataChange=false actions (purges, compactions) are
-    * rewrites, not changes, and are skipped — exactly the protocol's
-    * rule. */
+    * already vacuumed away, and a retention-cleaned JSON range.
+    * dataChange=false actions (purges, compactions) are rewrites, not
+    * changes, and are skipped — exactly the protocol's rule.
+    *
+    * COLUMN-MAPPED tables read like [[readDelta]] (round-13: the
+    * engine's own [[renameDeltaColumn]] upgrades tables to name mode,
+    * so rename + CDC is a routine combo): change and data files carry
+    * PHYSICAL column names — name mode resolves through the schema's
+    * field metadata, id mode through parquet field ids — and the feed
+    * restores logical names; partitionValues keys are physical per the
+    * protocol, filled back logically. */
   def readDeltaCdf(spark: SparkSession, path: String,
       sinceVersion: Long): (Long, DataFrame) = {
     import org.apache.spark.sql.types.LongType
@@ -912,12 +918,11 @@ object DeltaInterop {
     val (cur, _, metaOpt, _) = replayState(spark, root, None)
     val meta = metaOpt.getOrElse(throw new IllegalStateException(
       s"Delta log at $path carries no metaData action"))
-    require(meta.mappingMode == "none",
-      s"readDeltaCdf on the column-mapped table at $path is unsupported " +
-        "(change files would need physical resolution)")
     require(sinceVersion <= cur,
       s"consumer watermark $sinceVersion is ahead of the Delta log at $path (head $cur)")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val nameMapped = meta.mapped
+    val idMapped = meta.idMapped
     val outSchema = StructType(schema.fields :+
       StructField("_change_type", StringType, nullable = false) :+
       StructField("_commit_version", LongType, nullable = false))
@@ -936,21 +941,41 @@ object DeltaInterop {
 
     val m = mapper
     val partSet = meta.partCols.toSet
-    val dataSchema = StructType(schema.fields.filterNot(f => partSet.contains(f.name)))
+    val logicalData = StructType(schema.fields.filterNot(f => partSet.contains(f.name)))
+    // the FILE schemas under column mapping, the assembleRead rules:
+    // name mode scans physical names and restores logical; id mode keeps
+    // logical names stamped with parquet field ids (the session switch
+    // below makes Spark resolve by id; _change_type carries no id and
+    // resolves by name, which is how the files physically store it)
+    val dataSchema =
+      if (nameMapped) toPhysical(logicalData, path).asInstanceOf[StructType]
+      else if (idMapped) withFieldIds(logicalData, path).asInstanceOf[StructType]
+      else logicalData
+    if (idMapped)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val cdcSchema = StructType(dataSchema.fields :+
       StructField("_change_type", StringType, nullable = false))
+    def dataCol(f: StructField): org.apache.spark.sql.Column =
+      if (nameMapped) col(physicalNameOf(f, path)).cast(f.dataType).as(f.name)
+      else if (idMapped) col(f.name).as(f.name, f.metadata)
+      else col(f.name)
+    def pvKey(f: StructField): String =
+      if (nameMapped || idMapped) physicalNameOf(f, path) else f.name
     def pvOf(n: JsonNode): Map[String, Option[String]] =
       Option(n.get("partitionValues")).map { o =>
         o.properties().asScala.map { e =>
           e.getKey -> (if (e.getValue.isNull) None else Some(e.getValue.asText))
         }.toMap
       }.getOrElse(Map.empty[String, Option[String]])
-    // partition columns live in the LOG's partitionValues, never in the
-    // files — every frame below fills them back through a broadcast
-    // (file basename → values) join, exactly like the table read
+    // partition columns live in the LOG's partitionValues (PHYSICAL keys
+    // under column mapping), never in the files — every frame below fills
+    // them back through a broadcast (file basename → values) join,
+    // exactly like the table read; data columns restore logical names
     def fillPartCols(df: DataFrame, rels: Seq[(String, Map[String, Option[String]])],
         extraCols: Seq[StructField]): DataFrame = {
-      if (meta.partCols.isEmpty) return df
+      if (meta.partCols.isEmpty)
+        return df.select((logicalData.fields.map(dataCol) ++
+          extraCols.map(f => col(f.name))).toIndexedSeq: _*)
       val partFields = meta.partCols.map(c => schema(c))
       val names = rels.map(r => root.resolve(r._1).getFileName.toString)
       require(names.distinct.size == names.size,
@@ -960,13 +985,13 @@ object DeltaInterop {
         // an action MISSING a partition key (legal for removes per the
         // protocol) cannot fill the column — emitting NULL instead of
         // the real value would silently corrupt the feed; refuse
-        partFields.foreach(f => require(pv.contains(f.name),
+        partFields.foreach(f => require(pv.contains(pvKey(f)),
           s"Delta table $path: a cdf action for $rel carries no " +
-            s"partitionValues entry for '${f.name}' — the feed cannot " +
+            s"partitionValues entry for '${pvKey(f)}' — the feed cannot " +
             "reconstruct the partition column; re-sync from the full snapshot"))
         org.apache.spark.sql.Row.fromSeq(
           root.resolve(rel).getFileName.toString +:
-            partFields.map(f => pv.get(f.name).flatten.orNull))
+            partFields.map(f => pv.get(pvKey(f)).flatten.orNull))
       }
       val tupleDf = spark.createDataFrame(rows.asJava,
         StructType(StructField("__gcdf_file", StringType, nullable = false) +:
@@ -975,7 +1000,7 @@ object DeltaInterop {
         .join(broadcast(tupleDf), Seq("__gcdf_file"))
         .select((schema.fields.map { f =>
           if (partSet.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-          else col(f.name)
+          else dataCol(f)
         } ++ extraCols.map(f => col(f.name))).toIndexedSeq: _*)
     }
     val frames: Seq[DataFrame] = commits.flatMap { case (cv, p) =>
@@ -1713,12 +1738,10 @@ object DeltaInterop {
     require(!meta.idMapped,
       s"deleteFromDelta on the id-mapped table at $path is unsupported " +
         "(the provenance scan resolves physical names, not field ids)")
-    // CDF eligibility is metadata-known — refuse BEFORE any scan or DV
-    // write (a late refusal would leave an orphan .bin behind)
+    // round-13: CDF emission on a NAME-mapped table is supported — the
+    // change files carry the physical layout (physCol below), exactly
+    // like data files, so rename + CDC composes
     val cdfEnabled = cdfEnabledIn(meta.config)
-    require(!(cdfEnabled && meta.mapped),
-      s"CDF emission on the column-mapped table at $path is unsupported " +
-        "(change files would need the physical layout)")
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     if (live.isEmpty) return 0L
     val nameToAdd: Map[String, AddFile] =
@@ -1776,11 +1799,18 @@ object DeltaInterop {
         val cdcDir = root.resolve("_change_data")
         Files.createDirectories(cdcDir)
         val stage = Files.createTempDirectory("graft_delta_cdc")
+        // change files follow the table's column mapping exactly like
+        // data files (PROTOCOL.md, Change Data Files): a name-mapped
+        // table's cdc parquets must carry PHYSICAL column names, or a
+        // foreign CDF reader resolving physically reads nulls
+        def physCol(f: StructField): org.apache.spark.sql.Column =
+          if (meta.mapped) col(f.name).as(physicalNameOf(f, path))
+          else col(f.name)
         try {
           val hits2 = live2.where(predicate)
           if (meta.partCols.isEmpty) {
-            hits2.drop("__gdv_file", "__gdv_pos")
-              .withColumn("_change_type", lit("delete"))
+            hits2.select((schema.fields.map(physCol) :+
+                lit("delete").as("_change_type")).toIndexedSeq: _*)
               .write.mode("overwrite").parquet(stage.toString)
             val walk = Files.walk(stage)
             val staged = try walk.iterator().asScala
@@ -1808,7 +1838,7 @@ object DeltaInterop {
             val partSet = meta.partCols.toSet
             val dataCols = schema.fields.filterNot(f => partSet.contains(f.name))
             hits2.join(broadcast(grpDf), Seq("__gdv_file"))
-              .select((dataCols.map(f => col(f.name)) :+
+              .select((dataCols.map(physCol) :+
                 lit("delete").as("_change_type") :+
                 col("__gcdc_grp")).toIndexedSeq: _*)
               .write.mode("overwrite").partitionBy("__gcdc_grp")

@@ -250,8 +250,11 @@ class ContractSpec extends AnyFunSuite {
     // verdict #2: continuous CDC tails — the delete+insert feeds wired
     // into a MERGE-applying TxTable sink via CdcFeed.net netting +
     // applyCdc's one-commit delete-or-replace, txn-marked exactly-once)
-    assert(SparkEntry.queries.size == 228,
-      s"declared query count ${SparkEntry.queries.size} != documented 228 — " +
+    // 229 adds b5_delta_cdf_renamed (round-13 verdict #3: CDF on
+    // column-mapped tables — change files written AND read under the
+    // physical layout, the feed restores logical renamed names)
+    assert(SparkEntry.queries.size == 229,
+      s"declared query count ${SparkEntry.queries.size} != documented 229 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

@@ -1138,16 +1138,32 @@ class DeltaInteropSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       DeltaInterop.readDeltaCdf(spark, out2, 0L))
       .getMessage.contains("no cdc actions"))
-    // column-mapping refusals, both directions
-    DeltaInterop.renameDeltaColumn(spark, out2, "v", "score", 7000L)
+    // rename + CDC composes (round 13): the rename upgrades to name
+    // mode, the delete's change files carry PHYSICAL column names
+    // (foreign readers resolve physically), and the feed restores the
+    // LOGICAL (renamed) ones
+    DeltaInterop.renameDeltaColumn(spark, out2, "v", "score", 7000L)       // v2
+    DeltaInterop.setDeltaTableProperty(spark, out2,
+      "delta.enableChangeDataFeed", "true", tsMillis = 8000L)              // v3
+    assert(DeltaInterop.deleteFromDelta(spark, out2,
+      col("id") === 3L, 9000L) == 1L)                                      // v4: cdc
+    // the DV delete at v1 (pre-property, no cdc) still refuses; the
+    // post-rename range serves — rename and property commits are silent
     assert(intercept[IllegalArgumentException](
       DeltaInterop.readDeltaCdf(spark, out2, 0L))
-      .getMessage.contains("column-mapped"))
-    DeltaInterop.setDeltaTableProperty(spark, out2,
-      "delta.enableChangeDataFeed", "true", tsMillis = 8000L)
-    assert(intercept[IllegalArgumentException](
-      DeltaInterop.deleteFromDelta(spark, out2, col("id") === 3L, 9000L))
-      .getMessage.contains("column-mapped"))
+      .getMessage.contains("no cdc actions"))
+    val (h4, mappedFeed) = DeltaInterop.readDeltaCdf(spark, out2, 1L)
+    assert(h4 == 4L)
+    assert(mappedFeed.select("id", "score", "_change_type", "_commit_version")
+      .as[(Long, Double, String, Long)].collect().toSeq ==
+      Seq((3L, 30.0, "delete", 4L)))
+    // foreign shape: the cdc parquet's own columns are PHYSICAL names
+    val cdcFile2 = Files.list(Paths.get(out2, "_change_data")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    assert(cdcFile2.nonEmpty)
+    val physCols = spark.read.parquet(cdcFile2.head.toString).columns.toSet
+    assert(physCols.contains("v") && !physCols.contains("score"),
+      s"cdc file must carry physical names, got $physCols")
     // the property setter refuses the managed column-mapping keys
     assert(intercept[IllegalArgumentException](
       DeltaInterop.setDeltaTableProperty(spark, out2,
@@ -1172,6 +1188,19 @@ class DeltaInteropSpec extends SparkSpec {
     val pruned = DeltaInterop.readDeltaPruned(spark, out,
       keep = pv => pv.get("dt").flatten.contains("2024-01-01"))
     assert(pruned.select("id").as[Long].collect().toSeq == Seq(1L))
+    // rename + CDC on a PARTITIONED table: the cdc actions carry
+    // PHYSICAL partitionValues keys ('day'), the feed fills the logical
+    // 'dt' column back and restores logical data names
+    DeltaInterop.setDeltaTableProperty(spark, out,
+      "delta.enableChangeDataFeed", "true", tsMillis = 7000L)              // v2
+    assert(DeltaInterop.deleteFromDelta(spark, out,
+      col("dt") === "2024-01-02", 8000L) == 1L)                            // v3: cdc
+    val (h, feed) = DeltaInterop.readDeltaCdf(spark, out, 2L)
+    assert(h == 3L)
+    assert(feed.columns.toSeq == Seq("id", "dt", "v", "_change_type", "_commit_version"))
+    assert(feed.select("id", "dt", "_change_type")
+      .as[(Long, String, String)].collect().toSeq ==
+      Seq((2L, "2024-01-02", "delete")))
   }
 
   test("add.stats carries per-file bounds; readDeltaRange skips files; checkpoint keeps stats") {
