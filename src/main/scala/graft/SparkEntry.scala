@@ -4545,6 +4545,106 @@ object SparkEntry {
     cdfC.orderBy("event_id")
   }
 
+  /** Fixed fixture for [[b5DeltaIdmodeWrite]] — a FOREIGN id-mapped
+    * Delta table (opaque `col-*` physical names, parquet field ids
+    * stamped, hand-written log), the shape a table converted from
+    * Iceberg carries. */
+  private val B5DeltaIdmodePath =
+    "/root/repo/target/graft_export/b5_delta_idmode"
+
+  /** B5 — WRITES ON AN ID-MAPPED DELTA TABLE (round-13 verdict #5: the
+    * round-12 field-id READ resolution left foreign id-mode tables
+    * read-only — deleteFromDelta and mergeDelta refused them, so a
+    * consumable table could not be maintained): the staged fixture is a
+    * foreign id-mode table over the one-third event slice (physical
+    * `col-*` names + stamped field ids + hand-written log); the timed
+    * ops are a DV DELETE (`id%7=0` — the provenance scan resolves
+    * columns by parquet field id, the DV write renames nothing) and a
+    * MERGE (`id%4=0` at `value+1000` — staged files render the physical
+    * layout with field ids re-stamped, so foreign id-mode readers
+    * resolve them). Certificates: exact delete count; exact (superseded,
+    * appended) counts; the merge's new bytes carry physical names.
+    * DuckDB oracle recomputes the final state from the events table. */
+  private def b5DeltaIdmodeWrite(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DeltaInterop
+    import org.apache.spark.sql.types._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val slice = Tables.events(s, dir)
+      .select("event_id", "value").where(col("event_id") % 3 === 0)
+    HarnessFixtures.stagedExport(s, dir, B5DeltaIdmodePath) {
+      val root = Paths.get(B5DeltaIdmodePath)
+      val logDir = root.resolve("_delta_log"); Files.createDirectories(logDir)
+      def stamp(id: Long) = new MetadataBuilder()
+        .putLong("parquet.field.id", id).build()
+      val stamped = slice
+        .select(col("event_id").as("col-ev", stamp(1L)),
+          col("value").as("col-val", stamp(2L)))
+      val prev = s.conf.getOption("spark.sql.parquet.fieldId.write.enabled")
+      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      try stamped.coalesce(2).write.mode("overwrite")
+        .parquet(root.resolve("stage").toString)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.parquet.fieldId.write.enabled", v)
+        case None    => s.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+      }
+      val st = Files.list(root.resolve("stage"))
+      val parts = try st.iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+        finally st.close()
+      val moved = parts.zipWithIndex.map { case (p, i) =>
+        val name = s"data$i.parquet"
+        Files.move(p, root.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+        name -> Files.size(root.resolve(name))
+      }
+      graft.sources.DeltaInterop.deleteRecursively(root.resolve("stage"))
+      def fld(name: String, phys: String, id: Int, tpe: DataType) =
+        StructField(name, tpe, nullable = true, new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", phys)
+          .putLong("delta.columnMapping.id", id).build())
+      val logical = StructType(Seq(
+        fld("event_id", "col-ev", 1, LongType),
+        fld("value", "col-val", 2, DoubleType)))
+      val schemaJson = logical.json.replace("\\", "\\\\").replace("\"", "\\\"")
+      Files.write(logDir.resolve("0" * 20 + ".json"),
+        (Seq(
+          """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+          s"""{"metaData":{"id":"graft-idmode","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"}}}""") ++
+          moved.map { case (n, sz) =>
+            s"""{"add":{"path":"$n","partitionValues":{},"size":$sz,"modificationTime":1,"dataChange":true}}"""
+          }).asJava)
+    }
+    val delCount = slice.where(col("event_id") % 7 === 0).count()
+    require(DeltaInterop.deleteFromDelta(s, B5DeltaIdmodePath,
+        col("event_id") % 7 === 0, tsMillis = 6000L) == delCount,
+      "b5_delta_idmode: the id-mode delete must cover the predicate exactly")
+    val ups = slice.where(col("event_id") % 4 === 0)
+      .withColumn("value", col("value") + 1000.0d)
+      .select("event_id", "value").localCheckpoint()
+    val upCount = ups.count()
+    // matched = live %4=0 keys, i.e. upserts minus the already-deleted
+    // (%28=0) ones — the rest INSERT (a MERGE re-inserts deleted keys)
+    val matchedCount = slice
+      .where(col("event_id") % 4 === 0 && col("event_id") % 7 =!= 0).count()
+    val (sup, app) = DeltaInterop.mergeDelta(s, B5DeltaIdmodePath, ups,
+      Seq("event_id"), tsMillis = 7000L)
+    require(sup == matchedCount && app == upCount,
+      s"b5_delta_idmode: MERGE counts ($sup, $app) != expected " +
+        s"($matchedCount, $upCount)")
+    // the merge's staged bytes are foreign-readable id-mode files:
+    // physical names on the wire
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(B5DeltaIdmodePath))
+    val mergeFiles = try walk.iterator().asScala.filter(p =>
+        p.getFileName.toString.startsWith("merge-") &&
+          p.toString.endsWith(".parquet")).toSeq
+      finally walk.close()
+    require(mergeFiles.nonEmpty &&
+        s.read.parquet(mergeFiles.head.toString).columns.toSet ==
+          Set("col-ev", "col-val"),
+      "b5_delta_idmode: merge files must carry the physical column names")
+    DeltaInterop.readDelta(s, B5DeltaIdmodePath).orderBy("event_id")
+  }
+
   /** Fixed export target for [[b5IcebergChangelog]] — oracle SQL
     * recomputes both change kinds over the ROOT data bytes (the rewrite
     * leaves the originals in place; `data/compacted/` and
@@ -7099,6 +7199,7 @@ object SparkEntry {
     "b5_delta_vacuum"    -> (b5DeltaVacuum _),
     "b5_delta_cdf"       -> (b5DeltaCdf _),
     "b5_delta_cdf_renamed" -> (b5DeltaCdfRenamed _),
+    "b5_delta_idmode_write" -> (b5DeltaIdmodeWrite _),
     "b5_iceberg_expire"  -> (b5IcebergExpire _),
     "b5_iceberg_rename"  -> (b5IcebergRename _),
     "b5_iceberg_changelog" -> (b5IcebergChangelog _),
@@ -7899,6 +8000,21 @@ object SparkEntry {
         |       'delete' AS _change_type, 3::BIGINT AS _commit_version
         |FROM parquet_scan('/root/repo/target/graft_export/b5_delta_cdf_renamed/*.parquet')
         |WHERE event_id % 7 = 0
+        |ORDER BY event_id""".stripMargin,
+    // id-mode writes: the DV delete removes id%7=0, the MERGE then
+    // replaces id%4=0 at value+1000 AND re-inserts the deleted %28=0
+    // keys — final state recomputed from the source table
+    "b5_delta_idmode_write" ->
+      """WITH slice AS (
+        |  SELECT event_id, value FROM events WHERE event_id % 3 = 0),
+        |ups AS (
+        |  SELECT event_id, value + 1000.0 AS value FROM slice
+        |  WHERE event_id % 4 = 0)
+        |SELECT event_id, value FROM (
+        |  SELECT * FROM ups
+        |  UNION ALL
+        |  SELECT * FROM slice
+        |  WHERE event_id % 4 <> 0 AND event_id % 7 <> 0)
         |ORDER BY event_id""".stripMargin,
     // the Iceberg changelog twin: same recomputation as b5_delta_cdf —
     // ordinal 1 = the append edge, ordinal 2 = the delete edge; the

@@ -581,6 +581,24 @@ object DeltaInterop {
     case other => other
   }
 
+  /** A LOGICAL-named column in its physical WRITE form: under column
+    * mapping (either mode) data and change files carry PHYSICAL column
+    * names, with the parquet field id stamped whenever the schema
+    * assigns one (id-mode readers resolve by id; the protocol requires
+    * id-mode writers to stamp every file). Pass-through for unmapped
+    * tables. Writers using this must also enable
+    * `spark.sql.parquet.fieldId.write.enabled` so the stamps land. */
+  private def physWriteCol(f: StructField, meta: TableMeta, path: String)
+      : org.apache.spark.sql.Column =
+    if (meta.mappingMode == "none") col(f.name)
+    else {
+      val phys = physicalNameOf(f, path)
+      if (f.metadata.contains(ColIdKey))
+        col(f.name).as(phys, new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong(FieldIdKey, f.metadata.getLong(ColIdKey)).build())
+      else col(f.name).as(phys)
+    }
+
   /** One acceptance rule for the column-mapping mode (JSON commit and
     * checkpoint paths): `none` and `name` are readable (round 10 — name
     * mode resolves logical→physical through the schema's field metadata)
@@ -1669,9 +1687,13 @@ object DeltaInterop {
     val logicalData = StructType(schema.fields.filterNot(f => partSet.contains(f.name)))
     val physSchema =
       if (meta.mapped) toPhysical(logicalData, path).asInstanceOf[StructType]
+      else if (meta.idMapped) withFieldIds(logicalData, path).asInstanceOf[StructType]
       else logicalData
+    if (meta.idMapped)
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     def dataCol(f: StructField): org.apache.spark.sql.Column =
       if (meta.mapped) col(physicalNameOf(f, path)).cast(f.dataType).as(f.name)
+      else if (meta.idMapped) col(f.name).as(f.name, f.metadata)
       else col(f.name)
     val scan = spark.read.schema(physSchema)
       .parquet(adds.map(a => root.resolve(a.path).toString): _*)
@@ -1686,7 +1708,8 @@ object DeltaInterop {
         org.apache.spark.sql.Row.fromSeq(
           root.resolve(a.path).getFileName.toString +:
             partFields.map { f =>
-              val key = if (meta.mapped) physicalNameOf(f, path) else f.name
+              val key = if (meta.mapped || meta.idMapped) physicalNameOf(f, path)
+                else f.name
               a.partitionValues.get(key).flatten.orNull
             })
       }
@@ -1735,12 +1758,11 @@ object DeltaInterop {
     val (cur, live, metaOpt, proto) = replayState(spark, root, None)
     val meta = metaOpt.getOrElse(throw new IllegalStateException(
       s"Delta log at $path carries no metaData action"))
-    require(!meta.idMapped,
-      s"deleteFromDelta on the id-mapped table at $path is unsupported " +
-        "(the provenance scan resolves physical names, not field ids)")
-    // round-13: CDF emission on a NAME-mapped table is supported — the
-    // change files carry the physical layout (physCol below), exactly
-    // like data files, so rename + CDC composes
+    // round-13: CDF emission on a column-mapped table is supported —
+    // the change files carry the physical layout (physWriteCol), exactly
+    // like data files, so rename + CDC composes; id-mapped tables delete
+    // too (the provenance scan resolves by parquet field id, and the DV
+    // write path never renames anything)
     val cdfEnabled = cdfEnabledIn(meta.config)
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     if (live.isEmpty) return 0L
@@ -1800,12 +1822,14 @@ object DeltaInterop {
         Files.createDirectories(cdcDir)
         val stage = Files.createTempDirectory("graft_delta_cdc")
         // change files follow the table's column mapping exactly like
-        // data files (PROTOCOL.md, Change Data Files): a name-mapped
-        // table's cdc parquets must carry PHYSICAL column names, or a
-        // foreign CDF reader resolving physically reads nulls
+        // data files (PROTOCOL.md, Change Data Files): a mapped table's
+        // cdc parquets must carry PHYSICAL column names (+ field ids in
+        // id mode), or a foreign CDF reader resolving physically reads
+        // nulls
         def physCol(f: StructField): org.apache.spark.sql.Column =
-          if (meta.mapped) col(f.name).as(physicalNameOf(f, path))
-          else col(f.name)
+          physWriteCol(f, meta, path)
+        if (meta.mapped || meta.idMapped)
+          spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         try {
           val hits2 = live2.where(predicate)
           if (meta.partCols.isEmpty) {
@@ -1962,8 +1986,9 @@ object DeltaInterop {
     * for new keys — so [[readDeltaCdf]] and foreign CDF readers serve
     * row-accurate MERGE semantics. Partitioned tables write the new
     * files (and cdc files) per partition with honest `partitionValues`.
-    * Column-mapped tables refuse (the new files would need the physical
-    * layout).
+    * Column-mapped tables (round 13, both modes) merge with the staged
+    * files rendered in the PHYSICAL layout — names + parquet field ids —
+    * and physical partitionValues keys, per the protocol's writer rules.
     *
     * @return (rows superseded, rows appended). */
   def mergeDelta(spark: SparkSession, path: String, rows: DataFrame,
@@ -1976,11 +2001,17 @@ object DeltaInterop {
     val (cur, live, metaOpt, proto) = replayState(spark, root, None)
     val meta = metaOpt.getOrElse(throw new IllegalStateException(
       s"Delta log at $path carries no metaData action"))
-    require(meta.mappingMode == "none",
-      s"mergeDelta on the column-mapped table at $path is unsupported " +
-        "(the new data files would need the physical layout)")
+    // round-13: column-mapped tables merge too — the incoming rows keep
+    // LOGICAL names end to end; only the staged files (data and cdc)
+    // render the PHYSICAL layout (physWriteCol: physical names + field
+    // ids), and the commit's partitionValues carry physical keys
     val cdfEnabled = cdfEnabledIn(meta.config)
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
+    val anyMapped = meta.mapped || meta.idMapped
+    if (anyMapped)
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val physPartCols = meta.partCols.map(c =>
+      if (anyMapped) physicalNameOf(schema(c), path) else c)
     require(keyCols.nonEmpty, "mergeDelta: no key columns")
     require(rows.columns.toSet == schema.fieldNames.toSet,
       s"mergeDelta: the incoming rows must carry the table's exact " +
@@ -2044,10 +2075,12 @@ object DeltaInterop {
     // partitionValues derived from the staged Hive layout
     val stage = Files.createTempDirectory("graft_delta_merge")
     val newFiles: Seq[(String, Long, Map[String, Option[String]])] = try {
+      val staged0 = incoming.select(
+        schema.fields.map(f => physWriteCol(f, meta, path)).toIndexedSeq: _*)
       if (meta.partCols.isEmpty)
-        incoming.write.mode("overwrite").parquet(stage.toString)
-      else incoming.write.mode("overwrite")
-        .partitionBy(meta.partCols: _*).parquet(stage.toString)
+        staged0.write.mode("overwrite").parquet(stage.toString)
+      else staged0.write.mode("overwrite")
+        .partitionBy(physPartCols: _*).parquet(stage.toString)
       val walk = Files.walk(stage)
       val staged = try walk.iterator().asScala
           .filter(pp => Files.isRegularFile(pp) && pp.toString.endsWith(".parquet"))
@@ -2063,7 +2096,7 @@ object DeltaInterop {
         val dst = root.resolve(rel)
         Files.createDirectories(dst.getParent)
         Files.move(pp, dst, StandardCopyOption.ATOMIC_MOVE)
-        (rel, Files.size(dst), partitionValuesOf(rel, meta.partCols).toMap)
+        (rel, Files.size(dst), partitionValuesOf(rel, physPartCols).toMap)
       }
     } finally deleteRecursively(stage)
     val appended = incoming.count()
@@ -2084,7 +2117,8 @@ object DeltaInterop {
           .withColumn("_change_type", lit("insert"))
         val partSet = meta.partCols.toSet
         val dataCols = schema.fields.filterNot(f => partSet.contains(f.name))
-        val changeCols = (dataCols.map(f => col(f.name)) :+
+        // cdc files render the physical layout, like the data files
+        val changeCols = (dataCols.map(f => physWriteCol(f, meta, path)) :+
           col("_change_type")).toIndexedSeq
         val changes = pre.select((schema.fields.map(f => col(f.name)) :+
             col("_change_type")).toIndexedSeq: _*)
@@ -2114,8 +2148,11 @@ object DeltaInterop {
           } else {
             // cdc files mirror the data layout: partition columns on the
             // cdc ACTION, not in the file — the Hive staging derives them
-            changes.write.mode("overwrite")
-              .partitionBy(meta.partCols: _*).parquet(cstage.toString)
+            // (physical names throughout, like the data staging)
+            changes.select((schema.fields.map(f => physWriteCol(f, meta, path)) :+
+                col("_change_type")).toIndexedSeq: _*)
+              .write.mode("overwrite")
+              .partitionBy(physPartCols: _*).parquet(cstage.toString)
             val walk = Files.walk(cstage)
             val staged = try walk.iterator().asScala
               .filter(pp => Files.isRegularFile(pp) && pp.toString.endsWith(".parquet"))
@@ -2129,7 +2166,7 @@ object DeltaInterop {
                 (path + "|mergecdc|" + cur + "|" + i).getBytes("UTF-8"))}.parquet"
               Files.move(pp, root.resolve(rel), StandardCopyOption.ATOMIC_MOVE)
               (rel, Files.size(root.resolve(rel)),
-                partitionValuesOf(relDir + "/x.parquet", meta.partCols).toMap)
+                partitionValuesOf(relDir + "/x.parquet", physPartCols).toMap)
             }
           }
         } finally deleteRecursively(cstage)

@@ -253,8 +253,11 @@ class ContractSpec extends AnyFunSuite {
     // 229 adds b5_delta_cdf_renamed (round-13 verdict #3: CDF on
     // column-mapped tables — change files written AND read under the
     // physical layout, the feed restores logical renamed names)
-    assert(SparkEntry.queries.size == 229,
-      s"declared query count ${SparkEntry.queries.size} != documented 229 — " +
+    // 230 adds b5_delta_idmode_write (round-13 verdict #5: id-mapped
+    // tables take DV deletes and MERGEs — provenance resolves by parquet
+    // field id, staged files render physical names + re-stamped ids)
+    assert(SparkEntry.queries.size == 230,
+      s"declared query count ${SparkEntry.queries.size} != documented 230 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

@@ -954,17 +954,76 @@ class DeltaInteropSpec extends SparkSpec {
         keep = pv => pv.get("part").flatten.contains("x")).count() == 2L)
     assert(DeltaInterop.readDeltaPruned(spark, root.toString,
         keep = pv => pv.get("part").flatten.contains("y")).count() == 0L)
-    // write paths refuse the id-mapped table LOUDLY
-    assert(intercept[IllegalArgumentException](
-      DeltaInterop.deleteFromDelta(spark, root.toString, col("id") === 1L))
-      .getMessage.contains("id-mapped"))
-    assert(intercept[IllegalArgumentException](
-      DeltaInterop.mergeDelta(spark, root.toString,
-        Seq((1L, "z", "x")).toDF("id", "s", "part"), Seq("id")))
-      .getMessage.contains("column-mapped"))
+    // write paths (round 13): the id-mapped table takes a DV delete and
+    // a MERGE — the provenance scan resolves by parquet field id, new
+    // files render physical names + field ids, partitionValues keys
+    // stay physical
+    assert(DeltaInterop.deleteFromDelta(spark, root.toString,
+      col("id") === 1L, 1000L) == 1L)
+    assert(DeltaInterop.readDelta(spark, root.toString).orderBy("id")
+      .as[(Long, String, String)].collect().toSeq == Seq((2L, "b", "x")))
+    // id 2 updates AND MOVES partitions (x → y), id 9 inserts
+    val (sup, app) = DeltaInterop.mergeDelta(spark, root.toString,
+      Seq((2L, "z", "y"), (9L, "n", "y")).toDF("id", "s", "part"),
+      Seq("id"), 2000L)
+    assert((sup, app) == ((1L, 2L)))
+    assert(DeltaInterop.readDelta(spark, root.toString).orderBy("id")
+      .as[(Long, String, String)].collect().toSeq ==
+      Seq((2L, "z", "y"), (9L, "n", "y")))
+    // foreign shape: the new files live under PHYSICAL partition dirs and
+    // carry PHYSICAL column names; the pruner still keys logically
+    val walk2 = Files.walk(root)
+    val mergeFiles = try walk2.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("merge-")).toSeq
+      finally walk2.close()
+    assert(mergeFiles.nonEmpty &&
+      mergeFiles.forall(_.toString.contains("col-pp=y")),
+      s"merge files must stage under the physical partition dir: $mergeFiles")
+    val physCols = spark.read.parquet(mergeFiles.head.toString).columns.toSet
+    assert(physCols == Set("col-7a3f", "col-9b21"),
+      s"merge files must carry physical column names, got $physCols")
+    assert(DeltaInterop.readDeltaPruned(spark, root.toString,
+        keep = pv => pv.get("part").flatten.contains("y")).count() == 2L)
+    // renames stay refused in id mode (physical names are not a contract)
     assert(intercept[IllegalArgumentException](
       DeltaInterop.renameDeltaColumn(spark, root.toString, "s", "s2"))
       .getMessage.contains("ID mode"))
+  }
+
+  test("mergeDelta on a name-mapped table: physical staged bytes, logical CDF pairs") {
+    val t = sampleTable()
+    val out = tmp("delta_merge_mapped")
+    DeltaInterop.exportDelta(t, out, tsMillis = 5000L)                     // v0
+    DeltaInterop.setDeltaTableProperty(spark, out,
+      "delta.enableChangeDataFeed", "true", tsMillis = 6000L)              // v1
+    DeltaInterop.renameDeltaColumn(spark, out, "v", "score", 7000L)        // v2
+    val (sup, app) = DeltaInterop.mergeDelta(spark, out,
+      Seq((2L, "x", 200.0), (9L, "y", 900.0)).toDF("id", "k", "score"),
+      Seq("id"), 8000L)                                                    // v3
+    assert((sup, app) == ((1L, 2L)))
+    assert(DeltaInterop.readDelta(spark, out).orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 10.0), (2L, "x", 200.0), (3L, "a", 30.0),
+        (4L, "c", 40.0), (9L, "y", 900.0)))
+    // the feed serves the MERGE classification under LOGICAL names
+    val (h, cdf) = DeltaInterop.readDeltaCdf(spark, out, 2L)
+    assert(h == 3L)
+    assert(cdf.select("id", "score", "_change_type").as[(Long, Double, String)]
+      .collect().toSet == Set((2L, 20.0, "update_preimage"),
+        (2L, 200.0, "update_postimage"), (9L, 900.0, "insert")))
+    // every staged byte (merge data files AND cdc files) carries the
+    // PHYSICAL column name — foreign readers resolve physically
+    val walk = Files.walk(Paths.get(out))
+    val staged = try walk.iterator().asScala.filter(p =>
+        (p.getFileName.toString.startsWith("merge-") ||
+          p.toString.contains("_change_data")) &&
+          p.toString.endsWith(".parquet")).toSeq
+      finally walk.close()
+    assert(staged.nonEmpty)
+    staged.foreach { p =>
+      val cs = spark.read.parquet(p.toString).columns.toSet
+      assert(cs.contains("v") && !cs.contains("score"), s"$p: $cs")
+    }
   }
 
   test("vacuumDelta reclaims only unreferenced files; cleanDeltaLog retires covered commits") {
