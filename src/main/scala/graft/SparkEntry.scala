@@ -4919,6 +4919,92 @@ object SparkEntry {
     live.orderBy("event_id")
   }
 
+  /** Fixed export target for [[b5IcebergRefs]] — oracle: the full data
+    * glob IS the live table after the ref-rooted expiry (the append
+    * chain shares data files; expiry reclaims only the unreferenced
+    * snapshot's manifests). */
+  private val B5IcebergRefsPath = "/root/repo/target/graft_export/b5_iceberg_refs"
+
+  /** B5 — ICEBERG SNAPSHOT REFS (round-13 verdict #6: no `refs` support
+    * existed — time travel was snapshot-id/timestamp only, foreign
+    * tables written with branch metadata and the WAP/audit-branch
+    * pattern were out of reach, and expiry IGNORING refs would delete a
+    * branch's files): the staged history is a four-snapshot append
+    * chain with a TAG on snapshot 1 and a BRANCH on snapshot 3
+    * ([[graft.sources.IcebergInterop.setIcebergRef]], metadata-only
+    * commits); timed, [[graft.sources.IcebergInterop.icebergRef]]
+    * resolves each name for `snapshotAsOf` reads (`main` = the current
+    * snapshot), and [[graft.sources.IcebergInterop
+    * .expireIcebergSnapshots]] treats both ref heads as retention
+    * roots — only the unreferenced snapshot 2 expires. Certificates:
+    * both ref views are bit-identical across the expiry; exactly one
+    * snapshot expired; the expired snapshot refuses time travel; refs
+    * survive the expiry commit. DuckDB oracle: the full data glob
+    * equals the live table (disk ≡ live). */
+  private def b5IcebergRefs(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IcebergInterop, TxTable}
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
+    val ev = Tables.events(s, dir).select(cols.map(col).toIndexedSeq: _*)
+    HarnessFixtures.stagedExport(s, dir, B5IcebergRefsPath) {
+      val p = TxTable(s, s"$B5IcebergRefsPath/producer")
+      withShufflePartitions(s, 4) {
+        p.append(ev.where(col("event_id") % 4 === 1), tsMillis = 1000L)
+      }
+      require(IcebergInterop.exportIcebergIncremental(p,
+        s"$B5IcebergRefsPath/tbl", tsMillis = 5000L) == 1L)              // snap1
+      withShufflePartitions(s, 4) {
+        p.append(ev.where(col("event_id") % 4 === 2), tsMillis = 2000L)
+      }
+      require(IcebergInterop.exportIcebergIncremental(p,
+        s"$B5IcebergRefsPath/tbl", tsMillis = 6000L) == 2L)              // snap2
+      withShufflePartitions(s, 4) {
+        p.append(ev.where(col("event_id") % 4 === 3), tsMillis = 3000L)
+      }
+      require(IcebergInterop.exportIcebergIncremental(p,
+        s"$B5IcebergRefsPath/tbl", tsMillis = 7000L) == 3L)              // snap3
+      withShufflePartitions(s, 4) {
+        p.append(ev.where(col("event_id") % 4 === 0), tsMillis = 4000L)
+      }
+      require(IcebergInterop.exportIcebergIncremental(p,
+        s"$B5IcebergRefsPath/tbl", tsMillis = 8000L) == 4L)              // snap4
+      IcebergInterop.setIcebergRef(s"$B5IcebergRefsPath/tbl", "audit",
+        IcebergInterop.icebergSnapshotAt(s"$B5IcebergRefsPath/tbl", 5000L),
+        "tag", tsMillis = 9000L)
+      IcebergInterop.setIcebergRef(s"$B5IcebergRefsPath/tbl", "wap",
+        IcebergInterop.icebergSnapshotAt(s"$B5IcebergRefsPath/tbl", 7000L),
+        "branch", tsMillis = 9001L)
+    }
+    val tbl = s"$B5IcebergRefsPath/tbl"
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)).as("n"),
+        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    def refView(name: String) = IcebergInterop.readIceberg(s, tbl,
+      snapshotAsOf = Some(IcebergInterop.icebergRef(tbl, name)))
+      .select(cols.map(col).toIndexedSeq: _*)
+    val snap2 = IcebergInterop.icebergSnapshotAt(tbl, 6000L)
+    require(IcebergInterop.icebergRef(tbl, "main") ==
+        IcebergInterop.icebergSnapshotAt(tbl, 8000L),
+      "b5_iceberg_refs: 'main' must resolve to the current snapshot")
+    val (auditPre, wapPre) = (sig(refView("audit")), sig(refView("wap")))
+    val (nExp, nFiles, nBytes) = IcebergInterop.expireIcebergSnapshots(s,
+      tbl, keepLast = 1, tsMillis = 10000L)
+    require(nExp == 1 && nFiles > 0 && nBytes > 0L,
+      s"b5_iceberg_refs: only the unreferenced snapshot may expire " +
+        s"(got $nExp snapshots, $nFiles files)")
+    require(sig(refView("audit")) == auditPre && sig(refView("wap")) == wapPre,
+      "b5_iceberg_refs: both ref views must be bit-identical across expiry")
+    require(IcebergInterop.icebergRefs(tbl).keySet == Set("audit", "wap"),
+      "b5_iceberg_refs: refs must survive the expiry commit")
+    val travel = scala.util.Try(
+      IcebergInterop.readIceberg(s, tbl, snapshotAsOf = Some(snap2)).count())
+    require(travel.isFailure &&
+        travel.failed.get.getMessage.contains("does not exist"),
+      "b5_iceberg_refs: the expired snapshot must refuse time travel")
+    IcebergInterop.readIceberg(s, tbl)
+      .select(cols.map(col).toIndexedSeq: _*).orderBy("event_id")
+  }
+
   /** Fixed export target for [[b5DeltaVacuum]] — same disk ≡ live oracle
     * shape as the Iceberg twin: after purge + vacuum the only data bytes
     * left are the survivors under `compacted/`. */
@@ -7200,6 +7286,7 @@ object SparkEntry {
     "b5_delta_cdf"       -> (b5DeltaCdf _),
     "b5_delta_cdf_renamed" -> (b5DeltaCdfRenamed _),
     "b5_delta_idmode_write" -> (b5DeltaIdmodeWrite _),
+    "b5_iceberg_refs"    -> (b5IcebergRefs _),
     "b5_iceberg_expire"  -> (b5IcebergExpire _),
     "b5_iceberg_rename"  -> (b5IcebergRename _),
     "b5_iceberg_changelog" -> (b5IcebergChangelog _),
@@ -8015,6 +8102,12 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT * FROM slice
         |  WHERE event_id % 4 <> 0 AND event_id % 7 <> 0)
+        |ORDER BY event_id""".stripMargin,
+    // refs: the append chain shares data files, so after the ref-rooted
+    // expiry the full data glob IS the live table (disk ≡ live)
+    "b5_iceberg_refs" ->
+      """SELECT event_id, user_id, event_type, value, ts
+        |FROM parquet_scan('/root/repo/target/graft_export/b5_iceberg_refs/tbl/data/*.parquet')
         |ORDER BY event_id""".stripMargin,
     // the Iceberg changelog twin: same recomputation as b5_delta_cdf —
     // ordinal 1 = the append edge, ordinal 2 = the delete edge; the

@@ -2545,9 +2545,11 @@ object IcebergInterop {
 
   /** EXPIRE SNAPSHOTS — the retention half of the table lifecycle
     * (Iceberg's `expireSnapshots`): keep the newest `keepLast` snapshots
-    * (the current one must be among them), drop the rest from the
-    * metadata, and PHYSICALLY delete every file only the expired
-    * snapshots reference — the superseded data files a
+    * (the current one must be among them) plus every snapshot a REF
+    * (branch or tag) names — ref heads are retention roots, so a
+    * foreign table's WAP/audit branches survive expiry — drop the rest
+    * from the metadata, and PHYSICALLY delete every file only the
+    * expired snapshots reference — the superseded data files a
     * [[compactIcebergDeletes]] replaced, their position-delete parquets,
     * and the expired manifests/manifest lists. After a delete → compact →
     * expire chain the deleted rows' bytes are GONE from disk (the GDPR
@@ -2574,6 +2576,124 @@ object IcebergInterop {
     *
     * @return (snapshots expired, files removed, bytes reclaimed) —
     *   (0, 0, 0) when nothing is expirable (idempotent; no commit). */
+  /** The snapshot REFS of the `refs` metadata map (spec v2): named
+    * branches and tags, each `{snapshot-id, type}` — the WAP/audit-branch
+    * pattern's anchor. Returns name → (snapshot id, type); absent map =
+    * empty (v1 tables and plain writers). Unknown ref types refuse
+    * loudly rather than being silently mis-retained. */
+  private def refsOf(meta: JsonNode, path: String): Map[String, (Long, String)] =
+    Option(meta.get("refs")).map { r =>
+      r.properties().asScala.map { e =>
+        val n = e.getValue
+        val id = Option(n.get("snapshot-id")).map(_.asLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"Iceberg table $path: ref '${e.getKey}' carries no snapshot-id"))
+        val tpe = Option(n.get("type")).map(_.asText).getOrElse("branch")
+        require(tpe == "branch" || tpe == "tag",
+          s"Iceberg table $path: ref '${e.getKey}' has unknown type '$tpe'")
+        e.getKey -> ((id, tpe))
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** The table's refs: name → (snapshot id, 'branch' | 'tag'). The
+    * engine's own commits PRESERVE foreign refs (every metadata rewrite
+    * deep-copies the tree), and [[expireIcebergSnapshots]] treats each
+    * ref head as a retention root. */
+  def icebergRefs(path: String): Map[String, (Long, String)] = {
+    val root = Paths.get(path).toAbsolutePath
+    val metaDir = root.resolve("metadata")
+    require(Files.isDirectory(metaDir), s"no Iceberg table at $path (missing metadata/)")
+    refsOf(currentMetadata(metaDir, path), path)
+  }
+
+  /** Resolve a ref NAME to its snapshot id — pass the result to
+    * [[readIceberg]]'s `snapshotAsOf` (branch/tag time travel). `main`
+    * resolves to the current snapshot when the table records no
+    * explicit main ref (the spec's default branch name). Loud on
+    * unknown names (listing what exists) and on a ref whose snapshot
+    * has been expired out from under it by a foreign writer. */
+  def icebergRef(path: String, name: String): Long = {
+    val root = Paths.get(path).toAbsolutePath
+    val metaDir = root.resolve("metadata")
+    require(Files.isDirectory(metaDir), s"no Iceberg table at $path (missing metadata/)")
+    val meta = currentMetadata(metaDir, path)
+    val refs = refsOf(meta, path)
+    val snapIds = Option(meta.get("snapshots"))
+      .map(_.elements().asScala.map(_.get("snapshot-id").asLong).toSet)
+      .getOrElse(Set.empty[Long])
+    refs.get(name) match {
+      case Some((id, _)) =>
+        require(snapIds.contains(id),
+          s"Iceberg table $path: ref '$name' points at snapshot $id which " +
+            "is not in the snapshot list (expired by a foreign writer?)")
+        id
+      case None if name == "main" =>
+        Option(meta.get("current-snapshot-id")).map(_.asLong).filter(_ != -1L)
+          .getOrElse(throw new IllegalArgumentException(
+            s"Iceberg table $path has no current snapshot — 'main' is empty"))
+      case None => throw new IllegalArgumentException(
+        s"Iceberg table $path has no ref '$name' — refs: " +
+          s"[${refs.keys.toSeq.sorted.mkString(", ")}]")
+    }
+  }
+
+  /** Create or move a named BRANCH or TAG as a metadata-only commit —
+    * the write half of the WAP/audit-branch pattern. Validates the
+    * target snapshot exists; a re-point of an existing ref is legal
+    * (that is how a branch advances). */
+  def setIcebergRef(path: String, name: String, snapshotId: Long,
+      refType: String = "tag",
+      tsMillis: Long = System.currentTimeMillis()): Unit = {
+    require(name.nonEmpty, "setIcebergRef: empty ref name")
+    require(refType == "branch" || refType == "tag",
+      s"setIcebergRef: type must be 'branch' or 'tag', got '$refType'")
+    val root = Paths.get(path).toAbsolutePath
+    val metaDir = root.resolve("metadata")
+    require(Files.isDirectory(metaDir), s"no Iceberg table at $path (missing metadata/)")
+    val meta = currentMetadata(metaDir, path)
+    val snapIds = Option(meta.get("snapshots"))
+      .map(_.elements().asScala.map(_.get("snapshot-id").asLong).toSet)
+      .getOrElse(Set.empty[Long])
+    require(snapIds.contains(snapshotId),
+      s"setIcebergRef: snapshot $snapshotId does not exist in $path")
+    val rootNode = meta.deepCopy[ObjectNode]()
+    val refsNode = Option(rootNode.get("refs")) match {
+      case Some(o: ObjectNode) => o
+      case _                   => rootNode.putObject("refs")
+    }
+    val entry = refsNode.putObject(name)
+    entry.put("snapshot-id", snapshotId)
+    entry.put("type", refType)
+    rootNode.put("last-updated-ms", tsMillis)
+    val newVersion = currentMetadataVersion(metaDir, path) + 1
+    Files.write(metaDir.resolve(s"v$newVersion.metadata.json"),
+      Seq(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(rootNode)).asJava,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    Files.write(metaDir.resolve("version-hint.text"),
+      Seq(newVersion.toString).asJava)
+  }
+
+  /** Drop a named ref (metadata-only). Loud when absent — silently
+    * "dropping" a typo'd name would leave the real ref retained. */
+  def dropIcebergRef(path: String, name: String,
+      tsMillis: Long = System.currentTimeMillis()): Unit = {
+    val root = Paths.get(path).toAbsolutePath
+    val metaDir = root.resolve("metadata")
+    require(Files.isDirectory(metaDir), s"no Iceberg table at $path (missing metadata/)")
+    val meta = currentMetadata(metaDir, path)
+    require(refsOf(meta, path).contains(name),
+      s"dropIcebergRef: Iceberg table $path has no ref '$name'")
+    val rootNode = meta.deepCopy[ObjectNode]()
+    rootNode.get("refs").asInstanceOf[ObjectNode].remove(name)
+    rootNode.put("last-updated-ms", tsMillis)
+    val newVersion = currentMetadataVersion(metaDir, path) + 1
+    Files.write(metaDir.resolve(s"v$newVersion.metadata.json"),
+      Seq(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(rootNode)).asJava,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    Files.write(metaDir.resolve("version-hint.text"),
+      Seq(newVersion.toString).asJava)
+  }
+
   def expireIcebergSnapshots(spark: SparkSession, path: String,
       keepLast: Int = 1,
       tsMillis: Long = System.currentTimeMillis(),
@@ -2600,8 +2720,22 @@ object IcebergInterop {
     def tsOf(n: JsonNode) =
       Option(n.get("timestamp-ms")).map(_.asLong).getOrElse(0L)
     val ordered = snaps.sortBy(n => (seqOf(n), tsOf(n)))
-    val kept = ordered.takeRight(keepLast)
-    val expired = ordered.dropRight(keepLast)
+    // every REF head (branch or tag) is a retention root — expiry that
+    // ignored refs would delete a branch's files out from under foreign
+    // readers (round-13; dangling refs refuse rather than mis-retain)
+    val refs = refsOf(meta, path)
+    refs.foreach { case (n, (id, _)) =>
+      require(snaps.exists(_.get("snapshot-id").asLong == id),
+        s"Iceberg table $path: ref '$n' points at snapshot $id which is " +
+          "not in the snapshot list — refusing to expire against a " +
+          "dangling ref")
+    }
+    val refIds = refs.values.map(_._1).toSet
+    val keptIdSet = ordered.takeRight(keepLast)
+      .map(_.get("snapshot-id").asLong).toSet ++ refIds
+    val kept = ordered.filter(n => keptIdSet.contains(n.get("snapshot-id").asLong))
+    val expired = ordered.filterNot(n => keptIdSet.contains(n.get("snapshot-id").asLong))
+    if (expired.isEmpty) return (0, 0, 0L)
     require(kept.exists(_.get("snapshot-id").asLong == curId),
       s"keepLast=$keepLast would expire the CURRENT snapshot of $path — " +
         "retention keeps the head by definition")

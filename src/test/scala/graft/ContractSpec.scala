@@ -256,8 +256,11 @@ class ContractSpec extends AnyFunSuite {
     // 230 adds b5_delta_idmode_write (round-13 verdict #5: id-mapped
     // tables take DV deletes and MERGEs — provenance resolves by parquet
     // field id, staged files render physical names + re-stamped ids)
-    assert(SparkEntry.queries.size == 230,
-      s"declared query count ${SparkEntry.queries.size} != documented 230 — " +
+    // 231 adds b5_iceberg_refs (round-13 verdict #6: snapshot refs —
+    // branches/tags parse, resolve for snapshotAsOf, survive engine
+    // commits, and anchor expiry as retention roots)
+    assert(SparkEntry.queries.size == 231,
+      s"declared query count ${SparkEntry.queries.size} != documented 231 — " +
         "update SURVEY.md §2 G-index and README when adding queries")
   }
 }

@@ -2507,6 +2507,64 @@ class IcebergInteropSpec extends SparkSpec {
       s"got $rows")
   }
 
+  test("snapshot refs: tags resolve, survive engine commits, root retention at expiry") {
+    val t = TxTable(spark, tmp("ice_refs_src"))
+    t.append(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"), tsMillis = 1000L)
+    val out = tmp("ice_refs_exp")
+    assert(IcebergInterop.exportIcebergIncremental(t, out, 5000L) == 1L)   // snap1
+    t.append(Seq((3L, 3.0)).toDF("id", "v"), tsMillis = 2000L)
+    assert(IcebergInterop.exportIcebergIncremental(t, out, 6000L) == 2L)   // snap2
+    t.append(Seq((4L, 4.0)).toDF("id", "v"), tsMillis = 3000L)
+    assert(IcebergInterop.exportIcebergIncremental(t, out, 7000L) == 3L)   // snap3
+    val snap1 = IcebergInterop.icebergSnapshotAt(out, 5000L)
+    val snap2 = IcebergInterop.icebergSnapshotAt(out, 6000L)
+    val snap3 = IcebergInterop.icebergRef(out, "main")    // default branch = current
+    assert(snap3 == IcebergInterop.icebergSnapshotAt(out, 7000L))
+    // a tag on the first snapshot, a branch on the second
+    IcebergInterop.setIcebergRef(out, "audit", snap1, "tag", 8000L)
+    IcebergInterop.setIcebergRef(out, "wap", snap2, "branch", 8001L)
+    assert(IcebergInterop.icebergRefs(out) ==
+      Map("audit" -> ((snap1, "tag")), "wap" -> ((snap2, "branch"))))
+    assert(IcebergInterop.readIceberg(spark, out,
+        snapshotAsOf = Some(IcebergInterop.icebergRef(out, "audit")))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // unknown names are loud, and a nonexistent target refuses at set
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.icebergRef(out, "nope")).getMessage.contains("no ref"))
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.setIcebergRef(out, "x", 123456L))
+      .getMessage.contains("does not exist"))
+    // refs survive an engine commit (the key delete rewrites metadata)
+    assert(IcebergInterop.deleteFromIcebergByKey(spark, out,
+      Seq(4L).toDF("id"), tsMillis = 9000L) == 1L)                         // snap4
+    assert(IcebergInterop.icebergRefs(out).keySet == Set("audit", "wap"))
+    // expiry: keepLast=1 keeps the CURRENT snapshot plus both ref roots;
+    // only the unreferenced snap3 expires, and the ref'd views still read
+    val (nExp, _, _) = IcebergInterop.expireIcebergSnapshots(spark, out,
+      keepLast = 1, tsMillis = 10000L)
+    assert(nExp == 1, s"expected only snap3 to expire, got $nExp")
+    assert(IcebergInterop.readIceberg(spark, out,
+        snapshotAsOf = Some(IcebergInterop.icebergRef(out, "audit")))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(IcebergInterop.readIceberg(spark, out,
+        snapshotAsOf = Some(IcebergInterop.icebergRef(out, "wap")))
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(IcebergInterop.readIceberg(spark, out).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(intercept[Exception](IcebergInterop.readIceberg(spark, out,
+      snapshotAsOf = Some(snap3)).collect()).getMessage.contains("does not exist"))
+    // dropping the refs releases the roots: the next expiry reclaims them
+    IcebergInterop.dropIcebergRef(out, "audit", 11000L)
+    IcebergInterop.dropIcebergRef(out, "wap", 11001L)
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.dropIcebergRef(out, "audit")).getMessage.contains("no ref"))
+    val (nExp2, _, _) = IcebergInterop.expireIcebergSnapshots(spark, out,
+      keepLast = 1, tsMillis = 12000L)
+    assert(nExp2 == 2)
+    assert(IcebergInterop.readIceberg(spark, out).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("tailIcebergCdcInto: upsert + key-delete edges land in a keyed sink exactly-once") {
     val t = TxTable(spark, tmp("ice_cdc_src"))
     t.append(Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0),
