@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Netting for row-level change feeds (Delta CDF / Iceberg changelog):
   * reduce every key's edge chain to its LAST effect so a downstream
@@ -33,20 +34,28 @@ object CdcFeed {
   private val InsertKinds = Set("insert", "update_postimage")
   private val DeleteKinds = Set("delete", "update_preimage")
 
-  /** Net `feed` to (upserts, deleteKeys): `upserts` carries full rows of
-    * `dataCols` for every key whose last edge inserts; `deleteKeys`
-    * carries the key columns of every key whose last edge deletes.
-    * `verCol` is the feed's commit-ordering column and `typeCol` its
-    * change-kind column; both are dropped from the outputs.
+  /** A netted CDC batch: `upserts` carries full rows for every key whose
+    * last edge inserts, `deleteKeys` the key columns of every key whose
+    * last edge deletes — both backed by ONE materialized evaluation of
+    * the feed. `release()` frees the materialized blocks; the continuous
+    * tails call it after each applied batch so per-poll state is freed
+    * deterministically instead of waiting for driver GC. */
+  final case class NetBatch(upserts: DataFrame, deleteKeys: DataFrame,
+      release: () => Unit)
+
+  /** Net `feed` to a [[NetBatch]]. `verCol` is the feed's
+    * commit-ordering column and `typeCol` its change-kind column; both
+    * are dropped from the outputs.
     *
-    * The netted frame MATERIALIZES here (localCheckpoint, eager): both
+    * The netted frame MATERIALIZES here (persist + eager count): both
     * outputs are consumed downstream ([[TxTable.applyCdc]] evaluates
     * upserts and deleteKeys separately), and a CDC feed's lazy plan is
     * expensive to re-resolve — an Iceberg changelog's equality-delete
     * edges rescan the parent's live view per evaluation. One evaluation
-    * of the feed, bounded by the consumed range, is the contract. */
+    * of the feed, bounded by the consumed range, is the contract; the
+    * eager pass also makes an unknown change kind refuse AT the call. */
   def net(feed: DataFrame, keys: Seq[String], dataCols: Seq[String],
-      verCol: String, typeCol: String): (DataFrame, DataFrame) = {
+      verCol: String, typeCol: String): NetBatch = {
     require(keys.nonEmpty, "CdcFeed.net: no key columns")
     val known = (InsertKinds ++ DeleteKinds).toSeq.sorted
     val ranked = feed.withColumn("__cdc_rank",
@@ -59,11 +68,12 @@ object CdcFeed {
       .orderBy(col(verCol).desc, col("__cdc_rank").desc)
     val last = ranked.withColumn("__cdc_rn", row_number().over(w))
       .where(col("__cdc_rn") === 1)
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    last.count()
     val upserts = last.where(col("__cdc_rank") === 1)
       .select(dataCols.map(col): _*)
     val deleteKeys = last.where(col("__cdc_rank") === 0)
       .select(keys.map(col): _*)
-    (upserts, deleteKeys)
+    NetBatch(upserts, deleteKeys, () => { last.unpersist(); () })
   }
 }

@@ -599,6 +599,25 @@ object DeltaInterop {
       else col(f.name).as(phys)
     }
 
+  /** Run `body` (an EAGER parquet write) with field-id stamping enabled
+    * when `enable`, restoring the session's prior setting after — unlike
+    * the lazy-read flag (which must outlive the call for the returned
+    * frames), a write completes inside the call, so leaving the session
+    * flag flipped would silently stamp field ids for every later writer
+    * that never opted in. */
+  private def withFieldIdWrite[A](spark: SparkSession, enable: Boolean)(body: => A): A =
+    if (!enable) body
+    else {
+      val key = "spark.sql.parquet.fieldId.write.enabled"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+
   /** One acceptance rule for the column-mapping mode (JSON commit and
     * checkpoint paths): `none` and `name` are readable (round 10 — name
     * mode resolves logical→physical through the schema's field metadata)
@@ -811,10 +830,11 @@ object DeltaInterop {
       c == "_change_type" || c == "_commit_version").toSeq
     keys.foreach(k => require(dataCols.contains(k),
       s"tailDeltaCdcInto($path): key column '$k' is not a table column"))
-    val (upserts, deleteKeys) = CdcFeed.net(feed, keys, dataCols,
+    val batch = CdcFeed.net(feed, keys, dataCols,
       verCol = "_commit_version", typeCol = "_change_type")
-    sink.applyCdc(upserts, deleteKeys, keys, tsMillis = tsMillis,
-      txn = Some((appId, head)))
+    try sink.applyCdc(batch.upserts, batch.deleteKeys, keys,
+      tsMillis = tsMillis, txn = Some((appId, head)))
+    finally batch.release()
     head
   }
 
@@ -1828,14 +1848,15 @@ object DeltaInterop {
         // nulls
         def physCol(f: StructField): org.apache.spark.sql.Column =
           physWriteCol(f, meta, path)
-        if (meta.mapped || meta.idMapped)
-          spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        val stampIds = meta.mapped || meta.idMapped
         try {
           val hits2 = live2.where(predicate)
           if (meta.partCols.isEmpty) {
-            hits2.select((schema.fields.map(physCol) :+
-                lit("delete").as("_change_type")).toIndexedSeq: _*)
-              .write.mode("overwrite").parquet(stage.toString)
+            withFieldIdWrite(spark, stampIds) {
+              hits2.select((schema.fields.map(physCol) :+
+                  lit("delete").as("_change_type")).toIndexedSeq: _*)
+                .write.mode("overwrite").parquet(stage.toString)
+            }
             val walk = Files.walk(stage)
             val staged = try walk.iterator().asScala
               .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
@@ -1861,12 +1882,14 @@ object DeltaInterop {
               .toDF("__gdv_file", "__gcdc_grp")
             val partSet = meta.partCols.toSet
             val dataCols = schema.fields.filterNot(f => partSet.contains(f.name))
-            hits2.join(broadcast(grpDf), Seq("__gdv_file"))
-              .select((dataCols.map(physCol) :+
-                lit("delete").as("_change_type") :+
-                col("__gcdc_grp")).toIndexedSeq: _*)
-              .write.mode("overwrite").partitionBy("__gcdc_grp")
-              .parquet(stage.toString)
+            withFieldIdWrite(spark, stampIds) {
+              hits2.join(broadcast(grpDf), Seq("__gdv_file"))
+                .select((dataCols.map(physCol) :+
+                  lit("delete").as("_change_type") :+
+                  col("__gcdc_grp")).toIndexedSeq: _*)
+                .write.mode("overwrite").partitionBy("__gcdc_grp")
+                .parquet(stage.toString)
+            }
             val walk = Files.walk(stage)
             val staged = try walk.iterator().asScala
               .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
@@ -2008,8 +2031,6 @@ object DeltaInterop {
     val cdfEnabled = cdfEnabledIn(meta.config)
     val schema = DataType.fromJson(meta.schemaJson).asInstanceOf[StructType]
     val anyMapped = meta.mapped || meta.idMapped
-    if (anyMapped)
-      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     val physPartCols = meta.partCols.map(c =>
       if (anyMapped) physicalNameOf(schema(c), path) else c)
     require(keyCols.nonEmpty, "mergeDelta: no key columns")
@@ -2077,10 +2098,12 @@ object DeltaInterop {
     val newFiles: Seq[(String, Long, Map[String, Option[String]])] = try {
       val staged0 = incoming.select(
         schema.fields.map(f => physWriteCol(f, meta, path)).toIndexedSeq: _*)
-      if (meta.partCols.isEmpty)
-        staged0.write.mode("overwrite").parquet(stage.toString)
-      else staged0.write.mode("overwrite")
-        .partitionBy(physPartCols: _*).parquet(stage.toString)
+      withFieldIdWrite(spark, anyMapped) {
+        if (meta.partCols.isEmpty)
+          staged0.write.mode("overwrite").parquet(stage.toString)
+        else staged0.write.mode("overwrite")
+          .partitionBy(physPartCols: _*).parquet(stage.toString)
+      }
       val walk = Files.walk(stage)
       val staged = try walk.iterator().asScala
           .filter(pp => Files.isRegularFile(pp) && pp.toString.endsWith(".parquet"))
@@ -2131,8 +2154,10 @@ object DeltaInterop {
         val cstage = Files.createTempDirectory("graft_delta_merge_cdc")
         try {
           if (meta.partCols.isEmpty) {
-            changes.select(changeCols: _*)
-              .write.mode("overwrite").parquet(cstage.toString)
+            withFieldIdWrite(spark, anyMapped) {
+              changes.select(changeCols: _*)
+                .write.mode("overwrite").parquet(cstage.toString)
+            }
             val walk = Files.walk(cstage)
             val staged = try walk.iterator().asScala
               .filter(pp => Files.isRegularFile(pp) && pp.toString.endsWith(".parquet"))
@@ -2149,10 +2174,12 @@ object DeltaInterop {
             // cdc files mirror the data layout: partition columns on the
             // cdc ACTION, not in the file — the Hive staging derives them
             // (physical names throughout, like the data staging)
-            changes.select((schema.fields.map(f => physWriteCol(f, meta, path)) :+
-                col("_change_type")).toIndexedSeq: _*)
-              .write.mode("overwrite")
-              .partitionBy(physPartCols: _*).parquet(cstage.toString)
+            withFieldIdWrite(spark, anyMapped) {
+              changes.select((schema.fields.map(f => physWriteCol(f, meta, path)) :+
+                  col("_change_type")).toIndexedSeq: _*)
+                .write.mode("overwrite")
+                .partitionBy(physPartCols: _*).parquet(cstage.toString)
+            }
             val walk = Files.walk(cstage)
             val staged = try walk.iterator().asScala
               .filter(pp => Files.isRegularFile(pp) && pp.toString.endsWith(".parquet"))

@@ -261,11 +261,7 @@ object IcebergInterop {
     val schema = StructType.fromDDL(t.snapshotInfo().schemaDdl)
     val idx = schema.fieldNames.indexOf(col)
     require(idx >= 0, s"bucket source column '$col' is not in the table schema")
-    require(Seq(LongType, IntegerType, StringType, DateType, TimestampType)
-        .contains(schema.fields(idx).dataType),
-      s"bucket source column '$col' has type ${schema.fields(idx).dataType} — " +
-        "this writer buckets int/long/date/timestamp/string only (the spec's " +
-        "byte form for other types is not implemented)")
+    requireBucketable(col, schema.fields(idx).dataType, "exportIcebergBucketed")
     // the spec hash via the dedicated expression (IcebergBucket) — NOT
     // Spark's Murmur3Hash, whose string tail handling diverges from the
     // standard; null → null partition (transforms map null to null per
@@ -287,23 +283,16 @@ object IcebergInterop {
     * byte-budgeted. */
   def exportIcebergTruncated(t: TxTable, target: String, col: String,
       width: Int, tsMillis: Long = System.currentTimeMillis()): Unit = {
-    import org.apache.spark.sql.functions.{col => c, lit, pmod, substring}
     require(width >= 1, s"truncate width must be >= 1, got $width")
     val schema = StructType.fromDDL(t.snapshotInfo().schemaDdl)
     val idx = schema.fieldNames.indexOf(col)
     require(idx >= 0, s"truncate source column '$col' is not in the table schema")
-    val (partType, value, decode) = schema.fields(idx).dataType match {
-      case StringType =>
-        (StringType, substring(c(col), 1, width), (raw: String) => raw: Any)
-      case IntegerType =>
-        (IntegerType, c(col) - pmod(c(col), lit(width)),
-          (raw: String) => java.lang.Integer.valueOf(raw): Any)
-      case LongType =>
-        (LongType, c(col) - pmod(c(col), lit(width.toLong)),
-          (raw: String) => java.lang.Long.valueOf(raw): Any)
-      case other => throw new IllegalArgumentException(
-        s"truncate source column '$col' has type $other — " +
-          "this writer truncates string/int/long only")
+    val (partType, value) = truncateTypeAndExpr(col,
+      schema.fields(idx).dataType, width, "exportIcebergTruncated")
+    val decode: String => Any = partType match {
+      case IntegerType => raw => java.lang.Integer.valueOf(raw)
+      case LongType    => raw => java.lang.Long.valueOf(raw)
+      case _           => raw => raw
     }
     exportIcebergRewritten(t, target, col, s"${col}_trunc",
       s"truncate[$width]", partType, value, decode, tsMillis)
@@ -395,19 +384,12 @@ object IcebergInterop {
   def exportIcebergTruncatedIncremental(t: TxTable, target: String,
       col: String, width: Int,
       tsMillis: Long = System.currentTimeMillis()): Long = {
-    import org.apache.spark.sql.functions.{col => c, lit, pmod, substring}
     require(width >= 1, s"truncate width must be >= 1, got $width")
     val schema = StructType.fromDDL(t.snapshotInfo().schemaDdl)
     val idx = schema.fieldNames.indexOf(col)
     require(idx >= 0, s"truncate source column '$col' is not in the table schema")
-    val (partType, value) = schema.fields(idx).dataType match {
-      case StringType  => (StringType, substring(c(col), 1, width))
-      case IntegerType => (IntegerType, c(col) - pmod(c(col), lit(width)))
-      case LongType    => (LongType, c(col) - pmod(c(col), lit(width.toLong)))
-      case other => throw new IllegalArgumentException(
-        s"truncate source column '$col' has type $other — " +
-          "this writer truncates string/int/long only")
-    }
+    val (partType, value) = truncateTypeAndExpr(col,
+      schema.fields(idx).dataType, width, "exportIcebergTruncatedIncremental")
     exportIcebergRewrittenIncremental(t, target, col, s"${col}_trunc",
       s"truncate[$width]", partType, value, tsMillis,
       () => exportIcebergTruncated(t, target, col, width, tsMillis))
@@ -576,6 +558,7 @@ object IcebergInterop {
     val root = meta.deepCopy[ObjectNode]()
     root.put("last-updated-ms", tsMillis)
     root.put("current-snapshot-id", snapshotId)
+    syncMainRef(root, snapshotId)
     val snaps = Option(root.get("snapshots")) match {
       case Some(a: ArrayNode) => a
       case _                  => root.putArray("snapshots")
@@ -1042,6 +1025,7 @@ object IcebergInterop {
       schemas.add(icebergSchema(m, schema, newSchemaId, optionalFrom))
     root.put("current-schema-id", newSchemaId)
     root.put("current-snapshot-id", snapshotId)
+    syncMainRef(root, snapshotId)
     val snaps = Option(root.get("snapshots")) match {
       case Some(a: ArrayNode) => a
       case _                  => root.putArray("snapshots")
@@ -1578,11 +1562,42 @@ object IcebergInterop {
     * spec's murmur3, NOT Spark's string-divergent hash). Transforms
     * outside these four cannot derive their staged tuples here and
     * refuse loudly. */
+  /** ONE definition of the writer's transform surface — the transform
+    * regexes, the bucket type allowlist, and the truncate expression are
+    * shared by the export, incremental-mirror, and spec-staging paths; a
+    * drift between copies would derive DIFFERENT partition tuples for
+    * the same spec and silently mis-partition rows. */
+  private val BucketTr = """bucket\[(\d+)\]""".r
+  private val TruncTr = """truncate\[(\d+)\]""".r
+  private def requireBucketable(srcCol: String, dt: DataType, caller: String): Unit =
+    require(Seq(LongType, IntegerType, StringType, DateType, TimestampType)
+        .contains(dt),
+      s"$caller: bucket source column '$srcCol' has type $dt — " +
+        "int/long/date/timestamp/string only (the spec's byte form for " +
+        "other types is not implemented)")
+
+  /** The truncate transform per the spec: strings take the first `width`
+    * characters (Spark substring semantics), ints/longs floor toward
+    * -inf (`v - (v floormod W)`). Returns (partition type, derived
+    * column); unsupported types refuse with the caller's name. */
+  private def truncateTypeAndExpr(srcCol: String, dt: DataType, width: Int,
+      caller: String): (DataType, org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, substring}
+    dt match {
+      case StringType  => (StringType, substring(col(srcCol), 1, width))
+      case IntegerType =>
+        (IntegerType, col(srcCol) - pmod(col(srcCol), lit(width)))
+      case LongType    =>
+        (LongType, col(srcCol) - pmod(col(srcCol), lit(width.toLong)))
+      case other => throw new IllegalArgumentException(
+        s"$caller: truncate source column '$srcCol' has type $other — " +
+          "this writer truncates string/int/long only")
+    }
+  }
+
   private def stageableSpecFields(meta: JsonNode, schema: StructType,
       path: String, caller: String): Seq[UpsertSpecField] = {
     val idToName = schemaFieldIdToName(meta, path)
-    val BucketTr = """bucket\[(\d+)\]""".r
-    val TruncTr = """truncate\[(\d+)\]""".r
     defaultSpecFields(meta).zipWithIndex.map { case (f, i) =>
       val tr = Option(f.get("transform")).map(_.asText).getOrElse("identity")
       require(tr == "identity" || tr == "day" ||
@@ -1628,21 +1643,11 @@ object IcebergInterop {
         // value rides the Hive staging dirs + manifest tuples only
         val partType = tr match {
           case BucketTr(_) =>
-            require(Seq(LongType, IntegerType, StringType, DateType,
-                TimestampType).contains(schema(srcCol).dataType),
-              s"$caller: bucket source column '$srcCol' of $path has type " +
-                s"${schema(srcCol).dataType} — int/long/date/timestamp/" +
-                "string only (the spec's byte form for other types is " +
-                "not implemented)")
+            requireBucketable(srcCol, schema(srcCol).dataType, caller)
             IntegerType
-          case TruncTr(_) => schema(srcCol).dataType match {
-            case StringType  => StringType
-            case IntegerType => IntegerType
-            case LongType    => LongType
-            case other => throw new IllegalArgumentException(
-              s"$caller: truncate source column '$srcCol' of $path has " +
-                s"type $other — string/int/long only")
-          }
+          case TruncTr(w) =>
+            truncateTypeAndExpr(srcCol, schema(srcCol).dataType, w.toInt,
+              caller)._1
           case other => throw new IllegalStateException(s"unreachable: $other")
         }
         require(!schema.fieldNames.contains(fName),
@@ -1671,10 +1676,8 @@ object IcebergInterop {
   private def writeSpecStage(spark: SparkSession, rows: DataFrame,
       schema: StructType, specFields: Seq[UpsertSpecField],
       stage: Path, cluster: Boolean = false): Seq[(Path, Long)] = {
-    import org.apache.spark.sql.functions.{col, date_add, floor, lit, pmod,
-      substring, unix_micros}
-    val BucketTr = """bucket\[(\d+)\]""".r
-    val TruncTr = """truncate\[(\d+)\]""".r
+    import org.apache.spark.sql.functions.{col, date_add, floor, lit,
+      unix_micros}
     val stagedFrame = specFields.filterNot(_.transform == "identity")
       .foldLeft(rows) { (df, sf) =>
         val v = sf.transform match {
@@ -1686,11 +1689,9 @@ object IcebergInterop {
           }
           case BucketTr(n) =>
             graft.functions.IcebergTransforms.bucket(n.toInt, col(sf.srcCol))
-          case TruncTr(w) => schema(sf.srcCol).dataType match {
-            case StringType  => substring(col(sf.srcCol), 1, w.toInt)
-            case IntegerType => col(sf.srcCol) - pmod(col(sf.srcCol), lit(w.toInt))
-            case _           => col(sf.srcCol) - pmod(col(sf.srcCol), lit(w.toLong))
-          }
+          case TruncTr(w) =>
+            truncateTypeAndExpr(sf.srcCol, schema(sf.srcCol).dataType,
+              w.toInt, "writeSpecStage")._2
           case other => throw new IllegalStateException(s"unreachable: $other")
         }
         df.withColumn(sf.pf.name, v)
@@ -2217,6 +2218,7 @@ object IcebergInterop {
       rootNode.put("default-sort-order-id", 0)
     }
     rootNode.put("current-snapshot-id", snapshotId)
+    syncMainRef(rootNode, snapshotId)
     val snapsArr = rootNode.get("snapshots").asInstanceOf[ArrayNode]
     val s0 = m.createObjectNode()
     s0.put("snapshot-id", snapshotId)
@@ -2367,28 +2369,35 @@ object IcebergInterop {
       if (e.seq <= d.seq) return false
       val fields = specsById.getOrElse(e.specId, Seq.empty)
       if (fields.isEmpty) return true // global delete (empty spec)
-      if (d.specId != e.specId) throw new IllegalArgumentException(
-        s"$what: the table at $path carries a partition-scoped equality " +
-          s"delete under spec ${e.specId} while data file " +
-          s"${d.resolved.getFileName} rides spec ${d.specId} — the " +
-          "delete's reach across a spec evolution is undecidable; " +
-          "unsupported")
+      // a partition-scoped delete applies only WITHIN its own spec —
+      // Iceberg's DeleteFileIndex groups delete files by (spec,
+      // partition) and a data file under another spec never looks them
+      // up, so cross-spec reach is NONE, not undecidable (round-13 fix:
+      // the old refusal here made mixed-spec tables unrewritable)
+      if (d.specId != e.specId) return false
       val names = fields.map(_.get("name").asText)
       decodePartitionTuple(d.partition, names) ==
         decodePartitionTuple(e.partition, names)
     }
-    val posTouched: Set[String] = delFrameOpt.map(
-      _.select("__gdel_file").distinct()
-        .collect().map(_.getString(0)).toSet).getOrElse(Set.empty)
-    val eqTouched: Set[String] =
-      if (eqDeletes.isEmpty) Set.empty
-      else dataFiles.filter(d => eqDeletes.exists(e => eqTouches(e, d)))
-        .map(_.resolved.getFileName.toString).toSet
-    val touched = posTouched ++ eqTouched
+    // computed ONLY on the compaction path: a full rewrite touches
+    // everything, so paying the distinct().collect() over the delete
+    // rows — or eqTouches' cross-spec refusal — there would be wasted
+    // work and a circular dead end (the mixed-spec migration route IS
+    // rewriteIcebergData, whose whole point is to not need this set)
     val (rewrite, carry) =
       if (rewriteAll) (dataFiles, Seq.empty[DataEntry])
-      else dataFiles.partition(e =>
-        touched.contains(e.resolved.getFileName.toString))
+      else {
+        val posTouched: Set[String] = delFrameOpt.map(
+          _.select("__gdel_file").distinct()
+            .collect().map(_.getString(0)).toSet).getOrElse(Set.empty)
+        val eqTouched: Set[String] =
+          if (eqDeletes.isEmpty) Set.empty
+          else dataFiles.filter(d => eqDeletes.exists(e => eqTouches(e, d)))
+            .map(_.resolved.getFileName.toString).toSet
+        val touched = posTouched ++ eqTouched
+        dataFiles.partition(e =>
+          touched.contains(e.resolved.getFileName.toString))
+      }
     if (rewrite.isEmpty) return (0, 0L)
     val delFrame = delFrameOpt
 
@@ -2480,6 +2489,7 @@ object IcebergInterop {
     rootNode.put("last-sequence-number", newSeq)
     rootNode.put("last-updated-ms", tsMillis)
     rootNode.put("current-snapshot-id", snapshotId)
+    syncMainRef(rootNode, snapshotId)
     val snapsArr = rootNode.get("snapshots").asInstanceOf[ArrayNode]
     val s0 = m.createObjectNode()
     s0.put("snapshot-id", snapshotId)
@@ -2576,6 +2586,22 @@ object IcebergInterop {
     *
     * @return (snapshots expired, files removed, bytes reclaimed) —
     *   (0, 0, 0) when nothing is expirable (idempotent; no commit). */
+  /** Advance the `main` branch ref alongside `current-snapshot-id` when
+    * the table records one — the spec requires main to track the
+    * current snapshot, and Iceberg Java REFUSES to load metadata where
+    * they diverge ("Current snapshot ID does not match main branch"), so
+    * a committing writer that left a foreign main ref stale would brick
+    * the table for its own writer. Tables without an explicit main ref
+    * are untouched (the spec's implicit default branch). */
+  private def syncMainRef(rootNode: ObjectNode, snapshotId: Long): Unit =
+    Option(rootNode.get("refs")).foreach {
+      case refs: ObjectNode => refs.get("main") match {
+        case o: ObjectNode => o.put("snapshot-id", snapshotId)
+        case _             => ()
+      }
+      case _ => ()
+    }
+
   /** The snapshot REFS of the `refs` metadata map (spec v2): named
     * branches and tags, each `{snapshot-id, type}` — the WAP/audit-branch
     * pattern's anchor. Returns name → (snapshot id, type); absent map =
@@ -2647,6 +2673,9 @@ object IcebergInterop {
     require(name.nonEmpty, "setIcebergRef: empty ref name")
     require(refType == "branch" || refType == "tag",
       s"setIcebergRef: type must be 'branch' or 'tag', got '$refType'")
+    require(name != "main" || refType == "branch",
+      "setIcebergRef: 'main' is the spec's default BRANCH — a tag named " +
+        "main would break every writer that advances it")
     val root = Paths.get(path).toAbsolutePath
     val metaDir = root.resolve("metadata")
     require(Files.isDirectory(metaDir), s"no Iceberg table at $path (missing metadata/)")
@@ -4156,22 +4185,17 @@ object IcebergInterop {
     // (delete file basename -> applicable data file basename) pairs for
     // the scoped entries: driver metadata scale (files-per-partition per
     // delete), broadcast into the anti-join. Tuples compare DECODED under
-    // the delete's own spec; a data file riding a DIFFERENT spec cannot
-    // be compared — whether the delete reaches it is undecidable, so the
-    // combination refuses rather than risk resurrection or over-delete.
+    // the delete's own spec, and only against data files RIDING that
+    // spec — Iceberg's DeleteFileIndex groups delete files by (spec,
+    // partition), so a scoped delete never reaches another spec's files
+    // (round-13: previously refused as undecidable, which made
+    // mixed-spec foreign tables unreadable).
     def scopePairs(e: EqDeleteEntry): Seq[(String, String)] = {
       val fieldNames = specsById(e.specId).map(_.get("name").asText)
       val target = decodePartitionTuple(e.partition, fieldNames)
-      val data = scopeData.get
-      data.filter(_.specId != e.specId).foreach { d =>
-        throw new IllegalArgumentException(
-          s"Iceberg table $path carries a partition-scoped equality " +
-            s"delete under spec ${e.specId} while data file " +
-            s"${d.resolved.getFileName} rides spec ${d.specId} — the " +
-            "delete's reach across a spec evolution is undecidable; " +
-            "compact the table first")
-      }
-      data.filter(d => decodePartitionTuple(d.partition, fieldNames) == target)
+      scopeData.get
+        .filter(_.specId == e.specId)
+        .filter(d => decodePartitionTuple(d.partition, fieldNames) == target)
         .map(d => (e.resolved.getFileName.toString,
           d.resolved.getFileName.toString))
     }
@@ -4391,18 +4415,20 @@ object IcebergInterop {
         c == "_commit_snapshot_id").toSeq
     keys.foreach(k => require(dataCols.contains(k),
       s"tailIcebergCdcInto($path): key column '$k' is not a table column"))
-    val (upserts, deleteKeys) = CdcFeed.net(feed, keys, dataCols,
+    val batch = CdcFeed.net(feed, keys, dataCols,
       verCol = "_change_ordinal", typeCol = "_change_type")
-    // same race-safe marker resolution as tailIcebergInto: the version
-    // whose snapshot is the head ACTUALLY read, never just the latest
-    var v = currentMetadataVersion(metaDir, path)
-    while (v > 0 && !snapOf(v).contains(head)) v -= 1
-    require(v > 0,
-      s"tailIcebergCdcInto($path): no metadata version resolves to the " +
-        s"snapshot $head just read — metadata retention pruned it " +
-        "mid-poll; re-poll")
-    sink.applyCdc(upserts, deleteKeys, keys, tsMillis = tsMillis,
-      txn = Some((appId, v)))
+    try {
+      // same race-safe marker resolution as tailIcebergInto: the version
+      // whose snapshot is the head ACTUALLY read, never just the latest
+      var v = currentMetadataVersion(metaDir, path)
+      while (v > 0 && !snapOf(v).contains(head)) v -= 1
+      require(v > 0,
+        s"tailIcebergCdcInto($path): no metadata version resolves to the " +
+          s"snapshot $head just read — metadata retention pruned it " +
+          "mid-poll; re-poll")
+      sink.applyCdc(batch.upserts, batch.deleteKeys, keys,
+        tsMillis = tsMillis, txn = Some((appId, v)))
+    } finally batch.release()
     head
   }
 

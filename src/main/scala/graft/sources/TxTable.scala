@@ -980,24 +980,36 @@ class TxTable(val spark: SparkSession, val root: String) {
       s"applyCdc: the upsert batch carries $dupKeys duplicate key(s) — a " +
         "replacement applied twice writes two rows; net the feed first " +
         "(CdcFeed.net)")
-    val touchKeys = up.select(keyCols: _*)
-      .unionByName(deleteKeys.select(keyCols: _*)).distinct().cache()
+    // the touched-key joins are NULL-SAFE (<=>): the upstream CDC
+    // producers match keys with <=> (a MERGE replaces a null-keyed row),
+    // so a name-based equi-join here would never match the sink's
+    // null-keyed row — the replacement would append instead of replace
+    val touchKeys0 = up
+      .select(keys.map(c => col(c).as(s"__gtk_$c")).toIndexedSeq: _*)
+      .unionByName(deleteKeys
+        .select(keys.map(c => col(c).as(s"__gtk_$c")).toIndexedSeq: _*))
+      .distinct().cache()
+    val touchKeys = broadcast(touchKeys0)
+    def touchCond(left: DataFrame): org.apache.spark.sql.Column =
+      keys.map(c => left(c) <=> touchKeys(s"__gtk_$c")).reduce(_ && _)
     val snapDf = state.map(readState)
     val affected: Seq[String] = snapDf match {
       case None => Seq.empty
-      case Some(df) => df.withColumn("__file", input_file_name())
-        .join(broadcast(touchKeys), keys, "left_semi")
-        .select(col("__file")).distinct()
-        .collect().map(r => fileNameOf(r.getString(0))).toSeq
+      case Some(df) =>
+        val withFile = df.withColumn("__file", input_file_name())
+        withFile
+          .join(touchKeys, touchCond(withFile), "left_semi")
+          .select(col("__file")).distinct()
+          .collect().map(r => fileNameOf(r.getString(0))).toSeq
     }
     // survivors = untouched rows of the affected files; every touched key
     // (deleted OR replaced) leaves, then the upserts land
     val out = snapDf match {
       case Some(df) if affected.nonEmpty =>
-        spark.read.schema(df.schema)
+        val base = spark.read.schema(df.schema)
           .option("basePath", dataDir.toString)
           .parquet(affected.map(f => dataDir.resolve(f).toString): _*)
-          .join(broadcast(touchKeys), keys, "left_anti")
+        base.join(touchKeys, touchCond(base), "left_anti")
           .unionByName(up.select(df.columns.map(col).toIndexedSeq: _*))
       case Some(df) => up.select(df.columns.map(col).toIndexedSeq: _*)
       case None     => up
@@ -1005,7 +1017,7 @@ class TxTable(val spark: SparkSession, val root: String) {
     val layout = state.map(_.partCols).getOrElse(Seq.empty)
     val newFiles = stageDataFiles(out, layout)
     up.unpersist()
-    touchKeys.unpersist()
+    touchKeys0.unpersist()
     commitLoop("cdc", newFiles, affected, tsMillis,
       schemaDdl = Some(out.schema.toDDL),
       stats = computeStats(newFiles, state.map(activeStatsCols).getOrElse(Seq.empty)),

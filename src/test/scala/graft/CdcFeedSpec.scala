@@ -31,13 +31,15 @@ class CdcFeedSpec extends SparkSpec {
       // key 4: untouched single insert
       (4L, 40.0, 3L, "insert")
     ).toDF("k", "v", "ver", "kind")
-    val (ups, dels) = CdcFeed.net(feed, keys = Seq("k"), dataCols = cols,
+    val batch = CdcFeed.net(feed, keys = Seq("k"), dataCols = cols,
       verCol = "ver", typeCol = "kind")
-    assert(ups.orderBy("k").as[(Long, Double)].collect().toSeq ==
+    assert(batch.upserts.orderBy("k").as[(Long, Double)].collect().toSeq ==
       Seq((1L, 11.0), (3L, 33.0), (4L, 40.0)))
-    assert(dels.as[Long].collect().toSeq == Seq(2L))
+    assert(batch.deleteKeys.as[Long].collect().toSeq == Seq(2L))
     // the outputs drop the feed metadata columns
-    assert(ups.columns.toSeq == cols && dels.columns.toSeq == Seq("k"))
+    assert(batch.upserts.columns.toSeq == cols &&
+      batch.deleteKeys.columns.toSeq == Seq("k"))
+    batch.release()
   }
 
   test("net: an unknown change kind refuses loudly instead of being dropped") {

@@ -2534,10 +2534,21 @@ class IcebergInteropSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       IcebergInterop.setIcebergRef(out, "x", 123456L))
       .getMessage.contains("does not exist"))
+    // an EXPLICIT main ref (what Iceberg Java always records) must
+    // ADVANCE with the commit — a stale main bricks the table for its
+    // own writer ("Current snapshot ID does not match main branch")
+    IcebergInterop.setIcebergRef(out, "main", snap3, "branch", 8002L)
+    assert(intercept[IllegalArgumentException](
+      IcebergInterop.setIcebergRef(out, "main", snap3, "tag"))
+      .getMessage.contains("BRANCH"))
     // refs survive an engine commit (the key delete rewrites metadata)
     assert(IcebergInterop.deleteFromIcebergByKey(spark, out,
       Seq(4L).toDF("id"), tsMillis = 9000L) == 1L)                         // snap4
-    assert(IcebergInterop.icebergRefs(out).keySet == Set("audit", "wap"))
+    assert(IcebergInterop.icebergRefs(out).keySet == Set("audit", "wap", "main"))
+    val mainAfter = IcebergInterop.icebergRefs(out)("main")._1
+    assert(mainAfter != snap3 &&
+      mainAfter == IcebergInterop.icebergRef(out, "main"),
+      "the main branch ref must advance with the commit")
     // expiry: keepLast=1 keeps the CURRENT snapshot plus both ref roots;
     // only the unreferenced snap3 expires, and the ref'd views still read
     val (nExp, _, _) = IcebergInterop.expireIcebergSnapshots(spark, out,

@@ -809,5 +809,17 @@ class TxTableSpec extends SparkSpec {
     assert(v2 > v)
     assert(t.read().orderBy("k").select("k").as[Long].collect().toSeq ==
       Seq(1L, 3L))
+    // NULL-SAFE keys: upstream producers match with <=> (a MERGE replaces
+    // a null-keyed row), so the sink must replace — not append a twin
+    val t2 = newTable()
+    t2.append(Seq((1L, Option.empty[String], 1.0, 10L), (2L, Some("a"), 2.0, 10L))
+      .toDF("k", "f", "value", "ts"), tsMillis = 100L)
+    t2.applyCdc(
+      Seq((1L, Option.empty[String], 9.0, 20L)).toDF("k", "f", "value", "ts"),
+      Seq.empty[(Long, String)].toDF("k", "f"), Seq("k", "f"), tsMillis = 200L)
+    val nullRows = t2.read().orderBy("k").select("k", "value")
+      .as[(Long, Double)].collect().toSeq
+    assert(nullRows == Seq((1L, 9.0), (2L, 2.0)),
+      s"a null-keyed replacement must not duplicate: $nullRows")
   }
 }
