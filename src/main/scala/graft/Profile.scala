@@ -28,6 +28,28 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // opt-in per-job wall-time log (SPARK_GRAFT_JOBLOG=1): prints one line
+    // per Spark job with its duration and triggering call site — the
+    // measurement tool the optimization guide's §1 loop needs when the UI
+    // is disabled (maps a query's seconds onto the operator lines that
+    // spent them)
+    if (sys.env.get("SPARK_GRAFT_JOBLOG").contains("1")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val site = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          starts.put(js.jobId, (System.nanoTime(), site))
+        }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(starts.remove(je.jobId)).foreach { case (t0, site) =>
+            val ms = (System.nanoTime() - t0) / 1e6
+            if (ms >= 20) println(f"[job] ${je.jobId}%5d ${ms}%9.1f ms  $site")
+          }
+        }
+      })
+    }
+
     val qs = if (names.nonEmpty) SparkEntry.queries.filter(kv => names.contains(kv._1))
              else SparkEntry.queries
     qs.toSeq.sortBy(_._1).foreach { case (name, fn) =>

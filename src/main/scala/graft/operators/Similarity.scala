@@ -41,9 +41,16 @@ object Similarity {
   // drift between them. Rank is LONG, matching the bounded-heap aggregate
   // paths, so the window and heap formulations are drop-in swaps (same
   // schema, not just the same rows).
-  private def rankTopK(scored: DataFrame, qidCol: String, idCol: String, k: Int): DataFrame = {
+  // preFiltered: the caller already dropped every null-__sim row via a
+  // CHEAP predicate (norm product ≠ 0). The isNotNull(__sim) filter here is
+  // NOT free when __sim derives from a join-side dot product: the optimizer
+  // pushes it into the join condition, where it re-evaluates the O(dim)
+  // vec_dot per pair — every scoring path paid the dot twice (measured in
+  // the executed plans). Callers that can prove no-nulls upstream opt out.
+  private def rankTopK(scored: DataFrame, qidCol: String, idCol: String, k: Int,
+      preFiltered: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col(qidCol)).orderBy(col("__sim").desc, col(idCol).asc)
-    scored.where(col("__sim").isNotNull)
+    (if (preFiltered) scored else scored.where(col("__sim").isNotNull))
       .withColumn("__rank", row_number().over(w).cast("long"))
       .where(col("__rank") <= k)
   }
@@ -98,9 +105,10 @@ object Similarity {
     val joined = cand
       .crossJoin(broadcast(qs))
       .where(if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
+      .where(coalesce(col("__cn") * col("__qn"), lit(0.0)) =!= 0.0) // = isNotNull(__sim), O(1)/pair
       .withColumn("__sim",
         cosScore(VectorExpressions.vecDot(col(vecCol), col(qvecCol)), col("__cn"), col("__qn")))
-    rankTopK(joined, qidCol, idCol, k)
+    rankTopK(joined, qidCol, idCol, k, preFiltered = true)
       .select(col(qidCol), col("__rank").as("rank"), col(idCol), epsRound(col("__sim"), 4).as("cosine"))
   }
 
@@ -138,9 +146,10 @@ object Similarity {
         filterCols.map(c => col(c) <=> col(s"__q_$c")).reduce(_ && _))
       .drop(filterCols.map(c => s"__q_$c"): _*)
       .where(if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
+      .where(coalesce(col("__cn") * col("__qn"), lit(0.0)) =!= 0.0) // = isNotNull(__sim), O(1)/pair
       .withColumn("__sim",
         cosScore(VectorExpressions.vecDot(col(vecCol), col(qvecCol)), col("__cn"), col("__qn")))
-    rankTopK(joined, qidCol, idCol, k)
+    rankTopK(joined, qidCol, idCol, k, preFiltered = true)
       .select((Seq(col(qidCol), col("__rank").as("rank"), col(idCol)) ++
         filterCols.map(col) :+ epsRound(col("__sim"), 4).as("cosine")): _*)
   }
@@ -169,9 +178,17 @@ object Similarity {
     cand
       .crossJoin(broadcast(qs))
       .where(if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
+      // null-sim rows (zero/null norms) are dropped via the NORM product,
+      // not isNotNull(__sim): the optimizer pushes a filter on __sim into
+      // the join condition, where evaluating it re-runs the O(dim) dot —
+      // every pair paid vec_dot TWICE (measured in the executed plan: the
+      // join condition carried its own vec_dot). The norm predicate drops
+      // exactly the same rows (sim is null iff the norm product is null or
+      // zero; vec_dot is null only when a vector is, and then so is its
+      // norm) at O(1) per pair.
+      .where(coalesce(col("__cn") * col("__qn"), lit(0.0)) =!= 0.0)
       .withColumn("__sim",
         cosScore(VectorExpressions.vecDot(col(vecCol), col(qvecCol)), col("__cn"), col("__qn")))
-      .where(col("__sim").isNotNull)
       .select(col(qidCol),
         struct(col("__sim").as("sim"), idComplement(col(idCol)).as("negid"), col(idCol).as("id")).as("__s"))
       .groupBy(col(qidCol))
@@ -623,8 +640,15 @@ object Similarity {
       excludeSelf: Boolean = true
   ): DataFrame = {
     val cents = normalized(rawCents)
+    // coalesce(…, -1) makes the join key provably non-nullable: without it,
+    // Catalyst infers IsNotNull(__cell) from the equi-join and pushes a
+    // filter below the projection that RE-EVALUATES the full nCentroids×dim
+    // cell scoring per corpus row (visible in the executed plan as a second
+    // centroid_scores under the scan). A null vector scored null before and
+    // matched nothing; as cell -1 it still matches nothing (probeCells
+    // yields real cell ids only) — same rows, one scoring pass.
     val cand = withNorm(candidates.select(col(idCol), col(vecCol)), vecCol, "__cn")
-      .withColumn("__cell", nearestCell(cents)(col(vecCol)))
+      .withColumn("__cell", coalesce(nearestCell(cents)(col(vecCol)), lit(-1)))
     val qs = withNorm(queries.select(col(qidCol), col(qvecCol)), qvecCol, "__qn")
       .withColumn("__cell", explode(probeCells(cents, nProbe)(col(qvecCol))))
 
@@ -634,9 +658,10 @@ object Similarity {
     val matched = cand
       .join(broadcast(qs), Seq("__cell"))
       .where(if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
+      .where(coalesce(col("__cn") * col("__qn"), lit(0.0)) =!= 0.0) // = isNotNull(__sim), O(1)/pair
       .withColumn("__sim",
         cosScore(VectorExpressions.vecDot(col(vecCol), col(qvecCol)), col("__cn"), col("__qn")))
-    rankTopK(matched, qidCol, idCol, k)
+    rankTopK(matched, qidCol, idCol, k, preFiltered = true)
       .select(col(qidCol), col("__rank").as("rank"), col(idCol), epsRound(col("__sim"), 4).as("cosine"))
   }
 
@@ -697,11 +722,15 @@ object Similarity {
     val scored = enc
       .join(broadcast(qs), Seq("__cell"))
       .where(if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
+      // = isNotNull(__sim) at O(1)/pair: null codes/__lut imply a null
+      // embedding, whose norm is null too — the norm product catches every
+      // null-sim source without re-running the ADC in the join condition
+      .where(coalesce(col("norm") * col("__qn"), lit(0.0)) =!= 0.0)
       .withColumn("__sim",
         Bridge.column(PqAdc(
           Bridge.expression(col("codes")), Bridge.expression(col("__lut")), cb.k)) /
           nullif(col("norm") * col("__qn"), lit(0.0)))
-    rankTopK(scored, qidCol, idCol, k)
+    rankTopK(scored, qidCol, idCol, k, preFiltered = true)
       .select(col(qidCol), col("__rank").as("rank"), col(idCol),
         epsRound(col("__sim"), 4).as("cosine_approx"))
   }
@@ -820,9 +849,10 @@ object Similarity {
     val matched = withNorm(candidates.select(col(idCol), col(vecCol)), vecCol, "__cn")
       .join(pairs, Seq(idCol))
       .join(broadcast(qs), Seq(qidCol))
+      .where(coalesce(col("__cn") * col("__qn"), lit(0.0)) =!= 0.0) // = isNotNull(__sim), O(1)/pair
       .withColumn("__sim",
         cosScore(VectorExpressions.vecDot(col(vecCol), col(qvecCol)), col("__cn"), col("__qn")))
-    rankTopK(matched, qidCol, idCol, k)
+    rankTopK(matched, qidCol, idCol, k, preFiltered = true)
       .select(col(qidCol), col("__rank").as("rank"), col(idCol), epsRound(col("__sim"), 4).as("cosine"))
   }
 
@@ -853,24 +883,48 @@ object Similarity {
     import org.apache.spark.sql.graft.TopKStructs
     requireIntegralId(vectors, idCol, "knnJoin")
     val n = vectors.select(col(idCol)).count()
-    val nChunks = math.max(1L, (n + chunkRows - 1) / chunkRows).toInt
+    // Scale-adaptive chunk count: ceil(n / chunkRows) bounds per-task block
+    // size, but must never leave cores idle — at small n it used to produce
+    // 2 chunks, i.e. a 2-key equi-join that parked 30 of 32 cores for the
+    // whole n² stage (the skew shape of guide §2.5). Floor the chunk count
+    // at 4x the scheduler's parallelism (capped by n) so the join keys
+    // always outnumber partitions and hash-spread evenly.
+    val par = vectors.sparkSession.sparkContext.defaultParallelism.toLong
+    val nChunks = math.max(1L,
+      math.max((n + chunkRows - 1) / chunkRows, math.min(par * 4, n))).toInt
     val chunked = withNorm(vectors.select(col(idCol), col(vecCol)), vecCol, "__n")
       .withColumn("__chunk", pmod(xxhash64(col(idCol)), lit(nChunks)).cast("int"))
       .localCheckpoint()
+    // Symmetric halving: cosine is operand-order-invariant (the dot's
+    // per-dim products and the norm product are commutative, so the double
+    // is BITWISE identical either way) — compute each unordered pair once
+    // and emit it in both orientations. The a-side replicates each row only
+    // to chunks >= its own; same-chunk pairs keep id_a < id_b. Every
+    // unordered pair is produced exactly once: cross-chunk at
+    // cb = chunk(b) > chunk(a), same-chunk under the id filter. Halves the
+    // join rows and dot products of the O(n²) stage; the top-k aggregate
+    // sees the same multiset of (key, candidate) rows as before.
     val a = chunked
       .select(col(idCol).as("__ida"), col(vecCol).as("__va"), col("__n").as("__na"),
-        explode(sequence(lit(0), lit(nChunks - 1))).as("__cb"))
+        col("__chunk").as("__ca"),
+        explode(sequence(col("__chunk"), lit(nChunks - 1))).as("__cb"))
     val b = chunked
       .select(col(idCol).as("__idb"), col(vecCol).as("__vb"), col("__n").as("__nb"),
         col("__chunk").as("__cb"))
     a.join(b, Seq("__cb"))
-      .where(col("__ida") =!= col("__idb"))
+      .where(col("__ca") =!= col("__cb") || col("__ida") < col("__idb"))
+      // same rows as isNotNull(__sim) at O(1)/pair — see cosineTopKAgg
+      .where(coalesce(col("__na") * col("__nb"), lit(0.0)) =!= 0.0)
       .withColumn("__sim",
         cosScore(VectorExpressions.vecDot(col("__va"), col("__vb")), col("__na"), col("__nb")))
-      .where(col("__sim").isNotNull)
-      .select(col("__ida"),
-        struct(col("__sim").as("sim"), idComplement(col("__idb")).as("negid"),
-          col("__idb").as("id")).as("__s"))
+      .select(explode(array(
+        struct(col("__ida").as("key"),
+          struct(col("__sim").as("sim"), idComplement(col("__idb")).as("negid"),
+            col("__idb").as("id")).as("s")),
+        struct(col("__idb").as("key"),
+          struct(col("__sim").as("sim"), idComplement(col("__ida")).as("negid"),
+            col("__ida").as("id")).as("s")))).as("__e"))
+      .select(col("__e.key").as("__ida"), col("__e.s").as("__s"))
       .groupBy(col("__ida"))
       .agg(TopKStructs.topK(col("__s"), k).as("__top"))
       .select(col("__ida").as(idCol), posexplode(col("__top")).as(Seq("__r", "__t")))
@@ -909,9 +963,10 @@ object Similarity {
       col(vecCol).as("__vb"), col("__n").as("__nb"))
     a.join(b, Seq("__cell"))
       .where(col("__ida") =!= col("__idb"))
+      // same rows as isNotNull(__sim) at O(1)/pair — see cosineTopKAgg
+      .where(coalesce(col("__na") * col("__nb"), lit(0.0)) =!= 0.0)
       .withColumn("__sim",
         cosScore(VectorExpressions.vecDot(col("__va"), col("__vb")), col("__na"), col("__nb")))
-      .where(col("__sim").isNotNull)
       .select(col("__ida"),
         struct(col("__sim").as("sim"), idComplement(col("__idb")).as("negid"),
           col("__idb").as("id")).as("__s"))
