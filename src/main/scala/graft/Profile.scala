@@ -27,6 +27,11 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // dev A/B knob: arbitrary session confs, e.g.
+    // SPARK_GRAFT_CONF="spark.sql.streaming.noDataMicroBatches.enabled=false,k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    })
 
     // opt-in per-job wall-time log (SPARK_GRAFT_JOBLOG=1): prints one line
     // per Spark job with its duration and triggering call site — the
@@ -55,7 +60,13 @@ object Profile {
     qs.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       def time(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        val df = fn(spark, sfDir)
+        if (sys.env.get("SPARK_GRAFT_JOBLOG").contains("1")) {
+          val tb = System.nanoTime()
+          df.queryExecution.executedPlan // force analysis+optimization+planning
+          println(f"[plan] build+plan ${(System.nanoTime() - t0) / 1e6}%9.1f ms (plan-only ${(System.nanoTime() - tb) / 1e6}%9.1f ms)")
+        }
+        df.count()
         (System.nanoTime() - t0) / 1e9
       }
       val cold = time()

@@ -2208,10 +2208,15 @@ object SparkEntry {
     })
   private def certifyAnnScore(name: String, approx: DataFrame, dir: String,
       emb: DataFrame, qs: DataFrame, k: Int, floor: Double): DataFrame = {
-    val ratio = annTrueScore(approx, emb, qs) / bruteTopKScore(approx.sparkSession, dir, k)
+    // materialize the approx top-k ONCE (|Q|·k rows): the certificate's
+    // score recompute and the declared result otherwise each re-run the
+    // whole ANN pipeline — the same one-materialization discipline
+    // g2_lsh_topk already applies to its certificate
+    val snap = approx.localCheckpoint()
+    val ratio = annTrueScore(snap, emb, qs) / bruteTopKScore(snap.sparkSession, dir, k)
     require(ratio >= floor,
       f"$name score ratio $ratio%.3f below declared floor $floor")
-    approx
+    snap
   }
 
   /** G2 — IVF approximate top-k against the persisted coarse quantizer
@@ -3297,7 +3302,7 @@ object SparkEntry {
       .collect().head
     val live = IcebergInterop.readIceberg(s, B5IcebergPartDelPath)
       .select(cols.map(col).toIndexedSeq: _*).localCheckpoint()
-    require(sig(live) == sig(expected),
+    require(sameSig(live, expected, cols),
       "b5_iceberg_part_delete: live view diverges from the three-way survivor set")
     // ONE tuple-pruned read certifies composition with BOTH delete kinds:
     // the untouched day 07 still drops its equality-deleted rows, the
@@ -3306,8 +3311,8 @@ object SparkEntry {
     val p = IcebergInterop.readIcebergPruned(s, B5IcebergPartDelPath,
       keep = pv => pv.get("day").exists(d => d == "2024-01-07" || d == "2024-01-10"))
       .select(cols.map(col).toIndexedSeq: _*)
-    require(sig(p) == sig(expected.where(
-        col("day") === "2024-01-07" || col("day") === "2024-01-10")),
+    require(sameSig(p, expected.where(
+        col("day") === "2024-01-07" || col("day") === "2024-01-10"), cols),
       "b5_iceberg_part_delete: the pruned read must apply both delete kinds")
     // (pre-delete time travel is spec-pinned — IcebergInteropSpec
     // "deleteFromIceberg: … time travel" — instead of a full re-scan here)
@@ -3361,7 +3366,7 @@ object SparkEntry {
     val expected = base.where(col("event_id") % 10 =!= 0).unionByName(up)
     val live = IcebergInterop.readIceberg(s, B5IcebergUpsertPath)
       .select(cols.map(col).toIndexedSeq: _*).localCheckpoint()
-    require(sig(live) == sig(expected),
+    require(sameSig(live, expected, cols),
       "b5_iceberg_upsert: live view diverges from latest-per-key over old ∪ new")
     // (pre-merge time travel and the strictly-newer-sequence rule — a
     // SECOND upsert replacing a just-upserted key — are pinned in
@@ -3424,7 +3429,7 @@ object SparkEntry {
     val expected = base.where(col("event_id") % 5 =!= 0).unionByName(up)
     val live = IcebergInterop.readIceberg(s, B5IcebergUpsertDaysPath)
       .select(cols.map(col).toIndexedSeq: _*).localCheckpoint()
-    require(sig(live) == sig(expected),
+    require(sameSig(live, expected, cols),
       "b5_iceberg_upsert_days: live view diverges from latest-per-key " +
         "over old ∪ new")
     // ONE tuple-pruned day read: the upsert's eq-delete applies INSIDE
@@ -3434,7 +3439,7 @@ object SparkEntry {
     val pruned = IcebergInterop.readIcebergPruned(s, B5IcebergUpsertDaysPath,
         keep = pv => pv.get("ts_day").contains(day))
       .select(cols.map(col).toIndexedSeq: _*)
-    require(sig(pruned) == sig(expected.where(col("ts").cast("date") === lit(day))),
+    require(sameSig(pruned, expected.where(col("ts").cast("date") === lit(day)), cols),
       "b5_iceberg_upsert_days: the pruned day must apply the upsert's delete")
     live.orderBy("event_id")
   }
@@ -3520,7 +3525,7 @@ object SparkEntry {
       base.where(col("event_id") % 5 =!= 0).unionByName(up).localCheckpoint())
     val live = IcebergInterop.readIceberg(s, B5IcebergCompactDaysPath)
       .select(cols.map(col).toIndexedSeq: _*).localCheckpoint()
-    require(sig(live) == sig(expected),
+    require(sameSig(live, expected, cols),
       "b5_iceberg_compact_days: compaction must be invisible to the live view")
     // the fix, certified: the table is DELETE-FREE again — a second
     // compaction finds nothing (the MERGE chain no longer accumulates)
@@ -3540,14 +3545,14 @@ object SparkEntry {
       "b5_iceberg_compact_days: every pre-MERGE data parquet must be gone")
     val liveAfter = IcebergInterop.readIceberg(s, B5IcebergCompactDaysPath)
       .select(cols.map(col).toIndexedSeq: _*)
-    require(sig(liveAfter) == sig(expected),
+    require(sameSig(liveAfter, expected, cols),
       "b5_iceberg_compact_days: expiry must be invisible to the live view")
     // tuple-pruned day read over the COMPACTED layout stays exact
     val day = java.sql.Date.valueOf("2024-01-05")
     val pruned = IcebergInterop.readIcebergPruned(s, B5IcebergCompactDaysPath,
         keep = pv => pv.get("ts_day").contains(day))
       .select(cols.map(col).toIndexedSeq: _*)
-    require(sig(pruned) == sig(expected.where(col("ts").cast("date") === lit(day))),
+    require(sameSig(pruned, expected.where(col("ts").cast("date") === lit(day)), cols),
       "b5_iceberg_compact_days: the pruned day diverges over the compacted layout")
     live.orderBy("event_id")
   }
@@ -3595,7 +3600,7 @@ object SparkEntry {
       !(col("day") === "2024-01-05" && col("event_id") % 11 === 0))
     val live = IcebergInterop.readIceberg(s, B5IcebergEqScopedPath)
       .select(cols.map(col).toIndexedSeq: _*).localCheckpoint()
-    require(sig(live) == sig(expected),
+    require(sameSig(live, expected, cols),
       "b5_iceberg_eq_scoped: the scoped delete must kill ONLY its " +
         "partition's matches — the same keys elsewhere survive")
     // the pruned read of the scoped day composes with the delete; an
@@ -3664,7 +3669,7 @@ object SparkEntry {
       .collect().head
     val live = IcebergInterop.readIceberg(s, tbl)
       .select(cols.map(col).toIndexedSeq: _*).localCheckpoint()
-    require(sig(live) == sig(base),
+    require(sameSig(live, base, cols),
       "b5_iceberg_bucket_incr: live view diverges from the full event set")
     // BUCKET PURITY across BOTH snapshots, spec hash recomputed per row
     // via the registered SQL-surface function against each file's dir
@@ -3727,7 +3732,7 @@ object SparkEntry {
       .select(cols.map(col).toIndexedSeq: _*)
     val liveFiles = liveRaw.inputFiles.length // before the checkpoint hides the scan
     val live = liveRaw.localCheckpoint()
-    require(sig(live) == sig(base),
+    require(sameSig(live, base, cols),
       "b5_iceberg_evolve: the live view must union both eras bit-exactly")
     // pruned read across the evolution: spec-0 files keep conservatively,
     // the day era prunes from the manifests alone
@@ -3737,7 +3742,7 @@ object SparkEntry {
       .select(cols.map(col).toIndexedSeq: _*)
     val expected = base.where(col("event_id") % 2 === 0 ||
       col("ts").cast("date") === lit(day))
-    require(sig(pruned) == sig(expected),
+    require(sameSig(pruned, expected, cols),
       "b5_iceberg_evolve: the cross-era pruned read diverges")
     val prunedFiles = pruned.inputFiles.length
     require(prunedFiles < liveFiles,
@@ -3754,13 +3759,12 @@ object SparkEntry {
     require(nfRw == liveFiles && deadRw == 0L,
       s"b5_iceberg_evolve: the spec rewrite must rewrite every live file " +
         s"with nothing dead (got $nfRw of $liveFiles, $deadRw dead)")
-    require(sig(IcebergInterop.readIceberg(s, B5IcebergEvolvePath)
-        .select(cols.map(col).toIndexedSeq: _*)) == sig(base),
+    require(sameSig(IcebergInterop.readIceberg(s, B5IcebergEvolvePath), base, cols),
       "b5_iceberg_evolve: the spec rewrite must be invisible to the live view")
     val prunedAfter = IcebergInterop.readIcebergPruned(s, B5IcebergEvolvePath,
         keep = pv => pv.get("ts_day").contains(day))
       .select(cols.map(col).toIndexedSeq: _*)
-    require(sig(prunedAfter) == sig(base.where(col("ts").cast("date") === lit(day))),
+    require(sameSig(prunedAfter, base.where(col("ts").cast("date") === lit(day)), cols),
       "b5_iceberg_evolve: post-rewrite day pruning must be exact")
     require(prunedAfter.inputFiles.length < prunedFiles,
       "b5_iceberg_evolve: the single-spec table must prune strictly " +
@@ -3817,7 +3821,7 @@ object SparkEntry {
     val expected = base.where(col("event_id") % 10 =!= 0).unionByName(up)
     val live = DeltaInterop.readDelta(s, B5DeltaMergePartPath)
       .select(cols.map(col).toIndexedSeq: _*).localCheckpoint()
-    require(sig(live) == sig(expected),
+    require(sameSig(live, expected, cols),
       "b5_delta_merge_part: live view diverges from latest-per-key over " +
         "old ∪ new")
     // pruned read of one day: the partition's DVs and its merge files
@@ -3825,7 +3829,7 @@ object SparkEntry {
     val pruned = DeltaInterop.readDeltaPruned(s, B5DeltaMergePartPath,
         keep = pv => pv.get("day").flatten.contains("2024-01-05"))
       .select(cols.map(col).toIndexedSeq: _*)
-    require(sig(pruned) == sig(expected.where(col("day") === "2024-01-05")),
+    require(sameSig(pruned, expected.where(col("day") === "2024-01-05"), cols),
       "b5_delta_merge_part: the pruned day must compose DVs with merge files")
     live.orderBy("event_id")
   }
@@ -3880,7 +3884,7 @@ object SparkEntry {
     val expected = base.where(col("event_id") % 10 =!= 0).unionByName(up)
     val live = DeltaInterop.readDelta(s, B5DeltaMergePath)
       .select(cols.map(col).toIndexedSeq: _*).localCheckpoint()
-    require(sig(live) == sig(expected),
+    require(sameSig(live, expected, cols),
       "b5_delta_merge: live view diverges from latest-per-key over old ∪ new")
     // the feed's full classification, exact
     val (_, cdf0) = DeltaInterop.readDeltaCdf(s, B5DeltaMergePath, sinceVersion = 1L)
@@ -3891,8 +3895,7 @@ object SparkEntry {
         "insert" -> insN),
       s"b5_delta_merge: change kinds $kinds diverge from " +
         s"(pre=$updN, post=$updN, ins=$insN)")
-    require(sig(cdf.where(col("_change_type") =!= "update_preimage")
-        .select(cols.map(col).toIndexedSeq: _*)) == sig(up),
+    require(sameSig(cdf.where(col("_change_type") =!= "update_preimage"), up, cols),
       "b5_delta_merge: postimage ∪ insert must equal the incoming frame")
     // (time travel below the merge and purge invariance over the merge's
     // DVs are spec-pinned — DeltaInteropSpec "mergeDelta: DV'd
@@ -4029,7 +4032,7 @@ object SparkEntry {
     val cdf = cdf0.localCheckpoint()
     require(cdf.where(col("_change_type") =!= "delete").isEmpty,
       "b5_delta_part_delete: the range holds exactly one delete commit")
-    require(sig(cdf.select(cols.map(col).toIndexedSeq: _*)) == sig(src.where(pred)),
+    require(sameSig(cdf, src.where(pred), cols),
       "b5_delta_part_delete: the feed's deletes diverge from the predicate rows")
     // (pre-delete time travel, the per-partition purge with honest
     // tuples, purge-invisible live view, and feed invariance across the
@@ -4182,9 +4185,9 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"),
         bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
       .collect().head
-    require(sig(pruned) == sig(expected),
+    require(sameSig(pruned, expected, cols),
       "b5_iceberg_composite: pruned read diverges from full read + row filter")
-    require(sig(t.read().select(cols.map(col).toIndexedSeq: _*)) == sig(full),
+    require(sameSig(t.read(), full, cols),
       "b5_iceberg_composite: export diverges from the source")
     pruned.orderBy("event_id")
   }
@@ -5491,6 +5494,48 @@ object SparkEntry {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** ONE-ACTION equality check of two frames' (row count, xor-of-row-
+    * hashes) signatures over `cols`: side-tagged unionByName + one
+    * per-side aggregate. The b5 certificates previously collected the two
+    * signatures as two separate actions — same scans, twice the driver
+    * round-trips (each action pays its own analyze/optimize/schedule
+    * cycle, measured 50-150 ms apiece at fixture scale). An empty side
+    * aggregates to no group row and compares as (0, null), exactly the
+    * two-action form's (count=0, bit_xor=null) signature. */
+  private def sameSig(a: DataFrame, b: DataFrame, cols: Seq[String]): Boolean = {
+    val rows = a.select(lit(0L).as("__side") +: cols.map(col): _*)
+      .unionByName(b.select(lit(1L).as("__side") +: cols.map(col): _*))
+      .groupBy(col("__side"))
+      .agg(count(lit(1)).as("n"), bit_xor(xxhash64(cols.map(col): _*)).as("h"))
+      .collect()
+    def side(s: Long): (Long, Any) = rows.find(_.getLong(0) == s)
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) null else r.getLong(2)))
+      .getOrElse((0L, null))
+    side(0L) == side(1L)
+  }
+
+  /** Disables watermark-advance ("no-data") micro-batches for the scoped
+    * streaming query. Safe ONLY where the final sink contents cannot
+    * depend on them: update/complete-mode sinks (they emit on data
+    * batches; the no-data batch only evicts state) and append sinks whose
+    * emission is immediate (dropDuplicates), with no event-time timeouts
+    * or timers. The append-mode watermark-flush queries (session windows,
+    * sessionize, stream-stream joins, as-of) REQUIRE these batches and
+    * must not be wrapped. Each skipped no-data batch saves a full
+    * micro-batch cycle (incremental re-plan + state-store commit,
+    * measured 0.3-0.5 s per harness query) — and at production scale the
+    * same setting is the standard knob for update-mode pipelines whose
+    * sinks don't consume watermark flushes. */
+  private def withoutNoDataBatches[T](s: SparkSession, body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   private def g4LwwStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -5500,14 +5545,14 @@ object SparkEntry {
     val (evenBatch, oddBatch) = rows.partition(_.event_id % 2 == 0)
     val ms = MemoryStream[Streaming.EventRow]
     s.catalog.dropTempView("g4_lww_stream_state")
-    withShufflePartitions(s, 2) {
+    withoutNoDataBatches(s, withShufflePartitions(s, 2) {
       val q = Streaming.latestStateStream(ms.toDS())
         .writeStream.format("memory").queryName("g4_lww_stream_state")
         .outputMode("update").start()
       ms.addData(evenBatch.toSeq); q.processAllAvailable()
       ms.addData(oddBatch.toSeq);  q.processAllAvailable()
       q.stop()
-    }
+    })
     // updates per key are monotone in (ts, event_id), so latest update ==
     // final state
     Latest.latestAgg(
@@ -5535,7 +5580,7 @@ object SparkEntry {
     val (evenDocs, oddDocs) = words.partition(_._1 % 2 == 0)
     val ms = MemoryStream[(Long, String)]
     s.catalog.dropTempView("g4_heavy_stream_state")
-    withShufflePartitions(s, 2) {
+    withoutNoDataBatches(s, withShufflePartitions(s, 2) {
       val q = ms.toDF().toDF("doc_id", "word")
         .agg(org.apache.spark.sql.graft.MisraGries.heavyHitters(col("word"), 64).as("hh"))
         .writeStream.format("memory").queryName("g4_heavy_stream_state")
@@ -5543,7 +5588,7 @@ object SparkEntry {
       ms.addData(evenDocs.toSeq); q.processAllAvailable()
       ms.addData(oddDocs.toSeq);  q.processAllAvailable()
       q.stop()
-    }
+    })
     val cands = s.table("g4_heavy_stream_state")
       .select(explode(col("hh")).as("h"))
       .select(col("h").getField("item").as("word")).distinct()
@@ -5573,14 +5618,14 @@ object SparkEntry {
     val (first, second) = rows.splitAt(rows.length / 2)
     val ms = MemoryStream[Streaming.EventRow]
     s.catalog.dropTempView("g4_window_stream_state")
-    withShufflePartitions(s, 2) {
+    withoutNoDataBatches(s, withShufflePartitions(s, 2) {
       val q = Streaming.windowedCounts(ms.toDF(), "1 hour")
         .writeStream.format("memory").queryName("g4_window_stream_state")
         .outputMode("update").start()
       ms.addData(first.toSeq);  q.processAllAvailable()
       ms.addData(second.toSeq); q.processAllAvailable()
       q.stop()
-    }
+    })
     // per key, n strictly grows across updates: the max-n update is final
     s.table("g4_window_stream_state")
       .groupBy(col("window_start"), col("event_type"))
@@ -5636,7 +5681,7 @@ object SparkEntry {
     val inDir = fileStreamInDir(s, dir)
     val schema = s.createDataset(Seq.empty[Streaming.EventRow]).schema
     s.catalog.dropTempView("g4_file_stream_state")
-    withShufflePartitions(s, 2) {
+    withoutNoDataBatches(s, withShufflePartitions(s, 2) {
       val src = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(inDir)
@@ -5645,7 +5690,7 @@ object SparkEntry {
         .outputMode("update").start()
       q.processAllAvailable()
       q.stop()
-    }
+    })
     // per key, n strictly grows across updates: the max-n update is final
     s.table("g4_file_stream_state")
       .groupBy(col("window_start"), col("event_type"))
@@ -5938,13 +5983,8 @@ object SparkEntry {
     }
     require(watermark.get() == 3L,
       s"g4_delta_cdc_tail: the watermark must reach the head, got ${watermark.get()}")
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
     val sinkDf = sink.read().select(cols.map(col).toIndexedSeq: _*)
-    require(sig(sinkDf) == sig(DeltaInterop.readDelta(s, deltaPath)
-        .select(cols.map(col).toIndexedSeq: _*)),
+    require(sameSig(sinkDf, DeltaInterop.readDelta(s, deltaPath), cols),
       "g4_delta_cdc_tail: the tailed sink diverges from the live Delta read")
     sinkDf.orderBy("event_id")
   }
@@ -6019,13 +6059,8 @@ object SparkEntry {
     }
     require(watermark.get() != snap1,
       "g4_iceberg_cdc_tail: the watermark must advance past the bootstrap snapshot")
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
     val sinkDf = sink.read().select(cols.map(col).toIndexedSeq: _*)
-    require(sig(sinkDf) == sig(IcebergInterop.readIceberg(s, icePath)
-        .select(cols.map(col).toIndexedSeq: _*)),
+    require(sameSig(sinkDf, IcebergInterop.readIceberg(s, icePath), cols),
       "g4_iceberg_cdc_tail: the tailed sink diverges from the live Iceberg read")
     sinkDf.orderBy("event_id")
   }
@@ -6096,14 +6131,17 @@ object SparkEntry {
     val batch2 = odd ++ even.take(even.length / 2)
     val ms = MemoryStream[Streaming.EventRow]
     s.catalog.dropTempView("g4_dedup_stream_out")
-    withShufflePartitions(s, 2) {
+    // append + dropDuplicates emits first-seen rows in their own data
+    // batch (no watermark, no event-time state to flush) — safe to skip
+    // the no-data batches
+    withoutNoDataBatches(s, withShufflePartitions(s, 2) {
       val q = ms.toDS().toDF().dropDuplicates("event_id")
         .writeStream.format("memory").queryName("g4_dedup_stream_out")
         .outputMode("append").start()
       ms.addData(batch1.toSeq); q.processAllAvailable()
       ms.addData(batch2.toSeq); q.processAllAvailable()
       q.stop()
-    }
+    })
     s.table("g4_dedup_stream_out")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), Fns.epsRound(sum("value"), 2).as("sum_value"))
@@ -6129,7 +6167,7 @@ object SparkEntry {
     val (evenBatch, oddBatch) = corpusRows.partition(_._1 % 2 == 0)
     val ms = MemoryStream[(Long, String)]
     s.catalog.dropTempView("g4_decontam_stream_out")
-    withShufflePartitions(s, 2) {
+    withoutNoDataBatches(s, withShufflePartitions(s, 2) {
       val q = operators.Contamination
         .contaminationFlags(ms.toDF().toDF("doc_id", "text"), bench,
           idCol = "doc_id", textCol = "text", n = 8)
@@ -6138,7 +6176,7 @@ object SparkEntry {
       ms.addData(evenBatch.toSeq); q.processAllAvailable()
       ms.addData(oddBatch.toSeq);  q.processAllAvailable()
       q.stop()
-    }
+    })
     s.table("g4_decontam_stream_out").orderBy("doc_id")
   }
 
@@ -6265,14 +6303,14 @@ object SparkEntry {
     s.catalog.dropTempView("g4_tws_stream_state")
     val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     Streaming.rocksDbStateConf.foreach { case (k, v) => s.conf.set(k, v) }
-    try withShufflePartitions(s, 2) {
+    try withoutNoDataBatches(s, withShufflePartitions(s, 2) {
       val q = Streaming.latestStateTws(ms.toDS())
         .writeStream.format("memory").queryName("g4_tws_stream_state")
         .outputMode("update").start()
       ms.addData(evenBatch.toSeq); q.processAllAvailable()
       ms.addData(oddBatch.toSeq);  q.processAllAvailable()
       q.stop()
-    } finally {
+    }) finally {
       prevProvider match {
         case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
         case None    => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
