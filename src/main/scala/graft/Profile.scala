@@ -43,13 +43,15 @@ object Profile {
         private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
         override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           val site = Option(js.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+            .flatMap(p => Option(p.getProperty("callSite.short")))
+            .orElse(js.stageInfos.lastOption.map(_.name))
+            .getOrElse("?")
           starts.put(js.jobId, (System.nanoTime(), site))
         }
         override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
           Option(starts.remove(je.jobId)).foreach { case (t0, site) =>
             val ms = (System.nanoTime() - t0) / 1e6
-            if (ms >= 20) println(f"[job] ${je.jobId}%5d ${ms}%9.1f ms  $site")
+            if (ms >= 1) println(f"[job] ${je.jobId}%5d ${ms}%9.1f ms  $site")
           }
         }
       })

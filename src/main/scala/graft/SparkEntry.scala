@@ -2320,8 +2320,15 @@ object SparkEntry {
     val qs = emb.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val enc = AnnIndex.loadEncoded(s, idx)
-    require(enc.count() == emb.count(),
-      "g2_ann_append: the appended index must cover the full corpus")
+    // one action for the coverage check: count both sides in one tagged
+    // union instead of two separate count round-trips
+    locally {
+      val c = enc.select(lit("e").as("__k")).unionByName(emb.select(lit("m").as("__k")))
+        .groupBy("__k").agg(count(lit(1)).as("__n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(c.getOrElse("e", 0L) == c.getOrElse("m", 0L),
+        "g2_ann_append: the appended index must cover the full corpus")
+    }
     // the duplicate guard fires BEFORE the marker flip, so this probe can
     // never leave the index unpublished
     require(scala.util.Try(AnnIndex.appendToIndex(
@@ -2377,14 +2384,24 @@ object SparkEntry {
       require(cells.nonEmpty,
         "g2_ann_delete: a 10% spread delete must push cells over the compaction threshold")
       val compacted = topk()
-      require(masked.exceptAll(compacted).count() == 0L &&
-          compacted.exceptAll(masked).count() == 0L,
+      // exact multiset equality in ONE action (the two exceptAll counts
+      // paid two driver round-trips for one logical comparison): any row
+      // value whose signed multiplicity across the two sides is nonzero
+      // is a divergence
+      val diffN = masked.withColumn("__w", lit(1L))
+        .unionByName(compacted.withColumn("__w", lit(-1L)))
+        .groupBy(masked.columns.map(col).toIndexedSeq: _*)
+        .agg(sum("__w").as("__d")).where(col("__d") =!= 0L).count()
+      require(diffN == 0L,
         "g2_ann_delete: compaction changed the query result — the tombstone " +
           "mask and the physical rewrite disagree")
-      val rawN = AnnIndex.loadEncodedRaw(s, idx).count()
-      val liveN = AnnIndex.loadEncoded(s, idx).count()
-      require(rawN == liveN,
-        s"g2_ann_delete: compaction left ${rawN - liveN} tombstoned row(s) in place")
+      // rows still hidden by the mask = raw rows absent from the live view
+      // (same check as rawN == liveN, one action instead of two counts)
+      val hidden = AnnIndex.loadEncodedRaw(s, idx)
+        .join(AnnIndex.loadEncoded(s, idx).select("vec_id"), Seq("vec_id"), "left_anti")
+        .count()
+      require(hidden == 0L,
+        s"g2_ann_delete: compaction left $hidden tombstoned row(s) in place")
       // same floor as g2_ivfpq_topk, denominated in the exact top-k mass
       // over the LIVE (post-delete) corpus. The delete set is
       // fixture-deterministic, so the exact denominator caches per fixture
@@ -6268,14 +6285,25 @@ object SparkEntry {
       q.stop()
     }
     val enc = AnnIndex.loadEncoded(s, scratch)
-    require(enc.count() == emb.count(),
-      "g4_ann_stream: the streamed index must cover the full corpus")
+    locally { // one tagged-union action, not two count round-trips
+      val c = enc.select(lit("e").as("__k")).unionByName(emb.select(lit("m").as("__k")))
+        .groupBy("__k").agg(count(lit(1)).as("__n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(c.getOrElse("e", 0L) == c.getOrElse("m", 0L),
+        "g4_ann_stream: the streamed index must cover the full corpus")
+    }
     // certificate: WHOLE-INDEX equality with the batch-appended index —
     // both branch from one frozen quantizer, so every (id, codes, norm,
     // cell) row must match exactly; a multiset symmetric difference of
     // zero is strictly stronger (and cheaper) than comparing top-k lists
     val refEnc = AnnIndex.loadEncoded(s, annIncrIndexDir(s, dir))
-    val diff = enc.exceptAll(refEnc).count() + refEnc.exceptAll(enc).count()
+    // exact multiset symmetric difference in ONE action (was two
+    // exceptAll counts — each union+aggregate both sides internally, so
+    // the old form scanned both tables twice AND paid two round-trips)
+    val diff = enc.withColumn("__w", lit(1L))
+      .unionByName(refEnc.withColumn("__w", lit(-1L)))
+      .groupBy(enc.columns.map(col).toIndexedSeq: _*)
+      .agg(sum("__w").as("__d")).where(col("__d") =!= 0L).count()
     require(diff == 0L,
       s"g4_ann_stream: stream-maintained index diverges from the batch-appended one ($diff rows)")
     val qs = emb.where(col("vec_id") < 10)

@@ -222,11 +222,13 @@ object AnnIndex {
       s"ANN index at $path has no id column '$idCol' (its encoded schema is " +
         s"${raw.columns.mkString(",")})")
     val del = ids.select(col(idCol)).distinct().localCheckpoint()
-    require(del.count() > 0L, s"removeFromIndex($path): empty id set")
-    val missing = broadcast(del).join(raw, Seq(idCol), "left_anti").count()
-    require(missing == 0L,
-      s"removeFromIndex($path): $missing id(s) are not in the index — " +
-        "deleting a vector that was never indexed is an id-mapping bug")
+    val nDel = del.count() // counted ONCE (it feeds two guards below)
+    require(nDel > 0L, s"removeFromIndex($path): empty id set")
+    // the TOMBSTONE guard runs FIRST: it scans only the (bounded) tombstone
+    // set, while the membership guard scans the whole encoded table — a
+    // repeated-delete refusal should not pay an index scan to fire (both
+    // orders refuse a bad id set loudly; only the message for a
+    // mixed-failure set changes)
     val tombPath = new org.apache.hadoop.fs.Path(path, "tombstones")
     val fs = tombPath.getFileSystem(hadoopConf())
     val priorTombs =
@@ -239,7 +241,11 @@ object AnnIndex {
             "a repeated delete is an idempotence bug worth surfacing")
         tomb.count()
       }
-    val afterTombs = priorTombs + del.count()
+    val missing = broadcast(del).join(raw, Seq(idCol), "left_anti").count()
+    require(missing == 0L,
+      s"removeFromIndex($path): $missing id(s) are not in the index — " +
+        "deleting a vector that was never indexed is an id-mapping bug")
+    val afterTombs = priorTombs + nDel
     // footer row counts, never a data scan: the bound check is metadata —
     // a full raw.count() here turned every O(ids) delete into an
     // O(index) job (round-10 review finding)
