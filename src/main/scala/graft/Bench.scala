@@ -221,6 +221,17 @@ object Bench {
       s"""{"q":${Verify.q(name)},"sec":${r3(sec)}}"""
     }.mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","agg":"$repAgg-of-$reps","rep_totals":$repTotals,"rep_max":$repMax,"queries":$qs,"sf":${Verify.q(sfDir)}}"""
+    // round-13 verdict #2: the driver's PERF diff was blind because the
+    // printed line carried no per-query map. The driver's tail capture is
+    // a hard 2000 chars (every BENCH_r*.json "tail" is exactly 2000), and
+    // the 231-entry map is ~6.5 KB — printing it as (or after) the LAST
+    // line would truncate the line mid-object and null the parse, the
+    // exact rounds-1-7 failure. Addition that cannot regress the parse:
+    // the FULL contract line (with "queries") goes to stdout FIRST, the
+    // compact line stays the absolute last line. A tail-window parser
+    // sees exactly what it saw in r8-r13 (the compact line, intact); a
+    // full-stdout parser additionally gets the per-query map.
+    println(json)
     // file sink first (this worked in round 2), then the metric as the
     // absolute LAST stdout line: spark.stop() runs BEFORE the println so no
     // shutdown logging can push the metric line out of a tail capture or

@@ -29,8 +29,13 @@ object Profile {
     spark.sparkContext.setLogLevel("ERROR")
     // dev A/B knob: arbitrary session confs, e.g.
     // SPARK_GRAFT_CONF="spark.sql.streaming.noDataMicroBatches.enabled=false,k=v"
+    // comma-separated k=v list; a valueless entry fails loudly with the
+    // offending text instead of a bare MatchError (values containing commas
+    // are not expressible — documented limitation of this dev knob)
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      val parts = kv.split("=", 2)
+      require(parts.length == 2, s"SPARK_GRAFT_CONF entry without '=': '$kv'")
+      spark.conf.set(parts(0), parts(1))
     })
 
     // opt-in per-job wall-time log (SPARK_GRAFT_JOBLOG=1): prints one line

@@ -704,11 +704,8 @@ object SparkEntry {
     DeltaInterop.exportDelta(t, B5DeltaExportPath, tsMillis = 5000L)
     val viaDelta = DeltaInterop.readDelta(s, B5DeltaExportPath)
       .select(cols.map(col).toIndexedSeq: _*)
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
-    val (src, exp) = (sig(t.read().select(cols.map(col).toIndexedSeq: _*)), sig(viaDelta))
+    val Seq(src, exp) = sideSigs(Seq(
+      t.read().select(cols.map(col).toIndexedSeq: _*) -> cols, viaDelta -> cols))
     require(src == exp,
       s"b5_delta_export: exported table diverges from the source snapshot (source=$src, export=$exp)")
     viaDelta.orderBy("user_id", "event_type")
@@ -760,11 +757,8 @@ object SparkEntry {
       "b5_delta_export_incr: checkpoint cadence 1 must advertise a checkpoint")
     val viaDelta = DeltaInterop.readDelta(s, B5DeltaIncrPath)
       .select(cols.map(col).toIndexedSeq: _*)
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
-    val (src, exp) = (sig(t.read().select(cols.map(col).toIndexedSeq: _*)), sig(viaDelta))
+    val Seq(src, exp) = sideSigs(Seq(
+      t.read().select(cols.map(col).toIndexedSeq: _*) -> cols, viaDelta -> cols))
     require(src == exp,
       s"b5_delta_export_incr: mirror diverges from source (source=$src, export=$exp)")
     viaDelta.orderBy("user_id", "event_type", "event_id")
@@ -806,15 +800,12 @@ object SparkEntry {
     require(head2 == v1 && empty2.isEmpty,
       "b5_delta_read_incr: a consumer at the head must read an empty delta")
     // conservation: v0 snapshot + consumed delta == current full table
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
     val reconstructed = DeltaInterop.readDelta(s, B5DeltaReadIncrPath, versionAsOf = Some(v0))
       .select(cols.map(col).toIndexedSeq: _*)
       .unionByName(delta.select(cols.map(col).toIndexedSeq: _*))
-    val (rec, full) = (sig(reconstructed),
-      sig(DeltaInterop.readDelta(s, B5DeltaReadIncrPath).select(cols.map(col).toIndexedSeq: _*)))
+    val Seq(rec, full) = sideSigs(Seq(reconstructed -> cols,
+      DeltaInterop.readDelta(s, B5DeltaReadIncrPath)
+        .select(cols.map(col).toIndexedSeq: _*) -> cols))
     require(rec == full,
       s"b5_delta_read_incr: v0 + delta must reconstruct the head snapshot ($rec vs $full)")
     delta.select(cols.map(col).toIndexedSeq: _*)
@@ -2366,53 +2357,76 @@ object SparkEntry {
     AnnIndex.cloneIndex(annIncrIndexDir(s, dir), idx)
     try {
       AnnIndex.removeFromIndex(delIds, "vec_id", idx)
-      // deleting again, or deleting an id that was never indexed: loud
-      require(scala.util.Try(
-          AnnIndex.removeFromIndex(delIds.limit(1), "vec_id", idx)).isFailure,
-        "g2_ann_delete: a repeated delete must be refused")
-      require(scala.util.Try(AnnIndex.removeFromIndex(
-          s.range(1).select((lit(-1L)).as("vec_id")), "vec_id", idx)).isFailure,
-        "g2_ann_delete: deleting a never-indexed id must be refused")
       val cb = AnnIndex.loadCodebooks(s, idx)
       val cents = AnnIndex.loadCentroids(s, idx)
       def topk() = Similarity.ivfPqTopKWith(AnnIndex.loadEncoded(s, idx), qs,
         "vec_id", "query_id", "qvec", k = 3, cb, cents).localCheckpoint()
-      val masked = topk()
-      require(masked.join(delIds, Seq("vec_id"), "left_semi").count() == 0L,
+      // the two refusal guards throw BEFORE touching the marker or the
+      // tombstone files (read-only probes), and the masked query reads the
+      // same committed state — all three overlap (guide §2.6); the
+      // requires keep the sequential order so a multi-failure run surfaces
+      // the same error it always did
+      val ((refuseRepeat, refuseUnknown), masked) = inParallel(
+        inParallel(
+          scala.util.Try(
+            AnnIndex.removeFromIndex(delIds.limit(1), "vec_id", idx)).isFailure,
+          scala.util.Try(AnnIndex.removeFromIndex(
+            s.range(1).select((lit(-1L)).as("vec_id")), "vec_id", idx)).isFailure),
+        topk())
+      // deleting again, or deleting an id that was never indexed: loud
+      require(refuseRepeat, "g2_ann_delete: a repeated delete must be refused")
+      require(refuseUnknown,
+        "g2_ann_delete: deleting a never-indexed id must be refused")
+      // the deleted-id probe reads only the masked CHECKPOINT + the delete
+      // set — independent of the compaction rewriting the index files
+      val (cells, deletedInTopK) = inParallel(
+        AnnIndex.compactIndex(s, idx, minTombstoneFraction = 0.02),
+        masked.join(delIds, Seq("vec_id"), "left_semi").count())
+      require(deletedInTopK == 0L,
         "g2_ann_delete: a deleted id surfaced in the post-delete top-k")
-      val cells = AnnIndex.compactIndex(s, idx, minTombstoneFraction = 0.02)
       require(cells.nonEmpty,
         "g2_ann_delete: a 10% spread delete must push cells over the compaction threshold")
-      val compacted = topk()
-      // exact multiset equality in ONE action (the two exceptAll counts
-      // paid two driver round-trips for one logical comparison): any row
-      // value whose signed multiplicity across the two sides is nonzero
-      // is a divergence
-      val diffN = masked.withColumn("__w", lit(1L))
-        .unionByName(compacted.withColumn("__w", lit(-1L)))
-        .groupBy(masked.columns.map(col).toIndexedSeq: _*)
-        .agg(sum("__w").as("__d")).where(col("__d") =!= 0L).count()
+      // three independent post-compaction certificates, overlapped:
+      // (1) compacted re-run + the ONE-action multiset diff vs masked;
+      // (2) the hidden-row probe over the compacted files;
+      // (3) the score-ratio floor, which reads only the masked checkpoint
+      //     and the embeddings — never the index files
+      val (diffN, hidden, ratio) = inParallel3(
+        {
+          val compacted = topk()
+          // exact multiset equality in ONE action (the two exceptAll
+          // counts paid two driver round-trips for one logical
+          // comparison): any row value whose signed multiplicity across
+          // the two sides is nonzero is a divergence
+          masked.withColumn("__w", lit(1L))
+            .unionByName(compacted.withColumn("__w", lit(-1L)))
+            .groupBy(masked.columns.map(col).toIndexedSeq: _*)
+            .agg(sum("__w").as("__d")).where(col("__d") =!= 0L).count()
+        },
+        // rows still hidden by the mask = raw rows absent from the live
+        // view (same check as rawN == liveN, one action instead of two)
+        AnnIndex.loadEncodedRaw(s, idx)
+          .join(AnnIndex.loadEncoded(s, idx).select("vec_id"), Seq("vec_id"), "left_anti")
+          .count(),
+        {
+          // same floor as g2_ivfpq_topk, denominated in the exact top-k
+          // mass over the LIVE (post-delete) corpus. The delete set is
+          // fixture-deterministic, so the exact denominator caches per
+          // fixture token like bruteTopKScore (the exact scan is the
+          // certificate's dominant cost — pay it once per fixture, not
+          // per rep)
+          val embLive = emb.join(delIds, Seq("vec_id"), "left_anti")
+          val liveBrute = bruteScoreCache.computeIfAbsent(
+            s"$dir@${fixtureToken(dir)}|del7|k=3", _ => annTrueScore(
+              Similarity.cosineTopKAgg(embLive, qs, "vec_id", "embedding",
+                "query_id", "qvec", 3), embLive, qs))
+          annTrueScore(masked, embLive, qs) / liveBrute
+        })
       require(diffN == 0L,
         "g2_ann_delete: compaction changed the query result — the tombstone " +
           "mask and the physical rewrite disagree")
-      // rows still hidden by the mask = raw rows absent from the live view
-      // (same check as rawN == liveN, one action instead of two counts)
-      val hidden = AnnIndex.loadEncodedRaw(s, idx)
-        .join(AnnIndex.loadEncoded(s, idx).select("vec_id"), Seq("vec_id"), "left_anti")
-        .count()
       require(hidden == 0L,
         s"g2_ann_delete: compaction left $hidden tombstoned row(s) in place")
-      // same floor as g2_ivfpq_topk, denominated in the exact top-k mass
-      // over the LIVE (post-delete) corpus. The delete set is
-      // fixture-deterministic, so the exact denominator caches per fixture
-      // token like bruteTopKScore (the exact scan is the certificate's
-      // dominant cost — pay it once per fixture, not per rep)
-      val embLive = emb.join(delIds, Seq("vec_id"), "left_anti")
-      val liveBrute = bruteScoreCache.computeIfAbsent(
-        s"$dir@${fixtureToken(dir)}|del7|k=3", _ => annTrueScore(
-          Similarity.cosineTopKAgg(embLive, qs, "vec_id", "embedding",
-            "query_id", "qvec", 3), embLive, qs))
-      val ratio = annTrueScore(masked, embLive, qs) / liveBrute
       require(ratio >= 0.5,
         f"g2_ann_delete score ratio $ratio%.3f below declared floor 0.5")
       masked.orderBy("query_id", "rank")
@@ -2763,11 +2777,8 @@ object SparkEntry {
     IcebergInterop.exportIceberg(t, B5IcebergPath, tsMillis = 5000L)
     val viaIceberg = IcebergInterop.readIceberg(s, B5IcebergPath)
       .select(cols.map(col).toIndexedSeq: _*)
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
-    val (src, exp) = (sig(t.read().select(cols.map(col).toIndexedSeq: _*)), sig(viaIceberg))
+    val Seq(src, exp) = sideSigs(Seq(
+      t.read().select(cols.map(col).toIndexedSeq: _*) -> cols, viaIceberg -> cols))
     require(src == exp,
       s"b5_iceberg_export: exported table diverges from the source snapshot (source=$src, export=$exp)")
     viaIceberg.orderBy("user_id", "event_type")
@@ -2809,11 +2820,8 @@ object SparkEntry {
       "b5_iceberg_export_incr: the appended snapshot must record its parent")
     val viaIceberg = IcebergInterop.readIceberg(s, B5IcebergIncrPath)
       .select(cols.map(col).toIndexedSeq: _*)
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
-    val (src, exp) = (sig(t.read().select(cols.map(col).toIndexedSeq: _*)), sig(viaIceberg))
+    val Seq(src, exp) = sideSigs(Seq(
+      t.read().select(cols.map(col).toIndexedSeq: _*) -> cols, viaIceberg -> cols))
     require(src == exp,
       s"b5_iceberg_export_incr: mirror diverges from source (source=$src, export=$exp)")
     viaIceberg.orderBy("user_id", "event_type", "event_id")
@@ -2842,12 +2850,8 @@ object SparkEntry {
     IcebergInterop.exportIceberg(t, B5IcebergPartPath, tsMillis = 5000L)
     val viaIceberg = IcebergInterop.readIceberg(s, B5IcebergPartPath)
       .select(cols.map(col).toIndexedSeq: _*)
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
-    val (src, exp) =
-      (sig(t.read().select(cols.map(col).toIndexedSeq: _*)), sig(viaIceberg))
+    val Seq(src, exp) = sideSigs(Seq(
+      t.read().select(cols.map(col).toIndexedSeq: _*) -> cols, viaIceberg -> cols))
     require(src == exp,
       s"b5_iceberg_export_part: export diverges from the partitioned source (source=$src, export=$exp)")
     viaIceberg.orderBy("event_id")
@@ -2878,12 +2882,8 @@ object SparkEntry {
       "b5_iceberg_export_days: metadata must declare the day(ts) partition spec")
     val viaIceberg = IcebergInterop.readIceberg(s, B5IcebergDaysPath)
       .select(cols.map(col).toIndexedSeq: _*)
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
-    val (src, exp) =
-      (sig(t.read().select(cols.map(col).toIndexedSeq: _*)), sig(viaIceberg))
+    val Seq(src, exp) = sideSigs(Seq(
+      t.read().select(cols.map(col).toIndexedSeq: _*) -> cols, viaIceberg -> cols))
     require(src == exp,
       s"b5_iceberg_export_days: export diverges from the source (source=$src, export=$exp)")
     viaIceberg.orderBy("event_id")
@@ -2931,12 +2931,8 @@ object SparkEntry {
       "b5_iceberg_days_incr: v2 must declare day(ts) and record its parent")
     val viaIceberg = IcebergInterop.readIceberg(s, B5IcebergDaysIncrPath)
       .select(cols.map(col).toIndexedSeq: _*)
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
-    val (src, exp) =
-      (sig(t.read().select(cols.map(col).toIndexedSeq: _*)), sig(viaIceberg))
+    val Seq(src, exp) = sideSigs(Seq(
+      t.read().select(cols.map(col).toIndexedSeq: _*) -> cols, viaIceberg -> cols))
     require(src == exp,
       s"b5_iceberg_days_incr: mirror diverges from the source (source=$src, export=$exp)")
     viaIceberg.orderBy("event_id")
@@ -3047,12 +3043,8 @@ object SparkEntry {
       s"b5_iceberg_export_bucket: $impure row(s) landed outside their spec bucket")
     val viaIceberg = IcebergInterop.readIceberg(s, B5IcebergBucketPath)
       .select(cols.map(col).toIndexedSeq: _*)
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
-    val (src, exp) =
-      (sig(t.read().select(cols.map(col).toIndexedSeq: _*)), sig(viaIceberg))
+    val Seq(src, exp) = sideSigs(Seq(
+      t.read().select(cols.map(col).toIndexedSeq: _*) -> cols, viaIceberg -> cols))
     require(src == exp,
       s"b5_iceberg_export_bucket: export diverges from the source (source=$src, export=$exp)")
     viaIceberg.orderBy("event_id")
@@ -3085,12 +3077,8 @@ object SparkEntry {
       s"b5_iceberg_export_trunc: $impure row(s) landed outside their prefix range")
     val viaIceberg = IcebergInterop.readIceberg(s, B5IcebergTruncPath)
       .select(cols.map(col).toIndexedSeq: _*)
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
-    val (src, exp) =
-      (sig(t.read().select(cols.map(col).toIndexedSeq: _*)), sig(viaIceberg))
+    val Seq(src, exp) = sideSigs(Seq(
+      t.read().select(cols.map(col).toIndexedSeq: _*) -> cols, viaIceberg -> cols))
     require(src == exp,
       s"b5_iceberg_export_trunc: export diverges from the source (source=$src, export=$exp)")
     viaIceberg.orderBy("event_id")
@@ -3134,17 +3122,13 @@ object SparkEntry {
     val (head2, none) = IcebergInterop.readIcebergChanges(s, B5IcebergReadIncrPath, head)
     require(head2 == head && none.isEmpty,
       "b5_iceberg_read_incr: a consumer at the head must read an empty delta")
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
     val reconstructed = IcebergInterop.readIceberg(s, B5IcebergReadIncrPath,
         snapshotAsOf = Some(snap0))
       .select(cols.map(col).toIndexedSeq: _*)
       .unionByName(delta.select(cols.map(col).toIndexedSeq: _*))
-    val (rec, full) = (sig(reconstructed),
-      sig(IcebergInterop.readIceberg(s, B5IcebergReadIncrPath)
-        .select(cols.map(col).toIndexedSeq: _*)))
+    val Seq(rec, full) = sideSigs(Seq(reconstructed -> cols,
+      IcebergInterop.readIceberg(s, B5IcebergReadIncrPath)
+        .select(cols.map(col).toIndexedSeq: _*) -> cols))
     require(rec == full,
       s"b5_iceberg_read_incr: v0 + delta must reconstruct the head snapshot ($rec vs $full)")
     delta.select(cols.map(col).toIndexedSeq: _*)
@@ -3203,14 +3187,10 @@ object SparkEntry {
     require(IcebergInterop.deleteFromIceberg(s, B5IcebergDeletesPath,
         col("event_id") % 7 === 0, tsMillis = 7000L) == 0L,
       "b5_iceberg_read_deletes: a repeated delete must be a no-op")
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
     val expected = t.read().where(col("event_id") % 7 =!= 0)
       .select(cols.map(col).toIndexedSeq: _*)
-    val liveSig = sig(live)
-    require(liveSig == sig(expected),
+    val Seq(liveSig, expectedSig) = sideSigs(Seq(live -> cols, expected -> cols))
+    require(liveSig == expectedSig,
       "b5_iceberg_read_deletes: live view diverges from source minus predicate")
     // the lifecycle's compaction half: ONLY delete-carrying files rewrite
     // (survivors under data/compacted/, outside the oracle's flat glob;
@@ -3223,7 +3203,7 @@ object SparkEntry {
         s"expected >=1 / $deleted")
     val postPurge = IcebergInterop.readIceberg(s, B5IcebergDeletesPath)
       .select(cols.map(col).toIndexedSeq: _*)
-    require(sig(postPurge) == liveSig,
+    require(sideSigs(Seq(postPurge -> cols)).head == liveSig,
       "b5_iceberg_read_deletes: compaction must be invisible to the live view")
     require(IcebergInterop.compactIcebergDeletes(
         s, B5IcebergDeletesPath, tsMillis = 9000L) == ((0, 0L)),
@@ -3283,9 +3263,17 @@ object SparkEntry {
         try st.iterator().asScala.count(_.toString.endsWith(".parquet"))
         finally st.close() }
     }
+    // the three deletes' expected counts all read the immutable
+    // checkpointed source: ONE aggregate instead of three count actions
+    val expCounts = src.agg(
+      count_if(col("day") === "2024-01-05" && col("event_id") % 7 === 0).as("d1"),
+      count_if(col("day") === "2024-01-10" && col("event_id") % 3 === 0).as("d2"),
+      count_distinct(when(col("event_id") % 13 === 0, col("event_id"))).as("nk"))
+      .collect().head
+    val (d1, d2, nKeys) =
+      (expCounts.getLong(0), expCounts.getLong(1), expCounts.getLong(2))
     // 1) pruner-scoped: the predicate matches every 7th event TABLE-WIDE;
     // keep restricts the scan to one day — exactly one delete file lands
-    val d1 = src.where(col("day") === "2024-01-05" && col("event_id") % 7 === 0).count()
     require(IcebergInterop.deleteFromIceberg(s, B5IcebergPartDelPath,
         col("event_id") % 7 === 0, tsMillis = 6000L,
         keep = Some(pv => pv.get("day").contains("2024-01-05"))) == d1 && d1 > 0,
@@ -3294,7 +3282,6 @@ object SparkEntry {
       s"b5_iceberg_part_delete: a one-partition delete must write ONE " +
         s"per-partition delete file, got $delFileCount")
     // 2) the predicate references the PROJECTED partition column
-    val d2 = src.where(col("day") === "2024-01-10" && col("event_id") % 3 === 0).count()
     require(IcebergInterop.deleteFromIceberg(s, B5IcebergPartDelPath,
         col("day") === "2024-01-10" && col("event_id") % 3 === 0,
         tsMillis = 7000L) == d2 && d2 > 0,
@@ -3305,7 +3292,6 @@ object SparkEntry {
     // 3) GLOBAL equality delete by the physical key, all partitions at once
     val keys = src.where(col("event_id") % 13 === 0)
       .select("event_id").distinct()
-    val nKeys = keys.count()
     require(IcebergInterop.deleteFromIcebergByKey(s, B5IcebergPartDelPath,
         keys, tsMillis = 8000L) == nKeys && nKeys > 0,
       s"b5_iceberg_part_delete: the equality delete must commit $nKeys keys")
@@ -3313,14 +3299,8 @@ object SparkEntry {
       .where(!(col("day") === "2024-01-05" && col("event_id") % 7 === 0))
       .where(!(col("day") === "2024-01-10" && col("event_id") % 3 === 0))
       .where(col("event_id") % 13 =!= 0)
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
     val live = IcebergInterop.readIceberg(s, B5IcebergPartDelPath)
       .select(cols.map(col).toIndexedSeq: _*).localCheckpoint()
-    require(sameSig(live, expected, cols),
-      "b5_iceberg_part_delete: live view diverges from the three-way survivor set")
     // ONE tuple-pruned read certifies composition with BOTH delete kinds:
     // the untouched day 07 still drops its equality-deleted rows, the
     // position-deleted day 10 reads its survivors (idempotence of the
@@ -3328,8 +3308,15 @@ object SparkEntry {
     val p = IcebergInterop.readIcebergPruned(s, B5IcebergPartDelPath,
       keep = pv => pv.get("day").exists(d => d == "2024-01-07" || d == "2024-01-10"))
       .select(cols.map(col).toIndexedSeq: _*)
-    require(sameSig(p, expected.where(
-        col("day") === "2024-01-07" || col("day") === "2024-01-10"), cols),
+    // both post-delete certificates are read-only: all four signature
+    // sides in ONE action (was two sameSig round-trips)
+    val Seq(liveSig, expSig, pSig, epSig) = sideSigs(Seq(
+      live -> cols, expected -> cols, p -> cols,
+      expected.where(
+        col("day") === "2024-01-07" || col("day") === "2024-01-10") -> cols))
+    require(liveSig == expSig,
+      "b5_iceberg_part_delete: live view diverges from the three-way survivor set")
+    require(pSig == epSig,
       "b5_iceberg_part_delete: the pruned read must apply both delete kinds")
     // (pre-delete time travel is spec-pinned — IcebergInteropSpec
     // "deleteFromIceberg: … time travel" — instead of a full re-scan here)
@@ -3371,15 +3358,16 @@ object SparkEntry {
       .withColumn("event_id", col("event_id") + lit(10000000L))
       .select(cols.map(col).toIndexedSeq: _*)
     val up = upd.unionByName(ins).localCheckpoint()
-    val (updN, insN) = (upd.count(), ins.count())
+    // both expected counts in ONE aggregate over the checkpointed base
+    // (was two count round-trips)
+    val upCnts = base.agg(
+      count_if(col("event_id") % 10 === 0).as("u"),
+      count_if(col("event_id") % 1000 === 0).as("i")).collect().head
+    val (updN, insN) = (upCnts.getLong(0), upCnts.getLong(1))
     val (nk, na) = IcebergInterop.upsertIceberg(s, B5IcebergUpsertPath,
       up, Seq("event_id"), tsMillis = 6000L)
     require(nk == updN + insN && na == updN + insN,
       s"b5_iceberg_upsert: committed ($nk keys, $na rows), expected ${updN + insN}")
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
     val expected = base.where(col("event_id") % 10 =!= 0).unionByName(up)
     val live = IcebergInterop.readIceberg(s, B5IcebergUpsertPath)
       .select(cols.map(col).toIndexedSeq: _*).localCheckpoint()
@@ -3433,22 +3421,20 @@ object SparkEntry {
       .withColumn("ts", col("ts") + expr("INTERVAL 400 DAYS"))
       .select(cols.map(col).toIndexedSeq: _*)
     val up = upd.unionByName(ins).localCheckpoint()
-    val (updN, insN) = (upd.count(), ins.count())
+    // both expected counts in ONE aggregate over the checkpointed base
+    // (was two count round-trips)
+    val upCnts = base.agg(
+      count_if(col("event_id") % 5 === 0).as("u"),
+      count_if(col("event_id") % 500 === 0).as("i")).collect().head
+    val (updN, insN) = (upCnts.getLong(0), upCnts.getLong(1))
     val (nk, na) = IcebergInterop.upsertIceberg(s, B5IcebergUpsertDaysPath,
       up, Seq("event_id"), tsMillis = 6000L)
     require(nk == updN + insN && na == updN + insN,
       s"b5_iceberg_upsert_days: committed ($nk keys, $na rows), " +
         s"expected ${updN + insN}")
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
     val expected = base.where(col("event_id") % 5 =!= 0).unionByName(up)
     val live = IcebergInterop.readIceberg(s, B5IcebergUpsertDaysPath)
       .select(cols.map(col).toIndexedSeq: _*).localCheckpoint()
-    require(sameSig(live, expected, cols),
-      "b5_iceberg_upsert_days: live view diverges from latest-per-key " +
-        "over old ∪ new")
     // ONE tuple-pruned day read: the upsert's eq-delete applies INSIDE
     // the pruned partition and updated rows surface in their day (the
     // session zone is pinned UTC, matching the spec's day() derivation)
@@ -3456,7 +3442,15 @@ object SparkEntry {
     val pruned = IcebergInterop.readIcebergPruned(s, B5IcebergUpsertDaysPath,
         keep = pv => pv.get("ts_day").contains(day))
       .select(cols.map(col).toIndexedSeq: _*)
-    require(sameSig(pruned, expected.where(col("ts").cast("date") === lit(day)), cols),
+    // both post-merge certificates are read-only: all four signature
+    // sides in ONE action (was two sameSig round-trips)
+    val Seq(liveSig, expSig, prSig, eprSig) = sideSigs(Seq(
+      live -> cols, expected -> cols, pruned -> cols,
+      expected.where(col("ts").cast("date") === lit(day)) -> cols))
+    require(liveSig == expSig,
+      "b5_iceberg_upsert_days: live view diverges from latest-per-key " +
+        "over old ∪ new")
+    require(prSig == eprSig,
       "b5_iceberg_upsert_days: the pruned day must apply the upsert's delete")
     live.orderBy("event_id")
   }
@@ -3534,10 +3528,6 @@ object SparkEntry {
       s"b5_iceberg_compact_days: compaction must rewrite every pre-MERGE " +
         s"file and reclaim exactly the updated keys " +
         s"(got $nf of $nBase files, $dead of $updN rows)")
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
     val expected = HarnessFixtures.memoFrame(s, s"b5cdays_exp|$dir")(
       base.where(col("event_id") % 5 =!= 0).unionByName(up).localCheckpoint())
     val live = IcebergInterop.readIceberg(s, B5IcebergCompactDaysPath)
@@ -3562,14 +3552,19 @@ object SparkEntry {
       "b5_iceberg_compact_days: every pre-MERGE data parquet must be gone")
     val liveAfter = IcebergInterop.readIceberg(s, B5IcebergCompactDaysPath)
       .select(cols.map(col).toIndexedSeq: _*)
-    require(sameSig(liveAfter, expected, cols),
-      "b5_iceberg_compact_days: expiry must be invisible to the live view")
     // tuple-pruned day read over the COMPACTED layout stays exact
     val day = java.sql.Date.valueOf("2024-01-05")
     val pruned = IcebergInterop.readIcebergPruned(s, B5IcebergCompactDaysPath,
         keep = pv => pv.get("ts_day").contains(day))
       .select(cols.map(col).toIndexedSeq: _*)
-    require(sameSig(pruned, expected.where(col("ts").cast("date") === lit(day)), cols),
+    // both post-expiry certificates are read-only: all four signature
+    // sides in ONE action (was two sameSig round-trips)
+    val Seq(laSig, expSig, prSig, eprSig) = sideSigs(Seq(
+      liveAfter -> cols, expected -> cols, pruned -> cols,
+      expected.where(col("ts").cast("date") === lit(day)) -> cols))
+    require(laSig == expSig,
+      "b5_iceberg_compact_days: expiry must be invisible to the live view")
+    require(prSig == eprSig,
       "b5_iceberg_compact_days: the pruned day diverges over the compacted layout")
     live.orderBy("event_id")
   }
@@ -3609,27 +3604,29 @@ object SparkEntry {
         B5IcebergEqScopedPath, keys, Map("day" -> "2024-01-05"),
         tsMillis = 6000L) == nKeys && nKeys > 0,
       s"b5_iceberg_eq_scoped: the scoped delete must commit $nKeys keys")
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
     val expected = src.where(
       !(col("day") === "2024-01-05" && col("event_id") % 11 === 0))
     val live = IcebergInterop.readIceberg(s, B5IcebergEqScopedPath)
       .select(cols.map(col).toIndexedSeq: _*).localCheckpoint()
-    require(sameSig(live, expected, cols),
+    // all post-delete certificates are read-only: ONE action carries all
+    // six signature sides (5 driver round-trips → 1)
+    def pruned(day: String) = IcebergInterop.readIcebergPruned(s,
+        B5IcebergEqScopedPath, keep = pv => pv.get("day").contains(day))
+      .select(cols.map(col).toIndexedSeq: _*)
+    val Seq(liveSig, expSig, p05, e05, p10, s10) = sideSigs(Seq(
+      live -> cols, expected -> cols,
+      pruned("2024-01-05") -> cols,
+      expected.where(col("day") === "2024-01-05") -> cols,
+      pruned("2024-01-10") -> cols,
+      src.where(col("day") === "2024-01-10") -> cols))
+    require(liveSig == expSig,
       "b5_iceberg_eq_scoped: the scoped delete must kill ONLY its " +
         "partition's matches — the same keys elsewhere survive")
     // the pruned read of the scoped day composes with the delete; an
     // UNtouched day keeps its matching keys
-    def prunedSig(day: String) = sig(IcebergInterop.readIcebergPruned(s,
-        B5IcebergEqScopedPath, keep = pv => pv.get("day").contains(day))
-      .select(cols.map(col).toIndexedSeq: _*))
-    require(prunedSig("2024-01-05") ==
-        sig(expected.where(col("day") === "2024-01-05")),
+    require(p05 == e05,
       "b5_iceberg_eq_scoped: the scoped day's pruned read diverges")
-    require(prunedSig("2024-01-10") ==
-        sig(src.where(col("day") === "2024-01-10")),
+    require(p10 == s10,
       "b5_iceberg_eq_scoped: an untouched day must keep its matching keys")
     live.orderBy("event_id")
   }
@@ -3680,10 +3677,6 @@ object SparkEntry {
       "b5_iceberg_bucket_incr: the new snapshot must chain to its parent")
     require(metaTxt.contains("\"transform\" : \"bucket[8]\""),
       "b5_iceberg_bucket_incr: metadata must declare the bucket[8] spec")
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
     val live = IcebergInterop.readIceberg(s, tbl)
       .select(cols.map(col).toIndexedSeq: _*).localCheckpoint()
     require(sameSig(live, base, cols),
@@ -3741,16 +3734,10 @@ object SparkEntry {
     require(IcebergInterop.appendIceberg(s, B5IcebergEvolvePath, odd,
         tsMillis = 7000L) == odd.count(),
       "b5_iceberg_evolve: the append must commit exactly the odd half")
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
     val liveRaw = IcebergInterop.readIceberg(s, B5IcebergEvolvePath)
       .select(cols.map(col).toIndexedSeq: _*)
     val liveFiles = liveRaw.inputFiles.length // before the checkpoint hides the scan
     val live = liveRaw.localCheckpoint()
-    require(sameSig(live, base, cols),
-      "b5_iceberg_evolve: the live view must union both eras bit-exactly")
     // pruned read across the evolution: spec-0 files keep conservatively,
     // the day era prunes from the manifests alone
     val day = java.sql.Date.valueOf("2024-01-05")
@@ -3759,7 +3746,13 @@ object SparkEntry {
       .select(cols.map(col).toIndexedSeq: _*)
     val expected = base.where(col("event_id") % 2 === 0 ||
       col("ts").cast("date") === lit(day))
-    require(sameSig(pruned, expected, cols),
+    // both pre-rewrite certificates are read-only: ONE action (was two
+    // sameSig round-trips)
+    val Seq(liveSig, baseSig, prSig, expSig) = sideSigs(Seq(
+      live -> cols, base -> cols, pruned -> cols, expected -> cols))
+    require(liveSig == baseSig,
+      "b5_iceberg_evolve: the live view must union both eras bit-exactly")
+    require(prSig == expSig,
       "b5_iceberg_evolve: the cross-era pruned read diverges")
     val prunedFiles = pruned.inputFiles.length
     require(prunedFiles < liveFiles,
@@ -3776,12 +3769,18 @@ object SparkEntry {
     require(nfRw == liveFiles && deadRw == 0L,
       s"b5_iceberg_evolve: the spec rewrite must rewrite every live file " +
         s"with nothing dead (got $nfRw of $liveFiles, $deadRw dead)")
-    require(sameSig(IcebergInterop.readIceberg(s, B5IcebergEvolvePath), base, cols),
-      "b5_iceberg_evolve: the spec rewrite must be invisible to the live view")
     val prunedAfter = IcebergInterop.readIcebergPruned(s, B5IcebergEvolvePath,
         keep = pv => pv.get("ts_day").contains(day))
       .select(cols.map(col).toIndexedSeq: _*)
-    require(sameSig(prunedAfter, base.where(col("ts").cast("date") === lit(day)), cols),
+    // both post-rewrite certificates are read-only: ONE action (was two
+    // sameSig round-trips)
+    val Seq(rwSig, baseSig2, paSig, dBaseSig) = sideSigs(Seq(
+      IcebergInterop.readIceberg(s, B5IcebergEvolvePath) -> cols,
+      base -> cols, prunedAfter -> cols,
+      base.where(col("ts").cast("date") === lit(day)) -> cols))
+    require(rwSig == baseSig2,
+      "b5_iceberg_evolve: the spec rewrite must be invisible to the live view")
+    require(paSig == dBaseSig,
       "b5_iceberg_evolve: post-rewrite day pruning must be exact")
     require(prunedAfter.inputFiles.length < prunedFiles,
       "b5_iceberg_evolve: the single-spec table must prune strictly " +
@@ -3825,28 +3824,34 @@ object SparkEntry {
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       .select(cols.map(col).toIndexedSeq: _*)
     val up = upd.unionByName(ins).localCheckpoint()
-    val (updN, insN) = (upd.count(), ins.count())
+    // both expected counts in ONE aggregate over the checkpointed base
+    // (was two count round-trips)
+    val upCnts = base.agg(
+      count_if(col("event_id") % 10 === 0).as("u"),
+      count_if(col("event_id") % 1000 === 0).as("i")).collect().head
+    val (updN, insN) = (upCnts.getLong(0), upCnts.getLong(1))
     val (sup, app) = DeltaInterop.mergeDelta(s, B5DeltaMergePartPath,
       up, Seq("event_id"), tsMillis = 6000L)
     require(sup == updN && app == updN + insN,
       s"b5_delta_merge_part: committed ($sup superseded, $app appended), " +
         s"expected ($updN, ${updN + insN})")
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
     val expected = base.where(col("event_id") % 10 =!= 0).unionByName(up)
     val live = DeltaInterop.readDelta(s, B5DeltaMergePartPath)
       .select(cols.map(col).toIndexedSeq: _*).localCheckpoint()
-    require(sameSig(live, expected, cols),
-      "b5_delta_merge_part: live view diverges from latest-per-key over " +
-        "old ∪ new")
     // pruned read of one day: the partition's DVs and its merge files
     // compose behind the pruner
     val pruned = DeltaInterop.readDeltaPruned(s, B5DeltaMergePartPath,
         keep = pv => pv.get("day").flatten.contains("2024-01-05"))
       .select(cols.map(col).toIndexedSeq: _*)
-    require(sameSig(pruned, expected.where(col("day") === "2024-01-05"), cols),
+    // both post-merge certificates are read-only: all four signature
+    // sides in ONE action (was two sameSig round-trips)
+    val Seq(liveSig, expSig, prSig, eprSig) = sideSigs(Seq(
+      live -> cols, expected -> cols, pruned -> cols,
+      expected.where(col("day") === "2024-01-05") -> cols))
+    require(liveSig == expSig,
+      "b5_delta_merge_part: live view diverges from latest-per-key over " +
+        "old ∪ new")
+    require(prSig == eprSig,
       "b5_delta_merge_part: the pruned day must compose DVs with merge files")
     live.orderBy("event_id")
   }
@@ -3888,31 +3893,39 @@ object SparkEntry {
       .withColumn("event_id", col("event_id") + lit(10000000L))
       .select(cols.map(col).toIndexedSeq: _*)
     val up = upd.unionByName(ins).localCheckpoint()
-    val (updN, insN) = (upd.count(), ins.count())
+    // both expected counts in ONE aggregate over the checkpointed base
+    // (was two count round-trips)
+    val upCnts = base.agg(
+      count_if(col("event_id") % 10 === 0).as("u"),
+      count_if(col("event_id") % 1000 === 0).as("i")).collect().head
+    val (updN, insN) = (upCnts.getLong(0), upCnts.getLong(1))
     val (sup, app) = DeltaInterop.mergeDelta(s, B5DeltaMergePath,
       up, Seq("event_id"), tsMillis = 7000L)                                // v2
     require(sup == updN && app == updN + insN,
       s"b5_delta_merge: committed ($sup superseded, $app appended), " +
         s"expected ($updN, ${updN + insN})")
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
     val expected = base.where(col("event_id") % 10 =!= 0).unionByName(up)
     val live = DeltaInterop.readDelta(s, B5DeltaMergePath)
       .select(cols.map(col).toIndexedSeq: _*).localCheckpoint()
-    require(sameSig(live, expected, cols),
-      "b5_delta_merge: live view diverges from latest-per-key over old ∪ new")
     // the feed's full classification, exact
     val (_, cdf0) = DeltaInterop.readDeltaCdf(s, B5DeltaMergePath, sinceVersion = 1L)
     val cdf = cdf0.localCheckpoint()
-    val kinds = cdf.groupBy("_change_type").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // all post-merge certificates are read-only: the live-vs-expected and
+    // feed-vs-incoming signatures share ONE action, the kind counts a
+    // second (was 3 round-trips)
+    val (kinds, sigs) = inParallel(
+      cdf.groupBy("_change_type").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      sideSigs(Seq(live -> cols, expected -> cols,
+        cdf.where(col("_change_type") =!= "update_preimage") -> cols,
+        up -> cols)))
+    require(sigs(0) == sigs(1),
+      "b5_delta_merge: live view diverges from latest-per-key over old ∪ new")
     require(kinds == Map("update_preimage" -> updN, "update_postimage" -> updN,
         "insert" -> insN),
       s"b5_delta_merge: change kinds $kinds diverge from " +
         s"(pre=$updN, post=$updN, ins=$insN)")
-    require(sameSig(cdf.where(col("_change_type") =!= "update_preimage"), up, cols),
+    require(sigs(2) == sigs(3),
       "b5_delta_merge: postimage ∪ insert must equal the incoming frame")
     // (time travel below the merge and purge invariance over the merge's
     // DVs are spec-pinned — DeltaInteropSpec "mergeDelta: DV'd
@@ -3968,20 +3981,18 @@ object SparkEntry {
     require(del.inputFiles.length == 1,
       s"b5_bounds_skipping: Delta stats must skip to 1 of $total files, " +
         s"got ${del.inputFiles.length}")
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
     val iceF = ice.where(col("event_id").between(lo, hi))
       .select(cols.map(col).toIndexedSeq: _*)
     val delF = del.where(col("event_id").between(lo, hi))
       .select(cols.map(col).toIndexedSeq: _*)
     val full = t.read().where(col("event_id").between(lo, hi))
       .select(cols.map(col).toIndexedSeq: _*)
-    val iceSig = sig(iceF)
-    require(iceSig == sig(delF),
+    // all three sides in ONE action (no mutation between the compares)
+    val Seq(iceSig, delSig, fullSig) =
+      sideSigs(Seq(iceF -> cols, delF -> cols, full -> cols))
+    require(iceSig == delSig,
       "b5_bounds_skipping: the two formats' pruned reads diverge")
-    require(iceSig == sig(full),
+    require(iceSig == fullSig,
       "b5_bounds_skipping: pruning changed the result — it must be I/O only")
     iceF.orderBy("event_id")
   }
@@ -4026,22 +4037,21 @@ object SparkEntry {
       pred, tsMillis = 7000L)                                               // v2
     require(deleted == predCount && deleted > 0,
       s"b5_delta_part_delete: deleted $deleted, predicate matches $predCount")
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
     val expected = src.where(!pred)
     val live = DeltaInterop.readDelta(s, B5DeltaPartDelPath)
       .select(cols.map(col).toIndexedSeq: _*).localCheckpoint()
-    val liveSig = sig(live)
-    require(liveSig == sig(expected),
+    // read-only certificates share ONE action (4 round-trips → 1)
+    val Seq(liveSig, expSig, p10, e10) = sideSigs(Seq(
+      live -> cols, expected -> cols,
+      DeltaInterop.readDeltaPruned(s, B5DeltaPartDelPath,
+          keep = pv => pv.get("day").flatten.contains("2024-01-10"))
+        .select(cols.map(col).toIndexedSeq: _*) -> cols,
+      expected.where(col("day") === "2024-01-10") -> cols))
+    require(liveSig == expSig,
       "b5_delta_part_delete: live view diverges from source minus predicate")
     // the DV re-adds restated their partitionValues: the pruner still
     // finds the files in their partitions, DVs applied
-    def prunedSig(day: String) = sig(DeltaInterop.readDeltaPruned(s,
-      B5DeltaPartDelPath, keep = pv => pv.get("day").flatten.contains(day))
-      .select(cols.map(col).toIndexedSeq: _*))
-    require(prunedSig("2024-01-10") == sig(expected.where(col("day") === "2024-01-10")),
+    require(p10 == e10,
       "b5_delta_part_delete: the pruned read must apply the partition's DVs")
     // the change feed serves the deletes from the per-partition cdc
     // parquets, partition column filled from the cdc actions' tuples
@@ -4096,12 +4106,8 @@ object SparkEntry {
       s"b5_iceberg_bucket_str: $impure row(s) landed outside their spec bucket")
     val viaIceberg = IcebergInterop.readIceberg(s, B5IcebergBucketStrPath)
       .select(cols.map(col).toIndexedSeq: _*)
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
-    val (src, exp) =
-      (sig(t.read().select(cols.map(col).toIndexedSeq: _*)), sig(viaIceberg))
+    val Seq(src, exp) = sideSigs(Seq(
+      t.read().select(cols.map(col).toIndexedSeq: _*) -> cols, viaIceberg -> cols))
     require(src == exp,
       s"b5_iceberg_bucket_str: export diverges from the source (source=$src, export=$exp)")
     viaIceberg.orderBy("event_id")
@@ -4131,18 +4137,13 @@ object SparkEntry {
     require(scala.util.Try(IcebergInterop.exportIcebergDays(
         t, B5ClusterDaysPath, "ts", tsMillis = 4000L)).isFailure,
       "b5_tx_cluster_days: the multi-day layout must be refused BEFORE clusterBy")
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
-    val before = sig(t.read().select(cols.map(col).toIndexedSeq: _*))
+    val before = sideSigs(Seq(
+      t.read().select(cols.map(col).toIndexedSeq: _*) -> cols)).head
     // the cluster key is the UTC epoch-day — the SAME timezone-independent
     // derivation exportIcebergDays validates; to_date would convert in the
     // session zone and leave midnight-adjacent rows spanning two UTC days
     // on any non-UTC session
     t.clusterBy(floor(unix_micros(col("ts")) / 86400000000L), tsMillis = 2000L)
-    require(sig(t.read().select(cols.map(col).toIndexedSeq: _*)) == before,
-      "b5_tx_cluster_days: the clustering rewrite must preserve content")
     IcebergInterop.exportIcebergDays(t, B5ClusterDaysPath, "ts", tsMillis = 5000L)
     val metaTxt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(B5ClusterDaysPath, "metadata", "v1.metadata.json")), "UTF-8")
@@ -4150,7 +4151,14 @@ object SparkEntry {
       "b5_tx_cluster_days: metadata must declare the day(ts) spec")
     val viaIceberg = IcebergInterop.readIceberg(s, B5ClusterDaysPath)
       .select(cols.map(col).toIndexedSeq: _*)
-    require(sig(viaIceberg) == before,
+    // the export reads t and writes elsewhere, so the post-clusterBy
+    // source check and the export check share ONE action (2 → 1)
+    val Seq(afterCluster, exportSig) = sideSigs(Seq(
+      t.read().select(cols.map(col).toIndexedSeq: _*) -> cols,
+      viaIceberg -> cols))
+    require(afterCluster == before,
+      "b5_tx_cluster_days: the clustering rewrite must preserve content")
+    require(exportSig == before,
       "b5_tx_cluster_days: export diverges from the source")
     viaIceberg.orderBy("event_id")
   }
@@ -4198,13 +4206,13 @@ object SparkEntry {
     require(pruned.inputFiles.length < full.inputFiles.length,
       s"b5_iceberg_composite: two-dim pruning must shrink the file list " +
         s"(${pruned.inputFiles.length} vs ${full.inputFiles.length})")
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
-    require(sameSig(pruned, expected, cols),
+    // both certificates are read-only: all four signature sides in ONE
+    // action (was two sameSig round-trips)
+    val Seq(prSig, expSig, srcSig, fullSig) = sideSigs(Seq(
+      pruned -> cols, expected -> cols, t.read() -> cols, full -> cols))
+    require(prSig == expSig,
       "b5_iceberg_composite: pruned read diverges from full read + row filter")
-    require(sameSig(t.read(), full, cols),
+    require(srcSig == fullSig,
       "b5_iceberg_composite: export diverges from the source")
     pruned.orderBy("event_id")
   }
@@ -4260,19 +4268,19 @@ object SparkEntry {
     // view is unchanged
     require(IcebergInterop.deleteFromIcebergByKey(s, B5IcebergEqPath,
       Seq("click").toDF("event_type"), tsMillis = 8000L) == 1L)
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
-    val liveSig = sig(live)
     val live2 = IcebergInterop.readIceberg(s, B5IcebergEqPath)
       .select(cols.map(col).toIndexedSeq: _*)
-    require(sig(live2) == liveSig,
-      "b5_iceberg_eq_delete: a repeated key delete must not change the live view")
     val expected = t.read()
       .where(col("event_type") =!= "click" && col("event_id") % 13 =!= 0)
       .select(cols.map(col).toIndexedSeq: _*)
-    require(liveSig == sig(expected),
+    // ONE action for all three sides: `live` pinned its snapshot at build
+    // (readIceberg resolves metadata eagerly), so scanning it here still
+    // compares the pre-re-delete view against the post-re-delete live2
+    val Seq(liveSig, live2Sig, expectedSig) =
+      sideSigs(Seq(live -> cols, live2 -> cols, expected -> cols))
+    require(live2Sig == liveSig,
+      "b5_iceberg_eq_delete: a repeated key delete must not change the live view")
+    require(liveSig == expectedSig,
       "b5_iceberg_eq_delete: live view diverges from source minus predicates")
     live.orderBy("event_id")
   }
@@ -4330,15 +4338,11 @@ object SparkEntry {
     require(DeltaInterop.deleteFromDelta(s, B5DeltaDvPath,
         col("event_id") % 9 === 0, tsMillis = 8000L) == 0L,
       "b5_delta_read_dv: a repeated delete must be a no-op")
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
     val expected = t.read()
       .where(col("event_id") % 9 =!= 0 && col("event_id") % 11 =!= 0)
       .select(cols.map(col).toIndexedSeq: _*)
-    val liveSig = sig(live)
-    require(liveSig == sig(expected),
+    val Seq(liveSig, expSig) = sideSigs(Seq(live -> cols, expected -> cols))
+    require(liveSig == expSig,
       "b5_delta_read_dv: live view diverges from source minus predicates")
     // the lifecycle's purge half (REORG … APPLY (PURGE)): only DV'd files
     // rewrite (survivors under compacted/, outside the oracle's flat
@@ -4349,7 +4353,7 @@ object SparkEntry {
         s"expected >=1 / ${deleted + pred2Count}")
     val postPurge = DeltaInterop.readDelta(s, B5DeltaDvPath)
       .select(cols.map(col).toIndexedSeq: _*)
-    require(sig(postPurge) == liveSig,
+    require(sideSigs(Seq(postPurge -> cols)).head == liveSig,
       "b5_delta_read_dv: the purge must be invisible to the live view")
     require(DeltaInterop.purgeDeltaDvs(s, B5DeltaDvPath, 10000L) == ((0, 0L)),
       "b5_delta_read_dv: a second purge must be a no-op")
@@ -4720,25 +4724,30 @@ object SparkEntry {
     // snap2's live view is every event row (tpl id%3≠0 ∪ appended id%3=0),
     // so the staged delete's count recomputes from the source table
     val delCount = Tables.events(s, dir).where(col("event_id") % 7 === 0).count()
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(outCols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
     val (head1, log1a) = IcebergInterop.readIcebergChangelog(
       s, B5IcebergChangelogPath, snap1)
     val log1 = log1a.localCheckpoint() // one materialization, many certificates
-    require(log1.where(col("_change_type") === "insert").count() == appended.count() &&
-        log1.where(col("_change_type") === "delete").count() == delCount,
+    // insert count, delete count, and the feed signature in ONE aggregate
+    // over the checkpointed feed (was 3 driver round-trips)
+    val st1 = log1.agg(
+      count_if(col("_change_type") === "insert").as("ins"),
+      count_if(col("_change_type") === "delete").as("del"),
+      count(lit(1)).as("n"),
+      bit_xor(xxhash64(outCols.map(col).toIndexedSeq: _*)).as("h"))
+      .collect().head
+    require(st1.getLong(0) == appended.count() && st1.getLong(1) == delCount,
       "b5_iceberg_changelog: the feed must carry exactly the appended " +
         "batch as inserts and the predicate rows as deletes")
-    val feedSig = sig(log1)
+    val feedSig =
+      (st1.getLong(2), if (st1.isNullAt(3)) null else st1.getLong(3))
     // the full rewrite is a 'replace' edge: zero rows, same feed
     require(IcebergInterop.rewriteIcebergData(s, B5IcebergChangelogPath,
       tsMillis = 8000L)._1 > 0)                                        // snap4: silent
     val (head2, log2a) = IcebergInterop.readIcebergChangelog(
       s, B5IcebergChangelogPath, snap1)
     val log2 = log2a.localCheckpoint()
-    require(head2 != head1 && sig(log2) == feedSig,
+    require(head2 != head1 &&
+        sideSigs(Seq(log2 -> outCols)).head == feedSig,
       "b5_iceberg_changelog: a replace edge must advance the head and " +
         "change NOTHING in the feed")
     // EQUALITY-delete edge (round-11: the feed can now replay the
@@ -4754,12 +4763,23 @@ object SparkEntry {
     val (head3, log3a) = IcebergInterop.readIcebergChangelog(
       s, B5IcebergChangelogPath, snap1)
     val log3 = log3a.localCheckpoint()
-    require(log3.where(col("_change_ordinal") === 4L).count() == nEq &&
-        log3.where(col("_change_ordinal") === 4L &&
-          col("_change_type") =!= "delete").isEmpty,
+    // edge counts + the prior-edges signature in ONE aggregate over the
+    // checkpointed feed (was 3 driver round-trips); bit_xor/count skip the
+    // null branch of the `when`, so the conditional sig equals the old
+    // sig-over-subset exactly (empty subset ≡ (0, null))
+    val st3 = log3.agg(
+      count_if(col("_change_ordinal") === 4L).as("n4"),
+      count_if(col("_change_ordinal") === 4L &&
+        col("_change_type") =!= "delete").as("bad4"),
+      count_if(col("_change_ordinal") < 4L).as("nPrior"),
+      bit_xor(when(col("_change_ordinal") < 4L,
+        xxhash64(outCols.map(col).toIndexedSeq: _*))).as("hPrior"))
+      .collect().head
+    require(st3.getLong(0) == nEq && st3.getLong(1) == 0L,
       "b5_iceberg_changelog: the equality-delete edge must emit exactly " +
         "the matching live rows as deletes")
-    require(sig(log3.where(col("_change_ordinal") < 4L)) == feedSig,
+    require((st3.getLong(2),
+        if (st3.isNullAt(3)) null else st3.getLong(3)) == feedSig,
       "b5_iceberg_changelog: the equality-delete edge must not perturb " +
         "the prior edges")
     require(IcebergInterop.readIcebergChangelog(
@@ -4995,10 +5015,6 @@ object SparkEntry {
         "branch", tsMillis = 9001L)
     }
     val tbl = s"$B5IcebergRefsPath/tbl"
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
     def refView(name: String) = IcebergInterop.readIceberg(s, tbl,
       snapshotAsOf = Some(IcebergInterop.icebergRef(tbl, name)))
       .select(cols.map(col).toIndexedSeq: _*)
@@ -5006,13 +5022,15 @@ object SparkEntry {
     require(IcebergInterop.icebergRef(tbl, "main") ==
         IcebergInterop.icebergSnapshotAt(tbl, 8000L),
       "b5_iceberg_refs: 'main' must resolve to the current snapshot")
-    val (auditPre, wapPre) = (sig(refView("audit")), sig(refView("wap")))
+    val Seq(auditPre, wapPre) =
+      sideSigs(Seq(refView("audit") -> cols, refView("wap") -> cols))
     val (nExp, nFiles, nBytes) = IcebergInterop.expireIcebergSnapshots(s,
       tbl, keepLast = 1, tsMillis = 10000L)
     require(nExp == 1 && nFiles > 0 && nBytes > 0L,
       s"b5_iceberg_refs: only the unreferenced snapshot may expire " +
         s"(got $nExp snapshots, $nFiles files)")
-    require(sig(refView("audit")) == auditPre && sig(refView("wap")) == wapPre,
+    require(sideSigs(Seq(refView("audit") -> cols, refView("wap") -> cols))
+        == Seq(auditPre, wapPre),
       "b5_iceberg_refs: both ref views must be bit-identical across expiry")
     require(IcebergInterop.icebergRefs(tbl).keySet == Set("audit", "wap"),
       "b5_iceberg_refs: refs must survive the expiry commit")
@@ -5505,6 +5523,35 @@ object SparkEntry {
     * full commit cycle per micro-batch, and at fixture scale the state
     * fits one shard with room to spare — 2 keeps the multi-shard code
     * path exercised while halving the pure-overhead commits. */
+  /** Run two INDEPENDENT driver actions concurrently (guide §2.6: actions
+    * are sequential only because the driver thread calls them
+    * sequentially — overlapping them lets the second action's tasks
+    * back-fill the executor while the first drains, and overlaps the two
+    * ~30 ms analyze/optimize/schedule driver cycles). The caller must
+    * guarantee independence: neither thunk may mutate state the other
+    * reads (certificate reads over pinned snapshots / localCheckpoints
+    * qualify; table mutations never do). Failure precedence matches the
+    * sequential code: `a` is awaited first, so when both fail, `a`'s
+    * exception surfaces. */
+  private def inParallel[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fb = Future(b)
+    val ra = a // run `a` on the calling thread — no pool round-trip for it
+    (ra, Await.result(fb, Duration.Inf))
+  }
+
+  private def inParallel3[A, B, C](a: => A, b: => B, c: => C): (A, B, C) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fb = Future(b)
+    val fc = Future(c)
+    val ra = a
+    (ra, Await.result(fb, Duration.Inf), Await.result(fc, Duration.Inf))
+  }
+
   private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -5520,15 +5567,45 @@ object SparkEntry {
     * aggregates to no group row and compares as (0, null), exactly the
     * two-action form's (count=0, bit_xor=null) signature. */
   private def sameSig(a: DataFrame, b: DataFrame, cols: Seq[String]): Boolean = {
-    val rows = a.select(lit(0L).as("__side") +: cols.map(col): _*)
-      .unionByName(b.select(lit(1L).as("__side") +: cols.map(col): _*))
+    val s = sideSigs(Seq(a -> cols, b -> cols))
+    s(0) == s(1)
+  }
+
+  /** ONE-ACTION (row count, xor-of-row-hash) signatures for N frames:
+    * each frame's compared columns are aliased positionally (__c0..__cn),
+    * side-tagged, unioned, and aggregated per side — N driver round-trips
+    * become one (the r13 `sameSig` two-branch merge, generalized to the
+    * certificate sites that still paid one action per signature). The
+    * positional aliasing keeps renamed-column comparisons well-defined:
+    * xxhash64 hashes VALUES, so sig equality is exactly the old per-side
+    * `sig(df, cols)` Row comparison. An empty side is (0, null), matching
+    * the old (count=0, bit_xor=null) signature. Column dtypes are asserted
+    * positionally up front — unionByName would otherwise type-coerce
+    * (float vs double) and pass a divergence silently (r13 ADVICE). */
+  private def sideSigs(frames: Seq[(DataFrame, Seq[String])]): IndexedSeq[(Long, Any)] = {
+    require(frames.nonEmpty)
+    val n = frames.head._2.size
+    frames.foreach { case (f, cs) =>
+      require(cs.size == n, s"sideSigs: column-count mismatch (${cs.size} vs $n)")
+      cs.zip(frames.head._2).foreach { case (c, c0) =>
+        val (t0, tf) = (frames.head._1.schema(c0).dataType, f.schema(c).dataType)
+        require(t0 == tf, s"sideSigs: column '$c' dtype diverges ($t0 vs $tf)")
+      }
+    }
+    val tagged = frames.zipWithIndex.map { case ((f, cs), i) =>
+      f.select(lit(i.toLong).as("__side") +:
+        cs.zipWithIndex.map { case (c, j) => col(c).as(s"__c$j") }: _*)
+    }
+    val hashCols = (0 until n).map(j => col(s"__c$j"))
+    val rows = tagged.reduce(_ unionByName _)
       .groupBy(col("__side"))
-      .agg(count(lit(1)).as("n"), bit_xor(xxhash64(cols.map(col): _*)).as("h"))
+      .agg(count(lit(1)).as("n"), bit_xor(xxhash64(hashCols: _*)).as("h"))
       .collect()
-    def side(s: Long): (Long, Any) = rows.find(_.getLong(0) == s)
-      .map(r => (r.getLong(1), if (r.isNullAt(2)) null else r.getLong(2)))
-      .getOrElse((0L, null))
-    side(0L) == side(1L)
+    frames.indices.map { i =>
+      rows.find(_.getLong(0) == i.toLong)
+        .map(r => (r.getLong(1), if (r.isNullAt(2)) null else r.getLong(2)))
+        .getOrElse((0L, null))
+    }
   }
 
   /** Disables watermark-advance ("no-data") micro-batches for the scoped
@@ -5824,17 +5901,18 @@ object SparkEntry {
     }
     require(watermark.get() == 2L,
       s"g4_delta_tail: the watermark must reach the head, got ${watermark.get()}")
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
     val sinkDf = sink.read().select(cols.map(col).toIndexedSeq: _*)
-    val sinkSig = sig(sinkDf)
-    require(sinkSig == sig(DeltaInterop.readDelta(s, deltaPath)
-        .select(cols.map(col).toIndexedSeq: _*)),
+    // the stream is stopped and nothing mutates between the compares:
+    // all three sides in ONE action (3 driver round-trips → 1)
+    val Seq(sinkSig, fullSig, pullSig) = sideSigs(Seq(
+      sinkDf -> cols,
+      DeltaInterop.readDelta(s, deltaPath)
+        .select(cols.map(col).toIndexedSeq: _*) -> cols,
+      DeltaInterop.readDeltaChanges(s, deltaPath, -1L)._2
+        .select(cols.map(col).toIndexedSeq: _*) -> cols))
+    require(sinkSig == fullSig,
       "g4_delta_tail: the tailed sink diverges from the full Delta read")
-    require(sinkSig == sig(DeltaInterop.readDeltaChanges(s, deltaPath, -1L)._2
-        .select(cols.map(col).toIndexedSeq: _*)),
+    require(sinkSig == pullSig,
       "g4_delta_tail: the tailed sink diverges from the one-shot batch pull")
     sinkDf.orderBy("event_id")
   }
@@ -5905,20 +5983,20 @@ object SparkEntry {
       ms.addData(2); q.processAllAvailable()                               // no-op poll
       q.stop()
     }
-    def sig(df: DataFrame) = df
-      .agg(count(lit(1)).as("n"),
-        bit_xor(xxhash64(cols.map(col).toIndexedSeq: _*)).as("h"))
-      .collect().head
     val sinkDf = sink.read().select(cols.map(col).toIndexedSeq: _*)
-    val sinkSig = sig(sinkDf)
-    require(sinkSig == sig(IcebergInterop.readIceberg(s, icePath)
-        .select(cols.map(col).toIndexedSeq: _*)),
-      "g4_iceberg_tail: the tailed sink diverges from the full Iceberg read")
-    require(sinkSig == sig(IcebergInterop.readIceberg(s, icePath,
-          snapshotAsOf = Some(snap1))
+    // the stream is stopped and nothing mutates between the compares:
+    // all three sides in ONE action (3 driver round-trips → 1)
+    val Seq(sinkSig, fullSig, pullSig) = sideSigs(Seq(
+      sinkDf -> cols,
+      IcebergInterop.readIceberg(s, icePath)
+        .select(cols.map(col).toIndexedSeq: _*) -> cols,
+      IcebergInterop.readIceberg(s, icePath, snapshotAsOf = Some(snap1))
         .select(cols.map(col).toIndexedSeq: _*)
         .unionByName(IcebergInterop.readIcebergChanges(s, icePath, snap1)._2
-          .select(cols.map(col).toIndexedSeq: _*))),
+          .select(cols.map(col).toIndexedSeq: _*)) -> cols))
+    require(sinkSig == fullSig,
+      "g4_iceberg_tail: the tailed sink diverges from the full Iceberg read")
+    require(sinkSig == pullSig,
       "g4_iceberg_tail: the tailed sink diverges from base + batch pull")
     sinkDf.orderBy("event_id")
   }
@@ -6285,25 +6363,27 @@ object SparkEntry {
       q.stop()
     }
     val enc = AnnIndex.loadEncoded(s, scratch)
-    locally { // one tagged-union action, not two count round-trips
-      val c = enc.select(lit("e").as("__k")).unionByName(emb.select(lit("m").as("__k")))
-        .groupBy("__k").agg(count(lit(1)).as("__n")).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      require(c.getOrElse("e", 0L) == c.getOrElse("m", 0L),
-        "g4_ann_stream: the streamed index must cover the full corpus")
-    }
     // certificate: WHOLE-INDEX equality with the batch-appended index —
     // both branch from one frozen quantizer, so every (id, codes, norm,
     // cell) row must match exactly; a multiset symmetric difference of
     // zero is strictly stronger (and cheaper) than comparing top-k lists
     val refEnc = AnnIndex.loadEncoded(s, annIncrIndexDir(s, dir))
-    // exact multiset symmetric difference in ONE action (was two
-    // exceptAll counts — each union+aggregate both sides internally, so
-    // the old form scanned both tables twice AND paid two round-trips)
-    val diff = enc.withColumn("__w", lit(1L))
-      .unionByName(refEnc.withColumn("__w", lit(-1L)))
-      .groupBy(enc.columns.map(col).toIndexedSeq: _*)
-      .agg(sum("__w").as("__d")).where(col("__d") =!= 0L).count()
+    // both certificates are read-only over the committed scratch index:
+    // the coverage count (one tagged-union action, not two count
+    // round-trips) and the ONE-action multiset symmetric difference (was
+    // two exceptAll counts — each union+aggregates both sides internally,
+    // so the old form scanned both tables twice AND paid two round-trips)
+    // overlap on the scheduler (guide §2.6)
+    val (cov, diff) = inParallel(
+      enc.select(lit("e").as("__k")).unionByName(emb.select(lit("m").as("__k")))
+        .groupBy("__k").agg(count(lit(1)).as("__n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap,
+      enc.withColumn("__w", lit(1L))
+        .unionByName(refEnc.withColumn("__w", lit(-1L)))
+        .groupBy(enc.columns.map(col).toIndexedSeq: _*)
+        .agg(sum("__w").as("__d")).where(col("__d") =!= 0L).count())
+    require(cov.getOrElse("e", 0L) == cov.getOrElse("m", 0L),
+      "g4_ann_stream: the streamed index must cover the full corpus")
     require(diff == 0L,
       s"g4_ann_stream: stream-maintained index diverges from the batch-appended one ($diff rows)")
     val qs = emb.where(col("vec_id") < 10)

@@ -722,10 +722,15 @@ object Similarity {
     val scored = enc
       .join(broadcast(qs), Seq("__cell"))
       .where(if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
-      // = isNotNull(__sim) at O(1)/pair: null codes/__lut imply a null
-      // embedding, whose norm is null too — the norm product catches every
-      // null-sim source without re-running the ADC in the join condition
-      .where(coalesce(col("norm") * col("__qn"), lit(0.0)) =!= 0.0)
+      // = isNotNull(__sim) at O(1)/pair: null __lut implies a null qvec,
+      // whose norm __qn is null too — the norm product catches it without
+      // re-running the ADC in the join condition. codes is guarded
+      // EXPLICITLY (r13 ADVICE): on a corrupt index a null-codes row could
+      // carry a non-null norm, and it must drop here, not enter the top-k
+      // window as a null-scored candidate. An IsNotNull on a stored column
+      // is O(1)/row and pushes to the scan as a plain PushedFilter.
+      .where(col("codes").isNotNull &&
+        coalesce(col("norm") * col("__qn"), lit(0.0)) =!= 0.0)
       .withColumn("__sim",
         Bridge.column(PqAdc(
           Bridge.expression(col("codes")), Bridge.expression(col("__lut")), cb.k)) /
