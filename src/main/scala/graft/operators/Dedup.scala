@@ -32,14 +32,22 @@ object Dedup {
     * select) — Catalyst does no common-subexpression elimination across
     * lambda boundaries, so inlining split() here would re-run the regex once
     * per shingle index (measured ~4x slowdown on the dedup pipeline).
+    *
+    * Native single-node expression (round-14, guide §4): the previous
+    * lambda tree — `array_distinct(transform(sequence(0,
+    * greatest(size(words)-n, 0)), i -> concat_ws(' ', slice(words, i+1,
+    * n))))` — ran through the CodegenFallback lambda interpreter per
+    * shingle AND cost seconds of per-rep Catalyst analysis across the g1
+    * dedup family (the measured dominant cost, r13 OPTIMIZATION notes).
+    * [[graft.functions.WordShingles]] is the same computation as one
+    * fused loop with bit-identical output (concat_ws kernel, array_distinct
+    * encounter order); DedupSpec pins the equivalence against the lambda
+    * form property-style.
     */
   def wordShinglesFromWords(words: Column, n: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(words) - n, lit(0))),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))
-      )
-    )
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.graft.Bridge.expression(words), n))
 
   /** Distinct word n-gram shingles of a text column (convenience; prefer
     * pre-splitting via [[wordShinglesFromWords]] in hot paths). */
@@ -209,7 +217,13 @@ object Dedup {
           split(trim(col(textCol)), "\\s+").as("__w"): _*)
       .select(
         (col("__id") +: blockCols.map(col)) :+
-          explode(wordShinglesFromWords(col("__w"), shingleN)).as("__s"): _*)
+          // explode_outer: the inner form's inferred size>0 input filter
+          // re-evaluates the shingle kernel once more per row; the outer
+          // form infers nothing and word_shingles always yields ≥1 element
+          // (see [[wordShinglesFromWords]]), so the rows are identical —
+          // the isNotNull below pins that degenerately at O(1)/row
+          explode_outer(wordShinglesFromWords(col("__w"), shingleN)).as("__s"): _*)
+      .where(col("__s").isNotNull)
     // materialize the exploded shingle index ONCE: it feeds the df cap, the
     // per-doc counts and BOTH sides of the pair join — left lazy, Spark
     // re-runs the regex split + shingle transform up to 5x (measured ~4 s
@@ -521,7 +535,11 @@ object Dedup {
   private def explodedShingles(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int): DataFrame =
     docs.select(col(idCol).as("__id"), split(trim(col(textCol)), "\\s+").as("__w"))
-      .select(col("__id"), explode(wordShinglesFromWords(col("__w"), shingleN)).as("__s"))
+      // explode_outer + isNotNull: same rows (word_shingles yields ≥1
+      // element, never null), no inferred size>0 re-evaluation of the
+      // shingle kernel below the Generate
+      .select(col("__id"), explode_outer(wordShinglesFromWords(col("__w"), shingleN)).as("__s"))
+      .where(col("__s").isNotNull)
       .withColumn("__h", xxhash64(col("__s")))
 
   /** MinHash signatures -> exploded LSH band buckets: (__id, __n, __bucket).

@@ -175,6 +175,39 @@ object TextAnalysis {
   def winnow(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"k/w must be positive: $k/$w")
+    // Native single-node selection (round-14, guide §4): the previous
+    // nested-lambda tree (let-bound grams + per-window array_min /
+    // rightmost-tie filter + array_distinct, preserved bit-for-bit in
+    // [[winnowHof]] and pinned equivalent by DedupSpec) ran entirely in
+    // the CodegenFallback lambda interpreter. [[graft.functions
+    // .WinnowSelect]] is the same selection as one fused loop: same
+    // binary-string ordering, same rightmost-minimal tie rule, same
+    // (pos, gram) dedup order.
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= k + w - 1)
+      .withColumn("__sel", org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.WinnowSelect(
+          org.apache.spark.sql.graft.Bridge.expression(col("__t")), k, w)))
+      // explode_outer, NOT explode: the inner Generate's inferred input
+      // filter (size(__sel) > 0 AND isnotnull(__sel)) pushes through the
+      // projection and re-evaluates the whole winnow selection 2 extra
+      // times per row (visible in plans/r14/g3_winnow). The outer form
+      // infers nothing; the size(__t) filter above already guarantees a
+      // non-empty selection, and the isNotNull below (on the GENERATED
+      // struct, O(1), not pushable below the Generate) pins the same row
+      // set even degenerately.
+      .select(col(idCol), explode_outer(col("__sel")).as("__f"))
+      .where(col("__f").isNotNull)
+      .select(col(idCol), col("__f.pos").cast("long").as("pos"), col("__f.gram").as("gram"))
+  }
+
+  /** The lambda-tree formulation [[winnow]] replaced (kept as the
+    * differential spec for the native expression — DedupSpec compares the
+    * two row-for-row on the corpus fixture shapes). */
+  private[graft] def winnowHof(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"k/w must be positive: $k/$w")
     docs
       .select(col(idCol), tokens(col(textCol)).as("__t"))
       .where(size(col("__t")) >= k + w - 1)
