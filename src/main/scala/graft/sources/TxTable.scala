@@ -1055,8 +1055,23 @@ class TxTable(val spark: SparkSession, val root: String) {
         Seq(fromV, toV).foreach(requireVersionExists)
         val fromSet = sFrom.files.toSet
         val toSet   = sTo.files.toSet
-        (readState(sFrom.copy(files = sFrom.files.filterNot(toSet))),
-          readState(sTo.copy(files = sTo.files.filterNot(fromSet))))
+        val onlyFrom = sFrom.files.filterNot(toSet)
+        val onlyTo   = sTo.files.filterNot(fromSet)
+        // ADD-ONLY range (the production CDC common case — every append
+        // commit): the before side is EMPTY, and `x.exceptAll(empty)` is
+        // the multiset identity, so the whole union+aggregate exceptAll
+        // plan collapses to a plain scan of the added files tagged as
+        // inserts — zero shuffles. Symmetrically for a remove-only range.
+        // Bit-exact: the general form below computes exactly these
+        // multisets when one side is empty.
+        if (onlyFrom.isEmpty)
+          return readState(sTo.copy(files = onlyTo))
+            .withColumn("change_type", lit("insert"))
+        if (onlyTo.isEmpty)
+          return readState(sFrom.copy(files = onlyFrom))
+            .withColumn("change_type", lit("delete"))
+        (readState(sFrom.copy(files = onlyFrom)),
+          readState(sTo.copy(files = onlyTo)))
       } else {
         // schema evolved across the range: align the FROM side to the TO
         // schema (evolution only widens — absent columns read null) so the
