@@ -695,7 +695,7 @@ object SparkEntry {
     * unordered content hash), proving the manifest references exactly the
     * live file set.
     */
-  private def b5DeltaExport(s: SparkSession, dir: String): DataFrame = {
+  private def b5DeltaExport(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{DeltaInterop, TxTable}
     val cols = Seq("user_id", "event_type", "value", "event_id", "ts")
     // the b2 LWW snapshot template is the immutable fixture; export is the
@@ -728,7 +728,7 @@ object SparkEntry {
     * incremental commit is version 1, its log holds only add actions (the
     * source only appended), and the checkpoint files exist.
     */
-  private def b5DeltaExportIncr(s: SparkSession, dir: String): DataFrame = {
+  private def b5DeltaExportIncr(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{DeltaInterop, TxTable}
     import java.nio.file.{Files, Paths}
     val cols = Seq("user_id", "event_type", "value", "event_id", "ts")
@@ -780,7 +780,7 @@ object SparkEntry {
     * fewer. In-query certs: watermark advances to v1; consuming FROM v1
     * is empty; v0 snapshot + delta == the full current table (multiset).
     */
-  private def b5DeltaReadIncr(s: SparkSession, dir: String): DataFrame = {
+  private def b5DeltaReadIncr(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{DeltaInterop, TxTable}
     val cols = Seq("user_id", "event_type", "value", "event_id", "ts")
     val t = TxTable(s, HarnessFixtures.cloneTxDir(txTpl(s, dir, "b2_upsert")))
@@ -819,7 +819,7 @@ object SparkEntry {
     * oracle recomputes from the parquet table, so any escaping/parsing
     * drift in the JSONL path would break the hash.
     */
-  private def b5JsonlIngest(s: SparkSession, dir: String): DataFrame = {
+  private def b5JsonlIngest(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     // content-keyed fixture (see Multimodal.writeMediaFixture): stale bytes
     // from a regenerated corpus at the same path must not survive
     val sig = Tables.documents(s, dir)
@@ -850,7 +850,7 @@ object SparkEntry {
     * source. The oracle recomputes from the parquet table — any
     * quoting/escaping/parsing drift in the CSV path breaks the hash.
     */
-  private def b5CsvIngest(s: SparkSession, dir: String): DataFrame = {
+  private def b5CsvIngest(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     val sig = Tables.documents(s, dir)
       .agg(bit_xor(xxhash64(col("doc_id"), col("text"), col("lang"), col("source"))), count(lit(1)))
       .collect().head.toSeq.mkString("_")
@@ -880,7 +880,7 @@ object SparkEntry {
     * column pruning work the same as parquet). Oracle recomputes from
     * parquet; different aggregate so the three source queries don't alias.
     */
-  private def b5OrcIngest(s: SparkSession, dir: String): DataFrame = {
+  private def b5OrcIngest(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     val sig = Tables.documents(s, dir)
       .agg(bit_xor(xxhash64(col("doc_id"), col("text"), col("lang"), col("source"))), count(lit(1)))
       .collect().head.toSeq.mkString("_")
@@ -994,7 +994,7 @@ object SparkEntry {
     out.orderBy("purchase_id")
   }
 
-  private def b5BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+  private def b5BucketedJoin(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.Lakehouse
     ensureBucketTables(s, dir)
     val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -2770,7 +2770,7 @@ object SparkEntry {
     * (count + unordered content hash vs the TxTable snapshot), proving
     * the manifest references exactly the live file set.
     */
-  private def b5IcebergExport(s: SparkSession, dir: String): DataFrame = {
+  private def b5IcebergExport(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{IcebergInterop, TxTable}
     val cols = Seq("user_id", "event_type", "value", "event_id", "ts")
     val t = TxTable(s, txTpl(s, dir, "b2_upsert"))
@@ -2798,7 +2798,7 @@ object SparkEntry {
     * In-query asserts pin the commit shape: metadata version 2, both
     * snapshots present, parent-snapshot-id recorded.
     */
-  private def b5IcebergExportIncr(s: SparkSession, dir: String): DataFrame = {
+  private def b5IcebergExportIncr(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{IcebergInterop, TxTable}
     import java.nio.file.{Files, Paths}
     val cols = Seq("user_id", "event_type", "value", "event_id", "ts")
@@ -2843,7 +2843,7 @@ object SparkEntry {
     * In-query certificate: count + unordered content hash (day included)
     * vs the source snapshot.
     */
-  private def b5IcebergExportPart(s: SparkSession, dir: String): DataFrame = {
+  private def b5IcebergExportPart(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{IcebergInterop, TxTable}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts", "day")
     val t = TxTable(s, txTpl(s, dir, "b5_part"))
@@ -2871,7 +2871,7 @@ object SparkEntry {
     * oracle is DuckDB globbing the same data bytes; in-query certificates
     * pin the declared transform and the source≡export content hash.
     */
-  private def b5IcebergExportDays(s: SparkSession, dir: String): DataFrame = {
+  private def b5IcebergExportDays(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{IcebergInterop, TxTable}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
     val t = TxTable(s, txTpl(s, dir, "b5_days"))
@@ -2902,7 +2902,7 @@ object SparkEntry {
     * the source≡mirror content hash. DuckDB oracle over the mirrored
     * bytes.
     */
-  private def b5IcebergDaysIncr(s: SparkSession, dir: String): DataFrame = {
+  private def b5IcebergDaysIncr(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{IcebergInterop, TxTable}
     import java.nio.file.{Files, Paths}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
@@ -2950,7 +2950,7 @@ object SparkEntry {
     * partition column from the Hive directory names and recomputing the
     * same cut.
     */
-  private def b5DeltaPrunedRead(s: SparkSession, dir: String): DataFrame = {
+  private def b5DeltaPrunedRead(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{DeltaInterop, TxTable}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts", "day")
     val t = TxTable(s, txTpl(s, dir, "b5_part"))
@@ -2983,7 +2983,7 @@ object SparkEntry {
     * pruning correctness contract). The DuckDB oracle recomputes the same
     * date cut over the exported bytes.
     */
-  private def b5IcebergPrunedRead(s: SparkSession, dir: String): DataFrame = {
+  private def b5IcebergPrunedRead(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{IcebergInterop, TxTable}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
     val t = TxTable(s, txTpl(s, dir, "b5_days"))
@@ -3019,7 +3019,7 @@ object SparkEntry {
     * against the file's directory, so a mis-bucketed row (the failure a
     * foreign reader would hit as wrong pruning) cannot ship silently.
     */
-  private def b5IcebergExportBucket(s: SparkSession, dir: String): DataFrame = {
+  private def b5IcebergExportBucket(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{IcebergInterop, TxTable}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
     val t = TxTable(s, txTpl(s, dir, "b5_z"))
@@ -3058,7 +3058,7 @@ object SparkEntry {
     * declared transform, source≡export content hash, and PREFIX PURITY —
     * every row's 2-char prefix must match its file's directory value.
     */
-  private def b5IcebergExportTrunc(s: SparkSession, dir: String): DataFrame = {
+  private def b5IcebergExportTrunc(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{IcebergInterop, TxTable}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
     val t = TxTable(s, txTpl(s, dir, "b5_z"))
@@ -3098,7 +3098,7 @@ object SparkEntry {
     * watermark advances to the new snapshot id; consuming at the head is
     * empty; v0 + delta == the head snapshot (multiset).
     */
-  private def b5IcebergReadIncr(s: SparkSession, dir: String): DataFrame = {
+  private def b5IcebergReadIncr(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{IcebergInterop, TxTable}
     import java.nio.file.{Files, Paths}
     val cols = Seq("user_id", "event_type", "value", "event_id", "ts")
@@ -3158,7 +3158,7 @@ object SparkEntry {
     * LOGICAL — the data parquets still hold every row, so the oracle's
     * post-filter is exactly what the delete masks).
     */
-  private def b5IcebergReadDeletes(s: SparkSession, dir: String): DataFrame = {
+  private def b5IcebergReadDeletes(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{IcebergInterop, TxTable}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
     val t = TxTable(s, txTpl(s, dir, "b5_z"))
@@ -3244,7 +3244,7 @@ object SparkEntry {
     * kinds, pre-delete time travel, and idempotence. The DuckDB oracle
     * recomputes the three-way survivor set over the exported bytes with
     * `hive_partitioning` reconstructing `day`. */
-  private def b5IcebergPartDelete(s: SparkSession, dir: String): DataFrame = {
+  private def b5IcebergPartDelete(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import scala.jdk.CollectionConverters._
     import graft.sources.{IcebergInterop, TxTable}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts", "day")
@@ -3342,7 +3342,7 @@ object SparkEntry {
     * replays the upsert semantics from the BYTES alone: survivors = old
     * files' rows whose key is absent from the upsert files' rows, union
     * the upsert rows. */
-  private def b5IcebergUpsert(s: SparkSession, dir: String): DataFrame = {
+  private def b5IcebergUpsert(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{IcebergInterop, TxTable}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
     val t = TxTable(s, txTpl(s, dir, "b5_z"))
@@ -3403,7 +3403,7 @@ object SparkEntry {
     * upsert's eq-delete inside the partition. The DuckDB oracle replays
     * the MERGE from the bytes alone: survivors = base files' rows whose
     * key is absent from the upsert files, union the upsert rows. */
-  private def b5IcebergUpsertDays(s: SparkSession, dir: String): DataFrame = {
+  private def b5IcebergUpsertDays(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{IcebergInterop, TxTable}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
     val t = TxTable(s, txTpl(s, dir, "b5_days"))
@@ -3490,7 +3490,7 @@ object SparkEntry {
     * data parquets remain outside the day/compacted dirs. The DuckDB
     * oracle reads the remaining bytes with NO row filter — after the
     * lifecycle, physical disk state IS the table. */
-  private def b5IcebergCompactDays(s: SparkSession, dir: String): DataFrame = {
+  private def b5IcebergCompactDays(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{IcebergInterop, TxTable}
     import java.nio.file.{Files, Paths}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
@@ -3588,7 +3588,7 @@ object SparkEntry {
     * and a tuple-pruned read of the scoped day composing with the
     * delete. The DuckDB oracle recomputes the scoped survivor set over
     * the bytes with hive_partitioning. */
-  private def b5IcebergEqScoped(s: SparkSession, dir: String): DataFrame = {
+  private def b5IcebergEqScoped(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{IcebergInterop, TxTable}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts", "day")
     val t = TxTable(s, txTpl(s, dir, "b5_part"))
@@ -3650,7 +3650,7 @@ object SparkEntry {
     * recomputed per row against each file's directory across BOTH
     * snapshots. DuckDB oracle: all bucket-dir bytes equal the full event
     * set. */
-  private def b5IcebergBucketIncr(s: SparkSession, dir: String): DataFrame = {
+  private def b5IcebergBucketIncr(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{IcebergInterop, TxTable}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
     val t = TxTable(s, txTpl(s, dir, "b5_z"))
@@ -3714,7 +3714,7 @@ object SparkEntry {
     * manifests alone — sig ≡ the row-filter recomputation AND a strictly
     * smaller file list. DuckDB oracle: the union of the two eras'
     * bytes. */
-  private def b5IcebergEvolve(s: SparkSession, dir: String): DataFrame = {
+  private def b5IcebergEvolve(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{IcebergInterop, TxTable}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
     val t = TxTable(s, txTpl(s, dir, "b5_z"))
@@ -3806,7 +3806,7 @@ object SparkEntry {
     * (bit-exact), and a pruned read of one day composing that
     * partition's DVs with its merge files. The DuckDB oracle replays the
     * merge from the bytes (hive_partitioning reconstructs day). */
-  private def b5DeltaMergePart(s: SparkSession, dir: String): DataFrame = {
+  private def b5DeltaMergePart(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{DeltaInterop, TxTable}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts", "day")
     val t = TxTable(s, txTpl(s, dir, "b5_part"))
@@ -3875,7 +3875,7 @@ object SparkEntry {
     * replays the
     * merge from the bytes: survivors = original files' rows whose key is
     * absent from the merge files, union the merge files' rows. */
-  private def b5DeltaMerge(s: SparkSession, dir: String): DataFrame = {
+  private def b5DeltaMerge(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{DeltaInterop, TxTable}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
     val t = TxTable(s, txTpl(s, dir, "b5_z"))
@@ -3956,7 +3956,7 @@ object SparkEntry {
     * bit-exactly. The DuckDB oracle reads the same exported bytes flat
     * (stats ignored harmlessly — cross-engine readable) and recomputes
     * the predicate. */
-  private def b5BoundsSkipping(s: SparkSession, dir: String): DataFrame = {
+  private def b5BoundsSkipping(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{DeltaInterop, IcebergInterop, TxTable}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
     val t = TxTable(s, txTpl(s, dir, "b5_stats"))
@@ -4018,7 +4018,7 @@ object SparkEntry {
     * spec-pinned (DeltaInteropSpec "partitioned deletion vectors"). The
     * DuckDB oracle recomputes the survivor set over the original bytes
     * with `hive_partitioning`. */
-  private def b5DeltaPartDelete(s: SparkSession, dir: String): DataFrame = {
+  private def b5DeltaPartDelete(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{DeltaInterop, TxTable}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts", "day")
     val t = TxTable(s, txTpl(s, dir, "b5_part"))
@@ -4085,7 +4085,7 @@ object SparkEntry {
     * function against each file's directory (exercising the registered
     * expression end to end), and the source≡export content hash.
     */
-  private def b5IcebergBucketStr(s: SparkSession, dir: String): DataFrame = {
+  private def b5IcebergBucketStr(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{IcebergInterop, TxTable}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts", "ekey")
     val t = TxTable(s, txTpl(s, dir, "b5_bloom"))
@@ -4130,7 +4130,7 @@ object SparkEntry {
     * single-day, the export declares day(ts), and the mirror hash
     * matches the source. DuckDB oracle over the exported bytes.
     */
-  private def b5TxClusterDays(s: SparkSession, dir: String): DataFrame = {
+  private def b5TxClusterDays(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{IcebergInterop, TxTable}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
     val t = TxTable(s, HarnessFixtures.cloneTxDir(txTpl(s, dir, "b5_z")))
@@ -4180,7 +4180,7 @@ object SparkEntry {
     * partition dimensions from the directory names (two-level
     * hive_partitioning) and recomputes the same cut over every file.
     */
-  private def b5IcebergComposite(s: SparkSession, dir: String): DataFrame = {
+  private def b5IcebergComposite(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{IcebergInterop, TxTable}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
     val t = TxTable(s, txTpl(s, dir, "b5_z"))
@@ -4237,7 +4237,7 @@ object SparkEntry {
     * eq-deleted row's position matches nothing). DuckDB oracle recomputes
     * the composed survivor set over the exported bytes.
     */
-  private def b5IcebergEqDelete(s: SparkSession, dir: String): DataFrame = {
+  private def b5IcebergEqDelete(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{IcebergInterop, TxTable}
     import s.implicits._
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
@@ -4307,7 +4307,7 @@ object SparkEntry {
     * rewrite semantics a real engine applies). DuckDB oracle recomputes
     * the survivor set over the exported bytes.
     */
-  private def b5DeltaReadDv(s: SparkSession, dir: String): DataFrame = {
+  private def b5DeltaReadDv(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{DeltaInterop, TxTable}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
     val t = TxTable(s, txTpl(s, dir, "b5_z"))
@@ -4386,7 +4386,7 @@ object SparkEntry {
     * oracle reads the physical bytes and recomputes the logical view
     * (physical name aliased + DV predicate post-filtered).
     */
-  private def b5DeltaRename(s: SparkSession, dir: String): DataFrame = {
+  private def b5DeltaRename(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{DeltaInterop, TxTable}
     val renamedCols = Seq("event_id", "user_id", "event_type", "score", "ts")
     val t = TxTable(s, txTpl(s, dir, "b5_z"))
@@ -4461,7 +4461,7 @@ object SparkEntry {
     * authoritative and outside vacuum's jurisdiction). DuckDB oracle
     * recomputes both change kinds from the data bytes.
     */
-  private def b5DeltaCdf(s: SparkSession, dir: String): DataFrame = {
+  private def b5DeltaCdf(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{DeltaInterop, TxTable}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
     val outCols = cols ++ Seq("_change_type", "_commit_version")
@@ -4537,7 +4537,7 @@ object SparkEntry {
     * predicate count; the physical cdc bytes carry the OLD column name
     * (also spec-pinned). DuckDB oracle recomputes the delete edges from
     * the root bytes, aliasing the rename. */
-  private def b5DeltaCdfRenamed(s: SparkSession, dir: String): DataFrame = {
+  private def b5DeltaCdfRenamed(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{DeltaInterop, TxTable}
     val outCols = Seq("event_id", "user_id", "event_type", "score", "ts",
       "_change_type", "_commit_version")
@@ -4589,7 +4589,7 @@ object SparkEntry {
     * resolve them). Certificates: exact delete count; exact (superseded,
     * appended) counts; the merge's new bytes carry physical names.
     * DuckDB oracle recomputes the final state from the events table. */
-  private def b5DeltaIdmodeWrite(s: SparkSession, dir: String): DataFrame = {
+  private def b5DeltaIdmodeWrite(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.DeltaInterop
     import org.apache.spark.sql.types._
     import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -4692,7 +4692,7 @@ object SparkEntry {
     * the head reads empty. DuckDB oracle recomputes both change kinds
     * from the original bytes.
     */
-  private def b5IcebergChangelog(s: SparkSession, dir: String): DataFrame = {
+  private def b5IcebergChangelog(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{IcebergInterop, TxTable}
     import java.nio.file.{Files, Paths}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
@@ -4813,7 +4813,7 @@ object SparkEntry {
     * (snapshots are schema-pinned). DuckDB oracle aliases the physical
     * column over the untouched bytes.
     */
-  private def b5IcebergRename(s: SparkSession, dir: String): DataFrame = {
+  private def b5IcebergRename(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{IcebergInterop, TxTable}
     import java.nio.file.{Files, Paths}
     val renamedCols = Seq("event_id", "user_id", "event_type", "score", "ts")
@@ -4893,7 +4893,7 @@ object SparkEntry {
     * the remaining bytes with NO row filter: after expiry, physical state
     * IS the survivor set.
     */
-  private def b5IcebergExpire(s: SparkSession, dir: String): DataFrame = {
+  private def b5IcebergExpire(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{IcebergInterop, TxTable}
     import java.nio.file.{Files, Paths}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
@@ -4981,7 +4981,7 @@ object SparkEntry {
     * snapshot expired; the expired snapshot refuses time travel; refs
     * survive the expiry commit. DuckDB oracle: the full data glob
     * equals the live table (disk ≡ live). */
-  private def b5IcebergRefs(s: SparkSession, dir: String): DataFrame = {
+  private def b5IcebergRefs(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{IcebergInterop, TxTable}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
     val ev = Tables.events(s, dir).select(cols.map(col).toIndexedSeq: _*)
@@ -5063,7 +5063,7 @@ object SparkEntry {
     * parquets remain at the table root. DuckDB oracle: the remaining
     * bytes with NO row filter.
     */
-  private def b5DeltaVacuum(s: SparkSession, dir: String): DataFrame = {
+  private def b5DeltaVacuum(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import graft.sources.{DeltaInterop, TxTable}
     import java.nio.file.{Files, Paths}
     val cols = Seq("event_id", "user_id", "event_type", "value", "ts")
@@ -5558,6 +5558,42 @@ object SparkEntry {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  // fixture byte size per sf dir (config metadata, not results — computed
+  // from the events table's on-disk footprint once per JVM)
+  private val fixtureBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Scope a lakehouse-mutation body to a shuffle-partition count DERIVED
+    * FROM INPUT SIZE (guide §2: size partitions by data, ~64 MB each),
+    * clamped to the session's configured count. These bodies run dozens of
+    * small commit/certificate shuffles over KB-MB frames; with the
+    * session's core-proportional partition count every one of those
+    * stages pays per-task overhead times the core count — measured as the
+    * b5 mutation family running SLOWER at 32 cores than at 8 (r13 verdict
+    * #1). Deriving the count from the scale factor's event-table bytes
+    * makes the body's parallelism follow the DATA: 1 partition at fixture
+    * scale, the session's full configured parallelism once the input
+    * carries enough bytes to feed it — never a constant tuned for either
+    * local mode or the cluster. */
+  private def withFixtureSizedShuffle[T](s: SparkSession, dir: String)(body: => T): T = {
+    val bytes: Long = fixtureBytesCache.computeIfAbsent(dir, d => {
+      val p = java.nio.file.Paths.get(d, "events.parquet")
+      if (!java.nio.file.Files.exists(p)) java.lang.Long.valueOf(0L)
+      else {
+        import scala.jdk.CollectionConverters._
+        val w = java.nio.file.Files.walk(p)
+        try java.lang.Long.valueOf(
+          w.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size(_)).sum)
+        finally w.close()
+      }
+    })
+    val sessionN = s.conf.get("spark.sql.shuffle.partitions").toLong
+    val target = math.max(1L, (bytes + (64L << 20) - 1) / (64L << 20))
+    withShufflePartitions(s, math.min(target, math.max(sessionN, 1L)).toInt)(body)
+  }
+
   /** ONE-ACTION equality check of two frames' (row count, xor-of-row-
     * hashes) signatures over `cols`: side-tagged unionByName + one
     * per-side aggregate. The b5 certificates previously collected the two
@@ -6020,7 +6056,7 @@ object SparkEntry {
     * equivalences are pinned in DeltaInteropSpec; the timed query
     * certifies watermark-reaches-head + sink ≡ live, and the DuckDB
     * oracle recomputes the final state from the events table. */
-  private def g4DeltaCdcTail(s: SparkSession, dir: String): DataFrame = {
+  private def g4DeltaCdcTail(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.sources.{DeltaInterop, TxTable}
@@ -6094,7 +6130,7 @@ object SparkEntry {
     * version whose snapshot is the head actually read. Certificates,
     * slice, and oracle mirror the Delta twin (sink ≡ live Iceberg read;
     * continuous ≡ one-shot replay pinned in IcebergInteropSpec). */
-  private def g4IcebergCdcTail(s: SparkSession, dir: String): DataFrame = {
+  private def g4IcebergCdcTail(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.sources.{IcebergInterop, TxTable}
@@ -6827,7 +6863,7 @@ object SparkEntry {
     * recomputes from parquet, so any escaping or whitespace drift in the
     * XML path breaks the hash.
     */
-  private def b5XmlIngest(s: SparkSession, dir: String): DataFrame = {
+  private def b5XmlIngest(s: SparkSession, dir: String): DataFrame = withFixtureSizedShuffle(s, dir) {
     val sig = Tables.documents(s, dir)
       .agg(bit_xor(xxhash64(col("doc_id"), col("text"), col("lang"), col("source"))), count(lit(1)))
       .collect().head.toSeq.mkString("_")
